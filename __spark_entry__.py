@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query on sf0.001.
+``queries()`` maps every implemented operator (SURVEY.md §2) to a
+``(spark, sf_dir) -> DataFrame`` callable. ``oracle_sql()`` gives the
+DuckDB-ANSI twin for each key (omitted only for genuinely
+non-SQL-expressible ops, which the driver checks rows-only).
 """
 
 from __future__ import annotations
@@ -13,26 +13,47 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from llm_map_reduce_summarizer_spark.plans import tpch
+
+_PLAN_MODULES = [tpch]
+
+try:  # modules land incrementally; entry stays importable throughout
+    from llm_map_reduce_summarizer_spark.plans import events as _events
+
+    _PLAN_MODULES.append(_events)
+except ImportError:
+    pass
+try:
+    from llm_map_reduce_summarizer_spark.plans import documents as _documents
+
+    _PLAN_MODULES.append(_documents)
+except ImportError:
+    pass
+try:
+    from llm_map_reduce_summarizer_spark.plans import pipeline as _pipeline
+
+    _PLAN_MODULES.append(_pipeline)
+except ImportError:
+    pass
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    for mod in _PLAN_MODULES:
+        if "pipeline_e2e" in getattr(mod, "QUERIES", {}):
+            return mod.QUERIES["pipeline_e2e"](spark, "/root/testdata/sf0.001")
+    return tpch.q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for mod in _PLAN_MODULES:
+        out.update(mod.QUERIES)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out: dict[str, str] = {}
+    for mod in _PLAN_MODULES:
+        out.update(mod.ORACLE)
+    return out

@@ -1,0 +1,37 @@
+"""SparkSession factory tuned for this engine.
+
+Local test mode is ``local[$SPARK_GRAFT_CPUS]`` (default 32). The same
+settings are the right defaults on a real cluster: AQE for runtime
+re-planning and skew joins, Arrow for every Pandas-UDF exchange, and
+shuffle partitions sized to the parallelism at hand rather than the
+200 default.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "llm_map_reduce_summarizer_spark") -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.default.parallelism", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # test parquet stores events.ts as TIMESTAMP(NANOS); read as long
+        # and convert in the loader (Spark has no nanos timestamp type)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

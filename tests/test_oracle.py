@@ -1,0 +1,42 @@
+"""THE correctness gate: every queries() entry vs its DuckDB oracle.
+
+Mirrors the driver's CORRECTNESS check (sf0.01, column-sorted,
+order-insensitive value compare) so mismatches are caught locally.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from .conftest import SF_CORRECT, SF_SMOKE
+from .oracle_utils import run_compare
+
+QUERIES = entrymod.queries()
+ORACLE = entrymod.oracle_sql()
+KEYS_WITH_ORACLE = sorted(k for k in QUERIES if k in ORACLE)
+KEYS_ROWS_ONLY = sorted(k for k in QUERIES if k not in ORACLE)
+
+
+@pytest.mark.parametrize("key", KEYS_WITH_ORACLE)
+def test_oracle_match_sf001(spark, key):
+    problems = run_compare(spark, SF_CORRECT, QUERIES[key], ORACLE[key])
+    assert not problems, f"{key}: " + "; ".join(problems)
+
+
+@pytest.mark.parametrize("key", KEYS_ROWS_ONLY)
+def test_rows_only_nonempty(spark, key):
+    n = QUERIES[key](spark, SF_CORRECT).count()
+    assert n >= 0
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
+
+
+def test_all_queries_run_smoke(spark):
+    for key, fn in QUERIES.items():
+        df = fn(spark, SF_SMOKE)
+        assert df.columns, key
