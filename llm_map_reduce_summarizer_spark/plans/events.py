@@ -1,0 +1,229 @@
+"""Event-stream analytics (batch side).
+
+Time comparisons use exact integer microseconds (``unix_micros`` /
+DuckDB ``epoch_us``) so both engines agree bit-for-bit — no float
+epoch arithmetic.
+
+Scale notes: every query here is a single shuffle on its natural key
+(user_id or event_type). Sessionization is the gaps-and-islands window
+pattern — one sort-shuffle per user partition, no iteration; the same
+semantics run incrementally in streaming/ via applyInPandasWithState.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.tables import load_table
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
+
+
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windowed counts/sums per event type."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("hour", F.date_trunc("hour", F.col("ts")))
+        .groupBy("hour", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+def sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events annotated with a per-user session id (30-min gap rule)."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros("ts")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    is_new = (
+        F.when(
+            F.lag("ts_us").over(w).isNull()
+            | (F.col("ts_us") - F.lag("ts_us").over(w) > SESSION_GAP_US),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new")
+    )
+    return ev.withColumn("is_new", is_new).withColumn(
+        "session_id",
+        F.sum("is_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session stats from gap-based sessionization."""
+    return (
+        sessionized(spark, sf_dir)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts_us").alias("start_us"),
+            F.max("ts_us").alias("end_us"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .withColumn("duration_us", F.col("end_us") - F.col("start_us"))
+    )
+
+
+def events_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 users by total value within each event type."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.round(F.sum("value"), 2).alias("user_value")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("user_value").desc(), F.col("user_id")
+    )
+    return per_user.withColumn("rk", F.row_number().over(w).cast("long")).filter(
+        F.col("rk") <= 5
+    )
+
+
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extract the JSON ``k`` prop and aggregate it per event type."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict view -> click -> purchase funnel (per-user ordered stages).
+
+    Scale: three conditional min-aggregations per user (single shuffle
+    each, all on user_id so AQE can reuse the exchange), then a global
+    count — no self-join of the raw events.
+    """
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros("ts")
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts_us") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts_us") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t_purchase"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click_after_view")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_after_click")))
+    )
+
+
+QUERIES = {
+    "events_hourly": events_hourly,
+    "events_sessionize": events_sessionize,
+    "events_topk_users": events_topk_users,
+    "events_json_props": events_json_props,
+    "events_funnel": events_funnel,
+}
+
+ORACLE = {
+    "events_hourly": """
+        SELECT date_trunc('hour', ts) AS hour, event_type,
+               count(*) AS n_events,
+               round(sum(value), 2) AS total_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    "events_sessionize": """
+        WITH flagged AS (
+          SELECT user_id, event_id, value,
+                 epoch_us(ts) AS ts_us,
+                 CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                        OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                      THEN 1 ELSE 0 END AS is_new
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        ), numbered AS (
+          SELECT user_id, value, ts_us,
+                 sum(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts_us, event_id
+                   ROWS UNBOUNDED PRECEDING
+                 ) AS session_id
+          FROM flagged
+        )
+        SELECT user_id, session_id,
+               count(*) AS n_events,
+               min(ts_us) AS start_us,
+               max(ts_us) AS end_us,
+               round(sum(value), 2) AS session_value,
+               max(ts_us) - min(ts_us) AS duration_us
+        FROM numbered
+        GROUP BY user_id, session_id
+    """,
+    "events_topk_users": """
+        SELECT event_type, user_id, user_value, rk
+        FROM (
+          SELECT event_type, user_id,
+                 round(sum(value), 2) AS user_value,
+                 row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY round(sum(value), 2) DESC, user_id
+                 ) AS rk
+          FROM events
+          GROUP BY event_type, user_id
+        )
+        WHERE rk <= 5
+    """,
+    "events_json_props": """
+        SELECT event_type,
+               round(avg(k), 4) AS avg_k,
+               min(k) AS min_k,
+               max(k) AS max_k,
+               count(*) AS n_events
+        FROM (
+          SELECT event_type,
+                 CAST(json_extract_string(props, '$.k') AS INT) AS k
+          FROM events
+        )
+        GROUP BY event_type
+    """,
+    "events_funnel": """
+        WITH v AS (
+          SELECT user_id, min(epoch_us(ts)) AS t_view
+          FROM events WHERE event_type = 'view' GROUP BY user_id
+        ), c AS (
+          SELECT e.user_id, min(epoch_us(e.ts)) AS t_click
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t_view
+          GROUP BY e.user_id
+        ), p AS (
+          SELECT e.user_id, min(epoch_us(e.ts)) AS t_purchase
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t_click
+          GROUP BY e.user_id
+        )
+        SELECT (SELECT count(*) FROM v) AS n_view,
+               (SELECT count(*) FROM c) AS n_click_after_view,
+               (SELECT count(*) FROM p) AS n_purchase_after_click
+    """,
+}

@@ -1,0 +1,407 @@
+"""Reference-parity pipeline queries (SURVEY.md §2.1).
+
+The transcript input for the correctness gate is derived
+deterministically from the ``documents`` table: each doc becomes one
+segment (start = doc_id * 30 s, duration = n_chars / 16 s — a power-of-
+two divisor so every timestamp is an exact double and both engines'
+floating-point arithmetic is bit-identical). Speakers are the doc
+sources, so consecutive same-source docs exercise the merge operator.
+
+Oracle SQL twins are composed from shared CTE fragments that mirror
+each operator step 1:1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    SQL_CLEAN,
+    SQL_FMT_TS,
+    SQL_TOKEN_COUNT,
+    format_timestamp,
+)
+from ..operators.aggregator import reduce_level
+from ..operators.chunker import assign_chunks, assign_chunks_greedy, chunk_stats
+from ..operators.executor import extractive_summary, summarize_chunks
+from ..operators.preprocess import (
+    aggregate_by_interval,
+    merge_same_speaker,
+    preprocess_segments,
+)
+from ..sources.tables import load_table
+
+MAX_SEGMENT_DURATION = 120.0
+INTERVAL_SECONDS = 300.0
+MAX_TOKENS_PER_CHUNK = 500
+BATCH_SIZE = 10
+
+
+def derive_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.filter(F.trim(F.col("text")) != "").select(
+        F.col("doc_id").alias("seg_id"),
+        (F.col("doc_id") * 30.0).alias("start"),
+        (F.col("doc_id") * 30.0 + F.col("n_chars") / 16.0).alias("end"),
+        F.col("source").alias("speaker"),
+        F.col("text"),
+    )
+
+
+def _segments_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return preprocess_segments(derive_segments(spark, sf_dir))
+
+
+# --------------------------------------------------------------- queries
+
+
+def seg_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _segments_clean(spark, sf_dir).select(
+        "seg_id", "speaker", "start_fmt", "end_fmt", "text"
+    )
+
+
+def seg_merge_speaker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merged = merge_same_speaker(
+        _segments_clean(spark, sf_dir), MAX_SEGMENT_DURATION
+    )
+    return merged.select(
+        "group_id",
+        "speaker",
+        F.col("start").alias("start_s"),
+        F.col("end").alias("end_s"),
+        "n_segments",
+        "text",
+        "start_fmt",
+        "end_fmt",
+    )
+
+
+def seg_interval_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = aggregate_by_interval(
+        _segments_clean(spark, sf_dir), INTERVAL_SECONDS
+    )
+    return agg.select(
+        "interval_index",
+        "interval_start",
+        "interval_end",
+        "n_segments",
+        "speakers",
+        "text",
+    )
+
+
+def chunk_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    chunked = assign_chunks(
+        _segments_clean(spark, sf_dir), MAX_TOKENS_PER_CHUNK
+    )
+    return chunked.select("seg_id", "chunk_id", "n_tokens")
+
+
+def chunk_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    chunked = assign_chunks(
+        _segments_clean(spark, sf_dir), MAX_TOKENS_PER_CHUNK
+    )
+    return chunk_stats(chunked).select(
+        "chunk_id",
+        "start_time",
+        "end_time",
+        "token_count",
+        "n_segments",
+        "speakers",
+        "position_pct",
+    )
+
+
+def _chunk_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk rows: (chunk_id, text, token_count) — segments joined in order."""
+    chunked = assign_chunks(
+        _segments_clean(spark, sf_dir), MAX_TOKENS_PER_CHUNK
+    )
+    pairs = F.collect_list(
+        F.struct(F.col("seg_id").alias("o"), F.col("seg_text").alias("t"))
+    )
+    return chunked.groupBy("chunk_id").agg(
+        F.array_join(
+            F.transform(F.array_sort(pairs), lambda x: x["t"]), "\n\n"
+        ).alias("text"),
+        F.sum("n_tokens").alias("token_count"),
+    )
+
+
+def map_summarize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return summarize_chunks(_chunk_texts(spark, sf_dir)).select(
+        "chunk_id", "token_count", "summary"
+    )
+
+
+def reduce_hierarchical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed two-level tree reduce (batches of 10, then combine-all).
+
+    Deterministic depth so the oracle SQL can mirror it exactly; the
+    dynamic log-depth variant is operators.aggregator.hierarchical_reduce.
+    """
+    summaries = map_summarize(spark, sf_dir)
+    level1 = reduce_level(
+        summaries, "chunk_id", "summary", BATCH_SIZE, "# Intermediate Summary"
+    )
+    level2 = reduce_level(
+        level1, "chunk_id", "summary", 1_000_000_000, "# Transcript Summary"
+    )
+    return level2.select(
+        "summary", F.col("n_parts").alias("n_batches")
+    )
+
+
+def pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: clean -> merge -> chunk -> stats + extractive summaries."""
+    merged = merge_same_speaker(
+        _segments_clean(spark, sf_dir), MAX_SEGMENT_DURATION
+    ).select(
+        F.col("group_id").alias("seg_id"), "start", "end", "speaker", "text"
+    )
+    chunked = assign_chunks(merged, MAX_TOKENS_PER_CHUNK)
+    stats = chunk_stats(chunked)
+    pairs = F.collect_list(
+        F.struct(F.col("seg_id").alias("o"), F.col("seg_text").alias("t"))
+    )
+    texts = chunked.groupBy("chunk_id").agg(
+        F.array_join(
+            F.transform(F.array_sort(pairs), lambda x: x["t"]), "\n\n"
+        ).alias("text")
+    )
+    return (
+        stats.join(texts, "chunk_id")
+        .withColumn(
+            "summary",
+            extractive_summary(
+                F.col("text"), F.col("chunk_id"), F.col("token_count")
+            ),
+        )
+        .select(
+            "chunk_id",
+            "start_time",
+            "end_time",
+            "n_segments",
+            "token_count",
+            "speakers",
+            "position_pct",
+            "summary",
+        )
+    )
+
+
+def chunk_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Faithful greedy chunker (rows-only check: sequential reset)."""
+    return assign_chunks_greedy(
+        _segments_clean(spark, sf_dir), MAX_TOKENS_PER_CHUNK
+    ).select("seg_id", "chunk_id", "n_tokens")
+
+
+QUERIES = {
+    "seg_clean": seg_clean,
+    "seg_merge_speaker": seg_merge_speaker,
+    "seg_interval_agg": seg_interval_agg,
+    "chunk_assign": chunk_assign,
+    "chunk_stats": chunk_stats_q,
+    "map_summarize": map_summarize,
+    "reduce_hierarchical": reduce_hierarchical,
+    "pipeline_e2e": pipeline_e2e,
+    "chunk_greedy": chunk_greedy,
+}
+
+
+# ---------------------------------------------------------- oracle SQL
+
+_CLEAN = SQL_CLEAN.format(c="text")
+_SEGS = f"""segs AS (
+  SELECT doc_id AS seg_id,
+         doc_id * 30.0 AS start_s,
+         doc_id * 30.0 + n_chars / 16.0 AS end_s,
+         source AS speaker,
+         {_CLEAN} AS text
+  FROM documents
+  WHERE trim(text) <> ''
+)"""
+
+_FMT_START = SQL_FMT_TS.format(s="start_s")
+_FMT_END = SQL_FMT_TS.format(s="end_s")
+
+_MERGE_CTES = f"""flags AS (
+  SELECT *, CASE WHEN lag(speaker) OVER (ORDER BY seg_id) IS NULL
+                   OR lag(speaker) OVER (ORDER BY seg_id) <> speaker
+                 THEN 1 ELSE 0 END AS spk_change
+  FROM segs
+), isl AS (
+  SELECT *, sum(spk_change) OVER (ORDER BY seg_id ROWS UNBOUNDED PRECEDING) AS island
+  FROM flags
+), buck AS (
+  SELECT *, CAST(floor(coalesce(sum(end_s - start_s) OVER (
+              PARTITION BY island ORDER BY seg_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+            ), 0) / {MAX_SEGMENT_DURATION}) AS BIGINT) AS bucket
+  FROM isl
+), merged AS (
+  SELECT min(seg_id) AS group_id,
+         min(speaker) AS speaker,
+         min(start_s) AS start_s,
+         max(end_s) AS end_s,
+         count(*) AS n_segments,
+         CASE WHEN count(*) = 1 THEN min(text)
+              ELSE string_agg('[' || {_FMT_START} || '] ' || text, ' ' ORDER BY seg_id)
+         END AS text
+  FROM buck
+  GROUP BY island, bucket
+)"""
+
+_CHUNK_CTES_TMPL = """tok AS (
+  SELECT seg_id, start_s, end_s, speaker, text,
+         '[' || {fmt_start} || '] ' || speaker || ': ' || text AS seg_text
+  FROM {src}
+), tok2 AS (
+  SELECT *, CAST({ntok} AS BIGINT) AS n_tokens FROM tok
+), chunked AS (
+  SELECT *, CAST(floor(coalesce(sum(n_tokens) OVER (
+              ORDER BY seg_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+            ), 0) / {budget}.0) AS BIGINT) AS chunk_id
+  FROM tok2
+)"""
+
+_CHUNK_CTES = _CHUNK_CTES_TMPL.format(
+    fmt_start=_FMT_START,
+    src="segs",
+    ntok=SQL_TOKEN_COUNT.format(c="seg_text"),
+    budget=MAX_TOKENS_PER_CHUNK,
+)
+
+_STATS_CTES = """g AS (SELECT min(start_s) AS t0 FROM chunked),
+stats AS (
+  SELECT chunk_id,
+         min(start_s) AS start_time,
+         max(end_s) AS end_time,
+         CAST(sum(n_tokens) AS BIGINT) AS token_count,
+         count(*) AS n_segments,
+         string_agg(DISTINCT speaker, ', ' ORDER BY speaker) AS speakers
+  FROM chunked
+  GROUP BY chunk_id
+), stats2 AS (
+  SELECT s.*, CASE WHEN s.end_time > g.t0
+                   THEN round(100.0 * (s.start_time - g.t0) / (s.end_time - g.t0), 4)
+                   ELSE 0.0 END AS position_pct
+  FROM stats s CROSS JOIN g
+)"""
+
+_CHUNK_TEXTS_CTES = """ctext AS (
+  SELECT chunk_id,
+         string_agg(seg_text, chr(10) || chr(10) ORDER BY seg_id) AS text,
+         CAST(sum(n_tokens) AS BIGINT) AS token_count
+  FROM chunked
+  GROUP BY chunk_id
+)"""
+
+_SUMMARY_EXPR = (
+    "'SUMMARY[' || CAST(chunk_id AS VARCHAR) || '] tokens=' || "
+    "CAST(token_count AS VARCHAR) || ': ' || substr(text, 1, 150)"
+)
+
+ORACLE = {
+    "seg_clean": f"""
+        WITH {_SEGS}
+        SELECT seg_id, speaker,
+               {_FMT_START} AS start_fmt,
+               {_FMT_END} AS end_fmt,
+               text
+        FROM segs
+    """,
+    "seg_merge_speaker": f"""
+        WITH {_SEGS}, {_MERGE_CTES}
+        SELECT group_id, speaker, start_s, end_s, n_segments, text,
+               {_FMT_START} AS start_fmt,
+               {_FMT_END} AS end_fmt
+        FROM merged
+    """,
+    "seg_interval_agg": f"""
+        WITH {_SEGS},
+        g AS (SELECT min(start_s) AS t0, max(end_s) AS tmax FROM segs),
+        ex AS (
+          SELECT s.*, g.t0, g.tmax,
+                 CAST(floor((s.start_s - g.t0) / {INTERVAL_SECONDS}) AS BIGINT) AS lo,
+                 CAST(floor((s.end_s - g.t0) / {INTERVAL_SECONDS}) AS BIGINT) AS hi_raw
+          FROM segs s CROSS JOIN g
+        ), ex2 AS (
+          SELECT *, greatest(lo, hi_raw - CASE
+                   WHEN hi_raw * {INTERVAL_SECONDS} = (end_s - t0) THEN 1 ELSE 0
+                 END) AS hi
+          FROM ex
+        ), expl AS (
+          SELECT ex2.*, unnest(generate_series(lo, hi)) AS interval_index
+          FROM ex2
+        ), agg AS (
+          SELECT interval_index,
+                 min(t0) AS t0, min(tmax) AS tmax,
+                 count(*) AS n_segments,
+                 string_agg(DISTINCT speaker, ', ' ORDER BY speaker) AS speakers,
+                 string_agg('[' || {_FMT_START} || ' ' || speaker || '] ' || text,
+                            chr(10) || chr(10) ORDER BY seg_id) AS text
+          FROM expl
+          GROUP BY interval_index
+        )
+        SELECT interval_index,
+               t0 + interval_index * {INTERVAL_SECONDS} AS interval_start,
+               least(t0 + interval_index * {INTERVAL_SECONDS} + {INTERVAL_SECONDS}, tmax)
+                 AS interval_end,
+               n_segments, speakers, text
+        FROM agg
+    """,
+    "chunk_assign": f"""
+        WITH {_SEGS}, {_CHUNK_CTES}
+        SELECT seg_id, chunk_id, n_tokens FROM chunked
+    """,
+    "chunk_stats": f"""
+        WITH {_SEGS}, {_CHUNK_CTES}, {_STATS_CTES}
+        SELECT chunk_id, start_time, end_time, token_count, n_segments,
+               speakers, position_pct
+        FROM stats2
+    """,
+    "map_summarize": f"""
+        WITH {_SEGS}, {_CHUNK_CTES}, {_CHUNK_TEXTS_CTES}
+        SELECT chunk_id, token_count, {_SUMMARY_EXPR} AS summary
+        FROM ctext
+    """,
+    "reduce_hierarchical": f"""
+        WITH {_SEGS}, {_CHUNK_CTES}, {_CHUNK_TEXTS_CTES},
+        summaries AS (
+          SELECT chunk_id, {_SUMMARY_EXPR} AS summary FROM ctext
+        ), level1 AS (
+          SELECT CAST(floor(chunk_id / {BATCH_SIZE}.0) AS BIGINT) AS batch_id,
+                 '# Intermediate Summary ' ||
+                 CAST(CAST(floor(chunk_id / {BATCH_SIZE}.0) AS BIGINT) AS VARCHAR) ||
+                 chr(10) ||
+                 string_agg(summary, chr(10) || chr(10) ORDER BY chunk_id) AS summary
+          FROM summaries
+          GROUP BY 1
+        )
+        SELECT '# Transcript Summary 0' || chr(10) ||
+               string_agg(summary, chr(10) || chr(10) ORDER BY batch_id) AS summary,
+               count(*) AS n_batches
+        FROM level1
+    """,
+    "pipeline_e2e": f"""
+        WITH {_SEGS}, {_MERGE_CTES},
+        msegs AS (
+          SELECT group_id AS seg_id, start_s, end_s, speaker, text FROM merged
+        ), {_CHUNK_CTES_TMPL.format(
+            fmt_start=_FMT_START,
+            src='msegs',
+            ntok=SQL_TOKEN_COUNT.format(c='seg_text'),
+            budget=MAX_TOKENS_PER_CHUNK,
+        )}, {_STATS_CTES}, {_CHUNK_TEXTS_CTES}
+        SELECT s.chunk_id, s.start_time, s.end_time, s.n_segments,
+               s.token_count, s.speakers, s.position_pct,
+               'SUMMARY[' || CAST(s.chunk_id AS VARCHAR) || '] tokens=' ||
+               CAST(s.token_count AS VARCHAR) || ': ' || substr(c.text, 1, 150)
+                 AS summary
+        FROM stats2 s JOIN ctext c ON s.chunk_id = c.chunk_id
+    """,
+}

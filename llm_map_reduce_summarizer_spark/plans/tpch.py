@@ -283,7 +283,7 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_acctbal").desc(), F.col("c_custkey")
     )
     return (
-        cust.withColumn("rk", F.row_number().over(w))
+        cust.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= 3)
         .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
         .select(

@@ -41,9 +41,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql.types import LongType
 
         if isinstance(df.schema["ts"].dataType, LongType):
-            df = df.withColumn(
-                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-            )
+            # integer div: float division loses precision at ~1e18 ns
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return df
 
 
