@@ -68,6 +68,24 @@ def word_count(col: Column) -> Column:
     return F.size(F.split(F.trim(col), r"\s+"))
 
 
+def quantize(col: Column, decimals: int) -> Column:
+    """floor(x*10^d + 0.5)/10^d — half-up rounding computed purely in
+    IEEE doubles. Unlike engine round() (decimal-string HALF_UP in
+    Spark vs binary nearbyint in DuckDB), this is bit-identical across
+    engines whenever the input doubles are bit-identical — which ratio
+    columns (small-integer fractions) hit constantly at grid
+    boundaries. Use for any ratio/score output; keep round() only for
+    large-magnitude sums where boundaries are measure-zero.
+    """
+    scale = float(10**decimals)
+    return F.floor(col * scale + 0.5) / scale
+
+
+def sql_quantize(expr: str, decimals: int) -> str:
+    scale = float(10**decimals)
+    return f"(floor(({expr}) * {scale} + 0.5) / {scale})"
+
+
 # --- SQL fragments (DuckDB oracle twins of the Columns above) ---------
 
 SQL_CLEAN = (

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.text import format_timestamp, token_count
+from ..functions.text import format_timestamp, quantize, token_count
 
 
 def _part(doc_col: str | None) -> list[str]:
@@ -88,7 +88,7 @@ def chunk_stats(
             "position_pct",
             F.when(
                 F.col("end_time") > F.col("t0"),
-                F.round(
+                quantize(
                     100.0
                     * (F.col("start_time") - F.col("t0"))
                     / (F.col("end_time") - F.col("t0")),

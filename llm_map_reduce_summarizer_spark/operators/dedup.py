@@ -1,0 +1,144 @@
+"""Deduplication operators for a training-data pipeline.
+
+Scale design (100 TB):
+
+* exact: one hash-groupBy on a digest — the digest is computed map-side
+  so the shuffle carries 32-byte keys, not documents.
+* n-gram Jaccard: exact pairwise semantics via shingle self-join; the
+  join key is the shingle, so cost is sum over shingles of df² — use it
+  for verification sets, not the full corpus.
+* MinHash+LSH: the corpus-scale path — candidates come only from band
+  buckets (sig agreement on any band), then true Jaccard verifies just
+  those pairs. Shuffles: one explode+agg for signatures, one bucket
+  join, one verify join restricted to candidates.
+* SimHash: near-exact dedup for boilerplate — bucket on the high byte,
+  compare Hamming distance inside buckets only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import (
+    band_hashes,
+    minhash_aggs,
+    shingles_3gram,
+    simhash16_aggs,
+    words,
+)
+from ..functions.text import quantize
+
+NORMALIZE = lambda c: F.regexp_replace(F.lower(c), r"\s+", " ")  # noqa: E731
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Normalized-content md5 digest per document."""
+    return docs.withColumn("fp", F.md5(NORMALIZE(F.col(text_col))))
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Group identical (normalized) contents; keep the min id."""
+    return (
+        fingerprint(docs)
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+def doc_shingles(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, shingle) pairs, distinct per doc; docs with <3 tokens drop."""
+    w = words(F.col("text"))
+    return (
+        docs.withColumn("w", w)
+        .filter(F.size("w") >= 3)
+        .select(F.col(id_col), F.explode(shingles_3gram(F.col("w"))).alias("s"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    shingles: DataFrame, id_col: str = "doc_id", threshold: float = 0.6
+) -> DataFrame:
+    """Exact pairwise Jaccard over shingle sets (self-join on shingle)."""
+    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    a = shingles.select(F.col(id_col).alias("da"), "s")
+    b = shingles.select(F.col(id_col).alias("db"), "s")
+    common = (
+        a.join(b, "s")
+        .filter(F.col("da") < F.col("db"))
+        .groupBy("da", "db")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        common.join(sizes.select(F.col(id_col).alias("da"), F.col("n").alias("na")), "da")
+        .join(sizes.select(F.col(id_col).alias("db"), F.col("n").alias("nb")), "db")
+        .withColumn(
+            "jaccard",
+            quantize(F.col("c") / (F.col("na") + F.col("nb") - F.col("c")), 4),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("da", "db", "jaccard")
+    )
+
+
+def minhash_signatures(shingles: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    return shingles.groupBy(id_col).agg(*minhash_aggs("s"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, id_col: str = "doc_id", threshold: float = 0.5
+) -> DataFrame:
+    """MinHash band candidates -> exact Jaccard verify (scale path)."""
+    sh = doc_shingles(docs, id_col)
+    sigs = minhash_signatures(sh, id_col).select(id_col, *band_hashes())
+    bands = sigs.selectExpr(
+        id_col,
+        "stack(4, 0, band0, 1, band1, 2, band2, 3, band3) AS (bk, bv)",
+    )
+    a = bands.select(F.col(id_col).alias("da"), "bk", "bv")
+    b = bands.select(F.col(id_col).alias("db"), "bk", "bv")
+    candidates = (
+        a.join(b, ["bk", "bv"]).filter(F.col("da") < F.col("db"))
+        .select("da", "db")
+        .distinct()
+    )
+    verified = jaccard_pairs(sh, id_col, threshold=0.0).join(
+        candidates, ["da", "db"]
+    )
+    return verified.filter(F.col("jaccard") >= threshold)
+
+
+def simhash_fingerprints(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    toks = docs.select(
+        F.col(id_col), F.explode(words(F.col("text"))).alias("t")
+    )
+    return toks.groupBy(id_col).agg(simhash16_aggs("t"))
+
+
+def simhash_pairs(
+    docs: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Bucketed Hamming-distance pairs over 16-bit SimHash."""
+    fp = simhash_fingerprints(docs, id_col).withColumn(
+        "bucket", F.shiftright(F.col("simhash"), 8)
+    )
+    a = fp.select(
+        F.col(id_col).alias("da"), F.col("simhash").alias("sa"), "bucket"
+    )
+    b = fp.select(
+        F.col(id_col).alias("db"), F.col("simhash").alias("sb"), "bucket"
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("da") < F.col("db"))
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("long"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("da", "db", "sa", "sb", "hamming")
+    )

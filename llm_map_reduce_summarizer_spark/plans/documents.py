@@ -1,0 +1,412 @@
+"""Training-data pipeline queries: text analysis, dedup, similarity,
+multimodal metadata (SURVEY.md §2.4-2.7).
+
+The synthetic corpus uses one shared vocabulary for all ``lang``
+labels, so the language-ID heuristic legitimately predicts 'en' for
+most docs — the oracle checks parity of the deterministic heuristic,
+not label accuracy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import (
+    SQL_SHINGLES,
+    SQL_WORDS,
+    sql_band_hashes,
+    sql_minhash_aggs,
+    sql_simhash16,
+)
+from ..functions.text import TOKEN_PATTERN, quantize, sql_quantize, token_count
+from ..functions.vectors import cosine, sign_bucket, sql_cosine, sql_sign_bucket
+from ..operators.dedup import (
+    exact_dedup,
+    doc_shingles,
+    fingerprint,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_pairs,
+)
+from ..operators.similarity import (
+    cosine_topk,
+    cosine_topk_lsh,
+    embedding_neardup,
+)
+from ..sources.tables import load_table
+
+JACCARD_THRESHOLD = 0.6
+MINHASH_THRESHOLD = 0.5
+NEARDUP_COS = 0.4
+KNN_K = 5
+LSH_K = 3
+N_QUERY_VECS = 10
+
+STOPWORDS = {
+    "en": ["the", "a", "of", "to", "and", "in", "is", "it", "you", "that"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine", "zu"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "una", "es", "los"],
+    "fr": ["le", "la", "de", "et", "un", "une", "est", "les", "des", "que"],
+}
+CJK_PATTERN = "[一-鿿]"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# ----------------------------------------------------------- text analysis
+
+
+def doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_words"),
+        F.length("text").cast("long").alias("n_chars_c"),
+    )
+
+
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    n_words = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("double")
+    n_chars = F.length("text").cast("double")
+    alpha = F.length(F.regexp_replace("text", "[^a-zA-Z]", "")).cast("double")
+    stops = F.array([F.lit(w) for w in STOPWORDS["en"]])
+    stop_hits = F.size(
+        F.filter(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+            lambda t: F.array_contains(stops, t),
+        )
+    ).cast("double")
+    stop_ratio = stop_hits / n_words
+    avg_wl = alpha / n_words
+    score = (
+        0.4 * F.least(n_words / 100.0, F.lit(1.0))
+        + 0.3 * (1.0 - stop_ratio)
+        + 0.3 * F.least(avg_wl / 8.0, F.lit(1.0))
+    )
+    return d.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        quantize(n_chars / n_words, 4).alias("chars_per_word"),
+        quantize(alpha / n_chars, 4).alias("alpha_ratio"),
+        quantize(stop_ratio, 4).alias("stopword_ratio"),
+        quantize(score, 4).alias("quality_score"),
+    )
+
+
+def doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+
+    def _counter(stops: list[str]):
+        arr = F.array([F.lit(w) for w in stops])
+        # single-arg lambda: a 2-arg lambda would be read as (elem, idx)
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    scores = {
+        lang: _counter(stops).cast("long") for lang, stops in STOPWORDS.items()
+    }
+    cjk = F.size(F.regexp_extract_all("text", F.lit(CJK_PATTERN), 0)).cast("long")
+    d2 = d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        scores["en"].alias("s_en"),
+        scores["de"].alias("s_de"),
+        scores["es"].alias("s_es"),
+        scores["fr"].alias("s_fr"),
+        cjk.alias("s_zh"),
+    )
+    pred = (
+        F.when(F.col("s_zh") > 0, "zh")
+        .when(
+            F.col("s_en") >= F.greatest("s_de", "s_es", "s_fr"), "en"
+        )
+        .when(F.col("s_de") >= F.greatest("s_es", "s_fr"), "de")
+        .when(F.col("s_es") >= F.col("s_fr"), "es")
+        .otherwise("fr")
+    )
+    return d2.withColumn("pred_lang", pred)
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fingerprint(_docs(spark, sf_dir)).select("doc_id", "fp")
+
+
+# ----------------------------------------------------------------- dedup
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = doc_shingles(_docs(spark, sf_dir))
+    return jaccard_pairs(sh, threshold=JACCARD_THRESHOLD)
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(_docs(spark, sf_dir), threshold=MINHASH_THRESHOLD)
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_pairs(_docs(spark, sf_dir))
+
+
+def emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_neardup(_embs(spark, sf_dir), threshold=NEARDUP_COS)
+
+
+# ------------------------------------------------------------- similarity
+
+
+def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _embs(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < N_QUERY_VECS)
+    return cosine_topk(q, e, k=KNN_K)
+
+
+def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _embs(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < N_QUERY_VECS)
+    return cosine_topk_lsh(q, e, k=LSH_K)
+
+
+def emb_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH bucket census — verifies partition balance of the scale path."""
+    e = _embs(spark, sf_dir)
+    return (
+        e.withColumn("bucket", sign_bucket(F.col("embedding")))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+    )
+
+
+# ------------------------------------------------------------- multimodal
+
+
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque binary payload + typed metadata (scale plumbing for
+    image/audio columns; payload here is the utf-8 encoded text)."""
+    d = _docs(spark, sf_dir).withColumn(
+        "payload", F.encode(F.col("text"), "UTF-8")
+    )
+    n_bytes = F.length("payload").cast("long")
+    return d.select(
+        "doc_id",
+        n_bytes.alias("n_bytes"),
+        (64 + n_bytes % 997).alias("fake_width"),
+        (64 + (n_bytes * 31) % 991).alias("fake_height"),
+        F.when(n_bytes % 3 == 0, "jpeg")
+        .when(n_bytes % 3 == 1, "png")
+        .otherwise("webp")
+        .alias("fake_format"),
+    )
+
+
+QUERIES = {
+    "doc_tokens": doc_tokens,
+    "doc_quality": doc_quality,
+    "doc_langid": doc_langid,
+    "doc_fingerprint": doc_fingerprint,
+    "dedup_exact": dedup_exact,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "emb_neardup": emb_neardup,
+    "knn_bruteforce": knn_bruteforce,
+    "knn_lsh": knn_lsh,
+    "emb_buckets": emb_buckets,
+    "multimodal_meta": multimodal_meta,
+}
+
+
+# ------------------------------------------------------------ oracle SQL
+
+_W = SQL_WORDS.format(c="text")
+_SH_CTES = f"""toks AS (
+  SELECT doc_id, {_W} AS w FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, unnest({SQL_SHINGLES.format(w='w')}) AS s
+  FROM toks WHERE len(w) >= 3
+)"""
+
+_JACCARD_CTES = """sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), common AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), jac AS (
+  SELECT common.da, common.db,
+         (floor((common.c / (sa.n + sb.n - common.c)) * 10000.0 + 0.5) / 10000.0) AS jaccard
+  FROM common
+  JOIN sizes sa ON common.da = sa.doc_id
+  JOIN sizes sb ON common.db = sb.doc_id
+)"""
+
+_STOP_SQL = {
+    lang: "[" + ", ".join(f"'{w}'" for w in ws) + "]"
+    for lang, ws in STOPWORDS.items()
+}
+
+_Q_STOPS = _STOP_SQL["en"]
+
+ORACLE = {
+    "doc_tokens": f"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS BIGINT) AS n_tokens,
+               CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_words,
+               CAST(length(text) AS BIGINT) AS n_chars_c
+        FROM documents
+    """,
+    "doc_quality": f"""
+        WITH base AS (
+          SELECT doc_id,
+                 CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) AS n_words,
+                 CAST(length(text) AS DOUBLE) AS n_chars,
+                 CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) AS alpha,
+                 CAST(len(list_filter({_W}, t -> list_contains({_Q_STOPS}, t))) AS DOUBLE) AS stop_hits
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(n_words AS BIGINT) AS n_words,
+               {sql_quantize('n_chars / n_words', 4)} AS chars_per_word,
+               {sql_quantize('alpha / n_chars', 4)} AS alpha_ratio,
+               {sql_quantize('stop_hits / n_words', 4)} AS stopword_ratio,
+               {sql_quantize(
+                   '0.4 * least(n_words / 100.0, 1.0)'
+                   ' + 0.3 * (1.0 - stop_hits / n_words)'
+                   ' + 0.3 * least((alpha / n_words) / 8.0, 1.0)', 4)} AS quality_score
+        FROM base
+    """,
+    "doc_langid": f"""
+        WITH scored AS (
+          SELECT doc_id, lang AS labeled_lang,
+                 CAST(len(list_filter({_W}, t -> list_contains({_STOP_SQL['en']}, t))) AS BIGINT) AS s_en,
+                 CAST(len(list_filter({_W}, t -> list_contains({_STOP_SQL['de']}, t))) AS BIGINT) AS s_de,
+                 CAST(len(list_filter({_W}, t -> list_contains({_STOP_SQL['es']}, t))) AS BIGINT) AS s_es,
+                 CAST(len(list_filter({_W}, t -> list_contains({_STOP_SQL['fr']}, t))) AS BIGINT) AS s_fr,
+                 CAST(len(regexp_extract_all(text, '{CJK_PATTERN}')) AS BIGINT) AS s_zh
+          FROM documents
+        )
+        SELECT *, CASE
+                 WHEN s_zh > 0 THEN 'zh'
+                 WHEN s_en >= greatest(s_de, s_es, s_fr) THEN 'en'
+                 WHEN s_de >= greatest(s_es, s_fr) THEN 'de'
+                 WHEN s_es >= s_fr THEN 'es'
+                 ELSE 'fr' END AS pred_lang
+        FROM scored
+    """,
+    "doc_fingerprint": r"""
+        SELECT doc_id,
+               md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+        FROM documents
+    """,
+    "dedup_exact": r"""
+        SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
+               min(doc_id) AS keep_id,
+               count(*) AS n_docs
+        FROM documents
+        GROUP BY 1
+    """,
+    "dedup_ngram_jaccard": f"""
+        WITH {_SH_CTES}, {_JACCARD_CTES}
+        SELECT da, db, jaccard FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}
+    """,
+    "dedup_minhash_lsh": f"""
+        WITH {_SH_CTES},
+        sigs AS (
+          SELECT doc_id, {sql_minhash_aggs()} FROM sh GROUP BY doc_id
+        ), bandsw AS (
+          SELECT doc_id, {sql_band_hashes()} FROM sigs
+        ), bands AS (
+          SELECT doc_id, 0 AS bk, band0 AS bv FROM bandsw
+          UNION ALL SELECT doc_id, 1, band1 FROM bandsw
+          UNION ALL SELECT doc_id, 2, band2 FROM bandsw
+          UNION ALL SELECT doc_id, 3, band3 FROM bandsw
+        ), cand AS (
+          SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+          FROM bands a JOIN bands b
+            ON a.bk = b.bk AND a.bv = b.bv AND a.doc_id < b.doc_id
+        ), {_JACCARD_CTES}
+        SELECT jac.da, jac.db, jac.jaccard
+        FROM jac JOIN cand ON jac.da = cand.da AND jac.db = cand.db
+        WHERE jac.jaccard >= {MINHASH_THRESHOLD}
+    """,
+    "dedup_simhash": f"""
+        WITH toks AS (
+          SELECT doc_id, unnest({_W}) AS t FROM documents
+        ), fp AS (
+          SELECT doc_id, {sql_simhash16('t')} AS simhash
+          FROM toks GROUP BY doc_id
+        ), bucketed AS (
+          SELECT doc_id, simhash, simhash >> 8 AS bucket FROM fp
+        )
+        SELECT a.doc_id AS da, b.doc_id AS db,
+               a.simhash AS sa, b.simhash AS sb,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        FROM bucketed a JOIN bucketed b
+          ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+    "emb_neardup": f"""
+        SELECT a.vec_id AS da, b.vec_id AS db,
+               (floor({sql_cosine('a.embedding', 'b.embedding')} * 1000000.0 + 0.5) / 1000000.0) AS cos
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE (floor({sql_cosine('a.embedding', 'b.embedding')} * 1000000.0 + 0.5) / 1000000.0) >= {NEARDUP_COS}
+    """,
+    "knn_bruteforce": f"""
+        SELECT query_id, neighbor_id, cos, rk FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 (floor({sql_cosine('q.embedding', 'c.embedding')} * 1000000.0 + 0.5) / 1000000.0) AS cos,
+                 row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY (floor({sql_cosine('q.embedding', 'c.embedding')} * 1000000.0 + 0.5) / 1000000.0) DESC,
+                            c.vec_id
+                 ) AS rk
+          FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+          WHERE q.vec_id < {N_QUERY_VECS}
+        ) WHERE rk <= {KNN_K}
+    """,
+    "knn_lsh": f"""
+        WITH bq AS (
+          SELECT vec_id, embedding, {sql_sign_bucket('embedding')} AS bucket
+          FROM embeddings
+        )
+        SELECT query_id, bucket, neighbor_id, cos, rk FROM (
+          SELECT q.vec_id AS query_id, q.bucket,
+                 c.vec_id AS neighbor_id,
+                 (floor({sql_cosine('q.embedding', 'c.embedding')} * 1000000.0 + 0.5) / 1000000.0) AS cos,
+                 row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY (floor({sql_cosine('q.embedding', 'c.embedding')} * 1000000.0 + 0.5) / 1000000.0) DESC,
+                            c.vec_id
+                 ) AS rk
+          FROM bq q JOIN bq c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+          WHERE q.vec_id < {N_QUERY_VECS}
+        ) WHERE rk <= {LSH_K}
+    """,
+    "emb_buckets": f"""
+        SELECT {sql_sign_bucket('embedding')} AS bucket,
+               count(*) AS n_vecs
+        FROM embeddings
+        GROUP BY 1
+    """,
+    "multimodal_meta": """
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               64 + CAST(octet_length(encode(text)) AS BIGINT) % 997 AS fake_width,
+               64 + (CAST(octet_length(encode(text)) AS BIGINT) * 31) % 991 AS fake_height,
+               CASE CAST(octet_length(encode(text)) AS BIGINT) % 3
+                 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS fake_format
+        FROM documents
+    """,
+}

@@ -287,7 +287,7 @@ stats AS (
   GROUP BY chunk_id
 ), stats2 AS (
   SELECT s.*, CASE WHEN s.end_time > g.t0
-                   THEN round(100.0 * (s.start_time - g.t0) / (s.end_time - g.t0), 4)
+                   THEN (floor((100.0 * (s.start_time - g.t0) / (s.end_time - g.t0)) * 10000.0 + 0.5) / 10000.0)
                    ELSE 0.0 END AS position_pct
   FROM stats s CROSS JOIN g
 )"""
