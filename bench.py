@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Headline-query benchmark.
+
+Runs the representative query set at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed to completion with a noop write (full plan runs,
+nothing collected to the driver — count() would let Spark prune the
+compute).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from llm_map_reduce_summarizer_spark.session import get_spark  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+
+HEADLINE = [
+    # relational core
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q6_revenue_forecast",
+    "q18_large_orders",
+    "topk_per_group",
+    # events
+    "events_sessionize",
+    "events_hourly",
+    # reference-parity pipeline
+    "pipeline_e2e",
+    "reduce_hierarchical",
+    # training-data ops
+    "doc_quality",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "knn_bruteforce",
+    "emb_neardup",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench")
+    queries = entrymod.queries()
+
+    # Warm the JVM/codegen on the smallest SF so timings measure the
+    # plans, not first-call JIT.
+    queries["q1_pricing_summary"](spark, "/root/testdata/sf0.001").write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -93,6 +93,10 @@ def minhash_lsh_pairs(
     docs: DataFrame, id_col: str = "doc_id", threshold: float = 0.5
 ) -> DataFrame:
     """MinHash band candidates -> exact Jaccard verify (scale path)."""
+    # shingles feed both the signature pass and the verify pass; left
+    # uncached deliberately — a cached side hides stats from the
+    # planner and forces sort-merge joins (measured 2x slower than
+    # recomputing the explode)
     sh = doc_shingles(docs, id_col)
     sigs = minhash_signatures(sh, id_col).select(id_col, *band_hashes())
     bands = sigs.selectExpr(

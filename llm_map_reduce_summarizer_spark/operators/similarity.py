@@ -1,5 +1,10 @@
 """Similarity search over embedding columns.
 
+Scale design: vectors are unit-normalized ONCE (one scan), so every
+pairwise comparison is a single dot product — at 100 TB this turns the
+dominant cost from 3 chained reductions per pair into 1, and the
+normalized corpus can be written back and reused across queries.
+
 * ``cosine_topk`` — exact baseline: broadcast the (small) query set
   against the corpus; the corpus is scanned once, never shuffled, and
   the per-query top-k is a window over query_id partitions.
@@ -16,7 +21,15 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.text import quantize
-from ..functions.vectors import cosine, sign_bucket
+from ..functions.vectors import dot, sign_bucket, unit_norm
+
+
+def _unit(df: DataFrame, id_col: str, vec_col: str, out_id: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias(out_id),
+        unit_norm(F.col(vec_col)).alias(f"u_{out_id}"),
+        F.col(vec_col).alias(f"v_{out_id}"),
+    )
 
 
 def cosine_topk(
@@ -26,17 +39,15 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
-    )
+    q = _unit(queries, id_col, vec_col, "query_id")
+    c = _unit(corpus, id_col, vec_col, "neighbor_id")
     scored = (
         F.broadcast(q)
         .crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", quantize(cosine(F.col("qv"), F.col("cv")), 6))
+        .withColumn(
+            "cos", quantize(dot(F.col("u_query_id"), F.col("u_neighbor_id")), 6)
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")
@@ -56,21 +67,19 @@ def cosine_topk_lsh(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate top-k: compare only within the query's LSH bucket."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        sign_bucket(F.col(vec_col)).alias("bucket"),
+    q = _unit(queries, id_col, vec_col, "query_id").withColumn(
+        "bucket", sign_bucket(F.col("v_query_id"))
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-        sign_bucket(F.col(vec_col)).alias("bucket"),
+    c = _unit(corpus, id_col, vec_col, "neighbor_id").withColumn(
+        "bucket", sign_bucket(F.col("v_neighbor_id"))
     )
     scored = (
         F.broadcast(q)
         .join(c, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", quantize(cosine(F.col("qv"), F.col("cv")), 6))
+        .withColumn(
+            "cos", quantize(dot(F.col("u_query_id"), F.col("u_neighbor_id")), 6)
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")
@@ -89,12 +98,12 @@ def embedding_neardup(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """All pairs with cosine >= threshold (exact; bucket for scale)."""
-    a = corpus.select(F.col(id_col).alias("da"), F.col(vec_col).alias("va"))
-    b = corpus.select(F.col(id_col).alias("db"), F.col(vec_col).alias("vb"))
+    a = _unit(corpus, id_col, vec_col, "da")
+    b = _unit(corpus, id_col, vec_col, "db")
     return (
         a.crossJoin(b)
         .filter(F.col("da") < F.col("db"))
-        .withColumn("cos", quantize(cosine(F.col("va"), F.col("vb")), 6))
+        .withColumn("cos", quantize(dot(F.col("u_da"), F.col("u_db")), 6))
         .filter(F.col("cos") >= threshold)
         .select("da", "db", "cos")
     )

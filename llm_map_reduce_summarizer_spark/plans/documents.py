@@ -20,7 +20,12 @@ from ..functions.hashing import (
     sql_simhash16,
 )
 from ..functions.text import TOKEN_PATTERN, quantize, sql_quantize, token_count
-from ..functions.vectors import cosine, sign_bucket, sql_cosine, sql_sign_bucket
+from ..functions.vectors import (
+    sign_bucket,
+    sql_dot,
+    sql_sign_bucket,
+    sql_unit_cte,
+)
 from ..operators.dedup import (
     exact_dedup,
     doc_shingles,
@@ -358,36 +363,39 @@ ORACLE = {
         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
     """,
     "emb_neardup": f"""
+        WITH {sql_unit_cte()}
         SELECT a.vec_id AS da, b.vec_id AS db,
-               (floor({sql_cosine('a.embedding', 'b.embedding')} * 1000000.0 + 0.5) / 1000000.0) AS cos
-        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        WHERE (floor({sql_cosine('a.embedding', 'b.embedding')} * 1000000.0 + 0.5) / 1000000.0) >= {NEARDUP_COS}
+               (floor({sql_dot('a.u', 'b.u')} * 1000000.0 + 0.5) / 1000000.0) AS cos
+        FROM unitv a JOIN unitv b ON a.vec_id < b.vec_id
+        WHERE (floor({sql_dot('a.u', 'b.u')} * 1000000.0 + 0.5) / 1000000.0) >= {NEARDUP_COS}
     """,
     "knn_bruteforce": f"""
+        WITH {sql_unit_cte()}
         SELECT query_id, neighbor_id, cos, rk FROM (
           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                 (floor({sql_cosine('q.embedding', 'c.embedding')} * 1000000.0 + 0.5) / 1000000.0) AS cos,
+                 (floor({sql_dot('q.u', 'c.u')} * 1000000.0 + 0.5) / 1000000.0) AS cos,
                  row_number() OVER (
                    PARTITION BY q.vec_id
-                   ORDER BY (floor({sql_cosine('q.embedding', 'c.embedding')} * 1000000.0 + 0.5) / 1000000.0) DESC,
+                   ORDER BY (floor({sql_dot('q.u', 'c.u')} * 1000000.0 + 0.5) / 1000000.0) DESC,
                             c.vec_id
                  ) AS rk
-          FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+          FROM unitv q JOIN unitv c ON q.vec_id <> c.vec_id
           WHERE q.vec_id < {N_QUERY_VECS}
         ) WHERE rk <= {KNN_K}
     """,
     "knn_lsh": f"""
-        WITH bq AS (
-          SELECT vec_id, embedding, {sql_sign_bucket('embedding')} AS bucket
-          FROM embeddings
+        WITH {sql_unit_cte()},
+        bq AS (
+          SELECT vec_id, u, {sql_sign_bucket('embedding')} AS bucket
+          FROM unitv
         )
         SELECT query_id, bucket, neighbor_id, cos, rk FROM (
           SELECT q.vec_id AS query_id, q.bucket,
                  c.vec_id AS neighbor_id,
-                 (floor({sql_cosine('q.embedding', 'c.embedding')} * 1000000.0 + 0.5) / 1000000.0) AS cos,
+                 (floor({sql_dot('q.u', 'c.u')} * 1000000.0 + 0.5) / 1000000.0) AS cos,
                  row_number() OVER (
                    PARTITION BY q.vec_id
-                   ORDER BY (floor({sql_cosine('q.embedding', 'c.embedding')} * 1000000.0 + 0.5) / 1000000.0) DESC,
+                   ORDER BY (floor({sql_dot('q.u', 'c.u')} * 1000000.0 + 0.5) / 1000000.0) DESC,
                             c.vec_id
                  ) AS rk
           FROM bq q JOIN bq c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
