@@ -35,6 +35,12 @@ try:
     _PLAN_MODULES.append(_pipeline)
 except ImportError:
     pass
+try:
+    from llm_map_reduce_summarizer_spark.plans import streams as _streams
+
+    _PLAN_MODULES.append(_streams)
+except ImportError:
+    pass
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -107,3 +107,147 @@ def embedding_neardup(
         .filter(F.col("cos") >= threshold)
         .select("da", "db", "cos")
     )
+
+
+# --------------------------------------------------- blocked BLAS paths
+#
+# The expression-tree dot product evaluates one pair at a time inside
+# codegen; for corpus-scale all-pairs work the arithmetic belongs in a
+# matrix multiply. These variants move the O(n^2 * dim) inner loop into
+# numpy (BLAS dgemm) over Arrow batches — identical semantics (same
+# quantize-to-6-decimals contract), 10-50x less CPU per pair. Exact
+# results, scale-safe shapes:
+#
+# * ``embedding_neardup_blocked`` — partition the corpus into B hash
+#   blocks, replicate each vector to its B block-pairs, one dgemm per
+#   block-pair task. Shuffle volume is B*n rows (vs n^2 for a naive
+#   cross join); B tunes task memory ((n/B)^2 doubles per task).
+# * ``cosine_topk_blocked`` — queries stay a driver-side numpy matrix
+#   (they are the broadcast-small side by construction); the corpus
+#   streams through mapInPandas once, each batch emits only its local
+#   top-k (with boundary ties) per query, and a final window reduces
+#   the tiny candidate set exactly.
+
+
+def _quantize_np(x, decimals: int = 6):
+    import numpy as np
+
+    scale = 10.0**decimals
+    return np.floor(x * scale + 0.5) / scale
+
+
+def _unit_rows(pdf_col) -> "object":
+    import numpy as np
+
+    m = np.stack(pdf_col.to_numpy()).astype(np.float64)
+    norms = np.sqrt(np.einsum("ij,ij->i", m, m))
+    return m / norms[:, None]
+
+
+def embedding_neardup_blocked(
+    corpus: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int = 16,
+) -> DataFrame:
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    pairs = spark.createDataFrame(
+        [(a, b) for a in range(n_blocks) for b in range(a, n_blocks)],
+        "pa int, pb int",
+    )
+    blocked = corpus.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("v"),
+        (F.col(id_col) % n_blocks).cast("int").alias("blk"),
+    )
+    # non-equi join against the tiny block-pair list replicates each
+    # vector to every pair its block participates in (B rows per vector)
+    replicated = blocked.join(
+        F.broadcast(pairs),
+        (F.col("blk") == F.col("pa")) | (F.col("blk") == F.col("pb")),
+    )
+
+    def _block_pairs(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        pa, pb = key
+        left = pdf[pdf["blk"] == pa]
+        right = pdf[pdf["blk"] == pb] if pa != pb else left
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame({"da": [], "db": [], "cos": []})
+        lu, ru = _unit_rows(left["v"]), _unit_rows(right["v"])
+        sims = _quantize_np(lu @ ru.T)
+        lid = left["vid"].to_numpy()
+        rid = right["vid"].to_numpy()
+        if pa == pb:
+            # same block on both sides: upper triangle avoids dup/self
+            ii, jj = np.nonzero(
+                (sims >= threshold) & (lid[:, None] < rid[None, :])
+            )
+            da, db = lid[ii], rid[jj]
+        else:
+            # distinct blocks: every hit is unique to this block pair;
+            # orient so da < db (the smaller id can sit on either side)
+            ii, jj = np.nonzero(sims >= threshold)
+            da = np.minimum(lid[ii], rid[jj])
+            db = np.maximum(lid[ii], rid[jj])
+        return pd.DataFrame({"da": da, "db": db, "cos": sims[ii, jj]})
+
+    return replicated.groupBy("pa", "pb").applyInPandas(
+        _block_pairs, schema="da long, db long, cos double"
+    )
+
+
+def cosine_topk_blocked(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    qpdf = queries.select(id_col, vec_col).toPandas()
+    qu = _unit_rows(qpdf[vec_col])
+    qids = qpdf[id_col].to_numpy()
+    bc = corpus.sparkSession.sparkContext.broadcast((qids, qu))
+
+    def _score(batches):
+        q_ids, q_mat = bc.value
+        for pdf in batches:
+            cu = _unit_rows(pdf[vec_col])
+            cids = pdf[id_col].to_numpy()
+            sims = _quantize_np(cu @ q_mat.T)  # (n_batch, n_queries)
+            sims[cids[:, None] == q_ids[None, :]] = -np.inf  # self-match
+            out_q, out_n, out_c = [], [], []
+            for j in range(len(q_ids)):
+                col = sims[:, j]
+                if len(col) > k:
+                    # keep everything tied with the k-th best so the
+                    # global reduce can break ties exactly (by id)
+                    kth = np.partition(col, -k)[-k]
+                    keep = np.nonzero(col >= kth)[0]
+                else:
+                    keep = np.nonzero(col > -np.inf)[0]
+                out_q.extend([q_ids[j]] * len(keep))
+                out_n.extend(cids[keep])
+                out_c.extend(col[keep])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "cos": out_c}
+            )
+
+    candidates = corpus.select(id_col, vec_col).mapInPandas(
+        _score, schema="query_id long, neighbor_id long, cos double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        candidates.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cos", "rk")
+    )

@@ -35,9 +35,9 @@ from ..operators.dedup import (
     simhash_pairs,
 )
 from ..operators.similarity import (
-    cosine_topk,
+    cosine_topk_blocked,
     cosine_topk_lsh,
-    embedding_neardup,
+    embedding_neardup_blocked,
 )
 from ..sources.tables import load_table
 
@@ -166,7 +166,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return embedding_neardup(_embs(spark, sf_dir), threshold=NEARDUP_COS)
+    return embedding_neardup_blocked(_embs(spark, sf_dir), threshold=NEARDUP_COS)
 
 
 # ------------------------------------------------------------- similarity
@@ -175,7 +175,7 @@ def emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _embs(spark, sf_dir)
     q = e.filter(F.col("vec_id") < N_QUERY_VECS)
-    return cosine_topk(q, e, k=KNN_K)
+    return cosine_topk_blocked(q, e, k=KNN_K)
 
 
 def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -195,6 +195,18 @@ def emb_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------------------- multimodal
+
+
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched decode over binary payloads (rows-only check:
+    byte-level stats aren't ANSI-SQL-expressible). Real codecs are
+    stubbed — see operators/multimodal.py."""
+    from ..operators.multimodal import decode_batch
+
+    d = _docs(spark, sf_dir).withColumn(
+        "payload", F.encode(F.col("text"), "UTF-8")
+    )
+    return decode_batch(d)
 
 
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -230,6 +242,7 @@ QUERIES = {
     "knn_lsh": knn_lsh,
     "emb_buckets": emb_buckets,
     "multimodal_meta": multimodal_meta,
+    "multimodal_decode": multimodal_decode,
 }
 
 

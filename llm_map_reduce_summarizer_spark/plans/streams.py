@@ -1,0 +1,47 @@
+"""Streaming queries (SURVEY.md §2.3 rows 28-29), driver-runnable.
+
+Each callable drains the events parquet through a Structured Streaming
+plan with an ``availableNow`` trigger and returns the sink table. On
+static input the streaming results equal their batch twins, so BOTH
+carry full SQL oracles (stronger than the rows-only check SURVEY
+originally planned):
+
+* ``stream_hourly``  — complete-mode windowed agg == batch hourly agg.
+* ``stream_sessionize`` — latest update per (user, session) from the
+  stateful operator == batch gaps-and-islands sessionization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..streaming.stream_ops import (
+    hourly_counts,
+    latest_sessions,
+    read_events_stream,
+    run_available_now,
+    sessionize_stream,
+)
+from .events import ORACLE as _EVENTS_ORACLE
+
+
+def stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events_stream(spark, sf_dir)
+    return run_available_now(hourly_counts(ev), output_mode="complete")
+
+
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events_stream(spark, sf_dir)
+    updates = run_available_now(sessionize_stream(ev), output_mode="update")
+    return latest_sessions(updates)
+
+
+QUERIES = {
+    "stream_hourly": stream_hourly,
+    "stream_sessionize": stream_sessionize,
+}
+
+ORACLE = {
+    "stream_hourly": _EVENTS_ORACLE["events_hourly"],
+    "stream_sessionize": _EVENTS_ORACLE["events_sessionize"],
+}

@@ -16,6 +16,16 @@ from pyspark.sql import SparkSession
 
 def get_spark(app_name: str = "llm_map_reduce_summarizer_spark") -> SparkSession:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # Python workers must import this package even when the driver runs
+    # from another cwd (UDF closures reference module helpers). Local
+    # mode: inherit via PYTHONPATH. Real cluster: ship a wheel via
+    # --py-files / pip-installed images instead.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + (os.pathsep + existing if existing else "")
+        )
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)

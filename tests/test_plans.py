@@ -1,0 +1,64 @@
+"""Physical-plan assertions (SURVEY.md §5.5) — guard the scale
+properties the design depends on: parquet pushdown/pruning, broadcast
+join choices, and whole-stage codegen in the hot paths. A regression
+here is a 100x cliff at 100 TB even when results stay correct."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from llm_map_reduce_summarizer_spark.plans import documents, tpch
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_str(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+def test_q6_filter_pushdown_and_pruning(spark):
+    plan = plan_str(tpch.q6_revenue_forecast(spark, SF))
+    assert "PushedFilters: [" in plan
+    # the scan must push at least the shipdate range predicate
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "l_shipdate" in pushed
+    # column pruning: a 4-column query must not scan all 16 columns
+    read_schema = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
+    assert "l_comment" not in read_schema
+    assert "l_extendedprice" in read_schema
+
+
+def test_q5_broadcasts_dimensions(spark):
+    plan = plan_str(tpch.q5_local_supplier(spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q1_whole_stage_codegen_and_partial_agg(spark):
+    df = tpch.q1_pricing_summary(spark, SF)
+    # AQE hides codegen markers in formatted mode; codegen mode compiles
+    codegen = plan_str(df, mode="codegen")
+    assert "WholeStageCodegen" in codegen
+    # partial (map-side) aggregation before the exchange
+    plan = plan_str(df)
+    assert "partial_sum" in plan
+
+
+def test_knn_corpus_never_shuffles(spark):
+    # blocked path: corpus streams through one MapInPandas scan; the
+    # only exchange is over the tiny per-batch candidate set
+    plan = plan_str(documents.knn_bruteforce(spark, SF))
+    tree = plan.split("\n\n", 1)[0]  # tree prints root-first
+    assert "MapInPandas" in tree
+    # below the MapInPandas node (towards the scan leaf): no exchange
+    assert "Exchange" not in tree.split("MapInPandas", 1)[1]
+
+
+def test_doc_queries_prune_documents_scan(spark):
+    plan = plan_str(documents.doc_tokens(spark, SF))
+    read_schema = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
+    # doc_tokens uses doc_id + text only; lang/source must be pruned
+    assert "lang" not in read_schema and "source" not in read_schema
