@@ -89,6 +89,42 @@ def minhash_signatures(shingles: DataFrame, id_col: str = "doc_id") -> DataFrame
     return shingles.groupBy(id_col).agg(*minhash_aggs("s"))
 
 
+def jaccard_verify(
+    shingles: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard restricted to a candidate pair set.
+
+    Intersections are computed only for candidate pairs (join candidates
+    -> left shingles -> match right shingles), so the cost is
+    sum over candidates of |A| — NOT the full shingle self-join. This is
+    what makes LSH a pruning step rather than a decoration.
+    """
+    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    a = shingles.select(F.col(id_col).alias("da"), "s")
+    b = shingles.select(F.col(id_col).alias("db"), "s")
+    common = (
+        candidates.join(a, "da")
+        .join(b, ["db", "s"])
+        .groupBy("da", "db")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        common.join(
+            sizes.select(F.col(id_col).alias("da"), F.col("n").alias("na")), "da"
+        )
+        .join(sizes.select(F.col(id_col).alias("db"), F.col("n").alias("nb")), "db")
+        .withColumn(
+            "jaccard",
+            quantize(F.col("c") / (F.col("na") + F.col("nb") - F.col("c")), 4),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("da", "db", "jaccard")
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame, id_col: str = "doc_id", threshold: float = 0.5
 ) -> DataFrame:
@@ -110,10 +146,7 @@ def minhash_lsh_pairs(
         .select("da", "db")
         .distinct()
     )
-    verified = jaccard_pairs(sh, id_col, threshold=0.0).join(
-        candidates, ["da", "db"]
-    )
-    return verified.filter(F.col("jaccard") >= threshold)
+    return jaccard_verify(sh, candidates, id_col, threshold)
 
 
 def simhash_fingerprints(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:

@@ -346,6 +346,155 @@ def agg_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume shipping between nation pairs by year (TPC-H Q7 shape).
+
+    Scale: both nation lookups broadcast; the fact side shuffles twice
+    (lineitem⋈supplier is map-side via broadcast, orders⋈customer and
+    lineitem⋈orders on their keys) then a small groupBy.
+    """
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    supp = _t(spark, sf_dir, "supplier").join(
+        nation, F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    cust = _t(spark, sf_dir, "customer").join(
+        nation, F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    pair_filter = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    return (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(pair_filter)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profit by supplier nation and year (TPC-H Q9 shape; cost term
+    adapted to this schema's part.p_retailprice).
+
+    Scale: part+supplier+nation broadcast; lineitem never shuffles until
+    the final small (nation, year) aggregation.
+    """
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    supp = F.broadcast(
+        _t(spark, sf_dir, "supplier").join(
+            nation, F.col("s_nationkey") == F.col("n_nationkey")
+        ).select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    part = F.broadcast(
+        _t(spark, sf_dir, "part").filter(F.col("p_name").contains("a"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity") * 0.01
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("nation", F.year("l_shipdate").alias("o_year"))
+        .agg(F.round(F.sum(profit), 2).alias("sum_profit"))
+    )
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-count distribution over customers (TPC-H Q13): LEFT OUTER
+    join + two-level aggregation, keeping zero-order customers.
+
+    Scale: the outer join shuffles on custkey; the second groupBy is on
+    the tiny order-count domain (map-side partial collapses it).
+    """
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(
+            orders, F.col("c_custkey") == F.col("o_custkey"), "left_outer"
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-quantity-order revenue (TPC-H Q17): correlated scalar
+    subquery (per-part avg quantity) as an aggregate + self-join.
+
+    Scale: the per-part avg is a partial-agg shuffle on l_partkey that
+    AQE can reuse for the probe join; one brand prunes the probe side
+    via a broadcast part filter.
+    """
+    part = F.broadcast(
+        _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    avg_qty = (
+        li.groupBy("l_partkey")
+        .agg((0.2 * F.avg("l_quantity")).alias("qty_threshold"))
+        .withColumnRenamed("l_partkey", "t_partkey")
+    )
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(avg_qty, F.col("l_partkey") == F.col("t_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idle wealthy customers (TPC-H Q22 shape): scalar global avg +
+    NOT EXISTS as a left-anti join, grouped by nation.
+
+    Scale: the global avg is a one-row broadcast; the anti join ships
+    only distinct o_custkey. No row of customer widens before the agg.
+    """
+    cust = _t(spark, sf_dir, "customer")
+    # every synthetic customer has orders, so the NOT EXISTS probes the
+    # urgent subset — same anti-join shape, non-vacuous result
+    urgent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(
+            urgent.select("o_custkey").distinct(),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -356,6 +505,11 @@ QUERIES = {
     "q14_promo_revenue": q14_promo_revenue,
     "q18_large_orders": q18_large_orders,
     "q19_disjunctive": q19_disjunctive,
+    "q7_nation_volume": q7_nation_volume,
+    "q9_product_profit": q9_product_profit,
+    "q13_customer_distribution": q13_customer_distribution,
+    "q17_small_quantity": q17_small_quantity,
+    "q22_idle_customers": q22_idle_customers,
     "topk_per_group": topk_per_group,
     "rollup_sales": rollup_sales,
     "pivot_flag_status": pivot_flag_status,
@@ -363,6 +517,69 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q7_nation_volume": """
+        SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+               year(l_shipdate) AS l_year,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+           OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+        GROUP BY 1, 2, 3
+    """,
+    "q9_product_profit": """
+        SELECT n_name AS nation, year(l_shipdate) AS o_year,
+               round(sum(l_extendedprice * (1 - l_discount)
+                         - p_retailprice * l_quantity * 0.01), 2) AS sum_profit
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%a%'
+        GROUP BY 1, 2
+    """,
+    "q13_customer_distribution": """
+        SELECT c_count, count(*) AS custdist
+        FROM (
+          SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+          FROM customer c
+          LEFT OUTER JOIN orders o
+            ON c.c_custkey = o.o_custkey
+           AND o.o_orderpriority <> '1-URGENT'
+          GROUP BY c.c_custkey
+        )
+        GROUP BY c_count
+    """,
+    "q17_small_quantity": """
+        SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+               count(*) AS n_lineitems
+        FROM lineitem li
+        JOIN part ON li.l_partkey = p_partkey
+        JOIN (
+          SELECT l_partkey AS t_partkey,
+                 0.2 * avg(l_quantity) AS qty_threshold
+          FROM lineitem GROUP BY l_partkey
+        ) t ON li.l_partkey = t.t_partkey
+        WHERE p_brand = 'Brand#23'
+          AND li.l_quantity < t.qty_threshold
+    """,
+    "q22_idle_customers": """
+        SELECT c_nationkey, count(*) AS numcust,
+               round(sum(c_acctbal), 2) AS totacctbal
+        FROM customer
+        WHERE c_acctbal > (
+            SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0
+          )
+          AND NOT EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+          )
+        GROUP BY c_nationkey
+    """,
     "q1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 2) AS sum_qty,
