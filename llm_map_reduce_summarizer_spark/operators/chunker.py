@@ -147,3 +147,129 @@ def assign_chunks_greedy(
     return counted.withColumn("_g", F.lit(0)).groupBy("_g").applyInPandas(
         lambda pdf: greedy(pdf.drop(columns=["_g"])), schema=GREEDY_SCHEMA
     )
+
+
+SENT_SEP = "\u001f"  # unit separator: survives both engines' regex paths
+
+
+def split_oversized(
+    segments: DataFrame,
+    max_words: int = 64,
+    doc_col: str | None = None,
+) -> DataFrame:
+    """Split segments over the word budget on sentence boundaries, then
+    word windows (reference: big_chunkeroosky.py:267-430).
+
+    Reference semantics, Spark-first shape: sentence-split oversized
+    segments ([.!?] boundaries), word-window-split any sentence that is
+    itself over budget (the reference's long-sentence clause fallback),
+    then pack the pieces back up to the budget with the same prefix-sum
+    bucketing as ``assign_chunks``. Per-part timestamps interpolate the
+    segment's time range proportionally to characters, like the
+    reference's char-weighted sentence timing
+    (big_chunkeroosky.py:361-368).
+
+    All stages are explode/window expressions — no Python, no
+    sequential state; at 100 TB the only shuffle is the per-segment
+    window (partitioned by doc/segment).
+    """
+    part = _part(doc_col)
+    base_cols = [*part, "seg_id", "start", "end", "speaker"]
+    nw_seg = F.size(F.split(F.trim(F.col("text")), " "))
+
+    counted = segments.withColumn("n_words_seg", nw_seg)
+    small = counted.filter(F.col("n_words_seg") <= max_words).select(
+        *base_cols,
+        F.lit(0).cast("long").alias("part_idx"),
+        F.col("text"),
+        F.col("n_words_seg").cast("long").alias("n_words"),
+        F.col("start").alias("part_start"),
+        F.col("end").alias("part_end"),
+    )
+
+    big = counted.filter(F.col("n_words_seg") > max_words)
+    sents = F.split(
+        F.regexp_replace(F.col("text"), r"([.!?])\s+", "$1" + SENT_SEP),
+        SENT_SEP,
+    )
+    b1 = (
+        big.select(*base_cols, F.posexplode(sents).alias("sent_idx", "sent"))
+        .withColumn("w", F.split(F.trim(F.col("sent")), " "))
+        .withColumn("nw_sent", F.size("w"))
+    )
+    n_parts = F.ceil(F.col("nw_sent") / F.lit(float(max_words))).cast("long")
+    b2 = (
+        b1.withColumn(
+            "j",
+            F.explode(F.sequence(F.lit(0), F.greatest(n_parts, F.lit(1)) - 1)),
+        )
+        .withColumn(
+            "piece",
+            F.array_join(
+                F.slice(F.col("w"), F.col("j") * max_words + 1, max_words), " "
+            ),
+        )
+        .withColumn(
+            "piece_words",
+            F.least(
+                F.lit(max_words), F.col("nw_sent") - F.col("j") * max_words
+            ).cast("long"),
+        )
+        .withColumn("piece_chars", F.length("piece").cast("long"))
+    )
+
+    worder = Window.partitionBy(*part, "seg_id").orderBy("sent_idx", "j")
+    prev = worder.rowsBetween(Window.unboundedPreceding, -1)
+    wseg = Window.partitionBy(*part, "seg_id")
+    b3 = (
+        b2.withColumn(
+            "cum_words_prev",
+            F.coalesce(F.sum("piece_words").over(prev), F.lit(0).cast("long")),
+        )
+        .withColumn(
+            "cum_chars_prev",
+            F.coalesce(F.sum("piece_chars").over(prev), F.lit(0).cast("long")),
+        )
+        .withColumn("total_chars", F.sum("piece_chars").over(wseg))
+        .withColumn(
+            "part_idx", F.floor(F.col("cum_words_prev") / F.lit(max_words))
+        )
+    )
+
+    ordered_text = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("sent_idx").alias("o1"),
+                        F.col("j").alias("o2"),
+                        F.col("piece").alias("t"),
+                    )
+                )
+            ),
+            lambda x: x["t"],
+        ),
+        " ",
+    )
+    dur = F.col("end") - F.col("start")
+    frac0 = F.col("c0").cast("double") / F.col("total_chars")
+    frac1 = (F.col("c0") + F.col("clen")).cast("double") / F.col("total_chars")
+    splits = (
+        b3.groupBy(*part, "seg_id", "part_idx")
+        .agg(
+            F.min("start").alias("start"),
+            F.min("end").alias("end"),
+            F.min("speaker").alias("speaker"),
+            ordered_text.alias("text"),
+            F.sum("piece_words").alias("n_words"),
+            F.min("cum_chars_prev").alias("c0"),
+            F.sum("piece_chars").alias("clen"),
+            F.min("total_chars").alias("total_chars"),
+        )
+        .withColumn("part_start", quantize(F.col("start") + dur * frac0, 6))
+        .withColumn("part_end", quantize(F.col("start") + dur * frac1, 6))
+        .select(
+            *base_cols, "part_idx", "text", "n_words", "part_start", "part_end"
+        )
+    )
+    return small.unionByName(splits)

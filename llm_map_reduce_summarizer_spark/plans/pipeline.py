@@ -21,9 +21,16 @@ from ..functions.text import (
     SQL_FMT_TS,
     SQL_TOKEN_COUNT,
     format_timestamp,
+    quantize,
+    token_count,
 )
 from ..operators.aggregator import reduce_level
-from ..operators.chunker import assign_chunks, assign_chunks_greedy, chunk_stats
+from ..operators.chunker import (
+    assign_chunks,
+    assign_chunks_greedy,
+    chunk_stats,
+    split_oversized,
+)
 from ..operators.executor import extractive_summary, summarize_chunks
 from ..operators.preprocess import (
     aggregate_by_interval,
@@ -199,7 +206,53 @@ def chunk_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("seg_id", "chunk_id", "n_tokens")
 
 
+SPLIT_BUDGET_WORDS = 48
+PROMPT_OVERHEAD_TOKENS = 9  # DEFAULT_PROMPT token count sans {transcript}
+PROMPT_COST_PER_TOKEN = 0.000001  # reference llm_executor.py:314
+COMPLETION_COST_PER_TOKEN = 0.000002  # reference llm_executor.py:315
+
+
+def seg_split_oversized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence/word-window splitting of over-budget segments
+    (big_chunkeroosky.py:267-430)."""
+    segs = _segments_clean(spark, sf_dir).select(
+        "seg_id", "start", "end", "speaker", "text"
+    )
+    return split_oversized(segs, SPLIT_BUDGET_WORDS).select(
+        "seg_id",
+        "part_idx",
+        "speaker",
+        "n_words",
+        "part_start",
+        "part_end",
+        "text",
+    )
+
+
+def map_cost_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-chunk token/cost accounting (llm_executor.py:303-324):
+    prompt tokens = chunk tokens + template overhead, completion tokens
+    from the (deterministic) summary, cost at the reference's non-GPT4
+    per-token rates."""
+    summaries = summarize_chunks(_chunk_texts(spark, sf_dir))
+    prompt_toks = (F.col("token_count") + PROMPT_OVERHEAD_TOKENS).cast("long")
+    completion_toks = token_count(F.col("summary")).cast("long")
+    cost = (
+        prompt_toks * F.lit(PROMPT_COST_PER_TOKEN)
+        + completion_toks * F.lit(COMPLETION_COST_PER_TOKEN)
+    )
+    return summaries.select(
+        "chunk_id",
+        prompt_toks.alias("prompt_tokens"),
+        completion_toks.alias("completion_tokens"),
+        (prompt_toks + completion_toks).alias("total_tokens"),
+        quantize(cost, 8).alias("cost_usd"),
+    )
+
+
 QUERIES = {
+    "seg_split_oversized": seg_split_oversized,
+    "map_cost_report": map_cost_report,
     "seg_clean": seg_clean,
     "seg_merge_speaker": seg_merge_speaker,
     "seg_interval_agg": seg_interval_agg,
@@ -305,7 +358,100 @@ _SUMMARY_EXPR = (
     "CAST(token_count AS VARCHAR) || ': ' || substr(text, 1, 150)"
 )
 
+_B = SPLIT_BUDGET_WORDS
+
+_SPLIT_CTES = f"""small AS (
+  SELECT seg_id, CAST(0 AS BIGINT) AS part_idx, speaker,
+         CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_words,
+         start_s AS part_start, end_s AS part_end, text
+  FROM segs WHERE len(string_split(trim(text), ' ')) <= {_B}
+), bigs AS (
+  SELECT *, string_split(
+           regexp_replace(text, '([.!?])\\s+', '\\1' || chr(31), 'g'),
+           chr(31)) AS sents
+  FROM segs WHERE len(string_split(trim(text), ' ')) > {_B}
+), sentidx AS (
+  SELECT *, unnest(generate_series(1, len(sents))) AS sent_idx FROM bigs
+), sent AS (
+  SELECT seg_id, start_s, end_s, speaker, sent_idx,
+         string_split(trim(sents[sent_idx]), ' ') AS w
+  FROM sentidx
+), pieceidx AS (
+  SELECT *, unnest(generate_series(0,
+           greatest(CAST(ceil(len(w) / {_B}.0) AS BIGINT), 1) - 1)) AS j
+  FROM sent
+), pieces AS (
+  SELECT seg_id, start_s, end_s, speaker, sent_idx, j,
+         array_to_string(w[j*{_B}+1 : j*{_B}+{_B}], ' ') AS piece,
+         CAST(least({_B}, len(w) - j*{_B}) AS BIGINT) AS piece_words,
+         CAST(length(array_to_string(w[j*{_B}+1 : j*{_B}+{_B}], ' ')) AS BIGINT)
+           AS piece_chars
+  FROM pieceidx
+), cum AS (
+  SELECT *,
+         coalesce(sum(piece_words) OVER (
+           PARTITION BY seg_id ORDER BY sent_idx, j
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_words_prev,
+         coalesce(sum(piece_chars) OVER (
+           PARTITION BY seg_id ORDER BY sent_idx, j
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_chars_prev,
+         sum(piece_chars) OVER (PARTITION BY seg_id) AS total_chars
+  FROM pieces
+), parts AS (
+  SELECT seg_id,
+         CAST(floor(cum_words_prev / {_B}.0) AS BIGINT) AS part_idx,
+         min(start_s) AS start_s, min(end_s) AS end_s,
+         min(speaker) AS speaker,
+         string_agg(piece, ' ' ORDER BY sent_idx, j) AS text,
+         CAST(sum(piece_words) AS BIGINT) AS n_words,
+         min(cum_chars_prev) AS c0,
+         sum(piece_chars) AS clen,
+         min(total_chars) AS tc
+  FROM cum
+  GROUP BY seg_id, CAST(floor(cum_words_prev / {_B}.0) AS BIGINT)
+)"""
+
+_PSTART = "(start_s + (end_s - start_s) * (CAST(c0 AS DOUBLE) / tc))"
+_PEND = "(start_s + (end_s - start_s) * (CAST(c0 + clen AS DOUBLE) / tc))"
+
 ORACLE = {
+    "seg_split_oversized": f"""
+        WITH {_SEGS}, {_SPLIT_CTES}
+        SELECT seg_id, part_idx, speaker, n_words,
+               (floor({_PSTART} * 1000000.0 + 0.5) / 1000000.0) AS part_start,
+               (floor({_PEND} * 1000000.0 + 0.5) / 1000000.0) AS part_end,
+               text
+        FROM parts
+        UNION ALL
+        SELECT seg_id, part_idx, speaker, n_words, part_start, part_end, text
+        FROM small
+    """,
+    "map_cost_report": f"""
+        WITH {{segs}}, {{chunks}}, {{ctext}},
+        rep AS (
+          SELECT chunk_id,
+                 CAST(token_count + {PROMPT_OVERHEAD_TOKENS} AS BIGINT)
+                   AS prompt_tokens,
+                 CAST({{sumtok}} AS BIGINT) AS completion_tokens
+          FROM (
+            SELECT chunk_id, token_count, {{summary}} AS summary FROM ctext
+          )
+        )
+        SELECT chunk_id, prompt_tokens, completion_tokens,
+               prompt_tokens + completion_tokens AS total_tokens,
+               (floor((prompt_tokens * {PROMPT_COST_PER_TOKEN!r}
+                       + completion_tokens * {COMPLETION_COST_PER_TOKEN!r})
+                      * 100000000.0 + 0.5) / 100000000.0) AS cost_usd
+        FROM rep
+    """.format(
+        segs=_SEGS,
+        chunks=_CHUNK_CTES,
+        ctext=_CHUNK_TEXTS_CTES,
+        summary=_SUMMARY_EXPR,
+        sumtok=SQL_TOKEN_COUNT.format(c="summary"),
+    ),
     "seg_clean": f"""
         WITH {_SEGS}
         SELECT seg_id, speaker,

@@ -16,6 +16,7 @@ from llm_map_reduce_summarizer_spark.operators.aggregator import (
 from llm_map_reduce_summarizer_spark.operators.chunker import (
     assign_chunks,
     assign_chunks_greedy,
+    split_oversized,
 )
 from llm_map_reduce_summarizer_spark.operators.multimodal import (
     decode_batch,
@@ -104,6 +105,53 @@ def test_greedy_chunker_reset_semantics(spark):
     )
     # greedy packs 0,1 (fits), resets at 2, oversized 3 gets own chunk
     assert list(out["chunk_id"]) == [0, 0, 1, 2, 3]
+
+
+def test_split_oversized_on_sentence_boundaries(spark):
+    rows = [
+        (
+            0,
+            0.0,
+            90.0,
+            "A",
+            "One two three four. Five six seven eight! Nine ten eleven.",
+        ),
+        (1, 90.0, 95.0, "A", "short stays whole"),
+    ]
+    out = (
+        split_oversized(_segments(spark, rows), max_words=4)
+        .orderBy("seg_id", "part_idx")
+        .toPandas()
+    )
+    small = out[out["seg_id"] == 1]
+    assert list(small["part_idx"]) == [0]
+    assert small["text"].iloc[0] == "short stays whole"
+    parts = out[out["seg_id"] == 0]
+    # each sentence fits the 4-word budget alone, so one part per
+    # sentence (packing never crosses a sentence that would overflow)
+    assert list(parts["text"]) == [
+        "One two three four.",
+        "Five six seven eight!",
+        "Nine ten eleven.",
+    ]
+    # char-proportional timestamps: monotone, inside the segment range
+    assert parts["part_start"].is_monotonic_increasing
+    assert parts["part_start"].iloc[0] == 0.0
+    assert (parts["part_end"] <= 90.0).all()
+    assert (parts["part_start"] < parts["part_end"]).all()
+
+
+def test_split_oversized_word_windows_long_sentence(spark):
+    # a 9-word "sentence" with no punctuation: the reference's
+    # long-sentence fallback slices word windows of the budget size
+    rows = [(0, 0.0, 9.0, "A", "a b c d e f g h i")]
+    out = (
+        split_oversized(_segments(spark, rows), max_words=4)
+        .orderBy("part_idx")
+        .toPandas()
+    )
+    assert list(out["text"]) == ["a b c d", "e f g h", "i"]
+    assert list(out["n_words"]) == [4, 4, 1]
 
 
 def test_reduce_level_orders_and_batches(spark):
