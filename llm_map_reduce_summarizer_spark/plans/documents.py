@@ -194,6 +194,66 @@ def emb_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TFIDF_K = 3
+NGRAM_K = 20
+
+
+def doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k terms per document by TF-IDF.
+
+    Scale: two shuffles on natural keys — (doc, term) counts then
+    per-term document frequencies — and the corpus size joins in as a
+    1-row broadcast; the final top-k is a window inside each doc
+    partition.
+    """
+    from ..functions.hashing import words
+
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", F.explode(words(F.col("text"))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("n"))
+    doclen = tf.groupBy("doc_id").agg(F.sum("n").alias("len"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(doclen, "doc_id")
+        .join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            quantize(
+                (F.col("n").cast("double") / F.col("len"))
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
+            ),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= TFIDF_K)
+        .select("doc_id", "term", "tfidf", "rk")
+    )
+
+
+def corpus_ngrams_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-k 3-gram shingles by document frequency (the
+    vocabulary-building sweep of a training-data pipeline)."""
+    from pyspark.sql.window import Window
+
+    sh = doc_shingles(_docs(spark, sf_dir))
+    counts = sh.groupBy("s").agg(F.count(F.lit(1)).alias("doc_freq"))
+    w = Window.orderBy(F.col("doc_freq").desc(), F.col("s"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= NGRAM_K)
+        .select(F.col("s").alias("shingle"), "doc_freq", "rk")
+    )
+
+
 # ------------------------------------------------------------- multimodal
 
 
@@ -243,6 +303,8 @@ QUERIES = {
     "emb_buckets": emb_buckets,
     "multimodal_meta": multimodal_meta,
     "multimodal_decode": multimodal_decode,
+    "doc_tfidf_topk": doc_tfidf_topk,
+    "corpus_ngrams_topk": corpus_ngrams_topk,
 }
 
 
@@ -278,6 +340,41 @@ _STOP_SQL = {
 _Q_STOPS = _STOP_SQL["en"]
 
 ORACLE = {
+    "doc_tfidf_topk": f"""
+        WITH tk AS (
+          SELECT doc_id, unnest({SQL_WORDS.format(c='text')}) AS term
+          FROM documents
+        ), tf AS (
+          SELECT doc_id, term, count(*) AS n FROM tk GROUP BY 1, 2
+        ), doclen AS (
+          SELECT doc_id, sum(n) AS len FROM tf GROUP BY 1
+        ), dfreq AS (
+          SELECT term, count(*) AS df FROM tf GROUP BY 1
+        ), nd AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (
+          SELECT tf.doc_id, tf.term,
+                 (floor(((CAST(tf.n AS DOUBLE) / doclen.len)
+                         * ln(CAST(nd.n_docs AS DOUBLE) / dfreq.df))
+                        * 1000000.0 + 0.5) / 1000000.0) AS tfidf
+          FROM tf
+          JOIN doclen USING (doc_id)
+          JOIN dfreq USING (term)
+          CROSS JOIN nd
+        )
+        SELECT doc_id, term, tfidf, rk FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, term
+          ) AS rk FROM scored
+        ) WHERE rk <= {TFIDF_K}
+    """,
+    "corpus_ngrams_topk": f"""
+        WITH {_SH_CTES},
+        counts AS (SELECT s, count(*) AS doc_freq FROM sh GROUP BY s)
+        SELECT s AS shingle, doc_freq, rk FROM (
+          SELECT *, row_number() OVER (ORDER BY doc_freq DESC, s) AS rk
+          FROM counts
+        ) WHERE rk <= {NGRAM_K}
+    """,
     "doc_tokens": f"""
         SELECT doc_id,
                CAST(len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS BIGINT) AS n_tokens,

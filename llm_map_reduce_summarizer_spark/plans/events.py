@@ -138,7 +138,43 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_asof_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of enrich: each click gets the user's most recent
+    prior-or-equal view's value and time (operators/asof.py; oracle is
+    DuckDB's native ASOF LEFT JOIN — an independent implementation).
+    """
+    from ..operators.asof import asof_join_backward
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros("ts")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.round("value", 2).alias("click_value"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts_us", "value"
+    )
+    return asof_join_backward(
+        clicks,
+        views,
+        on="user_id",
+        ts_col="ts_us",
+        pick={"view_value": "value", "view_ts_us": "ts_us"},
+    ).select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        "click_value",
+        F.round("view_value", 2).alias("view_value"),
+        "view_ts_us",
+    )
+
+
 QUERIES = {
+    "events_asof_view": events_asof_view,
     "events_hourly": events_hourly,
     "events_sessionize": events_sessionize,
     "events_topk_users": events_topk_users,
@@ -147,6 +183,15 @@ QUERIES = {
 }
 
 ORACLE = {
+    "events_asof_view": """
+        SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
+               round(c.value, 2) AS click_value,
+               round(v.value, 2) AS view_value,
+               epoch_us(v.ts) AS view_ts_us
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+          ON c.user_id = v.user_id AND epoch_us(c.ts) >= epoch_us(v.ts)
+    """,
     "events_hourly": """
         SELECT date_trunc('hour', ts) AS hour, event_type,
                count(*) AS n_events,

@@ -192,6 +192,31 @@ def test_lsh_topk_consistent_with_exact_scores(spark):
         assert (grp["cos"].diff().dropna() <= 0).all()
 
 
+def test_asof_join_backward_semantics(spark):
+    from llm_map_reduce_summarizer_spark.operators.asof import (
+        asof_join_backward,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 10, "l1"), (1, 20, "l2"), (2, 5, "l3")],
+        "k long, ts long, lval string",
+    )
+    right = spark.createDataFrame(
+        [(1, 8, 0.8), (1, 20, 2.0), (2, 9, 9.0)],
+        "k long, ts long, rval double",
+    )
+    out = (
+        asof_join_backward(left, right, on="k", ts_col="ts", pick={"rv": "rval"})
+        .orderBy("k", "ts")
+        .toPandas()
+    )
+    # l1@10 sees r@8; l2@20 sees the EQUAL-ts r@20 (asof convention
+    # left.ts >= right.ts); l3@5 has no prior right row -> NULL
+    assert list(out["lval"]) == ["l1", "l2", "l3"]
+    assert out["rv"][0] == 0.8 and out["rv"][1] == 2.0
+    assert out["rv"].isna()[2]
+
+
 def test_distributed_prefix_scan_matches_window(spark):
     from pyspark.sql.window import Window
 
