@@ -173,7 +173,30 @@ def events_asof_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles of value per event type.
+
+    Spark's ``percentile`` and DuckDB's ``quantile_cont`` share the
+    linear-interpolation definition, so this is oracle-checkable. At
+    100 TB swap in ``approx_percentile`` (t-digest sketch, map-side
+    mergeable) — the exact version materializes per-group sorted
+    values.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    qs = [0.25, 0.5, 0.9, 0.99]
+    return ev.groupBy("event_type").agg(
+        *[
+            F.round(F.expr(f"percentile(value, {q})"), 4).alias(
+                f"p{str(q).replace('0.', '')}"
+            )
+            for q in qs
+        ],
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 QUERIES = {
+    "events_value_quantiles": events_value_quantiles,
     "events_asof_view": events_asof_view,
     "events_hourly": events_hourly,
     "events_sessionize": events_sessionize,
@@ -183,6 +206,16 @@ QUERIES = {
 }
 
 ORACLE = {
+    "events_value_quantiles": """
+        SELECT event_type,
+               round(CAST(quantile_cont(value, 0.25) AS DOUBLE), 4) AS p25,
+               round(CAST(quantile_cont(value, 0.5) AS DOUBLE), 4) AS p5,
+               round(CAST(quantile_cont(value, 0.9) AS DOUBLE), 4) AS p9,
+               round(CAST(quantile_cont(value, 0.99) AS DOUBLE), 4) AS p99,
+               count(*) AS n_events
+        FROM events
+        GROUP BY event_type
+    """,
     "events_asof_view": """
         SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
                round(c.value, 2) AS click_value,
