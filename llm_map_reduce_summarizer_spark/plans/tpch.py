@@ -495,7 +495,56 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top supplier(s) by period revenue (TPC-H Q15: revenue view +
+    scalar max + equality join back).
+
+    Scale: the revenue agg shuffles once on suppkey; the max is a
+    1-row broadcast; supplier is a broadcast dim.
+    """
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    revenue = li.groupBy("l_suppkey").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("total_revenue")
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    supplier = F.broadcast(_t(spark, sf_dir, "supplier"))
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+def q16_parts_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier count per part attribute (TPC-H Q16 shape): distinct
+    count + NOT IN anti-join (suppliers in poor standing excluded).
+
+    Scale: the anti join ships only the (tiny) excluded-supplier key
+    set; the distinct count shuffles once on the group key.
+    """
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size").isin(1, 2, 3, 4))
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    bad = _t(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0.0
+    ).select(F.col("s_suppkey").alias("l_suppkey"))
+    pairs = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(bad, "l_suppkey", "left_anti")
+    )
+    return pairs.groupBy("p_brand", "p_type", "p_size").agg(
+        F.countDistinct("l_suppkey").alias("supplier_cnt")
+    )
+
+
 QUERIES = {
+    "q15_top_supplier": q15_top_supplier,
+    "q16_parts_suppliers": q16_parts_suppliers,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q4_order_priority": q4_order_priority,
@@ -517,6 +566,31 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q15_top_supplier": """
+        WITH revenue AS (
+          SELECT l_suppkey,
+                 round(sum(l_extendedprice * (1 - l_discount)), 2)
+                   AS total_revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l_shipdate < TIMESTAMP '1996-07-01 00:00:00'
+          GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+    "q16_parts_suppliers": """
+        SELECT p_brand, p_type, p_size,
+               count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_size IN (1, 2, 3, 4)
+          AND l_suppkey NOT IN (
+            SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0
+          )
+        GROUP BY p_brand, p_type, p_size
+    """,
     "q7_nation_volume": """
         SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
                year(l_shipdate) AS l_year,
