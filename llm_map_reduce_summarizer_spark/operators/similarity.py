@@ -251,3 +251,119 @@ def cosine_topk_blocked(
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "cos", "rk")
     )
+
+
+# ------------------------------------------------------------- IVF path
+#
+# IVF-flat with a deterministic coarse quantizer: the first K corpus
+# vectors serve as centroids (random-init IVF without the training
+# loop), so both engines can reproduce the exact partition assignment
+# and the whole path stays oracle-checkable. Corpus vectors assign to
+# their nearest centroid (argmax quantized cosine, smallest-id tie
+# break); a query probes its nprobe nearest centroid lists only.
+#
+# Scale: assignment is one corpus scan (dgemm against a K-row
+# broadcast); the probe join fans each query to nprobe lists, so the
+# compare volume is ~ n * nprobe / K instead of n per query. Swapping
+# the quantizer for trained k-means centroids changes recall, not the
+# plan shape.
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids,  # (ids: np.ndarray, unit_matrix: np.ndarray)
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    top: int = 1,
+) -> DataFrame:
+    """(id, u, bucket) — nearest centroid(s) by quantized cosine.
+
+    ``top=1`` for corpus list assignment; ``top=nprobe`` for queries.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(centroids)
+
+    def _assign(batches):
+        cids, cmat = bc.value
+        for pdf in batches:
+            u = _unit_rows(pdf[vec_col])
+            sims = _quantize_np(u @ cmat.T)
+            ids = pdf[id_col].to_numpy()
+            if top == 1:
+                # argmax returns the FIRST max -> smallest centroid id,
+                # matching the SQL row_number tie break
+                bucket = sims.argmax(axis=1)
+                yield pd.DataFrame(
+                    {
+                        "vid": ids,
+                        "u": list(u),
+                        "bucket": cids[bucket].astype("int64"),
+                    }
+                )
+            else:
+                out_id, out_u, out_b = [], [], []
+                for i in range(len(ids)):
+                    order = np.lexsort((cids, -sims[i]))[:top]
+                    out_id.extend([ids[i]] * len(order))
+                    out_u.extend([u[i]] * len(order))
+                    out_b.extend(cids[order].astype("int64"))
+                yield pd.DataFrame({"vid": out_id, "u": out_u, "bucket": out_b})
+
+    return df.select(id_col, vec_col).mapInPandas(
+        _assign, schema="vid long, u array<double>, bucket long"
+    )
+
+
+def centroid_matrix(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Deterministic coarse quantizer: unit vectors of ids < K."""
+    pdf = (
+        corpus.filter(F.col(id_col) < n_centroids)
+        .select(id_col, vec_col)
+        .orderBy(id_col)
+        .toPandas()
+    )
+    return pdf[id_col].to_numpy(), _unit_rows(pdf[vec_col])
+
+
+def cosine_topk_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    from ..functions.vectors import dot as _dot
+
+    cents = centroid_matrix(corpus, n_centroids, id_col, vec_col)
+    lists = ivf_assign(corpus, cents, id_col, vec_col, top=1).select(
+        F.col("vid").alias("neighbor_id"),
+        F.col("u").alias("u_c"),
+        "bucket",
+    )
+    probes = ivf_assign(queries, cents, id_col, vec_col, top=nprobe).select(
+        F.col("vid").alias("query_id"), F.col("u").alias("u_q"), "bucket"
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(lists, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", quantize(_dot(F.col("u_q"), F.col("u_c")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cos", "rk")
+    )

@@ -36,6 +36,7 @@ from ..operators.dedup import (
 )
 from ..operators.similarity import (
     cosine_topk_blocked,
+    cosine_topk_ivf,
     cosine_topk_lsh,
     embedding_neardup_blocked,
 )
@@ -184,6 +185,21 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_lsh(q, e, k=LSH_K)
 
 
+IVF_CENTROIDS = 16
+IVF_NPROBE = 2
+
+
+def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN: deterministic coarse quantizer (first-K unit
+    vectors), nprobe nearest lists per query (operators/similarity.py).
+    """
+    e = _embs(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < N_QUERY_VECS)
+    return cosine_topk_ivf(
+        q, e, k=KNN_K, n_centroids=IVF_CENTROIDS, nprobe=IVF_NPROBE
+    )
+
+
 def emb_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH bucket census — verifies partition balance of the scale path."""
     e = _embs(spark, sf_dir)
@@ -305,6 +321,7 @@ QUERIES = {
     "multimodal_decode": multimodal_decode,
     "doc_tfidf_topk": doc_tfidf_topk,
     "corpus_ngrams_topk": corpus_ngrams_topk,
+    "knn_ivf": knn_ivf,
 }
 
 
@@ -340,6 +357,49 @@ _STOP_SQL = {
 _Q_STOPS = _STOP_SQL["en"]
 
 ORACLE = {
+    "knn_ivf": f"""
+        WITH {sql_unit_cte()},
+        cents AS (
+          SELECT vec_id AS cid, u AS cu FROM unitv
+          WHERE vec_id < {IVF_CENTROIDS}
+        ),
+        assign AS (
+          SELECT vec_id, cid AS bucket FROM (
+            SELECT v.vec_id, c.cid,
+                   row_number() OVER (
+                     PARTITION BY v.vec_id
+                     ORDER BY (floor({sql_dot('v.u', 'c.cu')} * 1000000.0 + 0.5) / 1000000.0) DESC,
+                              c.cid
+                   ) AS rk
+            FROM unitv v CROSS JOIN cents c
+          ) WHERE rk = 1
+        ),
+        probes AS (
+          SELECT vec_id AS query_id, cid AS bucket FROM (
+            SELECT v.vec_id, c.cid,
+                   row_number() OVER (
+                     PARTITION BY v.vec_id
+                     ORDER BY (floor({sql_dot('v.u', 'c.cu')} * 1000000.0 + 0.5) / 1000000.0) DESC,
+                              c.cid
+                   ) AS rk
+            FROM unitv v CROSS JOIN cents c
+            WHERE v.vec_id < {N_QUERY_VECS}
+          ) WHERE rk <= {IVF_NPROBE}
+        )
+        SELECT query_id, neighbor_id, cos, rk FROM (
+          SELECT p.query_id, a.vec_id AS neighbor_id,
+                 (floor({sql_dot('q.u', 'n.u')} * 1000000.0 + 0.5) / 1000000.0) AS cos,
+                 row_number() OVER (
+                   PARTITION BY p.query_id
+                   ORDER BY (floor({sql_dot('q.u', 'n.u')} * 1000000.0 + 0.5) / 1000000.0) DESC,
+                            a.vec_id
+                 ) AS rk
+          FROM probes p
+          JOIN assign a ON p.bucket = a.bucket AND a.vec_id <> p.query_id
+          JOIN unitv q ON q.vec_id = p.query_id
+          JOIN unitv n ON n.vec_id = a.vec_id
+        ) WHERE rk <= {KNN_K}
+    """,
     "doc_tfidf_topk": f"""
         WITH tk AS (
           SELECT doc_id, unnest({SQL_WORDS.format(c='text')}) AS term

@@ -192,6 +192,32 @@ def test_lsh_topk_consistent_with_exact_scores(spark):
         assert (grp["cos"].diff().dropna() <= 0).all()
 
 
+def test_ivf_topk_recall_vs_bruteforce(spark):
+    from llm_map_reduce_summarizer_spark.operators.similarity import (
+        cosine_topk_ivf,
+    )
+
+    e = load_table(spark, SF, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    exact = cosine_topk(q, e, k=5).toPandas()
+    ivf = cosine_topk_ivf(q, e, k=5, n_centroids=16, nprobe=4).toPandas()
+    assert len(ivf) > 0
+    exact_pairs = set(zip(exact["query_id"], exact["neighbor_id"]))
+    ivf_pairs = set(zip(ivf["query_id"], ivf["neighbor_id"]))
+    # probing 4/16 lists must still find a meaningful share of the true
+    # top-5 (deterministic data+quantizer -> stable number)
+    recall = len(ivf_pairs & exact_pairs) / len(exact_pairs)
+    assert recall >= 0.3
+    # scores agree with the exact computation pair-for-pair
+    exact_cos = {
+        (r.query_id, r.neighbor_id): r.cos for r in exact.itertuples()
+    }
+    for r in ivf.itertuples():
+        pair = (r.query_id, r.neighbor_id)
+        if pair in exact_cos:
+            assert exact_cos[pair] == r.cos
+
+
 def test_asof_join_backward_semantics(spark):
     from llm_map_reduce_summarizer_spark.operators.asof import (
         asof_join_backward,
