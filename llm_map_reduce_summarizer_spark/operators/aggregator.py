@@ -70,3 +70,75 @@ def hierarchical_reduce(
     return out.select(
         F.col(text_col).alias("summary"), F.lit(level).alias("levels")
     )
+
+
+def with_time_headers(
+    summaries: DataFrame,
+    start_col: str = "start_time",
+    end_col: str = "end_time",
+    text_col: str = "summary",
+) -> DataFrame:
+    """Prepend the reference's '[Time: MM:SS - MM:SS]' position header
+    to each chunk summary (result_aggregator.py:86-88)."""
+    from ..functions.text import format_timestamp
+
+    header = F.concat(
+        F.lit("[Time: "),
+        format_timestamp(F.col(start_col)),
+        F.lit(" - "),
+        format_timestamp(F.col(end_col)),
+        F.lit("]\n"),
+    )
+    return summaries.withColumn(text_col, F.concat(header, F.col(text_col)))
+
+
+def dynamic_batch_size(
+    total_tokens: int, n_summaries: int, budget: int, reserved: int = 1000
+) -> int:
+    """Reference batch sizing (result_aggregator.py:357-380):
+    max(1, (budget - reserved) / avg_tokens), capped at 10."""
+    if n_summaries == 0:
+        return 1
+    avg = total_tokens / n_summaries
+    return min(max(1, int((budget - reserved) / avg)), 10)
+
+
+def reduce_direct(
+    df: DataFrame,
+    ord_col: str = "chunk_id",
+    text_col: str = "summary",
+    header: str = "# Transcript Summary",
+) -> DataFrame:
+    """Single-pass combine of ALL summaries (the reference's direct /
+    simple-aggregator mode: result_aggregator.py:111-118)."""
+    return reduce_level(df, ord_col, text_col, 1_000_000_000, header)
+
+
+def reduce_auto(
+    df: DataFrame,
+    token_col: str,
+    ord_col: str = "chunk_id",
+    text_col: str = "summary",
+    batch_budget: int = 4000,
+    batch_size: int = 10,
+) -> DataFrame:
+    """The reference's mode decision (result_aggregator.py:94-100):
+    direct combine when everything fits one batch, else hierarchical.
+
+    The one-scalar total-token read is a driver-side PLAN decision
+    (like AQE's runtime re-plan), not a data collect — the data itself
+    never leaves the cluster.
+    """
+    total = df.agg(F.sum(token_col)).collect()[0][0] or 0
+    if total <= batch_budget:
+        out = reduce_direct(df, ord_col, text_col)
+        return out.select(
+            text_col, "n_parts", F.lit("direct").alias("mode")
+        )
+    level1 = reduce_level(
+        df, ord_col, text_col, batch_size, "# Intermediate Summary"
+    )
+    level2 = reduce_level(
+        level1, ord_col, text_col, 1_000_000_000, "# Transcript Summary"
+    )
+    return level2.select(text_col, "n_parts", F.lit("hierarchical").alias("mode"))

@@ -24,7 +24,12 @@ from ..functions.text import (
     quantize,
     token_count,
 )
-from ..operators.aggregator import reduce_level
+from ..operators.aggregator import (
+    reduce_auto,
+    reduce_direct,
+    reduce_level,
+    with_time_headers,
+)
 from ..operators.chunker import (
     assign_chunks,
     assign_chunks_greedy,
@@ -161,6 +166,48 @@ def reduce_hierarchical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# sits between the sf0.01 total (3533 tokens -> direct) and the
+# sf0.001 total (3636 -> hierarchical), so the oracle gate exercises
+# BOTH branches of the mode decision; unit tests cover the branch rule
+# data-independently
+AUTO_BATCH_BUDGET = 3600
+
+
+def _headered_summaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk summaries with the reference's '[Time: ...]' position
+    headers (result_aggregator.py:86-88)."""
+    chunked = assign_chunks(
+        _segments_clean(spark, sf_dir), MAX_TOKENS_PER_CHUNK
+    )
+    stats = chunk_stats(chunked).select("chunk_id", "start_time", "end_time")
+    summaries = map_summarize(spark, sf_dir).join(stats, "chunk_id")
+    return with_time_headers(summaries)
+
+
+def reduce_direct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass (direct/simple-aggregator) combine of all summaries
+    with time-position headers (result_aggregator.py:111-118)."""
+    return reduce_direct(_headered_summaries(spark, sf_dir)).select(
+        "summary", "n_parts"
+    )
+
+
+def reduce_auto_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's direct-vs-hierarchical decision on total token
+    volume (result_aggregator.py:94-100): direct at sf0.001,
+    hierarchical from sf0.01 up — both branches exercised by the gate.
+    """
+    headered = _headered_summaries(spark, sf_dir).withColumn(
+        "sum_tokens", token_count(F.col("summary")).cast("long")
+    )
+    return reduce_auto(
+        headered,
+        token_col="sum_tokens",
+        batch_budget=AUTO_BATCH_BUDGET,
+        batch_size=BATCH_SIZE,
+    )
+
+
 def pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: clean -> merge -> chunk -> stats + extractive summaries."""
     merged = merge_same_speaker(
@@ -253,6 +300,8 @@ def map_cost_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "seg_split_oversized": seg_split_oversized,
     "map_cost_report": map_cost_report,
+    "reduce_direct": reduce_direct_q,
+    "reduce_auto": reduce_auto_q,
     "seg_clean": seg_clean,
     "seg_merge_speaker": seg_merge_speaker,
     "seg_interval_agg": seg_interval_agg,
@@ -416,6 +465,21 @@ _SPLIT_CTES = f"""small AS (
 _PSTART = "(start_s + (end_s - start_s) * (CAST(c0 AS DOUBLE) / tc))"
 _PEND = "(start_s + (end_s - start_s) * (CAST(c0 + clen AS DOUBLE) / tc))"
 
+_HEADERED_CTES = f"""summaries AS (
+  SELECT chunk_id, token_count, {_SUMMARY_EXPR} AS summary FROM ctext
+), headered AS (
+  SELECT s.chunk_id,
+         '[Time: ' || {SQL_FMT_TS.format(s='st.start_time')} || ' - ' ||
+         {SQL_FMT_TS.format(s='st.end_time')} || ']' || chr(10) || s.summary
+           AS summary
+  FROM summaries s JOIN stats2 st ON s.chunk_id = st.chunk_id
+)"""
+
+_DIRECT_SELECT = """SELECT '# Transcript Summary 0' || chr(10) ||
+       string_agg(summary, chr(10) || chr(10) ORDER BY chunk_id) AS summary,
+       count(*) AS n_parts
+FROM headered"""
+
 ORACLE = {
     "seg_split_oversized": f"""
         WITH {_SEGS}, {_SPLIT_CTES}
@@ -452,6 +516,41 @@ ORACLE = {
         summary=_SUMMARY_EXPR,
         sumtok=SQL_TOKEN_COUNT.format(c="summary"),
     ),
+    "reduce_direct": f"""
+        WITH {_SEGS}, {_CHUNK_CTES}, {_STATS_CTES}, {_CHUNK_TEXTS_CTES},
+        {_HEADERED_CTES}
+        {_DIRECT_SELECT}
+    """,
+    "reduce_auto": f"""
+        WITH {_SEGS}, {_CHUNK_CTES}, {_STATS_CTES}, {_CHUNK_TEXTS_CTES},
+        {_HEADERED_CTES},
+        tot AS (
+          SELECT sum({SQL_TOKEN_COUNT.format(c='summary')}) AS t FROM headered
+        ),
+        direct AS ({_DIRECT_SELECT}),
+        level1 AS (
+          SELECT CAST(floor(chunk_id / {BATCH_SIZE}.0) AS BIGINT) AS batch_id,
+                 '# Intermediate Summary ' ||
+                 CAST(CAST(floor(chunk_id / {BATCH_SIZE}.0) AS BIGINT) AS VARCHAR) ||
+                 chr(10) ||
+                 string_agg(summary, chr(10) || chr(10) ORDER BY chunk_id)
+                   AS summary
+          FROM headered
+          GROUP BY 1
+        ),
+        hier AS (
+          SELECT '# Transcript Summary 0' || chr(10) ||
+                 string_agg(summary, chr(10) || chr(10) ORDER BY batch_id)
+                   AS summary,
+                 count(*) AS n_parts
+          FROM level1
+        )
+        SELECT summary, n_parts, 'direct' AS mode FROM direct
+        WHERE (SELECT t FROM tot) <= {AUTO_BATCH_BUDGET}
+        UNION ALL
+        SELECT summary, n_parts, 'hierarchical' AS mode FROM hier
+        WHERE (SELECT t FROM tot) > {AUTO_BATCH_BUDGET}
+    """,
     "seg_clean": f"""
         WITH {_SEGS}
         SELECT seg_id, speaker,

@@ -165,6 +165,35 @@ def test_reduce_level_orders_and_batches(spark):
     assert lvl["summary"][0].index("s0\n\ns1") < lvl["summary"][0].index("s9")
 
 
+def test_reduce_auto_branches_on_token_volume(spark):
+    from llm_map_reduce_summarizer_spark.operators.aggregator import (
+        reduce_auto,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"s{i}", 100) for i in range(30)],
+        "chunk_id long, summary string, tok long",
+    )
+    small = reduce_auto(df, "tok", batch_budget=5000).toPandas()
+    assert list(small["mode"]) == ["direct"]
+    assert small["n_parts"][0] == 30
+    big = reduce_auto(df, "tok", batch_budget=1000, batch_size=10).toPandas()
+    assert list(big["mode"]) == ["hierarchical"]
+    assert big["n_parts"][0] == 3  # 30 summaries / batches of 10
+
+
+def test_dynamic_batch_size_reference_rule():
+    from llm_map_reduce_summarizer_spark.operators.aggregator import (
+        dynamic_batch_size,
+    )
+
+    # (budget - 1000 reserved) / avg tokens, clamped to [1, 10]
+    assert dynamic_batch_size(total_tokens=5000, n_summaries=100, budget=2000) == 10
+    assert dynamic_batch_size(total_tokens=5000, n_summaries=10, budget=2500) == 3
+    assert dynamic_batch_size(total_tokens=9000, n_summaries=3, budget=1100) == 1
+    assert dynamic_batch_size(total_tokens=0, n_summaries=0, budget=4000) == 1
+
+
 def test_hierarchical_reduce_log_depth(spark):
     df = spark.createDataFrame(
         [(i, f"s{i}") for i in range(101)], "chunk_id long, summary string"
