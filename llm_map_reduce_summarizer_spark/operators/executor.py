@@ -30,6 +30,28 @@ from pyspark.sql import functions as F
 DEFAULT_PROMPT = "Please summarize the following transcript segment:\n\n{transcript}"
 
 
+def resolve_prompt(
+    explicit: str | None = None,
+    prompt_file: str | None = None,
+    default: str = DEFAULT_PROMPT,
+) -> str:
+    """The reference's prompt-resolution priority (main.py:155-167):
+    explicit template > template file > built-in default. A missing or
+    unreadable file falls back to the default rather than failing the
+    pipeline."""
+    if explicit:
+        return explicit
+    if prompt_file:
+        try:
+            with open(prompt_file, encoding="utf-8") as f:
+                content = f.read().strip()
+            if content:
+                return content
+        except OSError:
+            pass
+    return default
+
+
 def extractive_summary(
     text_col: Column, chunk_id_col: Column, n_tokens_col: Column, head_chars: int = 150
 ) -> Column:

@@ -208,6 +208,26 @@ def reduce_auto_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row run report (main.py:238-258): final summary + segment/
+    chunk counts, total tokens, and estimated cost."""
+    n_segments = _segments_clean(spark, sf_dir).agg(
+        F.count(F.lit(1)).alias("segments")
+    )
+    rep = map_cost_report(spark, sf_dir).agg(
+        F.count(F.lit(1)).alias("chunks"),
+        F.sum("total_tokens").alias("tokens_used"),
+        quantize(F.sum("cost_usd"), 8).alias("cost_usd"),
+    )
+    summary = reduce_hierarchical(spark, sf_dir).select("summary")
+    return (
+        summary.crossJoin(F.broadcast(n_segments))
+        .crossJoin(F.broadcast(rep))
+        .withColumn("provider", F.lit("mock"))
+        .withColumn("model", F.lit("extractive-v1"))
+    )
+
+
 def pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: clean -> merge -> chunk -> stats + extractive summaries."""
     merged = merge_same_speaker(
@@ -302,6 +322,7 @@ QUERIES = {
     "map_cost_report": map_cost_report,
     "reduce_direct": reduce_direct_q,
     "reduce_auto": reduce_auto_q,
+    "pipeline_report": pipeline_report,
     "seg_clean": seg_clean,
     "seg_merge_speaker": seg_merge_speaker,
     "seg_interval_agg": seg_interval_agg,
@@ -516,6 +537,46 @@ ORACLE = {
         summary=_SUMMARY_EXPR,
         sumtok=SQL_TOKEN_COUNT.format(c="summary"),
     ),
+    "pipeline_report": f"""
+        WITH {_SEGS}, {_CHUNK_CTES}, {_CHUNK_TEXTS_CTES},
+        summaries AS (
+          SELECT chunk_id, token_count, {_SUMMARY_EXPR} AS summary FROM ctext
+        ), level1 AS (
+          SELECT CAST(floor(chunk_id / {BATCH_SIZE}.0) AS BIGINT) AS batch_id,
+                 '# Intermediate Summary ' ||
+                 CAST(CAST(floor(chunk_id / {BATCH_SIZE}.0) AS BIGINT) AS VARCHAR) ||
+                 chr(10) ||
+                 string_agg(summary, chr(10) || chr(10) ORDER BY chunk_id)
+                   AS summary
+          FROM summaries GROUP BY 1
+        ), final AS (
+          SELECT '# Transcript Summary 0' || chr(10) ||
+                 string_agg(summary, chr(10) || chr(10) ORDER BY batch_id)
+                   AS summary
+          FROM level1
+        ), nseg AS (SELECT count(*) AS segments FROM segs),
+        rep AS (
+          SELECT count(*) AS chunks,
+                 sum(prompt_tokens + completion_tokens) AS tokens_used,
+                 (floor(sum(cost_usd) * 100000000.0 + 0.5) / 100000000.0)
+                   AS cost_usd
+          FROM (
+            SELECT CAST(token_count + {PROMPT_OVERHEAD_TOKENS} AS BIGINT)
+                     AS prompt_tokens,
+                   CAST({SQL_TOKEN_COUNT.format(c='summary')} AS BIGINT)
+                     AS completion_tokens,
+                   (floor((CAST(token_count + {PROMPT_OVERHEAD_TOKENS} AS BIGINT)
+                           * {PROMPT_COST_PER_TOKEN!r}
+                           + CAST({SQL_TOKEN_COUNT.format(c='summary')} AS BIGINT)
+                           * {COMPLETION_COST_PER_TOKEN!r})
+                          * 100000000.0 + 0.5) / 100000000.0) AS cost_usd
+            FROM summaries
+          )
+        )
+        SELECT final.summary, nseg.segments, rep.chunks, rep.tokens_used,
+               rep.cost_usd, 'mock' AS provider, 'extractive-v1' AS model
+        FROM final CROSS JOIN nseg CROSS JOIN rep
+    """,
     "reduce_direct": f"""
         WITH {_SEGS}, {_CHUNK_CTES}, {_STATS_CTES}, {_CHUNK_TEXTS_CTES},
         {_HEADERED_CTES}

@@ -351,6 +351,52 @@ def test_scan_plan_has_no_single_partition_window(spark):
     assert "rangepartitioning" in plan.lower()
 
 
+def test_resolve_prompt_priority(tmp_path):
+    from llm_map_reduce_summarizer_spark.operators.executor import (
+        DEFAULT_PROMPT,
+        resolve_prompt,
+    )
+
+    f = tmp_path / "tpl.txt"
+    f.write_text("From file: {transcript}")
+    assert resolve_prompt("explicit {transcript}", str(f)) == (
+        "explicit {transcript}"
+    )
+    assert resolve_prompt(None, str(f)) == "From file: {transcript}"
+    assert resolve_prompt(None, str(tmp_path / "missing.txt")) == DEFAULT_PROMPT
+    assert resolve_prompt(None, None) == DEFAULT_PROMPT
+
+
+def test_executor_retries_then_error_sentinel(spark):
+    from llm_map_reduce_summarizer_spark.operators.executor import (
+        SparkLLMExecutor,
+    )
+
+    chunks = spark.createDataFrame(
+        [(0, "alpha"), (1, "beta")], "chunk_id long, text string"
+    )
+
+    def flaky(prompts):
+        # fails on every call: retries exhaust -> error sentinel rows
+        raise RuntimeError("provider down")
+
+    out = (
+        SparkLLMExecutor(provider=flaky, retry_attempts=2)
+        .process_chunks(chunks)
+        .orderBy("chunk_id")
+        .toPandas()
+    )
+    assert all(s.startswith("[Error processing chunk:") for s in out["summary"])
+
+    ok = (
+        SparkLLMExecutor()  # default mock provider
+        .process_chunks(chunks)
+        .orderBy("chunk_id")
+        .toPandas()
+    )
+    assert all(s.startswith("[Mock response") for s in ok["summary"])
+
+
 def test_fake_decode_deterministic():
     meta = fake_decode(b"hello world")
     assert meta == {
