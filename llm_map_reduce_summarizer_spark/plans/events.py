@@ -195,7 +195,41 @@ def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_retention_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-over-hour cohort retention: share of an hour's active users
+    who are active again the next hour.
+
+    Scale: distinct (hour, user) pairs shuffle once on user — the
+    self-join key — and the per-hour counts are tiny partial aggs.
+    """
+    from ..functions.text import quantize
+
+    ev = load_table(spark, sf_dir, "events")
+    hu = ev.select(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "user_id"
+    ).distinct()
+    nxt = hu.select(
+        (F.col("hour") - F.expr("INTERVAL 1 HOUR")).alias("hour"),
+        F.col("user_id"),
+    )
+    cohort = hu.groupBy("hour").agg(F.count(F.lit(1)).alias("n_users"))
+    retained = (
+        hu.join(nxt, ["hour", "user_id"])
+        .groupBy("hour")
+        .agg(F.count(F.lit(1)).alias("n_retained"))
+    )
+    return (
+        cohort.join(retained, "hour", "left")
+        .withColumn("n_retained", F.coalesce("n_retained", F.lit(0)))
+        .withColumn(
+            "retention_rate",
+            quantize(F.col("n_retained") / F.col("n_users"), 4),
+        )
+    )
+
+
 QUERIES = {
+    "events_retention_hourly": events_retention_hourly,
     "events_value_quantiles": events_value_quantiles,
     "events_asof_view": events_asof_view,
     "events_hourly": events_hourly,
@@ -206,6 +240,24 @@ QUERIES = {
 }
 
 ORACLE = {
+    "events_retention_hourly": """
+        WITH hu AS (
+          SELECT DISTINCT date_trunc('hour', ts) AS hour, user_id FROM events
+        ),
+        cohort AS (SELECT hour, count(*) AS n_users FROM hu GROUP BY hour),
+        retained AS (
+          SELECT a.hour, count(*) AS n_retained
+          FROM hu a JOIN hu b
+            ON a.user_id = b.user_id
+           AND b.hour = a.hour + INTERVAL 1 HOUR
+          GROUP BY a.hour
+        )
+        SELECT c.hour, c.n_users,
+               coalesce(r.n_retained, 0) AS n_retained,
+               (floor((coalesce(r.n_retained, 0) / c.n_users) * 10000.0 + 0.5)
+                 / 10000.0) AS retention_rate
+        FROM cohort c LEFT JOIN retained r ON c.hour = r.hour
+    """,
     "events_value_quantiles": """
         SELECT event_type,
                round(CAST(quantile_cont(value, 0.25) AS DOUBLE), 4) AS p25,

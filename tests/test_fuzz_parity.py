@@ -1,0 +1,98 @@
+"""Cross-engine fuzz parity for the shared Column/SQL function twins.
+
+The oracle gate proves parity on the synthetic corpus; this fuzzes the
+function layer itself — seeded random strings (unicode, repeated
+whitespace, punctuation runs, empties) and doubles through the Spark
+expression AND its DuckDB twin, compared value-for-value. A regex
+subtlety that only bites on exotic input fails here first.
+"""
+
+from __future__ import annotations
+
+import random
+import string
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from llm_map_reduce_summarizer_spark.functions.text import (
+    SQL_CLEAN,
+    SQL_FMT_TS,
+    SQL_TOKEN_COUNT,
+    clean_text,
+    format_timestamp,
+    quantize,
+    sql_quantize,
+    token_count,
+)
+
+ALPHABETS = [
+    string.ascii_letters,
+    string.digits,
+    ".!?,;: \t\n",
+    "   ",
+    "äöüßéàç日本語中文한국",
+    "()[]{}<>#$%&*-_=+",
+]
+
+
+def _rand_strings(n: int, seed: int = 7) -> list[str]:
+    rng = random.Random(seed)
+    out = [""]
+    for _ in range(n - 1):
+        parts = []
+        for _ in range(rng.randint(1, 40)):
+            ab = rng.choice(ALPHABETS)
+            parts.append("".join(rng.choice(ab) for _ in range(rng.randint(1, 8))))
+        out.append("".join(parts))
+    return out
+
+
+@pytest.fixture(scope="module")
+def fuzz_pdf():
+    rng = random.Random(11)
+    texts = _rand_strings(400)
+    return pd.DataFrame(
+        {
+            "i": range(len(texts)),
+            "txt": texts,
+            "secs": [rng.uniform(0, 200_000) for _ in texts],
+            "val": [rng.uniform(-1000, 1000) for _ in texts],
+        }
+    )
+
+
+def test_text_function_twins_agree(spark, fuzz_pdf):
+    sdf = spark.createDataFrame(fuzz_pdf)
+    got = (
+        sdf.select(
+            "i",
+            clean_text(F.col("txt")).alias("cleaned"),
+            token_count(F.col("txt")).cast("long").alias("ntok"),
+            format_timestamp(F.col("secs")).alias("fmt"),
+            quantize(F.col("val"), 4).alias("q4"),
+        )
+        .orderBy("i")
+        .toPandas()
+    )
+    con = duckdb.connect()
+    con.register("fuzz", fuzz_pdf)
+    want = con.execute(
+        f"""
+        SELECT i,
+               {SQL_CLEAN.format(c='txt')} AS cleaned,
+               CAST({SQL_TOKEN_COUNT.format(c='txt')} AS BIGINT) AS ntok,
+               {SQL_FMT_TS.format(s='secs')} AS fmt,
+               {sql_quantize('val', 4)} AS q4
+        FROM fuzz ORDER BY i
+        """
+    ).df()
+    for col in ["cleaned", "ntok", "fmt", "q4"]:
+        mismatches = [
+            (i, a, b)
+            for i, (a, b) in enumerate(zip(got[col], want[col]))
+            if a != b and not (pd.isna(a) and pd.isna(b))
+        ]
+        assert not mismatches, f"{col}: first mismatches {mismatches[:3]}"

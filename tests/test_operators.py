@@ -367,6 +367,36 @@ def test_resolve_prompt_priority(tmp_path):
     assert resolve_prompt(None, None) == DEFAULT_PROMPT
 
 
+def test_prompt_pack_loads_and_formats(spark):
+    import os
+
+    from llm_map_reduce_summarizer_spark.operators.executor import (
+        SparkLLMExecutor,
+        resolve_prompt,
+    )
+
+    root = os.path.join(os.path.dirname(os.path.dirname(__file__)), "prompts")
+    tpl = resolve_prompt(None, os.path.join(root, "meeting_prompt.txt"))
+    system = resolve_prompt(None, os.path.join(root, "meeting_system.txt"))
+    assert "{transcript}" in tpl and "summaries" not in tpl
+    assert system and "{" not in system
+
+    chunks = spark.createDataFrame([(0, "hello")], "chunk_id long, text string")
+    seen: list[str] = []
+
+    def capture(prompts):
+        seen.extend(prompts)
+        return ["ok"] * len(prompts)
+
+    SparkLLMExecutor(
+        provider=capture, prompt_template=tpl, system_prompt=system
+    ).process_chunks(chunks).collect()
+    # provider runs on executors; capture only observes locally when
+    # Spark runs in-process, so assert via the deterministic format
+    formatted = (system + "\n\n") + tpl.format(transcript="hello")
+    assert "{transcript}" not in formatted and "hello" in formatted
+
+
 def test_executor_retries_then_error_sentinel(spark):
     from llm_map_reduce_summarizer_spark.operators.executor import (
         SparkLLMExecutor,
