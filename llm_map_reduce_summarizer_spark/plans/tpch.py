@@ -542,7 +542,78 @@ def q16_parts_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orders_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative spend per customer over order time (running-total
+    window frame).
+
+    Scale: one shuffle on custkey; each customer's frame sorts inside
+    its own partition — no global ordering anywhere.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("cum_spend"),
+        F.row_number()
+        .over(Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey"))
+        .cast("long")
+        .alias("order_seq"),
+    )
+
+
+def orders_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-order moving average of order value per customer (sliding
+    ROWS frame)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    from ..functions.text import quantize
+
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        # avg-of-3 lands on .xx5 boundaries constantly; quantize is the
+        # cross-engine half-up rounding (see functions/text.py)
+        quantize(F.avg("o_totalprice").over(w), 2).alias("avg3"),
+        F.count(F.lit(1)).over(w).alias("n_in_frame"),
+    )
+
+
+def cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all grouping-set subtotals.
+
+    Scale: Spark expands grouping sets map-side (one shuffle carrying
+    the expanded keys) — same single-pass shape as the plain groupBy.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n_rows",
+        )
+    )
+
+
 QUERIES = {
+    "orders_running_total": orders_running_total,
+    "orders_moving_avg": orders_moving_avg,
+    "cube_sales": cube_sales,
     "q15_top_supplier": q15_top_supplier,
     "q16_parts_suppliers": q16_parts_suppliers,
     "q1_pricing_summary": q1_pricing_summary,
@@ -566,6 +637,37 @@ QUERIES = {
 }
 
 ORACLE = {
+    "orders_running_total": """
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               round(sum(o_totalprice) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ), 2) AS cum_spend,
+               row_number() OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ) AS order_seq
+        FROM orders
+    """,
+    "orders_moving_avg": """
+        SELECT o_custkey, o_orderkey,
+               (floor(avg(o_totalprice) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+               ) * 100.0 + 0.5) / 100.0) AS avg3,
+               count(*) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+               ) AS n_in_frame
+        FROM orders
+    """,
+    "cube_sales": """
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               count(*) AS n_rows
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
     "q15_top_supplier": """
         WITH revenue AS (
           SELECT l_suppkey,
