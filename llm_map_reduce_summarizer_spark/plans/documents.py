@@ -304,7 +304,39 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing as a query: every 2nd frame index of
+    each decoded payload (deterministic fake decode, so the explode
+    shape is fully oracle-checkable via byte arithmetic)."""
+    from ..operators.multimodal import decode_batch, frame_sample
+
+    d = _docs(spark, sf_dir).withColumn(
+        "payload", F.encode(F.col("text"), "UTF-8")
+    )
+    decoded = decode_batch(d).select("doc_id", "n_bytes", "n_frames")
+    return frame_sample(decoded, every_nth=2).select(
+        "doc_id", "n_bytes", "n_frames", "frame_idx"
+    )
+
+
+def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply exact dedup to the corpus: keep one representative (min
+    doc_id) per normalized-content group — the actual training-data
+    filtering step, not just pair detection.
+
+    Scale: semi-join on the 32-byte fingerprint digest; documents
+    themselves never shuffle (the digest group-by carries only hashes).
+    """
+    d = _docs(spark, sf_dir)
+    keep = exact_dedup(d).select(F.col("keep_id").alias("doc_id"))
+    return d.join(keep, "doc_id", "left_semi").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
 QUERIES = {
+    "multimodal_frames": multimodal_frames,
+    "dedup_apply": dedup_apply,
     "doc_tokens": doc_tokens,
     "doc_quality": doc_quality,
     "doc_langid": doc_langid,
@@ -357,6 +389,27 @@ _STOP_SQL = {
 _Q_STOPS = _STOP_SQL["en"]
 
 ORACLE = {
+    "multimodal_frames": """
+        WITH dec AS (
+          SELECT doc_id,
+                 CAST(strlen(text) AS BIGINT) AS n_bytes,
+                 CAST(1 + strlen(text) % 7 AS BIGINT) AS n_frames
+          FROM documents
+        )
+        SELECT doc_id, n_bytes, n_frames,
+               CAST(unnest(generate_series(0, n_frames - 1, 2)) AS BIGINT)
+                 AS frame_idx
+        FROM dec
+    """,
+    "dedup_apply": """
+        SELECT doc_id, lang, source, n_chars
+        FROM documents
+        WHERE doc_id IN (
+          SELECT min(doc_id)
+          FROM documents
+          GROUP BY md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+        )
+    """,
     "knn_ivf": f"""
         WITH {sql_unit_cte()},
         cents AS (
