@@ -84,9 +84,16 @@ def chunk_stats(
     position percentage (chunk-relative formula at :182-184).
     """
     part = _part(doc_col)
-    wall = Window.partitionBy(*part)
+    if part:
+        wall = Window.partitionBy(*part)
+        with_t0 = chunked.withColumn("t0", F.min("start").over(wall))
+    else:
+        # global min as a 1-row broadcast, not an empty-partition window
+        # (which would drag every row through one task)
+        t0 = chunked.agg(F.min("start").alias("t0"))
+        with_t0 = chunked.crossJoin(F.broadcast(t0))
     stats = (
-        chunked.withColumn("t0", F.min("start").over(wall))
+        with_t0
         .groupBy(*part, "chunk_id")
         .agg(
             F.min("start").alias("start_time"),

@@ -229,40 +229,67 @@ def pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flagship: clean -> merge -> chunk -> stats + extractive summaries."""
+    """Flagship: clean -> merge -> chunk -> stats + extractive summaries.
+
+    Stats and ordered chunk text come out of ONE groupBy(chunk_id) —
+    a single shuffle instead of two parallel aggs + a join; the global
+    t0 is a 1-row broadcast.
+    """
     merged = merge_same_speaker(
         _segments_clean(spark, sf_dir), MAX_SEGMENT_DURATION
     ).select(
         F.col("group_id").alias("seg_id"), "start", "end", "speaker", "text"
     )
     chunked = assign_chunks(merged, MAX_TOKENS_PER_CHUNK)
-    stats = chunk_stats(chunked)
+    t0 = chunked.agg(F.min("start").alias("t0"))
     pairs = F.collect_list(
         F.struct(F.col("seg_id").alias("o"), F.col("seg_text").alias("t"))
     )
-    texts = chunked.groupBy("chunk_id").agg(
-        F.array_join(
-            F.transform(F.array_sort(pairs), lambda x: x["t"]), "\n\n"
-        ).alias("text")
-    )
-    return (
-        stats.join(texts, "chunk_id")
-        .withColumn(
-            "summary",
-            extractive_summary(
-                F.col("text"), F.col("chunk_id"), F.col("token_count")
+    from ..functions.text import quantize as _q
+
+    combined = (
+        chunked.crossJoin(F.broadcast(t0))
+        .groupBy("chunk_id")
+        .agg(
+            F.min("start").alias("start_time"),
+            F.max("end").alias("end_time"),
+            F.sum("n_tokens").alias("token_count"),
+            F.count(F.lit(1)).alias("n_segments"),
+            F.array_join(F.array_sort(F.collect_set("speaker")), ", ").alias(
+                "speakers"
             ),
+            F.min("t0").alias("t0"),
+            F.array_join(
+                F.transform(F.array_sort(pairs), lambda x: x["t"]), "\n\n"
+            ).alias("text"),
         )
-        .select(
-            "chunk_id",
-            "start_time",
-            "end_time",
-            "n_segments",
-            "token_count",
-            "speakers",
+        .withColumn(
             "position_pct",
-            "summary",
+            F.when(
+                F.col("end_time") > F.col("t0"),
+                _q(
+                    100.0
+                    * (F.col("start_time") - F.col("t0"))
+                    / (F.col("end_time") - F.col("t0")),
+                    4,
+                ),
+            ).otherwise(0.0),
         )
+    )
+    return combined.withColumn(
+        "summary",
+        extractive_summary(
+            F.col("text"), F.col("chunk_id"), F.col("token_count")
+        ),
+    ).select(
+        "chunk_id",
+        "start_time",
+        "end_time",
+        "n_segments",
+        "token_count",
+        "speakers",
+        "position_pct",
+        "summary",
     )
 
 
