@@ -33,8 +33,11 @@ def preprocess_segments(
     Java-regex repeated-word rule (not RE2/oracle-expressible).
     """
     cleaner = clean_text_full if full_fidelity else clean_text
+    # rlike('\S'), not trim() != '': SQL trim strips only ASCII spaces,
+    # but the reference drops segments that are blank under Python
+    # .strip() — tabs/newlines included (preprocessor.py:36-54)
     return (
-        segments.filter(F.trim(F.col("text")) != "")
+        segments.filter(F.col("text").rlike(r"\S"))
         .withColumn("text", cleaner(F.col("text")))
         .withColumn("start_fmt", format_timestamp(F.col("start")))
         .withColumn("end_fmt", format_timestamp(F.col("end")))

@@ -52,7 +52,7 @@ BATCH_SIZE = 10
 
 def derive_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return docs.filter(F.trim(F.col("text")) != "").select(
+    return docs.filter(F.col("text").rlike(r"\S")).select(
         F.col("doc_id").alias("seg_id"),
         (F.col("doc_id") * 30.0).alias("start"),
         (F.col("doc_id") * 30.0 + F.col("n_chars") / 16.0).alias("end"),
@@ -372,7 +372,7 @@ _SEGS = f"""segs AS (
          source AS speaker,
          {_CLEAN} AS text
   FROM documents
-  WHERE trim(text) <> ''
+  WHERE regexp_matches(text, '\S')
 )"""
 
 _FMT_START = SQL_FMT_TS.format(s="start_s")

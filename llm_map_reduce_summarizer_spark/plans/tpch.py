@@ -610,7 +610,40 @@ def cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-per-group correlated subquery (TPC-H Q2 shape, adapted to
+    this schema): for each part, the supplier(s) with the lowest
+    account balance among those who shipped it.
+
+    Scale: the (part, supplier) pair set reduces to a per-part min
+    (one shuffle), then equality-joins back — no correlated re-scan.
+    """
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    supp = F.broadcast(_t(spark, sf_dir, "supplier"))
+    part = F.broadcast(
+        _t(spark, sf_dir, "part").filter(F.col("p_size") <= 3)
+    )
+    pairs = (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal")
+        .distinct()
+    )
+    mins = pairs.groupBy(F.col("p_partkey").alias("mk")).agg(
+        F.min("s_acctbal").alias("min_bal")
+    )
+    return (
+        pairs.join(
+            mins,
+            (F.col("p_partkey") == F.col("mk"))
+            & (F.col("s_acctbal") == F.col("min_bal")),
+        )
+        .select("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal")
+    )
+
+
 QUERIES = {
+    "q2_min_cost_supplier": q2_min_cost_supplier,
     "orders_running_total": orders_running_total,
     "orders_moving_avg": orders_moving_avg,
     "cube_sales": cube_sales,
@@ -637,6 +670,20 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q2_min_cost_supplier": """
+        WITH pairs AS (
+          SELECT DISTINCT p_partkey, p_name, s_suppkey, s_name, s_acctbal
+          FROM lineitem
+          JOIN part ON l_partkey = p_partkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          WHERE p_size <= 3
+        )
+        SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal
+        FROM pairs p
+        WHERE s_acctbal = (
+          SELECT min(s_acctbal) FROM pairs m WHERE m.p_partkey = p.p_partkey
+        )
+    """,
     "orders_running_total": """
         SELECT o_custkey, o_orderkey, o_orderdate,
                round(sum(o_totalprice) OVER (
