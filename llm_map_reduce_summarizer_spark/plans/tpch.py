@@ -642,8 +642,193 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """National market share (TPC-H Q8 shape): for one part type sold
+    into one region, the yearly revenue fraction supplied by one
+    nation.
+
+    Scale: region/nation/supplier/part are broadcast dims; the only
+    shuffles are the two fact joins (lineitem⋈orders, orders⋈customer)
+    plus a tiny per-year aggregation. The share division happens after
+    partial aggregation, on a handful of rows.
+    """
+    region = F.broadcast(
+        _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    )
+    cnation = F.broadcast(
+        _t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("cn_nationkey"),
+            F.col("n_regionkey").alias("cn_regionkey"),
+        )
+    )
+    snation = F.broadcast(
+        _t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("sn_nationkey"),
+            F.col("n_name").alias("supp_nation"),
+        )
+    )
+    supplier = F.broadcast(_t(spark, sf_dir, "supplier"))
+    part = F.broadcast(
+        _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    li = _t(spark, sf_dir, "lineitem")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(snation, F.col("s_nationkey") == F.col("sn_nationkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(cnation, F.col("c_nationkey") == F.col("cn_nationkey"))
+        .join(region, F.col("cn_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_1", vol).otherwise(0.0))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share"),
+            F.round(F.sum(vol), 2).alias("total_volume"),
+        )
+    )
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Important-stock identification (TPC-H Q11 shape, adapted: no
+    partsupp table, so "value" is shipped extended price per part for
+    suppliers of one nation).
+
+    Scale: one shuffle on l_partkey for the per-part value; the global
+    threshold is a 1-row broadcast (no second pass over the fact).
+    """
+    supp = F.broadcast(
+        _t(spark, sf_dir, "supplier").filter(F.col("s_nationkey").isin(1, 3))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    per_part = (
+        li.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum("l_extendedprice").alias("part_value"))
+    )
+    threshold = per_part.agg(
+        (F.sum("part_value") * 0.001).alias("cutoff")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(threshold))
+        .filter(F.col("part_value") > F.col("cutoff"))
+        .select(
+            "l_partkey", F.round("part_value", 2).alias("part_value")
+        )
+    )
+
+
+def q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-priority classes among late shipments (TPC-H Q12
+    shape, adapted: no l_shipmode column — grouped by l_linestatus;
+    "late" means shipped after the order date).
+
+    Scale: one shuffle join lineitem⋈orders on orderkey; the
+    conditional counts are map-side partial aggregates over a
+    2-value group domain.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers shipping well above the per-part average (TPC-H Q20
+    shape, adapted: no partsupp availqty — the threshold is 1.2x the
+    per-part mean shipped quantity across suppliers in the window).
+
+    Scale: nested aggregation — one shuffle on (suppkey, partkey),
+    re-agg on partkey (smaller), broadcast-join the per-part averages
+    back, then a left-semi join ships only distinct suppkeys.
+    """
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    part = F.broadcast(
+        _t(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    )
+    shipped = (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    avg_part = shipped.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        F.avg("qty").alias("avg_qty")
+    )
+    qualifying = (
+        shipped.join(avg_part, F.col("l_partkey") == F.col("a_partkey"))
+        .filter(F.col("qty") > 1.2 * F.col("avg_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    return supp.join(
+        qualifying, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who kept orders waiting (TPC-H Q21 shape, adapted:
+    "late" = shipped after the order date). A supplier's lineitem
+    counts when it is late, the order has other suppliers (EXISTS),
+    and no OTHER supplier was late on it (NOT EXISTS).
+
+    Scale: the correlated EXISTS / NOT EXISTS pair collapses into ONE
+    per-order aggregate (distinct suppliers, distinct late suppliers)
+    — a single orderkey shuffle instead of two self-joins; the
+    qualifying-order set then joins back on the same key (AQE reuses
+    the exchange). Supplier names via broadcast.
+    """
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = _t(spark, sf_dir, "lineitem")
+    flagged = li.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).withColumn("is_late", F.col("l_shipdate") > F.col("o_orderdate"))
+    order_stats = flagged.groupBy(F.col("l_orderkey").alias("k_orderkey")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+    )
+    supp = F.broadcast(_t(spark, sf_dir, "supplier"))
+    return (
+        flagged.filter(F.col("is_late"))
+        .join(
+            order_stats.filter(
+                (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
+            ),
+            F.col("l_orderkey") == F.col("k_orderkey"),
+        )
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
 QUERIES = {
     "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q8_market_share": q8_market_share,
+    "q11_important_parts": q11_important_parts,
+    "q12_late_shipments": q12_late_shipments,
+    "q20_excess_shippers": q20_excess_shippers,
+    "q21_waiting_supplier": q21_waiting_supplier,
     "orders_running_total": orders_running_total,
     "orders_moving_avg": orders_moving_avg,
     "cube_sales": cube_sales,
@@ -670,6 +855,93 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q8_market_share": """
+        WITH flows AS (
+          SELECT year(o_orderdate) AS o_year,
+                 l_extendedprice * (1 - l_discount) AS volume,
+                 sn.n_name AS supp_nation
+          FROM lineitem
+          JOIN part ON l_partkey = p_partkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation sn ON s_nationkey = sn.n_nationkey
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation cn ON c_nationkey = cn.n_nationkey
+          JOIN region ON cn.n_regionkey = r_regionkey
+          WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+        )
+        SELECT o_year,
+               round(sum(CASE WHEN supp_nation = 'NATION_1'
+                              THEN volume ELSE 0 END) / sum(volume),
+                     6) AS mkt_share,
+               round(sum(volume), 2) AS total_volume
+        FROM flows
+        GROUP BY o_year
+    """,
+    "q11_important_parts": """
+        WITH per_part AS (
+          SELECT l_partkey, sum(l_extendedprice) AS part_value
+          FROM lineitem
+          JOIN supplier ON l_suppkey = s_suppkey
+          WHERE s_nationkey IN (1, 3)
+          GROUP BY l_partkey
+        )
+        SELECT l_partkey, round(part_value, 2) AS part_value
+        FROM per_part
+        WHERE part_value > (SELECT sum(part_value) * 0.001 FROM per_part)
+    """,
+    "q12_late_shipments": """
+        SELECT l_linestatus,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS high_line_count,
+               sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS low_line_count
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate > o_orderdate
+        GROUP BY l_linestatus
+    """,
+    "q20_excess_shippers": """
+        WITH shipped AS (
+          SELECT l_suppkey, l_partkey, sum(l_quantity) AS qty
+          FROM lineitem
+          JOIN part ON l_partkey = p_partkey
+          WHERE p_name LIKE 'small%'
+            AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          GROUP BY l_suppkey, l_partkey
+        ), avg_part AS (
+          SELECT l_partkey AS a_partkey, avg(qty) AS avg_qty
+          FROM shipped GROUP BY l_partkey
+        )
+        SELECT s_suppkey, s_name
+        FROM supplier
+        WHERE s_suppkey IN (
+          SELECT l_suppkey FROM shipped
+          JOIN avg_part ON l_partkey = a_partkey
+          WHERE qty > 1.2 * avg_qty
+        )
+    """,
+    "q21_waiting_supplier": """
+        SELECT s_suppkey, s_name, count(*) AS numwait
+        FROM lineitem l1
+        JOIN orders ON l1.l_orderkey = o_orderkey
+        JOIN supplier ON l1.l_suppkey = s_suppkey
+        WHERE o_orderstatus = 'F'
+          AND l1.l_shipdate > o_orderdate
+          AND EXISTS (
+            SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey
+          )
+          AND NOT EXISTS (
+            SELECT 1 FROM lineitem l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_shipdate > o_orderdate
+          )
+        GROUP BY s_suppkey, s_name
+    """,
     "q2_min_cost_supplier": """
         WITH pairs AS (
           SELECT DISTINCT p_partkey, p_name, s_suppkey, s_name, s_acctbal
