@@ -21,6 +21,7 @@ from ..streaming.stream_ops import (
     read_events_stream,
     run_available_now,
     sessionize_stream,
+    view_click_interval_join,
 )
 from .events import ORACLE as _EVENTS_ORACLE
 
@@ -36,12 +37,36 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latest_sessions(updates)
 
 
+def stream_view_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events_stream(spark, sf_dir)
+    return run_available_now(
+        view_click_interval_join(ev), output_mode="append"
+    )
+
+
 QUERIES = {
     "stream_hourly": stream_hourly,
     "stream_sessionize": stream_sessionize,
+    "stream_view_click_join": stream_view_click_join,
 }
 
 ORACLE = {
     "stream_hourly": _EVENTS_ORACLE["events_hourly"],
     "stream_sessionize": _EVENTS_ORACLE["events_sessionize"],
+    # on static input the drained stream-stream inner join equals the
+    # batch interval join, so it gets a full SQL oracle
+    "stream_view_click_join": """
+        SELECT c.user_id AS user_id,
+               v.event_id AS view_id,
+               c.event_id AS click_id,
+               epoch_us(v.ts) AS view_us,
+               epoch_us(c.ts) AS click_us
+        FROM events c
+        JOIN events v
+          ON c.user_id = v.user_id
+         AND v.event_type = 'view'
+         AND c.event_type = 'click'
+         AND epoch_us(v.ts) <= epoch_us(c.ts)
+         AND epoch_us(v.ts) >= epoch_us(c.ts) - 3600000000
+    """,
 }

@@ -195,6 +195,51 @@ def sessionize_stream(events: DataFrame, evict_state: bool = False) -> DataFrame
     )
 
 
+def view_click_interval_join(
+    events: DataFrame,
+    max_gap_minutes: int = 60,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: each click matched with every view
+    by the same user in the preceding ``max_gap_minutes``.
+
+    Both sides carry watermarks and the join condition bounds event
+    time on both sides — the combination lets Spark evict join state
+    once the watermark passes ``click_ts - max_gap`` (without it,
+    stream-stream join state grows forever). Inner-join matches emit
+    as soon as both rows arrive, so an ``availableNow`` drain over
+    static input equals the batch join exactly.
+
+    Scale: state is hash-partitioned by user_id across executors; the
+    watermark bound keeps per-key state to the last 2 hours of views.
+    """
+    views = events.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user_id"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    ).withWatermark("view_ts", watermark)
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", watermark)
+    return clicks.join(
+        views,
+        (F.col("user_id") == F.col("v_user_id"))
+        & (F.col("view_ts") <= F.col("click_ts"))
+        & (
+            F.col("view_ts")
+            >= F.col("click_ts") - F.expr(f"INTERVAL {max_gap_minutes} MINUTES")
+        ),
+    ).select(
+        "user_id",
+        "view_id",
+        "click_id",
+        F.unix_micros("view_ts").alias("view_us"),
+        F.unix_micros("click_ts").alias("click_us"),
+    )
+
+
 def run_available_now(
     sdf: DataFrame, output_mode: str = "complete"
 ) -> DataFrame:
