@@ -333,18 +333,19 @@ def centroid_matrix(
     return pdf[id_col].to_numpy(), _unit_rows(pdf[vec_col])
 
 
-def cosine_topk_ivf(
+def _ivf_probe_topk(
     queries: DataFrame,
     corpus: DataFrame,
-    k: int = 5,
-    n_centroids: int = 16,
-    nprobe: int = 2,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
+    cents,
+    k: int,
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
 ) -> DataFrame:
+    """Shared IVF probe join: assign corpus to lists, fan each query to
+    its nprobe nearest lists, top-k within the probed candidates."""
     from ..functions.vectors import dot as _dot
 
-    cents = centroid_matrix(corpus, n_centroids, id_col, vec_col)
     lists = ivf_assign(corpus, cents, id_col, vec_col, top=1).select(
         F.col("vid").alias("neighbor_id"),
         F.col("u").alias("u_c"),
@@ -367,3 +368,75 @@ def cosine_topk_ivf(
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "cos", "rk")
     )
+
+
+def cosine_topk_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    cents = centroid_matrix(corpus, n_centroids, id_col, vec_col)
+    return _ivf_probe_topk(queries, corpus, cents, k, nprobe, id_col, vec_col)
+
+
+def kmeans_centroid_matrix(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 20,
+):
+    """Trained coarse quantizer: MLlib k-means on the unit vectors.
+
+    Returns the same ``(ids, unit_matrix)`` shape as
+    ``centroid_matrix`` so the probe plan is identical — training
+    changes recall, not the plan. Seeded for reproducible runs.
+
+    Scale: k-means fit is a handful of corpus scans; the model's K
+    centers (KB) then broadcast exactly like the deterministic ones.
+    """
+    import numpy as np
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.feature import Normalizer
+    from pyspark.ml.functions import array_to_vector
+
+    # train on UNIT vectors (spherical k-means): Euclidean centroids of
+    # raw vectors would not align with the cosine bucket assignment
+    raw = corpus.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("raw")
+    )
+    train = Normalizer(inputCol="raw", outputCol="features", p=2.0).transform(
+        raw
+    )
+    model = KMeans(
+        k=n_centroids, seed=seed, maxIter=max_iter, featuresCol="features"
+    ).fit(train)
+    centers = np.vstack(model.clusterCenters())
+    norms = np.linalg.norm(centers, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    return np.arange(n_centroids, dtype="int64"), centers / norms
+
+
+def cosine_topk_ivf_trained(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-flat with trained k-means centroids (better-balanced lists
+    and higher recall than the deterministic quantizer; rows-only
+    check — training is not SQL-expressible)."""
+    cents = kmeans_centroid_matrix(
+        corpus, n_centroids, id_col, vec_col, seed=seed
+    )
+    return _ivf_probe_topk(queries, corpus, cents, k, nprobe, id_col, vec_col)

@@ -247,6 +247,35 @@ def test_ivf_topk_recall_vs_bruteforce(spark):
             assert exact_cos[pair] == r.cos
 
 
+def test_ivf_trained_recall_and_determinism(spark):
+    from llm_map_reduce_summarizer_spark.operators.similarity import (
+        cosine_topk_ivf_trained,
+    )
+
+    e = load_table(spark, SF, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    exact = cosine_topk(q, e, k=5).toPandas()
+    tr = cosine_topk_ivf_trained(q, e, k=5, n_centroids=16, nprobe=4).toPandas()
+    assert len(tr) > 0
+    exact_pairs = set(zip(exact["query_id"], exact["neighbor_id"]))
+    tr_pairs = set(zip(tr["query_id"], tr["neighbor_id"]))
+    # isotropic random embeddings are IVF's worst case; trained
+    # spherical k-means at nprobe=4/16 still finds half the true top-5
+    recall = len(tr_pairs & exact_pairs) / len(exact_pairs)
+    assert recall >= 0.45
+    # scores agree with the exact computation pair-for-pair
+    exact_cos = {
+        (r.query_id, r.neighbor_id): r.cos for r in exact.itertuples()
+    }
+    for r in tr.itertuples():
+        pair = (r.query_id, r.neighbor_id)
+        if pair in exact_cos:
+            assert exact_cos[pair] == r.cos
+    # seeded training -> repeat run returns the identical result set
+    tr2 = cosine_topk_ivf_trained(q, e, k=5, n_centroids=16, nprobe=4).toPandas()
+    assert tr_pairs == set(zip(tr2["query_id"], tr2["neighbor_id"]))
+
+
 def test_asof_join_backward_semantics(spark):
     from llm_map_reduce_summarizer_spark.operators.asof import (
         asof_join_backward,
