@@ -295,10 +295,11 @@ ORACLE = {
           WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
         ), numbered AS (
           SELECT user_id, value, ts_us,
-                 sum(is_new) OVER (
+                 -- CAST: DuckDB window sum(int) is HUGEINT; Spark's is bigint
+                 CAST(sum(is_new) OVER (
                    PARTITION BY user_id ORDER BY ts_us, event_id
                    ROWS UNBOUNDED PRECEDING
-                 ) AS session_id
+                 ) AS BIGINT) AS session_id
           FROM flagged
         )
         SELECT user_id, session_id,

@@ -365,7 +365,7 @@ QUERIES = {
 # ---------------------------------------------------------- oracle SQL
 
 _CLEAN = SQL_CLEAN.format(c="text")
-_SEGS = f"""segs AS (
+_SEGS = rf"""segs AS (
   SELECT doc_id AS seg_id,
          doc_id * 30.0 AS start_s,
          doc_id * 30.0 + n_chars / 16.0 AS end_s,
@@ -584,7 +584,9 @@ ORACLE = {
         ), nseg AS (SELECT count(*) AS segments FROM segs),
         rep AS (
           SELECT count(*) AS chunks,
-                 sum(prompt_tokens + completion_tokens) AS tokens_used,
+                 -- CAST: DuckDB sum(bigint) is HUGEINT; Spark's is bigint
+                 CAST(sum(prompt_tokens + completion_tokens) AS BIGINT)
+                   AS tokens_used,
                  (floor(sum(cost_usd) * 100000000.0 + 0.5) / 100000000.0)
                    AS cost_usd
           FROM (

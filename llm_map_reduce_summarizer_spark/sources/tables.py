@@ -32,6 +32,13 @@ BROADCAST_DIMS = {"region", "nation", "supplier", "part"}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet stores ts as TIMESTAMP(NANOS), which vanilla Spark
+        # rejects (PARQUET_TYPE_ILLEGAL). Surface nanos as long here — at the
+        # read site, not in session construction — so the table is loadable
+        # under ANY SparkSession (drivers/notebooks build their own).
+        # Runtime conf set is idempotent and safe to repeat per call.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         # ts is TIMESTAMP(NANOS) in parquet, surfaced as long nanos via

@@ -55,9 +55,39 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
+def _dtype_kind(dtype) -> str:
+    """Coarse dtype class for driver-hash compatibility checks."""
+    if pd.api.types.is_datetime64_any_dtype(dtype):
+        return "datetime"
+    if pd.api.types.is_bool_dtype(dtype):
+        return "bool"
+    if pd.api.types.is_integer_dtype(dtype):
+        return "int"
+    if pd.api.types.is_float_dtype(dtype):
+        return "float"
+    return "object"
+
+
+def dtype_mismatches(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
+    """Columns whose raw dtype class differs between Spark and the oracle.
+
+    The external verifier hashes raw values byte-level, so a DuckDB HUGEINT
+    (object/float in pandas) vs a Spark bigint (int64) hash-mismatches even
+    when every value is equal. Catch that locally before normalization.
+    """
+    a = {c.lower(): d for c, d in spark_pdf.dtypes.items()}
+    b = {c.lower(): d for c, d in oracle_pdf.dtypes.items()}
+    out = []
+    for c in sorted(set(a) & set(b)):
+        ka, kb = _dtype_kind(a[c]), _dtype_kind(b[c])
+        if ka != kb:
+            out.append(f"col {c}: dtype class spark={ka}({a[c]}) oracle={kb}({b[c]})")
+    return out
+
+
 def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
     """Return a list of human-readable mismatch descriptions (empty = match)."""
-    problems: list[str] = []
+    problems: list[str] = dtype_mismatches(spark_pdf, oracle_pdf)
     a, b = _normalize(spark_pdf), _normalize(oracle_pdf)
     if list(a.columns) != list(b.columns):
         problems.append(f"columns differ: spark={list(a.columns)} oracle={list(b.columns)}")
