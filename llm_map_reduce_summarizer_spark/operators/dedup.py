@@ -11,8 +11,9 @@ Scale design (100 TB):
   buckets (sig agreement on any band), then true Jaccard verifies just
   those pairs. Shuffles: one explode+agg for signatures, one bucket
   join, one verify join restricted to candidates.
-* SimHash: near-exact dedup for boilerplate — bucket on the high byte,
-  compare Hamming distance inside buckets only.
+* SimHash: near-exact dedup for boilerplate — 64-bit fingerprint banded
+  into 4x16-bit words; candidates only from exact band matches
+  (lossless for Hamming <= 3), Hamming verified on candidates only.
 """
 
 from __future__ import annotations
@@ -24,7 +25,7 @@ from ..functions.hashing import (
     band_hashes,
     minhash_aggs,
     shingles_3gram,
-    simhash16_aggs,
+    simhash64_word_aggs,
     words,
 )
 from ..functions.text import quantize
@@ -150,32 +151,54 @@ def minhash_lsh_pairs(
 
 
 def simhash_fingerprints(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per doc as four 16-bit words ``sim0..sim3``."""
     toks = docs.select(
         F.col(id_col), F.explode(words(F.col("text"))).alias("t")
     )
-    return toks.groupBy(id_col).agg(simhash16_aggs("t"))
+    return toks.groupBy(id_col).agg(*simhash64_word_aggs("t"))
 
 
 def simhash_pairs(
     docs: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
 ) -> DataFrame:
-    """Bucketed Hamming-distance pairs over 16-bit SimHash."""
-    fp = simhash_fingerprints(docs, id_col).withColumn(
-        "bucket", F.shiftright(F.col("simhash"), 8)
+    """Hamming <= max_hamming pairs over 64-bit SimHash via 4x16-bit
+    band tables.
+
+    Candidates come only from an exact match on one of the four 16-bit
+    words — pigeonhole makes that lossless for max_hamming <= 3 over 64
+    bits. The join key is (band index, word value), so bucket population
+    is bounded by real near-duplicate density, not by a saturating
+    fingerprint space; no O(bucket^2) scan over unrelated docs.
+    """
+    fp = simhash_fingerprints(docs, id_col)
+    sims = [f"sim{k}" for k in range(4)]
+    bands = fp.selectExpr(
+        id_col,
+        *sims,
+        "stack(4, 0, sim0, 1, sim1, 2, sim2, 3, sim3) AS (bk, bv)",
     )
-    a = fp.select(
-        F.col(id_col).alias("da"), F.col("simhash").alias("sa"), "bucket"
+    a = bands.select(
+        F.col(id_col).alias("da"),
+        *[F.col(s).alias(f"sa{k}") for k, s in enumerate(sims)],
+        "bk",
+        "bv",
     )
-    b = fp.select(
-        F.col(id_col).alias("db"), F.col("simhash").alias("sb"), "bucket"
+    b = bands.select(
+        F.col(id_col).alias("db"),
+        *[F.col(s).alias(f"sb{k}") for k, s in enumerate(sims)],
+        "bk",
+        "bv",
+    )
+    hamming = sum(
+        F.bit_count(F.col(f"sa{k}").bitwiseXOR(F.col(f"sb{k}")))
+        for k in range(4)
     )
     return (
-        a.join(b, "bucket")
+        a.join(b, ["bk", "bv"])
         .filter(F.col("da") < F.col("db"))
-        .withColumn(
-            "hamming",
-            F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("long"),
-        )
+        .select("da", "db", *[f"sa{k}" for k in range(4)],
+                *[f"sb{k}" for k in range(4)])
+        .distinct()  # a close pair can agree on >1 band
+        .withColumn("hamming", hamming.cast("long"))
         .filter(F.col("hamming") <= max_hamming)
-        .select("da", "db", "sa", "sb", "hamming")
     )

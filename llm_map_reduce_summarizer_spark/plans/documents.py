@@ -17,7 +17,7 @@ from ..functions.hashing import (
     SQL_WORDS,
     sql_band_hashes,
     sql_minhash_aggs,
-    sql_simhash16,
+    sql_simhash64_words,
 )
 from ..functions.text import TOKEN_PATTERN, quantize, sql_quantize, token_count
 from ..functions.vectors import (
@@ -593,17 +593,27 @@ ORACLE = {
         WITH toks AS (
           SELECT doc_id, unnest({_W}) AS t FROM documents
         ), fp AS (
-          SELECT doc_id, {sql_simhash16('t')} AS simhash
+          SELECT doc_id, {', '.join(sql_simhash64_words('t'))}
           FROM toks GROUP BY doc_id
-        ), bucketed AS (
-          SELECT doc_id, simhash, simhash >> 8 AS bucket FROM fp
+        ), bands AS (
+          SELECT doc_id, sim0, sim1, sim2, sim3, k.bk,
+                 CASE k.bk WHEN 0 THEN sim0 WHEN 1 THEN sim1
+                           WHEN 2 THEN sim2 ELSE sim3 END AS bv
+          FROM fp, (SELECT unnest([0, 1, 2, 3]) AS bk) k
+        ), cand AS (
+          SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+                 a.sim0 AS sa0, a.sim1 AS sa1, a.sim2 AS sa2, a.sim3 AS sa3,
+                 b.sim0 AS sb0, b.sim1 AS sb1, b.sim2 AS sb2, b.sim3 AS sb3
+          FROM bands a JOIN bands b
+            ON a.bk = b.bk AND a.bv = b.bv AND a.doc_id < b.doc_id
         )
-        SELECT a.doc_id AS da, b.doc_id AS db,
-               a.simhash AS sa, b.simhash AS sb,
-               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-        FROM bucketed a JOIN bucketed b
-          ON a.bucket = b.bucket AND a.doc_id < b.doc_id
-        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        SELECT da, db, sa0, sa1, sa2, sa3, sb0, sb1, sb2, sb3,
+               CAST(bit_count(xor(sa0, sb0)) + bit_count(xor(sa1, sb1))
+                  + bit_count(xor(sa2, sb2)) + bit_count(xor(sa3, sb3))
+                 AS BIGINT) AS hamming
+        FROM cand
+        WHERE bit_count(xor(sa0, sb0)) + bit_count(xor(sa1, sb1))
+            + bit_count(xor(sa2, sb2)) + bit_count(xor(sa3, sb3)) <= 3
     """,
     "emb_neardup": f"""
         WITH {sql_unit_cte()}
