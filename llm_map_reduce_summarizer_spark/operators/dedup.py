@@ -61,6 +61,28 @@ def doc_shingles(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def drop_stop_shingles(
+    shingles: DataFrame, df_cap: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Drop shingles whose document frequency exceeds ``df_cap``.
+
+    Boilerplate shingles (headers, licenses, navigation chrome) appear
+    in a huge fraction of a web-scale corpus; left in, they make the
+    LSH band join and the verify join skew-explode (a shingle with
+    df=10^6 contributes 10^12 candidate comparisons). The stop list —
+    shingles with df > cap — is tiny by construction (bounded by
+    corpus_shingles / cap), so it broadcasts; the corpus-side anti-join
+    is map-side with no shuffle of the shingle table.
+    """
+    stop = (
+        shingles.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > df_cap)
+        .select("s")
+    )
+    return shingles.join(F.broadcast(stop), "s", "left_anti")
+
+
 def jaccard_pairs(
     shingles: DataFrame, id_col: str = "doc_id", threshold: float = 0.6
 ) -> DataFrame:
@@ -127,14 +149,25 @@ def jaccard_verify(
 
 
 def minhash_lsh_pairs(
-    docs: DataFrame, id_col: str = "doc_id", threshold: float = 0.5
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    df_cap: int | None = None,
 ) -> DataFrame:
-    """MinHash band candidates -> exact Jaccard verify (scale path)."""
+    """MinHash band candidates -> exact Jaccard verify (scale path).
+
+    ``df_cap`` drops stop-shingles (df > cap) before both the signature
+    and verify passes — the corpus-scale guard against boilerplate skew
+    (see :func:`drop_stop_shingles`). Jaccard is then over the capped
+    shingle sets, the standard near-dup-pipeline semantics.
+    """
     # shingles feed both the signature pass and the verify pass; left
     # uncached deliberately — a cached side hides stats from the
     # planner and forces sort-merge joins (measured 2x slower than
     # recomputing the explode)
     sh = doc_shingles(docs, id_col)
+    if df_cap is not None:
+        sh = drop_stop_shingles(sh, df_cap, id_col)
     sigs = minhash_signatures(sh, id_col).select(id_col, *band_hashes())
     bands = sigs.selectExpr(
         id_col,

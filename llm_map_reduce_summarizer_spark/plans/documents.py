@@ -160,7 +160,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return minhash_lsh_pairs(_docs(spark, sf_dir), threshold=MINHASH_THRESHOLD)
+    return minhash_lsh_pairs(
+        _docs(spark, sf_dir),
+        threshold=MINHASH_THRESHOLD,
+        df_cap=MINHASH_DF_CAP,
+    )
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -387,11 +391,12 @@ _SH_CTES = f"""toks AS (
   FROM toks WHERE len(w) >= 3
 )"""
 
-_JACCARD_CTES = """sizes AS (
-  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+def _jaccard_ctes(src: str = "sh") -> str:
+    return f"""sizes AS (
+  SELECT doc_id, count(*) AS n FROM {src} GROUP BY doc_id
 ), common AS (
   SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
-  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  FROM {src} a JOIN {src} b ON a.s = b.s AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 ), jac AS (
   SELECT common.da, common.db,
@@ -399,6 +404,19 @@ _JACCARD_CTES = """sizes AS (
   FROM common
   JOIN sizes sa ON common.da = sa.doc_id
   JOIN sizes sb ON common.db = sb.doc_id
+)"""
+
+
+_JACCARD_CTES = _jaccard_ctes("sh")
+
+# Stop-shingle document-frequency cap for the LSH scale path: shingles in
+# more than this many docs are boilerplate and are dropped before banding
+# and verify (operators/dedup.py drop_stop_shingles).
+MINHASH_DF_CAP = 100
+
+_SH_CAPPED_CTE = f"""shc AS (
+  SELECT doc_id, s FROM sh
+  WHERE s NOT IN (SELECT s FROM sh GROUP BY s HAVING count(*) > {MINHASH_DF_CAP})
 )"""
 
 _STOP_SQL = {
@@ -570,9 +588,9 @@ ORACLE = {
         SELECT da, db, jaccard FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}
     """,
     "dedup_minhash_lsh": f"""
-        WITH {_SH_CTES},
+        WITH {_SH_CTES}, {_SH_CAPPED_CTE},
         sigs AS (
-          SELECT doc_id, {sql_minhash_aggs()} FROM sh GROUP BY doc_id
+          SELECT doc_id, {sql_minhash_aggs()} FROM shc GROUP BY doc_id
         ), bandsw AS (
           SELECT doc_id, {sql_band_hashes()} FROM sigs
         ), bands AS (
@@ -584,7 +602,7 @@ ORACLE = {
           SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
           FROM bands a JOIN bands b
             ON a.bk = b.bk AND a.bv = b.bv AND a.doc_id < b.doc_id
-        ), {_JACCARD_CTES}
+        ), {_jaccard_ctes('shc')}
         SELECT jac.da, jac.db, jac.jaccard
         FROM jac JOIN cand ON jac.da = cand.da AND jac.db = cand.db
         WHERE jac.jaccard >= {MINHASH_THRESHOLD}

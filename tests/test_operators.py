@@ -484,3 +484,32 @@ def test_decode_batch_and_frame_sample(spark):
     frames = frame_sample(decoded, every_nth=2).orderBy("doc_id").toPandas()
     # n_frames = 1 + n % 7 -> doc1: 4 frames sampled @2 = idx 0,2
     assert list(frames[frames["doc_id"] == 1]["frame_idx"]) == [0, 2]
+
+
+def test_stop_shingle_df_cap_kills_boilerplate_explosion(spark):
+    from llm_map_reduce_summarizer_spark.operators.dedup import (
+        doc_shingles,
+        drop_stop_shingles,
+        minhash_lsh_pairs,
+    )
+
+    # 40 docs sharing one boilerplate sentence + unique tails; docs 0/1
+    # are true near-duplicates of each other.
+    boiler = "all rights reserved contact us for details"
+    uniq = [f"document number {i} talks about topic {i * 7} alone" for i in range(40)]
+    uniq[1] = uniq[0] + " extra"
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": list(range(40)), "text": [f"{boiler} {u}" for u in uniq]}
+        )
+    )
+
+    sh = doc_shingles(docs)
+    capped = drop_stop_shingles(sh, df_cap=20)
+    # every boilerplate-only shingle (present in all 40 docs) is gone
+    assert capped.groupBy("s").count().agg(F.max("count")).first()[0] <= 20
+
+    pairs = minhash_lsh_pairs(docs, threshold=0.5, df_cap=20).toPandas()
+    # only the genuine near-dup pair survives; without the cap the
+    # boilerplate shingles alone would make ALL 780 pairs candidates
+    assert set(zip(pairs["da"], pairs["db"])) == {(0, 1)}
