@@ -157,14 +157,18 @@ def assign_chunks_greedy(
             acc += n
         pdf["chunk_id"] = chunk_ids
         return pdf[[
+            *( [doc_col] if doc_col else [] ),
             "seg_id", "start", "end", "speaker", "seg_text", "n_tokens",
             "chunk_id",
         ]]
 
     if doc_col:
+        doc_type = counted.schema[doc_col].dataType.simpleString()
         return counted.groupBy(doc_col).applyInPandas(
-            greedy, schema=f"{doc_col} long, " + GREEDY_SCHEMA
+            greedy, schema=f"{doc_col} {doc_type}, " + GREEDY_SCHEMA
         )
+    # Single-transcript fallback ONLY: one pandas group = one task. Any
+    # corpus-scale caller must pass doc_col so groups parallelize.
     return counted.withColumn("_g", F.lit(0)).groupBy("_g").applyInPandas(
         lambda pdf: greedy(pdf.drop(columns=["_g"])), schema=GREEDY_SCHEMA
     )

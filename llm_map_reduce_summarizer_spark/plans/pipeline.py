@@ -294,10 +294,18 @@ def pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def chunk_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Faithful greedy chunker (rows-only check: sequential reset)."""
+    """Faithful greedy chunker (rows-only check: sequential reset).
+
+    Partitioned by ``source`` — each source is one transcript stream, so
+    the sequential accumulate-and-reset runs per transcript in parallel
+    pandas groups, never as a single global task.
+    """
+    segs = _segments_clean(spark, sf_dir).withColumn(
+        "transcript", F.col("speaker")
+    )
     return assign_chunks_greedy(
-        _segments_clean(spark, sf_dir), MAX_TOKENS_PER_CHUNK
-    ).select("seg_id", "chunk_id", "n_tokens")
+        segs, MAX_TOKENS_PER_CHUNK, doc_col="transcript"
+    ).select("transcript", "seg_id", "chunk_id", "n_tokens")
 
 
 SPLIT_BUDGET_WORDS = 48

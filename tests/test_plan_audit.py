@@ -30,3 +30,16 @@ def test_no_cartesian_no_row_udf(spark, name):
     plan = buf.getvalue()
     assert "CartesianProduct" not in plan, f"{name}: cartesian product"
     assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
+
+
+def test_chunk_greedy_is_not_single_task(spark):
+    """The greedy chunker must parallelize across transcripts: its
+    exchange must hash-partition on the transcript key, never collapse
+    to one global pandas group."""
+    df = QUERIES["chunk_greedy"](spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "SinglePartition" not in plan, "greedy chunker runs as one task"
+    assert "hashpartitioning(transcript" in plan
