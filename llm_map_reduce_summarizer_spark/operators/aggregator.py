@@ -56,15 +56,24 @@ def hierarchical_reduce(
     text_col: str = "summary",
     batch_size: int = 10,
 ) -> DataFrame:
-    """Tree-reduce to a single final-summary row (log-depth groupBys)."""
+    """Tree-reduce to a single final-summary row (log-depth groupBys).
+
+    Each level is localCheckpointed (eager): the per-level ``count`` and
+    the next reduction read materialized partitions, so level k never
+    re-executes levels 1..k-1 — O(L) scans of shrinking data instead of
+    the O(L^2) full-lineage recompute a lazy loop would do. The
+    checkpointed sets shrink by batch_size per level, so executor
+    storage cost is a geometric series bounded by ~2x level 1.
+    """
+    out = df.localCheckpoint(eager=True)
     level = 0
-    n = df.count()
-    out = df
+    n = out.count()
     while n > 1:
         header = (
             "# Intermediate Summary" if n > batch_size else "# Transcript Summary"
         )
         out = reduce_level(out, ord_col, text_col, batch_size, header)
+        out = out.localCheckpoint(eager=True)
         level += 1
         n = out.count()
     return out.select(
