@@ -62,3 +62,25 @@ def test_doc_queries_prune_documents_scan(spark):
     read_schema = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
     # doc_tokens uses doc_id + text only; lang/source must be pruned
     assert "lang" not in read_schema and "source" not in read_schema
+
+
+def test_value_quantiles_approx_tracks_exact(spark):
+    """approx_percentile returns a real data element (no interpolation),
+    so at test accuracy (10k >> group size) it must land on one of the
+    two elements bracketing the true quantile rank — guards against
+    wiring the wrong column/quantile."""
+    from llm_map_reduce_summarizer_spark.plans.events import (
+        _QUANTILES,
+        events_value_quantiles,
+    )
+    from llm_map_reduce_summarizer_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    approx = events_value_quantiles(spark, sf).toPandas().set_index("event_type")
+    vals = load_table(spark, sf, "events").select("event_type", "value").toPandas()
+    for etype, grp in vals.groupby("event_type"):
+        for q, col in zip(_QUANTILES, ["p25", "p5", "p9", "p99"]):
+            lo = round(grp["value"].quantile(q, interpolation="lower"), 4)
+            hi = round(grp["value"].quantile(q, interpolation="higher"), 4)
+            got = approx.loc[etype, col]
+            assert lo <= got <= hi, f"{etype} {col}: {got} not in [{lo}, {hi}]"
