@@ -38,9 +38,17 @@ def formatted_segment(with_speaker: bool = True):
     return F.concat(ts, F.col("text"))
 
 
-def with_token_counts(segments: DataFrame) -> DataFrame:
+def with_token_counts(segments: DataFrame, counter: str = "regex") -> DataFrame:
+    """Attach formatted text + token counts.
+
+    ``counter`` selects the backend (functions/tokenize.py): ``regex``
+    (JVM-side, oracle-expressible, the default), ``tiktoken``
+    (reference-exact BPE via Arrow-batched Pandas UDF), or ``auto``.
+    """
+    from ..functions.tokenize import token_count_column
+
     return segments.withColumn("seg_text", formatted_segment()).withColumn(
-        "n_tokens", token_count(F.col("seg_text")).cast("long")
+        "n_tokens", token_count_column(F.col("seg_text"), counter).cast("long")
     )
 
 
@@ -48,6 +56,7 @@ def assign_chunks(
     segments: DataFrame,
     max_tokens_per_chunk: int = 500,
     doc_col: str | None = None,
+    counter: str = "regex",
 ) -> DataFrame:
     """Prefix-sum chunk assignment: no sequential state.
 
@@ -56,10 +65,13 @@ def assign_chunks(
     the order is global, so the naive window would collapse to one
     task — instead the exclusive prefix sum runs as a distributed
     two-pass scan (operators/scan.py), keeping every partition busy.
+
+    ``counter='tiktoken'`` reproduces the reference's BPE-exact chunk
+    boundaries (big_chunkeroosky.py:43) when tiktoken is installed.
     """
     from .scan import scan_enabled, with_prefix_sums
 
-    counted = with_token_counts(segments)
+    counted = with_token_counts(segments, counter)
     if doc_col is None and scan_enabled(segments):
         scanned = with_prefix_sums(counted, "seg_id", {"_cum_prev": "n_tokens"})
         return scanned.withColumn(
@@ -132,6 +144,7 @@ def assign_chunks_greedy(
     segments: DataFrame,
     max_tokens_per_chunk: int = 500,
     doc_col: str | None = None,
+    counter: str = "regex",
 ) -> DataFrame:
     """Faithful greedy accumulate-and-reset chunking.
 
@@ -139,9 +152,10 @@ def assign_chunks_greedy(
     sequential within — the reference's own dependency structure
     (big_chunkeroosky.py:86-99). Oversized single segments keep their
     own chunk (sentence-splitting of pathological segments is handled
-    upstream by merge caps).
+    upstream by merge caps). ``counter='tiktoken'`` gives BPE-exact
+    budgets matching the reference when the library is installed.
     """
-    counted = with_token_counts(segments).select(
+    counted = with_token_counts(segments, counter).select(
         "seg_id", "start", "end", "speaker", "seg_text", "n_tokens",
         *( [doc_col] if doc_col else [] ),
     )

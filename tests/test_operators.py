@@ -513,3 +513,59 @@ def test_stop_shingle_df_cap_kills_boilerplate_explosion(spark):
     # only the genuine near-dup pair survives; without the cap the
     # boilerplate shingles alone would make ALL 780 pairs candidates
     assert set(zip(pairs["da"], pairs["db"])) == {(0, 1)}
+
+
+def test_token_counter_backends(spark):
+    from llm_map_reduce_summarizer_spark.functions.tokenize import (
+        HAS_TIKTOKEN,
+        token_count_column,
+        tiktoken_count,
+    )
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"text": ["hello world", "a b c d", ""]})
+    )
+    regex_counts = df.select(
+        token_count_column(F.col("text"), "regex").alias("n")
+    ).toPandas()["n"]
+    assert list(regex_counts) == [2, 4, 0]
+
+    if HAS_TIKTOKEN:
+        tk = df.select(
+            token_count_column(F.col("text"), "tiktoken").alias("n")
+        ).toPandas()["n"]
+        assert (tk > 0).iloc[:2].all()
+        # auto prefers tiktoken when installed
+        auto = df.select(
+            token_count_column(F.col("text"), "auto").alias("n")
+        ).toPandas()["n"]
+        assert list(auto) == list(tk)
+    else:
+        # explicit tiktoken request must fail loudly, never downgrade
+        with pytest.raises(NotImplementedError):
+            tiktoken_count(F.col("text"))
+        # auto falls back to the regex counter
+        auto = df.select(
+            token_count_column(F.col("text"), "auto").alias("n")
+        ).toPandas()["n"]
+        assert list(auto) == list(regex_counts)
+    with pytest.raises(ValueError):
+        token_count_column(F.col("text"), "bogus")
+
+
+def test_greedy_chunker_accepts_counter_backend(spark):
+    rows = [
+        (0, 0.0, 1.0, "A", "w " * 120),
+        (1, 1.0, 2.0, "A", "w " * 120),
+        (2, 2.0, 3.0, "A", "w " * 120),
+    ]
+    out = (
+        assign_chunks_greedy(
+            preprocess_segments(_segments(spark, rows)),
+            max_tokens_per_chunk=300,
+            counter="auto",
+        )
+        .orderBy("seg_id")
+        .toPandas()
+    )
+    assert len(out) == 3
