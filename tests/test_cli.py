@@ -1,0 +1,133 @@
+"""CLI surface: reference main.py flag parity over the Spark pipeline."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from llm_map_reduce_summarizer_spark.__main__ import build_parser, run
+
+
+def _write_transcript(tmp_path, name="t.json", n=12):
+    segs = []
+    for i in range(n):
+        segs.append(
+            {
+                "start": i * 10.0,
+                "end": i * 10.0 + 8.0,
+                "text": f"sentence number {i} about topic {i % 3}. " * 6,
+                "speaker": f"SPEAKER_{i % 2}",
+            }
+        )
+    p = tmp_path / name
+    p.write_text(json.dumps({"segments": segs}), encoding="utf-8")
+    return str(p)
+
+
+def test_cli_end_to_end_mock_provider(spark, tmp_path, monkeypatch):
+    # keyless env -> deterministic mock provider, like the reference
+    monkeypatch.delenv("OPENAI_API_KEY", raising=False)
+    path = _write_transcript(tmp_path)
+    chunks_dir = tmp_path / "chunks"
+    args = build_parser().parse_args(
+        [
+            "--input", path,
+            "--max-tokens-per-chunk", "300",
+            "--max-segment-duration", "30",
+            "--save-chunks", str(chunks_dir),
+            "--quiet",
+        ]
+    )
+    result = run(spark, args)
+    assert result["provider"] == "mock"
+    assert result["segments"] == 12
+    assert result["chunks"] >= 1
+    assert result["tokens_used"] > 0
+    assert 0 < result["cost"] < 1
+    assert "[Mock response using" in result["summary"]
+    assert "[Time:" in result["summary"]
+    saved = spark.read.parquet(str(chunks_dir))
+    assert saved.count() == result["chunks"]
+    assert "summary" in saved.columns
+
+
+def test_cli_flag_variants(spark, tmp_path):
+    path = _write_transcript(tmp_path)
+    base = ["--input", path, "--quiet", "--max-tokens-per-chunk", "300"]
+    direct = run(
+        spark, build_parser().parse_args(base + ["--no-hierarchical"])
+    )
+    assert direct["chunks"] >= 1
+    nomerge = run(spark, build_parser().parse_args(base + ["--no-merge"]))
+    # without merging there are at least as many chunks as with it
+    assert nomerge["chunks"] >= direct["chunks"]
+    limited = run(
+        spark, build_parser().parse_args(base + ["--limit-segments", "4"])
+    )
+    assert limited["segments"] == 4
+
+
+def test_cli_multi_file_input_orders_across_files(spark, tmp_path):
+    _write_transcript(tmp_path, "a.json", n=4)
+    _write_transcript(tmp_path, "b.json", n=4)
+    args = build_parser().parse_args(
+        ["--input", str(tmp_path / "*.json"), "--quiet"]
+    )
+    result = run(spark, args)
+    assert result["segments"] == 8
+
+
+def test_cli_custom_prompt_file(spark, tmp_path):
+    path = _write_transcript(tmp_path)
+    prompt = tmp_path / "prompt.txt"
+    prompt.write_text("Custom summarize:\n{transcript}", encoding="utf-8")
+    args = build_parser().parse_args(
+        ["--input", path, "--prompt-file", str(prompt), "--quiet"]
+    )
+    result = run(spark, args)
+    assert result["chunks"] >= 1
+
+
+def test_cli_requires_input():
+    with pytest.raises(SystemExit):
+        build_parser().parse_args([])
+
+
+def test_get_provider_keyless_falls_back_to_mock(monkeypatch):
+    from llm_map_reduce_summarizer_spark.operators import providers
+
+    monkeypatch.delenv("OPENAI_API_KEY", raising=False)
+    monkeypatch.delenv("ANTHROPIC_API_KEY", raising=False)
+    fn, model, is_mock = providers.get_provider("openai")
+    assert is_mock and model == providers.DEFAULT_MODELS["openai"]
+    assert "Mock response" in fn(["hello"])[0]
+    with pytest.raises(ValueError):
+        providers.get_provider("unknown")
+
+
+def test_provider_adapters_parse_responses(monkeypatch):
+    from llm_map_reduce_summarizer_spark.operators import providers
+
+    def fake_post(url, headers, payload, timeout):
+        assert payload["messages"][0]["role"] == "user"
+        if "openai" in url:
+            assert headers["Authorization"].startswith("Bearer ")
+            return {"choices": [{"message": {"content": "oai summary"}}]}
+        assert headers["x-api-key"] == "k2"
+        assert headers["anthropic-version"] == providers.ANTHROPIC_VERSION
+        return {"content": [{"type": "text", "text": "ant summary"}]}
+
+    monkeypatch.setattr(providers, "_post_json", fake_post)
+    oai = providers.openai_provider("m1", "k1")
+    assert oai(["p"]) == ["oai summary"]
+    ant = providers.anthropic_provider("m2", "k2")
+    assert ant(["p"]) == ["ant summary"]
+
+
+def test_get_provider_env_keyed(monkeypatch):
+    from llm_map_reduce_summarizer_spark.operators import providers
+
+    monkeypatch.setenv("ANTHROPIC_API_KEY", "test-key")
+    fn, model, is_mock = providers.get_provider("anthropic", model="m-x")
+    assert not is_mock and model == "m-x"
