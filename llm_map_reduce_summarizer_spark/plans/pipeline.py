@@ -74,6 +74,18 @@ def seg_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def seg_clean_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-fidelity clean incl. the reference's repeated-word removal
+    (preprocessor.py:84 backreference rule — the reference applies it
+    ALWAYS). Rows-only check: `\\b(\\w+)( \\1\\b)+` needs Java regex;
+    RE2-based oracles cannot express it, which is exactly why the
+    oracle-checked `seg_clean` uses the RE2-safe subset.
+    """
+    return preprocess_segments(
+        derive_segments(spark, sf_dir), full_fidelity=True
+    ).select("seg_id", "speaker", "start_fmt", "end_fmt", "text")
+
+
 def seg_merge_speaker(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = merge_same_speaker(
         _segments_clean(spark, sf_dir), MAX_SEGMENT_DURATION
@@ -359,6 +371,7 @@ QUERIES = {
     "reduce_auto": reduce_auto_q,
     "pipeline_report": pipeline_report,
     "seg_clean": seg_clean,
+    "seg_clean_full": seg_clean_full,
     "seg_merge_speaker": seg_merge_speaker,
     "seg_interval_agg": seg_interval_agg,
     "chunk_assign": chunk_assign,

@@ -569,3 +569,35 @@ def test_greedy_chunker_accepts_counter_backend(spark):
         .toPandas()
     )
     assert len(out) == 3
+
+
+@pytest.mark.parametrize(
+    "domain", ["meeting", "academic", "accessibility", "analytical", "video_editor"]
+)
+def test_prompt_pack_domains_complete(domain):
+    import os
+
+    from llm_map_reduce_summarizer_spark.operators.executor import resolve_prompt
+
+    root = os.path.join(os.path.dirname(os.path.dirname(__file__)), "prompts")
+    tpl = resolve_prompt(None, os.path.join(root, f"{domain}_prompt.txt"))
+    system = resolve_prompt(None, os.path.join(root, f"{domain}_system.txt"))
+    assert "{transcript}" in tpl
+    assert system and "{transcript}" not in system
+    agg_path = os.path.join(root, f"{domain}_aggregator.txt")
+    if os.path.exists(agg_path):
+        assert "{summaries}" in resolve_prompt(None, agg_path)
+
+
+def test_seg_clean_full_removes_repeated_words(spark):
+    from llm_map_reduce_summarizer_spark.plans.pipeline import seg_clean_full
+
+    df = seg_clean_full(spark, "/root/testdata/sf0.001")
+    assert df.count() > 0
+    # direct rule check on a known repeated-word input
+    src = spark.createDataFrame(
+        [(0, 0.0, 5.0, "A", "the the quick brown brown brown fox")],
+        "seg_id long, start double, end double, speaker string, text string",
+    )
+    out = preprocess_segments(src, full_fidelity=True).first()["text"]
+    assert out == "the quick brown fox"
