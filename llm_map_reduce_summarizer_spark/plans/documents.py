@@ -80,8 +80,8 @@ def doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
+def _quality_parts() -> dict[str, F.Column]:
+    """Quality sub-expressions over a ``text`` column (single scan)."""
     n_words = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("double")
     n_chars = F.length("text").cast("double")
     alpha = F.length(F.regexp_replace("text", "[^a-zA-Z]", "")).cast("double")
@@ -92,25 +92,41 @@ def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda t: F.array_contains(stops, t),
         )
     ).cast("double")
-    stop_ratio = stop_hits / n_words
-    avg_wl = alpha / n_words
+    return {
+        "n_words": n_words,
+        "n_chars": n_chars,
+        "alpha": alpha,
+        "stop_hits": stop_hits,
+    }
+
+
+def quality_score_col() -> F.Column:
+    """Composite quality score in [0, ~1] over a ``text`` column,
+    quantized to 4 decimals for engine-portable threshold gating."""
+    p = _quality_parts()
     score = (
-        0.4 * F.least(n_words / 100.0, F.lit(1.0))
-        + 0.3 * (1.0 - stop_ratio)
-        + 0.3 * F.least(avg_wl / 8.0, F.lit(1.0))
+        0.4 * F.least(p["n_words"] / 100.0, F.lit(1.0))
+        + 0.3 * (1.0 - p["stop_hits"] / p["n_words"])
+        + 0.3 * F.least((p["alpha"] / p["n_words"]) / 8.0, F.lit(1.0))
     )
+    return quantize(score, 4)
+
+
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    p = _quality_parts()
     return d.select(
         "doc_id",
-        n_words.cast("long").alias("n_words"),
-        quantize(n_chars / n_words, 4).alias("chars_per_word"),
-        quantize(alpha / n_chars, 4).alias("alpha_ratio"),
-        quantize(stop_ratio, 4).alias("stopword_ratio"),
-        quantize(score, 4).alias("quality_score"),
+        p["n_words"].cast("long").alias("n_words"),
+        quantize(p["n_chars"] / p["n_words"], 4).alias("chars_per_word"),
+        quantize(p["alpha"] / p["n_chars"], 4).alias("alpha_ratio"),
+        quantize(p["stop_hits"] / p["n_words"], 4).alias("stopword_ratio"),
+        quality_score_col().alias("quality_score"),
     )
 
 
-def doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
+def lang_score_cols() -> dict[str, F.Column]:
+    """Per-language stopword-hit counts over a ``text`` column."""
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
 
     def _counter(stops: list[str]):
@@ -119,28 +135,35 @@ def doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
 
     scores = {
-        lang: _counter(stops).cast("long") for lang, stops in STOPWORDS.items()
+        f"s_{lang}": _counter(stops).cast("long")
+        for lang, stops in STOPWORDS.items()
     }
-    cjk = F.size(F.regexp_extract_all("text", F.lit(CJK_PATTERN), 0)).cast("long")
-    d2 = d.select(
-        "doc_id",
-        F.col("lang").alias("labeled_lang"),
-        scores["en"].alias("s_en"),
-        scores["de"].alias("s_de"),
-        scores["es"].alias("s_es"),
-        scores["fr"].alias("s_fr"),
-        cjk.alias("s_zh"),
-    )
-    pred = (
+    scores["s_zh"] = F.size(
+        F.regexp_extract_all("text", F.lit(CJK_PATTERN), 0)
+    ).cast("long")
+    return scores
+
+
+def pred_lang_col() -> F.Column:
+    """Language decision over s_en/s_de/s_es/s_fr/s_zh score columns."""
+    return (
         F.when(F.col("s_zh") > 0, "zh")
-        .when(
-            F.col("s_en") >= F.greatest("s_de", "s_es", "s_fr"), "en"
-        )
+        .when(F.col("s_en") >= F.greatest("s_de", "s_es", "s_fr"), "en")
         .when(F.col("s_de") >= F.greatest("s_es", "s_fr"), "de")
         .when(F.col("s_es") >= F.col("s_fr"), "es")
         .otherwise("fr")
     )
-    return d2.withColumn("pred_lang", pred)
+
+
+def doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    scores = lang_score_cols()
+    d2 = d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        *[scores[k].alias(k) for k in ["s_en", "s_de", "s_es", "s_fr", "s_zh"]],
+    )
+    return d2.withColumn("pred_lang", pred_lang_col())
 
 
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -357,7 +380,51 @@ def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PREP_QUALITY_MIN = 0.5
+PREP_LANGS = ("en",)
+
+
+def corpus_prep_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship training-corpus preparation: quality gate -> language
+    gate -> exact dedup -> MinHash near-dup removal, in one pipeline.
+
+    Scale shape:
+    - quality score and language ID are COLUMNS on a single scan (no
+      self-joins of the corpus with its own derived tables);
+    - exact dedup keeps min doc_id per content digest — the semi-join
+      key is the 32-byte digest, documents never shuffle;
+    - near-dup removal runs MinHash+LSH (stop-shingle df-capped) on the
+      already-gated corpus and anti-joins the higher id of each
+      verified pair, so every pairwise stage sees only surviving docs.
+    """
+    d = _docs(spark, sf_dir)
+    scores = lang_score_cols()
+    gated = (
+        d.withColumn("quality_score", quality_score_col())
+        .withColumns({k: v for k, v in scores.items()})
+        .withColumn("pred_lang", pred_lang_col())
+        .filter(
+            (F.col("quality_score") >= PREP_QUALITY_MIN)
+            & F.col("pred_lang").isin(*PREP_LANGS)
+        )
+        .drop(*scores.keys())
+    )
+    keep = exact_dedup(gated).select(F.col("keep_id").alias("doc_id"))
+    corpus = gated.join(keep, "doc_id", "left_semi")
+    drops = (
+        minhash_lsh_pairs(
+            corpus, threshold=MINHASH_THRESHOLD, df_cap=MINHASH_DF_CAP
+        )
+        .select(F.col("db").alias("doc_id"))
+        .distinct()
+    )
+    return corpus.join(drops, "doc_id", "left_anti").select(
+        "doc_id", "lang", "source", "n_chars", "quality_score", "pred_lang"
+    )
+
+
 QUERIES = {
+    "corpus_prep_e2e": corpus_prep_e2e,
     "multimodal_frames": multimodal_frames,
     "dedup_apply": dedup_apply,
     "doc_tokens": doc_tokens,
@@ -586,6 +653,83 @@ ORACLE = {
     "dedup_ngram_jaccard": f"""
         WITH {_SH_CTES}, {_JACCARD_CTES}
         SELECT da, db, jaccard FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}
+    """,
+    "corpus_prep_e2e": f"""
+        WITH q AS (
+          SELECT doc_id, lang, source, n_chars, text,
+                 {sql_quantize(
+                     '0.4 * least(n_words_d / 100.0, 1.0)'
+                     ' + 0.3 * (1.0 - stop_hits / n_words_d)'
+                     ' + 0.3 * least((alpha / n_words_d) / 8.0, 1.0)', 4)}
+                   AS quality_score,
+                 CASE
+                   WHEN s_zh > 0 THEN 'zh'
+                   WHEN s_en >= greatest(s_de, s_es, s_fr) THEN 'en'
+                   WHEN s_de >= greatest(s_es, s_fr) THEN 'de'
+                   WHEN s_es >= s_fr THEN 'es'
+                   ELSE 'fr' END AS pred_lang
+          FROM (
+            SELECT *,
+                   CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) AS n_words_d,
+                   CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) AS alpha,
+                   CAST(len(list_filter({_W}, t -> list_contains({_Q_STOPS}, t))) AS DOUBLE) AS stop_hits,
+                   CAST(len(list_filter({_W}, t -> list_contains({_STOP_SQL['en']}, t))) AS BIGINT) AS s_en,
+                   CAST(len(list_filter({_W}, t -> list_contains({_STOP_SQL['de']}, t))) AS BIGINT) AS s_de,
+                   CAST(len(list_filter({_W}, t -> list_contains({_STOP_SQL['es']}, t))) AS BIGINT) AS s_es,
+                   CAST(len(list_filter({_W}, t -> list_contains({_STOP_SQL['fr']}, t))) AS BIGINT) AS s_fr,
+                   CAST(len(regexp_extract_all(text, '{CJK_PATTERN}')) AS BIGINT) AS s_zh
+            FROM documents
+          )
+        ), gated AS (
+          SELECT doc_id, lang, source, n_chars, text, quality_score, pred_lang
+          FROM q
+          WHERE quality_score >= {PREP_QUALITY_MIN}
+            AND pred_lang IN ({', '.join(repr(x) for x in PREP_LANGS)})
+        ), keepers AS (
+          SELECT min(doc_id) AS doc_id FROM gated
+          GROUP BY md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+        ), corpus AS (
+          SELECT * FROM gated WHERE doc_id IN (SELECT doc_id FROM keepers)
+        ), toksc AS (
+          SELECT doc_id, {_W} AS w FROM corpus
+        ), shx AS (
+          SELECT DISTINCT doc_id, unnest({SQL_SHINGLES.format(w='w')}) AS s
+          FROM toksc WHERE len(w) >= 3
+        ), shc2 AS (
+          SELECT doc_id, s FROM shx
+          WHERE s NOT IN (SELECT s FROM shx GROUP BY s
+                          HAVING count(*) > {MINHASH_DF_CAP})
+        ), sigs AS (
+          SELECT doc_id, {sql_minhash_aggs()} FROM shc2 GROUP BY doc_id
+        ), bandsw AS (
+          SELECT doc_id, {sql_band_hashes()} FROM sigs
+        ), bands AS (
+          SELECT doc_id, 0 AS bk, band0 AS bv FROM bandsw
+          UNION ALL SELECT doc_id, 1, band1 FROM bandsw
+          UNION ALL SELECT doc_id, 2, band2 FROM bandsw
+          UNION ALL SELECT doc_id, 3, band3 FROM bandsw
+        ), cand AS (
+          SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+          FROM bands a JOIN bands b
+            ON a.bk = b.bk AND a.bv = b.bv AND a.doc_id < b.doc_id
+        ), sizes2 AS (
+          SELECT doc_id, count(*) AS n FROM shc2 GROUP BY doc_id
+        ), common2 AS (
+          SELECT cand.da, cand.db, count(*) AS c
+          FROM cand
+          JOIN shc2 a ON a.doc_id = cand.da
+          JOIN shc2 b ON b.doc_id = cand.db AND b.s = a.s
+          GROUP BY 1, 2
+        ), drops AS (
+          SELECT DISTINCT common2.db
+          FROM common2
+          JOIN sizes2 sa ON common2.da = sa.doc_id
+          JOIN sizes2 sb ON common2.db = sb.doc_id
+          WHERE (floor((common2.c / (sa.n + sb.n - common2.c)) * 10000.0 + 0.5)
+                  / 10000.0) >= {MINHASH_THRESHOLD}
+        )
+        SELECT doc_id, lang, source, n_chars, quality_score, pred_lang
+        FROM corpus WHERE doc_id NOT IN (SELECT db FROM drops)
     """,
     "dedup_minhash_lsh": f"""
         WITH {_SH_CTES}, {_SH_CAPPED_CTE},
