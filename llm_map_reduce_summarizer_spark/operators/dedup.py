@@ -79,6 +79,11 @@ def drop_stop_shingles(
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") > df_cap)
         .select("s")
+        # materialize once: the capped shingle set is consumed several
+        # times downstream (signature pass + verify pass sides), and
+        # without this each consumer would recompute the full
+        # shingle-df aggregation just to rebuild this tiny list
+        .localCheckpoint(eager=True)
     )
     return shingles.join(F.broadcast(stop), "s", "left_anti")
 

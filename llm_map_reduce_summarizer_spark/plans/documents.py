@@ -410,7 +410,13 @@ def corpus_prep_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop(*scores.keys())
     )
     keep = exact_dedup(gated).select(F.col("keep_id").alias("doc_id"))
-    corpus = gated.join(keep, "doc_id", "left_semi")
+    # materialize the gated+deduped corpus once: the LSH stage consumes
+    # it repeatedly (shingle explode for signatures, verify sides,
+    # sizes), and each consumption would otherwise recompute the regex
+    # quality/langid gate expressions over the full text column
+    corpus = gated.join(keep, "doc_id", "left_semi").localCheckpoint(
+        eager=True
+    )
     drops = (
         minhash_lsh_pairs(
             corpus, threshold=MINHASH_THRESHOLD, df_cap=MINHASH_DF_CAP
