@@ -152,11 +152,18 @@ def aggregate_by_interval(
     of a per-interval scan — one pass, no quadratic re-scan.
     """
     part = _part(doc_col)
-    wall = Window.partitionBy(*part)
-    t0 = F.min("start").over(wall)
-    tmax = F.max("end").over(wall)
-
-    with_bounds = segments.withColumn("t0", t0).withColumn("tmax", tmax)
+    if part:
+        wall = Window.partitionBy(*part)
+        with_bounds = segments.withColumn(
+            "t0", F.min("start").over(wall)
+        ).withColumn("tmax", F.max("end").over(wall))
+    else:
+        # global bounds as a 1-row broadcast, not an empty-partition
+        # window (which would drag every row through one task)
+        bounds = segments.agg(
+            F.min("start").alias("t0"), F.max("end").alias("tmax")
+        )
+        with_bounds = segments.crossJoin(F.broadcast(bounds))
     lo = F.floor((F.col("start") - F.col("t0")) / F.lit(interval_seconds))
     hi_raw = F.floor((F.col("end") - F.col("t0")) / F.lit(interval_seconds))
     # end exactly on a boundary is exclusive (reference: end > interval_start);

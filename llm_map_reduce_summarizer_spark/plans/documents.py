@@ -303,16 +303,30 @@ def doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def corpus_ngrams_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide top-k 3-gram shingles by document frequency (the
-    vocabulary-building sweep of a training-data pipeline)."""
-    from pyspark.sql.window import Window
+    vocabulary-building sweep of a training-data pipeline).
 
+    Scale: the global top-K is ``orderBy().limit(K)`` — planned as
+    ``TakeOrderedAndProject``, a per-partition top-K with a K-row merge,
+    so the full vocabulary (billions of distinct shingles at 100 TB)
+    never sorts globally or funnels through one task. Ranks are then
+    assigned window-free on the K-row result: pack into one sorted
+    array (struct sorts by negated doc_freq, then shingle — the same
+    total order as the limit) and ``posexplode`` the position back out.
+    """
     sh = doc_shingles(_docs(spark, sf_dir))
     counts = sh.groupBy("s").agg(F.count(F.lit(1)).alias("doc_freq"))
-    w = Window.orderBy(F.col("doc_freq").desc(), F.col("s"))
-    return (
-        counts.withColumn("rk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rk") <= NGRAM_K)
-        .select(F.col("s").alias("shingle"), "doc_freq", "rk")
+    top = counts.orderBy(F.col("doc_freq").desc(), F.col("s")).limit(NGRAM_K)
+    packed = top.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct((-F.col("doc_freq")).alias("neg_df"), F.col("s"))
+            )
+        ).alias("arr")
+    )
+    return packed.select(F.posexplode("arr").alias("pos", "e")).select(
+        F.col("e.s").alias("shingle"),
+        (-F.col("e.neg_df")).alias("doc_freq"),
+        (F.col("pos") + 1).cast("long").alias("rk"),
     )
 
 

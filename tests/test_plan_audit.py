@@ -1,12 +1,15 @@
 """Whole-catalog plan audit: every queries() entry must stay free of
-the two scale killers — cartesian products over row data and
-row-at-a-time Python UDF evaluation. A new operator that regresses
-either fails here even if its results are still correct."""
+the three scale killers — cartesian products over row data,
+row-at-a-time Python UDF evaluation, and un-partitioned ranking /
+cumulative windows (which drag every row through ONE task). A new
+operator that regresses any of these fails here even if its results
+are still correct."""
 
 from __future__ import annotations
 
 import contextlib
 import io
+import re
 
 import pytest
 
@@ -21,8 +24,60 @@ QUERIES = entrymod.queries()
 SKIP = {"stream_hourly", "stream_sessionize"}
 
 
+# Every physical Window node prints each window function's
+# ``windowspecdefinition(partitionCols..., orderCols..., frame)``. When
+# the window has NO partition keys the spec's first argument is a sort
+# order (`col ASC/DESC NULLS ...`) or the bare frame — and the exchange
+# below it is SinglePartition: the whole input funnels through one
+# task. operators/scan.py's offset windows are the deliberate exception
+# (they run over #partitions rows, one per partition, by construction)
+# but are gated behind SCAN_CONF and never appear in default-config
+# plans, so no allowlist is needed.
+_WSPEC = re.compile(r"windowspecdefinition\(([^,)]*)[,)]")
+
+
+def _global_window_blocks(plan: str) -> list[str]:
+    out = []
+    for m in _WSPEC.finditer(plan):
+        first = m.group(1).strip()
+        if first.startswith("_pid#"):
+            # operators/scan.py offset windows: they rank the
+            # per-partition TOTALS table — #partitions rows, one per
+            # partition by construction — never row data
+            continue
+        if (
+            re.search(r" (ASC|DESC) NULLS", first)
+            or first.startswith("specifiedwindowframe")
+        ):
+            out.append(m.group(0))
+    return out
+
+
+# Single-transcript pipeline queries (SURVEY §2.1): the reference's
+# semantics are one sequentially-ordered transcript stream, so the
+# prefix-sum windows order ONE transcript's segments — bounded by
+# transcript length, not corpus size (multi-transcript callers pass
+# doc_col and the same windows hash-partition; the CLI does exactly
+# that). The corpus-scale path for a genuinely global order is
+# operators/scan.py's two-pass scan, plan-asserted below in
+# test_transcript_stream_scan_path_has_no_global_window and
+# result-equal in test_operators.py::test_scan_conf_path_equals_window_path.
+TRANSCRIPT_STREAM = {
+    "seg_merge_speaker",
+    "chunk_assign",
+    "chunk_stats",
+    "map_summarize",
+    "map_cost_report",
+    "reduce_direct",
+    "reduce_auto",
+    "reduce_hierarchical",
+    "pipeline_report",
+    "pipeline_e2e",
+}
+
+
 @pytest.mark.parametrize("name", sorted(k for k in QUERIES if k not in SKIP))
-def test_no_cartesian_no_row_udf(spark, name):
+def test_no_cartesian_no_row_udf_no_global_window(spark, name):
     df = QUERIES[name](spark, SF)
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
@@ -30,6 +85,53 @@ def test_no_cartesian_no_row_udf(spark, name):
     plan = buf.getvalue()
     assert "CartesianProduct" not in plan, f"{name}: cartesian product"
     assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
+    if name not in TRANSCRIPT_STREAM:
+        offenders = _global_window_blocks(plan)
+        assert not offenders, (
+            f"{name}: un-partitioned window (single-task sort):\n"
+            + "\n".join(offenders)
+        )
+
+
+def test_global_window_detector_fires(spark):
+    """Canary: the detector must flag a deliberately re-introduced
+    un-partitioned ranking window (and stay quiet on a partitioned
+    one), or the catalog-wide ban above is vacuous."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    df = spark.range(100).withColumn("g", F.col("id") % 5)
+    bad = df.withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.col("id").desc()))
+    )
+    good = df.withColumn(
+        "rk", F.row_number().over(Window.partitionBy("g").orderBy("id"))
+    )
+    for frame, n_expected in ((bad, 1), (good, 0)):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            frame.explain(mode="formatted")
+        assert len(_global_window_blocks(buf.getvalue())) == n_expected
+
+
+def test_transcript_stream_scan_path_has_no_global_window(spark):
+    """With the distributed scan enabled, the TRANSCRIPT_STREAM plans
+    must lose their global-order windows entirely (modulo scan.py's
+    #partitions-row _pid offsets) — this is the plan shape a 100 TB
+    single-stream run would use."""
+    from llm_map_reduce_summarizer_spark.operators.scan import SCAN_CONF
+
+    spark.conf.set(SCAN_CONF, "true")
+    try:
+        for name in ("seg_merge_speaker", "chunk_assign", "pipeline_e2e"):
+            df = QUERIES[name](spark, SF)
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain(mode="formatted")
+            offenders = _global_window_blocks(buf.getvalue())
+            assert not offenders, f"{name} (scan mode): {offenders}"
+    finally:
+        spark.conf.set(SCAN_CONF, "false")
 
 
 def test_chunk_greedy_is_not_single_task(spark):
