@@ -36,13 +36,26 @@ from .operators.aggregator import (
 from .operators.chunker import assign_chunks_greedy
 from .operators.executor import SparkLLMExecutor, resolve_prompt
 from .operators.preprocess import merge_same_speaker, preprocess_segments
-from .operators.providers import get_provider
+from .operators.providers import get_provider, token_rates
 from .sources.transcript import read_transcript
 
-# Reference cost model (llm_executor.py:314-315, non-GPT4 rates).
-PROMPT_COST_PER_TOKEN = 0.000001
-COMPLETION_COST_PER_TOKEN = 0.000002
 CONTEXT_TOKENS = 150  # reserved for chunk context (big_chunkeroosky.py:28)
+
+
+def _read_prompt_file(path: str | None, what: str) -> str | None:
+    """Load an optional prompt file; warn (like the reference's logged
+    error, main.py:216) and fall back to the default when unreadable."""
+    if not path:
+        return None
+    try:
+        text = Path(path).read_text(encoding="utf-8").strip()
+        return text or None
+    except OSError as exc:
+        print(
+            f"warning: failed to load {what} from {path}: {exc}",
+            file=sys.stderr,
+        )
+        return None
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -74,7 +87,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--save-chunks",
                    help="Directory to save intermediate chunk summaries (parquet)")
     p.add_argument("--aggregator-prompt-file",
-                   help="Custom reduce prompt template file (recorded in report)")
+                   help="Custom reduce template file ({summaries} slot), "
+                        "applied at the final reduce level")
     p.add_argument("--quiet", "-q", action="store_true")
     p.add_argument("--tokenizer", choices=["regex", "tiktoken", "auto"],
                    default="regex", help="Token counter backend")
@@ -102,7 +116,7 @@ def run(spark: SparkSession, args: argparse.Namespace) -> dict:
     """Execute the pipeline; returns the reference-shaped report dict."""
     t0 = time.time()
     segments = read_transcript(spark, args.input)
-    if args.limit_segments:
+    if args.limit_segments is not None:
         segments = segments.filter(F.col("seg_id") < args.limit_segments)
     # full fidelity: the reference's clean path always removes repeated
     # words (preprocessor.py:84) — the CLI is the parity surface
@@ -130,14 +144,10 @@ def run(spark: SparkSession, args: argparse.Namespace) -> dict:
 
     provider, model, is_mock = get_provider(args.provider, args.model)
     template = resolve_prompt(prompt_file=args.prompt_file)
-    system = None
-    if args.system_prompt_file:
-        try:
-            system = Path(args.system_prompt_file).read_text(
-                encoding="utf-8"
-            ).strip() or None
-        except OSError:
-            system = None
+    system = _read_prompt_file(args.system_prompt_file, "system prompt")
+    aggregator_template = _read_prompt_file(
+        args.aggregator_prompt_file, "aggregator prompt"
+    )
     executor = SparkLLMExecutor(
         provider=provider,
         prompt_template=template,
@@ -163,10 +173,8 @@ def run(spark: SparkSession, args: argparse.Namespace) -> dict:
     n_chunks = stats["chunks"] or 0
     prompt_toks = stats["prompt_tokens"] or 0
     completion_toks = stats["completion_tokens"] or 0
-    cost = (
-        prompt_toks * PROMPT_COST_PER_TOKEN
-        + completion_toks * COMPLETION_COST_PER_TOKEN
-    )
+    prompt_rate, completion_rate = token_rates(model)
+    cost = prompt_toks * prompt_rate + completion_toks * completion_rate
 
     # global reduce order across input files: chunk ids are per-doc, so
     # offset them by a per-file index. One row per input FILE — a tiny
@@ -187,10 +195,15 @@ def run(spark: SparkSession, args: argparse.Namespace) -> dict:
     else:
         ordered = summaries.select("chunk_id", "summary")
     if args.no_hierarchical:
-        final = reduce_direct(ordered, "chunk_id", "summary")
+        final = reduce_direct(
+            ordered, "chunk_id", "summary", template=aggregator_template
+        )
     else:
-        final = hierarchical_reduce(ordered, "chunk_id", "summary")
-    summary_text = final.select("summary").first()["summary"]
+        final = hierarchical_reduce(
+            ordered, "chunk_id", "summary", template=aggregator_template
+        )
+    row = final.select("summary").first()
+    summary_text = row["summary"] if row else ""
 
     return {
         "summary": summary_text,

@@ -22,31 +22,48 @@ def _ordered_join(ord_col: str, text_col: str, sep: str):
     return F.array_join(F.transform(F.array_sort(pairs), lambda x: x["t"]), sep)
 
 
+def _templated(joined, template: str):
+    """Custom aggregation template: the reference substitutes the
+    ordered summaries into the template's ``{summaries}`` slot
+    (result_aggregator.py:184 ``prompt_template.replace``); with no
+    slot the template text stands alone, mirroring str.replace."""
+    pre, slot, post = template.partition("{summaries}")
+    if not slot:
+        return F.lit(template)
+    return F.concat(F.lit(pre), joined, F.lit(post))
+
+
 def reduce_level(
     df: DataFrame,
     ord_col: str = "chunk_id",
     text_col: str = "summary",
     batch_size: int = 10,
     header: str = "# Intermediate Summary",
+    template: str | None = None,
 ) -> DataFrame:
-    """One tree level: group ord//batch_size, join summaries in order."""
+    """One tree level: group ord//batch_size, join summaries in order.
+
+    ``template`` (final level only in practice) replaces the default
+    ``header N\\njoined`` format with the custom aggregator prompt.
+    """
     batch = F.floor(F.col(ord_col) / F.lit(batch_size)).alias("batch_id")
-    return (
-        df.groupBy(batch)
-        .agg(
-            _ordered_join(ord_col, text_col, "\n\n").alias("joined"),
-            F.count(F.lit(1)).alias("n_parts"),
+    grouped = df.groupBy(batch).agg(
+        _ordered_join(ord_col, text_col, "\n\n").alias("joined"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+    if template is not None:
+        text = _templated(F.col("joined"), template)
+    else:
+        text = F.concat(
+            F.lit(header + " "),
+            F.col("batch_id").cast("string"),
+            F.lit("\n"),
+            F.col("joined"),
         )
-        .select(
-            F.col("batch_id").alias(ord_col),
-            F.concat(
-                F.lit(header + " "),
-                F.col("batch_id").cast("string"),
-                F.lit("\n"),
-                F.col("joined"),
-            ).alias(text_col),
-            "n_parts",
-        )
+    return grouped.select(
+        F.col("batch_id").alias(ord_col),
+        text.alias(text_col),
+        "n_parts",
     )
 
 
@@ -55,6 +72,7 @@ def hierarchical_reduce(
     ord_col: str = "chunk_id",
     text_col: str = "summary",
     batch_size: int = 10,
+    template: str | None = None,
 ) -> DataFrame:
     """Tree-reduce to a single final-summary row (log-depth groupBys).
 
@@ -69,13 +87,21 @@ def hierarchical_reduce(
     level = 0
     n = out.count()
     while n > 1:
+        is_final = n <= batch_size
         header = (
-            "# Intermediate Summary" if n > batch_size else "# Transcript Summary"
+            "# Transcript Summary" if is_final else "# Intermediate Summary"
         )
-        out = reduce_level(out, ord_col, text_col, batch_size, header)
+        out = reduce_level(
+            out, ord_col, text_col, batch_size, header,
+            template=template if is_final else None,
+        )
         out = out.localCheckpoint(eager=True)
         level += 1
         n = out.count()
+    if level == 0 and template is not None:
+        # single input row: the reference still formats it through the
+        # custom aggregation template
+        out = out.withColumn(text_col, _templated(F.col(text_col), template))
     return out.select(
         F.col(text_col).alias("summary"), F.lit(level).alias("levels")
     )
@@ -117,10 +143,13 @@ def reduce_direct(
     ord_col: str = "chunk_id",
     text_col: str = "summary",
     header: str = "# Transcript Summary",
+    template: str | None = None,
 ) -> DataFrame:
     """Single-pass combine of ALL summaries (the reference's direct /
     simple-aggregator mode: result_aggregator.py:111-118)."""
-    return reduce_level(df, ord_col, text_col, 1_000_000_000, header)
+    return reduce_level(
+        df, ord_col, text_col, 1_000_000_000, header, template=template
+    )
 
 
 def reduce_auto(

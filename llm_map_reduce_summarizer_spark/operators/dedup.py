@@ -204,10 +204,19 @@ def simhash_pairs(
 
     Candidates come only from an exact match on one of the four 16-bit
     words — pigeonhole makes that lossless for max_hamming <= 3 over 64
-    bits. The join key is (band index, word value), so bucket population
-    is bounded by real near-duplicate density, not by a saturating
-    fingerprint space; no O(bucket^2) scan over unrelated docs.
+    bits (4 bands can miss a pair only when all 4 differ, i.e. Hamming
+    >= 4); larger bounds would silently drop true pairs, so they are
+    rejected. The join key is (band index, word value), so bucket
+    population is bounded by real near-duplicate density, not by a
+    saturating fingerprint space; no O(bucket^2) scan over unrelated
+    docs.
     """
+    if not 0 <= max_hamming <= 3:
+        raise ValueError(
+            f"max_hamming={max_hamming}: the 4x16-bit banding is only "
+            "lossless for 0 <= max_hamming <= 3; a larger bound needs "
+            "more bands"
+        )
     fp = simhash_fingerprints(docs, id_col)
     sims = [f"sim{k}" for k in range(4)]
     bands = fp.selectExpr(

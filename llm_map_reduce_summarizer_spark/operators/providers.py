@@ -29,9 +29,24 @@ ANTHROPIC_URL = "https://api.anthropic.com/v1/messages"
 ANTHROPIC_VERSION = "2023-06-01"
 
 DEFAULT_MODELS = {
-    "openai": "gpt-4o-mini",
+    "openai": "gpt-3.5-turbo",  # reference llm_executor.py:37 default
     "anthropic": "claude-3-5-haiku-latest",
 }
+
+# Reference cost tiers (llm_executor.py:310-316): GPT-4-family models
+# bill at 30x/30x the base per-token rates, selected by substring —
+# the same `"gpt-4" in model` test the reference uses.
+BASE_PROMPT_RATE = 0.000001
+BASE_COMPLETION_RATE = 0.000002
+GPT4_PROMPT_RATE = 0.00003
+GPT4_COMPLETION_RATE = 0.00006
+
+
+def token_rates(model: str | None) -> tuple[float, float]:
+    """(prompt_rate, completion_rate) per token for ``model``."""
+    if model and "gpt-4" in model:
+        return GPT4_PROMPT_RATE, GPT4_COMPLETION_RATE
+    return BASE_PROMPT_RATE, BASE_COMPLETION_RATE
 
 
 def _post_json(url: str, headers: dict, payload: dict, timeout: float) -> dict:

@@ -177,34 +177,12 @@ _QUANTILES = [0.25, 0.5, 0.9, 0.99]
 
 
 def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-event-type value quantiles — the SCALE default.
-
-    ``approx_percentile`` builds a bounded-size sketch per partition
-    and merges map-side, so no per-group full sort ever materializes;
-    memory is O(1/accuracy) per group regardless of corpus size. The
-    exact interpolated twin (``events_value_quantiles_exact``) carries
-    the DuckDB oracle; this default is rows-only checked (sketch merge
-    order is engine-specific).
-    """
-    ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        *[
-            F.round(
-                F.expr(f"approx_percentile(value, {q}, 10000)"), 4
-            ).alias(f"p{str(q).replace('0.', '')}")
-            for q in _QUANTILES
-        ],
-        F.count(F.lit(1)).alias("n_events"),
-    )
-
-
-def events_value_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated quantiles of value per event type.
 
     Spark's ``percentile`` and DuckDB's ``quantile_cont`` share the
-    linear-interpolation definition, so this is oracle-checkable — the
-    verification twin of the t-digest default above. It materializes
-    per-group sorted values, so keep it off the 100 TB hot path.
+    linear-interpolation definition, so this is value-oracle-checked.
+    It materializes per-group sorted values; for the 100 TB hot path
+    use ``events_value_quantiles_approx`` (bounded-memory sketch).
     """
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
@@ -212,6 +190,29 @@ def events_value_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.expr(f"percentile(value, {q})"), 4).alias(
                 f"p{str(q).replace('0.', '')}"
             )
+            for q in _QUANTILES
+        ],
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def events_value_quantiles_approx(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-event-type value quantiles — the SCALE variant.
+
+    ``approx_percentile`` builds a bounded-size sketch per partition
+    and merges map-side, so no per-group full sort ever materializes;
+    memory is O(1/accuracy) per group regardless of corpus size.
+    Rows-only checked (sketch merge order is engine-specific); the
+    exact twin above carries the value oracle.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        *[
+            F.round(
+                F.expr(f"approx_percentile(value, {q}, 10000)"), 4
+            ).alias(f"p{str(q).replace('0.', '')}")
             for q in _QUANTILES
         ],
         F.count(F.lit(1)).alias("n_events"),
@@ -254,7 +255,7 @@ def events_retention_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "events_retention_hourly": events_retention_hourly,
     "events_value_quantiles": events_value_quantiles,
-    "events_value_quantiles_exact": events_value_quantiles_exact,
+    "events_value_quantiles_approx": events_value_quantiles_approx,
     "events_asof_view": events_asof_view,
     "events_hourly": events_hourly,
     "events_sessionize": events_sessionize,
@@ -282,7 +283,7 @@ ORACLE = {
                  / 10000.0) AS retention_rate
         FROM cohort c LEFT JOIN retained r ON c.hour = r.hour
     """,
-    "events_value_quantiles_exact": """
+    "events_value_quantiles": """
         SELECT event_type,
                round(CAST(quantile_cont(value, 0.25) AS DOUBLE), 4) AS p25,
                round(CAST(quantile_cont(value, 0.5) AS DOUBLE), 4) AS p5,

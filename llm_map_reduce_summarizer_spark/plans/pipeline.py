@@ -37,6 +37,11 @@ from ..operators.chunker import (
     split_oversized,
 )
 from ..operators.executor import extractive_summary, summarize_chunks
+from ..operators.providers import (
+    BASE_COMPLETION_RATE,
+    BASE_PROMPT_RATE,
+    token_rates,
+)
 from ..operators.preprocess import (
     aggregate_by_interval,
     merge_same_speaker,
@@ -322,8 +327,11 @@ def chunk_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SPLIT_BUDGET_WORDS = 48
 PROMPT_OVERHEAD_TOKENS = 9  # DEFAULT_PROMPT token count sans {transcript}
-PROMPT_COST_PER_TOKEN = 0.000001  # reference llm_executor.py:314
-COMPLETION_COST_PER_TOKEN = 0.000002  # reference llm_executor.py:315
+# Catalog/oracle rates are the base (non-GPT-4) tier — the reference's
+# default model is gpt-3.5-turbo. map_cost_report(model=...) switches
+# tiers via operators.providers.token_rates.
+PROMPT_COST_PER_TOKEN = BASE_PROMPT_RATE
+COMPLETION_COST_PER_TOKEN = BASE_COMPLETION_RATE
 
 
 def seg_split_oversized(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -343,17 +351,22 @@ def seg_split_oversized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def map_cost_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+def map_cost_report(
+    spark: SparkSession, sf_dir: str, model: str | None = None
+) -> DataFrame:
     """Per-chunk token/cost accounting (llm_executor.py:303-324):
     prompt tokens = chunk tokens + template overhead, completion tokens
-    from the (deterministic) summary, cost at the reference's non-GPT4
-    per-token rates."""
+    from the (deterministic) summary, cost at the reference's
+    model-tiered per-token rates (``"gpt-4" in model`` selects the
+    GPT-4 tier, llm_executor.py:310; the catalog default is the base
+    tier, matching the reference's default gpt-3.5-turbo)."""
+    prompt_rate, completion_rate = token_rates(model)
     summaries = summarize_chunks(_chunk_texts(spark, sf_dir))
     prompt_toks = (F.col("token_count") + PROMPT_OVERHEAD_TOKENS).cast("long")
     completion_toks = token_count(F.col("summary")).cast("long")
     cost = (
-        prompt_toks * F.lit(PROMPT_COST_PER_TOKEN)
-        + completion_toks * F.lit(COMPLETION_COST_PER_TOKEN)
+        prompt_toks * F.lit(prompt_rate)
+        + completion_toks * F.lit(completion_rate)
     )
     return summaries.select(
         "chunk_id",

@@ -601,3 +601,37 @@ def test_seg_clean_full_removes_repeated_words(spark):
     )
     out = preprocess_segments(src, full_fidelity=True).first()["text"]
     assert out == "the quick brown fox"
+
+
+def test_simhash_max_hamming_guard(spark):
+    """The 4x16-bit banding is only lossless to Hamming 3; larger
+    bounds must be rejected, not silently lose recall."""
+    from llm_map_reduce_summarizer_spark.operators.dedup import (
+        simhash_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma")],
+        "doc_id long, text string",
+    )
+    for bad in (4, 64, -1):
+        with pytest.raises(ValueError, match="max_hamming"):
+            simhash_pairs(docs, max_hamming=bad)
+    # the boundary value still runs
+    assert simhash_pairs(docs, max_hamming=3).count() == 1
+
+
+def test_catalog_ivf_trained_recall_pinned(spark):
+    """Catalog-level guard: knn_ivf_trained must keep recall@5 >= 0.5
+    vs knn_bruteforce on the seeded corpus, so a quantizer regression
+    cannot pass the driver's rows-only check silently."""
+    from llm_map_reduce_summarizer_spark.plans.documents import (
+        knn_bruteforce,
+        knn_ivf_trained,
+    )
+
+    exact = knn_bruteforce(spark, SF).toPandas()
+    trained = knn_ivf_trained(spark, SF).toPandas()
+    exact_pairs = set(zip(exact["query_id"], exact["neighbor_id"]))
+    trained_pairs = set(zip(trained["query_id"], trained["neighbor_id"]))
+    assert len(trained_pairs & exact_pairs) / len(exact_pairs) >= 0.5

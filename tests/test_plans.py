@@ -71,12 +71,16 @@ def test_value_quantiles_approx_tracks_exact(spark):
     wiring the wrong column/quantile."""
     from llm_map_reduce_summarizer_spark.plans.events import (
         _QUANTILES,
-        events_value_quantiles,
+        events_value_quantiles_approx,
     )
     from llm_map_reduce_summarizer_spark.sources.tables import load_table
 
     sf = "/root/testdata/sf0.001"
-    approx = events_value_quantiles(spark, sf).toPandas().set_index("event_type")
+    approx = (
+        events_value_quantiles_approx(spark, sf)
+        .toPandas()
+        .set_index("event_type")
+    )
     vals = load_table(spark, sf, "events").select("event_type", "value").toPandas()
     for etype, grp in vals.groupby("event_type"):
         for q, col in zip(_QUANTILES, ["p25", "p5", "p9", "p99"]):
@@ -84,3 +88,23 @@ def test_value_quantiles_approx_tracks_exact(spark):
             hi = round(grp["value"].quantile(q, interpolation="higher"), 4)
             got = approx.loc[etype, col]
             assert lo <= got <= hi, f"{etype} {col}: {got} not in [{lo}, {hi}]"
+
+
+def test_map_cost_report_gpt4_tier(spark):
+    """model='gpt-4' reprices the same token counts at the reference's
+    GPT-4 tier (llm_executor.py:310) — exactly 30x both rates."""
+    from llm_map_reduce_summarizer_spark.plans.pipeline import (
+        map_cost_report,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    base = map_cost_report(spark, sf).toPandas().set_index("chunk_id")
+    gpt4 = (
+        map_cost_report(spark, sf, model="gpt-4")
+        .toPandas()
+        .set_index("chunk_id")
+    )
+    assert (gpt4["prompt_tokens"] == base["prompt_tokens"]).all()
+    assert (gpt4["completion_tokens"] == base["completion_tokens"]).all()
+    ratio = gpt4["cost_usd"] / base["cost_usd"]
+    assert ((ratio - 30.0).abs() < 1e-3).all()
