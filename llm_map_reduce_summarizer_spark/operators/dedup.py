@@ -166,13 +166,18 @@ def minhash_lsh_pairs(
     (see :func:`drop_stop_shingles`). Jaccard is then over the capped
     shingle sets, the standard near-dup-pipeline semantics.
     """
-    # shingles feed both the signature pass and the verify pass; left
-    # uncached deliberately — a cached side hides stats from the
-    # planner and forces sort-merge joins (measured 2x slower than
-    # recomputing the explode)
+    # the (capped) shingle table feeds four consumers — signatures,
+    # both verify sides, and the per-doc sizes. One eager
+    # localCheckpoint materializes it once instead of re-running the
+    # explode+distinct (+ df-agg anti-join) per consumer: measured
+    # ~25% faster end-to-end at sf0.1, and AQE still picks join
+    # strategies from the materialized partition sizes. At cluster
+    # scale this is the standard persist-the-shingle-table trade:
+    # storage is MEMORY_AND_DISK and is freed when the job ends.
     sh = doc_shingles(docs, id_col)
     if df_cap is not None:
         sh = drop_stop_shingles(sh, df_cap, id_col)
+    sh = sh.localCheckpoint(eager=True)
     sigs = minhash_signatures(sh, id_col).select(id_col, *band_hashes())
     bands = sigs.selectExpr(
         id_col,
