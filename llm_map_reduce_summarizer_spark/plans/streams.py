@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..streaming.stream_ops import (
+    asof_enrich_stream,
     hourly_counts,
     latest_sessions,
     read_events_stream,
@@ -44,15 +45,24 @@ def stream_view_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_asof_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming as-of enrichment; on the drained static input
+    it equals batch ``events_asof_view``, so it shares that oracle."""
+    ev = read_events_stream(spark, sf_dir)
+    return run_available_now(asof_enrich_stream(ev), output_mode="update")
+
+
 QUERIES = {
     "stream_hourly": stream_hourly,
     "stream_sessionize": stream_sessionize,
     "stream_view_click_join": stream_view_click_join,
+    "stream_asof_view": stream_asof_view,
 }
 
 ORACLE = {
     "stream_hourly": _EVENTS_ORACLE["events_hourly"],
     "stream_sessionize": _EVENTS_ORACLE["events_sessionize"],
+    "stream_asof_view": _EVENTS_ORACLE["events_asof_view"],
     # on static input the drained stream-stream inner join equals the
     # batch interval join, so it gets a full SQL oracle
     "stream_view_click_join": """

@@ -195,6 +195,123 @@ def sessionize_stream(events: DataFrame, evict_state: bool = False) -> DataFrame
     )
 
 
+ASOF_STATE_SCHEMA = StructType(
+    [
+        StructField("view_ts_us", LongType()),
+        StructField("view_value", DoubleType()),
+    ]
+)
+
+ASOF_OUT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("ts_us", LongType()),
+        StructField("click_value", DoubleType()),
+        StructField("view_value", DoubleType()),
+        StructField("view_ts_us", LongType()),
+    ]
+)
+
+
+def _make_asof_fn(evict: bool):
+    """Per-user fold: views update the carried (ts, value) state, clicks
+    emit enriched with the latest prior-or-equal view."""
+
+    def _fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+
+        view_ts, view_val = (state.get if state.exists else (None, None))
+
+        rows = []
+        for pdf in pdfs:
+            # equal timestamps: view before click (ASOF left.ts >=
+            # right.ts — same tiebreak as the batch window's
+            # (ts, _is_left) order), event_id stabilizes the rest
+            pdf = pdf.assign(_c=(pdf["event_type"] == "click")).sort_values(
+                ["ts_us", "_c", "event_id"]
+            )
+            for ev_id, ts_us, etype, value in zip(
+                pdf["event_id"], pdf["ts_us"], pdf["event_type"], pdf["value"]
+            ):
+                ts_us = int(ts_us)
+                if etype == "view":
+                    view_ts, view_val = ts_us, float(value)
+                else:
+                    rows.append(
+                        {
+                            "event_id": int(ev_id),
+                            "user_id": user_id,
+                            "ts_us": ts_us,
+                            "click_value": round(float(value), 2),
+                            "view_value": (
+                                None if view_ts is None else round(view_val, 2)
+                            ),
+                            "view_ts_us": view_ts,
+                        }
+                    )
+
+        if view_ts is not None:
+            state.update((view_ts, view_val))
+        if evict and state.exists:
+            state.setTimeoutDuration(24 * 3600 * 1000)  # ms
+
+        if rows:
+            out = pd.DataFrame(rows)
+            # None view_ts_us must stay a NULL long, not become NaN
+            out["view_ts_us"] = pd.array(out["view_ts_us"], dtype="Int64")
+            yield out
+
+    return _fn
+
+
+def asof_enrich_stream(
+    events: DataFrame, evict_state: bool = False
+) -> DataFrame:
+    """Streaming as-of enrichment: each click gets the user's most
+    recent prior-or-equal view's (value, ts) — the incremental twin of
+    the batch ``events_asof_view`` (operators/asof.py).
+
+    State is ONE row per user (latest view seen), hash-partitioned by
+    user_id — constant per key, unlike a stream-stream join's
+    watermark-length buffer, because backward as-of only ever needs the
+    latest right row. Within each micro-batch rows fold in event-time
+    order; across batches the carried state enriches later clicks, so
+    on an ``availableNow`` drain of static input the result equals the
+    batch as-of join exactly. In a continuous run the enrichment is
+    exact for per-user event-time-ordered arrival (the usual log-stream
+    contract); an out-of-order view beyond that enriches only
+    subsequent clicks — the standard update-mode trade, bounded by the
+    source's disorder, while ``evict_state=True`` arms a
+    processing-time timeout that drops idle users' state.
+    """
+    vc = events.filter(
+        F.col("event_type").isin("view", "click")
+    ).select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_type",
+        "value",
+    )
+    return vc.groupBy("user_id").applyInPandasWithState(
+        _make_asof_fn(evict_state),
+        outputStructType=ASOF_OUT_SCHEMA,
+        stateStructType=ASOF_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if evict_state
+            else GroupStateTimeout.NoTimeout
+        ),
+    )
+
+
 def view_click_interval_join(
     events: DataFrame,
     max_gap_minutes: int = 60,

@@ -72,3 +72,79 @@ def test_stream_parquet_file_sink(spark, tmp_path):
     )
     assert back.count() == closed.count()
     assert compare_frames(back.toPandas(), closed.toPandas()) == []
+
+
+def test_stream_asof_matches_batch(spark):
+    from llm_map_reduce_summarizer_spark.plans.events import (
+        events_asof_view,
+    )
+    from llm_map_reduce_summarizer_spark.plans.streams import (
+        stream_asof_view,
+    )
+
+    stream = stream_asof_view(spark, SF).toPandas()
+    batch = events_asof_view(spark, SF).toPandas()
+    assert len(stream) > 0
+    assert compare_frames(stream, batch) == []
+
+
+def test_stream_asof_state_carries_across_batches(spark, tmp_path):
+    """Feed events as two files/micro-batches split on time: a view in
+    batch 1 must enrich a click arriving in batch 2 purely from carried
+    state (the incremental property the single-file drain can't show)."""
+    import os
+
+    import pandas as pd
+
+    from llm_map_reduce_summarizer_spark.streaming.stream_ops import (
+        EVENTS_SCHEMA,
+        asof_enrich_stream,
+        run_available_now,
+    )
+    from pyspark.sql import functions as F
+
+    us = 1_000_000
+    rows = [
+        # batch 1: user 1 view @10s, user 2 click with no prior view
+        dict(event_id=1, ts=10 * us * 1000, user_id=1,
+             event_type="view", value=5.0, props="{}"),
+        dict(event_id=2, ts=11 * us * 1000, user_id=2,
+             event_type="click", value=1.0, props="{}"),
+    ]
+    rows2 = [
+        # batch 2: user 1 clicks twice; second click after a newer view
+        dict(event_id=3, ts=20 * us * 1000, user_id=1,
+             event_type="click", value=2.0, props="{}"),
+        dict(event_id=4, ts=25 * us * 1000, user_id=1,
+             event_type="view", value=7.0, props="{}"),
+        dict(event_id=5, ts=30 * us * 1000, user_id=1,
+             event_type="click", value=3.0, props="{}"),
+    ]
+    src = tmp_path / "events_stream"
+    src.mkdir()
+    # two files + maxFilesPerTrigger=1 -> two micro-batches, in order
+    pd.DataFrame(rows).to_parquet(src / "part-000.parquet")
+    pd.DataFrame(rows2).to_parquet(src / "part-001.parquet")
+
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(str(src))
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    out = (
+        run_available_now(asof_enrich_stream(raw), output_mode="update")
+        .toPandas()
+        .set_index("event_id")
+        .sort_index()
+    )
+    assert list(out.index) == [2, 3, 5]
+    # user 2's click: no view ever -> NULLs
+    assert pd.isna(out.loc[2, "view_value"]) and pd.isna(out.loc[2, "view_ts_us"])
+    # user 1's first click is enriched by the batch-1 view via state
+    assert out.loc[3, "view_value"] == 5.0
+    assert out.loc[3, "view_ts_us"] == 10 * us
+    # and the later click sees the newer in-batch view
+    assert out.loc[5, "view_value"] == 7.0
+    assert out.loc[5, "view_ts_us"] == 25 * us
