@@ -53,10 +53,12 @@ def main() -> None:
     queries = entrymod.queries()
 
     # Warm the JVM/codegen on the smallest SF so timings measure the
-    # plans, not first-call JIT.
-    queries["q1_pricing_summary"](spark, "/root/testdata/sf0.001").write.format(
-        "noop"
-    ).mode("overwrite").save()
+    # plans, not first-call JIT — every headline shape once, so no
+    # query pays whole-stage-codegen compilation inside its timing.
+    for name in HEADLINE:
+        queries[name](spark, "/root/testdata/sf0.001").write.format(
+            "noop"
+        ).mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
