@@ -6,15 +6,23 @@
 DuckDB-ANSI twin for each key (omitted only for genuinely
 non-SQL-expressible ops, which the driver checks rows-only).
 
-Catalog order is mechanical and round-independent: plan modules sorted
-alphabetically by module name, each module's entries in its own
-definition order. ``queries()`` and ``oracle_sql()`` share the same
-ordering rule.
+Catalog order follows one mechanical, round-independent rule:
+**least-recently-verified first** — keys sort by the last round in
+which the committed ``CORRECTNESS_r*.json`` artifacts record a passing
+driver check for them (never-checked keys first, ties broken by the
+alphabetical-module definition order). Nothing is hand-curated: the
+ordering is a pure function of the committed artifacts, so every entry
+periodically rotates through a bounded verification window and a brand
+new entry is always checked in the round it ships. ``oracle_sql()``
+mirrors ``queries()``'s key order.
 """
 
 from __future__ import annotations
 
+import json
+import re
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -48,8 +56,30 @@ try:
 except ImportError:
     pass
 
-# Alphabetical by unqualified module name — a fixed, neutral rule.
+# Alphabetical by unqualified module name — the fixed tiebreak order.
 _PLAN_MODULES.sort(key=lambda m: m.__name__.rsplit(".", 1)[-1])
+
+
+def _last_verified() -> dict[str, int]:
+    """key -> last round with a passing driver record, from the
+    committed CORRECTNESS_r*.json files (0 = never checked)."""
+    out: dict[str, int] = {}
+    for p in Path(__file__).resolve().parent.glob("CORRECTNESS_r*.json"):
+        m = re.search(r"r(\d+)$", p.stem)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            records = json.loads(p.read_text(encoding="utf-8"))
+        except (OSError, ValueError):
+            continue
+        for key, rec in records.items():
+            passed = rec.get("hash_match") is True or (
+                rec.get("err") == "no_oracle" and rec.get("spark_rows") is not None
+            )
+            if passed:
+                out[key] = max(out.get(key, 0), rnd)
+    return out
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -61,10 +91,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for mod in _PLAN_MODULES:
-        out.update(mod.QUERIES)
-    return out
+        merged.update(mod.QUERIES)
+    last = _last_verified()
+    order = sorted(merged, key=lambda k: last.get(k, 0))  # stable sort
+    return {k: merged[k] for k in order}
 
 
 def oracle_sql() -> dict[str, str]:
