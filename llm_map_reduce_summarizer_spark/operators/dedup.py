@@ -193,6 +193,55 @@ def minhash_lsh_pairs(
     return jaccard_verify(sh, candidates, id_col, threshold)
 
 
+def connected_components(
+    edges: DataFrame,
+    src: str = "da",
+    dst: str = "db",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over an undirected edge list -> (id, component)
+    where component is the min node id reachable from each node.
+
+    Iterative min-label propagation: each round every node takes the
+    min label among itself and its neighbors, converging in O(graph
+    diameter) rounds. Near-dup graphs are shallow (dup groups link
+    through shared content), so rounds stay in single digits; each
+    round is one join + one min-aggregate, both hash-partitioned on the
+    node id, localCheckpointed so round k never replays rounds 1..k-1.
+    The per-round 1-scalar convergence read is a driver-side plan
+    decision, not a data collect.
+    """
+    e = edges.select(src, dst).localCheckpoint(eager=True)
+    labels = (
+        e.select(F.col(src).alias("id"))
+        .union(e.select(dst))
+        .distinct()
+        .withColumn("lbl", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = None
+    for _ in range(max_iter):
+        fwd = e.join(labels.withColumnRenamed("id", src), src).select(
+            F.col(dst).alias("id"), "lbl"
+        )
+        bwd = e.join(labels.withColumnRenamed("id", dst), dst).select(
+            F.col(src).alias("id"), "lbl"
+        )
+        labels = (
+            labels.select("id", "lbl")
+            .union(fwd)
+            .union(bwd)
+            .groupBy("id")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+        if cur_sum == prev_sum:  # labels only ever decrease
+            break
+        prev_sum = cur_sum
+    return labels.select("id", F.col("lbl").alias("component"))
+
+
 def simhash_fingerprints(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash per doc as four 16-bit words ``sim0..sim3``."""
     toks = docs.select(

@@ -27,6 +27,7 @@ from ..functions.vectors import (
     sql_unit_cte,
 )
 from ..operators.dedup import (
+    connected_components,
     exact_dedup,
     doc_shingles,
     fingerprint,
@@ -330,6 +331,176 @@ def corpus_ngrams_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------- corpus governance
+
+# PII patterns restricted to syntax both Java regex (Spark) and RE2
+# (DuckDB) read identically — no lookaround, no backreferences.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\+\d[\d-]{7,}\d"
+PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def _pii_injected() -> F.Column:
+    """The synthetic corpus carries no PII, so each doc gets a
+    deterministic synthetic suffix (email + ip, phone on every 3rd
+    doc); the scrub operator itself is what's under test."""
+    return F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com ip 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" call +1-555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+
+
+def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over the corpus: count and mask emails, phone
+    numbers, and IPv4 addresses in one scan.
+
+    Scale: pure narrow map — three JVM regex passes per row inside
+    whole-stage codegen, no shuffle at all; at 100 TB this runs at
+    scan speed and partitions independently.
+    """
+    d = _docs(spark, sf_dir).withColumn("txt", _pii_injected())
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("txt", PII_EMAIL, "<EMAIL>"),
+            PII_PHONE,
+            "<PHONE>",
+        ),
+        PII_IP,
+        "<IP>",
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count("txt", F.lit(PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count("txt", F.lit(PII_PHONE)).cast("long").alias("n_phones"),
+        F.regexp_count("txt", F.lit(PII_IP)).cast("long").alias("n_ips"),
+        scrubbed.alias("scrubbed"),
+    )
+
+
+# Per-language keep rates for the stratified sample; thresholds are the
+# first 4 hex chars of the keep fraction so the md5-prefix comparison
+# is an exact, engine-portable Bernoulli draw.
+SAMPLE_RATES = {"en": 0.25, "de": 0.5, "es": 0.5, "fr": 0.75, "zh": 0.9}
+_SAMPLE_HEX = {
+    lang: format(int(rate * 65536), "04x") for lang, rate in SAMPLE_RATES.items()
+}
+
+
+def corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified corpus sampling: keep each doc with a
+    per-language probability, decided by an md5 hash of (doc_id, lang)
+    — reproducible across engines and runs, unlike rand()-based
+    sampling.
+
+    Scale: a narrow filter on a hash expression — no shuffle, no
+    state; exactly how a 100 TB corpus downsamples per stratum without
+    a global count or a second pass.
+    """
+    d = _docs(spark, sf_dir)
+    key4 = F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("lang"))),
+        1,
+        4,
+    )
+    thr = F.coalesce(
+        *[
+            F.when(F.col("lang") == lang, F.lit(hexthr))
+            for lang, hexthr in _SAMPLE_HEX.items()
+        ]
+    )
+    return (
+        d.withColumn("sample_key", key4)
+        .filter(F.col("sample_key") < thr)
+        .select("doc_id", "lang", "source", "sample_key")
+    )
+
+
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition metric (Gopher-style quality signal):
+    the fraction of 3-gram occurrences that are repeats of an earlier
+    3-gram in the same doc.
+
+    Scale: one explode + one per-doc two-level aggregation (count +
+    distinct-count share the doc_id shuffle); no self-joins.
+    """
+    from ..functions.hashing import shingles_3gram, words
+
+    d = _docs(spark, sf_dir)
+    tri = (
+        d.withColumn("w", words(F.col("text")))
+        .filter(F.size("w") >= 3)
+        .select("doc_id", F.explode(shingles_3gram(F.col("w"))).alias("s"))
+    )
+    return (
+        tri.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("total_ngrams"),
+            F.countDistinct("s").alias("distinct_ngrams"),
+        )
+        .withColumn(
+            "dup_ratio",
+            quantize(
+                1.0 - F.col("distinct_ngrams") / F.col("total_ngrams"), 4
+            ),
+        )
+    )
+
+
+def corpus_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition report: docs, tokens, and token share per
+    (lang, source) stratum — the numbers a training-mix rebalancer
+    consumes.
+
+    Scale: one partial-aggregated groupBy on (lang, source) (tiny
+    result), corpus total joined back as a 1-row broadcast.
+    """
+    d = _docs(spark, sf_dir)
+    per = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col("text")).cast("long")).alias("n_tokens"),
+    )
+    total = per.agg(F.sum("n_tokens").alias("corpus_tokens"))
+    return per.crossJoin(F.broadcast(total)).select(
+        "lang",
+        "source",
+        "n_docs",
+        "n_tokens",
+        quantize(F.col("n_tokens") / F.col("corpus_tokens"), 6).alias(
+            "token_share"
+        ),
+    )
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTER assignment: connected components over the
+    MinHash-LSH verified pair graph, labeling every clustered doc with
+    its component's min doc_id — the grouping a dedup policy (keep
+    one per cluster, keep best-quality per cluster) acts on.
+
+    Semantics and scale notes: operators/dedup.py connected_components
+    (min-label propagation, O(diameter) rounds).
+    """
+    pairs = minhash_lsh_pairs(
+        _docs(spark, sf_dir),
+        threshold=MINHASH_THRESHOLD,
+        df_cap=MINHASH_DF_CAP,
+    )
+    return connected_components(pairs).select(
+        F.col("id").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+
+
 # ------------------------------------------------------------- multimodal
 
 
@@ -465,6 +636,11 @@ QUERIES = {
     "corpus_ngrams_topk": corpus_ngrams_topk,
     "knn_ivf": knn_ivf,
     "knn_ivf_trained": knn_ivf_trained,
+    "doc_pii_scrub": doc_pii_scrub,
+    "corpus_sample_stratified": corpus_sample_stratified,
+    "doc_repetition": doc_repetition,
+    "corpus_mix_report": corpus_mix_report,
+    "dedup_clusters": dedup_clusters,
 }
 
 
@@ -510,6 +686,34 @@ _STOP_SQL = {
     lang: "[" + ", ".join(f"'{w}'" for w in ws) + "]"
     for lang, ws in STOPWORDS.items()
 }
+
+# Shared MinHash-LSH pair derivation, ending in `lsh_pairs(da, db,
+# jaccard)` — consumed by both the pair query's oracle and the
+# connected-components clustering oracle.
+_LSH_PAIR_CTES = f"""{_SH_CTES}, {_SH_CAPPED_CTE},
+        sigs AS (
+          SELECT doc_id, {sql_minhash_aggs()} FROM shc GROUP BY doc_id
+        ), bandsw AS (
+          SELECT doc_id, {sql_band_hashes()} FROM sigs
+        ), bands AS (
+          SELECT doc_id, 0 AS bk, band0 AS bv FROM bandsw
+          UNION ALL SELECT doc_id, 1, band1 FROM bandsw
+          UNION ALL SELECT doc_id, 2, band2 FROM bandsw
+          UNION ALL SELECT doc_id, 3, band3 FROM bandsw
+        ), cand AS (
+          SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+          FROM bands a JOIN bands b
+            ON a.bk = b.bk AND a.bv = b.bv AND a.doc_id < b.doc_id
+        ), {_jaccard_ctes('shc')},
+        lsh_pairs AS (
+          SELECT jac.da, jac.db, jac.jaccard
+          FROM jac JOIN cand ON jac.da = cand.da AND jac.db = cand.db
+          WHERE jac.jaccard >= {MINHASH_THRESHOLD}
+        )"""
+
+_SAMPLE_CASE = "CASE lang " + " ".join(
+    f"WHEN '{lang}' THEN '{hexthr}'" for lang, hexthr in _SAMPLE_HEX.items()
+) + " END"
 
 _Q_STOPS = _STOP_SQL["en"]
 
@@ -752,24 +956,23 @@ ORACLE = {
         FROM corpus WHERE doc_id NOT IN (SELECT db FROM drops)
     """,
     "dedup_minhash_lsh": f"""
-        WITH {_SH_CTES}, {_SH_CAPPED_CTE},
-        sigs AS (
-          SELECT doc_id, {sql_minhash_aggs()} FROM shc GROUP BY doc_id
-        ), bandsw AS (
-          SELECT doc_id, {sql_band_hashes()} FROM sigs
-        ), bands AS (
-          SELECT doc_id, 0 AS bk, band0 AS bv FROM bandsw
-          UNION ALL SELECT doc_id, 1, band1 FROM bandsw
-          UNION ALL SELECT doc_id, 2, band2 FROM bandsw
-          UNION ALL SELECT doc_id, 3, band3 FROM bandsw
-        ), cand AS (
-          SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-          FROM bands a JOIN bands b
-            ON a.bk = b.bk AND a.bv = b.bv AND a.doc_id < b.doc_id
-        ), {_jaccard_ctes('shc')}
-        SELECT jac.da, jac.db, jac.jaccard
-        FROM jac JOIN cand ON jac.da = cand.da AND jac.db = cand.db
-        WHERE jac.jaccard >= {MINHASH_THRESHOLD}
+        WITH {_LSH_PAIR_CTES}
+        SELECT da, db, jaccard FROM lsh_pairs
+    """,
+    "dedup_clusters": f"""
+        WITH RECURSIVE {_LSH_PAIR_CTES},
+        edges AS (
+          SELECT da, db FROM lsh_pairs
+          UNION
+          SELECT db AS da, da AS db FROM lsh_pairs
+        ),
+        walk(id, r) AS (
+          SELECT da, da FROM edges
+          UNION
+          SELECT w.id, e.db FROM walk w JOIN edges e ON e.da = w.r
+        )
+        SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+        FROM walk GROUP BY id
     """,
     "dedup_simhash": f"""
         WITH toks AS (
@@ -851,5 +1054,69 @@ ORACLE = {
                CASE CAST(octet_length(encode(text)) AS BIGINT) % 3
                  WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS fake_format
         FROM documents
+    """,
+    "doc_pii_scrub": f"""
+        WITH injected AS (
+          SELECT doc_id,
+                 text || ' contact user' || CAST(doc_id AS VARCHAR)
+                      || '@example.com ip 10.0.'
+                      || CAST(doc_id % 256 AS VARCHAR) || '.7'
+                      || CASE WHEN doc_id % 3 = 0
+                              THEN ' call +1-555-'
+                                   || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                              ELSE '' END AS txt
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(txt, '{PII_EMAIL}')) AS BIGINT)
+                 AS n_emails,
+               CAST(len(regexp_extract_all(txt, '{PII_PHONE}')) AS BIGINT)
+                 AS n_phones,
+               CAST(len(regexp_extract_all(txt, '{PII_IP}')) AS BIGINT)
+                 AS n_ips,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(txt, '{PII_EMAIL}', '<EMAIL>', 'g'),
+                   '{PII_PHONE}', '<PHONE>', 'g'),
+                 '{PII_IP}', '<IP>', 'g') AS scrubbed
+        FROM injected
+    """,
+    "corpus_sample_stratified": f"""
+        SELECT doc_id, lang, source, sample_key
+        FROM (
+          SELECT doc_id, lang, source,
+                 substr(md5(CAST(doc_id AS VARCHAR) || ':' || lang), 1, 4)
+                   AS sample_key
+          FROM documents
+        )
+        WHERE sample_key < {_SAMPLE_CASE}
+    """,
+    "doc_repetition": f"""
+        WITH toks AS (
+          SELECT doc_id, {_W} AS w FROM documents
+        ), tri AS (
+          SELECT doc_id, unnest({SQL_SHINGLES.format(w='w')}) AS s
+          FROM toks WHERE len(w) >= 3
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS total_ngrams,
+               CAST(count(DISTINCT s) AS BIGINT) AS distinct_ngrams,
+               {sql_quantize(
+                   '1.0 - CAST(count(DISTINCT s) AS DOUBLE) / count(*)', 4)}
+                 AS dup_ratio
+        FROM tri GROUP BY doc_id
+    """,
+    "corpus_mix_report": f"""
+        WITH per AS (
+          SELECT lang, source, count(*) AS n_docs,
+                 CAST(sum(len(regexp_extract_all(text, '{TOKEN_PATTERN}')))
+                   AS BIGINT) AS n_tokens
+          FROM documents GROUP BY 1, 2
+        ), tot AS (
+          SELECT CAST(sum(n_tokens) AS DOUBLE) AS corpus_tokens FROM per
+        )
+        SELECT lang, source, n_docs, n_tokens,
+               {sql_quantize('n_tokens / corpus_tokens', 6)} AS token_share
+        FROM per CROSS JOIN tot
     """,
 }

@@ -635,3 +635,24 @@ def test_catalog_ivf_trained_recall_pinned(spark):
     exact_pairs = set(zip(exact["query_id"], exact["neighbor_id"]))
     trained_pairs = set(zip(trained["query_id"], trained["neighbor_id"]))
     assert len(trained_pairs & exact_pairs) / len(exact_pairs) >= 0.5
+
+
+def test_connected_components_semantics(spark):
+    """Chain + separate pair + self-contained triangle: every node must
+    label with its component's min id, across multi-hop links."""
+    from llm_map_reduce_summarizer_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        # chain 1-2-3-4 (forces >1 propagation round), pair 10-11,
+        # triangle 20-21-22
+        [(2, 3), (1, 2), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "da long, db long",
+    )
+    out = {
+        r["id"]: r["component"]
+        for r in connected_components(edges).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20}
