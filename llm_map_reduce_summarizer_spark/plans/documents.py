@@ -501,6 +501,102 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Every doc_id divisible by this is treated as a held-out benchmark
+# doc; the rest of the corpus is screened against them.
+CONTAM_MOD = 50
+CONTAM_THRESHOLD = 0.5
+
+
+def corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination screen: for every corpus doc, the max
+    3-gram overlap ratio against any benchmark doc (held-out set =
+    doc_id % CONTAM_MOD == 0) and a contaminated flag — the
+    decontamination step of a training-data pipeline.
+
+    Scale: the benchmark shingle set is tiny by construction (the
+    benchmark is a fixed eval suite, not the corpus), so the overlap
+    join broadcasts it — the corpus-side shingle table never shuffles
+    for the join, and the per-(doc, bench) counts aggregate on the
+    corpus partitioning. Only docs with nonzero overlap reach the
+    per-doc ranking window (partitioned by doc_id, never global).
+    """
+    sh = doc_shingles(_docs(spark, sf_dir))
+    bench = sh.filter(F.col("doc_id") % CONTAM_MOD == 0).select(
+        F.col("doc_id").alias("bench_id"), "s"
+    )
+    corpus = sh.filter(F.col("doc_id") % CONTAM_MOD != 0)
+    sizes = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    overlap = (
+        corpus.join(F.broadcast(bench), "s")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    from pyspark.sql.window import Window
+
+    scored = (
+        overlap.join(sizes, "doc_id")
+        .withColumn("overlap_ratio", quantize(F.col("c") / F.col("n"), 4))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("overlap_ratio").desc(), F.col("bench_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "doc_id",
+            "bench_id",
+            "overlap_ratio",
+            (F.col("overlap_ratio") >= CONTAM_THRESHOLD).alias("contaminated"),
+        )
+    )
+
+
+# Target token share per language for the rebalanced training mix.
+MIX_TARGETS = {"en": 0.4, "de": 0.15, "es": 0.15, "fr": 0.15, "zh": 0.15}
+# Knuth multiplicative draw: exact bigint arithmetic both engines
+# reproduce bit-for-bit (doc_id * KNUTH fits in int64 at any real SF).
+KNUTH = 2654435761
+DRAW_MOD = 1_000_000
+
+
+def corpus_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rebalance the corpus toward target per-language token shares:
+    languages over their target get downsampled at rate
+    ``target_share * total_tokens / lang_tokens``; under-target
+    languages keep everything (rate capped at 1).
+
+    Scale: per-language token totals are a tiny partial-aggregated
+    groupBy broadcast back onto the scan; the keep decision is a
+    deterministic per-row integer draw — no rand(), no shuffle of the
+    corpus, one pass.
+    """
+    d = _docs(spark, sf_dir).withColumn(
+        "n_tokens", token_count(F.col("text")).cast("long")
+    )
+    per_lang = d.groupBy("lang").agg(F.sum("n_tokens").alias("lang_tokens"))
+    total = per_lang.agg(F.sum("lang_tokens").alias("total_tokens"))
+    target = F.coalesce(
+        *[
+            F.when(F.col("lang") == lang, F.lit(share))
+            for lang, share in MIX_TARGETS.items()
+        ]
+    )
+    rates = per_lang.crossJoin(F.broadcast(total)).select(
+        "lang",
+        F.least(
+            F.lit(1.0),
+            (target * F.col("total_tokens")) / F.col("lang_tokens"),
+        ).alias("keep_rate"),
+    )
+    draw = ((F.col("doc_id") * KNUTH) % DRAW_MOD) / float(DRAW_MOD)
+    return (
+        d.join(F.broadcast(rates), "lang")
+        .filter(draw < F.col("keep_rate"))
+        .select("doc_id", "lang", "source", "n_tokens")
+    )
+
+
 # ------------------------------------------------------------- multimodal
 
 
@@ -641,6 +737,8 @@ QUERIES = {
     "doc_repetition": doc_repetition,
     "corpus_mix_report": corpus_mix_report,
     "dedup_clusters": dedup_clusters,
+    "corpus_contamination": corpus_contamination,
+    "corpus_rebalance": corpus_rebalance,
 }
 
 
@@ -1118,5 +1216,62 @@ ORACLE = {
         SELECT lang, source, n_docs, n_tokens,
                {sql_quantize('n_tokens / corpus_tokens', 6)} AS token_share
         FROM per CROSS JOIN tot
+    """,
+    "corpus_contamination": f"""
+        WITH {_SH_CTES},
+        bench AS (
+          SELECT doc_id AS bench_id, s FROM sh WHERE doc_id % {CONTAM_MOD} = 0
+        ),
+        corpus AS (
+          SELECT doc_id, s FROM sh WHERE doc_id % {CONTAM_MOD} <> 0
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM corpus GROUP BY 1),
+        overlap AS (
+          SELECT c.doc_id, b.bench_id, count(*) AS c
+          FROM corpus c JOIN bench b ON c.s = b.s
+          GROUP BY 1, 2
+        ),
+        scored AS (
+          SELECT o.doc_id, o.bench_id,
+                 {sql_quantize('CAST(o.c AS DOUBLE) / sizes.n', 4)}
+                   AS overlap_ratio
+          FROM overlap o JOIN sizes ON o.doc_id = sizes.doc_id
+        )
+        SELECT doc_id, bench_id, overlap_ratio,
+               overlap_ratio >= {CONTAM_THRESHOLD} AS contaminated
+        FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY overlap_ratio DESC, bench_id
+          ) AS rk FROM scored
+        ) WHERE rk = 1
+    """,
+    "corpus_rebalance": f"""
+        WITH d AS (
+          SELECT doc_id, lang, source,
+                 CAST(len(regexp_extract_all(text, '{TOKEN_PATTERN}'))
+                   AS BIGINT) AS n_tokens
+          FROM documents
+        ),
+        per_lang AS (
+          SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS lang_tokens
+          FROM d GROUP BY 1
+        ),
+        tot AS (
+          SELECT CAST(sum(lang_tokens) AS BIGINT) AS total_tokens
+          FROM per_lang
+        ),
+        rates AS (
+          SELECT lang,
+                 least(1.0,
+                       (CASE lang {' '.join(
+                           f"WHEN '{lang}' THEN {share}"
+                           for lang, share in MIX_TARGETS.items()
+                       )} END * total_tokens) / lang_tokens) AS keep_rate
+          FROM per_lang CROSS JOIN tot
+        )
+        SELECT d.doc_id, d.lang, d.source, d.n_tokens
+        FROM d JOIN rates ON d.lang = rates.lang
+        WHERE (CAST(d.doc_id * {KNUTH} AS BIGINT) % {DRAW_MOD})
+              / {float(DRAW_MOD)} < rates.keep_rate
     """,
 }

@@ -17,13 +17,16 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..streaming.stream_ops import (
     asof_enrich_stream,
+    dedup_stream,
     hourly_counts,
     latest_sessions,
+    read_documents_stream,
     read_events_stream,
     run_available_now,
     sessionize_stream,
     view_click_interval_join,
 )
+from .documents import ORACLE as _DOCS_ORACLE
 from .events import ORACLE as _EVENTS_ORACLE
 
 
@@ -52,17 +55,27 @@ def stream_asof_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(asof_enrich_stream(ev), output_mode="update")
 
 
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-time exact dedup; a drain of the static corpus equals
+    the batch ``dedup_apply`` (keep min doc_id per content group), so
+    it shares that oracle."""
+    docs = read_documents_stream(spark, sf_dir)
+    return run_available_now(dedup_stream(docs), output_mode="update")
+
+
 QUERIES = {
     "stream_hourly": stream_hourly,
     "stream_sessionize": stream_sessionize,
     "stream_view_click_join": stream_view_click_join,
     "stream_asof_view": stream_asof_view,
+    "stream_dedup": stream_dedup,
 }
 
 ORACLE = {
     "stream_hourly": _EVENTS_ORACLE["events_hourly"],
     "stream_sessionize": _EVENTS_ORACLE["events_sessionize"],
     "stream_asof_view": _EVENTS_ORACLE["events_asof_view"],
+    "stream_dedup": _DOCS_ORACLE["dedup_apply"],
     # on static input the drained stream-stream inner join equals the
     # batch interval join, so it gets a full SQL oracle
     "stream_view_click_join": """

@@ -195,6 +195,93 @@ def sessionize_stream(events: DataFrame, evict_state: bool = False) -> DataFrame
     )
 
 
+DOCS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ]
+)
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-based streaming source over the documents parquet."""
+    return (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(sf_dir, "documents.parquet*"))
+    )
+
+
+DEDUP_STATE_SCHEMA = StructType([StructField("keeper_id", LongType())])
+
+DEDUP_OUT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ]
+)
+
+
+def _dedup_fold(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-fingerprint state: emit only the first-arriving doc of each
+    content group; everything after is a duplicate and is dropped."""
+    if state.hasTimedOut:
+        state.remove()
+        return
+    if not state.exists:
+        first = None
+        for pdf in pdfs:
+            pdf = pdf.sort_values("doc_id")
+            if len(pdf) and (first is None or pdf["doc_id"].iat[0] < first["doc_id"]):
+                first = pdf.iloc[0]
+        if first is not None:
+            state.update((int(first["doc_id"]),))
+            yield pd.DataFrame(
+                [
+                    {
+                        "doc_id": int(first["doc_id"]),
+                        "lang": first["lang"],
+                        "source": first["source"],
+                        "n_chars": int(first["n_chars"]),
+                    }
+                ]
+            )
+
+
+def dedup_stream(docs: DataFrame) -> DataFrame:
+    """Ingestion-time exact dedup: keep the first-arriving document of
+    each normalized-content fingerprint, dropping every later copy —
+    the streaming twin of the batch ``dedup_apply``.
+
+    The fingerprint is computed JVM-side (regexp + md5 built-ins)
+    before the stateful op, so the shuffle key is a 32-byte digest and
+    state is ONE tiny row (the keeper id) per distinct content —
+    bounded by unique content, not stream length. Within a micro-batch
+    the min doc_id wins (deterministic), so a single-batch drain of a
+    static corpus equals the batch keep-min-id dedup exactly; in a
+    continuous run "first arrival wins", the standard ingestion-dedup
+    contract.
+    """
+    fp = F.md5(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    with_fp = docs.select(
+        "doc_id", "lang", "source", "n_chars", fp.alias("fp")
+    )
+    return with_fp.groupBy("fp").applyInPandasWithState(
+        _dedup_fold,
+        outputStructType=DEDUP_OUT_SCHEMA,
+        stateStructType=DEDUP_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 ASOF_STATE_SCHEMA = StructType(
     [
         StructField("view_ts_us", LongType()),

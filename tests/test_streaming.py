@@ -148,3 +148,44 @@ def test_stream_asof_state_carries_across_batches(spark, tmp_path):
     # and the later click sees the newer in-batch view
     assert out.loc[5, "view_value"] == 7.0
     assert out.loc[5, "view_ts_us"] == 25 * us
+
+
+def test_stream_dedup_matches_batch_and_carries_state(spark, tmp_path):
+    from llm_map_reduce_summarizer_spark.plans.documents import dedup_apply
+    from llm_map_reduce_summarizer_spark.plans.streams import stream_dedup
+    from llm_map_reduce_summarizer_spark.streaming.stream_ops import (
+        DOCS_SCHEMA,
+        dedup_stream,
+        run_available_now,
+    )
+    import pandas as pd
+    from pyspark.sql import functions as F  # noqa: F401
+
+    # drain of the static corpus == batch keep-min-id dedup
+    stream = stream_dedup(spark, SF).toPandas()
+    batch = dedup_apply(spark, SF).toPandas()
+    assert len(stream) > 0
+    assert compare_frames(stream, batch) == []
+
+    # two micro-batches: a batch-2 copy of batch-1 content must drop
+    # purely from carried state; new content still passes
+    src = tmp_path / "docs_stream"
+    src.mkdir()
+    pd.DataFrame(
+        [dict(doc_id=1, text="alpha beta", lang="en", source="s", n_chars=10)]
+    ).to_parquet(src / "part-000.parquet")
+    pd.DataFrame(
+        [
+            dict(doc_id=2, text="ALPHA   beta", lang="en", source="s",
+                 n_chars=12),  # same normalized content -> dropped
+            dict(doc_id=3, text="gamma", lang="en", source="s", n_chars=5),
+        ]
+    ).to_parquet(src / "part-001.parquet")
+    raw = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(str(src))
+    )
+    out = run_available_now(dedup_stream(raw), output_mode="update").toPandas()
+    assert sorted(out["doc_id"]) == [1, 3]
