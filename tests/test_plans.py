@@ -108,3 +108,35 @@ def test_map_cost_report_gpt4_tier(spark):
     assert (gpt4["completion_tokens"] == base["completion_tokens"]).all()
     ratio = gpt4["cost_usd"] / base["cost_usd"]
     assert ((ratio - 30.0).abs() < 1e-3).all()
+
+
+def test_corpus_governance_plan_shapes(spark):
+    """Pin the scale claims: the narrow-map ops must plan with ZERO
+    exchanges, and the joins that claim broadcast must broadcast."""
+    import io
+    import contextlib
+
+    from llm_map_reduce_summarizer_spark.plans.documents import (
+        corpus_contamination,
+        corpus_rebalance,
+        corpus_sample_stratified,
+        doc_pii_scrub,
+    )
+
+    sf = "/root/testdata/sf0.001"
+
+    def plan(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain(mode="formatted")
+        return buf.getvalue()
+
+    # pure per-row ops: scan -> project/filter, no shuffle at all
+    for fn in (doc_pii_scrub, corpus_sample_stratified):
+        p = plan(fn(spark, sf))
+        assert "Exchange" not in p, f"{fn.__name__} gained a shuffle:\n{p}"
+
+    # benchmark shingles / per-lang rates join in as broadcasts — the
+    # corpus side must never shuffle for these joins
+    for fn in (corpus_contamination, corpus_rebalance):
+        assert "BroadcastHashJoin" in plan(fn(spark, sf)), fn.__name__
