@@ -727,6 +727,40 @@ ORACLE = {
         WITH {_SEGS}, {_CHUNK_CTES}
         SELECT seg_id, chunk_id, n_tokens FROM chunked
     """,
+    "chunk_greedy": f"""
+        WITH RECURSIVE {_SEGS},
+        gtok AS (
+          SELECT speaker AS transcript, seg_id,
+                 '[' || {_FMT_START} || '] ' || speaker || ': ' || text
+                   AS seg_text
+          FROM segs
+        ),
+        gtok2 AS (
+          SELECT transcript, seg_id,
+                 CAST({SQL_TOKEN_COUNT.format(c='seg_text')} AS BIGINT)
+                   AS n_tokens,
+                 row_number() OVER (
+                   PARTITION BY transcript ORDER BY seg_id
+                 ) AS rn
+          FROM gtok
+        ),
+        walk AS (
+          SELECT transcript, rn, seg_id, n_tokens,
+                 CAST(0 AS BIGINT) AS chunk_id, n_tokens AS acc
+          FROM gtok2 WHERE rn = 1
+          UNION ALL
+          SELECT s.transcript, s.rn, s.seg_id, s.n_tokens,
+                 CASE WHEN w.acc > 0
+                       AND w.acc + s.n_tokens > {MAX_TOKENS_PER_CHUNK}
+                      THEN w.chunk_id + 1 ELSE w.chunk_id END,
+                 CASE WHEN w.acc > 0
+                       AND w.acc + s.n_tokens > {MAX_TOKENS_PER_CHUNK}
+                      THEN s.n_tokens ELSE w.acc + s.n_tokens END
+          FROM walk w JOIN gtok2 s
+            ON s.transcript = w.transcript AND s.rn = w.rn + 1
+        )
+        SELECT transcript, seg_id, chunk_id, n_tokens FROM walk
+    """,
     "chunk_stats": f"""
         WITH {_SEGS}, {_CHUNK_CTES}, {_STATS_CTES}
         SELECT chunk_id, start_time, end_time, token_count, n_segments,
