@@ -93,6 +93,25 @@ SQL_CLEAN = (
     " '([.!?])([A-Za-z])', '\\1 \\2', 'g')"
 )
 
+# RE2 has no backreferences, so the repeated-word rule
+# `\b(\w+)( \1\b)+` -> `\1` is re-expressed as a left fold over the
+# (already whitespace-collapsed) tokens: drop a token's word-prefix
+# when it equals the accumulator's trailing word-run. Java quirk
+# mirrored exactly: `\w` is ASCII but `\b` is UNICODE-aware, so the
+# run must sit at a *unicode* word boundary on both sides — hence the
+# `[^\p{L}\p{N}\p{M}_]`-or-edge context in both extracts (a bare
+# `(\w+)$` would wrongly collapse `aä`-style tokens). Fuzz-verified
+# against the Spark/Java rule in tests/test_fuzz_parity.py.
+SQL_DEDUP_WORDS = r"""list_reduce(string_split({c}, ' '),
+  (acc, t) -> CASE WHEN regexp_extract(acc,
+                     '(?:^|[^\p{{L}}\p{{N}}\p{{M}}_])(\w+)$', 1) <> ''
+                    AND regexp_extract(acc,
+                     '(?:^|[^\p{{L}}\p{{N}}\p{{M}}_])(\w+)$', 1)
+                        = regexp_extract(t,
+                     '^(\w+)(?:[^\p{{L}}\p{{N}}\p{{M}}_]|$)', 1)
+               THEN acc || regexp_replace(t, '^\w+', '')
+               ELSE acc || ' ' || t END)"""
+
 SQL_FMT_TS = (
     "CASE WHEN CAST(floor({s}) AS BIGINT) // 3600 > 0 "
     "THEN lpad(CAST(CAST(floor({s}) AS BIGINT) // 3600 AS VARCHAR), 2, '0') || ':' || "

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import (
     SQL_CLEAN,
+    SQL_DEDUP_WORDS,
     SQL_FMT_TS,
     SQL_TOKEN_COUNT,
     format_timestamp,
@@ -681,6 +682,14 @@ ORACLE = {
                {_FMT_START} AS start_fmt,
                {_FMT_END} AS end_fmt,
                text
+        FROM segs
+    """,
+    "seg_clean_full": f"""
+        WITH {_SEGS}
+        SELECT seg_id, speaker,
+               {_FMT_START} AS start_fmt,
+               {_FMT_END} AS end_fmt,
+               {SQL_DEDUP_WORDS.format(c='text')} AS text
         FROM segs
     """,
     "seg_merge_speaker": f"""

@@ -96,3 +96,49 @@ def test_text_function_twins_agree(spark, fuzz_pdf):
             if a != b and not (pd.isna(a) and pd.isna(b))
         ]
         assert not mismatches, f"{col}: first mismatches {mismatches[:3]}"
+
+
+def test_repeated_word_fold_matches_java_backreference(spark):
+    """seg_clean_full's oracle re-expresses the Java backreference rule
+    `\\b(\\w+)( \\1\\b)+` as an RE2 list_reduce fold; fuzz token streams
+    heavy in repeats/punctuation/unicode through BOTH engines."""
+    from llm_map_reduce_summarizer_spark.functions.text import (
+        SQL_DEDUP_WORDS,
+        clean_text_full,
+    )
+
+    rng = random.Random(23)
+    vocab = [
+        "a", "ab", "value", "b", "x-y", "(a", "a)", "a,", "v.", "!a",
+        "aa", "a_b", "9", "a9", "äa", "aä", "ä", "日本", "a.b",
+    ]
+    texts = [""]
+    for _ in range(400):
+        toks = []
+        for _ in range(rng.randint(1, 10)):
+            t = rng.choice(vocab)
+            # bias toward immediate repeats — the rule under test
+            toks.extend([t] * rng.randint(1, 3))
+        texts.append(" ".join(toks))
+    pdf = pd.DataFrame({"i": range(len(texts)), "txt": texts})
+
+    sdf = spark.createDataFrame(pdf)
+    got = (
+        sdf.select("i", clean_text_full(F.col("txt")).alias("out"))
+        .toPandas()
+        .sort_values("i")["out"]
+        .tolist()
+    )
+    con = duckdb.connect()
+    try:
+        con.register("fuzz", pdf)
+        expr = SQL_DEDUP_WORDS.format(c=SQL_CLEAN.format(c="txt"))
+        want = [
+            r[0]
+            for r in con.execute(
+                f"SELECT {expr} FROM fuzz ORDER BY i"
+            ).fetchall()
+        ]
+    finally:
+        con.close()
+    assert got == want
