@@ -60,9 +60,14 @@ except ImportError:
 _PLAN_MODULES.sort(key=lambda m: m.__name__.rsplit(".", 1)[-1])
 
 
-def _last_verified() -> dict[str, int]:
-    """key -> last round with a passing driver record, from the
-    committed CORRECTNESS_r*.json files (0 = never checked)."""
+def _last_verified(oracle_keys: set[str]) -> dict[str, int]:
+    """key -> last round with a passing driver record at the key's
+    CURRENT check strength, from the committed CORRECTNESS_r*.json
+    files (0 = never checked). For a key that now carries an oracle
+    only hash-verified records count — an old rows-only record must
+    not hide a never-value-checked oracle; keys without an oracle
+    accept their rows-only records.
+    """
     out: dict[str, int] = {}
     for p in Path(__file__).resolve().parent.glob("CORRECTNESS_r*.json"):
         m = re.search(r"r(\d+)$", p.stem)
@@ -74,9 +79,13 @@ def _last_verified() -> dict[str, int]:
         except (OSError, ValueError):
             continue
         for key, rec in records.items():
-            passed = rec.get("hash_match") is True or (
-                rec.get("err") == "no_oracle" and rec.get("spark_rows") is not None
-            )
+            if key in oracle_keys:
+                passed = rec.get("hash_match") is True
+            else:
+                passed = (
+                    rec.get("err") == "no_oracle"
+                    and rec.get("spark_rows") is not None
+                )
             if passed:
                 out[key] = max(out.get(key, 0), rnd)
     return out
@@ -92,9 +101,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    oracle_keys: set[str] = set()
     for mod in _PLAN_MODULES:
         merged.update(mod.QUERIES)
-    last = _last_verified()
+        oracle_keys.update(mod.ORACLE)
+    last = _last_verified(oracle_keys)
     order = sorted(merged, key=lambda k: last.get(k, 0))  # stable sort
     return {k: merged[k] for k in order}
 
