@@ -142,3 +142,66 @@ def test_repeated_word_fold_matches_java_backreference(spark):
     finally:
         con.close()
     assert got == want
+
+
+def test_pii_patterns_cross_engine(spark):
+    """Emails/phones/IPv4 embedded in noisy text: Java and RE2 must
+    agree on match counts AND the scrubbed text."""
+    from llm_map_reduce_summarizer_spark.plans.documents import (
+        PII_EMAIL,
+        PII_IP,
+        PII_PHONE,
+    )
+
+    rng = random.Random(5)
+    frags = [
+        "a.b@c.de", "x@y.z", "not@an", "u_1@ex-a.co", "@@", "a@b,c",
+        "10.0.0.1", "999.1.2.3", "1.2.3", "1.2.3.4.5", "a1.2.3.4",
+        "+1-555-0042", "+49-30-123456", "+1", "1-555-0042", "+12345678",
+        "word", "w.w", "3.14", "..", "a-b", "()",
+    ]
+    texts = [""]
+    for _ in range(300):
+        texts.append(
+            " ".join(rng.choice(frags) for _ in range(rng.randint(1, 8)))
+        )
+    pdf = pd.DataFrame({"i": range(len(texts)), "txt": texts})
+
+    sdf = spark.createDataFrame(pdf)
+    scrub = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("txt", PII_EMAIL, "<EMAIL>"),
+            PII_PHONE, "<PHONE>",
+        ),
+        PII_IP, "<IP>",
+    )
+    got = (
+        sdf.select(
+            "i",
+            F.regexp_count("txt", F.lit(PII_EMAIL)).alias("e"),
+            F.regexp_count("txt", F.lit(PII_PHONE)).alias("p"),
+            F.regexp_count("txt", F.lit(PII_IP)).alias("ip"),
+            scrub.alias("s"),
+        )
+        .toPandas()
+        .sort_values("i")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    try:
+        con.register("fuzz", pdf)
+        want = con.execute(f"""
+            SELECT i,
+                   len(regexp_extract_all(txt, '{PII_EMAIL}')) AS e,
+                   len(regexp_extract_all(txt, '{PII_PHONE}')) AS p,
+                   len(regexp_extract_all(txt, '{PII_IP}')) AS ip,
+                   regexp_replace(regexp_replace(regexp_replace(
+                     txt, '{PII_EMAIL}', '<EMAIL>', 'g'),
+                     '{PII_PHONE}', '<PHONE>', 'g'),
+                     '{PII_IP}', '<IP>', 'g') AS s
+            FROM fuzz ORDER BY i
+        """).df()
+    finally:
+        con.close()
+    for col in ("e", "p", "ip", "s"):
+        assert list(got[col]) == list(want[col]), col
