@@ -84,3 +84,16 @@ def test_partition_pruning_on_partitioned_layout(spark, tmp_path):
     assert "event_type" in pf
     expected = ev.filter(F.col("event_type") == "view").count()
     assert back.count() == expected
+
+
+def test_connected_components_empty_and_selfloop(spark):
+    from llm_map_reduce_summarizer_spark.operators.dedup import (
+        connected_components,
+    )
+
+    empty = spark.createDataFrame([], "da long, db long")
+    assert connected_components(empty).count() == 0
+    # a self-loop must not spin the propagation loop
+    loop = spark.createDataFrame([(5, 5)], "da long, db long")
+    out = connected_components(loop).collect()
+    assert [(r["id"], r["component"]) for r in out] == [(5, 5)]
