@@ -457,6 +457,40 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc mean unigram surprisal against the corpus language
+    model: ``-(1/N_d) * sum_t n_t * ln(ctf_t / T)`` — the classic
+    LM-based quality/outlier filter (docs full of rare or garbled
+    tokens score high, boilerplate scores low).
+
+    Scale: (doc, term) counts and corpus term frequencies are two
+    natural-key shuffles; the corpus total joins as a 1-row broadcast
+    and the score is one more per-doc aggregation — no self-joins, no
+    windows.
+    """
+    from ..functions.hashing import words
+
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", F.explode(words(F.col("text"))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("n"))
+    cf = tf.groupBy("term").agg(F.sum("n").alias("ctf"))
+    tot = cf.agg(F.sum("ctf").alias("corpus_tokens"))
+    scored = tf.join(cf, "term").crossJoin(F.broadcast(tot))
+    return scored.groupBy("doc_id").agg(
+        F.sum("n").alias("n_tokens"),
+        quantize(
+            F.sum(
+                F.col("n")
+                * -F.log(
+                    F.col("ctf").cast("double") / F.col("corpus_tokens")
+                )
+            )
+            / F.sum("n"),
+            6,
+        ).alias("mean_surprisal"),
+    )
+
+
 def corpus_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus composition report: docs, tokens, and token share per
     (lang, source) stratum — the numbers a training-mix rebalancer
@@ -739,6 +773,7 @@ QUERIES = {
     "dedup_clusters": dedup_clusters,
     "corpus_contamination": corpus_contamination,
     "corpus_rebalance": corpus_rebalance,
+    "doc_unigram_surprisal": doc_unigram_surprisal,
 }
 
 
@@ -1216,6 +1251,25 @@ ORACLE = {
         SELECT lang, source, n_docs, n_tokens,
                {sql_quantize('n_tokens / corpus_tokens', 6)} AS token_share
         FROM per CROSS JOIN tot
+    """,
+    "doc_unigram_surprisal": f"""
+        WITH tk AS (
+          SELECT doc_id, unnest({SQL_WORDS.format(c='text')}) AS term
+          FROM documents
+        ), tf AS (
+          SELECT doc_id, term, count(*) AS n FROM tk GROUP BY 1, 2
+        ), cf AS (
+          SELECT term, CAST(sum(n) AS BIGINT) AS ctf FROM tf GROUP BY 1
+        ), tot AS (
+          SELECT CAST(sum(ctf) AS BIGINT) AS corpus_tokens FROM cf
+        )
+        SELECT tf.doc_id,
+               CAST(sum(tf.n) AS BIGINT) AS n_tokens,
+               {sql_quantize(
+                   'sum(tf.n * -ln(CAST(cf.ctf AS DOUBLE) / corpus_tokens))'
+                   ' / sum(tf.n)', 6)} AS mean_surprisal
+        FROM tf JOIN cf ON tf.term = cf.term CROSS JOIN tot
+        GROUP BY tf.doc_id
     """,
     "corpus_contamination": f"""
         WITH {_SH_CTES},
