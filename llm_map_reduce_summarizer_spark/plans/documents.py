@@ -631,6 +631,42 @@ def corpus_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup removal with a QUALITY policy: within each LSH
+    connected-component cluster keep the highest-quality doc (ties →
+    min doc_id); docs in no cluster pass through — the policy layer a
+    real corpus prep runs on top of pair detection.
+
+    Scale: the cluster map is bounded by near-dup density (pairs, not
+    corpus), so it broadcasts onto a single corpus scan; the per-
+    cluster argmax is one aggregation on the tiny clustered subset.
+    """
+    d = _docs(spark, sf_dir).withColumn(
+        "quality_score", quality_score_col()
+    )
+    pairs = minhash_lsh_pairs(
+        d, threshold=MINHASH_THRESHOLD, df_cap=MINHASH_DF_CAP
+    )
+    clusters = connected_components(pairs).select(
+        F.col("id").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+    clustered = d.join(F.broadcast(clusters), "doc_id")
+    # argmax by (quality desc, doc_id asc) via struct-max: quality
+    # packs with the NEGATED id so larger struct == better candidate
+    best = clustered.groupBy("cluster_id").agg(
+        F.max(
+            F.struct(F.col("quality_score"), (-F.col("doc_id")).alias("nid"))
+        ).alias("b")
+    ).select((-F.col("b.nid")).alias("doc_id"))
+    keep_clustered = clustered.join(
+        F.broadcast(best), "doc_id", "left_semi"
+    )
+    unclustered = d.join(F.broadcast(clusters), "doc_id", "left_anti")
+    return keep_clustered.unionByName(
+        unclustered.withColumn("cluster_id", F.lit(None).cast("long"))
+    ).select("doc_id", "lang", "source", "quality_score", "cluster_id")
+
+
 # ------------------------------------------------------------- multimodal
 
 
@@ -774,6 +810,7 @@ QUERIES = {
     "corpus_contamination": corpus_contamination,
     "corpus_rebalance": corpus_rebalance,
     "doc_unigram_surprisal": doc_unigram_surprisal,
+    "dedup_keep_best": dedup_keep_best,
 }
 
 
@@ -847,6 +884,31 @@ _LSH_PAIR_CTES = f"""{_SH_CTES}, {_SH_CAPPED_CTE},
 _SAMPLE_CASE = "CASE lang " + " ".join(
     f"WHEN '{lang}' THEN '{hexthr}'" for lang, hexthr in _SAMPLE_HEX.items()
 ) + " END"
+
+# doc_id -> quality_score (+ passthrough columns), shared by the
+# quality-policy dedup oracle; mirrors plans.documents.quality_score_col.
+def _quality_docs_cte() -> str:
+    from ..functions.text import sql_quantize as _sq
+
+    score = _sq(
+        "0.4 * least(n_words_d / 100.0, 1.0)"
+        " + 0.3 * (1.0 - stop_hits / n_words_d)"
+        " + 0.3 * least((alpha / n_words_d) / 8.0, 1.0)",
+        4,
+    )
+    return f"""qdocs AS (
+  SELECT doc_id, lang, source, {score} AS quality_score
+  FROM (
+    SELECT doc_id, lang, source,
+           CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE)
+             AS n_words_d,
+           CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+             AS alpha,
+           CAST(len(list_filter({_W}, t -> list_contains({_Q_STOPS}, t)))
+             AS DOUBLE) AS stop_hits
+    FROM documents
+  )
+)"""
 
 _Q_STOPS = _STOP_SQL["en"]
 
@@ -1106,6 +1168,43 @@ ORACLE = {
         )
         SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
         FROM walk GROUP BY id
+    """,
+    "dedup_keep_best": f"""
+        WITH RECURSIVE {_LSH_PAIR_CTES},
+        edges AS (
+          SELECT da, db FROM lsh_pairs
+          UNION
+          SELECT db AS da, da AS db FROM lsh_pairs
+        ),
+        walk(id, r) AS (
+          SELECT da, da FROM edges
+          UNION
+          SELECT w.id, e.db FROM walk w JOIN edges e ON e.da = w.r
+        ),
+        clusters AS (
+          SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+          FROM walk GROUP BY id
+        ),
+        {_quality_docs_cte()},
+        clustered AS (
+          SELECT q.doc_id, q.lang, q.source, q.quality_score, c.cluster_id
+          FROM qdocs q JOIN clusters c ON q.doc_id = c.doc_id
+        ),
+        best AS (
+          SELECT doc_id FROM (
+            SELECT doc_id, row_number() OVER (
+              PARTITION BY cluster_id
+              ORDER BY quality_score DESC, doc_id
+            ) AS rk FROM clustered
+          ) WHERE rk = 1
+        )
+        SELECT c.doc_id, c.lang, c.source, c.quality_score, c.cluster_id
+        FROM clustered c JOIN best ON c.doc_id = best.doc_id
+        UNION ALL
+        SELECT q.doc_id, q.lang, q.source, q.quality_score,
+               CAST(NULL AS BIGINT) AS cluster_id
+        FROM qdocs q
+        WHERE q.doc_id NOT IN (SELECT doc_id FROM clusters)
     """,
     "dedup_simhash": f"""
         WITH toks AS (
