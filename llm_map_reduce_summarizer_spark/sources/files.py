@@ -66,3 +66,41 @@ def write_csv(
     df: DataFrame, path: str, header: bool = True, mode: str = "overwrite"
 ) -> None:
     df.write.mode(mode).option("header", str(header).lower()).csv(path)
+
+
+def read_orc(
+    spark: SparkSession, path: str, schema: StructType | None = None
+) -> DataFrame:
+    """ORC source (native Spark format, columnar + predicate pushdown
+    like parquet; common in Hive-era lakes)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
+def read_text_files(spark: SparkSession, path: str) -> DataFrame:
+    """One row per LINE (`value` column) — raw-corpus text ingestion;
+    splittable, so a single huge file still parallelizes."""
+    return spark.read.text(path)
+
+
+def read_binary_files(spark: SparkSession, path_glob: str) -> DataFrame:
+    """One row per FILE with (path, modificationTime, length, content)
+    — the ingestion path for image/audio blobs feeding the multimodal
+    operators. Whole files don't split; parallelism comes from file
+    count, so shard huge blob collections into many objects upstream.
+    """
+    return spark.read.format("binaryFile").load(path_glob)
