@@ -885,6 +885,36 @@ _SAMPLE_CASE = "CASE lang " + " ".join(
     f"WHEN '{lang}' THEN '{hexthr}'" for lang, hexthr in _SAMPLE_HEX.items()
 ) + " END"
 
+def quality_gate_sql(min_score: float) -> str:
+    """Oracle SQL for a quality-gated corpus scan (shared with the
+    streaming quality gate, whose drain equals this batch filter)."""
+    from ..functions.text import sql_quantize as _sq
+
+    score = _sq(
+        "0.4 * least(n_words_d / 100.0, 1.0)"
+        " + 0.3 * (1.0 - stop_hits / n_words_d)"
+        " + 0.3 * least((alpha / n_words_d) / 8.0, 1.0)",
+        4,
+    )
+    return f"""
+        WITH base AS (
+          SELECT doc_id, lang, source, n_chars, {score} AS quality_score
+          FROM (
+            SELECT doc_id, lang, source, n_chars,
+                   CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                     AS DOUBLE) AS n_words_d,
+                   CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                     AS DOUBLE) AS alpha,
+                   CAST(len(list_filter({_W}, t ->
+                     list_contains({_Q_STOPS}, t))) AS DOUBLE) AS stop_hits
+            FROM documents
+          )
+        )
+        SELECT doc_id, lang, source, n_chars, quality_score
+        FROM base WHERE quality_score >= {min_score}
+    """
+
+
 # doc_id -> quality_score (+ passthrough columns), shared by the
 # quality-policy dedup oracle; mirrors plans.documents.quality_score_col.
 def _quality_docs_cte() -> str:

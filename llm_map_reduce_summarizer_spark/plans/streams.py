@@ -27,6 +27,7 @@ from ..streaming.stream_ops import (
     view_click_interval_join,
 )
 from .documents import ORACLE as _DOCS_ORACLE
+from .documents import PREP_QUALITY_MIN, quality_gate_sql
 from .events import ORACLE as _EVENTS_ORACLE
 
 
@@ -63,12 +64,34 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(dedup_stream(docs), output_mode="update")
 
 
+def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-time quality gate: the stateless streaming transform
+    case — pure column expressions (quality score) applied per
+    micro-batch with append semantics, no state at all. At 100 TB this
+    is the shape of every filter/enrich stage in a streaming corpus
+    intake: scan-speed, trivially parallel, nothing to checkpoint but
+    source offsets.
+    """
+    from pyspark.sql import functions as F
+
+    from .documents import quality_score_col
+
+    docs = read_documents_stream(spark, sf_dir)
+    gated = (
+        docs.withColumn("quality_score", quality_score_col())
+        .filter(F.col("quality_score") >= PREP_QUALITY_MIN)
+        .select("doc_id", "lang", "source", "n_chars", "quality_score")
+    )
+    return run_available_now(gated, output_mode="append")
+
+
 QUERIES = {
     "stream_hourly": stream_hourly,
     "stream_sessionize": stream_sessionize,
     "stream_view_click_join": stream_view_click_join,
     "stream_asof_view": stream_asof_view,
     "stream_dedup": stream_dedup,
+    "stream_quality_gate": stream_quality_gate,
 }
 
 ORACLE = {
@@ -76,6 +99,7 @@ ORACLE = {
     "stream_sessionize": _EVENTS_ORACLE["events_sessionize"],
     "stream_asof_view": _EVENTS_ORACLE["events_asof_view"],
     "stream_dedup": _DOCS_ORACLE["dedup_apply"],
+    "stream_quality_gate": quality_gate_sql(PREP_QUALITY_MIN),
     # on static input the drained stream-stream inner join equals the
     # batch interval join, so it gets a full SQL oracle
     "stream_view_click_join": """
