@@ -18,10 +18,11 @@ import __spark_entry__ as entrymod
 SF = "/root/testdata/sf0.001"
 QUERIES = entrymod.queries()
 
-# availableNow streaming drains execute eagerly and don't expose a
-# batch plan to audit here (their operators are covered in
-# tests/test_streaming.py)
-SKIP = {"stream_hourly", "stream_sessionize"}
+# availableNow streaming drains execute eagerly and the explain here
+# would only show the drained memory-sink scan, not the streaming
+# plan — auditing them is vacuous AND pays the full drain cost.
+# Their operators are covered in tests/test_streaming.py.
+SKIP = {k for k in QUERIES if k.startswith("stream_")}
 
 
 # Every physical Window node prints each window function's
