@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.text import quantize
 from ..sources.tables import load_table
 
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
@@ -219,6 +220,67 @@ def events_value_quantiles_approx(
     )
 
 
+HIST_WIDTH = 50.0
+
+
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram per event type — one partial-agg
+    groupBy on (event_type, bucket); bucket count is bounded by the
+    value range, not the event count, so the result stays tiny at any
+    scale."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.floor(F.col("value") / F.lit(HIST_WIDTH)).cast("long")
+    return (
+        ev.withColumn("bucket", bucket)
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.min("value"), 2).alias("min_value"),
+            F.round(F.max("value"), 2).alias("max_value"),
+        )
+    )
+
+
+ANOMALY_TRAIL = 24  # trailing hours in the baseline window
+
+
+def events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type hourly volume anomaly score: each hour's event count
+    vs the mean/stddev of the PRIOR 24 hourly counts (z-score).
+
+    Scale: the windows run over the per-(type, hour) aggregate — a few
+    thousand rows per year per type, not raw events — partitioned by
+    event_type, so no global sort and the expensive input was already
+    reduced by the partial agg.
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.withColumn("hour", F.date_trunc("hour", F.col("ts")))
+        .groupBy("event_type", "hour")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-ANOMALY_TRAIL, -1)
+    )
+    base_avg = F.avg("n_events").over(w)
+    base_std = F.stddev_samp("n_events").over(w)
+    return (
+        hourly.withColumn("baseline_avg", quantize(base_avg, 4))
+        .withColumn(
+            "z_score",
+            F.when(
+                base_std > 0,
+                quantize((F.col("n_events") - base_avg) / base_std, 4),
+            ),
+        )
+        .select("event_type", "hour", "n_events", "baseline_avg", "z_score")
+    )
+
+
 def events_retention_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hour-over-hour cohort retention: share of an hour's active users
     who are active again the next hour.
@@ -262,6 +324,8 @@ QUERIES = {
     "events_topk_users": events_topk_users,
     "events_json_props": events_json_props,
     "events_funnel": events_funnel,
+    "events_value_histogram": events_value_histogram,
+    "events_hourly_anomaly": events_hourly_anomaly,
 }
 
 ORACLE = {
@@ -362,6 +426,36 @@ ORACLE = {
           FROM events
         )
         GROUP BY event_type
+    """,
+    "events_value_histogram": """
+        SELECT event_type,
+               CAST(floor(value / 50.0) AS BIGINT) AS bucket,
+               count(*) AS n_events,
+               round(min(value), 2) AS min_value,
+               round(max(value), 2) AS max_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    "events_hourly_anomaly": """
+        WITH hourly AS (
+          SELECT event_type, date_trunc('hour', ts) AS hour,
+                 count(*) AS n_events
+          FROM events GROUP BY 1, 2
+        ), scored AS (
+          SELECT event_type, hour, n_events,
+                 avg(n_events) OVER w AS base_avg,
+                 stddev_samp(n_events) OVER w AS base_std
+          FROM hourly
+          WINDOW w AS (PARTITION BY event_type ORDER BY hour
+                       ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+        )
+        SELECT event_type, hour, n_events,
+               (floor(base_avg * 10000.0 + 0.5) / 10000.0) AS baseline_avg,
+               CASE WHEN base_std > 0
+                    THEN (floor(((n_events - base_avg) / base_std)
+                          * 10000.0 + 0.5) / 10000.0)
+               END AS z_score
+        FROM scored
     """,
     "events_funnel": """
         WITH v AS (
