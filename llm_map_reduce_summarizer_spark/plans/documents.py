@@ -631,6 +631,44 @@ def corpus_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NOVELTY_VOCAB_K = 1000
+
+
+def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-novelty score: the share of each doc's distinct
+    3-grams that fall OUTSIDE the corpus's top-K most document-frequent
+    shingles — high novelty flags rare/garbled content, low novelty
+    flags boilerplate.
+
+    Scale: the vocabulary is a K-row ``TakeOrderedAndProject`` result
+    that broadcasts; the per-doc hit count is a map-side semi-join +
+    one aggregation on the doc's own shuffle key. Two shingle-table
+    passes total, no self-joins.
+    """
+    sh = doc_shingles(_docs(spark, sf_dir))
+    vocab = (
+        sh.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.col("df").desc(), F.col("s"))
+        .limit(NOVELTY_VOCAB_K)
+        .select("s")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        sh.join(F.broadcast(vocab), "s", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_in_vocab"))
+    )
+    return (
+        sizes.join(hits, "doc_id", "left")
+        .withColumn("n_in_vocab", F.coalesce("n_in_vocab", F.lit(0)))
+        .withColumn(
+            "novelty",
+            quantize(1.0 - F.col("n_in_vocab") / F.col("n_shingles"), 4),
+        )
+    )
+
+
 def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup removal with a QUALITY policy: within each LSH
     connected-component cluster keep the highest-quality doc (ties →
@@ -811,6 +849,7 @@ QUERIES = {
     "corpus_rebalance": corpus_rebalance,
     "doc_unigram_surprisal": doc_unigram_surprisal,
     "dedup_keep_best": dedup_keep_best,
+    "doc_ngram_novelty": doc_ngram_novelty,
 }
 
 
@@ -1399,6 +1438,31 @@ ORACLE = {
                    ' / sum(tf.n)', 6)} AS mean_surprisal
         FROM tf JOIN cf ON tf.term = cf.term CROSS JOIN tot
         GROUP BY tf.doc_id
+    """,
+    "doc_ngram_novelty": f"""
+        WITH {_SH_CTES},
+        counts AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+        vocab AS (
+          SELECT s FROM (
+            SELECT s, row_number() OVER (ORDER BY df DESC, s) AS rk
+            FROM counts
+          ) WHERE rk <= {NOVELTY_VOCAB_K}
+        ),
+        sizes AS (
+          SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id
+        ),
+        hits AS (
+          SELECT sh.doc_id, count(*) AS n_in_vocab
+          FROM sh JOIN vocab ON sh.s = vocab.s
+          GROUP BY sh.doc_id
+        )
+        SELECT sizes.doc_id,
+               CAST(sizes.n_shingles AS BIGINT) AS n_shingles,
+               CAST(coalesce(hits.n_in_vocab, 0) AS BIGINT) AS n_in_vocab,
+               {sql_quantize(
+                   '1.0 - CAST(coalesce(hits.n_in_vocab, 0) AS DOUBLE)'
+                   ' / sizes.n_shingles', 4)} AS novelty
+        FROM sizes LEFT JOIN hits ON sizes.doc_id = hits.doc_id
     """,
     "corpus_contamination": f"""
         WITH {_SH_CTES},
