@@ -21,7 +21,6 @@ from ..functions.text import (
     SQL_DEDUP_WORDS,
     SQL_FMT_TS,
     SQL_TOKEN_COUNT,
-    format_timestamp,
     quantize,
     token_count,
 )
