@@ -18,8 +18,15 @@ from ..functions.hashing import (
     sql_band_hashes,
     sql_minhash_aggs,
     sql_simhash64_words,
+    words,
 )
-from ..functions.text import TOKEN_PATTERN, quantize, sql_quantize, token_count
+from ..functions.text import (
+    SQL_TOKEN_COUNT,
+    TOKEN_PATTERN,
+    quantize,
+    sql_quantize,
+    token_count,
+)
 from ..functions.vectors import (
     sign_bucket,
     sql_dot,
@@ -705,6 +712,140 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "source", "quality_score", "cluster_id")
 
 
+SUBSTR_K = 8  # span length in tokens (real pipelines run ~50)
+
+
+def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-span detection: for every doc, how many of its
+    word-``SUBSTR_K``-gram windows also occur verbatim in at least one
+    OTHER document (the exact-substring dedup signal of Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better" —
+    their suffix-array pass re-expressed as a window-hash shuffle).
+
+    Scale: windows are md5'd at the scan (tokens never shuffle as
+    text); the duplicated-gram set is found by one hash-partitioned
+    groupBy with map-side combine, and per-doc counting is a semi-join
+    against that set followed by a doc_id aggregation — no self-join
+    of the corpus, no sort. At 100 TB the gram table is ~tokens-sized
+    but every stage is a plain shuffle-agg; skew is bounded because a
+    gram's payload is its doc-count, never a doc list.
+    """
+    d = _docs(spark, sf_dir)
+    base = d.withColumn("w", words(F.col("text"))).filter(
+        F.size("w") >= SUBSTR_K
+    )
+    grams = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(w)-{SUBSTR_K}+1),"
+                f" i -> md5(array_join(slice(w, i, {SUBSTR_K}), ' ')))"
+            )
+        ).alias("g"),
+    )
+    dup = (
+        grams.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("g")
+    )
+    perdoc = (
+        grams.join(dup, "g", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("dup_spans"))
+    )
+    return (
+        base.select(
+            "doc_id",
+            (F.size("w") - F.lit(SUBSTR_K - 1)).cast("long").alias(
+                "n_windows"
+            ),
+        )
+        .join(perdoc, "doc_id", "left")
+        .withColumn(
+            "dup_spans", F.coalesce(F.col("dup_spans"), F.lit(0)).cast("long")
+        )
+        .withColumn(
+            "dup_share", quantize(F.col("dup_spans") / F.col("n_windows"), 4)
+        )
+    )
+
+
+N_SHARDS = 8  # test-scale; production sizes shards to ~1 output file each
+SHUFFLE_SEED = "epoch0"
+
+
+def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order shuffle: every doc gets a shard and
+    a position within it, both pure functions of (seed, doc_id), so any
+    two runs — or two engines — produce the identical epoch order.
+
+    Scale: shard assignment is a map-side hash (no shuffle); the
+    within-shard ordering is a window PARTITIONED by shard, so the sort
+    distributes across shards. N_SHARDS scales with the corpus (one
+    shard ≈ one output file, e.g. ~100k shards at 100 TB), keeping
+    every sort partition file-sized — this is exactly the
+    repartition-then-sortWithinPartitions write pattern.
+    """
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    key = F.md5(
+        F.concat(F.lit(SHUFFLE_SEED + "|"), F.col("doc_id").cast("string"))
+    )
+    shard = (F.col("doc_id") * F.lit(KNUTH)) % DRAW_MOD % N_SHARDS
+    win = Window.partitionBy("shard").orderBy("sort_key", "doc_id")
+    return (
+        d.select(
+            "doc_id",
+            shard.cast("long").alias("shard"),
+            key.alias("sort_key"),
+        )
+        .withColumn("pos", F.row_number().over(win).cast("long"))
+        .select("doc_id", "shard", "pos")
+    )
+
+
+PACK_BUDGET_TOKENS = 2048
+
+
+def corpus_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing: concatenate docs (in doc_id order,
+    per source stream) into training sequences of at most
+    ``PACK_BUDGET_TOKENS`` tokens; a doc larger than the budget gets a
+    pack of its own. The standard pretraining packing step, expressed
+    as the same accumulate-and-reset recurrence as the transcript
+    chunker (operators/chunker.py) but over the corpus.
+
+    Scale: the recurrence is sequential ONLY within a source stream —
+    Arrow-batched pandas groups run one stream per task, so throughput
+    scales with the number of streams (at 100 TB: source×date buckets,
+    millions of groups).
+    """
+    import pandas as pd
+
+    d = _docs(spark, sf_dir)
+    counted = d.select(
+        "doc_id", "source", token_count(F.col("text")).alias("n_tokens")
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        ids, pid, acc = [], 0, 0
+        for n in pdf["n_tokens"]:
+            if acc > 0 and acc + n > PACK_BUDGET_TOKENS:
+                pid += 1
+                acc = 0
+            ids.append(pid)
+            acc += n
+        pdf["pack_id"] = ids
+        return pdf[["doc_id", "source", "n_tokens", "pack_id"]]
+
+    return counted.groupBy("source").applyInPandas(
+        pack, schema="doc_id long, source string, n_tokens long, pack_id long"
+    )
+
+
 # ------------------------------------------------------------- multimodal
 
 
@@ -850,6 +991,9 @@ QUERIES = {
     "doc_unigram_surprisal": doc_unigram_surprisal,
     "dedup_keep_best": dedup_keep_best,
     "doc_ngram_novelty": doc_ngram_novelty,
+    "dedup_substring": dedup_substring,
+    "corpus_shuffle_shards": corpus_shuffle_shards,
+    "corpus_pack": corpus_pack,
 }
 
 
@@ -1520,5 +1664,81 @@ ORACLE = {
         FROM d JOIN rates ON d.lang = rates.lang
         WHERE (CAST(d.doc_id * {KNUTH} AS BIGINT) % {DRAW_MOD})
               / {float(DRAW_MOD)} < rates.keep_rate
+    """,
+    "dedup_substring": f"""
+        WITH toks AS (
+          SELECT doc_id, {SQL_WORDS.format(c='text')} AS w FROM documents
+        ),
+        base AS (
+          SELECT doc_id, w FROM toks WHERE len(w) >= {SUBSTR_K}
+        ),
+        pre AS (
+          SELECT doc_id, w,
+                 unnest(generate_series(1, len(w)-{SUBSTR_K}+1)) AS i
+          FROM base
+        ),
+        grams AS (
+          SELECT doc_id,
+                 md5(array_to_string(w[i:i+{SUBSTR_K}-1], ' ')) AS g
+          FROM pre
+        ),
+        dup AS (
+          SELECT g FROM grams GROUP BY g
+          HAVING count(DISTINCT doc_id) >= 2
+        ),
+        perdoc AS (
+          SELECT doc_id, count(*) AS dup_spans
+          FROM grams WHERE g IN (SELECT g FROM dup)
+          GROUP BY doc_id
+        )
+        SELECT b.doc_id,
+               CAST(len(b.w) - {SUBSTR_K - 1} AS BIGINT) AS n_windows,
+               CAST(coalesce(p.dup_spans, 0) AS BIGINT) AS dup_spans,
+               {sql_quantize(
+                   'CAST(coalesce(p.dup_spans, 0) AS DOUBLE)'
+                   f' / (len(b.w) - {SUBSTR_K - 1})', 4)} AS dup_share
+        FROM base b LEFT JOIN perdoc p ON b.doc_id = p.doc_id
+    """,
+    "corpus_shuffle_shards": f"""
+        WITH sharded AS (
+          SELECT doc_id,
+                 CAST((CAST(doc_id * {KNUTH} AS BIGINT) % {DRAW_MOD})
+                      % {N_SHARDS} AS BIGINT) AS shard,
+                 md5('{SHUFFLE_SEED}|' || CAST(doc_id AS VARCHAR))
+                   AS sort_key
+          FROM documents
+        )
+        SELECT doc_id, shard,
+               CAST(row_number() OVER (
+                 PARTITION BY shard ORDER BY sort_key, doc_id
+               ) AS BIGINT) AS pos
+        FROM sharded
+    """,
+    "corpus_pack": f"""
+        WITH RECURSIVE d AS (
+          SELECT doc_id, source,
+                 CAST({SQL_TOKEN_COUNT.format(c='text')} AS BIGINT)
+                   AS n_tokens,
+                 row_number() OVER (
+                   PARTITION BY source ORDER BY doc_id
+                 ) AS rn
+          FROM documents
+        ),
+        walk AS (
+          SELECT source, rn, doc_id, n_tokens,
+                 CAST(0 AS BIGINT) AS pack_id, n_tokens AS acc
+          FROM d WHERE rn = 1
+          UNION ALL
+          SELECT s.source, s.rn, s.doc_id, s.n_tokens,
+                 CASE WHEN w.acc > 0
+                       AND w.acc + s.n_tokens > {PACK_BUDGET_TOKENS}
+                      THEN w.pack_id + 1 ELSE w.pack_id END,
+                 CASE WHEN w.acc > 0
+                       AND w.acc + s.n_tokens > {PACK_BUDGET_TOKENS}
+                      THEN s.n_tokens ELSE w.acc + s.n_tokens END
+          FROM walk w JOIN d s
+            ON s.source = w.source AND s.rn = w.rn + 1
+        )
+        SELECT doc_id, source, n_tokens, pack_id FROM walk
     """,
 }
