@@ -264,6 +264,40 @@ def emb_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid statistics — the distributed building block
+    of k-means / IVF training: one dimension-exploded partial
+    aggregation computes every centroid in parallel.
+
+    Scale: the explode is n×dim rows but the (label, dim) groupBy is a
+    partial agg (map-side combine reduces each task to
+    labels×dim rows before the shuffle); the second agg is labels-
+    sized. No vector ever crosses the wire — only (label, dim, sum,
+    count) cells. This is exactly one Lloyd-iteration's centroid
+    update at 100 TB.
+    """
+    e = _embs(spark, sf_dir)
+    ex = e.select(
+        "label", F.posexplode("embedding").alias("dim", "val")
+    )
+    cent = (
+        ex.groupBy("label", "dim")
+        .agg(
+            F.sum(F.col("val").cast("double")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .withColumn("c", F.col("s") / F.col("n"))
+    )
+    return (
+        cent.groupBy("label")
+        .agg(
+            F.max("n").cast("long").alias("n_vecs"),
+            F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("centroid_norm"),
+        )
+        .select("label", "n_vecs", "centroid_norm")
+    )
+
+
 TFIDF_K = 3
 NGRAM_K = 20
 
@@ -994,6 +1028,7 @@ QUERIES = {
     "dedup_substring": dedup_substring,
     "corpus_shuffle_shards": corpus_shuffle_shards,
     "corpus_pack": corpus_pack,
+    "emb_label_centroids": emb_label_centroids,
 }
 
 
@@ -1740,5 +1775,23 @@ ORACLE = {
             ON s.source = w.source AND s.rn = w.rn + 1
         )
         SELECT doc_id, source, n_tokens, pack_id FROM walk
+    """,
+    "emb_label_centroids": """
+        WITH ex AS (
+          SELECT label,
+                 generate_subscripts(embedding, 1) AS dim,
+                 unnest(embedding) AS val
+          FROM embeddings
+        ),
+        cent AS (
+          SELECT label, dim,
+                 sum(CAST(val AS DOUBLE)) / count(*) AS c,
+                 count(*) AS n
+          FROM ex GROUP BY 1, 2
+        )
+        SELECT label,
+               CAST(max(n) AS BIGINT) AS n_vecs,
+               sqrt(sum(c * c)) AS centroid_norm
+        FROM cent GROUP BY label
     """,
 }
