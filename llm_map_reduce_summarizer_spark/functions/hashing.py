@@ -19,6 +19,23 @@ from pyspark.sql import functions as F
 N_MINHASH = 16  # signature length
 BAND_ROWS = 4  # rows per LSH band -> 4 bands
 
+# Knuth multiplicative draw: exact bigint arithmetic any engine
+# reproduces bit-for-bit (id * KNUTH fits in int64 at any real SF).
+KNUTH = 2654435761
+DRAW_MOD = 1_000_000
+
+
+def knuth_shard(id_col: Column, n_shards: int) -> Column:
+    """Deterministic shard id in [0, n_shards) from an integer id —
+    map-side only, no shuffle, engine-portable exact arithmetic."""
+    return ((id_col * F.lit(KNUTH)) % DRAW_MOD % n_shards).cast("long")
+
+
+def shuffle_sort_key(id_col: Column, seed: str) -> Column:
+    """Seeded within-shard ordering key: md5 over (seed, id) — any two
+    runs or engines produce the identical training order."""
+    return F.md5(F.concat(F.lit(seed + "|"), id_col.cast("string")))
+
 
 def words(text: Column) -> Column:
     """Lowercased whitespace tokens."""

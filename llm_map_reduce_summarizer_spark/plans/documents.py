@@ -13,8 +13,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.hashing import (
+    DRAW_MOD,
+    KNUTH,
     SQL_SHINGLES,
     SQL_WORDS,
+    knuth_shard,
+    shuffle_sort_key,
     sql_band_hashes,
     sql_minhash_aggs,
     sql_simhash64_words,
@@ -629,10 +633,6 @@ def corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Target token share per language for the rebalanced training mix.
 MIX_TARGETS = {"en": 0.4, "de": 0.15, "es": 0.15, "fr": 0.15, "zh": 0.15}
-# Knuth multiplicative draw: exact bigint arithmetic both engines
-# reproduce bit-for-bit (doc_id * KNUTH fits in int64 at any real SF).
-KNUTH = 2654435761
-DRAW_MOD = 1_000_000
 
 
 def corpus_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -824,16 +824,12 @@ def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = _docs(spark, sf_dir)
-    key = F.md5(
-        F.concat(F.lit(SHUFFLE_SEED + "|"), F.col("doc_id").cast("string"))
-    )
-    shard = (F.col("doc_id") * F.lit(KNUTH)) % DRAW_MOD % N_SHARDS
     win = Window.partitionBy("shard").orderBy("sort_key", "doc_id")
     return (
         d.select(
             "doc_id",
-            shard.cast("long").alias("shard"),
-            key.alias("sort_key"),
+            knuth_shard(F.col("doc_id"), N_SHARDS).alias("shard"),
+            shuffle_sort_key(F.col("doc_id"), SHUFFLE_SEED).alias("sort_key"),
         )
         .withColumn("pos", F.row_number().over(win).cast("long"))
         .select("doc_id", "shard", "pos")

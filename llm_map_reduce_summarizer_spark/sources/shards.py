@@ -1,0 +1,82 @@
+"""Training-shard sink: deterministic sharded parquet writer.
+
+The write-side complement of ``plans.documents.corpus_shuffle_shards``:
+every row gets a shard and a within-shard position that are pure
+functions of (seed, id), the writer emits ONE file per shard in that
+order, and a manifest records per-shard row counts. Two runs — on any
+cluster size — produce byte-identical training order.
+
+Scale shape: shard assignment is a map-side hash (no shuffle to
+decide placement); the only exchange is the repartition ON the shard
+id, and the sort runs within shard partitions
+(repartition + sortWithinPartitions — never a global orderBy). Shard
+count scales with the corpus so each sort partition stays file-sized
+(~100k shards at 100 TB).
+
+The manifest is written driver-side (one row per shard — bounded by
+design); on a cluster the same path works against any Hadoop-API
+filesystem via the JVM, but a plain local write keeps this
+dependency-free for the sandbox.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import knuth_shard, shuffle_sort_key
+
+MANIFEST_NAME = "_training_manifest.json"
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    seed: str = "epoch0",
+    id_col: str = "doc_id",
+) -> dict:
+    """Write ``df`` as ``n_shards`` deterministic parquet shards under
+    ``path`` (one directory per shard, one file per shard, rows in the
+    seeded shuffle order) and return the manifest dict."""
+    keyed = df.withColumn(
+        "shard", knuth_shard(F.col(id_col), n_shards)
+    ).withColumn("sort_key", shuffle_sort_key(F.col(id_col), seed))
+    (
+        keyed.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "sort_key", id_col)
+        .drop("sort_key")
+        .write.partitionBy("shard")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    counts = {
+        int(r["shard"]): int(r["n"])
+        for r in keyed.groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    manifest = {
+        "seed": seed,
+        "n_shards": n_shards,
+        "id_col": id_col,
+        "total_rows": sum(counts.values()),
+        "rows_per_shard": {str(k): counts[k] for k in sorted(counts)},
+    }
+    with open(os.path.join(path, MANIFEST_NAME), "w", encoding="utf-8") as f:
+        json.dump(manifest, f, indent=2, sort_keys=True)
+    return manifest
+
+
+def read_training_shards(spark: SparkSession, path: str) -> DataFrame:
+    """Read the sharded corpus back; ``shard`` returns as a partition
+    column, file order within a shard is the training order."""
+    return spark.read.parquet(path)
+
+
+def read_manifest(path: str) -> dict:
+    with open(os.path.join(path, MANIFEST_NAME), encoding="utf-8") as f:
+        return json.load(f)

@@ -94,3 +94,62 @@ def test_text_and_binary_file_sources(spark, tmp_path):
     assert set(rows) == {"a.txt", "b.txt"}
     assert bytes(rows["a.txt"]["content"]).startswith(b"line one")
     assert rows["b.txt"]["length"] == len("line three\n")
+
+
+def test_training_shards_sink(spark, tmp_path):
+    from llm_map_reduce_summarizer_spark.functions.hashing import (
+        shuffle_sort_key,
+    )
+    from llm_map_reduce_summarizer_spark.sources.shards import (
+        read_manifest,
+        read_training_shards,
+        write_training_shards,
+    )
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "n_chars")
+    out = os.path.join(str(tmp_path), "shards")
+    manifest = write_training_shards(docs, out, n_shards=4, seed="epoch0")
+
+    n_docs = docs.count()
+    assert manifest["total_rows"] == n_docs
+    assert sum(manifest["rows_per_shard"].values()) == n_docs
+    assert set(manifest["rows_per_shard"]) == {"0", "1", "2", "3"}
+    assert read_manifest(out) == manifest
+
+    # one directory and exactly one data file per shard
+    shard_dirs = sorted(d for d in os.listdir(out) if d.startswith("shard="))
+    assert shard_dirs == [f"shard={i}" for i in range(4)]
+    for d in shard_dirs:
+        parts = [
+            f for f in os.listdir(os.path.join(out, d))
+            if f.endswith(".parquet")
+        ]
+        assert len(parts) == 1
+
+    # read-back: same ids, per-shard counts match the manifest
+    back = read_training_shards(spark, out)
+    assert back.count() == n_docs
+    assert {r["doc_id"] for r in back.select("doc_id").collect()} == {
+        r["doc_id"] for r in docs.select("doc_id").collect()
+    }
+    got = {
+        str(r["shard"]): r["n"]
+        for r in back.groupBy("shard").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == manifest["rows_per_shard"]
+
+    # within a shard, file order IS the seeded shuffle order
+    one = spark.read.parquet(os.path.join(out, "shard=0")).select("doc_id")
+    ids = [r["doc_id"] for r in one.collect()]
+    keyed = one.withColumn(
+        "k", shuffle_sort_key(F.col("doc_id"), "epoch0")
+    ).collect()
+    expect = [
+        r["doc_id"] for r in sorted(keyed, key=lambda r: (r["k"], r["doc_id"]))
+    ]
+    assert ids == expect
+
+    # deterministic: a second write reproduces the identical manifest
+    out2 = os.path.join(str(tmp_path), "shards2")
+    assert write_training_shards(docs, out2, n_shards=4) == manifest
