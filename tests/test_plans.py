@@ -140,3 +140,45 @@ def test_corpus_governance_plan_shapes(spark):
     # corpus side must never shuffle for these joins
     for fn in (corpus_contamination, corpus_rebalance):
         assert "BroadcastHashJoin" in plan(fn(spark, sf)), fn.__name__
+
+
+def test_corpus_shuffle_pack_substring_plan_shapes(spark):
+    """Pin the scale claims of the shuffle/pack/substring/centroid ops:
+    Arrow-batched (never row-at-a-time) pandas groups, map-side partial
+    aggregation before every shuffle, and shard-partitioned (never
+    global) sorts."""
+    import contextlib
+    import io
+
+    from llm_map_reduce_summarizer_spark.plans.documents import (
+        corpus_pack,
+        corpus_shuffle_shards,
+        dedup_substring,
+        emb_label_centroids,
+    )
+
+    sf = "/root/testdata/sf0.001"
+
+    def plan(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain(mode="formatted")
+        return buf.getvalue()
+
+    # packing runs as Arrow-batched pandas groups, one per source
+    p = plan(corpus_pack(spark, sf))
+    assert "FlatMapGroupsInPandas" in p
+    assert "BatchEvalPython" not in p
+
+    # the within-shard sort distributes on the shard hash
+    p = plan(corpus_shuffle_shards(spark, sf))
+    assert "hashpartitioning(shard" in p
+    assert "SinglePartition" not in p
+
+    # duplicated-gram detection combines map-side before the shuffle
+    p = plan(dedup_substring(spark, sf))
+    assert "partial_count" in p
+
+    # centroid cells partial-agg before the (label, dim) exchange
+    p = plan(emb_label_centroids(spark, sf))
+    assert "partial_sum" in p
