@@ -85,6 +85,31 @@ def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(gated, output_mode="append")
 
 
+def stream_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming fixed-width value histogram per event type — the
+    bounded-state monitoring agg: state is (type, bucket) cells, sized
+    by the value range, never by stream length. On the drained static
+    input it equals the batch ``events_value_histogram`` and shares
+    its oracle.
+    """
+    from pyspark.sql import functions as F
+
+    from .events import HIST_WIDTH
+
+    ev = read_events_stream(spark, sf_dir)
+    bucket = F.floor(F.col("value") / F.lit(HIST_WIDTH)).cast("long")
+    hist = (
+        ev.withColumn("bucket", bucket)
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.min("value"), 2).alias("min_value"),
+            F.round(F.max("value"), 2).alias("max_value"),
+        )
+    )
+    return run_available_now(hist, output_mode="complete")
+
+
 QUERIES = {
     "stream_hourly": stream_hourly,
     "stream_sessionize": stream_sessionize,
@@ -92,6 +117,7 @@ QUERIES = {
     "stream_asof_view": stream_asof_view,
     "stream_dedup": stream_dedup,
     "stream_quality_gate": stream_quality_gate,
+    "stream_value_histogram": stream_value_histogram,
 }
 
 ORACLE = {
@@ -100,6 +126,7 @@ ORACLE = {
     "stream_asof_view": _EVENTS_ORACLE["events_asof_view"],
     "stream_dedup": _DOCS_ORACLE["dedup_apply"],
     "stream_quality_gate": quality_gate_sql(PREP_QUALITY_MIN),
+    "stream_value_histogram": _EVENTS_ORACLE["events_value_histogram"],
     # on static input the drained stream-stream inner join equals the
     # batch interval join, so it gets a full SQL oracle
     "stream_view_click_join": """

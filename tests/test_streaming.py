@@ -189,3 +189,65 @@ def test_stream_dedup_matches_batch_and_carries_state(spark, tmp_path):
     )
     out = run_available_now(dedup_stream(raw), output_mode="update").toPandas()
     assert sorted(out["doc_id"]) == [1, 3]
+
+
+def test_stream_value_histogram_accumulates_across_batches(spark, tmp_path):
+    """Two micro-batches hitting the same (type, bucket) cell must
+    produce ONE accumulated row in complete mode — counts summed,
+    min/max widened across batches."""
+    import pandas as pd
+
+    from llm_map_reduce_summarizer_spark.plans.events import HIST_WIDTH
+    from llm_map_reduce_summarizer_spark.streaming.stream_ops import (
+        EVENTS_SCHEMA,
+        run_available_now,
+    )
+    from pyspark.sql import functions as F
+
+    us = 1_000_000
+    lo = 0.25 * HIST_WIDTH
+    hi = 0.75 * HIST_WIDTH
+    rows = [
+        dict(event_id=1, ts=10 * us * 1000, user_id=1,
+             event_type="view", value=lo, props="{}"),
+    ]
+    rows2 = [
+        dict(event_id=2, ts=20 * us * 1000, user_id=2,
+             event_type="view", value=hi, props="{}"),
+        dict(event_id=3, ts=21 * us * 1000, user_id=3,
+             event_type="click", value=lo, props="{}"),
+    ]
+    src = tmp_path / "events_hist"
+    src.mkdir()
+    pd.DataFrame(rows).to_parquet(src / "part-000.parquet")
+    pd.DataFrame(rows2).to_parquet(src / "part-001.parquet")
+
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(str(src))
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    bucket = F.floor(F.col("value") / F.lit(HIST_WIDTH)).cast("long")
+    hist = (
+        raw.withColumn("bucket", bucket)
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.min("value"), 2).alias("min_value"),
+            F.round(F.max("value"), 2).alias("max_value"),
+        )
+    )
+    out = (
+        run_available_now(hist, output_mode="complete")
+        .toPandas()
+        .set_index(["event_type", "bucket"])
+        .sort_index()
+    )
+    assert len(out) == 2
+    view = out.loc[("view", 0)]
+    assert view["n_events"] == 2  # both batches folded into one cell
+    assert view["min_value"] == round(lo, 2)
+    assert view["max_value"] == round(hi, 2)
+    assert out.loc[("click", 0)]["n_events"] == 1
