@@ -33,23 +33,41 @@ BROADCAST_DIMS = {"region", "nation", "supplier", "part"}
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.parquet stores ts as TIMESTAMP(NANOS), which vanilla Spark
-        # rejects (PARQUET_TYPE_ILLEGAL). Surface nanos as long here — at the
-        # read site, not in session construction — so the table is loadable
-        # under ANY SparkSession (drivers/notebooks build their own).
-        # Runtime conf set is idempotent and safe to repeat per call.
+        # Older testdata generations stored ts as TIMESTAMP(NANOS), which
+        # vanilla Spark rejects (PARQUET_TYPE_ILLEGAL). Surface nanos as
+        # long here — at the read site, not in session construction — so
+        # the table is loadable under ANY SparkSession (drivers/notebooks
+        # build their own). Runtime conf set is idempotent.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # ts is TIMESTAMP(NANOS) in parquet, surfaced as long nanos via
-        # spark.sql.legacy.parquet.nanosAsLong; convert to a real
-        # timestamp at microsecond precision (matches DuckDB's cast).
-        from pyspark.sql import functions as F
-        from pyspark.sql.types import LongType
+        df = normalize_events_ts(df)
+    return df
 
-        if isinstance(df.schema["ts"].dataType, LongType):
-            # integer div: float division loses precision at ~1e18 ns
-            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to a session-tz TimestampType, whatever
+    physical type the parquet writer used.
+
+    Seen in the wild across testdata generations:
+
+    * ``TIMESTAMP(NANOS)`` — surfaced as long nanos via
+      ``spark.sql.legacy.parquet.nanosAsLong`` (Spark has no nanos type);
+      convert with integer div (float division loses precision ~1e18 ns).
+    * ``TIMESTAMP(MICROS, isAdjustedToUTC=false)`` — surfaced as
+      TIMESTAMP_NTZ by Spark 3.4+; cast to timestamp. The session tz is
+      UTC (session.py), so the cast is value-preserving, and downstream
+      ``unix_micros``/watermarks (which reject NTZ) resolve.
+    * plain ``TIMESTAMP`` — already what we want.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, LongType):
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif isinstance(ts_type, TimestampNTZType):
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -42,34 +42,76 @@ from pyspark.sql.types import (
 
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes, matches plans/events.py
 
-EVENTS_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # TIMESTAMP(NANOS) read as long
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+
+def _round2(x):
+    """Half-up rounding identical to Spark's ``F.round(col, 2)``.
+
+    Spark rounds a double via ``BigDecimal.valueOf(x)`` (the shortest
+    decimal repr — same string Python's ``repr`` produces) with
+    HALF_UP. Python's builtin ``round()`` is banker's rounding and
+    disagrees on .xx5 values, which would make stream results hash-
+    mismatch their batch/oracle twins.
+    """
+    from decimal import ROUND_HALF_UP, Decimal
+
+    if x is None:
+        return None
+    return float(
+        Decimal(repr(float(x))).quantize(
+            Decimal("0.01"), rounding=ROUND_HALF_UP
+        )
+    )
+
+
+def _events_schema(ts_type) -> StructType:
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", ts_type),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+
+
+# legacy long-nanos shape: tests that synthesize nanos files use it
+EVENTS_SCHEMA = _events_schema(LongType())
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-based streaming source over the events parquet.
 
-    Streaming sources need an explicit schema (no inference). The nanos
-    ``ts`` long becomes a proper timestamp exactly like the batch
-    loader, so stream and batch plans share semantics.
+    Streaming sources need an explicit schema (no inference), and that
+    schema must match what the parquet writer actually stored — the
+    testdata has drifted between TIMESTAMP(NANOS) (read as long) and
+    TIMESTAMP_NTZ(MICROS) generations. Declaring the wrong one silently
+    corrupts values (a micros column read under a nanos assumption lands
+    in January 1970). So: peek at the file's batch schema (one footer
+    read, works on any filesystem Spark can reach), declare the stream
+    schema to match, and normalize to a session-tz timestamp exactly
+    like the batch loader (sources/tables.py), so stream and batch
+    plans share semantics.
     """
+    path = os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_ts_type = spark.read.parquet(path).schema["ts"].dataType
+    if isinstance(raw_ts_type, LongType):
+        # legacy nanos-as-long: integer div keeps precision at ~1e18 ns
+        conv = F.expr("timestamp_micros(ts div 1000)")
+    else:
+        # TIMESTAMP_NTZ or TIMESTAMP: cast is value-preserving (UTC session)
+        conv = F.col("ts").cast("timestamp")
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(_events_schema(raw_ts_type))
         .option("maxFilesPerTrigger", "1")
         # the source is a single parquet FILE; a glob makes the stream
         # source take the parent directory as base path (a bare file
         # path fails partition inference inside FileStreamSource)
-        .parquet(os.path.join(sf_dir, "events.parquet*"))
+        .parquet(path + "*")
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return raw.withColumn("ts", conv)
 
 
 def hourly_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
@@ -161,7 +203,7 @@ def _make_sessionize_fn(evict: bool):
                         "n_events": s[0],
                         "start_us": s[1],
                         "end_us": s[2],
-                        "session_value": round(s[3], 2),
+                        "session_value": _round2(s[3]),
                         "duration_us": s[2] - s[1],
                     }
                     for sid, s in touched.items()
@@ -335,9 +377,9 @@ def _make_asof_fn(evict: bool):
                             "event_id": int(ev_id),
                             "user_id": user_id,
                             "ts_us": ts_us,
-                            "click_value": round(float(value), 2),
+                            "click_value": _round2(value),
                             "view_value": (
-                                None if view_ts is None else round(view_val, 2)
+                                None if view_ts is None else _round2(view_val)
                             ),
                             "view_ts_us": view_ts,
                         }

@@ -153,3 +153,49 @@ def test_training_shards_sink(spark, tmp_path):
     # deterministic: a second write reproduces the identical manifest
     out2 = os.path.join(str(tmp_path), "shards2")
     assert write_training_shards(docs, out2, n_shards=4) == manifest
+
+
+def test_events_ts_schema_canary(spark):
+    """Schema-drift canary (round-4 incident): whatever physical type
+    the testdata generator used for events.ts — long nanos,
+    TIMESTAMP_NTZ micros, or plain TIMESTAMP — the loader must
+    normalize to a session-tz TimestampType and ``unix_micros`` must
+    resolve. Red on either drift mode without the normalization."""
+    import glob
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import TimestampType
+
+    sf_dirs = sorted(glob.glob("/root/testdata/sf*"))
+    assert sf_dirs, "no testdata dirs found"
+    for sf in sf_dirs:
+        ev = load_table(spark, sf, "events")
+        assert isinstance(ev.schema["ts"].dataType, TimestampType), sf
+        # triggers analysis only; raises on TIMESTAMP_NTZ / long
+        ev.select(F.unix_micros("ts")).schema
+
+
+def test_normalize_events_ts_all_physical_types(spark):
+    """normalize_events_ts must map every observed physical encoding of
+    the same instant to the identical TimestampType value."""
+    import datetime
+
+    from pyspark.sql import functions as F  # noqa: F401
+    from pyspark.sql.types import TimestampType
+    from llm_map_reduce_summarizer_spark.sources.tables import (
+        normalize_events_ts,
+    )
+
+    instant = datetime.datetime(2024, 1, 1, 0, 9, 58, 778549)
+    epoch_us = int(instant.replace(tzinfo=datetime.timezone.utc).timestamp() * 1_000_000)
+
+    as_nanos = spark.createDataFrame([(epoch_us * 1000,)], "ts long")
+    as_ntz = spark.createDataFrame([(instant,)], "ts timestamp_ntz")
+    as_ts = spark.createDataFrame([(instant,)], "ts timestamp")
+
+    outs = []
+    for df in (as_nanos, as_ntz, as_ts):
+        norm = normalize_events_ts(df)
+        assert isinstance(norm.schema["ts"].dataType, TimestampType)
+        outs.append(norm.select(F.unix_micros("ts")).collect()[0][0])
+    assert outs == [epoch_us] * 3

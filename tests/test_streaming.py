@@ -251,3 +251,100 @@ def test_stream_value_histogram_accumulates_across_batches(spark, tmp_path):
     assert view["min_value"] == round(lo, 2)
     assert view["max_value"] == round(hi, 2)
     assert out.loc[("click", 0)]["n_events"] == 1
+
+
+def test_stream_events_ts_schema_canary(spark):
+    """Streaming twin of the batch schema-drift canary: the stream
+    reader must surface ts as TimestampType (watermarks reject NTZ)
+    and its first event time must equal the batch loader's — catching
+    both the AnalysisException drift mode and the silent /1000
+    value-corruption mode (streamed timestamps landing in 1970)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import TimestampType
+
+    from llm_map_reduce_summarizer_spark.sources.tables import load_table
+    from llm_map_reduce_summarizer_spark.streaming.stream_ops import (
+        read_events_stream,
+        run_available_now,
+    )
+
+    ev = read_events_stream(spark, SF)
+    assert isinstance(ev.schema["ts"].dataType, TimestampType)
+    ev.withWatermark("ts", "1 hour")  # analysis-time check
+
+    streamed_min = run_available_now(
+        ev.groupBy().agg(F.min("ts").alias("min_ts")), output_mode="complete"
+    ).collect()[0]["min_ts"]
+    batch_min = (
+        load_table(spark, SF, "events").agg(F.min("ts")).collect()[0][0]
+    )
+    assert streamed_min == batch_min
+
+
+def test_stream_round_half_up_matches_spark(spark):
+    """_round2 must agree with F.round on .xx5 boundaries where
+    Python's banker's rounding diverges."""
+    from pyspark.sql import functions as F
+
+    from llm_map_reduce_summarizer_spark.streaming.stream_ops import _round2
+
+    vals = [2.675, 2.665, 0.125, 0.135, 1.005, 2.5, -2.675, -0.125, 3.14159, 0.0]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    expected = [
+        r["r"] for r in df.select(F.round("v", 2).alias("r")).collect()
+    ]
+    got = [_round2(v) for v in vals]
+    assert got == expected
+    # the builtin would disagree on at least one of these
+    assert any(round(v, 2) != e for v, e in zip(vals, expected))
+
+
+def test_stream_folds_round_boundary_values(spark, tmp_path):
+    """End-to-end .xx5 boundary through the stateful folds: a session
+    whose value sums to 0.125 and a click/view pair at 0.125 must come
+    out as 0.13 (Spark HALF_UP), not Python round()'s 0.12."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from llm_map_reduce_summarizer_spark.streaming.stream_ops import (
+        EVENTS_SCHEMA,
+        asof_enrich_stream,
+        run_available_now,
+        sessionize_stream,
+    )
+
+    us = 1_000_000
+    rows = [
+        dict(event_id=1, ts=10 * us * 1000, user_id=1,
+             event_type="view", value=0.125, props="{}"),
+        # > 30 min later: forces a second single-event session
+        dict(event_id=2, ts=(10 + 31 * 60) * us * 1000, user_id=1,
+             event_type="click", value=0.125, props="{}"),
+    ]
+    src = tmp_path / "events_round"
+    src.mkdir()
+    pd.DataFrame(rows).to_parquet(src / "part-000.parquet")
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    sess = run_available_now(
+        sessionize_stream(raw), output_mode="update"
+    ).toPandas()
+    # 0.125 + 0.125 = 0.25 exactly; sessions split at the 30-min gap,
+    # so each single-event session carries 0.125 -> rounds to 0.13
+    assert sorted(sess["session_value"]) == [0.13, 0.13]
+
+    raw2 = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    asof = run_available_now(
+        asof_enrich_stream(raw2), output_mode="update"
+    ).toPandas()
+    assert list(asof["click_value"]) == [0.13]
+    assert list(asof["view_value"]) == [0.13]
