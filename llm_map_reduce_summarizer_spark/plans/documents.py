@@ -584,6 +584,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # doc; the rest of the corpus is screened against them.
 CONTAM_MOD = 50
 CONTAM_THRESHOLD = 0.5
+# Broadcast ceiling for the benchmark side: a real eval suite is O(10k)
+# docs; anything past this is not a benchmark and must shuffle-join.
+CONTAM_BENCH_MAX_DOCS = 100_000
 
 
 def corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -592,21 +595,36 @@ def corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id % CONTAM_MOD == 0) and a contaminated flag — the
     decontamination step of a training-data pipeline.
 
-    Scale: the benchmark shingle set is tiny by construction (the
-    benchmark is a fixed eval suite, not the corpus), so the overlap
-    join broadcasts it — the corpus-side shingle table never shuffles
-    for the join, and the per-(doc, bench) counts aggregate on the
-    corpus partitioning. Only docs with nonzero overlap reach the
+    Scale: the benchmark shingle set is small by CONTRACT (a benchmark
+    is a fixed eval suite — O(10k) docs — not a slice of the corpus),
+    so the overlap join broadcasts it and the corpus-side shingle table
+    never shuffles for the join. That contract is enforced, not
+    assumed: a one-column count of the benchmark DOCS (cheap, scans one
+    pruned column — not the exploded shingles) gates the broadcast, and
+    an oversized "benchmark" falls back to a shuffle join instead of
+    OOMing the driver. The per-(doc, bench) counts aggregate on the
+    corpus partitioning; only docs with nonzero overlap reach the
     per-doc ranking window (partitioned by doc_id, never global).
     """
-    sh = doc_shingles(_docs(spark, sf_dir))
+    docs = _docs(spark, sf_dir)
+    sh = doc_shingles(docs)
     bench = sh.filter(F.col("doc_id") % CONTAM_MOD == 0).select(
         F.col("doc_id").alias("bench_id"), "s"
+    )
+    # broadcast guard: 1-scalar plan decision (like the tree-reduce
+    # depth checks), counting doc ids — never the shingle explosion
+    n_bench_docs = (
+        docs.filter(F.col("doc_id") % CONTAM_MOD == 0)
+        .select("doc_id")
+        .count()
+    )
+    bench_side = (
+        F.broadcast(bench) if n_bench_docs <= CONTAM_BENCH_MAX_DOCS else bench
     )
     corpus = sh.filter(F.col("doc_id") % CONTAM_MOD != 0)
     sizes = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     overlap = (
-        corpus.join(F.broadcast(bench), "s")
+        corpus.join(bench_side, "s")
         .groupBy("doc_id", "bench_id")
         .agg(F.count(F.lit(1)).alias("c"))
     )
@@ -716,9 +734,12 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     min doc_id); docs in no cluster pass through — the policy layer a
     real corpus prep runs on top of pair detection.
 
-    Scale: the cluster map is bounded by near-dup density (pairs, not
-    corpus), so it broadcasts onto a single corpus scan; the per-
-    cluster argmax is one aggregation on the tiny clustered subset.
+    Scale: the cluster map scales with DUPLICATE COUNT, not a fixed
+    dimension — small on a clean corpus but corpus-scale on a
+    30%-duplicate web crawl — so no join strategy is forced: AQE
+    broadcasts it when its runtime size allows and falls back to a
+    shuffle join when it doesn't. The per-cluster argmax is one
+    aggregation on the clustered subset.
     """
     d = _docs(spark, sf_dir).withColumn(
         "quality_score", quality_score_col()
@@ -729,7 +750,7 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters = connected_components(pairs).select(
         F.col("id").alias("doc_id"), F.col("component").alias("cluster_id")
     )
-    clustered = d.join(F.broadcast(clusters), "doc_id")
+    clustered = d.join(clusters, "doc_id")
     # argmax by (quality desc, doc_id asc) via struct-max: quality
     # packs with the NEGATED id so larger struct == better candidate
     best = clustered.groupBy("cluster_id").agg(
@@ -737,10 +758,8 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.struct(F.col("quality_score"), (-F.col("doc_id")).alias("nid"))
         ).alias("b")
     ).select((-F.col("b.nid")).alias("doc_id"))
-    keep_clustered = clustered.join(
-        F.broadcast(best), "doc_id", "left_semi"
-    )
-    unclustered = d.join(F.broadcast(clusters), "doc_id", "left_anti")
+    keep_clustered = clustered.join(best, "doc_id", "left_semi")
+    unclustered = d.join(clusters, "doc_id", "left_anti")
     return keep_clustered.unionByName(
         unclustered.withColumn("cluster_id", F.lit(None).cast("long"))
     ).select("doc_id", "lang", "source", "quality_score", "cluster_id")

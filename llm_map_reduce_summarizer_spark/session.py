@@ -36,8 +36,9 @@ def get_spark(app_name: str = "llm_map_reduce_summarizer_spark") -> SparkSession
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        # test parquet stores events.ts as TIMESTAMP(NANOS); read as long
-        # and convert in the loader (Spark has no nanos timestamp type)
+        # legacy testdata stored events.ts as TIMESTAMP(NANOS); read as
+        # long and normalize in the loader (sources/tables.py handles
+        # nanos-long, TIMESTAMP_NTZ, and plain TIMESTAMP generations)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
