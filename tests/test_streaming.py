@@ -348,3 +348,178 @@ def test_stream_folds_round_boundary_values(spark, tmp_path):
     ).toPandas()
     assert list(asof["click_value"]) == [0.13]
     assert list(asof["view_value"]) == [0.13]
+
+
+def _sessionize_oracle(rows):
+    """Independent pure-Python sessionization oracle: per-user 30-min
+    gap rule over (ts, event_id) order; values are exact binary
+    fractions in the generator so summation order can't matter."""
+    from llm_map_reduce_summarizer_spark.streaming.stream_ops import (
+        SESSION_GAP_US,
+        _round2,
+    )
+
+    sessions = {}
+    cursor = {}
+    for r in sorted(rows, key=lambda r: (r["user_id"], r["ts_us"], r["event_id"])):
+        u = r["user_id"]
+        st = cursor.setdefault(u, {"sid": 0, "last": None})
+        if st["last"] is None or r["ts_us"] - st["last"] > SESSION_GAP_US:
+            st["sid"] += 1
+            sessions[(u, st["sid"])] = dict(
+                n=0, start=r["ts_us"], end=r["ts_us"], val=0.0
+            )
+        s = sessions[(u, st["sid"])]
+        s["n"] += 1
+        s["end"] = r["ts_us"]
+        s["val"] += r["value"]
+        st["last"] = r["ts_us"]
+    return {
+        (u, sid, s["n"], s["start"], s["end"], _round2(s["val"]),
+         s["end"] - s["start"])
+        for (u, sid), s in sessions.items()
+    }
+
+
+def _asof_oracle(rows):
+    """Independent as-of oracle: each click gets the max-(ts, event_id)
+    view with view.ts <= click.ts for the same user (view-before-click
+    at equal timestamps, matching the fold's sort tiebreak)."""
+    from llm_map_reduce_summarizer_spark.streaming.stream_ops import _round2
+
+    out = set()
+    for r in rows:
+        if r["event_type"] != "click":
+            continue
+        views = [
+            v for v in rows
+            if v["user_id"] == r["user_id"]
+            and v["event_type"] == "view"
+            and v["ts_us"] <= r["ts_us"]
+        ]
+        if views:
+            v = max(views, key=lambda v: (v["ts_us"], v["event_id"]))
+            out.add((r["event_id"], r["user_id"], r["ts_us"],
+                     _round2(r["value"]), _round2(v["value"]), v["ts_us"]))
+        else:
+            out.add((r["event_id"], r["user_id"], r["ts_us"],
+                     _round2(r["value"]), None, None))
+    return out
+
+
+def test_stream_parity_on_randomized_micro_batch_splits(spark, tmp_path_factory):
+    """Property test (round-4 advice #8): for ANY time-contiguous split
+    of an event log into 2-4 micro-batch files — with rows arbitrarily
+    shuffled inside each file — sessionize_stream and asof_enrich_stream
+    must reproduce the independent batch oracles exactly. The streaming
+    contract requires per-user event-time order ACROSS micro-batches
+    (the usual log-stream property), so splits are contiguous cuts of
+    the time-sorted log; within a file order is free because the folds
+    re-sort per batch."""
+    import pandas as pd
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from llm_map_reduce_summarizer_spark.streaming.stream_ops import (
+        EVENTS_SCHEMA,
+        asof_enrich_stream,
+        latest_sessions,
+        run_available_now,
+        sessionize_stream,
+    )
+    from pyspark.sql import functions as F
+
+    raw_events = st.lists(
+        st.tuples(
+            st.integers(1, 4),                      # user_id
+            st.integers(0, 3 * 3600),               # ts seconds in [0, 3h]
+            st.sampled_from(["view", "click", "purchase"]),
+            st.integers(0, 40),                     # value = q * 0.25 (exact)
+        ),
+        min_size=4,
+        max_size=32,
+    )
+
+    @settings(
+        max_examples=20,
+        deadline=None,
+        suppress_health_check=list(HealthCheck),
+    )
+    @given(data=st.data())
+    def run(data):
+        tuples = data.draw(raw_events)
+        rows = [
+            dict(event_id=i, ts_us=t * 1_000_000, user_id=u,
+                 event_type=e, value=q * 0.25)
+            for i, (u, t, e, q) in enumerate(tuples)
+        ]
+        # split order must match the folds' in-batch sort so any
+        # contiguous cut is a valid arrival order
+        ordered = sorted(
+            rows,
+            key=lambda r: (r["ts_us"], r["event_type"] == "click",
+                           r["event_id"]),
+        )
+        n_files = data.draw(st.integers(2, 4))
+        cuts = sorted(
+            data.draw(
+                st.lists(
+                    st.integers(1, max(1, len(ordered) - 1)),
+                    min_size=n_files - 1,
+                    max_size=n_files - 1,
+                    unique=True,
+                )
+            )
+        )
+        chunks = []
+        prev = 0
+        for c in cuts + [len(ordered)]:
+            chunk = ordered[prev:c]
+            prev = c
+            if chunk:
+                # shuffled row order inside the file
+                chunk = data.draw(st.permutations(chunk))
+                chunks.append(chunk)
+
+        src = tmp_path_factory.mktemp("rand_split")
+        for i, chunk in enumerate(chunks):
+            pdf = pd.DataFrame(chunk)
+            pdf["ts"] = pdf["ts_us"] * 1000  # long nanos file
+            pdf["props"] = "{}"
+            pdf[["event_id", "ts", "user_id", "event_type", "value",
+                 "props"]].to_parquet(src / f"part-{i:03d}.parquet")
+
+        def read():
+            return (
+                spark.readStream.schema(EVENTS_SCHEMA)
+                .option("maxFilesPerTrigger", "1")
+                .option("latestFirst", "false")
+                .parquet(str(src))
+                .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+            )
+
+        sess = latest_sessions(
+            run_available_now(sessionize_stream(read()), output_mode="update")
+        ).toPandas()
+        got_sessions = {
+            tuple(r)
+            for r in sess[
+                ["user_id", "session_id", "n_events", "start_us",
+                 "end_us", "session_value", "duration_us"]
+            ].itertuples(index=False)
+        }
+        assert got_sessions == _sessionize_oracle(rows)
+
+        asof = run_available_now(
+            asof_enrich_stream(read()), output_mode="update"
+        ).toPandas()
+        got_asof = {
+            (int(r.event_id), int(r.user_id), int(r.ts_us),
+             r.click_value,
+             None if pd.isna(r.view_value) else r.view_value,
+             None if pd.isna(r.view_ts_us) else int(r.view_ts_us))
+            for r in asof.itertuples(index=False)
+        }
+        assert got_asof == _asof_oracle(rows)
+
+    run()
