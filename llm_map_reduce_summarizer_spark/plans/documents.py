@@ -302,6 +302,44 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PCA_COMPONENTS = 8
+
+
+def emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population covariance matrix of the embedding column as
+    (i, j, cov) cells (i <= j) — the distributed second-moment
+    statistic behind PCA whitening / decorrelation of a training
+    corpus's embedding space.
+
+    Scale: each partition folds its rows into ONE d x d Gramian
+    partial (numpy syrk over Arrow batches, operators/similarity.py
+    covariance_cells), so shuffle volume is partitions * d(d+1)/2
+    cells — independent of corpus size. One scan, one tiny shuffle.
+    """
+    from ..operators.similarity import covariance_cells
+
+    return covariance_cells(_embs(spark, sf_dir)).orderBy("i", "j")
+
+
+def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings projected onto the corpus's top-k principal
+    components (mean-centered, sign-fixed eigenvectors of the
+    hash-checked ``emb_covariance`` matrix).
+
+    Rows-only check by design: eigen-decomposition is an iterative
+    numeric algorithm with no SQL twin — but its INPUT (the covariance
+    matrix) is value-checked against DuckDB, and the projection
+    algebra is unit-pinned against numpy in tests.
+
+    Scale: the d x d eigenproblem is driver-side O(d^3) — bounded by
+    the embedding dimension, never the corpus; the (k, d) projection
+    matrix broadcasts onto a single corpus scan.
+    """
+    from ..operators.similarity import pca_project
+
+    return pca_project(_embs(spark, sf_dir), n_components=PCA_COMPONENTS)
+
+
 TFIDF_K = 3
 NGRAM_K = 20
 
@@ -1044,6 +1082,8 @@ QUERIES = {
     "corpus_shuffle_shards": corpus_shuffle_shards,
     "corpus_pack": corpus_pack,
     "emb_label_centroids": emb_label_centroids,
+    "emb_covariance": emb_covariance,
+    "emb_pca_project": emb_pca_project,
 }
 
 
@@ -1808,5 +1848,28 @@ ORACLE = {
                CAST(max(n) AS BIGINT) AS n_vecs,
                sqrt(sum(c * c)) AS centroid_norm
         FROM cent GROUP BY label
+    """,
+    "emb_covariance": f"""
+        WITH ex AS (
+          SELECT vec_id,
+                 unnest(generate_series(0, len(embedding) - 1)) AS dim,
+                 CAST(unnest(embedding) AS DOUBLE) AS val
+          FROM embeddings
+        ),
+        pairs AS (
+          SELECT a.dim AS i, b.dim AS j, sum(a.val * b.val) AS sxy
+          FROM ex a JOIN ex b USING (vec_id)
+          WHERE a.dim <= b.dim
+          GROUP BY 1, 2
+        ),
+        means AS (
+          SELECT dim, sum(val) AS sx, count(*) AS n FROM ex GROUP BY 1
+        )
+        SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+               {sql_quantize('sxy / mi.n - (mi.sx / mi.n) * (mj.sx / mj.n)', 6)} AS cov
+        FROM pairs
+        JOIN means mi ON mi.dim = i
+        JOIN means mj ON mj.dim = j
+        ORDER BY i, j
     """,
 }

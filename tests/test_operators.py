@@ -656,3 +656,72 @@ def test_connected_components_semantics(spark):
     }
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
                    20: 20, 21: 20, 22: 20}
+
+
+def test_covariance_cells_match_numpy(spark):
+    """covariance_cells must equal numpy's population covariance of the
+    collected embedding matrix (same quantization applied)."""
+    import numpy as np
+
+    from llm_map_reduce_summarizer_spark.operators.similarity import (
+        _quantize_np,
+        covariance_cells,
+    )
+    from llm_map_reduce_summarizer_spark.sources.tables import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    m = np.stack(
+        e.select("embedding").toPandas()["embedding"].to_numpy()
+    ).astype(np.float64)
+    expect = _quantize_np(np.cov(m, rowvar=False, bias=True))
+
+    cells = covariance_cells(e).collect()
+    d = m.shape[1]
+    assert len(cells) == d * (d + 1) // 2
+    for r in cells:
+        assert r["cov"] == expect[r["i"], r["j"]], (r["i"], r["j"])
+
+
+def test_pca_project_matches_numpy_and_decorrelates(spark):
+    """The distributed projection must equal the driver-side numpy
+    projection exactly, explained-variance shares must be descending,
+    and the projected components must be (near-)decorrelated."""
+    import numpy as np
+
+    from llm_map_reduce_summarizer_spark.operators.similarity import (
+        _quantize_np,
+        pca_project,
+        pca_projection_matrix,
+    )
+    from llm_map_reduce_summarizer_spark.sources.tables import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    k = 4
+    comps, explained = pca_projection_matrix(e, n_components=k)
+    assert comps.shape[0] == k
+    assert all(
+        explained[i] >= explained[i + 1] - 1e-12 for i in range(k - 1)
+    )
+    # sign fix: largest-|.| coordinate of each component is positive
+    for c in comps:
+        assert c[np.abs(c).argmax()] > 0
+
+    pdf = e.select("vec_id", "embedding").toPandas()
+    m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    mu = m.mean(axis=0)
+    expect = {
+        int(v): row
+        for v, row in zip(pdf["vec_id"], _quantize_np((m - mu) @ comps.T))
+    }
+
+    got = pca_project(e, n_components=k).collect()
+    assert len(got) == len(expect)
+    for r in got:
+        assert np.allclose(r["components"], expect[r["vec_id"]], atol=1e-9)
+
+    # decorrelation: off-diagonal covariance of the projected data is
+    # ~0 relative to the leading variances
+    proj = np.stack([np.asarray(r["components"]) for r in got])
+    pc = np.cov(proj, rowvar=False, bias=True)
+    off = pc - np.diag(np.diag(pc))
+    assert np.abs(off).max() < 1e-4 * np.abs(np.diag(pc)).max()
