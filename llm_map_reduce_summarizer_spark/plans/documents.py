@@ -687,6 +687,32 @@ def corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Deterministic train/val/test fractions (cumulative cut points).
+SPLIT_TRAIN = 0.90
+SPLIT_VAL = 0.95  # train < 0.90 <= val < 0.95 <= test
+
+
+def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split assignment — the
+    reproducible holdout step of a training-data pipeline: every engine
+    and every rerun assigns the same doc to the same split, with no
+    rand() and no stored split table.
+
+    Scale: a pure narrow map (the Knuth multiplicative draw is exact
+    integer arithmetic, identical in Spark and the oracle) — zero
+    exchanges, plan-asserted; the split column also works as a
+    partition key for a split-partitioned sink.
+    """
+    d = _docs(spark, sf_dir)
+    draw = ((F.col("doc_id") * KNUTH) % DRAW_MOD) / float(DRAW_MOD)
+    split = (
+        F.when(draw < SPLIT_TRAIN, "train")
+        .when(draw < SPLIT_VAL, "val")
+        .otherwise("test")
+    )
+    return d.select("doc_id", "lang", "source", split.alias("split"))
+
+
 # Target token share per language for the rebalanced training mix.
 MIX_TARGETS = {"en": 0.4, "de": 0.15, "es": 0.15, "fr": 0.15, "zh": 0.15}
 
@@ -1084,6 +1110,7 @@ QUERIES = {
     "emb_label_centroids": emb_label_centroids,
     "emb_covariance": emb_covariance,
     "emb_pca_project": emb_pca_project,
+    "corpus_split": corpus_split,
 }
 
 
@@ -1871,5 +1898,16 @@ ORACLE = {
         JOIN means mi ON mi.dim = i
         JOIN means mj ON mj.dim = j
         ORDER BY i, j
+    """,
+    "corpus_split": f"""
+        SELECT doc_id, lang, source,
+               CASE
+                 WHEN (CAST(doc_id * {KNUTH} AS BIGINT) % {DRAW_MOD})
+                      / {float(DRAW_MOD)} < {SPLIT_TRAIN} THEN 'train'
+                 WHEN (CAST(doc_id * {KNUTH} AS BIGINT) % {DRAW_MOD})
+                      / {float(DRAW_MOD)} < {SPLIT_VAL} THEN 'val'
+                 ELSE 'test'
+               END AS split
+        FROM documents
     """,
 }

@@ -120,6 +120,7 @@ def test_corpus_governance_plan_shapes(spark):
         corpus_contamination,
         corpus_rebalance,
         corpus_sample_stratified,
+        corpus_split,
         doc_pii_scrub,
     )
 
@@ -132,7 +133,7 @@ def test_corpus_governance_plan_shapes(spark):
         return buf.getvalue()
 
     # pure per-row ops: scan -> project/filter, no shuffle at all
-    for fn in (doc_pii_scrub, corpus_sample_stratified):
+    for fn in (doc_pii_scrub, corpus_sample_stratified, corpus_split):
         p = plan(fn(spark, sf))
         assert "Exchange" not in p, f"{fn.__name__} gained a shuffle:\n{p}"
 
