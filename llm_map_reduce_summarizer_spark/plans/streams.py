@@ -110,6 +110,35 @@ def stream_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(hist, output_mode="complete")
 
 
+def stream_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming top-5 users by total value within each event type.
+
+    The streaming half is a complete-mode (event_type, user_id)
+    aggregation — state is one cell per active (type, user), hash-
+    partitioned across executors, bounded by user count not stream
+    length. The top-k ranking runs AFTER the drain on the sink
+    snapshot (a batch window per event_type): ranking inside the
+    stream would force complete-mode recomputation of every rank per
+    trigger, while ranking the drained snapshot is one tiny window
+    over k-ish candidates per type. On static input this equals the
+    batch ``events_topk_users`` and shares its oracle.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    ev = read_events_stream(spark, sf_dir)
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.round(F.sum("value"), 2).alias("user_value")
+    )
+    sink = run_available_now(per_user, output_mode="complete")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("user_value").desc(), F.col("user_id")
+    )
+    return sink.withColumn(
+        "rk", F.row_number().over(w).cast("long")
+    ).filter(F.col("rk") <= 5)
+
+
 QUERIES = {
     "stream_hourly": stream_hourly,
     "stream_sessionize": stream_sessionize,
@@ -118,6 +147,7 @@ QUERIES = {
     "stream_dedup": stream_dedup,
     "stream_quality_gate": stream_quality_gate,
     "stream_value_histogram": stream_value_histogram,
+    "stream_topk_users": stream_topk_users,
 }
 
 ORACLE = {
@@ -127,6 +157,7 @@ ORACLE = {
     "stream_dedup": _DOCS_ORACLE["dedup_apply"],
     "stream_quality_gate": quality_gate_sql(PREP_QUALITY_MIN),
     "stream_value_histogram": _EVENTS_ORACLE["events_value_histogram"],
+    "stream_topk_users": _EVENTS_ORACLE["events_topk_users"],
     # on static input the drained stream-stream inner join equals the
     # batch interval join, so it gets a full SQL oracle
     "stream_view_click_join": """
