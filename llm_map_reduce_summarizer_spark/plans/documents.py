@@ -687,6 +687,43 @@ def corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution Shannon entropy per document — the
+    classic gibberish/encoding-garbage detector: natural text sits in a
+    mid-entropy band, repeated boilerplate scores low, random bytes or
+    base64 blobs score high.
+
+    Entropy is computed as ``ln(n) - sum(c*ln(c))/n`` from the
+    per-(doc, char) counts — algebraically equal to ``-sum(p*ln p)``
+    but needing ONE aggregation instead of a counts-join; the oracle
+    uses the identical formula so cross-engine float behavior matches.
+
+    Scale: the char explode is n x len rows, but a document's text
+    lives in one input row, so the (doc_id, ch) partial agg collapses
+    map-side to doc x alphabet cells before anything shuffles — the
+    shuffle payload is bounded by alphabet size per doc, not text
+    length. Two natural-key aggregations, no joins, no windows.
+    """
+    d = _docs(spark, sf_dir)
+    chars = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), "")).alias("ch")
+    ).filter(F.col("ch") != "")
+    freq = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        freq.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n"),
+            F.sum(F.col("c") * F.log(F.col("c"))).alias("slc"),
+        )
+        .select(
+            "doc_id",
+            quantize(
+                F.log(F.col("n")) - F.col("slc") / F.col("n"), 4
+            ).alias("entropy"),
+        )
+    )
+
+
 # Deterministic train/val/test fractions (cumulative cut points).
 SPLIT_TRAIN = 0.90
 SPLIT_VAL = 0.95  # train < 0.90 <= val < 0.95 <= test
@@ -1111,6 +1148,7 @@ QUERIES = {
     "emb_covariance": emb_covariance,
     "emb_pca_project": emb_pca_project,
     "corpus_split": corpus_split,
+    "doc_char_entropy": doc_char_entropy,
 }
 
 
@@ -1909,5 +1947,19 @@ ORACLE = {
                  ELSE 'test'
                END AS split
         FROM documents
+    """,
+    "doc_char_entropy": f"""
+        WITH chars AS (
+          SELECT doc_id, unnest(string_split(text, '')) AS ch
+          FROM documents
+        ),
+        freq AS (
+          SELECT doc_id, ch, count(*) AS c
+          FROM chars WHERE ch <> '' GROUP BY 1, 2
+        )
+        SELECT doc_id,
+               {sql_quantize('ln(sum(c)) - sum(c * ln(c)) / sum(c)', 4)}
+                 AS entropy
+        FROM freq GROUP BY doc_id
     """,
 }
