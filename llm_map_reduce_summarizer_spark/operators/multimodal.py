@@ -106,3 +106,115 @@ def frame_sample(
         "frame_idx",
         F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_nth))),
     )
+
+
+def resize_image(arr: "np.ndarray", width: int, height: int) -> "np.ndarray":
+    """Real pixel resize — requires PIL/opencv, absent in this container."""
+    raise NotImplementedError(
+        "image codecs not available in this environment; "
+        "use resize_batch's deterministic byte path or install pillow"
+    )
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("out_width", LongType()),
+        StructField("out_height", LongType()),
+        StructField("resized_mean", DoubleType()),
+    ]
+)
+
+
+def resize_batch(
+    docs: DataFrame,
+    box: int = 128,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Resize-to-fit plumbing: target geometry + resampled byte stats.
+
+    Geometry is exact integer arithmetic on the (fake-)decoded
+    dimensions — scale the longest side to ``box``, preserve aspect —
+    so it is fully SQL-oracle-checkable. The pixel resample itself
+    needs a real codec; the deterministic stand-in strides the payload
+    bytes down to the output pixel count (same Arrow-batched shape a
+    real resize kernel would run in).
+    """
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                meta = fake_decode(bytes(p))
+                w, h = meta["width"], meta["height"]
+                longest = max(w, h)
+                # integer-exact scale-to-fit (no-op when already inside)
+                if longest <= box:
+                    ow, oh = w, h
+                else:
+                    ow = w * box // longest
+                    oh = h * box // longest
+                arr = np.frombuffer(bytes(p), dtype=np.uint8)
+                n_out = max(1, ow * oh)
+                stride = max(1, len(arr) // n_out)
+                sampled = arr[::stride] if len(arr) else arr
+                rows.append(
+                    {
+                        "doc_id": int(i),
+                        "width": w,
+                        "height": h,
+                        "out_width": ow,
+                        "out_height": oh,
+                        "resized_mean": (
+                            float(sampled.mean()) if len(sampled) else 0.0
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in RESIZE_SCHEMA])
+
+    return docs.select(id_col, payload_col).mapInPandas(
+        _resize, schema=RESIZE_SCHEMA
+    )
+
+
+def payload_byte_features(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    n_bins: int = 16,
+) -> DataFrame:
+    """Feature extraction over binary payloads: normalized high-nibble
+    byte histogram (``n_bins=16``) per payload — a REAL feature (no
+    codec needed) usable for near-dup detection or clustering of
+    binary columns via the embedding operators (cosine_topk /
+    embedding_neardup take any fixed-width vector column).
+
+    Scale: one Arrow-batched scan, numpy bincount per payload, output
+    is one (id, k-vector) row per doc — narrow map, no shuffle.
+    """
+    from pyspark.sql.types import ArrayType
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("features", ArrayType(DoubleType())),
+        ]
+    )
+
+    def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        scale = 1e6
+        for pdf in batches:
+            ids, feats = [], []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                arr = np.frombuffer(bytes(p), dtype=np.uint8)
+                hist = np.bincount(arr >> 4, minlength=n_bins)[:n_bins]
+                n = max(1, len(arr))
+                q = np.floor(hist / n * scale + 0.5) / scale
+                ids.append(int(i))
+                feats.append(list(q))
+            yield pd.DataFrame({"doc_id": ids, "features": feats})
+
+    return docs.select(id_col, payload_col).mapInPandas(_feat, schema=schema)

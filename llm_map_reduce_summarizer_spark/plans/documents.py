@@ -1045,6 +1045,39 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize-to-fit geometry over binary payloads (128px box,
+    aspect-preserving). The output dims are exact integer arithmetic on
+    the deterministic fake-decode dims, so the whole result is
+    SQL-oracle-checked; the byte-resample runs in the same Arrow batch
+    but its mean is excluded here (no codec, no SQL twin — covered by
+    unit tests instead).
+    """
+    from ..operators.multimodal import resize_batch
+
+    d = _docs(spark, sf_dir).withColumn(
+        "payload", F.encode(F.col("text"), "UTF-8")
+    )
+    return resize_batch(d, box=128).select(
+        "doc_id", "width", "height", "out_width", "out_height"
+    )
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-histogram feature extraction over binary payloads — a real
+    (codec-free) feature vector for near-dup/clustering of binary
+    columns; composes with the embedding operators. Rows-only check:
+    DuckDB cannot unnest blob bytes; the histogram math is numpy-pinned
+    in unit tests.
+    """
+    from ..operators.multimodal import payload_byte_features
+
+    d = _docs(spark, sf_dir).withColumn(
+        "payload", F.encode(F.col("text"), "UTF-8")
+    )
+    return payload_byte_features(d)
+
+
 def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apply exact dedup to the corpus: keep one representative (min
     doc_id) per normalized-content group — the actual training-data
@@ -1149,6 +1182,8 @@ QUERIES = {
     "emb_pca_project": emb_pca_project,
     "corpus_split": corpus_split,
     "doc_char_entropy": doc_char_entropy,
+    "multimodal_resize": multimodal_resize,
+    "multimodal_features": multimodal_features,
 }
 
 
@@ -1961,5 +1996,21 @@ ORACLE = {
                {sql_quantize('ln(sum(c)) - sum(c * ln(c)) / sum(c)', 4)}
                  AS entropy
         FROM freq GROUP BY doc_id
+    """,
+    "multimodal_resize": """
+        WITH dims AS (
+          SELECT doc_id,
+                 CAST(64 + strlen(text) % 997 AS BIGINT) AS width,
+                 CAST(64 + (strlen(text) * 31) % 991 AS BIGINT) AS height
+          FROM documents
+        )
+        SELECT doc_id, width, height,
+               CASE WHEN greatest(width, height) <= 128 THEN width
+                    ELSE width * 128 // greatest(width, height)
+               END AS out_width,
+               CASE WHEN greatest(width, height) <= 128 THEN height
+                    ELSE height * 128 // greatest(width, height)
+               END AS out_height
+        FROM dims
     """,
 }

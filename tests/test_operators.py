@@ -725,3 +725,49 @@ def test_pca_project_matches_numpy_and_decorrelates(spark):
     pc = np.cov(proj, rowvar=False, bias=True)
     off = pc - np.diag(np.diag(pc))
     assert np.abs(off).max() < 1e-4 * np.abs(np.diag(pc)).max()
+
+
+def test_multimodal_resize_and_features_numpy_pinned(spark):
+    """resize_batch geometry + resampled mean and payload_byte_features
+    histograms must equal a pure-numpy recomputation on the same
+    payloads (the parts DuckDB cannot express)."""
+    import numpy as np
+
+    from llm_map_reduce_summarizer_spark.operators.multimodal import (
+        fake_decode,
+        payload_byte_features,
+        resize_batch,
+    )
+    from llm_map_reduce_summarizer_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    d = (
+        load_table(spark, "/root/testdata/sf0.001", "documents")
+        .withColumn("payload", F.encode(F.col("text"), "UTF-8"))
+        .limit(50)
+    )
+    payloads = {
+        r["doc_id"]: bytes(r["payload"])
+        for r in d.select("doc_id", "payload").collect()
+    }
+
+    for r in resize_batch(d, box=128).collect():
+        p = payloads[r["doc_id"]]
+        meta = fake_decode(p)
+        w, h = meta["width"], meta["height"]
+        assert (r["width"], r["height"]) == (w, h)
+        longest = max(w, h)
+        if longest <= 128:
+            assert (r["out_width"], r["out_height"]) == (w, h)
+        else:
+            assert r["out_width"] == w * 128 // longest
+            assert r["out_height"] == h * 128 // longest
+        arr = np.frombuffer(p, dtype=np.uint8)
+        stride = max(1, len(arr) // max(1, r["out_width"] * r["out_height"]))
+        assert r["resized_mean"] == float(arr[::stride].mean())
+
+    for r in payload_byte_features(d).collect():
+        arr = np.frombuffer(payloads[r["doc_id"]], dtype=np.uint8)
+        hist = np.bincount(arr >> 4, minlength=16)[:16]
+        expect = np.floor(hist / max(1, len(arr)) * 1e6 + 0.5) / 1e6
+        assert np.array_equal(np.asarray(r["features"]), expect)
