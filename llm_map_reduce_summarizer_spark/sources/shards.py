@@ -80,3 +80,65 @@ def read_training_shards(spark: SparkSession, path: str) -> DataFrame:
 def read_manifest(path: str) -> dict:
     with open(os.path.join(path, MANIFEST_NAME), encoding="utf-8") as f:
         return json.load(f)
+
+
+def stream_to_training_shards(
+    stream_df: DataFrame,
+    path: str,
+    n_shards: int,
+    checkpoint: str,
+    id_col: str = "doc_id",
+):
+    """Continuous-intake variant of the shard sink: drain a streaming
+    DataFrame into the same deterministic shard layout via
+    ``foreachBatch``.
+
+    Shard assignment is the identical map-side Knuth hash, so a row
+    lands in the same shard whether it arrived in batch or on the
+    stream — shards stay stable for incremental corpus growth. What
+    streaming intake can NOT give is the seeded epoch ORDER inside a
+    shard (micro-batches append as they arrive); run
+    ``write_training_shards`` over the accumulated shard afterwards
+    (or at epoch boundaries) for byte-identical training order. The
+    manifest is rebuilt from the accumulated files after the drain so
+    it always reflects the on-disk state.
+
+    Scale: each micro-batch repartitions only its own rows on the
+    shard id; state is just source offsets in the checkpoint.
+    """
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("shard", knuth_shard(F.col(id_col), n_shards))
+            .repartition("shard")
+            .write.partitionBy("shard")
+            .mode("append")
+            .parquet(path)
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    spark = stream_df.sparkSession
+    back = spark.read.parquet(path)
+    counts = {
+        int(r["shard"]): int(r["n"])
+        for r in back.groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    manifest = {
+        "seed": None,  # streaming intake has no epoch order (see doc)
+        "n_shards": n_shards,
+        "id_col": id_col,
+        "total_rows": sum(counts.values()),
+        "rows_per_shard": {str(k): counts[k] for k in sorted(counts)},
+    }
+    with open(os.path.join(path, MANIFEST_NAME), "w", encoding="utf-8") as f:
+        json.dump(manifest, f, indent=2, sort_keys=True)
+    return manifest

@@ -199,3 +199,43 @@ def test_normalize_events_ts_all_physical_types(spark):
         assert isinstance(norm.schema["ts"].dataType, TimestampType)
         outs.append(norm.select(F.unix_micros("ts")).collect()[0][0])
     assert outs == [epoch_us] * 3
+
+
+def test_stream_to_training_shards(spark, tmp_path):
+    """Streaming shard intake must place every row in the SAME shard
+    as the batch sink (stable incremental growth), cover all rows
+    across micro-batches, and rebuild an accurate manifest."""
+    from llm_map_reduce_summarizer_spark.functions.hashing import knuth_shard
+    from llm_map_reduce_summarizer_spark.sources.shards import (
+        read_manifest,
+        stream_to_training_shards,
+    )
+    from llm_map_reduce_summarizer_spark.streaming.stream_ops import (
+        read_documents_stream,
+    )
+    from pyspark.sql import functions as F
+
+    out = os.path.join(str(tmp_path), "stream_shards")
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+    stream = read_documents_stream(spark, SF).select("doc_id", "n_chars")
+    manifest = stream_to_training_shards(stream, out, n_shards=4, checkpoint=ckpt)
+
+    batch = load_table(spark, SF, "documents").select("doc_id", "n_chars")
+    assert manifest["total_rows"] == batch.count()
+    assert read_manifest(out) == manifest
+
+    back = spark.read.parquet(out)
+    # every row present exactly once, in its deterministic shard
+    expect = {
+        (r["doc_id"], int(r["shard"]))
+        for r in batch.withColumn(
+            "shard", knuth_shard(F.col("doc_id"), 4)
+        ).collect()
+    }
+    got = {(r["doc_id"], int(r["shard"])) for r in back.collect()}
+    assert got == expect
+    got_counts = {
+        str(r["shard"]): r["n"]
+        for r in back.groupBy("shard").agg(F.count("*").alias("n")).collect()
+    }
+    assert got_counts == manifest["rows_per_shard"]
