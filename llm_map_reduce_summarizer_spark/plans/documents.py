@@ -574,6 +574,55 @@ def doc_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc mean bigram surprisal against the corpus conditional
+    LM: ``-(1/N_d) * sum n * ln((c(w1,w2)+1) / (c(w1)+V))`` with
+    add-one smoothing — the conditional upgrade of
+    ``doc_unigram_surprisal``: token-order-scrambled or templated text
+    scores differently from natural word order even when its unigram
+    mix looks normal.
+
+    Scale: the bigram explode is the same n x len shape as the shingle
+    table; corpus bigram counts and w1 marginals are natural-key
+    partial aggs, the vocab size joins as a 1-row broadcast, and the
+    score is one per-doc aggregation — no self-joins, no windows.
+    """
+    from ..functions.hashing import words
+
+    d = _docs(spark, sf_dir)
+    wd = d.select("doc_id", words(F.col("text")).alias("w")).filter(
+        F.size("w") >= 2
+    )
+    bg = wd.selectExpr(
+        "doc_id",
+        "explode(transform(sequence(1, size(w) - 1),"
+        " i -> struct(w[i-1] AS w1, w[i] AS w2))) AS bg",
+    ).select("doc_id", "bg.w1", "bg.w2")
+    dtf = bg.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+    bf = dtf.groupBy("w1", "w2").agg(F.sum("n").alias("cbg"))
+    uf = bf.groupBy("w1").agg(F.sum("cbg").alias("cw1"))
+    vocab = (
+        bg.select(F.col("w1").alias("t"))
+        .union(bg.select("w2"))
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    scored = (
+        dtf.join(bf, ["w1", "w2"])
+        .join(uf, "w1")
+        .crossJoin(F.broadcast(vocab))
+    )
+    s = -F.log(
+        (F.col("cbg") + F.lit(1.0)) / (F.col("cw1") + F.col("v"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("n").alias("n_bigrams"),
+        quantize(F.sum(F.col("n") * s) / F.sum("n"), 6).alias(
+            "mean_surprisal"
+        ),
+    )
+
+
 def corpus_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus composition report: docs, tokens, and token share per
     (lang, source) stratum — the numbers a training-mix rebalancer
@@ -1184,6 +1233,7 @@ QUERIES = {
     "doc_char_entropy": doc_char_entropy,
     "multimodal_resize": multimodal_resize,
     "multimodal_features": multimodal_features,
+    "doc_bigram_surprisal": doc_bigram_surprisal,
 }
 
 
@@ -2012,5 +2062,44 @@ ORACLE = {
                     ELSE height * 128 // greatest(width, height)
                END AS out_height
         FROM dims
+    """,
+    "doc_bigram_surprisal": f"""
+        WITH toksw AS (
+          SELECT doc_id, {_W} AS w FROM documents
+        ),
+        idx AS (
+          SELECT doc_id, w,
+                 unnest(generate_series(1, len(w) - 1)) AS i
+          FROM toksw WHERE len(w) >= 2
+        ),
+        bg AS (
+          SELECT doc_id, w[i] AS w1, w[i + 1] AS w2 FROM idx
+        ),
+        dtf AS (
+          SELECT doc_id, w1, w2, count(*) AS n FROM bg GROUP BY 1, 2, 3
+        ),
+        bf AS (
+          SELECT w1, w2, sum(n) AS cbg FROM dtf GROUP BY 1, 2
+        ),
+        uf AS (
+          SELECT w1, sum(cbg) AS cw1 FROM bf GROUP BY 1
+        ),
+        vocab AS (
+          SELECT count(*) AS v FROM (
+            SELECT DISTINCT t FROM (
+              SELECT w1 AS t FROM bg UNION ALL SELECT w2 FROM bg
+            )
+          )
+        )
+        SELECT doc_id,
+               CAST(sum(n) AS BIGINT) AS n_bigrams,
+               {sql_quantize(
+                   'sum(n * -ln((cbg + 1.0) / (cw1 + v))) / sum(n)', 6
+               )} AS mean_surprisal
+        FROM dtf
+        JOIN bf USING (w1, w2)
+        JOIN uf USING (w1)
+        CROSS JOIN vocab
+        GROUP BY doc_id
     """,
 }
