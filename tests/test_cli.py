@@ -207,3 +207,17 @@ def test_cli_cost_uses_model_tier(spark, tmp_path, monkeypatch):
     # both tier rates are exactly 30x base, so the cost ratio must sit
     # right at 30 modulo that small token drift
     assert 25.0 < gpt4_run["cost"] / base_run["cost"] < 35.0
+
+
+def test_query_runner_lists_and_rejects(capsys):
+    """Catalog query runner: no key lists every catalog entry (no Spark
+    session involved); an unknown key exits 2 with a message."""
+    from llm_map_reduce_summarizer_spark.query import main
+
+    assert main([]) == 0
+    listed = capsys.readouterr().out.split()
+    assert "corpus_split" in listed and "q1_pricing_summary" in listed
+    assert len(listed) >= 100
+
+    assert main(["definitely_not_a_key"]) == 2
+    assert "unknown query key" in capsys.readouterr().err
