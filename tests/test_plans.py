@@ -183,3 +183,28 @@ def test_corpus_shuffle_pack_substring_plan_shapes(spark):
     # centroid cells partial-agg before the (label, dim) exchange
     p = plan(emb_label_centroids(spark, sf))
     assert "partial_sum" in p
+
+
+def test_emb_covariance_plan_shape(spark):
+    """Pin the covariance scale claim: ONE exchange total (the
+    cell-level groupBy over partition partials) — the corpus rows
+    themselves must never shuffle, whatever the corpus size."""
+    import contextlib
+    import io
+
+    from llm_map_reduce_summarizer_spark.plans.documents import (
+        emb_covariance,
+    )
+
+    df = emb_covariance(spark, "/root/testdata/sf0.001")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    plan = buf.getvalue()
+    # partials -> agg is the only hash shuffle; rangepartitioning for
+    # the final orderBy is allowed, corpus-row hashpartitioning is not
+    assert plan.count("Arguments: hashpartitioning") == 1, plan
+    # and that one shuffle is keyed on the (i, j) CELLS, not vec rows
+    args = plan.split("Arguments: hashpartitioning(", 1)[1]
+    assert args.startswith("i"), args[:80]
+    assert "BatchEvalPython" not in plan  # mapInPandas, not row UDF
