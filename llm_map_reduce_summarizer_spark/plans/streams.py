@@ -139,6 +139,42 @@ def stream_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("rk") <= 5)
 
 
+def stream_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming training-mix monitor: docs/tokens/token-share per
+    (lang, source) stratum over the document intake — how a corpus
+    operator watches mix drift DURING ingestion instead of auditing
+    after the fact.
+
+    The streaming half is a complete-mode (lang, source) aggregation —
+    state is one cell per stratum, bounded by the mix's cardinality,
+    never stream length. The share normalization runs post-drain on
+    the stratum snapshot (a 1-row total crossJoin on ~100 rows);
+    normalizing in-stream would need agg-of-agg, which streaming
+    forbids in one query. Drain of static input equals the batch
+    ``corpus_mix_report`` and shares its oracle.
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions.text import quantize, token_count
+
+    docs = read_documents_stream(spark, sf_dir)
+    per = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col("text")).cast("long")).alias("n_tokens"),
+    )
+    sink = run_available_now(per, output_mode="complete")
+    total = sink.agg(F.sum("n_tokens").alias("corpus_tokens"))
+    return sink.crossJoin(F.broadcast(total)).select(
+        "lang",
+        "source",
+        "n_docs",
+        "n_tokens",
+        quantize(F.col("n_tokens") / F.col("corpus_tokens"), 6).alias(
+            "token_share"
+        ),
+    )
+
+
 QUERIES = {
     "stream_hourly": stream_hourly,
     "stream_sessionize": stream_sessionize,
@@ -148,6 +184,7 @@ QUERIES = {
     "stream_quality_gate": stream_quality_gate,
     "stream_value_histogram": stream_value_histogram,
     "stream_topk_users": stream_topk_users,
+    "stream_mix_report": stream_mix_report,
 }
 
 ORACLE = {
@@ -158,6 +195,7 @@ ORACLE = {
     "stream_quality_gate": quality_gate_sql(PREP_QUALITY_MIN),
     "stream_value_histogram": _EVENTS_ORACLE["events_value_histogram"],
     "stream_topk_users": _EVENTS_ORACLE["events_topk_users"],
+    "stream_mix_report": _DOCS_ORACLE["corpus_mix_report"],
     # on static input the drained stream-stream inner join equals the
     # batch interval join, so it gets a full SQL oracle
     "stream_view_click_join": """
