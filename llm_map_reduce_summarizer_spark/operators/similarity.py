@@ -590,3 +590,40 @@ def pca_project(
     return corpus.select(id_col, vec_col).mapInPandas(
         _project, schema="vec_id long, components array<double>"
     )
+
+
+def cosine_knn_graph(
+    corpus: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate k-NN GRAPH over the whole corpus: top-k cosine
+    neighbors of every vector, candidates restricted to the vector's
+    LSH sign bucket — the building block of graph-based clustering /
+    label propagation over an embedding column.
+
+    Unlike ``cosine_topk`` (query set broadcasts), BOTH sides here are
+    the corpus: the self-join shuffles on the bucket id only, so the
+    compare volume is sum over buckets of n_b^2 — bounded by bucket
+    balance (asserted by the ``emb_buckets`` census), never a
+    broadcast of corpus-scale data. The per-source ranking window is
+    partitioned by vector id.
+    """
+    a = _unit(corpus, id_col, vec_col, "da").withColumn(
+        "bucket", sign_bucket(F.col("v_da"))
+    )
+    b = _unit(corpus, id_col, vec_col, "db").withColumn(
+        "bucket", sign_bucket(F.col("v_db"))
+    )
+    scored = (
+        a.join(b, "bucket")
+        .filter(F.col("da") != F.col("db"))
+        .withColumn("cos", quantize(dot(F.col("u_da"), F.col("u_db")), 6))
+    )
+    w = Window.partitionBy("da").orderBy(F.col("cos").desc(), F.col("db"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select("da", "db", "cos", "rk")
+    )

@@ -225,6 +225,20 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_lsh(q, e, k=LSH_K)
 
 
+KNN_GRAPH_K = 3
+
+
+def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate corpus-wide k-NN graph (operators/similarity.py
+    cosine_knn_graph): top-k neighbors of EVERY vector, LSH-bucketed so
+    the self-join shuffles on bucket ids — no broadcast side, compare
+    volume bounded by bucket balance. Feeds graph-based clustering.
+    """
+    from ..operators.similarity import cosine_knn_graph
+
+    return cosine_knn_graph(_embs(spark, sf_dir), k=KNN_GRAPH_K)
+
+
 IVF_CENTROIDS = 16
 IVF_NPROBE = 2
 
@@ -1234,6 +1248,7 @@ QUERIES = {
     "multimodal_resize": multimodal_resize,
     "multimodal_features": multimodal_features,
     "doc_bigram_surprisal": doc_bigram_surprisal,
+    "knn_graph": knn_graph,
 }
 
 
@@ -1730,6 +1745,23 @@ ORACLE = {
                count(*) AS n_vecs
         FROM embeddings
         GROUP BY 1
+    """,
+    "knn_graph": f"""
+        WITH {sql_unit_cte()},
+        bq AS (
+          SELECT vec_id, u, {sql_sign_bucket('embedding')} AS bucket
+          FROM unitv
+        )
+        SELECT da, db, cos, rk FROM (
+          SELECT a.vec_id AS da, b.vec_id AS db,
+                 (floor({sql_dot('a.u', 'b.u')} * 1000000.0 + 0.5) / 1000000.0) AS cos,
+                 row_number() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY (floor({sql_dot('a.u', 'b.u')} * 1000000.0 + 0.5) / 1000000.0) DESC,
+                            b.vec_id
+                 ) AS rk
+          FROM bq a JOIN bq b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+        ) WHERE rk <= {KNN_GRAPH_K}
     """,
     "multimodal_meta": """
         SELECT doc_id,
