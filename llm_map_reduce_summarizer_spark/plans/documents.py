@@ -239,6 +239,33 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_knn_graph(_embs(spark, sf_dir), k=KNN_GRAPH_K)
 
 
+def emb_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space clustering: connected components over the
+    MUTUAL k-NN graph (an edge survives only if each endpoint ranks
+    the other in its top-k) — the standard density-style grouping of
+    an embedding column, complementing the shingle-based
+    ``dedup_clusters``. Singletons (no mutual edge) are not emitted.
+
+    Scale: the mutual filter is a semi-join of the k-NN edge list
+    against its own reversal (k·n rows, natural keys); components run
+    the same O(diameter) min-label propagation as the dedup family.
+    """
+    from ..operators.dedup import connected_components
+    from ..operators.similarity import cosine_knn_graph
+
+    pairs = cosine_knn_graph(_embs(spark, sf_dir), k=KNN_GRAPH_K).select(
+        "da", "db"
+    )
+    mutual = pairs.join(
+        pairs.select(F.col("db").alias("da"), F.col("da").alias("db")),
+        ["da", "db"],
+        "left_semi",
+    ).filter(F.col("da") < F.col("db"))
+    return connected_components(mutual).select(
+        F.col("id").alias("vec_id"), F.col("component").alias("cluster_id")
+    )
+
+
 IVF_CENTROIDS = 16
 IVF_NPROBE = 2
 
@@ -1249,6 +1276,7 @@ QUERIES = {
     "multimodal_features": multimodal_features,
     "doc_bigram_surprisal": doc_bigram_surprisal,
     "knn_graph": knn_graph,
+    "emb_clusters": emb_clusters,
 }
 
 
@@ -1379,6 +1407,27 @@ def _quality_docs_cte() -> str:
 )"""
 
 _Q_STOPS = _STOP_SQL["en"]
+
+# Shared approximate-kNN-graph derivation, ending in `knng(da, db,
+# cos, rk)` — consumed by the knn_graph oracle and the mutual-kNN
+# clustering oracle.
+_KNN_GRAPH_CTES = f"""{sql_unit_cte()},
+        bq AS (
+          SELECT vec_id, u, {sql_sign_bucket('embedding')} AS bucket
+          FROM unitv
+        ),
+        knng AS (
+          SELECT da, db, cos, rk FROM (
+            SELECT a.vec_id AS da, b.vec_id AS db,
+                   (floor({sql_dot('a.u', 'b.u')} * 1000000.0 + 0.5) / 1000000.0) AS cos,
+                   row_number() OVER (
+                     PARTITION BY a.vec_id
+                     ORDER BY (floor({sql_dot('a.u', 'b.u')} * 1000000.0 + 0.5) / 1000000.0) DESC,
+                              b.vec_id
+                   ) AS rk
+            FROM bq a JOIN bq b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+          ) WHERE rk <= {KNN_GRAPH_K}
+        )"""
 
 ORACLE = {
     "multimodal_frames": """
@@ -1747,21 +1796,28 @@ ORACLE = {
         GROUP BY 1
     """,
     "knn_graph": f"""
-        WITH {sql_unit_cte()},
-        bq AS (
-          SELECT vec_id, u, {sql_sign_bucket('embedding')} AS bucket
-          FROM unitv
+        WITH {_KNN_GRAPH_CTES}
+        SELECT da, db, cos, rk FROM knng
+    """,
+    "emb_clusters": f"""
+        WITH RECURSIVE {_KNN_GRAPH_CTES},
+        mut AS (
+          SELECT a.da, a.db FROM knng a
+          JOIN knng b ON a.da = b.db AND a.db = b.da
+          WHERE a.da < a.db
+        ),
+        edges AS (
+          SELECT da, db FROM mut
+          UNION
+          SELECT db AS da, da AS db FROM mut
+        ),
+        walk(id, r) AS (
+          SELECT da, da FROM edges
+          UNION
+          SELECT w.id, e.db FROM walk w JOIN edges e ON e.da = w.r
         )
-        SELECT da, db, cos, rk FROM (
-          SELECT a.vec_id AS da, b.vec_id AS db,
-                 (floor({sql_dot('a.u', 'b.u')} * 1000000.0 + 0.5) / 1000000.0) AS cos,
-                 row_number() OVER (
-                   PARTITION BY a.vec_id
-                   ORDER BY (floor({sql_dot('a.u', 'b.u')} * 1000000.0 + 0.5) / 1000000.0) DESC,
-                            b.vec_id
-                 ) AS rk
-          FROM bq a JOIN bq b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
-        ) WHERE rk <= {KNN_GRAPH_K}
+        SELECT id AS vec_id, CAST(min(r) AS BIGINT) AS cluster_id
+        FROM walk GROUP BY id
     """,
     "multimodal_meta": """
         SELECT doc_id,
