@@ -314,8 +314,43 @@ def events_retention_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users (exact distinct count) per day.
+
+    Scale: count_distinct is two-phase — (day, user) partial-distinct
+    map-side, then per-day counts. Exact is the oracle-checked tier;
+    ``events_dau_approx`` is the one-pass mergeable-sketch tier for
+    100 TB dashboards.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(
+        F.count_distinct("user_id").alias("dau"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def events_dau_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU via HyperLogLog++ (``approx_count_distinct``, rsd=2%) — the
+    sketch tier: one pass, fixed-size mergeable state per day, no
+    (day, user) expansion. Rows-only check by design (sketch estimates
+    have no SQL twin); the relative error vs the exact tier is pinned
+    in unit tests.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("dau_approx"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 QUERIES = {
     "events_retention_hourly": events_retention_hourly,
+    "events_dau": events_dau,
+    "events_dau_approx": events_dau_approx,
     "events_value_quantiles": events_value_quantiles,
     "events_value_quantiles_approx": events_value_quantiles_approx,
     "events_asof_view": events_asof_view,
@@ -329,6 +364,13 @@ QUERIES = {
 }
 
 ORACLE = {
+    "events_dau": """
+        SELECT date_trunc('day', ts) AS day,
+               count(DISTINCT user_id) AS dau,
+               count(*) AS n_events
+        FROM events
+        GROUP BY 1
+    """,
     "events_retention_hourly": """
         WITH hu AS (
           SELECT DISTINCT date_trunc('hour', ts) AS hour, user_id FROM events

@@ -208,3 +208,23 @@ def test_emb_covariance_plan_shape(spark):
     args = plan.split("Arguments: hashpartitioning(", 1)[1]
     assert args.startswith("i"), args[:80]
     assert "BatchEvalPython" not in plan  # mapInPandas, not row UDF
+
+
+def test_events_dau_approx_error_bound(spark):
+    """The HLL sketch tier must track the exact tier within a few
+    percent at rsd=0.02 (loose 5x margin against estimator variance),
+    and both tiers must agree on the day grid and event counts."""
+    from llm_map_reduce_summarizer_spark.plans.events import (
+        events_dau,
+        events_dau_approx,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact = events_dau(spark, sf).toPandas().set_index("day").sort_index()
+    approx = (
+        events_dau_approx(spark, sf).toPandas().set_index("day").sort_index()
+    )
+    assert list(exact.index) == list(approx.index)
+    assert (exact["n_events"] == approx["n_events"]).all()
+    rel = (approx["dau_approx"] - exact["dau"]).abs() / exact["dau"]
+    assert rel.max() <= 0.10, rel
