@@ -175,6 +175,27 @@ def stream_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming daily-active-users via HyperLogLog++ — the sketch
+    aggregate is WHY this works: exact count_distinct is unsupported
+    in streaming (unbounded per-key distinct state), but HLL state is
+    fixed-size and register-max merge is order-independent, so
+    micro-batches fold in deterministically. A drain of static input
+    equals the batch ``events_dau_approx`` bit-for-bit (pinned in
+    tests); rows-only driver check, like its batch twin.
+    """
+    from pyspark.sql import functions as F
+
+    ev = read_events_stream(spark, sf_dir)
+    dau = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("dau_approx"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return run_available_now(dau, output_mode="complete")
+
+
 QUERIES = {
     "stream_hourly": stream_hourly,
     "stream_sessionize": stream_sessionize,
@@ -185,6 +206,7 @@ QUERIES = {
     "stream_value_histogram": stream_value_histogram,
     "stream_topk_users": stream_topk_users,
     "stream_mix_report": stream_mix_report,
+    "stream_dau": stream_dau,
 }
 
 ORACLE = {

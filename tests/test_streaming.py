@@ -523,3 +523,18 @@ def test_stream_parity_on_randomized_micro_batch_splits(spark, tmp_path_factory)
         assert got_asof == _asof_oracle(rows)
 
     run()
+
+
+def test_stream_dau_equals_batch_sketch(spark):
+    """HLL register-max merge is order-independent, so the streamed
+    sketch must equal the batch sketch BIT-FOR-BIT on static input —
+    not just within error bounds."""
+    from llm_map_reduce_summarizer_spark.plans.events import (
+        events_dau_approx,
+    )
+    from llm_map_reduce_summarizer_spark.plans.streams import stream_dau
+
+    stream = stream_dau(spark, SF).toPandas()
+    batch = events_dau_approx(spark, SF).toPandas()
+    assert len(stream) > 0
+    assert compare_frames(stream, batch) == []
