@@ -58,6 +58,34 @@ def sign_bucket(a: Column, n_bits: int = 8) -> Column:
     return out.cast("long")
 
 
+# Adaptive bucket sizing for corpus-scale SELF-joins (k-NN graph,
+# clustering): a FIXED bit count means compare volume Σ n_b² ≈ n²/2^bits
+# — still quadratic in corpus size. Scaling bits with the row count
+# pins the expected bucket occupancy at a constant, so compare volume
+# grows ~linearly (n · occupancy) instead. Integer-only thresholds so
+# Spark (driver-computed int) and the SQL twin (scalar subquery)
+# always agree bit-for-bit — no float log2 at an exact-power boundary.
+BUCKET_TARGET_OCCUPANCY = 32
+SIGN_BITS_MIN = 8
+SIGN_BITS_MAX = 24  # 16M buckets; DIM=64 leaves headroom to raise it
+
+
+def adaptive_sign_bits(
+    n_rows: int,
+    target: int = BUCKET_TARGET_OCCUPANCY,
+    lo: int = SIGN_BITS_MIN,
+    hi: int = SIGN_BITS_MAX,
+) -> int:
+    """ceil(log2(n_rows / target)) clamped to [lo, hi], via pure
+    integer comparisons: bits = lo + |{j in (lo, hi] : n > target·2^(j-1)}|.
+    """
+    bits = lo
+    for j in range(lo + 1, hi + 1):
+        if n_rows > target * (1 << (j - 1)):
+            bits += 1
+    return bits
+
+
 # ------------------------------------------------------------- SQL twins
 
 
@@ -90,5 +118,37 @@ def sql_sign_bucket(a: str, n_bits: int = 8) -> str:
     terms = " + ".join(
         f"CASE WHEN {a}[{b}] >= 0 THEN {2 ** (b - 1)} ELSE 0 END"
         for b in range(1, n_bits + 1)
+    )
+    return f"CAST(({terms}) AS BIGINT)"
+
+
+def sql_adaptive_bits_cte(
+    table: str = "embeddings",
+    target: int = BUCKET_TARGET_OCCUPANCY,
+    lo: int = SIGN_BITS_MIN,
+    hi: int = SIGN_BITS_MAX,
+) -> str:
+    """CTE body `nb(bits)` — twin of adaptive_sign_bits over a table's
+    row count. Same integer thresholds, so both engines pick the
+    identical bit width for any corpus size."""
+    cases = " + ".join(
+        f"(CASE WHEN n > {target * (1 << (j - 1))} THEN 1 ELSE 0 END)"
+        for j in range(lo + 1, hi + 1)
+    )
+    return (
+        f"nb AS (SELECT {lo} + {cases} AS bits "
+        f"FROM (SELECT count(*) AS n FROM {table}))"
+    )
+
+
+def sql_sign_bucket_dynamic(
+    a: str, bits: str = "bits", hi: int = SIGN_BITS_MAX
+) -> str:
+    """Sign bucket with a runtime bit width (join the `nb` CTE and pass
+    its `bits` column): term b contributes only when b <= bits."""
+    terms = " + ".join(
+        f"(CASE WHEN {b} <= {bits} AND {a}[{b}] >= 0 "
+        f"THEN {1 << (b - 1)} ELSE 0 END)"
+        for b in range(1, hi + 1)
     )
     return f"CAST(({terms}) AS BIGINT)"

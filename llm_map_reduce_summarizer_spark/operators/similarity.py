@@ -21,7 +21,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.text import quantize
-from ..functions.vectors import dot, sign_bucket, unit_norm
+from ..functions.vectors import (
+    adaptive_sign_bits,
+    dot,
+    sign_bucket,
+    unit_norm,
+)
 
 
 def _unit(df: DataFrame, id_col: str, vec_col: str, out_id: str) -> DataFrame:
@@ -530,9 +535,22 @@ def pca_projection_matrix(
     Returns (components: (k, d) np.ndarray, explained: (k,) shares).
     """
     import numpy as np
+    from pyspark.sql.types import ArrayType
 
+    # dimension from the schema (or a 1-row probe), never from the
+    # cell indices — partial cells must not silently shrink the matrix
+    field = corpus.schema[vec_col].dataType
+    if isinstance(field, ArrayType):
+        probe = corpus.select(F.size(vec_col).alias("d")).first()
+        if probe is None:
+            raise ValueError(
+                "pca_projection_matrix: corpus has no rows — "
+                "covariance (and thus PCA) is undefined on an empty input"
+            )
+        d = int(probe["d"])
+    else:  # pragma: no cover - schema contract violation
+        raise TypeError(f"{vec_col} must be array<numeric>, got {field}")
     cells = covariance_cells(corpus, vec_col=vec_col).collect()
-    d = max(r["j"] for r in cells) + 1
     cov = np.zeros((d, d))
     for r in cells:
         cov[r["i"], r["j"]] = r["cov"]
@@ -603,27 +621,64 @@ def cosine_knn_graph(
     LSH sign bucket — the building block of graph-based clustering /
     label propagation over an embedding column.
 
-    Unlike ``cosine_topk`` (query set broadcasts), BOTH sides here are
-    the corpus: the self-join shuffles on the bucket id only, so the
-    compare volume is sum over buckets of n_b^2 — bounded by bucket
-    balance (asserted by the ``emb_buckets`` census), never a
-    broadcast of corpus-scale data. The per-source ranking window is
-    partitioned by vector id.
+    Scale (both sides are the corpus, so this is the one shape where a
+    fixed bucket count is a killer — Σ n_b² ≈ n²/2^bits stays
+    quadratic):
+
+    * the bit width ADAPTS to the corpus size (one count() — a
+      1-scalar plan decision, like a broadcast-threshold choice):
+      ``adaptive_sign_bits`` targets a constant expected bucket
+      occupancy, so compare volume grows ~linearly (n · occupancy),
+      not n²/constant. The ``emb_buckets`` census (hash-checked, same
+      adaptive width) witnesses the balance.
+    * within a bucket, scoring is ONE blocked dgemm over the bucket's
+      Arrow batch (``applyInPandas`` per bucket, the
+      ``embedding_neardup_blocked`` shape) instead of a per-pair
+      expression dot — the per-source top-k never leaves the bucket
+      task, so the only shuffle is the groupBy on the bucket id.
+
+    Tie-break parity with the SQL oracle: candidates rank by
+    (cos DESC, neighbor id ASC) on 1e-6-quantized cosines.
     """
-    a = _unit(corpus, id_col, vec_col, "da").withColumn(
-        "bucket", sign_bucket(F.col("v_da"))
+    import numpy as np
+    import pandas as pd
+
+    bits = adaptive_sign_bits(corpus.count())
+    bucketed = corpus.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("v"),
+        sign_bucket(F.col(vec_col), n_bits=bits).alias("bucket"),
     )
-    b = _unit(corpus, id_col, vec_col, "db").withColumn(
-        "bucket", sign_bucket(F.col("v_db"))
+
+    empty = pd.DataFrame(
+        {
+            "da": pd.Series(dtype="int64"),
+            "db": pd.Series(dtype="int64"),
+            "cos": pd.Series(dtype="float64"),
+            "rk": pd.Series(dtype="int64"),
+        }
     )
-    scored = (
-        a.join(b, "bucket")
-        .filter(F.col("da") != F.col("db"))
-        .withColumn("cos", quantize(dot(F.col("u_da"), F.col("u_db")), 6))
-    )
-    w = Window.partitionBy("da").orderBy(F.col("cos").desc(), F.col("db"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rk") <= k)
-        .select("da", "db", "cos", "rk")
+
+    def _bucket_topk(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        m = len(pdf)
+        if m < 2:
+            return empty
+        u = _unit_rows(pdf["v"])
+        ids = pdf["vid"].to_numpy()
+        sims = _quantize_np(u @ u.T)
+        np.fill_diagonal(sims, -np.inf)  # ids are unique -> self mask
+        kk = min(k, m - 1)
+        da, db, cos, rk = [], [], [], []
+        for i in range(m):
+            # ascending (-cos, id): top cosine first, ties by id asc —
+            # exactly row_number() OVER (ORDER BY cos DESC, db)
+            order = np.lexsort((ids, -sims[i]))[:kk]
+            da.extend([ids[i]] * kk)
+            db.extend(ids[order])
+            cos.extend(sims[i][order])
+            rk.extend(range(1, kk + 1))
+        return pd.DataFrame({"da": da, "db": db, "cos": cos, "rk": rk})
+
+    return bucketed.groupBy("bucket").applyInPandas(
+        _bucket_topk, schema="da long, db long, cos double, rk long"
     )

@@ -32,9 +32,12 @@ from ..functions.text import (
     token_count,
 )
 from ..functions.vectors import (
+    adaptive_sign_bits,
     sign_bucket,
+    sql_adaptive_bits_cte,
     sql_dot,
     sql_sign_bucket,
+    sql_sign_bucket_dynamic,
     sql_unit_cte,
 )
 from ..operators.dedup import (
@@ -230,9 +233,10 @@ KNN_GRAPH_K = 3
 
 def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate corpus-wide k-NN graph (operators/similarity.py
-    cosine_knn_graph): top-k neighbors of EVERY vector, LSH-bucketed so
-    the self-join shuffles on bucket ids — no broadcast side, compare
-    volume bounded by bucket balance. Feeds graph-based clustering.
+    cosine_knn_graph): top-k neighbors of EVERY vector. The LSH bit
+    width adapts to corpus size (constant target bucket occupancy, so
+    compare volume grows ~linearly — not n²/2^bits), and each bucket
+    scores with one blocked dgemm. Feeds graph-based clustering.
     """
     from ..operators.similarity import cosine_knn_graph
 
@@ -300,10 +304,14 @@ def knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def emb_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH bucket census — verifies partition balance of the scale path."""
+    """LSH bucket census at the ADAPTIVE bit width the corpus-scale
+    self-joins (``knn_graph``/``emb_clusters``) actually use — the
+    hash-checked witness that bucket count tracks corpus size and
+    occupancy stays balanced."""
     e = _embs(spark, sf_dir)
+    bits = adaptive_sign_bits(e.count())
     return (
-        e.withColumn("bucket", sign_bucket(F.col("embedding")))
+        e.withColumn("bucket", sign_bucket(F.col("embedding"), n_bits=bits))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n_vecs"))
     )
@@ -372,13 +380,22 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     matrix) is value-checked against DuckDB, and the projection
     algebra is unit-pinned against numpy in tests.
 
+    The catalog projection posexplodes the component vector to scalar
+    (vec_id, dim, value) rows — driver-canonicalizable (list cells
+    are not) — while ``operators.similarity.pca_project`` keeps the
+    array shape for composition.
+
     Scale: the d x d eigenproblem is driver-side O(d^3) — bounded by
     the embedding dimension, never the corpus; the (k, d) projection
-    matrix broadcasts onto a single corpus scan.
+    matrix broadcasts onto a single corpus scan; the explode is a
+    narrow map (k rows per vector, no shuffle).
     """
     from ..operators.similarity import pca_project
 
-    return pca_project(_embs(spark, sf_dir), n_components=PCA_COMPONENTS)
+    proj = pca_project(_embs(spark, sf_dir), n_components=PCA_COMPONENTS)
+    return proj.select(
+        "vec_id", F.posexplode("components").alias("dim", "value")
+    ).select("vec_id", F.col("dim").cast("long").alias("dim"), "value")
 
 
 TFIDF_K = 3
@@ -1156,16 +1173,26 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-histogram feature extraction over binary payloads — a real
     (codec-free) feature vector for near-dup/clustering of binary
-    columns; composes with the embedding operators. Rows-only check:
-    DuckDB cannot unnest blob bytes; the histogram math is numpy-pinned
-    in unit tests.
+    columns; composes with the embedding operators.
+
+    The catalog projection posexplodes the 16-bin vector to scalar
+    (doc_id, bin, share) rows — driver-canonicalizable — and that
+    shape admits a full value oracle: DuckDB can't unnest blob bytes
+    directly, but ``to_hex(encode(text))`` exposes every byte's high
+    nibble as a hex character, byte-faithful for ANY payload content.
+
+    Scale: one Arrow-batched scan + a 16-rows-per-doc narrow explode;
+    no shuffle (the array operator stays available for composition).
     """
     from ..operators.multimodal import payload_byte_features
 
     d = _docs(spark, sf_dir).withColumn(
         "payload", F.encode(F.col("text"), "UTF-8")
     )
-    return payload_byte_features(d)
+    feats = payload_byte_features(d)
+    return feats.select(
+        "doc_id", F.posexplode("features").alias("bin", "share")
+    ).select("doc_id", F.col("bin").cast("long").alias("bin"), "share")
 
 
 def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1412,9 +1439,11 @@ _Q_STOPS = _STOP_SQL["en"]
 # cos, rk)` — consumed by the knn_graph oracle and the mutual-kNN
 # clustering oracle.
 _KNN_GRAPH_CTES = f"""{sql_unit_cte()},
+        {sql_adaptive_bits_cte('embeddings')},
         bq AS (
-          SELECT vec_id, u, {sql_sign_bucket('embedding')} AS bucket
-          FROM unitv
+          SELECT vec_id, u,
+                 {sql_sign_bucket_dynamic('embedding')} AS bucket
+          FROM unitv CROSS JOIN nb
         ),
         knng AS (
           SELECT da, db, cos, rk FROM (
@@ -1790,9 +1819,10 @@ ORACLE = {
         ) WHERE rk <= {LSH_K}
     """,
     "emb_buckets": f"""
-        SELECT {sql_sign_bucket('embedding')} AS bucket,
+        WITH {sql_adaptive_bits_cte('embeddings')}
+        SELECT {sql_sign_bucket_dynamic('embedding')} AS bucket,
                count(*) AS n_vecs
-        FROM embeddings
+        FROM embeddings CROSS JOIN nb
         GROUP BY 1
     """,
     "knn_graph": f"""
@@ -2134,6 +2164,38 @@ ORACLE = {
                {sql_quantize('ln(sum(c)) - sum(c * ln(c)) / sum(c)', 4)}
                  AS entropy
         FROM freq GROUP BY doc_id
+    """,
+    # byte-faithful twin of the numpy high-nibble histogram: to_hex
+    # exposes each payload byte as two hex chars; the chars at odd
+    # positions ARE the high nibbles, for any (even non-UTF-8-safe)
+    # byte content. Zero bins are emitted explicitly, like bincount
+    # with minlength.
+    "multimodal_features": """
+        WITH hx AS (
+          SELECT doc_id, lower(to_hex(encode(text))) AS h,
+                 greatest(1, strlen(text)) AS n
+          FROM documents
+        ),
+        nib AS (
+          SELECT doc_id,
+                 CAST(strpos('0123456789abcdef', substr(h, CAST(p AS INT), 1))
+                      - 1 AS BIGINT) AS bin
+          FROM (
+            SELECT doc_id, h,
+                   unnest(generate_series(1, length(h), 2)) AS p
+            FROM hx
+          )
+        ),
+        cnt AS (
+          SELECT doc_id, bin, count(*) AS c FROM nib GROUP BY 1, 2
+        ),
+        bins AS (SELECT unnest(generate_series(0, 15)) AS bin)
+        SELECT d.doc_id, CAST(b.bin AS BIGINT) AS bin,
+               floor(coalesce(c.c, 0) / d.n * 1000000.0 + 0.5)
+                 / 1000000.0 AS share
+        FROM hx d
+        CROSS JOIN bins b
+        LEFT JOIN cnt c ON c.doc_id = d.doc_id AND c.bin = b.bin
     """,
     "multimodal_resize": """
         WITH dims AS (
