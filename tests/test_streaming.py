@@ -528,13 +528,38 @@ def test_stream_parity_on_randomized_micro_batch_splits(spark, tmp_path_factory)
 def test_stream_dau_equals_batch_sketch(spark):
     """HLL register-max merge is order-independent, so the streamed
     sketch must equal the batch sketch BIT-FOR-BIT on static input —
-    not just within error bounds."""
+    not just within error bounds. The catalog entries wrap the raw
+    sketch in the exact-tier bound check, so the raw pin runs against
+    stream_dau_sketch and an identical batch aggregation; the catalog
+    shapes are compared too."""
+    from pyspark.sql import functions as F
+
     from llm_map_reduce_summarizer_spark.plans.events import (
+        DAU_RSD,
         events_dau_approx,
     )
-    from llm_map_reduce_summarizer_spark.plans.streams import stream_dau
+    from llm_map_reduce_summarizer_spark.plans.streams import (
+        stream_dau,
+        stream_dau_sketch,
+    )
+    from llm_map_reduce_summarizer_spark.sources.tables import load_table
+
+    raw_stream = stream_dau_sketch(spark, SF).toPandas()
+    raw_batch = (
+        load_table(spark, SF, "events")
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(
+            F.approx_count_distinct("user_id", rsd=DAU_RSD).alias(
+                "dau_approx"
+            ),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .toPandas()
+    )
+    assert len(raw_stream) > 0
+    assert compare_frames(raw_stream, raw_batch) == []
 
     stream = stream_dau(spark, SF).toPandas()
     batch = events_dau_approx(spark, SF).toPandas()
-    assert len(stream) > 0
     assert compare_frames(stream, batch) == []
+    assert stream["sketch_within_3rsd"].all()
