@@ -60,13 +60,28 @@ except ImportError:
 _PLAN_MODULES.sort(key=lambda m: m.__name__.rsplit(".", 1)[-1])
 
 
+# Keys whose plan or oracle SEMANTICS changed in round N: driver
+# records from rounds < N predate the current definition and must not
+# count as verification of it, so the key re-enters the front of the
+# queue until a fresh record lands (after which the entry is inert —
+# no removal needed).
+_SEMANTICS_CHANGED: dict[str, int] = {
+    # r6: adaptive LSH bit width + blocked-dgemm bucket scoring
+    "knn_graph": 6,
+    "emb_clusters": 6,
+    "emb_buckets": 6,
+}
+
+
 def _last_verified(oracle_keys: set[str]) -> dict[str, int]:
     """key -> last round with a passing driver record at the key's
     CURRENT check strength, from the committed CORRECTNESS_r*.json
     files (0 = never checked). For a key that now carries an oracle
     only hash-verified records count — an old rows-only record must
     not hide a never-value-checked oracle; keys without an oracle
-    accept their rows-only records.
+    accept their rows-only records. Records older than the key's
+    ``_SEMANTICS_CHANGED`` round verified a different definition and
+    do not count.
     """
     out: dict[str, int] = {}
     for p in Path(__file__).resolve().parent.glob("CORRECTNESS_r*.json"):
@@ -79,6 +94,8 @@ def _last_verified(oracle_keys: set[str]) -> dict[str, int]:
         except (OSError, ValueError):
             continue
         for key, rec in records.items():
+            if rnd < _SEMANTICS_CHANGED.get(key, 0):
+                continue
             if key in oracle_keys:
                 passed = rec.get("hash_match") is True
             else:
