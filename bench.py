@@ -67,6 +67,27 @@ def main() -> None:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # Informational extra (NOT in the headline total, so round-over-
+    # round totals stay comparable): pipeline_e2e with the distributed
+    # two-pass scan enabled — the plan shape a 100 TB single-stream
+    # run would use — so the scale path has a measured cost, not just
+    # a plan assertion.
+    from llm_map_reduce_summarizer_spark.operators.scan import SCAN_CONF
+
+    extras: dict[str, float] = {}
+    spark.conf.set(SCAN_CONF, "true")
+    try:
+        queries["pipeline_e2e"](spark, "/root/testdata/sf0.001").write.format(
+            "noop"
+        ).mode("overwrite").save()  # warm the scan-mode plan shapes
+        t0 = time.perf_counter()
+        queries["pipeline_e2e"](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        extras["pipeline_e2e_scan_conf"] = round(time.perf_counter() - t0, 3)
+    finally:
+        spark.conf.set(SCAN_CONF, "false")
+
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(
@@ -76,6 +97,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "extras": extras,
                 "sf": float(sf) if sf else None,
             }
         )

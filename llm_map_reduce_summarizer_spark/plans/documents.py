@@ -804,6 +804,10 @@ def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-(doc, char) counts — algebraically equal to ``-sum(p*ln p)``
     but needing ONE aggregation instead of a counts-join; the oracle
     uses the identical formula so cross-engine float behavior matches.
+    The empty-pattern split advances by CODE POINTS in both engines
+    (Java zero-width matches skip full code points), so supplementary-
+    plane text (emoji etc.) agrees too — pinned by the non-BMP parity
+    canary in tests/test_fuzz_parity.py.
 
     Scale: the char explode is n x len rows, but a document's text
     lives in one input row, so the (doc_id, ch) partial agg collapses

@@ -82,6 +82,34 @@ def read_manifest(path: str) -> dict:
         return json.load(f)
 
 
+def write_shard_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    path: str,
+    n_shards: int,
+    id_col: str = "doc_id",
+) -> dict[int, int]:
+    """Idempotently land ONE micro-batch under its ``batch_id``
+    partitions (dynamic overwrite — a retry replaces, never appends)
+    and return the batch's per-shard row counts."""
+    keyed = batch_df.withColumn(
+        "shard", knuth_shard(F.col(id_col), n_shards)
+    ).withColumn("batch_id", F.lit(int(batch_id)))
+    (
+        keyed.repartition("shard")
+        .write.partitionBy("shard", "batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    return {
+        int(r["shard"]): int(r["n"])
+        for r in keyed.groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+
+
 def stream_to_training_shards(
     stream_df: DataFrame,
     path: str,
@@ -97,23 +125,28 @@ def stream_to_training_shards(
     lands in the same shard whether it arrived in batch or on the
     stream — shards stay stable for incremental corpus growth. What
     streaming intake can NOT give is the seeded epoch ORDER inside a
-    shard (micro-batches append as they arrive); run
+    shard (micro-batches land as they arrive); run
     ``write_training_shards`` over the accumulated shard afterwards
-    (or at epoch boundaries) for byte-identical training order. The
-    manifest is rebuilt from the accumulated files after the drain so
-    it always reflects the on-disk state.
+    (or at epoch boundaries) for byte-identical training order.
+
+    EXACTLY-ONCE, not at-least-once: each micro-batch writes under its
+    own ``batch_id=N`` partition with dynamic partition overwrite, so
+    a batch retried after a mid-write failure REPLACES its own
+    partitions instead of appending duplicate rows. Per-shard counts
+    accumulate incrementally from each batch (keyed by batch_id, so a
+    retry also overwrites its count contribution) — the manifest never
+    needs a full read-back of the accumulated corpus, which at scale
+    would be a whole-corpus scan per intake drain.
 
     Scale: each micro-batch repartitions only its own rows on the
-    shard id; state is just source offsets in the checkpoint.
+    shard id; state is just source offsets in the checkpoint plus one
+    count dict per drained batch (shards x batches integers).
     """
+    batch_counts: dict[int, dict[int, int]] = {}
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
-        (
-            batch_df.withColumn("shard", knuth_shard(F.col(id_col), n_shards))
-            .repartition("shard")
-            .write.partitionBy("shard")
-            .mode("append")
-            .parquet(path)
+        batch_counts[int(batch_id)] = write_shard_batch(
+            batch_df, batch_id, path, n_shards, id_col
         )
 
     q = (
@@ -124,14 +157,10 @@ def stream_to_training_shards(
     )
     q.awaitTermination()
 
-    spark = stream_df.sparkSession
-    back = spark.read.parquet(path)
-    counts = {
-        int(r["shard"]): int(r["n"])
-        for r in back.groupBy("shard")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
+    counts: dict[int, int] = {}
+    for per_shard in batch_counts.values():
+        for shard, n in per_shard.items():
+            counts[shard] = counts.get(shard, 0) + n
     manifest = {
         "seed": None,  # streaming intake has no epoch order (see doc)
         "n_shards": n_shards,

@@ -205,3 +205,43 @@ def test_pii_patterns_cross_engine(spark):
         con.close()
     for col in ("e", "p", "ip", "s"):
         assert list(got[col]) == list(want[col]), col
+
+
+def test_char_split_codepoint_parity_non_bmp(spark):
+    """doc_char_entropy splits text with Spark's split(text, '') and
+    the oracle with DuckDB's string_split(text, ''). Java's zero-width
+    split advances by CODE POINTS (not UTF-16 units) since Java 8, so
+    the two agree even on supplementary-plane characters — pinned here
+    with emoji + supplementary CJK so engine drift (or a regression to
+    a surrogate-splitting implementation) fails loudly instead of
+    hash-mismatching the driver on future testdata."""
+    samples = [
+        "a\U0001F600b\U0001F389\U0001F389",  # emoji (plane 1)
+        "\U00020BB7\U00020BB7x",  # supplementary CJK (plane 2)
+        "plain ascii",
+        "café 中文",  # BMP non-ASCII
+        "",
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], "text string")
+    got = [
+        r["cs"]
+        for r in df.select(
+            F.split(F.col("text"), "").alias("cs"), "text"
+        ).collect()
+    ]
+    con = duckdb.connect()
+    want = [
+        con.execute(
+            "SELECT string_split(?, '')", [s]
+        ).fetchone()[0]
+        for s in samples
+    ]
+    # row order: re-align by text since collect order is free
+    got_by_text = {
+        r["text"]: r["cs"]
+        for r in df.select(
+            "text", F.split(F.col("text"), "").alias("cs")
+        ).collect()
+    }
+    for s, w in zip(samples, want):
+        assert got_by_text[s] == w, (s, got_by_text[s], w)

@@ -146,3 +146,66 @@ def test_chunk_greedy_is_not_single_task(spark):
     plan = buf.getvalue()
     assert "SinglePartition" not in plan, "greedy chunker runs as one task"
     assert "hashpartitioning(transcript" in plan
+
+
+def test_adaptive_sign_bits_scales_with_corpus():
+    """The kNN-graph bucket width must GROW with corpus size (a fixed
+    width keeps self-join compare volume quadratic): expected occupancy
+    n / 2^bits stays within ~2x of the target between the clamps, and
+    the formula is exact integer math (no float-log boundary drift)."""
+    from llm_map_reduce_summarizer_spark.functions.vectors import (
+        BUCKET_TARGET_OCCUPANCY as T,
+        SIGN_BITS_MAX,
+        SIGN_BITS_MIN,
+        adaptive_sign_bits,
+    )
+
+    assert adaptive_sign_bits(0) == SIGN_BITS_MIN
+    assert adaptive_sign_bits(500) == SIGN_BITS_MIN  # all local SFs
+    assert adaptive_sign_bits(2000) == SIGN_BITS_MIN
+    # exact threshold behavior: ceil(log2(n/T)), integer comparisons
+    assert adaptive_sign_bits(T * 2**8) == 8
+    assert adaptive_sign_bits(T * 2**8 + 1) == 9
+    assert adaptive_sign_bits(T * 2**15) == 15
+    assert adaptive_sign_bits(10**6) == 15
+    assert adaptive_sign_bits(10**9) == SIGN_BITS_MAX  # clamp
+    # monotone non-decreasing, occupancy bounded between clamps
+    prev = 0
+    for exp in range(8, 34):
+        n = 2**exp
+        bits = adaptive_sign_bits(n)
+        assert bits >= prev
+        prev = bits
+        if SIGN_BITS_MIN < bits < SIGN_BITS_MAX:
+            assert T / 2 < n / 2**bits <= T + 1
+
+
+def test_emb_bucket_census_balance(spark):
+    """The hash-checked emb_buckets census is also the balance
+    witness: no bucket may concentrate the corpus (skew turns the
+    bucketed self-join back into the quadratic it is meant to kill).
+    A deliberately degenerate bucket fn must FAIL the same check, so a
+    future hash change cannot silently concentrate compares."""
+    from pyspark.sql import functions as F
+
+    from llm_map_reduce_summarizer_spark.plans.documents import _embs
+
+    MAX_SHARE = 0.15
+
+    def max_share(df):
+        rows = df.collect()
+        total = sum(r["n_vecs"] for r in rows)
+        return max(r["n_vecs"] for r in rows) / total
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        census = QUERIES["emb_buckets"](spark, sf)
+        assert max_share(census) <= MAX_SHARE, sf
+
+    # degenerate hash (constant bucket): the census check must fire
+    e = _embs(spark, SF)
+    degenerate = (
+        e.withColumn("bucket", F.lit(0))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+    )
+    assert max_share(degenerate) > MAX_SHARE

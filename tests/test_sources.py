@@ -239,3 +239,25 @@ def test_stream_to_training_shards(spark, tmp_path):
         for r in back.groupBy("shard").agg(F.count("*").alias("n")).collect()
     }
     assert got_counts == manifest["rows_per_shard"]
+
+
+def test_stream_shard_intake_retry_is_exactly_once(spark, tmp_path):
+    """A micro-batch retried after a failure mid-write must REPLACE its
+    own batch_id partitions, not append duplicates (foreachBatch is
+    at-least-once; the sink must make it exactly-once)."""
+    from llm_map_reduce_summarizer_spark.sources.shards import (
+        write_shard_batch,
+    )
+
+    out = os.path.join(str(tmp_path), "retry_shards")
+    docs = load_table(spark, SF, "documents").select("doc_id", "n_chars")
+    first = write_shard_batch(docs.limit(50), 0, out, n_shards=4)
+    # simulated retry of the SAME batch (same batch_id, same rows)
+    second = write_shard_batch(docs.limit(50), 0, out, n_shards=4)
+    assert first == second
+    back = spark.read.parquet(out)
+    assert back.count() == 50
+    assert back.select("doc_id").distinct().count() == 50
+    # a DIFFERENT batch accumulates alongside, untouched by the retry
+    write_shard_batch(docs.limit(80).subtract(docs.limit(50)), 1, out, 4)
+    assert spark.read.parquet(out).count() == 80
