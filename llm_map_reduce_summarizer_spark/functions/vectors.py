@@ -43,8 +43,10 @@ def unit_norm(a: Column, dim: int = DIM) -> Column:
     return F.transform(a, lambda x: x.cast("double") / nrm)
 
 
-def sign_bucket(a: Column, n_bits: int = 8) -> Column:
-    """Deterministic LSH bucket: sign bits of the first n_bits dims.
+def sign_bucket(a: Column, n_bits: int = 8, offset: int = 0) -> Column:
+    """Deterministic LSH bucket: sign bits of n_bits dims starting at
+    ``offset`` (wrapping past DIM, so any band width works at any
+    offset).
 
     Axis-aligned random-hyperplane LSH with fixed planes — portable and
     oracle-expressible; swap in seeded random planes for production
@@ -52,8 +54,9 @@ def sign_bucket(a: Column, n_bits: int = 8) -> Column:
     """
     out: Column = F.lit(0)
     for b in range(1, n_bits + 1):
+        idx = ((offset + b - 1) % DIM) + 1
         out = out + F.when(
-            F.element_at(a, b) >= 0, F.lit(2 ** (b - 1))
+            F.element_at(a, idx) >= 0, F.lit(2 ** (b - 1))
         ).otherwise(F.lit(0))
     return out.cast("long")
 
@@ -68,6 +71,16 @@ def sign_bucket(a: Column, n_bits: int = 8) -> Column:
 BUCKET_TARGET_OCCUPANCY = 32
 SIGN_BITS_MIN = 8
 SIGN_BITS_MAX = 24  # 16M buckets; DIM=64 leaves headroom to raise it
+
+# Multi-band LSH for the corpus self-join (k-NN graph): a single
+# sign-hash has recall ~p^bits per true edge (p = per-plane agreement
+# — brutal for mid-cosine neighbors), so the graph unions candidates
+# from KNN_BANDS independent bands, lifting recall to 1-(1-p^bits)^B
+# at B× the (linear) compare volume. Bands start at staggered offsets
+# and wrap, so they stay disjoint up to 16 bits and merely overlap —
+# never break — beyond.
+KNN_BANDS = 4
+BAND_STRIDE = DIM // KNN_BANDS
 
 
 def adaptive_sign_bits(
@@ -142,13 +155,17 @@ def sql_adaptive_bits_cte(
 
 
 def sql_sign_bucket_dynamic(
-    a: str, bits: str = "bits", hi: int = SIGN_BITS_MAX
+    a: str,
+    bits: str = "bits",
+    hi: int = SIGN_BITS_MAX,
+    offset: int = 0,
 ) -> str:
     """Sign bucket with a runtime bit width (join the `nb` CTE and pass
-    its `bits` column): term b contributes only when b <= bits."""
+    its `bits` column): term b contributes only when b <= bits. The
+    element index literal wraps exactly like the Spark twin's."""
     terms = " + ".join(
-        f"(CASE WHEN {b} <= {bits} AND {a}[{b}] >= 0 "
-        f"THEN {1 << (b - 1)} ELSE 0 END)"
+        f"(CASE WHEN {b} <= {bits} AND {a}[{((offset + b - 1) % DIM) + 1}]"
+        f" >= 0 THEN {1 << (b - 1)} ELSE 0 END)"
         for b in range(1, hi + 1)
     )
     return f"CAST(({terms}) AS BIGINT)"

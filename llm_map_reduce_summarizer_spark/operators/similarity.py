@@ -625,17 +625,23 @@ def cosine_knn_graph(
     fixed bucket count is a killer — Σ n_b² ≈ n²/2^bits stays
     quadratic):
 
-    * the bit width ADAPTS to the corpus size (one count() — a
-      1-scalar plan decision, like a broadcast-threshold choice):
+    * the per-band bit width ADAPTS to the corpus size (one count() —
+      a 1-scalar plan decision, like a broadcast-threshold choice):
       ``adaptive_sign_bits`` targets a constant expected bucket
-      occupancy, so compare volume grows ~linearly (n · occupancy),
-      not n²/constant. The ``emb_buckets`` census (hash-checked, same
-      adaptive width) witnesses the balance.
-    * within a bucket, scoring is ONE blocked dgemm over the bucket's
-      Arrow batch (``applyInPandas`` per bucket, the
+      occupancy, so compare volume grows ~linearly (n · occupancy ·
+      bands), not n²/constant. The ``emb_buckets`` census
+      (hash-checked, same adaptive width) witnesses the balance.
+    * KNN_BANDS independent sign-hash bands (staggered dim offsets)
+      each propose candidates; the union lifts recall from ~p^bits to
+      1-(1-p^bits)^B for a true edge with per-plane agreement p.
+    * within a band-bucket, scoring is ONE blocked dgemm over the
+      bucket's Arrow batch (``applyInPandas``, the
       ``embedding_neardup_blocked`` shape) instead of a per-pair
-      expression dot — the per-source top-k never leaves the bucket
-      task, so the only shuffle is the groupBy on the bucket id.
+      expression dot. Emitting the per-bucket top-k is lossless: any
+      global top-k candidate is within the top-k of every bucket it
+      shares with its source.
+    * the cross-band dedup and final ranking touch only ≤ B·k rows
+      per source — natural-key shuffles on (da, db) then da.
 
     Tie-break parity with the SQL oracle: candidates rank by
     (cos DESC, neighbor id ASC) on 1e-6-quantized cosines.
@@ -643,11 +649,21 @@ def cosine_knn_graph(
     import numpy as np
     import pandas as pd
 
+    from ..functions.vectors import BAND_STRIDE, KNN_BANDS
+
     bits = adaptive_sign_bits(corpus.count())
+    band_buckets = F.array(
+        *[
+            sign_bucket(
+                F.col(vec_col), n_bits=bits, offset=band * BAND_STRIDE
+            )
+            for band in range(KNN_BANDS)
+        ]
+    )
     bucketed = corpus.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("v"),
-        sign_bucket(F.col(vec_col), n_bits=bits).alias("bucket"),
+        F.posexplode(band_buckets).alias("band", "bucket"),
     )
 
     empty = pd.DataFrame(
@@ -655,7 +671,6 @@ def cosine_knn_graph(
             "da": pd.Series(dtype="int64"),
             "db": pd.Series(dtype="int64"),
             "cos": pd.Series(dtype="float64"),
-            "rk": pd.Series(dtype="int64"),
         }
     )
 
@@ -668,7 +683,7 @@ def cosine_knn_graph(
         sims = _quantize_np(u @ u.T)
         np.fill_diagonal(sims, -np.inf)  # ids are unique -> self mask
         kk = min(k, m - 1)
-        da, db, cos, rk = [], [], [], []
+        da, db, cos = [], [], []
         for i in range(m):
             # ascending (-cos, id): top cosine first, ties by id asc —
             # exactly row_number() OVER (ORDER BY cos DESC, db)
@@ -676,9 +691,17 @@ def cosine_knn_graph(
             da.extend([ids[i]] * kk)
             db.extend(ids[order])
             cos.extend(sims[i][order])
-            rk.extend(range(1, kk + 1))
-        return pd.DataFrame({"da": da, "db": db, "cos": cos, "rk": rk})
+        return pd.DataFrame({"da": da, "db": db, "cos": cos})
 
-    return bucketed.groupBy("bucket").applyInPandas(
-        _bucket_topk, schema="da long, db long, cos double, rk long"
+    local = bucketed.groupBy("band", "bucket").applyInPandas(
+        _bucket_topk, schema="da long, db long, cos double"
+    )
+    # same pair proposed by several bands -> one candidate (cos is a
+    # pure function of the pair, max() is just the dedup idiom)
+    cand = local.groupBy("da", "db").agg(F.max("cos").alias("cos"))
+    w = Window.partitionBy("da").orderBy(F.col("cos").desc(), F.col("db"))
+    return (
+        cand.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select("da", "db", "cos", "rk")
     )

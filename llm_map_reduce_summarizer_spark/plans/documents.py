@@ -32,6 +32,8 @@ from ..functions.text import (
     token_count,
 )
 from ..functions.vectors import (
+    BAND_STRIDE,
+    KNN_BANDS,
     adaptive_sign_bits,
     sign_bucket,
     sql_adaptive_bits_cte,
@@ -235,8 +237,10 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate corpus-wide k-NN graph (operators/similarity.py
     cosine_knn_graph): top-k neighbors of EVERY vector. The LSH bit
     width adapts to corpus size (constant target bucket occupancy, so
-    compare volume grows ~linearly — not n²/2^bits), and each bucket
-    scores with one blocked dgemm. Feeds graph-based clustering.
+    compare volume grows ~linearly — not n²/2^bits), candidates union
+    across 4 staggered sign-hash bands (recall 1-(1-p^bits)^4 vs
+    p^bits single-band), and each band-bucket scores with one blocked
+    dgemm. Feeds graph-based clustering.
     """
     from ..operators.similarity import cosine_knn_graph
 
@@ -1442,23 +1446,34 @@ _Q_STOPS = _STOP_SQL["en"]
 # Shared approximate-kNN-graph derivation, ending in `knng(da, db,
 # cos, rk)` — consumed by the knn_graph oracle and the mutual-kNN
 # clustering oracle.
+_BAND_SELECTS = "\n          UNION ALL\n".join(
+    f"""          SELECT vec_id, u, {band} AS band,
+                 {sql_sign_bucket_dynamic('embedding',
+                                          offset=band * BAND_STRIDE)}
+                   AS bucket
+          FROM unitv CROSS JOIN nb"""
+    for band in range(KNN_BANDS)
+)
+
 _KNN_GRAPH_CTES = f"""{sql_unit_cte()},
         {sql_adaptive_bits_cte('embeddings')},
         bq AS (
-          SELECT vec_id, u,
-                 {sql_sign_bucket_dynamic('embedding')} AS bucket
-          FROM unitv CROSS JOIN nb
+{_BAND_SELECTS}
+        ),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS da, b.vec_id AS db,
+                 (floor({sql_dot('a.u', 'b.u')} * 1000000.0 + 0.5) / 1000000.0) AS cos
+          FROM bq a
+          JOIN bq b ON a.band = b.band AND a.bucket = b.bucket
+                   AND a.vec_id <> b.vec_id
         ),
         knng AS (
           SELECT da, db, cos, rk FROM (
-            SELECT a.vec_id AS da, b.vec_id AS db,
-                   (floor({sql_dot('a.u', 'b.u')} * 1000000.0 + 0.5) / 1000000.0) AS cos,
+            SELECT da, db, cos,
                    row_number() OVER (
-                     PARTITION BY a.vec_id
-                     ORDER BY (floor({sql_dot('a.u', 'b.u')} * 1000000.0 + 0.5) / 1000000.0) DESC,
-                              b.vec_id
+                     PARTITION BY da ORDER BY cos DESC, db
                    ) AS rk
-            FROM bq a JOIN bq b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+            FROM cand
           ) WHERE rk <= {KNN_GRAPH_K}
         )"""
 

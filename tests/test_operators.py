@@ -771,3 +771,49 @@ def test_multimodal_resize_and_features_numpy_pinned(spark):
         hist = np.bincount(arr >> 4, minlength=16)[:16]
         expect = np.floor(hist / max(1, len(arr)) * 1e6 + 0.5) / 1e6
         assert np.array_equal(np.asarray(r["features"]), expect)
+
+
+def test_knn_graph_recall_vs_exact(spark):
+    """The adaptive-bucket corpus k-NN graph must (a) find a meaningful
+    share of the TRUE top-k edges (LSH recall floor on isotropic random
+    vectors — the adversarial case), and (b) score every edge it emits
+    with the exact cosine, with ranks consistent per source."""
+    import numpy as np
+
+    from llm_map_reduce_summarizer_spark.operators.similarity import (
+        cosine_knn_graph,
+    )
+
+    e = load_table(spark, SF, "embeddings")
+    got = cosine_knn_graph(e, k=3).toPandas()
+    pdf = e.select("vec_id", "embedding").toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    u = m / np.sqrt((m * m).sum(axis=1))[:, None]
+    sims = np.floor(u @ u.T * 1e6 + 0.5) / 1e6
+    np.fill_diagonal(sims, -np.inf)
+
+    exact_edges = set()
+    by_id = {}
+    for i in range(len(ids)):
+        order = np.lexsort((ids, -sims[i]))[:3]
+        exact_edges.update((ids[i], ids[j]) for j in order)
+        by_id[ids[i]] = {ids[j]: sims[i][j] for j in range(len(ids))}
+
+    got_edges = set(zip(got["da"], got["db"]))
+    recall = len(got_edges & exact_edges) / len(exact_edges)
+    # Isotropic random vectors are LSH's adversarial case: a true
+    # top-3 edge here has cos ~0.4 -> per-plane agreement p ~0.63 ->
+    # p^8 ~2.5% per band, 1-(1-p^8)^4 ~10% for the 4-band union
+    # (measured 6.7-7.5%; single-band measured 2.1%). Clustered real
+    # embeddings (high within-cluster cos) do far better at the same
+    # setting — same caveat as knn_ivf_trained.
+    assert recall >= 0.05, recall
+
+    # every emitted edge carries the exact quantized cosine
+    for r in got.itertuples():
+        assert abs(by_id[r.da][r.db] - r.cos) < 1e-9, (r.da, r.db)
+    # ranks are 1..k_i with non-increasing cosine per source
+    for _, grp in got.sort_values(["da", "rk"]).groupby("da"):
+        assert list(grp["rk"]) == list(range(1, len(grp) + 1))
+        assert (grp["cos"].diff().dropna() <= 1e-12).all()
