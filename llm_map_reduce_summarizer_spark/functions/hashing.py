@@ -2,9 +2,10 @@
 
 Everything is derived from md5 hex strings so any ANSI engine computes
 bit-identical values (Spark's murmur ``hash()`` is engine-specific; md5
-is not). MinHash minima are *lexicographic minima of hex strings* —
-order-isomorphic to numeric minima of the underlying 128-bit values,
-and portable.
+is not). MinHash minima are numeric minima of affine permutations of a
+single md5-derived 32-bit base per shingle (universal hashing) — one
+md5 per shingle instead of one per permutation, with all arithmetic
+kept under 2^62 so int64 is exact on every engine.
 
 Reference: these are the scale-path operators the reference repo lacks
 (its dedup surface is the LLM pipeline's implicit uniqueness of chunk
@@ -56,20 +57,42 @@ def shingles_3gram(w: Column) -> Column:
     )
 
 
+# One md5 per shingle, N_MINHASH affine permutations of its leading
+# 32 bits — vs one md5 PER PERMUTATION per shingle, this removes
+# 15/16ths of the md5 work from the hottest dedup scan (the shingle
+# table is the biggest intermediate in the corpus). h_j = (a_j·base +
+# j) mod p with a_j < 2^30 odd and base < 2^32 keeps every product
+# under 2^62: exact in int64 on any engine (DuckDB errors on BIGINT
+# overflow rather than wrapping, so staying in range IS the parity
+# contract). Universal-hash minima are the textbook MinHash estimator.
+MINHASH_PRIME = 4294967291  # largest prime < 2^32
+_MH_A = [((j + 1) * KNUTH) % (1 << 30) | 1 for j in range(N_MINHASH)]
+
+
 def minhash_aggs(shingle_col: str = "s") -> list[Column]:
     """16 MinHash aggregate expressions over an exploded shingle column."""
+    base = F.conv(F.substring(F.md5(F.col(shingle_col)), 1, 8), 16, 10).cast(
+        "long"
+    )
     return [
-        F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col(shingle_col)))).alias(f"h{j}")
+        F.min(
+            (F.lit(_MH_A[j]) * base + F.lit(j)) % F.lit(MINHASH_PRIME)
+        ).alias(f"h{j}")
         for j in range(N_MINHASH)
     ]
 
 
 def band_hashes() -> list[Column]:
-    """LSH band keys: md5 over each group of BAND_ROWS signature values."""
+    """LSH band keys: md5 over each group of BAND_ROWS signature values
+    (16 ints per doc -> 4 tiny md5s per doc; the per-shingle scan never
+    touches these)."""
     out = []
     for k in range(N_MINHASH // BAND_ROWS):
-        cols = [F.col(f"h{j}") for j in range(k * BAND_ROWS, (k + 1) * BAND_ROWS)]
-        out.append(F.md5(F.concat(*cols)).alias(f"band{k}"))
+        cols = [
+            F.col(f"h{j}").cast("string")
+            for j in range(k * BAND_ROWS, (k + 1) * BAND_ROWS)
+        ]
+        out.append(F.md5(F.concat_ws("|", *cols)).alias(f"band{k}"))
     return out
 
 
@@ -121,17 +144,31 @@ SQL_SHINGLES = (
 )
 
 
+def _sql_md5_base32(col: str = "s") -> str:
+    """First 8 hex digits of md5 as a BIGINT — digit-fold via strpos
+    (portable; DuckDB lacks a direct hex->int cast)."""
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5({col}), {i + 1}, 1)) - 1)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    return f"CAST(({terms}) AS BIGINT)"
+
+
 def sql_minhash_aggs() -> str:
+    base = _sql_md5_base32("s")
     return ", ".join(
-        f"min(md5('{j}|' || s)) AS h{j}" for j in range(N_MINHASH)
+        f"min(({_MH_A[j]} * {base} + {j}) % {MINHASH_PRIME}) AS h{j}"
+        for j in range(N_MINHASH)
     )
 
 
 def sql_band_hashes() -> str:
     parts = []
     for k in range(N_MINHASH // BAND_ROWS):
-        cols = " || ".join(
-            f"h{j}" for j in range(k * BAND_ROWS, (k + 1) * BAND_ROWS)
+        cols = " || '|' || ".join(
+            f"CAST(h{j} AS VARCHAR)"
+            for j in range(k * BAND_ROWS, (k + 1) * BAND_ROWS)
         )
         parts.append(f"md5({cols}) AS band{k}")
     return ", ".join(parts)

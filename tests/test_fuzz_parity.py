@@ -245,3 +245,46 @@ def test_char_split_codepoint_parity_non_bmp(spark):
     }
     for s, w in zip(samples, want):
         assert got_by_text[s] == w, (s, got_by_text[s], w)
+
+
+def test_minhash_permutation_twins_agree(spark):
+    """The affine-permutation MinHash (one md5 -> 16 universal-hash
+    minima) must be bit-identical across engines: products stay under
+    2^62 (DuckDB raises on BIGINT overflow — staying in range IS the
+    contract) and the hex digit-fold must match Spark's conv()."""
+    import random
+
+    from llm_map_reduce_summarizer_spark.functions.hashing import (
+        minhash_aggs,
+        sql_minhash_aggs,
+    )
+
+    rng = random.Random(42)
+    shingles = [
+        " ".join(
+            "".join(rng.choice(string.ascii_lowercase) for _ in range(5))
+            for _ in range(3)
+        )
+        for _ in range(200)
+    ]
+    pdf = pd.DataFrame({"doc_id": [i % 7 for i in range(200)], "s": shingles})
+    got = (
+        spark.createDataFrame(pdf)
+        .groupBy("doc_id")
+        .agg(*minhash_aggs("s"))
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("sh", pdf)
+    want = (
+        con.execute(
+            f"SELECT doc_id, {sql_minhash_aggs()} FROM sh "
+            "GROUP BY doc_id ORDER BY doc_id"
+        )
+        .df()
+        .reset_index(drop=True)
+    )
+    for c in got.columns:
+        assert (got[c].astype("int64") == want[c].astype("int64")).all(), c
