@@ -215,6 +215,33 @@ def emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_blocked(_embs(spark, sf_dir), threshold=NEARDUP_COS)
 
 
+def emb_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication APPLIED: connected
+    components over the embedding-cosine near-dup pair graph, keep the
+    min vec_id per component, return the surviving corpus rows — the
+    embedding-space analogue of ``dedup_apply`` (exact) and
+    ``dedup_keep_best`` (MinHash clusters).
+
+    Scale: pairs come from the blocked-dgemm all-pairs operator
+    (B·n-row shuffle, never n²); components run the O(log diameter)
+    pointer-halving propagation over the pair graph (pairs ≪ corpus);
+    the final filter is an anti-join on vec_id, so corpus rows shuffle
+    only by their key.
+    """
+    from ..operators.dedup import connected_components
+
+    e = _embs(spark, sf_dir)
+    pairs = embedding_neardup_blocked(e, threshold=NEARDUP_COS).select(
+        "da", "db"
+    )
+    drop = (
+        connected_components(pairs)
+        .filter(F.col("id") != F.col("component"))
+        .select(F.col("id").alias("vec_id"))
+    )
+    return e.join(drop, "vec_id", "left_anti").select("vec_id", "label")
+
+
 # ------------------------------------------------------------- similarity
 
 
@@ -1280,6 +1307,7 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "emb_neardup": emb_neardup,
+    "emb_dedup_apply": emb_dedup_apply,
     "knn_bruteforce": knn_bruteforce,
     "knn_lsh": knn_lsh,
     "emb_buckets": emb_buckets,
@@ -1803,6 +1831,28 @@ ORACLE = {
                (floor({sql_dot('a.u', 'b.u')} * 1000000.0 + 0.5) / 1000000.0) AS cos
         FROM unitv a JOIN unitv b ON a.vec_id < b.vec_id
         WHERE (floor({sql_dot('a.u', 'b.u')} * 1000000.0 + 0.5) / 1000000.0) >= {NEARDUP_COS}
+    """,
+    "emb_dedup_apply": f"""
+        WITH RECURSIVE {sql_unit_cte()},
+        nd AS (
+          SELECT a.vec_id AS da, b.vec_id AS db
+          FROM unitv a JOIN unitv b ON a.vec_id < b.vec_id
+          WHERE (floor({sql_dot('a.u', 'b.u')} * 1000000.0 + 0.5) / 1000000.0)
+                  >= {NEARDUP_COS}
+        ),
+        edges AS (
+          SELECT da, db FROM nd UNION SELECT db AS da, da AS db FROM nd
+        ),
+        walk(id, r) AS (
+          SELECT da, da FROM edges
+          UNION
+          SELECT w.id, e.db FROM walk w JOIN edges e ON e.da = w.r
+        ),
+        dropset AS (
+          SELECT id FROM walk GROUP BY id HAVING min(r) <> id
+        )
+        SELECT e.vec_id, e.label FROM embeddings e
+        WHERE e.vec_id NOT IN (SELECT id FROM dropset)
     """,
     "knn_bruteforce": f"""
         WITH {sql_unit_cte()}

@@ -230,3 +230,31 @@ def test_events_dau_approx_error_bound(spark):
     assert (exact["n_events"] == approx["n_events"]).all()
     assert (exact["dau"] == approx["dau"]).all()
     assert approx["sketch_within_3rsd"].all(), approx
+
+
+def test_emb_dedup_apply_keeps_component_minima(spark):
+    """Semantic dedup must keep exactly one representative (the min
+    vec_id) per cosine-near-dup component and every singleton."""
+    from llm_map_reduce_summarizer_spark.operators.dedup import (
+        connected_components,
+    )
+    from llm_map_reduce_summarizer_spark.operators.similarity import (
+        embedding_neardup_blocked,
+    )
+    from llm_map_reduce_summarizer_spark.plans.documents import (
+        NEARDUP_COS,
+        emb_dedup_apply,
+    )
+    from llm_map_reduce_summarizer_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    e = load_table(spark, sf, "embeddings")
+    pairs = embedding_neardup_blocked(e, threshold=NEARDUP_COS).select(
+        "da", "db"
+    )
+    comps = connected_components(pairs).toPandas()
+    expected_drop = set(comps[comps["id"] != comps["component"]]["id"])
+    kept = set(emb_dedup_apply(spark, sf).toPandas()["vec_id"])
+    all_ids = {r["vec_id"] for r in e.select("vec_id").collect()}
+    assert kept == all_ids - expected_drop
+    assert len(expected_drop) > 0  # the testdata does contain near-dups
