@@ -197,6 +197,9 @@ def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+QUANTILE_ACCURACY = 10000
+
+
 def events_value_quantiles_approx(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -205,18 +208,64 @@ def events_value_quantiles_approx(
     ``approx_percentile`` builds a bounded-size sketch per partition
     and merges map-side, so no per-group full sort ever materializes;
     memory is O(1/accuracy) per group regardless of corpus size.
-    Rows-only checked (sketch merge order is engine-specific); the
-    exact twin above carries the value oracle.
+
+    VALUE-checked like the DAU sketch tier: the sketch element itself
+    has no SQL twin (merge order is engine-specific), so the catalog
+    emits the exact quantiles plus a ``sketch_within_rank_tol``
+    invariant — each sketch element's true rank lies within
+    n/accuracy + 1 of the target rank (approx_percentile's advertised
+    bound plus element granularity) — that the oracle reproduces as
+    literal TRUE. The rank check joins the k-row sketch table back as
+    a broadcast; one extra scan, no extra shuffle of event rows.
     """
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
+    agg = ev.groupBy("event_type").agg(
         *[
-            F.round(
-                F.expr(f"approx_percentile(value, {q}, 10000)"), 4
-            ).alias(f"p{str(q).replace('0.', '')}")
+            F.round(F.expr(f"percentile(value, {q})"), 4).alias(
+                f"p{str(q).replace('0.', '')}"
+            )
             for q in _QUANTILES
         ],
+        *[
+            F.expr(
+                f"approx_percentile(value, {q}, {QUANTILE_ACCURACY})"
+            ).alias(f"a{i}")
+            for i, q in enumerate(_QUANTILES)
+        ],
         F.count(F.lit(1)).alias("n_events"),
+    )
+    ranks = (
+        ev.select("event_type", "value")
+        .join(F.broadcast(agg), "event_type")
+        .groupBy("event_type")
+        .agg(
+            *[
+                F.sum(
+                    (F.col("value") < F.col(f"a{i}")).cast("long")
+                ).alias(f"lt{i}")
+                for i in range(len(_QUANTILES))
+            ],
+            *[
+                F.sum(
+                    (F.col("value") <= F.col(f"a{i}")).cast("long")
+                ).alias(f"le{i}")
+                for i in range(len(_QUANTILES))
+            ],
+        )
+    )
+    n = F.col("n_events").cast("double")
+    tol = n / QUANTILE_ACCURACY + 1
+    within = None
+    for i, q in enumerate(_QUANTILES):
+        ok = (F.col(f"lt{i}") <= q * n + tol) & (
+            F.col(f"le{i}") >= q * n - tol
+        )
+        within = ok if within is None else (within & ok)
+    return agg.join(ranks, "event_type").select(
+        "event_type",
+        *[f"p{str(q).replace('0.', '')}" for q in _QUANTILES],
+        "n_events",
+        within.alias("sketch_within_rank_tol"),
     )
 
 
@@ -427,6 +476,19 @@ ORACLE = {
                round(CAST(quantile_cont(value, 0.9) AS DOUBLE), 4) AS p9,
                round(CAST(quantile_cont(value, 0.99) AS DOUBLE), 4) AS p99,
                count(*) AS n_events
+        FROM events
+        GROUP BY event_type
+    """,
+    # sketch tier: exact quantiles + the rank-tolerance invariant the
+    # oracle asserts as literal TRUE (see the plan docstring)
+    "events_value_quantiles_approx": """
+        SELECT event_type,
+               round(CAST(quantile_cont(value, 0.25) AS DOUBLE), 4) AS p25,
+               round(CAST(quantile_cont(value, 0.5) AS DOUBLE), 4) AS p5,
+               round(CAST(quantile_cont(value, 0.9) AS DOUBLE), 4) AS p9,
+               round(CAST(quantile_cont(value, 0.99) AS DOUBLE), 4) AS p99,
+               count(*) AS n_events,
+               TRUE AS sketch_within_rank_tol
         FROM events
         GROUP BY event_type
     """,

@@ -65,29 +65,32 @@ def test_doc_queries_prune_documents_scan(spark):
 
 
 def test_value_quantiles_approx_tracks_exact(spark):
-    """approx_percentile returns a real data element (no interpolation),
-    so at test accuracy (10k >> group size) it must land on one of the
-    two elements bracketing the true quantile rank — guards against
-    wiring the wrong column/quantile."""
+    """The sketch tier certifies itself in-query: every sketch
+    element's true rank must sit within n/accuracy + 1 of its target
+    rank (sketch_within_rank_tol — what the driver hash-checks against
+    the oracle's literal TRUE), and the emitted quantile columns must
+    equal the exact tier's."""
     from llm_map_reduce_summarizer_spark.plans.events import (
-        _QUANTILES,
+        events_value_quantiles,
         events_value_quantiles_approx,
     )
-    from llm_map_reduce_summarizer_spark.sources.tables import load_table
 
-    sf = "/root/testdata/sf0.001"
-    approx = (
-        events_value_quantiles_approx(spark, sf)
-        .toPandas()
-        .set_index("event_type")
-    )
-    vals = load_table(spark, sf, "events").select("event_type", "value").toPandas()
-    for etype, grp in vals.groupby("event_type"):
-        for q, col in zip(_QUANTILES, ["p25", "p5", "p9", "p99"]):
-            lo = round(grp["value"].quantile(q, interpolation="lower"), 4)
-            hi = round(grp["value"].quantile(q, interpolation="higher"), 4)
-            got = approx.loc[etype, col]
-            assert lo <= got <= hi, f"{etype} {col}: {got} not in [{lo}, {hi}]"
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        approx = (
+            events_value_quantiles_approx(spark, sf)
+            .toPandas()
+            .set_index("event_type")
+            .sort_index()
+        )
+        exact = (
+            events_value_quantiles(spark, sf)
+            .toPandas()
+            .set_index("event_type")
+            .sort_index()
+        )
+        assert approx["sketch_within_rank_tol"].all(), sf
+        for col in ("p25", "p5", "p9", "p99", "n_events"):
+            assert (approx[col] == exact[col]).all(), (sf, col)
 
 
 def test_map_cost_report_gpt4_tier(spark):
