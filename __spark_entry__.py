@@ -70,6 +70,7 @@ _SEMANTICS_CHANGED: dict[str, int] = {
     "knn_graph": 6,
     "emb_clusters": 6,
     "emb_buckets": 6,
+    "knn_lsh": 6,
 }
 
 

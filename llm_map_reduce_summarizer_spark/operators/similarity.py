@@ -71,12 +71,18 @@ def cosine_topk_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: compare only within the query's LSH bucket."""
+    """Approximate top-k: compare only within the query's LSH bucket.
+
+    The bit width adapts to corpus size (constant expected bucket
+    occupancy), so per-query compare volume stays ~constant instead of
+    growing as n/2^fixed_bits — true sublinear ANN per query.
+    """
+    bits = adaptive_sign_bits(corpus.count())
     q = _unit(queries, id_col, vec_col, "query_id").withColumn(
-        "bucket", sign_bucket(F.col("v_query_id"))
+        "bucket", sign_bucket(F.col("v_query_id"), n_bits=bits)
     )
     c = _unit(corpus, id_col, vec_col, "neighbor_id").withColumn(
-        "bucket", sign_bucket(F.col("v_neighbor_id"))
+        "bucket", sign_bucket(F.col("v_neighbor_id"), n_bits=bits)
     )
     scored = (
         F.broadcast(q)

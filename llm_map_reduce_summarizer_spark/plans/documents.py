@@ -38,7 +38,6 @@ from ..functions.vectors import (
     sign_bucket,
     sql_adaptive_bits_cte,
     sql_dot,
-    sql_sign_bucket,
     sql_sign_bucket_dynamic,
     sql_unit_cte,
 )
@@ -1870,9 +1869,11 @@ ORACLE = {
     """,
     "knn_lsh": f"""
         WITH {sql_unit_cte()},
+        {sql_adaptive_bits_cte('embeddings')},
         bq AS (
-          SELECT vec_id, u, {sql_sign_bucket('embedding')} AS bucket
-          FROM unitv
+          SELECT vec_id, u,
+                 {sql_sign_bucket_dynamic('embedding')} AS bucket
+          FROM unitv CROSS JOIN nb
         )
         SELECT query_id, bucket, neighbor_id, cos, rk FROM (
           SELECT q.vec_id AS query_id, q.bucket,
