@@ -67,11 +67,11 @@ def main() -> None:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
-    # Informational extra (NOT in the headline total, so round-over-
+    # Informational extras (NOT in the headline total, so round-over-
     # round totals stay comparable): pipeline_e2e with the distributed
     # two-pass scan enabled — the plan shape a 100 TB single-stream
-    # run would use — so the scale path has a measured cost, not just
-    # a plan assertion.
+    # run would use — plus the adaptive-band similarity/graph ops, so
+    # the scale paths have measured costs, not just plan assertions.
     from llm_map_reduce_summarizer_spark.operators.scan import SCAN_CONF
 
     extras: dict[str, float] = {}
@@ -87,6 +87,16 @@ def main() -> None:
         extras["pipeline_e2e_scan_conf"] = round(time.perf_counter() - t0, 3)
     finally:
         spark.conf.set(SCAN_CONF, "false")
+
+    for name in ("knn_graph", "emb_clusters", "emb_dedup_apply"):
+        queries[name](spark, "/root/testdata/sf0.001").write.format(
+            "noop"
+        ).mode("overwrite").save()
+        t0 = time.perf_counter()
+        queries[name](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        extras[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
