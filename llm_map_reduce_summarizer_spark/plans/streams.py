@@ -231,6 +231,83 @@ def stream_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-type value quantiles via the mergeable
+    approx_percentile sketch — like ``stream_dau``, the sketch is WHY
+    this works in streaming (an exact quantile needs the full sorted
+    group; the sketch folds micro-batches in bounded memory).
+
+    VALUE-checked with the batch tier's rank invariant: the drained
+    sketch elements (one k-row table) join the exact batch quantiles,
+    and each element's true rank must sit within n/accuracy + 1 of its
+    target — TRUE per type in the oracle. Post-drain work touches only
+    type-count rows plus one batch scan for the rank counts.
+    """
+    from pyspark.sql import functions as F
+
+    from ..sources.tables import load_table
+    from .events import _QUANTILES, QUANTILE_ACCURACY
+
+    ev = read_events_stream(spark, sf_dir)
+    sketch = ev.groupBy("event_type").agg(
+        *[
+            F.expr(
+                f"approx_percentile(value, {q}, {QUANTILE_ACCURACY})"
+            ).alias(f"a{i}")
+            for i, q in enumerate(_QUANTILES)
+        ],
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    drained = run_available_now(sketch, output_mode="complete")
+
+    batch = load_table(spark, sf_dir, "events")
+    exact = batch.groupBy("event_type").agg(
+        *[
+            F.round(F.expr(f"percentile(value, {q})"), 4).alias(
+                f"p{str(q).replace('0.', '')}"
+            )
+            for q in _QUANTILES
+        ]
+    )
+    ranks = (
+        batch.select("event_type", "value")
+        .join(F.broadcast(drained), "event_type")
+        .groupBy("event_type")
+        .agg(
+            *[
+                F.sum(
+                    (F.col("value") < F.col(f"a{i}")).cast("long")
+                ).alias(f"lt{i}")
+                for i in range(len(_QUANTILES))
+            ],
+            *[
+                F.sum(
+                    (F.col("value") <= F.col(f"a{i}")).cast("long")
+                ).alias(f"le{i}")
+                for i in range(len(_QUANTILES))
+            ],
+        )
+    )
+    n = F.col("n_events").cast("double")
+    tol = n / QUANTILE_ACCURACY + 1
+    within = None
+    for i, q in enumerate(_QUANTILES):
+        ok = (F.col(f"lt{i}") <= q * n + tol) & (
+            F.col(f"le{i}") >= q * n - tol
+        )
+        within = ok if within is None else (within & ok)
+    return (
+        drained.join(exact, "event_type")
+        .join(ranks, "event_type")
+        .select(
+            "event_type",
+            *[f"p{str(q).replace('0.', '')}" for q in _QUANTILES],
+            "n_events",
+            within.alias("sketch_within_rank_tol"),
+        )
+    )
+
+
 QUERIES = {
     "stream_hourly": stream_hourly,
     "stream_sessionize": stream_sessionize,
@@ -242,6 +319,7 @@ QUERIES = {
     "stream_topk_users": stream_topk_users,
     "stream_mix_report": stream_mix_report,
     "stream_dau": stream_dau,
+    "stream_value_quantiles": stream_value_quantiles,
 }
 
 ORACLE = {
@@ -255,6 +333,7 @@ ORACLE = {
     "stream_mix_report": _DOCS_ORACLE["corpus_mix_report"],
     # same invariant oracle as the batch sketch tier: TRUE per day
     "stream_dau": _EVENTS_ORACLE["events_dau_approx"],
+    "stream_value_quantiles": _EVENTS_ORACLE["events_value_quantiles_approx"],
     # on static input the drained stream-stream inner join equals the
     # batch interval join, so it gets a full SQL oracle
     "stream_view_click_join": """

@@ -563,3 +563,32 @@ def test_stream_dau_equals_batch_sketch(spark):
     batch = events_dau_approx(spark, SF).toPandas()
     assert compare_frames(stream, batch) == []
     assert stream["sketch_within_3rsd"].all()
+
+
+def test_stream_value_quantiles_invariant_and_exact_columns(spark):
+    """The streamed quantile sketch must satisfy the rank-tolerance
+    invariant on every type, and the entry's quantile columns must
+    equal the exact batch tier's (they ARE the exact values; the
+    sketch is certified by the boolean)."""
+    from llm_map_reduce_summarizer_spark.plans.events import (
+        events_value_quantiles,
+    )
+    from llm_map_reduce_summarizer_spark.plans.streams import (
+        stream_value_quantiles,
+    )
+
+    got = (
+        stream_value_quantiles(spark, SF)
+        .toPandas()
+        .set_index("event_type")
+        .sort_index()
+    )
+    exact = (
+        events_value_quantiles(spark, SF)
+        .toPandas()
+        .set_index("event_type")
+        .sort_index()
+    )
+    assert got["sketch_within_rank_tol"].all()
+    for col in ("p25", "p5", "p9", "p99", "n_events"):
+        assert (got[col] == exact[col]).all(), col
