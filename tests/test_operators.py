@@ -817,3 +817,45 @@ def test_knn_graph_recall_vs_exact(spark):
     for _, grp in got.sort_values(["da", "rk"]).groupby("da"):
         assert list(grp["rk"]) == list(range(1, len(grp) + 1))
         assert (grp["cos"].diff().dropna() <= 1e-12).all()
+
+
+def test_connected_components_long_chain_converges(spark):
+    """Pointer halving is what makes components O(log diameter): a
+    200-edge path graph converges inside the 64-round cap (plain
+    neighbor propagation would need ~200 rounds and raise), and every
+    node labels to the chain minimum."""
+    from llm_map_reduce_summarizer_spark.operators.dedup import (
+        connected_components,
+    )
+
+    n = 200
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "da long, db long"
+    )
+    out = connected_components(edges).toPandas()
+    assert len(out) == n + 1
+    assert (out["component"] == 0).all()
+
+
+def test_knn_graph_invariant_to_input_partitioning(spark):
+    """The graph operator's result must be a pure function of the data
+    — identical under any input partitioning (bucket-local dgemm plus
+    quantized scoring can't be allowed to leak partition layout)."""
+    from llm_map_reduce_summarizer_spark.operators.similarity import (
+        cosine_knn_graph,
+    )
+
+    e = load_table(spark, SF, "embeddings")
+    base = (
+        cosine_knn_graph(e, k=3)
+        .toPandas()
+        .sort_values(["da", "rk"])
+        .reset_index(drop=True)
+    )
+    shuffled = (
+        cosine_knn_graph(e.repartition(7), k=3)
+        .toPandas()
+        .sort_values(["da", "rk"])
+        .reset_index(drop=True)
+    )
+    assert base.equals(shuffled)
