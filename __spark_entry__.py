@@ -71,6 +71,12 @@ _SEMANTICS_CHANGED: dict[str, int] = {
     "emb_clusters": 6,
     "emb_buckets": 6,
     "knn_lsh": 6,
+    # r6: keyed shingles (60-bit md5 fold) + affine-permutation MinHash
+    "dedup_ngram_jaccard": 6,
+    "dedup_minhash_lsh": 6,
+    "dedup_clusters": 6,
+    "dedup_keep_best": 6,
+    "corpus_prep_e2e": 6,
 }
 
 

@@ -57,6 +57,34 @@ def shingles_3gram(w: Column) -> Column:
     )
 
 
+# 60-bit shingle identity for the JOIN-heavy dedup paths: the shingle
+# table is the largest intermediate in a corpus dedup (its shuffles
+# dominate), and an 8-byte key shuffles ~3x lighter than the raw
+# n-gram string. 15 hex digits (60 bits) keep the fold BIGINT-exact in
+# every engine (16 digits could overflow signed int64); collisions are
+# ~n^2/2^61 — negligible and, because both engines fold the same md5,
+# engine-identical when they do occur. Queries that OUTPUT n-gram text
+# (vocabulary/top-k) keep the strings.
+SHINGLE_KEY_HEX = 15
+
+
+def shingle_key(s: Column) -> Column:
+    """First 15 md5 hex digits of the shingle as a BIGINT."""
+    return F.conv(F.substring(F.md5(s), 1, SHINGLE_KEY_HEX), 16, 10).cast(
+        "long"
+    )
+
+
+def sql_shingle_key(expr: str) -> str:
+    """DuckDB twin of :func:`shingle_key` (strpos digit fold)."""
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5({expr}), {i + 1}, 1)) - 1)"
+        f" * {16 ** (SHINGLE_KEY_HEX - 1 - i)}"
+        for i in range(SHINGLE_KEY_HEX)
+    )
+    return f"CAST(({terms}) AS BIGINT)"
+
+
 # One md5 per shingle, N_MINHASH affine permutations of its leading
 # 32 bits — vs one md5 PER PERMUTATION per shingle, this removes
 # 15/16ths of the md5 work from the hottest dedup scan (the shingle
@@ -70,10 +98,10 @@ _MH_A = [((j + 1) * KNUTH) % (1 << 30) | 1 for j in range(N_MINHASH)]
 
 
 def minhash_aggs(shingle_col: str = "s") -> list[Column]:
-    """16 MinHash aggregate expressions over an exploded shingle column."""
-    base = F.conv(F.substring(F.md5(F.col(shingle_col)), 1, 8), 16, 10).cast(
-        "long"
-    )
+    """16 MinHash aggregate expressions over an exploded KEYED shingle
+    column (``shingle_key`` 60-bit BIGINTs): base = low 32 bits of the
+    key (an md5-derived uniform draw — no further hashing needed)."""
+    base = F.col(shingle_col) % F.lit(4294967296)
     return [
         F.min(
             (F.lit(_MH_A[j]) * base + F.lit(j)) % F.lit(MINHASH_PRIME)
@@ -144,21 +172,11 @@ SQL_SHINGLES = (
 )
 
 
-def _sql_md5_base32(col: str = "s") -> str:
-    """First 8 hex digits of md5 as a BIGINT — digit-fold via strpos
-    (portable; DuckDB lacks a direct hex->int cast)."""
-    terms = " + ".join(
-        f"(strpos('0123456789abcdef', substr(md5({col}), {i + 1}, 1)) - 1)"
-        f" * {16 ** (7 - i)}"
-        for i in range(8)
-    )
-    return f"CAST(({terms}) AS BIGINT)"
-
-
 def sql_minhash_aggs() -> str:
-    base = _sql_md5_base32("s")
+    """Twin of :func:`minhash_aggs` over a keyed shingle column ``s``."""
     return ", ".join(
-        f"min(({_MH_A[j]} * {base} + {j}) % {MINHASH_PRIME}) AS h{j}"
+        f"min(({_MH_A[j]} * (s % 4294967296) + {j}) % {MINHASH_PRIME})"
+        f" AS h{j}"
         for j in range(N_MINHASH)
     )
 

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from ..functions.hashing import (
     band_hashes,
     minhash_aggs,
+    shingle_key,
     shingles_3gram,
     simhash64_word_aggs,
     words,
@@ -50,15 +51,26 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
-def doc_shingles(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """(id, shingle) pairs, distinct per doc; docs with <3 tokens drop."""
+def doc_shingles(
+    docs: DataFrame, id_col: str = "doc_id", keyed: bool = False
+) -> DataFrame:
+    """(id, shingle) pairs, distinct per doc; docs with <3 tokens drop.
+
+    ``keyed=True`` replaces the n-gram string with its 60-bit
+    ``shingle_key`` BEFORE the distinct — the join/shuffle-heavy dedup
+    paths (Jaccard self-join, MinHash) only need shingle IDENTITY, and
+    an 8-byte key shuffles ~3x lighter than the string. Callers that
+    output n-gram text (vocabulary top-k, novelty) stay unkeyed.
+    """
     w = words(F.col("text"))
-    return (
+    sh = (
         docs.withColumn("w", w)
         .filter(F.size("w") >= 3)
         .select(F.col(id_col), F.explode(shingles_3gram(F.col("w"))).alias("s"))
-        .distinct()
     )
+    if keyed:
+        sh = sh.select(id_col, shingle_key(F.col("s")).alias("s"))
+    return sh.distinct()
 
 
 def drop_stop_shingles(
@@ -174,7 +186,7 @@ def minhash_lsh_pairs(
     # strategies from the materialized partition sizes. At cluster
     # scale this is the standard persist-the-shingle-table trade:
     # storage is MEMORY_AND_DISK and is freed when the job ends.
-    sh = doc_shingles(docs, id_col)
+    sh = doc_shingles(docs, id_col, keyed=True)
     if df_cap is not None:
         sh = drop_stop_shingles(sh, df_cap, id_col)
     sh = sh.localCheckpoint(eager=True)

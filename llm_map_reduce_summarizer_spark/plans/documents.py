@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.hashing import (
+    sql_shingle_key,
     DRAW_MOD,
     KNUTH,
     SQL_SHINGLES,
@@ -194,7 +195,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = doc_shingles(_docs(spark, sf_dir))
+    """Exact pairwise 3-gram Jaccard (the verification-set tool; the
+    corpus path is MinHash-LSH). Shingles join by their 60-bit key —
+    8-byte shuffles instead of n-gram strings."""
+    sh = doc_shingles(_docs(spark, sf_dir), keyed=True)
     return jaccard_pairs(sh, threshold=JACCARD_THRESHOLD)
 
 
@@ -1352,6 +1356,13 @@ _SH_CTES = f"""toks AS (
   FROM toks WHERE len(w) >= 3
 )"""
 
+# 60-bit keyed shingles — twin of doc_shingles(keyed=True): the
+# join-heavy dedup oracles operate on the same 8-byte identities the
+# Spark plans shuffle.
+_SHK_CTE = f"""shk AS (
+  SELECT DISTINCT doc_id, {sql_shingle_key('s')} AS s FROM sh
+)"""
+
 def _jaccard_ctes(src: str = "sh") -> str:
     return f"""sizes AS (
   SELECT doc_id, count(*) AS n FROM {src} GROUP BY doc_id
@@ -1376,8 +1387,8 @@ _JACCARD_CTES = _jaccard_ctes("sh")
 MINHASH_DF_CAP = 100
 
 _SH_CAPPED_CTE = f"""shc AS (
-  SELECT doc_id, s FROM sh
-  WHERE s NOT IN (SELECT s FROM sh GROUP BY s HAVING count(*) > {MINHASH_DF_CAP})
+  SELECT doc_id, s FROM shk
+  WHERE s NOT IN (SELECT s FROM shk GROUP BY s HAVING count(*) > {MINHASH_DF_CAP})
 )"""
 
 _STOP_SQL = {
@@ -1388,7 +1399,7 @@ _STOP_SQL = {
 # Shared MinHash-LSH pair derivation, ending in `lsh_pairs(da, db,
 # jaccard)` — consumed by both the pair query's oracle and the
 # connected-components clustering oracle.
-_LSH_PAIR_CTES = f"""{_SH_CTES}, {_SH_CAPPED_CTE},
+_LSH_PAIR_CTES = f"""{_SH_CTES}, {_SHK_CTE}, {_SH_CAPPED_CTE},
         sigs AS (
           SELECT doc_id, {sql_minhash_aggs()} FROM shc GROUP BY doc_id
         ), bandsw AS (
@@ -1662,7 +1673,7 @@ ORACLE = {
         GROUP BY 1
     """,
     "dedup_ngram_jaccard": f"""
-        WITH {_SH_CTES}, {_JACCARD_CTES}
+        WITH {_SH_CTES}, {_SHK_CTE}, {_jaccard_ctes('shk')}
         SELECT da, db, jaccard FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}
     """,
     "corpus_prep_e2e": f"""
@@ -1706,9 +1717,11 @@ ORACLE = {
         ), shx AS (
           SELECT DISTINCT doc_id, unnest({SQL_SHINGLES.format(w='w')}) AS s
           FROM toksc WHERE len(w) >= 3
+        ), shkx AS (
+          SELECT DISTINCT doc_id, {sql_shingle_key('s')} AS s FROM shx
         ), shc2 AS (
-          SELECT doc_id, s FROM shx
-          WHERE s NOT IN (SELECT s FROM shx GROUP BY s
+          SELECT doc_id, s FROM shkx
+          WHERE s NOT IN (SELECT s FROM shkx GROUP BY s
                           HAVING count(*) > {MINHASH_DF_CAP})
         ), sigs AS (
           SELECT doc_id, {sql_minhash_aggs()} FROM shc2 GROUP BY doc_id

@@ -248,15 +248,18 @@ def test_char_split_codepoint_parity_non_bmp(spark):
 
 
 def test_minhash_permutation_twins_agree(spark):
-    """The affine-permutation MinHash (one md5 -> 16 universal-hash
-    minima) must be bit-identical across engines: products stay under
-    2^62 (DuckDB raises on BIGINT overflow — staying in range IS the
-    contract) and the hex digit-fold must match Spark's conv()."""
+    """The keyed MinHash chain (string -> 60-bit shingle_key -> 16
+    affine universal-hash minima) must be bit-identical across engines:
+    every fold/product stays under 2^62 (DuckDB raises on BIGINT
+    overflow — staying in range IS the contract) and the hex digit-fold
+    must match Spark's conv()."""
     import random
 
     from llm_map_reduce_summarizer_spark.functions.hashing import (
         minhash_aggs,
+        shingle_key,
         sql_minhash_aggs,
+        sql_shingle_key,
     )
 
     rng = random.Random(42)
@@ -268,23 +271,36 @@ def test_minhash_permutation_twins_agree(spark):
         for _ in range(200)
     ]
     pdf = pd.DataFrame({"doc_id": [i % 7 for i in range(200)], "s": shingles})
+    sdf = spark.createDataFrame(pdf).select(
+        "doc_id", shingle_key(F.col("s")).alias("s")
+    )
     got = (
-        spark.createDataFrame(pdf)
-        .groupBy("doc_id")
+        sdf.groupBy("doc_id")
         .agg(*minhash_aggs("s"))
         .toPandas()
         .sort_values("doc_id")
         .reset_index(drop=True)
     )
     con = duckdb.connect()
-    con.register("sh", pdf)
+    con.register("sh_raw", pdf)
     want = (
         con.execute(
+            f"WITH sh AS (SELECT doc_id, {sql_shingle_key('s')} AS s "
+            "FROM sh_raw) "
             f"SELECT doc_id, {sql_minhash_aggs()} FROM sh "
             "GROUP BY doc_id ORDER BY doc_id"
         )
         .df()
         .reset_index(drop=True)
     )
+    # the key fold itself must also agree value-for-value
+    got_keys = sorted(r["s"] for r in sdf.collect())
+    want_keys = sorted(
+        r[0]
+        for r in con.execute(
+            f"SELECT {sql_shingle_key('s')} FROM sh_raw"
+        ).fetchall()
+    )
+    assert got_keys == want_keys
     for c in got.columns:
         assert (got[c].astype("int64") == want[c].astype("int64")).all(), c
