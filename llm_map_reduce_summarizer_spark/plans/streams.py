@@ -308,6 +308,117 @@ def stream_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming benchmark-decontamination gate: score every arriving
+    doc's max 3-gram overlap against the (static) benchmark suite AT
+    INGEST — the streaming shape of ``corpus_contamination``.
+
+    Streaming-safe by construction: the benchmark shingle→ids map is
+    built batch-side once (the bench suite is fixed by definition) and
+    broadcast; each doc's shingle ARRAY is computed by the same JVM
+    expressions as the batch operator (no Python re-tokenization to
+    drift); scoring is a STATELESS Arrow-batched lookup — zero
+    streaming state, append mode, any number of micro-batches. The
+    batch operator's counted-broadcast contract applies strictly here:
+    a stream cannot shuffle-join per-doc aggregates without unbounded
+    state, so an oversized bench suite raises instead of degrading.
+
+    Drain of the static corpus equals the batch entry, so it shares
+    its oracle.
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions.hashing import shingles_3gram, words
+    from ..sources.tables import load_table
+    from .documents import (
+        CONTAM_BENCH_MAX_DOCS,
+        CONTAM_MOD,
+        CONTAM_THRESHOLD,
+    )
+    from ..operators.dedup import doc_shingles
+
+    batch_docs = load_table(spark, sf_dir, "documents")
+    n_bench_docs = (
+        batch_docs.filter(F.col("doc_id") % CONTAM_MOD == 0)
+        .select("doc_id")
+        .count()
+    )
+    if n_bench_docs > CONTAM_BENCH_MAX_DOCS:
+        raise ValueError(
+            f"benchmark suite has {n_bench_docs} docs > "
+            f"{CONTAM_BENCH_MAX_DOCS}: the streaming gate requires the "
+            "broadcastable-bench contract (see docstring)"
+        )
+    bench_rows = (
+        doc_shingles(batch_docs.filter(F.col("doc_id") % CONTAM_MOD == 0))
+        .collect()
+    )
+    bench_map: dict = {}
+    for r in bench_rows:
+        bench_map.setdefault(r["s"], []).append(r["doc_id"])
+    bc = spark.sparkContext.broadcast(bench_map)
+
+    def _score(batches):
+        import pandas as pd
+
+        bm = bc.value
+        for pdf in batches:
+            out = []
+            for doc_id, sh in zip(pdf["doc_id"], pdf["sh"]):
+                sset = set(sh)
+                counts: dict = {}
+                for s in sset:
+                    for b in bm.get(s, ()):
+                        counts[b] = counts.get(b, 0) + 1
+                if not counts:
+                    continue
+                n = len(sset)
+                # max ratio, ties -> smallest bench_id (the batch
+                # window's ORDER BY ratio DESC, bench_id)
+                best_b, best_c = None, -1
+                for b in sorted(counts):
+                    if counts[b] > best_c:
+                        best_b, best_c = b, counts[b]
+                import math
+
+                ratio = math.floor(best_c / n * 10000.0 + 0.5) / 10000.0
+                out.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "bench_id": int(best_b),
+                        "overlap_ratio": ratio,
+                        "contaminated": ratio >= CONTAM_THRESHOLD,
+                    }
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id",
+                    "bench_id",
+                    "overlap_ratio",
+                    "contaminated",
+                ],
+            )
+
+    docs = read_documents_stream(spark, sf_dir)
+    w = words(F.col("text"))
+    shingled = (
+        docs.filter(F.col("doc_id") % CONTAM_MOD != 0)
+        .withColumn("w", w)
+        .filter(F.size("w") >= 3)
+        .select(
+            "doc_id",
+            F.array_distinct(shingles_3gram(F.col("w"))).alias("sh"),
+        )
+    )
+    scored = shingled.mapInPandas(
+        _score,
+        schema="doc_id long, bench_id long, overlap_ratio double, "
+        "contaminated boolean",
+    )
+    return run_available_now(scored, output_mode="append")
+
+
 QUERIES = {
     "stream_hourly": stream_hourly,
     "stream_sessionize": stream_sessionize,
@@ -320,6 +431,7 @@ QUERIES = {
     "stream_mix_report": stream_mix_report,
     "stream_dau": stream_dau,
     "stream_value_quantiles": stream_value_quantiles,
+    "stream_contamination": stream_contamination,
 }
 
 ORACLE = {
@@ -334,6 +446,7 @@ ORACLE = {
     # same invariant oracle as the batch sketch tier: TRUE per day
     "stream_dau": _EVENTS_ORACLE["events_dau_approx"],
     "stream_value_quantiles": _EVENTS_ORACLE["events_value_quantiles_approx"],
+    "stream_contamination": _DOCS_ORACLE["corpus_contamination"],
     # on static input the drained stream-stream inner join equals the
     # batch interval join, so it gets a full SQL oracle
     "stream_view_click_join": """

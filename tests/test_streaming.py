@@ -592,3 +592,20 @@ def test_stream_value_quantiles_invariant_and_exact_columns(spark):
     assert got["sketch_within_rank_tol"].all()
     for col in ("p25", "p5", "p9", "p99", "n_events"):
         assert (got[col] == exact[col]).all(), col
+
+
+def test_stream_contamination_matches_batch(spark):
+    """The streamed decontamination gate must equal the batch screen
+    on a drain of the static corpus — same winning bench doc, same
+    quantized ratio, same flag."""
+    from llm_map_reduce_summarizer_spark.plans.documents import (
+        corpus_contamination,
+    )
+    from llm_map_reduce_summarizer_spark.plans.streams import (
+        stream_contamination,
+    )
+
+    stream = stream_contamination(spark, SF).toPandas()
+    batch = corpus_contamination(spark, SF).toPandas()
+    assert len(stream) > 0
+    assert compare_frames(stream, batch) == []
