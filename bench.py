@@ -98,6 +98,23 @@ def main() -> None:
         ).save()
         extras[name] = round(time.perf_counter() - t0, 3)
 
+    # Steady-state second pass: the headline numbers above warm only at
+    # sf0.001, so AQE-divergent plans (e.g. broadcast at tiny SF,
+    # shuffle at the bench SF) pay their whole-stage-codegen + JIT
+    # inside the timed run — worth ±1s on the heavy dedup queries. The
+    # headline `value` keeps the historical methodology for
+    # round-over-round comparability; this extra records what the same
+    # plans cost once compiled (the number a long-running cluster
+    # session would see).
+    steady = 0.0
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        queries[name](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        steady += time.perf_counter() - t0
+    extras["headline_total_steady"] = round(steady, 3)
+
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(
