@@ -215,37 +215,43 @@ def connected_components(
     where component is the min node id reachable from each node.
 
     Min-label propagation WITH pointer halving: each round every node
-    takes the min label among itself, its neighbors, and — the halving
-    step — its label's own label (`lbl(lbl(v))`; a node's label is
-    always in its component, so this is safe and compresses label
-    chains geometrically). Plain neighbor propagation alone needs
-    O(diameter) rounds, which silently truncates on long-chain graphs
-    (a mutual-kNN graph hit diameter 29 under a 20-round cap —
-    caught by the sf0.001 oracle); with halving, rounds are
-    O(log diameter), so 64 covers any graph with diameter < 2^64.
-    Convergence is detected by the label-sum fixpoint (labels only
-    ever decrease); exhausting the cap raises rather than returning a
-    silently-wrong clustering. Each round is joins + one min-aggregate
-    hash-partitioned on the node id, localCheckpointed so round k
-    never replays rounds 1..k-1. The per-round 1-scalar convergence
-    read is a driver-side plan decision, not a data collect.
+    takes the min label among itself, its neighbors (one join on a
+    pre-materialized bidirectional edge list), and — the halving step —
+    its label's own label (`lbl(lbl(v))`; a node's label is always in
+    its component, so this is safe and compresses label chains
+    geometrically). Plain neighbor propagation alone needs O(diameter)
+    rounds, which silently truncates on long-chain graphs (a
+    mutual-kNN graph hit diameter 29 under a 20-round cap — caught by
+    the sf0.001 oracle); with halving, rounds are O(log diameter), so
+    64 covers any graph with diameter < 2^64. Labels initialize to
+    min(id, min neighbor) — the first propagation round folded into
+    the init aggregation. Convergence is detected by the label-sum
+    fixpoint (labels only ever decrease); exhausting the cap raises
+    rather than returning a silently-wrong clustering. Each round is
+    two joins + one min-aggregate hash-partitioned on the node id,
+    localCheckpointed so round k never replays rounds 1..k-1. The
+    per-round 1-scalar convergence read is a driver-side plan
+    decision, not a data collect.
     """
-    e = edges.select(src, dst).localCheckpoint(eager=True)
+    # ONE bidirectional edge list (u, v): each undirected edge twice.
+    # Halves the per-round join count vs separate fwd/bwd passes.
+    half = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    e2 = (
+        half.union(half.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .localCheckpoint(eager=True)
+    )
+    # init = min(id, min neighbor): the first propagation round folded
+    # into the label construction (every node appears as u in e2).
     labels = (
-        e.select(F.col(src).alias("id"))
-        .union(e.select(dst))
-        .distinct()
-        .withColumn("lbl", F.col("id"))
+        e2.groupBy(F.col("u").alias("id"))
+        .agg(F.least(F.min("v"), F.first("u")).alias("lbl"))
         .localCheckpoint(eager=True)
     )
     prev_sum = None
     for _ in range(max_iter):
-        fwd = e.join(labels.withColumnRenamed("id", src), src).select(
-            F.col(dst).alias("id"), "lbl"
-        )
-        bwd = e.join(labels.withColumnRenamed("id", dst), dst).select(
-            F.col(src).alias("id"), "lbl"
-        )
+        nbr = e2.join(
+            labels.select(F.col("id").alias("u"), "lbl"), "u"
+        ).select(F.col("v").alias("id"), "lbl")
         # pointer halving: v -> lbl(lbl(v))
         hop = (
             labels.alias("l1")
@@ -259,8 +265,7 @@ def connected_components(
         )
         labels = (
             labels.select("id", "lbl")
-            .union(fwd)
-            .union(bwd)
+            .union(nbr)
             .union(hop)
             .groupBy("id")
             .agg(F.min("lbl").alias("lbl"))
