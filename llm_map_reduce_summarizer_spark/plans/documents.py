@@ -34,6 +34,7 @@ from ..functions.text import (
 )
 from ..functions.vectors import (
     BAND_STRIDE,
+    DIM,
     KNN_BANDS,
     adaptive_sign_bits,
     sign_bucket,
@@ -430,6 +431,86 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     return proj.select(
         "vec_id", F.posexplode("components").alias("dim", "value")
     ).select("vec_id", F.col("dim").cast("long").alias("dim"), "value")
+
+
+def semantic_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval end-to-end: exact cosine top-k over the embedding
+    column, then the hit list joins back to ``documents`` for the
+    payload a retrieval consumer actually wants (doc metadata, not
+    bare neighbor ids) — the RAG-shaped composition of the ANN tier
+    with the document store.
+
+    Scale: the hit list is query_count x k rows by construction, so it
+    broadcasts; the documents table is scanned once and never
+    shuffles. At 100 TB swap ``cosine_topk_blocked`` for the IVF/PQ
+    tier — the join shape is unchanged.
+    """
+    e = _embs(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < N_QUERY_VECS)
+    hits = cosine_topk_blocked(q, e, k=KNN_K).withColumnRenamed(
+        "neighbor_id", "doc_id"
+    )
+    d = _docs(spark, sf_dir).select("doc_id", "lang", "source", "n_chars")
+    return F.broadcast(hits).join(d, "doc_id").select(
+        "query_id", "rk", "doc_id", "cos", "lang", "source", "n_chars"
+    )
+
+
+def _int8_err_cols() -> list[F.Column]:
+    """Per-dimension int8-quantization reconstruction error columns.
+
+    code_i = floor((x_i - mn_i) * 255 / (mx_i - mn_i) + 0.5) — the
+    standard per-dimension affine scalar quantizer. Every operation is
+    an IEEE double op in a fixed order, so the DuckDB twin is
+    bit-identical.
+    """
+    errs = []
+    for i in range(1, DIM + 1):
+        x = F.element_at("embedding", i).cast("double")
+        mn = F.col(f"mn{i}")
+        scale = F.col(f"mx{i}") - mn
+        code = F.when(
+            scale > 0, F.floor((x - mn) * F.lit(255.0) / scale + F.lit(0.5))
+        ).otherwise(F.lit(0))
+        recon = mn + code.cast("double") * scale / F.lit(255.0)
+        errs.append((x - recon).alias(f"e{i}"))
+    return errs
+
+
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization of the embedding column: per-dimension
+    affine codes (min/max range, 256 levels) with a per-vector
+    reconstruction-error report (MSE + max abs error) — the 4x
+    storage/bandwidth cut that makes a 100 TB vector corpus scannable,
+    with the fidelity loss it costs made measurable.
+
+    Scale: the range statistics are ONE 1-row global aggregate (2*d
+    cells — bounded by dimension, never corpus size) broadcast onto a
+    single corpus scan; quantize + error is a pure narrow map. The
+    error sum folds dimensions in a fixed left-to-right order, so the
+    SQL twin matches bit-for-bit.
+    """
+    e = _embs(spark, sf_dir)
+    stats = e.agg(
+        *[
+            F.min(F.element_at("embedding", i).cast("double")).alias(f"mn{i}")
+            for i in range(1, DIM + 1)
+        ],
+        *[
+            F.max(F.element_at("embedding", i).cast("double")).alias(f"mx{i}")
+            for i in range(1, DIM + 1)
+        ],
+    )
+    errs = e.crossJoin(F.broadcast(stats)).select("vec_id", *_int8_err_cols())
+    sq: F.Column = F.lit(0.0)
+    for i in range(1, DIM + 1):
+        sq = sq + F.col(f"e{i}") * F.col(f"e{i}")
+    mx_abs = F.greatest(*[F.abs(F.col(f"e{i}")) for i in range(1, DIM + 1)])
+    return errs.select(
+        "vec_id",
+        quantize(sq / F.lit(float(DIM)), 9).alias("mse"),
+        quantize(mx_abs, 9).alias("max_abs_err"),
+    )
 
 
 TFIDF_K = 3
@@ -1343,6 +1424,8 @@ QUERIES = {
     "doc_bigram_surprisal": doc_bigram_surprisal,
     "knn_graph": knn_graph,
     "emb_clusters": emb_clusters,
+    "semantic_search": semantic_search,
+    "emb_quantize_int8": emb_quantize_int8,
 }
 
 
@@ -1419,6 +1502,48 @@ _LSH_PAIR_CTES = f"""{_SH_CTES}, {_SHK_CTE}, {_SH_CAPPED_CTE},
           FROM jac JOIN cand ON jac.da = cand.da AND jac.db = cand.db
           WHERE jac.jaccard >= {MINHASH_THRESHOLD}
         )"""
+
+def _int8_oracle_sql() -> str:
+    """Twin of ``emb_quantize_int8``: same 1-row min/max stats, same
+    per-dimension affine quantizer, same left-folded error sum — every
+    double op in the identical order, so the hashes match exactly."""
+    mins = ", ".join(
+        f"min(CAST(embedding[{i}] AS DOUBLE)) AS mn{i}"
+        for i in range(1, DIM + 1)
+    )
+    maxs = ", ".join(
+        f"max(CAST(embedding[{i}] AS DOUBLE)) AS mx{i}"
+        for i in range(1, DIM + 1)
+    )
+    errs = []
+    for i in range(1, DIM + 1):
+        x = f"CAST(embedding[{i}] AS DOUBLE)"
+        recon = (
+            f"CASE WHEN (mx{i} - mn{i}) > 0 THEN mn{i} + "
+            f"floor(({x} - mn{i}) * 255.0 / (mx{i} - mn{i}) + 0.5)"
+            f" * (mx{i} - mn{i}) / 255.0 ELSE mn{i} END"
+        )
+        errs.append(f"({x} - ({recon})) AS e{i}")
+    sq = "(0.0 + " + " + ".join(
+        f"e{i} * e{i}" for i in range(1, DIM + 1)
+    ) + ")"
+    mx = "greatest(" + ", ".join(
+        f"abs(e{i})" for i in range(1, DIM + 1)
+    ) + ")"
+    return f"""
+        WITH stats AS (SELECT {mins}, {maxs} FROM embeddings),
+        errs AS (
+          SELECT vec_id, {', '.join(errs)}
+          FROM embeddings CROSS JOIN stats
+        )
+        SELECT vec_id,
+               {sql_quantize(f'({sq} / 64.0)', 9)} AS mse,
+               {sql_quantize(mx, 9)} AS max_abs_err
+        FROM errs
+    """
+
+
+_INT8_ORACLE = _int8_oracle_sql()
 
 _SAMPLE_CASE = "CASE lang " + " ".join(
     f"WHEN '{lang}' THEN '{hexthr}'" for lang, hexthr in _SAMPLE_HEX.items()
@@ -1880,6 +2005,26 @@ ORACLE = {
           WHERE q.vec_id < {N_QUERY_VECS}
         ) WHERE rk <= {KNN_K}
     """,
+    "semantic_search": f"""
+        WITH {sql_unit_cte()},
+        knn AS (
+          SELECT query_id, neighbor_id, cos, rk FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   (floor({sql_dot('q.u', 'c.u')} * 1000000.0 + 0.5) / 1000000.0) AS cos,
+                   row_number() OVER (
+                     PARTITION BY q.vec_id
+                     ORDER BY (floor({sql_dot('q.u', 'c.u')} * 1000000.0 + 0.5) / 1000000.0) DESC,
+                              c.vec_id
+                   ) AS rk
+            FROM unitv q JOIN unitv c ON q.vec_id <> c.vec_id
+            WHERE q.vec_id < {N_QUERY_VECS}
+          ) WHERE rk <= {KNN_K}
+        )
+        SELECT k.query_id, k.rk, k.neighbor_id AS doc_id, k.cos,
+               d.lang, d.source, d.n_chars
+        FROM knn k JOIN documents d ON k.neighbor_id = d.doc_id
+    """,
+    "emb_quantize_int8": _INT8_ORACLE,
     "knn_lsh": f"""
         WITH {sql_unit_cte()},
         {sql_adaptive_bits_cte('embeddings')},
