@@ -453,6 +453,174 @@ def cosine_topk_ivf_trained(
     return _ivf_probe_topk(queries, corpus, cents, k, nprobe, id_col, vec_col)
 
 
+# --------------------------------------------------------------- PQ path
+#
+# Product quantization — the 100 TB ANN workhorse: each vector is
+# encoded as M sub-codes (one byte each at 256 codewords; 4 bits here
+# with 16), so a billion-vector index fits in executor memory and ADC
+# search reads codes, never raw vectors. The codebook is deterministic
+# (unit subvectors of the first K corpus vectors — random-init PQ
+# without the k-means loop), so encode + ADC are oracle-reproducible;
+# trained codebooks swap in without changing the plan shape.
+#
+# Scale: codebook is M*K*sub doubles (bounded by dim, never corpus);
+# the corpus is scanned ONCE in mapInPandas — encode (argmin to 16
+# codewords per subspace) and ADC scoring against the broadcast
+# query distance tables happen in the same Arrow batch, emitting only
+# local top-k candidates; the final exact window reduces queries*k*B
+# rows. No shuffle touches a raw vector.
+
+PQ_M = 8  # subspaces (DIM/PQ_M dims each)
+PQ_CODES = 16  # codewords per subspace
+
+
+def pq_codebook(
+    corpus: DataFrame,
+    n_codes: int = PQ_CODES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """(ids, unit_matrix) — deterministic codebook rows ordered by id
+    ascending, so numpy's first-occurrence argmin equals the SQL twin's
+    (dist ASC, cid ASC) rank-1."""
+    pdf = (
+        corpus.filter(F.col(id_col) < n_codes)
+        .select(id_col, vec_col)
+        .toPandas()
+        .sort_values(id_col)
+    )
+    return pdf[id_col].to_numpy(), _unit_rows(pdf[vec_col])
+
+
+def cosine_topk_pq(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    m_sub: int = PQ_M,
+    n_codes: int = PQ_CODES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k by PQ + asymmetric distance (ADC).
+
+    Per subspace m the squared L2 distance folds its dims left-to-
+    right (numpy sequential sum below the pairwise-summation block
+    size), is quantized at 6 decimals, and ADC accumulates the M
+    quantized table entries in subspace order — every double op in the
+    same order as the SQL twin, so results are bit-identical.
+    Ranking is (adc ASC, neighbor_id ASC); with unit vectors
+    ||q - c||^2 = 2 - 2cos, so ADC order approximates cosine order.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    _, cmat = pq_codebook(corpus, n_codes, id_col, vec_col)
+    dim = cmat.shape[1]
+    sub = dim // m_sub
+    cm = cmat.reshape(n_codes, m_sub, sub)
+
+    qpdf = queries.select(id_col, vec_col).toPandas()
+    qu = _unit_rows(qpdf[vec_col])
+    qids = qpdf[id_col].to_numpy()
+    qm = qu.reshape(len(qids), m_sub, sub)
+    qd = np.empty((len(qids), m_sub, n_codes))
+    for m in range(m_sub):
+        qd[:, m, :] = _quantize_np(
+            ((qm[:, m, None, :] - cm[None, :, m, :]) ** 2).sum(-1)
+        )
+    bc = spark.sparkContext.broadcast((qids, qd, cm))
+
+    def _score(batches):
+        q_ids, q_tab, cb = bc.value
+        n_q = len(q_ids)
+        for pdf in batches:
+            cu = _unit_rows(pdf[vec_col])
+            cids = pdf[id_col].to_numpy()
+            vm = cu.reshape(len(cids), m_sub, sub)
+            adc = np.zeros((len(cids), n_q))
+            for m in range(m_sub):
+                dm = _quantize_np(
+                    ((vm[:, m, None, :] - cb[None, :, m, :]) ** 2).sum(-1)
+                )
+                codes = np.argmin(dm, axis=1)  # first min = smallest cid
+                adc += q_tab[:, m, codes].T
+            adc = _quantize_np(adc)
+            adc[cids[:, None] == q_ids[None, :]] = np.inf  # self-match
+            out_q, out_n, out_d = [], [], []
+            for j in range(n_q):
+                col = adc[:, j]
+                if len(col) > k:
+                    # keep everything tied with the k-th best so the
+                    # global reduce can break ties exactly (by id)
+                    kth = np.partition(col, k - 1)[k - 1]
+                    keep = np.nonzero(col <= kth)[0]
+                else:
+                    keep = np.nonzero(col < np.inf)[0]
+                out_q.extend([q_ids[j]] * len(keep))
+                out_n.extend(cids[keep])
+                out_d.extend(col[keep])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "adc": out_d}
+            )
+
+    candidates = corpus.select(id_col, vec_col).mapInPandas(
+        _score, schema="query_id long, neighbor_id long, adc double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id")
+    )
+    return (
+        candidates.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "adc", "rk")
+    )
+
+
+def cosine_topk_pq_rerank(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    shortlist: int = 50,
+    m_sub: int = PQ_M,
+    n_codes: int = PQ_CODES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ-ADC shortlist + exact re-rank — the production ANN shape:
+    ADC (codes only, no raw vectors) prunes the corpus to ``shortlist``
+    candidates per query, then the exact cosine re-ranks just those.
+    Recall is the shortlist's; precision of the final scores is exact.
+
+    Scale: the re-rank input is queries x shortlist rows by
+    construction, so it broadcasts onto the corpus scan that fetches
+    candidate vectors — the corpus never shuffles; compare volume is
+    shortlist (not n) exact dots per query.
+    """
+    short = cosine_topk_pq(
+        queries, corpus, k=shortlist, m_sub=m_sub, n_codes=n_codes,
+        id_col=id_col, vec_col=vec_col,
+    ).select("query_id", F.col("neighbor_id"))
+    c = _unit(corpus, id_col, vec_col, "neighbor_id")
+    q = _unit(queries, id_col, vec_col, "query_id")
+    scored = (
+        F.broadcast(short)
+        .join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn(
+            "cos", quantize(dot(F.col("u_query_id"), F.col("u_neighbor_id")), 6)
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cos", "rk")
+    )
+
+
 # -------------------------------------------------- covariance / PCA
 #
 # Distributed second-moment statistics — the building block of PCA

@@ -53,10 +53,14 @@ from ..operators.dedup import (
     simhash_pairs,
 )
 from ..operators.similarity import (
+    PQ_CODES,
+    PQ_M,
     cosine_topk_blocked,
     cosine_topk_ivf,
     cosine_topk_ivf_trained,
     cosine_topk_lsh,
+    cosine_topk_pq,
+    cosine_topk_pq_rerank,
     embedding_neardup_blocked,
 )
 from ..sources.tables import load_table
@@ -336,6 +340,34 @@ def knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_ivf_trained(
         q, e, k=KNN_K, n_centroids=IVF_CENTROIDS, nprobe=4
     )
+
+
+def knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC ANN: vectors encoded as 8 sub-codes against a
+    deterministic 16-codeword-per-subspace codebook; queries rank by
+    asymmetric distance (sum of per-subspace table lookups). The
+    billion-vector ANN tier — the index stores codes (4 bits/subspace
+    here, 1 byte at 256), never raw vectors
+    (operators/similarity.py cosine_topk_pq).
+    """
+    e = _embs(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < N_QUERY_VECS)
+    return cosine_topk_pq(q, e, k=KNN_K)
+
+
+PQ_SHORTLIST = 50
+
+
+def knn_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC shortlist + exact cosine re-rank — the production ANN
+    shape: compressed codes prune the corpus to a per-query shortlist,
+    exact dots score only those. Recovers most of the recall the
+    untrained 32-bit codes give up (pinned vs brute force in tests)
+    while still never scanning raw vectors corpus-wide.
+    """
+    e = _embs(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < N_QUERY_VECS)
+    return cosine_topk_pq_rerank(q, e, k=KNN_K, shortlist=PQ_SHORTLIST)
 
 
 def emb_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1426,6 +1458,8 @@ QUERIES = {
     "emb_clusters": emb_clusters,
     "semantic_search": semantic_search,
     "emb_quantize_int8": emb_quantize_int8,
+    "knn_pq": knn_pq,
+    "knn_pq_rerank": knn_pq_rerank,
 }
 
 
@@ -1544,6 +1578,90 @@ def _int8_oracle_sql() -> str:
 
 
 _INT8_ORACLE = _int8_oracle_sql()
+
+
+def _pq_ctes() -> str:
+    """Shared PQ CTE chain ending in ``adcrk(query_id, neighbor_id,
+    adc, rk)``: encode = rank-1 codeword per (vector, subspace) by
+    quantized squared L2 with cid tie-break; ADC = the 8 quantized
+    table entries summed in subspace order via an ordered list — every
+    double op in the same order as the numpy path."""
+    sub = DIM // PQ_M
+
+    def dist(a: str, b: str) -> str:
+        terms = " + ".join(
+            f"({a}[s.m*{sub}+{j}] - {b}[s.m*{sub}+{j}])"
+            f" * ({a}[s.m*{sub}+{j}] - {b}[s.m*{sub}+{j}])"
+            for j in range(1, sub + 1)
+        )
+        return f"(floor((0.0 + {terms}) * 1000000.0 + 0.5) / 1000000.0)"
+
+    adc_chain = "(0.0 + " + " + ".join(
+        f"ds[{m}]" for m in range(1, PQ_M + 1)
+    ) + ")"
+    return f"""{sql_unit_cte()},
+        subsp AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m),
+        cw AS (SELECT vec_id AS cid, u FROM unitv WHERE vec_id < {PQ_CODES}),
+        enc AS (
+          SELECT vec_id, m, cid AS code FROM (
+            SELECT v.vec_id, s.m, c.cid,
+                   row_number() OVER (
+                     PARTITION BY v.vec_id, s.m
+                     ORDER BY {dist('v.u', 'c.u')} ASC, c.cid
+                   ) AS rk
+            FROM unitv v CROSS JOIN subsp s CROSS JOIN cw c
+          ) WHERE rk = 1
+        ),
+        qd AS (
+          SELECT q.vec_id AS query_id, s.m, c.cid, {dist('q.u', 'c.u')} AS d
+          FROM unitv q CROSS JOIN subsp s CROSS JOIN cw c
+          WHERE q.vec_id < {N_QUERY_VECS}
+        ),
+        gath AS (
+          SELECT qd.query_id, e.vec_id AS neighbor_id,
+                 list(qd.d ORDER BY e.m) AS ds
+          FROM enc e JOIN qd ON qd.m = e.m AND qd.cid = e.code
+          WHERE e.vec_id <> qd.query_id
+          GROUP BY 1, 2
+        ),
+        adct AS (
+          SELECT query_id, neighbor_id,
+                 (floor({adc_chain} * 1000000.0 + 0.5) / 1000000.0) AS adc
+          FROM gath
+        ),
+        adcrk AS (
+          SELECT query_id, neighbor_id, adc,
+                 row_number() OVER (
+                   PARTITION BY query_id ORDER BY adc ASC, neighbor_id
+                 ) AS rk
+          FROM adct
+        )"""
+
+
+_PQ_ORACLE = f"""
+    WITH {_pq_ctes()}
+    SELECT query_id, neighbor_id, adc, rk
+    FROM adcrk WHERE rk <= {KNN_K}
+"""
+
+_PQ_RERANK_ORACLE = f"""
+    WITH {_pq_ctes()},
+    rer AS (
+      SELECT s.query_id, s.neighbor_id,
+             (floor({sql_dot('q.u', 'c.u')} * 1000000.0 + 0.5) / 1000000.0) AS cos
+      FROM adcrk s
+      JOIN unitv q ON q.vec_id = s.query_id
+      JOIN unitv c ON c.vec_id = s.neighbor_id
+      WHERE s.rk <= {{shortlist}}
+    )
+    SELECT query_id, neighbor_id, cos, rk FROM (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+             ) AS rk
+      FROM rer
+    ) WHERE rk <= {KNN_K}
+""".format(shortlist=PQ_SHORTLIST)
 
 _SAMPLE_CASE = "CASE lang " + " ".join(
     f"WHEN '{lang}' THEN '{hexthr}'" for lang, hexthr in _SAMPLE_HEX.items()
@@ -2025,6 +2143,8 @@ ORACLE = {
         FROM knn k JOIN documents d ON k.neighbor_id = d.doc_id
     """,
     "emb_quantize_int8": _INT8_ORACLE,
+    "knn_pq": _PQ_ORACLE,
+    "knn_pq_rerank": _PQ_RERANK_ORACLE,
     "knn_lsh": f"""
         WITH {sql_unit_cte()},
         {sql_adaptive_bits_cte('embeddings')},

@@ -276,6 +276,67 @@ def test_ivf_trained_recall_and_determinism(spark):
     assert tr_pairs == set(zip(tr2["query_id"], tr2["neighbor_id"]))
 
 
+def test_pq_adc_and_rerank_recall(spark):
+    """PQ tiers vs brute force: raw 32-bit ADC codes on isotropic
+    random vectors (the adversarial case — nothing for the quantizer
+    to exploit) keep only a modest share of the true top-5; the
+    shortlist+exact-re-rank production shape must recover most of it,
+    and re-ranked scores must equal the exact cosine pair-for-pair."""
+    from llm_map_reduce_summarizer_spark.operators.similarity import (
+        cosine_topk_pq,
+        cosine_topk_pq_rerank,
+    )
+
+    e = load_table(spark, SF, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    exact = cosine_topk(q, e, k=5).toPandas()
+    exact_pairs = set(zip(exact["query_id"], exact["neighbor_id"]))
+
+    adc = cosine_topk_pq(q, e, k=5).toPandas()
+    assert len(adc) == len(exact)
+    adc_recall = (
+        len(set(zip(adc["query_id"], adc["neighbor_id"])) & exact_pairs)
+        / len(exact_pairs)
+    )
+    assert adc_recall >= 0.15  # measured 0.22 on the deterministic data
+
+    rr = cosine_topk_pq_rerank(q, e, k=5, shortlist=50).toPandas()
+    rr_pairs = set(zip(rr["query_id"], rr["neighbor_id"]))
+    rr_recall = len(rr_pairs & exact_pairs) / len(exact_pairs)
+    assert rr_recall >= 0.8  # measured 0.88; re-rank must beat raw ADC
+    assert rr_recall > adc_recall
+    exact_cos = {
+        (r.query_id, r.neighbor_id): r.cos for r in exact.itertuples()
+    }
+    for r in rr.itertuples():
+        pair = (r.query_id, r.neighbor_id)
+        if pair in exact_cos:
+            assert exact_cos[pair] == r.cos
+
+
+def test_pq_encode_deterministic_and_bounded(spark):
+    """The ADC result is invariant to input partitioning (codebook and
+    argmin are batch-independent), and every ADC distance is within
+    [0, 4] — the unit-sphere diameter squared."""
+    from llm_map_reduce_summarizer_spark.operators.similarity import (
+        cosine_topk_pq,
+    )
+
+    e = load_table(spark, SF, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    one = cosine_topk_pq(q, e, k=5).toPandas().sort_values(
+        ["query_id", "rk"]
+    ).reset_index(drop=True)
+    other = (
+        cosine_topk_pq(q, e.repartition(13), k=5)
+        .toPandas()
+        .sort_values(["query_id", "rk"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(one, other)
+    assert (one["adc"] >= 0).all() and (one["adc"] <= 4.0 + 1e-9).all()
+
+
 def test_asof_join_backward_semantics(spark):
     from llm_map_reduce_summarizer_spark.operators.asof import (
         asof_join_backward,
