@@ -129,6 +129,17 @@ def minhash_signatures(shingles: DataFrame, id_col: str = "doc_id") -> DataFrame
     return shingles.groupBy(id_col).agg(*minhash_aggs("s"))
 
 
+def band_bucket_rows(shingles: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, bk, bv) band-bucket rows from a (capped) shingle table —
+    the LSH index rows a document publishes (corpus side) or probes
+    (incremental-ingest side)."""
+    sigs = minhash_signatures(shingles, id_col).select(id_col, *band_hashes())
+    return sigs.selectExpr(
+        id_col,
+        "stack(4, 0, band0, 1, band1, 2, band2, 3, band3) AS (bk, bv)",
+    )
+
+
 def jaccard_verify(
     shingles: DataFrame,
     candidates: DataFrame,
@@ -190,11 +201,7 @@ def minhash_lsh_pairs(
     if df_cap is not None:
         sh = drop_stop_shingles(sh, df_cap, id_col)
     sh = sh.localCheckpoint(eager=True)
-    sigs = minhash_signatures(sh, id_col).select(id_col, *band_hashes())
-    bands = sigs.selectExpr(
-        id_col,
-        "stack(4, 0, band0, 1, band1, 2, band2, 3, band3) AS (bk, bv)",
-    )
+    bands = band_bucket_rows(sh, id_col)
     a = bands.select(F.col(id_col).alias("da"), "bk", "bv")
     b = bands.select(F.col(id_col).alias("db"), "bk", "bv")
     candidates = (
@@ -203,6 +210,72 @@ def minhash_lsh_pairs(
         .distinct()
     )
     return jaccard_verify(sh, candidates, id_col, threshold)
+
+
+def incremental_dedup_verdicts(
+    batch: DataFrame,
+    existing: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    df_cap: int | None = 100,
+) -> DataFrame:
+    """Continual-ingest dedup core: verdict per batch doc against the
+    existing corpus — ``dup_exact`` (normalized digest already
+    present), ``dup_near`` (verified MinHash near-dup at ``threshold``),
+    else ``keep``.
+
+    Scale: the exact tier is a digest semi-join (text never shuffles);
+    the near tier bands ONLY batch x existing (the batch's band
+    buckets probe the existing index — in production the existing
+    side's signatures are precomputed and stored), so compare volume
+    is |batch| x bucket occupancy, never corpus x corpus. Jaccard
+    verify runs on candidates only. The df cap is computed over
+    batch+existing, matching the corpus LSH path's stop-shingle
+    semantics.
+    """
+    exact_hit = (
+        fingerprint(batch)
+        .join(fingerprint(existing).select("fp"), "fp", "left_semi")
+        .select(id_col)
+        .withColumn("is_exact", F.lit(True))
+    )
+
+    docs = batch.select(id_col, "text").unionByName(
+        existing.select(id_col, "text")
+    )
+    sh = doc_shingles(docs, id_col, keyed=True)
+    if df_cap is not None:
+        sh = drop_stop_shingles(sh, df_cap, id_col)
+    sh = sh.localCheckpoint(eager=True)
+    bands = band_bucket_rows(sh, id_col)
+    bb = bands.join(batch.select(id_col), id_col, "left_semi")
+    be = bands.join(existing.select(id_col), id_col, "left_semi")
+    candidates = (
+        bb.select(F.col(id_col).alias("da"), "bk", "bv")
+        .join(be.select(F.col(id_col).alias("db"), "bk", "bv"), ["bk", "bv"])
+        .select("da", "db")
+        .distinct()
+    )
+    near_hit = (
+        jaccard_verify(sh, candidates, id_col, threshold)
+        .select(F.col("da").alias(id_col))
+        .distinct()
+        .withColumn("is_near", F.lit(True))
+    )
+
+    return (
+        batch.select(id_col, "lang")
+        .join(exact_hit, id_col, "left")
+        .join(near_hit, id_col, "left")
+        .select(
+            id_col,
+            "lang",
+            F.when(F.col("is_exact"), F.lit("dup_exact"))
+            .when(F.col("is_near"), F.lit("dup_near"))
+            .otherwise(F.lit("keep"))
+            .alias("verdict"),
+        )
+    )
 
 
 def connected_components(

@@ -1346,6 +1346,36 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", F.col("bin").cast("long").alias("bin"), "share")
 
 
+INCR_BATCH_MOD = 5  # docs with doc_id % 5 == 0 simulate the new ingest
+
+
+def corpus_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continual-ingest dedup: screen a NEW batch against the EXISTING
+    corpus — the shape a 100 TB pipeline actually runs daily (dedup
+    the crawl delta, never re-pair the whole corpus). Verdict per
+    batch doc: ``dup_exact`` (normalized digest already in the
+    corpus), ``dup_near`` (verified MinHash near-dup of an existing
+    doc at the corpus threshold), else ``keep``.
+
+    Scale: the exact tier is a digest semi-join (batch never shuffles
+    text); the near tier bands ONLY batch x existing (the batch's band
+    buckets probe the existing index — in production the existing
+    side's signatures are precomputed and stored), so compare volume
+    is |batch| x bucket occupancy, not corpus x corpus. Jaccard
+    verify runs on candidates only.
+    """
+    from ..operators.dedup import incremental_dedup_verdicts
+
+    docs = _docs(spark, sf_dir)
+    is_batch = (F.col("doc_id") % INCR_BATCH_MOD) == 0
+    return incremental_dedup_verdicts(
+        docs.filter(is_batch),
+        docs.filter(~is_batch),
+        threshold=MINHASH_THRESHOLD,
+        df_cap=MINHASH_DF_CAP,
+    )
+
+
 def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apply exact dedup to the corpus: keep one representative (min
     doc_id) per normalized-content group — the actual training-data
@@ -1460,6 +1490,7 @@ QUERIES = {
     "emb_quantize_int8": emb_quantize_int8,
     "knn_pq": knn_pq,
     "knn_pq_rerank": knn_pq_rerank,
+    "corpus_dedup_incremental": corpus_dedup_incremental,
 }
 
 
@@ -2145,6 +2176,55 @@ ORACLE = {
     "emb_quantize_int8": _INT8_ORACLE,
     "knn_pq": _PQ_ORACLE,
     "knn_pq_rerank": _PQ_RERANK_ORACLE,
+    "corpus_dedup_incremental": f"""
+        WITH {_SH_CTES}, {_SHK_CTE}, {_SH_CAPPED_CTE},
+        sigs AS (
+          SELECT doc_id, {sql_minhash_aggs()} FROM shc GROUP BY doc_id
+        ), bandsw AS (
+          SELECT doc_id, {sql_band_hashes()} FROM sigs
+        ), bands AS (
+          SELECT doc_id, 0 AS bk, band0 AS bv FROM bandsw
+          UNION ALL SELECT doc_id, 1, band1 FROM bandsw
+          UNION ALL SELECT doc_id, 2, band2 FROM bandsw
+          UNION ALL SELECT doc_id, 3, band3 FROM bandsw
+        ), cand AS (
+          SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+          FROM bands a JOIN bands b ON a.bk = b.bk AND a.bv = b.bv
+          WHERE a.doc_id % {INCR_BATCH_MOD} = 0
+            AND b.doc_id % {INCR_BATCH_MOD} <> 0
+        ), sizes AS (
+          SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id
+        ), common AS (
+          SELECT c.da, c.db, count(*) AS c
+          FROM cand c
+          JOIN shc a ON a.doc_id = c.da
+          JOIN shc b ON b.doc_id = c.db AND b.s = a.s
+          GROUP BY 1, 2
+        ), near AS (
+          SELECT DISTINCT common.da AS doc_id
+          FROM common
+          JOIN sizes sa ON common.da = sa.doc_id
+          JOIN sizes sb ON common.db = sb.doc_id
+          WHERE (floor((common.c / (sa.n + sb.n - common.c)) * 10000.0 + 0.5)
+                 / 10000.0) >= {MINHASH_THRESHOLD}
+        ), fps AS (
+          SELECT doc_id,
+                 md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp
+          FROM documents
+        ), exact AS (
+          SELECT DISTINCT b.doc_id
+          FROM fps b JOIN fps e
+            ON b.fp = e.fp AND e.doc_id % {INCR_BATCH_MOD} <> 0
+          WHERE b.doc_id % {INCR_BATCH_MOD} = 0
+        )
+        SELECT d.doc_id, d.lang,
+               CASE WHEN d.doc_id IN (SELECT doc_id FROM exact)
+                      THEN 'dup_exact'
+                    WHEN d.doc_id IN (SELECT doc_id FROM near)
+                      THEN 'dup_near'
+                    ELSE 'keep' END AS verdict
+        FROM documents d WHERE d.doc_id % {INCR_BATCH_MOD} = 0
+    """,
     "knn_lsh": f"""
         WITH {sql_unit_cte()},
         {sql_adaptive_bits_cte('embeddings')},

@@ -576,6 +576,48 @@ def test_stop_shingle_df_cap_kills_boilerplate_explosion(spark):
     assert set(zip(pairs["da"], pairs["db"])) == {(0, 1)}
 
 
+def test_incremental_dedup_verdict_tiers(spark):
+    """All three verdicts on a constructed ingest: an exact copy of an
+    existing doc (modulo whitespace/case normalization), a near-dup
+    sharing most shingles, and a fresh doc. Exact precedence beats
+    near (an exact copy is also a near-dup candidate)."""
+    from llm_map_reduce_summarizer_spark.operators.dedup import (
+        incremental_dedup_verdicts,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    existing = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [100, 101],
+                "text": [base, "completely different content about spark engines"],
+                "lang": ["en", "en"],
+            }
+        )
+    )
+    batch = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "The  quick brown fox jumps over the lazy dog near the river bank today",
+                    base + " extra tail words appended here",
+                    "an entirely novel document with unique vocabulary throughout",
+                ],
+                "lang": ["en", "en", "en"],
+            }
+        )
+    )
+    out = (
+        incremental_dedup_verdicts(batch, existing, threshold=0.5, df_cap=None)
+        .toPandas()
+        .set_index("doc_id")["verdict"]
+    )
+    assert out[1] == "dup_exact"
+    assert out[2] == "dup_near"
+    assert out[3] == "keep"
+
+
 def test_token_counter_backends(spark):
     from llm_map_reduce_summarizer_spark.functions.tokenize import (
         HAS_TIKTOKEN,
