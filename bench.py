@@ -88,7 +88,13 @@ def main() -> None:
     finally:
         spark.conf.set(SCAN_CONF, "false")
 
-    for name in ("knn_graph", "emb_clusters", "emb_dedup_apply"):
+    for name in (
+        "knn_graph",
+        "emb_clusters",
+        "emb_dedup_apply",
+        "knn_pq_rerank",
+        "corpus_dedup_incremental",
+    ):
         queries[name](spark, "/root/testdata/sf0.001").write.format(
             "noop"
         ).mode("overwrite").save()

@@ -1694,6 +1694,75 @@ _PQ_RERANK_ORACLE = f"""
     ) WHERE rk <= {KNN_K}
 """.format(shortlist=PQ_SHORTLIST)
 
+def incr_dedup_oracle_sql(stop_scope: str) -> str:
+    """Twin of the incremental-dedup verdicts. ``stop_scope`` picks the
+    df-cap population: ``"union"`` (batch entry — cap over batch +
+    existing, matching the corpus LSH path) or ``"existing"``
+    (streaming entry — the boilerplate list is corpus-maintained, so
+    an arriving doc's verdict never depends on its micro-batch)."""
+    stop_where = (
+        ""
+        if stop_scope == "union"
+        else f"WHERE doc_id % {INCR_BATCH_MOD} <> 0 "
+    )
+    return f"""
+        WITH {_SH_CTES}, {_SHK_CTE},
+        shci AS (
+          SELECT doc_id, s FROM shk
+          WHERE s NOT IN (
+            SELECT s FROM shk {stop_where}
+            GROUP BY s HAVING count(*) > {MINHASH_DF_CAP}
+          )
+        ),
+        sigs AS (
+          SELECT doc_id, {sql_minhash_aggs()} FROM shci GROUP BY doc_id
+        ), bandsw AS (
+          SELECT doc_id, {sql_band_hashes()} FROM sigs
+        ), bands AS (
+          SELECT doc_id, 0 AS bk, band0 AS bv FROM bandsw
+          UNION ALL SELECT doc_id, 1, band1 FROM bandsw
+          UNION ALL SELECT doc_id, 2, band2 FROM bandsw
+          UNION ALL SELECT doc_id, 3, band3 FROM bandsw
+        ), cand AS (
+          SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+          FROM bands a JOIN bands b ON a.bk = b.bk AND a.bv = b.bv
+          WHERE a.doc_id % {INCR_BATCH_MOD} = 0
+            AND b.doc_id % {INCR_BATCH_MOD} <> 0
+        ), sizes AS (
+          SELECT doc_id, count(*) AS n FROM shci GROUP BY doc_id
+        ), common AS (
+          SELECT c.da, c.db, count(*) AS c
+          FROM cand c
+          JOIN shci a ON a.doc_id = c.da
+          JOIN shci b ON b.doc_id = c.db AND b.s = a.s
+          GROUP BY 1, 2
+        ), near AS (
+          SELECT DISTINCT common.da AS doc_id
+          FROM common
+          JOIN sizes sa ON common.da = sa.doc_id
+          JOIN sizes sb ON common.db = sb.doc_id
+          WHERE (floor((common.c / (sa.n + sb.n - common.c)) * 10000.0 + 0.5)
+                 / 10000.0) >= {MINHASH_THRESHOLD}
+        ), fps AS (
+          SELECT doc_id,
+                 md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp
+          FROM documents
+        ), exact AS (
+          SELECT DISTINCT b.doc_id
+          FROM fps b JOIN fps e
+            ON b.fp = e.fp AND e.doc_id % {INCR_BATCH_MOD} <> 0
+          WHERE b.doc_id % {INCR_BATCH_MOD} = 0
+        )
+        SELECT d.doc_id, d.lang,
+               CASE WHEN d.doc_id IN (SELECT doc_id FROM exact)
+                      THEN 'dup_exact'
+                    WHEN d.doc_id IN (SELECT doc_id FROM near)
+                      THEN 'dup_near'
+                    ELSE 'keep' END AS verdict
+        FROM documents d WHERE d.doc_id % {INCR_BATCH_MOD} = 0
+    """
+
+
 _SAMPLE_CASE = "CASE lang " + " ".join(
     f"WHEN '{lang}' THEN '{hexthr}'" for lang, hexthr in _SAMPLE_HEX.items()
 ) + " END"
@@ -2176,55 +2245,7 @@ ORACLE = {
     "emb_quantize_int8": _INT8_ORACLE,
     "knn_pq": _PQ_ORACLE,
     "knn_pq_rerank": _PQ_RERANK_ORACLE,
-    "corpus_dedup_incremental": f"""
-        WITH {_SH_CTES}, {_SHK_CTE}, {_SH_CAPPED_CTE},
-        sigs AS (
-          SELECT doc_id, {sql_minhash_aggs()} FROM shc GROUP BY doc_id
-        ), bandsw AS (
-          SELECT doc_id, {sql_band_hashes()} FROM sigs
-        ), bands AS (
-          SELECT doc_id, 0 AS bk, band0 AS bv FROM bandsw
-          UNION ALL SELECT doc_id, 1, band1 FROM bandsw
-          UNION ALL SELECT doc_id, 2, band2 FROM bandsw
-          UNION ALL SELECT doc_id, 3, band3 FROM bandsw
-        ), cand AS (
-          SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-          FROM bands a JOIN bands b ON a.bk = b.bk AND a.bv = b.bv
-          WHERE a.doc_id % {INCR_BATCH_MOD} = 0
-            AND b.doc_id % {INCR_BATCH_MOD} <> 0
-        ), sizes AS (
-          SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id
-        ), common AS (
-          SELECT c.da, c.db, count(*) AS c
-          FROM cand c
-          JOIN shc a ON a.doc_id = c.da
-          JOIN shc b ON b.doc_id = c.db AND b.s = a.s
-          GROUP BY 1, 2
-        ), near AS (
-          SELECT DISTINCT common.da AS doc_id
-          FROM common
-          JOIN sizes sa ON common.da = sa.doc_id
-          JOIN sizes sb ON common.db = sb.doc_id
-          WHERE (floor((common.c / (sa.n + sb.n - common.c)) * 10000.0 + 0.5)
-                 / 10000.0) >= {MINHASH_THRESHOLD}
-        ), fps AS (
-          SELECT doc_id,
-                 md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp
-          FROM documents
-        ), exact AS (
-          SELECT DISTINCT b.doc_id
-          FROM fps b JOIN fps e
-            ON b.fp = e.fp AND e.doc_id % {INCR_BATCH_MOD} <> 0
-          WHERE b.doc_id % {INCR_BATCH_MOD} = 0
-        )
-        SELECT d.doc_id, d.lang,
-               CASE WHEN d.doc_id IN (SELECT doc_id FROM exact)
-                      THEN 'dup_exact'
-                    WHEN d.doc_id IN (SELECT doc_id FROM near)
-                      THEN 'dup_near'
-                    ELSE 'keep' END AS verdict
-        FROM documents d WHERE d.doc_id % {INCR_BATCH_MOD} = 0
-    """,
+    "corpus_dedup_incremental": incr_dedup_oracle_sql("union"),
     "knn_lsh": f"""
         WITH {sql_unit_cte()},
         {sql_adaptive_bits_cte('embeddings')},

@@ -27,7 +27,11 @@ from ..streaming.stream_ops import (
     view_click_interval_join,
 )
 from .documents import ORACLE as _DOCS_ORACLE
-from .documents import PREP_QUALITY_MIN, quality_gate_sql
+from .documents import (
+    PREP_QUALITY_MIN,
+    incr_dedup_oracle_sql,
+    quality_gate_sql,
+)
 from .events import ORACLE as _EVENTS_ORACLE
 
 
@@ -419,6 +423,76 @@ def stream_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(scored, output_mode="append")
 
 
+def stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming continual-ingest dedup: every arriving micro-batch is
+    screened against the PRECOMPUTED existing-corpus index
+    (stop-shingles, capped shingle table, LSH band buckets, digest
+    set — the tables a production pipeline maintains alongside the
+    corpus) via ``foreachBatch`` running the batch verdict core.
+
+    Zero streaming state: each doc's verdict depends only on
+    (doc, index), so results are invariant to the micro-batch split —
+    asserted in tests. The per-batch sink writes under its own
+    ``batch_id`` partition with dynamic overwrite (exactly-once: a
+    retried batch replaces itself, never appends duplicates).
+
+    Scale: per micro-batch the work is |delta| digest probes + |delta|
+    band probes x bucket occupancy + verify on candidates — never
+    proportional to the existing corpus; the index is built once.
+    The stop-shingle list comes from the EXISTING corpus only (the
+    boilerplate list is corpus-maintained), which is the one semantic
+    difference from batch ``corpus_dedup_incremental``'s
+    whole-union df cap — the oracle mirrors it.
+    """
+    import os
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import (
+        dedup_reference_index,
+        incremental_verdicts_against_index,
+    )
+    from ..sources.tables import load_table
+    from .documents import INCR_BATCH_MOD, MINHASH_DF_CAP, MINHASH_THRESHOLD
+
+    docs_static = load_table(spark, sf_dir, "documents")
+    is_batch = (F.col("doc_id") % INCR_BATCH_MOD) == 0
+    index = dedup_reference_index(
+        docs_static.filter(~is_batch), df_cap=MINHASH_DF_CAP
+    )
+
+    run = uuid.uuid4().hex[:12]
+    out_path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_incr_{run}"
+    )
+    ckpt = os.path.join(tempfile.gettempdir(), f"spark_graft_incr_ck_{run}")
+
+    def _screen(bdf: DataFrame, batch_id: int) -> None:
+        (
+            incremental_verdicts_against_index(
+                bdf, index, threshold=MINHASH_THRESHOLD
+            )
+            .withColumn("batch_id", F.lit(int(batch_id)))
+            .write.partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .parquet(out_path)
+        )
+
+    q = (
+        read_documents_stream(spark, sf_dir)
+        .filter(is_batch)
+        .writeStream.foreachBatch(_screen)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_path).select("doc_id", "lang", "verdict")
+
+
 QUERIES = {
     "stream_hourly": stream_hourly,
     "stream_sessionize": stream_sessionize,
@@ -432,6 +506,7 @@ QUERIES = {
     "stream_dau": stream_dau,
     "stream_value_quantiles": stream_value_quantiles,
     "stream_contamination": stream_contamination,
+    "stream_dedup_incremental": stream_dedup_incremental,
 }
 
 ORACLE = {
@@ -447,6 +522,9 @@ ORACLE = {
     "stream_dau": _EVENTS_ORACLE["events_dau_approx"],
     "stream_value_quantiles": _EVENTS_ORACLE["events_value_quantiles_approx"],
     "stream_contamination": _DOCS_ORACLE["corpus_contamination"],
+    # the streaming variant's one semantic difference from the batch
+    # entry is the df-cap population (existing corpus only)
+    "stream_dedup_incremental": incr_dedup_oracle_sql("existing"),
     # on static input the drained stream-stream inner join equals the
     # batch interval join, so it gets a full SQL oracle
     "stream_view_click_join": """

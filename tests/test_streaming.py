@@ -191,6 +191,57 @@ def test_stream_dedup_matches_batch_and_carries_state(spark, tmp_path):
     assert sorted(out["doc_id"]) == [1, 3]
 
 
+def test_stream_dedup_incremental_matches_batch_core_and_split_invariant(
+    spark,
+):
+    """The streamed drain equals the batch verdict core run on the full
+    ingest slice, and the core itself is micro-batch-split invariant:
+    screening three arbitrary sub-batches against the same index and
+    unioning equals screening the whole slice at once (each doc's
+    verdict depends only on (doc, index)) — the property that makes
+    the foreachBatch intake correct for ANY trigger cadence."""
+    from llm_map_reduce_summarizer_spark.operators.dedup import (
+        dedup_reference_index,
+        incremental_verdicts_against_index,
+    )
+    from llm_map_reduce_summarizer_spark.plans.documents import (
+        INCR_BATCH_MOD,
+        MINHASH_DF_CAP,
+        MINHASH_THRESHOLD,
+    )
+    from llm_map_reduce_summarizer_spark.plans.streams import (
+        stream_dedup_incremental,
+    )
+    from llm_map_reduce_summarizer_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF, "documents")
+    is_batch = (F.col("doc_id") % INCR_BATCH_MOD) == 0
+    index = dedup_reference_index(
+        docs.filter(~is_batch), df_cap=MINHASH_DF_CAP
+    )
+    whole = incremental_verdicts_against_index(
+        docs.filter(is_batch), index, threshold=MINHASH_THRESHOLD
+    ).toPandas()
+    assert set(whole["verdict"]) >= {"dup_near", "keep"}
+
+    streamed = stream_dedup_incremental(spark, SF).toPandas()
+    assert compare_frames(streamed, whole) == []
+
+    parts = [
+        incremental_verdicts_against_index(
+            docs.filter(is_batch & (F.col("doc_id") % 3 == r)),
+            index,
+            threshold=MINHASH_THRESHOLD,
+        ).toPandas()
+        for r in range(3)
+    ]
+    import pandas as pd
+
+    unioned = pd.concat(parts, ignore_index=True)
+    assert compare_frames(unioned, whole) == []
+
+
 def test_stream_value_histogram_accumulates_across_batches(spark, tmp_path):
     """Two micro-batches hitting the same (type, bucket) cell must
     produce ONE accumulated row in complete mode — counts summed,
