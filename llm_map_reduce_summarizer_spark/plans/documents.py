@@ -1346,6 +1346,55 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", F.col("bin").cast("long").alias("bin"), "share")
 
 
+# Ensemble quality-gate thresholds (each component's output is already
+# quantized, so threshold comparisons are exact on both engines)
+QE_QUALITY_MIN = 0.6
+QE_DUP_MAX = 0.2
+QE_ENTROPY_MIN = 2.8
+QE_SURPRISAL_MAX = 3.41
+
+
+def doc_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-signal quality gate — the deterministic analogue of
+    model-based quality filtering: a doc must clear heuristic quality
+    (length/stopword/alpha), within-doc repetition, char-distribution
+    entropy (encoding garbage), and unigram surprisal (vocabulary
+    plausibility) simultaneously. Emits per-signal values, the count
+    of failed signals, and the final keep verdict — the report a
+    filtering run needs to audit WHY a doc dropped.
+
+    Scale: all four signals are natural-key (doc_id) partial aggs over
+    one corpus scan each; the ensemble joins co-partition on doc_id
+    (AQE picks the strategy), so nothing shuffles more than its
+    doc_id-keyed rows. A fused single-scan variant would save three
+    scans at the cost of composability; at 100 TB run the components
+    once and materialize them — this entry is the join of those
+    materialized signal tables.
+    """
+    q = doc_quality(spark, sf_dir).select("doc_id", "quality_score")
+    r = doc_repetition(spark, sf_dir).select("doc_id", "dup_ratio")
+    en = doc_char_entropy(spark, sf_dir).select("doc_id", "entropy")
+    su = doc_unigram_surprisal(spark, sf_dir).select(
+        "doc_id", "mean_surprisal"
+    )
+    j = q.join(r, "doc_id").join(en, "doc_id").join(su, "doc_id")
+    flags = (
+        F.when(F.col("quality_score") < QE_QUALITY_MIN, 1).otherwise(0)
+        + F.when(F.col("dup_ratio") > QE_DUP_MAX, 1).otherwise(0)
+        + F.when(F.col("entropy") < QE_ENTROPY_MIN, 1).otherwise(0)
+        + F.when(F.col("mean_surprisal") > QE_SURPRISAL_MAX, 1).otherwise(0)
+    )
+    return j.select(
+        "doc_id",
+        "quality_score",
+        "dup_ratio",
+        "entropy",
+        "mean_surprisal",
+        flags.cast("long").alias("n_flags"),
+        (flags == 0).alias("keep"),
+    )
+
+
 INCR_BATCH_MOD = 5  # docs with doc_id % 5 == 0 simulate the new ingest
 
 
@@ -1491,6 +1540,7 @@ QUERIES = {
     "knn_pq": knn_pq,
     "knn_pq_rerank": knn_pq_rerank,
     "corpus_dedup_incremental": corpus_dedup_incremental,
+    "doc_quality_ensemble": doc_quality_ensemble,
 }
 
 
@@ -2702,3 +2752,30 @@ ORACLE = {
         GROUP BY doc_id
     """,
 }
+
+# The ensemble gate composes four already-oracled signals; its twin
+# embeds each component's full oracle as a CTE (DuckDB allows nested
+# WITH inside a derived-table CTE body) and applies the identical
+# threshold flags on the identically-quantized values.
+ORACLE["doc_quality_ensemble"] = f"""
+    WITH q AS ({ORACLE['doc_quality']}),
+    r AS ({ORACLE['doc_repetition']}),
+    en AS ({ORACLE['doc_char_entropy']}),
+    su AS ({ORACLE['doc_unigram_surprisal']})
+    SELECT q.doc_id, q.quality_score, r.dup_ratio, en.entropy,
+           su.mean_surprisal,
+           CAST((CASE WHEN q.quality_score < {QE_QUALITY_MIN} THEN 1 ELSE 0 END)
+              + (CASE WHEN r.dup_ratio > {QE_DUP_MAX} THEN 1 ELSE 0 END)
+              + (CASE WHEN en.entropy < {QE_ENTROPY_MIN} THEN 1 ELSE 0 END)
+              + (CASE WHEN su.mean_surprisal > {QE_SURPRISAL_MAX} THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_flags,
+           ((CASE WHEN q.quality_score < {QE_QUALITY_MIN} THEN 1 ELSE 0 END)
+          + (CASE WHEN r.dup_ratio > {QE_DUP_MAX} THEN 1 ELSE 0 END)
+          + (CASE WHEN en.entropy < {QE_ENTROPY_MIN} THEN 1 ELSE 0 END)
+          + (CASE WHEN su.mean_surprisal > {QE_SURPRISAL_MAX} THEN 1 ELSE 0 END)
+            ) = 0 AS keep
+    FROM q
+    JOIN r ON q.doc_id = r.doc_id
+    JOIN en ON q.doc_id = en.doc_id
+    JOIN su ON q.doc_id = su.doc_id
+"""
