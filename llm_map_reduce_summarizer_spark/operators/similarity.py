@@ -577,6 +577,49 @@ def cosine_topk_pq(
     )
 
 
+def pq_encode(
+    corpus: DataFrame,
+    m_sub: int = PQ_M,
+    n_codes: int = PQ_CODES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The stored PQ index: (id, c0..c{M-1}) sub-codes per vector —
+    what a production ANN system writes back so searches read codes,
+    never raw vectors (32 bits/vector here vs 512 bytes raw).
+
+    One corpus scan, no shuffle; encode semantics identical to the
+    search path (quantized L2 argmin, smallest-cid tie break).
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    _, cmat = pq_codebook(corpus, n_codes, id_col, vec_col)
+    sub = cmat.shape[1] // m_sub
+    cm = cmat.reshape(n_codes, m_sub, sub)
+    bc = spark.sparkContext.broadcast(cm)
+    cols = [f"c{m}" for m in range(m_sub)]
+
+    def _encode(batches):
+        cb = bc.value
+        for pdf in batches:
+            cu = _unit_rows(pdf[vec_col])
+            vm = cu.reshape(len(pdf), m_sub, sub)
+            out = {id_col: pdf[id_col].to_numpy()}
+            for m in range(m_sub):
+                dm = _quantize_np(
+                    ((vm[:, m, None, :] - cb[None, :, m, :]) ** 2).sum(-1)
+                )
+                out[f"c{m}"] = np.argmin(dm, axis=1).astype("int64")
+            yield pd.DataFrame(out)
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        _encode,
+        schema=f"{id_col} long, " + ", ".join(f"{c} long" for c in cols),
+    )
+
+
 def cosine_topk_pq_rerank(
     queries: DataFrame,
     corpus: DataFrame,

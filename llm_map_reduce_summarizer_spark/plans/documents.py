@@ -62,6 +62,7 @@ from ..operators.similarity import (
     cosine_topk_pq,
     cosine_topk_pq_rerank,
     embedding_neardup_blocked,
+    pq_encode,
 )
 from ..sources.tables import load_table
 
@@ -353,6 +354,26 @@ def knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _embs(spark, sf_dir)
     q = e.filter(F.col("vec_id") < N_QUERY_VECS)
     return cosine_topk_pq(q, e, k=KNN_K)
+
+
+def emb_pq_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stored PQ index table: per-vector sub-codes (32 bits here
+    vs 512 raw bytes) — the artifact ``knn_pq`` searches read, written
+    back once per corpus build (operators/similarity.py pq_encode)."""
+    return pq_encode(_embs(spark, sf_dir))
+
+
+def dedup_index_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stored near-dup index table: per-doc MinHash LSH band keys
+    — the existing-corpus side that ``corpus_dedup_incremental`` /
+    ``stream_dedup_incremental`` probe; maintaining it alongside the
+    corpus is what makes delta screening O(delta), not O(corpus)."""
+    from ..functions.hashing import band_hashes
+    from ..operators.dedup import drop_stop_shingles, minhash_signatures
+
+    sh = doc_shingles(_docs(spark, sf_dir), keyed=True)
+    sh = drop_stop_shingles(sh, MINHASH_DF_CAP)
+    return minhash_signatures(sh).select("doc_id", *band_hashes())
 
 
 PQ_SHORTLIST = 50
@@ -1541,6 +1562,8 @@ QUERIES = {
     "knn_pq_rerank": knn_pq_rerank,
     "corpus_dedup_incremental": corpus_dedup_incremental,
     "doc_quality_ensemble": doc_quality_ensemble,
+    "emb_pq_export": emb_pq_export,
+    "dedup_index_export": dedup_index_export,
 }
 
 
@@ -2295,6 +2318,22 @@ ORACLE = {
     "emb_quantize_int8": _INT8_ORACLE,
     "knn_pq": _PQ_ORACLE,
     "knn_pq_rerank": _PQ_RERANK_ORACLE,
+    "emb_pq_export": f"""
+        WITH {_pq_ctes()}
+        SELECT vec_id,
+               {', '.join(
+                   f"max(CASE WHEN m = {m} THEN code END) AS c{m}"
+                   for m in range(PQ_M)
+               )}
+        FROM enc GROUP BY vec_id
+    """,
+    "dedup_index_export": f"""
+        WITH {_SH_CTES}, {_SHK_CTE}, {_SH_CAPPED_CTE},
+        sigs AS (
+          SELECT doc_id, {sql_minhash_aggs()} FROM shc GROUP BY doc_id
+        )
+        SELECT doc_id, {sql_band_hashes()} FROM sigs
+    """,
     "corpus_dedup_incremental": incr_dedup_oracle_sql("union"),
     "knn_lsh": f"""
         WITH {sql_unit_cte()},
