@@ -493,6 +493,21 @@ def stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out_path).select("doc_id", "lang", "verdict")
 
 
+def stream_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sequence packing at ingest (stream_ops.pack_stream):
+    per-source open-pack state (two integers per stream) carries
+    across micro-batches, so packs fill across batch boundaries
+    exactly as the batch recurrence would. A drain of the static
+    corpus equals batch ``corpus_pack``, whose oracle it shares."""
+    from ..streaming.stream_ops import pack_stream
+    from .documents import PACK_BUDGET_TOKENS
+
+    docs = read_documents_stream(spark, sf_dir)
+    return run_available_now(
+        pack_stream(docs, PACK_BUDGET_TOKENS), output_mode="update"
+    )
+
+
 QUERIES = {
     "stream_hourly": stream_hourly,
     "stream_sessionize": stream_sessionize,
@@ -507,6 +522,7 @@ QUERIES = {
     "stream_value_quantiles": stream_value_quantiles,
     "stream_contamination": stream_contamination,
     "stream_dedup_incremental": stream_dedup_incremental,
+    "stream_pack": stream_pack,
 }
 
 ORACLE = {
@@ -525,6 +541,8 @@ ORACLE = {
     # the streaming variant's one semantic difference from the batch
     # entry is the df-cap population (existing corpus only)
     "stream_dedup_incremental": incr_dedup_oracle_sql("existing"),
+    # single-batch drain of the static corpus == batch greedy packing
+    "stream_pack": _DOCS_ORACLE["corpus_pack"],
     # on static input the drained stream-stream inner join equals the
     # batch interval join, so it gets a full SQL oracle
     "stream_view_click_join": """

@@ -324,6 +324,79 @@ def dedup_stream(docs: DataFrame) -> DataFrame:
     )
 
 
+PACK_STATE_SCHEMA = StructType(
+    [StructField("pack_id", LongType()), StructField("acc", LongType())]
+)
+
+PACK_OUT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("source", StringType()),
+        StructField("n_tokens", LongType()),
+        StructField("pack_id", LongType()),
+    ]
+)
+
+
+def _make_pack_fold(budget: int):
+    def _pack_fold(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        """Per-source-stream state: the open pack (id, accumulated
+        tokens) — TWO integers per stream, carried across
+        micro-batches so a pack can span a batch boundary exactly as
+        the batch recurrence would fill it."""
+        if state.hasTimedOut:
+            state.remove()
+            return
+        source = key[0]
+        pid, acc = state.get if state.exists else (0, 0)
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("doc_id")
+            for doc_id, n in zip(pdf["doc_id"], pdf["n_tokens"]):
+                n = int(n)
+                if acc > 0 and acc + n > budget:
+                    pid += 1
+                    acc = 0
+                rows.append((int(doc_id), source, n, pid))
+                acc += n
+        state.update((pid, acc))
+        if rows:
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "source", "n_tokens", "pack_id"]
+            )
+
+    return _pack_fold
+
+
+def pack_stream(docs: DataFrame, budget: int) -> DataFrame:
+    """Streaming greedy sequence packing — the batch ``corpus_pack``
+    recurrence running AT INGEST: docs append to their source stream's
+    open pack; a doc that would overflow the token budget starts the
+    next pack. State is two integers per source stream (the open
+    pack's id + fill), bounded by stream count, never stream length.
+
+    Token counts are computed JVM-side by the same expression as the
+    batch operator (no Python tokenizer drift). For doc_id-contiguous
+    arrival per source (the file-ingest order), the drained result
+    equals the batch packing exactly — a pack that spans a micro-batch
+    boundary is filled, not restarted (asserted in tests).
+    """
+    from ..functions.text import token_count
+
+    counted = docs.select(
+        "doc_id", "source", token_count(F.col("text")).alias("n_tokens")
+    )
+    return counted.groupBy("source").applyInPandasWithState(
+        _make_pack_fold(budget),
+        outputStructType=PACK_OUT_SCHEMA,
+        stateStructType=PACK_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 ASOF_STATE_SCHEMA = StructType(
     [
         StructField("view_ts_us", LongType()),

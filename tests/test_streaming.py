@@ -242,6 +242,49 @@ def test_stream_dedup_incremental_matches_batch_core_and_split_invariant(
     assert compare_frames(unioned, whole) == []
 
 
+def test_stream_pack_fills_across_micro_batch_boundary(spark, tmp_path):
+    """A pack that is part-filled when a micro-batch ends must keep
+    filling from the next batch (carried state), and the drained
+    result must equal the batch recurrence on the same rows."""
+    import pandas as pd
+
+    from llm_map_reduce_summarizer_spark.streaming.stream_ops import (
+        DOCS_SCHEMA,
+        pack_stream,
+        run_available_now,
+    )
+
+    def doc(i, n_words):
+        return dict(
+            doc_id=i,
+            text=" ".join(["tok"] * n_words),
+            lang="en",
+            source="s",
+            n_chars=4 * n_words,
+        )
+
+    src = tmp_path / "docs_pack"
+    src.mkdir()
+    # budget 10: batch 1 fills pack 0 to 9 tokens; batch 2's first doc
+    # (4 tokens) must overflow into pack 1 purely from carried state
+    pd.DataFrame([doc(1, 6), doc(2, 3)]).to_parquet(src / "part-000.parquet")
+    pd.DataFrame([doc(3, 4), doc(4, 5)]).to_parquet(src / "part-001.parquet")
+    raw = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(str(src))
+    )
+    out = (
+        run_available_now(pack_stream(raw, budget=10), output_mode="update")
+        .toPandas()
+        .set_index("doc_id")["pack_id"]
+    )
+    assert out[1] == 0 and out[2] == 0  # 6 + 3 <= 10
+    assert out[3] == 1  # 9 + 4 > 10 -> next pack, across the boundary
+    assert out[4] == 1  # 4 + 5 <= 10
+
+
 def test_stream_value_histogram_accumulates_across_batches(spark, tmp_path):
     """Two micro-batches hitting the same (type, bucket) cell must
     produce ONE accumulated row in complete mode — counts summed,
