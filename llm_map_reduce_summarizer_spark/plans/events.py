@@ -87,6 +87,84 @@ def events_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Count-min sketch (heavy hitters) — the third sketch tier next to
+# HyperLogLog (distinct) and the quantile sketch: CMS_D x CMS_W
+# counters, mergeable by cell-wise sum, so stream shards / partitions
+# combine without ever exchanging per-key state. Hashes are affine
+# (a_j*k + b_j) mod p mod w with the key pre-folded into [0, p) so the
+# products stay inside int64 for ANY bigint key; every step is integer
+# arithmetic both engines reproduce exactly, so the sketch itself is
+# value-checked (full parity), not just bound-checked.
+CMS_D = 4
+CMS_W = 256
+CMS_P = 2147483647  # 2^31 - 1
+CMS_A = (1299721, 15485863, 32452843, 49979687)
+CMS_B = (7, 11, 13, 17)
+CMS_TOPK = 10
+
+
+def _cms_col(j: int, key: F.Column) -> F.Column:
+    folded = key % F.lit(CMS_P)
+    return (
+        (F.lit(CMS_A[j]) * folded + F.lit(CMS_B[j])) % F.lit(CMS_P)
+    ) % F.lit(CMS_W)
+
+
+def events_topk_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate heavy hitters: top-10 users by event count from a
+    count-min sketch, with the exact count and the CMS guarantee
+    (estimate >= true, always) emitted per row.
+
+    Scale: the sketch build is a map-side partial agg that collapses
+    every task to <= d*w cells before the shuffle — state is d*w
+    integers regardless of key cardinality or event volume, and cells
+    merge by sum (shards/streams combine for free). The estimate probe
+    joins the d-row-per-key hash table against the tiny cell table
+    (broadcast). The exact column is the audit baseline a production
+    run would drop.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    hashed = ev.select(
+        "user_id",
+        *[_cms_col(j, F.col("user_id")).alias(f"h{j}") for j in range(CMS_D)],
+    )
+    cells = (
+        hashed.selectExpr(
+            "stack({}, {}) AS (r, c)".format(
+                CMS_D, ", ".join(f"{j}, h{j}" for j in range(CMS_D))
+            )
+        )
+        .groupBy("r", "c")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    users = hashed.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("true_n"),
+        *[F.first(f"h{j}").alias(f"h{j}") for j in range(CMS_D)],
+    )
+    probes = users.selectExpr(
+        "user_id",
+        "true_n",
+        "stack({}, {}) AS (r, c)".format(
+            CMS_D, ", ".join(f"{j}, h{j}" for j in range(CMS_D))
+        ),
+    )
+    ests = (
+        probes.join(F.broadcast(cells), ["r", "c"])
+        .groupBy("user_id", "true_n")
+        .agg(F.min("n").alias("est"))
+    )
+    return (
+        ests.select(
+            "user_id",
+            "est",
+            "true_n",
+            (F.col("est") >= F.col("true_n")).alias("overestimate_ok"),
+        )
+        .orderBy(F.col("est").desc(), F.col("user_id"))
+        .limit(CMS_TOPK)
+    )
+
+
 def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extract the JSON ``k`` prop and aggregate it per event type."""
     ev = load_table(spark, sf_dir, "events")
@@ -427,6 +505,7 @@ QUERIES = {
     "events_hourly": events_hourly,
     "events_sessionize": events_sessionize,
     "events_topk_users": events_topk_users,
+    "events_topk_cms": events_topk_cms,
     "events_json_props": events_json_props,
     "events_funnel": events_funnel,
     "events_value_histogram": events_value_histogram,
@@ -534,6 +613,43 @@ ORACLE = {
                max(ts_us) - min(ts_us) AS duration_us
         FROM numbered
         GROUP BY user_id, session_id
+    """,
+    "events_topk_cms": f"""
+        WITH hashed AS (
+          SELECT user_id,
+                 {', '.join(
+                     f"((({CMS_A[j]} * (user_id % {CMS_P}) + {CMS_B[j]})"
+                     f" % {CMS_P}) % {CMS_W}) AS h{j}"
+                     for j in range(CMS_D)
+                 )}
+          FROM events
+        ),
+        cells AS (
+          SELECT r, c, count(*) AS n FROM (
+            {' UNION ALL '.join(
+                f"SELECT {j} AS r, h{j} AS c FROM hashed"
+                for j in range(CMS_D)
+            )}
+          ) GROUP BY r, c
+        ),
+        users AS (
+          SELECT user_id, count(*) AS true_n,
+                 {', '.join(f"min(h{j}) AS h{j}" for j in range(CMS_D))}
+          FROM hashed GROUP BY user_id
+        ),
+        probes AS (
+          {' UNION ALL '.join(
+              f"SELECT user_id, true_n, {j} AS r, h{j} AS c FROM users"
+              for j in range(CMS_D)
+          )}
+        ),
+        ests AS (
+          SELECT p.user_id, p.true_n, min(ce.n) AS est
+          FROM probes p JOIN cells ce ON p.r = ce.r AND p.c = ce.c
+          GROUP BY 1, 2
+        )
+        SELECT user_id, est, true_n, est >= true_n AS overestimate_ok
+        FROM ests ORDER BY est DESC, user_id LIMIT {CMS_TOPK}
     """,
     "events_topk_users": """
         SELECT event_type, user_id, user_value, rk

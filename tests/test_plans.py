@@ -235,6 +235,73 @@ def test_events_dau_approx_error_bound(spark):
     assert approx["sketch_within_3rsd"].all(), approx
 
 
+def test_cms_sketch_merges_and_overestimates(spark):
+    """The count-min sketch's two load-bearing properties: (1) cells
+    built on shards sum to the whole-data cells (what lets streams /
+    partitions merge with d*w-integer state), and (2) under forced
+    collisions (more keys than cells) every estimate stays >= the true
+    count while at least one strictly overestimates — i.e. it really
+    is a sketch, not a disguised exact count."""
+    from pyspark.sql import functions as F
+
+    from llm_map_reduce_summarizer_spark.plans.events import (
+        CMS_D,
+        CMS_W,
+        _cms_col,
+    )
+
+    # 600 distinct keys, each appearing (k % 3) + 1 times
+    rows = [(k,) for k in range(600) for _ in range(k % 3 + 1)]
+    df = spark.createDataFrame(rows, "user_id long")
+
+    def cells_of(frame):
+        hashed = frame.select(
+            "user_id",
+            *[
+                _cms_col(j, F.col("user_id")).alias(f"h{j}")
+                for j in range(CMS_D)
+            ],
+        )
+        return (
+            hashed.selectExpr(
+                "stack({}, {}) AS (r, c)".format(
+                    CMS_D, ", ".join(f"{j}, h{j}" for j in range(CMS_D))
+                )
+            )
+            .groupBy("r", "c")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .toPandas()
+            .set_index(["r", "c"])["n"]
+            .sort_index()
+        )
+
+    whole = cells_of(df)
+    shard_a = cells_of(df.filter(F.col("user_id") < 300))
+    shard_b = cells_of(df.filter(F.col("user_id") >= 300))
+    merged = shard_a.add(shard_b, fill_value=0).astype(int).sort_index()
+    assert merged.equals(whole)
+
+    # estimates: min over rows of the joined cells
+    import pandas as pd
+
+    cells = whole.reset_index()
+    hashed = df.select(
+        "user_id",
+        *[_cms_col(j, F.col("user_id")).alias(f"h{j}") for j in range(CMS_D)],
+    ).toPandas()
+    true_n = hashed.groupby("user_id").size()
+    first = hashed.drop_duplicates("user_id").set_index("user_id")
+    lut = {(r, c): n for r, c, n in cells.itertuples(index=False)}
+    est = pd.Series(
+        {
+            uid: min(lut[(j, first.loc[uid, f"h{j}"])] for j in range(CMS_D))
+            for uid in first.index
+        }
+    )
+    assert (est >= true_n).all()
+    assert (est > true_n).any()  # 600 keys in 256 cells must collide
+
+
 def test_emb_dedup_apply_keeps_component_minima(spark):
     """Semantic dedup must keep exactly one representative (the min
     vec_id) per cosine-near-dup component and every singleton."""
