@@ -110,44 +110,40 @@ def _cms_col(j: int, key: F.Column) -> F.Column:
     ) % F.lit(CMS_W)
 
 
-def events_topk_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate heavy hitters: top-10 users by event count from a
-    count-min sketch, with the exact count and the CMS guarantee
-    (estimate >= true, always) emitted per row.
-
-    Scale: the sketch build is a map-side partial agg that collapses
-    every task to <= d*w cells before the shuffle — state is d*w
-    integers regardless of key cardinality or event volume, and cells
-    merge by sum (shards/streams combine for free). The estimate probe
-    joins the d-row-per-key hash table against the tiny cell table
-    (broadcast). The exact column is the audit baseline a production
-    run would drop.
-    """
-    ev = load_table(spark, sf_dir, "events").select("user_id")
-    hashed = ev.select(
+def cms_hashed(ev: DataFrame) -> DataFrame:
+    """(user_id, h0..h{d-1}) — the per-event hash columns (pure narrow
+    map; shared by the batch build, the probe, and the stream build)."""
+    return ev.select(
         "user_id",
         *[_cms_col(j, F.col("user_id")).alias(f"h{j}") for j in range(CMS_D)],
     )
-    cells = (
-        hashed.selectExpr(
-            "stack({}, {}) AS (r, c)".format(
-                CMS_D, ", ".join(f"{j}, h{j}" for j in range(CMS_D))
-            )
-        )
+
+
+def _cms_stack_expr() -> str:
+    return "stack({}, {}) AS (r, c)".format(
+        CMS_D, ", ".join(f"{j}, h{j}" for j in range(CMS_D))
+    )
+
+
+def cms_cells(hashed: DataFrame) -> DataFrame:
+    """(r, c, n) sketch cells — a map-side partial agg collapsing every
+    task to <= d*w cells before the shuffle; cells merge by sum, so
+    shards / micro-batches combine with d*w-integer state."""
+    return (
+        hashed.selectExpr(_cms_stack_expr())
         .groupBy("r", "c")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def cms_topk_probe(hashed: DataFrame, cells: DataFrame) -> DataFrame:
+    """Estimate per key (min over the d probed cells), exact audit
+    count, the est >= true guarantee, and the deterministic top-k."""
     users = hashed.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("true_n"),
         *[F.first(f"h{j}").alias(f"h{j}") for j in range(CMS_D)],
     )
-    probes = users.selectExpr(
-        "user_id",
-        "true_n",
-        "stack({}, {}) AS (r, c)".format(
-            CMS_D, ", ".join(f"{j}, h{j}" for j in range(CMS_D))
-        ),
-    )
+    probes = users.selectExpr("user_id", "true_n", _cms_stack_expr())
     ests = (
         probes.join(F.broadcast(cells), ["r", "c"])
         .groupBy("user_id", "true_n")
@@ -163,6 +159,23 @@ def events_topk_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("est").desc(), F.col("user_id"))
         .limit(CMS_TOPK)
     )
+
+
+def events_topk_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate heavy hitters: top-10 users by event count from a
+    count-min sketch, with the exact count and the CMS guarantee
+    (estimate >= true, always) emitted per row.
+
+    Scale: the sketch build is a map-side partial agg that collapses
+    every task to <= d*w cells before the shuffle — state is d*w
+    integers regardless of key cardinality or event volume, and cells
+    merge by sum (shards/streams combine for free). The estimate probe
+    joins the d-row-per-key hash table against the tiny cell table
+    (broadcast). The exact column is the audit baseline a production
+    run would drop.
+    """
+    hashed = cms_hashed(load_table(spark, sf_dir, "events").select("user_id"))
+    return cms_topk_probe(hashed, cms_cells(hashed))
 
 
 def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -508,6 +508,29 @@ def stream_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_topk_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming heavy hitters with TRULY bounded state: the count-min
+    cells aggregate in complete mode holds d*w integers NO MATTER the
+    key cardinality or stream length (contrast `stream_topk_users`,
+    whose per-user state grows with the entity count). The top-k probe
+    runs post-drain against the drained cell table (k-ish rows on the
+    driver session — the established post-drain ranking pattern), with
+    the exact audit column from the static table. Drain of the static
+    corpus equals the batch `events_topk_cms`, whose oracle it shares.
+    """
+    from ..sources.tables import load_table
+    from .events import cms_cells, cms_hashed, cms_topk_probe
+
+    ev = read_events_stream(spark, sf_dir).select("user_id")
+    cells = run_available_now(
+        cms_cells(cms_hashed(ev)), output_mode="complete"
+    )
+    hashed = cms_hashed(
+        load_table(spark, sf_dir, "events").select("user_id")
+    )
+    return cms_topk_probe(hashed, cells)
+
+
 QUERIES = {
     "stream_hourly": stream_hourly,
     "stream_sessionize": stream_sessionize,
@@ -523,6 +546,7 @@ QUERIES = {
     "stream_contamination": stream_contamination,
     "stream_dedup_incremental": stream_dedup_incremental,
     "stream_pack": stream_pack,
+    "stream_topk_cms": stream_topk_cms,
 }
 
 ORACLE = {
@@ -543,6 +567,9 @@ ORACLE = {
     "stream_dedup_incremental": incr_dedup_oracle_sql("existing"),
     # single-batch drain of the static corpus == batch greedy packing
     "stream_pack": _DOCS_ORACLE["corpus_pack"],
+    # cell-sum mergeability makes the drained sketch equal the batch
+    # sketch regardless of micro-batching
+    "stream_topk_cms": _EVENTS_ORACLE["events_topk_cms"],
     # on static input the drained stream-stream inner join equals the
     # batch interval join, so it gets a full SQL oracle
     "stream_view_click_join": """
