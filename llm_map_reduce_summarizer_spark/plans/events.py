@@ -178,6 +178,36 @@ def events_topk_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_topk_probe(hashed, cms_cells(hashed))
 
 
+PATHS_TOPK = 20
+
+
+def events_user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral transition bigrams: for each user's time-ordered
+    event sequence, count (prev_type -> next_type) transitions
+    corpus-wide and keep the top-20 — the funnel-discovery /
+    Markov-chain input of product analytics.
+
+    Scale: ONE sort-shuffle on the user_id natural key (the same
+    partitioning sessionization uses — at 100 TB these share a
+    repartition), then a partial-agged pair count and a
+    TakeOrderedAndProject top-k (per-partition top-K, K-row merge —
+    no global sort).
+    """
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros("ts")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    pairs = (
+        ev.withColumn("src", F.lag("event_type").over(w))
+        .filter(F.col("src").isNotNull())
+        .groupBy("src", F.col("event_type").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return pairs.orderBy(
+        F.col("n").desc(), F.col("src"), F.col("dst")
+    ).limit(PATHS_TOPK)
+
+
 def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extract the JSON ``k`` prop and aggregate it per event type."""
     ev = load_table(spark, sf_dir, "events")
@@ -519,6 +549,7 @@ QUERIES = {
     "events_sessionize": events_sessionize,
     "events_topk_users": events_topk_users,
     "events_topk_cms": events_topk_cms,
+    "events_user_paths": events_user_paths,
     "events_json_props": events_json_props,
     "events_funnel": events_funnel,
     "events_value_histogram": events_value_histogram,
@@ -626,6 +657,18 @@ ORACLE = {
                max(ts_us) - min(ts_us) AS duration_us
         FROM numbered
         GROUP BY user_id, session_id
+    """,
+    "events_user_paths": f"""
+        SELECT src, dst, n FROM (
+          SELECT src, event_type AS dst, count(*) AS n FROM (
+            SELECT user_id, event_type, lag(event_type) OVER (
+                     PARTITION BY user_id
+                     ORDER BY epoch_us(ts), event_id
+                   ) AS src
+            FROM events
+          ) WHERE src IS NOT NULL
+          GROUP BY 1, 2
+        ) ORDER BY n DESC, src, dst LIMIT {PATHS_TOPK}
     """,
     "events_topk_cms": f"""
         WITH hashed AS (
