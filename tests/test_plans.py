@@ -235,6 +235,58 @@ def test_events_dau_approx_error_bound(spark):
     assert approx["sketch_within_3rsd"].all(), approx
 
 
+def test_new_op_plan_shapes(spark):
+    """Pin the scale claims of the round-6 additions: the int8
+    quantizer's corpus rows never hash-shuffle (stats arrive as a
+    1-row broadcast), semantic_search's documents scan never shuffles
+    (the hit list broadcasts), and the CMS / transition-bigram top-ks
+    reduce via TakeOrderedAndProject, never a global sort."""
+    import contextlib
+    import io
+
+    from llm_map_reduce_summarizer_spark.plans.documents import (
+        emb_quantize_int8,
+        semantic_search,
+    )
+    from llm_map_reduce_summarizer_spark.plans.events import (
+        events_topk_cms,
+        events_user_paths,
+    )
+
+    sf = "/root/testdata/sf0.001"
+
+    def plan(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain(mode="formatted")
+        return buf.getvalue()
+
+    # int8 quantize: the only exchange is the 1-row stats reduction;
+    # corpus rows cross-join the broadcast stats row and stay put
+    p = plan(emb_quantize_int8(spark, sf))
+    assert "Arguments: hashpartitioning" not in p, p
+    assert "BroadcastNestedLoopJoin" in p
+    assert "BatchEvalPython" not in p
+
+    # semantic_search: hit list broadcasts onto the documents scan;
+    # the only hash exchange partitions the tiny candidate set by
+    # query_id for the top-k window
+    p = plan(semantic_search(spark, sf))
+    assert "BroadcastHashJoin" in p
+    assert p.count("Arguments: hashpartitioning") == 1, p
+    assert "hashpartitioning(query_id" in p
+
+    # sketch probe joins the broadcast cell table; top-k is a
+    # per-partition TakeOrdered merge, not a global sort
+    p = plan(events_topk_cms(spark, sf))
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p
+
+    p = plan(events_user_paths(spark, sf))
+    assert "TakeOrderedAndProject" in p
+    assert "partial_count" in p  # pair counts combine map-side
+
+
 def test_cms_sketch_merges_and_overestimates(spark):
     """The count-min sketch's two load-bearing properties: (1) cells
     built on shards sum to the whole-data cells (what lets streams /
