@@ -1510,6 +1510,290 @@ def corpus_prep_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------- lexical + hybrid retrieval
+
+# BM25 keyword retrieval over the documents table: the lexical twin of
+# ``semantic_search`` (the reference pipeline summarizes transcripts —
+# a training-data engine also needs to FIND documents, and production
+# retrieval is hybrid: lexical BM25 + embedding ANN fused by rank).
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_K = 10
+RRF_C = 60
+RRF_POOL = 20
+
+# Query ids align with the embedding query vectors (vec_id <
+# N_QUERY_VECS) so the RRF fusion joins the two retrievers per query.
+BM25_QUERIES: dict[int, tuple[str, ...]] = {
+    0: ("hash", "join"),
+    1: ("window", "agg"),
+    2: ("stream", "batch"),
+    3: ("vector", "scan"),
+    4: ("filter", "merge", "order"),
+    5: ("spark", "slow"),
+    6: ("customer", "table"),
+    7: ("key", "value"),
+    8: ("group", "column"),
+    9: ("small", "data", "line"),
+}
+
+
+def _bm25_scored(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+    """Top-k docs per keyword query by BM25 (Robertson/Sparck Jones).
+
+    Scale: doc lengths ride the token scan as a narrow column (no
+    separate shuffle); the postings groupBy shuffles ONLY tokens
+    matching the query terms (the filter runs before the exchange);
+    per-term document frequencies and the query-term map are broadcast
+    (≤ |vocabulary of the query set| rows); corpus size and average
+    doc length are one exact 1-row aggregate (integer token sum / doc
+    count — no float accumulation-order drift between engines). The
+    final ranking window partitions by query_id.
+
+    Every double op is written in the same order as the SQL twin and
+    per-term weights are quantized before the per-doc sum, so the
+    oracle matches value-for-value.
+    """
+    from pyspark.sql.window import Window
+
+    d = _docs(spark, sf_dir)
+    all_terms = sorted({t for ts in BM25_QUERIES.values() for t in ts})
+    base = d.select("doc_id", words(F.col("text")).alias("w"))
+    toks = base.select(
+        "doc_id",
+        F.size("w").cast("long").alias("len"),
+        F.explode("w").alias("term"),
+    )
+    tf = (
+        toks.filter(F.col("term").isin(all_terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("len").alias("len"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum(F.size("w")).cast("double") / F.count(F.lit(1))
+        ).alias("avgdl"),
+    )
+    qt = spark.createDataFrame(
+        [(qid, t) for qid, ts in sorted(BM25_QUERIES.items()) for t in ts],
+        "query_id long, term string",
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    weight = (
+        idf
+        * (F.col("n") * (BM25_K1 + 1.0))
+        / (
+            F.col("n")
+            + BM25_K1
+            * (1.0 - BM25_B + BM25_B * F.col("len") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(qt), "term")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("bm25_w", quantize(weight, 6))
+    )
+    per = scored.groupBy("query_id", "doc_id").agg(
+        quantize(F.sum("bm25_w"), 6).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    return (
+        per.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "doc_id", "score", "rk")
+    )
+
+
+def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _bm25_scored(spark, sf_dir, BM25_K)
+
+
+def search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: embedding top-k + BM25 top-k fused by
+    reciprocal-rank fusion (rrf = Σ 1/(C + rank), C=60).
+
+    Scale: both retriever outputs are queries × pool rows by
+    construction, so the fusion join is trivially broadcastable and
+    the corpus is only touched through each retriever's own
+    scale-shaped plan (blocked dgemm scan; filtered-postings BM25).
+    The ANN tier swaps in for the exact scan without changing the
+    fusion shape.
+    """
+    from pyspark.sql.window import Window
+
+    e = _embs(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < N_QUERY_VECS)
+    sem = cosine_topk_blocked(q, e, k=RRF_POOL).select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rk").alias("rk_sem"),
+    )
+    lex = _bm25_scored(spark, sf_dir, RRF_POOL).select(
+        "query_id", "doc_id", F.col("rk").alias("rk_lex")
+    )
+    fused = sem.join(lex, ["query_id", "doc_id"], "full_outer")
+    contrib_sem = F.coalesce(
+        F.lit(1.0) / (F.lit(RRF_C) + F.col("rk_sem")), F.lit(0.0)
+    )
+    contrib_lex = F.coalesce(
+        F.lit(1.0) / (F.lit(RRF_C) + F.col("rk_lex")), F.lit(0.0)
+    )
+    scored = fused.withColumn(
+        "rrf_score", quantize(contrib_sem + contrib_lex, 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= BM25_K)
+        .select("query_id", "doc_id", "rrf_score", "rk")
+    )
+
+
+# ----------------------------------------- governance: caps + samples
+
+
+FIXED_SAMPLE_K = 100
+DOMAIN_CAP = 10
+
+
+def corpus_sample_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-size uniform sample (the distributed
+    reservoir): order by a seeded md5 draw, keep the first K.
+
+    Scale: ``orderBy().limit(K)`` plans as TakeOrderedAndProject —
+    per-partition top-K then a K-row merge, never a global sort; the
+    draw is a map-side hash, so the sample is identical across runs,
+    cluster sizes, and engines.
+    """
+    d = _docs(spark, sf_dir)
+    key = shuffle_sort_key(F.col("doc_id"), "usample")
+    return (
+        d.select("doc_id", "lang", "source", key.alias("sample_key"))
+        .orderBy("sample_key")
+        .limit(FIXED_SAMPLE_K)
+    )
+
+
+def corpus_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (crawl governance: no single domain may
+    dominate the mix) — rank docs within each source by a seeded draw,
+    keep at most DOMAIN_CAP.
+
+    Scale: one natural-key shuffle on ``source``; the ranking window
+    is per-source, bounded by the largest domain. For mega-domains the
+    draw-threshold approximation (keep iff draw < cap/n_domain
+    quantile) removes even that sort; the exact window is the
+    deterministic reference semantics.
+    """
+    from pyspark.sql.window import Window
+
+    d = _docs(spark, sf_dir)
+    key = shuffle_sort_key(F.col("doc_id"), "domcap")
+    w = Window.partitionBy("source").orderBy(key, F.col("doc_id"))
+    return (
+        d.select("doc_id", "source")
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .withColumn("kept", F.col("rk") <= DOMAIN_CAP)
+    )
+
+
+# -------------------------------------------- bloom membership screen
+
+# The fourth sketch tier (HLL = distinct, quantile sketch = ranks,
+# count-min = counts, Bloom = MEMBERSHIP): screen a new ingest batch's
+# shingles against a Bloom filter of the existing corpus's shingle
+# set. Integer-affine hashes reproduce bit-for-bit in both engines, so
+# the whole filter — including its false positives — is value-checked,
+# and the no-false-negative guarantee is an asserted output column.
+BLOOM_M = 1 << 18
+BLOOM_K = 3
+BLOOM_P = 2147483647
+BLOOM_A = (1299721, 15485863, 32452843)
+BLOOM_B = (7, 11, 13)
+
+
+def _bloom_bits(s: F.Column) -> F.Column:
+    """Array of the BLOOM_K bit positions for a 60-bit shingle key."""
+    folded = s % F.lit(BLOOM_P)
+    return F.array(
+        *[
+            (
+                (F.lit(BLOOM_A[j]) * folded + F.lit(BLOOM_B[j]))
+                % F.lit(BLOOM_P)
+            )
+            % F.lit(BLOOM_M)
+            for j in range(BLOOM_K)
+        ]
+    )
+
+
+def dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter overlap screen: per new-batch doc, how many of its
+    shingles the existing corpus's Bloom filter flags (bloom_hits) vs
+    truly contains (exact_hits), with the no-false-negative guarantee
+    as an asserted column.
+
+    Scale: the filter state is ≤ BLOOM_M set-bit rows REGARDLESS of
+    corpus size (the point of a Bloom filter) and broadcasts to the
+    probe join, so the batch side never shuffles for membership; the
+    only corpus-keyed exchanges are natural-key partial aggs and the
+    8-byte-key semi-join that audits the filter. At 100 TB the exact
+    audit drops and only the broadcast-filter probe remains.
+    """
+    d = _docs(spark, sf_dir)
+    sh = doc_shingles(d, keyed=True)
+    ex = sh.filter(F.col("doc_id") % 2 == 0).select("s").distinct()
+    bt = sh.filter(F.col("doc_id") % 2 == 1)
+    setbits = ex.select(
+        F.explode(_bloom_bits(F.col("s"))).alias("bit")
+    ).distinct()
+    probe = bt.select(
+        "doc_id", "s", F.explode(_bloom_bits(F.col("s"))).alias("bit")
+    )
+    hits = (
+        probe.join(F.broadcast(setbits), "bit")
+        .groupBy("doc_id", "s")
+        .agg(F.count(F.lit(1)).alias("nb"))
+    )
+    flags = (
+        bt.join(hits, ["doc_id", "s"], "left")
+        .join(ex.withColumn("ex_flag", F.lit(1)), "s", "left")
+        .select(
+            "doc_id",
+            (F.coalesce("nb", F.lit(0)) == BLOOM_K).alias("bloom_hit"),
+            F.col("ex_flag").isNotNull().alias("exact_hit"),
+        )
+    )
+    return (
+        flags.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(F.col("bloom_hit").cast("long")).cast("long").alias(
+                "bloom_hits"
+            ),
+            F.sum(F.col("exact_hit").cast("long")).cast("long").alias(
+                "exact_hits"
+            ),
+        )
+        .withColumn(
+            "fp_hits",
+            (F.col("bloom_hits") - F.col("exact_hits")).cast("long"),
+        )
+        .withColumn(
+            "guarantee_ok", F.col("bloom_hits") >= F.col("exact_hits")
+        )
+    )
+
+
 QUERIES = {
     "corpus_prep_e2e": corpus_prep_e2e,
     "multimodal_frames": multimodal_frames,
@@ -1564,6 +1848,11 @@ QUERIES = {
     "doc_quality_ensemble": doc_quality_ensemble,
     "emb_pq_export": emb_pq_export,
     "dedup_index_export": dedup_index_export,
+    "doc_bm25_topk": doc_bm25_topk,
+    "search_rrf": search_rrf,
+    "corpus_sample_fixed": corpus_sample_fixed,
+    "corpus_domain_cap": corpus_domain_cap,
+    "dedup_bloom": dedup_bloom,
 }
 
 
@@ -2817,4 +3106,169 @@ ORACLE["doc_quality_ensemble"] = f"""
     JOIN r ON q.doc_id = r.doc_id
     JOIN en ON q.doc_id = en.doc_id
     JOIN su ON q.doc_id = su.doc_id
+"""
+
+
+# --------------------------- lexical/hybrid retrieval + governance oracles
+
+_BM25_TERMS_SQL = ", ".join(
+    f"'{t}'" for t in sorted({t for ts in BM25_QUERIES.values() for t in ts})
+)
+_BM25_QT_VALUES = ", ".join(
+    f"({qid}, '{t}')"
+    for qid, ts in sorted(BM25_QUERIES.items())
+    for t in ts
+)
+# Interpolate the exact doubles Python folds at Column-build time so
+# both engines parse the identical IEEE values (1.2 + 1.0 is folded by
+# Python, not by Catalyst).
+_BM25_K1P1 = repr(BM25_K1 + 1.0)
+_BM25_1MB = repr(1.0 - BM25_B)
+
+
+def _bm25_oracle_ctes(k: int) -> str:
+    """CTE chain ending in ``lex(query_id, doc_id, score, rk)`` —
+    the DuckDB twin of :func:`_bm25_scored` (same float-op order,
+    per-term weights quantized before the per-doc sum)."""
+    return f"""btk AS (
+  SELECT doc_id, len({_W}) AS len, unnest({_W}) AS term FROM documents
+), btf AS (
+  SELECT doc_id, term, count(*) AS n, max(len) AS len
+  FROM btk WHERE term IN ({_BM25_TERMS_SQL})
+  GROUP BY 1, 2
+), bdf AS (
+  SELECT term, count(*) AS df FROM btf GROUP BY 1
+), bstats AS (
+  SELECT count(*) AS n_docs,
+         CAST(sum(len({_W})) AS DOUBLE) / count(*) AS avgdl
+  FROM documents
+), bqt(query_id, term) AS (VALUES {_BM25_QT_VALUES}),
+bscored AS (
+  SELECT bqt.query_id, btf.doc_id,
+         {sql_quantize(
+             f"ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)"
+             f" * (btf.n * {_BM25_K1P1})"
+             f" / (btf.n + {BM25_K1!r} * ({_BM25_1MB}"
+             f" + ({BM25_B!r} * btf.len) / avgdl))",
+             6,
+         )} AS bm25_w
+  FROM btf
+  JOIN bqt ON btf.term = bqt.term
+  JOIN bdf ON btf.term = bdf.term
+  CROSS JOIN bstats
+), lex AS (
+  SELECT query_id, doc_id, score, rk FROM (
+    SELECT query_id, doc_id,
+           {sql_quantize('sum(bm25_w)', 6)} AS score,
+           row_number() OVER (
+             PARTITION BY query_id
+             ORDER BY {sql_quantize('sum(bm25_w)', 6)} DESC, doc_id
+           ) AS rk
+    FROM bscored GROUP BY 1, 2
+  ) WHERE rk <= {k}
+)"""
+
+
+ORACLE["doc_bm25_topk"] = f"""
+    WITH {_bm25_oracle_ctes(BM25_K)}
+    SELECT query_id, doc_id, score, rk FROM lex
+"""
+
+ORACLE["search_rrf"] = f"""
+    WITH {sql_unit_cte()},
+    knn AS (
+      SELECT query_id, neighbor_id, rk FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY (floor({sql_dot('q.u', 'c.u')} * 1000000.0 + 0.5)
+                           / 1000000.0) DESC,
+                          c.vec_id
+               ) AS rk
+        FROM unitv q JOIN unitv c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < {N_QUERY_VECS}
+      ) WHERE rk <= {RRF_POOL}
+    ),
+    {_bm25_oracle_ctes(RRF_POOL)},
+    fused AS (
+      SELECT coalesce(k.query_id, l.query_id) AS query_id,
+             coalesce(k.neighbor_id, l.doc_id) AS doc_id,
+             {sql_quantize(
+                 f'coalesce(1.0 / ({RRF_C} + k.rk), 0.0)'
+                 f' + coalesce(1.0 / ({RRF_C} + l.rk), 0.0)',
+                 6,
+             )} AS rrf_score
+      FROM knn k FULL JOIN lex l
+        ON k.query_id = l.query_id AND k.neighbor_id = l.doc_id
+    )
+    SELECT query_id, doc_id, rrf_score, rk FROM (
+      SELECT query_id, doc_id, rrf_score,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY rrf_score DESC, doc_id
+             ) AS rk
+      FROM fused
+    ) WHERE rk <= {BM25_K}
+"""
+
+ORACLE["corpus_sample_fixed"] = f"""
+    SELECT doc_id, lang, source, sample_key FROM (
+      SELECT doc_id, lang, source,
+             md5('usample|' || CAST(doc_id AS VARCHAR)) AS sample_key
+      FROM documents
+    ) ORDER BY sample_key LIMIT {FIXED_SAMPLE_K}
+"""
+
+ORACLE["corpus_domain_cap"] = f"""
+    SELECT doc_id, source, rk, (rk <= {DOMAIN_CAP}) AS kept FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5('domcap|' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rk
+      FROM documents
+    )
+"""
+
+_BLOOM_HS = ", ".join(f"({a}, {b})" for a, b in zip(BLOOM_A, BLOOM_B))
+
+ORACLE["dedup_bloom"] = f"""
+    WITH {_SH_CTES}, {_SHK_CTE},
+    hs(a, b) AS (VALUES {_BLOOM_HS}),
+    ex AS (SELECT DISTINCT s FROM shk WHERE doc_id % 2 = 0),
+    bt AS (SELECT doc_id, s FROM shk WHERE doc_id % 2 = 1),
+    setbits AS (
+      SELECT DISTINCT ((a * (s % {BLOOM_P}) + b) % {BLOOM_P}) % {BLOOM_M}
+               AS bit
+      FROM ex CROSS JOIN hs
+    ),
+    probe AS (
+      SELECT doc_id, s,
+             ((a * (s % {BLOOM_P}) + b) % {BLOOM_P}) % {BLOOM_M} AS bit
+      FROM bt CROSS JOIN hs
+    ),
+    bhits AS (
+      SELECT p.doc_id, p.s, count(*) AS nb
+      FROM probe p JOIN setbits sb ON p.bit = sb.bit
+      GROUP BY 1, 2
+    ),
+    bflags AS (
+      SELECT bt.doc_id,
+             (coalesce(h.nb, 0) = {BLOOM_K}) AS bloom_hit,
+             (e.s IS NOT NULL) AS exact_hit
+      FROM bt
+      LEFT JOIN bhits h ON bt.doc_id = h.doc_id AND bt.s = h.s
+      LEFT JOIN ex e ON bt.s = e.s
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT)
+             AS bloom_hits,
+           CAST(sum(CASE WHEN exact_hit THEN 1 ELSE 0 END) AS BIGINT)
+             AS exact_hits,
+           CAST(sum(CASE WHEN bloom_hit THEN 1 ELSE 0 END)
+                - sum(CASE WHEN exact_hit THEN 1 ELSE 0 END) AS BIGINT)
+             AS fp_hits,
+           (sum(CASE WHEN bloom_hit THEN 1 ELSE 0 END)
+            >= sum(CASE WHEN exact_hit THEN 1 ELSE 0 END)) AS guarantee_ok
+    FROM bflags GROUP BY doc_id
 """
