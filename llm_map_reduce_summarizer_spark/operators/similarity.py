@@ -922,3 +922,50 @@ def cosine_knn_graph(
         .filter(F.col("rk") <= k)
         .select("da", "db", "cos", "rk")
     )
+
+
+def cosine_screen_broadcast(
+    batch: DataFrame,
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All (batch_id, corpus_id, cos) hits with cos >= threshold, by
+    broadcasting the BATCH side and scanning the corpus once.
+
+    The continual-ingest screen shape: the delta is small relative to
+    the corpus, so it rides the closure like ``cosine_topk_blocked``'s
+    query matrix — one dgemm per Arrow batch of the corpus scan, zero
+    corpus shuffle, output bounded by the number of above-threshold
+    pairs. For deltas too big to broadcast, the banded-LSH self-join
+    (``cosine_knn_graph``) is the fallback shape.
+    """
+    import numpy as np
+    import pandas as pd
+
+    qpdf = batch.select(id_col, vec_col).toPandas()
+    qu = _unit_rows(qpdf[vec_col])
+    qids = qpdf[id_col].to_numpy()
+    bc = corpus.sparkSession.sparkContext.broadcast((qids, qu))
+
+    def _score(batches):
+        q_ids, q_mat = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cu = _unit_rows(pdf[vec_col])
+            cids = pdf[id_col].to_numpy()
+            sims = _quantize_np(cu @ q_mat.T)  # (n_corpus_chunk, n_batch)
+            ii, jj = np.nonzero(sims >= threshold)
+            yield pd.DataFrame(
+                {
+                    "bid": q_ids[jj],
+                    "match_id": cids[ii],
+                    "cos": sims[ii, jj],
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        _score, schema="bid long, match_id long, cos double"
+    )

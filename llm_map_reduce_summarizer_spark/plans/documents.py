@@ -1794,6 +1794,44 @@ def dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def emb_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continual-ingest SEMANTIC dedup: screen a new embedding batch
+    against the EXISTING corpus (verdict dup_near / keep per batch
+    vector, with the best existing match) — the cosine twin of
+    ``corpus_dedup_incremental``, and the daily shape at 100 TB:
+    compare the delta against the corpus, never re-pair the corpus.
+
+    Scale: the delta broadcasts (it is small by definition); the
+    existing corpus is scanned ONCE with a dgemm per Arrow batch and
+    never shuffles; the only exchange is the above-threshold hit list
+    (bounded by near-dup density). Deltas too big to broadcast fall
+    back to the banded-LSH join (`knn_graph`'s shape).
+    """
+    from ..operators.similarity import cosine_screen_broadcast
+
+    e = _embs(spark, sf_dir)
+    ex = e.filter(F.col("vec_id") % 2 == 0)
+    bt = e.filter(F.col("vec_id") % 2 == 1)
+    hits = cosine_screen_broadcast(bt, ex, NEARDUP_COS)
+    best = hits.groupBy(F.col("bid").alias("vec_id")).agg(
+        F.max(
+            F.struct(F.col("cos"), (-F.col("match_id")).alias("neg"))
+        ).alias("m")
+    )
+    return (
+        bt.select("vec_id")
+        .join(best, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.when(F.col("m").isNotNull(), F.lit("dup_near"))
+            .otherwise(F.lit("keep"))
+            .alias("verdict"),
+            (-F.col("m.neg")).cast("long").alias("match_id"),
+            F.col("m.cos").alias("cos"),
+        )
+    )
+
+
 QUERIES = {
     "corpus_prep_e2e": corpus_prep_e2e,
     "multimodal_frames": multimodal_frames,
@@ -1853,6 +1891,7 @@ QUERIES = {
     "corpus_sample_fixed": corpus_sample_fixed,
     "corpus_domain_cap": corpus_domain_cap,
     "dedup_bloom": dedup_bloom,
+    "emb_dedup_incremental": emb_dedup_incremental,
 }
 
 
@@ -3271,4 +3310,33 @@ ORACLE["dedup_bloom"] = f"""
            (sum(CASE WHEN bloom_hit THEN 1 ELSE 0 END)
             >= sum(CASE WHEN exact_hit THEN 1 ELSE 0 END)) AS guarantee_ok
     FROM bflags GROUP BY doc_id
+"""
+
+ORACLE["emb_dedup_incremental"] = f"""
+    WITH {sql_unit_cte()},
+    iex AS (SELECT vec_id, u FROM unitv WHERE vec_id % 2 = 0),
+    ibt AS (SELECT vec_id, u FROM unitv WHERE vec_id % 2 = 1),
+    ihits AS (
+      SELECT b.vec_id, e.vec_id AS match_id,
+             (floor({sql_dot('b.u', 'e.u')} * 1000000.0 + 0.5)
+              / 1000000.0) AS cos
+      FROM ibt b JOIN iex e
+        ON (floor({sql_dot('b.u', 'e.u')} * 1000000.0 + 0.5)
+            / 1000000.0) >= {NEARDUP_COS}
+    ),
+    ibest AS (
+      SELECT vec_id, match_id, cos FROM (
+        SELECT vec_id, match_id, cos,
+               row_number() OVER (
+                 PARTITION BY vec_id ORDER BY cos DESC, match_id
+               ) AS rn
+        FROM ihits
+      ) WHERE rn = 1
+    )
+    SELECT b.vec_id,
+           CASE WHEN ibest.vec_id IS NOT NULL
+                THEN 'dup_near' ELSE 'keep' END AS verdict,
+           ibest.match_id, ibest.cos
+    FROM (SELECT vec_id FROM embeddings WHERE vec_id % 2 = 1) b
+    LEFT JOIN ibest ON b.vec_id = ibest.vec_id
 """

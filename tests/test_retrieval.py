@@ -144,3 +144,37 @@ def test_fixed_sample_is_deterministic_and_sized(spark):
     assert sorted(a["doc_id"]) == sorted(b["doc_id"])
     # drawn without replacement
     assert a["doc_id"].is_unique
+
+
+def test_emb_dedup_incremental_matches_neardup_pairs(spark):
+    """The screen's hits must equal emb_neardup's cross-split pairs:
+    every batch vec flagged dup_near has a >=threshold existing
+    neighbor, and its reported match is the argmax-cosine one."""
+    from llm_map_reduce_summarizer_spark.plans.documents import (
+        NEARDUP_COS,
+        emb_dedup_incremental,
+    )
+    from llm_map_reduce_summarizer_spark.operators.similarity import (
+        embedding_neardup_blocked,
+    )
+
+    out = emb_dedup_incremental(spark, SF_SMOKE).toPandas()
+    e = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    pairs = embedding_neardup_blocked(e, threshold=NEARDUP_COS).toPandas()
+    # cross pairs oriented (existing, batch): one side even, other odd
+    cross = pairs[(pairs["da"] % 2) != (pairs["db"] % 2)]
+    best = {}
+    for _, r in cross.iterrows():
+        bid, mid = (
+            (r["da"], r["db"]) if r["da"] % 2 == 1 else (r["db"], r["da"])
+        )
+        cur = best.get(bid)
+        if cur is None or (r["cos"], -mid) > (cur[1], -cur[0]):
+            best[bid] = (mid, r["cos"])
+    flagged = out[out["verdict"] == "dup_near"].set_index("vec_id")
+    assert set(flagged.index) == set(best)
+    for bid, (mid, cos) in best.items():
+        assert flagged.loc[bid, "match_id"] == mid
+        assert abs(flagged.loc[bid, "cos"] - cos) < 1e-9
+    kept = out[out["verdict"] == "keep"]
+    assert kept["match_id"].isna().all()
