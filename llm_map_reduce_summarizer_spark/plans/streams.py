@@ -28,6 +28,7 @@ from ..streaming.stream_ops import (
 )
 from .documents import ORACLE as _DOCS_ORACLE
 from .documents import (
+    DOMAIN_CAP,
     PREP_QUALITY_MIN,
     incr_dedup_oracle_sql,
     quality_gate_sql,
@@ -531,6 +532,26 @@ def stream_topk_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_topk_probe(hashed, cells)
 
 
+
+def stream_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-source admission cap — crawl governance AT INGEST
+    (the arrival-order twin of batch ``corpus_domain_cap``'s
+    draw-rank policy): the first CAP docs of each source stream are
+    admitted, later arrivals marked dropped.
+
+    State is ONE counter per domain — bounded by domain count, never
+    stream length. For doc_id-contiguous arrival (the file-ingest
+    order) the drain equals the first-cap-by-doc_id rule, so the op
+    carries its own full SQL oracle.
+    """
+    from ..streaming.stream_ops import domain_cap_stream
+
+    docs = read_documents_stream(spark, sf_dir)
+    return run_available_now(
+        domain_cap_stream(docs, DOMAIN_CAP), output_mode="update"
+    )
+
+
 QUERIES = {
     "stream_hourly": stream_hourly,
     "stream_sessionize": stream_sessionize,
@@ -545,6 +566,7 @@ QUERIES = {
     "stream_value_quantiles": stream_value_quantiles,
     "stream_contamination": stream_contamination,
     "stream_dedup_incremental": stream_dedup_incremental,
+    "stream_domain_cap": stream_domain_cap,
     "stream_pack": stream_pack,
     "stream_topk_cms": stream_topk_cms,
 }
@@ -565,6 +587,15 @@ ORACLE = {
     # the streaming variant's one semantic difference from the batch
     # entry is the df-cap population (existing corpus only)
     "stream_dedup_incremental": incr_dedup_oracle_sql("existing"),
+    "stream_domain_cap": f"""
+        SELECT doc_id, source, rk, (rk <= {DOMAIN_CAP}) AS kept FROM (
+          SELECT doc_id, source,
+                 row_number() OVER (
+                   PARTITION BY source ORDER BY doc_id
+                 ) AS rk
+          FROM documents
+        )
+    """,
     # single-batch drain of the static corpus == batch greedy packing
     "stream_pack": _DOCS_ORACLE["corpus_pack"],
     # cell-sum mergeability makes the drained sketch equal the batch

@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    BooleanType,
     DoubleType,
     LongType,
     StringType,
@@ -597,4 +598,65 @@ def latest_sessions(updates: DataFrame) -> DataFrame:
         updates.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") == 1)
         .drop("_rk")
+    )
+
+
+CAP_STATE_SCHEMA = StructType([StructField("seen", LongType())])
+
+CAP_OUT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("source", StringType()),
+        StructField("rk", LongType()),
+        StructField("kept", BooleanType()),
+    ]
+)
+
+
+def _make_cap_fold(cap: int):
+    def _cap_fold(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        """Per-source admission counter: ONE integer per domain,
+        carried across micro-batches so the cap binds on the stream's
+        cumulative intake, not per batch."""
+        if state.hasTimedOut:
+            state.remove()
+            return
+        source = key[0]
+        (seen,) = state.get if state.exists else (0,)
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("doc_id")
+            for doc_id in pdf["doc_id"]:
+                seen += 1
+                rows.append((int(doc_id), source, seen, seen <= cap))
+        state.update((seen,))
+        if rows:
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "source", "rk", "kept"]
+            )
+
+    return _cap_fold
+
+
+def domain_cap_stream(docs: DataFrame, cap: int) -> DataFrame:
+    """Streaming per-source admission cap — crawl governance AT
+    INGEST: the first ``cap`` docs of each source stream are admitted,
+    later arrivals are marked dropped. State is ONE counter per
+    domain, bounded by domain count, never stream length. For
+    doc_id-contiguous arrival (the file-ingest order) the drain equals
+    the batch first-cap-by-doc_id rule, so the op carries a full SQL
+    oracle.
+    """
+    return (
+        docs.select("doc_id", "source")
+        .groupBy("source")
+        .applyInPandasWithState(
+            _make_cap_fold(cap),
+            outputStructType=CAP_OUT_SCHEMA,
+            stateStructType=CAP_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
     )

@@ -703,3 +703,47 @@ def test_stream_contamination_matches_batch(spark):
     batch = corpus_contamination(spark, SF).toPandas()
     assert len(stream) > 0
     assert compare_frames(stream, batch) == []
+
+
+def test_stream_domain_cap_binds_across_micro_batches(spark, tmp_path):
+    """The admission counter must carry across micro-batch boundaries:
+    a source that used its whole cap in batch 1 admits NOTHING from
+    batch 2, and a two-batch split equals the single-batch drain."""
+    import pandas as pd
+
+    from llm_map_reduce_summarizer_spark.streaming.stream_ops import (
+        DOCS_SCHEMA,
+        domain_cap_stream,
+        run_available_now,
+    )
+
+    def doc(i, source):
+        return dict(
+            doc_id=i, text="x", lang="en", source=source, n_chars=1
+        )
+
+    src = tmp_path / "docs_cap"
+    src.mkdir()
+    # cap=2: source a fills its cap in batch 1; source b spans both
+    pd.DataFrame(
+        [doc(1, "a"), doc(2, "a"), doc(3, "b")]
+    ).to_parquet(src / "part-000.parquet")
+    pd.DataFrame(
+        [doc(4, "a"), doc(5, "b"), doc(6, "b")]
+    ).to_parquet(src / "part-001.parquet")
+    raw = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(str(src))
+    )
+    out = (
+        run_available_now(domain_cap_stream(raw, cap=2), output_mode="update")
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[1, "kept"] and out.loc[2, "kept"]
+    assert not out.loc[4, "kept"]  # a's cap consumed in batch 1
+    assert out.loc[3, "kept"] and out.loc[5, "kept"]  # b: rk 1, 2
+    assert not out.loc[6, "kept"]  # b's third arrival
+    assert list(out.sort_index()["rk"]) == [1, 2, 1, 3, 2, 3]
