@@ -39,6 +39,7 @@ from ..functions.vectors import (
     adaptive_sign_bits,
     sign_bucket,
     sql_adaptive_bits_cte,
+    sql_cosine,
     sql_dot,
     sql_sign_bucket_dynamic,
     sql_unit_cte,
@@ -1794,6 +1795,46 @@ def dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+OUTLIER_COS = 0.0
+
+
+def emb_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier screen: cosine of each vector to its
+    OWN label's centroid — low similarity marks mislabeled / noisy
+    training examples (the pruning signal of centroid-based data
+    curation, and the residual diagnostic of an IVF index).
+
+    Scale: centroids come from the dimension-exploded partial agg
+    (labels×dim cells — no vector crosses the wire), collapse to a
+    labels-sized array table that broadcasts, and the scoring pass is
+    one narrow corpus scan with the fixed-order dot fold. No corpus
+    shuffle anywhere.
+    """
+    from ..functions.vectors import cosine
+
+    e = _embs(spark, sf_dir)
+    ex = e.select("label", F.posexplode("embedding").alias("dim", "val"))
+    cent = ex.groupBy("label", "dim").agg(
+        (F.sum(F.col("val").cast("double")) / F.count(F.lit(1))).alias("c")
+    )
+    carr = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "c"))),
+            lambda s: s["c"],
+        ).alias("centroid")
+    )
+    cos = quantize(cosine(F.col("embedding"), F.col("centroid")), 6)
+    return (
+        e.join(F.broadcast(carr), "label")
+        .select(
+            "vec_id",
+            "label",
+            cos.alias("cos_centroid"),
+            (cos < OUTLIER_COS).alias("outlier"),
+        )
+    )
+
+
 def emb_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continual-ingest SEMANTIC dedup: screen a new embedding batch
     against the EXISTING corpus (verdict dup_near / keep per batch
@@ -1892,6 +1933,7 @@ QUERIES = {
     "corpus_domain_cap": corpus_domain_cap,
     "dedup_bloom": dedup_bloom,
     "emb_dedup_incremental": emb_dedup_incremental,
+    "emb_outliers": emb_outliers,
 }
 
 
@@ -3339,4 +3381,28 @@ ORACLE["emb_dedup_incremental"] = f"""
            ibest.match_id, ibest.cos
     FROM (SELECT vec_id FROM embeddings WHERE vec_id % 2 = 1) b
     LEFT JOIN ibest ON b.vec_id = ibest.vec_id
+"""
+
+_OUTLIER_COS_EXPR = sql_quantize(
+    sql_cosine("e.embedding", "carr.centroid"), 6
+)
+ORACLE["emb_outliers"] = f"""
+    WITH ocx AS (
+      SELECT label,
+             generate_subscripts(embedding, 1) AS dim,
+             unnest(embedding) AS val
+      FROM embeddings
+    ),
+    ocent AS (
+      SELECT label, dim, sum(CAST(val AS DOUBLE)) / count(*) AS c
+      FROM ocx GROUP BY 1, 2
+    ),
+    carr AS (
+      SELECT label, list(c ORDER BY dim) AS centroid
+      FROM ocent GROUP BY label
+    )
+    SELECT e.vec_id, e.label,
+           {_OUTLIER_COS_EXPR} AS cos_centroid,
+           ({_OUTLIER_COS_EXPR} < {OUTLIER_COS}) AS outlier
+    FROM embeddings e JOIN carr ON e.label = carr.label
 """

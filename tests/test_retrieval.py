@@ -178,3 +178,45 @@ def test_emb_dedup_incremental_matches_neardup_pairs(spark):
         assert abs(flagged.loc[bid, "cos"] - cos) < 1e-9
     kept = out[out["verdict"] == "keep"]
     assert kept["match_id"].isna().all()
+
+
+def test_emb_outliers_flags_the_planted_outlier(spark, tmp_path):
+    """Three aligned vectors + one anti-aligned: the centroid points
+    with the majority, so only the anti-aligned vector scores below
+    the threshold."""
+    import numpy as np
+    import pandas as pd
+
+    from llm_map_reduce_summarizer_spark.plans.documents import (
+        OUTLIER_COS,
+        emb_outliers,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=64)
+    rows = []
+    for i in range(3):
+        v = base + 0.05 * rng.normal(size=64)
+        rows.append((i, [float(x) for x in v], "A"))
+    rows.append((3, [float(x) for x in -base], "A"))
+    pd.DataFrame(rows, columns=["vec_id", "embedding", "label"]).to_parquet(
+        tmp_path / "embeddings.parquet"
+    )
+    out = (
+        emb_outliers(spark, str(tmp_path))
+        .toPandas()
+        .set_index("vec_id")
+    )
+    assert not out.loc[[0, 1, 2], "outlier"].any()
+    assert out.loc[3, "outlier"]
+    assert out.loc[3, "cos_centroid"] < OUTLIER_COS
+
+
+def test_emb_outliers_fraction_sane_on_corpus(spark):
+    from llm_map_reduce_summarizer_spark.plans.documents import emb_outliers
+
+    out = emb_outliers(spark, SF_CORRECT).toPandas()
+    frac = out["outlier"].mean()
+    assert 0.0 < frac < 0.5  # the screen fires, but not on the majority
+    assert (out["cos_centroid"] <= 1.0).all()
+    assert (out["cos_centroid"] >= -1.0).all()
