@@ -380,3 +380,39 @@ def test_emb_dedup_apply_keeps_component_minima(spark):
     all_ids = {r["vec_id"] for r in e.select("vec_id").collect()}
     assert kept == all_ids - expected_drop
     assert len(expected_drop) > 0  # the testdata does contain near-dups
+
+
+def test_retrieval_and_governance_plan_shapes(spark):
+    """Pin the scale claims of the retrieval/governance additions:
+    BM25 shuffles only filtered postings and prunes its top-k with
+    WindowGroupLimit; the fixed sample is a TakeOrdered merge, never a
+    global sort; the bloom probe joins a broadcast bit table; the
+    outlier scorer's corpus scan feeds a broadcast join directly (no
+    corpus exchange on the probe side)."""
+    from llm_map_reduce_summarizer_spark.plans.documents import (
+        corpus_sample_fixed,
+        dedup_bloom,
+        doc_bm25_topk,
+        emb_outliers,
+    )
+
+    p = plan_str(doc_bm25_topk(spark, SF))
+    assert "WindowGroupLimit" in p  # rank filter pushed into the window
+    assert "BroadcastHashJoin" in p  # dfreq + query-term map broadcast
+    # the postings shuffle carries only query-term tokens: the isin
+    # filter must sit in the scan stage, before any exchange
+    assert "BatchEvalPython" not in p
+
+    p = plan_str(corpus_sample_fixed(spark, SF))
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange" not in p  # draw is map-side; no shuffle at all
+
+    p = plan_str(dedup_bloom(spark, SF))
+    assert "BroadcastHashJoin" in p  # set-bit table broadcasts
+
+    p = plan_str(emb_outliers(spark, SF))
+    assert "BroadcastHashJoin" in p
+    # the scoring scan joins the broadcast centroid table without a
+    # shuffle in between: every hash exchange in the plan belongs to
+    # the dimension-cell aggregation (label/dim keys), none to vec_id
+    assert "hashpartitioning(vec_id" not in p
