@@ -61,16 +61,26 @@ def doc_shingles(
     paths (Jaccard self-join, MinHash) only need shingle IDENTITY, and
     an 8-byte key shuffles ~3x lighter than the string. Callers that
     output n-gram text (vocabulary top-k, novelty) stay unkeyed.
+
+    Distinct-per-doc is MAP-SIDE: ``array_distinct`` inside each doc's
+    shingle array before the explode, instead of a ``.distinct()``
+    shuffle of the exploded table — a doc's shingles all live in its
+    own row, so the exchange bought nothing (measured ~2x on the
+    shingle-build stage at sf0.1, and the shingle table is the
+    largest intermediate of every dedup plan). Dedup happens on the
+    same identity the rows carry: key arrays when keyed (a within-doc
+    60-bit collision would have been merged by the old key-distinct
+    too), strings otherwise.
     """
     w = words(F.col("text"))
-    sh = (
+    arr = shingles_3gram(F.col("w"))
+    if keyed:
+        arr = F.transform(arr, lambda s: shingle_key(s))
+    return (
         docs.withColumn("w", w)
         .filter(F.size("w") >= 3)
-        .select(F.col(id_col), F.explode(shingles_3gram(F.col("w"))).alias("s"))
+        .select(F.col(id_col), F.explode(F.array_distinct(arr)).alias("s"))
     )
-    if keyed:
-        sh = sh.select(id_col, shingle_key(F.col("s")).alias("s"))
-    return sh.distinct()
 
 
 def drop_stop_shingles(
@@ -111,7 +121,15 @@ def stop_shingle_set(shingles: DataFrame, df_cap: int) -> DataFrame:
 def jaccard_pairs(
     shingles: DataFrame, id_col: str = "doc_id", threshold: float = 0.6
 ) -> DataFrame:
-    """Exact pairwise Jaccard over shingle sets (self-join on shingle)."""
+    """Exact pairwise Jaccard over shingle sets (self-join on shingle).
+
+    The shingle table feeds three consumers (sizes + both self-join
+    sides); one eager localCheckpoint materializes the explode+key
+    scan once instead of recomputing the per-shingle md5 fold per
+    consumer (the map-side-distinct shingle build has no exchange of
+    its own for Spark to reuse).
+    """
+    shingles = shingles.localCheckpoint(eager=True)
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     a = shingles.select(F.col(id_col).alias("da"), "s")
     b = shingles.select(F.col(id_col).alias("db"), "s")
@@ -207,7 +225,12 @@ def minhash_lsh_pairs(
     # storage is MEMORY_AND_DISK and is freed when the job ends.
     sh = doc_shingles(docs, id_col, keyed=True)
     if df_cap is not None:
-        sh = drop_stop_shingles(sh, df_cap, id_col)
+        # the RAW table is read twice before the cap (df agg +
+        # anti-join); the map-side-distinct build has no exchange of
+        # its own for Spark to reuse, so materialize it once too
+        sh = drop_stop_shingles(
+            sh.localCheckpoint(eager=True), df_cap, id_col
+        )
     sh = sh.localCheckpoint(eager=True)
     bands = band_bucket_rows(sh, id_col)
     a = bands.select(F.col(id_col).alias("da"), "bk", "bv")
@@ -253,7 +276,12 @@ def incremental_dedup_verdicts(
     )
     sh = doc_shingles(docs, id_col, keyed=True)
     if df_cap is not None:
-        sh = drop_stop_shingles(sh, df_cap, id_col)
+        # the RAW table is read twice before the cap (df agg +
+        # anti-join); the map-side-distinct build has no exchange of
+        # its own for Spark to reuse, so materialize it once too
+        sh = drop_stop_shingles(
+            sh.localCheckpoint(eager=True), df_cap, id_col
+        )
     sh = sh.localCheckpoint(eager=True)
     bands = band_bucket_rows(sh, id_col)
     bb = bands.join(batch.select(id_col), id_col, "left_semi")
@@ -305,7 +333,9 @@ def dedup_reference_index(
     All four are materialized once (localCheckpoint) and reused across
     every screened batch/micro-batch.
     """
-    sh_raw = doc_shingles(existing, id_col, keyed=True)
+    sh_raw = doc_shingles(existing, id_col, keyed=True).localCheckpoint(
+        eager=True
+    )
     if df_cap is not None:
         stop = stop_shingle_set(sh_raw, df_cap)
         sh = sh_raw.join(F.broadcast(stop), "s", "left_anti")

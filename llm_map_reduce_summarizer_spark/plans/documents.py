@@ -373,7 +373,11 @@ def dedup_index_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import drop_stop_shingles, minhash_signatures
 
     sh = doc_shingles(_docs(spark, sf_dir), keyed=True)
-    sh = drop_stop_shingles(sh, MINHASH_DF_CAP)
+    # two passes consume the raw table (df agg + anti-join) before the
+    # signature agg; materialize the keyed explode once
+    sh = drop_stop_shingles(
+        sh.localCheckpoint(eager=True), MINHASH_DF_CAP
+    )
     return minhash_signatures(sh).select("doc_id", *band_hashes())
 
 
@@ -1751,7 +1755,9 @@ def dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     audit drops and only the broadcast-filter probe remains.
     """
     d = _docs(spark, sf_dir)
-    sh = doc_shingles(d, keyed=True)
+    # four consumers read the keyed shingle table (set bits, probe,
+    # audit join, flag scan); materialize the explode+key scan once
+    sh = doc_shingles(d, keyed=True).localCheckpoint(eager=True)
     ex = sh.filter(F.col("doc_id") % 2 == 0).select("s").distinct()
     bt = sh.filter(F.col("doc_id") % 2 == 1)
     setbits = ex.select(
