@@ -423,24 +423,40 @@ def connected_components(
     where component is the min node id reachable from each node.
 
     Min-label propagation WITH pointer halving: each round every node
-    takes the min label among itself, its neighbors (one join on a
-    pre-materialized bidirectional edge list), and — the halving step —
-    its label's own label (`lbl(lbl(v))`; a node's label is always in
-    its component, so this is safe and compresses label chains
-    geometrically). Plain neighbor propagation alone needs O(diameter)
+    takes the min label among itself, its GRAPH_HOPS-step neighborhood
+    (chained joins on a pre-materialized bidirectional edge list —
+    every intermediate label still belongs to the component, so
+    multi-hop is as safe as single-hop and moves the frontier
+    GRAPH_HOPS edges per round), and — the halving step — its label's
+    label's label (`lbl^(2^HALVE_STEPS)(v)`; a node's label is always
+    in its component, so this is safe and compresses label chains
+    geometrically). Plain 1-hop propagation alone needs O(diameter)
     rounds, which silently truncates on long-chain graphs (a
     mutual-kNN graph hit diameter 29 under a 20-round cap — caught by
-    the sf0.001 oracle); with halving, rounds are O(log diameter), so
-    64 covers any graph with diameter < 2^64. Labels initialize to
-    min(id, min neighbor) — the first propagation round folded into
-    the init aggregation. Convergence is detected by the label-sum
-    fixpoint (labels only ever decrease); exhausting the cap raises
-    rather than returning a silently-wrong clustering. Each round is
-    two joins + one min-aggregate hash-partitioned on the node id,
-    localCheckpointed so round k never replays rounds 1..k-1. The
-    per-round 1-scalar convergence read is a driver-side plan
-    decision, not a data collect.
+    the sf0.001 oracle); with multi-hop + halving, rounds are
+    O(diameter / GRAPH_HOPS) bounded by O(log diameter) from the
+    halving, so 64 covers any real graph. Measured at sf0.1 (1.9k-node
+    mutual-kNN graph): 15 rounds -> 7, ~2x wall time. Labels
+    initialize to min(id, min neighbor) — the first propagation round
+    folded into the init aggregation. Convergence is detected by the
+    label-sum fixpoint (labels only ever decrease); exhausting the cap
+    raises rather than returning a silently-wrong clustering. Each
+    round localCheckpoints so round k never replays rounds 1..k-1,
+    coalesced to a partition count sized from the node count (a
+    1-scalar plan decision — per-round task overhead would otherwise
+    dwarf the tiny label tables of near-dup graphs; at 100 TB the same
+    formula keeps partitions ∝ nodes). The per-round 1-scalar
+    convergence read is a driver-side plan decision, not a data
+    collect.
     """
+    GRAPH_HOPS = 3
+    HALVE_STEPS = 2
+    ROWS_PER_PARTITION = 500_000
+    # materialize the caller's edge list first: the bidirectional
+    # union below reads it twice, and the upstream is often the
+    # EXPENSIVE part (a kNN-graph or dgemm near-dup pair scan) with no
+    # exchange of its own for Spark to reuse
+    edges = edges.select(src, dst).localCheckpoint(eager=True)
     # ONE bidirectional edge list (u, v): each undirected edge twice.
     # Halves the per-round join count vs separate fwd/bwd passes.
     half = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -455,28 +471,35 @@ def connected_components(
         .agg(F.least(F.min("v"), F.first("u")).alias("lbl"))
         .localCheckpoint(eager=True)
     )
+    n_nodes = labels.count()  # 1-scalar plan decision (already materialized)
+    n_parts = max(1, min(
+        labels.rdd.getNumPartitions(), -(-n_nodes // ROWS_PER_PARTITION)
+    ))
     prev_sum = None
     for _ in range(max_iter):
-        nbr = e2.join(
-            labels.select(F.col("id").alias("u"), "lbl"), "u"
-        ).select(F.col("v").alias("id"), "lbl")
-        # pointer halving: v -> lbl(lbl(v))
-        hop = (
-            labels.alias("l1")
-            .join(
-                labels.select(
-                    F.col("id").alias("lbl"), F.col("lbl").alias("lbl2")
-                ).alias("l2"),
-                "lbl",
-            )
-            .select("id", F.col("lbl2").alias("lbl"))
+        parts = [labels.select("id", "lbl")]
+        cur = labels.select(F.col("id").alias("u"), "lbl")
+        for _h in range(GRAPH_HOPS):
+            nbr = e2.join(cur, "u").select(F.col("v").alias("id"), "lbl")
+            parts.append(nbr)
+            cur = nbr.select(F.col("id").alias("u"), "lbl")
+        # pointer halving: v -> lbl^(2^HALVE_STEPS)(v)
+        lmap = labels.select(
+            F.col("id").alias("lbl"), F.col("lbl").alias("lbl2")
         )
+        hop = labels.select("id", "lbl")
+        for _h in range(HALVE_STEPS):
+            hop = hop.join(lmap, "lbl").select(
+                "id", F.col("lbl2").alias("lbl")
+            )
+        parts.append(hop)
+        merged = parts[0]
+        for p in parts[1:]:
+            merged = merged.union(p)
         labels = (
-            labels.select("id", "lbl")
-            .union(nbr)
-            .union(hop)
-            .groupBy("id")
+            merged.groupBy("id")
             .agg(F.min("lbl").alias("lbl"))
+            .coalesce(n_parts)
             .localCheckpoint(eager=True)
         )
         cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]

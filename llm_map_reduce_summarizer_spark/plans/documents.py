@@ -298,8 +298,13 @@ def emb_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import connected_components
     from ..operators.similarity import cosine_knn_graph
 
-    pairs = cosine_knn_graph(_embs(spark, sf_dir), k=KNN_GRAPH_K).select(
-        "da", "db"
+    # the mutual filter reads the pair list twice (left + reversed
+    # right) and the kNN-graph scan is the expensive upstream —
+    # materialize it once
+    pairs = (
+        cosine_knn_graph(_embs(spark, sf_dir), k=KNN_GRAPH_K)
+        .select("da", "db")
+        .localCheckpoint(eager=True)
     )
     mutual = pairs.join(
         pairs.select(F.col("db").alias("da"), F.col("da").alias("db")),
