@@ -369,6 +369,30 @@ def emb_pq_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_encode(_embs(spark, sf_dir))
 
 
+IVFPQ_NPROBE = 4
+
+
+def knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ ANN — the composition billion-vector indexes ship: the
+    IVF coarse quantizer prunes each query's scan to its nprobe lists,
+    and ranking within the surviving lists is PQ asymmetric distance
+    over 8 sub-codes (operators/similarity.py cosine_topk_ivfpq).
+    nprobe=4 matches `knn_ivf_trained`'s setting for the isotropic
+    synthetic embeddings (the adversarial case for IVF recall).
+
+    Scale: a probe reads nprobe/n_centroids of a code table that is
+    32 bits/vector — both pruning ratios compound, which is why this
+    shape serves billion-vector corpora.
+    """
+    from ..operators.similarity import cosine_topk_ivfpq
+
+    e = _embs(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < N_QUERY_VECS)
+    return cosine_topk_ivfpq(
+        q, e, k=KNN_K, n_centroids=IVF_CENTROIDS, nprobe=IVFPQ_NPROBE
+    )
+
+
 def dedup_index_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The stored near-dup index table: per-doc MinHash LSH band keys
     — the existing-corpus side that ``corpus_dedup_incremental`` /
@@ -1945,6 +1969,7 @@ QUERIES = {
     "dedup_bloom": dedup_bloom,
     "emb_dedup_incremental": emb_dedup_incremental,
     "emb_outliers": emb_outliers,
+    "knn_ivfpq": knn_ivfpq,
 }
 
 
@@ -2065,12 +2090,18 @@ def _int8_oracle_sql() -> str:
 _INT8_ORACLE = _int8_oracle_sql()
 
 
-def _pq_ctes() -> str:
+def _pq_ctes(ivf: tuple[int, int] | None = None) -> str:
     """Shared PQ CTE chain ending in ``adcrk(query_id, neighbor_id,
     adc, rk)``: encode = rank-1 codeword per (vector, subspace) by
     quantized squared L2 with cid tie-break; ADC = the 8 quantized
     table entries summed in subspace order via an ordered list — every
-    double op in the same order as the numpy path."""
+    double op in the same order as the numpy path.
+
+    ``ivf=(n_centroids, nprobe)`` adds the IVFPQ mask: corpus vectors
+    assign to their rank-1 coarse centroid, queries probe their nprobe
+    nearest lists, and the gather keeps only (query, vector) pairs in
+    a probed list — the same quantized-cos DESC / cid ASC tie-breaks
+    as the numpy path."""
     sub = DIM // PQ_M
 
     def dist(a: str, b: str) -> str:
@@ -2084,6 +2115,45 @@ def _pq_ctes() -> str:
     adc_chain = "(0.0 + " + " + ".join(
         f"ds[{m}]" for m in range(1, PQ_M + 1)
     ) + ")"
+    ivf_ctes = ""
+    ivf_joins = ""
+    if ivf is not None:
+        n_cent, nprobe = ivf
+        qcos = (
+            f"(floor({sql_dot('v.u', 'c.cu')} * 1000000.0 + 0.5)"
+            f" / 1000000.0)"
+        )
+        ivf_ctes = f"""ivfc AS (
+          SELECT vec_id AS cid, u AS cu FROM unitv
+          WHERE vec_id < {n_cent}
+        ),
+        iassign AS (
+          SELECT vec_id, cid AS bucket FROM (
+            SELECT v.vec_id, c.cid,
+                   row_number() OVER (
+                     PARTITION BY v.vec_id
+                     ORDER BY {qcos} DESC, c.cid
+                   ) AS rk
+            FROM unitv v CROSS JOIN ivfc c
+          ) WHERE rk = 1
+        ),
+        iprobes AS (
+          SELECT vec_id AS query_id, cid AS bucket FROM (
+            SELECT v.vec_id, c.cid,
+                   row_number() OVER (
+                     PARTITION BY v.vec_id
+                     ORDER BY {qcos} DESC, c.cid
+                   ) AS rk
+            FROM unitv v CROSS JOIN ivfc c
+            WHERE v.vec_id < {N_QUERY_VECS}
+          ) WHERE rk <= {nprobe}
+        ),
+        """
+        ivf_joins = (
+            "JOIN iassign a ON a.vec_id = e.vec_id\n"
+            "          JOIN iprobes p ON p.query_id = qd.query_id"
+            " AND p.bucket = a.bucket\n          "
+        )
     return f"""{sql_unit_cte()},
         subsp AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m),
         cw AS (SELECT vec_id AS cid, u FROM unitv WHERE vec_id < {PQ_CODES}),
@@ -2102,11 +2172,11 @@ def _pq_ctes() -> str:
           FROM unitv q CROSS JOIN subsp s CROSS JOIN cw c
           WHERE q.vec_id < {N_QUERY_VECS}
         ),
-        gath AS (
+        {ivf_ctes}gath AS (
           SELECT qd.query_id, e.vec_id AS neighbor_id,
                  list(qd.d ORDER BY e.m) AS ds
           FROM enc e JOIN qd ON qd.m = e.m AND qd.cid = e.code
-          WHERE e.vec_id <> qd.query_id
+          {ivf_joins}WHERE e.vec_id <> qd.query_id
           GROUP BY 1, 2
         ),
         adct AS (
@@ -3416,4 +3486,10 @@ ORACLE["emb_outliers"] = f"""
            {_OUTLIER_COS_EXPR} AS cos_centroid,
            ({_OUTLIER_COS_EXPR} < {OUTLIER_COS}) AS outlier
     FROM embeddings e JOIN carr ON e.label = carr.label
+"""
+
+ORACLE["knn_ivfpq"] = f"""
+    WITH {_pq_ctes((IVF_CENTROIDS, IVFPQ_NPROBE))}
+    SELECT query_id, neighbor_id, adc, rk
+    FROM adcrk WHERE rk <= {KNN_K}
 """
