@@ -393,6 +393,55 @@ def knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def emb_ivf_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stored IVF list-assignment table: per-vector coarse-list id
+    — the third stored index artifact (alongside `emb_pq_export`'s
+    codes and `dedup_index_export`'s bands); `knn_ivfpq` probes read
+    exactly this table, list-partitioned, in production.
+
+    Scale: one corpus scan (broadcast d×K centroid matrix, dgemm per
+    Arrow batch), zero shuffle.
+    """
+    from ..operators.similarity import centroid_matrix, ivf_assign
+
+    e = _embs(spark, sf_dir)
+    cents = centroid_matrix(e, IVF_CENTROIDS)
+    return ivf_assign(e, cents, top=1).select(
+        F.col("vid").alias("vec_id"), F.col("bucket").alias("list_id")
+    )
+
+
+TOKEN_HIST_WIDTH = 32
+
+
+def corpus_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-length (token-count) histogram — the packing/batching
+    diagnostic: how much padding a sequence budget wastes is a
+    function of exactly this distribution.
+
+    Scale: one partial-agg groupBy on the bucket id; result bounded by
+    the length range / width, never corpus size.
+    """
+    d = _docs(spark, sf_dir)
+    n = token_count(F.col("text")).cast("long")
+    bucket = F.floor(n / F.lit(TOKEN_HIST_WIDTH)).cast("long")
+    return (
+        d.select(
+            bucket.alias("bucket"),
+            n.alias("n_tokens"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("n_tokens").cast("long").alias("min_tokens"),
+            F.max("n_tokens").cast("long").alias("max_tokens"),
+        )
+        .withColumn(
+            "lo", (F.col("bucket") * TOKEN_HIST_WIDTH).cast("long")
+        )
+    )
+
+
 def dedup_index_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The stored near-dup index table: per-doc MinHash LSH band keys
     — the existing-corpus side that ``corpus_dedup_incremental`` /
@@ -1970,6 +2019,8 @@ QUERIES = {
     "emb_dedup_incremental": emb_dedup_incremental,
     "emb_outliers": emb_outliers,
     "knn_ivfpq": knn_ivfpq,
+    "emb_ivf_export": emb_ivf_export,
+    "corpus_token_histogram": corpus_token_histogram,
 }
 
 
@@ -3492,4 +3543,40 @@ ORACLE["knn_ivfpq"] = f"""
     WITH {_pq_ctes((IVF_CENTROIDS, IVFPQ_NPROBE))}
     SELECT query_id, neighbor_id, adc, rk
     FROM adcrk WHERE rk <= {KNN_K}
+"""
+
+ORACLE["emb_ivf_export"] = f"""
+    WITH {sql_unit_cte()},
+    ivfc AS (
+      SELECT vec_id AS cid, u AS cu FROM unitv
+      WHERE vec_id < {IVF_CENTROIDS}
+    )
+    SELECT vec_id, list_id FROM (
+      SELECT v.vec_id, c.cid AS list_id,
+             row_number() OVER (
+               PARTITION BY v.vec_id
+               ORDER BY (floor({sql_dot('v.u', 'c.cu')} * 1000000.0 + 0.5)
+                         / 1000000.0) DESC,
+                        c.cid
+             ) AS rk
+      FROM unitv v CROSS JOIN ivfc c
+    ) WHERE rk = 1
+"""
+
+ORACLE["corpus_token_histogram"] = f"""
+    WITH lens AS (
+      SELECT CAST(len(regexp_extract_all(text, '{TOKEN_PATTERN}'))
+             AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+           CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+           CAST(bucket * {TOKEN_HIST_WIDTH} AS BIGINT) AS lo
+    FROM (
+      SELECT CAST(floor(n_tokens / {TOKEN_HIST_WIDTH}) AS BIGINT) AS bucket,
+             n_tokens
+      FROM lens
+    ) GROUP BY bucket
 """
