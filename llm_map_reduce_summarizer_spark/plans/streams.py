@@ -552,6 +552,42 @@ def stream_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def stream_sample_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deterministic reservoir sample — the bottom-k sketch
+    running AT INGEST: each shard's state is the k smallest seeded
+    draws seen so far (k rows per shard, never stream length), and
+    min-k is a SET property, so the drained sample is invariant to
+    micro-batch splits and arrival order — bit-equal to batch
+    ``corpus_sample_fixed``, whose oracle it shares.
+
+    The post-drain step keeps each shard's final reservoir (max state
+    seq) and merges the global k smallest — k x n_shards rows on the
+    driver session, the established post-drain ranking pattern.
+    """
+    from ..streaming.stream_ops import sample_stream
+    from .documents import FIXED_SAMPLE_K
+
+    from pyspark.sql import functions as F
+
+    docs = read_documents_stream(spark, sf_dir)
+    from pyspark.sql.window import Window
+
+    drained = run_available_now(
+        sample_stream(docs, FIXED_SAMPLE_K), output_mode="update"
+    )
+    # final reservoir per shard = the max-seq emission (window, not a
+    # self-join: the memory-sink view can't join itself)
+    w = Window.partitionBy("shard")
+    return (
+        drained.withColumn("max_seq", F.max("seq").over(w))
+        .filter(F.col("seq") == F.col("max_seq"))
+        .orderBy("sample_key")
+        .limit(FIXED_SAMPLE_K)
+        .select("doc_id", "lang", "source", "sample_key")
+    )
+
+
 QUERIES = {
     "stream_hourly": stream_hourly,
     "stream_sessionize": stream_sessionize,
@@ -567,6 +603,7 @@ QUERIES = {
     "stream_contamination": stream_contamination,
     "stream_dedup_incremental": stream_dedup_incremental,
     "stream_domain_cap": stream_domain_cap,
+    "stream_sample_fixed": stream_sample_fixed,
     "stream_pack": stream_pack,
     "stream_topk_cms": stream_topk_cms,
 }
@@ -587,6 +624,7 @@ ORACLE = {
     # the streaming variant's one semantic difference from the batch
     # entry is the df-cap population (existing corpus only)
     "stream_dedup_incremental": incr_dedup_oracle_sql("existing"),
+    "stream_sample_fixed": _DOCS_ORACLE["corpus_sample_fixed"],
     "stream_domain_cap": f"""
         SELECT doc_id, source, rk, (rk <= {DOMAIN_CAP}) AS kept FROM (
           SELECT doc_id, source,

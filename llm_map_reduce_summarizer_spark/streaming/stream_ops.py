@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     BooleanType,
     DoubleType,
     LongType,
@@ -659,4 +660,113 @@ def domain_cap_stream(docs: DataFrame, cap: int) -> DataFrame:
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
+    )
+
+
+RESERVOIR_STATE_SCHEMA = StructType(
+    [
+        StructField("seq", LongType()),
+        StructField("draws", ArrayType(StringType())),
+        StructField("ids", ArrayType(LongType())),
+        StructField("langs", ArrayType(StringType())),
+        StructField("sources", ArrayType(StringType())),
+    ]
+)
+
+RESERVOIR_OUT_SCHEMA = StructType(
+    [
+        StructField("shard", LongType()),
+        StructField("seq", LongType()),
+        StructField("doc_id", LongType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("sample_key", StringType()),
+    ]
+)
+
+
+def _sample_draw(doc_id: int) -> str:
+    """Python twin of ``shuffle_sort_key(doc_id, "usample")`` — the
+    same md5 hex Spark computes, so the streaming reservoir and the
+    batch sample rank by identical keys."""
+    import hashlib
+
+    return hashlib.md5(f"usample|{doc_id}".encode()).hexdigest()
+
+
+def _make_reservoir_fold(k: int):
+    def _fold(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        """Per-shard bottom-k reservoir: keep the k smallest seeded
+        draws seen so far — k rows of state per shard, independent of
+        stream length, and min-k is a set property, so the reservoir
+        is invariant to micro-batch splits AND arrival order (stronger
+        than the arrival-order ops)."""
+        if state.hasTimedOut:
+            state.remove()
+            return
+        shard = key[0]
+        if state.exists:
+            seq, draws, ids, langs, sources = state.get
+            entries = list(zip(draws, ids, langs, sources))
+        else:
+            seq, entries = 0, []
+        for pdf in pdfs:
+            for doc_id, lang, source in zip(
+                pdf["doc_id"], pdf["lang"], pdf["source"]
+            ):
+                entries.append(
+                    (_sample_draw(int(doc_id)), int(doc_id), lang, source)
+                )
+        entries.sort()
+        entries = entries[:k]
+        seq += 1
+        state.update(
+            (
+                seq,
+                [e[0] for e in entries],
+                [e[1] for e in entries],
+                [e[2] for e in entries],
+                [e[3] for e in entries],
+            )
+        )
+        yield pd.DataFrame(
+            [
+                {
+                    "shard": shard,
+                    "seq": seq,
+                    "doc_id": e[1],
+                    "lang": e[2],
+                    "source": e[3],
+                    "sample_key": e[0],
+                }
+                for e in entries
+            ]
+        )
+
+    return _fold
+
+
+def sample_stream(docs: DataFrame, k: int, n_shards: int = 8) -> DataFrame:
+    """Streaming deterministic reservoir (bottom-k sketch): each shard
+    keeps the k smallest seeded md5 draws seen so far; the final
+    global sample is the k smallest across shards (min-k of min-k's ==
+    global min-k since every global winner survives its own shard).
+
+    State is k rows per shard — bounded by k x n_shards, never stream
+    length. Emits the full current reservoir each batch tagged with a
+    state sequence number; the caller keeps the max-seq emission per
+    shard and merges (see plans/streams.py stream_sample_fixed).
+    """
+    keyed = docs.select(
+        "doc_id", "lang", "source",
+        (F.col("doc_id") % n_shards).cast("long").alias("shard"),
+    )
+    return keyed.groupBy("shard").applyInPandasWithState(
+        _make_reservoir_fold(k),
+        outputStructType=RESERVOIR_OUT_SCHEMA,
+        stateStructType=RESERVOIR_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

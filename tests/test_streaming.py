@@ -747,3 +747,56 @@ def test_stream_domain_cap_binds_across_micro_batches(spark, tmp_path):
     assert out.loc[3, "kept"] and out.loc[5, "kept"]  # b: rk 1, 2
     assert not out.loc[6, "kept"]  # b's third arrival
     assert list(out.sort_index()["rk"]) == [1, 2, 1, 3, 2, 3]
+
+
+def test_stream_reservoir_displacement_across_batches(spark, tmp_path):
+    """A later micro-batch's smaller draw must DISPLACE an earlier
+    reservoir member (state carries the bottom-k set, and the final
+    emission reflects the displacement), and the drain must equal the
+    batch bottom-k on the union of both files."""
+    import hashlib
+
+    import pandas as pd
+
+    from llm_map_reduce_summarizer_spark.streaming.stream_ops import (
+        DOCS_SCHEMA,
+        run_available_now,
+        sample_stream,
+    )
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    def doc(i):
+        return dict(doc_id=i, text="x", lang="en", source="s", n_chars=1)
+
+    ids_a, ids_b = [1, 2, 3, 4], [5, 6, 7, 8]
+    src = tmp_path / "docs_res"
+    src.mkdir()
+    pd.DataFrame([doc(i) for i in ids_a]).to_parquet(src / "part-000.parquet")
+    pd.DataFrame([doc(i) for i in ids_b]).to_parquet(src / "part-001.parquet")
+    raw = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(str(src))
+    )
+    k = 3
+    drained = run_available_now(
+        sample_stream(raw, k, n_shards=1), output_mode="update"
+    )
+    w = Window.partitionBy("shard")
+    final = (
+        drained.withColumn("mx", F.max("seq").over(w))
+        .filter(F.col("seq") == F.col("mx"))
+        .toPandas()
+    )
+    draws = {
+        i: hashlib.md5(f"usample|{i}".encode()).hexdigest()
+        for i in ids_a + ids_b
+    }
+    expect = sorted(draws, key=lambda i: draws[i])[:k]
+    assert sorted(final["doc_id"]) == sorted(expect)
+    # the two-batch split must have displaced at least one member of
+    # batch 1's reservoir (otherwise this test proves nothing)
+    first_k = sorted(ids_a, key=lambda i: draws[i])[:k]
+    assert set(first_k) != set(expect)
