@@ -442,6 +442,80 @@ def corpus_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CONTAINMENT_THRESHOLD = 0.8
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional near-SUPERSET pairs: containment C(A in B) =
+    |A∩B| / |A| — catches a small doc quoted verbatim inside a larger
+    one, which symmetric Jaccard dilutes below any usable threshold
+    (the second signal of Lee et al.-style dedup, next to Jaccard).
+
+    Emits (da=contained, db=container, containment) for C >= 0.8,
+    both directions considered. Same shuffle shape as the Jaccard
+    verification tool (keyed shingle self-join); the corpus-scale
+    path composes the LSH candidates + `dedup_substring`'s window
+    hashes.
+    """
+    from ..operators.dedup import doc_shingles
+
+    sh = doc_shingles(_docs(spark, sf_dir), keyed=True).localCheckpoint(
+        eager=True
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("da"), "s")
+    b = sh.select(F.col("doc_id").alias("db"), "s")
+    common = (
+        a.join(b, "s")
+        .filter(F.col("da") != F.col("db"))
+        .groupBy("da", "db")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        common.join(
+            sizes.select(F.col("doc_id").alias("da"), F.col("n").alias("na")),
+            "da",
+        )
+        .withColumn(
+            "containment", quantize(F.col("c") / F.col("na"), 4)
+        )
+        .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
+        .select("da", "db", "containment")
+    )
+
+
+def events_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-event snapshot per entity (the SCD/upsert collapse: a
+    100 TB event log compacts to one current-state row per user).
+
+    Scale: ONE natural-key partial agg — the argmax rides a struct-max
+    (ts, event_id ordered fields), so no ranking window and no sort;
+    exact-integer microsecond ordering with event_id tie-break.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    picked = (
+        ev.select(
+            "user_id",
+            F.struct(
+                us.alias("ts_us"),
+                F.col("event_id").alias("event_id"),
+                F.col("event_type").alias("event_type"),
+                F.col("value").alias("value"),
+            ).alias("st"),
+        )
+        .groupBy("user_id")
+        .agg(F.max("st").alias("st"))
+    )
+    return picked.select(
+        "user_id",
+        F.col("st.event_id").alias("event_id"),
+        F.col("st.ts_us").alias("ts_us"),
+        F.col("st.event_type").alias("event_type"),
+        F.col("st.value").alias("value"),
+    )
+
+
 def dedup_index_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The stored near-dup index table: per-doc MinHash LSH band keys
     — the existing-corpus side that ``corpus_dedup_incremental`` /
@@ -2021,6 +2095,8 @@ QUERIES = {
     "knn_ivfpq": knn_ivfpq,
     "emb_ivf_export": emb_ivf_export,
     "corpus_token_histogram": corpus_token_histogram,
+    "dedup_containment": dedup_containment,
+    "events_latest_state": events_latest_state,
 }
 
 
@@ -3579,4 +3655,37 @@ ORACLE["corpus_token_histogram"] = f"""
              n_tokens
       FROM lens
     ) GROUP BY bucket
+"""
+
+ORACLE["dedup_containment"] = f"""
+    WITH {_SH_CTES}, {_SHK_CTE},
+    csizes AS (
+      SELECT doc_id, count(*) AS n FROM shk GROUP BY doc_id
+    ),
+    ccommon AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+      FROM shk a JOIN shk b ON a.s = b.s AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT da, db,
+           (floor((CAST(c AS DOUBLE) / na) * 10000.0 + 0.5) / 10000.0)
+             AS containment
+    FROM (
+      SELECT ccommon.da, ccommon.db, ccommon.c, sa.n AS na
+      FROM ccommon JOIN csizes sa ON ccommon.da = sa.doc_id
+    )
+    WHERE (floor((CAST(c AS DOUBLE) / na) * 10000.0 + 0.5) / 10000.0)
+          >= {CONTAINMENT_THRESHOLD}
+"""
+
+ORACLE["events_latest_state"] = """
+    SELECT user_id, event_id, ts_us, event_type, value FROM (
+      SELECT user_id, event_id,
+             epoch_us(ts) AS ts_us, event_type, value,
+             row_number() OVER (
+               PARTITION BY user_id
+               ORDER BY epoch_us(ts) DESC, event_id DESC
+             ) AS rk
+      FROM events
+    ) WHERE rk = 1
 """
