@@ -93,7 +93,10 @@ def main() -> None:
         "emb_clusters",
         "emb_dedup_apply",
         "knn_pq_rerank",
+        "knn_ivfpq",
         "corpus_dedup_incremental",
+        "search_rrf",
+        "dedup_bloom",
     ):
         queries[name](spark, "/root/testdata/sf0.001").write.format(
             "noop"

@@ -588,6 +588,42 @@ def stream_sample_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def stream_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming latest-event-per-entity snapshot — the SCD/upsert
+    collapse running AT INGEST: complete-mode struct-max per user, so
+    state is ONE struct per active entity (hash-partitioned, bounded
+    by entity count, never stream length) and the max-merge is
+    order-independent — the drain equals batch ``events_latest_state``
+    for ANY micro-batching, whose oracle it shares.
+    """
+    from pyspark.sql import functions as F
+
+    ev = read_events_stream(spark, sf_dir)
+    us = F.unix_micros(F.col("ts"))
+    picked = (
+        ev.select(
+            "user_id",
+            F.struct(
+                us.alias("ts_us"),
+                F.col("event_id").alias("event_id"),
+                F.col("event_type").alias("event_type"),
+                F.col("value").alias("value"),
+            ).alias("st"),
+        )
+        .groupBy("user_id")
+        .agg(F.max("st").alias("st"))
+    )
+    drained = run_available_now(picked, output_mode="complete")
+    return drained.select(
+        "user_id",
+        F.col("st.event_id").alias("event_id"),
+        F.col("st.ts_us").alias("ts_us"),
+        F.col("st.event_type").alias("event_type"),
+        F.col("st.value").alias("value"),
+    )
+
+
 QUERIES = {
     "stream_hourly": stream_hourly,
     "stream_sessionize": stream_sessionize,
@@ -604,6 +640,7 @@ QUERIES = {
     "stream_dedup_incremental": stream_dedup_incremental,
     "stream_domain_cap": stream_domain_cap,
     "stream_sample_fixed": stream_sample_fixed,
+    "stream_latest_state": stream_latest_state,
     "stream_pack": stream_pack,
     "stream_topk_cms": stream_topk_cms,
 }
@@ -625,6 +662,7 @@ ORACLE = {
     # entry is the df-cap population (existing corpus only)
     "stream_dedup_incremental": incr_dedup_oracle_sql("existing"),
     "stream_sample_fixed": _DOCS_ORACLE["corpus_sample_fixed"],
+    "stream_latest_state": _DOCS_ORACLE["events_latest_state"],
     "stream_domain_cap": f"""
         SELECT doc_id, source, rk, (rk <= {DOMAIN_CAP}) AS kept FROM (
           SELECT doc_id, source,
