@@ -516,6 +516,114 @@ def events_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Gopher quality rules (Rae et al. 2021, public): the published rule
+# battery a production corpus filter runs before model-based scoring.
+# paper list + "a" (the only other function word in the synthetic
+# vocabulary) so the presence rule discriminates on the test corpus
+GOPHER_STOPS = ("the", "a", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MWL_MIN = 3.0
+GOPHER_MWL_MAX = 10.0
+GOPHER_SYMBOL_MAX = 0.1
+GOPHER_ALPHA_MIN = 0.8
+GOPHER_MIN_STOPS = 2
+
+
+def doc_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule battery per doc: word-count bounds, mean word
+    length, symbol-to-word ratio (# / ellipsis), alphabetic-word
+    fraction, stopword presence — each rule an audit flag plus the
+    conjunctive keep verdict.
+
+    Scale: pure column expressions in ONE narrow scan — zero
+    exchanges; every ratio quantized at 4 decimals so both engines
+    gate identically.
+    """
+    d = _docs(spark, sf_dir)
+    w = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n_words = F.size(w).cast("double")
+    mwl = quantize(
+        F.length(F.regexp_replace("text", r"\s", "")).cast("double")
+        / n_words,
+        4,
+    )
+    symbols = (
+        F.regexp_count("text", F.lit("#"))
+        + F.regexp_count("text", F.lit(r"\.\.\."))
+    ).cast("double")
+    symbol_ratio = quantize(symbols / n_words, 4)
+    alpha_words = F.size(
+        F.filter(w, lambda t: t.rlike("[a-z]"))
+    ).cast("double")
+    alpha_frac = quantize(alpha_words / n_words, 4)
+    stop_present = sum(
+        F.when(F.array_contains(w, s), 1).otherwise(0)
+        for s in GOPHER_STOPS
+    ).cast("long")
+    flags = {
+        "ok_words": (n_words >= GOPHER_MIN_WORDS)
+        & (n_words <= GOPHER_MAX_WORDS),
+        "ok_mwl": (mwl >= GOPHER_MWL_MIN) & (mwl <= GOPHER_MWL_MAX),
+        "ok_symbols": symbol_ratio < GOPHER_SYMBOL_MAX,
+        "ok_alpha": alpha_frac > GOPHER_ALPHA_MIN,
+        "ok_stops": stop_present >= GOPHER_MIN_STOPS,
+    }
+    keep = None
+    for c in flags.values():
+        keep = c if keep is None else (keep & c)
+    return d.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        mwl.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        alpha_frac.alias("alpha_frac"),
+        stop_present.alias("stop_present"),
+        *[c.alias(k) for k, c in flags.items()],
+        keep.alias("keep"),
+    )
+
+
+# C4 cleaning rules (Raffel et al. 2020, public).
+C4_MIN_SENTENCES = 3
+C4_BANNED = ("lorem ipsum", "javascript", "{")
+
+
+def doc_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 rule battery per doc: sentence-count floor (terminal-
+    punctuation splits) and the banned-content screens (lorem ipsum,
+    javascript, curly brace) — audit flags + conjunctive keep.
+
+    Scale: one narrow scan, zero exchanges, quantization-free (all
+    rules are integer/boolean). The synthetic corpus is punctuation-
+    free, so the faithful C4 gate drops every doc here (the correct
+    verdict); discrimination is exercised on punctuated synthetic docs
+    in unit tests.
+    """
+    d = _docs(spark, sf_dir)
+    lower = F.lower(F.col("text"))
+    n_sentences = (
+        F.size(F.split(F.col("text"), r"[.!?]")) - F.lit(1)
+    ).cast("long")
+    has = {
+        "has_lorem": lower.contains("lorem ipsum"),
+        "has_js": lower.contains("javascript"),
+        "has_brace": F.col("text").contains("{"),
+    }
+    keep = (
+        (n_sentences >= C4_MIN_SENTENCES)
+        & ~has["has_lorem"]
+        & ~has["has_js"]
+        & ~has["has_brace"]
+    )
+    return d.select(
+        "doc_id",
+        n_sentences.alias("n_sentences"),
+        *[c.alias(k) for k, c in has.items()],
+        keep.alias("keep"),
+    )
+
+
 def dedup_index_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The stored near-dup index table: per-doc MinHash LSH band keys
     — the existing-corpus side that ``corpus_dedup_incremental`` /
@@ -2097,6 +2205,8 @@ QUERIES = {
     "corpus_token_histogram": corpus_token_histogram,
     "dedup_containment": dedup_containment,
     "events_latest_state": events_latest_state,
+    "doc_gopher_rules": doc_gopher_rules,
+    "doc_c4_rules": doc_c4_rules,
 }
 
 
@@ -3688,4 +3798,69 @@ ORACLE["events_latest_state"] = """
              ) AS rk
       FROM events
     ) WHERE rk = 1
+"""
+
+_GW = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+_G_STOP_SUM = " + ".join(
+    f"(CASE WHEN list_contains({_GW}, '{s}') THEN 1 ELSE 0 END)"
+    for s in GOPHER_STOPS
+)
+_G_MWL = sql_quantize(
+    "CAST(length(regexp_replace(text, '\\s', '', 'g'))"
+    " AS DOUBLE) / len(" + _GW + ")",
+    4,
+)
+_G_SYM = sql_quantize(
+    "CAST(len(regexp_extract_all(text, '#'))"
+    " + len(regexp_extract_all(text, '\\.\\.\\.'))"
+    " AS DOUBLE) / len(" + _GW + ")",
+    4,
+)
+_G_ALPHA = sql_quantize(
+    "CAST(len(list_filter(" + _GW + ","
+    " t -> regexp_matches(t, '[a-z]')))"
+    " AS DOUBLE) / len(" + _GW + ")",
+    4,
+)
+ORACLE["doc_gopher_rules"] = f"""
+    WITH g AS (
+      SELECT doc_id,
+             CAST(len({_GW}) AS DOUBLE) AS n_words,
+             {_G_MWL} AS mwl,
+             {_G_SYM} AS symbol_ratio,
+             {_G_ALPHA} AS alpha_frac,
+             CAST({_G_STOP_SUM} AS BIGINT) AS stop_present
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           mwl AS mean_word_len, symbol_ratio, alpha_frac, stop_present,
+           (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS})
+             AS ok_words,
+           (mwl >= {GOPHER_MWL_MIN} AND mwl <= {GOPHER_MWL_MAX}) AS ok_mwl,
+           (symbol_ratio < {GOPHER_SYMBOL_MAX}) AS ok_symbols,
+           (alpha_frac > {GOPHER_ALPHA_MIN}) AS ok_alpha,
+           (stop_present >= {GOPHER_MIN_STOPS}) AS ok_stops,
+           ((n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS})
+            AND (mwl >= {GOPHER_MWL_MIN} AND mwl <= {GOPHER_MWL_MAX})
+            AND (symbol_ratio < {GOPHER_SYMBOL_MAX})
+            AND (alpha_frac > {GOPHER_ALPHA_MIN})
+            AND (stop_present >= {GOPHER_MIN_STOPS})) AS keep
+    FROM g
+"""
+
+ORACLE["doc_c4_rules"] = f"""
+    WITH c AS (
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(text, '[.!?]')) - 1 AS BIGINT)
+               AS n_sentences,
+             (strpos(lower(text), 'lorem ipsum') > 0) AS has_lorem,
+             (strpos(lower(text), 'javascript') > 0) AS has_js,
+             (strpos(text, '{{') > 0) AS has_brace
+      FROM documents
+    )
+    SELECT doc_id, n_sentences, has_lorem, has_js, has_brace,
+           (n_sentences >= {C4_MIN_SENTENCES}
+            AND NOT has_lorem AND NOT has_js AND NOT has_brace) AS keep
+    FROM c
 """

@@ -242,3 +242,38 @@ def test_knn_ivfpq_recall_and_subset_discipline(spark):
         assert list(sorted(grp["rk"])) == list(range(1, len(grp) + 1))
         ordered = grp.sort_values("rk")["adc"].to_list()
         assert all(a <= b for a, b in zip(ordered, ordered[1:]))
+
+
+def test_rule_batteries_discriminate(spark, tmp_path):
+    """Gopher must split the real corpus on word count + stopword
+    presence; C4 must pass a punctuated multi-sentence doc and reject
+    code/lorem/short docs (the synthetic corpus is punctuation-free,
+    so C4's all-drop there is the faithful verdict)."""
+    import pandas as pd
+
+    from llm_map_reduce_summarizer_spark.plans.documents import (
+        doc_c4_rules,
+        doc_gopher_rules,
+    )
+
+    g = doc_gopher_rules(spark, SF_CORRECT).toPandas()
+    assert 0.0 < g["keep"].mean() < 1.0
+
+    docs = pd.DataFrame(
+        [
+            dict(doc_id=0, text="A fine day. We went out. It was good.",
+                 lang="en", source="s", n_chars=37),
+            dict(doc_id=1, text="function() { return 1; }. Yes. Go. Now.",
+                 lang="en", source="s", n_chars=39),
+            dict(doc_id=2, text="Lorem ipsum dolor. Sit amet. Consectetur.",
+                 lang="en", source="s", n_chars=41),
+            dict(doc_id=3, text="too short", lang="en", source="s",
+                 n_chars=9),
+        ]
+    )
+    docs.to_parquet(tmp_path / "documents.parquet")
+    c = doc_c4_rules(spark, str(tmp_path)).toPandas().set_index("doc_id")
+    assert c.loc[0, "keep"]
+    assert not c.loc[1, "keep"]  # brace
+    assert not c.loc[2, "keep"]  # lorem ipsum
+    assert not c.loc[3, "keep"]  # < 3 sentences
