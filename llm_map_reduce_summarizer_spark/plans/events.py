@@ -538,6 +538,52 @@ def events_dau_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Datasketches HLL, lgK=12 -> rsd ~ 1.04/sqrt(4096) ~ 1.63%
+WAU_RSD = 0.0163
+
+
+def events_wau_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly active users by MERGING stored daily sketches
+    (Datasketches HLL via ``hll_sketch_agg``/``hll_union_agg``) — the
+    mergeability payoff: at 100 TB the pipeline stores one fixed-size
+    sketch per (day, dimension) and answers ANY coarser window (week,
+    month, rolling 28d) by sketch union, never rescanning events.
+
+    VALUE-checked like the DAU tier: the catalog emits exact WAU plus
+    the ``sketch_within_3rsd`` bound invariant the oracle asserts as
+    literal TRUE — a hash match certifies the merged estimate landed
+    inside the sketch's advertised error on every week.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    weekly_sk = daily.groupBy(
+        F.date_trunc("week", F.col("day")).alias("week")
+    ).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("wau_approx"),
+        F.sum("n_events").cast("long").alias("n_events"),
+    )
+    exact = ev.groupBy(
+        F.date_trunc("week", F.col("ts")).alias("week")
+    ).agg(F.count_distinct("user_id").alias("wau"))
+    return (
+        weekly_sk.join(exact, "week")
+        .select(
+            "week",
+            "wau",
+            "n_events",
+            (
+                F.abs(F.col("wau_approx") - F.col("wau"))
+                <= 3 * WAU_RSD * F.col("wau")
+            ).alias("sketch_within_3rsd"),
+        )
+    )
+
+
 QUERIES = {
     "events_retention_hourly": events_retention_hourly,
     "events_dau": events_dau,
@@ -554,6 +600,7 @@ QUERIES = {
     "events_funnel": events_funnel,
     "events_value_histogram": events_value_histogram,
     "events_hourly_anomaly": events_hourly_anomaly,
+    "events_wau_merge": events_wau_merge,
 }
 
 ORACLE = {
@@ -784,3 +831,14 @@ ORACLE = {
                (SELECT count(*) FROM p) AS n_purchase_after_click
     """,
 }
+
+# merged-sketch bound is an invariant like the DAU tier: the oracle
+# asserts literal TRUE per week (the estimate itself has no SQL twin)
+ORACLE["events_wau_merge"] = """
+    SELECT date_trunc('week', ts) AS week,
+           count(DISTINCT user_id) AS wau,
+           count(*) AS n_events,
+           TRUE AS sketch_within_3rsd
+    FROM events
+    GROUP BY 1
+"""
