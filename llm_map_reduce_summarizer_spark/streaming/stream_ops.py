@@ -686,9 +686,9 @@ RESERVOIR_OUT_SCHEMA = StructType(
 
 
 def _sample_draw(doc_id: int) -> str:
-    """Python twin of ``shuffle_sort_key(doc_id, "usample")`` — the
-    same md5 hex Spark computes, so the streaming reservoir and the
-    batch sample rank by identical keys."""
+    """Python twin of ``shuffle_sort_key(doc_id, "usample")`` — used
+    by tests to predict reservoir contents; the operator itself reads
+    the JVM-computed column."""
     import hashlib
 
     return hashlib.md5(f"usample|{doc_id}".encode()).hexdigest()
@@ -713,12 +713,10 @@ def _make_reservoir_fold(k: int):
         else:
             seq, entries = 0, []
         for pdf in pdfs:
-            for doc_id, lang, source in zip(
-                pdf["doc_id"], pdf["lang"], pdf["source"]
+            for draw, doc_id, lang, source in zip(
+                pdf["sample_key"], pdf["doc_id"], pdf["lang"], pdf["source"]
             ):
-                entries.append(
-                    (_sample_draw(int(doc_id)), int(doc_id), lang, source)
-                )
+                entries.append((draw, int(doc_id), lang, source))
         entries.sort()
         entries = entries[:k]
         seq += 1
@@ -759,9 +757,14 @@ def sample_stream(docs: DataFrame, k: int, n_shards: int = 8) -> DataFrame:
     state sequence number; the caller keeps the max-seq emission per
     shard and merges (see plans/streams.py stream_sample_fixed).
     """
+    from ..functions.hashing import shuffle_sort_key
+
+    # the draw is computed JVM-side by the SAME expression as the
+    # batch sample (no Python hashing twin in the hot path)
     keyed = docs.select(
         "doc_id", "lang", "source",
         (F.col("doc_id") % n_shards).cast("long").alias("shard"),
+        shuffle_sort_key(F.col("doc_id"), "usample").alias("sample_key"),
     )
     return keyed.groupBy("shard").applyInPandasWithState(
         _make_reservoir_fold(k),
