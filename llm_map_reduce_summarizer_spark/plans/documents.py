@@ -624,6 +624,28 @@ def doc_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-identical dedup over the opaque binary payload column —
+    the only dedup available without decoding (text normalization has
+    no meaning for opaque bytes): md5 over the raw payload, keep the
+    min doc_id per digest.
+
+    Scale: the digest is computed map-side so the shuffle carries
+    32-byte keys; payloads never move.
+    """
+    d = _docs(spark, sf_dir).withColumn(
+        "payload", F.encode(F.col("text"), "UTF-8")
+    )
+    return (
+        d.select("doc_id", F.md5("payload").alias("payload_digest"))
+        .groupBy("payload_digest")
+        .agg(
+            F.min("doc_id").cast("long").alias("keep_id"),
+            F.count(F.lit(1)).cast("long").alias("n_payloads"),
+        )
+    )
+
+
 def dedup_index_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The stored near-dup index table: per-doc MinHash LSH band keys
     — the existing-corpus side that ``corpus_dedup_incremental`` /
@@ -2207,6 +2229,7 @@ QUERIES = {
     "events_latest_state": events_latest_state,
     "doc_gopher_rules": doc_gopher_rules,
     "doc_c4_rules": doc_c4_rules,
+    "multimodal_dedup": multimodal_dedup,
 }
 
 
@@ -3863,4 +3886,13 @@ ORACLE["doc_c4_rules"] = f"""
            (n_sentences >= {C4_MIN_SENTENCES}
             AND NOT has_lorem AND NOT has_js AND NOT has_brace) AS keep
     FROM c
+"""
+
+ORACLE["multimodal_dedup"] = """
+    -- DuckDB md5 takes VARCHAR only; its strings are UTF-8, so
+    -- md5(text) hashes the same bytes as Spark's md5(encode(text))
+    SELECT md5(text) AS payload_digest,
+           CAST(min(doc_id) AS BIGINT) AS keep_id,
+           CAST(count(*) AS BIGINT) AS n_payloads
+    FROM documents GROUP BY 1
 """
