@@ -584,6 +584,67 @@ def events_wau_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ROLLING_DAYS = 7
+
+
+def events_rolling_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users per day, computed from the SAME
+    stored daily HLL sketches as `events_wau_merge`: each day's sketch
+    is exploded to the 7 rolling windows it contributes to (a map-side
+    7x fanout of day-count rows, not events), then one union-estimate
+    per window — the sliding-window composition that makes stored
+    sketches a dashboard primitive at 100 TB.
+
+    VALUE-checked via the 3·rsd bound invariant vs the exact rolling
+    distinct (computed from the distinct (day,user) table, bounded by
+    actives — the certification side, not the production path).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).alias("day")
+    days = ev.select(day).distinct()
+    offsets = F.array(*[F.lit(i) for i in range(ROLLING_DAYS)])
+    daily_sk = ev.groupBy(day).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    fan = daily_sk.select(
+        "sk",
+        F.explode(offsets).alias("off"),
+        F.date_add(F.col("day").cast("date"), F.col("off")).alias("wend"),
+    ).join(
+        F.broadcast(days.select(F.col("day").cast("date").alias("wend"))),
+        "wend",
+    )
+    est = fan.groupBy("wend").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx")
+    )
+    du = ev.select(day, "user_id").distinct()
+    exact = (
+        du.select(
+            "user_id",
+            F.explode(offsets).alias("off"),
+            F.date_add(F.col("day").cast("date"), F.col("off")).alias(
+                "wend"
+            ),
+        )
+        .join(
+            F.broadcast(
+                days.select(F.col("day").cast("date").alias("wend"))
+            ),
+            "wend",
+        )
+        .groupBy("wend")
+        .agg(F.count_distinct("user_id").alias("actives_7d"))
+    )
+    return est.join(exact, "wend").select(
+        F.col("wend").cast("timestamp").alias("window_end"),
+        "actives_7d",
+        (
+            F.abs(F.col("approx") - F.col("actives_7d"))
+            <= 3 * WAU_RSD * F.col("actives_7d")
+        ).alias("sketch_within_3rsd"),
+    )
+
+
 QUERIES = {
     "events_retention_hourly": events_retention_hourly,
     "events_dau": events_dau,
@@ -601,6 +662,7 @@ QUERIES = {
     "events_value_histogram": events_value_histogram,
     "events_hourly_anomaly": events_hourly_anomaly,
     "events_wau_merge": events_wau_merge,
+    "events_rolling_actives": events_rolling_actives,
 }
 
 ORACLE = {
@@ -840,5 +902,20 @@ ORACLE["events_wau_merge"] = """
            count(*) AS n_events,
            TRUE AS sketch_within_3rsd
     FROM events
+    GROUP BY 1
+"""
+
+ORACLE["events_rolling_actives"] = """
+    WITH days AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS wend
+      FROM events
+    )
+    SELECT CAST(d.wend AS TIMESTAMP) AS window_end,
+           count(DISTINCT e.user_id) AS actives_7d,
+           TRUE AS sketch_within_3rsd
+    FROM days d
+    JOIN events e
+      ON CAST(date_trunc('day', e.ts) AS DATE)
+         BETWEEN d.wend - INTERVAL 6 DAY AND d.wend
     GROUP BY 1
 """
