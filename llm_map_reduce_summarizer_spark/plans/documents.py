@@ -646,6 +646,106 @@ def multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# projections are 1e-6-quantized; on ~0.1-magnitude coordinates that
+# leaves ~1e-5 relative variance drift — the bound certifies the
+# eigen-structure, not the quantizer
+PCA_VAR_RTOL = 1e-4
+IVF_TRAINED_RECALL_FLOOR = 0.5
+
+
+def emb_pca_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-level certification of the PCA tier (the eigensolver
+    itself has no SQL twin, so `emb_pca_project` is rows-only — this
+    entry gives the family a hash-checkable record, the same
+    bound-invariant pattern as the sketch tiers): per component,
+
+    * orthonormal_ok — |C·Cᵀ − I|max ≤ 1e-9 on the (k,d) projection
+      matrix (driver numpy, d-bounded),
+    * ordered_ok — explained-variance shares non-increasing,
+    * variance_ok — the DISTRIBUTED population variance of the
+      projected coordinate equals its eigenvalue (share × covariance
+      trace) within 1e-4 relative (the slack absorbs the 1e-6 value
+      quantization) — ties the broadcast matrix to the actual
+      corpus-scale projection pass.
+
+    The oracle asserts all three as literal TRUE per component.
+    """
+    import numpy as np
+
+    from ..operators.similarity import pca_project, pca_projection_matrix
+
+    e = _embs(spark, sf_dir)
+    comps, shares = pca_projection_matrix(e, PCA_COMPONENTS)
+    ortho_err = float(np.abs(comps @ comps.T - np.eye(len(comps))).max())
+    ordered = bool(all(a >= b for a, b in zip(shares, shares[1:])))
+
+    # covariance trace = sum of per-dim population variances (one agg)
+    dimvals = e.select(F.posexplode("embedding").alias("dim", "val"))
+    trace = (
+        dimvals.groupBy("dim")
+        .agg(F.var_pop(F.col("val").cast("double")).alias("v"))
+        .agg(F.sum("v").alias("trace"))
+    )
+    proj = pca_project(e, n_components=PCA_COMPONENTS).select(
+        F.posexplode("components").alias("component", "value")
+    )
+    pvar = proj.groupBy("component").agg(
+        F.var_pop("value").alias("proj_var")
+    )
+    lam = spark.createDataFrame(
+        [(i, float(s)) for i, s in enumerate(shares)],
+        "component int, share double",
+    )
+    return (
+        pvar.join(F.broadcast(lam), "component")
+        .crossJoin(F.broadcast(trace))
+        .select(
+            F.col("component").cast("long").alias("component"),
+            F.lit(ortho_err <= 1e-9).alias("orthonormal_ok"),
+            F.lit(ordered).alias("ordered_ok"),
+            (
+                F.abs(F.col("proj_var") - F.col("share") * F.col("trace"))
+                <= PCA_VAR_RTOL * (F.col("share") * F.col("trace"))
+                + F.lit(1e-9)
+            ).alias("variance_ok"),
+        )
+    )
+
+
+def knn_ivf_trained_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-level certification of the trained-IVF tier (the k-means
+    training loop has no SQL twin, so `knn_ivf_trained` is rows-only):
+    corpus-level recall@k vs the exact scan must clear the 0.5 floor —
+    emitted as a boolean per query the oracle asserts TRUE, so the
+    driver records a hash-green bound for the trained quantizer.
+    """
+    e = _embs(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < N_QUERY_VECS)
+    exact = cosine_topk_blocked(q, e, k=KNN_K).select(
+        "query_id", "neighbor_id"
+    )
+    trained = cosine_topk_ivf_trained(q, e, k=KNN_K, nprobe=4).select(
+        "query_id", "neighbor_id"
+    )
+    hits = trained.join(exact, ["query_id", "neighbor_id"], "left_semi")
+    recall = hits.agg(
+        (
+            F.count(F.lit(1)).cast("double")
+            / F.lit(float(N_QUERY_VECS * KNN_K))
+        ).alias("recall")
+    )
+    return (
+        q.select("vec_id")
+        .crossJoin(F.broadcast(recall))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            (F.col("recall") >= IVF_TRAINED_RECALL_FLOOR).alias(
+                "recall_ok"
+            ),
+        )
+    )
+
+
 def dedup_index_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The stored near-dup index table: per-doc MinHash LSH band keys
     — the existing-corpus side that ``corpus_dedup_incremental`` /
@@ -2230,6 +2330,8 @@ QUERIES = {
     "doc_gopher_rules": doc_gopher_rules,
     "doc_c4_rules": doc_c4_rules,
     "multimodal_dedup": multimodal_dedup,
+    "emb_pca_check": emb_pca_check,
+    "knn_ivf_trained_check": knn_ivf_trained_check,
 }
 
 
@@ -3895,4 +3997,17 @@ ORACLE["multimodal_dedup"] = """
            CAST(min(doc_id) AS BIGINT) AS keep_id,
            CAST(count(*) AS BIGINT) AS n_payloads
     FROM documents GROUP BY 1
+"""
+
+# eigensolver/training certifications: the oracle asserts the bound
+# invariants as literal TRUE (the sketch-tier pattern) — a hash match
+# certifies the numeric tiers held their advertised properties
+ORACLE["emb_pca_check"] = f"""
+    SELECT CAST(i AS BIGINT) AS component,
+           TRUE AS orthonormal_ok, TRUE AS ordered_ok, TRUE AS variance_ok
+    FROM generate_series(0, {PCA_COMPONENTS - 1}) t(i)
+"""
+ORACLE["knn_ivf_trained_check"] = f"""
+    SELECT vec_id AS query_id, TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < {N_QUERY_VECS}
 """
