@@ -37,6 +37,17 @@ def test_entry_smoke(spark):
 
 
 def test_all_queries_run_smoke(spark):
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
     for key, fn in QUERIES.items():
         df = fn(spark, SF_SMOKE)
         assert df.columns, key
+        # the driver's canonicalizer sorts rows via pandas, which
+        # cannot factorize nested cells — an array/map/struct output
+        # column crashes even the rows-only check (the r5 regression
+        # class: emb_pca_project/multimodal_features shipped red).
+        # Catalog entries must posexplode/digest nested shapes.
+        for f in df.schema.fields:
+            assert not isinstance(
+                f.dataType, (ArrayType, MapType, StructType)
+            ), f"{key}.{f.name} is {f.dataType.simpleString()}"

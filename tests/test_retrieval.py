@@ -277,3 +277,39 @@ def test_rule_batteries_discriminate(spark, tmp_path):
     assert not c.loc[1, "keep"]  # brace
     assert not c.loc[2, "keep"]  # lorem ipsum
     assert not c.loc[3, "keep"]  # < 3 sentences
+
+
+def test_new_ops_handle_degenerate_inputs(spark, tmp_path):
+    """Edge-shape robustness: BM25 whose terms never occur, a bloom
+    screen with an empty existing side, and a histogram over empty
+    text must return empty/sane results, not crash."""
+    import pandas as pd
+
+    from llm_map_reduce_summarizer_spark.plans.documents import (
+        corpus_token_histogram,
+        dedup_bloom,
+        doc_bm25_topk,
+    )
+
+    docs = pd.DataFrame(
+        [
+            # odd ids only -> bloom "existing" side (even ids) is empty
+            dict(doc_id=1, text="zz qq xx ww vv", lang="en",
+                 source="s", n_chars=14),
+            dict(doc_id=3, text="", lang="en", source="s", n_chars=0),
+        ]
+    )
+    docs.to_parquet(tmp_path / "documents.parquet")
+
+    bm = doc_bm25_topk(spark, str(tmp_path)).toPandas()
+    assert len(bm) == 0  # no query term occurs -> no scored postings
+
+    bl = dedup_bloom(spark, str(tmp_path)).toPandas()
+    # doc 1 screens against an EMPTY filter: zero hits, guarantee holds
+    assert len(bl) == 1
+    assert bl.iloc[0]["bloom_hits"] == 0
+    assert bl.iloc[0]["exact_hits"] == 0
+    assert bl.iloc[0]["guarantee_ok"]
+
+    h = corpus_token_histogram(spark, str(tmp_path)).toPandas()
+    assert h["n_docs"].sum() == 2  # the empty doc lands in bucket 0
