@@ -746,6 +746,56 @@ def knn_ivf_trained_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_ngram_lm_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stored bigram-LM table (KenLM-style artifact): per corpus
+    bigram, its count, the w1 marginal, and the add-one-smoothed
+    conditional log-probability — the table `doc_bigram_surprisal`
+    scores against, exported once per corpus build so quality scoring
+    of future ingest batches probes it instead of re-aggregating the
+    corpus (the same stored-artifact role as the PQ/IVF/minhash
+    indexes).
+
+    Scale: the bigram explode is the shingle-table shape; counts and
+    marginals are natural-key partial aggs; vocab joins as a 1-row
+    broadcast.
+    """
+    from ..functions.hashing import words
+
+    d = _docs(spark, sf_dir)
+    wd = d.select("doc_id", words(F.col("text")).alias("w")).filter(
+        F.size("w") >= 2
+    )
+    bg = wd.selectExpr(
+        "doc_id",
+        "explode(transform(sequence(1, size(w) - 1),"
+        " i -> struct(w[i-1] AS w1, w[i] AS w2))) AS bg",
+    ).select("bg.w1", "bg.w2")
+    bf = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+    uf = bf.groupBy("w1").agg(F.sum("n").alias("cw1"))
+    vocab = (
+        bg.select(F.col("w1").alias("t"))
+        .union(bg.select("w2"))
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    return (
+        bf.join(uf, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1",
+            "w2",
+            F.col("n").cast("long").alias("n"),
+            F.col("cw1").cast("long").alias("cw1"),
+            quantize(
+                F.log(
+                    (F.col("n") + F.lit(1.0)) / (F.col("cw1") + F.col("v"))
+                ),
+                6,
+            ).alias("logp"),
+        )
+    )
+
+
 def dedup_index_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The stored near-dup index table: per-doc MinHash LSH band keys
     — the existing-corpus side that ``corpus_dedup_incremental`` /
@@ -2332,6 +2382,7 @@ QUERIES = {
     "multimodal_dedup": multimodal_dedup,
     "emb_pca_check": emb_pca_check,
     "knn_ivf_trained_check": knn_ivf_trained_check,
+    "doc_ngram_lm_export": doc_ngram_lm_export,
 }
 
 
@@ -4010,4 +4061,35 @@ ORACLE["emb_pca_check"] = f"""
 ORACLE["knn_ivf_trained_check"] = f"""
     SELECT vec_id AS query_id, TRUE AS recall_ok
     FROM embeddings WHERE vec_id < {N_QUERY_VECS}
+"""
+
+ORACLE["doc_ngram_lm_export"] = f"""
+    WITH toksw AS (
+      SELECT doc_id, {_W} AS w FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+      FROM toksw WHERE len(w) >= 2
+    ),
+    bg AS (
+      SELECT w[i] AS w1, w[i + 1] AS w2 FROM idx
+    ),
+    bf AS (
+      SELECT w1, w2, count(*) AS n FROM bg GROUP BY 1, 2
+    ),
+    uf AS (
+      SELECT w1, sum(n) AS cw1 FROM bf GROUP BY 1
+    ),
+    vocab AS (
+      SELECT count(*) AS v FROM (
+        SELECT DISTINCT t FROM (
+          SELECT w1 AS t FROM bg UNION ALL SELECT w2 FROM bg
+        )
+      )
+    )
+    SELECT w1, w2,
+           CAST(n AS BIGINT) AS n,
+           CAST(cw1 AS BIGINT) AS cw1,
+           {sql_quantize('ln((n + 1.0) / (cw1 + v))', 6)} AS logp
+    FROM bf JOIN uf USING (w1) CROSS JOIN vocab
 """

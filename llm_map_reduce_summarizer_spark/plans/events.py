@@ -711,6 +711,60 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+ATTR_WINDOW_US = 7 * 24 * 3600 * 1_000_000
+
+
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing attribution per purchase: the FIRST and LAST view by
+    the same user within the 7-day lookback window, plus the touch
+    count — first-touch / last-touch / linear attribution all read off
+    this one table.
+
+    Scale: one natural-key (user_id) join between the purchase and
+    view slices with an event-time interval predicate — the
+    stream_view_click_join shape; pair volume is bounded by per-user
+    activity inside the window, never the cross product. Purchases
+    with no prior view keep NULL touches (left join).
+    """
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros("ts")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts_us").alias("v_ts")
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us", "value"
+    )
+    touched = (
+        buys.join(
+            views,
+            (F.col("user_id") == F.col("v_user"))
+            & (F.col("v_ts") <= F.col("ts_us"))
+            & (F.col("v_ts") >= F.col("ts_us") - F.lit(ATTR_WINDOW_US)),
+        )
+        .groupBy("event_id")
+        .agg(
+            F.min("v_ts").alias("first_view_ts_us"),
+            F.max("v_ts").alias("last_view_ts_us"),
+            F.count(F.lit(1)).cast("long").alias("n_touches"),
+        )
+    )
+    return (
+        buys.join(touched, "event_id", "left")
+        .select(
+            "event_id",
+            "user_id",
+            "ts_us",
+            "value",
+            "first_view_ts_us",
+            "last_view_ts_us",
+            F.coalesce("n_touches", F.lit(0)).cast("long").alias(
+                "n_touches"
+            ),
+        )
+    )
+
+
 QUERIES = {
     "events_retention_hourly": events_retention_hourly,
     "events_dau": events_dau,
@@ -730,6 +784,7 @@ QUERIES = {
     "events_wau_merge": events_wau_merge,
     "events_rolling_actives": events_rolling_actives,
     "events_markov_stationary": events_markov_stationary,
+    "events_attribution": events_attribution,
 }
 
 ORACLE = {
@@ -1001,4 +1056,31 @@ ORACLE["events_markov_stationary"] = """
       FROM events
     ) WHERE src IS NOT NULL
     GROUP BY 1
+"""
+
+ORACLE["events_attribution"] = f"""
+    WITH buys AS (
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    views AS (
+      SELECT user_id AS v_user, epoch_us(ts) AS v_ts
+      FROM events WHERE event_type = 'view'
+    ),
+    touched AS (
+      SELECT b.event_id,
+             min(v.v_ts) AS first_view_ts_us,
+             max(v.v_ts) AS last_view_ts_us,
+             CAST(count(*) AS BIGINT) AS n_touches
+      FROM buys b
+      JOIN views v
+        ON b.user_id = v.v_user
+       AND v.v_ts <= b.ts_us
+       AND v.v_ts >= b.ts_us - {ATTR_WINDOW_US}
+      GROUP BY 1
+    )
+    SELECT b.event_id, b.user_id, b.ts_us, b.value,
+           t.first_view_ts_us, t.last_view_ts_us,
+           CAST(coalesce(t.n_touches, 0) AS BIGINT) AS n_touches
+    FROM buys b LEFT JOIN touched t ON b.event_id = t.event_id
 """
