@@ -313,3 +313,78 @@ def test_new_ops_handle_degenerate_inputs(spark, tmp_path):
 
     h = corpus_token_histogram(spark, str(tmp_path)).toPandas()
     assert h["n_docs"].sum() == 2  # the empty doc lands in bucket 0
+
+
+def test_attribution_window_and_touch_semantics(spark, tmp_path):
+    """Views outside the 7-day lookback or after the purchase must not
+    attribute; first/last collapse to the same view when only one
+    qualifies; purchases with no views keep NULL touches."""
+    import pandas as pd
+
+    from llm_map_reduce_summarizer_spark.plans.events import (
+        ATTR_WINDOW_US,
+        events_attribution,
+    )
+
+    base = 1_700_000_000_000_000  # us
+    rows = [
+        # user 1: one view inside the window, one too old, one after
+        dict(event_id=1, ts=base - ATTR_WINDOW_US - 10, user_id=1,
+             event_type="view", value=0.0, props="{}"),
+        dict(event_id=2, ts=base - 1000, user_id=1,
+             event_type="view", value=0.0, props="{}"),
+        dict(event_id=3, ts=base + 1000, user_id=1,
+             event_type="view", value=0.0, props="{}"),
+        dict(event_id=4, ts=base, user_id=1,
+             event_type="purchase", value=9.0, props="{}"),
+        # user 2: purchase with no views at all
+        dict(event_id=5, ts=base, user_id=2,
+             event_type="purchase", value=1.0, props="{}"),
+    ]
+    pdf = pd.DataFrame(rows)
+    pdf["ts"] = pd.to_datetime(pdf["ts"], unit="us")
+    pdf.to_parquet(tmp_path / "events.parquet")
+    out = (
+        events_attribution(spark, str(tmp_path))
+        .toPandas()
+        .set_index("event_id")
+    )
+    assert out.loc[4, "n_touches"] == 1
+    assert out.loc[4, "first_view_ts_us"] == base - 1000
+    assert out.loc[4, "last_view_ts_us"] == base - 1000
+    assert out.loc[5, "n_touches"] == 0
+    assert pd.isna(out.loc[5, "first_view_ts_us"])
+
+
+def test_lm_export_consistent_with_surprisal_scorer(spark):
+    """Scoring a doc against the EXPORTED bigram table must reproduce
+    doc_bigram_surprisal's mean (same smoothing, same corpus stats) —
+    the stored artifact and the inline scorer cannot drift."""
+    import math
+
+    from llm_map_reduce_summarizer_spark.plans.documents import (
+        doc_bigram_surprisal,
+        doc_ngram_lm_export,
+    )
+    from pyspark.sql import functions as F
+
+    lm = {
+        (r["w1"], r["w2"]): r["logp"]
+        for r in doc_ngram_lm_export(spark, SF_SMOKE).collect()
+    }
+    scored = doc_bigram_surprisal(spark, SF_SMOKE).toPandas()
+    docs = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("w"))
+        .collect()
+    )
+    for r in docs[:10]:
+        w = r["w"]
+        if len(w) < 2:
+            continue
+        surps = [-lm[(a, b)] for a, b in zip(w, w[1:])]
+        want = sum(surps) / len(surps)
+        got = float(
+            scored.loc[scored["doc_id"] == r["doc_id"], "mean_surprisal"]
+        )
+        assert math.isclose(got, want, abs_tol=2e-5)
