@@ -624,6 +624,59 @@ def stream_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming marketing attribution: the purchase×prior-view
+    interval join runs AT INGEST (watermark-evicted state — the
+    lookback window of views per user, never the stream), and the
+    first/last/count collapse per purchase is a batch aggregation
+    over the drained pair sink. Drain == batch `events_attribution`,
+    whose oracle it shares.
+    """
+    from pyspark.sql import functions as F
+
+    from ..streaming.stream_ops import attribution_pairs_stream
+    from ..sources.tables import load_table
+
+    ev = read_events_stream(spark, sf_dir)
+    pairs = run_available_now(
+        attribution_pairs_stream(ev), output_mode="append"
+    )
+    touched = pairs.groupBy("purchase_id").agg(
+        F.min(F.unix_micros("view_ts")).alias("first_view_ts_us"),
+        F.max(F.unix_micros("view_ts")).alias("last_view_ts_us"),
+        F.count(F.lit(1)).cast("long").alias("n_touches"),
+    )
+    buys = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id"),
+            "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "value",
+        )
+    )
+    return (
+        buys.join(
+            touched.withColumnRenamed("purchase_id", "event_id"),
+            "event_id",
+            "left",
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "ts_us",
+            "value",
+            "first_view_ts_us",
+            "last_view_ts_us",
+            F.coalesce("n_touches", F.lit(0)).cast("long").alias(
+                "n_touches"
+            ),
+        )
+    )
+
+
 QUERIES = {
     "stream_hourly": stream_hourly,
     "stream_sessionize": stream_sessionize,
@@ -641,6 +694,7 @@ QUERIES = {
     "stream_domain_cap": stream_domain_cap,
     "stream_sample_fixed": stream_sample_fixed,
     "stream_latest_state": stream_latest_state,
+    "stream_attribution": stream_attribution,
     "stream_pack": stream_pack,
     "stream_topk_cms": stream_topk_cms,
 }
@@ -663,6 +717,7 @@ ORACLE = {
     "stream_dedup_incremental": incr_dedup_oracle_sql("existing"),
     "stream_sample_fixed": _DOCS_ORACLE["corpus_sample_fixed"],
     "stream_latest_state": _DOCS_ORACLE["events_latest_state"],
+    "stream_attribution": _EVENTS_ORACLE["events_attribution"],
     "stream_domain_cap": f"""
         SELECT doc_id, source, rk, (rk <= {DOMAIN_CAP}) AS kept FROM (
           SELECT doc_id, source,

@@ -773,3 +773,45 @@ def sample_stream(docs: DataFrame, k: int, n_shards: int = 8) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def attribution_pairs_stream(
+    events: DataFrame,
+    window_days: int = 7,
+    watermark: str = "8 days",
+) -> DataFrame:
+    """Stream-stream interval join for attribution: each purchase
+    matched with every view by the same user in the preceding
+    ``window_days`` — the ingest-time form of `events_attribution`'s
+    touch pairs.
+
+    Watermarks on both sides + the event-time bound let Spark evict
+    view state once the watermark passes ``purchase_ts − window`` —
+    per-key state holds the lookback window of views, never the
+    stream. Inner matches emit on arrival (append mode), so an
+    ``availableNow`` drain equals the batch interval join; the
+    first/last/count collapse per purchase is a plain BATCH
+    aggregation over the drained pair sink (the sink is a stored
+    table — aggregating it is a normal batch job, not driver-side
+    state).
+    """
+    views = events.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user_id"),
+        F.col("ts").alias("view_ts"),
+    ).withWatermark("view_ts", watermark)
+    buys = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        "value",
+    ).withWatermark("purchase_ts", watermark)
+    return buys.join(
+        views,
+        (F.col("user_id") == F.col("v_user_id"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("view_ts")
+            >= F.col("purchase_ts")
+            - F.expr(f"INTERVAL {window_days} DAYS")
+        ),
+    ).select("purchase_id", "user_id", "purchase_ts", "value", "view_ts")
