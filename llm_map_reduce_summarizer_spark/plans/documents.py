@@ -796,6 +796,53 @@ def doc_ngram_lm_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Governance dashboard rollup: per (lang, source) stratum, how
+    many docs the ensemble gate keeps, the keep rate, and the mean
+    quality/repetition signals — the table a curation run reviews
+    before committing a filter config.
+
+    Scale: the per-doc ensemble signals join the doc dimensions on
+    doc_id (co-partitioned natural keys, AQE-decided), then ONE
+    partial-agg groupBy bounded by strata count. Means are over
+    already-quantized per-doc values, re-quantized at 4 so both
+    engines gate identically.
+    """
+    ens = doc_quality_ensemble(spark, sf_dir).select(
+        "doc_id", "quality_score", "dup_ratio", "keep"
+    )
+    dims = _docs(spark, sf_dir).select("doc_id", "lang", "source")
+    return (
+        ens.join(dims, "doc_id")
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col("keep").cast("long")).cast("long").alias("n_keep"),
+            quantize(
+                F.sum(F.col("keep").cast("long"))
+                / F.count(F.lit(1)).cast("double"),
+                4,
+            ).alias("keep_rate"),
+            # per-doc signals live on the 1e-4 grid, so integer-sum
+            # them exactly and divide ONCE — a float avg of grid
+            # values can land on a .00005 boundary and flip per
+            # engine summation order
+            quantize(
+                F.sum(
+                    F.round(F.col("quality_score") * 10000).cast("long")
+                )
+                / (F.count(F.lit(1)).cast("double") * 10000.0),
+                4,
+            ).alias("mean_quality"),
+            quantize(
+                F.sum(F.round(F.col("dup_ratio") * 10000).cast("long"))
+                / (F.count(F.lit(1)).cast("double") * 10000.0),
+                4,
+            ).alias("mean_dup_ratio"),
+        )
+    )
+
+
 def dedup_index_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The stored near-dup index table: per-doc MinHash LSH band keys
     — the existing-corpus side that ``corpus_dedup_incremental`` /
@@ -2383,6 +2430,7 @@ QUERIES = {
     "emb_pca_check": emb_pca_check,
     "knn_ivf_trained_check": knn_ivf_trained_check,
     "doc_ngram_lm_export": doc_ngram_lm_export,
+    "corpus_quality_report": corpus_quality_report,
 }
 
 
@@ -4092,4 +4140,25 @@ ORACLE["doc_ngram_lm_export"] = f"""
            CAST(cw1 AS BIGINT) AS cw1,
            {sql_quantize('ln((n + 1.0) / (cw1 + v))', 6)} AS logp
     FROM bf JOIN uf USING (w1) CROSS JOIN vocab
+"""
+
+ORACLE["corpus_quality_report"] = f"""
+    WITH ens AS ({ORACLE['doc_quality_ensemble']})
+    SELECT d.lang, d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN ens.keep THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_keep,
+           {sql_quantize(
+               'sum(CASE WHEN ens.keep THEN 1 ELSE 0 END)'
+               ' / CAST(count(*) AS DOUBLE)', 4)} AS keep_rate,
+           {sql_quantize(
+               'sum(CAST(round(ens.quality_score * 10000) AS BIGINT))'
+               ' / (CAST(count(*) AS DOUBLE) * 10000.0)', 4)}
+             AS mean_quality,
+           {sql_quantize(
+               'sum(CAST(round(ens.dup_ratio * 10000) AS BIGINT))'
+               ' / (CAST(count(*) AS DOUBLE) * 10000.0)', 4)}
+             AS mean_dup_ratio
+    FROM ens JOIN documents d ON ens.doc_id = d.doc_id
+    GROUP BY 1, 2
 """
