@@ -843,6 +843,47 @@ def corpus_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def emb_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift between the existing corpus half
+    and the ingest half (the monitoring table an embedding pipeline
+    alerts on before an index rebuild): per dimension, the mean shift
+    and population-variance ratio across the two halves.
+
+    Scale: one dimension-exploded partial agg per half — d-bounded
+    cell tables, no vector crosses the wire (the
+    `emb_label_centroids` shape keyed by split instead of label).
+    """
+    e = _embs(spark, sf_dir)
+    ex = e.select(
+        (F.col("vec_id") % 2 == 0).alias("is_existing"),
+        F.posexplode("embedding").alias("dim", "val"),
+    )
+    per = ex.groupBy("is_existing", "dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg(F.col("val").cast("double")).alias("m"),
+        F.var_pop(F.col("val").cast("double")).alias("v"),
+    )
+    a = per.filter("is_existing").select(
+        "dim",
+        F.col("n").alias("n_existing"),
+        F.col("m").alias("m_a"),
+        F.col("v").alias("v_a"),
+    )
+    b = per.filter(~F.col("is_existing")).select(
+        "dim",
+        F.col("n").alias("n_batch"),
+        F.col("m").alias("m_b"),
+        F.col("v").alias("v_b"),
+    )
+    return a.join(b, "dim").select(
+        F.col("dim").cast("long").alias("dim"),
+        "n_existing",
+        "n_batch",
+        quantize(F.col("m_b") - F.col("m_a"), 6).alias("mean_shift"),
+        quantize(F.col("v_b") / F.col("v_a"), 6).alias("var_ratio"),
+    )
+
+
 def dedup_index_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The stored near-dup index table: per-doc MinHash LSH band keys
     — the existing-corpus side that ``corpus_dedup_incremental`` /
@@ -2431,6 +2472,7 @@ QUERIES = {
     "knn_ivf_trained_check": knn_ivf_trained_check,
     "doc_ngram_lm_export": doc_ngram_lm_export,
     "corpus_quality_report": corpus_quality_report,
+    "emb_drift_report": emb_drift_report,
 }
 
 
@@ -4161,4 +4203,26 @@ ORACLE["corpus_quality_report"] = f"""
              AS mean_dup_ratio
     FROM ens JOIN documents d ON ens.doc_id = d.doc_id
     GROUP BY 1, 2
+"""
+
+ORACLE["emb_drift_report"] = f"""
+    WITH dx AS (
+      SELECT (vec_id % 2 = 0) AS is_existing,
+             generate_subscripts(embedding, 1) - 1 AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS val
+      FROM embeddings
+    ),
+    per AS (
+      SELECT is_existing, dim,
+             CAST(count(*) AS BIGINT) AS n,
+             avg(val) AS m,
+             var_pop(val) AS v
+      FROM dx GROUP BY 1, 2
+    )
+    SELECT CAST(a.dim AS BIGINT) AS dim,
+           a.n AS n_existing, b.n AS n_batch,
+           {sql_quantize('b.m - a.m', 6)} AS mean_shift,
+           {sql_quantize('b.v / a.v', 6)} AS var_ratio
+    FROM per a JOIN per b ON a.dim = b.dim
+    WHERE a.is_existing AND NOT b.is_existing
 """

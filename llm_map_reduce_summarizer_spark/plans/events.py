@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.text import quantize
+from ..functions.text import quantize, sql_quantize
 from ..sources.tables import load_table
 
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
@@ -458,7 +458,7 @@ def events_retention_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: distinct (hour, user) pairs shuffle once on user — the
     self-join key — and the per-hour counts are tiny partial aggs.
     """
-    from ..functions.text import quantize
+    from ..functions.text import quantize, sql_quantize
 
     ev = load_table(spark, sf_dir, "events")
     hu = ev.select(
@@ -765,6 +765,62 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BOT_MIN_EVENTS = 30
+BOT_RATE_PER_MIN = 2.0
+
+
+def events_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic bot screen per user: event count, active span,
+    sustained events-per-minute rate, and the minimum inter-event gap
+    — users above the rate threshold with enough volume get flagged
+    (the traffic-hygiene gate that runs before any behavioral
+    analytics at 100 TB).
+
+    Scale: ONE sort-shuffle on user_id (the lag for min-gap shares
+    sessionization's partitioning) folding straight into a per-user
+    partial agg; thresholds compare exact integers / single-division
+    doubles, so both engines agree.
+    """
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros("ts")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gapped = ev.withColumn(
+        "gap_us", F.col("ts_us") - F.lag("ts_us").over(w)
+    )
+    per = gapped.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        (F.max("ts_us") - F.min("ts_us")).cast("long").alias("span_us"),
+        F.min("gap_us").cast("long").alias("min_gap_us"),
+    )
+    rate = (
+        F.col("n_events").cast("double")
+        / (F.col("span_us").cast("double") / 60_000_000.0)
+    )
+    return per.select(
+        "user_id",
+        "n_events",
+        "span_us",
+        "min_gap_us",
+        quantize(
+            F.when(F.col("span_us") > 0, rate).otherwise(F.lit(0.0)), 4
+        ).alias("events_per_min"),
+        (
+            (F.col("n_events") >= BOT_MIN_EVENTS)
+            & (F.col("span_us") > 0)
+            & (
+                quantize(
+                    F.when(F.col("span_us") > 0, rate).otherwise(
+                        F.lit(0.0)
+                    ),
+                    4,
+                )
+                >= BOT_RATE_PER_MIN
+            )
+        ).alias("bot_suspect"),
+    )
+
+
 QUERIES = {
     "events_retention_hourly": events_retention_hourly,
     "events_dau": events_dau,
@@ -785,6 +841,7 @@ QUERIES = {
     "events_rolling_actives": events_rolling_actives,
     "events_markov_stationary": events_markov_stationary,
     "events_attribution": events_attribution,
+    "events_bot_detection": events_bot_detection,
 }
 
 ORACLE = {
@@ -1083,4 +1140,33 @@ ORACLE["events_attribution"] = f"""
            t.first_view_ts_us, t.last_view_ts_us,
            CAST(coalesce(t.n_touches, 0) AS BIGINT) AS n_touches
     FROM buys b LEFT JOIN touched t ON b.event_id = t.event_id
+"""
+
+ORACLE["events_bot_detection"] = f"""
+    WITH g AS (
+      SELECT user_id, epoch_us(ts) AS ts_us,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ) AS gap_us
+      FROM events
+    ),
+    per AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(max(ts_us) - min(ts_us) AS BIGINT) AS span_us,
+             CAST(min(gap_us) AS BIGINT) AS min_gap_us
+      FROM g GROUP BY 1
+    )
+    SELECT user_id, n_events, span_us, min_gap_us,
+           {sql_quantize(
+               'CASE WHEN span_us > 0 THEN CAST(n_events AS DOUBLE)'
+               ' / (CAST(span_us AS DOUBLE) / 60000000.0)'
+               ' ELSE 0.0 END', 4)} AS events_per_min,
+           (n_events >= {BOT_MIN_EVENTS} AND span_us > 0
+            AND {sql_quantize(
+                'CASE WHEN span_us > 0 THEN CAST(n_events AS DOUBLE)'
+                ' / (CAST(span_us AS DOUBLE) / 60000000.0)'
+                ' ELSE 0.0 END', 4)} >= {BOT_RATE_PER_MIN})
+             AS bot_suspect
+    FROM per
 """
