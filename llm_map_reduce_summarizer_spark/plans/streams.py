@@ -677,6 +677,50 @@ def stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def stream_bot_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming bot screen: per-user traffic counters accumulate AT
+    INGEST with FOUR integers of state per user; the rate/threshold
+    verdict applies to the latest emission per user post-drain. Drain
+    == batch `events_bot_detection`, whose oracle it shares.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from ..functions.text import quantize
+    from ..streaming.stream_ops import bot_counters_stream
+    from .events import BOT_MIN_EVENTS, BOT_RATE_PER_MIN
+
+    ev = read_events_stream(spark, sf_dir)
+    drained = run_available_now(
+        bot_counters_stream(ev), output_mode="update"
+    )
+    # latest emission per user = the max-n update (counters only grow)
+    w = Window.partitionBy("user_id")
+    latest = drained.withColumn(
+        "mx", F.max("n_events").over(w)
+    ).filter(F.col("n_events") == F.col("mx"))
+    rate = (
+        F.col("n_events").cast("double")
+        / (F.col("span_us").cast("double") / 60_000_000.0)
+    )
+    q_rate = quantize(
+        F.when(F.col("span_us") > 0, rate).otherwise(F.lit(0.0)), 4
+    )
+    return latest.select(
+        "user_id",
+        "n_events",
+        "span_us",
+        "min_gap_us",
+        q_rate.alias("events_per_min"),
+        (
+            (F.col("n_events") >= BOT_MIN_EVENTS)
+            & (F.col("span_us") > 0)
+            & (q_rate >= BOT_RATE_PER_MIN)
+        ).alias("bot_suspect"),
+    )
+
+
 QUERIES = {
     "stream_hourly": stream_hourly,
     "stream_sessionize": stream_sessionize,
@@ -695,6 +739,7 @@ QUERIES = {
     "stream_sample_fixed": stream_sample_fixed,
     "stream_latest_state": stream_latest_state,
     "stream_attribution": stream_attribution,
+    "stream_bot_gate": stream_bot_gate,
     "stream_pack": stream_pack,
     "stream_topk_cms": stream_topk_cms,
 }
@@ -718,6 +763,7 @@ ORACLE = {
     "stream_sample_fixed": _DOCS_ORACLE["corpus_sample_fixed"],
     "stream_latest_state": _DOCS_ORACLE["events_latest_state"],
     "stream_attribution": _EVENTS_ORACLE["events_attribution"],
+    "stream_bot_gate": _EVENTS_ORACLE["events_bot_detection"],
     "stream_domain_cap": f"""
         SELECT doc_id, source, rk, (rk <= {DOMAIN_CAP}) AS kept FROM (
           SELECT doc_id, source,

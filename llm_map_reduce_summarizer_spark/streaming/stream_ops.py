@@ -815,3 +815,78 @@ def attribution_pairs_stream(
             - F.expr(f"INTERVAL {window_days} DAYS")
         ),
     ).select("purchase_id", "user_id", "purchase_ts", "value", "view_ts")
+
+
+BOT_STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("first_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("min_gap", LongType()),
+    ]
+)
+
+BOT_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("span_us", LongType()),
+        StructField("min_gap_us", LongType()),
+    ]
+)
+
+
+def _bot_fold(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-user traffic counters: FOUR integers of state (count,
+    first/last event time, min consecutive gap) — bounded by the
+    entity count, never stream length. For ts-ordered arrival per
+    user the fold's min-gap equals the batch lag-min exactly (each
+    batch sorts its slice and the carried last_us stitches the
+    boundary pair)."""
+    if state.hasTimedOut:
+        state.remove()
+        return
+    user_id = key[0]
+    n, first_us, last_us, min_gap = (
+        state.get if state.exists else (0, None, None, None)
+    )
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts_us", "event_id"])
+        for ts in pdf["ts_us"]:
+            ts = int(ts)
+            if last_us is not None:
+                gap = ts - last_us
+                min_gap = gap if min_gap is None else min(min_gap, gap)
+            if first_us is None:
+                first_us = ts
+            last_us = ts
+            n += 1
+    state.update((n, first_us, last_us, min_gap))
+    yield pd.DataFrame(
+        [
+            {
+                "user_id": user_id,
+                "n_events": n,
+                "span_us": (last_us - first_us) if n else 0,
+                "min_gap_us": min_gap,
+            }
+        ]
+    )
+
+
+def bot_counters_stream(events: DataFrame) -> DataFrame:
+    """Streaming per-user traffic counters feeding the bot screen —
+    update mode emits each user's running totals; the latest emission
+    per user equals the batch aggregation on the drained input."""
+    base = events.select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), "event_id"
+    )
+    return base.groupBy("user_id").applyInPandasWithState(
+        _bot_fold,
+        outputStructType=BOT_OUT_SCHEMA,
+        stateStructType=BOT_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
