@@ -800,3 +800,57 @@ def test_stream_reservoir_displacement_across_batches(spark, tmp_path):
     # batch 1's reservoir (otherwise this test proves nothing)
     first_k = sorted(ids_a, key=lambda i: draws[i])[:k]
     assert set(first_k) != set(expect)
+
+
+def test_stream_bot_gate_min_gap_spans_batch_boundary(spark, tmp_path):
+    """The minimum inter-event gap must consider the pair that spans a
+    micro-batch boundary (carried last_ts), and counters must equal
+    the batch aggregation on the drained input."""
+    import pandas as pd
+
+    from llm_map_reduce_summarizer_spark.streaming.stream_ops import (
+        EVENTS_SCHEMA,
+        bot_counters_stream,
+        run_available_now,
+    )
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    base = 1_700_000_000_000_000_000  # ns for the legacy long schema
+    us = 1_000
+
+    def ev(eid, ts_us):
+        return dict(
+            event_id=eid, ts=base + ts_us * 1000, user_id=1,
+            event_type="view", value=0.0, props="{}",
+        )
+
+    src = tmp_path / "events_bot"
+    src.mkdir()
+    # in-batch gaps: 500; the boundary pair (1000 -> 1200) gives 200 —
+    # the true minimum only exists ACROSS the file boundary
+    pd.DataFrame([ev(1, 0), ev(2, 500), ev(3, 1000)]).to_parquet(
+        src / "part-000.parquet"
+    )
+    pd.DataFrame([ev(4, 1200), ev(5, 1800)]).to_parquet(
+        src / "part-001.parquet"
+    )
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(str(src))
+    ).withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    drained = run_available_now(
+        bot_counters_stream(raw), output_mode="update"
+    )
+    w = Window.partitionBy("user_id")
+    latest = (
+        drained.withColumn("mx", F.max("n_events").over(w))
+        .filter(F.col("n_events") == F.col("mx"))
+        .toPandas()
+    )
+    assert len(latest) == 1
+    assert latest.iloc[0]["n_events"] == 5
+    assert latest.iloc[0]["span_us"] == 1800
+    assert latest.iloc[0]["min_gap_us"] == 200  # the boundary pair
