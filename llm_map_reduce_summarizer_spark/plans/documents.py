@@ -884,6 +884,39 @@ def emb_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup dashboard rollup: per (lang, source) stratum, how many
+    docs carry a content digest that appears more than once
+    CORPUS-WIDE (a cross-source copy still counts in every stratum it
+    lands in) and the stratum's duplicate rate.
+
+    Scale: digests computed map-side; corpus-wide digest counts are
+    one 32-byte-key partial agg that joins back to the doc slice
+    (AQE-decided); the final agg is strata-bounded.
+    """
+    from ..operators.dedup import fingerprint
+
+    d = fingerprint(_docs(spark, sf_dir)).select(
+        "doc_id", "lang", "source", "fp"
+    )
+    counts = d.groupBy("fp").agg(F.count(F.lit(1)).alias("n_fp"))
+    return (
+        d.join(counts, "fp")
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum((F.col("n_fp") > 1).cast("long"))
+            .cast("long")
+            .alias("n_dup_docs"),
+            quantize(
+                F.sum((F.col("n_fp") > 1).cast("long"))
+                / F.count(F.lit(1)).cast("double"),
+                4,
+            ).alias("dup_rate"),
+        )
+    )
+
+
 def dedup_index_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The stored near-dup index table: per-doc MinHash LSH band keys
     — the existing-corpus side that ``corpus_dedup_incremental`` /
@@ -2473,6 +2506,7 @@ QUERIES = {
     "doc_ngram_lm_export": doc_ngram_lm_export,
     "corpus_quality_report": corpus_quality_report,
     "emb_drift_report": emb_drift_report,
+    "corpus_dedup_report": corpus_dedup_report,
 }
 
 
@@ -4225,4 +4259,22 @@ ORACLE["emb_drift_report"] = f"""
            {sql_quantize('b.v / a.v', 6)} AS var_ratio
     FROM per a JOIN per b ON a.dim = b.dim
     WHERE a.is_existing AND NOT b.is_existing
+"""
+
+ORACLE["corpus_dedup_report"] = f"""
+    WITH fps AS (
+      SELECT doc_id, lang, source,
+             md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp
+      FROM documents
+    ),
+    cnt AS (SELECT fp, count(*) AS n_fp FROM fps GROUP BY 1)
+    SELECT lang, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN n_fp > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_docs,
+           {sql_quantize(
+               'sum(CASE WHEN n_fp > 1 THEN 1 ELSE 0 END)'
+               ' / CAST(count(*) AS DOUBLE)', 4)} AS dup_rate
+    FROM fps JOIN cnt USING (fp)
+    GROUP BY 1, 2
 """

@@ -821,6 +821,34 @@ def events_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily growth accounting: per day, how many active users are NEW
+    (first-ever activity) vs returning — the companion to the DAU
+    tier that splits it by acquisition.
+
+    Scale: first-seen day per user = one user-keyed partial agg; the
+    (day, user) distinct activity joins it back on the user key
+    (co-partitioned, AQE-decided) and the final agg is day-bounded.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).alias("day")
+    du = ev.select(day, "user_id").distinct()
+    first = du.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    return (
+        du.join(first, "user_id")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("dau"),
+            F.sum((F.col("day") == F.col("first_day")).cast("long"))
+            .cast("long")
+            .alias("n_new"),
+            F.sum((F.col("day") != F.col("first_day")).cast("long"))
+            .cast("long")
+            .alias("n_returning"),
+        )
+    )
+
+
 QUERIES = {
     "events_retention_hourly": events_retention_hourly,
     "events_dau": events_dau,
@@ -842,6 +870,7 @@ QUERIES = {
     "events_markov_stationary": events_markov_stationary,
     "events_attribution": events_attribution,
     "events_bot_detection": events_bot_detection,
+    "events_new_vs_returning": events_new_vs_returning,
 }
 
 ORACLE = {
@@ -1169,4 +1198,19 @@ ORACLE["events_bot_detection"] = f"""
                 ' ELSE 0.0 END', 4)} >= {BOT_RATE_PER_MIN})
              AS bot_suspect
     FROM per
+"""
+
+ORACLE["events_new_vs_returning"] = """
+    WITH du AS (
+      SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+    ),
+    fs AS (SELECT user_id, min(day) AS first_day FROM du GROUP BY 1)
+    SELECT day,
+           CAST(count(*) AS BIGINT) AS dau,
+           CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_new,
+           CAST(sum(CASE WHEN day <> first_day THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_returning
+    FROM du JOIN fs USING (user_id)
+    GROUP BY 1
 """
