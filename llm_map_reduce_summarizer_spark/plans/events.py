@@ -849,6 +849,32 @@ def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_user_activity_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-entity activity distribution: exact p50/p90/p99 of
+    events-per-user (the power-law report capacity planning and bot
+    thresholds read). Complements `events_value_quantiles` (value
+    dimension) with the ENTITY dimension.
+
+    Scale: the per-user counts are one user-keyed partial agg (rows =
+    active users); the global quantiles then sort a counts table
+    bounded by entities, not events — and the approx sketch drops in
+    for the 100 TB path exactly as in the value tier.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    return per.agg(
+        F.round(F.expr("percentile(n, 0.5)"), 4).alias("p5"),
+        F.round(F.expr("percentile(n, 0.9)"), 4).alias("p9"),
+        F.round(F.expr("percentile(n, 0.99)"), 4).alias("p99"),
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("n").cast("long").alias("n_events"),
+    )
+
+
 QUERIES = {
     "events_retention_hourly": events_retention_hourly,
     "events_dau": events_dau,
@@ -871,6 +897,7 @@ QUERIES = {
     "events_attribution": events_attribution,
     "events_bot_detection": events_bot_detection,
     "events_new_vs_returning": events_new_vs_returning,
+    "events_user_activity_quantiles": events_user_activity_quantiles,
 }
 
 ORACLE = {
@@ -1213,4 +1240,17 @@ ORACLE["events_new_vs_returning"] = """
              AS n_returning
     FROM du JOIN fs USING (user_id)
     GROUP BY 1
+"""
+
+ORACLE["events_user_activity_quantiles"] = """
+    WITH per AS (
+      SELECT user_id, CAST(count(*) AS DOUBLE) AS n
+      FROM events GROUP BY 1
+    )
+    SELECT round(quantile_cont(n, 0.5), 4) AS p5,
+           round(quantile_cont(n, 0.9), 4) AS p9,
+           round(quantile_cont(n, 0.99), 4) AS p99,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(n) AS BIGINT) AS n_events
+    FROM per
 """

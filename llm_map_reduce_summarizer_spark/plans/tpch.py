@@ -822,6 +822,34 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+COPURCHASE_TOPK = 20
+
+
+def parts_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining: the top-20 part pairs that appear in
+    the same order (association-rule input — "bought together").
+
+    Scale: the self-join is keyed on l_orderkey, so pair volume is
+    Σ (items-per-order choose 2) — bounded by the order-size cap,
+    never |lineitem|²; pair counts partial-agg map-side and the
+    global top-k is TakeOrderedAndProject.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    a = li.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    )
+    return pairs.orderBy(
+        F.col("n_orders").desc(), F.col("pa"), F.col("pb")
+    ).limit(COPURCHASE_TOPK)
+
+
 QUERIES = {
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q8_market_share": q8_market_share,
@@ -852,6 +880,7 @@ QUERIES = {
     "rollup_sales": rollup_sales,
     "pivot_flag_status": pivot_flag_status,
     "agg_distinct_stats": agg_distinct_stats,
+    "parts_copurchase": parts_copurchase,
 }
 
 ORACLE = {
@@ -1224,3 +1253,18 @@ ORACLE = {
         GROUP BY event_type
     """,
 }
+
+ORACLE["parts_copurchase"] = f"""
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT pa, pb, n_orders FROM pairs
+    ORDER BY n_orders DESC, pa, pb LIMIT 20
+"""
