@@ -917,6 +917,38 @@ def corpus_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size distribution of the near-dup graph (the dedup
+    diagnostic: how much of the duplication is pairwise vs
+    boilerplate families): per component size, how many clusters and
+    how many docs they hold.
+
+    Scale: composes `dedup_clusters` (pair graph ≪ corpus) with two
+    tiny aggs — the size histogram is bounded by the largest
+    component, never the corpus.
+    """
+    comps = connected_components(
+        minhash_lsh_pairs(
+            _docs(spark, sf_dir),
+            threshold=MINHASH_THRESHOLD,
+            df_cap=MINHASH_DF_CAP,
+        )
+    )
+    sizes = comps.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        (F.count(F.lit(1)) * F.col("cluster_size"))
+        .cast("long")
+        .alias("n_docs"),
+    ).select(
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        "n_clusters",
+        "n_docs",
+    )
+
+
 def dedup_index_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The stored near-dup index table: per-doc MinHash LSH band keys
     — the existing-corpus side that ``corpus_dedup_incremental`` /
@@ -2507,6 +2539,7 @@ QUERIES = {
     "corpus_quality_report": corpus_quality_report,
     "emb_drift_report": emb_drift_report,
     "corpus_dedup_report": corpus_dedup_report,
+    "dedup_cluster_stats": dedup_cluster_stats,
 }
 
 
@@ -4277,4 +4310,17 @@ ORACLE["corpus_dedup_report"] = f"""
                ' / CAST(count(*) AS DOUBLE)', 4)} AS dup_rate
     FROM fps JOIN cnt USING (fp)
     GROUP BY 1, 2
+"""
+
+# the component CTE is the dedup_clusters oracle verbatim; sizes and
+# the histogram stack on top
+ORACLE["dedup_cluster_stats"] = f"""
+    WITH comps AS ({ORACLE['dedup_clusters']}),
+    sizes AS (
+      SELECT cluster_id, count(*) AS cluster_size FROM comps GROUP BY 1
+    )
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(count(*) * cluster_size AS BIGINT) AS n_docs
+    FROM sizes GROUP BY cluster_size
 """

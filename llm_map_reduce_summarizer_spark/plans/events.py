@@ -875,6 +875,36 @@ def events_user_activity_quantiles(
     )
 
 
+def events_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonality profile per event type: mean events in
+    each of the 24 clock hours across the observed days (the
+    capacity/scheduling view `events_hourly`'s raw timeline feeds).
+
+    Scale: aggregates the per-(type, calendar-hour) AGGREGATE, not raw
+    events twice — one partial agg to the hourly timeline (bounded by
+    types × observed hours), then a 24×types-bounded profile agg with
+    an exact integer-sum mean (single division).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        hourly.groupBy(
+            F.hour("hour").cast("long").alias("hour_of_day"),
+            "event_type",
+        )
+        .agg(
+            F.sum("n").cast("long").alias("n_events"),
+            F.count(F.lit(1)).cast("long").alias("n_hours"),
+            quantize(
+                F.sum("n").cast("double") / F.count(F.lit(1)), 4
+            ).alias("mean_per_hour"),
+        )
+    )
+
+
 QUERIES = {
     "events_retention_hourly": events_retention_hourly,
     "events_dau": events_dau,
@@ -898,6 +928,7 @@ QUERIES = {
     "events_bot_detection": events_bot_detection,
     "events_new_vs_returning": events_new_vs_returning,
     "events_user_activity_quantiles": events_user_activity_quantiles,
+    "events_hourly_profile": events_hourly_profile,
 }
 
 ORACLE = {
@@ -1253,4 +1284,19 @@ ORACLE["events_user_activity_quantiles"] = """
            CAST(count(*) AS BIGINT) AS n_users,
            CAST(sum(n) AS BIGINT) AS n_events
     FROM per
+"""
+
+ORACLE["events_hourly_profile"] = f"""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS hour, event_type,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT CAST(extract(hour FROM hour) AS BIGINT) AS hour_of_day,
+           event_type,
+           CAST(sum(n) AS BIGINT) AS n_events,
+           CAST(count(*) AS BIGINT) AS n_hours,
+           {sql_quantize('CAST(sum(n) AS DOUBLE) / count(*)', 4)}
+             AS mean_per_hour
+    FROM hourly GROUP BY 1, 2
 """
