@@ -850,6 +850,74 @@ def parts_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(COPURCHASE_TOPK)
 
 
+def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation per customer: Recency (days from last order
+    to the corpus max date), Frequency (order count), Monetary (total
+    spend), each scored 1-4 against the corpus quartiles.
+
+    Scale: one custkey partial agg builds the per-customer metrics;
+    the quartile cutoffs are a 1-ROW exact-percentile aggregate that
+    broadcasts (never an unpartitioned ntile window — the plan audit
+    bans those); scoring is then a pure narrow map.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    mx = o.agg(F.max("o_orderdate").alias("maxd"))
+    per = (
+        o.crossJoin(F.broadcast(mx))
+        .groupBy("o_custkey")
+        .agg(
+            F.min(F.datediff(F.col("maxd"), F.col("o_orderdate")))
+            .cast("long")
+            .alias("recency_days"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+        )
+    )
+    cuts = per.agg(
+        *[
+            F.expr(f"percentile(recency_days, {q})").alias(f"r{i}")
+            for i, q in ((1, 0.25), (2, 0.5), (3, 0.75))
+        ],
+        *[
+            F.expr(f"percentile(frequency, {q})").alias(f"f{i}")
+            for i, q in ((1, 0.25), (2, 0.5), (3, 0.75))
+        ],
+        *[
+            F.expr(f"percentile(monetary, {q})").alias(f"m{i}")
+            for i, q in ((1, 0.25), (2, 0.5), (3, 0.75))
+        ],
+    )
+
+    def score(col, c1, c2, c3, reverse=False):
+        s = (
+            F.when(col <= F.col(c1), 1)
+            .when(col <= F.col(c2), 2)
+            .when(col <= F.col(c3), 3)
+            .otherwise(4)
+        )
+        return (5 - s) if reverse else s
+
+    return (
+        per.crossJoin(F.broadcast(cuts))
+        .select(
+            "o_custkey",
+            "recency_days",
+            "frequency",
+            "monetary",
+            # low recency = good -> reversed scale
+            score(F.col("recency_days"), "r1", "r2", "r3", reverse=True)
+            .cast("long")
+            .alias("r_score"),
+            score(F.col("frequency"), "f1", "f2", "f3")
+            .cast("long")
+            .alias("f_score"),
+            score(F.col("monetary"), "m1", "m2", "m3")
+            .cast("long")
+            .alias("m_score"),
+        )
+    )
+
+
 QUERIES = {
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q8_market_share": q8_market_share,
@@ -881,6 +949,7 @@ QUERIES = {
     "pivot_flag_status": pivot_flag_status,
     "agg_distinct_stats": agg_distinct_stats,
     "parts_copurchase": parts_copurchase,
+    "customer_rfm": customer_rfm,
 }
 
 ORACLE = {
@@ -1267,4 +1336,43 @@ ORACLE["parts_copurchase"] = f"""
     )
     SELECT pa, pb, n_orders FROM pairs
     ORDER BY n_orders DESC, pa, pb LIMIT 20
+"""
+
+ORACLE["customer_rfm"] = """
+    WITH mx AS (SELECT max(o_orderdate) AS maxd FROM orders),
+    per AS (
+      SELECT o_custkey,
+             CAST(min(datediff('day', o_orderdate, maxd)) AS BIGINT)
+               AS recency_days,
+             CAST(count(*) AS BIGINT) AS frequency,
+             round(sum(o_totalprice), 2) AS monetary
+      FROM orders CROSS JOIN mx
+      GROUP BY 1
+    ),
+    cuts AS (
+      SELECT quantile_cont(recency_days, 0.25) AS r1,
+             quantile_cont(recency_days, 0.5) AS r2,
+             quantile_cont(recency_days, 0.75) AS r3,
+             quantile_cont(frequency, 0.25) AS f1,
+             quantile_cont(frequency, 0.5) AS f2,
+             quantile_cont(frequency, 0.75) AS f3,
+             quantile_cont(monetary, 0.25) AS m1,
+             quantile_cont(monetary, 0.5) AS m2,
+             quantile_cont(monetary, 0.75) AS m3
+      FROM per
+    )
+    SELECT o_custkey, recency_days, frequency, monetary,
+           CAST(5 - (CASE WHEN recency_days <= r1 THEN 1
+                          WHEN recency_days <= r2 THEN 2
+                          WHEN recency_days <= r3 THEN 3
+                          ELSE 4 END) AS BIGINT) AS r_score,
+           CAST(CASE WHEN frequency <= f1 THEN 1
+                     WHEN frequency <= f2 THEN 2
+                     WHEN frequency <= f3 THEN 3
+                     ELSE 4 END AS BIGINT) AS f_score,
+           CAST(CASE WHEN monetary <= m1 THEN 1
+                     WHEN monetary <= m2 THEN 2
+                     WHEN monetary <= m3 THEN 3
+                     ELSE 4 END AS BIGINT) AS m_score
+    FROM per CROSS JOIN cuts
 """
