@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.hashing import (
+    shingle_key,
     sql_shingle_key,
     DRAW_MOD,
     KNUTH,
@@ -947,6 +948,64 @@ def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_clusters",
         "n_docs",
     )
+
+
+WINNOW_W = 4
+
+
+def doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer et al. 2003, the
+    MOSS algorithm): over each doc's k-gram hash sequence, every
+    window of W consecutive hashes contributes its minimum — the
+    guarantee is that any match of length >= W+k-1 shares a selected
+    fingerprint, at ~2/(W+1) storage density. The selected (pos, fp)
+    rows are the plagiarism-style overlap index, a positional
+    complement to MinHash (which keeps no positions).
+
+    Ties select the SMALLEST position (deterministic variant; the
+    paper's rightmost rule is an arbitrary orientation). Scale: gram
+    hashes are map-side; the sliding min is a doc-partitioned window
+    frame (never global); the distinct collapses map-side within the
+    doc partition.
+    """
+    from pyspark.sql.window import Window
+
+    from ..functions.hashing import words
+
+    d = _docs(spark, sf_dir)
+    wd = d.select("doc_id", words(F.col("text")).alias("w")).filter(
+        F.size("w") >= 3
+    )
+    grams = wd.selectExpr(
+        "doc_id",
+        "size(w) - 2 AS n_grams",
+        "posexplode(transform(sequence(0, size(w) - 3),"
+        " i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS (pos, g)",
+    ).select(
+        "doc_id",
+        "n_grams",
+        "pos",
+        shingle_key(F.col("g")).alias("h"),
+    )
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(0, WINNOW_W - 1)
+    )
+    sel = (
+        grams.withColumn(
+            "m", F.min(F.struct(F.col("h"), F.col("pos"))).over(win)
+        )
+        # a window starting at pos is full only while pos <= n - W
+        .filter(F.col("pos") <= F.col("n_grams") - WINNOW_W)
+        .select(
+            "doc_id",
+            F.col("m.pos").alias("pos"),
+            F.col("m.h").alias("fp"),
+        )
+        .distinct()
+    )
+    return sel
 
 
 def dedup_index_export(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2540,6 +2599,7 @@ QUERIES = {
     "emb_drift_report": emb_drift_report,
     "corpus_dedup_report": corpus_dedup_report,
     "dedup_cluster_stats": dedup_cluster_stats,
+    "doc_winnowing": doc_winnowing,
 }
 
 
@@ -4323,4 +4383,30 @@ ORACLE["dedup_cluster_stats"] = f"""
            CAST(count(*) AS BIGINT) AS n_clusters,
            CAST(count(*) * cluster_size AS BIGINT) AS n_docs
     FROM sizes GROUP BY cluster_size
+"""
+
+ORACLE["doc_winnowing"] = f"""
+    WITH toksw AS (
+      SELECT doc_id, {_W} AS w FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, len(w) - 2 AS n_grams, i - 1 AS pos,
+             {sql_shingle_key("w[i] || ' ' || w[i+1] || ' ' || w[i+2]")}
+               AS h
+      FROM toksw, unnest(generate_series(1, len(w) - 2)) AS t(i)
+      WHERE len(w) >= 3
+    ),
+    sel AS (
+      SELECT g.doc_id, m.pos, m.h
+      FROM grams g
+      JOIN LATERAL (
+        SELECT g2.pos, g2.h
+        FROM grams g2
+        WHERE g2.doc_id = g.doc_id
+          AND g2.pos BETWEEN g.pos AND g.pos + {WINNOW_W - 1}
+        ORDER BY g2.h, g2.pos LIMIT 1
+      ) m ON TRUE
+      WHERE g.pos <= g.n_grams - {WINNOW_W}
+    )
+    SELECT DISTINCT doc_id, pos, h AS fp FROM sel
 """

@@ -388,3 +388,33 @@ def test_lm_export_consistent_with_surprisal_scorer(spark):
             scored.loc[scored["doc_id"] == r["doc_id"], "mean_surprisal"]
         )
         assert math.isclose(got, want, abs_tol=2e-5)
+
+
+def test_winnowing_guarantee_on_shared_run(spark, tmp_path):
+    """Winnowing's core guarantee: two docs sharing a word run of
+    length >= W + k - 1 (here 4 + 3 - 1 = 6) must share at least one
+    selected fingerprint, and density stays ~2/(W+1)."""
+    import pandas as pd
+
+    from llm_map_reduce_summarizer_spark.plans.documents import (
+        WINNOW_W,
+        doc_winnowing,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = pd.DataFrame(
+        [
+            dict(doc_id=0, text="one two " + shared + " three four five",
+                 lang="en", source="s", n_chars=1),
+            dict(doc_id=1, text="six seven eight " + shared + " nine ten",
+                 lang="en", source="s", n_chars=1),
+        ]
+    )
+    docs.to_parquet(tmp_path / "documents.parquet")
+    fp = doc_winnowing(spark, str(tmp_path)).toPandas()
+    a = set(fp[fp["doc_id"] == 0]["fp"])
+    b = set(fp[fp["doc_id"] == 1]["fp"])
+    assert a & b, "shared run must surface a common fingerprint"
+    # density: selected fingerprints ≪ grams (the point of winnowing)
+    n_grams_0 = len(docs.loc[0, "text"].split()) - 2
+    assert len(a) < n_grams_0
