@@ -1008,6 +1008,32 @@ def doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sel
 
 
+WINNOW_OVERLAP_MIN = 5
+
+
+def doc_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise overlap via the winnowing index: doc pairs sharing at
+    least WINNOW_OVERLAP_MIN selected fingerprints — the MOSS match
+    report, positional cousin of `dedup_ngram_jaccard` (each shared
+    fingerprint certifies a ≥ W+k−1-word common run).
+
+    Scale: the self-join keys on the 8-byte fingerprint of the
+    ALREADY-thinned index (~2/(W+1) of grams), so compare volume is
+    Σ df(fp)² over selected prints — and the same df-cap guard as the
+    shingle paths applies if a print goes boilerplate.
+    """
+    sel = doc_winnowing(spark, sf_dir).select("doc_id", "fp").distinct()
+    a = sel.select(F.col("doc_id").alias("da"), "fp")
+    b = sel.select(F.col("doc_id").alias("db"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("da") < F.col("db"))
+        .groupBy("da", "db")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= WINNOW_OVERLAP_MIN)
+    )
+
+
 def dedup_index_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The stored near-dup index table: per-doc MinHash LSH band keys
     — the existing-corpus side that ``corpus_dedup_incremental`` /
@@ -2600,6 +2626,7 @@ QUERIES = {
     "corpus_dedup_report": corpus_dedup_report,
     "dedup_cluster_stats": dedup_cluster_stats,
     "doc_winnowing": doc_winnowing,
+    "doc_winnow_overlap": doc_winnow_overlap,
 }
 
 
@@ -4409,4 +4436,15 @@ ORACLE["doc_winnowing"] = f"""
       WHERE g.pos <= g.n_grams - {WINNOW_W}
     )
     SELECT DISTINCT doc_id, pos, h AS fp FROM sel
+"""
+
+ORACLE["doc_winnow_overlap"] = f"""
+    WITH wsel AS ({ORACLE['doc_winnowing']}),
+    wdedup AS (SELECT DISTINCT doc_id, fp FROM wsel)
+    SELECT a.doc_id AS da, b.doc_id AS db,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM wdedup a JOIN wdedup b
+      ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING count(*) >= {WINNOW_OVERLAP_MIN}
 """

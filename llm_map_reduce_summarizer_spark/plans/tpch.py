@@ -918,6 +918,50 @@ def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier operations scorecard: line count, revenue, return
+    rate, open-line share, and mean discount — the multi-flag rollup a
+    procurement dashboard reads (Q10's return signal + the mix
+    signals, joined into one entity view).
+
+    Scale: one suppkey partial agg over a single lineitem scan; rates
+    are exact-integer counts with a single division, and the mean
+    discount integer-sums the 1e-2-grid discounts exactly.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    ret = (F.col("l_returnflag") == "R").cast("long")
+    open_ = (F.col("l_linestatus") == "O").cast("long")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per = li.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.round(F.sum(rev), 2).alias("revenue"),
+        F.sum(ret).cast("long").alias("n_returned"),
+        F.sum(open_).cast("long").alias("n_open"),
+        # discounts live on the 1e-2 grid: integer-sum exactly
+        F.sum(F.round(F.col("l_discount") * 100).cast("long"))
+        .cast("long")
+        .alias("disc_cents"),
+    )
+    return per.select(
+        "l_suppkey",
+        "n_lines",
+        "revenue",
+        "n_returned",
+        "n_open",
+        F.round(
+            F.col("n_returned").cast("double") / F.col("n_lines"), 4
+        ).alias("return_rate"),
+        F.round(
+            F.col("n_open").cast("double") / F.col("n_lines"), 4
+        ).alias("open_share"),
+        F.round(
+            F.col("disc_cents").cast("double")
+            / (F.col("n_lines").cast("double") * 100.0),
+            4,
+        ).alias("mean_discount"),
+    ).drop("disc_cents")
+
+
 QUERIES = {
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q8_market_share": q8_market_share,
@@ -950,6 +994,7 @@ QUERIES = {
     "agg_distinct_stats": agg_distinct_stats,
     "parts_copurchase": parts_copurchase,
     "customer_rfm": customer_rfm,
+    "supplier_scorecard": supplier_scorecard,
 }
 
 ORACLE = {
@@ -1375,4 +1420,25 @@ ORACLE["customer_rfm"] = """
                      WHEN monetary <= m3 THEN 3
                      ELSE 4 END AS BIGINT) AS m_score
     FROM per CROSS JOIN cuts
+"""
+
+ORACLE["supplier_scorecard"] = """
+    WITH per AS (
+      SELECT l_suppkey,
+             CAST(count(*) AS BIGINT) AS n_lines,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             CAST(sum(CASE WHEN l_returnflag = 'R'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_returned,
+             CAST(sum(CASE WHEN l_linestatus = 'O'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+             CAST(sum(CAST(round(l_discount * 100) AS BIGINT))
+               AS BIGINT) AS disc_cents
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l_suppkey, n_lines, revenue, n_returned, n_open,
+           round(CAST(n_returned AS DOUBLE) / n_lines, 4) AS return_rate,
+           round(CAST(n_open AS DOUBLE) / n_lines, 4) AS open_share,
+           round(CAST(disc_cents AS DOUBLE)
+                 / (CAST(n_lines AS DOUBLE) * 100.0), 4) AS mean_discount
+    FROM per
 """
