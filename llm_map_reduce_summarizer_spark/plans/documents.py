@@ -1034,6 +1034,30 @@ def doc_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law input: per doc (in doc_id ingest order), how many
+    vocabulary terms appear for the FIRST time — the cumulative sum
+    is the vocabulary-growth curve dedup and tokenizer budgets are
+    planned against.
+
+    Scale: first-appearance doc per term = one term-keyed partial agg
+    (min doc_id); the per-doc count is a second natural-key agg — NO
+    global-order window (the analyst cumsums the tiny result; at
+    100 TB the curve has one point per ingest shard anyway).
+    """
+    from ..functions.hashing import words
+
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id", F.explode(words(F.col("text"))).alias("term")
+    )
+    first = toks.groupBy("term").agg(F.min("doc_id").alias("doc_id"))
+    return (
+        first.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_new_terms"))
+    )
+
+
 def dedup_index_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The stored near-dup index table: per-doc MinHash LSH band keys
     — the existing-corpus side that ``corpus_dedup_incremental`` /
@@ -2627,6 +2651,7 @@ QUERIES = {
     "dedup_cluster_stats": dedup_cluster_stats,
     "doc_winnowing": doc_winnowing,
     "doc_winnow_overlap": doc_winnow_overlap,
+    "corpus_vocab_growth": corpus_vocab_growth,
 }
 
 
@@ -4447,4 +4472,13 @@ ORACLE["doc_winnow_overlap"] = f"""
       ON a.fp = b.fp AND a.doc_id < b.doc_id
     GROUP BY 1, 2
     HAVING count(*) >= {WINNOW_OVERLAP_MIN}
+"""
+
+ORACLE["corpus_vocab_growth"] = f"""
+    WITH tk AS (
+      SELECT doc_id, unnest({_W}) AS term FROM documents
+    ),
+    first AS (SELECT term, min(doc_id) AS doc_id FROM tk GROUP BY 1)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_new_terms
+    FROM first GROUP BY 1
 """

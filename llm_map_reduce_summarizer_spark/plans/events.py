@@ -905,6 +905,35 @@ def events_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_type_share_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event-mix trend: per (day, type), the count and its share
+    of that day's volume — the drift view that catches a product
+    change or instrumentation regression shifting the mix.
+
+    Scale: one (day, type) partial agg; the per-day totals come from a
+    second day-keyed agg joined back (day-bounded, broadcastable);
+    shares are exact-integer counts with a single division.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).alias("day")
+    per = ev.groupBy(day, "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    tot = per.groupBy("day").agg(F.sum("n_events").alias("day_total"))
+    return (
+        per.join(F.broadcast(tot), "day")
+        .select(
+            "day",
+            "event_type",
+            "n_events",
+            quantize(
+                F.col("n_events").cast("double") / F.col("day_total"),
+                6,
+            ).alias("share"),
+        )
+    )
+
+
 QUERIES = {
     "events_retention_hourly": events_retention_hourly,
     "events_dau": events_dau,
@@ -929,6 +958,7 @@ QUERIES = {
     "events_new_vs_returning": events_new_vs_returning,
     "events_user_activity_quantiles": events_user_activity_quantiles,
     "events_hourly_profile": events_hourly_profile,
+    "events_type_share_trend": events_type_share_trend,
 }
 
 ORACLE = {
@@ -1299,4 +1329,18 @@ ORACLE["events_hourly_profile"] = f"""
            {sql_quantize('CAST(sum(n) AS DOUBLE) / count(*)', 4)}
              AS mean_per_hour
     FROM hourly GROUP BY 1, 2
+"""
+
+ORACLE["events_type_share_trend"] = f"""
+    WITH per AS (
+      SELECT date_trunc('day', ts) AS day, event_type,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT day, sum(n_events) AS day_total FROM per GROUP BY 1)
+    SELECT per.day, per.event_type, per.n_events,
+           {sql_quantize(
+               'CAST(per.n_events AS DOUBLE) / tot.day_total', 6)}
+             AS share
+    FROM per JOIN tot ON per.day = tot.day
 """
