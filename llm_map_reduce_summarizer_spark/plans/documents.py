@@ -2573,6 +2573,184 @@ def emb_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ZIPF_TOP_K = 256
+HEAPS_POINTS = 16
+MIX_ALPHA = 0.5
+
+
+def doc_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit of the corpus frequency spectrum: least-squares
+    slope/intercept/R^2 of log-frequency vs log-rank over the top-256
+    vocabulary terms — the one-row lexical-health summary (a corpus
+    whose slope drifts far from ~-1 is template-spam or truncated).
+
+    Scale: the vocabulary is one term-keyed partial agg; the top-K is
+    ``orderBy().limit(K)`` (TakeOrderedAndProject — per-partition
+    top-K with a K-row merge, no global sort) and ranks are assigned
+    window-free by the pack-and-posexplode idiom on the K-row result.
+    The regression is a built-in JVM aggregate over K rows.
+    """
+    toks = _docs(spark, sf_dir).select(
+        F.explode(words(F.col("text"))).alias("term")
+    )
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("f"))
+    top = vocab.orderBy(F.col("f").desc(), F.col("term")).limit(ZIPF_TOP_K)
+    packed = top.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct((-F.col("f")).alias("neg_f"), F.col("term"))
+            )
+        ).alias("arr")
+    )
+    ranked = packed.select(F.posexplode("arr").alias("pos", "e")).select(
+        (-F.col("e.neg_f")).cast("double").alias("f"),
+        (F.col("pos") + 1).cast("double").alias("rk"),
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        quantize(F.regr_slope(F.log("f"), F.log("rk")), 4).alias(
+            "zipf_slope"
+        ),
+        quantize(F.regr_intercept(F.log("f"), F.log("rk")), 4).alias(
+            "ln_c"
+        ),
+        quantize(F.regr_r2(F.log("f"), F.log("rk")), 4).alias("r2"),
+    )
+
+
+def doc_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law fit V = K·N^beta of vocabulary growth vs corpus
+    size, sampled at 16 ingest checkpoints — the one-row projection
+    of how much NEW vocabulary another 10x of data buys (tokenizer /
+    dedup budget planning; the curve itself is
+    ``corpus_vocab_growth``).
+
+    Scale: checkpoints are doc_id thresholds from a 1-row max
+    broadcast — cumulative token and first-appearance counts come
+    from a 16-row broadcast nested-loop join + natural-key aggs, so
+    there is NO unpartitioned cumsum window; the regression is a
+    built-in aggregate over 16 points.
+    """
+    d = _docs(spark, sf_dir)
+    mx = d.agg(F.max("doc_id").alias("m"))
+    th = (
+        spark.range(1, HEAPS_POINTS + 1)
+        .select(F.col("id").alias("b"))
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "b",
+            F.ceil(F.col("m") * F.col("b") / F.lit(HEAPS_POINTS))
+            .cast("long")
+            .alias("t"),
+        )
+    )
+    ntok = d.select("doc_id", F.size(words(F.col("text"))).alias("n"))
+    tcum = (
+        ntok.join(F.broadcast(th), F.col("doc_id") <= F.col("t"))
+        .groupBy("b")
+        .agg(F.sum("n").cast("double").alias("n_tokens"))
+    )
+    first = (
+        d.select("doc_id", F.explode(words(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.min("doc_id").alias("fd"))
+    )
+    vcum = (
+        first.join(F.broadcast(th), F.col("fd") <= F.col("t"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("double").alias("vocab"))
+    )
+    pts = tcum.join(vcum, "b")
+    return pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        quantize(
+            F.regr_slope(F.log("vocab"), F.log("n_tokens")), 4
+        ).alias("heaps_beta"),
+        quantize(
+            F.regr_intercept(F.log("vocab"), F.log("n_tokens")), 4
+        ).alias("ln_k"),
+        quantize(F.regr_r2(F.log("vocab"), F.log("n_tokens")), 4).alias(
+            "r2"
+        ),
+    )
+
+
+def corpus_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-sampled data-mix plan (the multilingual-LM mixing
+    rule, alpha=0.5): target share per source ∝ observed_tokens^alpha
+    — boosting small sources, shrinking dominant ones — with the
+    per-source epochs and capped sample rate needed to hit that mix
+    at a one-corpus token budget. The prescriptive companion to
+    ``corpus_mix_report`` (observed) and ``corpus_rebalance``
+    (equal-share).
+
+    Scale: one source-keyed partial agg + two 1-row broadcast totals;
+    the plan is a pure narrow map on the per-source rollup (sources
+    number thousands at most).
+    """
+    d = _docs(spark, sf_dir)
+    per = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(token_count(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    tot = per.agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum(F.pow(F.col("n_tokens").cast("double"), F.lit(MIX_ALPHA))).alias(
+            "z"
+        ),
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    tgt = F.pow(F.col("n_tokens").cast("double"), F.lit(MIX_ALPHA)) / F.col(
+        "z"
+    )
+    epochs = tgt * F.col("total_tokens") / F.col("n_tokens")
+    return j.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        quantize(
+            F.col("n_tokens") / F.col("total_tokens"), 6
+        ).alias("observed_share"),
+        quantize(tgt, 6).alias("target_share"),
+        quantize(epochs, 4).alias("epochs"),
+        quantize(F.least(F.lit(1.0), epochs), 4).alias("sample_rate"),
+    )
+
+
+def doc_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID evaluation rollup: the (labeled_lang, pred_lang)
+    confusion matrix of the n-gram/stopword heuristic with per-label
+    recall shares — the QA view that catches a drifting classifier
+    before it mis-routes a corpus (the per-doc view is
+    ``doc_langid``).
+
+    Scale: the scoring is the same narrow map as ``doc_langid``; the
+    matrix is a (label, pred)-keyed partial agg (<= |langs|^2 rows)
+    plus a label-total broadcast back.
+    """
+    scores = lang_score_cols()
+    d = _docs(spark, sf_dir).select(
+        F.col("lang").alias("labeled_lang"),
+        *[scores[k].alias(k) for k in ["s_en", "s_de", "s_es", "s_fr", "s_zh"]],
+    )
+    cells = (
+        d.withColumn("pred_lang", pred_lang_col())
+        .groupBy("labeled_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    totals = cells.groupBy("labeled_lang").agg(
+        F.sum("n_docs").alias("label_total")
+    )
+    return cells.join(F.broadcast(totals), "labeled_lang").select(
+        "labeled_lang",
+        "pred_lang",
+        "n_docs",
+        quantize(
+            F.col("n_docs").cast("double") / F.col("label_total"), 6
+        ).alias("label_share"),
+    )
+
+
 QUERIES = {
     "corpus_prep_e2e": corpus_prep_e2e,
     "multimodal_frames": multimodal_frames,
@@ -2652,6 +2830,10 @@ QUERIES = {
     "doc_winnowing": doc_winnowing,
     "doc_winnow_overlap": doc_winnow_overlap,
     "corpus_vocab_growth": corpus_vocab_growth,
+    "doc_zipf_fit": doc_zipf_fit,
+    "doc_heaps_fit": doc_heaps_fit,
+    "corpus_mix_plan": corpus_mix_plan,
+    "doc_langid_confusion": doc_langid_confusion,
 }
 
 
@@ -4481,4 +4663,118 @@ ORACLE["corpus_vocab_growth"] = f"""
     first AS (SELECT term, min(doc_id) AS doc_id FROM tk GROUP BY 1)
     SELECT doc_id, CAST(count(*) AS BIGINT) AS n_new_terms
     FROM first GROUP BY 1
+"""
+
+ORACLE["doc_zipf_fit"] = f"""
+    WITH tk AS (SELECT unnest({_W}) AS term FROM documents),
+    vocab AS (SELECT term, count(*) AS f FROM tk GROUP BY 1),
+    top AS (
+      SELECT CAST(f AS DOUBLE) AS f,
+             CAST(row_number()
+                  OVER (ORDER BY f DESC, term) AS DOUBLE) AS rk
+      FROM vocab ORDER BY f DESC, term LIMIT {ZIPF_TOP_K}
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_terms,
+           {sql_quantize('regr_slope(ln(f), ln(rk))', 4)} AS zipf_slope,
+           {sql_quantize('regr_intercept(ln(f), ln(rk))', 4)} AS ln_c,
+           {sql_quantize('regr_r2(ln(f), ln(rk))', 4)} AS r2
+    FROM top
+"""
+
+ORACLE["doc_heaps_fit"] = f"""
+    WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+    th AS (
+      SELECT g.b,
+             CAST(ceil(mx.m * g.b / {HEAPS_POINTS}.0) AS BIGINT) AS t
+      FROM generate_series(1, {HEAPS_POINTS}) AS g(b), mx
+    ),
+    ntok AS (SELECT doc_id, len({_W}) AS n FROM documents),
+    tcum AS (
+      SELECT th.b, CAST(sum(ntok.n) AS DOUBLE) AS n_tokens
+      FROM th JOIN ntok ON ntok.doc_id <= th.t GROUP BY 1
+    ),
+    tk AS (SELECT doc_id, unnest({_W}) AS term FROM documents),
+    first AS (SELECT term, min(doc_id) AS fd FROM tk GROUP BY 1),
+    vcum AS (
+      SELECT th.b, CAST(count(*) AS DOUBLE) AS vocab
+      FROM th JOIN first ON first.fd <= th.t GROUP BY 1
+    ),
+    pts AS (SELECT tcum.b, n_tokens, vocab FROM tcum JOIN vcum USING (b))
+    SELECT CAST(count(*) AS BIGINT) AS n_points,
+           {sql_quantize('regr_slope(ln(vocab), ln(n_tokens))', 4)}
+             AS heaps_beta,
+           {sql_quantize('regr_intercept(ln(vocab), ln(n_tokens))', 4)}
+             AS ln_k,
+           {sql_quantize('regr_r2(ln(vocab), ln(n_tokens))', 4)} AS r2
+    FROM pts
+"""
+
+ORACLE["corpus_mix_plan"] = f"""
+    WITH per AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum({SQL_TOKEN_COUNT.format(c='text')}) AS BIGINT)
+               AS n_tokens
+      FROM documents GROUP BY 1
+    ),
+    tot AS (
+      SELECT sum(n_tokens) AS total_tokens,
+             sum(pow(CAST(n_tokens AS DOUBLE), {MIX_ALPHA})) AS z
+      FROM per
+    )
+    SELECT source, n_docs, n_tokens,
+           {sql_quantize('n_tokens / total_tokens', 6)}
+             AS observed_share,
+           {sql_quantize(
+               f'pow(CAST(n_tokens AS DOUBLE), {MIX_ALPHA}) / z', 6)}
+             AS target_share,
+           {sql_quantize(
+               f'pow(CAST(n_tokens AS DOUBLE), {MIX_ALPHA}) / z'
+               ' * total_tokens / n_tokens', 4)}
+             AS epochs,
+           {sql_quantize(
+               f'least(1.0, pow(CAST(n_tokens AS DOUBLE), {MIX_ALPHA})'
+               ' / z * total_tokens / n_tokens)', 4)}
+             AS sample_rate
+    FROM per, tot
+"""
+
+ORACLE["doc_langid_confusion"] = f"""
+    WITH scored AS (
+      SELECT lang AS labeled_lang,
+             CAST(len(list_filter({_W},
+               t -> list_contains({_STOP_SQL['en']}, t))) AS BIGINT) AS s_en,
+             CAST(len(list_filter({_W},
+               t -> list_contains({_STOP_SQL['de']}, t))) AS BIGINT) AS s_de,
+             CAST(len(list_filter({_W},
+               t -> list_contains({_STOP_SQL['es']}, t))) AS BIGINT) AS s_es,
+             CAST(len(list_filter({_W},
+               t -> list_contains({_STOP_SQL['fr']}, t))) AS BIGINT) AS s_fr,
+             CAST(len(regexp_extract_all(text, '{CJK_PATTERN}')) AS BIGINT)
+               AS s_zh
+      FROM documents
+    ),
+    pred AS (
+      SELECT labeled_lang, CASE
+               WHEN s_zh > 0 THEN 'zh'
+               WHEN s_en >= greatest(s_de, s_es, s_fr) THEN 'en'
+               WHEN s_de >= greatest(s_es, s_fr) THEN 'de'
+               WHEN s_es >= s_fr THEN 'es'
+               ELSE 'fr' END AS pred_lang
+      FROM scored
+    ),
+    cells AS (
+      SELECT labeled_lang, pred_lang,
+             CAST(count(*) AS BIGINT) AS n_docs
+      FROM pred GROUP BY 1, 2
+    ),
+    totals AS (
+      SELECT labeled_lang, sum(n_docs) AS label_total
+      FROM cells GROUP BY 1
+    )
+    SELECT c.labeled_lang, c.pred_lang, c.n_docs,
+           {sql_quantize(
+               'CAST(c.n_docs AS DOUBLE) / t.label_total', 6)}
+             AS label_share
+    FROM cells c JOIN totals t USING (labeled_lang)
 """

@@ -934,6 +934,91 @@ def events_type_share_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-hour-of-day anomaly profile: for each hour-of-day,
+    the median hourly event count, the median absolute deviation
+    (MAD), and how many observed hours fall outside the 3-MAD band —
+    the outlier screen that, unlike ``events_hourly_anomaly``'s
+    mean/stddev z-score, is not itself skewed by the outliers it
+    hunts (reference parity: the same hourly rollup family,
+    preprocessor.py's interval aggregation).
+
+    Scale: hourly counts are one ts-truncated partial agg (bounded by
+    hours x types, not events); medians run per hour-of-day group
+    (<=24 partitions of ~hours/24 values — at 100 TB switch the inner
+    percentile to approx_percentile, same shape); the per-hod
+    median/MAD tables are <=24 rows and broadcast back. No
+    unpartitioned window anywhere.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.hour("hour").cast("bigint").alias("hour_of_day"),
+            F.col("n").cast("double").alias("n"),
+        )
+    )
+    med = hourly.groupBy("hour_of_day").agg(
+        F.expr("percentile(n, 0.5)").alias("med")
+    )
+    dev = hourly.join(F.broadcast(med), "hour_of_day").withColumn(
+        "adev", F.abs(F.col("n") - F.col("med"))
+    )
+    mad = dev.groupBy("hour_of_day").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "hour_of_day")
+        .groupBy("hour_of_day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hours"),
+            quantize(F.first("med"), 4).alias("med_n"),
+            quantize(F.first("mad"), 4).alias("mad_n"),
+            F.sum(
+                F.when(
+                    (F.col("mad") > 0)
+                    & (F.col("adev") > 3 * F.col("mad")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_anomalies"),
+        )
+    )
+
+
+def events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event gap distribution: count, median / p90
+    (exact interpolated), and max gap in integer microseconds — the
+    cadence profile bot-detection thresholds and session-gap tuning
+    are derived from.
+
+    Scale: the lag window is PARTITIONED by user_id (ordered by
+    (ts_us, event_id) for a total order under timestamp ties), so
+    gaps are one sort-shuffle on the natural key; the per-user agg
+    reuses the same partitioning. Gap arithmetic stays in integer
+    microseconds — no float epoch drift between engines.
+    """
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros("ts")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gaps = (
+        ev.withColumn("prev_us", F.lag("ts_us").over(w))
+        .filter(F.col("prev_us").isNotNull())
+        .select(
+            "user_id", (F.col("ts_us") - F.col("prev_us")).alias("gap_us")
+        )
+    )
+    return gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        quantize(F.expr("percentile(gap_us, 0.5)"), 4).alias("med_gap_us"),
+        quantize(F.expr("percentile(gap_us, 0.9)"), 4).alias("p90_gap_us"),
+        F.max("gap_us").cast("long").alias("max_gap_us"),
+    )
+
+
 QUERIES = {
     "events_retention_hourly": events_retention_hourly,
     "events_dau": events_dau,
@@ -959,6 +1044,8 @@ QUERIES = {
     "events_user_activity_quantiles": events_user_activity_quantiles,
     "events_hourly_profile": events_hourly_profile,
     "events_type_share_trend": events_type_share_trend,
+    "events_anomaly_mad": events_anomaly_mad,
+    "events_interarrival": events_interarrival,
 }
 
 ORACLE = {
@@ -1343,4 +1430,56 @@ ORACLE["events_type_share_trend"] = f"""
                'CAST(per.n_events AS DOUBLE) / tot.day_total', 6)}
              AS share
     FROM per JOIN tot ON per.day = tot.day
+"""
+
+ORACLE["events_anomaly_mad"] = f"""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS hour, count(*) AS n
+      FROM events GROUP BY 1
+    ),
+    hod AS (
+      SELECT CAST(extract(hour FROM hour) AS BIGINT) AS hour_of_day,
+             CAST(n AS DOUBLE) AS n
+      FROM hourly
+    ),
+    med AS (
+      SELECT hour_of_day, quantile_cont(n, 0.5) AS med
+      FROM hod GROUP BY 1
+    ),
+    dev AS (
+      SELECT hod.hour_of_day, hod.n, med.med,
+             abs(hod.n - med.med) AS adev
+      FROM hod JOIN med USING (hour_of_day)
+    ),
+    mad AS (
+      SELECT hour_of_day, quantile_cont(adev, 0.5) AS mad
+      FROM dev GROUP BY 1
+    )
+    SELECT d.hour_of_day,
+           CAST(count(*) AS BIGINT) AS n_hours,
+           {sql_quantize('any_value(d.med)', 4)} AS med_n,
+           {sql_quantize('any_value(m.mad)', 4)} AS mad_n,
+           CAST(sum(CASE WHEN m.mad > 0 AND d.adev > 3 * m.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+    FROM dev d JOIN mad m USING (hour_of_day)
+    GROUP BY 1
+"""
+
+ORACLE["events_interarrival"] = f"""
+    WITH gaps AS (
+      SELECT user_id,
+             epoch_us(ts)
+               - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                         ORDER BY epoch_us(ts), event_id)
+               AS gap_us
+      FROM events
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_gaps,
+           {sql_quantize('quantile_cont(gap_us, 0.5)', 4)} AS med_gap_us,
+           {sql_quantize('quantile_cont(gap_us, 0.9)', 4)} AS p90_gap_us,
+           CAST(max(gap_us) AS BIGINT) AS max_gap_us
+    FROM gaps
+    WHERE gap_us IS NOT NULL
+    GROUP BY 1
 """

