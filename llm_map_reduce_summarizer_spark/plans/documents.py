@@ -39,6 +39,7 @@ from ..functions.vectors import (
     KNN_BANDS,
     adaptive_sign_bits,
     sign_bucket,
+    unit_norm,
     sql_adaptive_bits_cte,
     sql_cosine,
     sql_dot,
@@ -2576,6 +2577,66 @@ def emb_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 ZIPF_TOP_K = 256
 HEAPS_POINTS = 16
 MIX_ALPHA = 0.5
+KMEANS_K = 8
+KMEANS_ITERS = 3
+
+
+def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spherical k-means (3 unrolled Lloyd rounds, deterministic
+    ``vec_id % K`` init) with a FULL value oracle — the
+    SQL-checkable twin of the MLlib-trained IVF path
+    (``knn_ivf_trained``, whose training is rows-only-checked).
+    Returns every vector's final cluster and cosine to its centroid.
+
+    Cross-engine float parity: unit vectors use the ordered dot
+    chain both engines share; centroid cells and similarities are
+    quantized to 1e-9 EACH round, so engine-order summation drift
+    (~1e-15) is killed per iteration instead of compounding into
+    assignment flips; argmax ties break to the lowest cluster id in
+    both engines.
+
+    Scale: per round = one vec_id co-partitioned join (cells x
+    assignment), a (K x dim)-bounded partial agg, a K·dim-row
+    broadcast, and a (vec_id, c) partial agg — exactly the
+    distributed Lloyd iteration; nothing materializes beyond n x dim
+    cells (checkpointed once for the 2·ITERS consumers).
+    """
+    e = _embs(spark, sf_dir)
+    u = e.select("vec_id", unit_norm(F.col("embedding")).alias("u"))
+    ex = u.select(
+        "vec_id", F.posexplode("u").alias("dim", "val")
+    ).localCheckpoint(eager=True)
+    assign = e.select(
+        "vec_id", (F.col("vec_id") % KMEANS_K).cast("long").alias("c")
+    )
+    for _ in range(KMEANS_ITERS):
+        cents = (
+            ex.join(assign.select("vec_id", "c"), "vec_id")
+            .groupBy("c", "dim")
+            .agg(quantize(F.avg("val"), 9).alias("cv"))
+        )
+        sims = (
+            ex.join(F.broadcast(cents), "dim")
+            .withColumn("p", F.col("val") * F.col("cv"))
+            .groupBy("vec_id", "c")
+            .agg(quantize(F.sum("p"), 9).alias("sim"))
+        )
+        assign = (
+            sims.groupBy("vec_id")
+            .agg(
+                F.max(
+                    F.struct(F.col("sim"), (-F.col("c")).alias("neg"))
+                ).alias("m")
+            )
+            .select(
+                "vec_id",
+                (-F.col("m.neg")).cast("long").alias("c"),
+                F.col("m.sim").alias("sim"),
+            )
+        )
+    return assign.select(
+        "vec_id", F.col("c").alias("cluster_id"), "sim"
+    )
 
 
 def doc_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2834,6 +2895,7 @@ QUERIES = {
     "doc_heaps_fit": doc_heaps_fit,
     "corpus_mix_plan": corpus_mix_plan,
     "doc_langid_confusion": doc_langid_confusion,
+    "emb_kmeans": emb_kmeans,
 }
 
 
@@ -4778,3 +4840,53 @@ ORACLE["doc_langid_confusion"] = f"""
              AS label_share
     FROM cells c JOIN totals t USING (labeled_lang)
 """
+
+
+def _kmeans_oracle() -> str:
+    """Unrolled-Lloyd SQL twin of :func:`emb_kmeans`: per round, a
+    centroid CTE (quantized cell means), a similarity CTE (quantized
+    dot of unit-vector cells with centroid cells), and an argmax CTE
+    (max sim per vec, ties to the lowest cluster id via min(c) among
+    the max-sim rows)."""
+    q9 = lambda expr: sql_quantize(expr, 9)  # noqa: E731
+    parts = [
+        sql_unit_cte(),
+        "ex AS (SELECT vec_id,"
+        " unnest(generate_series(0, len(u) - 1)) AS dim,"
+        " CAST(unnest(u) AS DOUBLE) AS val FROM unitv)",
+        f"a0 AS (SELECT vec_id, CAST(vec_id % {KMEANS_K} AS BIGINT) AS c"
+        " FROM embeddings)",
+    ]
+    prev = "a0"
+    for i in range(1, KMEANS_ITERS + 1):
+        parts.append(
+            f"c{i} AS (SELECT {prev}.c, ex.dim, {q9('avg(ex.val)')} AS cv"
+            f" FROM ex JOIN {prev} USING (vec_id) GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"s{i} AS (SELECT ex.vec_id, c{i}.c,"
+            f" {q9(f'sum(ex.val * c{i}.cv)')} AS sim"
+            f" FROM ex JOIN c{i} USING (dim) GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"m{i} AS (SELECT vec_id, max(sim) AS ms FROM s{i} GROUP BY 1)"
+        )
+        parts.append(
+            f"a{i} AS (SELECT s.vec_id, min(s.c) AS c FROM s{i} s"
+            f" JOIN m{i} m ON s.vec_id = m.vec_id AND s.sim = m.ms"
+            " GROUP BY 1)"
+        )
+        prev = f"a{i}"
+    n = KMEANS_ITERS
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT a{n}.vec_id, a{n}.c AS cluster_id, s{n}.sim
+    FROM a{n} JOIN s{n}
+      ON a{n}.vec_id = s{n}.vec_id AND a{n}.c = s{n}.c
+"""
+    )
+
+
+ORACLE["emb_kmeans"] = _kmeans_oracle()

@@ -491,3 +491,48 @@ def test_anomaly_mad_and_interarrival_semantics(spark):
         assert r["med_gap_us"] >= 0
         assert r["med_gap_us"] <= r["p90_gap_us"] + 1e-9
         assert r["p90_gap_us"] <= r["max_gap_us"] + 1e-9
+
+
+def test_emb_kmeans_improves_objective(spark):
+    """Lloyd's algorithm must not degrade the spherical objective:
+    the mean final cosine-to-centroid exceeds the round-0 mean
+    (computed here against the deterministic vec_id % K init), and
+    runs are bit-stable."""
+    import pyspark.sql.functions as F
+
+    from llm_map_reduce_summarizer_spark.functions.vectors import unit_norm
+    from llm_map_reduce_summarizer_spark.plans.documents import (
+        KMEANS_K,
+        emb_kmeans,
+        _embs,
+    )
+
+    out = emb_kmeans(spark, SF).toPandas()
+    assert set(out.columns) == {"vec_id", "cluster_id", "sim"}
+    assert out["cluster_id"].between(0, KMEANS_K - 1).all()
+
+    # round-0 objective: cosine of each vector to its init-cluster
+    # centroid (same quantized arithmetic as the operator)
+    e = _embs(spark, SF)
+    u = e.select("vec_id", unit_norm(F.col("embedding")).alias("u"))
+    ex = u.select("vec_id", F.posexplode("u").alias("dim", "val"))
+    a0 = e.select(
+        "vec_id", (F.col("vec_id") % KMEANS_K).cast("long").alias("c")
+    )
+    c0 = (
+        ex.join(a0, "vec_id")
+        .groupBy("c", "dim")
+        .agg(F.avg("val").alias("cv"))
+    )
+    s0 = (
+        ex.join(a0, "vec_id")
+        .join(F.broadcast(c0), ["c", "dim"])
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("val") * F.col("cv")).alias("sim0"))
+    )
+    init_mean = s0.agg(F.avg("sim0")).first()[0]
+    assert out["sim"].mean() > init_mean
+
+    again = emb_kmeans(spark, SF).toPandas()
+    merged = out.merge(again, on="vec_id", suffixes=("", "_b"))
+    assert (merged["cluster_id"] == merged["cluster_id_b"]).all()
