@@ -721,6 +721,34 @@ def stream_bot_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming strict view -> click -> purchase funnel: the per-user
+    stage machine runs AT INGEST (three nullable longs of state per
+    user — bounded by entities, never stream length); the post-drain
+    collapse keeps each user's final stage times (emissions are
+    monotone: fields only ever fill in) and counts stage survivors.
+    Drain == batch `events_funnel`, whose oracle it shares.
+    """
+    from pyspark.sql import functions as F
+
+    from ..streaming.stream_ops import funnel_stages_stream
+
+    ev = read_events_stream(spark, sf_dir)
+    drained = run_available_now(
+        funnel_stages_stream(ev), output_mode="update"
+    )
+    final = drained.groupBy("user_id").agg(
+        F.max("t_view").alias("t_view"),
+        F.max("t_click").alias("t_click"),
+        F.max("t_purchase").alias("t_purchase"),
+    )
+    return final.agg(
+        F.count("t_view").alias("n_view"),
+        F.count("t_click").alias("n_click_after_view"),
+        F.count("t_purchase").alias("n_purchase_after_click"),
+    )
+
+
 QUERIES = {
     "stream_hourly": stream_hourly,
     "stream_sessionize": stream_sessionize,
@@ -742,6 +770,7 @@ QUERIES = {
     "stream_bot_gate": stream_bot_gate,
     "stream_pack": stream_pack,
     "stream_topk_cms": stream_topk_cms,
+    "stream_funnel": stream_funnel,
 }
 
 ORACLE = {
@@ -764,6 +793,9 @@ ORACLE = {
     "stream_latest_state": _DOCS_ORACLE["events_latest_state"],
     "stream_attribution": _EVENTS_ORACLE["events_attribution"],
     "stream_bot_gate": _EVENTS_ORACLE["events_bot_detection"],
+    # static drain of the stage machine == the batch conditional-min
+    # cascade, so the streaming funnel shares its full oracle
+    "stream_funnel": _EVENTS_ORACLE["events_funnel"],
     "stream_domain_cap": f"""
         SELECT doc_id, source, rk, (rk <= {DOMAIN_CAP}) AS kept FROM (
           SELECT doc_id, source,

@@ -890,3 +890,90 @@ def bot_counters_stream(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+FUNNEL_STATE_SCHEMA = StructType(
+    [
+        StructField("t_view", LongType()),
+        StructField("t_click", LongType()),
+        StructField("t_purchase", LongType()),
+    ]
+)
+
+FUNNEL_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("t_view", LongType()),
+        StructField("t_click", LongType()),
+        StructField("t_purchase", LongType()),
+    ]
+)
+
+
+def _funnel_fold(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-user strict view -> click -> purchase stage machine: THREE
+    nullable longs of state (the stage entry times), bounded by the
+    entity count. Each stage time is set exactly once — the first
+    qualifying event in per-user ts order — so for ts-ordered arrival
+    the fold equals the batch conditional-min cascade
+    (plans/events.events_funnel): first view = min view ts; first
+    click strictly after it = min qualifying click; likewise
+    purchase. Emissions are monotone (fields only ever fill in), so
+    the post-drain max per user is the final state."""
+    if state.hasTimedOut:
+        state.remove()
+        return
+    user_id = key[0]
+    t_view, t_click, t_purchase = (
+        state.get if state.exists else (None, None, None)
+    )
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts_us", "event_id"])
+        for ts, et in zip(pdf["ts_us"], pdf["event_type"]):
+            ts = int(ts)
+            if et == "view":
+                if t_view is None:
+                    t_view = ts
+            elif et == "click":
+                if t_view is not None and ts > t_view and t_click is None:
+                    t_click = ts
+            elif et == "purchase":
+                if (
+                    t_click is not None
+                    and ts > t_click
+                    and t_purchase is None
+                ):
+                    t_purchase = ts
+    state.update((t_view, t_click, t_purchase))
+    yield pd.DataFrame(
+        [
+            {
+                "user_id": user_id,
+                "t_view": t_view,
+                "t_click": t_click,
+                "t_purchase": t_purchase,
+            }
+        ]
+    )
+
+
+def funnel_stages_stream(events: DataFrame) -> DataFrame:
+    """Streaming per-user funnel stages — update mode emits each
+    user's (t_view, t_click, t_purchase) after every micro-batch; the
+    latest emission per user equals the batch cascade on the drained
+    input."""
+    base = events.select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        "event_type",
+    )
+    return base.groupBy("user_id").applyInPandasWithState(
+        _funnel_fold,
+        outputStructType=FUNNEL_OUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -854,3 +854,67 @@ def test_stream_bot_gate_min_gap_spans_batch_boundary(spark, tmp_path):
     assert latest.iloc[0]["n_events"] == 5
     assert latest.iloc[0]["span_us"] == 1800
     assert latest.iloc[0]["min_gap_us"] == 200  # the boundary pair
+
+
+def test_stream_funnel_stage_machine_spans_batch_boundary(spark, tmp_path):
+    """The stage machine must honor strict ordering ACROSS micro-batch
+    boundaries: a click arriving in a later batch still counts (state
+    carries t_view), while a click at-or-before the first view never
+    does; and the drained totals equal batch `events_funnel`."""
+    import pandas as pd
+
+    from llm_map_reduce_summarizer_spark.streaming.stream_ops import (
+        EVENTS_SCHEMA,
+        funnel_stages_stream,
+        run_available_now,
+    )
+    from pyspark.sql import functions as F
+
+    base = 1_700_000_000_000_000_000  # ns for the legacy long schema
+
+    def ev(eid, ts_us, uid, et):
+        return dict(
+            event_id=eid, ts=base + ts_us * 1000, user_id=uid,
+            event_type=et, value=0.0, props="{}",
+        )
+
+    src = tmp_path / "events_funnel"
+    src.mkdir()
+    # user 1: view in batch 0, click+purchase in batch 1 -> full funnel
+    # user 2: click at the SAME ts as its view (strict > rejects it)
+    # user 3: purchase before any click -> stops at view
+    pd.DataFrame(
+        [ev(1, 100, 1, "view"), ev(2, 100, 2, "view"),
+         ev(3, 100, 2, "click"), ev(4, 100, 3, "view")]
+    ).to_parquet(src / "part-000.parquet")
+    pd.DataFrame(
+        [ev(5, 200, 1, "click"), ev(6, 300, 1, "purchase"),
+         ev(7, 300, 3, "purchase")]
+    ).to_parquet(src / "part-001.parquet")
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(str(src))
+    ).withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    drained = run_available_now(
+        funnel_stages_stream(raw), output_mode="update"
+    )
+    final = (
+        drained.groupBy("user_id")
+        .agg(
+            F.max("t_view").alias("t_view"),
+            F.max("t_click").alias("t_click"),
+            F.max("t_purchase").alias("t_purchase"),
+        )
+        .toPandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    assert final.loc[1].notna().all()  # cross-batch funnel completes
+    assert pd.isna(final.loc[2]["t_click"])  # same-ts click rejected
+    assert pd.isna(final.loc[3]["t_purchase"])  # no click -> no purchase
+    n_view = final["t_view"].notna().sum()
+    n_click = final["t_click"].notna().sum()
+    n_purch = final["t_purchase"].notna().sum()
+    assert (n_view, n_click, n_purch) == (3, 1, 1)
