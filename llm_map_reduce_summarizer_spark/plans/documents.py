@@ -2812,6 +2812,44 @@ def doc_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CURRICULUM_SEED = "curriculum-v1"
+
+
+def corpus_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum construction: every doc gets a training PHASE
+    (1 = cleanest quartile first, 4 = noisiest last — quality-ordered
+    curriculum learning) and a seeded deterministic order key within
+    phases, so any two runs — or engines — replay the identical
+    curriculum. Complements ``corpus_shuffle_shards`` (uniform order)
+    and ``corpus_split`` (held-out splits).
+
+    Scale: the quartile cutoffs are a 1-ROW exact-percentile
+    aggregate broadcast onto a narrow scoring map (the
+    ``customer_rfm`` idiom — no ntile window); the order key is a
+    map-side hash. Nothing shuffles.
+    """
+    d = _docs(spark, sf_dir)
+    q = d.select("doc_id", quality_score_col().alias("quality_score"))
+    cuts = q.agg(
+        F.expr("percentile(quality_score, 0.25)").alias("c1"),
+        F.expr("percentile(quality_score, 0.5)").alias("c2"),
+        F.expr("percentile(quality_score, 0.75)").alias("c3"),
+    )
+    return q.crossJoin(F.broadcast(cuts)).select(
+        "doc_id",
+        "quality_score",
+        F.when(F.col("quality_score") >= F.col("c3"), 1)
+        .when(F.col("quality_score") >= F.col("c2"), 2)
+        .when(F.col("quality_score") >= F.col("c1"), 3)
+        .otherwise(4)
+        .cast("long")
+        .alias("phase"),
+        shuffle_sort_key(F.col("doc_id"), CURRICULUM_SEED).alias(
+            "order_key"
+        ),
+    )
+
+
 QUERIES = {
     "corpus_prep_e2e": corpus_prep_e2e,
     "multimodal_frames": multimodal_frames,
@@ -2896,6 +2934,7 @@ QUERIES = {
     "corpus_mix_plan": corpus_mix_plan,
     "doc_langid_confusion": doc_langid_confusion,
     "emb_kmeans": emb_kmeans,
+    "corpus_curriculum": corpus_curriculum,
 }
 
 
@@ -4890,3 +4929,22 @@ def _kmeans_oracle() -> str:
 
 
 ORACLE["emb_kmeans"] = _kmeans_oracle()
+
+ORACLE["corpus_curriculum"] = f"""
+    WITH {_quality_docs_cte()},
+    cuts AS (
+      SELECT quantile_cont(quality_score, 0.25) AS c1,
+             quantile_cont(quality_score, 0.5) AS c2,
+             quantile_cont(quality_score, 0.75) AS c3
+      FROM qdocs
+    )
+    SELECT doc_id, quality_score,
+           CAST(CASE
+             WHEN quality_score >= c3 THEN 1
+             WHEN quality_score >= c2 THEN 2
+             WHEN quality_score >= c1 THEN 3
+             ELSE 4 END AS BIGINT) AS phase,
+           md5(concat('{CURRICULUM_SEED}|', CAST(doc_id AS VARCHAR)))
+             AS order_key
+    FROM qdocs, cuts
+"""

@@ -1019,6 +1019,56 @@ def events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_forecast_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecasting backtest: forecast the LAST observed
+    day's hourly event counts from the hour-of-day means of all prior
+    days, and report per-hour forecast vs actual with absolute error
+    — the capacity-planning baseline every fancier model must beat.
+
+    Scale: two hour-of-day partial aggs (bounded by 24 rows each) off
+    one scan split by a 1-row max-day broadcast; the distinct-day
+    count is a second 1-row broadcast; the hod-keyed full-outer join
+    touches <= 24 rows per side. Zero-count hours coalesce to 0 so
+    the backtest can't silently skip quiet hours.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.hour("ts").cast("bigint").alias("hour_of_day"),
+    )
+    mx = ev.agg(F.max("day").alias("maxd"))
+    evx = ev.crossJoin(F.broadcast(mx))
+    train = evx.filter(F.col("day") < F.col("maxd"))
+    test = evx.filter(F.col("day") == F.col("maxd"))
+    nd = train.agg(
+        F.countDistinct("day").cast("long").alias("n_train_days")
+    )
+    t1 = train.groupBy("hour_of_day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_train")
+    )
+    a1 = test.groupBy("hour_of_day").agg(
+        F.count(F.lit(1)).cast("long").alias("actual")
+    )
+    fc = F.col("n_train").cast("double") / F.col("n_train_days")
+    return (
+        t1.join(a1, "hour_of_day", "full_outer")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "hour_of_day",
+            "n_train_days",
+            F.coalesce("n_train", F.lit(0)).cast("long").alias("n_train"),
+            F.coalesce("actual", F.lit(0)).cast("long").alias("actual"),
+            quantize(F.coalesce(fc, F.lit(0.0)), 4).alias("forecast"),
+            quantize(
+                F.abs(
+                    F.coalesce("actual", F.lit(0)).cast("double")
+                    - F.coalesce(fc, F.lit(0.0))
+                ),
+                4,
+            ).alias("abs_err"),
+        )
+    )
+
+
 QUERIES = {
     "events_retention_hourly": events_retention_hourly,
     "events_dau": events_dau,
@@ -1046,6 +1096,7 @@ QUERIES = {
     "events_type_share_trend": events_type_share_trend,
     "events_anomaly_mad": events_anomaly_mad,
     "events_interarrival": events_interarrival,
+    "events_forecast_hourly": events_forecast_hourly,
 }
 
 ORACLE = {
@@ -1482,4 +1533,39 @@ ORACLE["events_interarrival"] = f"""
     FROM gaps
     WHERE gap_us IS NOT NULL
     GROUP BY 1
+"""
+
+ORACLE["events_forecast_hourly"] = f"""
+    WITH ev AS (
+      SELECT date_trunc('day', ts) AS day,
+             CAST(extract(hour FROM ts) AS BIGINT) AS hour_of_day
+      FROM events
+    ),
+    mx AS (SELECT max(day) AS maxd FROM ev),
+    train AS (SELECT ev.* FROM ev, mx WHERE ev.day < mx.maxd),
+    test AS (SELECT ev.* FROM ev, mx WHERE ev.day = mx.maxd),
+    nd AS (
+      SELECT CAST(count(DISTINCT day) AS BIGINT) AS n_train_days
+      FROM train
+    ),
+    t1 AS (
+      SELECT hour_of_day, CAST(count(*) AS BIGINT) AS n_train
+      FROM train GROUP BY 1
+    ),
+    a1 AS (
+      SELECT hour_of_day, CAST(count(*) AS BIGINT) AS actual
+      FROM test GROUP BY 1
+    )
+    SELECT coalesce(t1.hour_of_day, a1.hour_of_day) AS hour_of_day,
+           nd.n_train_days,
+           CAST(coalesce(t1.n_train, 0) AS BIGINT) AS n_train,
+           CAST(coalesce(a1.actual, 0) AS BIGINT) AS actual,
+           {sql_quantize(
+               'coalesce(CAST(t1.n_train AS DOUBLE) / nd.n_train_days,'
+               ' 0.0)', 4)} AS forecast,
+           {sql_quantize(
+               'abs(CAST(coalesce(a1.actual, 0) AS DOUBLE)'
+               ' - coalesce(CAST(t1.n_train AS DOUBLE)'
+               ' / nd.n_train_days, 0.0))', 4)} AS abs_err
+    FROM t1 FULL OUTER JOIN a1 USING (hour_of_day), nd
 """
