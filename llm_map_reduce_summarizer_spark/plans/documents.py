@@ -2601,6 +2601,17 @@ def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed Lloyd iteration; nothing materializes beyond n x dim
     cells (checkpointed once for the 2·ITERS consumers).
     """
+    assign, _sims = _kmeans_final(spark, sf_dir)
+    return assign.select(
+        "vec_id", F.col("c").alias("cluster_id"), "sim"
+    )
+
+
+def _kmeans_final(spark: SparkSession, sf_dir: str):
+    """The shared Lloyd iteration: returns (final assignment with its
+    winning sim, the final round's full (vec_id, c, sim) table) —
+    consumed by ``emb_kmeans`` (assignment) and
+    ``emb_cluster_quality`` (needs the runner-up sims too)."""
     e = _embs(spark, sf_dir)
     u = e.select("vec_id", unit_norm(F.col("embedding")).alias("u"))
     ex = u.select(
@@ -2609,6 +2620,7 @@ def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign = e.select(
         "vec_id", (F.col("vec_id") % KMEANS_K).cast("long").alias("c")
     )
+    sims = None
     for _ in range(KMEANS_ITERS):
         cents = (
             ex.join(assign.select("vec_id", "c"), "vec_id")
@@ -2634,8 +2646,36 @@ def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("m.sim").alias("sim"),
             )
         )
-    return assign.select(
-        "vec_id", F.col("c").alias("cluster_id"), "sim"
+    return assign, sims
+
+
+def emb_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-quality report for the oracle-checked k-means: per
+    cluster, member count, mean cosine to the OWN centroid, mean
+    cosine to the best OTHER centroid (the runner-up), and the
+    separation margin — the silhouette-style evaluation that says
+    whether K fits the data before anyone trains on the partition.
+
+    Scale: reuses the final Lloyd round's (vec, cluster) similarity
+    table (K rows per vector); the runner-up is a vec_id-keyed max
+    over the K-1 non-assigned rows and the rollup is K-bounded.
+    """
+    assign, sims = _kmeans_final(spark, sf_dir)
+    a = assign.select("vec_id", F.col("c").alias("ac"), "sim")
+    second = (
+        sims.join(a.select("vec_id", "ac"), "vec_id")
+        .filter(F.col("c") != F.col("ac"))
+        .groupBy("vec_id")
+        .agg(F.max("sim").alias("second"))
+    )
+    per_vec = a.join(second, "vec_id")
+    return per_vec.groupBy(F.col("ac").alias("cluster_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        quantize(F.avg("sim"), 6).alias("mean_own"),
+        quantize(F.avg("second"), 6).alias("mean_second"),
+        quantize(F.avg(F.col("sim") - F.col("second")), 6).alias(
+            "separation"
+        ),
     )
 
 
@@ -2935,6 +2975,7 @@ QUERIES = {
     "doc_langid_confusion": doc_langid_confusion,
     "emb_kmeans": emb_kmeans,
     "corpus_curriculum": corpus_curriculum,
+    "emb_cluster_quality": emb_cluster_quality,
 }
 
 
@@ -4881,7 +4922,7 @@ ORACLE["doc_langid_confusion"] = f"""
 """
 
 
-def _kmeans_oracle() -> str:
+def _kmeans_ctes():
     """Unrolled-Lloyd SQL twin of :func:`emb_kmeans`: per round, a
     centroid CTE (quantized cell means), a similarity CTE (quantized
     dot of unit-vector cells with centroid cells), and an argmax CTE
@@ -4917,9 +4958,13 @@ def _kmeans_oracle() -> str:
         )
         prev = f"a{i}"
     n = KMEANS_ITERS
+    return "WITH " + ",\n    ".join(parts), n
+
+
+def _kmeans_oracle() -> str:
+    ctes, n = _kmeans_ctes()
     return (
-        "WITH "
-        + ",\n    ".join(parts)
+        ctes
         + f"""
     SELECT a{n}.vec_id, a{n}.c AS cluster_id, s{n}.sim
     FROM a{n} JOIN s{n}
@@ -4928,7 +4973,36 @@ def _kmeans_oracle() -> str:
     )
 
 
+def _cluster_quality_oracle() -> str:
+    ctes, n = _kmeans_ctes()
+    q6 = lambda expr: sql_quantize(expr, 6)  # noqa: E731
+    return (
+        ctes
+        + f""",
+    own AS (
+      SELECT a{n}.vec_id, a{n}.c AS ac, s{n}.sim
+      FROM a{n} JOIN s{n}
+        ON a{n}.vec_id = s{n}.vec_id AND a{n}.c = s{n}.c
+    ),
+    runner AS (
+      SELECT s.vec_id, max(s.sim) AS second
+      FROM s{n} s JOIN own ON s.vec_id = own.vec_id
+      WHERE s.c <> own.ac
+      GROUP BY 1
+    )
+    SELECT own.ac AS cluster_id,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           {q6('avg(own.sim)')} AS mean_own,
+           {q6('avg(runner.second)')} AS mean_second,
+           {q6('avg(own.sim - runner.second)')} AS separation
+    FROM own JOIN runner ON own.vec_id = runner.vec_id
+    GROUP BY 1
+"""
+    )
+
+
 ORACLE["emb_kmeans"] = _kmeans_oracle()
+ORACLE["emb_cluster_quality"] = _cluster_quality_oracle()
 
 ORACLE["corpus_curriculum"] = f"""
     WITH {_quality_docs_cte()},

@@ -1020,6 +1020,75 @@ def orders_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orders_backlog_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/temporal analytics: monthly order-backlog snapshots —
+    per month-start, how many orders are OPEN (placed, not yet fully
+    shipped), plus that month's placements and completions. The
+    "concurrent intervals" pattern (active sessions, WIP inventory,
+    connection counts) done window-free.
+
+    Scale: each order collapses to one (start, end) interval via an
+    orderkey partial agg; the month axis is a 1-row min/max broadcast
+    exploded to a tiny month list (bounded by calendar span, never
+    row count), and the snapshot join is a months-list BROADCAST
+    non-equi join — each interval emits only its open months (bounded
+    by order lifetime), then a month-keyed partial agg. No
+    unpartitioned cumsum window over the timeline.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderdate").alias("start_date")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("end_date"))
+    )
+    iv = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        "o_orderkey", "start_date", "end_date"
+    )
+    rng = iv.agg(
+        F.min("start_date").alias("lo"), F.max("end_date").alias("hi")
+    )
+    months = rng.select(
+        F.explode(
+            F.expr(
+                "sequence(date_trunc('MM', lo), date_trunc('MM', hi),"
+                " interval 1 month)"
+            )
+        ).alias("month")
+    )
+    open_ = (
+        iv.join(
+            F.broadcast(months),
+            (F.col("start_date") <= F.col("month"))
+            & (F.col("end_date") > F.col("month")),
+        )
+        .groupBy("month")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_open"))
+    )
+    started = iv.groupBy(
+        F.date_trunc("month", F.col("start_date")).alias("month")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_placed"))
+    done = iv.groupBy(
+        F.date_trunc("month", F.col("end_date")).alias("month")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_completed"))
+    return (
+        months.join(open_, "month", "left")
+        .join(started, "month", "left")
+        .join(done, "month", "left")
+        .select(
+            "month",
+            F.coalesce("n_open", F.lit(0)).cast("long").alias("n_open"),
+            F.coalesce("n_placed", F.lit(0))
+            .cast("long")
+            .alias("n_placed"),
+            F.coalesce("n_completed", F.lit(0))
+            .cast("long")
+            .alias("n_completed"),
+        )
+    )
+
+
 QUERIES = {
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q8_market_share": q8_market_share,
@@ -1054,6 +1123,7 @@ QUERIES = {
     "customer_rfm": customer_rfm,
     "supplier_scorecard": supplier_scorecard,
     "orders_pareto": orders_pareto,
+    "orders_backlog_monthly": orders_backlog_monthly,
 }
 
 ORACLE = {
@@ -1542,4 +1612,48 @@ ORACLE["orders_pareto"] = """
              AS revenue_share
     FROM binned, tot
     GROUP BY 1
+"""
+
+ORACLE["orders_backlog_monthly"] = """
+    WITH iv AS (
+      SELECT o_orderkey, o_orderdate AS start_date, e.end_date
+      FROM orders
+      JOIN (
+        SELECT l_orderkey, max(l_shipdate) AS end_date
+        FROM lineitem GROUP BY 1
+      ) e ON o_orderkey = e.l_orderkey
+    ),
+    rng AS (
+      SELECT date_trunc('month', min(start_date)) AS lo,
+             date_trunc('month', max(end_date)) AS hi
+      FROM iv
+    ),
+    months AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS month
+      FROM rng
+    ),
+    opened AS (
+      SELECT m.month, CAST(count(*) AS BIGINT) AS n_open
+      FROM months m JOIN iv
+        ON iv.start_date <= m.month AND iv.end_date > m.month
+      GROUP BY 1
+    ),
+    started AS (
+      SELECT date_trunc('month', start_date) AS month,
+             CAST(count(*) AS BIGINT) AS n_placed
+      FROM iv GROUP BY 1
+    ),
+    done AS (
+      SELECT date_trunc('month', end_date) AS month,
+             CAST(count(*) AS BIGINT) AS n_completed
+      FROM iv GROUP BY 1
+    )
+    SELECT months.month,
+           CAST(coalesce(opened.n_open, 0) AS BIGINT) AS n_open,
+           CAST(coalesce(started.n_placed, 0) AS BIGINT) AS n_placed,
+           CAST(coalesce(done.n_completed, 0) AS BIGINT) AS n_completed
+    FROM months
+    LEFT JOIN opened ON months.month = opened.month
+    LEFT JOIN started ON months.month = started.month
+    LEFT JOIN done ON months.month = done.month
 """
