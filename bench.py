@@ -97,6 +97,7 @@ def main() -> None:
         "corpus_dedup_incremental",
         "search_rrf",
         "dedup_bloom",
+        "emb_kmeans",
     ):
         queries[name](spark, "/root/testdata/sf0.001").write.format(
             "noop"

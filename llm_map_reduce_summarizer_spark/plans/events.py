@@ -1069,6 +1069,85 @@ def events_forecast_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection on the daily event-count series:
+    the day where the cumulative deviation from the overall mean
+    peaks (the classic single-changepoint estimate), with the mean
+    level before/after and the shift — the drift monitor that says
+    WHEN traffic changed, complementing `events_anomaly_mad` (which
+    says WHERE it's abnormal).
+
+    Scale: the series is a day-keyed partial agg (bounded by
+    calendar days, never events); the cumulative sums come from a
+    calendar-bounded self-join of that tiny table (D² pairs, D =
+    days) — no unpartitioned cumsum window — and every statistic is
+    an exact integer sum with ONE final multiply/divide, so there is
+    no float-summation-order drift to quantize away.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = daily.agg(
+        F.sum("n").alias("total_n"),
+        F.count(F.lit(1)).alias("n_days"),
+        (F.sum("n").cast("double") / F.count(F.lit(1))).alias("mean_d"),
+    )
+    a = daily.select(F.col("day").alias("d"), F.col("n").alias("na"))
+    b = daily.select(F.col("day").alias("db"), F.col("n").alias("nb"))
+    cus = (
+        a.join(b, F.col("db") <= F.col("d"))
+        .groupBy("d")
+        .agg(
+            F.sum("nb").alias("cum_n"),
+            F.count(F.lit(1)).alias("k"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "d",
+            quantize(
+                F.abs(
+                    F.col("cum_n").cast("double")
+                    - F.col("k") * F.col("mean_d")
+                ),
+                6,
+            ).alias("abs_s"),
+        )
+    )
+    mx = cus.agg(F.max("abs_s").alias("mx"))
+    cp = (
+        cus.crossJoin(F.broadcast(mx))
+        .filter(F.col("abs_s") == F.col("mx"))
+        .agg(F.min("d").alias("cp_day"), F.first("mx").alias("max_cusum"))
+    )
+    return (
+        daily.crossJoin(F.broadcast(cp))
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.first("n_days").cast("long").alias("n_days"),
+            quantize(F.first("mean_d"), 4).alias("mean_daily"),
+            F.first("cp_day").alias("cp_day"),
+            quantize(F.first("max_cusum"), 4).alias("max_cusum"),
+            quantize(
+                F.sum(F.when(F.col("day") <= F.col("cp_day"), F.col("n")))
+                .cast("double")
+                / F.count(
+                    F.when(F.col("day") <= F.col("cp_day"), F.lit(1))
+                ),
+                4,
+            ).alias("mean_before"),
+            quantize(
+                F.sum(F.when(F.col("day") > F.col("cp_day"), F.col("n")))
+                .cast("double")
+                / F.count(
+                    F.when(F.col("day") > F.col("cp_day"), F.lit(1))
+                ),
+                4,
+            ).alias("mean_after"),
+        )
+    )
+
+
 QUERIES = {
     "events_retention_hourly": events_retention_hourly,
     "events_dau": events_dau,
@@ -1097,6 +1176,7 @@ QUERIES = {
     "events_anomaly_mad": events_anomaly_mad,
     "events_interarrival": events_interarrival,
     "events_forecast_hourly": events_forecast_hourly,
+    "events_changepoint": events_changepoint,
 }
 
 ORACLE = {
@@ -1568,4 +1648,45 @@ ORACLE["events_forecast_hourly"] = f"""
                ' - coalesce(CAST(t1.n_train AS DOUBLE)'
                ' / nd.n_train_days, 0.0))', 4)} AS abs_err
     FROM t1 FULL OUTER JOIN a1 USING (hour_of_day), nd
+"""
+
+ORACLE["events_changepoint"] = f"""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    tot AS (
+      SELECT sum(n) AS total_n, count(*) AS n_days,
+             CAST(sum(n) AS DOUBLE) / count(*) AS mean_d
+      FROM daily
+    ),
+    cus AS (
+      SELECT a.day AS d,
+             {sql_quantize(
+                 'abs(CAST(sum(b.n) AS DOUBLE)'
+                 ' - count(*) * any_value(tot.mean_d))', 6)} AS abs_s
+      FROM daily a JOIN daily b ON b.day <= a.day, tot
+      GROUP BY 1
+    ),
+    mx AS (SELECT max(abs_s) AS mx FROM cus),
+    cp AS (
+      SELECT min(cus.d) AS cp_day, any_value(mx.mx) AS max_cusum
+      FROM cus, mx WHERE cus.abs_s = mx.mx
+    )
+    SELECT CAST(any_value(tot.n_days) AS BIGINT) AS n_days,
+           {sql_quantize('any_value(tot.mean_d)', 4)} AS mean_daily,
+           any_value(cp.cp_day) AS cp_day,
+           {sql_quantize('any_value(cp.max_cusum)', 4)} AS max_cusum,
+           {sql_quantize(
+               'CAST(sum(CASE WHEN daily.day <= cp.cp_day'
+               ' THEN daily.n END) AS DOUBLE)'
+               ' / count(CASE WHEN daily.day <= cp.cp_day'
+               ' THEN 1 END)', 4)} AS mean_before,
+           {sql_quantize(
+               'CAST(sum(CASE WHEN daily.day > cp.cp_day'
+               ' THEN daily.n END) AS DOUBLE)'
+               ' / count(CASE WHEN daily.day > cp.cp_day'
+               ' THEN 1 END)', 4)} AS mean_after
+    FROM daily, cp, tot
 """
