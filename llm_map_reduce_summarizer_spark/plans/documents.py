@@ -2649,6 +2649,73 @@ def _kmeans_final(spark: SparkSession, sf_dir: str):
     return assign, sims
 
 
+IVF_LLOYD_NPROBE = 4
+
+
+def knn_ivf_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN probing the ORACLE-CHECKED k-means partition —
+    closes the trained-index certification gap: ``knn_ivf_trained``
+    (MLlib) is rows-only because its training loop has no SQL twin,
+    while here BOTH the index construction (``emb_kmeans``'s unrolled
+    Lloyd rounds) and the probe are value-checked end to end.
+
+    Scale: the corpus side reuses the k-means assignment (its list);
+    each query fans to its nprobe best lists straight from the final
+    round's similarity table (no extra centroid pass); candidates =
+    probes × list members joined on the list id, exact cosine only on
+    candidates, per-query top-k window. Same probe shape as
+    ``knn_ivf`` — training changes recall, not the plan.
+    """
+    from pyspark.sql.window import Window
+
+    from ..functions.vectors import dot as _dot
+
+    assign, sims = _kmeans_final(spark, sf_dir)
+    e = _embs(spark, sf_dir)
+    u = e.select("vec_id", unit_norm(F.col("embedding")).alias("u"))
+    lists = assign.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("c").alias("bucket")
+    ).join(
+        u.select(
+            F.col("vec_id").alias("neighbor_id"), F.col("u").alias("u_c")
+        ),
+        "neighbor_id",
+    )
+    wq = Window.partitionBy("vec_id").orderBy(
+        F.col("sim").desc(), F.col("c")
+    )
+    probes = (
+        sims.filter(F.col("vec_id") < N_QUERY_VECS)
+        .withColumn("prk", F.row_number().over(wq))
+        .filter(F.col("prk") <= IVF_LLOYD_NPROBE)
+        .select(
+            F.col("vec_id").alias("query_id"), F.col("c").alias("bucket")
+        )
+        .join(
+            u.select(
+                F.col("vec_id").alias("query_id"), F.col("u").alias("u_q")
+            ),
+            "query_id",
+        )
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(lists, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cos", quantize(_dot(F.col("u_q"), F.col("u_c")), 6)
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= KNN_K)
+        .select("query_id", "neighbor_id", "cos", "rk")
+    )
+
+
 def emb_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-quality report for the oracle-checked k-means: per
     cluster, member count, mean cosine to the OWN centroid, mean
@@ -2976,6 +3043,7 @@ QUERIES = {
     "emb_kmeans": emb_kmeans,
     "corpus_curriculum": corpus_curriculum,
     "emb_cluster_quality": emb_cluster_quality,
+    "knn_ivf_lloyd": knn_ivf_lloyd,
 }
 
 
@@ -5001,8 +5069,46 @@ def _cluster_quality_oracle() -> str:
     )
 
 
+def _ivf_lloyd_oracle() -> str:
+    ctes, n = _kmeans_ctes()
+    q6 = lambda expr: sql_quantize(expr, 6)  # noqa: E731
+    return (
+        ctes
+        + f""",
+    probes AS (
+      SELECT query_id, bucket FROM (
+        SELECT vec_id AS query_id, c AS bucket,
+               row_number() OVER (
+                 PARTITION BY vec_id ORDER BY sim DESC, c
+               ) AS prk
+        FROM s{n} WHERE vec_id < {N_QUERY_VECS}
+      ) WHERE prk <= {IVF_LLOYD_NPROBE}
+    ),
+    cand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id
+      FROM probes p JOIN a{n} a ON a.c = p.bucket
+      WHERE a.vec_id <> p.query_id
+    ),
+    scored AS (
+      SELECT c.query_id, c.neighbor_id,
+             {q6(sql_dot('qu.u', 'cu.u'))} AS cos
+      FROM cand c
+      JOIN unitv qu ON qu.vec_id = c.query_id
+      JOIN unitv cu ON cu.vec_id = c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos, CAST(rk AS BIGINT) AS rk FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+      ) AS rk
+      FROM scored
+    ) WHERE rk <= {KNN_K}
+"""
+    )
+
+
 ORACLE["emb_kmeans"] = _kmeans_oracle()
 ORACLE["emb_cluster_quality"] = _cluster_quality_oracle()
+ORACLE["knn_ivf_lloyd"] = _ivf_lloyd_oracle()
 
 ORACLE["corpus_curriculum"] = f"""
     WITH {_quality_docs_cte()},

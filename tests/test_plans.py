@@ -536,3 +536,28 @@ def test_emb_kmeans_improves_objective(spark):
     again = emb_kmeans(spark, SF).toPandas()
     merged = out.merge(again, on="vec_id", suffixes=("", "_b"))
     assert (merged["cluster_id"] == merged["cluster_id_b"]).all()
+
+
+def test_knn_ivf_lloyd_recall_and_score_parity(spark):
+    """The Lloyd-index probe must recover a meaningful share of the
+    exact top-k (K=8 lists, nprobe=4) and agree with the brute-force
+    cosine pair-for-pair where they overlap."""
+    from llm_map_reduce_summarizer_spark.plans.documents import (
+        knn_bruteforce,
+        knn_ivf_lloyd,
+    )
+
+    exact = knn_bruteforce(spark, SF).toPandas()
+    ivf = knn_ivf_lloyd(spark, SF).toPandas()
+    assert len(ivf) > 0
+    exact_pairs = set(zip(exact["query_id"], exact["neighbor_id"]))
+    ivf_pairs = set(zip(ivf["query_id"], ivf["neighbor_id"]))
+    recall = len(ivf_pairs & exact_pairs) / len(exact_pairs)
+    assert recall >= 0.3
+    exact_cos = {
+        (r.query_id, r.neighbor_id): r.cos for r in exact.itertuples()
+    }
+    for r in ivf.itertuples():
+        pair = (r.query_id, r.neighbor_id)
+        if pair in exact_cos:
+            assert abs(exact_cos[pair] - r.cos) < 1e-9
