@@ -2919,6 +2919,44 @@ def doc_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fertility audit per (lang, source) stratum: tokens
+    per whitespace word, characters per token, and tokens per doc —
+    the efficiency metric that decides whether a tokenizer (or a
+    stratum's text) inflates the training token budget. Uses the
+    BPE-ish regex tokenizer (`functions/text.TOKEN_PATTERN`) against
+    the whitespace word baseline.
+
+    Scale: one narrow scan computing three per-doc integers, one
+    strata-bounded partial agg; ratios are exact integer sums with a
+    single division each.
+    """
+    d = _docs(spark, sf_dir)
+    w = F.size(words(F.col("text"))).cast("long")
+    per = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(w).cast("long").alias("n_words"),
+        F.sum(token_count(F.col("text"))).cast("long").alias("n_tokens"),
+        F.sum(F.length("text")).cast("long").alias("n_chars"),
+    )
+    return per.select(
+        "lang",
+        "source",
+        "n_docs",
+        "n_words",
+        "n_tokens",
+        quantize(
+            F.col("n_tokens").cast("double") / F.col("n_words"), 4
+        ).alias("fertility"),
+        quantize(
+            F.col("n_chars").cast("double") / F.col("n_tokens"), 4
+        ).alias("chars_per_token"),
+        quantize(
+            F.col("n_tokens").cast("double") / F.col("n_docs"), 4
+        ).alias("tokens_per_doc"),
+    )
+
+
 CURRICULUM_SEED = "curriculum-v1"
 
 
@@ -3044,6 +3082,7 @@ QUERIES = {
     "corpus_curriculum": corpus_curriculum,
     "emb_cluster_quality": emb_cluster_quality,
     "knn_ivf_lloyd": knn_ivf_lloyd,
+    "corpus_tokenizer_fertility": corpus_tokenizer_fertility,
 }
 
 
@@ -5127,4 +5166,24 @@ ORACLE["corpus_curriculum"] = f"""
            md5(concat('{CURRICULUM_SEED}|', CAST(doc_id AS VARCHAR)))
              AS order_key
     FROM qdocs, cuts
+"""
+
+ORACLE["corpus_tokenizer_fertility"] = f"""
+    WITH per AS (
+      SELECT lang, source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len({_W})) AS BIGINT) AS n_words,
+             CAST(sum({SQL_TOKEN_COUNT.format(c='text')}) AS BIGINT)
+               AS n_tokens,
+             CAST(sum(length(text)) AS BIGINT) AS n_chars
+      FROM documents GROUP BY 1, 2
+    )
+    SELECT lang, source, n_docs, n_words, n_tokens,
+           {sql_quantize('CAST(n_tokens AS DOUBLE) / n_words', 4)}
+             AS fertility,
+           {sql_quantize('CAST(n_chars AS DOUBLE) / n_tokens', 4)}
+             AS chars_per_token,
+           {sql_quantize('CAST(n_tokens AS DOUBLE) / n_docs', 4)}
+             AS tokens_per_doc
+    FROM per
 """
