@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.text import quantize, sql_quantize
 from ..sources.tables import load_table
 
 
@@ -1089,6 +1090,41 @@ def orders_backlog_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lineitem_lead_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fulfillment lead-time distribution per return-flag class:
+    order-to-ship lag in days — count, mean, exact median/p90, max.
+    The SLA view of the orders pipeline (Q12 asks "late or not"; this
+    asks "how long, and how heavy is the tail").
+
+    Scale: one orderkey-joined scan (lineitem co-partitions with
+    orders on the join key, AQE-decided), then a ship-mode-bounded
+    agg; the mean is an exact integer sum + one division; the
+    quantiles sort per-mode partitions (approx_percentile drops in at
+    100 TB, same shape).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderdate"
+    )
+    lead = li.join(o, "l_orderkey").select(
+        "l_returnflag",
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+        .cast("long")
+        .alias("lead_days"),
+    )
+    return lead.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        quantize(
+            F.sum("lead_days").cast("double") / F.count(F.lit(1)), 4
+        ).alias("mean_days"),
+        quantize(F.expr("percentile(lead_days, 0.5)"), 4).alias("p50_days"),
+        quantize(F.expr("percentile(lead_days, 0.9)"), 4).alias("p90_days"),
+        F.max("lead_days").cast("long").alias("max_days"),
+    )
+
+
 QUERIES = {
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q8_market_share": q8_market_share,
@@ -1124,6 +1160,7 @@ QUERIES = {
     "supplier_scorecard": supplier_scorecard,
     "orders_pareto": orders_pareto,
     "orders_backlog_monthly": orders_backlog_monthly,
+    "lineitem_lead_time": lineitem_lead_time,
 }
 
 ORACLE = {
@@ -1656,4 +1693,21 @@ ORACLE["orders_backlog_monthly"] = """
     LEFT JOIN opened ON months.month = opened.month
     LEFT JOIN started ON months.month = started.month
     LEFT JOIN done ON months.month = done.month
+"""
+
+ORACLE["lineitem_lead_time"] = f"""
+    WITH lead AS (
+      SELECT l_returnflag,
+             CAST(date_diff('day', o_orderdate, l_shipdate) AS BIGINT)
+               AS lead_days
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    )
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           {sql_quantize('CAST(sum(lead_days) AS DOUBLE) / count(*)', 4)}
+             AS mean_days,
+           {sql_quantize('quantile_cont(lead_days, 0.5)', 4)} AS p50_days,
+           {sql_quantize('quantile_cont(lead_days, 0.9)', 4)} AS p90_days,
+           CAST(max(lead_days) AS BIGINT) AS max_days
+    FROM lead GROUP BY 1
 """
