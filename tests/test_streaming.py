@@ -918,3 +918,125 @@ def test_stream_funnel_stage_machine_spans_batch_boundary(spark, tmp_path):
     n_click = final["t_click"].notna().sum()
     n_purch = final["t_purchase"].notna().sum()
     assert (n_view, n_click, n_purch) == (3, 1, 1)
+
+
+def test_stream_funnel_parity_on_randomized_splits(spark, tmp_path_factory):
+    """Property test: for ANY contiguous micro-batch split of a
+    time-sorted event log (rows shuffled within each file), the
+    drained funnel stage times must equal the batch conditional-min
+    cascade computed independently in Python."""
+    import pandas as pd
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from llm_map_reduce_summarizer_spark.streaming.stream_ops import (
+        EVENTS_SCHEMA,
+        funnel_stages_stream,
+        run_available_now,
+    )
+    from pyspark.sql import functions as F
+
+    raw_events = st.lists(
+        st.tuples(
+            st.integers(1, 3),                      # user_id
+            st.integers(0, 600),                    # ts seconds
+            st.sampled_from(["view", "click", "purchase"]),
+        ),
+        min_size=3,
+        max_size=24,
+    )
+
+    def funnel_oracle(rows):
+        out = {}
+        users = {r["user_id"] for r in rows}
+        for u in users:
+            rs = [r for r in rows if r["user_id"] == u]
+            views = [r["ts_us"] for r in rs if r["event_type"] == "view"]
+            t_view = min(views) if views else None
+            t_click = None
+            if t_view is not None:
+                clicks = [
+                    r["ts_us"] for r in rs
+                    if r["event_type"] == "click" and r["ts_us"] > t_view
+                ]
+                t_click = min(clicks) if clicks else None
+            t_purchase = None
+            if t_click is not None:
+                ps = [
+                    r["ts_us"] for r in rs
+                    if r["event_type"] == "purchase"
+                    and r["ts_us"] > t_click
+                ]
+                t_purchase = min(ps) if ps else None
+            out[u] = (t_view, t_click, t_purchase)
+        return out
+
+    @settings(
+        max_examples=15,
+        deadline=None,
+        suppress_health_check=list(HealthCheck),
+    )
+    @given(data=st.data())
+    def run(data):
+        tuples = data.draw(raw_events)
+        rows = [
+            dict(event_id=i, ts_us=t * 1_000_000, user_id=u,
+                 event_type=e, value=0.0)
+            for i, (u, t, e) in enumerate(tuples)
+        ]
+        ordered = sorted(rows, key=lambda r: (r["ts_us"], r["event_id"]))
+        n_files = data.draw(st.integers(2, 3))
+        cuts = sorted(
+            data.draw(
+                st.lists(
+                    st.integers(1, max(1, len(ordered) - 1)),
+                    min_size=n_files - 1,
+                    max_size=n_files - 1,
+                    unique=True,
+                )
+            )
+        )
+        chunks, prev = [], 0
+        for c in cuts + [len(ordered)]:
+            chunk = ordered[prev:c]
+            prev = c
+            if chunk:
+                chunks.append(data.draw(st.permutations(chunk)))
+
+        src = tmp_path_factory.mktemp("rand_funnel")
+        for i, chunk in enumerate(chunks):
+            pdf = pd.DataFrame(chunk)
+            pdf["ts"] = pdf["ts_us"] * 1000  # long nanos file
+            pdf["props"] = "{}"
+            pdf[["event_id", "ts", "user_id", "event_type", "value",
+                 "props"]].to_parquet(src / f"part-{i:03d}.parquet")
+
+        raw = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .option("latestFirst", "false")
+            .parquet(str(src))
+            .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        )
+        drained = run_available_now(
+            funnel_stages_stream(raw), output_mode="update"
+        )
+        final = (
+            drained.groupBy("user_id")
+            .agg(
+                F.max("t_view").alias("t_view"),
+                F.max("t_click").alias("t_click"),
+                F.max("t_purchase").alias("t_purchase"),
+            )
+            .toPandas()
+        )
+        got = {
+            int(r.user_id): tuple(
+                None if pd.isna(v) else int(v)
+                for v in (r.t_view, r.t_click, r.t_purchase)
+            )
+            for r in final.itertuples(index=False)
+        }
+        assert got == funnel_oracle(rows)
+
+    run()
