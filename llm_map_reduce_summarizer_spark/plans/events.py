@@ -1148,6 +1148,48 @@ def events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cohort-retention triangle: for each first-active-day
+    cohort and day offset, how many (and what share of) the cohort's
+    users were active again — THE canonical growth-analytics
+    artifact, complementing the hour-over-hour tier
+    (`events_retention_hourly`) and the daily split
+    (`events_new_vs_returning`).
+
+    Scale: first-active day = one user-keyed partial agg; the (day,
+    user) distinct activity joins back on the co-partitioned user key
+    (AQE-decided); the triangle agg is bounded by days², never by
+    events; cohort sizes broadcast back for the rate.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("day", F.col("ts")).alias("day"), "user_id"
+    )
+    act = ev.distinct()
+    first = act.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    tri = (
+        act.join(first, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day"))
+            .cast("long")
+            .alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+    )
+    sizes = first.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_size")
+    )
+    return tri.join(F.broadcast(sizes), "cohort_day").select(
+        "cohort_day",
+        "day_offset",
+        "cohort_size",
+        "n_active",
+        quantize(
+            F.col("n_active").cast("double") / F.col("cohort_size"), 6
+        ).alias("retention"),
+    )
+
+
 QUERIES = {
     "events_retention_hourly": events_retention_hourly,
     "events_dau": events_dau,
@@ -1177,6 +1219,7 @@ QUERIES = {
     "events_interarrival": events_interarrival,
     "events_forecast_hourly": events_forecast_hourly,
     "events_changepoint": events_changepoint,
+    "events_cohort_retention": events_cohort_retention,
 }
 
 ORACLE = {
@@ -1689,4 +1732,32 @@ ORACLE["events_changepoint"] = f"""
                ' / count(CASE WHEN daily.day > cp.cp_day'
                ' THEN 1 END)', 4)} AS mean_after
     FROM daily, cp, tot
+"""
+
+ORACLE["events_cohort_retention"] = f"""
+    WITH act AS (
+      SELECT DISTINCT date_trunc('day', ts) AS day, user_id
+      FROM events
+    ),
+    first AS (
+      SELECT user_id, min(day) AS cohort_day FROM act GROUP BY 1
+    ),
+    tri AS (
+      SELECT first.cohort_day,
+             CAST(date_diff('day', first.cohort_day, act.day) AS BIGINT)
+               AS day_offset,
+             CAST(count(*) AS BIGINT) AS n_active
+      FROM act JOIN first USING (user_id)
+      GROUP BY 1, 2
+    ),
+    sizes AS (
+      SELECT cohort_day, CAST(count(*) AS BIGINT) AS cohort_size
+      FROM first GROUP BY 1
+    )
+    SELECT tri.cohort_day, tri.day_offset, sizes.cohort_size,
+           tri.n_active,
+           {sql_quantize(
+               'CAST(tri.n_active AS DOUBLE) / sizes.cohort_size', 6)}
+             AS retention
+    FROM tri JOIN sizes USING (cohort_day)
 """
