@@ -749,6 +749,48 @@ def stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming cohort-retention triangle: per-user first-seen /
+    new-active-day tracking runs AT INGEST (TWO longs of state per
+    user; each new active day emits exactly once, append mode); the
+    triangle rollup is a batch agg over the drained (user, day,
+    cohort) pair sink. Drain == batch `events_cohort_retention`,
+    whose oracle it shares.
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions.text import quantize
+    from ..streaming.stream_ops import cohort_days_stream
+
+    DAY_US = 86_400_000_000
+    ev = read_events_stream(spark, sf_dir)
+    pairs = run_available_now(
+        cohort_days_stream(ev), output_mode="append"
+    )
+    tri = pairs.groupBy(
+        F.timestamp_micros(F.col("cohort_day_us")).alias("cohort_day"),
+        ((F.col("day_us") - F.col("cohort_day_us")) / F.lit(DAY_US))
+        .cast("long")
+        .alias("day_offset"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+    sizes = (
+        pairs.filter(F.col("day_us") == F.col("cohort_day_us"))
+        .groupBy(
+            F.timestamp_micros(F.col("cohort_day_us")).alias("cohort_day")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cohort_size"))
+    )
+    return tri.join(F.broadcast(sizes), "cohort_day").select(
+        "cohort_day",
+        "day_offset",
+        "cohort_size",
+        "n_active",
+        quantize(
+            F.col("n_active").cast("double") / F.col("cohort_size"), 6
+        ).alias("retention"),
+    )
+
+
 QUERIES = {
     "stream_hourly": stream_hourly,
     "stream_sessionize": stream_sessionize,
@@ -771,6 +813,7 @@ QUERIES = {
     "stream_pack": stream_pack,
     "stream_topk_cms": stream_topk_cms,
     "stream_funnel": stream_funnel,
+    "stream_cohort_retention": stream_cohort_retention,
 }
 
 ORACLE = {
@@ -796,6 +839,9 @@ ORACLE = {
     # static drain of the stage machine == the batch conditional-min
     # cascade, so the streaming funnel shares its full oracle
     "stream_funnel": _EVENTS_ORACLE["events_funnel"],
+    # each new (user, active day) emits exactly once at ingest, so the
+    # drained pair sink rebuilds the batch triangle bit-for-bit
+    "stream_cohort_retention": _EVENTS_ORACLE["events_cohort_retention"],
     "stream_domain_cap": f"""
         SELECT doc_id, source, rk, (rk <= {DOMAIN_CAP}) AS kept FROM (
           SELECT doc_id, source,

@@ -977,3 +977,70 @@ def funnel_stages_stream(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+COHORT_STATE_SCHEMA = StructType(
+    [
+        StructField("first_day_us", LongType()),
+        StructField("last_day_us", LongType()),
+    ]
+)
+
+COHORT_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("day_us", LongType()),
+        StructField("cohort_day_us", LongType()),
+    ]
+)
+
+
+def _cohort_fold(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-user activity-day tracker: TWO longs of state (first-seen
+    day, last emitted day). Per-user ts-ordered arrival makes the day
+    sequence nondecreasing, so a batch emits exactly the user's NEW
+    active days — each tagged with the cohort (first) day — and the
+    drained pair set equals the batch distinct-(day, user) activity
+    joined to first-seen, whatever the micro-batching."""
+    if state.hasTimedOut:
+        state.remove()
+        return
+    user_id = key[0]
+    first_day, last_day = state.get if state.exists else (None, None)
+    out = []
+    DAY_US = 86_400_000_000
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts_us", "event_id"])
+        for ts in pdf["ts_us"]:
+            day = (int(ts) // DAY_US) * DAY_US
+            if first_day is None:
+                first_day = day
+            if last_day is None or day > last_day:
+                out.append(
+                    {
+                        "user_id": user_id,
+                        "day_us": day,
+                        "cohort_day_us": first_day,
+                    }
+                )
+                last_day = day
+    state.update((first_day, last_day))
+    if out:
+        yield pd.DataFrame(out)
+
+
+def cohort_days_stream(events: DataFrame) -> DataFrame:
+    """Streaming (user, active day, cohort day) emission — append mode
+    (each new active day emits exactly once)."""
+    base = events.select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), "event_id"
+    )
+    return base.groupBy("user_id").applyInPandasWithState(
+        _cohort_fold,
+        outputStructType=COHORT_OUT_SCHEMA,
+        stateStructType=COHORT_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
