@@ -851,6 +851,77 @@ def parts_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(COPURCHASE_TOPK)
 
 
+PR_ITERS = 3
+PR_DAMP = 0.85
+
+
+def parts_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the co-purchase part graph (3 unrolled power
+    iterations, damping 0.85): which parts are CENTRAL to baskets,
+    not merely frequent — the graph-analytics tier over the
+    ``parts_copurchase`` edge structure, value-oracled the same way
+    ``emb_kmeans`` is (per-round quantization so engine summation
+    order can't drift the fixpoint).
+
+    Scale: the edge list is the order-bounded co-purchase self-join
+    (Σ items-per-order², never |parts|²), materialized once for the
+    2·ITERS consumers; each round is one src-keyed join + dst-keyed
+    partial agg — the textbook distributed power iteration. The
+    undirected graph has no dangling nodes (every node has an edge),
+    so no dangling-mass correction is needed.
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("src"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = deg.select(F.col("src").alias("part"), "deg")
+    n_tot = nodes.agg(F.count(F.lit(1)).alias("n"))
+    ranks = nodes.crossJoin(F.broadcast(n_tot)).select(
+        "part", "deg", quantize(F.lit(1.0) / F.col("n"), 9).alias("r")
+    )
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges.join(
+                ranks.select(
+                    F.col("part").alias("src"),
+                    (F.col("r") / F.col("deg")).alias("w"),
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("part"))
+            .agg(F.sum("w").alias("c"))
+        )
+        ranks = (
+            ranks.select("part", "deg")
+            .join(contrib, "part")
+            .crossJoin(F.broadcast(n_tot))
+            .select(
+                "part",
+                "deg",
+                quantize(
+                    (1.0 - PR_DAMP) / F.col("n") + PR_DAMP * F.col("c"),
+                    9,
+                ).alias("r"),
+            )
+        )
+    return ranks.select(
+        "part",
+        F.col("deg").cast("long").alias("degree"),
+        quantize(F.col("r"), 8).alias("rank"),
+    )
+
+
 def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation per customer: Recency (days from last order
     to the corpus max date), Frequency (order count), Monetary (total
@@ -1161,6 +1232,7 @@ QUERIES = {
     "orders_pareto": orders_pareto,
     "orders_backlog_monthly": orders_backlog_monthly,
     "lineitem_lead_time": lineitem_lead_time,
+    "parts_pagerank": parts_pagerank,
 }
 
 ORACLE = {
@@ -1711,3 +1783,50 @@ ORACLE["lineitem_lead_time"] = f"""
            CAST(max(lead_days) AS BIGINT) AS max_days
     FROM lead GROUP BY 1
 """
+
+
+def _pagerank_oracle() -> str:
+    from ..functions.text import sql_quantize as _sq
+
+    q9 = lambda e: _sq(e, 9)  # noqa: E731
+    parts = [
+        """li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)""",
+        """edges AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM li a JOIN li b USING (l_orderkey)
+      WHERE a.l_partkey <> b.l_partkey
+    )""",
+        """deg AS (SELECT src AS part, count(*) AS deg FROM edges GROUP BY 1)""",
+        """tot AS (SELECT count(*) AS n FROM deg)""",
+        f"""r0 AS (SELECT part, deg, {q9('1.0 / tot.n')} AS r
+      FROM deg, tot)""",
+    ]
+    prev = "r0"
+    for i in range(1, PR_ITERS + 1):
+        parts.append(
+            f"""c{i} AS (
+      SELECT e.dst AS part, sum(p.r / p.deg) AS c
+      FROM edges e JOIN {prev} p ON p.part = e.src
+      GROUP BY 1
+    )"""
+        )
+        parts.append(
+            f"""r{i} AS (
+      SELECT d.part, d.deg,
+             {q9(f'(1.0 - {PR_DAMP}) / tot.n + {PR_DAMP} * c{i}.c')} AS r
+      FROM deg d JOIN c{i} ON d.part = c{i}.part, tot
+    )"""
+        )
+        prev = f"r{i}"
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT part, CAST(deg AS BIGINT) AS degree,
+           {_sq('r', 8)} AS rank
+    FROM {prev}
+"""
+    )
+
+
+ORACLE["parts_pagerank"] = _pagerank_oracle()

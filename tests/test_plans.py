@@ -561,3 +561,19 @@ def test_knn_ivf_lloyd_recall_and_score_parity(spark):
         pair = (r.query_id, r.neighbor_id)
         if pair in exact_cos:
             assert abs(exact_cos[pair] - r.cos) < 1e-9
+
+
+def test_parts_pagerank_mass_and_centrality(spark):
+    """Power iteration conserves probability mass (Σrank ≈ 1 up to
+    per-round quantization) and rank correlates with degree on the
+    co-purchase graph without collapsing to it."""
+    from llm_map_reduce_summarizer_spark.plans.tpch import parts_pagerank
+
+    pr = parts_pagerank(spark, SF).toPandas()
+    assert len(pr) > 10
+    assert abs(pr["rank"].sum() - 1.0) < 1e-3
+    assert (pr["rank"] > 0).all()
+    # max-degree node should rank above the min-degree node
+    top = pr.loc[pr["degree"].idxmax()]
+    bot = pr.loc[pr["degree"].idxmin()]
+    assert top["rank"] > bot["rank"]
