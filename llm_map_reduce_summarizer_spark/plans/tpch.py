@@ -922,6 +922,74 @@ def parts_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def parts_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle census of the co-purchase graph: node/edge
+    counts, wedge count, triangle count, and the global clustering
+    coefficient (3·triangles / wedges) — the one-row graph-topology
+    summary ("how clique-ish are baskets") next to the centrality
+    tier (``parts_pagerank``).
+
+    Scale: edges are canonical (a < b) so each triangle is
+    enumerated exactly once via the a<b<c wedge join + closing-edge
+    semi-join; compare volume is Σ deg² (wedges), bounded by basket
+    overlap, never |parts|³. Every statistic is an exact integer —
+    zero float-parity surface.
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("pa") < F.col("pb"))
+        .select(F.col("pa").alias("u"), F.col("pb").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    both = edges.select("u", "v").union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = both.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    wedges = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum(F.col("deg") * (F.col("deg") - 1) / 2)
+        .cast("long")
+        .alias("n_wedges"),
+    )
+    ne = edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    # a<b<c wedge (a-b, b-c) closed by the a-c edge
+    ab = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    bc = edges.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    tri = (
+        ab.join(bc, "b")
+        .join(
+            edges.select(F.col("u").alias("a"), F.col("v").alias("c")),
+            ["a", "c"],
+            "left_semi",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    return (
+        wedges.crossJoin(F.broadcast(ne))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            quantize(
+                3.0
+                * F.col("n_triangles").cast("double")
+                / F.col("n_wedges"),
+                6,
+            ).alias("global_clustering"),
+        )
+    )
+
+
 def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation per customer: Recency (days from last order
     to the corpus max date), Frequency (order count), Monetary (total
@@ -1233,6 +1301,7 @@ QUERIES = {
     "orders_backlog_monthly": orders_backlog_monthly,
     "lineitem_lead_time": lineitem_lead_time,
     "parts_pagerank": parts_pagerank,
+    "parts_triangles": parts_triangles,
 }
 
 ORACLE = {
@@ -1830,3 +1899,38 @@ def _pagerank_oracle() -> str:
 
 
 ORACLE["parts_pagerank"] = _pagerank_oracle()
+
+ORACLE["parts_triangles"] = f"""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b USING (l_orderkey)
+      WHERE a.l_partkey < b.l_partkey
+    ),
+    bidir AS (
+      SELECT u, v FROM edges
+      UNION ALL SELECT v AS u, u AS v FROM edges
+    ),
+    deg AS (SELECT u, count(*) AS deg FROM bidir GROUP BY 1),
+    wedges AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+             CAST(sum(deg * (deg - 1) / 2) AS BIGINT) AS n_wedges
+      FROM deg
+    ),
+    ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM edges),
+    tri AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_triangles
+      FROM edges ab
+      JOIN edges bc ON ab.v = bc.u
+      WHERE EXISTS (
+        SELECT 1 FROM edges ac
+        WHERE ac.u = ab.u AND ac.v = bc.v
+      )
+    )
+    SELECT wedges.n_nodes, ne.n_edges, wedges.n_wedges,
+           tri.n_triangles,
+           {sql_quantize(
+               '3.0 * CAST(tri.n_triangles AS DOUBLE) / wedges.n_wedges',
+               6)} AS global_clustering
+    FROM wedges, ne, tri
+"""
