@@ -2957,6 +2957,81 @@ def corpus_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_minhash_est_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-estimator certification: for every LSH candidate pair,
+    the signature-overlap estimate (matching slots / 16) NEXT TO the
+    exact Jaccard it estimates, with the absolute error and the
+    3-sigma binomial-bound flag — the value-level audit of the sketch
+    the whole near-dup pipeline trusts (the sketch-tier-certification
+    pattern of `events_dau_approx` / `emb_pca_check`). Both engines
+    compute estimate AND exact from scratch, so this is full parity,
+    not just a bound assertion.
+
+    Scale: everything reuses the LSH pipeline's bounded shapes — the
+    signature table is 16 ints per doc, candidates come from band
+    buckets (never all pairs), and the exact Jaccard runs only on
+    candidates.
+    """
+    from ..functions.hashing import N_MINHASH, band_hashes
+    from ..operators.dedup import (
+        drop_stop_shingles,
+        jaccard_verify,
+        minhash_signatures,
+    )
+
+    sh = doc_shingles(_docs(spark, sf_dir), keyed=True)
+    sh = drop_stop_shingles(
+        sh.localCheckpoint(eager=True), MINHASH_DF_CAP
+    )
+    sh = sh.localCheckpoint(eager=True)
+    sigs = minhash_signatures(sh).localCheckpoint(eager=True)
+    bands = sigs.select("doc_id", *band_hashes()).selectExpr(
+        "doc_id",
+        "stack(4, 0, band0, 1, band1, 2, band2, 3, band3) AS (bk, bv)",
+    )
+    a = bands.select(F.col("doc_id").alias("da"), "bk", "bv")
+    b = bands.select(F.col("doc_id").alias("db"), "bk", "bv")
+    cand = (
+        a.join(b, ["bk", "bv"])
+        .filter(F.col("da") < F.col("db"))
+        .select("da", "db")
+        .distinct()
+    )
+    siga = sigs.select(
+        F.col("doc_id").alias("da"),
+        *[F.col(f"h{j}").alias(f"a{j}") for j in range(N_MINHASH)],
+    )
+    sigb = sigs.select(
+        F.col("doc_id").alias("db"),
+        *[F.col(f"h{j}").alias(f"b{j}") for j in range(N_MINHASH)],
+    )
+    matches = sum(
+        (F.col(f"a{j}") == F.col(f"b{j}")).cast("long")
+        for j in range(N_MINHASH)
+    )
+    est = (
+        cand.join(siga, "da")
+        .join(sigb, "db")
+        .select("da", "db", matches.alias("est_matches"))
+    )
+    exact = jaccard_verify(sh, cand, threshold=0.0)
+    ej = F.col("est_matches").cast("double") / N_MINHASH
+    sd3 = 3 * F.sqrt(
+        F.col("jaccard") * (1 - F.col("jaccard")) / N_MINHASH
+    )
+    return est.join(exact, ["da", "db"]).select(
+        "da",
+        "db",
+        "est_matches",
+        quantize(ej, 4).alias("est_jaccard"),
+        "jaccard",
+        quantize(F.abs(ej - F.col("jaccard")), 4).alias("abs_err"),
+        (F.abs(ej - F.col("jaccard")) <= sd3 + 1.0 / 32).alias(
+            "within_3sd"
+        ),
+    )
+
+
 CURRICULUM_SEED = "curriculum-v1"
 
 
@@ -3083,6 +3158,7 @@ QUERIES = {
     "emb_cluster_quality": emb_cluster_quality,
     "knn_ivf_lloyd": knn_ivf_lloyd,
     "corpus_tokenizer_fertility": corpus_tokenizer_fertility,
+    "dedup_minhash_est_check": dedup_minhash_est_check,
 }
 
 
@@ -5187,3 +5263,32 @@ ORACLE["corpus_tokenizer_fertility"] = f"""
              AS tokens_per_doc
     FROM per
 """
+
+
+def _minhash_est_check_oracle() -> str:
+    eq = " + ".join(
+        f"(CASE WHEN sa.h{j} = sb.h{j} THEN 1 ELSE 0 END)"
+        for j in range(16)
+    )
+    return f"""
+    WITH {_LSH_PAIR_CTES},
+    est AS (
+      SELECT c.da, c.db, ({eq}) AS m
+      FROM cand c
+      JOIN sigs sa ON sa.doc_id = c.da
+      JOIN sigs sb ON sb.doc_id = c.db
+    )
+    SELECT est.da, est.db,
+           CAST(est.m AS BIGINT) AS est_matches,
+           {sql_quantize('est.m / 16.0', 4)} AS est_jaccard,
+           jac.jaccard,
+           {sql_quantize('abs(est.m / 16.0 - jac.jaccard)', 4)}
+             AS abs_err,
+           (abs(est.m / 16.0 - jac.jaccard)
+            <= 3 * sqrt(jac.jaccard * (1 - jac.jaccard) / 16.0)
+               + 1.0 / 32) AS within_3sd
+    FROM est JOIN jac ON est.da = jac.da AND est.db = jac.db
+"""
+
+
+ORACLE["dedup_minhash_est_check"] = _minhash_est_check_oracle()
