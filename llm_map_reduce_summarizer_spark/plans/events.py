@@ -1190,6 +1190,39 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic burstiness per event type: the Fano factor
+    (variance/mean of hourly counts — 1 ≈ Poisson, >1 bursty) plus
+    the underlying moments — the dispersion diagnostic that says
+    whether hourly anomaly thresholds can assume Poisson noise.
+
+    Scale: hourly counts = one ts-truncated partial agg bounded by
+    hours x types; the moments are EXACT integer sums (Σx, Σx²) with
+    single final divisions — no float-order drift surface.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    per = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        F.sum("n").cast("long").alias("sx"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("sxx"),
+    )
+    mean = F.col("sx").cast("double") / F.col("n_hours")
+    var = (
+        F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx") / F.col("n_hours")
+    ) / F.col("n_hours")
+    return per.select(
+        "event_type",
+        "n_hours",
+        quantize(mean, 4).alias("mean_hourly"),
+        quantize(var, 4).alias("var_hourly"),
+        quantize(var / mean, 4).alias("fano_factor"),
+    )
+
+
 QUERIES = {
     "events_retention_hourly": events_retention_hourly,
     "events_dau": events_dau,
@@ -1220,6 +1253,7 @@ QUERIES = {
     "events_forecast_hourly": events_forecast_hourly,
     "events_changepoint": events_changepoint,
     "events_cohort_retention": events_cohort_retention,
+    "events_burstiness": events_burstiness,
 }
 
 ORACLE = {
@@ -1760,4 +1794,32 @@ ORACLE["events_cohort_retention"] = f"""
                'CAST(tri.n_active AS DOUBLE) / sizes.cohort_size', 6)}
              AS retention
     FROM tri JOIN sizes USING (cohort_day)
+"""
+
+ORACLE["events_burstiness"] = f"""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS hour, event_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    per AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_hours,
+             CAST(sum(n) AS BIGINT) AS sx,
+             CAST(sum(n * n) AS BIGINT) AS sxx
+      FROM hourly GROUP BY 1
+    )
+    SELECT event_type, n_hours,
+           {sql_quantize('CAST(sx AS DOUBLE) / n_hours', 4)}
+             AS mean_hourly,
+           {sql_quantize(
+               '(CAST(sxx AS DOUBLE)'
+               ' - CAST(sx AS DOUBLE) * sx / n_hours) / n_hours', 4)}
+             AS var_hourly,
+           {sql_quantize(
+               '((CAST(sxx AS DOUBLE)'
+               ' - CAST(sx AS DOUBLE) * sx / n_hours) / n_hours)'
+               ' / (CAST(sx AS DOUBLE) / n_hours)', 4)}
+             AS fano_factor
+    FROM per
 """

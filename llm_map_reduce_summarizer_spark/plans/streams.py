@@ -791,6 +791,28 @@ def stream_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-user cadence profile: inter-event gaps computed
+    AT INGEST (ONE long of state per user — the last event time; the
+    carried value stitches micro-batch boundary pairs), quantile
+    rollup post-drain. Drain == batch `events_interarrival`, whose
+    oracle it shares.
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions.text import quantize
+    from ..streaming.stream_ops import gaps_stream
+
+    ev = read_events_stream(spark, sf_dir)
+    gaps = run_available_now(gaps_stream(ev), output_mode="append")
+    return gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        quantize(F.expr("percentile(gap_us, 0.5)"), 4).alias("med_gap_us"),
+        quantize(F.expr("percentile(gap_us, 0.9)"), 4).alias("p90_gap_us"),
+        F.max("gap_us").cast("long").alias("max_gap_us"),
+    )
+
+
 QUERIES = {
     "stream_hourly": stream_hourly,
     "stream_sessionize": stream_sessionize,
@@ -814,6 +836,7 @@ QUERIES = {
     "stream_topk_cms": stream_topk_cms,
     "stream_funnel": stream_funnel,
     "stream_cohort_retention": stream_cohort_retention,
+    "stream_interarrival": stream_interarrival,
 }
 
 ORACLE = {
@@ -842,6 +865,8 @@ ORACLE = {
     # each new (user, active day) emits exactly once at ingest, so the
     # drained pair sink rebuilds the batch triangle bit-for-bit
     "stream_cohort_retention": _EVENTS_ORACLE["events_cohort_retention"],
+    # each gap emits exactly once at ingest; drained set == batch lag
+    "stream_interarrival": _EVENTS_ORACLE["events_interarrival"],
     "stream_domain_cap": f"""
         SELECT doc_id, source, rk, (rk <= {DOMAIN_CAP}) AS kept FROM (
           SELECT doc_id, source,

@@ -1044,3 +1044,53 @@ def cohort_days_stream(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+GAP_STATE_SCHEMA = StructType([StructField("last_us", LongType())])
+
+GAP_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("gap_us", LongType()),
+    ]
+)
+
+
+def _gap_fold(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-user inter-event gap emitter: ONE long of state (last event
+    time). Each event after the user's first emits its gap exactly
+    once (append mode); the carried last_us stitches the micro-batch
+    boundary pair, so the drained gap set equals the batch lag-window
+    gaps for ts-ordered arrival."""
+    if state.hasTimedOut:
+        state.remove()
+        return
+    user_id = key[0]
+    (last_us,) = state.get if state.exists else (None,)
+    out = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts_us", "event_id"])
+        for ts in pdf["ts_us"]:
+            ts = int(ts)
+            if last_us is not None:
+                out.append({"user_id": user_id, "gap_us": ts - last_us})
+            last_us = ts
+    state.update((last_us,))
+    if out:
+        yield pd.DataFrame(out)
+
+
+def gaps_stream(events: DataFrame) -> DataFrame:
+    """Streaming (user, gap) emission — append mode."""
+    base = events.select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), "event_id"
+    )
+    return base.groupBy("user_id").applyInPandasWithState(
+        _gap_fold,
+        outputStructType=GAP_OUT_SCHEMA,
+        stateStructType=GAP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
