@@ -3032,6 +3032,74 @@ def dedup_minhash_est_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity profile per source: token count, vocabulary
+    size, type-token ratio, and hapax share (terms appearing exactly
+    once in the stratum) — the classic richness metrics that flag
+    template-generated or truncated strata before training.
+
+    Scale: one (source, term) partial agg off the token explode
+    (shingle-table shape), then a source-bounded rollup; ratios are
+    exact integer counts with single divisions.
+    """
+    toks = _docs(spark, sf_dir).select(
+        "source", F.explode(words(F.col("text"))).alias("term")
+    )
+    vocab = toks.groupBy("source", "term").agg(
+        F.count(F.lit(1)).alias("f")
+    )
+    per = vocab.groupBy("source").agg(
+        F.sum("f").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+        F.sum(F.when(F.col("f") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_hapax"),
+    )
+    return per.select(
+        "source",
+        "n_tokens",
+        "vocab_size",
+        "n_hapax",
+        quantize(
+            F.col("vocab_size").cast("double") / F.col("n_tokens"), 6
+        ).alias("type_token_ratio"),
+        quantize(
+            F.col("n_hapax").cast("double") / F.col("vocab_size"), 6
+        ).alias("hapax_share"),
+    )
+
+
+def multimodal_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-distribution entropy per binary payload (Shannon bits over
+    the 16 high-nibble bins) — the codec-free compressibility /
+    corruption screen for opaque media columns: encrypted or
+    compressed payloads sit near 4 bits, structured text far below.
+    Composes the ``multimodal_features`` histogram with the entropy
+    family (`doc_char_entropy` is the text-side twin).
+
+    Scale: one Arrow-batched feature scan + a 16-rows-per-doc narrow
+    explode and doc-keyed partial agg; shares are 1e-6-quantized in
+    both engines before the entropy sum, which quantizes at 1e-6 too.
+    """
+    from ..operators.multimodal import payload_byte_features
+
+    d = _docs(spark, sf_dir).withColumn(
+        "payload", F.encode(F.col("text"), "UTF-8")
+    )
+    ex = payload_byte_features(d).select(
+        "doc_id", F.explode("features").alias("share")
+    )
+    term = F.when(
+        F.col("share") > 0, F.col("share") * F.log2("share")
+    ).otherwise(F.lit(0.0))
+    return ex.groupBy("doc_id").agg(
+        quantize(-F.sum(term), 6).alias("byte_entropy_bits"),
+        F.sum((F.col("share") > 0).cast("long"))
+        .cast("long")
+        .alias("n_used_bins"),
+    )
+
+
 CURRICULUM_SEED = "curriculum-v1"
 
 
@@ -3159,6 +3227,8 @@ QUERIES = {
     "knn_ivf_lloyd": knn_ivf_lloyd,
     "corpus_tokenizer_fertility": corpus_tokenizer_fertility,
     "dedup_minhash_est_check": dedup_minhash_est_check,
+    "corpus_lexical_diversity": corpus_lexical_diversity,
+    "multimodal_entropy": multimodal_entropy,
 }
 
 
@@ -5292,3 +5362,63 @@ def _minhash_est_check_oracle() -> str:
 
 
 ORACLE["dedup_minhash_est_check"] = _minhash_est_check_oracle()
+
+ORACLE["corpus_lexical_diversity"] = f"""
+    WITH tk AS (
+      SELECT source, unnest({_W}) AS term FROM documents
+    ),
+    vocab AS (
+      SELECT source, term, count(*) AS f FROM tk GROUP BY 1, 2
+    ),
+    per AS (
+      SELECT source,
+             CAST(sum(f) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS vocab_size,
+             CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hapax
+      FROM vocab GROUP BY 1
+    )
+    SELECT source, n_tokens, vocab_size, n_hapax,
+           {sql_quantize('CAST(vocab_size AS DOUBLE) / n_tokens', 6)}
+             AS type_token_ratio,
+           {sql_quantize('CAST(n_hapax AS DOUBLE) / vocab_size', 6)}
+             AS hapax_share
+    FROM per
+"""
+
+ORACLE["multimodal_entropy"] = f"""
+    WITH hx AS (
+      SELECT doc_id, lower(to_hex(encode(text))) AS h,
+             greatest(1, strlen(text)) AS n
+      FROM documents
+    ),
+    nib AS (
+      SELECT doc_id,
+             CAST(strpos('0123456789abcdef', substr(h, CAST(p AS INT), 1))
+                  - 1 AS BIGINT) AS bin
+      FROM (
+        SELECT doc_id, h,
+               unnest(generate_series(1, length(h), 2)) AS p
+        FROM hx
+      )
+    ),
+    cnt AS (
+      SELECT doc_id, bin, count(*) AS c FROM nib GROUP BY 1, 2
+    ),
+    shares AS (
+      SELECT d.doc_id,
+             floor(coalesce(c.c, 0) / d.n * 1000000.0 + 0.5)
+               / 1000000.0 AS share
+      FROM hx d
+      CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS bin) b
+      LEFT JOIN cnt c ON c.doc_id = d.doc_id AND c.bin = b.bin
+    )
+    SELECT doc_id,
+           {sql_quantize(
+               '-sum(CASE WHEN share > 0'
+               ' THEN share * log2(share) ELSE 0.0 END)', 6)}
+             AS byte_entropy_bits,
+           CAST(sum(CASE WHEN share > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_used_bins
+    FROM shares GROUP BY 1
+"""

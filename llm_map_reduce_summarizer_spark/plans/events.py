@@ -1223,6 +1223,49 @@ def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PLAW_TOP_K = 256
+
+
+def events_power_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-law fit of the user-activity distribution: least-squares
+    slope/R² of log(events-per-user) vs log(rank) over the top-256
+    users — the one-row heavy-tail summary behind capacity and
+    abuse-threshold decisions (the quantile view is
+    `events_user_activity_quantiles`; this fits the tail's exponent).
+
+    Scale: per-user counts = one user-keyed partial agg; top-K =
+    `TakeOrderedAndProject`; ranks assigned window-free by the
+    pack-and-posexplode idiom on the K-row result; `regr_*` built-in
+    aggregates over K rows.
+    """
+    per = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = per.orderBy(F.col("n").desc(), F.col("user_id")).limit(
+        PLAW_TOP_K
+    )
+    packed = top.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct((-F.col("n")).alias("neg_n"), F.col("user_id"))
+            )
+        ).alias("arr")
+    )
+    ranked = packed.select(F.posexplode("arr").alias("pos", "e")).select(
+        (-F.col("e.neg_n")).cast("double").alias("n"),
+        (F.col("pos") + 1).cast("double").alias("rk"),
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        quantize(F.regr_slope(F.log("n"), F.log("rk")), 4).alias(
+            "tail_slope"
+        ),
+        quantize(F.regr_r2(F.log("n"), F.log("rk")), 4).alias("r2"),
+    )
+
+
 QUERIES = {
     "events_retention_hourly": events_retention_hourly,
     "events_dau": events_dau,
@@ -1254,6 +1297,7 @@ QUERIES = {
     "events_changepoint": events_changepoint,
     "events_cohort_retention": events_cohort_retention,
     "events_burstiness": events_burstiness,
+    "events_power_law_fit": events_power_law_fit,
 }
 
 ORACLE = {
@@ -1822,4 +1866,20 @@ ORACLE["events_burstiness"] = f"""
                ' / (CAST(sx AS DOUBLE) / n_hours)', 4)}
              AS fano_factor
     FROM per
+"""
+
+ORACLE["events_power_law_fit"] = f"""
+    WITH per AS (
+      SELECT user_id, count(*) AS n FROM events GROUP BY 1
+    ),
+    top AS (
+      SELECT CAST(n AS DOUBLE) AS n,
+             CAST(row_number()
+                  OVER (ORDER BY n DESC, user_id) AS DOUBLE) AS rk
+      FROM per ORDER BY n DESC, user_id LIMIT 256
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           {sql_quantize('regr_slope(ln(n), ln(rk))', 4)} AS tail_slope,
+           {sql_quantize('regr_r2(ln(n), ln(rk))', 4)} AS r2
+    FROM top
 """
