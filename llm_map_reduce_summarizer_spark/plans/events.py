@@ -1266,6 +1266,56 @@ def events_power_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-way additive decomposition of the hourly count series:
+    observed = day effect + hour-of-day effect − grand mean +
+    residual — the classic seasonality split whose residual is what
+    anomaly detectors SHOULD score (raw counts conflate weekday and
+    clock-hour effects; `events_hourly_anomaly` scores raw z).
+
+    Scale: the hourly series is a ts-truncated partial agg bounded by
+    hours; day means, hour-of-day means, and the grand mean are three
+    tiny aggs OF THAT AGGREGATE (days + 24 + 1 rows) broadcast back
+    onto it; every mean is an exact integer sum over counts with one
+    division.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    hourly = hourly.select(
+        "hour",
+        F.date_trunc("day", F.col("hour")).alias("day"),
+        F.hour("hour").cast("bigint").alias("hour_of_day"),
+        "n",
+    )
+    day_m = hourly.groupBy("day").agg(
+        (F.sum("n").cast("double") / F.count(F.lit(1))).alias("day_mean")
+    )
+    hod_m = hourly.groupBy("hour_of_day").agg(
+        (F.sum("n").cast("double") / F.count(F.lit(1))).alias("hod_mean")
+    )
+    grand = hourly.agg(
+        (F.sum("n").cast("double") / F.count(F.lit(1))).alias("grand_mean")
+    )
+    fitted = (
+        F.col("day_mean") + F.col("hod_mean") - F.col("grand_mean")
+    )
+    return (
+        hourly.join(F.broadcast(day_m), "day")
+        .join(F.broadcast(hod_m), "hour_of_day")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "hour",
+            "n",
+            quantize(F.col("day_mean"), 4).alias("day_effect"),
+            quantize(F.col("hod_mean"), 4).alias("hod_effect"),
+            quantize(fitted, 4).alias("fitted"),
+            quantize(F.col("n") - fitted, 4).alias("residual"),
+        )
+    )
+
+
 QUERIES = {
     "events_retention_hourly": events_retention_hourly,
     "events_dau": events_dau,
@@ -1298,6 +1348,7 @@ QUERIES = {
     "events_cohort_retention": events_cohort_retention,
     "events_burstiness": events_burstiness,
     "events_power_law_fit": events_power_law_fit,
+    "events_seasonal_decompose": events_seasonal_decompose,
 }
 
 ORACLE = {
@@ -1882,4 +1933,40 @@ ORACLE["events_power_law_fit"] = f"""
            {sql_quantize('regr_slope(ln(n), ln(rk))', 4)} AS tail_slope,
            {sql_quantize('regr_r2(ln(n), ln(rk))', 4)} AS r2
     FROM top
+"""
+
+ORACLE["events_seasonal_decompose"] = f"""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS hour,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    h2 AS (
+      SELECT hour, date_trunc('day', hour) AS day,
+             CAST(extract(hour FROM hour) AS BIGINT) AS hour_of_day, n
+      FROM hourly
+    ),
+    day_m AS (
+      SELECT day, CAST(sum(n) AS DOUBLE) / count(*) AS day_mean
+      FROM h2 GROUP BY 1
+    ),
+    hod_m AS (
+      SELECT hour_of_day, CAST(sum(n) AS DOUBLE) / count(*) AS hod_mean
+      FROM h2 GROUP BY 1
+    ),
+    grand AS (
+      SELECT CAST(sum(n) AS DOUBLE) / count(*) AS grand_mean FROM h2
+    )
+    SELECT h2.hour, h2.n,
+           {sql_quantize('day_m.day_mean', 4)} AS day_effect,
+           {sql_quantize('hod_m.hod_mean', 4)} AS hod_effect,
+           {sql_quantize(
+               'day_m.day_mean + hod_m.hod_mean - grand.grand_mean', 4)}
+             AS fitted,
+           {sql_quantize(
+               'h2.n - (day_m.day_mean + hod_m.hod_mean'
+               ' - grand.grand_mean)', 4)} AS residual
+    FROM h2
+    JOIN day_m USING (day)
+    JOIN hod_m USING (hour_of_day), grand
 """

@@ -990,6 +990,57 @@ def parts_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def customer_ltv_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer lifetime-value triangle: per first-order-month cohort
+    and months-since-first-order, the cohort's order count and spend
+    plus per-customer average spend in that offset month — the
+    finance view of cohort behavior (the activity view is
+    ``events_cohort_retention``).
+
+    Scale: first month = one custkey partial agg joined back on the
+    co-partitioned key (AQE-decided); the triangle agg is bounded by
+    months², never orders; cohort sizes broadcast for the
+    per-customer normalization.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.date_trunc("month", F.col("o_orderdate")).alias("month"),
+        "o_totalprice",
+    )
+    first = o.groupBy("o_custkey").agg(
+        F.min("month").alias("cohort_month")
+    )
+    tri = (
+        o.join(first, "o_custkey")
+        .groupBy(
+            "cohort_month",
+            (
+                (F.year("month") - F.year("cohort_month")) * 12
+                + (F.month("month") - F.month("cohort_month"))
+            )
+            .cast("long")
+            .alias("month_offset"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("cohort_spend"),
+        )
+    )
+    sizes = first.groupBy("cohort_month").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_size")
+    )
+    return tri.join(F.broadcast(sizes), "cohort_month").select(
+        "cohort_month",
+        "month_offset",
+        "cohort_size",
+        "n_orders",
+        "cohort_spend",
+        quantize(
+            F.col("cohort_spend") / F.col("cohort_size"), 4
+        ).alias("spend_per_customer"),
+    )
+
+
 def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation per customer: Recency (days from last order
     to the corpus max date), Frequency (order count), Monetary (total
@@ -1302,6 +1353,7 @@ QUERIES = {
     "lineitem_lead_time": lineitem_lead_time,
     "parts_pagerank": parts_pagerank,
     "parts_triangles": parts_triangles,
+    "customer_ltv_triangle": customer_ltv_triangle,
 }
 
 ORACLE = {
@@ -1933,4 +1985,36 @@ ORACLE["parts_triangles"] = f"""
                '3.0 * CAST(tri.n_triangles AS DOUBLE) / wedges.n_wedges',
                6)} AS global_clustering
     FROM wedges, ne, tri
+"""
+
+ORACLE["customer_ltv_triangle"] = """
+    WITH o AS (
+      SELECT o_custkey, date_trunc('month', o_orderdate) AS month,
+             o_totalprice
+      FROM orders
+    ),
+    first AS (
+      SELECT o_custkey, min(month) AS cohort_month FROM o GROUP BY 1
+    ),
+    tri AS (
+      SELECT first.cohort_month,
+             CAST((extract(year FROM o.month)
+                   - extract(year FROM first.cohort_month)) * 12
+                  + (extract(month FROM o.month)
+                     - extract(month FROM first.cohort_month))
+                  AS BIGINT) AS month_offset,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             round(sum(o.o_totalprice), 2) AS cohort_spend
+      FROM o JOIN first USING (o_custkey)
+      GROUP BY 1, 2
+    ),
+    sizes AS (
+      SELECT cohort_month, CAST(count(*) AS BIGINT) AS cohort_size
+      FROM first GROUP BY 1
+    )
+    SELECT tri.cohort_month, tri.month_offset, sizes.cohort_size,
+           tri.n_orders, tri.cohort_spend,
+           floor(tri.cohort_spend / sizes.cohort_size * 10000.0 + 0.5)
+             / 10000.0 AS spend_per_customer
+    FROM tri JOIN sizes USING (cohort_month)
 """
