@@ -2774,15 +2774,28 @@ def doc_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (-F.col("e.neg_f")).cast("double").alias("f"),
         (F.col("pos") + 1).cast("double").alias("rk"),
     )
-    return ranked.agg(
+    # same constant-y guard as doc_heaps_fit: a uniform-frequency
+    # top-K makes Syy = 0 and engine regr_r2 nondeterministic
+    raw = ranked.agg(
         F.count(F.lit(1)).cast("long").alias("n_terms"),
-        quantize(F.regr_slope(F.log("f"), F.log("rk")), 4).alias(
-            "zipf_slope"
-        ),
-        quantize(F.regr_intercept(F.log("f"), F.log("rk")), 4).alias(
-            "ln_c"
-        ),
-        quantize(F.regr_r2(F.log("f"), F.log("rk")), 4).alias("r2"),
+        F.min("f").alias("mn_f"),
+        F.max("f").alias("mx_f"),
+        F.regr_slope(F.log("f"), F.log("rk")).alias("sl"),
+        F.regr_intercept(F.log("f"), F.log("rk")).alias("ic"),
+        F.regr_r2(F.log("f"), F.log("rk")).alias("rr"),
+    )
+    y_flat = F.col("mn_f") == F.col("mx_f")
+    return raw.select(
+        "n_terms",
+        F.when(y_flat, F.lit(0.0))
+        .otherwise(quantize(F.col("sl"), 4))
+        .alias("zipf_slope"),
+        F.when(y_flat, quantize(F.log("mn_f"), 4))
+        .otherwise(quantize(F.col("ic"), 4))
+        .alias("ln_c"),
+        F.when(y_flat, F.lit(1.0))
+        .otherwise(quantize(F.col("rr"), 4))
+        .alias("r2"),
     )
 
 
@@ -2829,17 +2842,40 @@ def doc_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("double").alias("vocab"))
     )
     pts = tcum.join(vcum, "b")
-    return pts.agg(
+    # Degeneracy guard: on a SATURATED corpus every checkpoint has the
+    # same vocabulary, so Syy = 0 exactly and regr_r2 is 0/0 — which
+    # DuckDB's parallel covariance merge resolves NONDETERMINISTICALLY
+    # (observed 1.0 / 0.04 / 0.34 across runs of the same query). The
+    # constant-y case is detected by an EXACT min=max comparison (the
+    # values are integer counts) and answered in closed form (flat
+    # growth fits perfectly); constant-x is answered NULL. Same guard
+    # in the SQL twin, so both engines take the same branch.
+    raw = pts.agg(
         F.count(F.lit(1)).cast("long").alias("n_points"),
-        quantize(
-            F.regr_slope(F.log("vocab"), F.log("n_tokens")), 4
-        ).alias("heaps_beta"),
-        quantize(
-            F.regr_intercept(F.log("vocab"), F.log("n_tokens")), 4
-        ).alias("ln_k"),
-        quantize(F.regr_r2(F.log("vocab"), F.log("n_tokens")), 4).alias(
-            "r2"
-        ),
+        F.min("vocab").alias("mn_v"),
+        F.max("vocab").alias("mx_v"),
+        F.min("n_tokens").alias("mn_x"),
+        F.max("n_tokens").alias("mx_x"),
+        F.regr_slope(F.log("vocab"), F.log("n_tokens")).alias("sl"),
+        F.regr_intercept(F.log("vocab"), F.log("n_tokens")).alias("ic"),
+        F.regr_r2(F.log("vocab"), F.log("n_tokens")).alias("rr"),
+    )
+    x_flat = F.col("mn_x") == F.col("mx_x")
+    y_flat = F.col("mn_v") == F.col("mx_v")
+    return raw.select(
+        "n_points",
+        F.when(x_flat, F.lit(None).cast("double"))
+        .when(y_flat, F.lit(0.0))
+        .otherwise(quantize(F.col("sl"), 4))
+        .alias("heaps_beta"),
+        F.when(x_flat, F.lit(None).cast("double"))
+        .when(y_flat, quantize(F.log("mn_v"), 4))
+        .otherwise(quantize(F.col("ic"), 4))
+        .alias("ln_k"),
+        F.when(x_flat, F.lit(None).cast("double"))
+        .when(y_flat, F.lit(1.0))
+        .otherwise(quantize(F.col("rr"), 4))
+        .alias("r2"),
     )
 
 
@@ -5070,9 +5106,16 @@ ORACLE["doc_zipf_fit"] = f"""
       FROM vocab ORDER BY f DESC, term LIMIT {ZIPF_TOP_K}
     )
     SELECT CAST(count(*) AS BIGINT) AS n_terms,
-           {sql_quantize('regr_slope(ln(f), ln(rk))', 4)} AS zipf_slope,
-           {sql_quantize('regr_intercept(ln(f), ln(rk))', 4)} AS ln_c,
-           {sql_quantize('regr_r2(ln(f), ln(rk))', 4)} AS r2
+           CASE WHEN min(f) = max(f) THEN 0.0
+                ELSE {sql_quantize('regr_slope(ln(f), ln(rk))', 4)}
+           END AS zipf_slope,
+           CASE WHEN min(f) = max(f)
+                THEN {sql_quantize('ln(min(f))', 4)}
+                ELSE {sql_quantize('regr_intercept(ln(f), ln(rk))', 4)}
+           END AS ln_c,
+           CASE WHEN min(f) = max(f) THEN 1.0
+                ELSE {sql_quantize('regr_r2(ln(f), ln(rk))', 4)}
+           END AS r2
     FROM top
 """
 
@@ -5096,11 +5139,21 @@ ORACLE["doc_heaps_fit"] = f"""
     ),
     pts AS (SELECT tcum.b, n_tokens, vocab FROM tcum JOIN vcum USING (b))
     SELECT CAST(count(*) AS BIGINT) AS n_points,
-           {sql_quantize('regr_slope(ln(vocab), ln(n_tokens))', 4)}
-             AS heaps_beta,
-           {sql_quantize('regr_intercept(ln(vocab), ln(n_tokens))', 4)}
-             AS ln_k,
-           {sql_quantize('regr_r2(ln(vocab), ln(n_tokens))', 4)} AS r2
+           CASE WHEN min(n_tokens) = max(n_tokens) THEN NULL
+                WHEN min(vocab) = max(vocab) THEN 0.0
+                ELSE {sql_quantize(
+                    'regr_slope(ln(vocab), ln(n_tokens))', 4)}
+           END AS heaps_beta,
+           CASE WHEN min(n_tokens) = max(n_tokens) THEN NULL
+                WHEN min(vocab) = max(vocab)
+                THEN {sql_quantize('ln(min(vocab))', 4)}
+                ELSE {sql_quantize(
+                    'regr_intercept(ln(vocab), ln(n_tokens))', 4)}
+           END AS ln_k,
+           CASE WHEN min(n_tokens) = max(n_tokens) THEN NULL
+                WHEN min(vocab) = max(vocab) THEN 1.0
+                ELSE {sql_quantize('regr_r2(ln(vocab), ln(n_tokens))', 4)}
+           END AS r2
     FROM pts
 """
 

@@ -1257,12 +1257,25 @@ def events_power_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (-F.col("e.neg_n")).cast("double").alias("n"),
         (F.col("pos") + 1).cast("double").alias("rk"),
     )
-    return ranked.agg(
+    # constant-y guard (all top-K users equally active): Syy = 0 makes
+    # engine regr_r2 a nondeterministic 0/0 — answer the flat case in
+    # closed form via an EXACT integer min=max comparison
+    raw = ranked.agg(
         F.count(F.lit(1)).cast("long").alias("n_users"),
-        quantize(F.regr_slope(F.log("n"), F.log("rk")), 4).alias(
-            "tail_slope"
-        ),
-        quantize(F.regr_r2(F.log("n"), F.log("rk")), 4).alias("r2"),
+        F.min("n").alias("mn_n"),
+        F.max("n").alias("mx_n"),
+        F.regr_slope(F.log("n"), F.log("rk")).alias("sl"),
+        F.regr_r2(F.log("n"), F.log("rk")).alias("rr"),
+    )
+    y_flat = F.col("mn_n") == F.col("mx_n")
+    return raw.select(
+        "n_users",
+        F.when(y_flat, F.lit(0.0))
+        .otherwise(quantize(F.col("sl"), 4))
+        .alias("tail_slope"),
+        F.when(y_flat, F.lit(1.0))
+        .otherwise(quantize(F.col("rr"), 4))
+        .alias("r2"),
     )
 
 
@@ -1930,8 +1943,12 @@ ORACLE["events_power_law_fit"] = f"""
       FROM per ORDER BY n DESC, user_id LIMIT 256
     )
     SELECT CAST(count(*) AS BIGINT) AS n_users,
-           {sql_quantize('regr_slope(ln(n), ln(rk))', 4)} AS tail_slope,
-           {sql_quantize('regr_r2(ln(n), ln(rk))', 4)} AS r2
+           CASE WHEN min(n) = max(n) THEN 0.0
+                ELSE {sql_quantize('regr_slope(ln(n), ln(rk))', 4)}
+           END AS tail_slope,
+           CASE WHEN min(n) = max(n) THEN 1.0
+                ELSE {sql_quantize('regr_r2(ln(n), ln(rk))', 4)}
+           END AS r2
     FROM top
 """
 
