@@ -577,3 +577,36 @@ def test_parts_pagerank_mass_and_centrality(spark):
     top = pr.loc[pr["degree"].idxmax()]
     bot = pr.loc[pr["degree"].idxmin()]
     assert top["rank"] > bot["rank"]
+
+
+def test_fit_degeneracy_guards(spark, tmp_path):
+    """The closed-form flat-case branches must engage on a degenerate
+    corpus (uniform frequencies / saturated vocab) — the raw engine
+    regr_r2 there is a nondeterministic 0/0 (observed from DuckDB's
+    parallel covariance merge), so the guard IS the determinism fix."""
+    import pandas as pd
+
+    from llm_map_reduce_summarizer_spark.plans.documents import (
+        doc_heaps_fit,
+        doc_zipf_fit,
+    )
+
+    sf = tmp_path / "degc"
+    sf.mkdir()
+    pd.DataFrame(
+        {
+            "doc_id": range(8),
+            "text": ["alpha beta gamma delta"] * 8,
+            "lang": ["en"] * 8,
+            "source": ["src0"] * 8,
+            "n_chars": [22] * 8,
+        }
+    ).to_parquet(sf / "documents.parquet")
+
+    z = doc_zipf_fit(spark, str(sf)).first()
+    # every term appears exactly 8 times -> flat spectrum
+    assert z["zipf_slope"] == 0.0 and z["r2"] == 1.0
+
+    h = doc_heaps_fit(spark, str(sf)).first()
+    # vocab saturates at the first checkpoint -> flat growth
+    assert h["heaps_beta"] == 0.0 and h["r2"] == 1.0
