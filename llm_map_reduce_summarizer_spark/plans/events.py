@@ -1329,6 +1329,56 @@ def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal dependence of the hourly count series: Pearson
+    autocorrelation at lag 1 hour and lag 24 hours — near-zero lag-24
+    means no daily seasonality to exploit, high lag-1 means bursty
+    persistence (feeds the forecast/decompose tier's validity).
+
+    Scale: the series is an hours-bounded partial agg; each lag is a
+    self-join of that tiny table on exact timestamp arithmetic; the
+    correlation is computed from EXACT integer sums (Σx, Σy, Σxy,
+    Σx², Σy²) with one final expression — no float-order surface.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+    def corr_at(lag_hours: int, name: str) -> DataFrame:
+        lag = hourly.select(
+            (F.col("hour") + F.expr(f"INTERVAL {lag_hours} HOURS")).alias(
+                "hour"
+            ),
+            F.col("n").alias("m"),
+        )
+        j = hourly.join(lag, "hour")
+        return j.agg(
+            F.count(F.lit(1)).cast("long").alias(f"n_pairs_{name}"),
+            quantize(
+                (
+                    F.count(F.lit(1)) * F.sum(F.col("n") * F.col("m"))
+                    - F.sum("n") * F.sum("m")
+                ).cast("double")
+                / F.sqrt(
+                    (
+                        F.count(F.lit(1)) * F.sum(F.col("n") * F.col("n"))
+                        - F.sum("n") * F.sum("n")
+                    ).cast("double")
+                    * (
+                        F.count(F.lit(1)) * F.sum(F.col("m") * F.col("m"))
+                        - F.sum("m") * F.sum("m")
+                    ).cast("double")
+                ),
+                4,
+            ).alias(f"acf_{name}"),
+        )
+
+    return corr_at(1, "lag1").crossJoin(
+        F.broadcast(corr_at(24, "lag24"))
+    )
+
+
 QUERIES = {
     "events_retention_hourly": events_retention_hourly,
     "events_dau": events_dau,
@@ -1362,6 +1412,7 @@ QUERIES = {
     "events_burstiness": events_burstiness,
     "events_power_law_fit": events_power_law_fit,
     "events_seasonal_decompose": events_seasonal_decompose,
+    "events_autocorr": events_autocorr,
 }
 
 ORACLE = {
@@ -1986,4 +2037,45 @@ ORACLE["events_seasonal_decompose"] = f"""
     FROM h2
     JOIN day_m USING (day)
     JOIN hod_m USING (hour_of_day), grand
+"""
+
+ORACLE["events_autocorr"] = f"""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS hour,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    l1 AS (
+      SELECT a.n, b.n AS m
+      FROM hourly a
+      JOIN hourly b ON a.hour = b.hour + INTERVAL 1 HOUR
+    ),
+    l24 AS (
+      SELECT a.n, b.n AS m
+      FROM hourly a
+      JOIN hourly b ON a.hour = b.hour + INTERVAL 24 HOURS
+    ),
+    c1 AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_pairs_lag1,
+             {sql_quantize(
+                 'CAST(count(*) * sum(n * m) - sum(n) * sum(m) AS DOUBLE)'
+                 ' / sqrt(CAST(count(*) * sum(n * n)'
+                 ' - sum(n) * sum(n) AS DOUBLE)'
+                 ' * CAST(count(*) * sum(m * m)'
+                 ' - sum(m) * sum(m) AS DOUBLE))', 4)} AS acf_lag1
+      FROM l1
+    ),
+    c24 AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_pairs_lag24,
+             {sql_quantize(
+                 'CAST(count(*) * sum(n * m) - sum(n) * sum(m) AS DOUBLE)'
+                 ' / sqrt(CAST(count(*) * sum(n * n)'
+                 ' - sum(n) * sum(n) AS DOUBLE)'
+                 ' * CAST(count(*) * sum(m * m)'
+                 ' - sum(m) * sum(m) AS DOUBLE))', 4)} AS acf_lag24
+      FROM l24
+    )
+    SELECT c1.n_pairs_lag1, c1.acf_lag1,
+           c24.n_pairs_lag24, c24.acf_lag24
+    FROM c1, c24
 """
