@@ -74,3 +74,89 @@ def test_prefix_sum_chunker_invariants(spark, words_per_seg):
     # prefix-sum bucketing: chunk_id == floor(tokens_before / budget)
     cum_before = out["n_tokens"].cumsum() - out["n_tokens"]
     assert list(out["chunk_id"]) == list(cum_before // BUDGET)
+
+
+def test_emb_kmeans_matches_numpy_reference(spark, tmp_path_factory):
+    """Third-implementation check for the iterative tier: the Spark
+    emb_kmeans assignment must equal an independent pure-numpy Lloyd
+    run that replicates the operator's contract (unit-normalize,
+    vec_id % K init, per-round 1e-9 quantization of centroid cells
+    and similarities, argmax ties to the lowest cluster) on random
+    small embedding tables — any drift in the quantization points or
+    tie rules breaks this before the DuckDB oracle ever runs."""
+    import numpy as np
+    import pandas as pd
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from llm_map_reduce_summarizer_spark.plans.documents import (
+        KMEANS_ITERS,
+        KMEANS_K,
+        emb_kmeans,
+    )
+
+    def q9(x):
+        return np.floor(x * 1e9 + 0.5) / 1e9
+
+    def reference(vectors):
+        n, d = vectors.shape
+        u = vectors / np.sqrt((vectors * vectors).sum(axis=1))[:, None]
+        assign = np.arange(n) % KMEANS_K
+        sims_by_c = None
+        for _ in range(KMEANS_ITERS):
+            clusters = sorted(set(assign.tolist()))
+            cents = {
+                c: q9(u[assign == c].mean(axis=0)) for c in clusters
+            }
+            sims_by_c = {
+                c: q9(u @ cents[c]) for c in clusters
+            }
+            new_assign = np.empty(n, dtype=int)
+            for i in range(n):
+                best = max(
+                    clusters, key=lambda c: (sims_by_c[c][i], -c)
+                )
+                new_assign[i] = best
+            assign = new_assign
+        return assign
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=list(HealthCheck),
+    )
+    @given(data=st.data())
+    def run(data):
+        n = data.draw(st.integers(9, 20))
+        d = data.draw(st.sampled_from([4, 6]))
+        comps = data.draw(
+            st.lists(
+                st.lists(
+                    st.integers(-8, 8), min_size=d, max_size=d
+                ).filter(lambda v: any(x != 0 for x in v)),
+                min_size=n,
+                max_size=n,
+            )
+        )
+        vectors = np.array(comps, dtype=np.float64)
+        src = tmp_path_factory.mktemp("kmref")
+        pd.DataFrame(
+            {
+                "vec_id": range(n),
+                "embedding": [
+                    np.asarray(v, dtype=np.float32) for v in comps
+                ],
+                "label": [0] * n,
+            }
+        ).to_parquet(src / "embeddings.parquet")
+        got = (
+            emb_kmeans(spark, str(src))
+            .toPandas()
+            .set_index("vec_id")["cluster_id"]
+        )
+        # float32 storage: the reference must read the same values
+        want = reference(vectors.astype(np.float32).astype(np.float64))
+        for i in range(n):
+            assert got.loc[i] == want[i], (i, got.loc[i], want[i])
+
+    run()
