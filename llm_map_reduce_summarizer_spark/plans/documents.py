@@ -3183,6 +3183,95 @@ def corpus_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BOOT_B = 32  # bootstrap replicates
+BOOT_SEED = "boot-v1"
+# Poisson(1) CDF thresholds (exact double literals shared verbatim
+# with the SQL twin — the inverse-CDF draw must branch identically)
+BOOT_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238463,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.999916758850712,
+    0.9999897508033253,
+)
+
+
+def corpus_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the corpus mean
+    quality score — THE distributed bootstrap (each doc enters each
+    replicate Poisson(1) times, so no with-replacement index pass is
+    needed): 32 deterministic hash-seeded replicates, their weighted
+    means, and the 2.5/97.5 percentile band. The statistics tier that
+    turns a point estimate into an uncertainty statement without any
+    RNG state (reproducible across engines AND runs).
+
+    Scale: the replicate weights are a map-side hash draw (docs x B
+    rows, ONE narrow explode); replicate means are a B-bounded
+    partial agg; the CI is a percentile over B rows. Weighted sums
+    use 1e-4-grid quality scores scaled to exact integers, so the
+    replicate means have no float-order surface.
+    """
+    d = _docs(spark, sf_dir)
+    q = d.select(
+        "doc_id",
+        # 1e-4-quantized score scaled to an exact integer
+        F.round(quality_score_col() * 10000).cast("long").alias("qi"),
+    )
+    reps = q.crossJoin(
+        F.broadcast(
+            spark.range(BOOT_B).select(F.col("id").alias("b"))
+        )
+    )
+    # uniform in [0, 1): 60-bit md5 fold of (seed, b, doc_id)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(BOOT_SEED + "|"),
+                        F.col("b").cast("string"),
+                        F.lit("|"),
+                        F.col("doc_id").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(2**60))
+    )
+    w = F.lit(len(BOOT_CDF))
+    for k in range(len(BOOT_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(BOOT_CDF[k]), F.lit(k)).otherwise(w)
+    weighted = reps.select("b", "qi", w.cast("long").alias("w"))
+    means = weighted.groupBy("b").agg(
+        (
+            F.sum(F.col("w") * F.col("qi")).cast("double")
+            / (F.sum("w") * 10000.0)
+        ).alias("rep_mean")
+    )
+    base = q.agg(
+        (F.sum("qi").cast("double") / (F.count(F.lit(1)) * 10000.0)).alias(
+            "mean_quality"
+        )
+    )
+    return means.agg(
+        F.count(F.lit(1)).cast("long").alias("n_replicates"),
+        quantize(F.expr("percentile(rep_mean, 0.025)"), 6).alias("ci_lo"),
+        quantize(F.expr("percentile(rep_mean, 0.975)"), 6).alias("ci_hi"),
+    ).crossJoin(F.broadcast(base)).select(
+        quantize(F.col("mean_quality"), 6).alias("mean_quality"),
+        "n_replicates",
+        "ci_lo",
+        "ci_hi",
+    )
+
+
 CURRICULUM_SEED = "curriculum-v1"
 
 
@@ -3313,6 +3402,7 @@ QUERIES = {
     "corpus_lexical_diversity": corpus_lexical_diversity,
     "multimodal_entropy": multimodal_entropy,
     "corpus_source_divergence": corpus_source_divergence,
+    "corpus_bootstrap_ci": corpus_bootstrap_ci,
 }
 
 
@@ -5554,3 +5644,54 @@ ORACLE["corpus_source_divergence"] = f"""
                6)} AS js_bits
     FROM j GROUP BY 1
 """
+
+
+def _bootstrap_ci_oracle() -> str:
+    from ..functions.hashing import sql_shingle_key
+
+    fold = sql_shingle_key(
+        f"concat('{BOOT_SEED}|', CAST(b.b AS VARCHAR), '|',"
+        " CAST(qi.doc_id AS VARCHAR))"
+    )
+    cases = " ".join(
+        f"WHEN u < {BOOT_CDF[k]!r} THEN {k}" for k in range(len(BOOT_CDF))
+    )
+    return f"""
+    WITH {_quality_docs_cte()},
+    qi AS (
+      SELECT doc_id,
+             CAST(round(quality_score * 10000) AS BIGINT) AS qi
+      FROM qdocs
+    ),
+    b AS (SELECT unnest(generate_series(0, {BOOT_B - 1})) AS b),
+    reps AS (
+      SELECT b.b, qi.qi,
+             CAST({fold} AS DOUBLE) / 1152921504606846976.0 AS u
+      FROM qi, b
+    ),
+    w AS (
+      SELECT b, qi,
+             CAST(CASE {cases} ELSE {len(BOOT_CDF)} END AS BIGINT) AS w
+      FROM reps
+    ),
+    means AS (
+      SELECT b,
+             CAST(sum(w * qi) AS DOUBLE) / (sum(w) * 10000.0)
+               AS rep_mean
+      FROM w GROUP BY 1
+    ),
+    base AS (
+      SELECT CAST(sum(qi) AS DOUBLE) / (count(*) * 10000.0)
+               AS mean_quality
+      FROM qi
+    )
+    SELECT {sql_quantize('any_value(base.mean_quality)', 6)}
+             AS mean_quality,
+           CAST(count(*) AS BIGINT) AS n_replicates,
+           {sql_quantize('quantile_cont(rep_mean, 0.025)', 6)} AS ci_lo,
+           {sql_quantize('quantile_cont(rep_mean, 0.975)', 6)} AS ci_hi
+    FROM means, base
+"""
+
+
+ORACLE["corpus_bootstrap_ci"] = _bootstrap_ci_oracle()

@@ -610,3 +610,18 @@ def test_fit_degeneracy_guards(spark, tmp_path):
     h = doc_heaps_fit(spark, str(sf)).first()
     # vocab saturates at the first checkpoint -> flat growth
     assert h["heaps_beta"] == 0.0 and h["r2"] == 1.0
+
+
+def test_bootstrap_ci_brackets_mean(spark):
+    """The Poisson-bootstrap band must bracket the point estimate and
+    be deterministic across runs (hash-seeded draws, no RNG state)."""
+    from llm_map_reduce_summarizer_spark.plans.documents import (
+        corpus_bootstrap_ci,
+    )
+
+    r = corpus_bootstrap_ci(spark, SF).first()
+    assert r["n_replicates"] == 32
+    assert r["ci_lo"] <= r["mean_quality"] <= r["ci_hi"]
+    assert r["ci_hi"] - r["ci_lo"] < 0.2  # sane width, not vacuous
+    again = corpus_bootstrap_ci(spark, SF).first()
+    assert (r["ci_lo"], r["ci_hi"]) == (again["ci_lo"], again["ci_hi"])
