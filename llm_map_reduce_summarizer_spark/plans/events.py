@@ -1379,6 +1379,43 @@ def events_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_anomaly_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed anomaly screen done right: deseasonalize first
+    (`events_seasonal_decompose`'s two-way fit), THEN apply the robust
+    median/MAD band to the residuals — flagged hours are deviations
+    from their own day's level AND clock-hour profile, not from a
+    seasonality-blind global mean. Emits only the flagged hours with
+    their residual and the band.
+
+    Scale: stacks two hours-bounded aggregates; the residual
+    median/MAD is ONE more tiny agg broadcast back. Flag logic is
+    exact comparisons on quantized residuals.
+    """
+    dec = events_seasonal_decompose(spark, sf_dir)
+    stats = dec.agg(
+        F.expr("percentile(residual, 0.5)").alias("med_r")
+    )
+    dev = dec.crossJoin(F.broadcast(stats)).withColumn(
+        "adev", F.abs(F.col("residual") - F.col("med_r"))
+    )
+    mad = dev.agg(F.expr("percentile(adev, 0.5)").alias("mad_r"))
+    return (
+        dev.crossJoin(F.broadcast(mad))
+        .filter(
+            (F.col("mad_r") > 0)
+            & (F.col("adev") > 3 * F.col("mad_r"))
+        )
+        .select(
+            "hour",
+            "n",
+            "fitted",
+            "residual",
+            quantize(F.col("med_r"), 4).alias("med_residual"),
+            quantize(F.col("mad_r"), 4).alias("mad_residual"),
+        )
+    )
+
+
 QUERIES = {
     "events_retention_hourly": events_retention_hourly,
     "events_dau": events_dau,
@@ -1413,6 +1450,7 @@ QUERIES = {
     "events_power_law_fit": events_power_law_fit,
     "events_seasonal_decompose": events_seasonal_decompose,
     "events_autocorr": events_autocorr,
+    "events_anomaly_residual": events_anomaly_residual,
 }
 
 ORACLE = {
@@ -2078,4 +2116,52 @@ ORACLE["events_autocorr"] = f"""
     SELECT c1.n_pairs_lag1, c1.acf_lag1,
            c24.n_pairs_lag24, c24.acf_lag24
     FROM c1, c24
+"""
+
+ORACLE["events_anomaly_residual"] = f"""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS hour,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    h2 AS (
+      SELECT hour, date_trunc('day', hour) AS day,
+             CAST(extract(hour FROM hour) AS BIGINT) AS hour_of_day, n
+      FROM hourly
+    ),
+    day_m AS (
+      SELECT day, CAST(sum(n) AS DOUBLE) / count(*) AS day_mean
+      FROM h2 GROUP BY 1
+    ),
+    hod_m AS (
+      SELECT hour_of_day, CAST(sum(n) AS DOUBLE) / count(*) AS hod_mean
+      FROM h2 GROUP BY 1
+    ),
+    grand AS (
+      SELECT CAST(sum(n) AS DOUBLE) / count(*) AS grand_mean FROM h2
+    ),
+    dec AS (
+      SELECT h2.hour, h2.n,
+             {sql_quantize(
+                 'day_m.day_mean + hod_m.hod_mean - grand.grand_mean',
+                 4)} AS fitted,
+             {sql_quantize(
+                 'h2.n - (day_m.day_mean + hod_m.hod_mean'
+                 ' - grand.grand_mean)', 4)} AS residual
+      FROM h2
+      JOIN day_m USING (day)
+      JOIN hod_m USING (hour_of_day), grand
+    ),
+    med AS (SELECT quantile_cont(residual, 0.5) AS med_r FROM dec),
+    dev AS (
+      SELECT dec.*, med.med_r,
+             abs(dec.residual - med.med_r) AS adev
+      FROM dec, med
+    ),
+    mad AS (SELECT quantile_cont(adev, 0.5) AS mad_r FROM dev)
+    SELECT dev.hour, dev.n, dev.fitted, dev.residual,
+           {sql_quantize('dev.med_r', 4)} AS med_residual,
+           {sql_quantize('mad.mad_r', 4)} AS mad_residual
+    FROM dev, mad
+    WHERE mad.mad_r > 0 AND dev.adev > 3 * mad.mad_r
 """
