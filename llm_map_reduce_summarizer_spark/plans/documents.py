@@ -3272,6 +3272,52 @@ def corpus_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiler over the documents corpus: per column, row
+    count, null count, empty-string count, distinct cardinality, and
+    min/max rendered as strings — the schema-health audit every
+    ingest run prints before anything else trusts the table
+    (completeness + cardinality drift catches broken upstream
+    extractors long before content checks do).
+
+    Scale: ONE wide aggregate computes every per-column statistic in
+    a single scan (count_distinct partial-aggs per column; swap in
+    approx_count_distinct at 100 TB, same shape); the per-column
+    unpivot is a stack over the 1-row result.
+    """
+    d = _docs(spark, sf_dir)
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"nul_{c}"),
+            F.sum(
+                (F.col(c).cast("string") == "").cast("long")
+            ).alias(f"emp_{c}"),
+            F.countDistinct(c).alias(f"dst_{c}"),
+            F.min(F.col(c).cast("string")).alias(f"min_{c}"),
+            F.max(F.col(c).cast("string")).alias(f"max_{c}"),
+        ]
+    one = d.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', nul_{c}, emp_{c}, dst_{c}, min_{c}, max_{c}"
+        for c in cols
+    )
+    return one.selectExpr(
+        "n_rows",
+        f"stack({len(cols)}, {stack}) AS "
+        "(column_name, n_null, n_empty, n_distinct, min_str, max_str)",
+    ).select(
+        "column_name",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_null").cast("long").alias("n_null"),
+        F.col("n_empty").cast("long").alias("n_empty"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        "min_str",
+        "max_str",
+    )
+
+
 CURRICULUM_SEED = "curriculum-v1"
 
 
@@ -3403,6 +3449,7 @@ QUERIES = {
     "multimodal_entropy": multimodal_entropy,
     "corpus_source_divergence": corpus_source_divergence,
     "corpus_bootstrap_ci": corpus_bootstrap_ci,
+    "corpus_profile": corpus_profile,
 }
 
 
@@ -5695,3 +5742,24 @@ def _bootstrap_ci_oracle() -> str:
 
 
 ORACLE["corpus_bootstrap_ci"] = _bootstrap_ci_oracle()
+
+
+def _profile_oracle() -> str:
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    branches = "\n      UNION ALL ".join(
+        f"""SELECT '{c}' AS column_name,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null,
+             CAST(sum(CASE WHEN CAST({c} AS VARCHAR) = '' THEN 1
+                      ELSE 0 END) AS BIGINT) AS n_empty,
+             CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+             min(CAST({c} AS VARCHAR)) AS min_str,
+             max(CAST({c} AS VARCHAR)) AS max_str
+      FROM documents"""
+        for c in cols
+    )
+    return branches
+
+
+ORACLE["corpus_profile"] = _profile_oracle()

@@ -1041,6 +1041,46 @@ def customer_ltv_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def nation_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-concentration audit: the Herfindahl-Hirschman index of
+    supplier revenue shares within each nation (10000·Σ share² in the
+    antitrust convention; 10000 = monopoly, →0 = atomized), plus the
+    top supplier's share — the risk view of the supply base.
+
+    Scale: one suppkey partial agg over a single lineitem scan, a
+    broadcast supplier→nation dim join, then a nation-bounded rollup.
+    Per-supplier revenue is quantized to the cent grid FIRST, so the
+    nation totals and shares are exact-grid arithmetic; the share²
+    sum quantizes at 1e-2 (HHI points).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per = (
+        li.groupBy("l_suppkey")
+        .agg(quantize(F.sum(rev), 2).alias("r"))
+        .join(F.broadcast(sup), "l_suppkey")
+    )
+    tot = per.groupBy("s_nationkey").agg(
+        F.sum("r").alias("nation_rev"),
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+    )
+    shares = per.join(F.broadcast(tot), "s_nationkey").select(
+        "s_nationkey",
+        "n_suppliers",
+        (F.col("r") / F.col("nation_rev")).alias("share"),
+    )
+    return shares.groupBy("s_nationkey").agg(
+        F.first("n_suppliers").alias("n_suppliers"),
+        quantize(
+            10000.0 * F.sum(F.col("share") * F.col("share")), 2
+        ).alias("hhi"),
+        quantize(F.max("share"), 6).alias("top_share"),
+    )
+
+
 def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation per customer: Recency (days from last order
     to the corpus max date), Frequency (order count), Monetary (total
@@ -1354,6 +1394,7 @@ QUERIES = {
     "parts_pagerank": parts_pagerank,
     "parts_triangles": parts_triangles,
     "customer_ltv_triangle": customer_ltv_triangle,
+    "nation_supplier_hhi": nation_supplier_hhi,
 }
 
 ORACLE = {
@@ -2017,4 +2058,32 @@ ORACLE["customer_ltv_triangle"] = """
            floor(tri.cohort_spend / sizes.cohort_size * 10000.0 + 0.5)
              / 10000.0 AS spend_per_customer
     FROM tri JOIN sizes USING (cohort_month)
+"""
+
+ORACLE["nation_supplier_hhi"] = f"""
+    WITH per AS (
+      SELECT l_suppkey,
+             floor(sum(l_extendedprice * (1 - l_discount)) * 100.0
+                   + 0.5) / 100.0 AS r
+      FROM lineitem GROUP BY 1
+    ),
+    pj AS (
+      SELECT per.r, supplier.s_nationkey
+      FROM per JOIN supplier ON per.l_suppkey = supplier.s_suppkey
+    ),
+    tot AS (
+      SELECT s_nationkey, sum(r) AS nation_rev,
+             CAST(count(*) AS BIGINT) AS n_suppliers
+      FROM pj GROUP BY 1
+    ),
+    shares AS (
+      SELECT pj.s_nationkey, tot.n_suppliers,
+             pj.r / tot.nation_rev AS share
+      FROM pj JOIN tot USING (s_nationkey)
+    )
+    SELECT s_nationkey,
+           any_value(n_suppliers) AS n_suppliers,
+           {sql_quantize('10000.0 * sum(share * share)', 2)} AS hhi,
+           {sql_quantize('max(share)', 6)} AS top_share
+    FROM shares GROUP BY 1
 """
