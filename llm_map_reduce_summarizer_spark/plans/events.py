@@ -1416,6 +1416,36 @@ def events_anomaly_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral diversity per user: Shannon entropy (bits) of the
+    user's event-type distribution plus type count — single-type
+    users (entropy 0) are scripted/bot-like, high-entropy users
+    explore the product; feeds segmentation next to the volume-based
+    `events_bot_detection` tier.
+
+    Scale: one (user, type) partial agg, user totals re-agg joined
+    back on the co-partitioned user key; probabilities are
+    exact-integer ratios quantized 1e-9 before the ≤|types|-term
+    entropy sum (quantized 1e-6).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("f")
+    )
+    tot = ut.groupBy("user_id").agg(
+        F.sum("f").alias("n_events"),
+        F.count(F.lit(1)).alias("n_types"),
+    )
+    j = ut.join(tot, "user_id")
+    p = quantize(F.col("f") / F.col("n_events"), 9)
+    term = F.when(p > 0, -p * F.log2(p)).otherwise(F.lit(0.0))
+    return j.groupBy("user_id").agg(
+        F.first("n_events").cast("long").alias("n_events"),
+        F.first("n_types").cast("long").alias("n_types"),
+        quantize(F.sum(term), 6).alias("type_entropy_bits"),
+    )
+
+
 QUERIES = {
     "events_retention_hourly": events_retention_hourly,
     "events_dau": events_dau,
@@ -1451,6 +1481,7 @@ QUERIES = {
     "events_seasonal_decompose": events_seasonal_decompose,
     "events_autocorr": events_autocorr,
     "events_anomaly_residual": events_anomaly_residual,
+    "events_user_entropy": events_user_entropy,
 }
 
 ORACLE = {
@@ -2164,4 +2195,28 @@ ORACLE["events_anomaly_residual"] = f"""
            {sql_quantize('mad.mad_r', 4)} AS mad_residual
     FROM dev, mad
     WHERE mad.mad_r > 0 AND dev.adev > 3 * mad.mad_r
+"""
+
+ORACLE["events_user_entropy"] = f"""
+    WITH ut AS (
+      SELECT user_id, event_type, count(*) AS f
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT user_id, sum(f) AS n_events, count(*) AS n_types
+      FROM ut GROUP BY 1
+    ),
+    j AS (
+      SELECT ut.user_id, tot.n_events, tot.n_types,
+             floor(ut.f / tot.n_events * 1000000000.0 + 0.5)
+               / 1000000000.0 AS p
+      FROM ut JOIN tot USING (user_id)
+    )
+    SELECT user_id,
+           CAST(any_value(n_events) AS BIGINT) AS n_events,
+           CAST(any_value(n_types) AS BIGINT) AS n_types,
+           {sql_quantize(
+               'sum(CASE WHEN p > 0 THEN -p * log2(p)'
+               ' ELSE 0.0 END)', 6)} AS type_entropy_bits
+    FROM j GROUP BY 1
 """

@@ -1081,6 +1081,61 @@ def nation_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def parts_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-purchase graph: the Pearson
+    correlation of endpoint degrees over all edges (positive = hubs
+    buy with hubs, negative = hub-and-spoke baskets) — the third
+    graph statistic beside centrality (`parts_pagerank`) and
+    clustering (`parts_triangles`).
+
+    Scale: the order-bounded edge list joins the degree table on each
+    endpoint's natural key; the correlation comes from EXACT integer
+    sums over the directed edge list (both orientations — the
+    standard undirected convention) with one final expression.
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") != F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    pairs = (
+        edges.join(deg.select(F.col("u"), F.col("d").alias("du")), "u")
+        .join(
+            deg.select(F.col("u").alias("v"), F.col("d").alias("dv")),
+            "v",
+        )
+        .select("du", "dv")
+    )
+    num = (
+        F.count(F.lit(1)) * F.sum(F.col("du") * F.col("dv"))
+        - F.sum("du") * F.sum("dv")
+    ).cast("double")
+    den = F.sqrt(
+        (
+            F.count(F.lit(1)) * F.sum(F.col("du") * F.col("du"))
+            - F.sum("du") * F.sum("du")
+        ).cast("double")
+        * (
+            F.count(F.lit(1)) * F.sum(F.col("dv") * F.col("dv"))
+            - F.sum("dv") * F.sum("dv")
+        ).cast("double")
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_directed_edges"),
+        quantize(num / den, 4).alias("assortativity"),
+    )
+
+
 def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation per customer: Recency (days from last order
     to the corpus max date), Frequency (order count), Monetary (total
@@ -1395,6 +1450,7 @@ QUERIES = {
     "parts_triangles": parts_triangles,
     "customer_ltv_triangle": customer_ltv_triangle,
     "nation_supplier_hhi": nation_supplier_hhi,
+    "parts_assortativity": parts_assortativity,
 }
 
 ORACLE = {
@@ -2086,4 +2142,30 @@ ORACLE["nation_supplier_hhi"] = f"""
            {sql_quantize('10000.0 * sum(share * share)', 2)} AS hhi,
            {sql_quantize('max(share)', 6)} AS top_share
     FROM shares GROUP BY 1
+"""
+
+ORACLE["parts_assortativity"] = f"""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b USING (l_orderkey)
+      WHERE a.l_partkey <> b.l_partkey
+    ),
+    deg AS (SELECT u, count(*) AS d FROM edges GROUP BY 1),
+    pairs AS (
+      SELECT da.d AS du, db.d AS dv
+      FROM edges
+      JOIN deg da ON da.u = edges.u
+      JOIN deg db ON db.u = edges.v
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_directed_edges,
+           {sql_quantize(
+               'CAST(count(*) * sum(du * dv)'
+               ' - sum(du) * sum(dv) AS DOUBLE)'
+               ' / sqrt(CAST(count(*) * sum(du * du)'
+               ' - sum(du) * sum(du) AS DOUBLE)'
+               ' * CAST(count(*) * sum(dv * dv)'
+               ' - sum(dv) * sum(dv) AS DOUBLE))', 4)}
+             AS assortativity
+    FROM pairs
 """
