@@ -1040,3 +1040,50 @@ def test_stream_funnel_parity_on_randomized_splits(spark, tmp_path_factory):
         assert got == funnel_oracle(rows)
 
     run()
+
+
+def test_stream_cohort_days_emit_once_across_batches(spark, tmp_path):
+    """A user's repeat activity on the SAME day in a later micro-batch
+    must not re-emit, while a NEW day must — and the cohort tag always
+    carries the true first day."""
+    import pandas as pd
+
+    from llm_map_reduce_summarizer_spark.streaming.stream_ops import (
+        EVENTS_SCHEMA,
+        cohort_days_stream,
+        run_available_now,
+    )
+    from pyspark.sql import functions as F
+
+    DAY_US = 86_400_000_000
+    base_day = (1_700_000_000_000_000 // DAY_US) * DAY_US  # aligned us
+
+    def ev(eid, day_off, uid):
+        ts_us = base_day + day_off * DAY_US + eid  # distinct in-day ts
+        return dict(
+            event_id=eid, ts=ts_us * 1000, user_id=uid,
+            event_type="view", value=0.0, props="{}",
+        )
+
+    src = tmp_path / "events_cohort"
+    src.mkdir()
+    # batch 0: user 1 active day 0 (twice); batch 1: same day again
+    # (suppressed) + day 2 (new emit)
+    pd.DataFrame([ev(1, 0, 1), ev(2, 0, 1)]).to_parquet(
+        src / "part-000.parquet"
+    )
+    pd.DataFrame([ev(3, 0, 1), ev(4, 2, 1)]).to_parquet(
+        src / "part-001.parquet"
+    )
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(str(src))
+    ).withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    pairs = run_available_now(
+        cohort_days_stream(raw), output_mode="append"
+    ).toPandas()
+    assert len(pairs) == 2  # day 0 once, day 2 once
+    assert set(pairs["day_us"] - base_day) == {0, 2 * DAY_US}
+    assert (pairs["cohort_day_us"] == base_day).all()
