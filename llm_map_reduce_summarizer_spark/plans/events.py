@@ -1446,6 +1446,87 @@ def events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival of user lifetimes (days from first to
+    last activity; users still active on the corpus' final day are
+    right-censored): per day-offset, the at-risk count, churn and
+    censor counts, the hazard, and the cumulative survival estimate —
+    the churn-curve tier above the retention triangle (27w gives
+    per-cohort shares; this gives the corpus-level lifetime law with
+    censoring handled correctly).
+
+    Scale: lifetimes are one user-keyed partial agg; at-risk and
+    prefix-product terms come from the calendar-bounded D² self-join
+    of the per-offset table (never the user table); hazards quantize
+    1e-9 and the survival product runs as exp(Σ ln) with an exact
+    zero-factor guard — identical branch logic in both engines.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("day", F.col("ts")).alias("day"), "user_id"
+    )
+    mx = ev.agg(F.max("day").alias("maxd"))
+    per = (
+        ev.groupBy("user_id")
+        .agg(F.min("day").alias("fd"), F.max("day").alias("ld"))
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.datediff(F.col("ld"), F.col("fd"))
+            .cast("long")
+            .alias("t"),
+            (F.col("ld") == F.col("maxd")).cast("long").alias("cens"),
+        )
+    )
+    offs = per.groupBy("t").agg(
+        F.count(F.lit(1)).alias("n_ending"),
+        F.sum("cens").alias("n_censored"),
+        (F.count(F.lit(1)) - F.sum("cens")).alias("n_churned"),
+    )
+    a = offs.select(F.col("t").alias("tt"))
+    # at-risk at t = users whose lifetime >= t (calendar-bounded join)
+    risk = (
+        a.join(F.broadcast(offs), F.col("t") >= F.col("tt"))
+        .groupBy("tt")
+        .agg(F.sum("n_ending").alias("n_at_risk"))
+    )
+    base = offs.join(risk, offs.t == risk.tt).select(
+        "t",
+        "n_at_risk",
+        "n_churned",
+        "n_censored",
+        quantize(
+            F.col("n_churned").cast("double") / F.col("n_at_risk"), 9
+        ).alias("hazard"),
+    )
+    f = 1 - F.col("hazard")
+    terms = base.select(
+        "t",
+        f.alias("f"),
+        F.when(f > 0, F.log(f)).otherwise(F.lit(0.0)).alias("lnf"),
+    )
+    prefix = (
+        base.select(F.col("t").alias("pt"))
+        .join(F.broadcast(terms), F.col("t") <= F.col("pt"))
+        .groupBy("pt")
+        .agg(
+            F.min("f").alias("min_f"),
+            F.sum("lnf").alias("sum_lnf"),
+        )
+    )
+    return (
+        base.join(prefix, base.t == prefix.pt)
+        .select(
+            "t",
+            F.col("n_at_risk").cast("long").alias("n_at_risk"),
+            F.col("n_churned").cast("long").alias("n_churned"),
+            F.col("n_censored").cast("long").alias("n_censored"),
+            quantize(F.col("hazard"), 6).alias("hazard"),
+            F.when(F.col("min_f") <= 0, F.lit(0.0))
+            .otherwise(quantize(F.exp(F.col("sum_lnf")), 6))
+            .alias("survival"),
+        )
+    )
+
+
 QUERIES = {
     "events_retention_hourly": events_retention_hourly,
     "events_dau": events_dau,
@@ -1482,6 +1563,7 @@ QUERIES = {
     "events_autocorr": events_autocorr,
     "events_anomaly_residual": events_anomaly_residual,
     "events_user_entropy": events_user_entropy,
+    "events_survival": events_survival,
 }
 
 ORACLE = {
@@ -2219,4 +2301,53 @@ ORACLE["events_user_entropy"] = f"""
                'sum(CASE WHEN p > 0 THEN -p * log2(p)'
                ' ELSE 0.0 END)', 6)} AS type_entropy_bits
     FROM j GROUP BY 1
+"""
+
+ORACLE["events_survival"] = f"""
+    WITH ev AS (
+      SELECT date_trunc('day', ts) AS day, user_id FROM events
+    ),
+    mx AS (SELECT max(day) AS maxd FROM ev),
+    per AS (
+      SELECT CAST(date_diff('day', min(day), max(day)) AS BIGINT) AS t,
+             CASE WHEN max(day) = any_value(mx.maxd) THEN 1 ELSE 0 END
+               AS cens
+      FROM ev, mx GROUP BY user_id
+    ),
+    offs AS (
+      SELECT t, count(*) AS n_ending, sum(cens) AS n_censored,
+             count(*) - sum(cens) AS n_churned
+      FROM per GROUP BY 1
+    ),
+    risk AS (
+      SELECT a.t AS tt, sum(b.n_ending) AS n_at_risk
+      FROM offs a JOIN offs b ON b.t >= a.t
+      GROUP BY 1
+    ),
+    base AS (
+      SELECT offs.t, risk.n_at_risk, offs.n_churned, offs.n_censored,
+             floor(CAST(offs.n_churned AS DOUBLE) / risk.n_at_risk
+                   * 1000000000.0 + 0.5) / 1000000000.0 AS hazard
+      FROM offs JOIN risk ON offs.t = risk.tt
+    ),
+    terms AS (
+      SELECT t, 1 - hazard AS f,
+             CASE WHEN 1 - hazard > 0 THEN ln(1 - hazard)
+                  ELSE 0.0 END AS lnf
+      FROM base
+    ),
+    prefix AS (
+      SELECT a.t AS pt, min(b.f) AS min_f, sum(b.lnf) AS sum_lnf
+      FROM base a JOIN terms b ON b.t <= a.t
+      GROUP BY 1
+    )
+    SELECT base.t,
+           CAST(base.n_at_risk AS BIGINT) AS n_at_risk,
+           CAST(base.n_churned AS BIGINT) AS n_churned,
+           CAST(base.n_censored AS BIGINT) AS n_censored,
+           {sql_quantize('base.hazard', 6)} AS hazard,
+           CASE WHEN prefix.min_f <= 0 THEN 0.0
+                ELSE {sql_quantize('exp(prefix.sum_lnf)', 6)}
+           END AS survival
+    FROM base JOIN prefix ON base.t = prefix.pt
 """
