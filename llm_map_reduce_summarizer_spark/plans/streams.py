@@ -813,6 +813,79 @@ def stream_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Kaplan-Meier churn curve: per-user first/last active
+    days accumulate AT INGEST (the cohort-day fold's TWO longs of
+    state; its appended pairs carry exactly the (first, new day)
+    observations), and the survival estimator runs post-drain on the
+    per-user snapshot — a users-bounded table, never the stream.
+    Drain == batch `events_survival`, whose oracle it shares.
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions.text import quantize
+    from ..streaming.stream_ops import cohort_days_stream
+
+    ev = read_events_stream(spark, sf_dir)
+    pairs = run_available_now(
+        cohort_days_stream(ev), output_mode="append"
+    )
+    per_user = pairs.groupBy("user_id").agg(
+        F.min("cohort_day_us").alias("fd_us"),
+        F.max("day_us").alias("ld_us"),
+    )
+    DAY_US = 86_400_000_000
+    mx = per_user.agg(F.max("ld_us").alias("maxd_us"))
+    per = per_user.crossJoin(F.broadcast(mx)).select(
+        ((F.col("ld_us") - F.col("fd_us")) / F.lit(DAY_US))
+        .cast("long")
+        .alias("t"),
+        (F.col("ld_us") == F.col("maxd_us")).cast("long").alias("cens"),
+    )
+    offs = per.groupBy("t").agg(
+        F.count(F.lit(1)).alias("n_ending"),
+        F.sum("cens").alias("n_censored"),
+        (F.count(F.lit(1)) - F.sum("cens")).alias("n_churned"),
+    )
+    a = offs.select(F.col("t").alias("tt"))
+    risk = (
+        a.join(F.broadcast(offs), F.col("t") >= F.col("tt"))
+        .groupBy("tt")
+        .agg(F.sum("n_ending").alias("n_at_risk"))
+    )
+    base = offs.join(risk, offs.t == risk.tt).select(
+        "t",
+        "n_at_risk",
+        "n_churned",
+        "n_censored",
+        quantize(
+            F.col("n_churned").cast("double") / F.col("n_at_risk"), 9
+        ).alias("hazard"),
+    )
+    f = 1 - F.col("hazard")
+    terms = base.select(
+        "t",
+        f.alias("f"),
+        F.when(f > 0, F.log(f)).otherwise(F.lit(0.0)).alias("lnf"),
+    )
+    prefix = (
+        base.select(F.col("t").alias("pt"))
+        .join(F.broadcast(terms), F.col("t") <= F.col("pt"))
+        .groupBy("pt")
+        .agg(F.min("f").alias("min_f"), F.sum("lnf").alias("sum_lnf"))
+    )
+    return base.join(prefix, base.t == prefix.pt).select(
+        "t",
+        F.col("n_at_risk").cast("long").alias("n_at_risk"),
+        F.col("n_churned").cast("long").alias("n_churned"),
+        F.col("n_censored").cast("long").alias("n_censored"),
+        quantize(F.col("hazard"), 6).alias("hazard"),
+        F.when(F.col("min_f") <= 0, F.lit(0.0))
+        .otherwise(quantize(F.exp(F.col("sum_lnf")), 6))
+        .alias("survival"),
+    )
+
+
 QUERIES = {
     "stream_hourly": stream_hourly,
     "stream_sessionize": stream_sessionize,
@@ -837,6 +910,7 @@ QUERIES = {
     "stream_funnel": stream_funnel,
     "stream_cohort_retention": stream_cohort_retention,
     "stream_interarrival": stream_interarrival,
+    "stream_survival": stream_survival,
 }
 
 ORACLE = {
@@ -867,6 +941,9 @@ ORACLE = {
     "stream_cohort_retention": _EVENTS_ORACLE["events_cohort_retention"],
     # each gap emits exactly once at ingest; drained set == batch lag
     "stream_interarrival": _EVENTS_ORACLE["events_interarrival"],
+    # per-user first/last from the drained cohort pairs == batch
+    # lifetimes, so the post-drain KM shares the batch oracle
+    "stream_survival": _EVENTS_ORACLE["events_survival"],
     "stream_domain_cap": f"""
         SELECT doc_id, source, rk, (rk <= {DOMAIN_CAP}) AS kept FROM (
           SELECT doc_id, source,
