@@ -3318,6 +3318,77 @@ def corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Information rate of the corpus per lang: unigram entropy H1,
+    bigram conditional entropy rate H2 = H(w_n | w_{n-1}), and the
+    redundancy 1 − H2/H1 — the compressibility / predictability law
+    of the text (language ≈ low H2; template spam collapses it to
+    ~0). Complements the per-doc surprisal scores with the
+    corpus-level constant they average toward.
+
+    Scale: unigram and within-doc-bigram tables are natural-key
+    partial aggs (shingle-table shape); entropy terms use EXACT
+    integer count ratios quantized 1e-9 before the lang-bounded sums
+    (quantized 1e-6).
+    """
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "lang", "doc_id", F.posexplode(words(F.col("text"))).alias("i", "w")
+    )
+    uni = toks.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("f1"))
+    n1 = uni.groupBy("lang").agg(F.sum("f1").alias("n_tokens"))
+    nxt = toks.select(
+        "lang", "doc_id", (F.col("i") - 1).alias("i"), F.col("w").alias("w2")
+    )
+    bi = (
+        toks.join(nxt, ["lang", "doc_id", "i"])
+        .groupBy("lang", "w", "w2")
+        .agg(F.count(F.lit(1)).alias("f12"))
+    )
+    w1m = bi.groupBy("lang", "w").agg(F.sum("f12").alias("fw1"))
+    nb = bi.groupBy("lang").agg(F.sum("f12").alias("n_bigrams"))
+    p1 = quantize(F.col("f1") / F.col("n_tokens"), 9)
+    h1 = (
+        uni.join(F.broadcast(n1), "lang")
+        .groupBy("lang")
+        .agg(
+            F.first("n_tokens").cast("long").alias("n_tokens"),
+            quantize(
+                F.sum(
+                    F.when(p1 > 0, -p1 * F.log2(p1)).otherwise(F.lit(0.0))
+                ),
+                6,
+            ).alias("h1_bits"),
+        )
+    )
+    pj = quantize(F.col("f12") / F.col("n_bigrams"), 9)
+    pc = quantize(F.col("f12") / F.col("fw1"), 9)
+    h2 = (
+        bi.join(w1m, ["lang", "w"])
+        .join(F.broadcast(nb), "lang")
+        .groupBy("lang")
+        .agg(
+            quantize(
+                F.sum(
+                    F.when(
+                        (pj > 0) & (pc > 0), -pj * F.log2(pc)
+                    ).otherwise(F.lit(0.0))
+                ),
+                6,
+            ).alias("h2_bits"),
+        )
+    )
+    return h1.join(h2, "lang").select(
+        "lang",
+        "n_tokens",
+        "h1_bits",
+        "h2_bits",
+        quantize(1 - F.col("h2_bits") / F.col("h1_bits"), 6).alias(
+            "redundancy"
+        ),
+    )
+
+
 CURRICULUM_SEED = "curriculum-v1"
 
 
@@ -3450,6 +3521,7 @@ QUERIES = {
     "corpus_source_divergence": corpus_source_divergence,
     "corpus_bootstrap_ci": corpus_bootstrap_ci,
     "corpus_profile": corpus_profile,
+    "corpus_entropy_rate": corpus_entropy_rate,
 }
 
 
@@ -5763,3 +5835,60 @@ def _profile_oracle() -> str:
 
 
 ORACLE["corpus_profile"] = _profile_oracle()
+
+ORACLE["corpus_entropy_rate"] = f"""
+    WITH toks AS (
+      SELECT lang, doc_id,
+             unnest(generate_series(1, len({_W}))) AS i,
+             unnest({_W}) AS w
+      FROM documents
+    ),
+    uni AS (
+      SELECT lang, w, count(*) AS f1 FROM toks GROUP BY 1, 2
+    ),
+    n1 AS (SELECT lang, sum(f1) AS n_tokens FROM uni GROUP BY 1),
+    bi AS (
+      SELECT a.lang, a.w, b.w AS w2, count(*) AS f12
+      FROM toks a
+      JOIN toks b
+        ON a.lang = b.lang AND a.doc_id = b.doc_id AND b.i = a.i + 1
+      GROUP BY 1, 2, 3
+    ),
+    w1m AS (SELECT lang, w, sum(f12) AS fw1 FROM bi GROUP BY 1, 2),
+    nb AS (SELECT lang, sum(f12) AS n_bigrams FROM bi GROUP BY 1),
+    h1 AS (
+      SELECT uni.lang,
+             CAST(any_value(n1.n_tokens) AS BIGINT) AS n_tokens,
+             {sql_quantize(
+                 'sum(CASE WHEN p1 > 0 THEN -p1 * log2(p1)'
+                 ' ELSE 0.0 END)', 6)} AS h1_bits
+      FROM (
+        SELECT uni.*,
+               floor(uni.f1 / n1.n_tokens * 1000000000.0 + 0.5)
+                 / 1000000000.0 AS p1
+        FROM uni JOIN n1 USING (lang)
+      ) uni JOIN n1 USING (lang)
+      GROUP BY 1
+    ),
+    h2 AS (
+      SELECT lang,
+             {sql_quantize(
+                 'sum(CASE WHEN pj > 0 AND pc > 0'
+                 ' THEN -pj * log2(pc) ELSE 0.0 END)', 6)} AS h2_bits
+      FROM (
+        SELECT bi.lang,
+               floor(bi.f12 / nb.n_bigrams * 1000000000.0 + 0.5)
+                 / 1000000000.0 AS pj,
+               floor(bi.f12 / w1m.fw1 * 1000000000.0 + 0.5)
+                 / 1000000000.0 AS pc
+        FROM bi
+        JOIN w1m ON bi.lang = w1m.lang AND bi.w = w1m.w
+        JOIN nb ON bi.lang = nb.lang
+      )
+      GROUP BY 1
+    )
+    SELECT h1.lang, h1.n_tokens, h1.h1_bits, h2.h2_bits,
+           {sql_quantize('1 - h2.h2_bits / h1.h1_bits', 6)}
+             AS redundancy
+    FROM h1 JOIN h2 USING (lang)
+"""

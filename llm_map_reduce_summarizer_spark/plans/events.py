@@ -1527,6 +1527,61 @@ def events_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of user activity — the inequality summary of
+    the engagement distribution (0 = everyone equally active, →1 = a
+    few users generate everything); the scalar companion to the
+    power-law fit and activity quantiles.
+
+    Scale: computed EXACTLY from the counts-of-counts histogram — the
+    mean-absolute-difference double sum runs over the V² pairs of
+    DISTINCT activity values (bounded by max activity, not user
+    count), via a broadcast self-join of the tiny histogram; every
+    term is integer arithmetic with one final division.
+    """
+    per = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    hist = per.groupBy("v").agg(F.count(F.lit(1)).alias("m"))
+    a = hist.select(F.col("v").alias("va"), F.col("m").alias("ma"))
+    b = hist.select(F.col("v").alias("vb"), F.col("m").alias("mb"))
+    mad_sum = (
+        a.crossJoin(F.broadcast(b))
+        .agg(
+            F.sum(
+                F.col("ma")
+                * F.col("mb")
+                * F.abs(F.col("va") - F.col("vb"))
+            ).alias("s")
+        )
+    )
+    tot = hist.agg(
+        F.sum("m").alias("n_users"),
+        F.sum(F.col("m") * F.col("v")).alias("total_events"),
+    )
+    return (
+        mad_sum.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("n_users").cast("long").alias("n_users"),
+            quantize(
+                F.col("total_events").cast("double") / F.col("n_users"),
+                4,
+            ).alias("mean_activity"),
+            quantize(
+                F.col("s").cast("double")
+                / (
+                    2.0
+                    * F.col("n_users").cast("double")
+                    * F.col("total_events").cast("double")
+                ),
+                6,
+            ).alias("gini"),
+        )
+    )
+
+
 QUERIES = {
     "events_retention_hourly": events_retention_hourly,
     "events_dau": events_dau,
@@ -1564,6 +1619,7 @@ QUERIES = {
     "events_anomaly_residual": events_anomaly_residual,
     "events_user_entropy": events_user_entropy,
     "events_survival": events_survival,
+    "events_gini": events_gini,
 }
 
 ORACLE = {
@@ -2350,4 +2406,27 @@ ORACLE["events_survival"] = f"""
                 ELSE {sql_quantize('exp(prefix.sum_lnf)', 6)}
            END AS survival
     FROM base JOIN prefix ON base.t = prefix.pt
+"""
+
+ORACLE["events_gini"] = f"""
+    WITH per AS (
+      SELECT user_id, count(*) AS v FROM events GROUP BY 1
+    ),
+    hist AS (SELECT v, count(*) AS m FROM per GROUP BY 1),
+    s AS (
+      SELECT sum(a.m * b.m * abs(a.v - b.v)) AS s
+      FROM hist a, hist b
+    ),
+    tot AS (
+      SELECT sum(m) AS n_users, sum(m * v) AS total_events FROM hist
+    )
+    SELECT CAST(tot.n_users AS BIGINT) AS n_users,
+           {sql_quantize(
+               'CAST(tot.total_events AS DOUBLE) / tot.n_users', 4)}
+             AS mean_activity,
+           {sql_quantize(
+               'CAST(s.s AS DOUBLE) / (2.0'
+               ' * CAST(tot.n_users AS DOUBLE)'
+               ' * CAST(tot.total_events AS DOUBLE))', 6)} AS gini
+    FROM s, tot
 """
