@@ -3389,6 +3389,72 @@ def corpus_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+COLLOC_MIN_COUNT = 5
+COLLOC_TOPK = 20
+
+
+def corpus_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: the top-20 adjacent word pairs by pointwise
+    mutual information (PMI = log2 p(w1,w2)/(p(w1)p(w2)), min count
+    5) — the phrase-discovery sweep behind tokenizer merges and
+    multiword-entity lists (frequency alone surfaces stopword pairs;
+    PMI surfaces GENUINE collocations).
+
+    Scale: bigram and unigram tables are natural-key partial aggs
+    (shingle-table shape); PMI is exact integer ratios quantized
+    1e-6; the global top-k is `orderBy().limit` (TakeOrdered) with a
+    deterministic (pmi, w1, w2) total order.
+    """
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id", F.posexplode(words(F.col("text"))).alias("i", "w")
+    )
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("f1"))
+    n1 = uni.agg(F.sum("f1").alias("n_tokens"))
+    nxt = toks.select(
+        "doc_id", (F.col("i") - 1).alias("i"), F.col("w").alias("w2")
+    )
+    bi = (
+        toks.join(nxt, ["doc_id", "i"])
+        .groupBy("w", "w2")
+        .agg(F.count(F.lit(1)).alias("f12"))
+        .filter(F.col("f12") >= COLLOC_MIN_COUNT)
+    )
+    nb = (
+        toks.join(nxt, ["doc_id", "i"])
+        .agg(F.count(F.lit(1)).alias("n_bigrams"))
+    )
+    j = (
+        bi.join(uni.select(F.col("w"), F.col("f1").alias("fa")), "w")
+        .join(
+            uni.select(F.col("w").alias("w2"), F.col("f1").alias("fb")),
+            "w2",
+        )
+        .crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(n1))
+    )
+    pmi = quantize(
+        F.log2(
+            (F.col("f12").cast("double") / F.col("n_bigrams"))
+            / (
+                (F.col("fa").cast("double") / F.col("n_tokens"))
+                * (F.col("fb").cast("double") / F.col("n_tokens"))
+            )
+        ),
+        6,
+    )
+    return (
+        j.select(
+            F.col("w").alias("w1"),
+            "w2",
+            F.col("f12").cast("long").alias("n_pair"),
+            pmi.alias("pmi_bits"),
+        )
+        .orderBy(F.col("pmi_bits").desc(), "w1", "w2")
+        .limit(COLLOC_TOPK)
+    )
+
+
 CURRICULUM_SEED = "curriculum-v1"
 
 
@@ -3522,6 +3588,7 @@ QUERIES = {
     "corpus_bootstrap_ci": corpus_bootstrap_ci,
     "corpus_profile": corpus_profile,
     "corpus_entropy_rate": corpus_entropy_rate,
+    "corpus_collocations": corpus_collocations,
 }
 
 
@@ -5891,4 +5958,37 @@ ORACLE["corpus_entropy_rate"] = f"""
            {sql_quantize('1 - h2.h2_bits / h1.h1_bits', 6)}
              AS redundancy
     FROM h1 JOIN h2 USING (lang)
+"""
+
+ORACLE["corpus_collocations"] = f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(generate_series(1, len({_W}))) AS i,
+             unnest({_W}) AS w
+      FROM documents
+    ),
+    uni AS (SELECT w, count(*) AS f1 FROM toks GROUP BY 1),
+    n1 AS (SELECT sum(f1) AS n_tokens FROM uni),
+    allbi AS (
+      SELECT a.w, b.w AS w2
+      FROM toks a
+      JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+    ),
+    nb AS (SELECT count(*) AS n_bigrams FROM allbi),
+    bi AS (
+      SELECT w, w2, count(*) AS f12 FROM allbi GROUP BY 1, 2
+      HAVING count(*) >= {COLLOC_MIN_COUNT}
+    )
+    SELECT bi.w AS w1, bi.w2,
+           CAST(bi.f12 AS BIGINT) AS n_pair,
+           {sql_quantize(
+               'log2((CAST(bi.f12 AS DOUBLE) / nb.n_bigrams)'
+               ' / ((CAST(ua.f1 AS DOUBLE) / n1.n_tokens)'
+               ' * (CAST(ub.f1 AS DOUBLE) / n1.n_tokens)))', 6)}
+             AS pmi_bits
+    FROM bi
+    JOIN uni ua ON ua.w = bi.w
+    JOIN uni ub ON ub.w = bi.w2, nb, n1
+    ORDER BY pmi_bits DESC, w1, w2
+    LIMIT {COLLOC_TOPK}
 """
