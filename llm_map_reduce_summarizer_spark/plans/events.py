@@ -1582,6 +1582,77 @@ def events_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-session conversion funnel: sessions (30-min gap rule) that
+    contain a view, a click strictly after their first view, and a
+    purchase strictly after that click — funnels that complete WITHIN
+    one visit, vs `events_funnel`'s lifetime cascade. Emits the
+    session counts and stage conversion rates.
+
+    Scale: reuses the sessionized frame (one user-keyed sort-shuffle);
+    the stage logic is three conditional-min aggregates per (user,
+    session) key; the rollup is one row.
+    """
+    sz = sessionized(spark, sf_dir).select(
+        "user_id", "session_id", "event_type", "ts_us"
+    )
+    key = ["user_id", "session_id"]
+    v = (
+        sz.filter(F.col("event_type") == "view")
+        .groupBy(*key)
+        .agg(F.min("ts_us").alias("t_view"))
+    )
+    c = (
+        sz.filter(F.col("event_type") == "click")
+        .join(v, key)
+        .filter(F.col("ts_us") > F.col("t_view"))
+        .groupBy(*key)
+        .agg(F.min("ts_us").alias("t_click"))
+    )
+    p = (
+        sz.filter(F.col("event_type") == "purchase")
+        .join(c, key)
+        .filter(F.col("ts_us") > F.col("t_click"))
+        .groupBy(*key)
+        .agg(F.min("ts_us").alias("t_purchase"))
+    )
+    tot = (
+        sz.select(*key)
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+    )
+    counts = (
+        v.agg(F.count(F.lit(1)).alias("n_view_sessions"))
+        .crossJoin(
+            F.broadcast(c.agg(F.count(F.lit(1)).alias("n_click_sessions")))
+        )
+        .crossJoin(
+            F.broadcast(
+                p.agg(F.count(F.lit(1)).alias("n_purchase_sessions"))
+            )
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    return counts.select(
+        F.col("n_sessions").cast("long").alias("n_sessions"),
+        F.col("n_view_sessions").cast("long").alias("n_view_sessions"),
+        F.col("n_click_sessions").cast("long").alias("n_click_sessions"),
+        F.col("n_purchase_sessions")
+        .cast("long")
+        .alias("n_purchase_sessions"),
+        quantize(
+            F.col("n_click_sessions").cast("double")
+            / F.col("n_view_sessions"),
+            6,
+        ).alias("view_to_click"),
+        quantize(
+            F.col("n_purchase_sessions").cast("double")
+            / F.col("n_click_sessions"),
+            6,
+        ).alias("click_to_purchase"),
+    )
+
+
 QUERIES = {
     "events_retention_hourly": events_retention_hourly,
     "events_dau": events_dau,
@@ -1620,6 +1691,7 @@ QUERIES = {
     "events_user_entropy": events_user_entropy,
     "events_survival": events_survival,
     "events_gini": events_gini,
+    "events_session_funnel": events_session_funnel,
 }
 
 ORACLE = {
@@ -2429,4 +2501,57 @@ ORACLE["events_gini"] = f"""
                ' * CAST(tot.n_users AS DOUBLE)'
                ' * CAST(tot.total_events AS DOUBLE))', 6)} AS gini
     FROM s, tot
+"""
+
+ORACLE["events_session_funnel"] = f"""
+    WITH base AS (
+      SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+             sum(CASE WHEN prev_us IS NULL
+                       OR ts_us0 - prev_us > 1800000000
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id
+                     ORDER BY ts_us0, event_id) AS session_id
+      FROM (
+        SELECT user_id, event_type, event_id, ts,
+               epoch_us(ts) AS ts_us0,
+               lag(epoch_us(ts)) OVER (
+                 PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ) AS prev_us
+        FROM events
+      )
+    ),
+    v AS (
+      SELECT user_id, session_id, min(ts_us) AS t_view
+      FROM base WHERE event_type = 'view' GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT b.user_id, b.session_id, min(b.ts_us) AS t_click
+      FROM base b JOIN v USING (user_id, session_id)
+      WHERE b.event_type = 'click' AND b.ts_us > v.t_view
+      GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT b.user_id, b.session_id, min(b.ts_us) AS t_purchase
+      FROM base b JOIN c USING (user_id, session_id)
+      WHERE b.event_type = 'purchase' AND b.ts_us > c.t_click
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT count(*) AS n_sessions
+      FROM (SELECT DISTINCT user_id, session_id FROM base)
+    ),
+    nv AS (SELECT count(*) AS n_view_sessions FROM v),
+    nc AS (SELECT count(*) AS n_click_sessions FROM c),
+    np AS (SELECT count(*) AS n_purchase_sessions FROM p)
+    SELECT CAST(tot.n_sessions AS BIGINT) AS n_sessions,
+           CAST(nv.n_view_sessions AS BIGINT) AS n_view_sessions,
+           CAST(nc.n_click_sessions AS BIGINT) AS n_click_sessions,
+           CAST(np.n_purchase_sessions AS BIGINT) AS n_purchase_sessions,
+           {sql_quantize(
+               'CAST(nc.n_click_sessions AS DOUBLE)'
+               ' / nv.n_view_sessions', 6)} AS view_to_click,
+           {sql_quantize(
+               'CAST(np.n_purchase_sessions AS DOUBLE)'
+               ' / nc.n_click_sessions', 6)} AS click_to_purchase
+    FROM tot, nv, nc, np
 """
