@@ -1136,6 +1136,47 @@ def parts_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orders_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law screen on order totals: observed first-digit
+    shares vs the log10(1+1/d) law plus the chi-square statistic —
+    the classic forensic/data-quality test (fabricated or
+    unit-converted amounts flunk it long before domain checks do).
+
+    Scale: digit extraction is EXACT — prices collapse to cent
+    integers (round(x·100), grid-exact) whose decimal-string first
+    character is the first significant digit, no float log10 edge
+    cases; one 9-row digit rollup + a broadcast total; chi-square is
+    a 9-term sum of quantized shares.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+        1,
+        1,
+    ).cast("long")
+    per = o.groupBy(digit.alias("digit")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+    tot = per.agg(F.sum("n_orders").alias("n_total"))
+    j = per.crossJoin(F.broadcast(tot))
+    obs = F.col("n_orders").cast("double") / F.col("n_total")
+    expd = F.log10(1 + 1 / F.col("digit").cast("double"))
+    dev = (obs - expd) * (obs - expd) / expd
+    chi2 = j.agg(
+        quantize(F.sum(dev * F.col("n_total")), 4).alias("chi2")
+    )
+    return (
+        j.crossJoin(F.broadcast(chi2))
+        .select(
+            "digit",
+            "n_orders",
+            quantize(obs, 6).alias("obs_share"),
+            quantize(expd, 6).alias("benford_share"),
+            "chi2",
+        )
+    )
+
+
 def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation per customer: Recency (days from last order
     to the corpus max date), Frequency (order count), Monetary (total
@@ -1451,6 +1492,7 @@ QUERIES = {
     "customer_ltv_triangle": customer_ltv_triangle,
     "nation_supplier_hhi": nation_supplier_hhi,
     "parts_assortativity": parts_assortativity,
+    "orders_benford": orders_benford,
 }
 
 ORACLE = {
@@ -2168,4 +2210,32 @@ ORACLE["parts_assortativity"] = f"""
                ' - sum(dv) * sum(dv) AS DOUBLE))', 4)}
              AS assortativity
     FROM pairs
+"""
+
+ORACLE["orders_benford"] = f"""
+    WITH per AS (
+      SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100)
+                   AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1
+    ),
+    tot AS (SELECT sum(n_orders) AS n_total FROM per),
+    j AS (
+      SELECT per.digit, per.n_orders,
+             CAST(per.n_orders AS DOUBLE) / tot.n_total AS obs,
+             log10(1 + 1 / CAST(per.digit AS DOUBLE)) AS expd,
+             tot.n_total
+      FROM per, tot
+    ),
+    chi AS (
+      SELECT {sql_quantize(
+          'sum((obs - expd) * (obs - expd) / expd * n_total)', 4)}
+               AS chi2
+      FROM j
+    )
+    SELECT j.digit, j.n_orders,
+           {sql_quantize('j.obs', 6)} AS obs_share,
+           {sql_quantize('j.expd', 6)} AS benford_share,
+           chi.chi2
+    FROM j, chi
 """
