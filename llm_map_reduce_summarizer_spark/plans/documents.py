@@ -3455,6 +3455,76 @@ def corpus_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-drift test: the exact two-sample Kolmogorov-Smirnov
+    statistic between the first and second half of the corpus (by
+    doc_id) on the quality score, with the 95% critical value — a
+    significant D means the quality DISTRIBUTION shifted mid-ingest
+    (means can agree while tails drift; this catches that).
+
+    Scale: scores live on the 1e-4 grid, so the empirical CDFs are
+    exact integer cumulative counts over the BOUNDED distinct-value
+    table (V² broadcast self-join — the calendar-bounded idiom, never
+    docs²); D = max |CDF₁ − CDF₂| is grid-exact; only the final
+    critical value touches a sqrt.
+    """
+    d = _docs(spark, sf_dir)
+    mid = d.agg(
+        F.expr("percentile(doc_id, 0.5)").alias("mid")
+    )
+    scored = (
+        d.select("doc_id", quality_score_col().alias("q"))
+        .crossJoin(F.broadcast(mid))
+        .select(
+            "q", (F.col("doc_id") <= F.col("mid")).cast("int").alias("h1")
+        )
+    )
+    hist = scored.groupBy("q").agg(
+        F.sum("h1").alias("m1"),
+        F.sum(1 - F.col("h1")).alias("m2"),
+    )
+    tot = hist.agg(
+        F.sum("m1").alias("n1"), F.sum("m2").alias("n2")
+    )
+    a = hist.select(F.col("q").alias("qa"))
+    cum = (
+        a.join(F.broadcast(hist), F.col("q") <= F.col("qa"))
+        .groupBy("qa")
+        .agg(F.sum("m1").alias("c1"), F.sum("m2").alias("c2"))
+    )
+    diffs = cum.crossJoin(F.broadcast(tot)).select(
+        F.abs(
+            F.col("c1").cast("double") / F.col("n1")
+            - F.col("c2").cast("double") / F.col("n2")
+        ).alias("dd"),
+        "n1",
+        "n2",
+    )
+    return diffs.groupBy("n1", "n2").agg(
+        quantize(F.max("dd"), 6).alias("ks_d")
+    ).select(
+        F.col("n1").cast("long").alias("n_first_half"),
+        F.col("n2").cast("long").alias("n_second_half"),
+        "ks_d",
+        quantize(
+            1.358
+            * F.sqrt(
+                (F.col("n1") + F.col("n2")).cast("double")
+                / (F.col("n1") * F.col("n2")).cast("double")
+            ),
+            6,
+        ).alias("crit_95"),
+        (
+            F.col("ks_d")
+            > 1.358
+            * F.sqrt(
+                (F.col("n1") + F.col("n2")).cast("double")
+                / (F.col("n1") * F.col("n2")).cast("double")
+            )
+        ).alias("drift_detected"),
+    )
+
+
 CURRICULUM_SEED = "curriculum-v1"
 
 
@@ -3589,6 +3659,7 @@ QUERIES = {
     "corpus_profile": corpus_profile,
     "corpus_entropy_rate": corpus_entropy_rate,
     "corpus_collocations": corpus_collocations,
+    "corpus_ks_drift": corpus_ks_drift,
 }
 
 
@@ -5991,4 +6062,41 @@ ORACLE["corpus_collocations"] = f"""
     JOIN uni ub ON ub.w = bi.w2, nb, n1
     ORDER BY pmi_bits DESC, w1, w2
     LIMIT {COLLOC_TOPK}
+"""
+
+ORACLE["corpus_ks_drift"] = f"""
+    WITH {_quality_docs_cte()},
+    mid AS (SELECT quantile_cont(doc_id, 0.5) AS mid FROM documents),
+    scored AS (
+      SELECT qdocs.quality_score AS q,
+             CASE WHEN d.doc_id <= mid.mid THEN 1 ELSE 0 END AS h1
+      FROM qdocs JOIN documents d USING (doc_id), mid
+    ),
+    hist AS (
+      SELECT q, sum(h1) AS m1, sum(1 - h1) AS m2
+      FROM scored GROUP BY 1
+    ),
+    tot AS (SELECT sum(m1) AS n1, sum(m2) AS n2 FROM hist),
+    cum AS (
+      SELECT a.q AS qa, sum(b.m1) AS c1, sum(b.m2) AS c2
+      FROM hist a JOIN hist b ON b.q <= a.q
+      GROUP BY 1
+    ),
+    d AS (
+      SELECT max(abs(CAST(cum.c1 AS DOUBLE) / tot.n1
+                     - CAST(cum.c2 AS DOUBLE) / tot.n2)) AS dd,
+             any_value(tot.n1) AS n1, any_value(tot.n2) AS n2
+      FROM cum, tot
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_first_half,
+           CAST(n2 AS BIGINT) AS n_second_half,
+           {sql_quantize('dd', 6)} AS ks_d,
+           {sql_quantize(
+               '1.358 * sqrt(CAST(n1 + n2 AS DOUBLE)'
+               ' / CAST(n1 * n2 AS DOUBLE))', 6)} AS crit_95,
+           ({sql_quantize('dd', 6)}
+            > 1.358 * sqrt(CAST(n1 + n2 AS DOUBLE)
+                           / CAST(n1 * n2 AS DOUBLE)))
+             AS drift_detected
+    FROM d
 """
