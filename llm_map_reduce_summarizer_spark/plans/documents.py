@@ -3525,6 +3525,71 @@ def corpus_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between lang and source — the
+    stratification audit: a large statistic means language mix is NOT
+    uniform across sources, so any per-source sampling plan silently
+    reweights languages (and vice versa). Emits chi², dof, and
+    Cramér's V (the [0,1] effect size that stays comparable as the
+    corpus grows — chi² alone scales with N).
+
+    Scale: the contingency table is ONE (lang, source) partial agg of
+    the corpus; everything after runs on the dims-bounded L×S cell
+    grid (margins cross-joined so ZERO cells contribute their full
+    expected mass — summing only observed cells understates chi²).
+    Cell terms are integer-ratio doubles quantized 1e-9 before the
+    cells-bounded sum; only Cramér's V touches a sqrt.
+    """
+    d = _docs(spark, sf_dir).select("lang", "source")
+    obs = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    rows_m = obs.groupBy("lang").agg(F.sum("n").alias("nl"))
+    cols_m = obs.groupBy("source").agg(F.sum("n").alias("ns"))
+    tot = obs.agg(F.sum("n").alias("nn"))
+    cells = (
+        rows_m.crossJoin(F.broadcast(cols_m))
+        .join(F.broadcast(obs), ["lang", "source"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "source",
+            "nl",
+            "ns",
+            "nn",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("o"),
+        )
+    )
+    e = F.col("nl").cast("double") * F.col("ns") / F.col("nn")
+    term = quantize((F.col("o") - e) * (F.col("o") - e) / e, 9)
+    stats = cells.agg(
+        F.sum("o").cast("long").alias("n_docs"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        quantize(F.sum(term), 4).alias("chi2"),
+    )
+    dof = (F.col("n_langs") - 1) * (F.col("n_sources") - 1)
+    return stats.select(
+        "n_docs",
+        "n_langs",
+        "n_sources",
+        dof.alias("dof"),
+        "chi2",
+        quantize(
+            F.sqrt(
+                F.col("chi2")
+                / (
+                    F.col("n_docs")
+                    * F.least(
+                        F.col("n_langs") - 1, F.col("n_sources") - 1
+                    )
+                ).cast("double")
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
 CURRICULUM_SEED = "curriculum-v1"
 
 
@@ -3660,6 +3725,7 @@ QUERIES = {
     "corpus_entropy_rate": corpus_entropy_rate,
     "corpus_collocations": corpus_collocations,
     "corpus_ks_drift": corpus_ks_drift,
+    "corpus_chi2_independence": corpus_chi2_independence,
 }
 
 
@@ -6099,4 +6165,44 @@ ORACLE["corpus_ks_drift"] = f"""
                            / CAST(n1 * n2 AS DOUBLE)))
              AS drift_detected
     FROM d
+"""
+
+ORACLE["corpus_chi2_independence"] = f"""
+    WITH obs AS (
+      SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+      FROM documents GROUP BY 1, 2
+    ),
+    rm AS (SELECT lang, sum(n) AS nl FROM obs GROUP BY 1),
+    cm AS (SELECT source, sum(n) AS ns FROM obs GROUP BY 1),
+    tot AS (SELECT sum(n) AS nn FROM obs),
+    cells AS (
+      SELECT rm.lang, cm.source, rm.nl, cm.ns, tot.nn,
+             CAST(coalesce(obs.n, 0) AS BIGINT) AS o
+      FROM rm CROSS JOIN cm
+      LEFT JOIN obs ON obs.lang = rm.lang AND obs.source = cm.source
+      CROSS JOIN tot
+    ),
+    terms AS (
+      SELECT o, lang, source,
+             {sql_quantize(
+                 '(o - CAST(nl AS DOUBLE) * ns / nn)'
+                 ' * (o - CAST(nl AS DOUBLE) * ns / nn)'
+                 ' / (CAST(nl AS DOUBLE) * ns / nn)', 9)} AS term
+      FROM cells
+    ),
+    s AS (
+      SELECT CAST(sum(o) AS BIGINT) AS n_docs,
+             CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+             {sql_quantize('sum(term)', 4)} AS chi2
+      FROM terms
+    )
+    SELECT n_docs, n_langs, n_sources,
+           (n_langs - 1) * (n_sources - 1) AS dof,
+           chi2,
+           {sql_quantize(
+               'sqrt(chi2 / CAST(n_docs'
+               ' * least(n_langs - 1, n_sources - 1) AS DOUBLE))', 6)}
+             AS cramers_v
+    FROM s
 """

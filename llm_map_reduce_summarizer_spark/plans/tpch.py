@@ -851,6 +851,88 @@ def parts_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(COPURCHASE_TOPK)
 
 
+ASSOC_MIN_PAIR = 2
+ASSOC_TOPK = 20
+
+
+def parts_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over the co-purchase baskets: top-20 part
+    pairs by LIFT (observed co-occurrence / independence expectation)
+    with support and both directional confidences — `parts_copurchase`
+    ranks by raw frequency, which surfaces popular parts; lift
+    surfaces genuinely ASSOCIATED ones (the collaborative-filtering /
+    recommendation primitive).
+
+    Scale: pair volume is the order-keyed self-join bounded by
+    Σ (items-per-order choose 2), never |lineitem|²; item supports are
+    a parts-bounded partial agg joined twice (AQE decides broadcast);
+    lift/confidence are exact integer ratios quantized on the grid;
+    the global top-k is TakeOrderedAndProject on a (lift, pa, pb)
+    total order.
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_orders = li.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+    item = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_item")
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .filter(F.col("n_ab") >= ASSOC_MIN_PAIR)
+    )
+    j = (
+        pairs.join(
+            item.select(
+                F.col("l_partkey").alias("pa"),
+                F.col("n_item").alias("n_a"),
+            ),
+            "pa",
+        )
+        .join(
+            item.select(
+                F.col("l_partkey").alias("pb"),
+                F.col("n_item").alias("n_b"),
+            ),
+            "pb",
+        )
+        .crossJoin(F.broadcast(n_orders))
+    )
+    lift = quantize(
+        F.col("n_ab").cast("double")
+        * F.col("n_orders")
+        / (F.col("n_a").cast("double") * F.col("n_b")),
+        4,
+    )
+    return (
+        j.select(
+            "pa",
+            "pb",
+            "n_ab",
+            "n_a",
+            "n_b",
+            quantize(F.col("n_ab").cast("double") / F.col("n_orders"), 6)
+            .alias("support"),
+            quantize(F.col("n_ab").cast("double") / F.col("n_a"), 6)
+            .alias("conf_a_to_b"),
+            quantize(F.col("n_ab").cast("double") / F.col("n_b"), 6)
+            .alias("conf_b_to_a"),
+            lift.alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "pa", "pb")
+        .limit(ASSOC_TOPK)
+    )
+
+
 PR_ITERS = 3
 PR_DAMP = 0.85
 
@@ -1482,6 +1564,7 @@ QUERIES = {
     "pivot_flag_status": pivot_flag_status,
     "agg_distinct_stats": agg_distinct_stats,
     "parts_copurchase": parts_copurchase,
+    "parts_assoc_rules": parts_assoc_rules,
     "customer_rfm": customer_rfm,
     "supplier_scorecard": supplier_scorecard,
     "orders_pareto": orders_pareto,
@@ -2238,4 +2321,42 @@ ORACLE["orders_benford"] = f"""
            {sql_quantize('j.expd', 6)} AS benford_share,
            chi.chi2
     FROM j, chi
+"""
+
+ORACLE["parts_assoc_rules"] = f"""
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n_orders AS (
+      SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM li
+    ),
+    item AS (
+      SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_item
+      FROM li GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+             CAST(count(*) AS BIGINT) AS n_ab
+      FROM li a JOIN li b USING (l_orderkey)
+      WHERE a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= {ASSOC_MIN_PAIR}
+    )
+    SELECT p.pa, p.pb, p.n_ab,
+           ia.n_item AS n_a, ib.n_item AS n_b,
+           {sql_quantize('CAST(p.n_ab AS DOUBLE) / o.n_orders', 6)}
+             AS support,
+           {sql_quantize('CAST(p.n_ab AS DOUBLE) / ia.n_item', 6)}
+             AS conf_a_to_b,
+           {sql_quantize('CAST(p.n_ab AS DOUBLE) / ib.n_item', 6)}
+             AS conf_b_to_a,
+           {sql_quantize(
+               'CAST(p.n_ab AS DOUBLE) * o.n_orders'
+               ' / (CAST(ia.n_item AS DOUBLE) * ib.n_item)', 4)} AS lift
+    FROM pairs p
+    JOIN item ia ON ia.l_partkey = p.pa
+    JOIN item ib ON ib.l_partkey = p.pb
+    CROSS JOIN n_orders o
+    ORDER BY lift DESC, p.pa, p.pb
+    LIMIT {ASSOC_TOPK}
 """
