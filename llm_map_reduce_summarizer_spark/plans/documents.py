@@ -3590,6 +3590,108 @@ def corpus_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_anova_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of document length (n_chars) across languages:
+    the k-sample mean-difference test completing the statistics tier
+    (KS = 2-sample distribution, Welch = 2-sample mean, chi² =
+    categorical independence, this = k-sample means) — a large F
+    means per-language length norms differ, so any token-budget plan
+    that assumes one length distribution misallocates.
+
+    Scale: ONE lang-keyed partial agg of exact integer sums (Σv, Σv²
+    in decimal(38,0) accumulators — no overflow at 100 TB, hugeint in
+    the DuckDB twin), then every sum-of-squares identity runs on the
+    langs-bounded group table; between-group terms quantize 1e-6
+    before the k-bounded sum so engine summation order can't drift
+    the F.
+    """
+    d = _docs(spark, sf_dir)
+    g = d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("ng"),
+        F.sum(F.col("n_chars").cast("decimal(38,0)"))
+        .cast("double")
+        .alias("sg"),
+        F.sum(
+            (F.col("n_chars") * F.col("n_chars")).cast("decimal(38,0)")
+        )
+        .cast("double")
+        .alias("qg"),
+    )
+    tb = quantize(F.col("sg") * F.col("sg") / F.col("ng"), 6)
+    roll = g.agg(
+        F.sum("ng").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum("sg").alias("s"),
+        F.sum("qg").alias("q"),
+        F.sum(tb).alias("tb"),
+    )
+    ssb = F.col("tb") - F.col("s") * F.col("s") / F.col("n_docs")
+    ssw = F.col("q") - F.col("tb")
+    sst = F.col("q") - F.col("s") * F.col("s") / F.col("n_docs")
+    f_stat = (ssb / (F.col("n_groups") - 1)) / (
+        ssw / (F.col("n_docs") - F.col("n_groups"))
+    )
+    return roll.select(
+        "n_docs",
+        "n_groups",
+        quantize(F.col("s") / F.col("n_docs"), 4).alias("mean_chars"),
+        quantize(f_stat, 4).alias("f_stat"),
+        quantize(ssb / sst, 6).alias("eta_squared"),
+    )
+
+
+WEIGHTED_SAMPLE_K = 100
+WEIGHTED_SAMPLE_SEED = "wsample"
+
+
+def corpus_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted fixed-size sample without replacement
+    (Efraimidis–Spirakis exponential clocks): each doc gets priority
+    −ln(u)/w with a deterministic md5-uniform u and weight w = its
+    1e-4-grid quality score — the smallest-K priorities ARE a sample
+    where selection probability is proportional to weight. The
+    quality-weighted cousin of `corpus_sample_fixed` (uniform) and
+    the primitive behind "sample the good stuff" curation passes.
+
+    Scale: the draw is a map-side hash (no RNG state, reproducible
+    across engines, runs, and cluster sizes); `orderBy().limit(K)`
+    plans as TakeOrderedAndProject — per-partition top-K then a K-row
+    merge, never a global sort. Priorities quantize 1e-9 so the
+    emitted values (and the selection boundary) sit on a shared grid.
+    """
+    d = _docs(spark, sf_dir)
+    w = (F.round(quality_score_col() * 10000) + 1).cast("long")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(WEIGHTED_SAMPLE_SEED + "|"),
+                        F.col("doc_id").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(2**60))
+    )
+    pri = quantize(-F.log(u) / w, 9)
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            "source",
+            w.alias("weight"),
+            pri.alias("priority"),
+        )
+        .orderBy("priority", "doc_id")
+        .limit(WEIGHTED_SAMPLE_K)
+    )
+
+
 CURRICULUM_SEED = "curriculum-v1"
 
 
@@ -3726,6 +3828,8 @@ QUERIES = {
     "corpus_collocations": corpus_collocations,
     "corpus_ks_drift": corpus_ks_drift,
     "corpus_chi2_independence": corpus_chi2_independence,
+    "doc_anova_length": doc_anova_length,
+    "corpus_sample_weighted": corpus_sample_weighted,
 }
 
 
@@ -6206,3 +6310,56 @@ ORACLE["corpus_chi2_independence"] = f"""
              AS cramers_v
     FROM s
 """
+
+ORACLE["doc_anova_length"] = f"""
+    WITH g AS (
+      SELECT lang,
+             CAST(count(*) AS BIGINT) AS ng,
+             CAST(sum(n_chars) AS DOUBLE) AS sg,
+             CAST(sum(n_chars * n_chars) AS DOUBLE) AS qg
+      FROM documents GROUP BY 1
+    ),
+    roll AS (
+      SELECT CAST(sum(ng) AS BIGINT) AS n_docs,
+             CAST(count(*) AS BIGINT) AS n_groups,
+             sum(sg) AS s,
+             sum(qg) AS q,
+             sum({sql_quantize('sg * sg / ng', 6)}) AS tb
+      FROM g
+    )
+    SELECT n_docs, n_groups,
+           {sql_quantize('s / n_docs', 4)} AS mean_chars,
+           {sql_quantize(
+               '((tb - s * s / n_docs) / (n_groups - 1))'
+               ' / ((q - tb) / (n_docs - n_groups))', 4)} AS f_stat,
+           {sql_quantize(
+               '(tb - s * s / n_docs) / (q - s * s / n_docs)', 6)}
+             AS eta_squared
+    FROM roll
+"""
+
+ORACLE["corpus_sample_weighted"] = f"""
+    SELECT doc_id, lang, source, weight, priority FROM (
+      WITH {{qcte}},
+      base AS (
+        SELECT d.doc_id, d.lang, d.source,
+               CAST(round(qdocs.quality_score * 10000) AS BIGINT) + 1
+                 AS weight,
+               CAST({{fold}} AS DOUBLE) / 1152921504606846976.0 AS u
+        FROM documents d JOIN qdocs USING (doc_id)
+      )
+      SELECT doc_id, lang, source, weight,
+             {sql_quantize('-ln(u) / weight', 9)} AS priority
+      FROM base
+    )
+    ORDER BY priority, doc_id
+    LIMIT {WEIGHTED_SAMPLE_K}
+"""
+from ..functions.hashing import sql_shingle_key as _ssk  # noqa: E402
+
+ORACLE["corpus_sample_weighted"] = ORACLE["corpus_sample_weighted"].format(
+    qcte=_quality_docs_cte(),
+    fold=_ssk(
+        f"concat('{WEIGHTED_SAMPLE_SEED}|', CAST(d.doc_id AS VARCHAR))"
+    ),
+)

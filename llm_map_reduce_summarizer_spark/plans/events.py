@@ -1653,6 +1653,66 @@ def events_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion latency through the lifetime funnel: exact p50/p90
+    of the view→click and click→purchase gaps among converting users
+    — `events_funnel` counts WHO converts, this measures HOW LONG
+    conversion takes (the SLA companion every funnel dashboard pairs
+    with counts).
+
+    Scale: the same three user-keyed conditional-min aggregates as
+    `events_funnel` (AQE reuses the user_id exchange); deltas are
+    exact integer microseconds; each percentile runs over the
+    converting-users-bounded delta column (shared linear-interpolation
+    definition with DuckDB's quantile_cont — the `events_value_
+    quantiles` parity); the result is one row.
+    """
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros("ts")
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts_us") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts_us") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t_purchase"))
+    )
+    vc = c.join(v, "user_id").select(
+        (F.col("t_click") - F.col("t_view")).alias("d_us")
+    )
+    cp = p.join(c, "user_id").select(
+        (F.col("t_purchase") - F.col("t_click")).alias("d_us")
+    )
+
+    def lat(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias(f"n_{name}"),
+            F.round(
+                F.expr("percentile(d_us, 0.5)") / 1000000.0, 3
+            ).alias(f"p50_{name}_s"),
+            F.round(
+                F.expr("percentile(d_us, 0.9)") / 1000000.0, 3
+            ).alias(f"p90_{name}_s"),
+        )
+
+    n_view = v.agg(F.count(F.lit(1)).cast("long").alias("n_view_users"))
+    return n_view.crossJoin(
+        F.broadcast(lat(vc, "view_to_click"))
+    ).crossJoin(F.broadcast(lat(cp, "click_to_purchase")))
+
+
 MK_CRIT_95 = 1.96  # two-sided normal 95% critical value
 
 
@@ -1794,6 +1854,7 @@ def events_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "events_funnel_latency": events_funnel_latency,
     "events_mann_kendall": events_mann_kendall,
     "events_ab_welch": events_ab_welch,
     "events_retention_hourly": events_retention_hourly,
@@ -2782,4 +2843,55 @@ ORACLE["events_ab_welch"] = f"""
                '(m_a - m_b) / sqrt(se2_a + se2_b)', 4)}) > 1.96)
              AS significant_95
     FROM m
+"""
+
+ORACLE["events_funnel_latency"] = """
+    WITH ev AS (
+      SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+    ),
+    v AS (
+      SELECT user_id, min(ts_us) AS t_view
+      FROM ev WHERE event_type = 'view' GROUP BY 1
+    ),
+    c AS (
+      SELECT ev.user_id, min(ev.ts_us) AS t_click
+      FROM ev JOIN v USING (user_id)
+      WHERE ev.event_type = 'click' AND ev.ts_us > v.t_view
+      GROUP BY 1
+    ),
+    p AS (
+      SELECT ev.user_id, min(ev.ts_us) AS t_purchase
+      FROM ev JOIN c USING (user_id)
+      WHERE ev.event_type = 'purchase' AND ev.ts_us > c.t_click
+      GROUP BY 1
+    ),
+    vc AS (
+      SELECT c.t_click - v.t_view AS d_us FROM c JOIN v USING (user_id)
+    ),
+    cp AS (
+      SELECT p.t_purchase - c.t_click AS d_us FROM p JOIN c USING (user_id)
+    ),
+    nv AS (SELECT CAST(count(*) AS BIGINT) AS n_view_users FROM v),
+    l1 AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_view_to_click,
+             round(CAST(quantile_cont(d_us, 0.5) AS DOUBLE) / 1000000.0, 3)
+               AS p50_view_to_click_s,
+             round(CAST(quantile_cont(d_us, 0.9) AS DOUBLE) / 1000000.0, 3)
+               AS p90_view_to_click_s
+      FROM vc
+    ),
+    l2 AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_click_to_purchase,
+             round(CAST(quantile_cont(d_us, 0.5) AS DOUBLE) / 1000000.0, 3)
+               AS p50_click_to_purchase_s,
+             round(CAST(quantile_cont(d_us, 0.9) AS DOUBLE) / 1000000.0, 3)
+               AS p90_click_to_purchase_s
+      FROM cp
+    )
+    SELECT nv.n_view_users,
+           l1.n_view_to_click, l1.p50_view_to_click_s,
+           l1.p90_view_to_click_s,
+           l2.n_click_to_purchase, l2.p50_click_to_purchase_s,
+           l2.p90_click_to_purchase_s
+    FROM nv, l1, l2
 """
