@@ -3640,6 +3640,57 @@ def doc_anova_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing: per language, split documents
+    into head / middle / tail TERCILES of mean unigram surprisal
+    (head = most LM-predictable ≈ cleanest, tail = most surprising ≈
+    noisiest) and report each bucket's size, share, and mean score —
+    the standard "keep head+middle, audit tail" curation split, made
+    per-language so one language's norms don't gate another.
+
+    Scale: per-doc surprisal is the `doc_unigram_surprisal` pipeline
+    (two natural-key shuffles); terciles are ONE langs-bounded exact
+    percentile agg broadcast back; the rollup is bounded by
+    langs × 3 buckets.
+    """
+    d = _docs(spark, sf_dir)
+    sc = doc_unigram_surprisal(spark, sf_dir).join(
+        d.select("doc_id", "lang"), "doc_id"
+    )
+    th = sc.groupBy("lang").agg(
+        F.expr(
+            "percentile(mean_surprisal, 0.3333333333333333)"
+        ).alias("t1"),
+        F.expr(
+            "percentile(mean_surprisal, 0.6666666666666666)"
+        ).alias("t2"),
+    )
+    b = sc.join(F.broadcast(th), "lang").select(
+        "lang",
+        F.when(F.col("mean_surprisal") <= F.col("t1"), F.lit("head"))
+        .when(F.col("mean_surprisal") <= F.col("t2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+        "mean_surprisal",
+    )
+    roll = b.groupBy("lang", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        quantize(F.avg("mean_surprisal"), 4).alias("mean_bits"),
+    )
+    lang_tot = roll.groupBy("lang").agg(
+        F.sum("n_docs").alias("lang_docs")
+    )
+    return roll.join(F.broadcast(lang_tot), "lang").select(
+        "lang",
+        "bucket",
+        "n_docs",
+        quantize(
+            F.col("n_docs").cast("double") / F.col("lang_docs"), 6
+        ).alias("share"),
+        "mean_bits",
+    )
+
+
 WEIGHTED_SAMPLE_K = 100
 WEIGHTED_SAMPLE_SEED = "wsample"
 
@@ -3830,6 +3881,7 @@ QUERIES = {
     "corpus_chi2_independence": corpus_chi2_independence,
     "doc_anova_length": doc_anova_length,
     "corpus_sample_weighted": corpus_sample_weighted,
+    "corpus_ppl_buckets": corpus_ppl_buckets,
 }
 
 
@@ -6363,3 +6415,37 @@ ORACLE["corpus_sample_weighted"] = ORACLE["corpus_sample_weighted"].format(
         f"concat('{WEIGHTED_SAMPLE_SEED}|', CAST(d.doc_id AS VARCHAR))"
     ),
 )
+
+ORACLE["corpus_ppl_buckets"] = f"""
+    WITH su AS ({ORACLE['doc_unigram_surprisal']}),
+    sc AS (
+      SELECT su.doc_id, d.lang, su.mean_surprisal
+      FROM su JOIN documents d USING (doc_id)
+    ),
+    th AS (
+      SELECT lang,
+             quantile_cont(mean_surprisal, 0.3333333333333333) AS t1,
+             quantile_cont(mean_surprisal, 0.6666666666666666) AS t2
+      FROM sc GROUP BY 1
+    ),
+    b AS (
+      SELECT sc.lang,
+             CASE WHEN sc.mean_surprisal <= th.t1 THEN 'head'
+                  WHEN sc.mean_surprisal <= th.t2 THEN 'middle'
+                  ELSE 'tail' END AS bucket,
+             sc.mean_surprisal
+      FROM sc JOIN th USING (lang)
+    ),
+    roll AS (
+      SELECT lang, bucket,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             {sql_quantize('avg(mean_surprisal)', 4)} AS mean_bits
+      FROM b GROUP BY 1, 2
+    ),
+    lt AS (SELECT lang, sum(n_docs) AS lang_docs FROM roll GROUP BY 1)
+    SELECT roll.lang, roll.bucket, roll.n_docs,
+           {sql_quantize(
+               'CAST(roll.n_docs AS DOUBLE) / lt.lang_docs', 6)} AS share,
+           roll.mean_bits
+    FROM roll JOIN lt USING (lang)
+"""

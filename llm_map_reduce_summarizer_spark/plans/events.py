@@ -1653,6 +1653,78 @@ def events_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EWMA_LAMBDA = 0.3
+
+
+def events_ewma_control(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA control chart on the hourly count series: each hour is
+    scored against the exponentially-weighted mean of all PRIOR hours
+    (one-step-ahead kernel forecast, decay (1−λ)^Δh over the REAL
+    time gap so missing hours decay naturally), and breaches beyond
+    3σ of the residual distribution are flagged — the memoryful
+    monitor between `events_hourly_anomaly` (global band) and
+    `events_anomaly_residual` (seasonal band): it tracks slow level
+    shifts the global band misses without needing a seasonal model.
+
+    Scale: the series is the calendar-bounded hourly partial agg; the
+    prior-hours kernel sum is a broadcast self-join of that tiny
+    table (hours², never events²); residuals quantize 1e-6 before
+    the one global σ agg; every output value is grid-quantized.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    cur = hourly.select(
+        F.col("hour").alias("ht"), F.col("n").alias("xt")
+    )
+    prior = hourly.select(
+        F.col("hour").alias("hi"), F.col("n").alias("xi")
+    )
+    decay = F.pow(
+        F.lit(1.0 - EWMA_LAMBDA),
+        (
+            (F.unix_micros(F.col("ht")) - F.unix_micros(F.col("hi")))
+            / F.lit(3_600_000_000.0)
+        ),
+    )
+    sm = (
+        cur.join(F.broadcast(prior), F.col("hi") < F.col("ht"))
+        .groupBy("ht", "xt")
+        .agg(
+            (
+                F.sum(decay * F.col("xi")) / F.sum(decay)
+            ).alias("ewma_prior")
+        )
+    )
+    scored = sm.select(
+        "ht",
+        "xt",
+        quantize(F.col("ewma_prior"), 4).alias("ewma_prior"),
+        quantize(F.col("xt") - F.col("ewma_prior"), 6).alias("resid"),
+    )
+    sig = scored.agg(
+        quantize(
+            F.sqrt(
+                F.sum(F.col("resid") * F.col("resid"))
+                / F.count(F.lit(1))
+            ),
+            4,
+        ).alias("sigma")
+    )
+    return (
+        scored.crossJoin(F.broadcast(sig))
+        .select(
+            F.col("ht").alias("hour"),
+            F.col("xt").alias("n_events"),
+            "ewma_prior",
+            quantize(F.col("resid"), 4).alias("residual"),
+            "sigma",
+            (F.abs(F.col("resid")) > 3 * F.col("sigma")).alias("breach"),
+        )
+    )
+
+
 def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversion latency through the lifetime funnel: exact p50/p90
     of the view→click and click→purchase gaps among converting users
@@ -1855,6 +1927,7 @@ def events_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "events_funnel_latency": events_funnel_latency,
+    "events_ewma_control": events_ewma_control,
     "events_mann_kendall": events_mann_kendall,
     "events_ab_welch": events_ab_welch,
     "events_retention_hourly": events_retention_hourly,
@@ -2894,4 +2967,37 @@ ORACLE["events_funnel_latency"] = """
            l2.n_click_to_purchase, l2.p50_click_to_purchase_s,
            l2.p90_click_to_purchase_s
     FROM nv, l1, l2
+"""
+
+ORACLE["events_ewma_control"] = f"""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS hour,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    sm AS (
+      SELECT a.hour AS ht, a.n AS xt,
+             sum(pow(0.7, (epoch_us(a.hour) - epoch_us(b.hour))
+                          / 3600000000.0) * b.n)
+               / sum(pow(0.7, (epoch_us(a.hour) - epoch_us(b.hour))
+                             / 3600000000.0)) AS ewma_prior
+      FROM hourly a JOIN hourly b ON b.hour < a.hour
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT ht, xt,
+             {sql_quantize('ewma_prior', 4)} AS ewma_prior,
+             {sql_quantize('xt - ewma_prior', 6)} AS resid
+      FROM sm
+    ),
+    sig AS (
+      SELECT {sql_quantize(
+          'sqrt(sum(resid * resid) / count(*))', 4)} AS sigma
+      FROM scored
+    )
+    SELECT ht AS hour, xt AS n_events, ewma_prior,
+           {sql_quantize('resid', 4)} AS residual,
+           sig.sigma,
+           (abs(resid) > 3 * sig.sigma) AS breach
+    FROM scored, sig
 """
