@@ -1675,6 +1675,13 @@ def events_ewma_control(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = ev.groupBy(
         F.date_trunc("hour", F.col("ts")).alias("hour")
     ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return ewma_from_hourly(hourly)
+
+
+def ewma_from_hourly(hourly: DataFrame) -> DataFrame:
+    """The EWMA control computation over an (hour, n) series — shared
+    by the batch query and the streaming drain (`stream_ewma_control`
+    accumulates the same hours-bounded series at ingest)."""
     cur = hourly.select(
         F.col("hour").alias("ht"), F.col("n").alias("xt")
     )

@@ -886,7 +886,30 @@ def stream_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_ewma_control(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming EWMA control chart: the hourly count series
+    accumulates AT INGEST (the same calendar-bounded tumbling-window
+    state as `stream_hourly` — state = hours × types, never stream
+    length), and the EWMA scoring runs post-drain on the
+    hours-bounded snapshot via the exact batch computation
+    (`events.ewma_from_hourly`). Drain == batch
+    `events_ewma_control`, whose oracle it shares.
+    """
+    from pyspark.sql import functions as F
+
+    from ..streaming.stream_ops import hourly_counts
+    from .events import ewma_from_hourly
+
+    ev = read_events_stream(spark, sf_dir)
+    snap = run_available_now(hourly_counts(ev), output_mode="complete")
+    hourly = snap.groupBy("hour").agg(
+        F.sum("n_events").cast("long").alias("n")
+    )
+    return ewma_from_hourly(hourly)
+
+
 QUERIES = {
+    "stream_ewma_control": stream_ewma_control,
     "stream_hourly": stream_hourly,
     "stream_sessionize": stream_sessionize,
     "stream_view_click_join": stream_view_click_join,
@@ -914,6 +937,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "stream_ewma_control": _EVENTS_ORACLE["events_ewma_control"],
     "stream_hourly": _EVENTS_ORACLE["events_hourly"],
     "stream_sessionize": _EVENTS_ORACLE["events_sessionize"],
     "stream_asof_view": _EVENTS_ORACLE["events_asof_view"],

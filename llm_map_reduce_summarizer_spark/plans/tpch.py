@@ -851,6 +851,55 @@ def parts_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(COPURCHASE_TOPK)
 
 
+def lineitem_discount_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discount-elasticity screen: the OLS fit of order quantity on
+    discount points over all lineitems (slope = extra units per
+    discount point, r² = how much of quantity variance pricing
+    explains) — the one-row forensic answer to "does discounting
+    actually move volume in this ledger?".
+
+    Scale: discounts live on an exact cent grid and quantities are
+    integers, so every regression moment (n, Σx, Σy, Σxy, Σx², Σy²)
+    is an EXACT integer from ONE map-side-combined aggregate
+    (decimal(38,0) accumulators; hugeint in the DuckDB twin); the
+    closed-form slope/intercept/r² are single double expressions —
+    no iterative fitting, no regr_* float-order surface.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_discount") * 100).cast("long").alias("x"),
+        F.col("l_quantity").cast("long").alias("y"),
+    )
+    s = li.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).cast("double").alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("syy"),
+    )
+    cov_n = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    var_x = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    var_y = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return s.select(
+        F.col("n").alias("n_rows"),
+        quantize(F.col("sy") / F.col("n"), 4).alias("mean_qty"),
+        quantize(F.col("sx") / F.col("n"), 4).alias("mean_disc_points"),
+        quantize(cov_n / var_x, 6).alias("slope_per_point"),
+        quantize(
+            (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy"))
+            / var_x,
+            4,
+        ).alias("intercept_qty"),
+        quantize(cov_n * cov_n / (var_x * var_y), 6).alias("r2"),
+    )
+
+
 ASSOC_MIN_PAIR = 2
 ASSOC_TOPK = 20
 
@@ -1565,6 +1614,7 @@ QUERIES = {
     "agg_distinct_stats": agg_distinct_stats,
     "parts_copurchase": parts_copurchase,
     "parts_assoc_rules": parts_assoc_rules,
+    "lineitem_discount_effect": lineitem_discount_effect,
     "customer_rfm": customer_rfm,
     "supplier_scorecard": supplier_scorecard,
     "orders_pareto": orders_pareto,
@@ -2359,4 +2409,34 @@ ORACLE["parts_assoc_rules"] = f"""
     CROSS JOIN n_orders o
     ORDER BY lift DESC, p.pa, p.pb
     LIMIT {ASSOC_TOPK}
+"""
+
+ORACLE["lineitem_discount_effect"] = f"""
+    WITH g AS (
+      SELECT CAST(round(l_discount * 100) AS BIGINT) AS x,
+             CAST(l_quantity AS BIGINT) AS y
+      FROM lineitem
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS DOUBLE) AS sx,
+             CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(x * y) AS DOUBLE) AS sxy,
+             CAST(sum(x * x) AS DOUBLE) AS sxx,
+             CAST(sum(y * y) AS DOUBLE) AS syy
+      FROM g
+    )
+    SELECT n AS n_rows,
+           {sql_quantize('sy / n', 4)} AS mean_qty,
+           {sql_quantize('sx / n', 4)} AS mean_disc_points,
+           {sql_quantize(
+               '(n * sxy - sx * sy) / (n * sxx - sx * sx)', 6)}
+             AS slope_per_point,
+           {sql_quantize(
+               '(sy * sxx - sx * sxy) / (n * sxx - sx * sx)', 4)}
+             AS intercept_qty,
+           {sql_quantize(
+               '(n * sxy - sx * sy) * (n * sxy - sx * sy)'
+               ' / ((n * sxx - sx * sx) * (n * syy - sy * sy))', 6)} AS r2
+    FROM s
 """
