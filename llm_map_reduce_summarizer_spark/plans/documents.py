@@ -3691,6 +3691,57 @@ def corpus_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration curve of the heuristic quality score against the
+    full ensemble gate: per score-decile bucket, how often does the
+    multi-signal ensemble actually keep the doc — a well-calibrated
+    score should show keep-rate rising monotonically with the bucket,
+    and the curve tells a curation run where a single-score threshold
+    would over/under-filter relative to the ensemble.
+
+    Scale: composes the ensemble join (doc_id-co-partitioned signal
+    tables) with ONE bucket-bounded aggregate (≤10 rows); bucket
+    edges and means run on the EXACT 1e-4 integer score grid, keep
+    rates are exact integer ratios.
+    """
+    ens = doc_quality_ensemble(spark, sf_dir)
+    b = ens.select(
+        F.least(
+            F.floor(
+                F.round(F.col("quality_score") * 10000) / 1000.0
+            ).cast("long"),
+            F.lit(9),
+        ).alias("bucket"),
+        F.col("keep").cast("int").alias("k"),
+        F.round(F.col("quality_score") * 10000)
+        .cast("long")
+        .alias("qi"),
+    )
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("k").cast("long").alias("n_kept"),
+            quantize(
+                F.sum("k").cast("double") / F.count(F.lit(1)), 6
+            ).alias("keep_rate"),
+            quantize(
+                F.sum("qi").cast("double")
+                / (F.count(F.lit(1)) * 10000.0),
+                4,
+            ).alias("mean_score"),
+        )
+        .select(
+            "bucket",
+            quantize(F.col("bucket") / 10.0, 1).alias("bucket_lo"),
+            "n_docs",
+            "n_kept",
+            "keep_rate",
+            "mean_score",
+        )
+    )
+
+
 WEIGHTED_SAMPLE_K = 100
 WEIGHTED_SAMPLE_SEED = "wsample"
 
@@ -3882,6 +3933,7 @@ QUERIES = {
     "doc_anova_length": doc_anova_length,
     "corpus_sample_weighted": corpus_sample_weighted,
     "corpus_ppl_buckets": corpus_ppl_buckets,
+    "corpus_quality_calibration": corpus_quality_calibration,
 }
 
 
@@ -6448,4 +6500,26 @@ ORACLE["corpus_ppl_buckets"] = f"""
                'CAST(roll.n_docs AS DOUBLE) / lt.lang_docs', 6)} AS share,
            roll.mean_bits
     FROM roll JOIN lt USING (lang)
+"""
+
+ORACLE["corpus_quality_calibration"] = f"""
+    WITH ens AS ({ORACLE['doc_quality_ensemble']}),
+    b AS (
+      SELECT least(CAST(floor(
+               CAST(round(quality_score * 10000) AS BIGINT) / 1000.0
+             ) AS BIGINT), 9) AS bucket,
+             CASE WHEN keep THEN 1 ELSE 0 END AS k,
+             CAST(round(quality_score * 10000) AS BIGINT) AS qi
+      FROM ens
+    )
+    SELECT bucket,
+           {sql_quantize('bucket / 10.0', 1)} AS bucket_lo,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(k) AS BIGINT) AS n_kept,
+           {sql_quantize('CAST(sum(k) AS DOUBLE) / count(*)', 6)}
+             AS keep_rate,
+           {sql_quantize(
+               'CAST(sum(qi) AS DOUBLE) / (count(*) * 10000.0)', 4)}
+             AS mean_score
+    FROM b GROUP BY 1
 """

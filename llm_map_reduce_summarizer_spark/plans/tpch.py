@@ -851,6 +851,51 @@ def parts_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(COPURCHASE_TOPK)
 
 
+def orders_repeat_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly repeat-purchase cohort triangle: for each
+    first-order-month cohort and month offset, how many (and what
+    share of) the cohort's customers ordered again — the relational
+    twin of `events_cohort_retention` (growth analytics over the
+    ledger instead of the clickstream; the curve a retention team
+    reads before LTV).
+
+    Scale: first-order month = one customer-keyed partial agg; the
+    distinct (month, customer) activity joins back on the
+    co-partitioned customer key (AQE-decided); the triangle agg is
+    bounded by months², never orders; cohort sizes broadcast back.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month"),
+        "o_custkey",
+    )
+    act = o.distinct()
+    first = act.groupBy("o_custkey").agg(
+        F.min("month").alias("cohort_month")
+    )
+    tri = (
+        act.join(first, "o_custkey")
+        .groupBy(
+            "cohort_month",
+            F.months_between(F.col("month"), F.col("cohort_month"))
+            .cast("long")
+            .alias("month_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+    )
+    sizes = first.groupBy("cohort_month").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_size")
+    )
+    return tri.join(F.broadcast(sizes), "cohort_month").select(
+        "cohort_month",
+        "month_offset",
+        "cohort_size",
+        "n_active",
+        quantize(
+            F.col("n_active").cast("double") / F.col("cohort_size"), 6
+        ).alias("repeat_rate"),
+    )
+
+
 def lineitem_discount_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Discount-elasticity screen: the OLS fit of order quantity on
     discount points over all lineitems (slope = extra units per
@@ -1615,6 +1660,7 @@ QUERIES = {
     "parts_copurchase": parts_copurchase,
     "parts_assoc_rules": parts_assoc_rules,
     "lineitem_discount_effect": lineitem_discount_effect,
+    "orders_repeat_cohort": orders_repeat_cohort,
     "customer_rfm": customer_rfm,
     "supplier_scorecard": supplier_scorecard,
     "orders_pareto": orders_pareto,
@@ -2439,4 +2485,32 @@ ORACLE["lineitem_discount_effect"] = f"""
                '(n * sxy - sx * sy) * (n * sxy - sx * sy)'
                ' / ((n * sxx - sx * sx) * (n * syy - sy * sy))', 6)} AS r2
     FROM s
+"""
+
+ORACLE["orders_repeat_cohort"] = f"""
+    WITH act AS (
+      SELECT DISTINCT date_trunc('month', o_orderdate) AS month,
+             o_custkey
+      FROM orders
+    ),
+    first AS (
+      SELECT o_custkey, min(month) AS cohort_month FROM act GROUP BY 1
+    ),
+    tri AS (
+      SELECT f.cohort_month,
+             CAST(datediff('month', f.cohort_month, a.month) AS BIGINT)
+               AS month_offset,
+             CAST(count(*) AS BIGINT) AS n_active
+      FROM act a JOIN first f USING (o_custkey)
+      GROUP BY 1, 2
+    ),
+    sizes AS (
+      SELECT cohort_month, CAST(count(*) AS BIGINT) AS cohort_size
+      FROM first GROUP BY 1
+    )
+    SELECT t.cohort_month, t.month_offset, s.cohort_size, t.n_active,
+           {sql_quantize(
+               'CAST(t.n_active AS DOUBLE) / s.cohort_size', 6)}
+             AS repeat_rate
+    FROM tri t JOIN sizes s USING (cohort_month)
 """
