@@ -38,6 +38,7 @@ from ..functions.vectors import (
     DIM,
     KNN_BANDS,
     adaptive_sign_bits,
+    dot,
     sign_bucket,
     unit_norm,
     sql_adaptive_bits_cte,
@@ -3742,6 +3743,103 @@ def corpus_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def emb_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-table health audit: vector count, dimension range,
+    zero-norm count, and the L2-norm distribution (mean/p50/min/max)
+    — the one-row sanity gate an ANN/clustering run prints before
+    trusting cosine math (zero vectors NaN out cosine; dimension
+    drift breaks every dot product downstream).
+
+    Scale: one narrow map computes each norm via the ordered
+    fold-dot (bit-identical to the SQL twin), then ONE
+    map-side-combined aggregate — no shuffle beyond the 1-row
+    rollup. Norms quantize 1e-6 before the distribution stats.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.select(
+        F.size("embedding").cast("long").alias("dim"),
+        quantize(
+            F.sqrt(dot(F.col("embedding"), F.col("embedding"))), 6
+        ).alias("nrm"),
+    )
+    return n.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.min("dim").alias("dim_min"),
+        F.max("dim").alias("dim_max"),
+        F.sum((F.col("nrm") == 0).cast("int")).cast("long").alias("n_zero"),
+        quantize(F.avg("nrm"), 4).alias("mean_norm"),
+        F.round(F.expr("percentile(nrm, 0.5)"), 4).alias("p50_norm"),
+        quantize(F.min("nrm"), 4).alias("min_norm"),
+        quantize(F.max("nrm"), 4).alias("max_norm"),
+    )
+
+
+def corpus_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-hygiene audit of the train/val/test split: documents with
+    IDENTICAL normalized content landing in different splits leak the
+    evaluation — this reports duplicate-content groups, how many span
+    a split boundary, the cross-split pair counts, and the number of
+    val/test docs whose content also appears in train (the
+    contaminated-eval headcount). The split is content-blind
+    (hash-of-id), so exact duplicates WILL straddle boundaries unless
+    dedup runs first — this measures exactly that risk.
+
+    Scale: one narrow split map + the content-digest map, then ONE
+    32-byte-key partial agg per digest (the `dedup_exact` shape);
+    every output is an exact integer from the digest-group table —
+    docs never self-join.
+    """
+    sp = corpus_split(spark, sf_dir).select("doc_id", "split")
+    fp = fingerprint(_docs(spark, sf_dir)).select("doc_id", "fp")
+    g = (
+        sp.join(fp, "doc_id")
+        .groupBy("fp")
+        .agg(
+            F.sum((F.col("split") == "train").cast("int")).alias("tr"),
+            F.sum((F.col("split") == "val").cast("int")).alias("va"),
+            F.sum((F.col("split") == "test").cast("int")).alias("te"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    zero = F.lit(0)
+    return g.agg(
+        F.count(F.lit(1)).cast("long").alias("n_dup_groups"),
+        F.coalesce(
+            F.sum(
+                (
+                    (F.col("tr") > 0).cast("int")
+                    + (F.col("va") > 0).cast("int")
+                    + (F.col("te") > 0).cast("int")
+                    > 1
+                ).cast("int")
+            ),
+            zero,
+        )
+        .cast("long")
+        .alias("n_cross_split_groups"),
+        F.coalesce(F.sum(F.col("tr") * F.col("va")), zero)
+        .cast("long")
+        .alias("pairs_train_val"),
+        F.coalesce(F.sum(F.col("tr") * F.col("te")), zero)
+        .cast("long")
+        .alias("pairs_train_test"),
+        F.coalesce(F.sum(F.col("va") * F.col("te")), zero)
+        .cast("long")
+        .alias("pairs_val_test"),
+        F.coalesce(
+            F.sum(F.when(F.col("tr") > 0, F.col("va")).otherwise(0)), zero
+        )
+        .cast("long")
+        .alias("leaked_val_docs"),
+        F.coalesce(
+            F.sum(F.when(F.col("tr") > 0, F.col("te")).otherwise(0)), zero
+        )
+        .cast("long")
+        .alias("leaked_test_docs"),
+    )
+
+
 WEIGHTED_SAMPLE_K = 100
 WEIGHTED_SAMPLE_SEED = "wsample"
 
@@ -3934,6 +4032,8 @@ QUERIES = {
     "corpus_sample_weighted": corpus_sample_weighted,
     "corpus_ppl_buckets": corpus_ppl_buckets,
     "corpus_quality_calibration": corpus_quality_calibration,
+    "emb_norm_audit": emb_norm_audit,
+    "corpus_split_leakage": corpus_split_leakage,
 }
 
 
@@ -6522,4 +6622,57 @@ ORACLE["corpus_quality_calibration"] = f"""
                'CAST(sum(qi) AS DOUBLE) / (count(*) * 10000.0)', 4)}
              AS mean_score
     FROM b GROUP BY 1
+"""
+
+ORACLE["emb_norm_audit"] = f"""
+    WITH n AS (
+      SELECT CAST(len(embedding) AS BIGINT) AS dim,
+             {sql_quantize(
+                 "sqrt(" + sql_dot('embedding', 'embedding') + ")", 6)}
+               AS nrm
+      FROM embeddings
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+           min(dim) AS dim_min,
+           max(dim) AS dim_max,
+           CAST(sum(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_zero,
+           {sql_quantize('avg(nrm)', 4)} AS mean_norm,
+           round(CAST(quantile_cont(nrm, 0.5) AS DOUBLE), 4) AS p50_norm,
+           {sql_quantize('min(nrm)', 4)} AS min_norm,
+           {sql_quantize('max(nrm)', 4)} AS max_norm
+    FROM n
+"""
+
+ORACLE["corpus_split_leakage"] = f"""
+    WITH sp AS ({ORACLE['corpus_split']}),
+    fp AS (
+      SELECT doc_id,
+             md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp
+      FROM documents
+    ),
+    g AS (
+      SELECT fp.fp,
+             sum(CASE WHEN sp.split = 'train' THEN 1 ELSE 0 END) AS tr,
+             sum(CASE WHEN sp.split = 'val' THEN 1 ELSE 0 END) AS va,
+             sum(CASE WHEN sp.split = 'test' THEN 1 ELSE 0 END) AS te,
+             count(*) AS n
+      FROM sp JOIN fp USING (doc_id)
+      GROUP BY 1
+      HAVING count(*) >= 2
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_dup_groups,
+           CAST(coalesce(sum(CASE WHEN
+                 (CASE WHEN tr > 0 THEN 1 ELSE 0 END)
+               + (CASE WHEN va > 0 THEN 1 ELSE 0 END)
+               + (CASE WHEN te > 0 THEN 1 ELSE 0 END) > 1
+               THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_cross_split_groups,
+           CAST(coalesce(sum(tr * va), 0) AS BIGINT) AS pairs_train_val,
+           CAST(coalesce(sum(tr * te), 0) AS BIGINT) AS pairs_train_test,
+           CAST(coalesce(sum(va * te), 0) AS BIGINT) AS pairs_val_test,
+           CAST(coalesce(sum(CASE WHEN tr > 0 THEN va ELSE 0 END), 0)
+             AS BIGINT) AS leaked_val_docs,
+           CAST(coalesce(sum(CASE WHEN tr > 0 THEN te ELSE 0 END), 0)
+             AS BIGINT) AS leaked_test_docs
+    FROM g
 """

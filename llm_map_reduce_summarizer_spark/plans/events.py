@@ -1732,6 +1732,71 @@ def ewma_from_hourly(hourly: DataFrame) -> DataFrame:
     )
 
 
+def events_anomaly_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consensus anomaly screen: every hour flagged by at least one of
+    the three hour-level detectors — global 3σ band (exact-moment
+    z), seasonal median/MAD residual band (`events_anomaly_residual`),
+    EWMA control breach (`events_ewma_control`) — with per-method
+    votes. Hours flagged by 2+ independent methods are the page-worthy
+    ones; single-method flags are each detector's known blind spots
+    (the reason ensembles exist).
+
+    Scale: three hours-bounded flag sets union (no outer-join
+    ladder), one hour-keyed vote agg, one join back to the tiny
+    hourly series; the global band uses EXACT integer moments, not
+    engine stddev (whose online accumulation is float-order
+    sensitive).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    st = hourly.agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("n").cast("long").alias("sx"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("sxx"),
+    )
+    mean = F.col("sx").cast("double") / F.col("cnt")
+    var = (
+        F.col("cnt") * F.col("sxx") - F.col("sx") * F.col("sx")
+    ).cast("double") / (F.col("cnt") * (F.col("cnt") - 1)).cast("double")
+    g = (
+        hourly.crossJoin(F.broadcast(st))
+        .filter(F.abs(F.col("n") - mean) > 3 * F.sqrt(var))
+        .select("hour", F.lit("global").alias("method"))
+    )
+    r = events_anomaly_residual(spark, sf_dir).select(
+        "hour", F.lit("seasonal").alias("method")
+    )
+    e = (
+        events_ewma_control(spark, sf_dir)
+        .filter(F.col("breach"))
+        .select("hour", F.lit("ewma").alias("method"))
+    )
+    votes = (
+        g.unionByName(r)
+        .unionByName(e)
+        .groupBy("hour")
+        .agg(
+            (F.sum((F.col("method") == "global").cast("int")) > 0)
+            .alias("by_global"),
+            (F.sum((F.col("method") == "seasonal").cast("int")) > 0)
+            .alias("by_seasonal"),
+            (F.sum((F.col("method") == "ewma").cast("int")) > 0)
+            .alias("by_ewma"),
+            F.count(F.lit(1)).cast("long").alias("votes"),
+        )
+    )
+    return votes.join(hourly, "hour").select(
+        "hour",
+        F.col("n").alias("n_events"),
+        "by_global",
+        "by_seasonal",
+        "by_ewma",
+        "votes",
+    )
+
+
 def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversion latency through the lifetime funnel: exact p50/p90
     of the view→click and click→purchase gaps among converting users
@@ -1935,6 +2000,7 @@ def events_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "events_funnel_latency": events_funnel_latency,
     "events_ewma_control": events_ewma_control,
+    "events_anomaly_ensemble": events_anomaly_ensemble,
     "events_mann_kendall": events_mann_kendall,
     "events_ab_welch": events_ab_welch,
     "events_retention_hourly": events_retention_hourly,
@@ -3007,4 +3073,45 @@ ORACLE["events_ewma_control"] = f"""
            sig.sigma,
            (abs(resid) > 3 * sig.sigma) AS breach
     FROM scored, sig
+"""
+
+ORACLE["events_anomaly_ensemble"] = f"""
+    WITH res AS ({ORACLE['events_anomaly_residual']}),
+    ew AS ({ORACLE['events_ewma_control']}),
+    hourly AS (
+      SELECT date_trunc('hour', ts) AS hour,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    st AS (
+      SELECT CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(n) AS BIGINT) AS sx,
+             CAST(sum(n * n) AS BIGINT) AS sxx
+      FROM hourly
+    ),
+    flags AS (
+      SELECT hourly.hour, 'global' AS method
+      FROM hourly, st
+      WHERE abs(hourly.n - CAST(st.sx AS DOUBLE) / st.cnt)
+            > 3 * sqrt(CAST(st.cnt * st.sxx - st.sx * st.sx AS DOUBLE)
+                       / CAST(st.cnt * (st.cnt - 1) AS DOUBLE))
+      UNION ALL
+      SELECT hour, 'seasonal' AS method FROM res
+      UNION ALL
+      SELECT hour, 'ewma' AS method FROM ew WHERE breach
+    ),
+    votes AS (
+      SELECT hour,
+             (sum(CASE WHEN method = 'global' THEN 1 ELSE 0 END) > 0)
+               AS by_global,
+             (sum(CASE WHEN method = 'seasonal' THEN 1 ELSE 0 END) > 0)
+               AS by_seasonal,
+             (sum(CASE WHEN method = 'ewma' THEN 1 ELSE 0 END) > 0)
+               AS by_ewma,
+             CAST(count(*) AS BIGINT) AS votes
+      FROM flags GROUP BY 1
+    )
+    SELECT v.hour, h.n AS n_events,
+           v.by_global, v.by_seasonal, v.by_ewma, v.votes
+    FROM votes v JOIN hourly h USING (hour)
 """
