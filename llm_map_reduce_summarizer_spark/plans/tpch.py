@@ -851,6 +851,149 @@ def parts_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(COPURCHASE_TOPK)
 
 
+PVM_Y1 = 1999
+PVM_Y2 = 2000
+
+
+def orders_pvm_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-volume bridge per part brand between two fiscal years:
+    revenue delta decomposed into a volume effect ((q₂−q₁)·p₁) and a
+    price effect ((p₂−p₁)·q₂) that sum EXACTLY to the delta — the
+    standard finance walk ("how much of the change is selling more
+    vs charging more"), rarely seen outside BI suites as a
+    first-class operator.
+
+    Scale: lineitem joins the parts-bounded brand dim (broadcast);
+    ONE (brand, year) partial agg of exact cent/unit integer sums
+    (decimal(38,0) accumulators); the pivot and bridge arithmetic run
+    on the brands-bounded table. Revenue deltas are exact integers;
+    only the unit-price ratios touch doubles.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.year(F.col("l_shipdate")).alias("yr"),
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("long")
+        .alias("rev_c"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    pt = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    per = (
+        li.filter(F.col("yr").isin(PVM_Y1, PVM_Y2))
+        .join(F.broadcast(pt), "l_partkey")
+        .groupBy("p_brand")
+        .agg(
+            F.sum(
+                F.when(F.col("yr") == PVM_Y1, F.col("rev_c"))
+                .otherwise(0)
+                .cast("decimal(38,0)")
+            )
+            .cast("double")
+            .alias("r1"),
+            F.sum(
+                F.when(F.col("yr") == PVM_Y2, F.col("rev_c"))
+                .otherwise(0)
+                .cast("decimal(38,0)")
+            )
+            .cast("double")
+            .alias("r2"),
+            F.sum(
+                F.when(F.col("yr") == PVM_Y1, F.col("qty"))
+                .otherwise(0)
+                .cast("decimal(38,0)")
+            )
+            .cast("double")
+            .alias("q1"),
+            F.sum(
+                F.when(F.col("yr") == PVM_Y2, F.col("qty"))
+                .otherwise(0)
+                .cast("decimal(38,0)")
+            )
+            .cast("double")
+            .alias("q2"),
+        )
+        .filter((F.col("q1") > 0) & (F.col("q2") > 0))
+    )
+    p1 = F.col("r1") / F.col("q1")
+    p2 = F.col("r2") / F.col("q2")
+    return per.select(
+        "p_brand",
+        quantize(F.col("r1") / 100.0, 2).alias("rev_y1"),
+        quantize(F.col("r2") / 100.0, 2).alias("rev_y2"),
+        quantize((F.col("r2") - F.col("r1")) / 100.0, 2).alias("delta_rev"),
+        quantize(
+            (F.col("q2") - F.col("q1")) * p1 / 100.0, 2
+        ).alias("volume_effect"),
+        quantize((p2 - p1) * F.col("q2") / 100.0, 2).alias("price_effect"),
+    )
+
+
+SEG_SPLIT_YEAR = 1999  # first half < 1999 <= second half
+
+
+def customer_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer value-segment migration matrix: spend-quartile segment
+    (1=low .. 4=top) in the first half of the ledger (ship years
+    < 1999) vs the second half, for customers active in both — the
+    4×4 transition table behind "are we upgrading or churning our
+    best customers", the relational analogue of the event-stream
+    Markov tier.
+
+    Scale: two customer-keyed spend partial aggs (one per half);
+    quartile cuts are 1-ROW exact-percentile aggregates broadcast
+    back (never an unpartitioned ntile window); the matrix agg is
+    bounded by 16 cells.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.year(F.col("o_orderdate")).alias("yr"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("spend_c"),
+    )
+
+    def half_spend(cond, name):
+        return (
+            o.filter(cond)
+            .groupBy("o_custkey")
+            .agg(F.sum("spend_c").cast("long").alias(name))
+        )
+
+    h1 = half_spend(F.col("yr") < SEG_SPLIT_YEAR, "s1")
+    h2 = half_spend(F.col("yr") >= SEG_SPLIT_YEAR, "s2")
+
+    def seg(df, col, prefix):
+        cuts = df.agg(
+            *[
+                F.expr(f"percentile({col}, {q})").alias(f"{prefix}{i}")
+                for i, q in ((1, 0.25), (2, 0.5), (3, 0.75))
+            ]
+        )
+        return df.crossJoin(F.broadcast(cuts)).select(
+            "o_custkey",
+            F.when(F.col(col) <= F.col(f"{prefix}1"), 1)
+            .when(F.col(col) <= F.col(f"{prefix}2"), 2)
+            .when(F.col(col) <= F.col(f"{prefix}3"), 3)
+            .otherwise(4)
+            .cast("long")
+            .alias(f"seg_{prefix}"),
+        )
+    s1 = seg(h1, "s1", "a")
+    s2 = seg(h2, "s2", "b")
+    m = s1.join(s2, "o_custkey").groupBy("seg_a", "seg_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers")
+    )
+    tot = m.groupBy("seg_a").agg(F.sum("n_customers").alias("row_n"))
+    return m.join(F.broadcast(tot), "seg_a").select(
+        F.col("seg_a").alias("segment_first_half"),
+        F.col("seg_b").alias("segment_second_half"),
+        "n_customers",
+        quantize(
+            F.col("n_customers").cast("double") / F.col("row_n"), 6
+        ).alias("row_share"),
+    )
+
+
 def orders_repeat_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Monthly repeat-purchase cohort triangle: for each
     first-order-month cohort and month offset, how many (and what
@@ -1661,6 +1804,8 @@ QUERIES = {
     "parts_assoc_rules": parts_assoc_rules,
     "lineitem_discount_effect": lineitem_discount_effect,
     "orders_repeat_cohort": orders_repeat_cohort,
+    "orders_pvm_bridge": orders_pvm_bridge,
+    "customer_segment_migration": customer_segment_migration,
     "customer_rfm": customer_rfm,
     "supplier_scorecard": supplier_scorecard,
     "orders_pareto": orders_pareto,
@@ -2513,4 +2658,90 @@ ORACLE["orders_repeat_cohort"] = f"""
                'CAST(t.n_active AS DOUBLE) / s.cohort_size', 6)}
              AS repeat_rate
     FROM tri t JOIN sizes s USING (cohort_month)
+"""
+
+ORACLE["orders_pvm_bridge"] = f"""
+    WITH li AS (
+      SELECT l_partkey,
+             year(l_shipdate) AS yr,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS rev_c,
+             CAST(l_quantity AS BIGINT) AS qty
+      FROM lineitem
+      WHERE year(l_shipdate) IN ({PVM_Y1}, {PVM_Y2})
+    ),
+    per AS (
+      SELECT p.p_brand,
+             CAST(sum(CASE WHEN yr = {PVM_Y1} THEN rev_c ELSE 0 END)
+               AS DOUBLE) AS r1,
+             CAST(sum(CASE WHEN yr = {PVM_Y2} THEN rev_c ELSE 0 END)
+               AS DOUBLE) AS r2,
+             CAST(sum(CASE WHEN yr = {PVM_Y1} THEN qty ELSE 0 END)
+               AS DOUBLE) AS q1,
+             CAST(sum(CASE WHEN yr = {PVM_Y2} THEN qty ELSE 0 END)
+               AS DOUBLE) AS q2
+      FROM li JOIN part p ON p.p_partkey = li.l_partkey
+      GROUP BY 1
+      HAVING sum(CASE WHEN yr = {PVM_Y1} THEN qty ELSE 0 END) > 0
+         AND sum(CASE WHEN yr = {PVM_Y2} THEN qty ELSE 0 END) > 0
+    )
+    SELECT p_brand,
+           {sql_quantize('r1 / 100.0', 2)} AS rev_y1,
+           {sql_quantize('r2 / 100.0', 2)} AS rev_y2,
+           {sql_quantize('(r2 - r1) / 100.0', 2)} AS delta_rev,
+           {sql_quantize('(q2 - q1) * (r1 / q1) / 100.0', 2)}
+             AS volume_effect,
+           {sql_quantize('(r2 / q2 - r1 / q1) * q2 / 100.0', 2)}
+             AS price_effect
+    FROM per
+"""
+
+ORACLE["customer_segment_migration"] = f"""
+    WITH o AS (
+      SELECT o_custkey, year(o_orderdate) AS yr,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS spend_c
+      FROM orders
+    ),
+    h1 AS (
+      SELECT o_custkey, CAST(sum(spend_c) AS BIGINT) AS s
+      FROM o WHERE yr < {SEG_SPLIT_YEAR} GROUP BY 1
+    ),
+    h2 AS (
+      SELECT o_custkey, CAST(sum(spend_c) AS BIGINT) AS s
+      FROM o WHERE yr >= {SEG_SPLIT_YEAR} GROUP BY 1
+    ),
+    c1 AS (
+      SELECT quantile_cont(s, 0.25) AS a1, quantile_cont(s, 0.5) AS a2,
+             quantile_cont(s, 0.75) AS a3
+      FROM h1
+    ),
+    c2 AS (
+      SELECT quantile_cont(s, 0.25) AS b1, quantile_cont(s, 0.5) AS b2,
+             quantile_cont(s, 0.75) AS b3
+      FROM h2
+    ),
+    s1 AS (
+      SELECT o_custkey,
+             CAST(CASE WHEN s <= a1 THEN 1 WHEN s <= a2 THEN 2
+                       WHEN s <= a3 THEN 3 ELSE 4 END AS BIGINT) AS seg_a
+      FROM h1, c1
+    ),
+    s2 AS (
+      SELECT o_custkey,
+             CAST(CASE WHEN s <= b1 THEN 1 WHEN s <= b2 THEN 2
+                       WHEN s <= b3 THEN 3 ELSE 4 END AS BIGINT) AS seg_b
+      FROM h2, c2
+    ),
+    m AS (
+      SELECT seg_a, seg_b, CAST(count(*) AS BIGINT) AS n_customers
+      FROM s1 JOIN s2 USING (o_custkey)
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT seg_a, sum(n_customers) AS row_n FROM m GROUP BY 1)
+    SELECT m.seg_a AS segment_first_half,
+           m.seg_b AS segment_second_half,
+           m.n_customers,
+           {sql_quantize(
+               'CAST(m.n_customers AS DOUBLE) / tot.row_n', 6)}
+             AS row_share
+    FROM m JOIN tot USING (seg_a)
 """
