@@ -3743,6 +3743,72 @@ def corpus_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+VOCAB_COV_NS = (5, 10, 25, 100, 1000, 10000)
+
+
+def corpus_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: share of total token mass covered by
+    the top-100 / top-1k / top-10k terms — the tokenizer-budget
+    planning read (`corpus_vocab_growth` gives Heaps growth; this
+    gives the Zipf mass concentration a vocab size actually buys).
+
+    Scale: term frequencies are ONE term-keyed partial agg; top-K =
+    `TakeOrderedAndProject` on a (freq, term) total order; ranks
+    assigned window-free by the pack-and-posexplode idiom on the
+    K-row result; the curve is a 3-row rollup with exact integer
+    shares.
+    """
+    from ..functions.hashing import words
+
+    d = _docs(spark, sf_dir)
+    toks = d.select(F.explode(words(F.col("text"))).alias("term"))
+    cf = toks.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("f")
+    )
+    tot = cf.agg(
+        F.sum("f").cast("long").alias("total_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+    )
+    top = cf.orderBy(F.col("f").desc(), "term").limit(max(VOCAB_COV_NS))
+    packed = top.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct((-F.col("f")).alias("neg_f"), F.col("term"))
+            )
+        ).alias("arr")
+    )
+    ranked = packed.select(
+        F.posexplode("arr").alias("pos", "e")
+    ).select(
+        (F.col("pos") + 1).cast("long").alias("rk"),
+        (-F.col("e.neg_f")).cast("long").alias("f"),
+    )
+    ns = spark.createDataFrame(
+        [(n,) for n in VOCAB_COV_NS], "top_n long"
+    )
+    cov = (
+        ns.crossJoin(ranked)
+        .filter(F.col("rk") <= F.col("top_n"))
+        .groupBy("top_n")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.sum("f").cast("long").alias("covered_tokens"),
+        )
+    )
+    return cov.crossJoin(F.broadcast(tot)).select(
+        "top_n",
+        "n_terms",
+        "covered_tokens",
+        "total_tokens",
+        "vocab_size",
+        quantize(
+            F.col("covered_tokens").cast("double")
+            / F.col("total_tokens"),
+            6,
+        ).alias("covered_share"),
+    )
+
+
 def emb_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-table health audit: vector count, dimension range,
     zero-norm count, and the L2-norm distribution (mean/p50/min/max)
@@ -4034,6 +4100,7 @@ QUERIES = {
     "corpus_quality_calibration": corpus_quality_calibration,
     "emb_norm_audit": emb_norm_audit,
     "corpus_split_leakage": corpus_split_leakage,
+    "corpus_ngram_coverage": corpus_ngram_coverage,
 }
 
 
@@ -6675,4 +6742,38 @@ ORACLE["corpus_split_leakage"] = f"""
            CAST(coalesce(sum(CASE WHEN tr > 0 THEN te ELSE 0 END), 0)
              AS BIGINT) AS leaked_test_docs
     FROM g
+"""
+
+ORACLE["corpus_ngram_coverage"] = f"""
+    WITH tk AS (
+      SELECT unnest({SQL_WORDS.format(c='text')}) AS term FROM documents
+    ),
+    cf AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS f FROM tk GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(f) AS BIGINT) AS total_tokens,
+             CAST(count(*) AS BIGINT) AS vocab_size
+      FROM cf
+    ),
+    ranked AS (
+      SELECT f, row_number() OVER (ORDER BY f DESC, term) AS rk
+      FROM cf
+    ),
+    ns AS (
+      SELECT unnest([{", ".join(str(n) for n in VOCAB_COV_NS)}]) AS top_n
+    ),
+    cov AS (
+      SELECT CAST(ns.top_n AS BIGINT) AS top_n,
+             CAST(count(*) AS BIGINT) AS n_terms,
+             CAST(sum(ranked.f) AS BIGINT) AS covered_tokens
+      FROM ns JOIN ranked ON ranked.rk <= ns.top_n
+      GROUP BY 1
+    )
+    SELECT cov.top_n, cov.n_terms, cov.covered_tokens,
+           tot.total_tokens, tot.vocab_size,
+           {sql_quantize(
+               'CAST(cov.covered_tokens AS DOUBLE) / tot.total_tokens', 6)}
+             AS covered_share
+    FROM cov, tot
 """

@@ -1732,6 +1732,47 @@ def ewma_from_hourly(hourly: DataFrame) -> DataFrame:
     )
 
 
+def events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness per day: what share of the ISO week's active
+    users showed up on each given day — THE product-engagement ratio
+    (a rising DAU with flat stickiness means acquisition, not habit).
+    Complements the distinct tiers (27f exact/HLL) and the rolling
+    window (27j) with the canonical ratio form.
+
+    Scale: one distinct (day, user) projection feeds BOTH counts —
+    daily partial agg and weekly re-agg of the same distinct table —
+    then a days-bounded broadcast join; ratios are exact integer
+    fractions.
+    """
+    act = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.date_trunc("day", F.col("ts")).alias("day"), "user_id"
+        )
+        .distinct()
+    )
+    dau = act.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("dau")
+    )
+    wk = act.select(
+        F.date_trunc("week", F.col("day")).alias("week"), "user_id"
+    ).distinct()
+    wau = wk.groupBy("week").agg(
+        F.count(F.lit(1)).cast("long").alias("wau")
+    )
+    return (
+        dau.withColumn("week", F.date_trunc("week", F.col("day")))
+        .join(F.broadcast(wau), "week")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            quantize(F.col("dau").cast("double") / F.col("wau"), 6)
+            .alias("stickiness"),
+        )
+    )
+
+
 def events_anomaly_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Consensus anomaly screen: every hour flagged by at least one of
     the three hour-level detectors — global 3σ band (exact-moment
@@ -2001,6 +2042,7 @@ QUERIES = {
     "events_funnel_latency": events_funnel_latency,
     "events_ewma_control": events_ewma_control,
     "events_anomaly_ensemble": events_anomaly_ensemble,
+    "events_stickiness": events_stickiness,
     "events_mann_kendall": events_mann_kendall,
     "events_ab_welch": events_ab_welch,
     "events_retention_hourly": events_retention_hourly,
@@ -3114,4 +3156,23 @@ ORACLE["events_anomaly_ensemble"] = f"""
     SELECT v.hour, h.n AS n_events,
            v.by_global, v.by_seasonal, v.by_ewma, v.votes
     FROM votes v JOIN hourly h USING (hour)
+"""
+
+ORACLE["events_stickiness"] = f"""
+    WITH act AS (
+      SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+    ),
+    dau AS (
+      SELECT day, CAST(count(*) AS BIGINT) AS dau FROM act GROUP BY 1
+    ),
+    wk AS (
+      SELECT DISTINCT date_trunc('week', day) AS week, user_id FROM act
+    ),
+    wau AS (
+      SELECT week, CAST(count(*) AS BIGINT) AS wau FROM wk GROUP BY 1
+    )
+    SELECT dau.day, dau.dau, wau.wau,
+           {sql_quantize('CAST(dau.dau AS DOUBLE) / wau.wau', 6)}
+             AS stickiness
+    FROM dau JOIN wau ON wau.week = date_trunc('week', dau.day)
 """
