@@ -3743,6 +3743,42 @@ def corpus_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_boilerplate_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate rate per source: the share of each source's 3-gram
+    word windows that also appear in at least one OTHER document
+    corpus-wide — the window-level duplication (template footers, nav
+    text, scraped chrome) that survives doc-level dedup and poisons
+    LM training. A source with a high rate needs line-level cleaning
+    before it enters the mix (`dedup_substring` finds the matching
+    PAIRS; this is the per-source dashboard rate).
+
+    Scale: reuses the `doc_shingles` keyed window table (map-side
+    distinct, 8-byte keys); corpus-wide doc-frequency is ONE
+    shingle-keyed partial agg joined back on the same key; the rate
+    rollup is sources-bounded with exact integer ratios.
+    """
+    d = _docs(spark, sf_dir)
+    sh = doc_shingles(d, keyed=True)
+    df_tab = sh.groupBy("s").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    j = (
+        sh.join(df_tab, "s")
+        .join(d.select("doc_id", "source"), "doc_id")
+    )
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_windows"),
+        F.sum((F.col("df") >= 2).cast("int"))
+        .cast("long")
+        .alias("dup_windows"),
+        quantize(
+            F.sum((F.col("df") >= 2).cast("int")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("boilerplate_rate"),
+    )
+
+
 VOCAB_COV_NS = (5, 10, 25, 100, 1000, 10000)
 
 
@@ -4101,6 +4137,7 @@ QUERIES = {
     "emb_norm_audit": emb_norm_audit,
     "corpus_split_leakage": corpus_split_leakage,
     "corpus_ngram_coverage": corpus_ngram_coverage,
+    "corpus_boilerplate_rate": corpus_boilerplate_rate,
 }
 
 
@@ -6776,4 +6813,22 @@ ORACLE["corpus_ngram_coverage"] = f"""
                'CAST(cov.covered_tokens AS DOUBLE) / tot.total_tokens', 6)}
              AS covered_share
     FROM cov, tot
+"""
+
+ORACLE["corpus_boilerplate_rate"] = f"""
+    WITH {_SH_CTES}, {_SHK_CTE},
+    dfreq AS (
+      SELECT s, CAST(count(*) AS BIGINT) AS df FROM shk GROUP BY 1
+    )
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(sum(CASE WHEN dfreq.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS dup_windows,
+           {sql_quantize(
+               'CAST(sum(CASE WHEN dfreq.df >= 2 THEN 1 ELSE 0 END)'
+               ' AS DOUBLE) / count(*)', 6)} AS boilerplate_rate
+    FROM shk
+    JOIN dfreq USING (s)
+    JOIN documents d USING (doc_id)
+    GROUP BY 1
 """

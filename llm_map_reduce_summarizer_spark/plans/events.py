@@ -1732,6 +1732,60 @@ def ewma_from_hourly(hourly: DataFrame) -> DataFrame:
     )
 
 
+SLO_ERROR_TARGET = 0.05  # error events may be at most 5% of traffic
+
+
+def events_error_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLO error-budget burn-down per day: daily error share vs the
+    5% target, plus the CUMULATIVE budget consumed since the start of
+    the window (burn > 1 means the error budget is spent and releases
+    should freeze) — the SRE reliability report over the event
+    stream's `error` type.
+
+    Scale: one (day) partial agg with conditional error counts; the
+    cumulative sums run over the days-bounded series via the
+    calendar-bounded broadcast self-join (days², never events) — no
+    unpartitioned running window; every ratio is an exact integer
+    fraction.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum((F.col("event_type") == "error").cast("int"))
+        .cast("long")
+        .alias("n_errors"),
+    )
+    a = daily.select(F.col("day").alias("d"))
+    cum = (
+        a.join(F.broadcast(daily), F.col("day") <= F.col("d"))
+        .groupBy("d")
+        .agg(
+            F.sum("n_events").cast("long").alias("cum_events"),
+            F.sum("n_errors").cast("long").alias("cum_errors"),
+        )
+    )
+    j = daily.join(cum, daily.day == cum.d)
+    return j.select(
+        "day",
+        "n_events",
+        "n_errors",
+        quantize(
+            F.col("n_errors").cast("double") / F.col("n_events"), 6
+        ).alias("error_share"),
+        quantize(
+            F.col("cum_errors").cast("double")
+            / (F.lit(SLO_ERROR_TARGET) * F.col("cum_events")),
+            6,
+        ).alias("budget_burn"),
+        (
+            F.col("cum_errors").cast("double")
+            > F.lit(SLO_ERROR_TARGET) * F.col("cum_events")
+        ).alias("budget_exhausted"),
+    )
+
+
 def events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DAU/WAU stickiness per day: what share of the ISO week's active
     users showed up on each given day — THE product-engagement ratio
@@ -2043,6 +2097,7 @@ QUERIES = {
     "events_ewma_control": events_ewma_control,
     "events_anomaly_ensemble": events_anomaly_ensemble,
     "events_stickiness": events_stickiness,
+    "events_error_budget": events_error_budget,
     "events_mann_kendall": events_mann_kendall,
     "events_ab_welch": events_ab_welch,
     "events_retention_hourly": events_retention_hourly,
@@ -3175,4 +3230,32 @@ ORACLE["events_stickiness"] = f"""
            {sql_quantize('CAST(dau.dau AS DOUBLE) / wau.wau', 6)}
              AS stickiness
     FROM dau JOIN wau ON wau.week = date_trunc('week', dau.day)
+"""
+
+ORACLE["events_error_budget"] = f"""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_errors
+      FROM events GROUP BY 1
+    ),
+    cum AS (
+      SELECT a.day AS d,
+             CAST(sum(b.n_events) AS BIGINT) AS cum_events,
+             CAST(sum(b.n_errors) AS BIGINT) AS cum_errors
+      FROM daily a JOIN daily b ON b.day <= a.day
+      GROUP BY 1
+    )
+    SELECT daily.day, daily.n_events, daily.n_errors,
+           {sql_quantize(
+               'CAST(daily.n_errors AS DOUBLE) / daily.n_events', 6)}
+             AS error_share,
+           {sql_quantize(
+               'CAST(cum.cum_errors AS DOUBLE)'
+               f' / ({SLO_ERROR_TARGET} * cum.cum_events)', 6)}
+             AS budget_burn,
+           (CAST(cum.cum_errors AS DOUBLE)
+            > {SLO_ERROR_TARGET} * cum.cum_events) AS budget_exhausted
+    FROM daily JOIN cum ON cum.d = daily.day
 """

@@ -851,6 +851,62 @@ def parts_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(COPURCHASE_TOPK)
 
 
+ABC_A_CUT = 0.80
+ABC_B_CUT = 0.95
+
+
+def orders_abc_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification: parts ranked by revenue, class A
+    = parts inside the first 80% of cumulative revenue, B = next 15%,
+    C = the long tail — the classic Pareto working-capital split
+    (`orders_pareto` gives the concentration curve; this assigns the
+    per-part class a planner acts on).
+
+    Scale: revenue per part is one partkey-keyed partial agg of exact
+    cent integers; the cumulative rank runs over the PARTS-CATALOG-
+    bounded table via the broadcast total-order self-join (catalog²,
+    never lineitem²) — catalog size is a dimension, not a fact
+    volume; at mega-catalogs swap the exact rank for quantile
+    thresholds (same output contract).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("long")
+        .alias("rev_c"),
+    )
+    per = li.groupBy("l_partkey").agg(
+        F.sum("rev_c").cast("long").alias("rev")
+    )
+    tot = per.agg(F.sum("rev").cast("long").alias("total_rev"))
+    a = per.select(
+        F.col("l_partkey").alias("pk"), F.col("rev").alias("rv")
+    )
+    cum = (
+        a.join(
+            F.broadcast(per),
+            (F.col("rev") > F.col("rv"))
+            | (
+                (F.col("rev") == F.col("rv"))
+                & (F.col("l_partkey") <= F.col("pk"))
+            ),
+        )
+        .groupBy("pk", "rv")
+        .agg(F.sum("rev").cast("long").alias("cum_rev"))
+    )
+    j = cum.crossJoin(F.broadcast(tot))
+    share = F.col("cum_rev").cast("double") / F.col("total_rev")
+    return j.select(
+        F.col("pk").alias("l_partkey"),
+        quantize(F.col("rv") / 100.0, 2).alias("revenue"),
+        quantize(share, 6).alias("cum_share"),
+        F.when(quantize(share, 6) <= ABC_A_CUT, "A")
+        .when(quantize(share, 6) <= ABC_B_CUT, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+
+
 PVM_Y1 = 1999
 PVM_Y2 = 2000
 
@@ -1806,6 +1862,7 @@ QUERIES = {
     "orders_repeat_cohort": orders_repeat_cohort,
     "orders_pvm_bridge": orders_pvm_bridge,
     "customer_segment_migration": customer_segment_migration,
+    "orders_abc_class": orders_abc_class,
     "customer_rfm": customer_rfm,
     "supplier_scorecard": supplier_scorecard,
     "orders_pareto": orders_pareto,
@@ -2744,4 +2801,35 @@ ORACLE["customer_segment_migration"] = f"""
                'CAST(m.n_customers AS DOUBLE) / tot.row_n', 6)}
              AS row_share
     FROM m JOIN tot USING (seg_a)
+"""
+
+ORACLE["orders_abc_class"] = f"""
+    WITH per AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+               AS BIGINT) AS rev
+      FROM lineitem GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(rev) AS BIGINT) AS total_rev FROM per),
+    cum AS (
+      SELECT a.l_partkey AS pk, a.rev AS rv,
+             CAST(sum(b.rev) AS BIGINT) AS cum_rev
+      FROM per a JOIN per b
+        ON (b.rev > a.rev)
+        OR (b.rev = a.rev AND b.l_partkey <= a.l_partkey)
+      GROUP BY 1, 2
+    )
+    SELECT cum.pk AS l_partkey,
+           {sql_quantize('cum.rv / 100.0', 2)} AS revenue,
+           {sql_quantize(
+               'CAST(cum.cum_rev AS DOUBLE) / tot.total_rev', 6)}
+             AS cum_share,
+           CASE WHEN {sql_quantize(
+                   'CAST(cum.cum_rev AS DOUBLE) / tot.total_rev', 6)}
+                  <= {ABC_A_CUT} THEN 'A'
+                WHEN {sql_quantize(
+                   'CAST(cum.cum_rev AS DOUBLE) / tot.total_rev', 6)}
+                  <= {ABC_B_CUT} THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM cum, tot
 """
