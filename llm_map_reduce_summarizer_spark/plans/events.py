@@ -1732,6 +1732,46 @@ def ewma_from_hourly(hourly: DataFrame) -> DataFrame:
     )
 
 
+def events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-shape distribution: sessions counted and their
+    length (events) and duration (seconds) summarized at exact
+    p50/p90 — the engagement-depth report over the 30-min-gap
+    sessionization (`events_sessionize` labels events; this
+    distills the per-visit shape the product team tracks).
+
+    Scale: reuses the sessionized user-keyed sort-shuffle; per-session
+    aggregates are one (user, session) partial agg; the distribution
+    rollup is one row via the shared linear-interpolation percentile
+    parity; durations are exact integer microseconds until the final
+    /1e6.
+    """
+    sz = sessionized(spark, sf_dir).select(
+        "user_id", "session_id", "ts_us"
+    )
+    per = sz.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        (F.max("ts_us") - F.min("ts_us")).alias("dur_us"),
+    )
+    return per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.round(F.expr("percentile(n_events, 0.5)"), 2).alias(
+            "p50_events"
+        ),
+        F.round(F.expr("percentile(n_events, 0.9)"), 2).alias(
+            "p90_events"
+        ),
+        F.round(
+            F.expr("percentile(dur_us, 0.5)") / 1000000.0, 3
+        ).alias("p50_duration_s"),
+        F.round(
+            F.expr("percentile(dur_us, 0.9)") / 1000000.0, 3
+        ).alias("p90_duration_s"),
+        F.sum((F.col("n_events") == 1).cast("int"))
+        .cast("long")
+        .alias("n_bounce_sessions"),
+    )
+
+
 SLO_ERROR_TARGET = 0.05  # error events may be at most 5% of traffic
 
 
@@ -1757,6 +1797,14 @@ def events_error_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_errors"),
     )
+    return error_budget_from_daily(daily)
+
+
+def error_budget_from_daily(daily: DataFrame) -> DataFrame:
+    """The burn-down computation over a (day, n_events, n_errors)
+    series — shared by the batch query and the streaming drain
+    (`stream_error_budget` accumulates the same days-bounded series
+    at ingest)."""
     a = daily.select(F.col("day").alias("d"))
     cum = (
         a.join(F.broadcast(daily), F.col("day") <= F.col("d"))
@@ -2098,6 +2146,7 @@ QUERIES = {
     "events_anomaly_ensemble": events_anomaly_ensemble,
     "events_stickiness": events_stickiness,
     "events_error_budget": events_error_budget,
+    "events_session_stats": events_session_stats,
     "events_mann_kendall": events_mann_kendall,
     "events_ab_welch": events_ab_welch,
     "events_retention_hourly": events_retention_hourly,
@@ -3258,4 +3307,41 @@ ORACLE["events_error_budget"] = f"""
            (CAST(cum.cum_errors AS DOUBLE)
             > {SLO_ERROR_TARGET} * cum.cum_events) AS budget_exhausted
     FROM daily JOIN cum ON cum.d = daily.day
+"""
+
+ORACLE["events_session_stats"] = """
+    WITH base AS (
+      SELECT user_id, epoch_us(ts) AS ts_us,
+             sum(CASE WHEN prev_us IS NULL
+                       OR ts_us0 - prev_us > 1800000000
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id
+                     ORDER BY ts_us0, event_id) AS session_id
+      FROM (
+        SELECT user_id, event_id, ts,
+               epoch_us(ts) AS ts_us0,
+               lag(epoch_us(ts)) OVER (
+                 PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ) AS prev_us
+        FROM events
+      )
+    ),
+    per AS (
+      SELECT user_id, session_id,
+             CAST(count(*) AS BIGINT) AS n_events,
+             max(ts_us) - min(ts_us) AS dur_us
+      FROM base GROUP BY 1, 2
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+           round(CAST(quantile_cont(n_events, 0.5) AS DOUBLE), 2)
+             AS p50_events,
+           round(CAST(quantile_cont(n_events, 0.9) AS DOUBLE), 2)
+             AS p90_events,
+           round(CAST(quantile_cont(dur_us, 0.5) AS DOUBLE) / 1000000.0, 3)
+             AS p50_duration_s,
+           round(CAST(quantile_cont(dur_us, 0.9) AS DOUBLE) / 1000000.0, 3)
+             AS p90_duration_s,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounce_sessions
+    FROM per
 """

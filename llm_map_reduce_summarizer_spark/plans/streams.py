@@ -908,7 +908,39 @@ def stream_ewma_control(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ewma_from_hourly(hourly)
 
 
+def stream_error_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SLO burn-down: the daily (events, errors) series
+    accumulates AT INGEST (one tumbling-day window agg — state =
+    days × 2 longs, calendar-bounded, never stream length), and the
+    cumulative burn computation runs post-drain on the days-bounded
+    snapshot via the exact batch computation
+    (`events.error_budget_from_daily`). Drain == batch
+    `events_error_budget`, whose oracle it shares.
+    """
+    from pyspark.sql import functions as F
+
+    from .events import error_budget_from_daily
+
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum((F.col("event_type") == "error").cast("int"))
+            .cast("long")
+            .alias("n_errors"),
+        )
+        .select(
+            F.col("window.start").alias("day"), "n_events", "n_errors"
+        )
+    )
+    daily = run_available_now(agg, output_mode="complete")
+    return error_budget_from_daily(daily)
+
+
 QUERIES = {
+    "stream_error_budget": stream_error_budget,
     "stream_ewma_control": stream_ewma_control,
     "stream_hourly": stream_hourly,
     "stream_sessionize": stream_sessionize,
@@ -938,6 +970,7 @@ QUERIES = {
 
 ORACLE = {
     "stream_ewma_control": _EVENTS_ORACLE["events_ewma_control"],
+    "stream_error_budget": _EVENTS_ORACLE["events_error_budget"],
     "stream_hourly": _EVENTS_ORACLE["events_hourly"],
     "stream_sessionize": _EVENTS_ORACLE["events_sessionize"],
     "stream_asof_view": _EVENTS_ORACLE["events_asof_view"],
