@@ -3743,6 +3743,115 @@ def corpus_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary overlap between sources: Jaccard similarity
+    of each source pair's term sets — the source-clustering input
+    (`corpus_source_divergence` scores each source against the corpus;
+    this says which sources resemble EACH OTHER, e.g. mirrors or
+    shared upstreams worth deduplicating jointly).
+
+    Scale: (source, term) distinct pairs are one natural-key shuffle;
+    the pair join is keyed on term, so compare volume is
+    Σ sources-per-term² — bounded by the SOURCES dimension squared
+    per term, never terms²; set sizes broadcast back; Jaccard is an
+    exact integer ratio.
+    """
+    from ..functions.hashing import words
+
+    d = _docs(spark, sf_dir)
+    st = d.select(
+        "source", F.explode(words(F.col("text"))).alias("term")
+    ).distinct()
+    sizes = st.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms")
+    )
+    a = st.select("term", F.col("source").alias("sa"))
+    b = st.select("term", F.col("source").alias("sb"))
+    inter = (
+        a.join(b, "term")
+        .filter(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    j = (
+        inter.join(
+            F.broadcast(
+                sizes.select(
+                    F.col("source").alias("sa"),
+                    F.col("n_terms").alias("na"),
+                )
+            ),
+            "sa",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(
+                    F.col("source").alias("sb"),
+                    F.col("n_terms").alias("nb"),
+                )
+            ),
+            "sb",
+        )
+    )
+    return j.select(
+        F.col("sa").alias("source_a"),
+        F.col("sb").alias("source_b"),
+        "n_common",
+        quantize(
+            F.col("n_common").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_common")),
+            6,
+        ).alias("jaccard"),
+    )
+
+
+COS_HIST_STRIDES = (1, 17)
+
+
+def emb_cosine_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise-cosine health histogram: the distribution of cosine
+    similarity over deterministic stride pairs (vec_id, vec_id+1) and
+    (vec_id, vec_id+17) — the embedding-collapse diagnostic (a healthy
+    space concentrates near 0; mass near 1 means near-duplicate or
+    collapsed embeddings; the companion to `emb_norm_audit`'s scale
+    check). Stride sampling reads O(n) pairs, not n².
+
+    Scale: each stride is a co-keyed self-join on exact id arithmetic
+    (AQE-decided), cosines via the ordered fold-dot; the histogram is
+    a ≤40-cell partial agg with grid-exact bucket edges.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    outs = []
+    for stride in COS_HIST_STRIDES:
+        other = emb.select(
+            (F.col("vec_id") - stride).alias("vec_id"),
+            F.col("embedding").alias("emb_b"),
+        )
+        pairs = emb.join(other, "vec_id")
+        cos = quantize(
+            dot(F.col("embedding"), F.col("emb_b"))
+            / (
+                F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+                * F.sqrt(dot(F.col("emb_b"), F.col("emb_b")))
+            ),
+            6,
+        )
+        outs.append(
+            pairs.select(
+                F.lit(stride).cast("long").alias("stride"),
+                F.floor(cos * 10).cast("long").alias("bucket"),
+            )
+        )
+    u = outs[0]
+    for o in outs[1:]:
+        u = u.unionByName(o)
+    return u.groupBy("stride", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+
+
 def corpus_boilerplate_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boilerplate rate per source: the share of each source's 3-gram
     word windows that also appear in at least one OTHER document
@@ -4138,6 +4247,8 @@ QUERIES = {
     "corpus_split_leakage": corpus_split_leakage,
     "corpus_ngram_coverage": corpus_ngram_coverage,
     "corpus_boilerplate_rate": corpus_boilerplate_rate,
+    "corpus_source_overlap": corpus_source_overlap,
+    "emb_cosine_hist": emb_cosine_hist,
 }
 
 
@@ -6831,4 +6942,52 @@ ORACLE["corpus_boilerplate_rate"] = f"""
     JOIN dfreq USING (s)
     JOIN documents d USING (doc_id)
     GROUP BY 1
+"""
+
+ORACLE["corpus_source_overlap"] = f"""
+    WITH st AS (
+      SELECT DISTINCT source,
+             unnest({SQL_WORDS.format(c='text')}) AS term
+      FROM documents
+    ),
+    sizes AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_terms
+      FROM st GROUP BY 1
+    ),
+    inter AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(count(*) AS BIGINT) AS n_common
+      FROM st a JOIN st b ON a.term = b.term AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT i.source_a, i.source_b, i.n_common,
+           {sql_quantize(
+               'CAST(i.n_common AS DOUBLE)'
+               ' / (sa.n_terms + sb.n_terms - i.n_common)', 6)}
+             AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.source_a
+    JOIN sizes sb ON sb.source = i.source_b
+"""
+
+_COS_AB = (
+    f"({sql_dot('a.embedding', 'b.embedding')}"
+    f" / (sqrt({sql_dot('a.embedding', 'a.embedding')})"
+    f" * sqrt({sql_dot('b.embedding', 'b.embedding')})))"
+)
+
+ORACLE["emb_cosine_hist"] = f"""
+    WITH pairs AS (
+        SELECT CAST(1 AS BIGINT) AS stride,
+               {sql_quantize(_COS_AB, 6)} AS cos
+        FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+      UNION ALL
+        SELECT CAST(17 AS BIGINT) AS stride,
+               {sql_quantize(_COS_AB, 6)} AS cos
+        FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 17
+    )
+    SELECT stride,
+           CAST(floor(cos * 10) AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM pairs GROUP BY 1, 2
 """

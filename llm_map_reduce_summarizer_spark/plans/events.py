@@ -1752,6 +1752,14 @@ def events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_events"),
         (F.max("ts_us") - F.min("ts_us")).alias("dur_us"),
     )
+    return session_stats_from_per(per)
+
+
+def session_stats_from_per(per: DataFrame) -> DataFrame:
+    """The distribution rollup over a per-session (n_events, dur_us)
+    table — shared by the batch query and the streaming drain
+    (`stream_session_stats` gets the same per-session pairs from the
+    incremental sessionizer's state)."""
     return per.agg(
         F.count(F.lit(1)).cast("long").alias("n_sessions"),
         F.round(F.expr("percentile(n_events, 0.5)"), 2).alias(

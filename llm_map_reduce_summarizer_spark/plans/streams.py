@@ -939,7 +939,29 @@ def stream_error_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return error_budget_from_daily(daily)
 
 
+def stream_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session-shape distribution: the incremental
+    sessionizer's per-session state (n_events, duration_us) IS the
+    per-session table — the drain collapses update rows to final
+    states (sessions-bounded) and runs the exact batch rollup
+    (`events.session_stats_from_per`). Drain == batch
+    `events_session_stats`, whose oracle it shares.
+    """
+    from pyspark.sql import functions as F
+
+    from ..streaming.stream_ops import latest_sessions, sessionize_stream
+    from .events import session_stats_from_per
+
+    ev = read_events_stream(spark, sf_dir)
+    updates = run_available_now(sessionize_stream(ev), output_mode="update")
+    per = latest_sessions(updates).select(
+        "n_events", F.col("duration_us").alias("dur_us")
+    )
+    return session_stats_from_per(per)
+
+
 QUERIES = {
+    "stream_session_stats": stream_session_stats,
     "stream_error_budget": stream_error_budget,
     "stream_ewma_control": stream_ewma_control,
     "stream_hourly": stream_hourly,
@@ -971,6 +993,7 @@ QUERIES = {
 ORACLE = {
     "stream_ewma_control": _EVENTS_ORACLE["events_ewma_control"],
     "stream_error_budget": _EVENTS_ORACLE["events_error_budget"],
+    "stream_session_stats": _EVENTS_ORACLE["events_session_stats"],
     "stream_hourly": _EVENTS_ORACLE["events_hourly"],
     "stream_sessionize": _EVENTS_ORACLE["events_sessionize"],
     "stream_asof_view": _EVENTS_ORACLE["events_asof_view"],
