@@ -3137,6 +3137,45 @@ def multimodal_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MM_ENTROPY_MIN = 1.0  # bits; below ⇒ near-constant bytes (padding/truncation)
+
+
+def multimodal_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media-column integrity report per (fake) format: payload count,
+    suspect count/rate (zero-byte OR byte-entropy below 1 bit — the
+    all-padding / truncated-file signature), and the entropy/size
+    envelope — the codec-free triage a 100 TB media ingest prints
+    before paying for real decode (41 gives per-file metadata, 42e
+    gives per-file entropy; this is the per-format verdict rollup).
+
+    Scale: composes two doc_id-keyed signal tables (AQE-decided
+    co-partitioned join), then ONE formats-bounded rollup; suspect
+    logic is exact comparisons on grid-quantized entropy.
+    """
+    meta = multimodal_meta(spark, sf_dir).select(
+        "doc_id", "n_bytes", "fake_format"
+    )
+    ent = multimodal_entropy(spark, sf_dir).select(
+        "doc_id", "byte_entropy_bits"
+    )
+    j = meta.join(ent, "doc_id")
+    suspect = (F.col("n_bytes") == 0) | (
+        F.col("byte_entropy_bits") < MM_ENTROPY_MIN
+    )
+    return j.groupBy("fake_format").agg(
+        F.count(F.lit(1)).cast("long").alias("n_payloads"),
+        F.sum(suspect.cast("int")).cast("long").alias("n_suspect"),
+        quantize(
+            F.sum(suspect.cast("int")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("suspect_rate"),
+        quantize(F.avg("byte_entropy_bits"), 4).alias("mean_entropy"),
+        F.min("n_bytes").alias("min_bytes"),
+        F.max("n_bytes").alias("max_bytes"),
+    )
+
+
 def corpus_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributional drift per source: Jensen-Shannon divergence (in
     bits) between each source's unigram distribution and the corpus
@@ -4249,6 +4288,7 @@ QUERIES = {
     "corpus_boilerplate_rate": corpus_boilerplate_rate,
     "corpus_source_overlap": corpus_source_overlap,
     "emb_cosine_hist": emb_cosine_hist,
+    "multimodal_integrity": multimodal_integrity,
 }
 
 
@@ -6990,4 +7030,25 @@ ORACLE["emb_cosine_hist"] = f"""
            CAST(floor(cos * 10) AS BIGINT) AS bucket,
            CAST(count(*) AS BIGINT) AS n_pairs
     FROM pairs GROUP BY 1, 2
+"""
+
+ORACLE["multimodal_integrity"] = f"""
+    WITH meta AS ({ORACLE['multimodal_meta']}),
+    ent AS ({ORACLE['multimodal_entropy']}),
+    j AS (
+      SELECT meta.fake_format, meta.n_bytes, ent.byte_entropy_bits,
+             CASE WHEN meta.n_bytes = 0
+                    OR ent.byte_entropy_bits < {MM_ENTROPY_MIN}
+                  THEN 1 ELSE 0 END AS suspect
+      FROM meta JOIN ent USING (doc_id)
+    )
+    SELECT fake_format,
+           CAST(count(*) AS BIGINT) AS n_payloads,
+           CAST(sum(suspect) AS BIGINT) AS n_suspect,
+           {sql_quantize('CAST(sum(suspect) AS DOUBLE) / count(*)', 6)}
+             AS suspect_rate,
+           {sql_quantize('avg(byte_entropy_bits)', 4)} AS mean_entropy,
+           min(n_bytes) AS min_bytes,
+           max(n_bytes) AS max_bytes
+    FROM j GROUP BY 1
 """
