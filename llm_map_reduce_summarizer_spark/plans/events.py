@@ -1861,6 +1861,14 @@ def events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    return stickiness_from_act(act)
+
+
+def stickiness_from_act(act: DataFrame) -> DataFrame:
+    """The DAU/WAU rollup over a distinct (day, user_id) activity
+    table — shared by the batch query and the streaming drain
+    (`stream_stickiness` gets the same distinct pairs from the
+    cohort-day ingest fold)."""
     dau = act.groupBy("day").agg(
         F.count(F.lit(1)).cast("long").alias("dau")
     )
@@ -1880,6 +1888,37 @@ def events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             quantize(F.col("dau").cast("double") / F.col("wau"), 6)
             .alias("stickiness"),
         )
+    )
+
+
+def events_forecast_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast model scorecard: the one-row evaluation of the
+    seasonal-naive backtest (`events_forecast_hourly`) — MAE, MAPE
+    (over non-zero actual hours), signed bias, and worst hour — the
+    summary a capacity-planning review reads before trusting (or
+    replacing) the baseline model.
+
+    Scale: composes the ≤24-row backtest table; the scorecard is one
+    more tiny aggregate — error sums run over grid-quantized values.
+    """
+    fc = events_forecast_hourly(spark, sf_dir)
+    return fc.agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        F.max("n_train_days").alias("n_train_days"),
+        quantize(F.avg("abs_err"), 4).alias("mae"),
+        quantize(
+            F.avg(
+                F.when(
+                    F.col("actual") > 0,
+                    F.col("abs_err") / F.col("actual"),
+                )
+            ),
+            6,
+        ).alias("mape_nonzero"),
+        quantize(
+            F.avg(F.col("forecast") - F.col("actual")), 4
+        ).alias("bias"),
+        quantize(F.max("abs_err"), 4).alias("worst_abs_err"),
     )
 
 
@@ -2155,6 +2194,7 @@ QUERIES = {
     "events_stickiness": events_stickiness,
     "events_error_budget": events_error_budget,
     "events_session_stats": events_session_stats,
+    "events_forecast_scorecard": events_forecast_scorecard,
     "events_mann_kendall": events_mann_kendall,
     "events_ab_welch": events_ab_welch,
     "events_retention_hourly": events_retention_hourly,
@@ -3352,4 +3392,17 @@ ORACLE["events_session_stats"] = """
            CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_bounce_sessions
     FROM per
+"""
+
+ORACLE["events_forecast_scorecard"] = f"""
+    WITH fc AS ({ORACLE['events_forecast_hourly']})
+    SELECT CAST(count(*) AS BIGINT) AS n_hours,
+           max(n_train_days) AS n_train_days,
+           {sql_quantize('avg(abs_err)', 4)} AS mae,
+           {sql_quantize(
+               'avg(CASE WHEN actual > 0'
+               ' THEN abs_err / actual END)', 6)} AS mape_nonzero,
+           {sql_quantize('avg(forecast - actual)', 4)} AS bias,
+           {sql_quantize('max(abs_err)', 4)} AS worst_abs_err
+    FROM fc
 """

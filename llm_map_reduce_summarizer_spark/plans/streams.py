@@ -960,7 +960,30 @@ def stream_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_stats_from_per(per)
 
 
+def stream_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming DAU/WAU stickiness: the cohort-day ingest fold's
+    appended pairs ARE the distinct (day, user) activity (each new
+    active day emits exactly once), so the drain feeds the exact
+    batch rollup (`events.stickiness_from_act`) with no extra state
+    op. Drain == batch `events_stickiness`, whose oracle it shares.
+    """
+    from pyspark.sql import functions as F
+
+    from ..streaming.stream_ops import cohort_days_stream
+    from .events import stickiness_from_act
+
+    ev = read_events_stream(spark, sf_dir)
+    pairs = run_available_now(
+        cohort_days_stream(ev), output_mode="append"
+    )
+    act = pairs.select(
+        F.timestamp_micros(F.col("day_us")).alias("day"), "user_id"
+    ).distinct()
+    return stickiness_from_act(act)
+
+
 QUERIES = {
+    "stream_stickiness": stream_stickiness,
     "stream_session_stats": stream_session_stats,
     "stream_error_budget": stream_error_budget,
     "stream_ewma_control": stream_ewma_control,
@@ -994,6 +1017,7 @@ ORACLE = {
     "stream_ewma_control": _EVENTS_ORACLE["events_ewma_control"],
     "stream_error_budget": _EVENTS_ORACLE["events_error_budget"],
     "stream_session_stats": _EVENTS_ORACLE["events_session_stats"],
+    "stream_stickiness": _EVENTS_ORACLE["events_stickiness"],
     "stream_hourly": _EVENTS_ORACLE["events_hourly"],
     "stream_sessionize": _EVENTS_ORACLE["events_sessionize"],
     "stream_asof_view": _EVENTS_ORACLE["events_asof_view"],
