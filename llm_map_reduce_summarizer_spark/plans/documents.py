@@ -3137,6 +3137,57 @@ def multimodal_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def knn_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality scorecard: for each approximate method (LSH
+    buckets, IVF probes), how many of its returned neighbors appear
+    in the brute-force top-k truth set — the recall/precision audit
+    that turns "the ANN tier works" from a unit-test claim into a
+    first-class, driver-checked query (the eval-as-operator pattern,
+    like `events_forecast_scorecard`).
+
+    Scale: composes three existing ANN plans; the truth join is a
+    left-semi on (query, neighbor) — result tables are queries×k
+    rows, so every stage after the ANN searches is tiny.
+    """
+    bf = knn_bruteforce(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+
+    def score(name: str, ap: DataFrame) -> DataFrame:
+        sel = ap.select("query_id", "neighbor_id")
+        hits = sel.join(bf, ["query_id", "neighbor_id"], "left_semi")
+        return (
+            sel.agg(
+                F.countDistinct("query_id").cast("long").alias(
+                    "n_queries"
+                ),
+                F.count(F.lit(1)).cast("long").alias("n_retrieved"),
+            )
+            .crossJoin(
+                F.broadcast(
+                    hits.agg(
+                        F.count(F.lit(1)).cast("long").alias("n_hits")
+                    )
+                )
+            )
+            .select(
+                F.lit(name).alias("method"),
+                "n_queries",
+                "n_retrieved",
+                "n_hits",
+                quantize(
+                    F.col("n_hits").cast("double")
+                    / F.col("n_retrieved"),
+                    6,
+                ).alias("hit_rate"),
+            )
+        )
+
+    return score("lsh", knn_lsh(spark, sf_dir)).unionByName(
+        score("ivf", knn_ivf(spark, sf_dir))
+    )
+
+
 MM_ENTROPY_MIN = 1.0  # bits; below ⇒ near-constant bytes (padding/truncation)
 
 
@@ -4289,6 +4340,7 @@ QUERIES = {
     "corpus_source_overlap": corpus_source_overlap,
     "emb_cosine_hist": emb_cosine_hist,
     "multimodal_integrity": multimodal_integrity,
+    "knn_recall_report": knn_recall_report,
 }
 
 
@@ -7051,4 +7103,39 @@ ORACLE["multimodal_integrity"] = f"""
            min(n_bytes) AS min_bytes,
            max(n_bytes) AS max_bytes
     FROM j GROUP BY 1
+"""
+
+ORACLE["knn_recall_report"] = f"""
+    WITH bf AS ({ORACLE['knn_bruteforce']}),
+    lsh AS ({ORACLE['knn_lsh']}),
+    ivf AS ({ORACLE['knn_ivf']}),
+    l AS (
+      SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries,
+             CAST(count(*) AS BIGINT) AS n_retrieved,
+             CAST(sum(CASE WHEN EXISTS (
+               SELECT 1 FROM bf
+               WHERE bf.query_id = lsh.query_id
+                 AND bf.neighbor_id = lsh.neighbor_id
+             ) THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+      FROM lsh
+    ),
+    i AS (
+      SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries,
+             CAST(count(*) AS BIGINT) AS n_retrieved,
+             CAST(sum(CASE WHEN EXISTS (
+               SELECT 1 FROM bf
+               WHERE bf.query_id = ivf.query_id
+                 AND bf.neighbor_id = ivf.neighbor_id
+             ) THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+      FROM ivf
+    )
+    SELECT 'lsh' AS method, n_queries, n_retrieved, n_hits,
+           {sql_quantize('CAST(n_hits AS DOUBLE) / n_retrieved', 6)}
+             AS hit_rate
+    FROM l
+    UNION ALL
+    SELECT 'ivf' AS method, n_queries, n_retrieved, n_hits,
+           {sql_quantize('CAST(n_hits AS DOUBLE) / n_retrieved', 6)}
+             AS hit_rate
+    FROM i
 """
