@@ -1891,6 +1891,45 @@ def stickiness_from_act(act: DataFrame) -> DataFrame:
     )
 
 
+def events_daily_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The daily ops dashboard as ONE query: per day — events, DAU,
+    stickiness (DAU/WAU), error share, cumulative SLO burn, and the
+    count of consensus-anomalous hours (≥2 detector votes) — the
+    composite a reliability/growth review opens with, stitched from
+    four driver-checked tiers instead of re-deriving any of them.
+
+    Scale: every input is already days/hours-bounded; the stitch is
+    three broadcast joins on the day key. Anomaly hours aggregate to
+    their day before joining.
+    """
+    st = events_stickiness(spark, sf_dir)
+    eb = events_error_budget(spark, sf_dir).select(
+        "day", "n_events", "n_errors", "error_share", "budget_burn"
+    )
+    an = (
+        events_anomaly_ensemble(spark, sf_dir)
+        .filter(F.col("votes") >= 2)
+        .groupBy(F.date_trunc("day", F.col("hour")).alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_anomaly_hours"))
+    )
+    return (
+        eb.join(F.broadcast(st), "day")
+        .join(F.broadcast(an), "day", "left")
+        .select(
+            "day",
+            "n_events",
+            "dau",
+            "stickiness",
+            "n_errors",
+            "error_share",
+            "budget_burn",
+            F.coalesce("n_anomaly_hours", F.lit(0))
+            .cast("long")
+            .alias("n_anomaly_hours"),
+        )
+    )
+
+
 def events_forecast_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forecast model scorecard: the one-row evaluation of the
     seasonal-naive backtest (`events_forecast_hourly`) — MAE, MAPE
@@ -2195,6 +2234,7 @@ QUERIES = {
     "events_error_budget": events_error_budget,
     "events_session_stats": events_session_stats,
     "events_forecast_scorecard": events_forecast_scorecard,
+    "events_daily_health": events_daily_health,
     "events_mann_kendall": events_mann_kendall,
     "events_ab_welch": events_ab_welch,
     "events_retention_hourly": events_retention_hourly,
@@ -3405,4 +3445,23 @@ ORACLE["events_forecast_scorecard"] = f"""
            {sql_quantize('avg(forecast - actual)', 4)} AS bias,
            {sql_quantize('max(abs_err)', 4)} AS worst_abs_err
     FROM fc
+"""
+
+ORACLE["events_daily_health"] = f"""
+    WITH st AS ({ORACLE['events_stickiness']}),
+    eb AS ({ORACLE['events_error_budget']}),
+    ens AS ({ORACLE['events_anomaly_ensemble']}),
+    an AS (
+      SELECT date_trunc('day', hour) AS day,
+             CAST(count(*) AS BIGINT) AS n_anomaly_hours
+      FROM ens WHERE votes >= 2
+      GROUP BY 1
+    )
+    SELECT eb.day, eb.n_events, st.dau, st.stickiness,
+           eb.n_errors, eb.error_share, eb.budget_burn,
+           CAST(coalesce(an.n_anomaly_hours, 0) AS BIGINT)
+             AS n_anomaly_hours
+    FROM eb
+    JOIN st ON st.day = eb.day
+    LEFT JOIN an ON an.day = eb.day
 """
