@@ -3849,9 +3849,16 @@ def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.hashing import words
 
     d = _docs(spark, sf_dir)
-    st = d.select(
-        "source", F.explode(words(F.col("text"))).alias("term")
-    ).distinct()
+    # three consumers (sizes + both self-join sides) — one eager
+    # localCheckpoint scans the corpus ONCE instead of per branch
+    # (the jaccard_pairs discipline)
+    st = (
+        d.select(
+            "source", F.explode(words(F.col("text"))).alias("term")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     sizes = st.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_terms")
     )

@@ -1900,7 +1900,11 @@ def events_daily_health(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: every input is already days/hours-bounded; the stitch is
     three broadcast joins on the day key. Anomaly hours aggregate to
-    their day before joining.
+    their day before joining. Composed as independent plans each tier
+    re-scans events; at 100 TB materialize the hourly/daily series
+    once and feed the factored helpers (`ewma_from_hourly`,
+    `error_budget_from_daily`, `stickiness_from_act`) — they exist
+    exactly so this dashboard costs ONE scan there.
     """
     st = events_stickiness(spark, sf_dir)
     eb = events_error_budget(spark, sf_dir).select(
@@ -1974,7 +1978,10 @@ def events_anomaly_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     ladder), one hour-keyed vote agg, one join back to the tiny
     hourly series; the global band uses EXACT integer moments, not
     engine stddev (whose online accumulation is float-order
-    sensitive).
+    sensitive). Composed as independent plans each detector re-scans
+    events; at 100 TB materialize the hourly series once and feed
+    `ewma_from_hourly` + the residual/global bands from it — one
+    scan, same outputs.
     """
     ev = load_table(spark, sf_dir, "events")
     hourly = ev.groupBy(
