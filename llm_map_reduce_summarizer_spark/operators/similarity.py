@@ -71,34 +71,64 @@ def cosine_topk_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: compare only within the query's LSH bucket.
+    """Approximate top-k: compare only within the query's LSH
+    sign-bucket, candidates UNIONED across KNN_BANDS independent
+    bands (staggered dim offsets) — the banding lifts recall from
+    ~p^bits to 1-(1-p^bits)^B for a true neighbor with per-plane
+    agreement p, the same trick `cosine_knn_graph` uses (measured by
+    `knn_recall_report`).
 
     The bit width adapts to corpus size (constant expected bucket
-    occupancy), so per-query compare volume stays ~constant instead of
-    growing as n/2^fixed_bits — true sublinear ANN per query.
+    occupancy), so per-query compare volume stays ~constant per band
+    instead of growing as n/2^fixed_bits — true sublinear ANN per
+    query. For corpus-scale self-joins use `cosine_knn_graph`'s
+    per-bucket dgemm shape; here the query set broadcasts.
     """
+    from ..functions.vectors import BAND_STRIDE, KNN_BANDS
+
     bits = adaptive_sign_bits(corpus.count())
-    q = _unit(queries, id_col, vec_col, "query_id").withColumn(
-        "bucket", sign_bucket(F.col("v_query_id"), n_bits=bits)
-    )
-    c = _unit(corpus, id_col, vec_col, "neighbor_id").withColumn(
-        "bucket", sign_bucket(F.col("v_neighbor_id"), n_bits=bits)
-    )
-    scored = (
-        F.broadcast(q)
-        .join(c, "bucket")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn(
-            "cos", quantize(dot(F.col("u_query_id"), F.col("u_neighbor_id")), 6)
+
+    def banded(df: DataFrame, name: str) -> DataFrame:
+        u = _unit(df, id_col, vec_col, name)
+        return u.select(
+            name,
+            f"u_{name}",
+            F.posexplode(
+                F.array(
+                    *[
+                        sign_bucket(
+                            F.col(f"v_{name}"),
+                            n_bits=bits,
+                            offset=band * BAND_STRIDE,
+                        )
+                        for band in range(KNN_BANDS)
+                    ]
+                )
+            ).alias("band", "bucket"),
         )
+
+    qb = banded(queries, "query_id")
+    cb = banded(corpus, "neighbor_id")
+    cand = (
+        F.broadcast(qb)
+        .join(cb, ["band", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            quantize(
+                dot(F.col("u_query_id"), F.col("u_neighbor_id")), 6
+            ).alias("cos"),
+        )
+        .distinct()  # cross-band dedup: cos is pair-deterministic
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")
     )
     return (
-        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        cand.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= k)
-        .select("query_id", "bucket", "neighbor_id", "cos", "rk")
+        .select("query_id", "neighbor_id", "cos", "rk")
     )
 
 

@@ -5168,21 +5168,23 @@ ORACLE = {
         WITH {sql_unit_cte()},
         {sql_adaptive_bits_cte('embeddings')},
         bq AS (
-          SELECT vec_id, u,
-                 {sql_sign_bucket_dynamic('embedding')} AS bucket
-          FROM unitv CROSS JOIN nb
-        )
-        SELECT query_id, bucket, neighbor_id, cos, rk FROM (
-          SELECT q.vec_id AS query_id, q.bucket,
-                 c.vec_id AS neighbor_id,
-                 (floor({sql_dot('q.u', 'c.u')} * 1000000.0 + 0.5) / 1000000.0) AS cos,
-                 row_number() OVER (
-                   PARTITION BY q.vec_id
-                   ORDER BY (floor({sql_dot('q.u', 'c.u')} * 1000000.0 + 0.5) / 1000000.0) DESC,
-                            c.vec_id
-                 ) AS rk
-          FROM bq q JOIN bq c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+{_BAND_SELECTS}
+        ),
+        cand AS (
+          SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 (floor({sql_dot('q.u', 'c.u')} * 1000000.0 + 0.5)
+                   / 1000000.0) AS cos
+          FROM bq q
+          JOIN bq c ON q.band = c.band AND q.bucket = c.bucket
+                   AND q.vec_id <> c.vec_id
           WHERE q.vec_id < {N_QUERY_VECS}
+        )
+        SELECT query_id, neighbor_id, cos, rk FROM (
+          SELECT query_id, neighbor_id, cos,
+                 row_number() OVER (
+                   PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+                 ) AS rk
+          FROM cand
         ) WHERE rk <= {LSH_K}
     """,
     "emb_buckets": f"""
