@@ -3722,12 +3722,16 @@ def doc_anova_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     f_stat = (ssb / (F.col("n_groups") - 1)) / (
         ssw / (F.col("n_docs") - F.col("n_groups"))
     )
+    # flat-case guards (the power_law_fit discipline): one group or a
+    # zero within-group variance makes F a 0/0 — answer NULL in both
+    # engines instead of an engine-dependent Inf/NaN
+    f_ok = (F.col("n_groups") > 1) & (ssw > 0)
     return roll.select(
         "n_docs",
         "n_groups",
         quantize(F.col("s") / F.col("n_docs"), 4).alias("mean_chars"),
-        quantize(f_stat, 4).alias("f_stat"),
-        quantize(ssb / sst, 6).alias("eta_squared"),
+        F.when(f_ok, quantize(f_stat, 4)).alias("f_stat"),
+        F.when(sst > 0, quantize(ssb / sst, 6)).alias("eta_squared"),
     )
 
 
@@ -6849,12 +6853,15 @@ ORACLE["doc_anova_length"] = f"""
     )
     SELECT n_docs, n_groups,
            {sql_quantize('s / n_docs', 4)} AS mean_chars,
-           {sql_quantize(
-               '((tb - s * s / n_docs) / (n_groups - 1))'
-               ' / ((q - tb) / (n_docs - n_groups))', 4)} AS f_stat,
-           {sql_quantize(
-               '(tb - s * s / n_docs) / (q - s * s / n_docs)', 6)}
-             AS eta_squared
+           CASE WHEN n_groups > 1 AND q - tb > 0
+                THEN {sql_quantize(
+                    '((tb - s * s / n_docs) / (n_groups - 1))'
+                    ' / ((q - tb) / (n_docs - n_groups))', 4)}
+           END AS f_stat,
+           CASE WHEN q - s * s / n_docs > 0
+                THEN {sql_quantize(
+                    '(tb - s * s / n_docs) / (q - s * s / n_docs)', 6)}
+           END AS eta_squared
     FROM roll
 """
 

@@ -2220,6 +2220,13 @@ def events_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
         se2_a * se2_a / (F.col("n_a") - 1)
         + se2_b * se2_b / (F.col("n_b") - 1)
     )
+    # flat-case guard: zero variance in both groups (or a group of
+    # size <2) makes t a 0/0 — NULL in both engines, never Inf/NaN
+    ok = (
+        (F.col("n_a") > 1)
+        & (F.col("n_b") > 1)
+        & (se2_a + se2_b > 0)
+    )
     return stats.select(
         F.lit(AB_GROUP_A).alias("group_a"),
         F.lit(AB_GROUP_B).alias("group_b"),
@@ -2227,9 +2234,11 @@ def events_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_b",
         quantize(m_a / 100.0, 4).alias("mean_a"),
         quantize(m_b / 100.0, 4).alias("mean_b"),
-        quantize(t, 4).alias("t_stat"),
-        quantize(df, 2).alias("df_welch"),
-        (F.abs(quantize(t, 4)) > MK_CRIT_95).alias("significant_95"),
+        F.when(ok, quantize(t, 4)).alias("t_stat"),
+        F.when(ok, quantize(df, 2)).alias("df_welch"),
+        F.when(ok, F.abs(quantize(t, 4)) > MK_CRIT_95).alias(
+            "significant_95"
+        ),
     )
 
 
@@ -3221,14 +3230,20 @@ ORACLE["events_ab_welch"] = f"""
            n_a, n_b,
            {sql_quantize('m_a / 100.0', 4)} AS mean_a,
            {sql_quantize('m_b / 100.0', 4)} AS mean_b,
-           {sql_quantize('(m_a - m_b) / sqrt(se2_a + se2_b)', 4)} AS t_stat,
-           {sql_quantize(
-               '((se2_a + se2_b) * (se2_a + se2_b))'
-               ' / (se2_a * se2_a / (n_a - 1)'
-               ' + se2_b * se2_b / (n_b - 1))', 2)} AS df_welch,
-           (abs({sql_quantize(
-               '(m_a - m_b) / sqrt(se2_a + se2_b)', 4)}) > 1.96)
-             AS significant_95
+           CASE WHEN n_a > 1 AND n_b > 1 AND se2_a + se2_b > 0
+                THEN {sql_quantize(
+                    '(m_a - m_b) / sqrt(se2_a + se2_b)', 4)}
+           END AS t_stat,
+           CASE WHEN n_a > 1 AND n_b > 1 AND se2_a + se2_b > 0
+                THEN {sql_quantize(
+                    '((se2_a + se2_b) * (se2_a + se2_b))'
+                    ' / (se2_a * se2_a / (n_a - 1)'
+                    ' + se2_b * se2_b / (n_b - 1))', 2)}
+           END AS df_welch,
+           CASE WHEN n_a > 1 AND n_b > 1 AND se2_a + se2_b > 0
+                THEN (abs({sql_quantize(
+                    '(m_a - m_b) / sqrt(se2_a + se2_b)', 4)}) > 1.96)
+           END AS significant_95
     FROM m
 """
 

@@ -213,3 +213,55 @@ def test_abc_classification_invariants(spark):
     # top-revenue parts are never class C while tail parts are never A
     assert df.iloc[0].abc_class == "A"
     assert df.iloc[-1].abc_class == "C"
+
+
+def test_flat_corpus_guards(spark, tmp_path):
+    """Degenerate inputs must yield NULL statistics in BOTH engines,
+    never an engine-dependent Inf/NaN: constant doc lengths (SSW=0)
+    for ANOVA, constant values (zero variance) for Welch."""
+    import duckdb
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(10),
+            "text": ["alpha beta gamma"] * 10,
+            "lang": ["en", "fr"] * 5,
+            "source": ["s0"] * 10,
+            "n_chars": [16] * 10,
+        }
+    )
+    ev = pd.DataFrame(
+        {
+            "event_id": range(8),
+            "ts": pd.date_range("2024-01-01", periods=8, freq="1h"),
+            "user_id": [1, 2] * 4,
+            "event_type": ["purchase", "click"] * 4,
+            "value": [5.0] * 8,
+            "props": ["{}"] * 8,
+        }
+    )
+    docs.to_parquet(tmp_path / "documents.parquet")
+    ev.to_parquet(tmp_path / "events.parquet")
+    sf = str(tmp_path)
+
+    row = QUERIES["doc_anova_length"](spark, sf).toPandas().iloc[0]
+    assert row["n_docs"] == 10 and row["n_groups"] == 2
+    assert pd.isna(row["f_stat"]) and pd.isna(row["eta_squared"])
+
+    row = QUERIES["events_ab_welch"](spark, sf).toPandas().iloc[0]
+    assert row["n_a"] == 4 and row["n_b"] == 4
+    assert pd.isna(row["t_stat"]) and pd.isna(row["df_welch"])
+
+    # the DuckDB twins agree on the NULL verdicts
+    con = duckdb.connect()
+    for t in ["documents", "events"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'"
+        )
+    import __spark_entry__ as em
+
+    osql = em.oracle_sql()
+    d = con.execute(osql["doc_anova_length"]).df().iloc[0]
+    assert pd.isna(d["f_stat"]) and pd.isna(d["eta_squared"])
+    w = con.execute(osql["events_ab_welch"]).df().iloc[0]
+    assert pd.isna(w["t_stat"]) and pd.isna(w["df_welch"])
