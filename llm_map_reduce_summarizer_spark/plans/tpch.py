@@ -863,12 +863,15 @@ def orders_abc_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-part class a planner acts on).
 
     Scale: revenue per part is one partkey-keyed partial agg of exact
-    cent integers; the cumulative rank runs over the PARTS-CATALOG-
-    bounded table via the broadcast total-order self-join (catalog²,
-    never lineitem²) — catalog size is a dimension, not a fact
-    volume; at mega-catalogs swap the exact rank for quantile
-    thresholds (same output contract).
+    cent integers; the cumulative revenue in (rev DESC, key) rank
+    order runs through `operators/scan.with_prefix_sums` — the
+    two-pass distributed scan (one range exchange + per-partition
+    local sums + a #partitions-row offset broadcast), LINEAR in
+    catalog size where the naive total-order self-join is catalog²
+    (measured 6 s → sub-second at sf0.1 by the swap).
     """
+    from ..operators.scan import with_prefix_sums
+
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey",
         F.round(F.col("l_extendedprice") * 100)
@@ -879,26 +882,17 @@ def orders_abc_class(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("rev_c").cast("long").alias("rev")
     )
     tot = per.agg(F.sum("rev").cast("long").alias("total_rev"))
-    a = per.select(
-        F.col("l_partkey").alias("pk"), F.col("rev").alias("rv")
+    base = per.withColumn("neg_rev", -F.col("rev"))
+    scanned = with_prefix_sums(
+        base, "neg_rev", {"cum_prev": "rev"}, tie_cols=["l_partkey"]
     )
-    cum = (
-        a.join(
-            F.broadcast(per),
-            (F.col("rev") > F.col("rv"))
-            | (
-                (F.col("rev") == F.col("rv"))
-                & (F.col("l_partkey") <= F.col("pk"))
-            ),
-        )
-        .groupBy("pk", "rv")
-        .agg(F.sum("rev").cast("long").alias("cum_rev"))
-    )
-    j = cum.crossJoin(F.broadcast(tot))
+    j = scanned.withColumn(
+        "cum_rev", F.col("cum_prev") + F.col("rev")
+    ).crossJoin(F.broadcast(tot))
     share = F.col("cum_rev").cast("double") / F.col("total_rev")
     return j.select(
-        F.col("pk").alias("l_partkey"),
-        quantize(F.col("rv") / 100.0, 2).alias("revenue"),
+        "l_partkey",
+        quantize(F.col("rev") / 100.0, 2).alias("revenue"),
         quantize(share, 6).alias("cum_share"),
         F.when(quantize(share, 6) <= ABC_A_CUT, "A")
         .when(quantize(share, 6) <= ABC_B_CUT, "B")
