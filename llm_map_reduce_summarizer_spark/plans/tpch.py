@@ -851,6 +851,43 @@ def parts_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(COPURCHASE_TOPK)
 
 
+def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue with year-over-year growth: each month's order
+    revenue beside the same month one year earlier and the YoY % —
+    the first chart of every revenue review, done without a lag
+    window (the months-bounded self-join IS the lag at calendar
+    scale).
+
+    Scale: ONE month partial agg of exact cent integers off the fact
+    table; the YoY join and growth arithmetic run on the
+    months-bounded series (broadcast); growth is NULL for months
+    with no prior-year twin, never a fake 0.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("rev_c"),
+    )
+    m = o.groupBy("month").agg(
+        F.sum("rev_c").cast("long").alias("rev"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+    )
+    prior = m.select(
+        (F.col("month") + F.expr("INTERVAL 12 MONTHS")).alias("month"),
+        F.col("rev").alias("rev_prior"),
+    )
+    return m.join(F.broadcast(prior), "month", "left").select(
+        "month",
+        "n_orders",
+        quantize(F.col("rev") / 100.0, 2).alias("revenue"),
+        quantize(F.col("rev_prior") / 100.0, 2).alias("revenue_prior_year"),
+        quantize(
+            (F.col("rev") - F.col("rev_prior")).cast("double")
+            / F.col("rev_prior"),
+            6,
+        ).alias("yoy_growth"),
+    )
+
+
 ABC_A_CUT = 0.80
 ABC_B_CUT = 0.95
 
@@ -1857,6 +1894,7 @@ QUERIES = {
     "orders_pvm_bridge": orders_pvm_bridge,
     "customer_segment_migration": customer_segment_migration,
     "orders_abc_class": orders_abc_class,
+    "orders_yoy_growth": orders_yoy_growth,
     "customer_rfm": customer_rfm,
     "supplier_scorecard": supplier_scorecard,
     "orders_pareto": orders_pareto,
@@ -2826,4 +2864,21 @@ ORACLE["orders_abc_class"] = f"""
                   <= {ABC_B_CUT} THEN 'B'
                 ELSE 'C' END AS abc_class
     FROM cum, tot
+"""
+
+ORACLE["orders_yoy_growth"] = f"""
+    WITH m AS (
+      SELECT date_trunc('month', o_orderdate) AS month,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+               AS BIGINT) AS rev,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1
+    )
+    SELECT a.month, a.n_orders,
+           {sql_quantize('a.rev / 100.0', 2)} AS revenue,
+           {sql_quantize('b.rev / 100.0', 2)} AS revenue_prior_year,
+           {sql_quantize(
+               'CAST(a.rev - b.rev AS DOUBLE) / b.rev', 6)} AS yoy_growth
+    FROM m a
+    LEFT JOIN m b ON a.month = b.month + INTERVAL 12 MONTHS
 """
