@@ -851,6 +851,77 @@ def parts_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(COPURCHASE_TOPK)
 
 
+def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Net trade balance per nation over CROSS-nation flows: export
+    revenue (this nation supplied a foreign customer) vs import
+    revenue (this nation's customers bought foreign supply) and the
+    net — the macro rollup of Q7's pair-level volume table (Q7 reads
+    one nation pair; this ranks every nation as net exporter or
+    importer).
+
+    Scale: nation dims broadcast onto the fact joins (the Q7 shape);
+    ONE (nation, direction) partial agg of exact cent integers in
+    decimal(38,0) accumulators; the pivot runs on the nations-bounded
+    table.
+    """
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    flows = (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("long")
+            .alias("rev_c"),
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    exp = flows.groupBy(F.col("supp_nation").alias("nation")).agg(
+        F.sum(F.col("rev_c").cast("decimal(38,0)"))
+        .cast("double")
+        .alias("exp_c")
+    )
+    imp = flows.groupBy(F.col("cust_nation").alias("nation")).agg(
+        F.sum(F.col("rev_c").cast("decimal(38,0)"))
+        .cast("double")
+        .alias("imp_c")
+    )
+    return (
+        exp.join(imp, "nation", "full_outer")
+        .select(
+            "nation",
+            quantize(F.coalesce(F.col("exp_c"), F.lit(0.0)) / 100.0, 2)
+            .alias("exports"),
+            quantize(F.coalesce(F.col("imp_c"), F.lit(0.0)) / 100.0, 2)
+            .alias("imports"),
+            quantize(
+                (
+                    F.coalesce(F.col("exp_c"), F.lit(0.0))
+                    - F.coalesce(F.col("imp_c"), F.lit(0.0))
+                )
+                / 100.0,
+                2,
+            ).alias("net_balance"),
+        )
+    )
+
+
 def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Monthly revenue with year-over-year growth: each month's order
     revenue beside the same month one year earlier and the YoY % —
@@ -1895,6 +1966,7 @@ QUERIES = {
     "customer_segment_migration": customer_segment_migration,
     "orders_abc_class": orders_abc_class,
     "orders_yoy_growth": orders_yoy_growth,
+    "nation_trade_balance": nation_trade_balance,
     "customer_rfm": customer_rfm,
     "supplier_scorecard": supplier_scorecard,
     "orders_pareto": orders_pareto,
@@ -2881,4 +2953,35 @@ ORACLE["orders_yoy_growth"] = f"""
                'CAST(a.rev - b.rev AS DOUBLE) / b.rev', 6)} AS yoy_growth
     FROM m a
     LEFT JOIN m b ON a.month = b.month + INTERVAL 12 MONTHS
+"""
+
+ORACLE["nation_trade_balance"] = f"""
+    WITH flows AS (
+      SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+             CAST(round(l.l_extendedprice * 100) AS BIGINT) AS rev_c
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+      WHERE sn.n_name <> cn.n_name
+    ),
+    exp AS (
+      SELECT supp_nation AS nation, CAST(sum(rev_c) AS DOUBLE) AS exp_c
+      FROM flows GROUP BY 1
+    ),
+    imp AS (
+      SELECT cust_nation AS nation, CAST(sum(rev_c) AS DOUBLE) AS imp_c
+      FROM flows GROUP BY 1
+    )
+    SELECT coalesce(exp.nation, imp.nation) AS nation,
+           {sql_quantize('coalesce(exp.exp_c, 0.0) / 100.0', 2)}
+             AS exports,
+           {sql_quantize('coalesce(imp.imp_c, 0.0) / 100.0', 2)}
+             AS imports,
+           {sql_quantize(
+               '(coalesce(exp.exp_c, 0.0) - coalesce(imp.imp_c, 0.0))'
+               ' / 100.0', 2)} AS net_balance
+    FROM exp FULL JOIN imp ON imp.nation = exp.nation
 """

@@ -265,3 +265,12 @@ def test_flat_corpus_guards(spark, tmp_path):
     assert pd.isna(d["f_stat"]) and pd.isna(d["eta_squared"])
     w = con.execute(osql["events_ab_welch"]).df().iloc[0]
     assert pd.isna(w["t_stat"]) and pd.isna(w["df_welch"])
+
+
+def test_trade_balance_conservation(spark):
+    """Cross-nation flows are zero-sum: every export is someone's
+    import, so net balances must sum to 0 exactly (cents grid)."""
+    df = QUERIES["nation_trade_balance"](spark, SF_SMOKE).toPandas()
+    assert len(df) > 0
+    assert abs(df.net_balance.sum()) < 0.01
+    assert abs(df.exports.sum() - df.imports.sum()) < 0.01
