@@ -2157,6 +2157,95 @@ def events_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_value_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis rank test of event value across ALL event
+    types: the nonparametric k-sample location test (Welch compares
+    two means assuming roughly-normal; this compares k distributions
+    by rank, robust to the heavy tails transaction values actually
+    have). Tie-corrected H with the chi²(k−1) normal-approximation
+    verdict at 95%.
+
+    Scale: values live on the cent grid, so midranks are EXACT
+    integers (2·midrank = 2·cum_before + m + 1) computed from the
+    VALUE-bounded distinct-value histogram (V² broadcast self-join —
+    the KS/Gini idiom, never events²); per-group rank sums accumulate
+    in decimal(38,0); H and the tie factor are one final double
+    expression each.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("vq"),
+    )
+    cell = ev.groupBy("vq", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("ng")
+    )
+    hist = cell.groupBy("vq").agg(F.sum("ng").cast("long").alias("m"))
+    a = hist.select(F.col("vq").alias("v"), F.col("m").alias("mv"))
+    cum = (
+        a.join(F.broadcast(hist), F.col("vq") < F.col("v"))
+        .groupBy("v", "mv")
+        .agg(F.sum("m").cast("long").alias("c"))
+        .select(
+            F.col("v").alias("vq"),
+            (2 * F.col("c") + F.col("mv") + 1).alias("r2"),  # 2·midrank
+        )
+    )
+    # smallest value has no predecessors: c = 0
+    base = hist.join(F.broadcast(cum), "vq", "left").select(
+        "vq",
+        F.coalesce(F.col("r2"), F.col("m") + 1).alias("r2"),
+    )
+    grp = (
+        cell.join(F.broadcast(base), "vq")
+        .groupBy("event_type")
+        .agg(
+            F.sum("ng").cast("long").alias("n_g"),
+            F.sum((F.col("ng") * F.col("r2")).cast("decimal(38,0)"))
+            .cast("double")
+            .alias("r2_g"),
+        )
+    )
+    ties = hist.agg(
+        F.sum(
+            (F.col("m") * F.col("m") * F.col("m") - F.col("m")).cast(
+                "decimal(38,0)"
+            )
+        )
+        .cast("double")
+        .alias("tie_sum"),
+        F.sum("m").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_values"),
+    )
+    roll = grp.agg(
+        F.count(F.lit(1)).cast("long").alias("k_groups"),
+        F.sum(
+            F.col("r2_g") * F.col("r2_g") / (4.0 * F.col("n_g"))
+        ).alias("srr"),
+    ).crossJoin(F.broadcast(ties))
+    h_raw = (
+        12.0 * F.col("srr") / (F.col("n") * (F.col("n") + 1.0))
+        - 3.0 * (F.col("n") + 1.0)
+    )
+    tie_corr = 1.0 - F.col("tie_sum") / (
+        F.col("n").cast("double") * F.col("n") * F.col("n") - F.col("n")
+    )
+    h = h_raw / tie_corr
+    # chi-square 95% critical values for k-1 = 1..9 dof
+    crit = F.when(F.col("k_groups") == 2, 3.8415).when(
+        F.col("k_groups") == 3, 5.9915
+    ).when(F.col("k_groups") == 4, 7.8147).when(
+        F.col("k_groups") == 5, 9.4877
+    ).when(F.col("k_groups") == 6, 11.0705).otherwise(F.lit(None))
+    return roll.select(
+        F.col("n").alias("n_events"),
+        "k_groups",
+        "n_values",
+        quantize(h, 4).alias("h_stat"),
+        quantize(tie_corr, 6).alias("tie_correction"),
+        (quantize(h, 4) > crit).alias("significant_95"),
+    )
+
+
 AB_GROUP_A = "purchase"
 AB_GROUP_B = "click"
 
@@ -2253,6 +2342,7 @@ QUERIES = {
     "events_daily_health": events_daily_health,
     "events_mann_kendall": events_mann_kendall,
     "events_ab_welch": events_ab_welch,
+    "events_value_kruskal": events_value_kruskal,
     "events_retention_hourly": events_retention_hourly,
     "events_dau": events_dau,
     "events_dau_approx": events_dau_approx,
@@ -3486,4 +3576,67 @@ ORACLE["events_daily_health"] = f"""
     FROM eb
     JOIN st ON st.day = eb.day
     LEFT JOIN an ON an.day = eb.day
+"""
+
+ORACLE["events_value_kruskal"] = f"""
+    WITH ev AS (
+      SELECT event_type,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS vq
+      FROM events
+    ),
+    cell AS (
+      SELECT vq, event_type, CAST(count(*) AS BIGINT) AS ng
+      FROM ev GROUP BY 1, 2
+    ),
+    hist AS (
+      SELECT vq, CAST(sum(ng) AS BIGINT) AS m FROM cell GROUP BY 1
+    ),
+    cum AS (
+      SELECT a.vq, CAST(2 * sum(b.m) + a.m + 1 AS BIGINT) AS r2
+      FROM hist a JOIN hist b ON b.vq < a.vq
+      GROUP BY a.vq, a.m
+    ),
+    base AS (
+      SELECT hist.vq,
+             CAST(coalesce(cum.r2, hist.m + 1) AS BIGINT) AS r2
+      FROM hist LEFT JOIN cum USING (vq)
+    ),
+    grp AS (
+      SELECT cell.event_type,
+             CAST(sum(cell.ng) AS BIGINT) AS n_g,
+             CAST(sum(cell.ng * base.r2) AS DOUBLE) AS r2_g
+      FROM cell JOIN base USING (vq)
+      GROUP BY 1
+    ),
+    ties AS (
+      SELECT CAST(sum(m * m * m - m) AS DOUBLE) AS tie_sum,
+             CAST(sum(m) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS n_values
+      FROM hist
+    ),
+    roll AS (
+      SELECT CAST(count(*) AS BIGINT) AS k_groups,
+             sum(r2_g * r2_g / (4.0 * n_g)) AS srr
+      FROM grp
+    )
+    SELECT ties.n AS n_events,
+           roll.k_groups,
+           ties.n_values,
+           {sql_quantize(
+               '(12.0 * roll.srr / (ties.n * (ties.n + 1.0))'
+               ' - 3.0 * (ties.n + 1.0))'
+               ' / (1.0 - ties.tie_sum / (CAST(ties.n AS DOUBLE)'
+               ' * ties.n * ties.n - ties.n))', 4)} AS h_stat,
+           {sql_quantize(
+               '1.0 - ties.tie_sum / (CAST(ties.n AS DOUBLE)'
+               ' * ties.n * ties.n - ties.n)', 6)} AS tie_correction,
+           ({sql_quantize(
+               '(12.0 * roll.srr / (ties.n * (ties.n + 1.0))'
+               ' - 3.0 * (ties.n + 1.0))'
+               ' / (1.0 - ties.tie_sum / (CAST(ties.n AS DOUBLE)'
+               ' * ties.n * ties.n - ties.n))', 4)}
+            > CASE roll.k_groups WHEN 2 THEN 3.8415 WHEN 3 THEN 5.9915
+                WHEN 4 THEN 7.8147 WHEN 5 THEN 9.4877
+                WHEN 6 THEN 11.0705 END) AS significant_95
+    FROM roll, ties
 """

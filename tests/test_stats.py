@@ -274,3 +274,28 @@ def test_trade_balance_conservation(spark):
     assert len(df) > 0
     assert abs(df.net_balance.sum()) < 0.01
     assert abs(df.exports.sum() - df.imports.sum()) < 0.01
+
+
+def test_kruskal_matches_numpy(spark):
+    row = (
+        QUERIES["events_value_kruskal"](spark, SF_SMOKE)
+        .toPandas()
+        .iloc[0]
+    )
+    ev = _events()
+    v = np.floor(ev["value"].to_numpy() * 100 + 0.5)
+    r = pd.Series(v).rank(method="average").to_numpy()
+    n = len(v)
+    srr = sum(
+        r[ev.event_type.to_numpy() == g].sum() ** 2
+        / (ev.event_type == g).sum()
+        for g in ev.event_type.unique()
+    )
+    h = 12.0 / (n * (n + 1)) * srr - 3 * (n + 1)
+    _, counts = np.unique(v, return_counts=True)
+    corr = 1 - (counts**3 - counts).sum() / (n**3 - n)
+    h /= corr
+    assert row["n_events"] == n
+    assert row["k_groups"] == ev.event_type.nunique()
+    assert _close(row["h_stat"], h)
+    assert _close(row["tie_correction"], corr)
