@@ -3137,6 +3137,49 @@ def multimodal_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_ref_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit between the documents table and its
+    embedding side-table: row counts, matched ids, and orphans on
+    each side — the join-health gate a pipeline runs before any
+    doc⋈embedding stage (a silent orphan population skews every
+    downstream per-doc metric and wastes ANN compute on unreachable
+    vectors).
+
+    Scale: two id projections, ONE full-outer join on the id key
+    (AQE-decided), one 1-row count rollup — all exact integers.
+    """
+    d = _docs(spark, sf_dir).select(F.col("doc_id").alias("id"))
+    e = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"), F.lit(1).alias("has_vec")
+    )
+    j = d.withColumn("has_doc", F.lit(1)).join(e, "id", "full_outer")
+    return j.agg(
+        F.sum(F.coalesce("has_doc", F.lit(0)))
+        .cast("long")
+        .alias("n_docs"),
+        F.sum(F.coalesce("has_vec", F.lit(0)))
+        .cast("long")
+        .alias("n_vecs"),
+        F.sum(
+            (
+                F.col("has_doc").isNotNull()
+                & F.col("has_vec").isNotNull()
+            ).cast("int")
+        )
+        .cast("long")
+        .alias("n_matched"),
+        F.sum(F.col("has_vec").isNull().cast("int"))
+        .cast("long")
+        .alias("docs_without_vec"),
+        F.sum(F.col("has_doc").isNull().cast("int"))
+        .cast("long")
+        .alias("vecs_without_doc"),
+        (
+            F.sum(F.col("has_vec").isNull().cast("int")) == 0
+        ).alias("docs_fully_covered"),
+    )
+
+
 def knn_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN quality scorecard: for each approximate method (LSH
     buckets, IVF probes), how many of its returned neighbors appear
@@ -4352,6 +4395,7 @@ QUERIES = {
     "emb_cosine_hist": emb_cosine_hist,
     "multimodal_integrity": multimodal_integrity,
     "knn_recall_report": knn_recall_report,
+    "corpus_ref_integrity": corpus_ref_integrity,
 }
 
 
@@ -7154,4 +7198,22 @@ ORACLE["knn_recall_report"] = f"""
            {sql_quantize('CAST(n_hits AS DOUBLE) / n_retrieved', 6)}
              AS hit_rate
     FROM i
+"""
+
+ORACLE["corpus_ref_integrity"] = """
+    WITH d AS (SELECT doc_id AS id, 1 AS has_doc FROM documents),
+    e AS (SELECT vec_id AS id, 1 AS has_vec FROM embeddings),
+    j AS (SELECT * FROM d FULL JOIN e USING (id))
+    SELECT CAST(sum(coalesce(has_doc, 0)) AS BIGINT) AS n_docs,
+           CAST(sum(coalesce(has_vec, 0)) AS BIGINT) AS n_vecs,
+           CAST(sum(CASE WHEN has_doc IS NOT NULL
+                          AND has_vec IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+           CAST(sum(CASE WHEN has_vec IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS docs_without_vec,
+           CAST(sum(CASE WHEN has_doc IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS vecs_without_doc,
+           (sum(CASE WHEN has_vec IS NULL THEN 1 ELSE 0 END) = 0)
+             AS docs_fully_covered
+    FROM j
 """
