@@ -2179,24 +2179,39 @@ def events_value_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell = ev.groupBy("vq", "event_type").agg(
         F.count(F.lit(1)).cast("long").alias("ng")
     )
+    return kruskal_from_cells(cell)
+
+
+def kruskal_from_cells(cell: DataFrame) -> DataFrame:
+    """The Kruskal-Wallis computation over a (vq, event_type, ng)
+    cell table — shared by the batch query and the streaming drain
+    (`stream_value_kruskal` accumulates the same value-grid-bounded
+    cells at ingest)."""
     hist = cell.groupBy("vq").agg(F.sum("ng").cast("long").alias("m"))
     a = hist.select(F.col("vq").alias("v"), F.col("m").alias("mv"))
+    b = hist.select(F.col("vq").alias("vb"), F.col("m").alias("mb"))
     cum = (
-        a.join(F.broadcast(hist), F.col("vq") < F.col("v"))
+        a.join(F.broadcast(b), F.col("vb") < F.col("v"))
         .groupBy("v", "mv")
-        .agg(F.sum("m").cast("long").alias("c"))
+        .agg(F.sum("mb").cast("long").alias("c"))
         .select(
             F.col("v").alias("vq"),
             (2 * F.col("c") + F.col("mv") + 1).alias("r2"),  # 2·midrank
         )
     )
-    # smallest value has no predecessors: c = 0
-    base = hist.join(F.broadcast(cum), "vq", "left").select(
-        "vq",
-        F.coalesce(F.col("r2"), F.col("m") + 1).alias("r2"),
+    # smallest value has no predecessors: c = 0. Keys rename at every
+    # self-lineage join so the drained streaming relation (which
+    # cannot re-alias duplicate attribute ids) resolves cleanly.
+    cum2 = cum.select(F.col("vq").alias("vqc"), "r2")
+    base = (
+        hist.join(F.broadcast(cum2), F.col("vq") == F.col("vqc"), "left")
+        .select(
+            F.col("vq").alias("vqb"),
+            F.coalesce(F.col("r2"), F.col("m") + 1).alias("r2"),
+        )
     )
     grp = (
-        cell.join(F.broadcast(base), "vq")
+        cell.join(F.broadcast(base), F.col("vq") == F.col("vqb"))
         .groupBy("event_type")
         .agg(
             F.sum("ng").cast("long").alias("n_g"),

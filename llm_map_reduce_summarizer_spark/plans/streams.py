@@ -982,7 +982,36 @@ def stream_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stickiness_from_act(act)
 
 
+def stream_value_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Kruskal-Wallis: the (value-grid-cell, type) counts
+    accumulate AT INGEST — a NEW bounded-state class: state is
+    bounded by the VALUE GRID × types (the domain of the measure),
+    not by stream length or user count — and the rank test runs
+    post-drain on that bounded snapshot via the exact batch
+    computation (`events.kruskal_from_cells`). Drain == batch
+    `events_value_kruskal`, whose oracle it shares.
+    """
+    from pyspark.sql import functions as F
+
+    from .events import kruskal_from_cells
+
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 day")
+        .groupBy(
+            F.floor(F.col("value") * 100 + 0.5)
+            .cast("long")
+            .alias("vq"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("ng"))
+    )
+    cell = run_available_now(agg, output_mode="complete")
+    return kruskal_from_cells(cell)
+
+
 QUERIES = {
+    "stream_value_kruskal": stream_value_kruskal,
     "stream_stickiness": stream_stickiness,
     "stream_session_stats": stream_session_stats,
     "stream_error_budget": stream_error_budget,
@@ -1018,6 +1047,7 @@ ORACLE = {
     "stream_error_budget": _EVENTS_ORACLE["events_error_budget"],
     "stream_session_stats": _EVENTS_ORACLE["events_session_stats"],
     "stream_stickiness": _EVENTS_ORACLE["events_stickiness"],
+    "stream_value_kruskal": _EVENTS_ORACLE["events_value_kruskal"],
     "stream_hourly": _EVENTS_ORACLE["events_hourly"],
     "stream_sessionize": _EVENTS_ORACLE["events_sessionize"],
     "stream_asof_view": _EVENTS_ORACLE["events_asof_view"],
