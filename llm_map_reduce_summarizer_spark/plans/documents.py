@@ -3137,6 +3137,97 @@ def multimodal_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NEYMAN_BUDGET = 100
+
+
+def corpus_sample_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sampling plan: per language stratum,
+    the allocation n_h ∝ N_h·S_h that minimizes the variance of the
+    estimated mean quality under a fixed total budget — the
+    survey-statistics upgrade of proportional allocation
+    (`corpus_sample_stratified` keeps fixed rates; this spends the
+    budget where the strata are big AND internally varied).
+
+    Scale: per-stratum moments are ONE lang-keyed partial agg of
+    exact 1e-4-grid integer sums (Σq, Σq² in decimal(38,0)); the
+    allocation arithmetic runs on the langs-bounded table with the
+    total broadcast back; only S_h touches a sqrt.
+    """
+    d = _docs(spark, sf_dir)
+    q = d.select(
+        "lang",
+        F.round(quality_score_col() * 10000).cast("long").alias("qi"),
+    )
+    g = q.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("qi").cast("decimal(38,0)")).cast("double").alias("s"),
+        F.sum((F.col("qi") * F.col("qi")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("qq"),
+    )
+    var = (F.col("qq") - F.col("s") * F.col("s") / F.col("n_docs")) / (
+        F.col("n_docs") - 1
+    )
+    sd = F.sqrt(F.greatest(var, F.lit(0.0))) / 10000.0
+    g2 = g.select(
+        "lang",
+        "n_docs",
+        quantize(sd, 6).alias("stratum_sd"),
+        (F.col("n_docs") * quantize(sd, 6)).alias("wgt"),
+    )
+    tot = g2.agg(F.sum("wgt").alias("wtot"))
+    return g2.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "stratum_sd",
+        quantize(F.col("wgt") / F.col("wtot"), 6).alias("alloc_share"),
+        F.floor(
+            quantize(F.col("wgt") / F.col("wtot"), 6) * NEYMAN_BUDGET
+            + 0.5
+        )
+        .cast("long")
+        .alias("n_alloc"),
+    )
+
+
+def emb_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-NN intrinsic-dimension estimate of the embedding space
+    (Facco et al. 2017): d̂ = N / Σ ln(r₂/r₁) over each vector's two
+    nearest-neighbor distances — the geometry audit that says how
+    many effective dimensions the corpus actually occupies (a d̂ far
+    below the ambient dim means the space is compressible; near it,
+    PQ/IVF budgets can't cheat). Composes the adaptive-band kNN
+    graph, so no new pairwise stage.
+
+    Scale: r₁/r₂ come from the existing `knn_graph` edges (B·k rows
+    per node); distances are exact unit-chord sqrt(2(1−cos)) on
+    1e-6-grid cosines; one node-keyed join + ONE 1-row agg. Nodes
+    with a zero first distance (exact duplicates) or missing rank-2
+    drop — both conditions explicit in both engines.
+    """
+    g = knn_graph(spark, sf_dir)
+    r1 = g.filter(F.col("rk") == 1).select(
+        F.col("da").alias("node"), F.col("cos").alias("c1")
+    )
+    r2 = g.filter(F.col("rk") == 2).select(
+        F.col("da").alias("node"), F.col("cos").alias("c2")
+    )
+    d1 = F.sqrt(2.0 * (1.0 - F.col("c1")))
+    d2 = F.sqrt(2.0 * (1.0 - F.col("c2")))
+    j = (
+        r1.join(r2, "node")
+        .filter((F.col("c1") < 1.0) & (F.col("c2") <= F.col("c1")))
+        .select(F.log(d2 / d1).alias("ln_mu"))
+    )
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        quantize(F.avg("ln_mu"), 6).alias("mean_ln_ratio"),
+        quantize(
+            F.count(F.lit(1)) / F.sum("ln_mu"), 3
+        ).alias("intrinsic_dim"),
+    )
+
+
 def corpus_ref_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity audit between the documents table and its
     embedding side-table: row counts, matched ids, and orphans on
@@ -4396,6 +4487,8 @@ QUERIES = {
     "multimodal_integrity": multimodal_integrity,
     "knn_recall_report": knn_recall_report,
     "corpus_ref_integrity": corpus_ref_integrity,
+    "corpus_sample_neyman": corpus_sample_neyman,
+    "emb_intrinsic_dim": emb_intrinsic_dim,
 }
 
 
@@ -7215,5 +7308,57 @@ ORACLE["corpus_ref_integrity"] = """
              AS BIGINT) AS vecs_without_doc,
            (sum(CASE WHEN has_vec IS NULL THEN 1 ELSE 0 END) = 0)
              AS docs_fully_covered
+    FROM j
+"""
+
+ORACLE["corpus_sample_neyman"] = f"""
+    WITH {{qcte}},
+    g AS (
+      SELECT d.lang,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CAST(round(qdocs.quality_score * 10000) AS BIGINT))
+               AS DOUBLE) AS s,
+             CAST(sum(CAST(round(qdocs.quality_score * 10000) AS BIGINT)
+                      * CAST(round(qdocs.quality_score * 10000) AS BIGINT))
+               AS DOUBLE) AS qq
+      FROM documents d JOIN qdocs USING (doc_id)
+      GROUP BY 1
+    ),
+    g2 AS (
+      SELECT lang, n_docs,
+             {sql_quantize(
+                 'sqrt(greatest((qq - s * s / n_docs) / (n_docs - 1),'
+                 ' 0.0)) / 10000.0', 6)} AS stratum_sd
+      FROM g
+    ),
+    g3 AS (
+      SELECT lang, n_docs, stratum_sd,
+             n_docs * stratum_sd AS wgt
+      FROM g2
+    ),
+    tot AS (SELECT sum(wgt) AS wtot FROM g3)
+    SELECT g3.lang, g3.n_docs, g3.stratum_sd,
+           {sql_quantize('g3.wgt / tot.wtot', 6)} AS alloc_share,
+           CAST(floor({sql_quantize('g3.wgt / tot.wtot', 6)}
+                      * {NEYMAN_BUDGET} + 0.5) AS BIGINT) AS n_alloc
+    FROM g3, tot
+"""
+ORACLE["corpus_sample_neyman"] = ORACLE["corpus_sample_neyman"].format(
+    qcte=_quality_docs_cte()
+)
+
+ORACLE["emb_intrinsic_dim"] = f"""
+    WITH {_KNN_GRAPH_CTES},
+    r1 AS (SELECT da AS node, cos AS c1 FROM knng WHERE rk = 1),
+    r2 AS (SELECT da AS node, cos AS c2 FROM knng WHERE rk = 2),
+    j AS (
+      SELECT ln(sqrt(2.0 * (1.0 - r2.c2))
+                / sqrt(2.0 * (1.0 - r1.c1))) AS ln_mu
+      FROM r1 JOIN r2 USING (node)
+      WHERE r1.c1 < 1.0 AND r2.c2 <= r1.c1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+           {sql_quantize('avg(ln_mu)', 6)} AS mean_ln_ratio,
+           {sql_quantize('count(*) / sum(ln_mu)', 3)} AS intrinsic_dim
     FROM j
 """
