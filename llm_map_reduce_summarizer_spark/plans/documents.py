@@ -3137,6 +3137,55 @@ def multimodal_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_lang_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence (bits) between language
+    unigram distributions — which languages' corpora actually share
+    vocabulary mass (low JS between two langs predicts langid
+    confusion and cross-lingual contamination; the distributional
+    companion to `corpus_source_overlap`'s set-based Jaccard and the
+    per-source drift of `corpus_source_divergence`).
+
+    Scale: (lang, term) frequencies are one natural-key partial agg;
+    the pair join is keyed on term (compare volume Σ langs-per-term²,
+    dims-bounded per term); observed-support JS with 1e-9-quantized
+    probabilities, langs²-bounded rollup.
+    """
+    from ..functions.hashing import words
+
+    d = _docs(spark, sf_dir)
+    lt = (
+        d.select("lang", F.explode(words(F.col("text"))).alias("term"))
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .localCheckpoint(eager=True)
+    )
+    tot = lt.groupBy("lang").agg(F.sum("f").alias("n"))
+    a = lt.join(tot, "lang").select(
+        "term",
+        F.col("lang").alias("la"),
+        quantize(F.col("f") / F.col("n"), 9).alias("p"),
+    )
+    b = lt.join(tot, "lang").select(
+        "term",
+        F.col("lang").alias("lb"),
+        quantize(F.col("f") / F.col("n"), 9).alias("q"),
+    )
+    j = a.join(b, "term").filter(F.col("la") < F.col("lb"))
+    m = (F.col("p") + F.col("q")) / 2
+    kl_p = F.when(F.col("p") > 0, F.col("p") * F.log2(F.col("p") / m)).otherwise(
+        F.lit(0.0)
+    )
+    kl_q = F.when(F.col("q") > 0, F.col("q") * F.log2(F.col("q") / m)).otherwise(
+        F.lit(0.0)
+    )
+    return j.groupBy(
+        F.col("la").alias("lang_a"), F.col("lb").alias("lang_b")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_shared_terms"),
+        quantize(F.sum((kl_p + kl_q) / 2), 6).alias("js_bits"),
+    )
+
+
 NEYMAN_BUDGET = 100
 
 
@@ -4489,6 +4538,7 @@ QUERIES = {
     "corpus_ref_integrity": corpus_ref_integrity,
     "corpus_sample_neyman": corpus_sample_neyman,
     "emb_intrinsic_dim": emb_intrinsic_dim,
+    "corpus_lang_divergence": corpus_lang_divergence,
 }
 
 
@@ -7361,4 +7411,29 @@ ORACLE["emb_intrinsic_dim"] = f"""
            {sql_quantize('avg(ln_mu)', 6)} AS mean_ln_ratio,
            {sql_quantize('count(*) / sum(ln_mu)', 3)} AS intrinsic_dim
     FROM j
+"""
+
+ORACLE["corpus_lang_divergence"] = f"""
+    WITH lt AS (
+      SELECT lang, term, count(*) AS f FROM (
+        SELECT lang, unnest({SQL_WORDS.format(c='text')}) AS term
+        FROM documents
+      ) GROUP BY 1, 2
+    ),
+    tot AS (SELECT lang, sum(f) AS n FROM lt GROUP BY 1),
+    p AS (
+      SELECT lt.term, lt.lang,
+             {sql_quantize('lt.f / tot.n', 9)} AS pr
+      FROM lt JOIN tot USING (lang)
+    )
+    SELECT a.lang AS lang_a, b.lang AS lang_b,
+           CAST(count(*) AS BIGINT) AS n_shared_terms,
+           {sql_quantize(
+               'sum((CASE WHEN a.pr > 0 THEN a.pr'
+               ' * log2(a.pr / ((a.pr + b.pr) / 2)) ELSE 0.0 END'
+               ' + CASE WHEN b.pr > 0 THEN b.pr'
+               ' * log2(b.pr / ((a.pr + b.pr) / 2)) ELSE 0.0 END) / 2)',
+               6)} AS js_bits
+    FROM p a JOIN p b ON a.term = b.term AND a.lang < b.lang
+    GROUP BY 1, 2
 """

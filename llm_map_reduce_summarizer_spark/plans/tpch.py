@@ -851,6 +851,45 @@ def parts_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(COPURCHASE_TOPK)
 
 
+def orders_basket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Basket-size distribution: how many orders contain exactly k
+    distinct parts, with each size's share — the counts-of-counts
+    view behind `parts_assoc_rules` (pair volume is Σ C(k,2) over
+    THIS histogram, so it prices the market-basket join) and the
+    mirror of Q13's customer-order distribution at the order-item
+    level.
+
+    Scale: one orderkey-keyed distinct-part count (natural-key
+    partial agg), then a counts-of-counts agg bounded by the max
+    basket size; shares are exact integer ratios.
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    per = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("long").alias("k_items")
+    )
+    hist = per.groupBy("k_items").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+    tot = hist.agg(F.sum("n_orders").cast("long").alias("n_total"))
+    return hist.crossJoin(F.broadcast(tot)).select(
+        "k_items",
+        "n_orders",
+        quantize(
+            F.col("n_orders").cast("double") / F.col("n_total"), 6
+        ).alias("share"),
+        (
+            F.col("n_orders") * F.col("k_items") * (F.col("k_items") - 1)
+            / 2
+        )
+        .cast("long")
+        .alias("pair_volume"),
+    )
+
+
 def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Net trade balance per nation over CROSS-nation flows: export
     revenue (this nation supplied a foreign customer) vs import
@@ -1967,6 +2006,7 @@ QUERIES = {
     "orders_abc_class": orders_abc_class,
     "orders_yoy_growth": orders_yoy_growth,
     "nation_trade_balance": nation_trade_balance,
+    "orders_basket_histogram": orders_basket_histogram,
     "customer_rfm": customer_rfm,
     "supplier_scorecard": supplier_scorecard,
     "orders_pareto": orders_pareto,
@@ -2984,4 +3024,26 @@ ORACLE["nation_trade_balance"] = f"""
                '(coalesce(exp.exp_c, 0.0) - coalesce(imp.imp_c, 0.0))'
                ' / 100.0', 2)} AS net_balance
     FROM exp FULL JOIN imp ON imp.nation = exp.nation
+"""
+
+ORACLE["orders_basket_histogram"] = f"""
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    per AS (
+      SELECT l_orderkey, CAST(count(*) AS BIGINT) AS k_items
+      FROM li GROUP BY 1
+    ),
+    hist AS (
+      SELECT k_items, CAST(count(*) AS BIGINT) AS n_orders
+      FROM per GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(n_orders) AS BIGINT) AS n_total FROM hist)
+    SELECT hist.k_items, hist.n_orders,
+           {sql_quantize(
+               'CAST(hist.n_orders AS DOUBLE) / tot.n_total', 6)}
+             AS share,
+           CAST(hist.n_orders * hist.k_items * (hist.k_items - 1) / 2
+             AS BIGINT) AS pair_volume
+    FROM hist, tot
 """
