@@ -3137,6 +3137,84 @@ def multimodal_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_hapax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hapax legomena profile per language: vocabulary size, terms
+    occurring exactly once, the hapax rate, and the token-mass share
+    they carry — the classic lexical-statistics read beside Zipf/Heaps
+    (a high hapax rate in a lang flags OCR noise, tokenizer
+    mismatches, or genuinely open vocabulary — each changing the
+    vocab-budget answer).
+
+    Scale: (lang, term) frequencies are one natural-key partial agg;
+    everything after is a langs-bounded rollup of exact integers.
+    """
+    from ..functions.hashing import words
+
+    d = _docs(spark, sf_dir)
+    lt = (
+        d.select("lang", F.explode(words(F.col("text"))).alias("term"))
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+    )
+    return lt.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+        F.sum((F.col("f") == 1).cast("int")).cast("long").alias("n_hapax"),
+        quantize(
+            F.sum((F.col("f") == 1).cast("int")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("hapax_rate"),
+        F.sum("f").cast("long").alias("n_tokens"),
+        quantize(
+            F.sum(F.when(F.col("f") == 1, 1).otherwise(0)).cast("double")
+            / F.sum("f"),
+            6,
+        ).alias("hapax_token_share"),
+    )
+
+
+HUB_TOPK = 10
+
+
+def emb_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hubness audit of the kNN graph: the in-degree distribution of
+    neighbor lists — hub vectors that appear as a neighbor of MANY
+    points are the classic high-dimensional ANN pathology (they
+    crowd out true neighbors and flatten recall; the graph-side
+    companion to `emb_cosine_hist`'s pairwise view). Emits the top
+    hubs with their in-degree and the corpus skew summary.
+
+    Scale: composes the adaptive-band kNN graph (no new pairwise
+    stage); in-degree = ONE db-keyed partial agg of the B·k-row edge
+    list; the skew rollup is 1 row and the hub list is
+    TakeOrderedAndProject.
+    """
+    g = knn_graph(spark, sf_dir)
+    indeg = g.groupBy(F.col("db").alias("vec_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("in_degree")
+    )
+    stats = indeg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_referenced"),
+        F.max("in_degree").alias("max_in_degree"),
+        quantize(F.avg("in_degree"), 4).alias("mean_in_degree"),
+    )
+    top = (
+        indeg.orderBy(F.col("in_degree").desc(), "vec_id")
+        .limit(HUB_TOPK)
+    )
+    return top.crossJoin(F.broadcast(stats)).select(
+        "vec_id",
+        "in_degree",
+        "n_referenced",
+        "max_in_degree",
+        "mean_in_degree",
+        quantize(
+            F.col("in_degree").cast("double") / F.col("mean_in_degree"),
+            4,
+        ).alias("hubness_ratio"),
+    )
+
+
 def corpus_lang_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise Jensen-Shannon divergence (bits) between language
     unigram distributions — which languages' corpora actually share
@@ -4539,6 +4617,8 @@ QUERIES = {
     "corpus_sample_neyman": corpus_sample_neyman,
     "emb_intrinsic_dim": emb_intrinsic_dim,
     "corpus_lang_divergence": corpus_lang_divergence,
+    "corpus_hapax": corpus_hapax,
+    "emb_hubness": emb_hubness,
 }
 
 
@@ -7436,4 +7516,47 @@ ORACLE["corpus_lang_divergence"] = f"""
                6)} AS js_bits
     FROM p a JOIN p b ON a.term = b.term AND a.lang < b.lang
     GROUP BY 1, 2
+"""
+
+ORACLE["corpus_hapax"] = f"""
+    WITH lt AS (
+      SELECT lang, term, CAST(count(*) AS BIGINT) AS f FROM (
+        SELECT lang, unnest({SQL_WORDS.format(c='text')}) AS term
+        FROM documents
+      ) GROUP BY 1, 2
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS vocab_size,
+           CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hapax,
+           {sql_quantize(
+               'CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS DOUBLE)'
+               ' / count(*)', 6)} AS hapax_rate,
+           CAST(sum(f) AS BIGINT) AS n_tokens,
+           {sql_quantize(
+               'CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS DOUBLE)'
+               ' / sum(f)', 6)} AS hapax_token_share
+    FROM lt GROUP BY 1
+"""
+
+ORACLE["emb_hubness"] = f"""
+    WITH {_KNN_GRAPH_CTES},
+    indeg AS (
+      SELECT db AS vec_id, CAST(count(*) AS BIGINT) AS in_degree
+      FROM knng GROUP BY 1
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_referenced,
+             max(in_degree) AS max_in_degree,
+             {sql_quantize('avg(in_degree)', 4)} AS mean_in_degree
+      FROM indeg
+    )
+    SELECT i.vec_id, i.in_degree,
+           s.n_referenced, s.max_in_degree, s.mean_in_degree,
+           {sql_quantize(
+               'CAST(i.in_degree AS DOUBLE) / s.mean_in_degree', 4)}
+             AS hubness_ratio
+    FROM indeg i, stats s
+    ORDER BY i.in_degree DESC, i.vec_id
+    LIMIT {HUB_TOPK}
 """
