@@ -3137,6 +3137,63 @@ def multimodal_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_quality_length_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is the quality score just a length proxy? Pearson correlation
+    between doc length and the heuristic quality score, overall and
+    per language — a |r| near 1 means the multi-signal score
+    collapses to "long docs are good docs" and the gate needs
+    decorrelating (the score-vs-ensemble calibration is 33ap; this is
+    score-vs-CONFOUNDER).
+
+    Scale: both variables live on exact integer grids, so every
+    correlation moment (Σx, Σy, Σxy, Σx², Σy²) is an EXACT integer
+    from ONE lang-keyed partial agg (decimal(38,0)); the overall row
+    re-aggregates the per-lang moments (langs-bounded); r is one
+    final double expression per row.
+    """
+    d = _docs(spark, sf_dir)
+    base = d.select(
+        "lang",
+        F.col("n_chars").cast("long").alias("x"),
+        F.round(quality_score_col() * 10000).cast("long").alias("y"),
+    )
+    g = base.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).cast("double").alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("syy"),
+    )
+    allg = g.agg(
+        F.lit("ALL").alias("lang"),
+        F.sum("n").cast("long").alias("n"),
+        F.sum("sx").alias("sx"),
+        F.sum("sy").alias("sy"),
+        F.sum("sxy").alias("sxy"),
+        F.sum("sxx").alias("sxx"),
+        F.sum("syy").alias("syy"),
+    )
+    u = g.unionByName(allg)
+    cov_n = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    r_ok = (vx > 0) & (vy > 0)
+    return u.select(
+        "lang",
+        "n",
+        F.when(r_ok, quantize(cov_n / F.sqrt(vx * vy), 6)).alias(
+            "pearson_r"
+        ),
+    )
+
+
 def corpus_hapax(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hapax legomena profile per language: vocabulary size, terms
     occurring exactly once, the hapax rate, and the token-mass share
@@ -4618,6 +4675,7 @@ QUERIES = {
     "emb_intrinsic_dim": emb_intrinsic_dim,
     "corpus_lang_divergence": corpus_lang_divergence,
     "corpus_hapax": corpus_hapax,
+    "corpus_quality_length_corr": corpus_quality_length_corr,
     "emb_hubness": emb_hubness,
 }
 
@@ -7559,4 +7617,39 @@ ORACLE["emb_hubness"] = f"""
     FROM indeg i, stats s
     ORDER BY i.in_degree DESC, i.vec_id
     LIMIT {HUB_TOPK}
+"""
+
+ORACLE["corpus_quality_length_corr"] = f"""
+    WITH {_quality_docs_cte()},
+    base AS (
+      SELECT d.lang,
+             CAST(d.n_chars AS BIGINT) AS x,
+             CAST(round(qdocs.quality_score * 10000) AS BIGINT) AS y
+      FROM documents d JOIN qdocs USING (doc_id)
+    ),
+    g AS (
+      SELECT lang,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS DOUBLE) AS sx,
+             CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(x * y) AS DOUBLE) AS sxy,
+             CAST(sum(x * x) AS DOUBLE) AS sxx,
+             CAST(sum(y * y) AS DOUBLE) AS syy
+      FROM base GROUP BY 1
+    ),
+    u AS (
+      SELECT lang, n, sx, sy, sxy, sxx, syy FROM g
+      UNION ALL
+      SELECT 'ALL' AS lang, CAST(sum(n) AS BIGINT) AS n,
+             sum(sx), sum(sy), sum(sxy), sum(sxx), sum(syy)
+      FROM g
+    )
+    SELECT lang, n,
+           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                THEN {sql_quantize(
+                    '(n * sxy - sx * sy)'
+                    ' / sqrt((n * sxx - sx * sx)'
+                    ' * (n * syy - sy * sy))', 6)}
+           END AS pearson_r
+    FROM u
 """
