@@ -3194,6 +3194,81 @@ def corpus_quality_length_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_quality_length_spearman(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Spearman rank correlation between doc length and quality score
+    — the monotone-relationship reading beside 33ay's Pearson (a
+    heavy-tailed length distribution can deflate Pearson while the
+    ranks stay near-perfectly ordered; agreeing r and ρ means the
+    confounding is linear, not just monotone).
+
+    Scale: both variables live on bounded grids, so midranks are
+    EXACT integers (2·midrank = 2·cum + m + 1, the Kruskal idiom)
+    from VALUE-bounded distinct histograms (V² broadcast self-joins,
+    never docs²); Spearman is then Pearson over the exact integer
+    midrank pairs — all moments in decimal(38,0), one final double.
+    """
+    d = _docs(spark, sf_dir)
+    base = d.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("x"),
+        F.round(quality_score_col() * 10000).cast("long").alias("y"),
+    )
+
+    def midranks(col: str) -> DataFrame:
+        hist = base.groupBy(col).agg(
+            F.count(F.lit(1)).cast("long").alias("m")
+        )
+        a = hist.select(
+            F.col(col).alias("v"), F.col("m").alias("mv")
+        )
+        b = hist.select(F.col(col).alias("vb"), F.col("m").alias("mb"))
+        cum = (
+            a.join(F.broadcast(b), F.col("vb") < F.col("v"))
+            .groupBy("v", "mv")
+            .agg(F.sum("mb").cast("long").alias("c"))
+            .select(
+                F.col("v").alias(col),
+                (2 * F.col("c") + F.col("mv") + 1).alias(f"r2_{col}"),
+            )
+        )
+        return hist.join(F.broadcast(cum), col, "left").select(
+            col,
+            F.coalesce(F.col(f"r2_{col}"), F.col("m") + 1).alias(
+                f"r2_{col}"
+            ),
+        )
+
+    ranked = base.join(F.broadcast(midranks("x")), "x").join(
+        F.broadcast(midranks("y")), "y"
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("r2_x").cast("decimal(38,0)")).cast("double").alias("sx"),
+        F.sum(F.col("r2_y").cast("decimal(38,0)")).cast("double").alias("sy"),
+        F.sum((F.col("r2_x") * F.col("r2_y")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum((F.col("r2_x") * F.col("r2_x")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum((F.col("r2_y") * F.col("r2_y")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("syy"),
+    )
+    cov_n = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return s.select(
+        "n",
+        F.when(
+            (vx > 0) & (vy > 0),
+            quantize(cov_n / F.sqrt(vx * vy), 6),
+        ).alias("spearman_rho"),
+    )
+
+
 def corpus_hapax(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hapax legomena profile per language: vocabulary size, terms
     occurring exactly once, the hapax rate, and the token-mass share
@@ -4676,6 +4751,7 @@ QUERIES = {
     "corpus_lang_divergence": corpus_lang_divergence,
     "corpus_hapax": corpus_hapax,
     "corpus_quality_length_corr": corpus_quality_length_corr,
+    "corpus_quality_length_spearman": corpus_quality_length_spearman,
     "emb_hubness": emb_hubness,
 }
 
@@ -7652,4 +7728,49 @@ ORACLE["corpus_quality_length_corr"] = f"""
                     ' * (n * syy - sy * sy))', 6)}
            END AS pearson_r
     FROM u
+"""
+
+ORACLE["corpus_quality_length_spearman"] = f"""
+    WITH {_quality_docs_cte()},
+    base AS (
+      SELECT d.doc_id,
+             CAST(d.n_chars AS BIGINT) AS x,
+             CAST(round(qdocs.quality_score * 10000) AS BIGINT) AS y
+      FROM documents d JOIN qdocs USING (doc_id)
+    ),
+    hx AS (SELECT x, CAST(count(*) AS BIGINT) AS m FROM base GROUP BY 1),
+    cx AS (
+      SELECT a.x, CAST(2 * sum(b.m) + a.m + 1 AS BIGINT) AS r2
+      FROM hx a JOIN hx b ON b.x < a.x GROUP BY a.x, a.m
+    ),
+    rx AS (
+      SELECT hx.x, CAST(coalesce(cx.r2, hx.m + 1) AS BIGINT) AS r2_x
+      FROM hx LEFT JOIN cx USING (x)
+    ),
+    hy AS (SELECT y, CAST(count(*) AS BIGINT) AS m FROM base GROUP BY 1),
+    cy AS (
+      SELECT a.y, CAST(2 * sum(b.m) + a.m + 1 AS BIGINT) AS r2
+      FROM hy a JOIN hy b ON b.y < a.y GROUP BY a.y, a.m
+    ),
+    ry AS (
+      SELECT hy.y, CAST(coalesce(cy.r2, hy.m + 1) AS BIGINT) AS r2_y
+      FROM hy LEFT JOIN cy USING (y)
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(rx.r2_x) AS DOUBLE) AS sx,
+             CAST(sum(ry.r2_y) AS DOUBLE) AS sy,
+             CAST(sum(rx.r2_x * ry.r2_y) AS DOUBLE) AS sxy,
+             CAST(sum(rx.r2_x * rx.r2_x) AS DOUBLE) AS sxx,
+             CAST(sum(ry.r2_y * ry.r2_y) AS DOUBLE) AS syy
+      FROM base JOIN rx USING (x) JOIN ry USING (y)
+    )
+    SELECT n,
+           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                THEN {sql_quantize(
+                    '(n * sxy - sx * sy)'
+                    ' / sqrt((n * sxx - sx * sx)'
+                    ' * (n * syy - sy * sy))', 6)}
+           END AS spearman_rho
+    FROM s
 """

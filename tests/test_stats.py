@@ -299,3 +299,24 @@ def test_kruskal_matches_numpy(spark):
     assert row["k_groups"] == ev.event_type.nunique()
     assert _close(row["h_stat"], h)
     assert _close(row["tie_correction"], corr)
+
+
+def test_spearman_matches_pandas(spark):
+    row = (
+        QUERIES["corpus_quality_length_spearman"](spark, SF_SMOKE)
+        .toPandas()
+        .iloc[0]
+    )
+    q = (
+        QUERIES["doc_quality"](spark, SF_SMOKE)
+        .select("doc_id", "quality_score")
+        .toPandas()
+    )
+    d = _documents().merge(q, on="doc_id")
+    rho = (
+        d["n_chars"]
+        .rank(method="average")
+        .corr(d["quality_score"].rank(method="average"))
+    )
+    assert row["n"] == len(d)
+    assert _close(row["spearman_rho"], rho)
