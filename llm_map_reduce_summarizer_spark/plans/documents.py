@@ -3157,7 +3157,16 @@ def corpus_quality_length_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").cast("long").alias("x"),
         F.round(quality_score_col() * 10000).cast("long").alias("y"),
     )
-    g = base.groupBy("lang").agg(
+    g = base.groupBy("lang").agg(*corr_moment_aggs())
+    return corr_from_moments(g)
+
+
+def corr_moment_aggs() -> list:
+    """The six mergeable correlation moments over (x, y) — shared by
+    the batch grouping and the streaming ingest fold
+    (`stream_quality_length_corr` keeps exactly these per lang:
+    langs × 6 numbers of state)."""
+    return [
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(F.col("x").cast("decimal(38,0)")).cast("double").alias("sx"),
         F.sum(F.col("y").cast("decimal(38,0)")).cast("double").alias("sy"),
@@ -3170,7 +3179,11 @@ def corpus_quality_length_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)"))
         .cast("double")
         .alias("syy"),
-    )
+    ]
+
+
+def corr_from_moments(g: DataFrame) -> DataFrame:
+    """Per-lang + ALL Pearson rows from a per-lang moments table."""
     allg = g.agg(
         F.lit("ALL").alias("lang"),
         F.sum("n").cast("long").alias("n"),

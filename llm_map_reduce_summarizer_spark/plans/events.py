@@ -2309,6 +2309,15 @@ def events_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("svv_b"),
     )
+    return welch_from_stats(stats)
+
+
+def welch_from_stats(stats: DataFrame) -> DataFrame:
+    """The Welch computation over a 1-row moments table (n_a, n_b,
+    sv_a, sv_b, svv_a, svv_b) — shared by the batch query and the
+    streaming drain (`stream_ab_welch` accumulates the SAME six
+    mergeable moments at ingest: O(1) state, the textbook streaming
+    statistic)."""
     m_a = F.col("sv_a") / F.col("n_a")
     m_b = F.col("sv_b") / F.col("n_b")
     var_a = (F.col("svv_a") - F.col("sv_a") * F.col("sv_a") / F.col("n_a")) / (

@@ -1010,7 +1010,77 @@ def stream_value_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kruskal_from_cells(cell)
 
 
+def stream_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Welch t-test: the six regression moments (n, Σv,
+    Σv² per group) accumulate AT INGEST in ONE global streaming
+    aggregate — O(1) state regardless of stream length, the textbook
+    mergeable-statistic shape — and the test evaluates post-drain via
+    the exact batch computation (`events.welch_from_stats`). Drain ==
+    batch `events_ab_welch`, whose oracle it shares.
+    """
+    from pyspark.sql import functions as F
+
+    from .events import welch_from_stats
+
+    ev = read_events_stream(spark, sf_dir)
+    grid = ev.filter(
+        F.col("event_type").isin("purchase", "click")
+    ).select(
+        (F.col("event_type") == "purchase").alias("is_a"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("vq"),
+    )
+    one_a = F.when(F.col("is_a"), 1).otherwise(0)
+    one_b = F.when(F.col("is_a"), 0).otherwise(1)
+    agg = grid.agg(
+        F.sum(one_a).cast("long").alias("n_a"),
+        F.sum(one_b).cast("long").alias("n_b"),
+        F.sum((one_a * F.col("vq")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("sv_a"),
+        F.sum((one_b * F.col("vq")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("sv_b"),
+        F.sum((one_a * F.col("vq") * F.col("vq")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("svv_a"),
+        F.sum((one_b * F.col("vq") * F.col("vq")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("svv_b"),
+    )
+    stats = run_available_now(agg, output_mode="complete")
+    return welch_from_stats(stats)
+
+
+def stream_quality_length_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming confounder audit: the per-lang correlation moments
+    (n, Σx, Σy, Σxy, Σx², Σy²) accumulate AT INGEST — state =
+    langs × 6 numbers, the strata-bounded mergeable-moments shape —
+    and the per-lang + ALL Pearson rows evaluate post-drain via the
+    exact batch computation (`documents.corr_from_moments`). Drain ==
+    batch `corpus_quality_length_corr`, whose oracle it shares.
+    """
+    from pyspark.sql import functions as F
+
+    from .documents import (
+        corr_from_moments,
+        corr_moment_aggs,
+        quality_score_col,
+    )
+
+    docs = read_documents_stream(spark, sf_dir)
+    base = docs.select(
+        "lang",
+        F.col("n_chars").cast("long").alias("x"),
+        F.round(quality_score_col() * 10000).cast("long").alias("y"),
+    )
+    agg = base.groupBy("lang").agg(*corr_moment_aggs())
+    g = run_available_now(agg, output_mode="complete")
+    return corr_from_moments(g)
+
+
 QUERIES = {
+    "stream_quality_length_corr": stream_quality_length_corr,
+    "stream_ab_welch": stream_ab_welch,
     "stream_value_kruskal": stream_value_kruskal,
     "stream_stickiness": stream_stickiness,
     "stream_session_stats": stream_session_stats,
@@ -1048,6 +1118,8 @@ ORACLE = {
     "stream_session_stats": _EVENTS_ORACLE["events_session_stats"],
     "stream_stickiness": _EVENTS_ORACLE["events_stickiness"],
     "stream_value_kruskal": _EVENTS_ORACLE["events_value_kruskal"],
+    "stream_ab_welch": _EVENTS_ORACLE["events_ab_welch"],
+    "stream_quality_length_corr": _DOCS_ORACLE["corpus_quality_length_corr"],
     "stream_hourly": _EVENTS_ORACLE["events_hourly"],
     "stream_sessionize": _EVENTS_ORACLE["events_sessionize"],
     "stream_asof_view": _EVENTS_ORACLE["events_asof_view"],
