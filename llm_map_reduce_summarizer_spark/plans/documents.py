@@ -4066,23 +4066,24 @@ def corpus_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         quantize(F.sum(term), 4).alias("chi2"),
     )
     dof = (F.col("n_langs") - 1) * (F.col("n_sources") - 1)
+    # flat-case guard: a single lang or source makes dof 0 and
+    # Cramér's V a 0/0 — NULL in both engines, never an ANSI error
+    mindim = F.least(F.col("n_langs") - 1, F.col("n_sources") - 1)
     return stats.select(
         "n_docs",
         "n_langs",
         "n_sources",
         dof.alias("dof"),
         "chi2",
-        quantize(
-            F.sqrt(
-                F.col("chi2")
-                / (
-                    F.col("n_docs")
-                    * F.least(
-                        F.col("n_langs") - 1, F.col("n_sources") - 1
-                    )
-                ).cast("double")
+        F.when(
+            mindim > 0,
+            quantize(
+                F.sqrt(
+                    F.col("chi2")
+                    / (F.col("n_docs") * mindim).cast("double")
+                ),
+                6,
             ),
-            6,
         ).alias("cramers_v"),
     )
 
@@ -7242,10 +7243,12 @@ ORACLE["corpus_chi2_independence"] = f"""
     SELECT n_docs, n_langs, n_sources,
            (n_langs - 1) * (n_sources - 1) AS dof,
            chi2,
-           {sql_quantize(
-               'sqrt(chi2 / CAST(n_docs'
-               ' * least(n_langs - 1, n_sources - 1) AS DOUBLE))', 6)}
-             AS cramers_v
+           CASE WHEN least(n_langs - 1, n_sources - 1) > 0
+                THEN {sql_quantize(
+                    'sqrt(chi2 / CAST(n_docs'
+                    ' * least(n_langs - 1, n_sources - 1) AS DOUBLE))',
+                    6)}
+           END AS cramers_v
     FROM s
 """
 

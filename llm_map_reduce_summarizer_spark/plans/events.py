@@ -12,7 +12,7 @@ semantics run incrementally in streaming/ via applyInPandasWithState.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -2115,12 +2115,18 @@ def events_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).cast("long").alias("n"))
     a = hourly.select(F.col("hour").alias("ha"), F.col("n").alias("na"))
     b = hourly.select(F.col("hour").alias("hb"), F.col("n").alias("nb"))
+    # single-hour series: the pair join is empty and SUM yields NULL —
+    # coalesce to the vacuous S = 0 (trend 'none') in both engines
     s_stat = (
         a.join(F.broadcast(b), F.col("ha") < F.col("hb"))
         .agg(
-            F.sum(
-                F.signum((F.col("nb") - F.col("na")).cast("double"))
-                .cast("long")
+            F.coalesce(
+                F.sum(
+                    F.signum(
+                        (F.col("nb") - F.col("na")).cast("double")
+                    ).cast("long")
+                ),
+                F.lit(0),
             ).alias("s")
         )
     )
@@ -2251,13 +2257,19 @@ def kruskal_from_cells(cell: DataFrame) -> DataFrame:
     ).when(F.col("k_groups") == 4, 7.8147).when(
         F.col("k_groups") == 5, 9.4877
     ).when(F.col("k_groups") == 6, 11.0705).otherwise(F.lit(None))
+    # flat-case guards: n<2 breaks the rank normalizer, and an
+    # all-tied value column drives the tie correction to 0 (H a 0/0)
+    # — NULL in both engines, never an ANSI divide error
+    ok = (F.col("n") > 1) & (tie_corr > 0)
     return roll.select(
         F.col("n").alias("n_events"),
         "k_groups",
         "n_values",
-        quantize(h, 4).alias("h_stat"),
-        quantize(tie_corr, 6).alias("tie_correction"),
-        (quantize(h, 4) > crit).alias("significant_95"),
+        F.when(ok, quantize(h, 4)).alias("h_stat"),
+        F.when(F.col("n") > 1, quantize(tie_corr, 6)).alias(
+            "tie_correction"
+        ),
+        F.when(ok, quantize(h, 4) > crit).alias("significant_95"),
     )
 
 
@@ -2333,23 +2345,31 @@ def welch_from_stats(stats: DataFrame) -> DataFrame:
         se2_a * se2_a / (F.col("n_a") - 1)
         + se2_b * se2_b / (F.col("n_b") - 1)
     )
-    # flat-case guard: zero variance in both groups (or a group of
-    # size <2) makes t a 0/0 — NULL in both engines, never Inf/NaN
-    ok = (
-        (F.col("n_a") > 1)
-        & (F.col("n_b") > 1)
-        & (se2_a + se2_b > 0)
-    )
+    # flat-case guards, NESTED so no guarded branch ever evaluates a
+    # zero-divisor expression (ANSI mode errors even on double /0):
+    # outer CASE gates the group sizes, inner CASE gates the pooled
+    # variance — NULL in both engines, never Inf/NaN/ANSI error
+    sizes_ok = (F.col("n_a") > 1) & (F.col("n_b") > 1)
+
+    def guarded(col: Column) -> Column:
+        return F.when(
+            sizes_ok, F.when(se2_a + se2_b > 0, col)
+        )
+
     return stats.select(
         F.lit(AB_GROUP_A).alias("group_a"),
         F.lit(AB_GROUP_B).alias("group_b"),
         "n_a",
         "n_b",
-        quantize(m_a / 100.0, 4).alias("mean_a"),
-        quantize(m_b / 100.0, 4).alias("mean_b"),
-        F.when(ok, quantize(t, 4)).alias("t_stat"),
-        F.when(ok, quantize(df, 2)).alias("df_welch"),
-        F.when(ok, F.abs(quantize(t, 4)) > MK_CRIT_95).alias(
+        F.when(F.col("n_a") > 0, quantize(m_a / 100.0, 4)).alias(
+            "mean_a"
+        ),
+        F.when(F.col("n_b") > 0, quantize(m_b / 100.0, 4)).alias(
+            "mean_b"
+        ),
+        guarded(quantize(t, 4)).alias("t_stat"),
+        guarded(quantize(df, 2)).alias("df_welch"),
+        guarded(F.abs(quantize(t, 4)) > MK_CRIT_95).alias(
             "significant_95"
         ),
     )
@@ -3276,7 +3296,8 @@ ORACLE["events_mann_kendall"] = f"""
       FROM events GROUP BY 1
     ),
     s AS (
-      SELECT CAST(sum(CAST(sign(b.n - a.n) AS BIGINT)) AS BIGINT) AS s
+      SELECT CAST(coalesce(sum(CAST(sign(b.n - a.n) AS BIGINT)), 0)
+        AS BIGINT) AS s
       FROM hourly a JOIN hourly b ON a.hour < b.hour
     ),
     ties AS (
@@ -3342,8 +3363,10 @@ ORACLE["events_ab_welch"] = f"""
     SELECT 'purchase' AS group_a,
            'click' AS group_b,
            n_a, n_b,
-           {sql_quantize('m_a / 100.0', 4)} AS mean_a,
-           {sql_quantize('m_b / 100.0', 4)} AS mean_b,
+           CASE WHEN n_a > 0
+                THEN {sql_quantize('m_a / 100.0', 4)} END AS mean_a,
+           CASE WHEN n_b > 0
+                THEN {sql_quantize('m_b / 100.0', 4)} END AS mean_b,
            CASE WHEN n_a > 1 AND n_b > 1 AND se2_a + se2_b > 0
                 THEN {sql_quantize(
                     '(m_a - m_b) / sqrt(se2_a + se2_b)', 4)}
@@ -3646,21 +3669,27 @@ ORACLE["events_value_kruskal"] = f"""
     SELECT ties.n AS n_events,
            roll.k_groups,
            ties.n_values,
-           {sql_quantize(
-               '(12.0 * roll.srr / (ties.n * (ties.n + 1.0))'
+           CASE WHEN ties.n > 1 AND 1.0 - ties.tie_sum / (CAST(ties.n AS DOUBLE) * ties.n * ties.n - ties.n) > 0
+                THEN {sql_quantize(
+                    '(12.0 * roll.srr / (ties.n * (ties.n + 1.0))'
                ' - 3.0 * (ties.n + 1.0))'
                ' / (1.0 - ties.tie_sum / (CAST(ties.n AS DOUBLE)'
-               ' * ties.n * ties.n - ties.n))', 4)} AS h_stat,
-           {sql_quantize(
-               '1.0 - ties.tie_sum / (CAST(ties.n AS DOUBLE)'
-               ' * ties.n * ties.n - ties.n)', 6)} AS tie_correction,
-           ({sql_quantize(
-               '(12.0 * roll.srr / (ties.n * (ties.n + 1.0))'
+               ' * ties.n * ties.n - ties.n))', 4)}
+           END AS h_stat,
+           CASE WHEN ties.n > 1
+                THEN {sql_quantize(
+                    '1.0 - ties.tie_sum / (CAST(ties.n AS DOUBLE)'
+                    ' * ties.n * ties.n - ties.n)', 6)}
+           END AS tie_correction,
+           CASE WHEN ties.n > 1 AND 1.0 - ties.tie_sum / (CAST(ties.n AS DOUBLE) * ties.n * ties.n - ties.n) > 0
+                THEN ({sql_quantize(
+                    '(12.0 * roll.srr / (ties.n * (ties.n + 1.0))'
                ' - 3.0 * (ties.n + 1.0))'
                ' / (1.0 - ties.tie_sum / (CAST(ties.n AS DOUBLE)'
                ' * ties.n * ties.n - ties.n))', 4)}
             > CASE roll.k_groups WHEN 2 THEN 3.8415 WHEN 3 THEN 5.9915
                 WHEN 4 THEN 7.8147 WHEN 5 THEN 9.4877
-                WHEN 6 THEN 11.0705 END) AS significant_95
+                WHEN 6 THEN 11.0705 END)
+           END AS significant_95
     FROM roll, ties
 """

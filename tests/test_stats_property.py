@@ -1,0 +1,209 @@
+"""Hypothesis property tests for the inferential-statistics tier.
+
+The sf0.001 pins (test_stats.py) check one fixed corpus; these drive
+RANDOM micro-corpora — heavy ties, tiny groups, degenerate variances —
+through the Spark operators and compare against independent
+numpy/pandas formulas, so edge cases the fixed corpus never exercises
+(guard branches, all-tied ranks, single-member strata) are covered.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+import __spark_entry__ as entrymod
+
+QUERIES = entrymod.queries()
+
+_SETTINGS = dict(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=list(HealthCheck),
+)
+
+
+def _close(a, b, tol=1e-3):
+    return abs(a - b) <= tol * max(1.0, abs(a), abs(b))
+
+
+def _write_events(tmp, df):
+    df.to_parquet(tmp / "events.parquet")
+    return str(tmp)
+
+
+@pytest.mark.parametrize("seed", [0])
+def test_events_stats_random(spark, tmp_path_factory, seed):
+    @settings(**_SETTINGS)
+    @given(data=st.data())
+    def run(data):
+        n = data.draw(st.integers(30, 120))
+        types = data.draw(
+            st.sampled_from(
+                [
+                    ["purchase", "click"],
+                    ["purchase", "click", "error"],
+                    ["purchase", "click", "view", "signup"],
+                ]
+            )
+        )
+        # cent-grid values with deliberate tie mass
+        vals = data.draw(
+            st.lists(
+                st.integers(0, 40), min_size=n, max_size=n
+            )
+        )
+        tlist = data.draw(
+            st.lists(
+                st.sampled_from(types), min_size=n, max_size=n
+            )
+        )
+        hours = data.draw(
+            st.lists(st.integers(0, 71), min_size=n, max_size=n)
+        )
+        ev = pd.DataFrame(
+            {
+                "event_id": range(n),
+                "ts": pd.Timestamp("2024-03-01")
+                + pd.to_timedelta(hours, unit="h")
+                + pd.to_timedelta(range(n), unit="s"),
+                "user_id": [i % 7 for i in range(n)],
+                "event_type": tlist,
+                "value": [v / 100.0 * 25 for v in vals],  # cent grid
+                "props": ["{}"] * n,
+            }
+        )
+        tmp = tmp_path_factory.mktemp("evp")
+        sf = _write_events(tmp, ev)
+
+        # --- Welch ---
+        row = QUERIES["events_ab_welch"](spark, sf).toPandas().iloc[0]
+        a = ev.loc[ev.event_type == "purchase", "value"].to_numpy()
+        b = ev.loc[ev.event_type == "click", "value"].to_numpy()
+        na, nb = len(a), len(b)
+        assert row["n_a"] == na and row["n_b"] == nb
+        if na > 1 and nb > 1:
+            va, vb = a.var(ddof=1), b.var(ddof=1)
+            se2 = va / na + vb / nb
+            if se2 > 0:
+                t = (a.mean() - b.mean()) / math.sqrt(se2)
+                assert _close(row["t_stat"], t)
+            else:
+                assert pd.isna(row["t_stat"])
+        else:
+            assert pd.isna(row["t_stat"])
+
+        # --- Mann-Kendall ---
+        row = (
+            QUERIES["events_mann_kendall"](spark, sf)
+            .toPandas()
+            .iloc[0]
+        )
+        hourly = (
+            ev.set_index("ts").resample("1h")["event_id"].count()
+        )
+        x = hourly[hourly > 0].to_numpy(float)
+        h = len(x)
+        s = int(
+            np.sign(x[None, :] - x[:, None])[
+                np.triu_indices(h, 1)
+            ].sum()
+        )
+        assert row["n_hours"] == h
+        assert row["s_stat"] == s
+
+        # --- Kruskal-Wallis ---
+        row = (
+            QUERIES["events_value_kruskal"](spark, sf)
+            .toPandas()
+            .iloc[0]
+        )
+        v = np.floor(ev["value"].to_numpy() * 100 + 0.5)
+        r = pd.Series(v).rank(method="average").to_numpy()
+        nn = len(v)
+        srr = sum(
+            r[ev.event_type.to_numpy() == g].sum() ** 2
+            / (ev.event_type == g).sum()
+            for g in ev.event_type.unique()
+        )
+        _, counts = np.unique(v, return_counts=True)
+        corr = 1 - (counts**3 - counts).sum() / (nn**3 - nn)
+        assert row["n_events"] == nn
+        assert row["k_groups"] == ev.event_type.nunique()
+        if corr > 0:
+            hstat = (12.0 / (nn * (nn + 1)) * srr - 3 * (nn + 1)) / corr
+            assert _close(row["h_stat"], hstat)
+
+    run()
+
+
+@pytest.mark.parametrize("seed", [0])
+def test_documents_stats_random(spark, tmp_path_factory, seed):
+    @settings(**_SETTINGS)
+    @given(data=st.data())
+    def run(data):
+        n = data.draw(st.integers(12, 60))
+        langs = data.draw(
+            st.sampled_from([["en", "fr"], ["en", "fr", "de"]])
+        )
+        n_src = data.draw(st.integers(2, 4))
+        lang_col = data.draw(
+            st.lists(st.sampled_from(langs), min_size=n, max_size=n)
+        )
+        src_col = data.draw(
+            st.lists(
+                st.integers(0, n_src - 1), min_size=n, max_size=n
+            )
+        )
+        chars = data.draw(
+            st.lists(st.integers(5, 400), min_size=n, max_size=n)
+        )
+        docs = pd.DataFrame(
+            {
+                "doc_id": range(n),
+                "text": ["alpha beta gamma delta"] * n,
+                "lang": lang_col,
+                "source": [f"s{i}" for i in src_col],
+                "n_chars": chars,
+            }
+        )
+        tmp = tmp_path_factory.mktemp("docp")
+        docs.to_parquet(tmp / "documents.parquet")
+        sf = str(tmp)
+
+        # --- ANOVA ---
+        row = QUERIES["doc_anova_length"](spark, sf).toPandas().iloc[0]
+        groups = [
+            g.to_numpy(float)
+            for _, g in docs.groupby("lang")["n_chars"]
+        ]
+        k = len(groups)
+        assert row["n_docs"] == n and row["n_groups"] == k
+        grand = np.concatenate(groups).mean()
+        ssb = sum(len(g) * (g.mean() - grand) ** 2 for g in groups)
+        ssw = sum(((g - g.mean()) ** 2).sum() for g in groups)
+        if k > 1 and ssw > 0:
+            f = (ssb / (k - 1)) / (ssw / (n - k))
+            assert _close(row["f_stat"], f)
+        else:
+            assert pd.isna(row["f_stat"])
+
+        # --- chi-square ---
+        row = (
+            QUERIES["corpus_chi2_independence"](spark, sf)
+            .toPandas()
+            .iloc[0]
+        )
+        ct = pd.crosstab(docs["lang"], docs["source"]).to_numpy(float)
+        exp = np.outer(ct.sum(1), ct.sum(0)) / ct.sum()
+        chi2 = ((ct - exp) ** 2 / exp).sum()
+        assert row["n_docs"] == n
+        assert row["dof"] == (ct.shape[0] - 1) * (ct.shape[1] - 1)
+        assert _close(row["chi2"], chi2)
+
+    run()
