@@ -4041,12 +4041,33 @@ def corpus_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     obs = d.groupBy("lang", "source").agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )
+    return chi2_from_obs(obs)
+
+
+def chi2_from_obs(obs: DataFrame) -> DataFrame:
+    """The chi-square computation over a (lang, source, n) contingency
+    table — shared by the batch query and the streaming drain
+    (`stream_chi2_independence` accumulates the same dims-bounded
+    cells at ingest)."""
     rows_m = obs.groupBy("lang").agg(F.sum("n").alias("nl"))
     cols_m = obs.groupBy("source").agg(F.sum("n").alias("ns"))
     tot = obs.agg(F.sum("n").alias("nn"))
+    # keys rename at the self-lineage join so a drained streaming
+    # relation (which cannot re-alias duplicate attribute ids)
+    # resolves cleanly — the kruskal_from_cells discipline
+    obs2 = obs.select(
+        F.col("lang").alias("lg2"),
+        F.col("source").alias("sc2"),
+        "n",
+    )
     cells = (
         rows_m.crossJoin(F.broadcast(cols_m))
-        .join(F.broadcast(obs), ["lang", "source"], "left")
+        .join(
+            F.broadcast(obs2),
+            (F.col("lang") == F.col("lg2"))
+            & (F.col("source") == F.col("sc2")),
+            "left",
+        )
         .crossJoin(F.broadcast(tot))
         .select(
             "lang",

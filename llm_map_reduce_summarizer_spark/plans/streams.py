@@ -1078,7 +1078,28 @@ def stream_quality_length_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corr_from_moments(g)
 
 
+def stream_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming stratification audit: the lang × source contingency
+    cells accumulate AT INGEST (state = the DIMS-bounded L×S cell
+    grid — a dimension product, never stream length) and the
+    chi²/Cramér's V evaluate post-drain via the exact batch
+    computation (`documents.chi2_from_obs`). Drain == batch
+    `corpus_chi2_independence`, whose oracle it shares.
+    """
+    from pyspark.sql import functions as F
+
+    from .documents import chi2_from_obs
+
+    docs = read_documents_stream(spark, sf_dir)
+    agg = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    obs = run_available_now(agg, output_mode="complete")
+    return chi2_from_obs(obs)
+
+
 QUERIES = {
+    "stream_chi2_independence": stream_chi2_independence,
     "stream_quality_length_corr": stream_quality_length_corr,
     "stream_ab_welch": stream_ab_welch,
     "stream_value_kruskal": stream_value_kruskal,
@@ -1120,6 +1141,7 @@ ORACLE = {
     "stream_value_kruskal": _EVENTS_ORACLE["events_value_kruskal"],
     "stream_ab_welch": _EVENTS_ORACLE["events_ab_welch"],
     "stream_quality_length_corr": _DOCS_ORACLE["corpus_quality_length_corr"],
+    "stream_chi2_independence": _DOCS_ORACLE["corpus_chi2_independence"],
     "stream_hourly": _EVENTS_ORACLE["events_hourly"],
     "stream_sessionize": _EVENTS_ORACLE["events_sessionize"],
     "stream_asof_view": _EVENTS_ORACLE["events_asof_view"],
