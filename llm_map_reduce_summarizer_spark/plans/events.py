@@ -2093,6 +2093,84 @@ def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).crossJoin(F.broadcast(lat(cp, "click_to_purchase")))
 
 
+PERIODOGRAM_PERIODS_H = (6, 12, 24, 84, 168)  # quarter/half/day, half-week, week
+
+
+def events_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-domain seasonality scan: the periodogram power of
+    the hourly count series at candidate periods (6 h, 12 h, 24 h,
+    half-week, week) — `events_autocorr` asks "does lag 24 correlate?",
+    this asks "WHICH cycle carries the variance" (the spectral answer
+    a seasonal model should be built around). Power is normalized to
+    share-of-variance so periods compare directly.
+
+    Scale: the series is the calendar-bounded hourly partial agg; the
+    Fourier sums run over hours × K candidate periods (one small
+    cross join, never events); the trig arguments are exact-integer
+    hour indices scaled by 2π/T, all sums quantized before the K-row
+    normalization.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    mn = hourly.agg(
+        F.min("hour").alias("h0"),
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("n").cast("long").alias("sx"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("sxx"),
+    )
+    idx = (
+        hourly.crossJoin(F.broadcast(mn))
+        .select(
+            (
+                (F.unix_micros(F.col("hour")) - F.unix_micros(F.col("h0")))
+                / F.lit(3_600_000_000.0)
+            ).alias("t"),
+            (
+                F.col("n").cast("double")
+                - F.col("sx").cast("double") / F.col("cnt")
+            ).alias("x"),
+            "cnt",
+            "sx",
+            "sxx",
+        )
+    )
+    periods = spark.createDataFrame(
+        [(p,) for p in PERIODOGRAM_PERIODS_H], "period_h long"
+    )
+    two_pi = 2.0 * 3.141592653589793
+    arg = F.lit(two_pi) * F.col("t") / F.col("period_h")
+    comps = (
+        idx.crossJoin(F.broadcast(periods))
+        .groupBy("period_h")
+        .agg(
+            quantize(F.sum(F.col("x") * F.cos(arg)), 6).alias("c"),
+            quantize(F.sum(F.col("x") * F.sin(arg)), 6).alias("s"),
+            F.first("cnt").alias("cnt"),
+            F.first("sx").alias("sx"),
+            F.first("sxx").alias("sxx"),
+        )
+    )
+    var_n = (
+        F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx") / F.col("cnt")
+    )
+    power = (
+        (F.col("c") * F.col("c") + F.col("s") * F.col("s"))
+        * 2.0
+        / F.col("cnt")
+    )
+    return comps.select(
+        "period_h",
+        F.col("cnt").alias("n_hours"),
+        quantize(power, 4).alias("power"),
+        F.when(var_n > 0, quantize(power / var_n, 6)).alias(
+            "variance_share"
+        ),
+    )
+
+
 MK_CRIT_95 = 1.96  # two-sided normal 95% critical value
 
 
@@ -2387,6 +2465,7 @@ QUERIES = {
     "events_mann_kendall": events_mann_kendall,
     "events_ab_welch": events_ab_welch,
     "events_value_kruskal": events_value_kruskal,
+    "events_periodogram": events_periodogram,
     "events_retention_hourly": events_retention_hourly,
     "events_dau": events_dau,
     "events_dau_approx": events_dau_approx,
@@ -3692,4 +3771,56 @@ ORACLE["events_value_kruskal"] = f"""
                 WHEN 6 THEN 11.0705 END)
            END AS significant_95
     FROM roll, ties
+"""
+
+ORACLE["events_periodogram"] = f"""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS hour,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    mn AS (
+      SELECT min(hour) AS h0,
+             CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(n) AS BIGINT) AS sx,
+             CAST(sum(n * n) AS BIGINT) AS sxx
+      FROM hourly
+    ),
+    idx AS (
+      SELECT (epoch_us(hourly.hour) - epoch_us(mn.h0)) / 3600000000.0
+               AS t,
+             CAST(hourly.n AS DOUBLE)
+               - CAST(mn.sx AS DOUBLE) / mn.cnt AS x,
+             mn.cnt, mn.sx, mn.sxx
+      FROM hourly, mn
+    ),
+    periods AS (
+      SELECT unnest([{", ".join(str(p) for p in PERIODOGRAM_PERIODS_H)}])
+        AS period_h
+    ),
+    comps AS (
+      SELECT CAST(periods.period_h AS BIGINT) AS period_h,
+             {sql_quantize(
+                 'sum(idx.x * cos(2.0 * 3.141592653589793 * idx.t'
+                 ' / periods.period_h))', 6)} AS c,
+             {sql_quantize(
+                 'sum(idx.x * sin(2.0 * 3.141592653589793 * idx.t'
+                 ' / periods.period_h))', 6)} AS s,
+             any_value(idx.cnt) AS cnt,
+             any_value(idx.sx) AS sx,
+             any_value(idx.sxx) AS sxx
+      FROM idx CROSS JOIN periods
+      GROUP BY 1
+    )
+    SELECT period_h,
+           cnt AS n_hours,
+           {sql_quantize('(c * c + s * s) * 2.0 / cnt', 4)} AS power,
+           CASE WHEN CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * sx / cnt > 0
+                THEN {sql_quantize(
+                    '((c * c + s * s) * 2.0 / cnt)'
+                    ' / (CAST(sxx AS DOUBLE)'
+                    ' - CAST(sx AS DOUBLE) * sx / cnt)', 6)}
+           END AS variance_share
+    FROM comps
 """

@@ -320,3 +320,26 @@ def test_spearman_matches_pandas(spark):
     )
     assert row["n"] == len(d)
     assert _close(row["spearman_rho"], rho)
+
+
+def test_periodogram_matches_numpy(spark):
+    df = (
+        QUERIES["events_periodogram"](spark, SF_SMOKE)
+        .toPandas()
+        .set_index("period_h")
+    )
+    ev = _events()
+    hourly = ev.set_index("ts").resample("1h")["event_id"].count()
+    hourly = hourly[hourly > 0]
+    t = (
+        (hourly.index - hourly.index.min())
+        / np.timedelta64(1, "h")
+    ).to_numpy(float)
+    x = hourly.to_numpy(float) - hourly.mean()
+    n = len(x)
+    for p in (6, 24, 168):
+        arg = 2 * np.pi * t / p
+        power = (
+            (x * np.cos(arg)).sum() ** 2 + (x * np.sin(arg)).sum() ** 2
+        ) * 2 / n
+        assert _close(df.loc[p, "power"], power, tol=1e-3)
