@@ -208,6 +208,63 @@ def events_user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(PATHS_TOPK)
 
 
+def events_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral entropy rate: the empirical conditional entropy of
+    the event-type transition chain, H(next | prev) in bits, beside
+    the marginal type entropy H(type) and the redundancy 1 − H₂/H₁ —
+    LOW conditional entropy means behavior is scripted (bots,
+    autoplay chains); near-equal H₂ and H₁ means transitions carry no
+    memory and the Markov tier (27i) adds nothing. The behavioral
+    twin of `corpus_entropy_rate`'s text law.
+
+    Scale: transitions reuse the user-keyed sort-shuffle (the
+    sessionization partitioning); counts collapse to the types²
+    transition table; entropies are exact integer ratios 1e-9
+    quantized before the types-bounded sums.
+    """
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros("ts")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    pairs = (
+        ev.withColumn("src", F.lag("event_type").over(w))
+        .filter(F.col("src").isNotNull())
+        .groupBy("src", F.col("event_type").alias("dst"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    row = pairs.groupBy("src").agg(F.sum("c").cast("long").alias("cs"))
+    tot = pairs.agg(F.sum("c").cast("long").alias("ct"))
+    j = pairs.join(F.broadcast(row), "src").crossJoin(F.broadcast(tot))
+    p_pair = quantize(F.col("c") / F.col("ct"), 9)
+    p_cond = quantize(F.col("c") / F.col("cs"), 9)
+    h2 = -F.sum(p_pair * F.log2(p_cond))
+    # marginal entropy over next-type mass
+    marg = (
+        pairs.groupBy("dst")
+        .agg(F.sum("c").cast("long").alias("cd"))
+        .crossJoin(F.broadcast(tot))
+    )
+    p1 = quantize(F.col("cd") / F.col("ct"), 9)
+    h1 = marg.agg(
+        quantize(-F.sum(p1 * F.log2(p1)), 6).alias("h1_bits"),
+    )
+    h2r = j.agg(
+        F.first("ct").alias("n_transitions"),
+        F.countDistinct("src").cast("long").alias("n_states"),
+        quantize(h2, 6).alias("h2_bits"),
+    )
+    return h2r.crossJoin(F.broadcast(h1)).select(
+        "n_transitions",
+        "n_states",
+        "h1_bits",
+        "h2_bits",
+        F.when(
+            F.col("h1_bits") > 0,
+            quantize(1.0 - F.col("h2_bits") / F.col("h1_bits"), 6),
+        ).alias("redundancy"),
+    )
+
+
 def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extract the JSON ``k`` prop and aggregate it per event type."""
     ev = load_table(spark, sf_dir, "events")
@@ -2466,6 +2523,7 @@ QUERIES = {
     "events_ab_welch": events_ab_welch,
     "events_value_kruskal": events_value_kruskal,
     "events_periodogram": events_periodogram,
+    "events_transition_entropy": events_transition_entropy,
     "events_retention_hourly": events_retention_hourly,
     "events_dau": events_dau,
     "events_dau_approx": events_dau_approx,
@@ -3823,4 +3881,45 @@ ORACLE["events_periodogram"] = f"""
                     ' - CAST(sx AS DOUBLE) * sx / cnt)', 6)}
            END AS variance_share
     FROM comps
+"""
+
+ORACLE["events_transition_entropy"] = f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ) AS src
+      FROM events
+    ),
+    pairs AS (
+      SELECT src, event_type AS dst, CAST(count(*) AS BIGINT) AS c
+      FROM seq WHERE src IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    rw AS (SELECT src, CAST(sum(c) AS BIGINT) AS cs FROM pairs GROUP BY 1),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS ct FROM pairs),
+    h2 AS (
+      SELECT any_value(tot.ct) AS n_transitions,
+             CAST(count(DISTINCT pairs.src) AS BIGINT) AS n_states,
+             {sql_quantize(
+                 '-sum(' + sql_quantize('pairs.c / tot.ct', 9)
+                 + ' * log2(' + sql_quantize('pairs.c / rw.cs', 9)
+                 + '))', 6)} AS h2_bits
+      FROM pairs JOIN rw USING (src) CROSS JOIN tot
+    ),
+    marg AS (
+      SELECT dst, CAST(sum(c) AS BIGINT) AS cd FROM pairs GROUP BY 1
+    ),
+    h1 AS (
+      SELECT {sql_quantize(
+                 '-sum(' + sql_quantize('marg.cd / tot.ct', 9)
+                 + ' * log2(' + sql_quantize('marg.cd / tot.ct', 9)
+                 + '))', 6)} AS h1_bits
+      FROM marg CROSS JOIN tot
+    )
+    SELECT h2.n_transitions, h2.n_states, h1.h1_bits, h2.h2_bits,
+           CASE WHEN h1.h1_bits > 0
+                THEN {sql_quantize('1.0 - h2.h2_bits / h1.h1_bits', 6)}
+           END AS redundancy
+    FROM h2, h1
 """
