@@ -3500,6 +3500,61 @@ def emb_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVF_CURVE_NPROBES = (1, 2, 4)
+
+
+def knn_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF tuning curve: hit-rate against the brute-force truth as a
+    function of nprobe (1, 2, 4 probed lists) — THE accuracy/cost
+    dial of an IVF deployment, measured instead of guessed
+    (`knn_recall_report` scores the deployed settings; this shows
+    what each extra probe buys so the setting is chosen on evidence).
+
+    Scale: three IVF plans share the centroid machinery; each arm's
+    truth join is a left-semi over queries×k rows — everything after
+    the searches is tiny.
+    """
+    e = _embs(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < N_QUERY_VECS)
+    bf = knn_bruteforce(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    out = None
+    for np_ in IVF_CURVE_NPROBES:
+        ap = cosine_topk_ivf(
+            q, e, k=KNN_K, n_centroids=IVF_CENTROIDS, nprobe=np_
+        ).select("query_id", "neighbor_id")
+        hits = ap.join(bf, ["query_id", "neighbor_id"], "left_semi")
+        arm = (
+            ap.agg(
+                F.countDistinct("query_id")
+                .cast("long")
+                .alias("n_queries"),
+                F.count(F.lit(1)).cast("long").alias("n_retrieved"),
+            )
+            .crossJoin(
+                F.broadcast(
+                    hits.agg(
+                        F.count(F.lit(1)).cast("long").alias("n_hits")
+                    )
+                )
+            )
+            .select(
+                F.lit(np_).cast("long").alias("nprobe"),
+                "n_queries",
+                "n_retrieved",
+                "n_hits",
+                quantize(
+                    F.col("n_hits").cast("double")
+                    / F.col("n_retrieved"),
+                    6,
+                ).alias("hit_rate"),
+            )
+        )
+        out = arm if out is None else out.unionByName(arm)
+    return out
+
+
 def corpus_ref_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity audit between the documents table and its
     embedding side-table: row counts, matched ids, and orphans on
@@ -4788,6 +4843,7 @@ QUERIES = {
     "corpus_quality_length_corr": corpus_quality_length_corr,
     "corpus_quality_length_spearman": corpus_quality_length_spearman,
     "emb_hubness": emb_hubness,
+    "knn_ivf_nprobe_curve": knn_ivf_nprobe_curve,
 }
 
 
@@ -7811,3 +7867,38 @@ ORACLE["corpus_quality_length_spearman"] = f"""
            END AS spearman_rho
     FROM s
 """
+
+def _ivf_sql_with_nprobe(np_: int) -> str:
+    """The knn_ivf oracle with its probes cap swapped — the marker is
+    the UNIQUE 'rk <= IVF_NPROBE' terminator of the probes CTE (the
+    final top-k cap is 'rk <= KNN_K', a different literal)."""
+    src = ORACLE["knn_ivf"]
+    marker = f"WHERE rk <= {IVF_NPROBE}"
+    assert src.count(marker) == 1, "probes marker not unique"
+    return src.replace(marker, f"WHERE rk <= {np_}")
+
+
+def _nprobe_arm_sql(np_: int) -> str:
+    return f"""      SELECT CAST({np_} AS BIGINT) AS nprobe,
+             CAST(count(DISTINCT ivf.query_id) AS BIGINT) AS n_queries,
+             CAST(count(*) AS BIGINT) AS n_retrieved,
+             CAST(sum(CASE WHEN EXISTS (
+               SELECT 1 FROM bf
+               WHERE bf.query_id = ivf.query_id
+                 AND bf.neighbor_id = ivf.neighbor_id
+             ) THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+             (floor(CAST(sum(CASE WHEN EXISTS (
+               SELECT 1 FROM bf
+               WHERE bf.query_id = ivf.query_id
+                 AND bf.neighbor_id = ivf.neighbor_id
+             ) THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+               * 1000000.0 + 0.5) / 1000000.0) AS hit_rate
+      FROM ({_ivf_sql_with_nprobe(np_)}) ivf"""
+
+
+ORACLE["knn_ivf_nprobe_curve"] = (
+    f"""    WITH bf AS ({ORACLE['knn_bruteforce']})\n"""
+    + "\n      UNION ALL\n".join(
+        _nprobe_arm_sql(np_) for np_ in IVF_CURVE_NPROBES
+    )
+)
