@@ -3500,6 +3500,58 @@ def emb_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-mass inequality across documents: the Gini coefficient
+    of per-doc token counts — the packing/budget read ("do a few huge
+    docs dominate the token mass?") that decides whether shard
+    packing needs the oversized-split path at all; the corpus-side
+    twin of `events_gini`'s user-activity inequality.
+
+    Scale: computed EXACTLY via the counts-of-counts histogram — the
+    mean-absolute-difference double sum runs over V² DISTINCT token
+    counts (bounded by max doc length, never docs²) via a broadcast
+    self-join of the tiny histogram; all-integer terms, one final
+    division.
+    """
+    per = doc_tokens(spark, sf_dir).select("n_tokens")
+    hist = per.groupBy("n_tokens").agg(
+        F.count(F.lit(1)).cast("long").alias("m")
+    )
+    a = hist.select(
+        F.col("n_tokens").alias("va"), F.col("m").alias("ma")
+    )
+    b = hist.select(
+        F.col("n_tokens").alias("vb"), F.col("m").alias("mb")
+    )
+    mad_sum = a.crossJoin(F.broadcast(b)).agg(
+        F.sum(
+            F.col("ma") * F.col("mb") * F.abs(F.col("va") - F.col("vb"))
+        ).alias("s")
+    )
+    tot = hist.agg(
+        F.sum("m").cast("long").alias("n_docs"),
+        F.sum(F.col("m") * F.col("n_tokens"))
+        .cast("long")
+        .alias("total_tokens"),
+    )
+    return mad_sum.crossJoin(F.broadcast(tot)).select(
+        "n_docs",
+        "total_tokens",
+        quantize(
+            F.col("total_tokens").cast("double") / F.col("n_docs"), 4
+        ).alias("mean_tokens"),
+        quantize(
+            F.col("s").cast("double")
+            / (
+                2.0
+                * F.col("n_docs").cast("double")
+                * F.col("total_tokens").cast("double")
+            ),
+            6,
+        ).alias("gini"),
+    )
+
+
 IVF_CURVE_NPROBES = (1, 2, 4)
 
 
@@ -4844,6 +4896,7 @@ QUERIES = {
     "corpus_quality_length_spearman": corpus_quality_length_spearman,
     "emb_hubness": emb_hubness,
     "knn_ivf_nprobe_curve": knn_ivf_nprobe_curve,
+    "corpus_token_gini": corpus_token_gini,
 }
 
 
@@ -7902,3 +7955,33 @@ ORACLE["knn_ivf_nprobe_curve"] = (
         _nprobe_arm_sql(np_) for np_ in IVF_CURVE_NPROBES
     )
 )
+
+ORACLE["corpus_token_gini"] = f"""
+    WITH per AS (
+      SELECT CAST(len(regexp_extract_all(text, '{TOKEN_PATTERN}'))
+        AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    hist AS (
+      SELECT n_tokens, CAST(count(*) AS BIGINT) AS m
+      FROM per GROUP BY 1
+    ),
+    mad AS (
+      SELECT sum(a.m * b.m * abs(a.n_tokens - b.n_tokens)) AS s
+      FROM hist a CROSS JOIN hist b
+    ),
+    tot AS (
+      SELECT CAST(sum(m) AS BIGINT) AS n_docs,
+             CAST(sum(m * n_tokens) AS BIGINT) AS total_tokens
+      FROM hist
+    )
+    SELECT tot.n_docs, tot.total_tokens,
+           {sql_quantize(
+               'CAST(tot.total_tokens AS DOUBLE) / tot.n_docs', 4)}
+             AS mean_tokens,
+           {sql_quantize(
+               'CAST(mad.s AS DOUBLE) / (2.0'
+               ' * CAST(tot.n_docs AS DOUBLE)'
+               ' * CAST(tot.total_tokens AS DOUBLE))', 6)} AS gini
+    FROM mad, tot
+"""
