@@ -4503,7 +4503,9 @@ def corpus_boilerplate_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup is sources-bounded with exact integer ratios.
     """
     d = _docs(spark, sf_dir)
-    sh = doc_shingles(d, keyed=True)
+    # two consumers (df table + the join-back side) — one eager
+    # localCheckpoint materializes the explode+key scan once
+    sh = doc_shingles(d, keyed=True).localCheckpoint(eager=True)
     df_tab = sh.groupBy("s").agg(
         F.count(F.lit(1)).cast("long").alias("df")
     )
