@@ -3500,6 +3500,67 @@ def emb_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def emb_label_homophily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label homophily of the kNN graph: the share of neighbor edges
+    connecting SAME-label vectors vs the expectation under label
+    shuffling (Σ p_ℓ²) — the supervised read on embedding quality
+    (lift ≫ 1 means the space separates the labels; lift ≈ 1 means
+    the labels are not encoded and any label-based downstream use of
+    these embeddings is wishful).
+
+    Scale: composes the adaptive-band kNN graph (no new pairwise
+    stage); labels join both edge ends on the vec_id key (dim-table
+    broadcast); observed share and the label marginals are exact
+    integer ratios — one edge agg + one labels-bounded agg.
+    """
+    g = knn_graph(spark, sf_dir)
+    lab = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label"
+    )
+    la = lab.select(
+        F.col("vec_id").alias("da"), F.col("label").alias("label_a")
+    )
+    lb = lab.select(
+        F.col("vec_id").alias("db"), F.col("label").alias("label_b")
+    )
+    edges = g.join(F.broadcast(la), "da").join(F.broadcast(lb), "db")
+    obs = edges.agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        F.sum((F.col("label_a") == F.col("label_b")).cast("int"))
+        .cast("long")
+        .alias("n_same"),
+    )
+    marg = lab.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tot = marg.agg(F.sum("c").cast("long").alias("n"))
+    exp = (
+        marg.crossJoin(F.broadcast(tot))
+        .agg(
+            quantize(
+                F.sum(
+                    (F.col("c").cast("double") / F.col("n"))
+                    * (F.col("c").cast("double") / F.col("n"))
+                ),
+                9,
+            ).alias("expected_same_share")
+        )
+    )
+    return obs.crossJoin(F.broadcast(exp)).select(
+        "n_edges",
+        "n_same",
+        quantize(
+            F.col("n_same").cast("double") / F.col("n_edges"), 6
+        ).alias("same_label_share"),
+        "expected_same_share",
+        quantize(
+            (F.col("n_same").cast("double") / F.col("n_edges"))
+            / F.col("expected_same_share"),
+            4,
+        ).alias("homophily_lift"),
+    )
+
+
 def corpus_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-mass inequality across documents: the Gini coefficient
     of per-doc token counts — the packing/budget read ("do a few huge
@@ -4899,6 +4960,7 @@ QUERIES = {
     "emb_hubness": emb_hubness,
     "knn_ivf_nprobe_curve": knn_ivf_nprobe_curve,
     "corpus_token_gini": corpus_token_gini,
+    "emb_label_homophily": emb_label_homophily,
 }
 
 
@@ -7986,4 +8048,41 @@ ORACLE["corpus_token_gini"] = f"""
                ' * CAST(tot.n_docs AS DOUBLE)'
                ' * CAST(tot.total_tokens AS DOUBLE))', 6)} AS gini
     FROM mad, tot
+"""
+
+ORACLE["emb_label_homophily"] = f"""
+    WITH {_KNN_GRAPH_CTES},
+    edges AS (
+      SELECT la.label AS label_a, lb.label AS label_b
+      FROM knng
+      JOIN embeddings la ON la.vec_id = knng.da
+      JOIN embeddings lb ON lb.vec_id = knng.db
+    ),
+    obs AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_edges,
+             CAST(sum(CASE WHEN label_a = label_b THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_same
+      FROM edges
+    ),
+    marg AS (
+      SELECT label, CAST(count(*) AS BIGINT) AS c
+      FROM embeddings GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM marg),
+    expd AS (
+      SELECT {sql_quantize(
+          'sum((CAST(marg.c AS DOUBLE) / tot.n)'
+          ' * (CAST(marg.c AS DOUBLE) / tot.n))', 9)}
+        AS expected_same_share
+      FROM marg, tot
+    )
+    SELECT obs.n_edges, obs.n_same,
+           {sql_quantize(
+               'CAST(obs.n_same AS DOUBLE) / obs.n_edges', 6)}
+             AS same_label_share,
+           expd.expected_same_share,
+           {sql_quantize(
+               '(CAST(obs.n_same AS DOUBLE) / obs.n_edges)'
+               ' / expd.expected_same_share', 4)} AS homophily_lift
+    FROM obs, expd
 """

@@ -2150,6 +2150,35 @@ def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).crossJoin(F.broadcast(lat(cp, "click_to_purchase")))
 
 
+def events_churn_half_life(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn half-life: the first lifetime day-offset where the
+    Kaplan-Meier survival estimate drops to ≤ 0.5 — the one-number
+    retention summary an exec review actually quotes ("half our users
+    are gone after N days"), distilled from the full censored curve
+    (`events_survival`). Also reports the terminal survival level and
+    whether the median was even reached inside the observation window.
+
+    Scale: composes the offsets-bounded survival table; the summary
+    is one tiny conditional-min aggregate.
+    """
+    sv = events_survival(spark, sf_dir)
+    agg = sv.agg(
+        F.count(F.lit(1)).cast("long").alias("n_offsets"),
+        F.min(
+            F.when(F.col("survival") <= 0.5, F.col("t"))
+        ).alias("half_life_days"),
+        quantize(F.max_by("survival", "t"), 6).alias(
+            "terminal_survival"
+        ),
+    )
+    return agg.select(
+        "n_offsets",
+        "half_life_days",
+        "terminal_survival",
+        F.col("half_life_days").isNotNull().alias("median_reached"),
+    )
+
+
 PERIODOGRAM_PERIODS_H = (6, 12, 24, 84, 168)  # quarter/half/day, half-week, week
 
 
@@ -2512,6 +2541,7 @@ QUERIES = {
     "events_value_kruskal": events_value_kruskal,
     "events_periodogram": events_periodogram,
     "events_transition_entropy": events_transition_entropy,
+    "events_churn_half_life": events_churn_half_life,
     "events_retention_hourly": events_retention_hourly,
     "events_dau": events_dau,
     "events_dau_approx": events_dau_approx,
@@ -3910,4 +3940,15 @@ ORACLE["events_transition_entropy"] = f"""
                 THEN {sql_quantize('1.0 - h2.h2_bits / h1.h1_bits', 6)}
            END AS redundancy
     FROM h2, h1
+"""
+
+ORACLE["events_churn_half_life"] = f"""
+    WITH sv AS ({ORACLE['events_survival']})
+    SELECT CAST(count(*) AS BIGINT) AS n_offsets,
+           min(CASE WHEN survival <= 0.5 THEN t END) AS half_life_days,
+           {sql_quantize('arg_max(survival, t)', 6)}
+             AS terminal_survival,
+           (min(CASE WHEN survival <= 0.5 THEN t END) IS NOT NULL)
+             AS median_reached
+    FROM sv
 """

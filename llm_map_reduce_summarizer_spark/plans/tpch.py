@@ -851,6 +851,65 @@ def parts_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(COPURCHASE_TOPK)
 
 
+def orders_interpurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpurchase-time distribution: exact p50/p90 of the gap (in
+    days) between a customer's consecutive orders, plus the one-order
+    customer share — the relational twin of `events_interarrival`
+    (reorder cadence is what replenishment and win-back campaigns are
+    timed against).
+
+    Scale: consecutive gaps are ONE customer-keyed sort-shuffle
+    (lag over the per-customer order sequence — the sessionization
+    partitioning); the distribution rollup is one row via the
+    quantile_cont parity; gaps are exact integer days.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    gaps = (
+        o.withColumn("prev_d", F.lag("o_orderdate").over(w))
+        .filter(F.col("prev_d").isNotNull())
+        .select(
+            F.datediff(F.col("o_orderdate"), F.col("prev_d"))
+            .cast("long")
+            .alias("gap_days")
+        )
+    )
+    per = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+    cust = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum((F.col("n_orders") == 1).cast("int"))
+        .cast("long")
+        .alias("one_order_customers"),
+    )
+    dist = gaps.agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.round(F.expr("percentile(gap_days, 0.5)"), 2).alias(
+            "p50_gap_days"
+        ),
+        F.round(F.expr("percentile(gap_days, 0.9)"), 2).alias(
+            "p90_gap_days"
+        ),
+    )
+    return cust.crossJoin(F.broadcast(dist)).select(
+        "n_customers",
+        "one_order_customers",
+        quantize(
+            F.col("one_order_customers").cast("double")
+            / F.col("n_customers"),
+            6,
+        ).alias("one_order_share"),
+        "n_gaps",
+        "p50_gap_days",
+        "p90_gap_days",
+    )
+
+
 def orders_basket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Basket-size distribution: how many orders contain exactly k
     distinct parts, with each size's share — the counts-of-counts
@@ -2007,6 +2066,7 @@ QUERIES = {
     "orders_yoy_growth": orders_yoy_growth,
     "nation_trade_balance": nation_trade_balance,
     "orders_basket_histogram": orders_basket_histogram,
+    "orders_interpurchase": orders_interpurchase,
     "customer_rfm": customer_rfm,
     "supplier_scorecard": supplier_scorecard,
     "orders_pareto": orders_pareto,
@@ -3046,4 +3106,43 @@ ORACLE["orders_basket_histogram"] = f"""
            CAST(hist.n_orders * hist.k_items * (hist.k_items - 1) / 2
              AS BIGINT) AS pair_volume
     FROM hist, tot
+"""
+
+ORACLE["orders_interpurchase"] = f"""
+    WITH seq AS (
+      SELECT o_custkey, o_orderdate,
+             lag(o_orderdate) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ) AS prev_d
+      FROM orders
+    ),
+    gaps AS (
+      SELECT CAST(datediff('day', prev_d, o_orderdate) AS BIGINT)
+               AS gap_days
+      FROM seq WHERE prev_d IS NOT NULL
+    ),
+    per AS (
+      SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1
+    ),
+    cust AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_customers,
+             CAST(sum(CASE WHEN n_orders = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS one_order_customers
+      FROM per
+    ),
+    dist AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_gaps,
+             round(CAST(quantile_cont(gap_days, 0.5) AS DOUBLE), 2)
+               AS p50_gap_days,
+             round(CAST(quantile_cont(gap_days, 0.9) AS DOUBLE), 2)
+               AS p90_gap_days
+      FROM gaps
+    )
+    SELECT cust.n_customers, cust.one_order_customers,
+           {sql_quantize(
+               'CAST(cust.one_order_customers AS DOUBLE)'
+               ' / cust.n_customers', 6)} AS one_order_share,
+           dist.n_gaps, dist.p50_gap_days, dist.p90_gap_days
+    FROM cust, dist
 """
