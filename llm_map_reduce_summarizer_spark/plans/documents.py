@@ -3578,6 +3578,14 @@ def corpus_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = per.groupBy("n_tokens").agg(
         F.count(F.lit(1)).cast("long").alias("m")
     )
+    return gini_from_hist(hist)
+
+
+def gini_from_hist(hist: DataFrame) -> DataFrame:
+    """The Gini computation over an (n_tokens, m) counts-of-counts
+    histogram — shared by the batch query and the streaming drain
+    (`stream_token_gini` accumulates the same max-doc-length-bounded
+    histogram at ingest)."""
     a = hist.select(
         F.col("n_tokens").alias("va"), F.col("m").alias("ma")
     )

@@ -1098,7 +1098,31 @@ def stream_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chi2_from_obs(obs)
 
 
+def stream_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming token-mass Gini: per-doc token counts are a
+    stateless map at ingest and collapse into the counts-of-counts
+    histogram (state bounded by MAX DOC LENGTH, never stream length);
+    the exact Gini evaluates post-drain via the batch computation
+    (`documents.gini_from_hist`). Drain == batch `corpus_token_gini`,
+    whose oracle it shares.
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions.text import token_count
+    from .documents import gini_from_hist
+
+    docs = read_documents_stream(spark, sf_dir)
+    agg = docs.select(
+        token_count(F.col("text")).cast("long").alias("n_tokens")
+    ).groupBy("n_tokens").agg(
+        F.count(F.lit(1)).cast("long").alias("m")
+    )
+    hist = run_available_now(agg, output_mode="complete")
+    return gini_from_hist(hist)
+
+
 QUERIES = {
+    "stream_token_gini": stream_token_gini,
     "stream_chi2_independence": stream_chi2_independence,
     "stream_quality_length_corr": stream_quality_length_corr,
     "stream_ab_welch": stream_ab_welch,
@@ -1142,6 +1166,7 @@ ORACLE = {
     "stream_ab_welch": _EVENTS_ORACLE["events_ab_welch"],
     "stream_quality_length_corr": _DOCS_ORACLE["corpus_quality_length_corr"],
     "stream_chi2_independence": _DOCS_ORACLE["corpus_chi2_independence"],
+    "stream_token_gini": _DOCS_ORACLE["corpus_token_gini"],
     "stream_hourly": _EVENTS_ORACLE["events_hourly"],
     "stream_sessionize": _EVENTS_ORACLE["events_sessionize"],
     "stream_asof_view": _EVENTS_ORACLE["events_asof_view"],
