@@ -2150,6 +2150,67 @@ def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).crossJoin(F.broadcast(lat(cp, "click_to_purchase")))
 
 
+def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap between event types: Jaccard similarity of
+    each type pair's user sets — which behaviors share an audience
+    (near-1 overlap between error and purchase users means errors hit
+    buyers, a different fire than errors hitting lurkers; the
+    behavioral cousin of `corpus_source_overlap`'s vocabulary
+    Jaccard).
+
+    Scale: (type, user) distinct pairs are one natural-key shuffle;
+    the pair join is keyed on user_id, so compare volume is Σ
+    types-per-user² (types-bounded per user, never users²); set sizes
+    broadcast back; Jaccard is an exact integer ratio.
+    """
+    tu = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    sizes = tu.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    a = tu.select("user_id", F.col("event_type").alias("ta"))
+    b = tu.select("user_id", F.col("event_type").alias("tb"))
+    inter = (
+        a.join(b, "user_id")
+        .filter(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    return (
+        inter.join(
+            F.broadcast(
+                sizes.select(
+                    F.col("event_type").alias("ta"),
+                    F.col("n_users").alias("na"),
+                )
+            ),
+            "ta",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(
+                    F.col("event_type").alias("tb"),
+                    F.col("n_users").alias("nb"),
+                )
+            ),
+            "tb",
+        )
+        .select(
+            F.col("ta").alias("type_a"),
+            F.col("tb").alias("type_b"),
+            "n_common",
+            quantize(
+                F.col("n_common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
 def events_churn_half_life(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Churn half-life: the first lifetime day-offset where the
     Kaplan-Meier survival estimate drops to ≤ 0.5 — the one-number
@@ -2542,6 +2603,7 @@ QUERIES = {
     "events_periodogram": events_periodogram,
     "events_transition_entropy": events_transition_entropy,
     "events_churn_half_life": events_churn_half_life,
+    "events_audience_overlap": events_audience_overlap,
     "events_retention_hourly": events_retention_hourly,
     "events_dau": events_dau,
     "events_dau_approx": events_dau_approx,
@@ -3951,4 +4013,29 @@ ORACLE["events_churn_half_life"] = f"""
            (min(CASE WHEN survival <= 0.5 THEN t END) IS NOT NULL)
              AS median_reached
     FROM sv
+"""
+
+ORACLE["events_audience_overlap"] = f"""
+    WITH tu AS (
+      SELECT DISTINCT event_type, user_id FROM events
+    ),
+    sizes AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_users
+      FROM tu GROUP BY 1
+    ),
+    inter AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(count(*) AS BIGINT) AS n_common
+      FROM tu a JOIN tu b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT i.type_a, i.type_b, i.n_common,
+           {sql_quantize(
+               'CAST(i.n_common AS DOUBLE)'
+               ' / (sa.n_users + sb.n_users - i.n_common)', 6)}
+             AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.event_type = i.type_a
+    JOIN sizes sb ON sb.event_type = i.type_b
 """
