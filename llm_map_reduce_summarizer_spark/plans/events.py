@@ -2588,7 +2588,143 @@ def welch_from_stats(stats: DataFrame) -> DataFrame:
     )
 
 
+def events_value_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe (median-centered Levene) test of variance
+    equality of event value across ALL event types — the spread
+    counterpart of the tier's location tests (Welch/ANOVA ask "same
+    mean?", Kruskal "same distribution by rank?"; this asks "same
+    VARIANCE?", the homoscedasticity precondition classic ANOVA
+    assumes and the canary for one segment's values fanning out).
+    Median-centered per Brown-Forsythe, so heavy tails don't inflate
+    the statistic the way mean-centered Levene does.
+
+    Scale: values live on the cent grid, so per-type medians come
+    EXACTLY off the value-bounded cell histogram (2·median = v_lo +
+    v_hi, both integers — the `events_value_kruskal` cells reused
+    verbatim, grid-bounded windows, never an events² anything);
+    |2v−2m| deviations are exact integers accumulated in
+    decimal(38,0); F is one final double expression over k rows.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("vq"),
+    )
+    cell = ev.groupBy("vq", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("ng")
+    )
+    return levene_from_cells(cell)
+
+
+def levene_from_cells(cell: DataFrame) -> DataFrame:
+    """The Brown-Forsythe computation over a (vq, event_type, ng)
+    cell table — shared by the batch query and the streaming drain
+    (`stream_value_levene` accumulates the same value-grid-bounded
+    cells at ingest, the `kruskal_from_cells` state class)."""
+    # keys rename at every self-lineage join so a drained streaming
+    # relation (which cannot re-alias duplicate attribute ids)
+    # resolves cleanly — the chi2_from_obs discipline
+    tot = cell.select(
+        F.col("event_type").alias("et_t"), F.col("ng").alias("ng_t")
+    ).groupBy("et_t").agg(F.sum("ng_t").cast("long").alias("n_g"))
+    w = Window.partitionBy("event_type").orderBy("vq")
+    cum = (
+        cell.withColumn("cumi", F.sum("ng").over(w))
+        .withColumn("cb", F.col("cumi") - F.col("ng"))
+        .join(
+            F.broadcast(tot), F.col("event_type") == F.col("et_t")
+        )
+    )
+    # 2·median = value at floor((n−1)/2) + value at floor(n/2)
+    # (0-indexed) — the quantile_cont(0.5) linear interpolation,
+    # doubled so it stays an exact integer
+    lo = F.floor((F.col("n_g") - 1) / 2)
+    hi = F.floor(F.col("n_g") / 2)
+    v_lo = (
+        cum.filter((F.col("cb") <= lo) & (lo < F.col("cumi")))
+        .groupBy("event_type")
+        .agg(F.min("vq").alias("v_lo"))
+    )
+    v_hi = (
+        cum.filter((F.col("cb") <= hi) & (hi < F.col("cumi")))
+        .select(
+            F.col("event_type").alias("et_h"),
+            F.col("vq").alias("vq_h"),
+        )
+        .groupBy("et_h")
+        .agg(F.min("vq_h").alias("v_hi"))
+    )
+    med = v_lo.join(
+        v_hi, F.col("event_type") == F.col("et_h")
+    ).select(
+        F.col("event_type").alias("et2"),
+        (F.col("v_lo") + F.col("v_hi")).alias("med2"),
+    )
+    z2 = F.abs(2 * F.col("vq") - F.col("med2"))
+    g = (
+        cell.join(
+            F.broadcast(med), F.col("event_type") == F.col("et2")
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum("ng").cast("long").alias("n_g"),
+            F.sum((F.col("ng") * z2).cast("decimal(38,0)"))
+            .cast("double")
+            .alias("s1"),
+            F.sum((F.col("ng") * z2 * z2).cast("decimal(38,0)"))
+            .cast("double")
+            .alias("s2"),
+        )
+    )
+    roll = g.agg(
+        F.count(F.lit(1)).cast("long").alias("k_groups"),
+        F.sum("n_g").cast("long").alias("n_events"),
+        F.sum("s1").alias("s1_tot"),
+        F.sum(F.col("s1") * F.col("s1") / F.col("n_g")).alias(
+            "sq_over_n"
+        ),
+        F.sum(
+            F.col("s2") - F.col("s1") * F.col("s1") / F.col("n_g")
+        ).alias("within"),
+    )
+    between = F.col("sq_over_n") - F.col("s1_tot") * F.col(
+        "s1_tot"
+    ) / F.col("n_events")
+    f_stat = (
+        (F.col("n_events") - F.col("k_groups"))
+        / (F.col("k_groups") - 1.0)
+    ) * (between / F.col("within"))
+    # (k−1)·F ~ chi²(k−1) for large N — same 95% table as Kruskal
+    crit = (
+        F.when(F.col("k_groups") == 2, 3.8415)
+        .when(F.col("k_groups") == 3, 5.9915)
+        .when(F.col("k_groups") == 4, 7.8147)
+        .when(F.col("k_groups") == 5, 9.4877)
+        .when(F.col("k_groups") == 6, 11.0705)
+        .otherwise(F.lit(None))
+    )
+    # flat-case guards, NESTED so no guarded branch evaluates a zero
+    # divisor (ANSI): k<2 breaks the between normalizer, N<=k the
+    # scale factor, and an all-tied corpus drives within to 0
+    sizes_ok = (F.col("k_groups") > 1) & (
+        F.col("n_events") > F.col("k_groups")
+    )
+
+    def guarded(col: Column) -> Column:
+        return F.when(sizes_ok, F.when(F.col("within") > 0, col))
+
+    fq = guarded(quantize(f_stat, 4))
+    return roll.select(
+        "n_events",
+        "k_groups",
+        fq.alias("f_stat"),
+        ((F.col("k_groups") - 1.0) * fq > crit).alias(
+            "significant_95"
+        ),
+    )
+
+
 QUERIES = {
+    "events_value_levene": events_value_levene,
     "events_funnel_latency": events_funnel_latency,
     "events_ewma_control": events_ewma_control,
     "events_anomaly_ensemble": events_anomaly_ensemble,
@@ -4038,4 +4174,55 @@ ORACLE["events_audience_overlap"] = f"""
     FROM inter i
     JOIN sizes sa ON sa.event_type = i.type_a
     JOIN sizes sb ON sb.event_type = i.type_b
+"""
+
+ORACLE["events_value_levene"] = f"""
+    WITH vq AS (
+      SELECT event_type,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+      FROM events
+    ),
+    med AS (
+      SELECT event_type, 2.0 * quantile_cont(v, 0.5) AS med2
+      FROM vq GROUP BY 1
+    ),
+    z AS (
+      SELECT vq.event_type,
+             CAST(abs(2 * vq.v - med.med2) AS HUGEINT) AS z2
+      FROM vq JOIN med USING (event_type)
+    ),
+    g AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_g,
+             CAST(sum(z2) AS DOUBLE) AS s1,
+             CAST(sum(z2 * z2) AS DOUBLE) AS s2
+      FROM z GROUP BY 1
+    ),
+    roll AS (
+      SELECT CAST(count(*) AS BIGINT) AS k_groups,
+             CAST(sum(n_g) AS BIGINT) AS n_events,
+             sum(s1) AS s1_tot,
+             sum(s1 * s1 / n_g) AS sq_over_n,
+             sum(s2 - s1 * s1 / n_g) AS within
+      FROM g
+    )
+    SELECT n_events, k_groups,
+           CASE WHEN k_groups > 1 AND n_events > k_groups
+                 AND within > 0 THEN
+             {sql_quantize(
+                 '((n_events - k_groups) / (k_groups - 1.0))'
+                 ' * ((sq_over_n - s1_tot * s1_tot / n_events)'
+                 ' / within)', 4)}
+           END AS f_stat,
+           (k_groups - 1.0) * (CASE WHEN k_groups > 1
+                 AND n_events > k_groups AND within > 0 THEN
+             {sql_quantize(
+                 '((n_events - k_groups) / (k_groups - 1.0))'
+                 ' * ((sq_over_n - s1_tot * s1_tot / n_events)'
+                 ' / within)', 4)}
+           END)
+             > (CASE k_groups WHEN 2 THEN 3.8415 WHEN 3 THEN 5.9915
+                WHEN 4 THEN 7.8147 WHEN 5 THEN 9.4877
+                WHEN 6 THEN 11.0705 END) AS significant_95
+    FROM roll
 """

@@ -1010,6 +1010,33 @@ def stream_value_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kruskal_from_cells(cell)
 
 
+def stream_value_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Brown-Forsythe: the identical value-grid-bounded
+    (cell, type) ingest state as `stream_value_kruskal` — one
+    bounded-state accumulation serves BOTH rank and variance tests —
+    drained into the exact batch computation
+    (`events.levene_from_cells`). Drain == batch
+    `events_value_levene`, whose oracle it shares.
+    """
+    from pyspark.sql import functions as F
+
+    from .events import levene_from_cells
+
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 day")
+        .groupBy(
+            F.floor(F.col("value") * 100 + 0.5)
+            .cast("long")
+            .alias("vq"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("ng"))
+    )
+    cell = run_available_now(agg, output_mode="complete")
+    return levene_from_cells(cell)
+
+
 def stream_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming Welch t-test: the six regression moments (n, Σv,
     Σv² per group) accumulate AT INGEST in ONE global streaming
@@ -1127,6 +1154,7 @@ QUERIES = {
     "stream_quality_length_corr": stream_quality_length_corr,
     "stream_ab_welch": stream_ab_welch,
     "stream_value_kruskal": stream_value_kruskal,
+    "stream_value_levene": stream_value_levene,
     "stream_stickiness": stream_stickiness,
     "stream_session_stats": stream_session_stats,
     "stream_error_budget": stream_error_budget,
@@ -1163,6 +1191,7 @@ ORACLE = {
     "stream_session_stats": _EVENTS_ORACLE["events_session_stats"],
     "stream_stickiness": _EVENTS_ORACLE["events_stickiness"],
     "stream_value_kruskal": _EVENTS_ORACLE["events_value_kruskal"],
+    "stream_value_levene": _EVENTS_ORACLE["events_value_levene"],
     "stream_ab_welch": _EVENTS_ORACLE["events_ab_welch"],
     "stream_quality_length_corr": _DOCS_ORACLE["corpus_quality_length_corr"],
     "stream_chi2_independence": _DOCS_ORACLE["corpus_chi2_independence"],

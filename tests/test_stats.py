@@ -276,6 +276,30 @@ def test_trade_balance_conservation(spark):
     assert abs(df.exports.sum() - df.imports.sum()) < 0.01
 
 
+def test_levene_matches_numpy(spark):
+    row = (
+        QUERIES["events_value_levene"](spark, SF_SMOKE)
+        .toPandas()
+        .iloc[0]
+    )
+    ev = _events()
+    v = np.floor(ev["value"].to_numpy() * 100 + 0.5)
+    types = ev.event_type.to_numpy()
+    zs = []
+    for g in ev.event_type.unique():
+        x = v[types == g]
+        zs.append(np.abs(x - np.median(x)))
+    n = sum(len(z) for z in zs)
+    k = len(zs)
+    zbar = np.concatenate(zs).mean()
+    between = sum(len(z) * (z.mean() - zbar) ** 2 for z in zs)
+    within = sum(((z - z.mean()) ** 2).sum() for z in zs)
+    f = ((n - k) / (k - 1)) * between / within
+    assert row["n_events"] == n
+    assert row["k_groups"] == k
+    assert _close(row["f_stat"], f)
+
+
 def test_kruskal_matches_numpy(spark):
     row = (
         QUERIES["events_value_kruskal"](spark, SF_SMOKE)
