@@ -2723,7 +2723,101 @@ def levene_from_cells(cell: DataFrame) -> DataFrame:
     )
 
 
+def events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM control chart on the per-type hourly count series: the
+    one-sided cumulative-sum statistic S_i = max(0, S_{i-1} + (x_i −
+    μ)) flags sustained upward drift that per-hour z-scores
+    (`events_hourly_anomaly`) and EWMA level tracking
+    (`events_ewma_control`) both smear out — CUSUM is the classic
+    fastest detector of a small persistent shift (Page 1954).
+
+    The recursion is NOT computed recursively: it has the closed form
+    S_i = P_i − min(0, min_{j≤i} P_j) with P the prefix sum of
+    centered counts, so two stacked running windows (sum, then min)
+    over the hours-bounded per-type series express it exactly.
+
+    Exactness: centering multiplies through by the per-type hour
+    count — Z_i = N·x_i − Σx is an exact integer, so P, the running
+    min, and S never touch a float until the final display division;
+    the alarm threshold 6σ is computed once per type from exact
+    integer moments (N, Σx, Σx²), so both engines derive identical
+    doubles. Allowance k=0 (compensated by the taller 6σ fence) —
+    precisely so the per-step increments stay integer.
+
+    Scale: windows run over the (type, hour) partial agg — calendar-
+    bounded, never events-sized — partitioned by event_type; the
+    moment table is a types-bounded broadcast.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.withColumn("hour", F.date_trunc("hour", F.col("ts")))
+        .groupBy("event_type", "hour")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    return cusum_from_hourly(hourly)
+
+
+def cusum_from_hourly(hourly: DataFrame) -> DataFrame:
+    """The CUSUM computation over a (event_type, hour, n_events)
+    series — shared by the batch query and the streaming drain
+    (`stream_cusum` accumulates the same hours × types tumbling state
+    at ingest, the `ewma_from_hourly` discipline)."""
+    # keys rename on the self-lineage join so a drained streaming
+    # relation (which cannot re-alias duplicate attribute ids)
+    # resolves cleanly
+    stats = hourly.select(
+        F.col("event_type").alias("et_s"),
+        F.col("n_events").alias("n_s"),
+    ).groupBy("et_s").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        F.sum("n_s").cast("long").alias("sn"),
+        F.sum(F.col("n_s") * F.col("n_s"))
+        .cast("decimal(38,0)")
+        .alias("sq"),
+    )
+    j = hourly.join(
+        F.broadcast(stats), F.col("event_type") == F.col("et_s")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    z = (
+        F.col("n_hours") * F.col("n_events") - F.col("sn")
+    ).cast("long")
+    cur = j.select(
+        "event_type",
+        "hour",
+        "n_events",
+        "n_hours",
+        "sn",
+        "sq",
+        F.sum(z).over(w).alias("p"),
+    )
+    # same window spec → Spark folds both passes into one WindowExec
+    scored = cur.withColumn(
+        "s", F.col("p") - F.least(F.min("p").over(w), F.lit(0))
+    )
+    nh = F.col("n_hours").cast("double")
+    var_num = nh * F.col("sq").cast("double") - F.col("sn").cast(
+        "double"
+    ) * F.col("sn").cast("double")
+    sigma6 = 6.0 * F.sqrt(var_num / (nh * (nh - 1.0)))
+    cusum = F.col("s").cast("double") / F.col("n_hours")
+    return scored.select(
+        "event_type",
+        "hour",
+        "n_events",
+        quantize(cusum, 4).alias("cusum"),
+        F.when(
+            (F.col("n_hours") > 1), F.when(var_num > 0, cusum > sigma6)
+        ).alias("alarm"),
+    )
+
+
 QUERIES = {
+    "events_cusum": events_cusum,
     "events_value_levene": events_value_levene,
     "events_funnel_latency": events_funnel_latency,
     "events_ewma_control": events_ewma_control,
@@ -4225,4 +4319,44 @@ ORACLE["events_value_levene"] = f"""
                 WHEN 4 THEN 7.8147 WHEN 5 THEN 9.4877
                 WHEN 6 THEN 11.0705 END) AS significant_95
     FROM roll
+"""
+
+ORACLE["events_cusum"] = f"""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_hours,
+             CAST(sum(n_events) AS BIGINT) AS sn,
+             sum(n_events * n_events) AS sq
+      FROM hourly GROUP BY 1
+    ),
+    pre AS (
+      SELECT h.event_type, h.hour, h.n_events,
+             s.n_hours, s.sn, s.sq,
+             sum(CAST(s.n_hours * h.n_events - s.sn AS BIGINT))
+               OVER (PARTITION BY h.event_type ORDER BY h.hour
+                     ROWS UNBOUNDED PRECEDING) AS p
+      FROM hourly h JOIN stats s USING (event_type)
+    ),
+    sc AS (
+      SELECT *,
+             p - least(min(p) OVER (PARTITION BY event_type
+                   ORDER BY hour ROWS UNBOUNDED PRECEDING), 0) AS s
+      FROM pre
+    )
+    SELECT event_type, hour, n_events,
+           {sql_quantize('CAST(s AS DOUBLE) / n_hours', 4)} AS cusum,
+           CASE WHEN n_hours > 1 AND
+                  (CAST(n_hours AS DOUBLE) * CAST(sq AS DOUBLE)
+                   - CAST(sn AS DOUBLE) * CAST(sn AS DOUBLE)) > 0
+             THEN CAST(s AS DOUBLE) / n_hours >
+               6.0 * sqrt((CAST(n_hours AS DOUBLE) * CAST(sq AS DOUBLE)
+                   - CAST(sn AS DOUBLE) * CAST(sn AS DOUBLE))
+                   / (CAST(n_hours AS DOUBLE) * (n_hours - 1.0)))
+           END AS alarm
+    FROM sc
 """

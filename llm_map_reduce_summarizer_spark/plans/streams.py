@@ -908,6 +908,30 @@ def stream_ewma_control(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ewma_from_hourly(hourly)
 
 
+def stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CUSUM drift monitor: the per-type hourly count series
+    accumulates AT INGEST (the same calendar-bounded tumbling-window
+    state as `stream_hourly` — state = hours × types, never stream
+    length), and the exact-integer closed-form CUSUM scan runs
+    post-drain on the hours-bounded snapshot
+    (`events.cusum_from_hourly`). Drain == batch `events_cusum`,
+    whose oracle it shares.
+    """
+    from pyspark.sql import functions as F
+
+    from ..streaming.stream_ops import hourly_counts
+    from .events import cusum_from_hourly
+
+    ev = read_events_stream(spark, sf_dir)
+    snap = run_available_now(hourly_counts(ev), output_mode="complete")
+    hourly = snap.select(
+        "event_type",
+        "hour",
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+    return cusum_from_hourly(hourly)
+
+
 def stream_error_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming SLO burn-down: the daily (events, errors) series
     accumulates AT INGEST (one tumbling-day window agg — state =
@@ -1159,6 +1183,7 @@ QUERIES = {
     "stream_session_stats": stream_session_stats,
     "stream_error_budget": stream_error_budget,
     "stream_ewma_control": stream_ewma_control,
+    "stream_cusum": stream_cusum,
     "stream_hourly": stream_hourly,
     "stream_sessionize": stream_sessionize,
     "stream_view_click_join": stream_view_click_join,
@@ -1187,6 +1212,7 @@ QUERIES = {
 
 ORACLE = {
     "stream_ewma_control": _EVENTS_ORACLE["events_ewma_control"],
+    "stream_cusum": _EVENTS_ORACLE["events_cusum"],
     "stream_error_budget": _EVENTS_ORACLE["events_error_budget"],
     "stream_session_stats": _EVENTS_ORACLE["events_session_stats"],
     "stream_stickiness": _EVENTS_ORACLE["events_stickiness"],
