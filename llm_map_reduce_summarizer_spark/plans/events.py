@@ -2737,12 +2737,15 @@ def events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the hours-bounded per-type series express it exactly.
 
     Exactness: centering multiplies through by the per-type hour
-    count — Z_i = N·x_i − Σx is an exact integer, so P, the running
-    min, and S never touch a float until the final display division;
-    the alarm threshold 6σ is computed once per type from exact
-    integer moments (N, Σx, Σx²), so both engines derive identical
-    doubles. Allowance k=0 (compensated by the taller 6σ fence) —
-    precisely so the per-step increments stay integer.
+    count — Z_i = N·x_i − Σx − N·k is an exact integer because the
+    allowance k = ceil(σ/2) is rounded UP TO AN INTEGER (both engines
+    derive σ from the same exact integer moments N, Σx, Σx², so their
+    ceil agrees bit-for-bit); P, the running min, and S never touch a
+    float until the final display division. A k=0 variant is NOT
+    sound: the drift-free reflected walk's max grows as σ·√n, so any
+    fixed fence eventually false-alarms on a long quiet series —
+    Page's allowance gives the walk negative drift and a stationary
+    quiet distribution, fenced at the classic h = 5σ.
 
     Scale: windows run over the (type, hour) partial agg — calendar-
     bounded, never events-sized — partitioned by event_type; the
@@ -2775,6 +2778,19 @@ def cusum_from_hourly(hourly: DataFrame) -> DataFrame:
         .cast("decimal(38,0)")
         .alias("sq"),
     )
+    nh0 = F.col("n_hours").cast("double")
+    vn0 = nh0 * F.col("sq").cast("double") - F.col("sn").cast(
+        "double"
+    ) * F.col("sn").cast("double")
+    stats = stats.withColumn(
+        "k",
+        F.when(
+            (F.col("n_hours") > 1) & (vn0 > 0),
+            F.ceil(F.sqrt(vn0 / (nh0 * (nh0 - 1.0))) / 2.0),
+        )
+        .otherwise(F.lit(0))
+        .cast("long"),
+    )
     j = hourly.join(
         F.broadcast(stats), F.col("event_type") == F.col("et_s")
     )
@@ -2784,7 +2800,8 @@ def cusum_from_hourly(hourly: DataFrame) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     z = (
-        F.col("n_hours") * F.col("n_events") - F.col("sn")
+        F.col("n_hours") * (F.col("n_events") - F.col("k"))
+        - F.col("sn")
     ).cast("long")
     cur = j.select(
         "event_type",
@@ -2803,7 +2820,7 @@ def cusum_from_hourly(hourly: DataFrame) -> DataFrame:
     var_num = nh * F.col("sq").cast("double") - F.col("sn").cast(
         "double"
     ) * F.col("sn").cast("double")
-    sigma6 = 6.0 * F.sqrt(var_num / (nh * (nh - 1.0)))
+    sigma5 = 5.0 * F.sqrt(var_num / (nh * (nh - 1.0)))
     cusum = F.col("s").cast("double") / F.col("n_hours")
     return scored.select(
         "event_type",
@@ -2811,7 +2828,7 @@ def cusum_from_hourly(hourly: DataFrame) -> DataFrame:
         "n_events",
         quantize(cusum, 4).alias("cusum"),
         F.when(
-            (F.col("n_hours") > 1), F.when(var_num > 0, cusum > sigma6)
+            (F.col("n_hours") > 1), F.when(var_num > 0, cusum > sigma5)
         ).alias("alarm"),
     )
 
@@ -4327,17 +4344,30 @@ ORACLE["events_cusum"] = f"""
              CAST(count(*) AS BIGINT) AS n_events
       FROM events GROUP BY 1, 2
     ),
-    stats AS (
+    stats0 AS (
       SELECT event_type,
              CAST(count(*) AS BIGINT) AS n_hours,
              CAST(sum(n_events) AS BIGINT) AS sn,
              sum(n_events * n_events) AS sq
       FROM hourly GROUP BY 1
     ),
+    stats AS (
+      SELECT *,
+             CASE WHEN n_hours > 1 AND
+                    (CAST(n_hours AS DOUBLE) * CAST(sq AS DOUBLE)
+                     - CAST(sn AS DOUBLE) * CAST(sn AS DOUBLE)) > 0
+               THEN CAST(ceil(sqrt(
+                      (CAST(n_hours AS DOUBLE) * CAST(sq AS DOUBLE)
+                       - CAST(sn AS DOUBLE) * CAST(sn AS DOUBLE))
+                      / (CAST(n_hours AS DOUBLE) * (n_hours - 1.0))
+                    ) / 2.0) AS BIGINT)
+               ELSE 0 END AS k
+      FROM stats0
+    ),
     pre AS (
       SELECT h.event_type, h.hour, h.n_events,
              s.n_hours, s.sn, s.sq,
-             sum(CAST(s.n_hours * h.n_events - s.sn AS BIGINT))
+             sum(CAST(s.n_hours * (h.n_events - s.k) - s.sn AS BIGINT))
                OVER (PARTITION BY h.event_type ORDER BY h.hour
                      ROWS UNBOUNDED PRECEDING) AS p
       FROM hourly h JOIN stats s USING (event_type)
@@ -4354,7 +4384,7 @@ ORACLE["events_cusum"] = f"""
                   (CAST(n_hours AS DOUBLE) * CAST(sq AS DOUBLE)
                    - CAST(sn AS DOUBLE) * CAST(sn AS DOUBLE)) > 0
              THEN CAST(s AS DOUBLE) / n_hours >
-               6.0 * sqrt((CAST(n_hours AS DOUBLE) * CAST(sq AS DOUBLE)
+               5.0 * sqrt((CAST(n_hours AS DOUBLE) * CAST(sq AS DOUBLE)
                    - CAST(sn AS DOUBLE) * CAST(sn AS DOUBLE))
                    / (CAST(n_hours AS DOUBLE) * (n_hours - 1.0)))
            END AS alarm

@@ -367,3 +367,86 @@ def test_periodogram_matches_numpy(spark):
             (x * np.cos(arg)).sum() ** 2 + (x * np.sin(arg)).sum() ** 2
         ) * 2 / n
         assert _close(df.loc[p, "power"], power, tol=1e-3)
+
+
+def test_cusum_matches_recursion(spark):
+    """The closed-form window CUSUM must equal Page's textbook
+    recursion S_i = max(0, S_{i-1} + (x_i - mean - k)) with integer
+    allowance k = ceil(sigma/2), run in plain numpy over each
+    per-type hourly series."""
+    df = (
+        QUERIES["events_cusum"](spark, SF_SMOKE)
+        .toPandas()
+        .sort_values(["event_type", "hour"])
+        .reset_index(drop=True)
+    )
+    ev = _events()
+    for et, grp in df.groupby("event_type"):
+        hourly = (
+            ev[ev.event_type == et]
+            .set_index("ts")
+            .resample("1h")["event_id"]
+            .count()
+        )
+        hourly = hourly[hourly > 0]
+        xs = hourly.to_numpy(float)
+        mu = xs.mean()
+        sigma = xs.std(ddof=1)
+        k = math.ceil(sigma / 2) if len(xs) > 1 and sigma > 0 else 0
+        s, expect = 0.0, []
+        for x in xs:
+            s = max(0.0, s + (x - mu - k))
+            expect.append(s)
+        got = grp.sort_values("hour")["cusum"].to_numpy(float)
+        assert len(got) == len(expect)
+        for g, e in zip(got, expect):
+            assert _close(g, e, tol=1e-3)
+        alarms = grp.sort_values("hour")["alarm"].to_numpy()
+        for g, e in zip(alarms, expect):
+            assert bool(g) == bool(e > 5 * sigma)
+
+
+def test_cusum_flags_injected_drift(spark):
+    """A small persistent +2sigma shift in the back half of a flat
+    series must raise the CUSUM alarm even though no single hour is
+    individually anomalous (the detector's reason to exist)."""
+    from llm_map_reduce_summarizer_spark.plans.events import (
+        cusum_from_hourly,
+    )
+
+    base = pd.Timestamp("2024-01-01")
+    rng = np.random.default_rng(7)
+    n = 200
+    xs = rng.poisson(100, n).astype(float)
+    xs[n // 2 :] += 2 * xs.std(ddof=1)
+    rows = [
+        (
+            "drift",
+            (base + pd.Timedelta(hours=i)).to_pydatetime(),
+            float(xs[i]),
+        )
+        for i in range(n)
+    ]
+    hourly = spark.createDataFrame(
+        rows, "event_type string, hour timestamp, n_events double"
+    )
+    out = cusum_from_hourly(
+        hourly.selectExpr(
+            "event_type", "hour", "CAST(n_events AS long) AS n_events"
+        )
+    ).toPandas()
+    assert out["alarm"].fillna(False).any()
+    # and a drift-free flat series must stay quiet
+    quiet = [
+        (
+            "flat",
+            (base + pd.Timedelta(hours=i)).to_pydatetime(),
+            int(v),
+        )
+        for i, v in enumerate(rng.poisson(100, n))
+    ]
+    hq = spark.createDataFrame(
+        quiet, "event_type string, hour timestamp, n_events long"
+    )
+    out_q = cusum_from_hourly(hq).toPandas()
+    assert not out_q["alarm"].fillna(False).any()
