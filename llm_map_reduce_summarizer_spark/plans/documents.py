@@ -3106,6 +3106,46 @@ def corpus_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_yule_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-weighted vocabulary richness per source: Yule's
+    characteristic K = 1e4·(Σf² − N)/N² and Simpson's repeat-rate
+    D = (Σf² − N)/(N(N−1)) over the term-frequency spectrum — unlike
+    `corpus_lexical_diversity`'s type-token ratio (which collapses as
+    N grows), K and D are length-invariant, so they compare strata of
+    very different sizes fairly; a templated stratum shows an order-
+    of-magnitude higher K than natural prose.
+
+    Scale: the same (source, term) partial agg as the diversity
+    profile, rolled up to one row per source; Σf² accumulates in
+    decimal(38,0) (hugeint in the twin) so no overflow at corpus
+    scale, and K/D are single exact-integer-derived divisions.
+    """
+    toks = _docs(spark, sf_dir).select(
+        "source", F.explode(words(F.col("text"))).alias("term")
+    )
+    vocab = toks.groupBy("source", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("f")
+    )
+    per = vocab.groupBy("source").agg(
+        F.sum("f").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+        F.sum(F.col("f") * F.col("f"))
+        .cast("decimal(38,0)")
+        .alias("sf2"),
+    )
+    n = F.col("n_tokens").cast("double")
+    rep = F.col("sf2").cast("double") - n
+    return per.select(
+        "source",
+        "n_tokens",
+        "vocab_size",
+        quantize(F.lit(1e4) * rep / (n * n), 4).alias("yule_k"),
+        F.when(
+            F.col("n_tokens") > 1, quantize(rep / (n * (n - 1)), 6)
+        ).alias("simpson_d"),
+    )
+
+
 def multimodal_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-distribution entropy per binary payload (Shannon bits over
     the 16 high-nibble bins) — the codec-free compressibility /
@@ -4938,6 +4978,7 @@ QUERIES = {
     "corpus_tokenizer_fertility": corpus_tokenizer_fertility,
     "dedup_minhash_est_check": dedup_minhash_est_check,
     "corpus_lexical_diversity": corpus_lexical_diversity,
+    "corpus_yule_k": corpus_yule_k,
     "multimodal_entropy": multimodal_entropy,
     "corpus_source_divergence": corpus_source_divergence,
     "corpus_bootstrap_ci": corpus_bootstrap_ci,
@@ -7121,6 +7162,33 @@ def _minhash_est_check_oracle() -> str:
 
 
 ORACLE["dedup_minhash_est_check"] = _minhash_est_check_oracle()
+
+ORACLE["corpus_yule_k"] = f"""
+    WITH tk AS (
+      SELECT source, unnest({_W}) AS term FROM documents
+    ),
+    vocab AS (
+      SELECT source, term, count(*) AS f FROM tk GROUP BY 1, 2
+    ),
+    per AS (
+      SELECT source,
+             CAST(sum(f) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS vocab_size,
+             sum(f * f) AS sf2
+      FROM vocab GROUP BY 1
+    )
+    SELECT source, n_tokens, vocab_size,
+           {sql_quantize(
+               '1e4 * (CAST(sf2 AS DOUBLE) - n_tokens)'
+               ' / (CAST(n_tokens AS DOUBLE) * n_tokens)', 4)}
+             AS yule_k,
+           CASE WHEN n_tokens > 1 THEN
+             {sql_quantize(
+                 '(CAST(sf2 AS DOUBLE) - n_tokens)'
+                 ' / (CAST(n_tokens AS DOUBLE) * (n_tokens - 1))', 6)}
+           END AS simpson_d
+    FROM per
+"""
 
 ORACLE["corpus_lexical_diversity"] = f"""
     WITH tk AS (

@@ -1008,13 +1008,19 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     unpartitioned window anywhere.
     """
     ev = load_table(spark, sf_dir, "events")
-    hourly = (
-        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .select(
-            F.hour("hour").cast("bigint").alias("hour_of_day"),
-            F.col("n").cast("double").alias("n"),
-        )
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return mad_from_hourly(hourly)
+
+
+def mad_from_hourly(hourly: DataFrame) -> DataFrame:
+    """The MAD-profile computation over an (hour, n) table — shared
+    by the batch query and the streaming drain (`stream_anomaly_mad`
+    accumulates the same hours-bounded tumbling counts at ingest)."""
+    hourly = hourly.select(
+        F.hour("hour").cast("bigint").alias("hour_of_day"),
+        F.col("n").cast("double").alias("n"),
     )
     med = hourly.groupBy("hour_of_day").agg(
         F.expr("percentile(n, 0.5)").alias("med")
@@ -2588,6 +2594,89 @@ def welch_from_stats(stats: DataFrame) -> DataFrame:
     )
 
 
+def events_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on user-level FAST ACTIVATION between
+    the two deterministic experiment arms (user_id parity split — the
+    same hash-style assignment an A/B platform uses): did arm A's
+    share of users who purchase within 24 h of their first event
+    differ from arm B's?  The proportions counterpart of
+    `events_ab_welch` (means) — conversion RATES are Bernoulli, where
+    the pooled-variance z-test, not the t-test, is the textbook
+    primitive. (Lifetime "ever purchased" saturates at 100% on this
+    corpus — se² = 0, no test — hence the windowed activation metric.)
+
+    Scale: one user-hash shuffle serves both the first-event window
+    and the per-user conversion agg (same key, no second exchange;
+    users-bounded, map-side combined), then ONE global aggregate
+    yields the four integer counts the whole test derives from — both
+    engines compute identical doubles from identical integers, so the
+    hash compare is exact.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id")
+    per_user = (
+        ev.withColumn("first_ts", F.min("ts").over(wu))
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & F.expr("ts < first_ts + INTERVAL 24 HOURS"),
+                    1,
+                ).otherwise(0)
+            ).alias("conv")
+        )
+    )
+    return conversion_ztest_from_users(per_user)
+
+
+def conversion_ztest_from_users(per_user: DataFrame) -> DataFrame:
+    """The z-test over a (user_id, conv) table — shared by the batch
+    query and the streaming drain (`stream_conversion_ztest`
+    accumulates the same users-bounded conversion bits at ingest)."""
+    is_a = F.col("user_id") % 2 == 0
+    stats = per_user.agg(
+        F.sum(F.when(is_a, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(is_a, F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("x_a"),
+        F.sum(F.when(is_a, 0).otherwise(1)).cast("long").alias("n_b"),
+        F.sum(F.when(is_a, 0).otherwise(F.col("conv")))
+        .cast("long")
+        .alias("x_b"),
+    )
+    p_a = F.col("x_a").cast("double") / F.col("n_a")
+    p_b = F.col("x_b").cast("double") / F.col("n_b")
+    pool = (F.col("x_a") + F.col("x_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    se2 = (
+        pool
+        * (1 - pool)
+        * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    )
+    z = (p_a - p_b) / F.sqrt(se2)
+    # nested guards (the welch_from_stats ANSI discipline): outer
+    # gates the arm sizes, inner the pooled variance
+    sizes_ok = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+
+    def guarded(col: Column) -> Column:
+        return F.when(sizes_ok, F.when(se2 > 0, col))
+
+    return stats.select(
+        "n_a",
+        "x_a",
+        "n_b",
+        "x_b",
+        F.when(F.col("n_a") > 0, quantize(p_a, 6)).alias("p_a"),
+        F.when(F.col("n_b") > 0, quantize(p_b, 6)).alias("p_b"),
+        guarded(quantize(z, 4)).alias("z_stat"),
+        guarded(F.abs(quantize(z, 4)) > MK_CRIT_95).alias(
+            "significant_95"
+        ),
+    )
+
+
 def events_value_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brown-Forsythe (median-centered Levene) test of variance
     equality of event value across ALL event types — the spread
@@ -2846,6 +2935,7 @@ QUERIES = {
     "events_daily_health": events_daily_health,
     "events_mann_kendall": events_mann_kendall,
     "events_ab_welch": events_ab_welch,
+    "events_conversion_ztest": events_conversion_ztest,
     "events_value_kruskal": events_value_kruskal,
     "events_periodogram": events_periodogram,
     "events_transition_entropy": events_transition_entropy,
@@ -3797,6 +3887,56 @@ ORACLE["events_mann_kendall"] = f"""
              ELSE 'none'
            END AS trend
     FROM v
+"""
+
+ORACLE["events_conversion_ztest"] = f"""
+    WITH firsts AS (
+      SELECT user_id, min(ts) AS first_ts FROM events GROUP BY 1
+    ),
+    per_user AS (
+      SELECT e.user_id,
+             max(CASE WHEN e.event_type = 'purchase'
+                   AND e.ts < f.first_ts + INTERVAL 24 HOUR
+                 THEN 1 ELSE 0 END) AS conv
+      FROM events e JOIN firsts f USING (user_id) GROUP BY 1
+    ),
+    stats AS (
+      SELECT
+        CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_a,
+        CAST(sum(CASE WHEN user_id % 2 = 0 THEN conv ELSE 0 END)
+             AS BIGINT) AS x_a,
+        CAST(sum(CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END)
+             AS BIGINT) AS n_b,
+        CAST(sum(CASE WHEN user_id % 2 = 0 THEN 0 ELSE conv END)
+             AS BIGINT) AS x_b
+      FROM per_user
+    ),
+    d AS (
+      SELECT *,
+             CASE WHEN n_a > 0
+               THEN CAST(x_a AS DOUBLE) / n_a END AS p_a,
+             CASE WHEN n_b > 0
+               THEN CAST(x_b AS DOUBLE) / n_b END AS p_b,
+             CASE WHEN n_a > 0 AND n_b > 0 THEN
+               CAST(x_a + x_b AS DOUBLE) / (n_a + n_b) END AS pool
+      FROM stats
+    ),
+    z AS (
+      SELECT *,
+             pool * (1 - pool) * (1.0 / n_a + 1.0 / n_b) AS se2
+      FROM d
+    )
+    SELECT n_a, x_a, n_b, x_b,
+           {sql_quantize('p_a', 6)} AS p_a,
+           {sql_quantize('p_b', 6)} AS p_b,
+           CASE WHEN se2 > 0 THEN
+             {sql_quantize('(p_a - p_b) / sqrt(se2)', 4)}
+           END AS z_stat,
+           CASE WHEN se2 > 0 THEN
+             abs({sql_quantize('(p_a - p_b) / sqrt(se2)', 4)}) > 1.96
+           END AS significant_95
+    FROM z
 """
 
 ORACLE["events_ab_welch"] = f"""

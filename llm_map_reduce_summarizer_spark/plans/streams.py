@@ -932,6 +932,28 @@ def stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cusum_from_hourly(hourly)
 
 
+def stream_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming robust anomaly profile: the hourly count series
+    accumulates AT INGEST (the same calendar-bounded tumbling-window
+    state as `stream_hourly`; the per-type cells just sum to the
+    overall series post-drain — exact), and the median/MAD screen
+    runs on the hours-bounded snapshot via the exact batch
+    computation (`events.mad_from_hourly`). Drain == batch
+    `events_anomaly_mad`, whose oracle it shares.
+    """
+    from pyspark.sql import functions as F
+
+    from ..streaming.stream_ops import hourly_counts
+    from .events import mad_from_hourly
+
+    ev = read_events_stream(spark, sf_dir)
+    snap = run_available_now(hourly_counts(ev), output_mode="complete")
+    hourly = snap.groupBy("hour").agg(
+        F.sum("n_events").cast("long").alias("n")
+    )
+    return mad_from_hourly(hourly)
+
+
 def stream_error_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming SLO burn-down: the daily (events, errors) series
     accumulates AT INGEST (one tumbling-day window agg — state =
@@ -1102,6 +1124,43 @@ def stream_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return welch_from_stats(stats)
 
 
+def stream_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming two-proportion z-test on fast activation: the
+    per-user state is TWO mergeable minima accumulated AT INGEST —
+    first event ts and first PURCHASE ts (state = users × 2
+    timestamps, never stream length, the `stream_dau` bound) — and
+    "any purchase within 24 h of the first event" is exactly "the
+    EARLIEST purchase is within 24 h", so the conversion bit falls
+    out of the drained minima; the four-integer-count z-test then
+    evaluates via the exact batch computation
+    (`events.conversion_ztest_from_users`). Drain == batch
+    `events_conversion_ztest`, whose oracle it shares.
+    """
+    from pyspark.sql import functions as F
+
+    from .events import conversion_ztest_from_users
+
+    ev = read_events_stream(spark, sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("first_purchase"),
+    )
+    snap = run_available_now(per_user, output_mode="complete")
+    bits = snap.select(
+        "user_id",
+        F.when(
+            F.col("first_purchase").isNotNull()
+            & F.expr("first_purchase < first_ts + INTERVAL 24 HOURS"),
+            1,
+        )
+        .otherwise(0)
+        .alias("conv"),
+    )
+    return conversion_ztest_from_users(bits)
+
+
 def stream_quality_length_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming confounder audit: the per-lang correlation moments
     (n, Σx, Σy, Σxy, Σx², Σy²) accumulate AT INGEST — state =
@@ -1177,6 +1236,7 @@ QUERIES = {
     "stream_chi2_independence": stream_chi2_independence,
     "stream_quality_length_corr": stream_quality_length_corr,
     "stream_ab_welch": stream_ab_welch,
+    "stream_conversion_ztest": stream_conversion_ztest,
     "stream_value_kruskal": stream_value_kruskal,
     "stream_value_levene": stream_value_levene,
     "stream_stickiness": stream_stickiness,
@@ -1184,6 +1244,7 @@ QUERIES = {
     "stream_error_budget": stream_error_budget,
     "stream_ewma_control": stream_ewma_control,
     "stream_cusum": stream_cusum,
+    "stream_anomaly_mad": stream_anomaly_mad,
     "stream_hourly": stream_hourly,
     "stream_sessionize": stream_sessionize,
     "stream_view_click_join": stream_view_click_join,
@@ -1213,12 +1274,14 @@ QUERIES = {
 ORACLE = {
     "stream_ewma_control": _EVENTS_ORACLE["events_ewma_control"],
     "stream_cusum": _EVENTS_ORACLE["events_cusum"],
+    "stream_anomaly_mad": _EVENTS_ORACLE["events_anomaly_mad"],
     "stream_error_budget": _EVENTS_ORACLE["events_error_budget"],
     "stream_session_stats": _EVENTS_ORACLE["events_session_stats"],
     "stream_stickiness": _EVENTS_ORACLE["events_stickiness"],
     "stream_value_kruskal": _EVENTS_ORACLE["events_value_kruskal"],
     "stream_value_levene": _EVENTS_ORACLE["events_value_levene"],
     "stream_ab_welch": _EVENTS_ORACLE["events_ab_welch"],
+    "stream_conversion_ztest": _EVENTS_ORACLE["events_conversion_ztest"],
     "stream_quality_length_corr": _DOCS_ORACLE["corpus_quality_length_corr"],
     "stream_chi2_independence": _DOCS_ORACLE["corpus_chi2_independence"],
     "stream_token_gini": _DOCS_ORACLE["corpus_token_gini"],
