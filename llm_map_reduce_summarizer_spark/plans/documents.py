@@ -47,6 +47,7 @@ from ..functions.vectors import (
     sql_sign_bucket_dynamic,
     sql_unit_cte,
 )
+from ..operators.profile import profile_oracle_sql
 from ..operators.dedup import (
     connected_components,
     exact_dedup,
@@ -3106,6 +3107,29 @@ def corpus_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level data-quality profile of the documents table —
+    null floods, cardinality collapse (a lang or source column
+    suddenly reading one value), and length-range excursions, checked
+    BEFORE any downstream curation trusts a new corpus drop. Same
+    generic single-scan wide-agg + stack transpose as
+    `events_column_profile` (`operators/profile.py`).
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators.profile import column_profile
+
+    d = _docs(spark, sf_dir)
+    return column_profile(
+        d,
+        ["doc_id", "text", "lang", "source", "n_chars"],
+        {
+            "doc_id": F.col("doc_id").cast("double"),
+            "n_chars": F.col("n_chars").cast("double"),
+        },
+    )
+
+
 def corpus_yule_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repetition-weighted vocabulary richness per source: Yule's
     characteristic K = 1e4·(Σf² − N)/N² and Simpson's repeat-rate
@@ -4979,6 +5003,7 @@ QUERIES = {
     "dedup_minhash_est_check": dedup_minhash_est_check,
     "corpus_lexical_diversity": corpus_lexical_diversity,
     "corpus_yule_k": corpus_yule_k,
+    "docs_column_profile": docs_column_profile,
     "multimodal_entropy": multimodal_entropy,
     "corpus_source_divergence": corpus_source_divergence,
     "corpus_bootstrap_ci": corpus_bootstrap_ci,
@@ -7162,6 +7187,12 @@ def _minhash_est_check_oracle() -> str:
 
 
 ORACLE["dedup_minhash_est_check"] = _minhash_est_check_oracle()
+
+ORACLE["docs_column_profile"] = profile_oracle_sql(
+    "documents",
+    ["doc_id", "text", "lang", "source", "n_chars"],
+    {"doc_id": "doc_id", "n_chars": "n_chars"},
+)
 
 ORACLE["corpus_yule_k"] = f"""
     WITH tk AS (

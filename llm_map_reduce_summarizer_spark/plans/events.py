@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.text import quantize, sql_quantize
+from ..operators.profile import profile_oracle_sql
 from ..sources.tables import load_table
 
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
@@ -1954,6 +1955,38 @@ def stickiness_from_act(act: DataFrame) -> DataFrame:
     )
 
 
+def events_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level data-quality profile of the events table: per
+    column — null count/share, EXACT distinct count, and numeric
+    min/max (timestamps profiled in integer epoch-micros; string
+    columns leave the range columns null) — the generic ingest-
+    validation primitive every pipeline runs before trusting a new
+    drop (schema-drift canaries check types; this checks CONTENT:
+    cardinality collapse, null floods, range excursions).
+
+    Scale: ONE wide aggregate over a single scan — null counts and
+    ranges are plain map-side-combined aggs; the six exact distincts
+    expand the scan 6× (Spark's count-distinct expand), the honest
+    exact tier at profile cadence — at 100 TB swap
+    approx_count_distinct into the same shape. The wide 1-row result
+    reshapes to the per-column report via `stack` (a driver-side-free
+    6-row transpose, no shuffle).
+    """
+    from ..operators.profile import column_profile
+
+    ev = load_table(spark, sf_dir, "events")
+    return column_profile(
+        ev,
+        ["event_id", "ts", "user_id", "event_type", "value", "props"],
+        {
+            "event_id": F.col("event_id").cast("double"),
+            "ts": F.unix_micros(F.col("ts")).cast("double"),
+            "user_id": F.col("user_id").cast("double"),
+            "value": F.col("value").cast("double"),
+        },
+    )
+
+
 def events_daily_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The daily ops dashboard as ONE query: per day — events, DAU,
     stickiness (DAU/WAU), error share, cumulative SLO burn, and the
@@ -2924,6 +2957,7 @@ def cusum_from_hourly(hourly: DataFrame) -> DataFrame:
 
 QUERIES = {
     "events_cusum": events_cusum,
+    "events_column_profile": events_column_profile,
     "events_value_levene": events_value_levene,
     "events_funnel_latency": events_funnel_latency,
     "events_ewma_control": events_ewma_control,
@@ -3888,6 +3922,17 @@ ORACLE["events_mann_kendall"] = f"""
            END AS trend
     FROM v
 """
+
+ORACLE["events_column_profile"] = profile_oracle_sql(
+    "events",
+    ["event_id", "ts", "user_id", "event_type", "value", "props"],
+    {
+        "event_id": "event_id",
+        "ts": "epoch_us(ts)",
+        "user_id": "user_id",
+        "value": "value",
+    },
+)
 
 ORACLE["events_conversion_ztest"] = f"""
     WITH firsts AS (
