@@ -2360,6 +2360,72 @@ def search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def search_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation as an operator: NDCG@10, DCG, and
+    recall of the lexical BM25 ranking against the semantic top-10 as
+    the (binary) relevance set, per query — the offline eval loop a
+    retrieval stack runs after every index or scorer change, here as
+    one declarative query instead of a notebook. Complements
+    `knn_recall_report` (ANN vs exact) by scoring ACROSS retrievers
+    (lexical vs semantic), and `search_rrf` by measuring what the
+    fusion is fusing.
+
+    Scale: both retriever outputs are queries × k rows by
+    construction (each retriever's own scale-shaped plan does the
+    corpus work), so the relevance join and the per-query rollup are
+    broadcast-sized; IDCG folds a ≤k integer sequence per query — no
+    corpus-sized anything past the retrievers.
+    """
+    from ..operators.similarity import cosine_topk_blocked
+
+    e = _embs(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < N_QUERY_VECS)
+    rel = cosine_topk_blocked(q, e, k=BM25_K).select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        F.lit(1).alias("hit"),
+    )
+    lex = _bm25_scored(spark, sf_dir, BM25_K).select(
+        "query_id", "doc_id", "rk"
+    )
+    joined = lex.join(F.broadcast(rel), ["query_id", "doc_id"], "left")
+    per = joined.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ranked"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+        .cast("long")
+        .alias("n_hits"),
+        F.sum(
+            F.when(
+                F.col("hit").isNotNull(),
+                F.lit(1.0) / F.log2(F.col("rk") + 1),
+            ).otherwise(0.0)
+        ).alias("dcg_raw"),
+    )
+    reln = rel.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rel")
+    )
+    out = per.join(F.broadcast(reln), "query_id")
+    idcg = F.expr(
+        f"aggregate(sequence(1, int(least(n_rel, {BM25_K}))),"
+        " cast(0.0 as double), (acc, i) -> acc + 1.0 / log2(i + 1))"
+    )
+    return out.select(
+        "query_id",
+        "n_rel",
+        "n_hits",
+        quantize(F.col("dcg_raw"), 6).alias("dcg"),
+        F.when(F.col("n_rel") > 0, quantize(F.col("dcg_raw") / idcg, 6)).alias(
+            "ndcg"
+        ),
+        F.when(
+            F.col("n_rel") > 0,
+            quantize(
+                F.col("n_hits").cast("double") / F.col("n_rel"), 6
+            ),
+        ).alias("recall"),
+    )
+
+
 # ----------------------------------------- governance: caps + samples
 
 
@@ -4968,6 +5034,7 @@ QUERIES = {
     "dedup_index_export": dedup_index_export,
     "doc_bm25_topk": doc_bm25_topk,
     "search_rrf": search_rrf,
+    "search_ndcg": search_ndcg,
     "corpus_sample_fixed": corpus_sample_fixed,
     "corpus_domain_cap": corpus_domain_cap,
     "dedup_bloom": dedup_bloom,
@@ -6401,6 +6468,58 @@ bscored AS (
 ORACLE["doc_bm25_topk"] = f"""
     WITH {_bm25_oracle_ctes(BM25_K)}
     SELECT query_id, doc_id, score, rk FROM lex
+"""
+
+ORACLE["search_ndcg"] = f"""
+    WITH {sql_unit_cte()},
+    rel AS (
+      SELECT query_id, neighbor_id AS doc_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY (floor({sql_dot('q.u', 'c.u')} * 1000000.0 + 0.5)
+                           / 1000000.0) DESC,
+                          c.vec_id
+               ) AS rk
+        FROM unitv q JOIN unitv c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < {N_QUERY_VECS}
+      ) WHERE rk <= {BM25_K}
+    ),
+    {_bm25_oracle_ctes(BM25_K)},
+    joined AS (
+      SELECT l.query_id, l.doc_id, l.rk,
+             CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+      FROM lex l LEFT JOIN rel r
+        ON l.query_id = r.query_id AND l.doc_id = r.doc_id
+    ),
+    per AS (
+      SELECT query_id,
+             CAST(count(*) AS BIGINT) AS n_ranked,
+             CAST(sum(hit) AS BIGINT) AS n_hits,
+             sum(CASE WHEN hit = 1
+                 THEN 1.0 / log2(rk + 1) ELSE 0.0 END) AS dcg_raw
+      FROM joined GROUP BY 1
+    ),
+    reln AS (
+      SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel
+      FROM rel GROUP BY 1
+    ),
+    ig AS (
+      SELECT a.i AS m, sum(1.0 / log2(b.i + 1)) AS idcg
+      FROM generate_series(1, {BM25_K}) a(i)
+      JOIN generate_series(1, {BM25_K}) b(i) ON b.i <= a.i
+      GROUP BY 1
+    )
+    SELECT p.query_id, n.n_rel, p.n_hits,
+           {sql_quantize('p.dcg_raw', 6)} AS dcg,
+           CASE WHEN n.n_rel > 0 THEN
+             {sql_quantize('p.dcg_raw / g.idcg', 6)}
+           END AS ndcg,
+           CASE WHEN n.n_rel > 0 THEN
+             {sql_quantize('CAST(p.n_hits AS DOUBLE) / n.n_rel', 6)}
+           END AS recall
+    FROM per p JOIN reln n USING (query_id)
+    JOIN ig g ON g.m = least(n.n_rel, {BM25_K})
 """
 
 ORACLE["search_rrf"] = f"""
