@@ -3196,6 +3196,59 @@ def docs_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_length_lognormal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lognormal fit + normality check of document lengths per
+    source: method-of-moments (μ, σ) of ln(n_chars) and the
+    Jarque–Bera statistic JB = n/6·(g₁² + g₂²/4) on the log-lengths —
+    natural text lengths are canonically lognormal, so a source whose
+    log-lengths FAIL normality (JB above the χ²₂ 95% fence 5.991) is
+    flagged as truncated, templated, or mixed-regime before it skews
+    packing and curriculum decisions downstream.
+
+    Scale: one narrow map (ln) + a per-source partial agg of four
+    power sums — the mergeable-moments shape; every statistic is a
+    closed-form expression over the five per-source scalars. Both
+    engines write the central-moment expansions in the same order so
+    the doubles agree to well under the output quantum.
+    """
+    d = _docs(spark, sf_dir).filter(F.col("n_chars") > 0)
+    x = F.log(F.col("n_chars").cast("double"))
+    per = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x).alias("s1"),
+        F.sum(x * x).alias("s2"),
+        F.sum(x * x * x).alias("s3"),
+        F.sum(x * x * x * x).alias("s4"),
+    )
+    n = F.col("n").cast("double")
+    mu = F.col("s1") / n
+    m2 = F.col("s2") / n - mu * mu
+    m3 = F.col("s3") / n - 3 * mu * (F.col("s2") / n) + 2 * mu * mu * mu
+    m4 = (
+        F.col("s4") / n
+        - 4 * mu * (F.col("s3") / n)
+        + 6 * mu * mu * (F.col("s2") / n)
+        - 3 * mu * mu * mu * mu
+    )
+    g1 = m3 / F.sqrt(m2 * m2 * m2)
+    g2 = m4 / (m2 * m2) - 3.0
+    jb = n / 6.0 * (g1 * g1 + g2 * g2 / 4.0)
+    ok = (F.col("n") > 2) & (m2 > 0)
+    return per.select(
+        "source",
+        "n",
+        quantize(mu, 4).alias("mu_log"),
+        F.when(
+            F.col("n") > 1,
+            F.when(m2 >= 0, quantize(F.sqrt(m2 * n / (n - 1)), 4)),
+        ).alias("sigma_log"),
+        F.when(ok, quantize(jb, 4)).alias("jb_stat"),
+        F.when(ok, quantize(jb, 4) < F.lit(5.991)).alias(
+            "lognormal_plausible"
+        ),
+    )
+
+
 def corpus_yule_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repetition-weighted vocabulary richness per source: Yule's
     characteristic K = 1e4·(Σf² − N)/N² and Simpson's repeat-rate
@@ -5070,6 +5123,7 @@ QUERIES = {
     "dedup_minhash_est_check": dedup_minhash_est_check,
     "corpus_lexical_diversity": corpus_lexical_diversity,
     "corpus_yule_k": corpus_yule_k,
+    "corpus_length_lognormal": corpus_length_lognormal,
     "docs_column_profile": docs_column_profile,
     "multimodal_entropy": multimodal_entropy,
     "corpus_source_divergence": corpus_source_divergence,
@@ -7312,6 +7366,49 @@ ORACLE["docs_column_profile"] = profile_oracle_sql(
     ["doc_id", "text", "lang", "source", "n_chars"],
     {"doc_id": "doc_id", "n_chars": "n_chars"},
 )
+
+ORACLE["corpus_length_lognormal"] = f"""
+    WITH per AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(ln(CAST(n_chars AS DOUBLE))) AS s1,
+             sum(ln(CAST(n_chars AS DOUBLE)) * ln(CAST(n_chars AS DOUBLE))) AS s2,
+             sum(ln(CAST(n_chars AS DOUBLE)) * ln(CAST(n_chars AS DOUBLE))
+                 * ln(CAST(n_chars AS DOUBLE))) AS s3,
+             sum(ln(CAST(n_chars AS DOUBLE)) * ln(CAST(n_chars AS DOUBLE))
+                 * ln(CAST(n_chars AS DOUBLE)) * ln(CAST(n_chars AS DOUBLE))) AS s4
+      FROM documents WHERE n_chars > 0 GROUP BY 1
+    ),
+    m AS (
+      SELECT source, n,
+             s1 / n AS mu,
+             s2 / n - (s1 / n) * (s1 / n) AS m2,
+             s3 / n - 3 * (s1 / n) * (s2 / n)
+               + 2 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+             s4 / n - 4 * (s1 / n) * (s3 / n)
+               + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+               - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+      FROM per
+    ),
+    jbt AS (
+      SELECT source, n, mu, m2,
+             CASE WHEN n > 2 AND m2 > 0 THEN
+               n / 6.0 * ((m3 / sqrt(m2 * m2 * m2)) * (m3 / sqrt(m2 * m2 * m2))
+                 + (m4 / (m2 * m2) - 3.0) * (m4 / (m2 * m2) - 3.0) / 4.0)
+             END AS jb
+      FROM m
+    )
+    SELECT source, n,
+           {sql_quantize('mu', 4)} AS mu_log,
+           CASE WHEN n > 1 AND m2 >= 0 THEN
+             {sql_quantize('sqrt(m2 * n / (n - 1.0))', 4)}
+           END AS sigma_log,
+           {sql_quantize('jb', 4)} AS jb_stat,
+           CASE WHEN jb IS NOT NULL
+             THEN {sql_quantize('jb', 4)} < 5.991 END
+             AS lognormal_plausible
+    FROM jbt
+"""
 
 ORACLE["corpus_yule_k"] = f"""
     WITH tk AS (

@@ -2360,6 +2360,64 @@ def events_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 MK_CRIT_95 = 1.96  # two-sided normal 95% critical value
 
 
+def events_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen slope of the hourly event-count series: the median
+    of all pairwise slopes (events/hour per hour), with the median-
+    based intercept — the robust trend MAGNITUDE that accompanies
+    `events_mann_kendall`'s trend DIRECTION test (MK says "is there a
+    monotone trend?", Sen says "how steep?", immune to the outliers
+    that wreck an OLS fit).
+
+    Scale: the series is calendar-bounded (hours, not events), so the
+    pair set is hours² — the same broadcast self-join as MK; slopes
+    are exact-integer ratios (count delta over integer hour delta),
+    so both engines derive identical doubles, and the median is one
+    exact percentile over the bounded pair set. At decade-long grids
+    (~26k hours → 3·10⁸ pairs) switch to the per-window Sen variant;
+    the monthly re-aggregation keeps the same shape.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    hourly = hourly.select(
+        (F.unix_micros(F.col("hour")) / F.lit(3600000000)).cast(
+            "long"
+        ).alias("t"),
+        "n",
+    )
+    a = hourly.select(F.col("t").alias("ta"), F.col("n").alias("na"))
+    b = hourly.select(F.col("t").alias("tb"), F.col("n").alias("nb"))
+    slopes = a.join(F.broadcast(b), F.col("ta") < F.col("tb")).select(
+        (
+            (F.col("nb") - F.col("na")).cast("double")
+            / (F.col("tb") - F.col("ta")).cast("double")
+        ).alias("slope")
+    )
+    med = slopes.agg(
+        F.expr("percentile(slope, 0.5)").alias("sen_slope"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+    )
+    # median-based intercept: median(n_i − slope·t_i) over the series
+    resid = hourly.crossJoin(F.broadcast(med)).select(
+        "sen_slope",
+        "n_pairs",
+        (
+            F.col("n").cast("double")
+            - F.col("sen_slope") * F.col("t").cast("double")
+        ).alias("r"),
+    )
+    return resid.groupBy("sen_slope", "n_pairs").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        F.expr("percentile(r, 0.5)").alias("icept_raw"),
+    ).select(
+        "n_hours",
+        "n_pairs",
+        quantize(F.col("sen_slope"), 6).alias("sen_slope"),
+        quantize(F.col("icept_raw"), 4).alias("sen_intercept"),
+    )
+
+
 def events_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mann-Kendall trend test on the hourly event-count series: the
     nonparametric monotone-trend screen (S = Σ sign(n_j − n_i) over
@@ -2957,6 +3015,7 @@ def cusum_from_hourly(hourly: DataFrame) -> DataFrame:
 
 QUERIES = {
     "events_cusum": events_cusum,
+    "events_sen_slope": events_sen_slope,
     "events_column_profile": events_column_profile,
     "events_value_levene": events_value_levene,
     "events_funnel_latency": events_funnel_latency,
@@ -3921,6 +3980,34 @@ ORACLE["events_mann_kendall"] = f"""
              ELSE 'none'
            END AS trend
     FROM v
+"""
+
+ORACLE["events_sen_slope"] = f"""
+    WITH hourly AS (
+      SELECT CAST(epoch_us(date_trunc('hour', ts)) / 3600000000
+                  AS BIGINT) AS t,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    slopes AS (
+      SELECT CAST(b.n - a.n AS DOUBLE) / (b.t - a.t) AS slope
+      FROM hourly a JOIN hourly b ON a.t < b.t
+    ),
+    med AS (
+      SELECT quantile_cont(slope, 0.5) AS sen_slope,
+             CAST(count(*) AS BIGINT) AS n_pairs
+      FROM slopes
+    ),
+    resid AS (
+      SELECT m.sen_slope, m.n_pairs,
+             CAST(h.n AS DOUBLE) - m.sen_slope * h.t AS r
+      FROM hourly h CROSS JOIN med m
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_hours,
+           n_pairs,
+           {sql_quantize('sen_slope', 6)} AS sen_slope,
+           {sql_quantize('quantile_cont(r, 0.5)', 4)} AS sen_intercept
+    FROM resid GROUP BY sen_slope, n_pairs
 """
 
 ORACLE["events_column_profile"] = profile_oracle_sql(

@@ -450,3 +450,55 @@ def test_cusum_flags_injected_drift(spark):
     )
     out_q = cusum_from_hourly(hq).toPandas()
     assert not out_q["alarm"].fillna(False).any()
+
+
+def test_sen_slope_matches_numpy(spark):
+    row = (
+        QUERIES["events_sen_slope"](spark, SF_SMOKE)
+        .toPandas()
+        .iloc[0]
+    )
+    ev = _events()
+    hourly = ev.set_index("ts").resample("1h")["event_id"].count()
+    hourly = hourly[hourly > 0]
+    t = (
+        hourly.index.astype("datetime64[us]").astype("int64")
+        // 10**6
+        // 3600
+    ).to_numpy(float)
+    x = hourly.to_numpy(float)
+    slopes = [
+        (x[j] - x[i]) / (t[j] - t[i])
+        for i in range(len(x))
+        for j in range(i + 1, len(x))
+    ]
+    sen = float(np.median(slopes))
+    icept = float(np.median(x - sen * t))
+    assert row["n_pairs"] == len(slopes)
+    assert _close(row["sen_slope"], sen, tol=1e-3)
+    assert _close(row["sen_intercept"], icept, tol=1e-3)
+
+
+def test_lognormal_jb_matches_numpy(spark):
+    df = (
+        QUERIES["corpus_length_lognormal"](spark, SF_SMOKE)
+        .toPandas()
+        .set_index("source")
+    )
+    d = _documents()
+    d = d[d.n_chars > 0]
+    for src, grp in d.groupby("source"):
+        x = np.log(grp["n_chars"].to_numpy(float))
+        n = len(x)
+        mu, m2 = x.mean(), x.var()
+        m3 = ((x - mu) ** 3).mean()
+        m4 = ((x - mu) ** 4).mean()
+        g1 = m3 / m2**1.5
+        g2 = m4 / m2**2 - 3
+        jb = n / 6 * (g1**2 + g2**2 / 4)
+        row = df.loc[src]
+        assert row["n"] == n
+        assert _close(row["mu_log"], mu, tol=1e-3)
+        assert _close(row["sigma_log"], x.std(ddof=1), tol=1e-3)
+        if n > 2 and m2 > 0:
+            assert _close(row["jb_stat"], jb, tol=1e-3)
