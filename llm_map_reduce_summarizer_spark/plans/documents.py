@@ -3196,6 +3196,71 @@ def docs_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_cross_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out language-model quality scoring (the CCNet recipe as
+    an operator): train an add-one-smoothed unigram LM on the train
+    split (`corpus_split`'s deterministic assignment), then score the
+    held-out (val+test) tokens per source — cross-entropy in
+    bits/token, perplexity, and OOV rate. A source whose held-out
+    perplexity towers over the others is distributionally alien to
+    the training mix (boilerplate, wrong language, markup) — the classic
+    LM-based quality filter signal, computed WITHOUT an external
+    model.
+
+    Scale: the LM is a (term, count) partial agg over train tokens;
+    held-out tokens left-join it on the natural term key (one
+    token-keyed shuffle — unseen terms fall to the smoothing floor);
+    the per-source rollup is strata-bounded. The model never
+    materializes on the driver and is itself corpus-sized-bounded
+    (vocabulary, not tokens).
+    """
+    d = _docs(spark, sf_dir)
+    draw = ((F.col("doc_id") * KNUTH) % DRAW_MOD) / float(DRAW_MOD)
+    toks = d.select(
+        "source",
+        (draw < SPLIT_TRAIN).alias("is_train"),
+        F.explode(words(F.col("text"))).alias("term"),
+    )
+    lm = (
+        toks.filter(F.col("is_train"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    tot = lm.agg(
+        F.sum("c").cast("long").alias("n_train"),
+        F.count(F.lit(1)).cast("long").alias("v_train"),
+    )
+    held = (
+        toks.filter(~F.col("is_train"))
+        .join(lm, "term", "left")
+        .crossJoin(F.broadcast(tot))
+    )
+    # add-one smoothing over V train types + one UNK bucket
+    p = (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double") / (
+        F.col("n_train") + F.col("v_train") + 1
+    ).cast("double")
+    per = held.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_heldout_tokens"),
+        F.sum(F.when(F.col("c").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_oov"),
+        F.sum(-F.log2(p)).alias("bits"),
+    )
+    h = F.col("bits") / F.col("n_heldout_tokens")
+    return per.select(
+        "source",
+        "n_heldout_tokens",
+        quantize(
+            F.col("n_oov").cast("double") / F.col("n_heldout_tokens"),
+            6,
+        ).alias("oov_rate"),
+        quantize(h, 4).alias("cross_entropy_bits"),
+        quantize(F.pow(F.lit(2.0), quantize(h, 4)), 4).alias(
+            "perplexity"
+        ),
+    )
+
+
 def corpus_length_lognormal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lognormal fit + normality check of document lengths per
     source: method-of-moments (μ, σ) of ln(n_chars) and the
@@ -5124,6 +5189,7 @@ QUERIES = {
     "corpus_lexical_diversity": corpus_lexical_diversity,
     "corpus_yule_k": corpus_yule_k,
     "corpus_length_lognormal": corpus_length_lognormal,
+    "corpus_cross_perplexity": corpus_cross_perplexity,
     "docs_column_profile": docs_column_profile,
     "multimodal_entropy": multimodal_entropy,
     "corpus_source_divergence": corpus_source_divergence,
@@ -7366,6 +7432,49 @@ ORACLE["docs_column_profile"] = profile_oracle_sql(
     ["doc_id", "text", "lang", "source", "n_chars"],
     {"doc_id": "doc_id", "n_chars": "n_chars"},
 )
+
+ORACLE["corpus_cross_perplexity"] = f"""
+    WITH toks AS (
+      SELECT source,
+             (CAST(doc_id * 2654435761 AS BIGINT) % 1000000)
+               / 1000000.0 < 0.9 AS is_train,
+             unnest({_W}) AS term
+      FROM documents
+    ),
+    lm AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS c
+      FROM toks WHERE is_train GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n_train,
+             CAST(count(*) AS BIGINT) AS v_train
+      FROM lm
+    ),
+    held AS (
+      SELECT t.source, l.c, o.n_train, o.v_train,
+             CAST(coalesce(l.c, 0) + 1 AS DOUBLE)
+               / (o.n_train + o.v_train + 1) AS p
+      FROM toks t LEFT JOIN lm l USING (term) CROSS JOIN tot o
+      WHERE NOT t.is_train
+    ),
+    per AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_heldout_tokens,
+             CAST(sum(CASE WHEN c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov,
+             sum(-log2(p)) AS bits
+      FROM held GROUP BY 1
+    )
+    SELECT source, n_heldout_tokens,
+           {sql_quantize('CAST(n_oov AS DOUBLE) / n_heldout_tokens', 6)}
+             AS oov_rate,
+           {sql_quantize('bits / n_heldout_tokens', 4)}
+             AS cross_entropy_bits,
+           {sql_quantize(
+               'power(2.0, ' + sql_quantize('bits / n_heldout_tokens', 4)
+               + ')', 4)} AS perplexity
+    FROM per
+"""
 
 ORACLE["corpus_length_lognormal"] = f"""
     WITH per AS (

@@ -1020,6 +1020,57 @@ def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orders_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical multiplicative seasonal index of order revenue: each
+    month-of-year's average ratio to its own year's monthly mean —
+    the deseasonalization table planners divide by before comparing
+    months (the relational counterpart of `events_seasonal_decompose`
+    on the warehouse star schema).
+
+    Scale: one (year, month) partial agg off the orders scan (grid
+    bounded by the calendar), a years-bounded yearly-mean rollup
+    broadcast back, and a 12-row final agg. Monthly revenue is
+    2-quantized BEFORE any ratio so both engines derive every double
+    from the same cents-exact grid.
+    """
+    o = _t(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mth"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("rev_c"),
+    )
+    ym = o.groupBy("yr", "mth").agg(
+        F.sum("rev_c").cast("long").alias("rev")
+    )
+    yearly = ym.groupBy(F.col("yr").alias("yr_y")).agg(
+        F.sum("rev").cast("long").alias("year_rev"),
+        F.count(F.lit(1)).cast("long").alias("n_months"),
+    )
+    j = ym.join(
+        F.broadcast(yearly), F.col("yr") == F.col("yr_y")
+    ).withColumn(
+        "ratio",
+        F.col("rev").cast("double")
+        * F.col("n_months")
+        / F.col("year_rev"),
+    )
+    return (
+        j.groupBy("mth")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_years"),
+            quantize(F.avg("ratio"), 6).alias("seasonal_index"),
+            quantize(F.avg(F.col("rev") / 100.0), 2).alias(
+                "avg_revenue"
+            ),
+        )
+        .select(
+            F.col("mth").cast("long").alias("month"),
+            "n_years",
+            "seasonal_index",
+            "avg_revenue",
+        )
+    )
+
+
 def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Monthly revenue with year-over-year growth: each month's order
     revenue beside the same month one year earlier and the YoY % —
@@ -2064,6 +2115,7 @@ QUERIES = {
     "customer_segment_migration": customer_segment_migration,
     "orders_abc_class": orders_abc_class,
     "orders_yoy_growth": orders_yoy_growth,
+    "orders_seasonal_index": orders_seasonal_index,
     "nation_trade_balance": nation_trade_balance,
     "orders_basket_histogram": orders_basket_histogram,
     "orders_interpurchase": orders_interpurchase,
@@ -3036,6 +3088,31 @@ ORACLE["orders_abc_class"] = f"""
                   <= {ABC_B_CUT} THEN 'B'
                 ELSE 'C' END AS abc_class
     FROM cum, tot
+"""
+
+ORACLE["orders_seasonal_index"] = f"""
+    WITH ym AS (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+             CAST(month(o_orderdate) AS BIGINT) AS mth,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+               AS BIGINT) AS rev
+      FROM orders GROUP BY 1, 2
+    ),
+    yearly AS (
+      SELECT yr, CAST(sum(rev) AS BIGINT) AS year_rev,
+             CAST(count(*) AS BIGINT) AS n_months
+      FROM ym GROUP BY 1
+    ),
+    j AS (
+      SELECT m.mth, m.rev,
+             CAST(m.rev AS DOUBLE) * y.n_months / y.year_rev AS ratio
+      FROM ym m JOIN yearly y USING (yr)
+    )
+    SELECT mth AS month,
+           CAST(count(*) AS BIGINT) AS n_years,
+           {sql_quantize('avg(ratio)', 6)} AS seasonal_index,
+           {sql_quantize('avg(rev / 100.0)', 2)} AS avg_revenue
+    FROM j GROUP BY 1
 """
 
 ORACLE["orders_yoy_growth"] = f"""
