@@ -3221,18 +3221,29 @@ def corpus_cross_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (draw < SPLIT_TRAIN).alias("is_train"),
         F.explode(words(F.col("text"))).alias("term"),
     )
+    cells = toks.groupBy("source", "is_train", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return cross_perplexity_from_cells(cells)
+
+
+def cross_perplexity_from_cells(cells: DataFrame) -> DataFrame:
+    """The held-out scoring over a (source, is_train, term, n) count
+    table — shared by the batch query and the streaming drain
+    (`stream_cross_perplexity` accumulates the same vocabulary-
+    bounded cells at ingest)."""
     lm = (
-        toks.filter(F.col("is_train"))
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        cells.filter(F.col("is_train"))
+        .groupBy(F.col("term").alias("term_l"))
+        .agg(F.sum("n").cast("long").alias("c"))
     )
     tot = lm.agg(
         F.sum("c").cast("long").alias("n_train"),
         F.count(F.lit(1)).cast("long").alias("v_train"),
     )
     held = (
-        toks.filter(~F.col("is_train"))
-        .join(lm, "term", "left")
+        cells.filter(~F.col("is_train"))
+        .join(lm, F.col("term") == F.col("term_l"), "left")
         .crossJoin(F.broadcast(tot))
     )
     # add-one smoothing over V train types + one UNK bucket
@@ -3240,11 +3251,11 @@ def corpus_cross_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_train") + F.col("v_train") + 1
     ).cast("double")
     per = held.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("n_heldout_tokens"),
-        F.sum(F.when(F.col("c").isNull(), 1).otherwise(0))
+        F.sum("n").cast("long").alias("n_heldout_tokens"),
+        F.sum(F.when(F.col("c").isNull(), F.col("n")).otherwise(0))
         .cast("long")
         .alias("n_oov"),
-        F.sum(-F.log2(p)).alias("bits"),
+        F.sum(-F.col("n") * F.log2(p)).alias("bits"),
     )
     h = F.col("bits") / F.col("n_heldout_tokens")
     return per.select(
@@ -7441,9 +7452,13 @@ ORACLE["corpus_cross_perplexity"] = f"""
              unnest({_W}) AS term
       FROM documents
     ),
+    cells AS (
+      SELECT source, is_train, term, CAST(count(*) AS BIGINT) AS n
+      FROM toks GROUP BY 1, 2, 3
+    ),
     lm AS (
-      SELECT term, CAST(count(*) AS BIGINT) AS c
-      FROM toks WHERE is_train GROUP BY 1
+      SELECT term, CAST(sum(n) AS BIGINT) AS c
+      FROM cells WHERE is_train GROUP BY 1
     ),
     tot AS (
       SELECT CAST(sum(c) AS BIGINT) AS n_train,
@@ -7451,18 +7466,18 @@ ORACLE["corpus_cross_perplexity"] = f"""
       FROM lm
     ),
     held AS (
-      SELECT t.source, l.c, o.n_train, o.v_train,
+      SELECT t.source, t.n, l.c, o.n_train, o.v_train,
              CAST(coalesce(l.c, 0) + 1 AS DOUBLE)
                / (o.n_train + o.v_train + 1) AS p
-      FROM toks t LEFT JOIN lm l USING (term) CROSS JOIN tot o
+      FROM cells t LEFT JOIN lm l USING (term) CROSS JOIN tot o
       WHERE NOT t.is_train
     ),
     per AS (
       SELECT source,
-             CAST(count(*) AS BIGINT) AS n_heldout_tokens,
-             CAST(sum(CASE WHEN c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             CAST(sum(n) AS BIGINT) AS n_heldout_tokens,
+             CAST(sum(CASE WHEN c IS NULL THEN n ELSE 0 END) AS BIGINT)
                AS n_oov,
-             sum(-log2(p)) AS bits
+             sum(-n * log2(p)) AS bits
       FROM held GROUP BY 1
     )
     SELECT source, n_heldout_tokens,

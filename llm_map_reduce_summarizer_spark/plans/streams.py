@@ -1161,6 +1161,35 @@ def stream_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conversion_ztest_from_users(bits)
 
 
+def stream_cross_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming held-out LM quality scoring: the (source, is_train,
+    term) token counts accumulate AT INGEST — state bounded by the
+    corpus VOCABULARY × strata (the content domain, like the
+    value-grid class; never stream length) — and the add-one unigram
+    cross-entropy evaluates post-drain via the exact batch
+    computation (`documents.cross_perplexity_from_cells`). Drain ==
+    batch `corpus_cross_perplexity`, whose oracle it shares.
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions.hashing import DRAW_MOD, KNUTH, words
+    from .documents import SPLIT_TRAIN, cross_perplexity_from_cells
+
+    docs = read_documents_stream(spark, sf_dir)
+    draw = ((F.col("doc_id") * KNUTH) % DRAW_MOD) / float(DRAW_MOD)
+    cells = (
+        docs.select(
+            "source",
+            (draw < SPLIT_TRAIN).alias("is_train"),
+            F.explode(words(F.col("text"))).alias("term"),
+        )
+        .groupBy("source", "is_train", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    snap = run_available_now(cells, output_mode="complete")
+    return cross_perplexity_from_cells(snap)
+
+
 def stream_quality_length_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming confounder audit: the per-lang correlation moments
     (n, Σx, Σy, Σxy, Σx², Σy²) accumulate AT INGEST — state =
@@ -1235,6 +1264,7 @@ QUERIES = {
     "stream_token_gini": stream_token_gini,
     "stream_chi2_independence": stream_chi2_independence,
     "stream_quality_length_corr": stream_quality_length_corr,
+    "stream_cross_perplexity": stream_cross_perplexity,
     "stream_ab_welch": stream_ab_welch,
     "stream_conversion_ztest": stream_conversion_ztest,
     "stream_value_kruskal": stream_value_kruskal,
@@ -1283,6 +1313,7 @@ ORACLE = {
     "stream_ab_welch": _EVENTS_ORACLE["events_ab_welch"],
     "stream_conversion_ztest": _EVENTS_ORACLE["events_conversion_ztest"],
     "stream_quality_length_corr": _DOCS_ORACLE["corpus_quality_length_corr"],
+    "stream_cross_perplexity": _DOCS_ORACLE["corpus_cross_perplexity"],
     "stream_chi2_independence": _DOCS_ORACLE["corpus_chi2_independence"],
     "stream_token_gini": _DOCS_ORACLE["corpus_token_gini"],
     "stream_hourly": _EVENTS_ORACLE["events_hourly"],
