@@ -318,6 +318,52 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_funnel_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel conversion rates with Wilson 95% intervals: per stage
+    transition (view→click, click→purchase), the conversion
+    proportion and its Wilson score bounds — the uncertainty the bare
+    `events_funnel` counts don't carry (Wilson, not normal/Wald,
+    because funnel tails are exactly where p is small and n shrinks —
+    the regime Wald intervals are famously wrong in).
+
+    Scale: reuses the funnel's three user-keyed conditional minima
+    (single exchange family); everything after is a 1-row → 2-row
+    stack transpose and closed-form double arithmetic from exact
+    integer counts — written in the same order in both engines.
+    """
+    base = events_funnel(spark, sf_dir)
+    stages = base.selectExpr(
+        "stack(2,"
+        " 'view->click', n_view, n_click_after_view,"
+        " 'click->purchase', n_click_after_view,"
+        " n_purchase_after_click"
+        ") AS (stage, n_base, n_conv)"
+    ).select(
+        "stage",
+        F.col("n_base").cast("long").alias("n_base"),
+        F.col("n_conv").cast("long").alias("n_conv"),
+    )
+    z = F.lit(1.96)
+    n = F.col("n_base").cast("double")
+    p = F.col("n_conv").cast("double") / n
+    denom = 1.0 + z * z / n
+    center = (p + z * z / (2.0 * n)) / denom
+    half = (
+        z
+        * F.sqrt(p * (1.0 - p) / n + z * z / (4.0 * n * n))
+        / denom
+    )
+    ok = F.col("n_base") > 0
+    return stages.select(
+        "stage",
+        "n_base",
+        "n_conv",
+        F.when(ok, quantize(p, 6)).alias("conv_rate"),
+        F.when(ok, quantize(center - half, 6)).alias("wilson_lo"),
+        F.when(ok, quantize(center + half, 6)).alias("wilson_hi"),
+    )
+
+
 def events_asof_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of enrich: each click gets the user's most recent
     prior-or-equal view's value and time (operators/asof.py; oracle is
@@ -2768,6 +2814,39 @@ def conversion_ztest_from_users(per_user: DataFrame) -> DataFrame:
     )
 
 
+def events_ab_design(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment-design readout for the conversion A/B: given the
+    arms' observed sizes and pooled conversion rate, the minimum
+    detectable effect at 95% confidence / 80% power — MDE =
+    (z_α/2 + z_β)·√(p̄(1−p̄)(1/n_a + 1/n_b)) — in absolute and
+    relative terms. The answer to "was this experiment even big
+    enough to see the lift we care about?", computed from the same
+    four integer counts as `events_conversion_ztest`.
+
+    Scale: composes the z-test's 1-row count table; pure closed-form
+    doubles after that.
+    """
+    base = events_conversion_ztest(spark, sf_dir)
+    pool = (F.col("x_a") + F.col("x_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    mde = F.lit(1.96 + 0.8416) * F.sqrt(
+        pool
+        * (1 - pool)
+        * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    )
+    sizes_ok = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    return base.select(
+        "n_a",
+        "n_b",
+        F.when(sizes_ok, quantize(pool, 6)).alias("pooled_rate"),
+        F.when(sizes_ok, quantize(mde, 6)).alias("mde_abs"),
+        F.when(
+            sizes_ok, F.when(pool > 0, quantize(mde / pool, 6))
+        ).alias("mde_rel"),
+    )
+
+
 def events_value_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brown-Forsythe (median-centered Levene) test of variance
     equality of event value across ALL event types — the spread
@@ -3029,6 +3108,8 @@ QUERIES = {
     "events_mann_kendall": events_mann_kendall,
     "events_ab_welch": events_ab_welch,
     "events_conversion_ztest": events_conversion_ztest,
+    "events_funnel_ci": events_funnel_ci,
+    "events_ab_design": events_ab_design,
     "events_value_kruskal": events_value_kruskal,
     "events_periodogram": events_periodogram,
     "events_transition_entropy": events_transition_entropy,
@@ -4020,6 +4101,100 @@ ORACLE["events_column_profile"] = profile_oracle_sql(
         "value": "value",
     },
 )
+
+ORACLE["events_ab_design"] = f"""
+    WITH firsts AS (
+      SELECT user_id, min(ts) AS first_ts FROM events GROUP BY 1
+    ),
+    per_user AS (
+      SELECT e.user_id,
+             max(CASE WHEN e.event_type = 'purchase'
+                   AND e.ts < f.first_ts + INTERVAL 24 HOUR
+                 THEN 1 ELSE 0 END) AS conv
+      FROM events e JOIN firsts f USING (user_id) GROUP BY 1
+    ),
+    stats AS (
+      SELECT
+        CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_a,
+        CAST(sum(CASE WHEN user_id % 2 = 0 THEN conv ELSE 0 END)
+             AS BIGINT) AS x_a,
+        CAST(sum(CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END)
+             AS BIGINT) AS n_b,
+        CAST(sum(CASE WHEN user_id % 2 = 0 THEN 0 ELSE conv END)
+             AS BIGINT) AS x_b
+      FROM per_user
+    ),
+    d AS (
+      SELECT *,
+             CASE WHEN n_a > 0 AND n_b > 0 THEN
+               CAST(x_a + x_b AS DOUBLE) / (n_a + n_b) END AS pool
+      FROM stats
+    ),
+    m AS (
+      SELECT *,
+             2.8016 * sqrt(pool * (1 - pool)
+                 * (1.0 / n_a + 1.0 / n_b)) AS mde
+      FROM d
+    )
+    SELECT n_a, n_b,
+           {sql_quantize('pool', 6)} AS pooled_rate,
+           {sql_quantize('mde', 6)} AS mde_abs,
+           CASE WHEN pool > 0 THEN {sql_quantize('mde / pool', 6)} END
+             AS mde_rel
+    FROM m
+"""
+
+ORACLE["events_funnel_ci"] = f"""
+    WITH v AS (
+      SELECT user_id, min(epoch_us(ts)) AS t_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS t_click
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t_view
+      GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS t_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t_click
+      GROUP BY e.user_id
+    ),
+    counts AS (
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_view,
+             (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_click,
+             (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_purchase
+    ),
+    stages AS (
+      SELECT 'view->click' AS stage, n_view AS n_base,
+             n_click AS n_conv FROM counts
+      UNION ALL
+      SELECT 'click->purchase', n_click, n_purchase FROM counts
+    ),
+    w AS (
+      SELECT stage, n_base, n_conv,
+             CAST(n_conv AS DOUBLE) / n_base AS p,
+             CAST(n_base AS DOUBLE) AS n
+      FROM stages
+    ),
+    w2 AS (
+      SELECT *,
+             (p + 1.96 * 1.96 / (2.0 * n)) / (1.0 + 1.96 * 1.96 / n)
+               AS center,
+             1.96 * sqrt(p * (1.0 - p) / n
+                 + 1.96 * 1.96 / (4.0 * n * n))
+               / (1.0 + 1.96 * 1.96 / n) AS half
+      FROM w
+    )
+    SELECT stage, n_base, n_conv,
+           CASE WHEN n_base > 0 THEN {sql_quantize('p', 6)} END
+             AS conv_rate,
+           CASE WHEN n_base > 0
+             THEN {sql_quantize('center - half', 6)} END AS wilson_lo,
+           CASE WHEN n_base > 0
+             THEN {sql_quantize('center + half', 6)} END AS wilson_hi
+    FROM w2
+"""
 
 ORACLE["events_conversion_ztest"] = f"""
     WITH firsts AS (
