@@ -213,6 +213,55 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(sh, threshold=JACCARD_THRESHOLD)
 
 
+DEDUP_SWEEP_GRID = (0.5, 0.6, 0.7, 0.8, 0.9)
+
+
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup aggressiveness planning table: for each candidate
+    Jaccard threshold, how many near-dup pairs fire and how many
+    distinct documents they touch — the sweep an operator reads
+    BEFORE committing a threshold to `dedup_apply`/`dedup_keep_best`
+    (too low strips paraphrases, too high leaves templates; the knee
+    of n_docs_affected(τ) is the defensible pick). Same
+    verification-set scale discipline as `dedup_ngram_jaccard`: the
+    exact pair table is computed once at the grid floor and the sweep
+    is arithmetic over it (the corpus path estimates the same curve
+    from MinHash signatures).
+
+    Scale: one exact-Jaccard pair build at τ=0.5 (shingle-key
+    self-join), then a 5-way grid explode over the PAIR table (pairs,
+    not corpus) and two tiny rollups.
+    """
+    sh = doc_shingles(_docs(spark, sf_dir), keyed=True)
+    pairs = jaccard_pairs(sh, threshold=DEDUP_SWEEP_GRID[0]).select(
+        "da", "db", "jaccard"
+    )
+    grid = F.array(*[F.lit(t) for t in DEDUP_SWEEP_GRID])
+    pe = pairs.select(
+        F.explode(grid).alias("threshold"), "da", "db", "jaccard"
+    ).filter(F.col("jaccard") >= F.col("threshold"))
+    n_pairs = pe.groupBy("threshold").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        quantize(F.avg("jaccard"), 4).alias("mean_jaccard"),
+    )
+    n_docs = (
+        pe.select(
+            "threshold", F.explode(F.array("da", "db")).alias("d")
+        )
+        .distinct()
+        .groupBy("threshold")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs_affected"))
+    )
+    return n_pairs.join(n_docs, "threshold", "left").select(
+        quantize(F.col("threshold"), 2).alias("threshold"),
+        "n_pairs",
+        "mean_jaccard",
+        F.coalesce(F.col("n_docs_affected"), F.lit(0))
+        .cast("long")
+        .alias("n_docs_affected"),
+    )
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(
         _docs(spark, sf_dir),
@@ -5117,6 +5166,7 @@ QUERIES = {
     "doc_fingerprint": doc_fingerprint,
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_threshold_sweep": dedup_threshold_sweep,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "emb_neardup": emb_neardup,
@@ -5805,6 +5855,35 @@ ORACLE = {
     "dedup_ngram_jaccard": f"""
         WITH {_SH_CTES}, {_SHK_CTE}, {_jaccard_ctes('shk')}
         SELECT da, db, jaccard FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}
+    """,
+    "dedup_threshold_sweep": f"""
+        WITH {_SH_CTES}, {_SHK_CTE}, {_jaccard_ctes('shk')},
+        pe AS (
+          SELECT t.threshold, j.da, j.db, j.jaccard
+          FROM jac j
+          CROSS JOIN (VALUES (0.5), (0.6), (0.7), (0.8), (0.9))
+            t(threshold)
+          WHERE j.jaccard >= t.threshold
+        ),
+        np AS (
+          SELECT threshold,
+                 CAST(count(*) AS BIGINT) AS n_pairs,
+                 {sql_quantize('avg(jaccard)', 4)} AS mean_jaccard
+          FROM pe GROUP BY 1
+        ),
+        nd AS (
+          SELECT threshold, CAST(count(DISTINCT d) AS BIGINT)
+                   AS n_docs_affected
+          FROM (
+            SELECT threshold, da AS d FROM pe
+            UNION ALL SELECT threshold, db FROM pe
+          ) GROUP BY 1
+        )
+        SELECT (floor(np.threshold * 100.0 + 0.5) / 100.0)
+                 AS threshold,
+               np.n_pairs, np.mean_jaccard,
+               coalesce(nd.n_docs_affected, 0) AS n_docs_affected
+        FROM np LEFT JOIN nd USING (threshold)
     """,
     "corpus_prep_e2e": f"""
         WITH q AS (
