@@ -2426,11 +2426,18 @@ def events_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = ev.groupBy(
         F.date_trunc("hour", F.col("ts")).alias("hour")
     ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return sen_from_hourly(hourly)
+
+
+def sen_from_hourly(hourly: DataFrame) -> DataFrame:
+    """The Theil–Sen computation over an (hour, n) series — shared by
+    the batch query and the streaming drain (`stream_sen_slope`
+    accumulates the same hours-bounded tumbling state at ingest)."""
     hourly = hourly.select(
         (F.unix_micros(F.col("hour")) / F.lit(3600000000)).cast(
             "long"
         ).alias("t"),
-        "n",
+        F.col("n").cast("long").alias("n"),
     )
     a = hourly.select(F.col("t").alias("ta"), F.col("n").alias("na"))
     b = hourly.select(F.col("t").alias("tb"), F.col("n").alias("nb"))

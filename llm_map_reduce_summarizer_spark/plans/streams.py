@@ -954,6 +954,28 @@ def stream_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mad_from_hourly(hourly)
 
 
+def stream_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Theil–Sen trend: the hourly count series accumulates
+    AT INGEST (the `stream_hourly` calendar-bounded tumbling state,
+    type cells summed to the overall series post-drain — exact) and
+    the median-of-pairwise-slopes evaluates on the hours-bounded
+    snapshot via the exact batch computation
+    (`events.sen_from_hourly`). Drain == batch `events_sen_slope`,
+    whose oracle it shares.
+    """
+    from pyspark.sql import functions as F
+
+    from ..streaming.stream_ops import hourly_counts
+    from .events import sen_from_hourly
+
+    ev = read_events_stream(spark, sf_dir)
+    snap = run_available_now(hourly_counts(ev), output_mode="complete")
+    hourly = snap.groupBy("hour").agg(
+        F.sum("n_events").cast("long").alias("n")
+    )
+    return sen_from_hourly(hourly)
+
+
 def stream_error_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming SLO burn-down: the daily (events, errors) series
     accumulates AT INGEST (one tumbling-day window agg — state =
@@ -1275,6 +1297,7 @@ QUERIES = {
     "stream_ewma_control": stream_ewma_control,
     "stream_cusum": stream_cusum,
     "stream_anomaly_mad": stream_anomaly_mad,
+    "stream_sen_slope": stream_sen_slope,
     "stream_hourly": stream_hourly,
     "stream_sessionize": stream_sessionize,
     "stream_view_click_join": stream_view_click_join,
@@ -1305,6 +1328,7 @@ ORACLE = {
     "stream_ewma_control": _EVENTS_ORACLE["events_ewma_control"],
     "stream_cusum": _EVENTS_ORACLE["events_cusum"],
     "stream_anomaly_mad": _EVENTS_ORACLE["events_anomaly_mad"],
+    "stream_sen_slope": _EVENTS_ORACLE["events_sen_slope"],
     "stream_error_budget": _EVENTS_ORACLE["events_error_budget"],
     "stream_session_stats": _EVENTS_ORACLE["events_session_stats"],
     "stream_stickiness": _EVENTS_ORACLE["events_stickiness"],
