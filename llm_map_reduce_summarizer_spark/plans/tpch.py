@@ -1871,6 +1871,53 @@ def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def supplier_otif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier on-time delivery league table: per supplier, the
+    share of lines received by their commit date AND the Wilson 95%
+    LOWER bound on that share — ranking by the lower bound (not the
+    raw rate) is the classic fix for small-sample flattery, where a
+    2-for-2 supplier would otherwise outrank a 980-for-1000 one.
+
+    On-time = shipped within 30 days of the order date (this schema
+    carries ship dates, not commit/receipt pairs).
+
+    Scale: one orderkey-keyed join of the two fact scans (orders
+    projected to two columns, AQE picks the strategy), then a suppkey
+    partial agg of exact integer counts; the Wilson bound is
+    closed-form doubles from those integers, written in the same
+    order as the SQL twin.
+    """
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    j = li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+    on_time = F.expr(
+        "l_shipdate <= o_orderdate + INTERVAL 30 DAYS"
+    ).cast("long")
+    per = j.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(on_time).cast("long").alias("n_on_time"),
+    )
+    z = F.lit(1.96)
+    n = F.col("n_lines").cast("double")
+    p = F.col("n_on_time").cast("double") / n
+    denom = 1.0 + z * z / n
+    center = (p + z * z / (2.0 * n)) / denom
+    half = (
+        z
+        * F.sqrt(p * (1.0 - p) / n + z * z / (4.0 * n * n))
+        / denom
+    )
+    return per.select(
+        "l_suppkey",
+        "n_lines",
+        "n_on_time",
+        quantize(p, 6).alias("otif_rate"),
+        quantize(center - half, 6).alias("otif_wilson_lo"),
+    )
+
+
 def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-supplier operations scorecard: line count, revenue, return
     rate, open-line share, and mean discount — the multi-flag rollup a
@@ -2121,6 +2168,7 @@ QUERIES = {
     "orders_interpurchase": orders_interpurchase,
     "customer_rfm": customer_rfm,
     "supplier_scorecard": supplier_scorecard,
+    "supplier_otif": supplier_otif,
     "orders_pareto": orders_pareto,
     "orders_backlog_monthly": orders_backlog_monthly,
     "lineitem_lead_time": lineitem_lead_time,
@@ -3088,6 +3136,37 @@ ORACLE["orders_abc_class"] = f"""
                   <= {ABC_B_CUT} THEN 'B'
                 ELSE 'C' END AS abc_class
     FROM cum, tot
+"""
+
+ORACLE["supplier_otif"] = f"""
+    WITH per AS (
+      SELECT l_suppkey,
+             CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(sum(CASE WHEN l_shipdate <=
+                        o_orderdate + INTERVAL 30 DAY
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_on_time
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1
+    ),
+    w AS (
+      SELECT *,
+             CAST(n_on_time AS DOUBLE) / n_lines AS p,
+             CAST(n_lines AS DOUBLE) AS n
+      FROM per
+    ),
+    w2 AS (
+      SELECT *,
+             (p + 1.96 * 1.96 / (2.0 * n)) / (1.0 + 1.96 * 1.96 / n)
+               AS center,
+             1.96 * sqrt(p * (1.0 - p) / n
+                 + 1.96 * 1.96 / (4.0 * n * n))
+               / (1.0 + 1.96 * 1.96 / n) AS half
+      FROM w
+    )
+    SELECT l_suppkey, n_lines, n_on_time,
+           {sql_quantize('p', 6)} AS otif_rate,
+           {sql_quantize('center - half', 6)} AS otif_wilson_lo
+    FROM w2
 """
 
 ORACLE["orders_seasonal_index"] = f"""
