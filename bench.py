@@ -98,6 +98,7 @@ def main() -> None:
         "search_rrf",
         "dedup_bloom",
         "emb_kmeans",
+        "corpus_cross_perplexity",
     ):
         queries[name](spark, "/root/testdata/sf0.001").write.format(
             "noop"
