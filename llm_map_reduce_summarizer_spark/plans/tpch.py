@@ -1871,6 +1871,58 @@ def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def customer_decile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer value decile table: customers bucketed by total spend
+    into spend deciles (1 = lowest), with per-decile headcount, spend
+    range, and revenue share — the marketing-analytics canon view
+    ("the top decile carries X% of revenue") and the input to any
+    tiered-service design.
+
+    Scale: per-customer spend is one custkey partial agg of exact
+    cents; the nine decile cutoffs are ONE 1-row exact-percentile
+    aggregate broadcast back (the `customer_rfm`/`corpus_curriculum`
+    idiom — no global ntile window, no single-task sort); decile
+    assignment is a 9-element array filter per row and the final
+    rollup is 10 groups.
+    """
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("rev_c"),
+    )
+    per = o.groupBy("o_custkey").agg(
+        F.sum("rev_c").cast("long").alias("spend_c")
+    )
+    qs = ", ".join(str(q / 10.0) for q in range(1, 10))
+    cuts = per.agg(
+        F.expr(f"percentile(spend_c, array({qs}))").alias("cuts"),
+        F.sum("spend_c").cast("long").alias("total_c"),
+    )
+    j = per.crossJoin(F.broadcast(cuts)).withColumn(
+        "decile",
+        (
+            F.lit(1)
+            + F.size(
+                F.filter(
+                    F.col("cuts"),
+                    lambda c: F.col("spend_c").cast("double") > c,
+                )
+            )
+        ).cast("long"),
+    )
+    return (
+        j.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            quantize(F.min("spend_c") / 100.0, 2).alias("min_spend"),
+            quantize(F.max("spend_c") / 100.0, 2).alias("max_spend"),
+            quantize(F.sum("spend_c") / 100.0, 2).alias("decile_revenue"),
+            quantize(
+                F.sum("spend_c").cast("double") / F.first("total_c"), 6
+            ).alias("revenue_share"),
+        )
+    )
+
+
 def supplier_otif(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Supplier on-time delivery league table: per supplier, the
     share of lines received by their commit date AND the Wilson 95%
@@ -2169,6 +2221,7 @@ QUERIES = {
     "customer_rfm": customer_rfm,
     "supplier_scorecard": supplier_scorecard,
     "supplier_otif": supplier_otif,
+    "customer_decile_table": customer_decile_table,
     "orders_pareto": orders_pareto,
     "orders_backlog_monthly": orders_backlog_monthly,
     "lineitem_lead_time": lineitem_lead_time,
@@ -3136,6 +3189,36 @@ ORACLE["orders_abc_class"] = f"""
                   <= {ABC_B_CUT} THEN 'B'
                 ELSE 'C' END AS abc_class
     FROM cum, tot
+"""
+
+ORACLE["customer_decile_table"] = f"""
+    WITH per AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+               AS BIGINT) AS spend_c
+      FROM orders GROUP BY 1
+    ),
+    cuts AS (
+      SELECT quantile_cont(spend_c,
+               [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS cuts,
+             CAST(sum(spend_c) AS BIGINT) AS total_c
+      FROM per
+    ),
+    j AS (
+      SELECT p.spend_c, c.total_c,
+             1 + len(list_filter(c.cuts,
+                 x -> CAST(p.spend_c AS DOUBLE) > x)) AS decile
+      FROM per p CROSS JOIN cuts c
+    )
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           {sql_quantize('min(spend_c) / 100.0', 2)} AS min_spend,
+           {sql_quantize('max(spend_c) / 100.0', 2)} AS max_spend,
+           {sql_quantize('sum(spend_c) / 100.0', 2)} AS decile_revenue,
+           {sql_quantize(
+               'CAST(sum(spend_c) AS DOUBLE) / any_value(total_c)', 6)}
+             AS revenue_share
+    FROM j GROUP BY 1
 """
 
 ORACLE["supplier_otif"] = f"""
