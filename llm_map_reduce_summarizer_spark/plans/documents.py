@@ -3245,6 +3245,75 @@ def docs_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+VOCAB_COVERAGE_GRID = (1000, 2000, 4000, 8000, 16000, 32000)
+
+
+def corpus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-size design table: for each candidate vocab size k,
+    the share of total token mass covered by the k most frequent
+    terms (ties broken mass-neutrally, so the answer is EXACT and
+    order-free) — the curve a tokenizer designer reads to pick vocab
+    size, and the OOV mass a word-level model of size k would eat.
+
+    Scale: term counts are one token partial agg (vocabulary-bounded);
+    they collapse to a FREQUENCY-OF-FREQUENCY table (how many terms
+    occur exactly c times — O(√N) rows by Heaps/Zipf), whose prefix
+    sums run as a triangular self-join on that tiny table instead of
+    a global-order window (audit-clean, no single-task sort); each
+    grid k then brackets exactly one ff row and the coverage is exact
+    integer arithmetic until the final division.
+    """
+    toks = _docs(spark, sf_dir).select(
+        F.explode(words(F.col("text"))).alias("term")
+    )
+    counts = toks.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    ff = counts.groupBy("c").agg(
+        F.count(F.lit(1)).cast("long").alias("m")
+    )
+    above = (
+        ff.alias("a")
+        .join(ff.alias("b"), F.col("b.c") > F.col("a.c"), "left")
+        .groupBy(F.col("a.c").alias("c"), F.col("a.m").alias("m"))
+        .agg(
+            F.coalesce(F.sum(F.col("b.m")), F.lit(0))
+            .cast("long")
+            .alias("terms_above"),
+            F.coalesce(F.sum(F.col("b.m") * F.col("b.c")), F.lit(0))
+            .cast("long")
+            .alias("mass_above"),
+        )
+    )
+    tot = ff.agg(
+        F.sum(F.col("m") * F.col("c")).cast("long").alias("mass_total"),
+        F.sum("m").cast("long").alias("vocab_total"),
+    )
+    grid = F.explode(
+        F.array(*[F.lit(k) for k in VOCAB_COVERAGE_GRID])
+    ).alias("k")
+    ks = above.crossJoin(F.broadcast(tot)).select(
+        grid, "c", "m", "terms_above", "mass_above",
+        "mass_total", "vocab_total",
+    )
+    keff = F.least(F.col("k").cast("long"), F.col("vocab_total"))
+    hit = ks.filter(
+        (F.col("terms_above") < keff)
+        & (keff <= F.col("terms_above") + F.col("m"))
+    )
+    covered = F.col("mass_above") + (keff - F.col("terms_above")) * F.col("c")
+    return hit.select(
+        F.col("k").cast("long").alias("vocab_size"),
+        "vocab_total",
+        quantize(
+            covered.cast("double") / F.col("mass_total"), 6
+        ).alias("mass_coverage"),
+        quantize(
+            1.0 - covered.cast("double") / F.col("mass_total"), 6
+        ).alias("oov_mass"),
+    )
+
+
 def corpus_cross_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Held-out language-model quality scoring (the CCNet recipe as
     an operator): train an add-one-smoothed unigram LM on the train
@@ -5251,6 +5320,7 @@ QUERIES = {
     "corpus_yule_k": corpus_yule_k,
     "corpus_length_lognormal": corpus_length_lognormal,
     "corpus_cross_perplexity": corpus_cross_perplexity,
+    "corpus_vocab_coverage": corpus_vocab_coverage,
     "docs_column_profile": docs_column_profile,
     "multimodal_entropy": multimodal_entropy,
     "corpus_source_divergence": corpus_source_divergence,
@@ -7522,6 +7592,52 @@ ORACLE["docs_column_profile"] = profile_oracle_sql(
     ["doc_id", "text", "lang", "source", "n_chars"],
     {"doc_id": "doc_id", "n_chars": "n_chars"},
 )
+
+ORACLE["corpus_vocab_coverage"] = f"""
+    WITH toks AS (
+      SELECT unnest({_W}) AS term FROM documents
+    ),
+    counts AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS c
+      FROM toks GROUP BY 1
+    ),
+    ff AS (
+      SELECT c, CAST(count(*) AS BIGINT) AS m FROM counts GROUP BY 1
+    ),
+    above AS (
+      SELECT a.c, a.m,
+             CAST(coalesce(sum(b.m), 0) AS BIGINT) AS terms_above,
+             CAST(coalesce(sum(b.m * b.c), 0) AS BIGINT) AS mass_above
+      FROM ff a LEFT JOIN ff b ON b.c > a.c
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT CAST(sum(m * c) AS BIGINT) AS mass_total,
+             CAST(sum(m) AS BIGINT) AS vocab_total
+      FROM ff
+    ),
+    ks AS (
+      SELECT g.k, a.c, a.m, a.terms_above, a.mass_above,
+             t.mass_total, t.vocab_total,
+             least(g.k, t.vocab_total) AS keff
+      FROM above a CROSS JOIN tot t
+      CROSS JOIN (VALUES (1000), (2000), (4000), (8000), (16000),
+                  (32000)) g(k)
+    ),
+    hit AS (
+      SELECT *,
+             mass_above + (keff - terms_above) * c AS covered
+      FROM ks
+      WHERE terms_above < keff AND keff <= terms_above + m
+    )
+    SELECT CAST(k AS BIGINT) AS vocab_size, vocab_total,
+           {sql_quantize('CAST(covered AS DOUBLE) / mass_total', 6)}
+             AS mass_coverage,
+           {sql_quantize(
+               '1.0 - CAST(covered AS DOUBLE) / mass_total', 6)}
+             AS oov_mass
+    FROM hit
+"""
 
 ORACLE["corpus_cross_perplexity"] = f"""
     WITH toks AS (

@@ -502,3 +502,28 @@ def test_lognormal_jb_matches_numpy(spark):
         assert _close(row["sigma_log"], x.std(ddof=1), tol=1e-3)
         if n > 2 and m2 > 0:
             assert _close(row["jb_stat"], jb, tol=1e-3)
+
+
+def test_vocab_coverage_matches_numpy(spark):
+    """Top-k token-mass coverage: ties are mass-neutral (equal counts
+    contribute equally), so a plain numpy sort-desc cumsum must agree
+    exactly with the ff-table bracketing computation."""
+    df = (
+        QUERIES["corpus_vocab_coverage"](spark, SF_SMOKE)
+        .toPandas()
+        .set_index("vocab_size")
+        .sort_index()
+    )
+    d = _documents()
+    from collections import Counter
+
+    cnt = Counter()
+    for t in d["text"]:
+        cnt.update(t.strip().lower().split())
+    xs = np.sort(np.array(list(cnt.values()), float))[::-1]
+    total = xs.sum()
+    for k in df.index:
+        expect = xs[: int(min(k, len(xs)))].sum() / total
+        assert _close(df.loc[k, "mass_coverage"], expect, tol=1e-4)
+        assert df.loc[k, "vocab_total"] == len(xs)
+    assert df["mass_coverage"].is_monotonic_increasing
