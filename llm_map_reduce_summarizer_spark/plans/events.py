@@ -2033,6 +2033,49 @@ def events_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+K_ANON = 5
+
+
+def events_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier tuple
+    (event_type, hour-of-day, value rounded to the tens bucket): how
+    many rows sit in QI groups smaller than k=5 — the re-identification
+    risk screen run before sharing an event extract (a row alone in
+    its QI cell is linkable even with user_id dropped; the governance
+    sibling of `doc_pii_scrub`, which handles direct identifiers).
+
+    Scale: one QI-keyed partial agg (cells bounded by the QI domain,
+    never rows) folding into a 1-row risk summary — exact integers
+    with single divisions.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type",
+        F.hour("ts").alias("hod"),
+        F.floor(F.col("value") / 10.0).cast("long").alias("vb"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("g"))
+    return cells.agg(
+        F.sum("g").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.min("g").cast("long").alias("min_group_size"),
+        F.sum(F.when(F.col("g") < K_ANON, 1).otherwise(0))
+        .cast("long")
+        .alias("n_small_groups"),
+        F.sum(F.when(F.col("g") < K_ANON, F.col("g")).otherwise(0))
+        .cast("long")
+        .alias("rows_at_risk"),
+    ).select(
+        "n_rows",
+        "n_groups",
+        "min_group_size",
+        "n_small_groups",
+        "rows_at_risk",
+        quantize(
+            F.col("rows_at_risk").cast("double") / F.col("n_rows"), 6
+        ).alias("risk_share"),
+    )
+
+
 def events_daily_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The daily ops dashboard as ONE query: per day — events, DAU,
     stickiness (DAU/WAU), error share, cumulative SLO burn, and the
@@ -3103,6 +3146,7 @@ QUERIES = {
     "events_cusum": events_cusum,
     "events_sen_slope": events_sen_slope,
     "events_column_profile": events_column_profile,
+    "events_k_anonymity": events_k_anonymity,
     "events_value_levene": events_value_levene,
     "events_funnel_latency": events_funnel_latency,
     "events_ewma_control": events_ewma_control,
@@ -4096,6 +4140,27 @@ ORACLE["events_sen_slope"] = f"""
            {sql_quantize('sen_slope', 6)} AS sen_slope,
            {sql_quantize('quantile_cont(r, 0.5)', 4)} AS sen_intercept
     FROM resid GROUP BY sen_slope, n_pairs
+"""
+
+ORACLE["events_k_anonymity"] = f"""
+    WITH cells AS (
+      SELECT event_type, hour(ts) AS hod,
+             CAST(floor(value / 10.0) AS BIGINT) AS vb,
+             CAST(count(*) AS BIGINT) AS g
+      FROM events GROUP BY 1, 2, 3
+    )
+    SELECT CAST(sum(g) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(min(g) AS BIGINT) AS min_group_size,
+           CAST(sum(CASE WHEN g < {K_ANON} THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_small_groups,
+           CAST(sum(CASE WHEN g < {K_ANON} THEN g ELSE 0 END)
+             AS BIGINT) AS rows_at_risk,
+           {sql_quantize(
+               'CAST(sum(CASE WHEN g < ' + str(K_ANON)
+               + ' THEN g ELSE 0 END) AS DOUBLE) / sum(g)', 6)}
+             AS risk_share
+    FROM cells
 """
 
 ORACLE["events_column_profile"] = profile_oracle_sql(

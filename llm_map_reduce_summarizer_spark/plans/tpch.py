@@ -1871,6 +1871,73 @@ def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def parts_xyz_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XYZ demand-variability classification: per part, the
+    coefficient of variation of monthly order quantity — X (CV<0.5,
+    steady: forecast and automate), Y (<1, seasonal/trending), Z
+    (erratic: buffer or make-to-order) — the other axis of the
+    ABC-XYZ inventory matrix (`orders_abc_class` gives the value
+    axis).
+
+    Months with no orders count as ZERO demand (a part selling one
+    month in twelve IS erratic), via the calendar-span month count
+    rather than a per-part dense series — so the state stays one row
+    per (part, active month) plus a 1-row calendar broadcast.
+
+    Scale: one (part, month) partial agg of exact integer quantities;
+    per-part moments fold those cells (parts-bounded); the zero-month
+    correction needs only the global month count — Σx and Σx² are
+    unchanged by zero cells — so nothing densifies.
+    """
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        F.round(F.col("l_quantity")).cast("long").alias("qty"),
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.date_trunc("month", "o_orderdate").alias("month")
+    )
+    pm = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_partkey", "month")
+        .agg(F.sum("qty").cast("long").alias("q"))
+    )
+    span = pm.agg(
+        F.count_distinct("month").cast("long").alias("n_months")
+    )
+    per = pm.groupBy("l_partkey").agg(
+        F.sum("q").cast("long").alias("sq"),
+        F.sum(F.col("q") * F.col("q"))
+        .cast("decimal(38,0)")
+        .alias("sqq"),
+    )
+    j = per.crossJoin(F.broadcast(span))
+    n = F.col("n_months").cast("double")
+    mean = F.col("sq").cast("double") / n
+    # float cancellation on a constant series can leave var a tiny
+    # negative — clamp so sqrt never goes NaN (same clamp in the twin)
+    var = F.greatest(
+        (
+            F.col("sqq").cast("double")
+            - F.col("sq").cast("double") * mean
+        )
+        / (n - 1.0),
+        F.lit(0.0),
+    )
+    cv = F.sqrt(var) / mean
+    ok = (F.col("n_months") > 1) & (F.col("sq") > 0)
+    cls = (
+        F.when(cv < 0.5, "X").when(cv < 1.0, "Y").otherwise("Z")
+    )
+    return j.select(
+        "l_partkey",
+        "n_months",
+        F.col("sq").alias("total_qty"),
+        F.when(ok, quantize(cv, 4)).alias("cv"),
+        F.when(ok, cls).alias("xyz_class"),
+    )
+
+
 def customer_decile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customer value decile table: customers bucketed by total spend
     into spend deciles (1 = lowest), with per-decile headcount, spend
@@ -2222,6 +2289,7 @@ QUERIES = {
     "supplier_scorecard": supplier_scorecard,
     "supplier_otif": supplier_otif,
     "customer_decile_table": customer_decile_table,
+    "parts_xyz_class": parts_xyz_class,
     "orders_pareto": orders_pareto,
     "orders_backlog_monthly": orders_backlog_monthly,
     "lineitem_lead_time": lineitem_lead_time,
@@ -3189,6 +3257,48 @@ ORACLE["orders_abc_class"] = f"""
                   <= {ABC_B_CUT} THEN 'B'
                 ELSE 'C' END AS abc_class
     FROM cum, tot
+"""
+
+ORACLE["parts_xyz_class"] = f"""
+    WITH pm AS (
+      SELECT l_partkey, date_trunc('month', o_orderdate) AS month,
+             CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+               AS q
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1, 2
+    ),
+    span AS (
+      SELECT CAST(count(DISTINCT month) AS BIGINT) AS n_months FROM pm
+    ),
+    per AS (
+      SELECT l_partkey,
+             CAST(sum(q) AS BIGINT) AS sq,
+             sum(q * q) AS sqq
+      FROM pm GROUP BY 1
+    ),
+    j AS (
+      SELECT p.l_partkey, s.n_months, p.sq,
+             CAST(p.sq AS DOUBLE) / s.n_months AS mean,
+             (CAST(p.sqq AS DOUBLE)
+              - CAST(p.sq AS DOUBLE)
+                * (CAST(p.sq AS DOUBLE) / s.n_months))
+               / (s.n_months - 1.0) AS var0
+      FROM per p CROSS JOIN span s
+    ),
+    jc AS (
+      SELECT *, greatest(var0, 0.0) AS var FROM j
+    ),
+    c AS (
+      SELECT *, sqrt(var) / mean AS cv FROM jc
+    )
+    SELECT l_partkey, n_months, sq AS total_qty,
+           CASE WHEN n_months > 1 AND sq > 0
+             THEN {sql_quantize('cv', 4)} END AS cv,
+           CASE WHEN n_months > 1 AND sq > 0 THEN
+             CASE WHEN cv < 0.5 THEN 'X'
+                  WHEN cv < 1.0 THEN 'Y' ELSE 'Z' END
+           END AS xyz_class
+    FROM c
 """
 
 ORACLE["customer_decile_table"] = f"""
