@@ -2054,6 +2054,13 @@ def events_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hour("ts").alias("hod"),
         F.floor(F.col("value") / 10.0).cast("long").alias("vb"),
     ).agg(F.count(F.lit(1)).cast("long").alias("g"))
+    return k_anonymity_from_cells(cells)
+
+
+def k_anonymity_from_cells(cells: DataFrame) -> DataFrame:
+    """The risk summary over a (QI..., g) cell table — shared by the
+    batch query and the streaming drain (`stream_k_anonymity`
+    accumulates the same QI-domain-bounded cells at ingest)."""
     return cells.agg(
         F.sum("g").cast("long").alias("n_rows"),
         F.count(F.lit(1)).cast("long").alias("n_groups"),

@@ -976,6 +976,28 @@ def stream_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sen_from_hourly(hourly)
 
 
+def stream_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming k-anonymity monitor: the QI-cell counts accumulate
+    AT INGEST (state = quasi-identifier domain — types × 24 hours ×
+    value buckets — never stream length) and the 1-row risk summary
+    evaluates post-drain, so an extract pipeline can gate release on
+    the live risk share. Drain == batch `events_k_anonymity`, whose
+    oracle it shares.
+    """
+    from pyspark.sql import functions as F
+
+    ev = read_events_stream(spark, sf_dir)
+    cells = ev.groupBy(
+        "event_type",
+        F.hour("ts").alias("hod"),
+        F.floor(F.col("value") / 10.0).cast("long").alias("vb"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("g"))
+    snap = run_available_now(cells, output_mode="complete")
+    from .events import k_anonymity_from_cells
+
+    return k_anonymity_from_cells(snap)
+
+
 def stream_error_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming SLO burn-down: the daily (events, errors) series
     accumulates AT INGEST (one tumbling-day window agg — state =
@@ -1297,6 +1319,7 @@ QUERIES = {
     "stream_ewma_control": stream_ewma_control,
     "stream_cusum": stream_cusum,
     "stream_anomaly_mad": stream_anomaly_mad,
+    "stream_k_anonymity": stream_k_anonymity,
     "stream_sen_slope": stream_sen_slope,
     "stream_hourly": stream_hourly,
     "stream_sessionize": stream_sessionize,
@@ -1328,6 +1351,7 @@ ORACLE = {
     "stream_ewma_control": _EVENTS_ORACLE["events_ewma_control"],
     "stream_cusum": _EVENTS_ORACLE["events_cusum"],
     "stream_anomaly_mad": _EVENTS_ORACLE["events_anomaly_mad"],
+    "stream_k_anonymity": _EVENTS_ORACLE["events_k_anonymity"],
     "stream_sen_slope": _EVENTS_ORACLE["events_sen_slope"],
     "stream_error_budget": _EVENTS_ORACLE["events_error_budget"],
     "stream_session_stats": _EVENTS_ORACLE["events_session_stats"],

