@@ -3443,6 +3443,54 @@ def corpus_length_lognormal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease profile per source: mean words/sentence,
+    syllables/word (vowel-group proxy — the standard heuristic when
+    no dictionary is allowed), and the Flesch score 206.835 −
+    1.015·(W/S) − 84.6·(Syl/W) — the readability screen that
+    separates prose from listings/code/boilerplate at a glance and
+    complements the Gopher/C4 rule family with a graded score.
+
+    Scale: three regexp counts per doc (narrow map, no explode), one
+    source-bounded rollup of exact integer sums; the score is a
+    closed form over the rollup, so both engines derive identical
+    doubles from identical integers.
+    """
+    d = _docs(spark, sf_dir)
+    words_n = F.size(
+        F.expr(r"regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+    ).cast("long")
+    sents_n = F.greatest(
+        F.size(F.expr(r"regexp_extract_all(text, '[.!?]+', 0)")),
+        F.lit(1),
+    ).cast("long")
+    syls_n = F.size(
+        F.expr(r"regexp_extract_all(lower(text), '[aeiouy]+', 0)")
+    ).cast("long")
+    per_doc = d.select(
+        "source",
+        words_n.alias("w"),
+        sents_n.alias("s"),
+        syls_n.alias("y"),
+    ).filter(F.col("w") > 0)
+    per = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("w").cast("long").alias("sw"),
+        F.sum("s").cast("long").alias("ss"),
+        F.sum("y").cast("long").alias("sy"),
+    )
+    wps = F.col("sw").cast("double") / F.col("ss")
+    spw = F.col("sy").cast("double") / F.col("sw")
+    flesch = 206.835 - 1.015 * wps - 84.6 * spw
+    return per.select(
+        "source",
+        "n_docs",
+        quantize(wps, 4).alias("words_per_sentence"),
+        quantize(spw, 4).alias("syllables_per_word"),
+        quantize(flesch, 4).alias("flesch_score"),
+    )
+
+
 def corpus_yule_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repetition-weighted vocabulary richness per source: Yule's
     characteristic K = 1e4·(Σf² − N)/N² and Simpson's repeat-rate
@@ -5318,6 +5366,7 @@ QUERIES = {
     "dedup_minhash_est_check": dedup_minhash_est_check,
     "corpus_lexical_diversity": corpus_lexical_diversity,
     "corpus_yule_k": corpus_yule_k,
+    "doc_readability": doc_readability,
     "corpus_length_lognormal": corpus_length_lognormal,
     "corpus_cross_perplexity": corpus_cross_perplexity,
     "corpus_vocab_coverage": corpus_vocab_coverage,
@@ -7727,6 +7776,37 @@ ORACLE["corpus_length_lognormal"] = f"""
              THEN {sql_quantize('jb', 4)} < 5.991 END
              AS lognormal_plausible
     FROM jbt
+"""
+
+ORACLE["doc_readability"] = f"""
+    WITH per_doc AS (
+      SELECT source,
+             CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+               AS BIGINT) AS w,
+             CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+               AS BIGINT) AS s,
+             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+               AS BIGINT) AS y
+      FROM documents
+    ),
+    per AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(w) AS BIGINT) AS sw,
+             CAST(sum(s) AS BIGINT) AS ss,
+             CAST(sum(y) AS BIGINT) AS sy
+      FROM per_doc WHERE w > 0 GROUP BY 1
+    )
+    SELECT source, n_docs,
+           {sql_quantize('CAST(sw AS DOUBLE) / ss', 4)}
+             AS words_per_sentence,
+           {sql_quantize('CAST(sy AS DOUBLE) / sw', 4)}
+             AS syllables_per_word,
+           {sql_quantize(
+               '206.835 - 1.015 * (CAST(sw AS DOUBLE) / ss)'
+               ' - 84.6 * (CAST(sy AS DOUBLE) / sw)', 4)}
+             AS flesch_score
+    FROM per
 """
 
 ORACLE["corpus_yule_k"] = f"""
