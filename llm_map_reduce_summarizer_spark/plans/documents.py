@@ -262,6 +262,40 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_lsh_s_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash-LSH detection S-curve for THIS engine's banding
+    parameters (b=4 bands × r=4 rows): P(candidate | Jaccard s) =
+    1 − (1 − s^r)^b on a 0.05 grid, plus the 50% threshold
+    s* = (1/b)^(1/r) — the design sheet explaining what
+    `dedup_minhash_lsh` will and won't surface (read beside
+    `dedup_threshold_sweep`'s measured counts: theory here, data
+    there).
+
+    Scale: a 19-row constant table — one explode of a literal grid,
+    closed-form doubles; the corpus is never touched (the one catalog
+    entry whose cost is zero by construction).
+    """
+    from ..functions.hashing import BAND_ROWS, N_MINHASH
+
+    b = N_MINHASH // BAND_ROWS
+    r = BAND_ROWS
+    grid = spark.range(1, 20).select(
+        (F.col("id") / 20.0).alias("jaccard_s")
+    )
+    p = 1.0 - F.pow(
+        1.0 - F.pow(F.col("jaccard_s"), F.lit(float(r))),
+        F.lit(float(b)),
+    )
+    thresh = float((1.0 / b) ** (1.0 / r))
+    return grid.select(
+        quantize(F.col("jaccard_s"), 2).alias("jaccard_s"),
+        F.lit(b).cast("long").alias("n_bands"),
+        F.lit(r).cast("long").alias("rows_per_band"),
+        quantize(p, 6).alias("p_candidate"),
+        quantize(F.lit(thresh), 6).alias("s50_threshold"),
+    )
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(
         _docs(spark, sf_dir),
@@ -5284,6 +5318,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_threshold_sweep": dedup_threshold_sweep,
+    "dedup_lsh_s_curve": dedup_lsh_s_curve,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "emb_neardup": emb_neardup,
@@ -5974,6 +6009,19 @@ ORACLE = {
     "dedup_ngram_jaccard": f"""
         WITH {_SH_CTES}, {_SHK_CTE}, {_jaccard_ctes('shk')}
         SELECT da, db, jaccard FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}
+    """,
+    "dedup_lsh_s_curve": f"""
+        WITH g AS (
+          SELECT i / 20.0 AS jaccard_s FROM generate_series(1, 19) t(i)
+        )
+        SELECT (floor(jaccard_s * 100.0 + 0.5) / 100.0) AS jaccard_s,
+               CAST(4 AS BIGINT) AS n_bands,
+               CAST(4 AS BIGINT) AS rows_per_band,
+               (floor((1.0 - power(1.0 - power(jaccard_s, 4.0), 4.0))
+                  * 1000000.0 + 0.5) / 1000000.0) AS p_candidate,
+               (floor(power(0.25, 0.25) * 1000000.0 + 0.5)
+                  / 1000000.0) AS s50_threshold
+        FROM g
     """,
     "dedup_threshold_sweep": f"""
         WITH {_SH_CTES}, {_SHK_CTE}, {_jaccard_ctes('shk')},
