@@ -3525,6 +3525,45 @@ def doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BURST_MIN_CF = 20
+BURST_TOP_K = 50
+
+
+def corpus_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Church–Gale term burstiness: collection frequency over
+    document frequency per term — a term that fires many times in few
+    docs (cf/df ≫ 1) is topical or template chrome, while cf/df ≈ 1
+    marks evenly-spread function words; the top-burstiness list among
+    frequent terms is the nav-text/boilerplate VOCABULARY the
+    window-level screens (`corpus_boilerplate_rate`) count but don't
+    name.
+
+    Scale: one (term, doc) distinct + term rollup off the token
+    explode (shingle-table shape, vocabulary-bounded); the top-k is
+    `orderBy().limit()` — TakeOrderedAndProject, per-partition top-k
+    then a k-row merge, never a global sort; exact integer ratio with
+    a deterministic (burstiness, term) tie-break.
+    """
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(words(F.col("text"))).alias("term")
+    )
+    per = toks.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("cf"),
+        F.count_distinct("doc_id").cast("long").alias("df"),
+    )
+    scored = per.filter(F.col("cf") >= BURST_MIN_CF).select(
+        "term",
+        "cf",
+        "df",
+        quantize(
+            F.col("cf").cast("double") / F.col("df"), 6
+        ).alias("burstiness"),
+    )
+    return scored.orderBy(
+        F.col("burstiness").desc(), F.col("term")
+    ).limit(BURST_TOP_K)
+
+
 def corpus_yule_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repetition-weighted vocabulary richness per source: Yule's
     characteristic K = 1e4·(Σf² − N)/N² and Simpson's repeat-rate
@@ -5401,6 +5440,7 @@ QUERIES = {
     "dedup_minhash_est_check": dedup_minhash_est_check,
     "corpus_lexical_diversity": corpus_lexical_diversity,
     "corpus_yule_k": corpus_yule_k,
+    "corpus_term_burstiness": corpus_term_burstiness,
     "doc_readability": doc_readability,
     "corpus_length_lognormal": corpus_length_lognormal,
     "corpus_cross_perplexity": corpus_cross_perplexity,
@@ -7855,6 +7895,23 @@ ORACLE["doc_readability"] = f"""
                ' - 84.6 * (CAST(sy AS DOUBLE) / sw)', 4)}
              AS flesch_score
     FROM per
+"""
+
+ORACLE["corpus_term_burstiness"] = f"""
+    WITH tk AS (
+      SELECT doc_id, unnest({_W}) AS term FROM documents
+    ),
+    per AS (
+      SELECT term,
+             CAST(count(*) AS BIGINT) AS cf,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      FROM tk GROUP BY 1
+    )
+    SELECT term, cf, df,
+           {sql_quantize('CAST(cf AS DOUBLE) / df', 6)} AS burstiness
+    FROM per WHERE cf >= {BURST_MIN_CF}
+    ORDER BY burstiness DESC, term
+    LIMIT {BURST_TOP_K}
 """
 
 ORACLE["corpus_yule_k"] = f"""
