@@ -3564,6 +3564,58 @@ def corpus_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(BURST_TOP_K)
 
 
+def corpus_shard_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard balance QA for the deterministic training shuffle: docs
+    and token mass per shard rolled into a skew report (min/max/CV of
+    shard token loads, max-to-mean ratio) — a skewed shard is a
+    training-loader straggler, so packing QA gates on this before any
+    epoch runs.
+
+    Scale: the shard assignment is the same map-side hash as
+    `corpus_shuffle_shards` (no shuffle to assign); one shard-keyed
+    partial agg (shards-bounded) then a 1-row skew rollup of exact
+    integer sums.
+    """
+    from ..functions.hashing import knuth_shard
+
+    d = _docs(spark, sf_dir).select(
+        knuth_shard(F.col("doc_id"), N_SHARDS).alias("shard"),
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    per = d.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("shard_tokens"),
+    )
+    n = F.col("n_shards").cast("double")
+    mean = F.col("total_tokens").cast("double") / n
+    var = (
+        F.col("sq").cast("double")
+        - F.col("total_tokens").cast("double") * mean
+    ) / n
+    return per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_shards"),
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("shard_tokens").cast("long").alias("total_tokens"),
+        F.min("shard_tokens").cast("long").alias("min_shard_tokens"),
+        F.max("shard_tokens").cast("long").alias("max_shard_tokens"),
+        F.sum(F.col("shard_tokens") * F.col("shard_tokens"))
+        .cast("decimal(38,0)")
+        .alias("sq"),
+    ).select(
+        "n_shards",
+        "n_docs",
+        "total_tokens",
+        "min_shard_tokens",
+        "max_shard_tokens",
+        quantize(F.sqrt(F.greatest(var, F.lit(0.0))) / mean, 6).alias(
+            "load_cv"
+        ),
+        quantize(
+            F.col("max_shard_tokens").cast("double") / mean, 6
+        ).alias("max_to_mean"),
+    )
+
+
 def corpus_yule_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repetition-weighted vocabulary richness per source: Yule's
     characteristic K = 1e4·(Σf² − N)/N² and Simpson's repeat-rate
@@ -5441,6 +5493,7 @@ QUERIES = {
     "corpus_lexical_diversity": corpus_lexical_diversity,
     "corpus_yule_k": corpus_yule_k,
     "corpus_term_burstiness": corpus_term_burstiness,
+    "corpus_shard_skew": corpus_shard_skew,
     "doc_readability": doc_readability,
     "corpus_length_lognormal": corpus_length_lognormal,
     "corpus_cross_perplexity": corpus_cross_perplexity,
@@ -7895,6 +7948,47 @@ ORACLE["doc_readability"] = f"""
                ' - 84.6 * (CAST(sy AS DOUBLE) / sw)', 4)}
              AS flesch_score
     FROM per
+"""
+
+ORACLE["corpus_shard_skew"] = f"""
+    WITH d AS (
+      SELECT CAST((CAST(doc_id * 2654435761 AS BIGINT) % 1000000)
+                  % {N_SHARDS} AS BIGINT) AS shard,
+             CAST({SQL_TOKEN_COUNT.format(c='text')} AS BIGINT)
+               AS n_tokens
+      FROM documents
+    ),
+    per AS (
+      SELECT shard,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS shard_tokens
+      FROM d GROUP BY 1
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_shards,
+             CAST(sum(n_docs) AS BIGINT) AS n_docs,
+             CAST(sum(shard_tokens) AS BIGINT) AS total_tokens,
+             CAST(min(shard_tokens) AS BIGINT) AS min_shard_tokens,
+             CAST(max(shard_tokens) AS BIGINT) AS max_shard_tokens,
+             sum(shard_tokens * shard_tokens) AS sq
+      FROM per
+    ),
+    m AS (
+      SELECT *,
+             CAST(total_tokens AS DOUBLE) / n_shards AS mean,
+             greatest((CAST(sq AS DOUBLE)
+               - CAST(total_tokens AS DOUBLE)
+                 * (CAST(total_tokens AS DOUBLE) / n_shards))
+               / n_shards, 0.0) AS var
+      FROM agg
+    )
+    SELECT n_shards, n_docs, total_tokens,
+           min_shard_tokens, max_shard_tokens,
+           {sql_quantize('sqrt(var) / mean', 6)} AS load_cv,
+           {sql_quantize(
+               'CAST(max_shard_tokens AS DOUBLE) / mean', 6)}
+             AS max_to_mean
+    FROM m
 """
 
 ORACLE["corpus_term_burstiness"] = f"""
