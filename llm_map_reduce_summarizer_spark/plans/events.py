@@ -2033,6 +2033,65 @@ def events_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_value_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index of event value between the first
+    and second half of the observation window (split at the median
+    event time): PSI = Σ (p₂−p₁)·ln(p₂/p₁) over value buckets, the
+    industry-standard model-monitoring drift metric (rule of thumb:
+    <0.1 stable, 0.1–0.25 watch, >0.25 shifted) — the scalar
+    companion to `corpus_ks_drift`'s distribution test, with
+    per-bucket contributions so the drift is attributable.
+
+    Scale: the split point is a 1-row exact-percentile broadcast;
+    bucket counts are one (bucket, half) partial agg (bounded by the
+    value grid); Laplace smoothing (+1 per bucket) keeps ln finite
+    on one-sided buckets and both engines derive identical doubles
+    from identical integer counts.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        F.unix_micros("ts").alias("ts_us"),
+        F.floor(F.col("value") / 10.0).cast("long").alias("bucket"),
+    )
+    med = ev.agg(
+        F.expr("percentile(ts_us, 0.5)").alias("med_us")
+    )
+    halves = ev.crossJoin(F.broadcast(med)).select(
+        "bucket", (F.col("ts_us") <= F.col("med_us")).alias("first_half")
+    )
+    cells = halves.groupBy("bucket").agg(
+        F.sum(F.when(F.col("first_half"), 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("first_half"), 0).otherwise(1))
+        .cast("long")
+        .alias("n2"),
+    )
+    tot = cells.agg(
+        F.sum("n1").cast("long").alias("t1"),
+        F.sum("n2").cast("long").alias("t2"),
+        F.count(F.lit(1)).cast("long").alias("b"),
+    )
+    j = cells.crossJoin(F.broadcast(tot))
+    p1 = (F.col("n1") + 1).cast("double") / (
+        F.col("t1") + F.col("b")
+    ).cast("double")
+    p2 = (F.col("n2") + 1).cast("double") / (
+        F.col("t2") + F.col("b")
+    ).cast("double")
+    contrib = (p2 - p1) * F.log(p2 / p1)
+    rows = j.select(
+        "bucket", "n1", "n2", contrib.alias("contrib")
+    )
+    tot_psi = rows.agg(F.sum("contrib").alias("psi_sum"))
+    return rows.crossJoin(F.broadcast(tot_psi)).select(
+        "bucket",
+        "n1",
+        "n2",
+        quantize(F.col("contrib"), 6).alias("psi_contrib"),
+        quantize(F.col("psi_sum"), 6).alias("psi_total"),
+    )
+
+
 K_ANON = 5
 
 
@@ -3154,6 +3213,7 @@ QUERIES = {
     "events_sen_slope": events_sen_slope,
     "events_column_profile": events_column_profile,
     "events_k_anonymity": events_k_anonymity,
+    "events_value_psi": events_value_psi,
     "events_value_levene": events_value_levene,
     "events_funnel_latency": events_funnel_latency,
     "events_ewma_control": events_ewma_control,
@@ -4147,6 +4207,42 @@ ORACLE["events_sen_slope"] = f"""
            {sql_quantize('sen_slope', 6)} AS sen_slope,
            {sql_quantize('quantile_cont(r, 0.5)', 4)} AS sen_intercept
     FROM resid GROUP BY sen_slope, n_pairs
+"""
+
+ORACLE["events_value_psi"] = f"""
+    WITH ev AS (
+      SELECT epoch_us(ts) AS ts_us,
+             CAST(floor(value / 10.0) AS BIGINT) AS bucket
+      FROM events
+    ),
+    med AS (SELECT quantile_cont(ts_us, 0.5) AS med_us FROM ev),
+    cells AS (
+      SELECT bucket,
+             CAST(sum(CASE WHEN ts_us <= med_us THEN 1 ELSE 0 END)
+               AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN ts_us <= med_us THEN 0 ELSE 1 END)
+               AS BIGINT) AS n2
+      FROM ev CROSS JOIN med GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(n1) AS BIGINT) AS t1,
+             CAST(sum(n2) AS BIGINT) AS t2,
+             CAST(count(*) AS BIGINT) AS b
+      FROM cells
+    ),
+    rows_ AS (
+      SELECT bucket, n1, n2,
+             (CAST(n2 + 1 AS DOUBLE) / (t2 + b)
+              - CAST(n1 + 1 AS DOUBLE) / (t1 + b))
+             * ln((CAST(n2 + 1 AS DOUBLE) / (t2 + b))
+                  / (CAST(n1 + 1 AS DOUBLE) / (t1 + b))) AS contrib
+      FROM cells CROSS JOIN tot
+    ),
+    s AS (SELECT sum(contrib) AS psi_sum FROM rows_)
+    SELECT bucket, n1, n2,
+           {sql_quantize('contrib', 6)} AS psi_contrib,
+           {sql_quantize('psi_sum', 6)} AS psi_total
+    FROM rows_ CROSS JOIN s
 """
 
 ORACLE["events_k_anonymity"] = f"""
