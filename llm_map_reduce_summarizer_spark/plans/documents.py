@@ -262,6 +262,54 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end LSH recall audit: the MinHash-LSH pair set (banded
+    candidates + df-capped shingles, verified at τ=0.5) measured
+    against the EXACT all-pairs Jaccard set at the same τ — what the
+    banding + stop-shingle cap actually MISS, which the per-pair
+    estimator check (`dedup_minhash_est_check`, candidates only) is
+    structurally blind to. The 38d S-curve predicts this recall;
+    here it is measured.
+
+    Scale: the exact side is the verification-set tool (documented —
+    the corpus path never runs all-pairs); the LSH side reuses the
+    production pipeline's bounded shapes; the set compare joins two
+    pair tables on their keys and folds to one row.
+    """
+    docs = _docs(spark, sf_dir)
+    sh = doc_shingles(docs, keyed=True)
+    exact = jaccard_pairs(sh, threshold=MINHASH_THRESHOLD).select(
+        "da", "db"
+    )
+    lsh = minhash_lsh_pairs(
+        docs, threshold=MINHASH_THRESHOLD, df_cap=MINHASH_DF_CAP
+    ).select("da", "db")
+    n_e = exact.agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    n_l = lsh.agg(F.count(F.lit(1)).cast("long").alias("n_lsh"))
+    n_c = (
+        exact.join(lsh, ["da", "db"])
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    j = n_e.crossJoin(n_l).crossJoin(n_c)
+    return j.select(
+        "n_exact",
+        "n_lsh",
+        "n_common",
+        F.when(
+            F.col("n_exact") > 0,
+            quantize(
+                F.col("n_common").cast("double") / F.col("n_exact"), 6
+            ),
+        ).alias("recall"),
+        F.when(
+            F.col("n_lsh") > 0,
+            quantize(
+                F.col("n_common").cast("double") / F.col("n_lsh"), 6
+            ),
+        ).alias("precision"),
+    )
+
+
 def dedup_lsh_s_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The MinHash-LSH detection S-curve for THIS engine's banding
     parameters (b=4 bands × r=4 rows): P(candidate | Jaccard s) =
@@ -5410,6 +5458,7 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_threshold_sweep": dedup_threshold_sweep,
     "dedup_lsh_s_curve": dedup_lsh_s_curve,
+    "dedup_lsh_recall": dedup_lsh_recall,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "emb_neardup": emb_neardup,
@@ -6102,6 +6151,31 @@ ORACLE = {
     "dedup_ngram_jaccard": f"""
         WITH {_SH_CTES}, {_SHK_CTE}, {_jaccard_ctes('shk')}
         SELECT da, db, jaccard FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}
+    """,
+    "dedup_lsh_recall": f"""
+        WITH e AS (
+          SELECT da, db FROM (
+            WITH {_SH_CTES}, {_SHK_CTE}, {_jaccard_ctes('shk')}
+            SELECT da, db FROM jac WHERE jaccard >= {MINHASH_THRESHOLD}
+          )
+        ),
+        l AS (
+          SELECT da, db FROM ({{LSH_ORACLE}})
+        ),
+        ne AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM e),
+        nl AS (SELECT CAST(count(*) AS BIGINT) AS n_lsh FROM l),
+        nc AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_common
+          FROM e JOIN l USING (da, db)
+        )
+        SELECT n_exact, n_lsh, n_common,
+               CASE WHEN n_exact > 0 THEN
+                 {sql_quantize('CAST(n_common AS DOUBLE) / n_exact', 6)}
+               END AS recall,
+               CASE WHEN n_lsh > 0 THEN
+                 {sql_quantize('CAST(n_common AS DOUBLE) / n_lsh', 6)}
+               END AS precision
+        FROM ne CROSS JOIN nl CROSS JOIN nc
     """,
     "dedup_lsh_s_curve": f"""
         WITH g AS (
@@ -7990,6 +8064,10 @@ ORACLE["corpus_shard_skew"] = f"""
              AS max_to_mean
     FROM m
 """
+
+ORACLE["dedup_lsh_recall"] = ORACLE["dedup_lsh_recall"].replace(
+    "{LSH_ORACLE}", ORACLE["dedup_minhash_lsh"]
+)
 
 ORACLE["corpus_term_burstiness"] = f"""
     WITH tk AS (
