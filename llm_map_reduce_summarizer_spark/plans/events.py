@@ -2033,6 +2033,44 @@ def events_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The weekly traffic heatmap: event count and share per
+    (day-of-week, hour-of-day) cell, plus each cell's ratio to its
+    hour-of-day mean (the hourly profile with the WEEKLY structure
+    `events_hourly_profile` averages away — weekday mornings vs
+    weekend nights).
+
+    Scale: one ≤168-cell partial agg off the scan; the hour-of-day
+    margin and grand total are broadcasts of that bounded table —
+    exact integers, two divisions.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        F.dayofweek("ts").cast("long").alias("dow"),
+        F.hour("ts").cast("long").alias("hod"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    hod_m = cells.groupBy(F.col("hod").alias("hod_m")).agg(
+        F.sum("n_events").cast("long").alias("hod_events"),
+        F.count(F.lit(1)).cast("long").alias("hod_days"),
+    )
+    tot = cells.agg(F.sum("n_events").cast("long").alias("total"))
+    j = cells.join(
+        F.broadcast(hod_m), F.col("hod") == F.col("hod_m")
+    ).crossJoin(F.broadcast(tot))
+    hod_mean = F.col("hod_events").cast("double") / F.col("hod_days")
+    return j.select(
+        "dow",
+        "hod",
+        "n_events",
+        quantize(
+            F.col("n_events").cast("double") / F.col("total"), 6
+        ).alias("share"),
+        quantize(
+            F.col("n_events").cast("double") / hod_mean, 4
+        ).alias("vs_hour_mean"),
+    )
+
+
 def events_value_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population stability index of event value between the first
     and second half of the observation window (split at the median
@@ -3214,6 +3252,7 @@ QUERIES = {
     "events_column_profile": events_column_profile,
     "events_k_anonymity": events_k_anonymity,
     "events_value_psi": events_value_psi,
+    "events_dow_hour_heatmap": events_dow_hour_heatmap,
     "events_value_levene": events_value_levene,
     "events_funnel_latency": events_funnel_latency,
     "events_ewma_control": events_ewma_control,
@@ -4207,6 +4246,30 @@ ORACLE["events_sen_slope"] = f"""
            {sql_quantize('sen_slope', 6)} AS sen_slope,
            {sql_quantize('quantile_cont(r, 0.5)', 4)} AS sen_intercept
     FROM resid GROUP BY sen_slope, n_pairs
+"""
+
+ORACLE["events_dow_hour_heatmap"] = f"""
+    WITH cells AS (
+      SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+             CAST(hour(ts) AS BIGINT) AS hod,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    hm AS (
+      SELECT hod AS hod_m,
+             CAST(sum(n_events) AS BIGINT) AS hod_events,
+             CAST(count(*) AS BIGINT) AS hod_days
+      FROM cells GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(n_events) AS BIGINT) AS total FROM cells)
+    SELECT c.dow, c.hod, c.n_events,
+           {sql_quantize('CAST(c.n_events AS DOUBLE) / t.total', 6)}
+             AS share,
+           {sql_quantize(
+               'CAST(c.n_events AS DOUBLE)'
+               ' / (CAST(h.hod_events AS DOUBLE) / h.hod_days)', 4)}
+             AS vs_hour_mean
+    FROM cells c JOIN hm h ON c.hod = h.hod_m CROSS JOIN tot t
 """
 
 ORACLE["events_value_psi"] = f"""
