@@ -70,8 +70,11 @@ def column_profile(
         "n_rows",
         "n_nulls",
         "n_distinct",
-        quantize(
-            F.col("n_nulls").cast("double") / F.col("n_rows"), 6
+        F.when(
+            F.col("n_rows") > 0,
+            quantize(
+                F.col("n_nulls").cast("double") / F.col("n_rows"), 6
+            ),
         ).alias("null_share"),
         "min_num",
         "max_num",
@@ -106,7 +109,11 @@ def profile_oracle_sql(
             )
     selects = []
     for c in cols:
-        share = sql_quantize(f"CAST(nn_{c} AS DOUBLE) / n_rows", 6)
+        share = (
+            "CASE WHEN n_rows > 0 THEN "
+            + sql_quantize(f"CAST(nn_{c} AS DOUBLE) / n_rows", 6)
+            + " END"
+        )
         lo = f"lo_{c}" if c in numeric else "CAST(NULL AS DOUBLE)"
         hi = f"hi_{c}" if c in numeric else "CAST(NULL AS DOUBLE)"
         selects.append(
