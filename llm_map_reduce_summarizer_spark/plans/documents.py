@@ -5259,6 +5259,44 @@ def corpus_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def emb_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space isotropy diagnostic: the mean pairwise cosine
+    over ALL n² pairs of unit vectors, computed WITHOUT any pair
+    enumeration via the sum-vector identity mean_cos = (‖Σu‖² − n) /
+    (n(n−1)) — an anisotropic (cone-shaped) embedding space inflates
+    every cosine similarity and is the classic reason "everything
+    looks similar"; near 0 means directions are balanced. One number,
+    one pass, and the reason it scales is the algebra, not sampling.
+
+    Scale: unit-normalize (narrow map), posexplode to (dim, u) and
+    partial-agg the d-bounded per-dimension sums — shuffle = d rows
+    regardless of corpus size; the identity closes the n² pair sum
+    exactly.
+    """
+    e = _embs(spark, sf_dir)
+    u = e.select(
+        "vec_id", unit_norm(F.col("embedding")).alias("uv")
+    )
+    dims = u.select(F.posexplode("uv").alias("dim", "x"))
+    per_dim = dims.groupBy("dim").agg(F.sum("x").alias("sx"))
+    agg = per_dim.agg(
+        F.sum(F.col("sx") * F.col("sx")).alias("norm_sq")
+    )
+    n_row = u.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    j = n_row.crossJoin(F.broadcast(agg))
+    nn = F.col("n").cast("double")
+    mean_cos = (F.col("norm_sq") - nn) / (nn * (nn - 1.0))
+    return j.select(
+        "n",
+        F.when(F.col("n") > 1, quantize(mean_cos, 6)).alias(
+            "mean_pairwise_cos"
+        ),
+        F.when(
+            F.col("n") > 1, quantize(1.0 - F.abs(mean_cos), 6)
+        ).alias("isotropy"),
+    )
+
+
 def emb_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-table health audit: vector count, dimension range,
     zero-norm count, and the L2-norm distribution (mean/p50/min/max)
@@ -5561,6 +5599,7 @@ QUERIES = {
     "corpus_ppl_buckets": corpus_ppl_buckets,
     "corpus_quality_calibration": corpus_quality_calibration,
     "emb_norm_audit": emb_norm_audit,
+    "emb_isotropy": emb_isotropy,
     "corpus_split_leakage": corpus_split_leakage,
     "corpus_ngram_coverage": corpus_ngram_coverage,
     "corpus_boilerplate_rate": corpus_boilerplate_rate,
@@ -8068,6 +8107,28 @@ ORACLE["corpus_shard_skew"] = f"""
 ORACLE["dedup_lsh_recall"] = ORACLE["dedup_lsh_recall"].replace(
     "{LSH_ORACLE}", ORACLE["dedup_minhash_lsh"]
 )
+
+ORACLE["emb_isotropy"] = f"""
+    WITH {sql_unit_cte()},
+    dims AS (
+      SELECT t.i AS dim, sum(u[t.i]) AS sx
+      FROM unitv CROSS JOIN generate_series(1, {DIM}) t(i)
+      GROUP BY 1
+    ),
+    agg AS (SELECT sum(sx * sx) AS norm_sq FROM dims),
+    nr AS (SELECT CAST(count(*) AS BIGINT) AS n FROM unitv)
+    SELECT n,
+           CASE WHEN n > 1 THEN
+             {sql_quantize(
+                 '(norm_sq - n) / (CAST(n AS DOUBLE) * (n - 1.0))', 6)}
+           END AS mean_pairwise_cos,
+           CASE WHEN n > 1 THEN
+             {sql_quantize(
+                 '1.0 - abs((norm_sq - n)'
+                 ' / (CAST(n AS DOUBLE) * (n - 1.0)))', 6)}
+           END AS isotropy
+    FROM nr CROSS JOIN agg
+"""
 
 ORACLE["corpus_term_burstiness"] = f"""
     WITH tk AS (

@@ -527,3 +527,18 @@ def test_vocab_coverage_matches_numpy(spark):
         assert _close(df.loc[k, "mass_coverage"], expect, tol=1e-4)
         assert df.loc[k, "vocab_total"] == len(xs)
     assert df["mass_coverage"].is_monotonic_increasing
+
+
+def test_isotropy_matches_numpy(spark):
+    """The sum-vector identity must equal the literal n-squared pair
+    mean of cosines on the small corpus."""
+    row = QUERIES["emb_isotropy"](spark, SF_SMOKE).toPandas().iloc[0]
+    e = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet")
+    u = np.stack(e["embedding"].to_numpy())
+    u = u / np.linalg.norm(u, axis=1, keepdims=True)
+    g = u @ u.T
+    n = len(u)
+    mean_cos = (g.sum() - np.trace(g)) / (n * (n - 1))
+    assert row["n"] == n
+    assert _close(row["mean_pairwise_cos"], mean_cos, tol=1e-4)
+    assert _close(row["isotropy"], 1 - abs(mean_cos), tol=1e-4)
