@@ -3001,6 +3001,41 @@ def events_ab_design(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_ab_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch check for the user-parity A/B assignment:
+    χ²(1) of the observed arm sizes against the designed 50/50 split
+    — THE first gate of any experiment readout (an SRM means the
+    assignment or logging is broken, and every downstream test,
+    including `events_conversion_ztest`, is invalid regardless of its
+    p-value).
+
+    Scale: one distinct-user count per arm (user-keyed partial agg),
+    then closed-form doubles from two integers.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    arms = ev.select("user_id").distinct().agg(
+        F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("user_id") % 2 == 0, 0).otherwise(1))
+        .cast("long")
+        .alias("n_b"),
+    )
+    n = (F.col("n_a") + F.col("n_b")).cast("double")
+    exp = n / 2.0
+    chi2 = (
+        (F.col("n_a") - exp) * (F.col("n_a") - exp) / exp
+        + (F.col("n_b") - exp) * (F.col("n_b") - exp) / exp
+    )
+    ok = F.col("n_a") + F.col("n_b") > 0
+    return arms.select(
+        "n_a",
+        "n_b",
+        F.when(ok, quantize(chi2, 4)).alias("srm_chi2"),
+        F.when(ok, quantize(chi2, 4) > 3.841).alias("srm_detected"),
+    )
+
+
 def events_value_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brown-Forsythe (median-centered Levene) test of variance
     equality of event value across ALL event types — the spread
@@ -3267,6 +3302,7 @@ QUERIES = {
     "events_conversion_ztest": events_conversion_ztest,
     "events_funnel_ci": events_funnel_ci,
     "events_ab_design": events_ab_design,
+    "events_ab_srm": events_ab_srm,
     "events_value_kruskal": events_value_kruskal,
     "events_periodogram": events_periodogram,
     "events_transition_entropy": events_transition_entropy,
@@ -4339,6 +4375,31 @@ ORACLE["events_column_profile"] = profile_oracle_sql(
         "value": "value",
     },
 )
+
+ORACLE["events_ab_srm"] = f"""
+    WITH arms AS (
+      SELECT
+        CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_a,
+        CAST(sum(CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END)
+          AS BIGINT) AS n_b
+      FROM (SELECT DISTINCT user_id FROM events)
+    ),
+    c AS (
+      SELECT *,
+             CASE WHEN n_a + n_b > 0 THEN
+               (n_a - (n_a + n_b) / 2.0) * (n_a - (n_a + n_b) / 2.0)
+                 / ((n_a + n_b) / 2.0)
+               + (n_b - (n_a + n_b) / 2.0) * (n_b - (n_a + n_b) / 2.0)
+                 / ((n_a + n_b) / 2.0)
+             END AS chi2
+      FROM arms
+    )
+    SELECT n_a, n_b,
+           {sql_quantize('chi2', 4)} AS srm_chi2,
+           {sql_quantize('chi2', 4)} > 3.841 AS srm_detected
+    FROM c
+"""
 
 ORACLE["events_ab_design"] = f"""
     WITH firsts AS (
