@@ -1862,6 +1862,85 @@ def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "lang", "source", split.alias("split"))
 
 
+def corpus_split_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-hygiene check #2: χ² independence of (split × lang) —
+    the id-hash split is content-blind, so language mix MUST be
+    statistically identical across train/val/test; a significant χ²
+    means the id space is correlated with content (e.g. ids assigned
+    per-source in ranges) and every per-split metric is confounded.
+    Completes the split-audit pair with `corpus_split_leakage`
+    (duplicate-content straddles).
+
+    Scale: one (split, lang) partial agg (cells = 3 × languages);
+    margins broadcast; exact integer counts → closed-form χ², the
+    `corpus_chi2_independence` shape on the split axis.
+    """
+    d = _docs(spark, sf_dir)
+    draw = ((F.col("doc_id") * KNUTH) % DRAW_MOD) / float(DRAW_MOD)
+    split = (
+        F.when(draw < SPLIT_TRAIN, "train")
+        .when(draw < SPLIT_VAL, "val")
+        .otherwise("test")
+    )
+    cells = d.select(split.alias("split"), "lang").groupBy(
+        "split", "lang"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    rm = cells.groupBy(F.col("split").alias("s_m")).agg(
+        F.sum("n").cast("long").alias("row_n")
+    )
+    cm = cells.groupBy(F.col("lang").alias("l_m")).agg(
+        F.sum("n").cast("long").alias("col_n")
+    )
+    tot = cells.agg(F.sum("n").cast("long").alias("total"))
+    j = (
+        cells.join(F.broadcast(rm), F.col("split") == F.col("s_m"))
+        .join(F.broadcast(cm), F.col("lang") == F.col("l_m"))
+        .crossJoin(F.broadcast(tot))
+    )
+    exp = (
+        F.col("row_n").cast("double")
+        * F.col("col_n").cast("double")
+        / F.col("total")
+    )
+    dev = (F.col("n").cast("double") - exp)
+    per = j.select(
+        (dev * dev / exp).alias("term"),
+        "split",
+        "lang",
+    )
+    counts = cells.agg(
+        F.count_distinct("split").cast("long").alias("n_splits"),
+        F.count_distinct("lang").cast("long").alias("n_langs"),
+    )
+    out = per.agg(F.sum("term").alias("chi2_raw")).crossJoin(
+        F.broadcast(counts)
+    )
+    dof = (F.col("n_splits") - 1) * (F.col("n_langs") - 1)
+    # chi2 95% critical values for dof 1..12 (both engines pick from
+    # the same literal table, so the verdict is parity-exact)
+    crit = F.element_at(
+        F.array(
+            *[
+                F.lit(v)
+                for v in (
+                    3.841, 5.991, 7.815, 9.488, 11.070, 12.592,
+                    14.067, 15.507, 16.919, 18.307, 19.675, 21.026,
+                )
+            ]
+        ),
+        F.least(dof, F.lit(12)).cast("int"),
+    )
+    return out.select(
+        "n_splits",
+        "n_langs",
+        dof.cast("long").alias("dof"),
+        quantize(F.col("chi2_raw"), 4).alias("chi2"),
+        F.when(
+            dof >= 1, quantize(F.col("chi2_raw"), 4) > crit
+        ).alias("mix_skewed_95"),
+    )
+
+
 # Target token share per language for the rebalanced training mix.
 MIX_TARGETS = {"en": 0.4, "de": 0.15, "es": 0.15, "fr": 0.15, "zh": 0.15}
 
@@ -5527,6 +5606,7 @@ QUERIES = {
     "emb_covariance": emb_covariance,
     "emb_pca_project": emb_pca_project,
     "corpus_split": corpus_split,
+    "corpus_split_balance": corpus_split_balance,
     "doc_char_entropy": doc_char_entropy,
     "multimodal_resize": multimodal_resize,
     "multimodal_features": multimodal_features,
@@ -8145,6 +8225,60 @@ ORACLE["corpus_term_burstiness"] = f"""
     FROM per WHERE cf >= {BURST_MIN_CF}
     ORDER BY burstiness DESC, term
     LIMIT {BURST_TOP_K}
+"""
+
+ORACLE["corpus_split_balance"] = f"""
+    WITH assigned AS (
+      SELECT CASE
+               WHEN (CAST(doc_id * 2654435761 AS BIGINT) % 1000000)
+                    / 1000000.0 < 0.9 THEN 'train'
+               WHEN (CAST(doc_id * 2654435761 AS BIGINT) % 1000000)
+                    / 1000000.0 < 0.95 THEN 'val'
+               ELSE 'test'
+             END AS split, lang
+      FROM documents
+    ),
+    cells AS (
+      SELECT split, lang, CAST(count(*) AS BIGINT) AS n
+      FROM assigned GROUP BY 1, 2
+    ),
+    rm AS (SELECT split, CAST(sum(n) AS BIGINT) AS row_n
+           FROM cells GROUP BY 1),
+    cm AS (SELECT lang, CAST(sum(n) AS BIGINT) AS col_n
+           FROM cells GROUP BY 1),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM cells),
+    terms AS (
+      SELECT (CAST(c.n AS DOUBLE)
+              - CAST(r.row_n AS DOUBLE) * m.col_n / t.total)
+             * (CAST(c.n AS DOUBLE)
+                - CAST(r.row_n AS DOUBLE) * m.col_n / t.total)
+             / (CAST(r.row_n AS DOUBLE) * m.col_n / t.total) AS term
+      FROM cells c JOIN rm r USING (split) JOIN cm m USING (lang)
+      CROSS JOIN tot t
+    ),
+    counts AS (
+      SELECT CAST(count(DISTINCT split) AS BIGINT) AS n_splits,
+             CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+      FROM cells
+    ),
+    agg AS (
+      SELECT sum(term) AS chi2_raw, n_splits, n_langs,
+             (n_splits - 1) * (n_langs - 1) AS dof
+      FROM terms CROSS JOIN counts GROUP BY 2, 3
+    )
+    SELECT n_splits, n_langs, CAST(dof AS BIGINT) AS dof,
+           {sql_quantize('chi2_raw', 4)} AS chi2,
+           CASE WHEN dof >= 1 THEN
+             {sql_quantize('chi2_raw', 4)} >
+               (CASE least(dof, 12)
+                  WHEN 1 THEN 3.841 WHEN 2 THEN 5.991
+                  WHEN 3 THEN 7.815 WHEN 4 THEN 9.488
+                  WHEN 5 THEN 11.070 WHEN 6 THEN 12.592
+                  WHEN 7 THEN 14.067 WHEN 8 THEN 15.507
+                  WHEN 9 THEN 16.919 WHEN 10 THEN 18.307
+                  WHEN 11 THEN 19.675 WHEN 12 THEN 21.026 END)
+           END AS mix_skewed_95
+    FROM agg
 """
 
 ORACLE["corpus_yule_k"] = f"""
