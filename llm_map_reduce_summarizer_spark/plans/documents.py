@@ -5338,6 +5338,49 @@ def corpus_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def emb_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension variance spectrum of the embedding table: mean,
+    variance, and share of total variance per coordinate — the
+    flat-vs-spiked read that says how many dimensions actually carry
+    signal (a handful of dominant coordinates → the space is nearly
+    low-rank and PCA/PQ will compress well; near-uniform → it won't),
+    without running the full eigensolve (`emb_pca_project`).
+
+    Scale: one posexplode + d-bounded per-dimension partial agg
+    (shuffle = d rows regardless of corpus size); the total-variance
+    denominator is a 1-row broadcast of that table.
+    """
+    e = _embs(spark, sf_dir)
+    dims = e.select(F.posexplode("embedding").alias("dim", "x")).select(
+        "dim", F.col("x").cast("double").alias("x")
+    )
+    per = dims.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    mean = F.col("sx") / n
+    var = F.greatest(
+        (F.col("sxx") - F.col("sx") * mean) / (n - 1.0), F.lit(0.0)
+    )
+    scored = per.select(
+        "dim", "n", mean.alias("mean"), var.alias("var")
+    )
+    tot = scored.agg(F.sum("var").alias("total_var"))
+    j = scored.crossJoin(F.broadcast(tot))
+    return j.select(
+        F.col("dim").cast("long").alias("dim"),
+        "n",
+        quantize(F.col("mean"), 6).alias("mean"),
+        quantize(F.col("var"), 6).alias("variance"),
+        F.when(
+            (F.col("n") > 1) & (F.col("total_var") > 0),
+            quantize(F.col("var") / F.col("total_var"), 6),
+        ).alias("var_share"),
+    )
+
+
 def emb_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space isotropy diagnostic: the mean pairwise cosine
     over ALL n² pairs of unit vectors, computed WITHOUT any pair
@@ -5680,6 +5723,7 @@ QUERIES = {
     "corpus_quality_calibration": corpus_quality_calibration,
     "emb_norm_audit": emb_norm_audit,
     "emb_isotropy": emb_isotropy,
+    "emb_dim_variance": emb_dim_variance,
     "corpus_split_leakage": corpus_split_leakage,
     "corpus_ngram_coverage": corpus_ngram_coverage,
     "corpus_boilerplate_rate": corpus_boilerplate_rate,
@@ -8187,6 +8231,31 @@ ORACLE["corpus_shard_skew"] = f"""
 ORACLE["dedup_lsh_recall"] = ORACLE["dedup_lsh_recall"].replace(
     "{LSH_ORACLE}", ORACLE["dedup_minhash_lsh"]
 )
+
+ORACLE["emb_dim_variance"] = f"""
+    WITH dims AS (
+      SELECT t.i - 1 AS dim, CAST(embedding[t.i] AS DOUBLE) AS x
+      FROM embeddings CROSS JOIN generate_series(1, {DIM}) t(i)
+    ),
+    per AS (
+      SELECT dim, CAST(count(*) AS BIGINT) AS n,
+             sum(x) AS sx, sum(x * x) AS sxx
+      FROM dims GROUP BY 1
+    ),
+    scored AS (
+      SELECT dim, n, sx / n AS mean,
+             greatest((sxx - sx * (sx / n)) / (n - 1.0), 0.0) AS var
+      FROM per
+    ),
+    tot AS (SELECT sum(var) AS total_var FROM scored)
+    SELECT CAST(dim AS BIGINT) AS dim, n,
+           {sql_quantize('mean', 6)} AS mean,
+           {sql_quantize('var', 6)} AS variance,
+           CASE WHEN n > 1 AND total_var > 0 THEN
+             {sql_quantize('var / total_var', 6)}
+           END AS var_share
+    FROM scored CROSS JOIN tot
+"""
 
 ORACLE["emb_isotropy"] = f"""
     WITH {sql_unit_cte()},
