@@ -3743,6 +3743,73 @@ def corpus_shard_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_charclass_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class composition per language: shares of ASCII
+    letters, digits, whitespace, ASCII punctuation, and everything
+    else — the cheap script-hygiene screen that catches mislabeled
+    languages, markup floods, and binary-in-text long before a
+    language-ID model runs (a 'de' stratum that is 30% non-ASCII-
+    other is fine; an 'en' one is mojibake).
+
+    Scale: five regexp-strip length expressions per doc (narrow map,
+    one pass, no explode) folding into a languages-bounded rollup of
+    exact integer counts.
+    """
+    d = _docs(spark, sf_dir)
+    low = F.lower(F.col("text"))
+
+    def n_of(pattern: str) -> Column:
+        return F.length(
+            F.regexp_replace(low, pattern, "")
+        ).cast("long")
+
+    total = F.length(low).cast("long")
+    alpha = total - n_of("[a-z]")
+    digit = total - n_of("[0-9]")
+    space = total - n_of(r"\s")
+    punct = total - n_of(r"[!-/:-@\[-`{-~]")
+    per_doc = d.select(
+        "lang",
+        total.alias("t"),
+        alpha.alias("a"),
+        digit.alias("g"),
+        space.alias("w"),
+        punct.alias("p"),
+    )
+    per = per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("t").cast("long").alias("n_chars"),
+        F.sum("a").cast("long").alias("na"),
+        F.sum("g").cast("long").alias("ng"),
+        F.sum("w").cast("long").alias("nw"),
+        F.sum("p").cast("long").alias("np"),
+    )
+    t = F.col("n_chars").cast("double")
+
+    def share(c: Column) -> Column:
+        return F.when(
+            F.col("n_chars") > 0, quantize(c.cast("double") / t, 6)
+        )
+
+    other = (
+        F.col("n_chars")
+        - F.col("na")
+        - F.col("ng")
+        - F.col("nw")
+        - F.col("np")
+    )
+    return per.select(
+        "lang",
+        "n_docs",
+        "n_chars",
+        share(F.col("na")).alias("alpha_share"),
+        share(F.col("ng")).alias("digit_share"),
+        share(F.col("nw")).alias("space_share"),
+        share(F.col("np")).alias("punct_share"),
+        share(other).alias("other_share"),
+    )
+
+
 def corpus_yule_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repetition-weighted vocabulary richness per source: Yule's
     characteristic K = 1e4·(Σf² − N)/N² and Simpson's repeat-rate
@@ -5705,6 +5772,7 @@ QUERIES = {
     "corpus_term_burstiness": corpus_term_burstiness,
     "corpus_shard_skew": corpus_shard_skew,
     "doc_readability": doc_readability,
+    "doc_charclass_mix": doc_charclass_mix,
     "corpus_length_lognormal": corpus_length_lognormal,
     "corpus_cross_perplexity": corpus_cross_perplexity,
     "corpus_vocab_coverage": corpus_vocab_coverage,
@@ -8348,6 +8416,56 @@ ORACLE["corpus_split_balance"] = f"""
                   WHEN 11 THEN 19.675 WHEN 12 THEN 21.026 END)
            END AS mix_skewed_95
     FROM agg
+"""
+
+ORACLE["doc_charclass_mix"] = f"""
+    WITH per_doc AS (
+      SELECT lang,
+             CAST(length(lower(text)) AS BIGINT) AS t,
+             CAST(length(lower(text))
+               - length(regexp_replace(lower(text), '[a-z]', '', 'g'))
+               AS BIGINT) AS a,
+             CAST(length(lower(text))
+               - length(regexp_replace(lower(text), '[0-9]', '', 'g'))
+               AS BIGINT) AS g,
+             CAST(length(lower(text))
+               - length(regexp_replace(lower(text), '\\s', '', 'g'))
+               AS BIGINT) AS w,
+             CAST(length(lower(text))
+               - length(regexp_replace(lower(text),
+                   '[!-/:-@\\[-`{{-~}}]', '', 'g'))
+               AS BIGINT) AS p
+      FROM documents
+    ),
+    per AS (
+      SELECT lang,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(t) AS BIGINT) AS n_chars,
+             CAST(sum(a) AS BIGINT) AS na,
+             CAST(sum(g) AS BIGINT) AS ng,
+             CAST(sum(w) AS BIGINT) AS nw,
+             CAST(sum(p) AS BIGINT) AS np
+      FROM per_doc GROUP BY 1
+    )
+    SELECT lang, n_docs, n_chars,
+           CASE WHEN n_chars > 0 THEN
+             {sql_quantize('CAST(na AS DOUBLE) / n_chars', 6)} END
+             AS alpha_share,
+           CASE WHEN n_chars > 0 THEN
+             {sql_quantize('CAST(ng AS DOUBLE) / n_chars', 6)} END
+             AS digit_share,
+           CASE WHEN n_chars > 0 THEN
+             {sql_quantize('CAST(nw AS DOUBLE) / n_chars', 6)} END
+             AS space_share,
+           CASE WHEN n_chars > 0 THEN
+             {sql_quantize('CAST(np AS DOUBLE) / n_chars', 6)} END
+             AS punct_share,
+           CASE WHEN n_chars > 0 THEN
+             {sql_quantize(
+                 'CAST(n_chars - na - ng - nw - np AS DOUBLE)'
+                 ' / n_chars', 6)} END
+             AS other_share
+    FROM per
 """
 
 ORACLE["corpus_yule_k"] = f"""
