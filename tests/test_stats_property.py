@@ -139,6 +139,79 @@ def test_events_stats_random(spark, tmp_path_factory, seed):
             hstat = (12.0 / (nn * (nn + 1)) * srr - 3 * (nn + 1)) / corr
             assert _close(row["h_stat"], hstat)
 
+        # --- CUSUM (Page recursion, integer allowance) ---
+        df = QUERIES["events_cusum"](spark, sf).toPandas()
+        for et, grp in df.groupby("event_type"):
+            hr = (
+                ev[ev.event_type == et]
+                .set_index("ts")
+                .resample("1h")["event_id"]
+                .count()
+            )
+            xs = hr[hr > 0].to_numpy(float)
+            mu = xs.mean()
+            sd = xs.std(ddof=1) if len(xs) > 1 else 0.0
+            k = (
+                math.ceil(sd / 2)
+                if len(xs) > 1 and sd > 0
+                else 0
+            )
+            acc, exp = 0.0, []
+            for xx in xs:
+                acc = max(0.0, acc + (xx - mu - k))
+                exp.append(acc)
+            got = grp.sort_values("hour")["cusum"].to_numpy(float)
+            assert len(got) == len(exp)
+            for gg, ee in zip(got, exp):
+                assert _close(gg, ee)
+
+        # --- conversion z-test (24h fast activation) ---
+        row = (
+            QUERIES["events_conversion_ztest"](spark, sf)
+            .toPandas()
+            .iloc[0]
+        )
+        first = ev.groupby("user_id")["ts"].min()
+        conv = {}
+        for u, grp in ev.groupby("user_id"):
+            pur = grp.loc[grp.event_type == "purchase", "ts"]
+            conv[u] = int(
+                (pur < first[u] + pd.Timedelta(hours=24)).any()
+            )
+        n_a = sum(1 for u in conv if u % 2 == 0)
+        x_a = sum(v for u, v in conv.items() if u % 2 == 0)
+        n_b = len(conv) - n_a
+        x_b = sum(conv.values()) - x_a
+        assert row["n_a"] == n_a and row["x_a"] == x_a
+        assert row["n_b"] == n_b and row["x_b"] == x_b
+        if n_a and n_b:
+            pool = (x_a + x_b) / (n_a + n_b)
+            se2 = pool * (1 - pool) * (1 / n_a + 1 / n_b)
+            if se2 > 0:
+                z = (x_a / n_a - x_b / n_b) / math.sqrt(se2)
+                assert _close(row["z_stat"], z)
+            else:
+                assert pd.isna(row["z_stat"])
+
+        # --- PSI (Laplace-smoothed window halves) ---
+        df = QUERIES["events_value_psi"](spark, sf).toPandas()
+        ts_us = (
+            ev["ts"].astype("datetime64[us]").astype("int64")
+        ).to_numpy(float)
+        medus = np.percentile(ts_us, 50, method="linear")
+        bucket = np.floor(ev["value"].to_numpy() / 10.0).astype(int)
+        bs = sorted(set(bucket))
+        n1 = {b: int(((bucket == b) & (ts_us <= medus)).sum()) for b in bs}
+        n2 = {b: int(((bucket == b) & (ts_us > medus)).sum()) for b in bs}
+        t1, t2, nb = sum(n1.values()), sum(n2.values()), len(bs)
+        psi = 0.0
+        for b in bs:
+            p1 = (n1[b] + 1) / (t1 + nb)
+            p2 = (n2[b] + 1) / (t2 + nb)
+            psi += (p2 - p1) * math.log(p2 / p1)
+        assert len(df) == nb
+        assert _close(df["psi_total"].iloc[0], psi)
+
     run()
 
 
