@@ -3756,6 +3756,14 @@ def doc_charclass_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integer counts.
     """
     d = _docs(spark, sf_dir)
+    per = charclass_cells(d)
+    return charclass_report(per)
+
+
+def charclass_cells(d: DataFrame) -> DataFrame:
+    """The per-language counter rollup — shared by the batch query
+    and the streaming ingest (`stream_charclass_mix` accumulates the
+    same languages-bounded mergeable sums at ingest)."""
     low = F.lower(F.col("text"))
 
     def n_of(pattern: str) -> Column:
@@ -3776,7 +3784,7 @@ def doc_charclass_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         space.alias("w"),
         punct.alias("p"),
     )
-    per = per_doc.groupBy("lang").agg(
+    return per_doc.groupBy("lang").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("t").cast("long").alias("n_chars"),
         F.sum("a").cast("long").alias("na"),
@@ -3784,6 +3792,9 @@ def doc_charclass_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("w").cast("long").alias("nw"),
         F.sum("p").cast("long").alias("np"),
     )
+
+
+def charclass_report(per: DataFrame) -> DataFrame:
     t = F.col("n_chars").cast("double")
 
     def share(c: Column) -> Column:

@@ -1234,6 +1234,23 @@ def stream_cross_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cross_perplexity_from_cells(snap)
 
 
+def stream_charclass_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming character-class hygiene monitor: the five per-doc
+    counter expressions are a stateless ingest map collapsing into a
+    languages-bounded mergeable-sum aggregation (state = langs × 6
+    integers), and the share report evaluates post-drain via the
+    exact batch computation (`documents.charclass_report`). Drain ==
+    batch `doc_charclass_mix`, whose oracle it shares.
+    """
+    from .documents import charclass_cells, charclass_report
+
+    docs = read_documents_stream(spark, sf_dir)
+    snap = run_available_now(
+        charclass_cells(docs), output_mode="complete"
+    )
+    return charclass_report(snap)
+
+
 def stream_quality_length_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming confounder audit: the per-lang correlation moments
     (n, Σx, Σy, Σxy, Σx², Σy²) accumulate AT INGEST — state =
@@ -1309,6 +1326,7 @@ QUERIES = {
     "stream_chi2_independence": stream_chi2_independence,
     "stream_quality_length_corr": stream_quality_length_corr,
     "stream_cross_perplexity": stream_cross_perplexity,
+    "stream_charclass_mix": stream_charclass_mix,
     "stream_ab_welch": stream_ab_welch,
     "stream_conversion_ztest": stream_conversion_ztest,
     "stream_value_kruskal": stream_value_kruskal,
@@ -1362,6 +1380,7 @@ ORACLE = {
     "stream_conversion_ztest": _EVENTS_ORACLE["events_conversion_ztest"],
     "stream_quality_length_corr": _DOCS_ORACLE["corpus_quality_length_corr"],
     "stream_cross_perplexity": _DOCS_ORACLE["corpus_cross_perplexity"],
+    "stream_charclass_mix": _DOCS_ORACLE["doc_charclass_mix"],
     "stream_chi2_independence": _DOCS_ORACLE["corpus_chi2_independence"],
     "stream_token_gini": _DOCS_ORACLE["corpus_token_gini"],
     "stream_hourly": _EVENTS_ORACLE["events_hourly"],
