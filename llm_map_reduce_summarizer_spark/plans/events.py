@@ -2033,6 +2033,114 @@ def events_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average event value per user (the hypertable
+    `time_weight` primitive): each event's value is held until the
+    user's next event, so the average weights by HOLD DURATION, not
+    by event count — the correct aggregate for sampled state series
+    (a price observed twice a day and once a month must not average
+    per-observation). The last (open) interval is excluded; users
+    with one event report NULL.
+
+    Scale: one user-partitioned lag window (sort-shuffle on the
+    natural key, shared with the sessionization family), then a
+    user-keyed partial agg of exact integer micros × cent products in
+    decimal accumulators — no float until the final division.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("vq"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    holds = ev.withColumn("next_us", F.lead("ts_us").over(w)).filter(
+        F.col("next_us").isNotNull()
+    )
+    dur = (F.col("next_us") - F.col("ts_us")).cast("long")
+    per = holds.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_intervals"),
+        F.sum(dur).cast("long").alias("total_us"),
+        F.sum((dur * F.col("vq")).cast("decimal(38,0)")).alias("wsum"),
+    )
+    tw = F.col("wsum").cast("double") / F.col("total_us") / 100.0
+    return per.select(
+        "user_id",
+        "n_intervals",
+        "total_us",
+        F.when(F.col("total_us") > 0, quantize(tw, 4)).alias(
+            "tw_avg_value"
+        ),
+    )
+
+
+def events_hourly_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly value series per event type (the hypertable
+    `locf` primitive): a dense calendar spine with the mean observed
+    value carried forward across silent hours, plus the observed
+    flag and the staleness of each carried value — what dashboards
+    and joins against regular grids need when the raw series has
+    holes.
+
+    Scale: the spine is a 1-row min/max broadcast exploded to the
+    calendar-bounded hour list crossed with the types dim (never
+    event-sized); the LOCF window partitions by event_type (ordered
+    within the calendar-bounded partition, no global sort); counts
+    and means ride the same (type, hour) partial agg.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        quantize(F.avg("value"), 4).alias("mean_value"),
+    )
+    rng = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = rng.select(
+        F.explode(
+            F.expr("sequence(lo, hi, interval 1 hour)")
+        ).alias("hour")
+    )
+    types = ev.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(spine))
+    j = grid.join(hourly, ["event_type", "hour"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = j.withColumn(
+        "value_locf", F.last("mean_value", ignorenulls=True).over(w)
+    ).withColumn(
+        "last_obs_hour",
+        F.last(
+            F.when(F.col("n_events").isNotNull(), F.col("hour")),
+            ignorenulls=True,
+        ).over(w),
+    )
+    return filled.select(
+        "event_type",
+        "hour",
+        F.coalesce(F.col("n_events"), F.lit(0))
+        .cast("long")
+        .alias("n_events"),
+        F.col("n_events").isNotNull().alias("observed"),
+        "value_locf",
+        (
+            (
+                F.unix_micros("hour")
+                - F.unix_micros("last_obs_hour")
+            )
+            / F.lit(3600000000)
+        )
+        .cast("long")
+        .alias("staleness_hours"),
+    )
+
+
 def events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The weekly traffic heatmap: event count and share per
     (day-of-week, hour-of-day) cell, plus each cell's ratio to its
@@ -3288,6 +3396,8 @@ QUERIES = {
     "events_k_anonymity": events_k_anonymity,
     "events_value_psi": events_value_psi,
     "events_dow_hour_heatmap": events_dow_hour_heatmap,
+    "events_time_weighted_value": events_time_weighted_value,
+    "events_hourly_locf": events_hourly_locf,
     "events_value_levene": events_value_levene,
     "events_funnel_latency": events_funnel_latency,
     "events_ewma_control": events_ewma_control,
@@ -4282,6 +4392,82 @@ ORACLE["events_sen_slope"] = f"""
            {sql_quantize('sen_slope', 6)} AS sen_slope,
            {sql_quantize('quantile_cont(r, 0.5)', 4)} AS sen_intercept
     FROM resid GROUP BY sen_slope, n_pairs
+"""
+
+ORACLE["events_hourly_locf"] = f"""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             CAST(count(*) AS BIGINT) AS n_events,
+             {sql_quantize('avg(value)', 4)} AS mean_value
+      FROM events GROUP BY 1, 2
+    ),
+    rng AS (
+      SELECT date_trunc('hour', min(ts)) AS lo,
+             date_trunc('hour', max(ts)) AS hi
+      FROM events
+    ),
+    spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+      FROM rng
+    ),
+    grid AS (
+      SELECT t.event_type, s.hour
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN spine s
+    ),
+    j AS (
+      SELECT g.event_type, g.hour, h.n_events, h.mean_value
+      FROM grid g LEFT JOIN hourly h
+        ON g.event_type = h.event_type AND g.hour = h.hour
+    ),
+    filled AS (
+      SELECT *,
+             last_value(mean_value IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY hour
+               ROWS UNBOUNDED PRECEDING
+             ) AS value_locf,
+             last_value(CASE WHEN n_events IS NOT NULL THEN hour END
+                 IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY hour
+               ROWS UNBOUNDED PRECEDING
+             ) AS last_obs_hour
+      FROM j
+    )
+    SELECT event_type, hour,
+           CAST(coalesce(n_events, 0) AS BIGINT) AS n_events,
+           n_events IS NOT NULL AS observed,
+           value_locf,
+           CAST((epoch_us(hour) - epoch_us(last_obs_hour))
+                / 3600000000 AS BIGINT) AS staleness_hours
+    FROM filled
+"""
+
+ORACLE["events_time_weighted_value"] = f"""
+    WITH ev AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS vq
+      FROM events
+    ),
+    holds AS (
+      SELECT user_id, ts_us, vq,
+             lead(ts_us) OVER (
+               PARTITION BY user_id ORDER BY ts_us, event_id
+             ) AS next_us
+      FROM ev
+    ),
+    per AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_intervals,
+             CAST(sum(next_us - ts_us) AS BIGINT) AS total_us,
+             sum((next_us - ts_us) * vq) AS wsum
+      FROM holds WHERE next_us IS NOT NULL GROUP BY 1
+    )
+    SELECT user_id, n_intervals, total_us,
+           CASE WHEN total_us > 0 THEN
+             {sql_quantize(
+                 'CAST(wsum AS DOUBLE) / total_us / 100.0', 4)}
+           END AS tw_avg_value
+    FROM per
 """
 
 ORACLE["events_dow_hour_heatmap"] = f"""
