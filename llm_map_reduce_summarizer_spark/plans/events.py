@@ -2141,6 +2141,113 @@ def events_hourly_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_hourly_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linearly interpolated hourly value series per event type — the
+    other hypertable gap-fill mode (`events_hourly_locf` carries the
+    last value; this draws the line between the bracketing
+    observations, the right choice for sampled continuous signals).
+    Edge hours with no bracketing observation on one side stay NULL —
+    interpolation never extrapolates.
+
+    Scale: same calendar-bounded spine × types grid as locf; one
+    BACKWARD and one FORWARD window per type (both partitioned by
+    event_type, ordered within the bounded partition); the blend is
+    exact integer hour arithmetic until the final lerp.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(quantize(F.avg("value"), 4).alias("mean_value"))
+    rng = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = rng.select(
+        F.explode(
+            F.expr("sequence(lo, hi, interval 1 hour)")
+        ).alias("hour")
+    )
+    types = ev.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(spine))
+    j = grid.join(hourly, ["event_type", "hour"], "left").withColumn(
+        "t", (F.unix_micros("hour") / F.lit(3600000000)).cast("long")
+    )
+    wb = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_t = F.when(F.col("mean_value").isNotNull(), F.col("t"))
+    x = (
+        j.withColumn(
+            "pv", F.last("mean_value", ignorenulls=True).over(wb)
+        )
+        .withColumn("pt", F.last(obs_t, ignorenulls=True).over(wb))
+        .withColumn(
+            "nv", F.first("mean_value", ignorenulls=True).over(wf)
+        )
+        .withColumn("nt", F.first(obs_t, ignorenulls=True).over(wf))
+    )
+    frac = (F.col("t") - F.col("pt")).cast("double") / (
+        F.col("nt") - F.col("pt")
+    ).cast("double")
+    lerp = F.col("pv") + (F.col("nv") - F.col("pv")) * frac
+    value = F.when(F.col("mean_value").isNotNull(), F.col("mean_value")).when(
+        F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+        quantize(lerp, 4),
+    )
+    return x.select(
+        "event_type",
+        "hour",
+        F.col("mean_value").isNotNull().alias("observed"),
+        value.alias("value_interp"),
+    )
+
+
+def events_value_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candle downsampling of event value per (type, hour):
+    open/high/low/close + volume — the time-bucketed first/last/
+    extremes primitive every financial and telemetry store exposes,
+    done with struct-max argmax (no ranking window, no sort: first =
+    min over (ts, event_id, value) structs, last = max) so the candle
+    rides the same single partial agg as the count.
+
+    Scale: ONE (type, hour) partial agg; argmax via struct ordering
+    is map-side combinable; ties broken by event_id so both engines
+    pick the identical row.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("vq"),
+    )
+    first_s = F.min(F.struct("ts_us", "event_id", "vq"))
+    last_s = F.max(F.struct("ts_us", "event_id", "vq"))
+    per = ev.groupBy("event_type", "hour").agg(
+        F.count(F.lit(1)).cast("long").alias("volume"),
+        first_s.alias("f"),
+        last_s.alias("l"),
+        F.min("vq").alias("lo_q"),
+        F.max("vq").alias("hi_q"),
+    )
+    return per.select(
+        "event_type",
+        "hour",
+        "volume",
+        quantize(F.col("f.vq") / 100.0, 2).alias("open"),
+        quantize(F.col("hi_q") / 100.0, 2).alias("high"),
+        quantize(F.col("lo_q") / 100.0, 2).alias("low"),
+        quantize(F.col("l.vq") / 100.0, 2).alias("close"),
+    )
+
+
 def events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The weekly traffic heatmap: event count and share per
     (day-of-week, hour-of-day) cell, plus each cell's ratio to its
@@ -3398,6 +3505,8 @@ QUERIES = {
     "events_dow_hour_heatmap": events_dow_hour_heatmap,
     "events_time_weighted_value": events_time_weighted_value,
     "events_hourly_locf": events_hourly_locf,
+    "events_value_ohlc": events_value_ohlc,
+    "events_hourly_interp": events_hourly_interp,
     "events_value_levene": events_value_levene,
     "events_funnel_latency": events_funnel_latency,
     "events_ewma_control": events_ewma_control,
@@ -4392,6 +4501,89 @@ ORACLE["events_sen_slope"] = f"""
            {sql_quantize('sen_slope', 6)} AS sen_slope,
            {sql_quantize('quantile_cont(r, 0.5)', 4)} AS sen_intercept
     FROM resid GROUP BY sen_slope, n_pairs
+"""
+
+ORACLE["events_hourly_interp"] = f"""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             {sql_quantize('avg(value)', 4)} AS mean_value
+      FROM events GROUP BY 1, 2
+    ),
+    rng AS (
+      SELECT date_trunc('hour', min(ts)) AS lo,
+             date_trunc('hour', max(ts)) AS hi
+      FROM events
+    ),
+    spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+      FROM rng
+    ),
+    grid AS (
+      SELECT t.event_type, s.hour
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN spine s
+    ),
+    j AS (
+      SELECT g.event_type, g.hour, h.mean_value,
+             CAST(epoch_us(g.hour) / 3600000000 AS BIGINT) AS t
+      FROM grid g LEFT JOIN hourly h
+        ON g.event_type = h.event_type AND g.hour = h.hour
+    ),
+    x AS (
+      SELECT *,
+             last_value(mean_value IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY hour
+               ROWS UNBOUNDED PRECEDING) AS pv,
+             last_value(CASE WHEN mean_value IS NOT NULL THEN t END
+                 IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY hour
+               ROWS UNBOUNDED PRECEDING) AS pt,
+             first_value(mean_value IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS nv,
+             first_value(CASE WHEN mean_value IS NOT NULL THEN t END
+                 IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS nt
+      FROM j
+    )
+    SELECT event_type, hour,
+           mean_value IS NOT NULL AS observed,
+           CASE WHEN mean_value IS NOT NULL THEN mean_value
+                WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                  {sql_quantize(
+                      'pv + (nv - pv) * (CAST(t - pt AS DOUBLE)'
+                      ' / (nt - pt))', 4)}
+           END AS value_interp
+    FROM x
+"""
+
+ORACLE["events_value_ohlc"] = f"""
+    WITH ev AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             epoch_us(ts) AS ts_us, event_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS vq
+      FROM events
+    ),
+    per AS (
+      SELECT event_type, hour,
+             CAST(count(*) AS BIGINT) AS volume,
+             min_by(vq, CAST(ts_us AS HUGEINT) * 1000000000000
+                        + event_id) AS open_q,
+             max_by(vq, CAST(ts_us AS HUGEINT) * 1000000000000
+                        + event_id) AS close_q,
+             CAST(min(vq) AS BIGINT) AS lo_q,
+             CAST(max(vq) AS BIGINT) AS hi_q
+      FROM ev GROUP BY 1, 2
+    )
+    SELECT event_type, hour, volume,
+           {sql_quantize('open_q / 100.0', 2)} AS open,
+           {sql_quantize('hi_q / 100.0', 2)} AS high,
+           {sql_quantize('lo_q / 100.0', 2)} AS low,
+           {sql_quantize('close_q / 100.0', 2)} AS close
+    FROM per
 """
 
 ORACLE["events_hourly_locf"] = f"""
