@@ -2221,22 +2221,31 @@ def events_value_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     is map-side combinable; ties broken by event_id so both engines
     pick the identical row.
     """
-    ev = load_table(spark, sf_dir, "events").select(
+    ev = load_table(spark, sf_dir, "events")
+    return ohlc_report(ohlc_cells(ev))
+
+
+def ohlc_cells(ev: DataFrame) -> DataFrame:
+    """The (type, hour) candle aggregation — shared by the batch
+    query and the streaming ingest (`stream_value_ohlc` accumulates
+    the same struct-min/max state per cell)."""
+    e = ev.select(
         "event_type",
         F.date_trunc("hour", F.col("ts")).alias("hour"),
         F.unix_micros("ts").alias("ts_us"),
         "event_id",
         F.floor(F.col("value") * 100 + 0.5).cast("long").alias("vq"),
     )
-    first_s = F.min(F.struct("ts_us", "event_id", "vq"))
-    last_s = F.max(F.struct("ts_us", "event_id", "vq"))
-    per = ev.groupBy("event_type", "hour").agg(
+    return e.groupBy("event_type", "hour").agg(
         F.count(F.lit(1)).cast("long").alias("volume"),
-        first_s.alias("f"),
-        last_s.alias("l"),
+        F.min(F.struct("ts_us", "event_id", "vq")).alias("f"),
+        F.max(F.struct("ts_us", "event_id", "vq")).alias("l"),
         F.min("vq").alias("lo_q"),
         F.max("vq").alias("hi_q"),
     )
+
+
+def ohlc_report(per: DataFrame) -> DataFrame:
     return per.select(
         "event_type",
         "hour",

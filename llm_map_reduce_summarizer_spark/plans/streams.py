@@ -998,6 +998,22 @@ def stream_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_anonymity_from_cells(snap)
 
 
+def stream_value_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming OHLC candles: the per-(type, hour) struct-min/max
+    state accumulates AT INGEST (state = calendar-bounded cells of
+    five scalars — open/close ride min/max over (ts, id, value)
+    structs, which are mergeable, so candles are exact under ANY
+    micro-batch split) and the report projects post-drain. Drain ==
+    batch `events_value_ohlc`, whose oracle it shares.
+    """
+    from ..streaming.stream_ops import read_events_stream
+    from .events import ohlc_cells, ohlc_report
+
+    ev = read_events_stream(spark, sf_dir)
+    snap = run_available_now(ohlc_cells(ev), output_mode="complete")
+    return ohlc_report(snap)
+
+
 def stream_error_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming SLO burn-down: the daily (events, errors) series
     accumulates AT INGEST (one tumbling-day window agg — state =
@@ -1339,6 +1355,7 @@ QUERIES = {
     "stream_anomaly_mad": stream_anomaly_mad,
     "stream_k_anonymity": stream_k_anonymity,
     "stream_sen_slope": stream_sen_slope,
+    "stream_value_ohlc": stream_value_ohlc,
     "stream_hourly": stream_hourly,
     "stream_sessionize": stream_sessionize,
     "stream_view_click_join": stream_view_click_join,
@@ -1371,6 +1388,7 @@ ORACLE = {
     "stream_anomaly_mad": _EVENTS_ORACLE["events_anomaly_mad"],
     "stream_k_anonymity": _EVENTS_ORACLE["events_k_anonymity"],
     "stream_sen_slope": _EVENTS_ORACLE["events_sen_slope"],
+    "stream_value_ohlc": _EVENTS_ORACLE["events_value_ohlc"],
     "stream_error_budget": _EVENTS_ORACLE["events_error_budget"],
     "stream_session_stats": _EVENTS_ORACLE["events_session_stats"],
     "stream_stickiness": _EVENTS_ORACLE["events_stickiness"],
