@@ -2033,6 +2033,60 @@ def events_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+UPTIME_WINDOW_US = 3600 * 1000000  # liveness window: 1 heartbeat hour
+
+
+def events_uptime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heartbeat uptime per user (the hypertable `heartbeat_agg`
+    primitive): treating each event as a liveness beat that keeps the
+    user 'up' for the next hour, the covered time is the union of
+    those intervals — computed WITHOUT interval merging as
+    Σ min(next_beat − beat, W) + W per user (exact for a union of
+    equal-length right-open intervals), plus the share of the user's
+    active span and the count of gaps (downtimes).
+
+    Scale: one user-partitioned lead window (the sessionization
+    sort-shuffle) folding into a user-keyed partial agg — all exact
+    integer microseconds.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    x = ev.withColumn("next_us", F.lead("ts_us").over(w))
+    d = F.col("next_us") - F.col("ts_us")
+    cov = F.when(
+        F.col("next_us").isNotNull(),
+        F.least(d, F.lit(UPTIME_WINDOW_US)),
+    ).otherwise(F.lit(UPTIME_WINDOW_US))
+    gap = F.when(
+        F.col("next_us").isNotNull() & (d > UPTIME_WINDOW_US), 1
+    ).otherwise(0)
+    per = x.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_beats"),
+        F.sum(cov).cast("long").alias("covered_us"),
+        F.sum(gap).cast("long").alias("n_gaps"),
+        F.min("ts_us").alias("first_us"),
+        F.max("ts_us").alias("last_us"),
+    )
+    span = F.col("last_us") - F.col("first_us") + F.lit(
+        UPTIME_WINDOW_US
+    )
+    return per.select(
+        "user_id",
+        "n_beats",
+        "n_gaps",
+        "covered_us",
+        span.cast("long").alias("span_us"),
+        quantize(
+            F.col("covered_us").cast("double") / span.cast("double"),
+            6,
+        ).alias("uptime_share"),
+    )
+
+
 def events_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-weighted average event value per user (the hypertable
     `time_weight` primitive): each event's value is held until the
@@ -3513,6 +3567,7 @@ QUERIES = {
     "events_value_psi": events_value_psi,
     "events_dow_hour_heatmap": events_dow_hour_heatmap,
     "events_time_weighted_value": events_time_weighted_value,
+    "events_uptime": events_uptime,
     "events_hourly_locf": events_hourly_locf,
     "events_value_ohlc": events_value_ohlc,
     "events_hourly_interp": events_hourly_interp,
@@ -4641,6 +4696,41 @@ ORACLE["events_hourly_locf"] = f"""
            CAST((epoch_us(hour) - epoch_us(last_obs_hour))
                 / 3600000000 AS BIGINT) AS staleness_hours
     FROM filled
+"""
+
+ORACLE["events_uptime"] = f"""
+    WITH ev AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events
+    ),
+    x AS (
+      SELECT user_id, ts_us,
+             lead(ts_us) OVER (
+               PARTITION BY user_id ORDER BY ts_us, event_id
+             ) AS next_us
+      FROM ev
+    ),
+    per AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_beats,
+             CAST(sum(CASE WHEN next_us IS NOT NULL
+                        AND next_us - ts_us > {UPTIME_WINDOW_US}
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps,
+             CAST(sum(CASE WHEN next_us IS NOT NULL
+                      THEN least(next_us - ts_us, {UPTIME_WINDOW_US})
+                      ELSE {UPTIME_WINDOW_US} END) AS BIGINT)
+               AS covered_us,
+             min(ts_us) AS first_us,
+             max(ts_us) AS last_us
+      FROM x GROUP BY 1
+    )
+    SELECT user_id, n_beats, n_gaps, covered_us,
+           CAST(last_us - first_us + {UPTIME_WINDOW_US} AS BIGINT)
+             AS span_us,
+           {sql_quantize(
+               'CAST(covered_us AS DOUBLE)'
+               ' / (last_us - first_us + ' + str(UPTIME_WINDOW_US)
+               + ')', 6)} AS uptime_share
+    FROM per
 """
 
 ORACLE["events_time_weighted_value"] = f"""
