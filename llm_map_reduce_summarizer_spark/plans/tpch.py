@@ -2017,6 +2017,54 @@ def customer_decile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def warehouse_ref_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema referential-integrity audit: orphan counts along
+    every FK edge — lineitems without an order, orders without a
+    customer, customers/suppliers without a nation, nations without a
+    region, plus unreferenced parts (reverse edge: inventory nobody
+    ordered) — the first report run against a new warehouse drop
+    (relational sibling of `corpus_ref_integrity`).
+
+    Scale: each orphan count is a LEFT ANTI join onto the parent's
+    key projection — dims broadcast, the two fact-fact edges shuffle
+    on their natural keys (AQE-decided) — folded into a one-row
+    stack-transposed report.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    su = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    p = _t(spark, sf_dir, "part")
+
+    def orphans(child, ck, parent, pk):
+        return (
+            child.select(F.col(ck))
+            .join(
+                parent.select(F.col(pk).alias(ck)), ck, "left_anti"
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+
+    checks = [
+        ("lineitem_without_order", orphans(li, "l_orderkey", o, "o_orderkey")),
+        ("order_without_customer", orphans(o, "o_custkey", c, "c_custkey")),
+        ("customer_without_nation", orphans(c, "c_nationkey", n, "n_nationkey")),
+        ("supplier_without_nation", orphans(su, "s_nationkey", n, "n_nationkey")),
+        ("nation_without_region", orphans(n, "n_regionkey", r, "r_regionkey")),
+        ("part_never_ordered", orphans(p, "p_partkey", li, "l_partkey")),
+    ]
+    wide = None
+    for name, df in checks:
+        df = df.select(F.col("n").alias(f"n_{name}"))
+        wide = df if wide is None else wide.crossJoin(df)
+    stack_args = ", ".join(f"'{nm}', n_{nm}" for nm, _ in checks)
+    return wide.selectExpr(
+        f"stack({len(checks)}, {stack_args}) AS (fk_edge, n_orphans)"
+    ).withColumn("clean", F.col("n_orphans") == 0)
+
+
 def supplier_otif(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Supplier on-time delivery league table: per supplier, the
     share of lines received by their commit date AND the Wilson 95%
@@ -2315,6 +2363,7 @@ QUERIES = {
     "customer_rfm": customer_rfm,
     "supplier_scorecard": supplier_scorecard,
     "supplier_otif": supplier_otif,
+    "warehouse_ref_integrity": warehouse_ref_integrity,
     "customer_decile_table": customer_decile_table,
     "orders_abc_xyz_matrix": orders_abc_xyz_matrix,
     "parts_xyz_class": parts_xyz_class,
@@ -3367,6 +3416,12 @@ ORACLE["customer_decile_table"] = f"""
                'CAST(sum(spend_c) AS DOUBLE) / any_value(total_c)', 6)}
              AS revenue_share
     FROM j GROUP BY 1
+"""
+
+ORACLE["warehouse_ref_integrity"] = """
+    SELECT fk_edge, n_orphans, n_orphans = 0 AS clean FROM (
+    SELECT 'lineitem_without_order' AS fk_edge, CAST((SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS BIGINT) AS n_orphans UNION ALL SELECT 'order_without_customer' AS fk_edge, CAST((SELECT count(*) FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)) AS BIGINT) AS n_orphans UNION ALL SELECT 'customer_without_nation' AS fk_edge, CAST((SELECT count(*) FROM customer WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation)) AS BIGINT) AS n_orphans UNION ALL SELECT 'supplier_without_nation' AS fk_edge, CAST((SELECT count(*) FROM supplier WHERE s_nationkey NOT IN (SELECT n_nationkey FROM nation)) AS BIGINT) AS n_orphans UNION ALL SELECT 'nation_without_region' AS fk_edge, CAST((SELECT count(*) FROM nation WHERE n_regionkey NOT IN (SELECT r_regionkey FROM region)) AS BIGINT) AS n_orphans UNION ALL SELECT 'part_never_ordered' AS fk_edge, CAST((SELECT count(*) FROM part WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem)) AS BIGINT) AS n_orphans
+    )
 """
 
 ORACLE["supplier_otif"] = f"""
