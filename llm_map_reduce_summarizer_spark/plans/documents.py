@@ -2373,6 +2373,47 @@ def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_dedup_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup fairness audit: the language mix BEFORE vs AFTER exact
+    dedup, with the share delta per language — duplication is never
+    uniform across languages (template-heavy strata lose more), so a
+    dedup pass silently reshapes the training mix; this measures the
+    reshaping instead of discovering it at eval time.
+
+    Scale: two languages-bounded rollups off the corpus scan and the
+    `dedup_apply` semi-join (docs never shuffle); totals broadcast;
+    exact integer shares.
+    """
+    d = _docs(spark, sf_dir)
+    before = d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_before")
+    )
+    kept = dedup_apply(spark, sf_dir).groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_after")
+    )
+    tb = before.agg(F.sum("n_before").cast("long").alias("tb"))
+    ta = kept.agg(F.sum("n_after").cast("long").alias("ta"))
+    j = (
+        before.join(kept, "lang", "left")
+        .crossJoin(F.broadcast(tb))
+        .crossJoin(F.broadcast(ta))
+    )
+    na = F.coalesce(F.col("n_after"), F.lit(0)).cast("long")
+    share_b = F.col("n_before").cast("double") / F.col("tb")
+    share_a = na.cast("double") / F.col("ta")
+    return j.select(
+        "lang",
+        "n_before",
+        na.alias("n_after"),
+        quantize(
+            1.0 - na.cast("double") / F.col("n_before"), 6
+        ).alias("removed_rate"),
+        quantize(share_b, 6).alias("share_before"),
+        quantize(share_a, 6).alias("share_after"),
+        quantize(share_a - share_b, 6).alias("share_delta"),
+    )
+
+
 PREP_QUALITY_MIN = 0.5
 PREP_LANGS = ("en",)
 
@@ -5688,6 +5729,7 @@ QUERIES = {
     "corpus_prep_e2e": corpus_prep_e2e,
     "multimodal_frames": multimodal_frames,
     "dedup_apply": dedup_apply,
+    "corpus_dedup_mix_shift": corpus_dedup_mix_shift,
     "doc_tokens": doc_tokens,
     "doc_quality": doc_quality,
     "doc_langid": doc_langid,
@@ -8356,6 +8398,40 @@ ORACLE["emb_isotropy"] = f"""
                  ' / (CAST(n AS DOUBLE) * (n - 1.0)))', 6)}
            END AS isotropy
     FROM nr CROSS JOIN agg
+"""
+
+ORACLE["corpus_dedup_mix_shift"] = f"""
+    WITH kept AS ({ORACLE['dedup_apply']}),
+    before AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_before
+      FROM documents GROUP BY 1
+    ),
+    after AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_after
+      FROM kept GROUP BY 1
+    ),
+    tb AS (SELECT CAST(sum(n_before) AS BIGINT) AS tb FROM before),
+    ta AS (SELECT CAST(sum(n_after) AS BIGINT) AS ta FROM after),
+    j AS (
+      SELECT b.lang, b.n_before,
+             CAST(coalesce(a.n_after, 0) AS BIGINT) AS n_after,
+             tb.tb, ta.ta
+      FROM before b LEFT JOIN after a USING (lang)
+      CROSS JOIN tb CROSS JOIN ta
+    )
+    SELECT lang, n_before, n_after,
+           {sql_quantize(
+               '1.0 - CAST(n_after AS DOUBLE) / n_before', 6)}
+             AS removed_rate,
+           {sql_quantize('CAST(n_before AS DOUBLE) / tb', 6)}
+             AS share_before,
+           {sql_quantize('CAST(n_after AS DOUBLE) / ta', 6)}
+             AS share_after,
+           {sql_quantize(
+               'CAST(n_after AS DOUBLE) / ta'
+               ' - CAST(n_before AS DOUBLE) / tb', 6)}
+             AS share_delta
+    FROM j
 """
 
 ORACLE["corpus_term_burstiness"] = f"""
