@@ -1014,6 +1014,63 @@ def stream_value_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ohlc_report(snap)
 
 
+def stream_uptime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming heartbeat uptime: a CUSTOM stateful fold
+    (`applyInPandasWithState`, the sessionize tier — five integers
+    per user) accumulates covered time incrementally; each emission
+    carries the running totals with the open interval's +W, so the
+    update-mode drain's latest row per user equals the batch
+    integers exactly, and the share projects post-drain. Drain ==
+    batch `events_uptime`, whose oracle it shares.
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions.text import quantize
+    from ..streaming.stream_ops import uptime_stream
+    from .events import UPTIME_WINDOW_US
+
+    ev = read_events_stream(spark, sf_dir)
+    updates = run_available_now(
+        uptime_stream(ev, UPTIME_WINDOW_US), output_mode="update"
+    )
+    latest = (
+        updates.groupBy("user_id")
+        .agg(
+            F.max(
+                F.struct(
+                    "n_beats",
+                    "n_gaps",
+                    "covered_us",
+                    "first_us",
+                    "last_us",
+                )
+            ).alias("s")
+        )
+        .select(
+            "user_id",
+            F.col("s.n_beats").alias("n_beats"),
+            F.col("s.n_gaps").alias("n_gaps"),
+            F.col("s.covered_us").alias("covered_us"),
+            F.col("s.first_us").alias("first_us"),
+            F.col("s.last_us").alias("last_us"),
+        )
+    )
+    span = F.col("last_us") - F.col("first_us") + F.lit(
+        UPTIME_WINDOW_US
+    )
+    return latest.select(
+        "user_id",
+        "n_beats",
+        "n_gaps",
+        "covered_us",
+        span.cast("long").alias("span_us"),
+        quantize(
+            F.col("covered_us").cast("double") / span.cast("double"),
+            6,
+        ).alias("uptime_share"),
+    )
+
+
 def stream_error_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming SLO burn-down: the daily (events, errors) series
     accumulates AT INGEST (one tumbling-day window agg — state =
@@ -1356,6 +1413,7 @@ QUERIES = {
     "stream_k_anonymity": stream_k_anonymity,
     "stream_sen_slope": stream_sen_slope,
     "stream_value_ohlc": stream_value_ohlc,
+    "stream_uptime": stream_uptime,
     "stream_hourly": stream_hourly,
     "stream_sessionize": stream_sessionize,
     "stream_view_click_join": stream_view_click_join,
@@ -1389,6 +1447,7 @@ ORACLE = {
     "stream_k_anonymity": _EVENTS_ORACLE["events_k_anonymity"],
     "stream_sen_slope": _EVENTS_ORACLE["events_sen_slope"],
     "stream_value_ohlc": _EVENTS_ORACLE["events_value_ohlc"],
+    "stream_uptime": _EVENTS_ORACLE["events_uptime"],
     "stream_error_budget": _EVENTS_ORACLE["events_error_budget"],
     "stream_session_stats": _EVENTS_ORACLE["events_session_stats"],
     "stream_stickiness": _EVENTS_ORACLE["events_stickiness"],

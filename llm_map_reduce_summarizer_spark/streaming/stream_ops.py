@@ -239,6 +239,88 @@ def sessionize_stream(events: DataFrame, evict_state: bool = False) -> DataFrame
     )
 
 
+UPTIME_STATE_SCHEMA = StructType(
+    [
+        StructField("last_ts_us", LongType()),
+        StructField("first_ts_us", LongType()),
+        StructField("n_beats", LongType()),
+        StructField("n_gaps", LongType()),
+        StructField("acc_us", LongType()),
+    ]
+)
+
+UPTIME_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_beats", LongType()),
+        StructField("n_gaps", LongType()),
+        StructField("covered_us", LongType()),
+        StructField("first_us", LongType()),
+        StructField("last_us", LongType()),
+    ]
+)
+
+
+def uptime_stream(events: DataFrame, window_us: int) -> DataFrame:
+    """Incremental heartbeat-uptime fold keyed by user: state = five
+    integers (last/first beat, counts, accumulated covered time
+    EXCLUDING the open interval); each emission reports the running
+    totals with the open interval's +W added, so update semantics
+    keep exactly the batch `events_uptime` integers at drain. Same
+    per-user event-time-order contract as `sessionize_stream`."""
+
+    def _fn(key, pdfs, state: GroupState) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            last_ts, first_ts, n_beats, n_gaps, acc = state.get
+        else:
+            last_ts, first_ts, n_beats, n_gaps, acc = (
+                None,
+                None,
+                0,
+                0,
+                0,
+            )
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts_us", "event_id"])
+            for ts_us in pdf["ts_us"]:
+                ts_us = int(ts_us)
+                if last_ts is None:
+                    first_ts = ts_us
+                else:
+                    d = ts_us - last_ts
+                    acc += min(d, window_us)
+                    if d > window_us:
+                        n_gaps += 1
+                n_beats += 1
+                last_ts = ts_us
+        state.update((last_ts, first_ts, n_beats, n_gaps, acc))
+        if n_beats:
+            yield pd.DataFrame(
+                [
+                    {
+                        "user_id": user_id,
+                        "n_beats": n_beats,
+                        "n_gaps": n_gaps,
+                        "covered_us": acc + window_us,
+                        "first_us": first_ts,
+                        "last_us": last_ts,
+                    }
+                ]
+            )
+
+    with_us = events.select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us")
+    )
+    return with_us.groupBy("user_id").applyInPandasWithState(
+        _fn,
+        outputStructType=UPTIME_OUT_SCHEMA,
+        stateStructType=UPTIME_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 DOCS_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),

@@ -1087,3 +1087,53 @@ def test_stream_cohort_days_emit_once_across_batches(spark, tmp_path):
     assert len(pairs) == 2  # day 0 once, day 2 once
     assert set(pairs["day_us"] - base_day) == {0, 2 * DAY_US}
     assert (pairs["cohort_day_us"] == base_day).all()
+
+
+def test_stream_uptime_state_carries_across_batches(spark, tmp_path):
+    """Two time-contiguous micro-batches: a gap that SPANS the batch
+    boundary must count once and contribute min(gap, W) covered time
+    purely from carried state; totals must equal the batch formula
+    sum(min(gap, W)) + W."""
+    import pandas as pd
+
+    from llm_map_reduce_summarizer_spark.streaming.stream_ops import (
+        EVENTS_SCHEMA,
+        run_available_now,
+        uptime_stream,
+    )
+    from pyspark.sql import functions as F
+
+    us = 1_000_000
+    hour = 3600 * us
+    rows = [
+        dict(event_id=1, ts=0, user_id=1,
+             event_type="view", value=0.0, props="{}"),
+        dict(event_id=2, ts=(hour // 2) * 1000, user_id=1,
+             event_type="click", value=0.0, props="{}"),
+    ]
+    rows2 = [
+        # 3h after the last batch-1 beat: a cross-boundary DOWNTIME
+        dict(event_id=3, ts=(hour // 2 + 3 * hour) * 1000, user_id=1,
+             event_type="view", value=0.0, props="{}"),
+    ]
+    src = tmp_path / "events_stream"
+    src.mkdir()
+    pd.DataFrame(rows).to_parquet(src / "part-000.parquet")
+    pd.DataFrame(rows2).to_parquet(src / "part-001.parquet")
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(str(src))
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    out = run_available_now(
+        uptime_stream(raw, hour), output_mode="update"
+    ).toPandas()
+    last = out.sort_values("n_beats").iloc[-1]
+    assert last["n_beats"] == 3
+    assert last["n_gaps"] == 1  # the 3h cross-boundary gap
+    # covered = min(0.5h, 1h) + min(3h, 1h) + open-interval hour
+    assert last["covered_us"] == hour // 2 + hour + hour
+    assert last["first_us"] == 0
+    assert last["last_us"] == hour // 2 + 3 * hour
