@@ -1071,6 +1071,48 @@ def stream_uptime(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming time-weighted value: the custom stateful fold
+    (`streaming.stream_ops.time_weighted_stream`) closes each hold
+    interval as its successor arrives — exact integer μs × cents —
+    and the drain's latest row per user feeds the same final division
+    as the batch query. Drain == batch `events_time_weighted_value`,
+    whose oracle it shares.
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions.text import quantize
+    from ..streaming.stream_ops import time_weighted_stream
+
+    ev = read_events_stream(spark, sf_dir)
+    updates = run_available_now(
+        time_weighted_stream(ev), output_mode="update"
+    )
+    latest = (
+        updates.groupBy("user_id")
+        .agg(
+            F.max(
+                F.struct("n_intervals", "total_us", "wsum")
+            ).alias("s")
+        )
+        .select(
+            "user_id",
+            F.col("s.n_intervals").alias("n_intervals"),
+            F.col("s.total_us").alias("total_us"),
+            F.col("s.wsum").alias("wsum"),
+        )
+    )
+    tw = F.col("wsum").cast("double") / F.col("total_us") / 100.0
+    return latest.select(
+        "user_id",
+        "n_intervals",
+        "total_us",
+        F.when(F.col("total_us") > 0, quantize(tw, 4)).alias(
+            "tw_avg_value"
+        ),
+    )
+
+
 def stream_error_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming SLO burn-down: the daily (events, errors) series
     accumulates AT INGEST (one tumbling-day window agg — state =
@@ -1414,6 +1456,7 @@ QUERIES = {
     "stream_sen_slope": stream_sen_slope,
     "stream_value_ohlc": stream_value_ohlc,
     "stream_uptime": stream_uptime,
+    "stream_time_weighted_value": stream_time_weighted_value,
     "stream_hourly": stream_hourly,
     "stream_sessionize": stream_sessionize,
     "stream_view_click_join": stream_view_click_join,
@@ -1448,6 +1491,7 @@ ORACLE = {
     "stream_sen_slope": _EVENTS_ORACLE["events_sen_slope"],
     "stream_value_ohlc": _EVENTS_ORACLE["events_value_ohlc"],
     "stream_uptime": _EVENTS_ORACLE["events_uptime"],
+    "stream_time_weighted_value": _EVENTS_ORACLE["events_time_weighted_value"],
     "stream_error_budget": _EVENTS_ORACLE["events_error_budget"],
     "stream_session_stats": _EVENTS_ORACLE["events_session_stats"],
     "stream_stickiness": _EVENTS_ORACLE["events_stickiness"],
