@@ -2036,6 +2036,47 @@ def events_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 UPTIME_WINDOW_US = 3600 * 1000000  # liveness window: 1 heartbeat hour
 
 
+def events_json_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read profile of the semi-structured ``props`` JSON:
+    per key — presence count/share, exact distinct values, and the
+    share of values that parse as numbers — the inference report a
+    pipeline runs before promoting a JSON property to a typed column
+    (`events_json_props` extracts a KNOWN key; this DISCOVERS them).
+
+    Scale: one from_json map parse + key explode (narrow, fanout =
+    keys per row), then a keys-bounded partial agg; the row total is
+    a 1-row broadcast. Exact integers throughout.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    kv = ev.select(
+        F.explode(
+            F.from_json(F.col("props"), "map<string,string>")
+        ).alias("key", "val")
+    )
+    is_num = F.col("val").rlike(r"^-?[0-9]+(\.[0-9]+)?$")
+    per = kv.groupBy("key").agg(
+        F.count(F.lit(1)).cast("long").alias("n_present"),
+        F.count_distinct("val").cast("long").alias("n_distinct"),
+        F.sum(F.when(is_num, 1).otherwise(0))
+        .cast("long")
+        .alias("n_numeric"),
+    )
+    tot = ev.agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    j = per.crossJoin(F.broadcast(tot))
+    return j.select(
+        "key",
+        "n_rows",
+        "n_present",
+        "n_distinct",
+        quantize(
+            F.col("n_present").cast("double") / F.col("n_rows"), 6
+        ).alias("presence_share"),
+        quantize(
+            F.col("n_numeric").cast("double") / F.col("n_present"), 6
+        ).alias("numeric_share"),
+    )
+
+
 def events_uptime(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heartbeat uptime per user (the hypertable `heartbeat_agg`
     primitive): treating each event as a liveness beat that keeps the
@@ -3568,6 +3609,7 @@ QUERIES = {
     "events_dow_hour_heatmap": events_dow_hour_heatmap,
     "events_time_weighted_value": events_time_weighted_value,
     "events_uptime": events_uptime,
+    "events_json_schema": events_json_schema,
     "events_hourly_locf": events_hourly_locf,
     "events_value_ohlc": events_value_ohlc,
     "events_hourly_interp": events_hourly_interp,
@@ -4696,6 +4738,31 @@ ORACLE["events_hourly_locf"] = f"""
            CAST((epoch_us(hour) - epoch_us(last_obs_hour))
                 / 3600000000 AS BIGINT) AS staleness_hours
     FROM filled
+"""
+
+ORACLE["events_json_schema"] = f"""
+    WITH kv AS (
+      SELECT unnest(json_keys(props)) AS key,
+             json_extract_string(props,
+               '$.' || unnest(json_keys(props))) AS val
+      FROM events
+    ),
+    per AS (
+      SELECT key,
+             CAST(count(*) AS BIGINT) AS n_present,
+             CAST(count(DISTINCT val) AS BIGINT) AS n_distinct,
+             CAST(sum(CASE WHEN regexp_full_match(val,
+                 '-?[0-9]+(\\.[0-9]+)?') THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_numeric
+      FROM kv GROUP BY 1
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM events)
+    SELECT key, n_rows, n_present, n_distinct,
+           {sql_quantize('CAST(n_present AS DOUBLE) / n_rows', 6)}
+             AS presence_share,
+           {sql_quantize('CAST(n_numeric AS DOUBLE) / n_present', 6)}
+             AS numeric_share
+    FROM per CROSS JOIN tot
 """
 
 ORACLE["events_uptime"] = f"""
