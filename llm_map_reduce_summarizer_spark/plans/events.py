@@ -2036,6 +2036,55 @@ def events_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 UPTIME_WINDOW_US = 3600 * 1000000  # liveness window: 1 heartbeat hour
 
 
+def events_error_load_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Load-sensitivity of errors: Pearson correlation between hourly
+    error count and hourly non-error traffic — near +1 says errors
+    are capacity-driven (fix scaling), near 0 says they are
+    load-independent defects (fix code) — the one-number triage that
+    decides which on-call plays first.
+
+    Scale: one (hour) partial agg with conditional sums (calendar-
+    bounded), then a 1-row exact-integer moment fold; r's closed form
+    is written in the same order as the twin.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(
+        F.sum(
+            F.when(F.col("event_type") == "error", 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("x"),
+        F.sum(
+            F.when(F.col("event_type") == "error", 0).otherwise(1)
+        )
+        .cast("long")
+        .alias("y"),
+    )
+    m = hourly.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    cov = n * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    vx = n * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    vy = n * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    r = cov / F.sqrt(vx * vy)
+    ok = (F.col("n") > 1) & (vx > 0) & (vy > 0)
+    return m.select(
+        "n",
+        "sx",
+        "sy",
+        F.when(ok, quantize(r, 6)).alias("pearson_r"),
+        F.when(ok, quantize(r * r, 6)).alias("r_squared"),
+    )
+
+
 def events_json_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema-on-read profile of the semi-structured ``props`` JSON:
     per key — presence count/share, exact distinct values, and the
@@ -3610,6 +3659,7 @@ QUERIES = {
     "events_time_weighted_value": events_time_weighted_value,
     "events_uptime": events_uptime,
     "events_json_schema": events_json_schema,
+    "events_error_load_corr": events_error_load_corr,
     "events_hourly_locf": events_hourly_locf,
     "events_value_ohlc": events_value_ohlc,
     "events_hourly_interp": events_hourly_interp,
@@ -4738,6 +4788,42 @@ ORACLE["events_hourly_locf"] = f"""
            CAST((epoch_us(hour) - epoch_us(last_obs_hour))
                 / 3600000000 AS BIGINT) AS staleness_hours
     FROM filled
+"""
+
+ORACLE["events_error_load_corr"] = f"""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS hour,
+             CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+               AS BIGINT) AS x,
+             CAST(sum(CASE WHEN event_type = 'error' THEN 0 ELSE 1 END)
+               AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM hourly
+    ),
+    c AS (
+      SELECT *,
+             CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy AS cov,
+             CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx AS vx,
+             CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy AS vy
+      FROM m
+    )
+    SELECT n, sx, sy,
+           CASE WHEN n > 1 AND vx > 0 AND vy > 0 THEN
+             {sql_quantize('cov / sqrt(vx * vy)', 6)}
+           END AS pearson_r,
+           CASE WHEN n > 1 AND vx > 0 AND vy > 0 THEN
+             {sql_quantize(
+                 '(cov / sqrt(vx * vy)) * (cov / sqrt(vx * vy))', 6)}
+           END AS r_squared
+    FROM c
 """
 
 ORACLE["events_json_schema"] = f"""
