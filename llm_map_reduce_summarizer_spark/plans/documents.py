@@ -5457,6 +5457,73 @@ def corpus_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def emb_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out kNN classification accuracy per label: each
+    vector's label predicted by majority vote of its kNN-graph
+    neighbors (ties broken toward the lexicographically first label),
+    scored against its own label — the eval-as-operator for "do these
+    embeddings encode their labels?", sharper than
+    `emb_label_homophily`'s edge-agreement rate because it scores the
+    DECISION the label-propagation / retrieval stack would actually
+    make.
+
+    Scale: the kNN graph is the adaptive-band LSH operator (≈linear
+    compare volume); the vote is a (vector, label) partial agg over
+    ≤k·n edge rows with a struct-max argmax — no ranking window; the
+    per-label accuracy rollup is labels-bounded.
+    """
+    from ..operators.similarity import cosine_knn_graph
+
+    e = _embs(spark, sf_dir)
+    edges = cosine_knn_graph(e, k=KNN_GRAPH_K).select("da", "db")
+    lab = e.select(
+        F.col("vec_id").alias("db"), F.col("label").alias("nb_label")
+    )
+    votes = (
+        edges.join(lab, "db")
+        .groupBy(F.col("da").alias("vec_id"), "nb_label")
+        .agg(F.count(F.lit(1)).cast("long").alias("v"))
+    )
+    # argmax by (votes DESC, label ASC): max-votes per vector, then
+    # the lexicographically first label among the tied winners — two
+    # vector-keyed partial aggs, no ranking window
+    mx = votes.groupBy("vec_id").agg(F.max("v").alias("max_v"))
+    pred = (
+        votes.join(mx, "vec_id")
+        .filter(F.col("v") == F.col("max_v"))
+        .groupBy("vec_id")
+        .agg(F.min("nb_label").alias("pred_label"))
+    )
+    own = e.select("vec_id", "label")
+    j = own.join(pred, "vec_id", "left").select(
+        "label",
+        (F.col("pred_label") == F.col("label")).alias("hit"),
+        F.col("pred_label").isNotNull().alias("voted"),
+    )
+    per = j.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.sum(F.when(F.col("voted"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_voted"),
+        F.sum(F.when(F.col("hit"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_correct"),
+    )
+    return per.select(
+        "label",
+        "n_vectors",
+        "n_voted",
+        "n_correct",
+        F.when(
+            F.col("n_voted") > 0,
+            quantize(
+                F.col("n_correct").cast("double") / F.col("n_voted"),
+                6,
+            ),
+        ).alias("loo_accuracy"),
+    )
+
+
 def emb_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-dimension variance spectrum of the embedding table: mean,
     variance, and share of total variance per coordinate — the
@@ -5845,6 +5912,7 @@ QUERIES = {
     "emb_norm_audit": emb_norm_audit,
     "emb_isotropy": emb_isotropy,
     "emb_dim_variance": emb_dim_variance,
+    "emb_knn_label_eval": emb_knn_label_eval,
     "corpus_split_leakage": corpus_split_leakage,
     "corpus_ngram_coverage": corpus_ngram_coverage,
     "corpus_boilerplate_rate": corpus_boilerplate_rate,
@@ -8376,6 +8444,47 @@ ORACLE["emb_dim_variance"] = f"""
              {sql_quantize('var / total_var', 6)}
            END AS var_share
     FROM scored CROSS JOIN tot
+"""
+
+ORACLE["emb_knn_label_eval"] = f"""
+    WITH edges AS (
+      SELECT da, db FROM ({ORACLE['knn_graph']})
+    ),
+    votes AS (
+      SELECT e.da AS vec_id, l.label AS nb_label,
+             CAST(count(*) AS BIGINT) AS v
+      FROM edges e JOIN embeddings l ON e.db = l.vec_id
+      GROUP BY 1, 2
+    ),
+    mx AS (
+      SELECT vec_id, CAST(max(v) AS BIGINT) AS max_v
+      FROM votes GROUP BY 1
+    ),
+    pred AS (
+      SELECT v.vec_id, min(v.nb_label) AS pred_label
+      FROM votes v JOIN mx USING (vec_id)
+      WHERE v.v = mx.max_v GROUP BY 1
+    ),
+    j AS (
+      SELECT o.label,
+             p.pred_label = o.label AS hit,
+             p.pred_label IS NOT NULL AS voted
+      FROM embeddings o LEFT JOIN pred p ON o.vec_id = p.vec_id
+    ),
+    per AS (
+      SELECT label,
+             CAST(count(*) AS BIGINT) AS n_vectors,
+             CAST(sum(CASE WHEN voted THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_voted,
+             CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_correct
+      FROM j GROUP BY 1
+    )
+    SELECT label, n_vectors, n_voted, n_correct,
+           CASE WHEN n_voted > 0 THEN
+             {sql_quantize('CAST(n_correct AS DOUBLE) / n_voted', 6)}
+           END AS loo_accuracy
+    FROM per
 """
 
 ORACLE["emb_isotropy"] = f"""
