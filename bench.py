@@ -99,6 +99,7 @@ def main() -> None:
         "dedup_bloom",
         "emb_kmeans",
         "corpus_cross_perplexity",
+        "corpus_vocab_coverage",
     ):
         queries[name](spark, "/root/testdata/sf0.001").write.format(
             "noop"
