@@ -2097,20 +2097,34 @@ def events_json_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 1-row broadcast. Exact integers throughout.
     """
     ev = load_table(spark, sf_dir, "events")
+    cells = json_schema_cells(ev)
+    tot = ev.agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    return json_schema_report(cells, tot)
+
+
+def json_schema_cells(ev: DataFrame) -> DataFrame:
+    """(key, value) occurrence counts off the map parse — shared by
+    the batch query and the streaming ingest (`stream_json_schema`
+    accumulates the same key × value-domain-bounded cells)."""
     kv = ev.select(
         F.explode(
             F.from_json(F.col("props"), "map<string,string>")
         ).alias("key", "val")
     )
+    return kv.groupBy("key", "val").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+def json_schema_report(cells: DataFrame, tot: DataFrame) -> DataFrame:
     is_num = F.col("val").rlike(r"^-?[0-9]+(\.[0-9]+)?$")
-    per = kv.groupBy("key").agg(
-        F.count(F.lit(1)).cast("long").alias("n_present"),
-        F.count_distinct("val").cast("long").alias("n_distinct"),
-        F.sum(F.when(is_num, 1).otherwise(0))
+    per = cells.groupBy("key").agg(
+        F.sum("n").cast("long").alias("n_present"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sum(F.when(is_num, F.col("n")).otherwise(0))
         .cast("long")
         .alias("n_numeric"),
     )
-    tot = ev.agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
     j = per.crossJoin(F.broadcast(tot))
     return j.select(
         "key",

@@ -1113,6 +1113,31 @@ def stream_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_json_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming schema-on-read monitor for the props JSON: (key,
+    value) occurrence cells accumulate AT INGEST (state bounded by
+    the key × value DOMAIN, the content-bounded class) alongside a
+    1-scalar row count, and the inference report evaluates post-drain
+    via the batch helper (`events.json_schema_report`). Drain ==
+    batch `events_json_schema`, whose oracle it shares.
+    """
+    from pyspark.sql import functions as F
+
+    from .events import json_schema_cells, json_schema_report
+
+    ev = read_events_stream(spark, sf_dir)
+    cells = run_available_now(
+        json_schema_cells(ev), output_mode="complete"
+    )
+    totals = run_available_now(
+        read_events_stream(spark, sf_dir).agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows")
+        ),
+        output_mode="complete",
+    )
+    return json_schema_report(cells, totals)
+
+
 def stream_error_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming SLO burn-down: the daily (events, errors) series
     accumulates AT INGEST (one tumbling-day window agg — state =
@@ -1457,6 +1482,7 @@ QUERIES = {
     "stream_value_ohlc": stream_value_ohlc,
     "stream_uptime": stream_uptime,
     "stream_time_weighted_value": stream_time_weighted_value,
+    "stream_json_schema": stream_json_schema,
     "stream_hourly": stream_hourly,
     "stream_sessionize": stream_sessionize,
     "stream_view_click_join": stream_view_click_join,
@@ -1492,6 +1518,7 @@ ORACLE = {
     "stream_value_ohlc": _EVENTS_ORACLE["events_value_ohlc"],
     "stream_uptime": _EVENTS_ORACLE["events_uptime"],
     "stream_time_weighted_value": _EVENTS_ORACLE["events_time_weighted_value"],
+    "stream_json_schema": _EVENTS_ORACLE["events_json_schema"],
     "stream_error_budget": _EVENTS_ORACLE["events_error_budget"],
     "stream_session_stats": _EVENTS_ORACLE["events_session_stats"],
     "stream_stickiness": _EVENTS_ORACLE["events_stickiness"],
