@@ -2062,6 +2062,13 @@ def events_error_load_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("y"),
     )
+    return error_load_corr_from_hourly(hourly)
+
+
+def error_load_corr_from_hourly(hourly: DataFrame) -> DataFrame:
+    """The moment fold over an (hour, x, y) table — shared by the
+    batch query and the streaming drain (`stream_error_load_corr`
+    accumulates the same calendar-bounded cells at ingest)."""
     m = hourly.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("x").cast("long").alias("sx"),

@@ -1138,6 +1138,36 @@ def stream_json_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     return json_schema_report(cells, totals)
 
 
+def stream_error_load_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming load-sensitivity triage: the (hour, errors,
+    non-errors) cells accumulate AT INGEST (calendar-bounded tumbling
+    state) and the exact-integer Pearson fold runs post-drain
+    (`events.error_load_corr_from_hourly`). Drain == batch
+    `events_error_load_corr`, whose oracle it shares.
+    """
+    from pyspark.sql import functions as F
+
+    from .events import error_load_corr_from_hourly
+
+    ev = read_events_stream(spark, sf_dir)
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(
+        F.sum(
+            F.when(F.col("event_type") == "error", 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("x"),
+        F.sum(
+            F.when(F.col("event_type") == "error", 0).otherwise(1)
+        )
+        .cast("long")
+        .alias("y"),
+    )
+    snap = run_available_now(hourly, output_mode="complete")
+    return error_load_corr_from_hourly(snap)
+
+
 def stream_error_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming SLO burn-down: the daily (events, errors) series
     accumulates AT INGEST (one tumbling-day window agg — state =
@@ -1483,6 +1513,7 @@ QUERIES = {
     "stream_uptime": stream_uptime,
     "stream_time_weighted_value": stream_time_weighted_value,
     "stream_json_schema": stream_json_schema,
+    "stream_error_load_corr": stream_error_load_corr,
     "stream_hourly": stream_hourly,
     "stream_sessionize": stream_sessionize,
     "stream_view_click_join": stream_view_click_join,
@@ -1519,6 +1550,7 @@ ORACLE = {
     "stream_uptime": _EVENTS_ORACLE["events_uptime"],
     "stream_time_weighted_value": _EVENTS_ORACLE["events_time_weighted_value"],
     "stream_json_schema": _EVENTS_ORACLE["events_json_schema"],
+    "stream_error_load_corr": _EVENTS_ORACLE["events_error_load_corr"],
     "stream_error_budget": _EVENTS_ORACLE["events_error_budget"],
     "stream_session_stats": _EVENTS_ORACLE["events_session_stats"],
     "stream_stickiness": _EVENTS_ORACLE["events_stickiness"],
