@@ -1314,6 +1314,12 @@ def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = ev.groupBy(
         F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
     ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return burstiness_from_hourly(hourly)
+
+
+def burstiness_from_hourly(hourly: DataFrame) -> DataFrame:
+    """The Fano fold over a (hour, event_type, n) table — shared by
+    the batch query and the streaming drain (`stream_burstiness`)."""
     per = hourly.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_hours"),
         F.sum("n").cast("long").alias("sx"),
@@ -3024,6 +3030,13 @@ def events_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = ev.groupBy(
         F.date_trunc("hour", F.col("ts")).alias("hour")
     ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return mk_from_hourly(hourly)
+
+
+def mk_from_hourly(hourly: DataFrame) -> DataFrame:
+    """The Mann-Kendall computation over an (hour, n) series — shared
+    by the batch query and the streaming drain (`stream_mann_kendall`
+    accumulates the same hours-bounded tumbling state at ingest)."""
     a = hourly.select(F.col("hour").alias("ha"), F.col("n").alias("na"))
     b = hourly.select(F.col("hour").alias("hb"), F.col("n").alias("nb"))
     # single-hour series: the pair join is empty and SUM yields NULL —

@@ -1168,6 +1168,43 @@ def stream_error_load_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return error_load_corr_from_hourly(snap)
 
 
+def stream_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Mann-Kendall trend monitor over the drained
+    hours-bounded tumbling state (type cells summed to the overall
+    series — exact). Drain == batch `events_mann_kendall`, whose
+    oracle it shares.
+    """
+    from pyspark.sql import functions as F
+
+    from ..streaming.stream_ops import hourly_counts
+    from .events import mk_from_hourly
+
+    ev = read_events_stream(spark, sf_dir)
+    snap = run_available_now(hourly_counts(ev), output_mode="complete")
+    hourly = snap.groupBy("hour").agg(
+        F.sum("n_events").cast("long").alias("n")
+    )
+    return mk_from_hourly(hourly)
+
+
+def stream_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Fano-factor dispersion monitor per type over the
+    same (type, hour) ingest state as `stream_hourly`. Drain ==
+    batch `events_burstiness`, whose oracle it shares.
+    """
+    from pyspark.sql import functions as F
+
+    from ..streaming.stream_ops import hourly_counts
+    from .events import burstiness_from_hourly
+
+    ev = read_events_stream(spark, sf_dir)
+    snap = run_available_now(hourly_counts(ev), output_mode="complete")
+    hourly = snap.select(
+        "hour", "event_type", F.col("n_events").cast("long").alias("n")
+    )
+    return burstiness_from_hourly(hourly)
+
+
 def stream_error_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming SLO burn-down: the daily (events, errors) series
     accumulates AT INGEST (one tumbling-day window agg — state =
@@ -1514,6 +1551,8 @@ QUERIES = {
     "stream_time_weighted_value": stream_time_weighted_value,
     "stream_json_schema": stream_json_schema,
     "stream_error_load_corr": stream_error_load_corr,
+    "stream_mann_kendall": stream_mann_kendall,
+    "stream_burstiness": stream_burstiness,
     "stream_hourly": stream_hourly,
     "stream_sessionize": stream_sessionize,
     "stream_view_click_join": stream_view_click_join,
@@ -1551,6 +1590,8 @@ ORACLE = {
     "stream_time_weighted_value": _EVENTS_ORACLE["events_time_weighted_value"],
     "stream_json_schema": _EVENTS_ORACLE["events_json_schema"],
     "stream_error_load_corr": _EVENTS_ORACLE["events_error_load_corr"],
+    "stream_mann_kendall": _EVENTS_ORACLE["events_mann_kendall"],
+    "stream_burstiness": _EVENTS_ORACLE["events_burstiness"],
     "stream_error_budget": _EVENTS_ORACLE["events_error_budget"],
     "stream_session_stats": _EVENTS_ORACLE["events_session_stats"],
     "stream_stickiness": _EVENTS_ORACLE["events_stickiness"],
