@@ -3732,6 +3732,54 @@ def corpus_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(BURST_TOP_K)
 
 
+LAYOUT_TARGET_BYTES = 128 * 1024 * 1024  # lakehouse file-size target
+
+
+def corpus_partition_layout_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Physical-layout advisor for writing the corpus out partitioned
+    by (lang, source): per partition — bytes (UTF-8 text mass), the
+    file count at the 128 MB lakehouse target, skew vs the mean
+    partition, and a small-files flag (a partition whose whole
+    payload is a fraction of one target file creates the classic
+    many-tiny-files problem; the flag says coalesce it with
+    neighbors). The planning read before `df.write.partitionBy(...)`.
+
+    Scale: one (lang, source) partial agg of exact byte counts off a
+    narrow map; the mean is a 1-row broadcast; the plan is strata-
+    bounded arithmetic.
+    """
+    d = _docs(spark, sf_dir)
+    per = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.length(F.encode(F.col("text"), "UTF-8")))
+        .cast("long")
+        .alias("part_bytes"),
+    )
+    tot = per.agg(
+        F.sum("part_bytes").cast("long").alias("total_bytes"),
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    mean_b = F.col("total_bytes").cast("double") / F.col("n_parts")
+    n_files = F.ceil(
+        F.col("part_bytes").cast("double") / F.lit(float(LAYOUT_TARGET_BYTES))
+    ).cast("long")
+    return j.select(
+        "lang",
+        "source",
+        "n_docs",
+        "part_bytes",
+        n_files.alias("n_files_at_target"),
+        quantize(F.col("part_bytes").cast("double") / mean_b, 4).alias(
+            "skew_vs_mean"
+        ),
+        (
+            F.col("part_bytes")
+            < F.lit(LAYOUT_TARGET_BYTES // 4)
+        ).alias("small_files_risk"),
+    )
+
+
 def corpus_shard_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shard balance QA for the deterministic training shuffle: docs
     and token mass per shard rolled into a skew report (min/max/CV of
@@ -5891,6 +5939,7 @@ QUERIES = {
     "corpus_yule_k": corpus_yule_k,
     "corpus_term_burstiness": corpus_term_burstiness,
     "corpus_shard_skew": corpus_shard_skew,
+    "corpus_partition_layout_plan": corpus_partition_layout_plan,
     "doc_readability": doc_readability,
     "doc_charclass_mix": doc_charclass_mix,
     "corpus_length_lognormal": corpus_length_lognormal,
@@ -8374,6 +8423,32 @@ ORACLE["doc_readability"] = f"""
                ' - 84.6 * (CAST(sy AS DOUBLE) / sw)', 4)}
              AS flesch_score
     FROM per
+"""
+
+ORACLE["corpus_partition_layout_plan"] = f"""
+    WITH per AS (
+      SELECT lang, source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(octet_length(encode(text))) AS BIGINT)
+               AS part_bytes
+      FROM documents GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT CAST(sum(part_bytes) AS BIGINT) AS total_bytes,
+             CAST(count(*) AS BIGINT) AS n_parts
+      FROM per
+    )
+    SELECT lang, source, n_docs, part_bytes,
+           CAST(ceil(CAST(part_bytes AS DOUBLE)
+                / {LAYOUT_TARGET_BYTES}.0) AS BIGINT)
+             AS n_files_at_target,
+           {sql_quantize(
+               'CAST(part_bytes AS DOUBLE)'
+               ' / (CAST(total_bytes AS DOUBLE) / n_parts)', 4)}
+             AS skew_vs_mean,
+           part_bytes < {LAYOUT_TARGET_BYTES // 4}
+             AS small_files_risk
+    FROM per CROSS JOIN tot
 """
 
 ORACLE["corpus_shard_skew"] = f"""
