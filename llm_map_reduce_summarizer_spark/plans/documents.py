@@ -2677,6 +2677,50 @@ def search_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def search_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean reciprocal rank of the BM25 ranking against the semantic
+    relevance set — the third leg of the retrieval-eval triple
+    (`search_ndcg` grades the whole ranking, recall the coverage;
+    MRR grades TIME-TO-FIRST-HIT, what a user scanning top-down
+    feels), reported per query with the corpus mean alongside.
+
+    Scale: same queries × k shapes as NDCG — broadcast join, 1-row
+    mean broadcast back.
+    """
+    from ..operators.similarity import cosine_topk_blocked
+
+    e = _embs(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < N_QUERY_VECS)
+    rel = cosine_topk_blocked(q, e, k=BM25_K).select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        F.lit(1).alias("hit"),
+    )
+    lex = _bm25_scored(spark, sf_dir, BM25_K).select(
+        "query_id", "doc_id", "rk"
+    )
+    joined = lex.join(F.broadcast(rel), ["query_id", "doc_id"], "left")
+    per = joined.groupBy("query_id").agg(
+        F.min(F.when(F.col("hit").isNotNull(), F.col("rk")))
+        .cast("long")
+        .alias("first_hit_rank")
+    )
+    rr = F.when(
+        F.col("first_hit_rank").isNotNull(),
+        1.0 / F.col("first_hit_rank"),
+    ).otherwise(0.0)
+    scored = per.select(
+        "query_id", "first_hit_rank", rr.alias("rr_raw")
+    )
+    mean = scored.agg(F.avg("rr_raw").alias("mrr_raw"))
+    return scored.crossJoin(F.broadcast(mean)).select(
+        "query_id",
+        "first_hit_rank",
+        quantize(F.col("rr_raw"), 6).alias("reciprocal_rank"),
+        quantize(F.col("mrr_raw"), 6).alias("mrr"),
+    )
+
+
 # ----------------------------------------- governance: caps + samples
 
 
@@ -5902,6 +5946,7 @@ QUERIES = {
     "doc_bm25_topk": doc_bm25_topk,
     "search_rrf": search_rrf,
     "search_ndcg": search_ndcg,
+    "search_mrr": search_mrr,
     "corpus_sample_fixed": corpus_sample_fixed,
     "corpus_domain_cap": corpus_domain_cap,
     "dedup_bloom": dedup_bloom,
@@ -7413,6 +7458,43 @@ bscored AS (
 ORACLE["doc_bm25_topk"] = f"""
     WITH {_bm25_oracle_ctes(BM25_K)}
     SELECT query_id, doc_id, score, rk FROM lex
+"""
+
+ORACLE["search_mrr"] = f"""
+    WITH {sql_unit_cte()},
+    rel AS (
+      SELECT query_id, neighbor_id AS doc_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY (floor({sql_dot('q.u', 'c.u')} * 1000000.0 + 0.5)
+                           / 1000000.0) DESC,
+                          c.vec_id
+               ) AS rk
+        FROM unitv q JOIN unitv c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < {N_QUERY_VECS}
+      ) WHERE rk <= {BM25_K}
+    ),
+    {_bm25_oracle_ctes(BM25_K)},
+    per AS (
+      SELECT l.query_id,
+             CAST(min(CASE WHEN r.doc_id IS NOT NULL THEN l.rk END)
+               AS BIGINT) AS first_hit_rank
+      FROM lex l LEFT JOIN rel r
+        ON l.query_id = r.query_id AND l.doc_id = r.doc_id
+      GROUP BY 1
+    ),
+    scored AS (
+      SELECT query_id, first_hit_rank,
+             CASE WHEN first_hit_rank IS NOT NULL
+               THEN 1.0 / first_hit_rank ELSE 0.0 END AS rr_raw
+      FROM per
+    ),
+    m AS (SELECT avg(rr_raw) AS mrr_raw FROM scored)
+    SELECT query_id, first_hit_rank,
+           {sql_quantize('rr_raw', 6)} AS reciprocal_rank,
+           {sql_quantize('mrr_raw', 6)} AS mrr
+    FROM scored CROSS JOIN m
 """
 
 ORACLE["search_ndcg"] = f"""
