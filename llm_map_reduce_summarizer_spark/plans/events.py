@@ -2098,6 +2098,48 @@ def error_load_corr_from_hourly(hourly: DataFrame) -> DataFrame:
     )
 
 
+def events_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-coverage completeness per event type: observed hours
+    vs the type's own active span, plus the LONGEST silent streak in
+    hours — the "is this feed actually flowing?" audit
+    (`events_column_profile` checks content; this checks TIME: a feed
+    with 95% coverage and an 18-hour hole reads very differently from
+    one missing random single hours).
+
+    Scale: (type, hour) partial agg (calendar-bounded), a per-type
+    lag window over that bounded series (partitioned by type), and a
+    types-bounded rollup — exact integer hours.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    t = (F.unix_micros("hour") / F.lit(3600000000)).cast("long")
+    w = Window.partitionBy("event_type").orderBy("t")
+    x = hourly.select("event_type", t.alias("t")).withColumn(
+        "gap", F.col("t") - F.lag("t").over(w) - 1
+    )
+    per = x.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("observed_hours"),
+        (F.max("t") - F.min("t") + 1).cast("long").alias("span_hours"),
+        F.coalesce(F.max("gap"), F.lit(0))
+        .cast("long")
+        .alias("longest_silence_hours"),
+    )
+    return per.select(
+        "event_type",
+        "observed_hours",
+        "span_hours",
+        "longest_silence_hours",
+        quantize(
+            F.col("observed_hours").cast("double")
+            / F.col("span_hours"),
+            6,
+        ).alias("coverage"),
+    )
+
+
 def events_json_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema-on-read profile of the semi-structured ``props`` JSON:
     per key — presence count/share, exact distinct values, and the
@@ -3693,6 +3735,7 @@ QUERIES = {
     "events_time_weighted_value": events_time_weighted_value,
     "events_uptime": events_uptime,
     "events_json_schema": events_json_schema,
+    "events_coverage": events_coverage,
     "events_error_load_corr": events_error_load_corr,
     "events_hourly_locf": events_hourly_locf,
     "events_value_ohlc": events_value_ohlc,
@@ -4858,6 +4901,36 @@ ORACLE["events_error_load_corr"] = f"""
                  '(cov / sqrt(vx * vy)) * (cov / sqrt(vx * vy))', 6)}
            END AS r_squared
     FROM c
+"""
+
+ORACLE["events_coverage"] = f"""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour
+      FROM events GROUP BY 1, 2
+    ),
+    x AS (
+      SELECT event_type,
+             CAST(epoch_us(hour) / 3600000000 AS BIGINT) AS t,
+             CAST(epoch_us(hour) / 3600000000 AS BIGINT)
+               - lag(CAST(epoch_us(hour) / 3600000000 AS BIGINT))
+                 OVER (PARTITION BY event_type ORDER BY hour) - 1
+               AS gap
+      FROM hourly
+    ),
+    per AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS observed_hours,
+             CAST(max(t) - min(t) + 1 AS BIGINT) AS span_hours,
+             CAST(coalesce(max(gap), 0) AS BIGINT)
+               AS longest_silence_hours
+      FROM x GROUP BY 1
+    )
+    SELECT event_type, observed_hours, span_hours,
+           longest_silence_hours,
+           {sql_quantize(
+               'CAST(observed_hours AS DOUBLE) / span_hours', 6)}
+             AS coverage
+    FROM per
 """
 
 ORACLE["events_json_schema"] = f"""
