@@ -3725,7 +3725,114 @@ def cusum_from_hourly(hourly: DataFrame) -> DataFrame:
     )
 
 
+def events_peak_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic-peak detection per event type: interior hours that are a
+    STRICT local maximum of the hourly series (greater than both
+    neighbours) AND at least 2 sample standard deviations above the
+    type's mean hourly volume — the "when do spikes actually land?"
+    report feeding capacity planning (`events_hourly_anomaly` flags
+    residual outliers against a seasonal profile; this finds the raw
+    prominent peaks themselves).
+
+    Scale: windows run over the (type, hour) partial agg —
+    calendar-bounded, never events-sized — lag/lead and the moment
+    aggregates share the event_type partitioning, so one shuffle.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.withColumn("hour", F.date_trunc("hour", F.col("ts")))
+        .groupBy("event_type", "hour")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    wo = Window.partitionBy("event_type").orderBy("hour")
+    ws = Window.partitionBy("event_type")
+    x = hourly.select(
+        "event_type",
+        "hour",
+        "n_events",
+        F.lag("n_events").over(wo).alias("prev_n"),
+        F.lead("n_events").over(wo).alias("next_n"),
+        F.count(F.lit(1)).over(ws).cast("long").alias("n_hours"),
+        F.sum("n_events").over(ws).cast("long").alias("sn"),
+        F.sum(F.col("n_events") * F.col("n_events"))
+        .over(ws)
+        .cast("long")
+        .alias("sq"),
+    )
+    nh = F.col("n_hours").cast("double")
+    var_num = nh * F.col("sq").cast("double") - F.col("sn").cast(
+        "double"
+    ) * F.col("sn").cast("double")
+    # z against the sample sd, in the exact-sums form both engines share
+    z = (nh * F.col("n_events").cast("double") - F.col("sn")) / F.sqrt(
+        var_num * nh / (nh - 1.0)
+    )
+    return (
+        x.where(
+            F.col("prev_n").isNotNull()
+            & F.col("next_n").isNotNull()
+            & (F.col("n_events") > F.col("prev_n"))
+            & (F.col("n_events") > F.col("next_n"))
+            & (F.col("n_hours") > 1)
+            & (var_num > 0)
+        )
+        .where(z >= 2.0)
+        .select(
+            "event_type",
+            "hour",
+            "n_events",
+            "prev_n",
+            "next_n",
+            quantize(z, 4).alias("zscore"),
+        )
+    )
+
+
+def events_hour_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day concentration per event type: how lumpy is the
+    diurnal profile?  Emits the active hour-of-day count, the peak
+    hour (ties broken toward the earliest hour — deterministic), its
+    traffic share, and the Shannon entropy (bits) of the 24-bin
+    distribution.  Flat 24/7 feeds → entropy ≈ log2(24) ≈ 4.585;
+    batch-job feeds that fire at one fixed hour → ≈ 0
+    (`events_dow_hour_heatmap` is the full grid; this is its
+    per-type decision summary).
+
+    Scale: (type, hod) partial agg — ≤ 24·|types| rows — then a
+    types-bounded final agg.  The argmax is the integer-packed
+    ``cnt*100 − hod`` trick so the tiebreak is exact on both engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hist = ev.groupBy(
+        "event_type", F.hour("ts").cast("long").alias("hod")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    per = hist.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("active_hods"),
+        F.sum("cnt").cast("long").alias("total"),
+        F.max(F.col("cnt") * 100 - F.col("hod"))
+        .cast("long")
+        .alias("pk"),
+        F.sum(
+            F.col("cnt").cast("double")
+            * F.log2(F.col("cnt").cast("double"))
+        ).alias("slg"),
+    )
+    peak_cnt = F.expr("(pk + 99) div 100")
+    tot = F.col("total").cast("double")
+    return per.select(
+        "event_type",
+        "active_hods",
+        (peak_cnt * 100 - F.col("pk")).cast("long").alias("peak_hod"),
+        quantize(peak_cnt.cast("double") / tot, 6).alias("peak_share"),
+        quantize(
+            F.log2(tot) - F.col("slg") / tot, 6
+        ).alias("hod_entropy"),
+    )
+
+
 QUERIES = {
+    "events_peak_hours": events_peak_hours,
+    "events_hour_concentration": events_hour_concentration,
     "events_cusum": events_cusum,
     "events_sen_slope": events_sen_slope,
     "events_column_profile": events_column_profile,
@@ -5872,4 +5979,69 @@ ORACLE["events_cusum"] = f"""
                    / (CAST(n_hours AS DOUBLE) * (n_hours - 1.0)))
            END AS alarm
     FROM sc
+"""
+
+ORACLE["events_peak_hours"] = f"""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    x AS (
+      SELECT event_type, hour, n_events,
+             lag(n_events) OVER
+               (PARTITION BY event_type ORDER BY hour) AS prev_n,
+             lead(n_events) OVER
+               (PARTITION BY event_type ORDER BY hour) AS next_n,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+               AS n_hours,
+             CAST(sum(n_events) OVER (PARTITION BY event_type)
+               AS BIGINT) AS sn,
+             CAST(sum(n_events * n_events) OVER
+               (PARTITION BY event_type) AS BIGINT) AS sq
+      FROM hourly
+    ),
+    z AS (
+      SELECT *,
+             CAST(n_hours AS DOUBLE) * sq
+               - CAST(sn AS DOUBLE) * sn AS var_num,
+             (CAST(n_hours AS DOUBLE) * n_events - sn)
+               / sqrt((CAST(n_hours AS DOUBLE) * sq
+                        - CAST(sn AS DOUBLE) * sn)
+                      * n_hours / (n_hours - 1.0)) AS zs
+      FROM x
+    )
+    SELECT event_type, hour, n_events, prev_n, next_n,
+           {sql_quantize('zs', 4)} AS zscore
+    FROM z
+    WHERE prev_n IS NOT NULL AND next_n IS NOT NULL
+      AND n_events > prev_n AND n_events > next_n
+      AND n_hours > 1 AND var_num > 0 AND zs >= 2.0
+"""
+
+ORACLE["events_hour_concentration"] = f"""
+    WITH hist AS (
+      SELECT event_type,
+             CAST(hour(ts) AS BIGINT) AS hod,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    per AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS active_hods,
+             CAST(sum(cnt) AS BIGINT) AS total,
+             CAST(max(cnt * 100 - hod) AS BIGINT) AS pk,
+             sum(CAST(cnt AS DOUBLE) * log2(CAST(cnt AS DOUBLE)))
+               AS slg
+      FROM hist GROUP BY 1
+    )
+    SELECT event_type, active_hods,
+           CAST(((pk + 99) // 100) * 100 - pk AS BIGINT) AS peak_hod,
+           {sql_quantize(
+               'CAST((pk + 99) // 100 AS DOUBLE) / total', 6)}
+             AS peak_share,
+           {sql_quantize(
+               'log2(CAST(total AS DOUBLE)) - slg / total', 6)}
+             AS hod_entropy
+    FROM per
 """
