@@ -5884,7 +5884,121 @@ def corpus_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+JL_K = 16  # Johnson-Lindenstrauss target dimensionality
+
+
+def _jl_matrix(spark: SparkSession) -> DataFrame:
+    """The d×k ±1 projection matrix as a tiny broadcastable relation.
+
+    Entries are a PORTABLE pure-integer pseudo-random sign —
+    parity of ``(i*131 + j*137) mod 97`` — so Spark and the SQL
+    oracle generate bit-identical matrices without sharing a hash
+    implementation (Achlioptas showed ±1 entries satisfy the JL
+    lemma just like Gaussians).
+    """
+    cell = spark.range(DIM * JL_K).select(
+        F.expr(f"id div {JL_K}").cast("long").alias("dim"),
+        (F.col("id") % JL_K).cast("long").alias("comp"),
+    )
+    parity = (
+        (F.col("dim") * 131 + F.col("comp") * 137) % 97
+    ) % 2
+    return cell.select(
+        "dim",
+        "comp",
+        F.when(parity == 0, F.lit(1.0)).otherwise(F.lit(-1.0)).alias("rv"),
+    )
+
+
+def _jl_projected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, comp, y): each vector × the ±1 matrix, scaled 1/√k."""
+    e = _embs(spark, sf_dir)
+    dims = e.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "x")
+    ).select(
+        "vec_id",
+        F.col("dim").cast("long").alias("dim"),
+        F.col("x").cast("double").alias("x"),
+    )
+    return (
+        dims.join(F.broadcast(_jl_matrix(spark)), "dim")
+        .groupBy("vec_id", "comp")
+        .agg(
+            (F.sum(F.col("x") * F.col("rv")) / float(JL_K) ** 0.5).alias(
+                "y"
+            )
+        )
+    )
+
+
+def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: compress every
+    embedding from d=64 to k=16 dims with a deterministic ±1/√k
+    matrix — the cheap distance-preserving sketch a pipeline runs
+    BEFORE expensive pairwise stages (near-dup, kNN candidate
+    generation) to cut their cost 4× with bounded distortion.
+    Output is the exploded (vec_id, comp, value) shape so every
+    scalar is driver-hashable.
+
+    Scale: posexplode (narrow) + a broadcast join against the d·k-row
+    matrix + one (vec_id, comp)-keyed partial agg — shuffle is n·k
+    rows, no pairwise stage anywhere.
+    """
+    return _jl_projected(spark, sf_dir).select(
+        "vec_id",
+        F.col("comp").cast("long").alias("comp"),
+        quantize(F.col("y"), 6).alias("value"),
+    )
+
+
+def emb_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row audit of the JL sketch: per-vector squared-norm ratio
+    ‖proj(x)‖²/‖x‖² (expectation exactly 1 under the ±1/√k matrix),
+    summarized as mean/min/max plus the share of vectors within
+    ±25% — the "is the sketch actually usable for distance work?"
+    gate on `emb_random_projection`.
+
+    Scale: two vec_id-keyed partial aggs (n·k and n·d input rows,
+    n output rows each), an equi-join on vec_id, and a 1-row final
+    agg. Nothing pairwise, nothing driver-side.
+    """
+    py = _jl_projected(spark, sf_dir).groupBy("vec_id").agg(
+        F.sum(F.col("y") * F.col("y")).alias("py")
+    )
+    e = _embs(spark, sf_dir)
+    px = (
+        e.select("vec_id", F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("vec_id")
+        .agg(
+            F.sum(
+                F.col("x").cast("double") * F.col("x").cast("double")
+            ).alias("px")
+        )
+    )
+    ratio = F.col("py") / F.col("px")
+    scored = py.join(px, "vec_id").where(F.col("px") > 0).select(
+        ratio.alias("ratio")
+    )
+    return scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        quantize(F.avg("ratio"), 6).alias("mean_ratio"),
+        quantize(F.min("ratio"), 6).alias("min_ratio"),
+        quantize(F.max("ratio"), 6).alias("max_ratio"),
+        quantize(
+            F.avg(
+                F.when(
+                    (F.col("ratio") >= 0.75) & (F.col("ratio") <= 1.25),
+                    1.0,
+                ).otherwise(0.0)
+            ),
+            6,
+        ).alias("share_within_25pct"),
+    )
+
+
 QUERIES = {
+    "emb_random_projection": emb_random_projection,
+    "emb_jl_distortion": emb_jl_distortion,
     "corpus_prep_e2e": corpus_prep_e2e,
     "multimodal_frames": multimodal_frames,
     "dedup_apply": dedup_apply,
@@ -9819,4 +9933,51 @@ ORACLE["emb_label_homophily"] = f"""
                '(CAST(obs.n_same AS DOUBLE) / obs.n_edges)'
                ' / expd.expected_same_share', 4)} AS homophily_lift
     FROM obs, expd
+"""
+
+_JL_PROJ_CTE = f"""
+    r AS (
+      SELECT s.i AS dim, t.j AS comp,
+             CASE WHEN ((s.i * 131 + t.j * 137) % 97) % 2 = 0
+                  THEN 1.0 ELSE -1.0 END AS rv
+      FROM generate_series(0, {DIM - 1}) s(i)
+      CROSS JOIN generate_series(0, {JL_K - 1}) t(j)
+    ),
+    jl_dims AS (
+      SELECT vec_id, t.i - 1 AS dim,
+             CAST(embedding[t.i] AS DOUBLE) AS x
+      FROM embeddings CROSS JOIN generate_series(1, {DIM}) t(i)
+    ),
+    proj AS (
+      SELECT vec_id, comp, sum(x * rv) / sqrt({JL_K}.0) AS y
+      FROM jl_dims JOIN r USING (dim) GROUP BY 1, 2
+    )
+"""
+
+ORACLE["emb_random_projection"] = f"""
+    WITH {_JL_PROJ_CTE}
+    SELECT vec_id, CAST(comp AS BIGINT) AS comp,
+           {sql_quantize('y', 6)} AS value
+    FROM proj
+"""
+
+ORACLE["emb_jl_distortion"] = f"""
+    WITH {_JL_PROJ_CTE},
+    py AS (SELECT vec_id, sum(y * y) AS py FROM proj GROUP BY 1),
+    px AS (
+      SELECT vec_id, sum(x * x) AS px FROM jl_dims GROUP BY 1
+    ),
+    scored AS (
+      SELECT py.py / px.px AS ratio
+      FROM py JOIN px USING (vec_id) WHERE px.px > 0
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+           {sql_quantize('avg(ratio)', 6)} AS mean_ratio,
+           {sql_quantize('min(ratio)', 6)} AS min_ratio,
+           {sql_quantize('max(ratio)', 6)} AS max_ratio,
+           {sql_quantize(
+               'avg(CASE WHEN ratio >= 0.75 AND ratio <= 1.25 '
+               'THEN 1.0 ELSE 0.0 END)', 6)}
+             AS share_within_25pct
+    FROM scored
 """

@@ -542,3 +542,35 @@ def test_isotropy_matches_numpy(spark):
     assert row["n"] == n
     assert _close(row["mean_pairwise_cos"], mean_cos, tol=1e-4)
     assert _close(row["isotropy"], 1 - abs(mean_cos), tol=1e-4)
+
+
+def test_jl_projection_matches_numpy(spark):
+    """The JL sketch must equal the literal numpy matmul with the
+    portable ±1 matrix, and the distortion audit must concentrate
+    around ratio 1 (JL lemma sanity)."""
+    from llm_map_reduce_summarizer_spark.plans.documents import JL_K
+    from llm_map_reduce_summarizer_spark.functions.vectors import DIM
+
+    e = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet")
+    x = np.stack(e["embedding"].to_numpy()).astype(float)
+    i = np.arange(DIM)[:, None]
+    j = np.arange(JL_K)[None, :]
+    r = np.where(((i * 131 + j * 137) % 97) % 2 == 0, 1.0, -1.0)
+    y = x @ r / math.sqrt(JL_K)
+
+    df = (
+        QUERIES["emb_random_projection"](spark, SF_SMOKE)
+        .toPandas()
+        .set_index(["vec_id", "comp"])["value"]
+    )
+    for vi, vid in enumerate(e["vec_id"][:20]):
+        for c in range(JL_K):
+            assert _close(df.loc[(vid, c)], y[vi, c], tol=1e-4)
+
+    row = QUERIES["emb_jl_distortion"](spark, SF_SMOKE).toPandas().iloc[0]
+    ratios = (y * y).sum(axis=1) / (x * x).sum(axis=1)
+    assert row["n_vecs"] == len(x)
+    assert _close(row["mean_ratio"], ratios.mean(), tol=1e-4)
+    assert 0.7 < row["mean_ratio"] < 1.3
+    share = ((ratios >= 0.75) & (ratios <= 1.25)).mean()
+    assert _close(row["share_within_25pct"], share, tol=1e-4)
