@@ -2318,7 +2318,64 @@ def lineitem_lead_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+COMMUNITY_MIN_ORDERS = 3  # edge = pair co-purchased in >= this many orders
+
+
+def parts_community(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection over the strong co-purchase graph: parts
+    linked whenever they appear together in ≥ 3 orders, communities =
+    connected components by min-label propagation — the
+    assortment-planning view ("which parts form a bundle ecosystem?")
+    that `parts_copurchase` (pairs) and `parts_pagerank` (centrality)
+    don't give. Emits each part's community id, the community size,
+    and the part's degree in the strong graph.
+
+    Scale: pair volume is order-size-bounded (same self-join shape as
+    `parts_copurchase`); the ≥3-support filter prunes the graph
+    before propagation; components run in O(diameter/hops) rounds of
+    label joins (`operators/dedup.connected_components` — pointer
+    halving, 1-scalar convergence reads); degree and size are
+    key-partial aggs.
+    """
+    from ..operators.dedup import connected_components
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("da"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("db"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("da") < F.col("db"))
+        .groupBy("da", "db")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+        .filter(F.col("n_orders") >= COMMUNITY_MIN_ORDERS)
+        .select("da", "db")
+    )
+    cc = connected_components(edges).select(
+        F.col("id").alias("partkey"),
+        F.col("component").cast("long").alias("community"),
+    )
+    deg = (
+        edges.select(F.col("da").alias("partkey"))
+        .unionAll(edges.select(F.col("db").alias("partkey")))
+        .groupBy("partkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    size = cc.groupBy("community").agg(
+        F.count(F.lit(1)).cast("long").alias("community_size")
+    )
+    return (
+        cc.join(deg, "partkey")
+        .join(F.broadcast(size), "community")
+        .select("partkey", "community", "community_size", "degree")
+    )
+
+
 QUERIES = {
+    "parts_community": parts_community,
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q8_market_share": q8_market_share,
     "q11_important_parts": q11_important_parts,
@@ -3587,4 +3644,41 @@ ORACLE["orders_interpurchase"] = f"""
                ' / cust.n_customers', 6)} AS one_order_share,
            dist.n_gaps, dist.p50_gap_days, dist.p90_gap_days
     FROM cust, dist
+"""
+
+ORACLE["parts_community"] = f"""
+    WITH RECURSIVE li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS da, b.l_partkey AS db
+      FROM li a JOIN li b USING (l_orderkey)
+      WHERE a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= {COMMUNITY_MIN_ORDERS}
+    ),
+    edges AS (
+      SELECT da, db FROM pairs
+      UNION
+      SELECT db AS da, da AS db FROM pairs
+    ),
+    walk(id, r) AS (
+      SELECT da, da FROM edges
+      UNION
+      SELECT w.id, e.db FROM walk w JOIN edges e ON e.da = w.r
+    ),
+    cc AS (
+      SELECT id AS partkey, CAST(min(r) AS BIGINT) AS community
+      FROM walk GROUP BY id
+    ),
+    deg AS (
+      SELECT da AS partkey, CAST(count(*) AS BIGINT) AS degree
+      FROM edges GROUP BY 1
+    ),
+    sz AS (
+      SELECT community, CAST(count(*) AS BIGINT) AS community_size
+      FROM cc GROUP BY 1
+    )
+    SELECT cc.partkey, cc.community, sz.community_size, deg.degree
+    FROM cc JOIN deg USING (partkey) JOIN sz USING (community)
 """
