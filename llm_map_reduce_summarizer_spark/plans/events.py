@@ -3744,6 +3744,14 @@ def events_peak_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "hour")
         .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
     )
+    return peaks_from_hourly(hourly)
+
+
+def peaks_from_hourly(hourly: DataFrame) -> DataFrame:
+    """The peak scan over a (event_type, hour, n_events) series —
+    shared by the batch query and the streaming drain
+    (`stream_peak_hours` accumulates the same tumbling hourly state
+    at ingest, the `cusum_from_hourly` discipline)."""
     wo = Window.partitionBy("event_type").orderBy("hour")
     ws = Window.partitionBy("event_type")
     x = hourly.select(
@@ -3806,6 +3814,14 @@ def events_hour_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = ev.groupBy(
         "event_type", F.hour("ts").cast("long").alias("hod")
     ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    return hour_concentration_from_hist(hist)
+
+
+def hour_concentration_from_hist(hist: DataFrame) -> DataFrame:
+    """The concentration summary over a (event_type, hod, cnt)
+    histogram — shared by the batch query and the streaming drain
+    (`stream_hour_concentration` re-bins its ingest-time hourly
+    state to the same histogram)."""
     per = hist.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("active_hods"),
         F.sum("cnt").cast("long").alias("total"),

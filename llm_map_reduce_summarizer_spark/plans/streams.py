@@ -932,6 +932,50 @@ def stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cusum_from_hourly(hourly)
 
 
+def stream_peak_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming traffic-peak detection: the per-type hourly series
+    accumulates AT INGEST (the `stream_hourly` calendar-bounded
+    tumbling-window state — state = hours × types, never stream
+    length) and the strict-local-max + 2σ scan runs post-drain on
+    the hours-bounded snapshot (`events.peaks_from_hourly`).
+    Drain == batch `events_peak_hours`, whose oracle it shares.
+    """
+    from pyspark.sql import functions as F
+
+    from ..streaming.stream_ops import hourly_counts
+    from .events import peaks_from_hourly
+
+    ev = read_events_stream(spark, sf_dir)
+    snap = run_available_now(hourly_counts(ev), output_mode="complete")
+    hourly = snap.select(
+        "event_type",
+        "hour",
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+    return peaks_from_hourly(hourly)
+
+
+def stream_hour_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming hour-of-day concentration: the same ingest-time
+    hourly state, re-binned post-drain to the 24-hour clock (hourly
+    cells partition events exactly, so summing counts by hour-of-day
+    equals the batch per-event histogram bit-for-bit) and summarized
+    with the shared entropy/argmax scan. Drain == batch
+    `events_hour_concentration`, whose oracle it shares.
+    """
+    from pyspark.sql import functions as F
+
+    from ..streaming.stream_ops import hourly_counts
+    from .events import hour_concentration_from_hist
+
+    ev = read_events_stream(spark, sf_dir)
+    snap = run_available_now(hourly_counts(ev), output_mode="complete")
+    hist = snap.groupBy(
+        "event_type", F.hour("hour").cast("long").alias("hod")
+    ).agg(F.sum("n_events").cast("long").alias("cnt"))
+    return hour_concentration_from_hist(hist)
+
+
 def stream_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming robust anomaly profile: the hourly count series
     accumulates AT INGEST (the same calendar-bounded tumbling-window
@@ -1542,6 +1586,8 @@ QUERIES = {
     "stream_session_stats": stream_session_stats,
     "stream_error_budget": stream_error_budget,
     "stream_ewma_control": stream_ewma_control,
+    "stream_peak_hours": stream_peak_hours,
+    "stream_hour_concentration": stream_hour_concentration,
     "stream_cusum": stream_cusum,
     "stream_anomaly_mad": stream_anomaly_mad,
     "stream_k_anonymity": stream_k_anonymity,
@@ -1581,6 +1627,9 @@ QUERIES = {
 
 ORACLE = {
     "stream_ewma_control": _EVENTS_ORACLE["events_ewma_control"],
+    "stream_peak_hours": _EVENTS_ORACLE["events_peak_hours"],
+    "stream_hour_concentration":
+        _EVENTS_ORACLE["events_hour_concentration"],
     "stream_cusum": _EVENTS_ORACLE["events_cusum"],
     "stream_anomaly_mad": _EVENTS_ORACLE["events_anomaly_mad"],
     "stream_k_anonymity": _EVENTS_ORACLE["events_k_anonymity"],
