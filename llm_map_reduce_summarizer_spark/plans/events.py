@@ -2115,6 +2115,13 @@ def events_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.date_trunc("hour", F.col("ts")).alias("hour"),
     ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return coverage_from_hourly(hourly)
+
+
+def coverage_from_hourly(hourly: DataFrame) -> DataFrame:
+    """The coverage scan over a (event_type, hour, n) series — shared
+    by the batch query and the streaming drain (`stream_coverage`
+    accumulates the same tumbling hourly state at ingest)."""
     t = (F.unix_micros("hour") / F.lit(3600000000)).cast("long")
     w = Window.partitionBy("event_type").orderBy("t")
     x = hourly.select("event_type", t.alias("t")).withColumn(

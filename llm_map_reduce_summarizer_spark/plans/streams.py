@@ -976,6 +976,29 @@ def stream_hour_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hour_concentration_from_hist(hist)
 
 
+def stream_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming calendar-coverage audit: the per-type hourly count
+    series accumulates AT INGEST (the `stream_hourly` calendar-bounded
+    tumbling state) and the observed-vs-span + longest-silence scan
+    runs post-drain on the hours-bounded snapshot
+    (`events.coverage_from_hourly`). Drain == batch `events_coverage`,
+    whose oracle it shares.
+    """
+    from pyspark.sql import functions as F
+
+    from ..streaming.stream_ops import hourly_counts
+    from .events import coverage_from_hourly
+
+    ev = read_events_stream(spark, sf_dir)
+    snap = run_available_now(hourly_counts(ev), output_mode="complete")
+    hourly = snap.select(
+        "event_type",
+        "hour",
+        F.col("n_events").cast("long").alias("n"),
+    )
+    return coverage_from_hourly(hourly)
+
+
 def stream_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming robust anomaly profile: the hourly count series
     accumulates AT INGEST (the same calendar-bounded tumbling-window
@@ -1586,6 +1609,7 @@ QUERIES = {
     "stream_session_stats": stream_session_stats,
     "stream_error_budget": stream_error_budget,
     "stream_ewma_control": stream_ewma_control,
+    "stream_coverage": stream_coverage,
     "stream_peak_hours": stream_peak_hours,
     "stream_hour_concentration": stream_hour_concentration,
     "stream_cusum": stream_cusum,
@@ -1627,6 +1651,7 @@ QUERIES = {
 
 ORACLE = {
     "stream_ewma_control": _EVENTS_ORACLE["events_ewma_control"],
+    "stream_coverage": _EVENTS_ORACLE["events_coverage"],
     "stream_peak_hours": _EVENTS_ORACLE["events_peak_hours"],
     "stream_hour_concentration":
         _EVENTS_ORACLE["events_hour_concentration"],
