@@ -2598,6 +2598,52 @@ def events_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_anonymity_from_cells(cells)
 
 
+L_DIVERSITY = 3
+
+
+def events_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit over the same quasi-identifier cells as
+    `events_k_anonymity`, with user_id as the sensitive attribute:
+    a QI cell can be k-anonymous yet still leak if every row in it
+    belongs to the SAME user — this reports cells whose distinct-user
+    diversity falls below l=3 and the row mass exposed by them (the
+    second privacy gate run before sharing an event extract).
+
+    Scale: one QI-keyed agg with a two-phase exact distinct (cells
+    bounded by the QI domain, distinct state by users-per-cell),
+    folding into a 1-row summary — exact integers, one division.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type",
+        F.hour("ts").alias("hod"),
+        F.floor(F.col("value") / 10.0).cast("long").alias("vb"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("g"),
+        F.countDistinct("user_id").cast("long").alias("l"),
+    )
+    return cells.agg(
+        F.sum("g").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.min("l").cast("long").alias("min_diversity"),
+        F.sum(F.when(F.col("l") < L_DIVERSITY, 1).otherwise(0))
+        .cast("long")
+        .alias("n_low_diversity_groups"),
+        F.sum(F.when(F.col("l") < L_DIVERSITY, F.col("g")).otherwise(0))
+        .cast("long")
+        .alias("rows_at_risk"),
+    ).select(
+        "n_rows",
+        "n_groups",
+        "min_diversity",
+        "n_low_diversity_groups",
+        "rows_at_risk",
+        quantize(
+            F.col("rows_at_risk").cast("double") / F.col("n_rows"), 6
+        ).alias("risk_share"),
+    )
+
+
 def k_anonymity_from_cells(cells: DataFrame) -> DataFrame:
     """The risk summary over a (QI..., g) cell table — shared by the
     batch query and the streaming drain (`stream_k_anonymity`
@@ -3856,6 +3902,7 @@ def hour_concentration_from_hist(hist: DataFrame) -> DataFrame:
 QUERIES = {
     "events_peak_hours": events_peak_hours,
     "events_hour_concentration": events_hour_concentration,
+    "events_l_diversity": events_l_diversity,
     "events_cusum": events_cusum,
     "events_sen_slope": events_sen_slope,
     "events_column_profile": events_column_profile,
@@ -6067,4 +6114,26 @@ ORACLE["events_hour_concentration"] = f"""
                'log2(CAST(total AS DOUBLE)) - slg / total', 6)}
              AS hod_entropy
     FROM per
+"""
+
+ORACLE["events_l_diversity"] = f"""
+    WITH cells AS (
+      SELECT event_type, hour(ts) AS hod,
+             CAST(floor(value / 10.0) AS BIGINT) AS vb,
+             CAST(count(*) AS BIGINT) AS g,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS l
+      FROM events GROUP BY 1, 2, 3
+    )
+    SELECT CAST(sum(g) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(min(l) AS BIGINT) AS min_diversity,
+           CAST(sum(CASE WHEN l < {L_DIVERSITY} THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_low_diversity_groups,
+           CAST(sum(CASE WHEN l < {L_DIVERSITY} THEN g ELSE 0 END)
+             AS BIGINT) AS rows_at_risk,
+           {sql_quantize(
+               'CAST(sum(CASE WHEN l < ' + str(L_DIVERSITY) +
+               ' THEN g ELSE 0 END) AS DOUBLE) / sum(g)', 6)}
+             AS risk_share
+    FROM cells
 """
