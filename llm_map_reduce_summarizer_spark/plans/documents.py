@@ -5884,6 +5884,62 @@ def corpus_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MATRYOSHKA_DIMS = (8, 16, 32)  # prefix widths evaluated against full-dim
+
+
+def emb_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style prefix-dimension evaluation: rerun the
+    brute-force top-k retrieval using only the FIRST m coordinates of
+    every embedding (m = 8/16/32) and report recall against the
+    full-64-dim truth — the measurement behind "can we store/scan a
+    truncated prefix of the vector column?" (MRL-trained embeddings
+    make prefixes usable; this op tells you whether YOURS are).
+
+    Scale: one blocked-dgemm pass per prefix width (same
+    `cosine_topk_blocked` shape as `knn_bruteforce` — queries
+    broadcast, corpus never shuffles); truth is queries×k rows,
+    localCheckpointed once and broadcast into each prefix's hit join;
+    the report is |prefixes| rows of exact integer counts.
+    """
+    e = _embs(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < N_QUERY_VECS)
+    truth = (
+        cosine_topk_blocked(q, e, k=KNN_K)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
+    n_truth = truth.agg(
+        F.count(F.lit(1)).cast("long").alias("n_truth")
+    )
+    parts = []
+    for m in MATRYOSHKA_DIMS:
+        pe = e.select(
+            "vec_id", F.slice("embedding", 1, m).alias("embedding")
+        )
+        pq = pe.filter(F.col("vec_id") < N_QUERY_VECS)
+        approx = cosine_topk_blocked(pq, pe, k=KNN_K).select(
+            "query_id", "neighbor_id"
+        )
+        hits = approx.join(
+            F.broadcast(truth), ["query_id", "neighbor_id"]
+        ).agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+        parts.append(
+            hits.crossJoin(F.broadcast(n_truth)).select(
+                F.lit(m).cast("long").alias("prefix_dim"),
+                "n_truth",
+                "n_hits",
+                quantize(
+                    F.col("n_hits").cast("double") / F.col("n_truth"),
+                    6,
+                ).alias("recall"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
 JL_K = 16  # Johnson-Lindenstrauss target dimensionality
 
 
@@ -5997,6 +6053,7 @@ def emb_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "emb_matryoshka_eval": emb_matryoshka_eval,
     "emb_random_projection": emb_random_projection,
     "emb_jl_distortion": emb_jl_distortion,
     "corpus_prep_e2e": corpus_prep_e2e,
@@ -9981,3 +10038,51 @@ ORACLE["emb_jl_distortion"] = f"""
              AS share_within_25pct
     FROM scored
 """
+
+def _matryoshka_oracle() -> str:
+    """Per-prefix unit CTEs + top-k + hit counts vs full-dim truth."""
+    q6 = lambda x: f"(floor({x} * 1000000.0 + 0.5) / 1000000.0)"
+
+    def unit_cte(m: int) -> str:
+        return (
+            f"unit{m} AS (SELECT vec_id, "
+            f"list_transform(embedding[1:{m}], x -> "
+            f"CAST(x AS DOUBLE) / "
+            f"sqrt({sql_dot('embedding', 'embedding', m)})) AS u "
+            f"FROM embeddings)"
+        )
+
+    def knn_cte(name: str, src: str, dim: int) -> str:
+        cos = q6(sql_dot("q.u", "c.u", dim))
+        return (
+            f"{name} AS (SELECT query_id, neighbor_id FROM ("
+            f"SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
+            f"row_number() OVER (PARTITION BY q.vec_id "
+            f"ORDER BY {cos} DESC, c.vec_id) AS rk "
+            f"FROM {src} q JOIN {src} c ON q.vec_id <> c.vec_id "
+            f"WHERE q.vec_id < {N_QUERY_VECS}"
+            f") WHERE rk <= {KNN_K})"
+        )
+
+    ctes = [sql_unit_cte(), knn_cte("truth", "unitv", DIM)]
+    selects = []
+    for m in MATRYOSHKA_DIMS:
+        ctes.append(unit_cte(m))
+        ctes.append(knn_cte(f"knn{m}", f"unit{m}", m))
+        selects.append(
+            f"SELECT CAST({m} AS BIGINT) AS prefix_dim, "
+            f"(SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth, "
+            f"(SELECT CAST(count(*) AS BIGINT) FROM knn{m} h "
+            f" JOIN truth t ON h.query_id = t.query_id "
+            f" AND h.neighbor_id = t.neighbor_id) AS n_hits"
+        )
+    body = " UNION ALL ".join(
+        f"SELECT prefix_dim, n_truth, n_hits, "
+        f"{sql_quantize('CAST(n_hits AS DOUBLE) / n_truth', 6)} AS recall "
+        f"FROM ({s})"
+        for s in selects
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + body
+
+
+ORACLE["emb_matryoshka_eval"] = _matryoshka_oracle()
