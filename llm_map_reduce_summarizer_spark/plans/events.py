@@ -2622,6 +2622,14 @@ def events_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("g"),
         F.countDistinct("user_id").cast("long").alias("l"),
     )
+    return l_diversity_from_cells(cells)
+
+
+def l_diversity_from_cells(cells: DataFrame) -> DataFrame:
+    """The diversity summary over (QI..., g, l) cells — shared by the
+    batch query and the streaming drain (`stream_l_diversity`
+    accumulates (QI, user) pair counts at ingest and collapses them
+    to the same cells post-drain)."""
     return cells.agg(
         F.sum("g").cast("long").alias("n_rows"),
         F.count(F.lit(1)).cast("long").alias("n_groups"),

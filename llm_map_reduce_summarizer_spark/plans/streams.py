@@ -1065,6 +1065,34 @@ def stream_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_anonymity_from_cells(snap)
 
 
+def stream_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming l-diversity monitor: (QI, user) pair counts
+    accumulate AT INGEST (state = active QI×user pairs — bounded by
+    the QI domain times the user population, never stream length;
+    pair counts are mergeable so ANY micro-batch split drains
+    identically) and collapse post-drain to the per-cell
+    distinct-user cells the shared summary reads. Drain == batch
+    `events_l_diversity`, whose oracle it shares.
+    """
+    from pyspark.sql import functions as F
+
+    from .events import l_diversity_from_cells
+
+    ev = read_events_stream(spark, sf_dir)
+    pairs = ev.groupBy(
+        "event_type",
+        F.hour("ts").alias("hod"),
+        F.floor(F.col("value") / 10.0).cast("long").alias("vb"),
+        "user_id",
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    snap = run_available_now(pairs, output_mode="complete")
+    cells = snap.groupBy("event_type", "hod", "vb").agg(
+        F.sum("n").cast("long").alias("g"),
+        F.count(F.lit(1)).cast("long").alias("l"),
+    )
+    return l_diversity_from_cells(cells)
+
+
 def stream_value_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming OHLC candles: the per-(type, hour) struct-min/max
     state accumulates AT INGEST (state = calendar-bounded cells of
@@ -1609,6 +1637,7 @@ QUERIES = {
     "stream_session_stats": stream_session_stats,
     "stream_error_budget": stream_error_budget,
     "stream_ewma_control": stream_ewma_control,
+    "stream_l_diversity": stream_l_diversity,
     "stream_coverage": stream_coverage,
     "stream_peak_hours": stream_peak_hours,
     "stream_hour_concentration": stream_hour_concentration,
@@ -1651,6 +1680,7 @@ QUERIES = {
 
 ORACLE = {
     "stream_ewma_control": _EVENTS_ORACLE["events_ewma_control"],
+    "stream_l_diversity": _EVENTS_ORACLE["events_l_diversity"],
     "stream_coverage": _EVENTS_ORACLE["events_coverage"],
     "stream_peak_hours": _EVENTS_ORACLE["events_peak_hours"],
     "stream_hour_concentration":
