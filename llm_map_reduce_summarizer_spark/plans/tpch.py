@@ -2318,6 +2318,90 @@ def lineitem_lead_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def parts_single_source_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-sourcing exposure: the share of traded parts whose
+    entire observed supply came from ONE supplier, and the revenue
+    riding on them — the part-level supply-chain-risk read beside
+    `nation_supplier_hhi`'s nation-level concentration (a diversified
+    nation can still hide hundreds of single-sourced parts).
+
+    Scale: one partkey partial agg over a single lineitem scan
+    (distinct-supplier count + revenue per part) folding into a 1-row
+    summary; per-part revenue quantized to the cent grid FIRST so the
+    exposure totals are exact-grid sums.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per = li.groupBy("l_partkey").agg(
+        F.countDistinct("l_suppkey").cast("long").alias("n_suppliers"),
+        quantize(F.sum(rev), 2).alias("r"),
+    )
+    single = F.col("n_suppliers") == 1
+    return per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts_traded"),
+        F.sum(single.cast("int")).cast("long").alias(
+            "single_source_parts"
+        ),
+        quantize(F.sum("r"), 2).alias("total_revenue"),
+        quantize(F.sum(F.when(single, F.col("r")).otherwise(0.0)), 2)
+        .alias("revenue_exposed"),
+    ).select(
+        "n_parts_traded",
+        "single_source_parts",
+        quantize(
+            F.col("single_source_parts").cast("double")
+            / F.col("n_parts_traded"),
+            6,
+        ).alias("single_source_share"),
+        "total_revenue",
+        "revenue_exposed",
+        quantize(
+            F.col("revenue_exposed") / F.col("total_revenue"), 6
+        ).alias("revenue_share"),
+    )
+
+
+def orders_priority_mix_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority mix shift by month: each priority's share of
+    monthly order volume plus its delta versus the priority's overall
+    share — the relational twin of `events_type_share_trend` (a mix
+    drifting toward URGENT is an ops signal no total-volume chart
+    shows).
+
+    Scale: (month, priority) partial agg bounded by calendar ×
+    5 priorities; monthly totals and overall shares are
+    months-bounded broadcasts; exact integer counts, single
+    divisions.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cells = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month"),
+        "o_orderpriority",
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    mtot = cells.groupBy("month").agg(
+        F.sum("n").cast("long").alias("m_n")
+    )
+    ptot = cells.groupBy("o_orderpriority").agg(
+        F.sum("n").cast("long").alias("p_n")
+    )
+    gtot = cells.agg(F.sum("n").cast("long").alias("g_n"))
+    share = F.col("n").cast("double") / F.col("m_n")
+    base = F.col("p_n").cast("double") / F.col("g_n")
+    return (
+        cells.join(F.broadcast(mtot), "month")
+        .join(F.broadcast(ptot), "o_orderpriority")
+        .crossJoin(F.broadcast(gtot))
+        .select(
+            "month",
+            "o_orderpriority",
+            "n",
+            quantize(share, 6).alias("share"),
+            quantize(base, 6).alias("overall_share"),
+            quantize(share - base, 6).alias("share_delta"),
+        )
+    )
+
+
 COMMUNITY_MIN_ORDERS = 3  # edge = pair co-purchased in >= this many orders
 
 
@@ -2376,6 +2460,8 @@ def parts_community(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "parts_community": parts_community,
+    "parts_single_source_risk": parts_single_source_risk,
+    "orders_priority_mix_trend": orders_priority_mix_trend,
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q8_market_share": q8_market_share,
     "q11_important_parts": q11_important_parts,
@@ -3681,4 +3767,61 @@ ORACLE["parts_community"] = f"""
     )
     SELECT cc.partkey, cc.community, sz.community_size, deg.degree
     FROM cc JOIN deg USING (partkey) JOIN sz USING (community)
+"""
+
+ORACLE["parts_single_source_risk"] = f"""
+    WITH per AS (
+      SELECT l_partkey,
+             CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+             {sql_quantize(
+                 'sum(l_extendedprice * (1 - l_discount))', 2)} AS r
+      FROM lineitem GROUP BY 1
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_parts_traded,
+             CAST(sum(CASE WHEN n_suppliers = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS single_source_parts,
+             {sql_quantize('sum(r)', 2)} AS total_revenue,
+             {sql_quantize(
+                 'sum(CASE WHEN n_suppliers = 1 THEN r ELSE 0.0 END)',
+                 2)} AS revenue_exposed
+      FROM per
+    )
+    SELECT n_parts_traded, single_source_parts,
+           {sql_quantize(
+               'CAST(single_source_parts AS DOUBLE) / n_parts_traded',
+               6)} AS single_source_share,
+           total_revenue, revenue_exposed,
+           {sql_quantize('revenue_exposed / total_revenue', 6)}
+             AS revenue_share
+    FROM s
+"""
+
+ORACLE["orders_priority_mix_trend"] = f"""
+    WITH cells AS (
+      SELECT date_trunc('month', o_orderdate) AS month,
+             o_orderpriority,
+             CAST(count(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1, 2
+    ),
+    mtot AS (
+      SELECT month, CAST(sum(n) AS BIGINT) AS m_n
+      FROM cells GROUP BY 1
+    ),
+    ptot AS (
+      SELECT o_orderpriority, CAST(sum(n) AS BIGINT) AS p_n
+      FROM cells GROUP BY 1
+    ),
+    gtot AS (SELECT CAST(sum(n) AS BIGINT) AS g_n FROM cells)
+    SELECT c.month, c.o_orderpriority, c.n,
+           {sql_quantize('CAST(c.n AS DOUBLE) / m.m_n', 6)} AS share,
+           {sql_quantize('CAST(p.p_n AS DOUBLE) / g.g_n', 6)}
+             AS overall_share,
+           {sql_quantize(
+               'CAST(c.n AS DOUBLE) / m.m_n'
+               ' - CAST(p.p_n AS DOUBLE) / g.g_n', 6)} AS share_delta
+    FROM cells c
+    JOIN mtot m USING (month)
+    JOIN ptot p USING (o_orderpriority)
+    CROSS JOIN gtot g
 """
