@@ -280,3 +280,111 @@ def test_documents_stats_random(spark, tmp_path_factory, seed):
         assert _close(row["chi2"], chi2)
 
     run()
+
+
+@pytest.mark.parametrize("seed", [0])
+def test_events_profile_random(spark, tmp_path_factory, seed):
+    """Random micro-corpora through the traffic-shape tier: peak
+    detection, hour-of-day concentration, and the l-diversity screen —
+    pandas/numpy mirrors, heavy ties and single-hour types included."""
+
+    @settings(**_SETTINGS)
+    @given(data=st.data())
+    def run(data):
+        n = data.draw(st.integers(30, 120))
+        types = data.draw(
+            st.sampled_from(
+                [["purchase", "click"], ["purchase", "click", "error"]]
+            )
+        )
+        tlist = data.draw(
+            st.lists(st.sampled_from(types), min_size=n, max_size=n)
+        )
+        hours = data.draw(
+            st.lists(st.integers(0, 71), min_size=n, max_size=n)
+        )
+        vals = data.draw(
+            st.lists(st.integers(0, 40), min_size=n, max_size=n)
+        )
+        ev = pd.DataFrame(
+            {
+                "event_id": range(n),
+                "ts": pd.Timestamp("2024-03-01")
+                + pd.to_timedelta(hours, unit="h")
+                + pd.to_timedelta(range(n), unit="s"),
+                "user_id": [i % 7 for i in range(n)],
+                "event_type": tlist,
+                "value": [v / 100.0 * 25 for v in vals],
+                "props": ["{}"] * n,
+            }
+        )
+        tmp = tmp_path_factory.mktemp("evs")
+        sf = _write_events(tmp, ev)
+
+        # --- peak hours: strict local max over OBSERVED hours + 2σ ---
+        df = QUERIES["events_peak_hours"](spark, sf).toPandas()
+        expect = set()
+        for et in set(tlist):
+            hr = (
+                ev[ev.event_type == et]
+                .set_index("ts")
+                .resample("1h")["event_id"]
+                .count()
+            )
+            hr = hr[hr > 0]
+            xs = hr.to_numpy(float)
+            h = len(xs)
+            if h < 2:
+                continue
+            mu, sd = xs.mean(), xs.std(ddof=1)
+            if sd == 0:
+                continue
+            for i in range(1, h - 1):
+                z = (xs[i] - mu) / sd
+                if xs[i] > xs[i - 1] and xs[i] > xs[i + 1] and z >= 2.0:
+                    expect.add((et, hr.index[i]))
+                    got = df[
+                        (df.event_type == et) & (df.hour == hr.index[i])
+                    ]
+                    assert len(got) == 1
+                    assert _close(got["zscore"].iloc[0], z, tol=1e-3)
+        assert (
+            set(zip(df.event_type, df.hour)) == expect
+        )
+
+        # --- hour concentration: entropy + deterministic argmax ---
+        df = (
+            QUERIES["events_hour_concentration"](spark, sf)
+            .toPandas()
+            .set_index("event_type")
+        )
+        for et in set(tlist):
+            hod = ev.loc[ev.event_type == et, "ts"].dt.hour
+            cnt = hod.value_counts()
+            total = cnt.sum()
+            p = cnt.to_numpy(float) / total
+            ent = float(-(p * np.log2(p)).sum())
+            peak = min(
+                cnt.index[cnt == cnt.max()]
+            )  # ties -> earliest hour
+            row = df.loc[et]
+            assert row["active_hods"] == len(cnt)
+            assert row["peak_hod"] == peak
+            assert _close(row["peak_share"], cnt.max() / total)
+            assert _close(row["hod_entropy"], ent)
+
+        # --- l-diversity over the QI cells ---
+        row = QUERIES["events_l_diversity"](spark, sf).toPandas().iloc[0]
+        cells = ev.assign(
+            hod=ev["ts"].dt.hour,
+            vb=np.floor(ev["value"] / 10.0).astype(int),
+        ).groupby(["event_type", "hod", "vb"])["user_id"]
+        g = cells.size()
+        l = cells.nunique()
+        assert row["n_rows"] == n
+        assert row["n_groups"] == len(g)
+        assert row["min_diversity"] == int(l.min())
+        assert row["n_low_diversity_groups"] == int((l < 3).sum())
+        assert row["rows_at_risk"] == int(g[l < 3].sum())
+
+    run()
