@@ -1023,9 +1023,22 @@ def events_type_share_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = ev.groupBy(day, "event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_events")
     )
-    tot = per.groupBy("day").agg(F.sum("n_events").alias("day_total"))
+    return type_share_from_cells(per)
+
+
+def type_share_from_cells(per: DataFrame) -> DataFrame:
+    """The mix-trend scan over (day, event_type, n_events) cells —
+    shared by the batch query and the streaming drain
+    (`stream_type_share_trend` accumulates the same calendar-bounded
+    cells at ingest)."""
+    # keys rename on the self-lineage join so a drained streaming
+    # relation (duplicate attribute ids) resolves cleanly
+    tot = per.select(
+        F.col("day").alias("day_t"),
+        F.col("n_events").alias("ne_t"),
+    ).groupBy("day_t").agg(F.sum("ne_t").alias("day_total"))
     return (
-        per.join(F.broadcast(tot), "day")
+        per.join(F.broadcast(tot), F.col("day") == F.col("day_t"))
         .select(
             "day",
             "event_type",
@@ -1548,11 +1561,22 @@ def events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ut = ev.groupBy("user_id", "event_type").agg(
         F.count(F.lit(1)).alias("f")
     )
-    tot = ut.groupBy("user_id").agg(
-        F.sum("f").alias("n_events"),
+    return user_entropy_from_cells(ut)
+
+
+def user_entropy_from_cells(ut: DataFrame) -> DataFrame:
+    """The behavioral-entropy scan over (user_id, event_type, f)
+    cells — shared by the batch query and the streaming drain
+    (`stream_user_entropy` accumulates the same users×types-bounded
+    cells at ingest)."""
+    # keys rename on the self-lineage join (drained-relation rule)
+    tot = ut.select(
+        F.col("user_id").alias("uid_t"), F.col("f").alias("f_t")
+    ).groupBy("uid_t").agg(
+        F.sum("f_t").alias("n_events"),
         F.count(F.lit(1)).alias("n_types"),
     )
-    j = ut.join(tot, "user_id")
+    j = ut.join(tot, F.col("user_id") == F.col("uid_t"))
     p = quantize(F.col("f") / F.col("n_events"), 9)
     term = F.when(p > 0, -p * F.log2(p)).otherwise(F.lit(0.0))
     return j.groupBy("user_id").agg(
@@ -2493,11 +2517,24 @@ def events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dayofweek("ts").cast("long").alias("dow"),
         F.hour("ts").cast("long").alias("hod"),
     ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
-    hod_m = cells.groupBy(F.col("hod").alias("hod_m")).agg(
-        F.sum("n_events").cast("long").alias("hod_events"),
+    return heatmap_from_cells(cells)
+
+
+def heatmap_from_cells(cells: DataFrame) -> DataFrame:
+    """The weekly-heatmap scan over ≤168 (dow, hod, n_events) cells —
+    shared by the batch query and the streaming drain
+    (`stream_dow_hour_heatmap` accumulates the same bounded cells at
+    ingest)."""
+    # keys rename on the self-lineage joins (drained-relation rule)
+    hod_m = cells.select(
+        F.col("hod").alias("hod_m"), F.col("n_events").alias("ne_m")
+    ).groupBy("hod_m").agg(
+        F.sum("ne_m").cast("long").alias("hod_events"),
         F.count(F.lit(1)).cast("long").alias("hod_days"),
     )
-    tot = cells.agg(F.sum("n_events").cast("long").alias("total"))
+    tot = cells.select(F.col("n_events").alias("ne_g")).agg(
+        F.sum("ne_g").cast("long").alias("total")
+    )
     j = cells.join(
         F.broadcast(hod_m), F.col("hod") == F.col("hod_m")
     ).crossJoin(F.broadcast(tot))

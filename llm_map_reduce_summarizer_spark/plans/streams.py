@@ -999,6 +999,64 @@ def stream_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return coverage_from_hourly(hourly)
 
 
+def stream_type_share_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming daily mix-trend monitor: (day, type) counts
+    accumulate AT INGEST (state = calendar days × types, never
+    stream length; counts are mergeable so any micro-batch split
+    drains identically) and the share scan runs post-drain on the
+    bounded snapshot. Drain == batch `events_type_share_trend`,
+    whose oracle it shares.
+    """
+    from pyspark.sql import functions as F
+
+    from .events import type_share_from_cells
+
+    ev = read_events_stream(spark, sf_dir)
+    per = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    snap = run_available_now(per, output_mode="complete")
+    return type_share_from_cells(snap)
+
+
+def stream_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming behavioral-diversity monitor: (user, type) counts
+    accumulate AT INGEST (state = active users × their types —
+    entity-bounded, the `stream_dau` class) and the entropy scan
+    runs post-drain. Drain == batch `events_user_entropy`, whose
+    oracle it shares.
+    """
+    from pyspark.sql import functions as F
+
+    from .events import user_entropy_from_cells
+
+    ev = read_events_stream(spark, sf_dir)
+    ut = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("f")
+    )
+    snap = run_available_now(ut, output_mode="complete")
+    return user_entropy_from_cells(snap)
+
+
+def stream_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming weekly-heatmap monitor: the ≤168 (dow, hod) cells
+    accumulate AT INGEST (fixed-size state regardless of volume) and
+    the margin/ratio scan runs post-drain. Drain == batch
+    `events_dow_hour_heatmap`, whose oracle it shares.
+    """
+    from pyspark.sql import functions as F
+
+    from .events import heatmap_from_cells
+
+    ev = read_events_stream(spark, sf_dir)
+    cells = ev.groupBy(
+        F.dayofweek("ts").cast("long").alias("dow"),
+        F.hour("ts").cast("long").alias("hod"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    snap = run_available_now(cells, output_mode="complete")
+    return heatmap_from_cells(snap)
+
+
 def stream_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming robust anomaly profile: the hourly count series
     accumulates AT INGEST (the same calendar-bounded tumbling-window
@@ -1637,6 +1695,9 @@ QUERIES = {
     "stream_session_stats": stream_session_stats,
     "stream_error_budget": stream_error_budget,
     "stream_ewma_control": stream_ewma_control,
+    "stream_type_share_trend": stream_type_share_trend,
+    "stream_user_entropy": stream_user_entropy,
+    "stream_dow_hour_heatmap": stream_dow_hour_heatmap,
     "stream_l_diversity": stream_l_diversity,
     "stream_coverage": stream_coverage,
     "stream_peak_hours": stream_peak_hours,
@@ -1680,6 +1741,11 @@ QUERIES = {
 
 ORACLE = {
     "stream_ewma_control": _EVENTS_ORACLE["events_ewma_control"],
+    "stream_type_share_trend":
+        _EVENTS_ORACLE["events_type_share_trend"],
+    "stream_user_entropy": _EVENTS_ORACLE["events_user_entropy"],
+    "stream_dow_hour_heatmap":
+        _EVENTS_ORACLE["events_dow_hour_heatmap"],
     "stream_l_diversity": _EVENTS_ORACLE["events_l_diversity"],
     "stream_coverage": _EVENTS_ORACLE["events_coverage"],
     "stream_peak_hours": _EVENTS_ORACLE["events_peak_hours"],
