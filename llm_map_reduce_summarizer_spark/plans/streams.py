@@ -999,6 +999,31 @@ def stream_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return coverage_from_hourly(hourly)
 
 
+def stream_user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming behavioral-transition mining: per-user last-event
+    state (3 scalars per active user — never the history) emits each
+    (prev_type → next_type) step exactly once AT INGEST
+    (`stream_ops.user_paths_stream`); the corpus-wide pair count +
+    top-20 runs post-drain on the emitted-steps sink. Drain == batch
+    `events_user_paths`, whose oracle it shares.
+    """
+    from pyspark.sql import functions as F
+
+    from ..streaming.stream_ops import user_paths_stream
+    from .events import PATHS_TOPK
+
+    ev = read_events_stream(spark, sf_dir)
+    steps = run_available_now(
+        user_paths_stream(ev), output_mode="update"
+    )
+    pairs = steps.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return pairs.orderBy(
+        F.col("n").desc(), F.col("src"), F.col("dst")
+    ).limit(PATHS_TOPK)
+
+
 def stream_type_share_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming daily mix-trend monitor: (day, type) counts
     accumulate AT INGEST (state = calendar days × types, never
@@ -1695,6 +1720,7 @@ QUERIES = {
     "stream_session_stats": stream_session_stats,
     "stream_error_budget": stream_error_budget,
     "stream_ewma_control": stream_ewma_control,
+    "stream_user_paths": stream_user_paths,
     "stream_type_share_trend": stream_type_share_trend,
     "stream_user_entropy": stream_user_entropy,
     "stream_dow_hour_heatmap": stream_dow_hour_heatmap,
@@ -1741,6 +1767,7 @@ QUERIES = {
 
 ORACLE = {
     "stream_ewma_control": _EVENTS_ORACLE["events_ewma_control"],
+    "stream_user_paths": _EVENTS_ORACLE["events_user_paths"],
     "stream_type_share_trend":
         _EVENTS_ORACLE["events_type_share_trend"],
     "stream_user_entropy": _EVENTS_ORACLE["events_user_entropy"],

@@ -1250,3 +1250,62 @@ def gaps_stream(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+PATHS_STATE_SCHEMA = StructType(
+    [
+        StructField("last_ts_us", LongType()),
+        StructField("last_event_id", LongType()),
+        StructField("last_type", StringType()),
+    ]
+)
+
+PATHS_OUT_SCHEMA = StructType(
+    [
+        StructField("src", StringType()),
+        StructField("dst", StringType()),
+    ]
+)
+
+
+def user_paths_stream(events: DataFrame) -> DataFrame:
+    """Incremental behavioral-transition emission keyed by user:
+    state = the user's LAST event (3 scalars — never the history);
+    each micro-batch emits only the transitions it completes, so the
+    drained sink holds every (prev_type → next_type) step exactly
+    once under any micro-batch split. Same per-user event-time-order
+    contract as ``sessionize_stream``."""
+
+    def _fn(key, pdfs, state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            last_ts, last_id, last_type = state.get
+        else:
+            last_ts, last_id, last_type = None, None, None
+        out_src: list = []
+        out_dst: list = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts_us", "event_id"])
+            for ts_us, eid, et in zip(
+                pdf["ts_us"], pdf["event_id"], pdf["event_type"]
+            ):
+                if last_type is not None:
+                    out_src.append(last_type)
+                    out_dst.append(et)
+                last_ts, last_id, last_type = int(ts_us), int(eid), et
+        state.update((last_ts, last_id, last_type))
+        if out_src:
+            yield pd.DataFrame({"src": out_src, "dst": out_dst})
+
+    with_us = events.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    return with_us.groupBy("user_id").applyInPandasWithState(
+        _fn,
+        outputStructType=PATHS_OUT_SCHEMA,
+        stateStructType=PATHS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

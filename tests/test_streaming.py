@@ -1137,3 +1137,96 @@ def test_stream_uptime_state_carries_across_batches(spark, tmp_path):
     assert last["covered_us"] == hour // 2 + hour + hour
     assert last["first_us"] == 0
     assert last["last_us"] == hour // 2 + 3 * hour
+
+
+def test_stream_user_paths_parity_on_randomized_splits(spark, tmp_path_factory):
+    """user_paths_stream must emit every (prev→next) transition exactly
+    once for ANY contiguous micro-batch split of the time-sorted log,
+    with rows shuffled inside each file — multiset parity against a
+    pandas mirror of the batch lag semantics."""
+    import collections
+
+    import pandas as pd
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from llm_map_reduce_summarizer_spark.streaming.stream_ops import (
+        EVENTS_SCHEMA,
+        run_available_now,
+        user_paths_stream,
+    )
+    from pyspark.sql import functions as F
+
+    raw_events = st.lists(
+        st.tuples(
+            st.integers(1, 4),
+            st.integers(0, 3 * 3600),
+            st.sampled_from(["view", "click", "purchase"]),
+        ),
+        min_size=4,
+        max_size=32,
+    )
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=list(HealthCheck),
+    )
+    @given(data=st.data())
+    def run(data):
+        tuples = data.draw(raw_events)
+        rows = [
+            dict(event_id=i, ts_us=t * 1_000_000, user_id=u,
+                 event_type=e, value=0.0)
+            for i, (u, t, e) in enumerate(tuples)
+        ]
+        ordered = sorted(rows, key=lambda r: (r["ts_us"], r["event_id"]))
+        n_files = data.draw(st.integers(2, 4))
+        cuts = sorted(
+            data.draw(
+                st.lists(
+                    st.integers(1, max(1, len(ordered) - 1)),
+                    min_size=n_files - 1,
+                    max_size=n_files - 1,
+                    unique=True,
+                )
+            )
+        )
+        chunks, prev = [], 0
+        for c in cuts + [len(ordered)]:
+            chunk = ordered[prev:c]
+            prev = c
+            if chunk:
+                chunks.append(data.draw(st.permutations(chunk)))
+
+        src = tmp_path_factory.mktemp("paths_split")
+        for i, chunk in enumerate(chunks):
+            pdf = pd.DataFrame(chunk)
+            pdf["ts"] = pdf["ts_us"] * 1000
+            pdf["props"] = "{}"
+            pdf[["event_id", "ts", "user_id", "event_type", "value",
+                 "props"]].to_parquet(src / f"part-{i:03d}.parquet")
+
+        stream = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .option("latestFirst", "false")
+            .parquet(str(src))
+            .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        )
+        got = collections.Counter(
+            (r.src, r.dst)
+            for r in run_available_now(
+                user_paths_stream(stream), output_mode="update"
+            ).collect()
+        )
+        expect = collections.Counter()
+        by_user = {}
+        for r in ordered:
+            u = r["user_id"]
+            if u in by_user:
+                expect[(by_user[u], r["event_type"])] += 1
+            by_user[u] = r["event_type"]
+        assert got == expect
+
+    run()
