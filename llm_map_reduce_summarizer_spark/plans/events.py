@@ -953,6 +953,76 @@ def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full daily growth accounting: DAU decomposed into NEW (first
+    activity), RETAINED (also active the previous day), RESURRECTED
+    (returning after a gap), plus the day's CHURN (users active
+    yesterday who went silent today — censored at the corpus edge,
+    so the last day never fabricates churn) and the quick ratio
+    (new+resurrected)/churned — the standard growth-team ledger that
+    `events_new_vs_returning`'s two-way split only sketches.
+
+    Scale: ONE user-keyed sort-shuffle over the (user, day) distinct
+    activity (lag/lead share the window), a 1-row max-day broadcast,
+    then two day-bounded aggs full-outer-joined on the calendar —
+    exact integers, one guarded division.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).alias("day")
+    du = ev.select(day, "user_id").distinct()
+    mx = du.agg(F.max("day").alias("max_day"))
+    w = Window.partitionBy("user_id").orderBy("day")
+    x = du.select(
+        "user_id",
+        "day",
+        F.lag("day").over(w).alias("prev_day"),
+        F.lead("day").over(w).alias("next_day"),
+    ).crossJoin(F.broadcast(mx))
+    one_day = F.expr("INTERVAL 1 DAY")
+    act = x.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("dau"),
+        F.sum(F.col("prev_day").isNull().cast("long"))
+        .cast("long")
+        .alias("n_new"),
+        F.sum((F.col("prev_day") == F.col("day") - one_day).cast("long"))
+        .cast("long")
+        .alias("n_retained"),
+        F.sum(
+            (
+                F.col("prev_day").isNotNull()
+                & (F.col("prev_day") < F.col("day") - one_day)
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("n_resurrected"),
+    )
+    churn = (
+        x.where(
+            (F.col("next_day").isNull() & (F.col("day") < F.col("max_day")))
+            | (F.col("next_day") > F.col("day") + one_day)
+        )
+        .select((F.col("day") + one_day).alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_churned"))
+    )
+    j = act.join(churn, "day", "full_outer")
+    nz = lambda c: F.coalesce(F.col(c), F.lit(0)).cast("long")
+    churned = nz("n_churned")
+    gained = nz("n_new") + nz("n_resurrected")
+    return j.select(
+        "day",
+        nz("dau").alias("dau"),
+        nz("n_new").alias("n_new"),
+        nz("n_retained").alias("n_retained"),
+        nz("n_resurrected").alias("n_resurrected"),
+        churned.alias("n_churned"),
+        F.when(
+            churned > 0,
+            quantize(gained.cast("double") / churned, 6),
+        ).alias("quick_ratio"),
+    )
+
+
 def events_user_activity_quantiles(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -3947,6 +4017,7 @@ def hour_concentration_from_hist(hist: DataFrame) -> DataFrame:
 QUERIES = {
     "events_peak_hours": events_peak_hours,
     "events_hour_concentration": events_hour_concentration,
+    "events_growth_accounting": events_growth_accounting,
     "events_l_diversity": events_l_diversity,
     "events_cusum": events_cusum,
     "events_sen_slope": events_sen_slope,
@@ -6181,4 +6252,54 @@ ORACLE["events_l_diversity"] = f"""
                ' THEN g ELSE 0 END) AS DOUBLE) / sum(g)', 6)}
              AS risk_share
     FROM cells
+"""
+
+ORACLE["events_growth_accounting"] = f"""
+    WITH du AS (
+      SELECT DISTINCT date_trunc('day', ts) AS day, user_id
+      FROM events
+    ),
+    mx AS (SELECT max(day) AS max_day FROM du),
+    x AS (
+      SELECT user_id, day,
+             lag(day) OVER (PARTITION BY user_id ORDER BY day)
+               AS prev_day,
+             lead(day) OVER (PARTITION BY user_id ORDER BY day)
+               AS next_day
+      FROM du
+    ),
+    act AS (
+      SELECT day,
+             CAST(count(*) AS BIGINT) AS dau,
+             CAST(sum(CASE WHEN prev_day IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_new,
+             CAST(sum(CASE WHEN prev_day = day - INTERVAL 1 DAY
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+             CAST(sum(CASE WHEN prev_day IS NOT NULL
+               AND prev_day < day - INTERVAL 1 DAY
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+      FROM x GROUP BY 1
+    ),
+    churn AS (
+      SELECT day + INTERVAL 1 DAY AS day,
+             CAST(count(*) AS BIGINT) AS n_churned
+      FROM x CROSS JOIN mx
+      WHERE (next_day IS NULL AND day < max_day)
+         OR next_day > day + INTERVAL 1 DAY
+      GROUP BY 1
+    )
+    SELECT coalesce(a.day, c.day) AS day,
+           CAST(coalesce(a.dau, 0) AS BIGINT) AS dau,
+           CAST(coalesce(a.n_new, 0) AS BIGINT) AS n_new,
+           CAST(coalesce(a.n_retained, 0) AS BIGINT) AS n_retained,
+           CAST(coalesce(a.n_resurrected, 0) AS BIGINT)
+             AS n_resurrected,
+           CAST(coalesce(c.n_churned, 0) AS BIGINT) AS n_churned,
+           CASE WHEN coalesce(c.n_churned, 0) > 0 THEN
+             {sql_quantize(
+                 'CAST(coalesce(a.n_new, 0)'
+                 ' + coalesce(a.n_resurrected, 0) AS DOUBLE)'
+                 ' / c.n_churned', 6)}
+           END AS quick_ratio
+    FROM act a FULL OUTER JOIN churn c ON a.day = c.day
 """
