@@ -5884,6 +5884,88 @@ def corpus_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RAKE_TOPK = 20
+
+
+def corpus_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al.) at corpus scale:
+    candidate phrases are maximal runs of consecutive non-stopword
+    tokens (per-language stopword sets; langs without one contribute
+    whole-line candidates), word scores are the classic
+    degree/frequency ratio computed corpus-wide, a phrase scores the
+    sum of its members' ratios, and the corpus keeps the top-20
+    phrases (≥2 occurrences, ≤4 words — RAKE's noise fences).
+
+    Scale: tokenization is a narrow posexplode; phrase segmentation
+    is the gaps-and-islands cumulative-sum window on the doc natural
+    key (the sessionization shape); word stats are a vocab-bounded
+    partial agg joined back on the word natural key; the final
+    ranking is TakeOrderedAndProject — no global sort, nothing
+    corpus-pairwise.
+    """
+    from pyspark.sql.window import Window
+
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.posexplode(words(F.col("text"))).alias("i", "w"),
+    )
+    stop = F.lit(False)
+    for lang, stops in STOPWORDS.items():
+        stop = F.when(
+            F.col("lang") == lang,
+            F.col("w").isin(*stops),
+        ).otherwise(stop)
+    wo = Window.partitionBy("doc_id").orderBy("i")
+    seg = toks.withColumn("is_stop", stop).withColumn(
+        "phrase_id",
+        F.sum(F.col("is_stop").cast("long")).over(wo),
+    )
+    members = seg.filter(~F.col("is_stop"))
+    phrases = members.groupBy("doc_id", "phrase_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("i", "w"))
+                ),
+                lambda s: s["w"],
+            ),
+            " ",
+        ).alias("phrase"),
+        F.count(F.lit(1)).cast("long").alias("plen"),
+    )
+    occ = members.join(
+        phrases.select("doc_id", "phrase_id", "plen"),
+        ["doc_id", "phrase_id"],
+    )
+    wstats = occ.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.sum("plen").cast("long").alias("degree"),
+    )
+    scored_tokens = occ.join(wstats, "w").select(
+        "doc_id",
+        "phrase_id",
+        (F.col("degree").cast("double") / F.col("freq")).alias("ws"),
+    )
+    pscore = scored_tokens.groupBy("doc_id", "phrase_id").agg(
+        F.sum("ws").alias("score")
+    )
+    per_phrase = (
+        phrases.join(pscore, ["doc_id", "phrase_id"])
+        .filter(F.col("plen") <= 4)
+        .groupBy("phrase")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            quantize(F.max("score"), 4).alias("score"),
+        )
+        .filter(F.col("n_occurrences") >= 2)
+    )
+    return per_phrase.orderBy(
+        F.col("score").desc(), F.col("phrase")
+    ).limit(RAKE_TOPK)
+
+
 MATRYOSHKA_DIMS = (8, 16, 32)  # prefix widths evaluated against full-dim
 
 
@@ -6053,6 +6135,7 @@ def emb_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "corpus_keyphrase_rake": corpus_keyphrase_rake,
     "emb_matryoshka_eval": emb_matryoshka_eval,
     "emb_random_projection": emb_random_projection,
     "emb_jl_distortion": emb_jl_distortion,
@@ -10086,3 +10169,70 @@ def _matryoshka_oracle() -> str:
 
 
 ORACLE["emb_matryoshka_eval"] = _matryoshka_oracle()
+
+def _rake_oracle() -> str:
+    stop_case = " ".join(
+        "WHEN '{}' THEN w IN ({})".format(
+            lang, ", ".join(f"'{w}'" for w in stops)
+        )
+        for lang, stops in STOPWORDS.items()
+    )
+    return f"""
+    WITH base AS (
+      SELECT doc_id, lang,
+             {SQL_WORDS.format(c='text')} AS arr
+      FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, lang, arr,
+             unnest(generate_series(1, len(arr))) AS i
+      FROM base
+    ),
+    tok AS (
+      SELECT doc_id, i, arr[i] AS w,
+             CASE lang {stop_case} ELSE FALSE END AS is_stop
+      FROM idx
+    ),
+    seg AS (
+      SELECT doc_id, i, w, is_stop,
+             sum(CASE WHEN is_stop THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY i) AS phrase_id
+      FROM tok
+    ),
+    members AS (
+      SELECT doc_id, phrase_id, i, w FROM seg WHERE NOT is_stop
+    ),
+    phrases AS (
+      SELECT doc_id, phrase_id,
+             string_agg(w, ' ' ORDER BY i) AS phrase,
+             CAST(count(*) AS BIGINT) AS plen
+      FROM members GROUP BY 1, 2
+    ),
+    wstats AS (
+      SELECT m.w, CAST(count(*) AS BIGINT) AS freq,
+             CAST(sum(p.plen) AS BIGINT) AS degree
+      FROM members m
+      JOIN phrases p USING (doc_id, phrase_id)
+      GROUP BY 1
+    ),
+    pscore AS (
+      SELECT m.doc_id, m.phrase_id,
+             sum(CAST(s.degree AS DOUBLE) / s.freq) AS score
+      FROM members m JOIN wstats s USING (w)
+      GROUP BY 1, 2
+    ),
+    per AS (
+      SELECT p.phrase,
+             CAST(count(*) AS BIGINT) AS n_occurrences,
+             {sql_quantize('max(ps.score)', 4)} AS score
+      FROM phrases p JOIN pscore ps USING (doc_id, phrase_id)
+      WHERE p.plen <= 4
+      GROUP BY 1
+      HAVING count(*) >= 2
+    )
+    SELECT phrase, n_occurrences, score FROM per
+    ORDER BY score DESC, phrase LIMIT {RAKE_TOPK}
+"""
+
+
+ORACLE["corpus_keyphrase_rake"] = _rake_oracle()
