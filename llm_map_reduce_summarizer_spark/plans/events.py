@@ -970,7 +970,17 @@ def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     day = F.date_trunc("day", F.col("ts")).alias("day")
     du = ev.select(day, "user_id").distinct()
-    mx = du.agg(F.max("day").alias("max_day"))
+    return growth_from_pairs(du)
+
+
+def growth_from_pairs(du: DataFrame) -> DataFrame:
+    """The growth ledger over distinct (day, user_id) activity pairs —
+    shared by the batch query and the streaming drain
+    (`stream_growth_accounting` dedups to the same pairs at ingest)."""
+    # keys rename on the self-lineage agg (drained-relation rule)
+    mx = du.select(F.col("day").alias("day_m")).agg(
+        F.max("day_m").alias("max_day")
+    )
     w = Window.partitionBy("user_id").orderBy("day")
     x = du.select(
         "user_id",

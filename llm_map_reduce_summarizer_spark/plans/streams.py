@@ -999,6 +999,26 @@ def stream_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return coverage_from_hourly(hourly)
 
 
+def stream_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming growth ledger: activity dedups to (day, user) pairs
+    AT INGEST (state = active user-days — entity×calendar-bounded,
+    mergeable counts so any micro-batch split drains identically);
+    the new/retained/resurrected/churned scan runs post-drain on the
+    bounded pair snapshot. Drain == batch `events_growth_accounting`,
+    whose oracle it shares.
+    """
+    from pyspark.sql import functions as F
+
+    from .events import growth_from_pairs
+
+    ev = read_events_stream(spark, sf_dir)
+    pairs = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day"), "user_id"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    snap = run_available_now(pairs, output_mode="complete")
+    return growth_from_pairs(snap.select("day", "user_id"))
+
+
 def stream_user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming behavioral-transition mining: per-user last-event
     state (3 scalars per active user — never the history) emits each
@@ -1720,6 +1740,7 @@ QUERIES = {
     "stream_session_stats": stream_session_stats,
     "stream_error_budget": stream_error_budget,
     "stream_ewma_control": stream_ewma_control,
+    "stream_growth_accounting": stream_growth_accounting,
     "stream_user_paths": stream_user_paths,
     "stream_type_share_trend": stream_type_share_trend,
     "stream_user_entropy": stream_user_entropy,
@@ -1767,6 +1788,8 @@ QUERIES = {
 
 ORACLE = {
     "stream_ewma_control": _EVENTS_ORACLE["events_ewma_control"],
+    "stream_growth_accounting":
+        _EVENTS_ORACLE["events_growth_accounting"],
     "stream_user_paths": _EVENTS_ORACLE["events_user_paths"],
     "stream_type_share_trend":
         _EVENTS_ORACLE["events_type_share_trend"],
