@@ -5966,6 +5966,111 @@ def corpus_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(RAKE_TOPK)
 
 
+TEXTRANK_ITERS = 3
+TEXTRANK_DAMP = 0.85
+TEXTRANK_TOPK = 20
+
+
+def corpus_textrank_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau): PageRank over
+    the word co-occurrence graph — content words (per-language
+    stopwords dropped) linked when within distance ≤2 in the ORIGINAL
+    token sequence, 3 unrolled power iterations at damping 0.85,
+    top-20 terms by rank. The graph-centrality complement to RAKE's
+    phrase scoring: RAKE finds multiword phrases, TextRank finds the
+    pivotal single terms.
+
+    Scale: co-occurrence pairs come from TWO equi-joins on
+    (doc_id, i+offset) — linear in corpus tokens, never per-doc
+    quadratic; the distinct edge list is vocab²-bounded and
+    materialized once for the 2·ITERS consumers; each round is one
+    src-keyed join + dst-keyed partial agg with per-round 1e-9
+    quantization (the `parts_pagerank` discipline, so engine
+    summation order can't drift the fixpoint); final ranking is
+    TakeOrderedAndProject.
+    """
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.posexplode(words(F.col("text"))).alias("i", "w"),
+    )
+    stop = F.lit(False)
+    for lang, stops in STOPWORDS.items():
+        stop = F.when(
+            F.col("lang") == lang, F.col("w").isin(*stops)
+        ).otherwise(stop)
+    content = toks.withColumn("is_stop", stop).filter(
+        ~F.col("is_stop")
+    ).select("doc_id", "i", "w")
+    pair_parts = []
+    for off in (1, 2):
+        b = content.select(
+            "doc_id",
+            (F.col("i") - off).alias("i"),
+            F.col("w").alias("w2"),
+        )
+        pair_parts.append(
+            content.join(b, ["doc_id", "i"]).select(
+                F.col("w").alias("w1"), "w2"
+            )
+        )
+    pairs = pair_parts[0].unionAll(pair_parts[1]).filter(
+        F.col("w1") != F.col("w2")
+    )
+    edges = (
+        pairs.select("w1", "w2")
+        .unionAll(
+            pairs.select(
+                F.col("w2").alias("w1"), F.col("w1").alias("w2")
+            )
+        )
+        .distinct()
+        .select(F.col("w1").alias("src"), F.col("w2").alias("dst"))
+        .localCheckpoint(eager=True)
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = deg.select(F.col("src").alias("term"), "deg")
+    n_tot = nodes.agg(F.count(F.lit(1)).alias("n"))
+    ranks = nodes.crossJoin(F.broadcast(n_tot)).select(
+        "term", "deg", quantize(F.lit(1.0) / F.col("n"), 9).alias("r")
+    )
+    for _ in range(TEXTRANK_ITERS):
+        contrib = (
+            edges.join(
+                ranks.select(
+                    F.col("term").alias("src"),
+                    (F.col("r") / F.col("deg")).alias("wgt"),
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("term"))
+            .agg(F.sum("wgt").alias("c"))
+        )
+        ranks = (
+            ranks.select("term", "deg")
+            .join(contrib, "term")
+            .crossJoin(F.broadcast(n_tot))
+            .select(
+                "term",
+                "deg",
+                quantize(
+                    (1.0 - TEXTRANK_DAMP) / F.col("n")
+                    + TEXTRANK_DAMP * F.col("c"),
+                    9,
+                ).alias("r"),
+            )
+        )
+    scored = ranks.select(
+        "term",
+        F.col("deg").cast("long").alias("degree"),
+        quantize(F.col("r"), 8).alias("rank"),
+    )
+    return scored.orderBy(
+        F.col("rank").desc(), F.col("term")
+    ).limit(TEXTRANK_TOPK)
+
+
 MATRYOSHKA_DIMS = (8, 16, 32)  # prefix widths evaluated against full-dim
 
 
@@ -6136,6 +6241,7 @@ def emb_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "corpus_keyphrase_rake": corpus_keyphrase_rake,
+    "corpus_textrank_terms": corpus_textrank_terms,
     "emb_matryoshka_eval": emb_matryoshka_eval,
     "emb_random_projection": emb_random_projection,
     "emb_jl_distortion": emb_jl_distortion,
@@ -10236,3 +10342,81 @@ def _rake_oracle() -> str:
 
 
 ORACLE["corpus_keyphrase_rake"] = _rake_oracle()
+
+def _textrank_oracle() -> str:
+    q9 = lambda e: sql_quantize(e, 9)  # noqa: E731
+    stop_case = " ".join(
+        "WHEN '{}' THEN w IN ({})".format(
+            lang, ", ".join(f"'{w}'" for w in stops)
+        )
+        for lang, stops in STOPWORDS.items()
+    )
+    parts = [
+        f"""base AS (
+      SELECT doc_id, lang, {SQL_WORDS.format(c='text')} AS arr
+      FROM documents
+    )""",
+        """idx AS (
+      SELECT doc_id, lang, arr,
+             unnest(generate_series(1, len(arr))) AS i
+      FROM base
+    )""",
+        f"""tok AS (
+      SELECT doc_id, i, arr[i] AS w
+      FROM idx
+      WHERE NOT (CASE lang {stop_case} ELSE FALSE END)
+    )""",
+        """prs AS (
+      SELECT a.w AS w1, b.w AS w2
+      FROM tok a JOIN tok b
+        ON a.doc_id = b.doc_id AND b.i = a.i + 1
+      UNION ALL
+      SELECT a.w AS w1, b.w AS w2
+      FROM tok a JOIN tok b
+        ON a.doc_id = b.doc_id AND b.i = a.i + 2
+    )""",
+        """edges AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT w1 AS src, w2 AS dst FROM prs WHERE w1 <> w2
+        UNION ALL
+        SELECT w2 AS src, w1 AS dst FROM prs WHERE w1 <> w2
+      )
+    )""",
+        """deg AS (SELECT src AS term, count(*) AS deg
+      FROM edges GROUP BY 1)""",
+        """tot AS (SELECT count(*) AS n FROM deg)""",
+        f"""r0 AS (SELECT term, deg, {q9('1.0 / tot.n')} AS r
+      FROM deg, tot)""",
+    ]
+    prev = "r0"
+    for i in range(1, TEXTRANK_ITERS + 1):
+        parts.append(
+            f"""c{i} AS (
+      SELECT e.dst AS term, sum(p.r / p.deg) AS c
+      FROM edges e JOIN {prev} p ON p.term = e.src
+      GROUP BY 1
+    )"""
+        )
+        parts.append(
+            f"""r{i} AS (
+      SELECT d.term, d.deg,
+             {q9(
+                 f'(1.0 - {TEXTRANK_DAMP}) / tot.n'
+                 f' + {TEXTRANK_DAMP} * c{i}.c')} AS r
+      FROM deg d JOIN c{i} ON d.term = c{i}.term, tot
+    )"""
+        )
+        prev = f"r{i}"
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT term, CAST(deg AS BIGINT) AS degree,
+           {sql_quantize('r', 8)} AS rank
+    FROM {prev}
+    ORDER BY rank DESC, term LIMIT {TEXTRANK_TOPK}
+"""
+    )
+
+
+ORACLE["corpus_textrank_terms"] = _textrank_oracle()
