@@ -5966,6 +5966,88 @@ def corpus_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(RAKE_TOPK)
 
 
+WATERFILL_BUDGET_SHARE = 0.5  # token budget = this share of the corpus
+
+
+def corpus_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Water-filling token-budget allocation across sources: spread a
+    corpus-wide token budget (50% of total tokens) EQUALLY across
+    sources, except no source can contribute more than it has — the
+    max-min-fair allocation (λ water level, alloc = min(avail, λ))
+    that `corpus_mix_plan`'s temperature weighting doesn't give: small
+    sources are taken whole, the surplus re-spreads over the rest.
+
+    Scale: per-source availability is one source-keyed partial agg;
+    the water level λ comes from the sources²-bounded D² self-join
+    prefix sums (the `events_changepoint` pattern — NO unpartitioned
+    window) and collapses to a 1-row broadcast; allocation is a
+    narrow map over the sources-bounded table. Exact integer token
+    sums; λ is one double division.
+    """
+    d = _docs(spark, sf_dir)
+    per = d.groupBy("source").agg(
+        F.sum(token_count(F.col("text")))
+        .cast("long")
+        .alias("avail")
+    )
+    tot = per.agg(
+        F.sum("avail").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_src"),
+    ).select(
+        "total",
+        "n_src",
+        F.floor(F.col("total") * WATERFILL_BUDGET_SHARE)
+        .cast("long")
+        .alias("budget"),
+    )
+    # D² self-join prefix sums over the sources-bounded table: rank
+    # and prefix in the (avail, source) total order, no window
+    b = per.select(
+        F.col("source").alias("src_b"), F.col("avail").alias("av_b")
+    )
+    before = (F.col("av_b") < F.col("avail")) | (
+        (F.col("av_b") == F.col("avail"))
+        & (F.col("src_b") < F.col("source"))
+    )
+    ranked = (
+        per.join(b, before, "left")
+        .groupBy("source", "avail")
+        .agg(
+            F.count("src_b").cast("long").alias("n_before"),
+            F.coalesce(F.sum("av_b"), F.lit(0))
+            .cast("long")
+            .alias("prev_prefix"),
+        )
+    )
+    cand = ranked.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "avail",
+        "n_before",
+        (
+            (F.col("budget") - F.col("prev_prefix")).cast("double")
+            / (F.col("n_src") - F.col("n_before")).cast("double")
+        ).alias("lam"),
+    )
+    level = cand.filter(F.col("lam") <= F.col("avail")).agg(
+        F.min_by("lam", "n_before").alias("lam")
+    )
+    alloc = F.when(
+        F.col("lam").isNull(), F.col("avail").cast("double")
+    ).otherwise(F.least(F.col("avail").cast("double"), F.col("lam")))
+    return (
+        per.crossJoin(F.broadcast(level))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "avail",
+            "budget",
+            quantize(alloc, 4).alias("allocation"),
+            quantize(alloc / F.col("avail"), 6).alias("fill_share"),
+            (alloc >= F.col("avail").cast("double")).alias("capped"),
+        )
+    )
+
+
 TEXTRANK_ITERS = 3
 TEXTRANK_DAMP = 0.85
 TEXTRANK_TOPK = 20
@@ -6242,6 +6324,7 @@ def emb_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "corpus_keyphrase_rake": corpus_keyphrase_rake,
     "corpus_textrank_terms": corpus_textrank_terms,
+    "corpus_budget_waterfill": corpus_budget_waterfill,
     "emb_matryoshka_eval": emb_matryoshka_eval,
     "emb_random_projection": emb_random_projection,
     "emb_jl_distortion": emb_jl_distortion,
@@ -10420,3 +10503,50 @@ def _textrank_oracle() -> str:
 
 
 ORACLE["corpus_textrank_terms"] = _textrank_oracle()
+
+ORACLE["corpus_budget_waterfill"] = f"""
+    WITH per AS (
+      SELECT source,
+             CAST(sum({SQL_TOKEN_COUNT.format(c='text')}) AS BIGINT)
+               AS avail
+      FROM documents GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(avail) AS BIGINT) AS total,
+             CAST(count(*) AS BIGINT) AS n_src,
+             CAST(floor(sum(avail) * {WATERFILL_BUDGET_SHARE})
+               AS BIGINT) AS budget
+      FROM per
+    ),
+    ranked AS (
+      SELECT p.source, p.avail,
+             CAST(count(b.source) AS BIGINT) AS n_before,
+             CAST(coalesce(sum(b.avail), 0) AS BIGINT) AS prev_prefix
+      FROM per p LEFT JOIN per b
+        ON b.avail < p.avail
+        OR (b.avail = p.avail AND b.source < p.source)
+      GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT r.source, r.avail, r.n_before,
+             CAST(t.budget - r.prev_prefix AS DOUBLE)
+               / CAST(t.n_src - r.n_before AS DOUBLE) AS lam
+      FROM ranked r CROSS JOIN tot t
+    ),
+    level AS (
+      SELECT min_by(lam, n_before) AS lam
+      FROM cand WHERE lam <= avail
+    ),
+    alloc AS (
+      SELECT p.source, p.avail, t.budget,
+             CASE WHEN l.lam IS NULL THEN CAST(p.avail AS DOUBLE)
+                  ELSE least(CAST(p.avail AS DOUBLE), l.lam)
+             END AS a
+      FROM per p CROSS JOIN level l CROSS JOIN tot t
+    )
+    SELECT source, avail, budget,
+           {sql_quantize('a', 4)} AS allocation,
+           {sql_quantize('a / avail', 6)} AS fill_share,
+           a >= CAST(avail AS DOUBLE) AS capped
+    FROM alloc
+"""

@@ -574,3 +574,18 @@ def test_jl_projection_matches_numpy(spark):
     assert 0.7 < row["mean_ratio"] < 1.3
     share = ((ratios >= 0.75) & (ratios <= 1.25)).mean()
     assert _close(row["share_within_25pct"], share, tol=1e-4)
+
+
+def test_waterfill_allocation_invariants(spark):
+    """Max-min fairness: allocations never exceed availability, all
+    uncapped sources sit at the same water level, and the levels sum
+    to the budget whenever the budget binds."""
+    df = QUERIES["corpus_budget_waterfill"](spark, SF_SMOKE).toPandas()
+    budget = df["budget"].iloc[0]
+    assert (df["allocation"] <= df["avail"] + 1e-6).all()
+    unc = df.loc[~df["capped"], "allocation"]
+    assert unc.nunique() <= 1
+    if len(unc):
+        assert abs(df["allocation"].sum() - budget) < 1e-2
+    else:
+        assert df["allocation"].sum() <= budget + 1e-2
