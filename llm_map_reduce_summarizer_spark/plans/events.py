@@ -1033,6 +1033,77 @@ def growth_from_pairs(du: DataFrame) -> DataFrame:
     )
 
 
+INCIDENT_LOW_FACTOR = 0.5  # incident = volume below this × median
+
+
+def events_incident_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incident detection: contiguous runs of LOW-volume hours per
+    event type — hours (INCLUDING fully silent ones, the worst
+    outages, materialized from the calendar) whose volume falls below
+    half the type's median observed hour — reported as an incident
+    table with start/end/duration and depth. `events_coverage` says
+    how much silence exists; this says WHEN each incident started and
+    ended, the page-the-oncall view.
+
+    Scale: per-type span + exact median are a types-bounded agg; the
+    calendar materializes via sequence-explode bounded by span hours
+    (never events-sized); islands are the gaps-and-islands cumsum on
+    the type-partitioned calendar — one shuffle; exact integers plus
+    one interpolated median.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.withColumn("hour", F.date_trunc("hour", F.col("ts")))
+        .groupBy("event_type", "hour")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    span = hourly.groupBy("event_type").agg(
+        F.min("hour").alias("h0"),
+        F.max("hour").alias("h1"),
+        F.round(F.expr("percentile(n, 0.5)"), 2).alias("med"),
+    )
+    cal = span.select(
+        "event_type",
+        "med",
+        F.explode(
+            F.sequence(
+                F.col("h0"), F.col("h1"), F.expr("INTERVAL 1 HOUR")
+            )
+        ).alias("hour"),
+    )
+    full = cal.join(hourly, ["event_type", "hour"], "left").select(
+        "event_type",
+        "hour",
+        "med",
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+    )
+    low = F.col("n").cast("double") < INCIDENT_LOW_FACTOR * F.col("med")
+    w = Window.partitionBy("event_type").orderBy("hour")
+    flagged = full.withColumn("is_low", low).withColumn(
+        "grp",
+        F.sum((~F.col("is_low")).cast("long")).over(w),
+    )
+    return (
+        flagged.filter(F.col("is_low"))
+        .groupBy("event_type", "grp")
+        .agg(
+            F.min("hour").alias("start_hour"),
+            F.max("hour").alias("end_hour"),
+            F.count(F.lit(1)).cast("long").alias("n_hours"),
+            F.min("n").cast("long").alias("min_volume"),
+            F.first("med").alias("median_volume"),
+        )
+        .select(
+            "event_type",
+            "start_hour",
+            "end_hour",
+            "n_hours",
+            "min_volume",
+            "median_volume",
+        )
+    )
+
+
 def events_user_activity_quantiles(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -4028,6 +4099,7 @@ QUERIES = {
     "events_peak_hours": events_peak_hours,
     "events_hour_concentration": events_hour_concentration,
     "events_growth_accounting": events_growth_accounting,
+    "events_incident_table": events_incident_table,
     "events_l_diversity": events_l_diversity,
     "events_cusum": events_cusum,
     "events_sen_slope": events_sen_slope,
@@ -6312,4 +6384,44 @@ ORACLE["events_growth_accounting"] = f"""
                  ' / c.n_churned', 6)}
            END AS quick_ratio
     FROM act a FULL OUTER JOIN churn c ON a.day = c.day
+"""
+
+ORACLE["events_incident_table"] = f"""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (
+      SELECT event_type, min(hour) AS h0, max(hour) AS h1,
+             round(quantile_cont(n, 0.5), 2) AS med
+      FROM hourly GROUP BY 1
+    ),
+    cal AS (
+      SELECT event_type, med,
+             unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+      FROM span
+    ),
+    full_cal AS (
+      SELECT c.event_type, c.hour, c.med,
+             CAST(coalesce(h.n, 0) AS BIGINT) AS n
+      FROM cal c LEFT JOIN hourly h
+        ON c.event_type = h.event_type AND c.hour = h.hour
+    ),
+    flagged AS (
+      SELECT *,
+             CAST(n AS DOUBLE) < {INCIDENT_LOW_FACTOR} * med AS is_low,
+             sum(CASE WHEN CAST(n AS DOUBLE) < {INCIDENT_LOW_FACTOR} * med
+                      THEN 0 ELSE 1 END)
+               OVER (PARTITION BY event_type ORDER BY hour) AS grp
+      FROM full_cal
+    )
+    SELECT event_type,
+           min(hour) AS start_hour,
+           max(hour) AS end_hour,
+           CAST(count(*) AS BIGINT) AS n_hours,
+           CAST(min(n) AS BIGINT) AS min_volume,
+           first(med) AS median_volume
+    FROM flagged WHERE is_low
+    GROUP BY event_type, grp
 """
