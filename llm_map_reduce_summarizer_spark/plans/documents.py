@@ -5966,6 +5966,42 @@ def corpus_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(RAKE_TOPK)
 
 
+MM_NEARDUP_COS = 0.99999  # near-identical byte distribution
+
+
+def multimodal_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate detection over opaque binary payloads WITHOUT
+    decoding: byte-histogram feature vectors (`multimodal_features`'
+    codec-free 16-bin signature) scored for cosine ≥ 0.99999 — the
+    transcode/re-wrap screen that byte-identical `multimodal_dedup`
+    misses (same media, different container padding shifts the md5
+    but barely moves the byte distribution).
+
+    Scale: features are one Arrow-batched narrow scan; pair scoring
+    reuses the blocked-dgemm all-pairs operator (B·n-row shuffle,
+    numpy matmul per block pair — the `emb_neardup` shape), so no
+    row-pair explosion materializes; the 16-dim vectors make each
+    block multiply trivially cheap.
+    """
+    from ..operators.multimodal import payload_byte_features
+    from ..operators.similarity import embedding_neardup_blocked
+
+    d = _docs(spark, sf_dir).withColumn(
+        "payload", F.encode(F.col("text"), "UTF-8")
+    )
+    feats = payload_byte_features(d)
+    return embedding_neardup_blocked(
+        feats,
+        threshold=MM_NEARDUP_COS,
+        id_col="doc_id",
+        vec_col="features",
+    ).select(
+        F.col("da").cast("long").alias("da"),
+        F.col("db").cast("long").alias("db"),
+        "cos",
+    )
+
+
 WATERFILL_BUDGET_SHARE = 0.5  # token budget = this share of the corpus
 
 
@@ -6325,6 +6361,7 @@ QUERIES = {
     "corpus_keyphrase_rake": corpus_keyphrase_rake,
     "corpus_textrank_terms": corpus_textrank_terms,
     "corpus_budget_waterfill": corpus_budget_waterfill,
+    "multimodal_neardup": multimodal_neardup,
     "emb_matryoshka_eval": emb_matryoshka_eval,
     "emb_random_projection": emb_random_projection,
     "emb_jl_distortion": emb_jl_distortion,
@@ -10549,4 +10586,24 @@ ORACLE["corpus_budget_waterfill"] = f"""
            {sql_quantize('a / avail', 6)} AS fill_share,
            a >= CAST(avail AS DOUBLE) AS capped
     FROM alloc
+"""
+
+ORACLE["multimodal_neardup"] = f"""
+    WITH feats AS ({ORACLE['multimodal_features']}),
+    flist AS (
+      SELECT doc_id, list(share ORDER BY bin) AS f
+      FROM feats GROUP BY 1
+    ),
+    unitf AS (
+      SELECT doc_id,
+             list_transform(f, x -> CAST(x AS DOUBLE) /
+               sqrt({sql_dot('f', 'f', 16)})) AS u
+      FROM flist
+    )
+    SELECT a.doc_id AS da, b.doc_id AS db,
+           (floor({sql_dot('a.u', 'b.u', 16)} * 1000000.0 + 0.5)
+             / 1000000.0) AS cos
+    FROM unitf a JOIN unitf b ON a.doc_id < b.doc_id
+    WHERE (floor({sql_dot('a.u', 'b.u', 16)} * 1000000.0 + 0.5)
+             / 1000000.0) >= {MM_NEARDUP_COS}
 """
