@@ -6245,6 +6245,83 @@ def emb_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def emb_binary_hash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-embedding retrieval evaluation: replace each vector by
+    its 64 SIGN BITS, retrieve top-k by Hamming distance, and report
+    per-query recall against the full float-cosine truth — the
+    64×-compression counterpart of `emb_matryoshka_eval`'s prefix
+    truncation (binary codes are the cheapest vector index a 100 TB
+    corpus can store; this measures what that costs in recall).
+
+    Scale: queries are a broadcast (queries×d cells); Hamming is an
+    exact-integer 64-term fold per (query, corpus) row — n·|queries|
+    narrow rows, no float drift anywhere; ranking is a query-
+    partitioned window; truth is queries×k rows localCheckpointed
+    and broadcast into the hit join.
+    """
+    e = _embs(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < N_QUERY_VECS)
+    truth = (
+        cosine_topk_blocked(q, e, k=KNN_K)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
+    qb = F.broadcast(
+        q.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+        )
+    )
+    ham = F.aggregate(
+        F.zip_with(
+            F.col("qe"),
+            F.col("embedding"),
+            lambda x, y: ((x >= 0) != (y >= 0)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        e.crossJoin(qb)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), ham.alias("hamming"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        "hamming", "neighbor_id"
+    )
+    topk = scored.withColumn(
+        "rk", F.row_number().over(w).cast("long")
+    ).filter(F.col("rk") <= KNN_K)
+    hits = (
+        topk.join(F.broadcast(truth), ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    per_q = truth.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_truth")
+    )
+    return (
+        per_q.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_truth",
+            F.coalesce(F.col("n_hits"), F.lit(0))
+            .cast("long")
+            .alias("n_hits"),
+        )
+        .select(
+            "query_id",
+            "n_truth",
+            "n_hits",
+            quantize(
+                F.col("n_hits").cast("double") / F.col("n_truth"), 6
+            ).alias("recall"),
+        )
+    )
+
+
 JL_K = 16  # Johnson-Lindenstrauss target dimensionality
 
 
@@ -6363,6 +6440,7 @@ QUERIES = {
     "corpus_budget_waterfill": corpus_budget_waterfill,
     "multimodal_neardup": multimodal_neardup,
     "emb_matryoshka_eval": emb_matryoshka_eval,
+    "emb_binary_hash_eval": emb_binary_hash_eval,
     "emb_random_projection": emb_random_projection,
     "emb_jl_distortion": emb_jl_distortion,
     "corpus_prep_e2e": corpus_prep_e2e,
@@ -10607,3 +10685,62 @@ ORACLE["multimodal_neardup"] = f"""
     WHERE (floor({sql_dot('a.u', 'b.u', 16)} * 1000000.0 + 0.5)
              / 1000000.0) >= {MM_NEARDUP_COS}
 """
+
+def _binary_hash_oracle() -> str:
+    q6 = lambda x: f"(floor({x} * 1000000.0 + 0.5) / 1000000.0)"
+    hamming = " + ".join(
+        f"CASE WHEN (q.embedding[{i}] >= 0) <> (c.embedding[{i}] >= 0)"
+        f" THEN 1 ELSE 0 END"
+        for i in range(1, DIM + 1)
+    )
+    cos = q6(sql_dot("a.u", "b.u", DIM))
+    return f"""
+    WITH {sql_unit_cte()},
+    truth AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY {cos} DESC, b.vec_id
+               ) AS rk
+        FROM unitv a JOIN unitv b ON a.vec_id <> b.vec_id
+        WHERE a.vec_id < {N_QUERY_VECS}
+      ) WHERE rk <= {KNN_K}
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST({hamming} AS BIGINT) AS hamming
+      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < {N_QUERY_VECS}
+    ),
+    topk AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY hamming, neighbor_id
+               ) AS rk
+        FROM scored
+      ) WHERE rk <= {KNN_K}
+    ),
+    hits AS (
+      SELECT t.query_id, CAST(count(*) AS BIGINT) AS n_hits
+      FROM topk k JOIN truth t
+        ON k.query_id = t.query_id
+        AND k.neighbor_id = t.neighbor_id
+      GROUP BY 1
+    ),
+    per_q AS (
+      SELECT query_id, CAST(count(*) AS BIGINT) AS n_truth
+      FROM truth GROUP BY 1
+    )
+    SELECT p.query_id, p.n_truth,
+           CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           {sql_quantize(
+               'CAST(coalesce(h.n_hits, 0) AS DOUBLE) / p.n_truth', 6)}
+             AS recall
+    FROM per_q p LEFT JOIN hits h ON p.query_id = h.query_id
+"""
+
+
+ORACLE["emb_binary_hash_eval"] = _binary_hash_oracle()
