@@ -1057,13 +1057,25 @@ def events_incident_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "hour")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
-    span = hourly.groupBy("event_type").agg(
-        F.min("hour").alias("h0"),
-        F.max("hour").alias("h1"),
-        F.round(F.expr("percentile(n, 0.5)"), 2).alias("med"),
+    return incidents_from_hourly(hourly)
+
+
+def incidents_from_hourly(hourly: DataFrame) -> DataFrame:
+    """The incident scan over a (event_type, hour, n) series — shared
+    by the batch query and the streaming drain (`stream_incident_table`
+    accumulates the same tumbling hourly state at ingest)."""
+    # keys rename on the self-lineage agg (drained-relation rule)
+    span = hourly.select(
+        F.col("event_type").alias("et_s"),
+        F.col("hour").alias("hour_s"),
+        F.col("n").alias("n_s"),
+    ).groupBy("et_s").agg(
+        F.min("hour_s").alias("h0"),
+        F.max("hour_s").alias("h1"),
+        F.round(F.expr("percentile(n_s, 0.5)"), 2).alias("med"),
     )
     cal = span.select(
-        "event_type",
+        F.col("et_s").alias("event_type"),
         "med",
         F.explode(
             F.sequence(

@@ -999,6 +999,29 @@ def stream_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return coverage_from_hourly(hourly)
 
 
+def stream_incident_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incident detection: the per-type hourly series
+    accumulates AT INGEST (the `stream_hourly` calendar-bounded
+    tumbling state) and the below-half-median island scan — silent
+    hours materialized from the calendar included — runs post-drain
+    on the hours-bounded snapshot (`events.incidents_from_hourly`).
+    Drain == batch `events_incident_table`, whose oracle it shares.
+    """
+    from pyspark.sql import functions as F
+
+    from ..streaming.stream_ops import hourly_counts
+    from .events import incidents_from_hourly
+
+    ev = read_events_stream(spark, sf_dir)
+    snap = run_available_now(hourly_counts(ev), output_mode="complete")
+    hourly = snap.select(
+        "event_type",
+        "hour",
+        F.col("n_events").cast("long").alias("n"),
+    )
+    return incidents_from_hourly(hourly)
+
+
 def stream_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming growth ledger: activity dedups to (day, user) pairs
     AT INGEST (state = active user-days — entity×calendar-bounded,
@@ -1740,6 +1763,7 @@ QUERIES = {
     "stream_session_stats": stream_session_stats,
     "stream_error_budget": stream_error_budget,
     "stream_ewma_control": stream_ewma_control,
+    "stream_incident_table": stream_incident_table,
     "stream_growth_accounting": stream_growth_accounting,
     "stream_user_paths": stream_user_paths,
     "stream_type_share_trend": stream_type_share_trend,
@@ -1788,6 +1812,8 @@ QUERIES = {
 
 ORACLE = {
     "stream_ewma_control": _EVENTS_ORACLE["events_ewma_control"],
+    "stream_incident_table":
+        _EVENTS_ORACLE["events_incident_table"],
     "stream_growth_accounting":
         _EVENTS_ORACLE["events_growth_accounting"],
     "stream_user_paths": _EVENTS_ORACLE["events_user_paths"],
