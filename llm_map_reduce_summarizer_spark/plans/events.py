@@ -1033,6 +1033,49 @@ def growth_from_pairs(du: DataFrame) -> DataFrame:
     )
 
 
+def events_adoption_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-adoption (penetration) curve: per day, how many users had
+    their FIRST-ever activity that day, the cumulative user base, and
+    its share of the final population — the S-curve read a launch
+    review runs (`events_growth_accounting` is the daily ledger; this
+    is its cumulative integral).
+
+    Scale: first-seen day is one user-keyed partial agg collapsing to
+    a days-bounded table; the cumulative sum runs over the
+    calendar-bounded D² self-join (the `events_changepoint` pattern —
+    NO unpartitioned window); total users is a 1-row broadcast.
+    Exact integers, one division.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).alias("day")
+    first = (
+        ev.select(day, "user_id")
+        .groupBy("user_id")
+        .agg(F.min("day").alias("first_day"))
+    )
+    daily = first.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_first_seen")
+    )
+    b = daily.select(
+        F.col("day").alias("day_b"),
+        F.col("n_first_seen").alias("n_b"),
+    )
+    cum = (
+        daily.join(b, F.col("day_b") <= F.col("day"))
+        .groupBy("day", "n_first_seen")
+        .agg(F.sum("n_b").cast("long").alias("cum_users"))
+    )
+    tot = first.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    return cum.crossJoin(F.broadcast(tot)).select(
+        "day",
+        "n_first_seen",
+        "cum_users",
+        quantize(
+            F.col("cum_users").cast("double") / F.col("n_total"), 6
+        ).alias("penetration"),
+    )
+
+
 INCIDENT_LOW_FACTOR = 0.5  # incident = volume below this × median
 
 
@@ -4112,6 +4155,7 @@ QUERIES = {
     "events_hour_concentration": events_hour_concentration,
     "events_growth_accounting": events_growth_accounting,
     "events_incident_table": events_incident_table,
+    "events_adoption_curve": events_adoption_curve,
     "events_l_diversity": events_l_diversity,
     "events_cusum": events_cusum,
     "events_sen_slope": events_sen_slope,
@@ -6436,4 +6480,27 @@ ORACLE["events_incident_table"] = f"""
            first(med) AS median_volume
     FROM flagged WHERE is_low
     GROUP BY event_type, grp
+"""
+
+ORACLE["events_adoption_curve"] = f"""
+    WITH first_seen AS (
+      SELECT user_id, min(date_trunc('day', ts)) AS first_day
+      FROM events GROUP BY 1
+    ),
+    daily AS (
+      SELECT first_day AS day,
+             CAST(count(*) AS BIGINT) AS n_first_seen
+      FROM first_seen GROUP BY 1
+    ),
+    cum AS (
+      SELECT a.day, a.n_first_seen,
+             CAST(sum(b.n_first_seen) AS BIGINT) AS cum_users
+      FROM daily a JOIN daily b ON b.day <= a.day
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM first_seen)
+    SELECT day, n_first_seen, cum_users,
+           {sql_quantize('CAST(cum_users AS DOUBLE) / n_total', 6)}
+             AS penetration
+    FROM cum CROSS JOIN tot
 """
