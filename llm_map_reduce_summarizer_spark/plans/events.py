@@ -1053,6 +1053,13 @@ def events_adoption_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("day").alias("first_day"))
     )
+    return adoption_from_first_seen(first)
+
+
+def adoption_from_first_seen(first: DataFrame) -> DataFrame:
+    """The S-curve scan over (user_id, first_day) rows — shared by the
+    batch query and the streaming drain (`stream_adoption_curve`
+    min-folds the same first-seen state at ingest)."""
     daily = first.groupBy(F.col("first_day").alias("day")).agg(
         F.count(F.lit(1)).cast("long").alias("n_first_seen")
     )
@@ -1065,7 +1072,9 @@ def events_adoption_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day", "n_first_seen")
         .agg(F.sum("n_b").cast("long").alias("cum_users"))
     )
-    tot = first.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    tot = first.select(
+        F.col("user_id").alias("uid_t")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_total"))
     return cum.crossJoin(F.broadcast(tot)).select(
         "day",
         "n_first_seen",

@@ -999,6 +999,26 @@ def stream_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return coverage_from_hourly(hourly)
 
 
+def stream_adoption_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming adoption curve: per-user FIRST-seen day min-folds AT
+    INGEST (state = one day per active user — entity-bounded and
+    mergeable, so any micro-batch split drains identically) and the
+    cumulative S-curve scan runs post-drain on the days-bounded
+    snapshot. Drain == batch `events_adoption_curve`, whose oracle
+    it shares.
+    """
+    from pyspark.sql import functions as F
+
+    from .events import adoption_from_first_seen
+
+    ev = read_events_stream(spark, sf_dir)
+    first = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", F.col("ts"))).alias("first_day")
+    )
+    snap = run_available_now(first, output_mode="complete")
+    return adoption_from_first_seen(snap)
+
+
 def stream_incident_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming incident detection: the per-type hourly series
     accumulates AT INGEST (the `stream_hourly` calendar-bounded
@@ -1763,6 +1783,7 @@ QUERIES = {
     "stream_session_stats": stream_session_stats,
     "stream_error_budget": stream_error_budget,
     "stream_ewma_control": stream_ewma_control,
+    "stream_adoption_curve": stream_adoption_curve,
     "stream_incident_table": stream_incident_table,
     "stream_growth_accounting": stream_growth_accounting,
     "stream_user_paths": stream_user_paths,
@@ -1812,6 +1833,8 @@ QUERIES = {
 
 ORACLE = {
     "stream_ewma_control": _EVENTS_ORACLE["events_ewma_control"],
+    "stream_adoption_curve":
+        _EVENTS_ORACLE["events_adoption_curve"],
     "stream_incident_table":
         _EVENTS_ORACLE["events_incident_table"],
     "stream_growth_accounting":
