@@ -2318,6 +2318,51 @@ def lineitem_lead_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+GROWTH_TOPK = 20
+
+
+def orders_top_growth_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fastest-growing accounts: top-20 customers by year-over-year
+    revenue growth between the ledger's last two full years (plus the
+    rates) — the account-management complement to `customer_rfm`'s
+    static segmentation.
+
+    Scale: per-(customer, year) revenue is one custkey partial agg
+    with cent-grid quantization; the two-year pivot is a
+    self-join on the customer natural key (co-partitioned,
+    AQE-decided); the last-two-years pair is a 1-row broadcast;
+    top-k is TakeOrderedAndProject.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    per = o.groupBy(
+        "o_custkey", F.year("o_orderdate").alias("yr")
+    ).agg(quantize(F.sum("o_totalprice"), 2).alias("rev"))
+    yrs = per.select(F.col("yr").alias("y_m")).agg(
+        F.max("y_m").cast("long").alias("y1")
+    )
+    cur = per.join(
+        F.broadcast(yrs), F.col("yr") == F.col("y1")
+    ).select("o_custkey", F.col("rev").alias("rev_cur"), "y1")
+    prv = per.join(
+        F.broadcast(yrs), F.col("yr") == F.col("y1") - 1
+    ).select(F.col("o_custkey").alias("ck_p"), F.col("rev").alias("rev_prev"))
+    j = cur.join(
+        prv, F.col("o_custkey") == F.col("ck_p")
+    ).filter(F.col("rev_prev") > 0)
+    growth = (F.col("rev_cur") - F.col("rev_prev")) / F.col("rev_prev")
+    return (
+        j.select(
+            "o_custkey",
+            F.col("y1").alias("year"),
+            "rev_prev",
+            "rev_cur",
+            quantize(growth, 6).alias("growth_rate"),
+        )
+        .orderBy(F.col("growth_rate").desc(), F.col("o_custkey"))
+        .limit(GROWTH_TOPK)
+    )
+
+
 def parts_single_source_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-sourcing exposure: the share of traded parts whose
     entire observed supply came from ONE supplier, and the revenue
@@ -2462,6 +2507,7 @@ QUERIES = {
     "parts_community": parts_community,
     "parts_single_source_risk": parts_single_source_risk,
     "orders_priority_mix_trend": orders_priority_mix_trend,
+    "orders_top_growth_customers": orders_top_growth_customers,
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q8_market_share": q8_market_share,
     "q11_important_parts": q11_important_parts,
@@ -3824,4 +3870,28 @@ ORACLE["orders_priority_mix_trend"] = f"""
     JOIN mtot m USING (month)
     JOIN ptot p USING (o_orderpriority)
     CROSS JOIN gtot g
+"""
+
+ORACLE["orders_top_growth_customers"] = f"""
+    WITH per AS (
+      SELECT o_custkey, year(o_orderdate) AS yr,
+             {sql_quantize('sum(o_totalprice)', 2)} AS rev
+      FROM orders GROUP BY 1, 2
+    ),
+    yrs AS (SELECT CAST(max(yr) AS BIGINT) AS y1 FROM per),
+    cur AS (
+      SELECT p.o_custkey, p.rev AS rev_cur, y.y1
+      FROM per p CROSS JOIN yrs y WHERE p.yr = y.y1
+    ),
+    prv AS (
+      SELECT p.o_custkey, p.rev AS rev_prev
+      FROM per p CROSS JOIN yrs y WHERE p.yr = y.y1 - 1
+    )
+    SELECT c.o_custkey, c.y1 AS year, p.rev_prev, c.rev_cur,
+           {sql_quantize('(c.rev_cur - p.rev_prev) / p.rev_prev', 6)}
+             AS growth_rate
+    FROM cur c JOIN prv p ON c.o_custkey = p.o_custkey
+    WHERE p.rev_prev > 0
+    ORDER BY growth_rate DESC, c.o_custkey
+    LIMIT {GROWTH_TOPK}
 """
