@@ -74,6 +74,45 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_concurrency_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrency gauge: per hour, how many sessions were ACTIVE
+    (interval-overlapping the hour) and how many distinct users they
+    belonged to — the capacity-planning curve (`events_hourly` counts
+    arrivals; an hour with few arrivals can still carry many open
+    sessions).
+
+    Scale: sessions come from the shared gap-sessionization (one
+    user-keyed sort-shuffle); the interval→hour expansion is a
+    sequence-explode bounded by Σ session-duration hours (linear in
+    covered time, never sessions × calendar); the rollup is
+    hours-bounded. Exact integer microsecond arithmetic.
+    """
+    sess = events_sessionize(spark, sf_dir)
+    hours = sess.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.expr("start_us div 3600000000"),
+                F.expr("end_us div 3600000000"),
+            )
+        ).alias("th"),
+    )
+    return (
+        hours.groupBy("th")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_active_sessions"),
+            F.countDistinct("user_id")
+            .cast("long")
+            .alias("n_active_users"),
+        )
+        .select(
+            F.expr("timestamp_micros(th * 3600000000)").alias("hour"),
+            "n_active_sessions",
+            "n_active_users",
+        )
+    )
+
+
 def events_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 users by total value within each event type."""
     ev = load_table(spark, sf_dir, "events")
@@ -4165,6 +4204,7 @@ QUERIES = {
     "events_growth_accounting": events_growth_accounting,
     "events_incident_table": events_incident_table,
     "events_adoption_curve": events_adoption_curve,
+    "events_concurrency_curve": events_concurrency_curve,
     "events_l_diversity": events_l_diversity,
     "events_cusum": events_cusum,
     "events_sen_slope": events_sen_slope,
@@ -6512,4 +6552,18 @@ ORACLE["events_adoption_curve"] = f"""
            {sql_quantize('CAST(cum_users AS DOUBLE) / n_total', 6)}
              AS penetration
     FROM cum CROSS JOIN tot
+"""
+
+ORACLE["events_concurrency_curve"] = f"""
+    WITH sess AS ({ORACLE['events_sessionize']}),
+    hrs AS (
+      SELECT user_id,
+             unnest(generate_series(start_us // 3600000000,
+                                    end_us // 3600000000)) AS th
+      FROM sess
+    )
+    SELECT make_timestamp(th * 3600000000) AS hour,
+           CAST(count(*) AS BIGINT) AS n_active_sessions,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_active_users
+    FROM hrs GROUP BY 1
 """
