@@ -113,6 +113,72 @@ def events_concurrency_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_type_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-metric correlation matrix: Pearson r between every pair
+    of event types' hourly-count series on the shared zero-filled
+    calendar — which feeds move together (deploy+errors, views+
+    clicks) and which are independent; the multivariate companion to
+    `events_error_load_corr`'s single pair.
+
+    Scale: series cells are the (type, hour) partial agg; the global
+    calendar is a 1-row span broadcast; the pair join is keyed on
+    hour over the types-bounded cell table (compare volume =
+    types² × hours, never events²); every moment is an exact integer
+    sum — one final sqrt/division.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.withColumn("hour", F.date_trunc("hour", F.col("ts")))
+        .groupBy("event_type", "hour")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    span = hourly.select(F.col("hour").alias("h_s")).agg(
+        F.min("h_s").alias("h0"), F.max("h_s").alias("h1")
+    )
+    types = hourly.select("event_type").distinct()
+    cal = types.crossJoin(F.broadcast(span)).select(
+        "event_type",
+        F.explode(
+            F.sequence(
+                F.col("h0"), F.col("h1"), F.expr("INTERVAL 1 HOUR")
+            )
+        ).alias("hour"),
+    )
+    filled = cal.join(hourly, ["event_type", "hour"], "left").select(
+        "event_type",
+        "hour",
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+    )
+    a = filled.select(
+        F.col("event_type").alias("ta"), "hour", F.col("n").alias("x")
+    )
+    b = filled.select(
+        F.col("event_type").alias("tb"), "hour", F.col("n").alias("y")
+    )
+    pairs = a.join(b, "hour").filter(F.col("ta") < F.col("tb"))
+    m = pairs.groupBy("ta", "tb").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    nh = F.col("n_hours").cast("double")
+    cov = nh * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    vx = nh * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    vy = nh * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    return m.select(
+        F.col("ta").alias("type_a"),
+        F.col("tb").alias("type_b"),
+        "n_hours",
+        F.when(
+            (vx > 0) & (vy > 0),
+            quantize(cov / F.sqrt(vx * vy), 6),
+        ).alias("pearson_r"),
+    )
+
+
 def events_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 users by total value within each event type."""
     ev = load_table(spark, sf_dir, "events")
@@ -4205,6 +4271,7 @@ QUERIES = {
     "events_incident_table": events_incident_table,
     "events_adoption_curve": events_adoption_curve,
     "events_concurrency_curve": events_concurrency_curve,
+    "events_type_correlation": events_type_correlation,
     "events_l_diversity": events_l_diversity,
     "events_cusum": events_cusum,
     "events_sen_slope": events_sen_slope,
@@ -6566,4 +6633,52 @@ ORACLE["events_concurrency_curve"] = f"""
            CAST(count(*) AS BIGINT) AS n_active_sessions,
            CAST(count(DISTINCT user_id) AS BIGINT) AS n_active_users
     FROM hrs GROUP BY 1
+"""
+
+ORACLE["events_type_correlation"] = f"""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (SELECT min(hour) AS h0, max(hour) AS h1 FROM hourly),
+    cal AS (
+      SELECT t.event_type,
+             unnest(generate_series(s.h0, s.h1, INTERVAL 1 HOUR))
+               AS hour
+      FROM (SELECT DISTINCT event_type FROM hourly) t
+      CROSS JOIN span s
+    ),
+    filled AS (
+      SELECT c.event_type, c.hour,
+             CAST(coalesce(h.n, 0) AS BIGINT) AS n
+      FROM cal c LEFT JOIN hourly h
+        ON c.event_type = h.event_type AND c.hour = h.hour
+    ),
+    m AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(count(*) AS BIGINT) AS n_hours,
+             CAST(sum(a.n) AS BIGINT) AS sx,
+             CAST(sum(b.n) AS BIGINT) AS sy,
+             CAST(sum(a.n * a.n) AS BIGINT) AS sxx,
+             CAST(sum(b.n * b.n) AS BIGINT) AS syy,
+             CAST(sum(a.n * b.n) AS BIGINT) AS sxy
+      FROM filled a JOIN filled b
+        ON a.hour = b.hour AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, n_hours,
+           CASE WHEN CAST(n_hours AS DOUBLE) * sxx
+                     - CAST(sx AS DOUBLE) * sx > 0
+                 AND CAST(n_hours AS DOUBLE) * syy
+                     - CAST(sy AS DOUBLE) * sy > 0 THEN
+             {sql_quantize(
+                 '(CAST(n_hours AS DOUBLE) * sxy'
+                 ' - CAST(sx AS DOUBLE) * sy)'
+                 ' / sqrt((CAST(n_hours AS DOUBLE) * sxx'
+                 ' - CAST(sx AS DOUBLE) * sx)'
+                 ' * (CAST(n_hours AS DOUBLE) * syy'
+                 ' - CAST(sy AS DOUBLE) * sy))', 6)}
+           END AS pearson_r
+    FROM m
 """
