@@ -2187,6 +2187,53 @@ def corpus_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency report over `corpus_pack`'s greedy
+    sequences: pack count, token utilization of the reserved
+    capacity, the fill-rate envelope, and how many packs carry one
+    oversized doc — THE metric for sequence packing (every point of
+    waste is compute burned on padding at training time).
+
+    Scale: one (source, pack) partial agg over the packing output
+    folding into a 1-row summary — exact integer token sums, single
+    divisions.
+    """
+    packed = corpus_pack(spark, sf_dir)
+    per = packed.groupBy("source", "pack_id").agg(
+        F.sum("n_tokens").cast("long").alias("tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+    fill = F.col("tokens").cast("double") / PACK_BUDGET_TOKENS
+    return per.agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_packs"),
+        F.sum("tokens").cast("long").alias("total_tokens"),
+        F.lit(PACK_BUDGET_TOKENS).cast("long").alias("budget"),
+        quantize(F.avg(fill), 6).alias("mean_fill"),
+        quantize(F.min(fill), 6).alias("min_fill"),
+        quantize(F.max(fill), 6).alias("max_fill"),
+        F.sum(
+            (F.col("tokens") > PACK_BUDGET_TOKENS).cast("long")
+        )
+        .cast("long")
+        .alias("oversized_packs"),
+    ).select(
+        "n_docs",
+        "n_packs",
+        "total_tokens",
+        "budget",
+        quantize(
+            F.col("total_tokens").cast("double")
+            / (F.col("n_packs") * PACK_BUDGET_TOKENS).cast("double"),
+            6,
+        ).alias("utilization"),
+        "mean_fill",
+        "min_fill",
+        "max_fill",
+        "oversized_packs",
+    )
+
+
 # ------------------------------------------------------------- multimodal
 
 
@@ -6439,6 +6486,7 @@ QUERIES = {
     "corpus_textrank_terms": corpus_textrank_terms,
     "corpus_budget_waterfill": corpus_budget_waterfill,
     "multimodal_neardup": multimodal_neardup,
+    "corpus_pack_efficiency": corpus_pack_efficiency,
     "emb_matryoshka_eval": emb_matryoshka_eval,
     "emb_binary_hash_eval": emb_binary_hash_eval,
     "emb_random_projection": emb_random_projection,
@@ -10744,3 +10792,33 @@ def _binary_hash_oracle() -> str:
 
 
 ORACLE["emb_binary_hash_eval"] = _binary_hash_oracle()
+
+ORACLE["corpus_pack_efficiency"] = f"""
+    WITH RECURSIVE packed AS ({ORACLE['corpus_pack']}),
+    per AS (
+      SELECT source, pack_id,
+             CAST(sum(n_tokens) AS BIGINT) AS tokens,
+             CAST(count(*) AS BIGINT) AS n_docs
+      FROM packed GROUP BY 1, 2
+    )
+    SELECT CAST(sum(n_docs) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_packs,
+           CAST(sum(tokens) AS BIGINT) AS total_tokens,
+           CAST({PACK_BUDGET_TOKENS} AS BIGINT) AS budget,
+           {sql_quantize(
+               'avg(CAST(tokens AS DOUBLE) / ' +
+               str(PACK_BUDGET_TOKENS) + ')', 6)} AS mean_fill,
+           {sql_quantize(
+               'min(CAST(tokens AS DOUBLE) / ' +
+               str(PACK_BUDGET_TOKENS) + ')', 6)} AS min_fill,
+           {sql_quantize(
+               'max(CAST(tokens AS DOUBLE) / ' +
+               str(PACK_BUDGET_TOKENS) + ')', 6)} AS max_fill,
+           {sql_quantize(
+               'CAST(sum(tokens) AS DOUBLE)'
+               ' / (count(*) * ' + str(PACK_BUDGET_TOKENS) + ')',
+               6)} AS utilization,
+           CAST(sum(CASE WHEN tokens > {PACK_BUDGET_TOKENS}
+             THEN 1 ELSE 0 END) AS BIGINT) AS oversized_packs
+    FROM per
+"""
