@@ -113,6 +113,83 @@ def events_concurrency_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WINDOW_FUNNEL_US = 6 * 3600 * 1_000_000  # chain must fit in 6 hours
+
+
+def events_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed funnel (the ClickHouse ``windowFunnel`` shape,
+    anchor-bounded): a user reaches level 2/3 only if the whole
+    view → click → purchase chain fits inside a 6-hour window
+    anchored at the view — the campaign-attribution funnel, where
+    `events_funnel`'s unconstrained ordering counts a purchase weeks
+    later as a conversion.
+
+    Per anchor view the EARLIEST in-window click is provably
+    sufficient (any valid chain through a later click stays valid
+    through the earliest), so level 3 needs no triple enumeration.
+
+    Scale: every join is keyed on user_id (the sessionization
+    partitioning — AQE reuses the exchange); pair volume is bounded
+    by per-user stage counts, never corpus-wide; the rollup is one
+    row of exact integers.
+    """
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros("ts")
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts_us").alias("t_v")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("uid_c"), F.col("ts_us").alias("t_c")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("uid_p"), F.col("ts_us").alias("t_p")
+    )
+    # earliest in-window click per anchor view
+    vc = (
+        v.join(c, F.col("user_id") == F.col("uid_c"))
+        .filter(
+            (F.col("t_c") > F.col("t_v"))
+            & (F.col("t_c") <= F.col("t_v") + WINDOW_FUNNEL_US)
+        )
+        .groupBy("user_id", "t_v")
+        .agg(F.min("t_c").alias("t_c"))
+    )
+    vcp = (
+        vc.join(p, F.col("user_id") == F.col("uid_p"))
+        .filter(
+            (F.col("t_p") > F.col("t_c"))
+            & (F.col("t_p") <= F.col("t_v") + WINDOW_FUNNEL_US)
+        )
+        .select("user_id")
+        .distinct()
+    )
+    l1 = v.select("user_id").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_level1")
+    )
+    l2 = vc.select("user_id").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_level2")
+    )
+    l3 = vcp.agg(F.count(F.lit(1)).cast("long").alias("n_level3"))
+    return (
+        l1.crossJoin(F.broadcast(l2))
+        .crossJoin(F.broadcast(l3))
+        .select(
+            "n_level1",
+            "n_level2",
+            "n_level3",
+            quantize(
+                F.col("n_level2").cast("double") / F.col("n_level1"),
+                6,
+            ).alias("l2_rate"),
+            quantize(
+                F.col("n_level3").cast("double") / F.col("n_level1"),
+                6,
+            ).alias("l3_rate"),
+        )
+    )
+
+
 def events_type_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-metric correlation matrix: Pearson r between every pair
     of event types' hourly-count series on the shared zero-filled
@@ -4272,6 +4349,7 @@ QUERIES = {
     "events_adoption_curve": events_adoption_curve,
     "events_concurrency_curve": events_concurrency_curve,
     "events_type_correlation": events_type_correlation,
+    "events_window_funnel": events_window_funnel,
     "events_l_diversity": events_l_diversity,
     "events_cusum": events_cusum,
     "events_sen_slope": events_sen_slope,
@@ -6681,4 +6759,40 @@ ORACLE["events_type_correlation"] = f"""
                  ' - CAST(sy AS DOUBLE) * sy))', 6)}
            END AS pearson_r
     FROM m
+"""
+
+ORACLE["events_window_funnel"] = f"""
+    WITH ev AS (
+      SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+    ),
+    v AS (SELECT user_id, ts_us AS t_v FROM ev
+          WHERE event_type = 'view'),
+    c AS (SELECT user_id, ts_us AS t_c FROM ev
+          WHERE event_type = 'click'),
+    p AS (SELECT user_id, ts_us AS t_p FROM ev
+          WHERE event_type = 'purchase'),
+    vc AS (
+      SELECT v.user_id, v.t_v, min(c.t_c) AS t_c
+      FROM v JOIN c ON v.user_id = c.user_id
+      WHERE c.t_c > v.t_v
+        AND c.t_c <= v.t_v + {WINDOW_FUNNEL_US}
+      GROUP BY 1, 2
+    ),
+    vcp AS (
+      SELECT DISTINCT vc.user_id
+      FROM vc JOIN p ON vc.user_id = p.user_id
+      WHERE p.t_p > vc.t_c
+        AND p.t_p <= vc.t_v + {WINDOW_FUNNEL_US}
+    ),
+    l1 AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT)
+             AS n_level1 FROM v),
+    l2 AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT)
+             AS n_level2 FROM vc),
+    l3 AS (SELECT CAST(count(*) AS BIGINT) AS n_level3 FROM vcp)
+    SELECT n_level1, n_level2, n_level3,
+           {sql_quantize('CAST(n_level2 AS DOUBLE) / n_level1', 6)}
+             AS l2_rate,
+           {sql_quantize('CAST(n_level3 AS DOUBLE) / n_level1', 6)}
+             AS l3_rate
+    FROM l1 CROSS JOIN l2 CROSS JOIN l3
 """
