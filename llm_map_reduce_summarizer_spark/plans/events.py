@@ -88,6 +88,14 @@ def events_concurrency_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     hours-bounded. Exact integer microsecond arithmetic.
     """
     sess = events_sessionize(spark, sf_dir)
+    return concurrency_from_sessions(sess)
+
+
+def concurrency_from_sessions(sess: DataFrame) -> DataFrame:
+    """The gauge scan over (user_id, start_us, end_us) session rows —
+    shared by the batch query and the streaming drain
+    (`stream_concurrency_curve` collapses the same sessions at
+    ingest)."""
     hours = sess.select(
         "user_id",
         F.explode(

@@ -999,6 +999,18 @@ def stream_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return coverage_from_hourly(hourly)
 
 
+def stream_concurrency_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming concurrency gauge: sessions form AT INGEST (the
+    `stream_sessionize` per-user state) and the interval→hour overlap
+    scan runs post-drain on the sessions-bounded snapshot
+    (`events.concurrency_from_sessions`). Drain == batch
+    `events_concurrency_curve`, whose oracle it shares.
+    """
+    from .events import concurrency_from_sessions
+
+    return concurrency_from_sessions(stream_sessionize(spark, sf_dir))
+
+
 def stream_adoption_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming adoption curve: per-user FIRST-seen day min-folds AT
     INGEST (state = one day per active user — entity-bounded and
@@ -1783,6 +1795,7 @@ QUERIES = {
     "stream_session_stats": stream_session_stats,
     "stream_error_budget": stream_error_budget,
     "stream_ewma_control": stream_ewma_control,
+    "stream_concurrency_curve": stream_concurrency_curve,
     "stream_adoption_curve": stream_adoption_curve,
     "stream_incident_table": stream_incident_table,
     "stream_growth_accounting": stream_growth_accounting,
@@ -1833,6 +1846,8 @@ QUERIES = {
 
 ORACLE = {
     "stream_ewma_control": _EVENTS_ORACLE["events_ewma_control"],
+    "stream_concurrency_curve":
+        _EVENTS_ORACLE["events_concurrency_curve"],
     "stream_adoption_curve":
         _EVENTS_ORACLE["events_adoption_curve"],
     "stream_incident_table":
