@@ -2318,6 +2318,63 @@ def lineitem_lead_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+OVERLAP_TOPK = 20
+
+
+def supplier_portfolio_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Competitive-overlap mining: the top-20 supplier pairs by
+    Jaccard similarity of their traded part portfolios (who ships the
+    same catalog — substitution candidates in a supply disruption,
+    the pair view behind `parts_single_source_risk`'s exposure
+    count).
+
+    Scale: pair generation is keyed on l_partkey (compare volume =
+    Σ suppliers-per-part², bounded by sourcing breadth, never
+    |suppliers|²); portfolio sizes are a supplier-keyed partial agg
+    broadcast into the pair rollup; Jaccard from exact integers via
+    inclusion-exclusion; top-k is TakeOrderedAndProject.
+    """
+    sp = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    size = sp.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts")
+    )
+    a = sp.select("l_partkey", F.col("l_suppkey").alias("sa"))
+    b = sp.select("l_partkey", F.col("l_suppkey").alias("sb"))
+    inter = (
+        a.join(b, "l_partkey")
+        .filter(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    sza = size.select(
+        F.col("l_suppkey").alias("sa"), F.col("n_parts").alias("na")
+    )
+    szb = size.select(
+        F.col("l_suppkey").alias("sb"), F.col("n_parts").alias("nb")
+    )
+    j = inter.join(F.broadcast(sza), "sa").join(F.broadcast(szb), "sb")
+    union = F.col("na") + F.col("nb") - F.col("n_common")
+    return (
+        j.select(
+            "sa",
+            "sb",
+            "na",
+            "nb",
+            "n_common",
+            quantize(
+                F.col("n_common").cast("double") / union.cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.col("jaccard").desc(), F.col("sa"), F.col("sb"))
+        .limit(OVERLAP_TOPK)
+    )
+
+
 GROWTH_TOPK = 20
 
 
@@ -2508,6 +2565,7 @@ QUERIES = {
     "parts_single_source_risk": parts_single_source_risk,
     "orders_priority_mix_trend": orders_priority_mix_trend,
     "orders_top_growth_customers": orders_top_growth_customers,
+    "supplier_portfolio_overlap": supplier_portfolio_overlap,
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q8_market_share": q8_market_share,
     "q11_important_parts": q11_important_parts,
@@ -3894,4 +3952,32 @@ ORACLE["orders_top_growth_customers"] = f"""
     WHERE p.rev_prev > 0
     ORDER BY growth_rate DESC, c.o_custkey
     LIMIT {GROWTH_TOPK}
+"""
+
+ORACLE["supplier_portfolio_overlap"] = f"""
+    WITH sp AS (
+      SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+    ),
+    sz AS (
+      SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_parts
+      FROM sp GROUP BY 1
+    ),
+    inter AS (
+      SELECT a.l_suppkey AS sa, b.l_suppkey AS sb,
+             CAST(count(*) AS BIGINT) AS n_common
+      FROM sp a JOIN sp b USING (l_partkey)
+      WHERE a.l_suppkey < b.l_suppkey
+      GROUP BY 1, 2
+    )
+    SELECT i.sa, i.sb,
+           za.n_parts AS na, zb.n_parts AS nb, i.n_common,
+           {sql_quantize(
+               'CAST(i.n_common AS DOUBLE)'
+               ' / (za.n_parts + zb.n_parts - i.n_common)', 6)}
+             AS jaccard
+    FROM inter i
+    JOIN sz za ON i.sa = za.l_suppkey
+    JOIN sz zb ON i.sb = zb.l_suppkey
+    ORDER BY jaccard DESC, i.sa, i.sb
+    LIMIT {OVERLAP_TOPK}
 """
