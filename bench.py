@@ -100,6 +100,10 @@ def main() -> None:
         "emb_kmeans",
         "corpus_cross_perplexity",
         "corpus_vocab_coverage",
+        "corpus_keyphrase_rake",
+        "corpus_textrank_terms",
+        "multimodal_neardup",
+        "emb_matryoshka_eval",
     ):
         queries[name](spark, "/root/testdata/sf0.001").write.format(
             "noop"

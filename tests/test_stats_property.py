@@ -388,3 +388,116 @@ def test_events_profile_random(spark, tmp_path_factory, seed):
         assert row["rows_at_risk"] == int(g[l < 3].sum())
 
     run()
+
+
+@pytest.mark.parametrize("seed", [0])
+def test_growth_and_funnel_random(spark, tmp_path_factory, seed):
+    """Random micro-corpora through the growth ledger and the windowed
+    funnel — pandas mirrors of the day-classification and the
+    chain-in-window existence semantics."""
+
+    @settings(**_SETTINGS)
+    @given(data=st.data())
+    def run(data):
+        n = data.draw(st.integers(20, 80))
+        days = data.draw(
+            st.lists(st.integers(0, 9), min_size=n, max_size=n)
+        )
+        secs = data.draw(
+            st.lists(st.integers(0, 86399), min_size=n, max_size=n)
+        )
+        types = data.draw(
+            st.lists(
+                st.sampled_from(["view", "click", "purchase"]),
+                min_size=n,
+                max_size=n,
+            )
+        )
+        ev = pd.DataFrame(
+            {
+                "event_id": range(n),
+                "ts": pd.Timestamp("2024-03-01")
+                + pd.to_timedelta(days, unit="D")
+                + pd.to_timedelta(secs, unit="s"),
+                "user_id": [i % 5 for i in range(n)],
+                "event_type": types,
+                "value": [0.0] * n,
+                "props": ["{}"] * n,
+            }
+        )
+        tmp = tmp_path_factory.mktemp("gf")
+        sf = _write_events(tmp, ev)
+
+        # --- growth accounting ---
+        df = (
+            QUERIES["events_growth_accounting"](spark, sf)
+            .toPandas()
+            .set_index("day")
+            .sort_index()
+        )
+        act = ev.assign(day=ev["ts"].dt.normalize())
+        user_days = {
+            u: sorted(set(g["day"])) for u, g in act.groupby("user_id")
+        }
+        max_day = act["day"].max()
+        one = pd.Timedelta(days=1)
+        exp = {}
+        for u, ds in user_days.items():
+            for i, d in enumerate(ds):
+                e = exp.setdefault(
+                    d, dict(dau=0, new=0, ret=0, res=0, churn=0)
+                )
+                e["dau"] += 1
+                if i == 0:
+                    e["new"] += 1
+                elif ds[i - 1] == d - one:
+                    e["ret"] += 1
+                else:
+                    e["res"] += 1
+                nxt = ds[i + 1] if i + 1 < len(ds) else None
+                if (nxt is None and d < max_day) or (
+                    nxt is not None and nxt > d + one
+                ):
+                    exp.setdefault(
+                        d + one, dict(dau=0, new=0, ret=0, res=0, churn=0)
+                    )["churn"] += 1
+        assert set(df.index) == set(exp)
+        for d, e in exp.items():
+            row = df.loc[d]
+            assert row["dau"] == e["dau"]
+            assert row["n_new"] == e["new"]
+            assert row["n_retained"] == e["ret"]
+            assert row["n_resurrected"] == e["res"]
+            assert row["n_churned"] == e["churn"]
+
+        # --- windowed funnel ---
+        row = (
+            QUERIES["events_window_funnel"](spark, sf).toPandas().iloc[0]
+        )
+        W = pd.Timedelta(hours=6)
+        l1 = l2 = l3 = 0
+        for u, g in ev.groupby("user_id"):
+            vs = g.loc[g.event_type == "view", "ts"]
+            cs = g.loc[g.event_type == "click", "ts"]
+            ps = g.loc[g.event_type == "purchase", "ts"]
+            if len(vs) == 0:
+                continue
+            l1 += 1
+            got2 = any(
+                ((cs > v) & (cs <= v + W)).any() for v in vs
+            )
+            if got2:
+                l2 += 1
+            got3 = any(
+                ((cs > v) & (cs <= v + W) & (cs < p)).any()
+                and (p <= v + W)
+                for v in vs
+                for p in ps
+            )
+            if got3:
+                l3 += 1
+        assert row["n_level1"] == l1
+        assert row["n_level2"] == l2
+        assert row["n_level3"] == l3
+
+    run()
