@@ -423,16 +423,34 @@ def events_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("src", F.col("event_type").alias("dst"))
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
-    row = pairs.groupBy("src").agg(F.sum("c").cast("long").alias("cs"))
-    tot = pairs.agg(F.sum("c").cast("long").alias("ct"))
-    j = pairs.join(F.broadcast(row), "src").crossJoin(F.broadcast(tot))
+    return transition_entropy_from_pairs(pairs)
+
+
+def transition_entropy_from_pairs(pairs: DataFrame) -> DataFrame:
+    """The entropy-rate scan over (src, dst, c) transition counts —
+    shared by the batch query and the streaming drain
+    (`stream_transition_entropy` counts the exactly-once step
+    emissions of `user_paths_stream`)."""
+    # keys rename on the self-lineage aggs (drained-relation rule)
+    row = pairs.select(
+        F.col("src").alias("src_r"), F.col("c").alias("c_r")
+    ).groupBy("src_r").agg(F.sum("c_r").cast("long").alias("cs"))
+    tot = pairs.select(F.col("c").alias("c_t")).agg(
+        F.sum("c_t").cast("long").alias("ct")
+    )
+    j = pairs.join(
+        F.broadcast(row), F.col("src") == F.col("src_r")
+    ).crossJoin(F.broadcast(tot))
     p_pair = quantize(F.col("c") / F.col("ct"), 9)
     p_cond = quantize(F.col("c") / F.col("cs"), 9)
     h2 = -F.sum(p_pair * F.log2(p_cond))
     # marginal entropy over next-type mass
     marg = (
-        pairs.groupBy("dst")
-        .agg(F.sum("c").cast("long").alias("cd"))
+        pairs.select(
+            F.col("dst").alias("dst_m"), F.col("c").alias("c_m")
+        )
+        .groupBy("dst_m")
+        .agg(F.sum("c_m").cast("long").alias("cd"))
         .crossJoin(F.broadcast(tot))
     )
     p1 = quantize(F.col("cd") / F.col("ct"), 9)
@@ -1127,9 +1145,19 @@ def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     day = F.date_trunc("day", F.col("ts")).alias("day")
     du = ev.select(day, "user_id").distinct()
-    first = du.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    return new_vs_returning_from_pairs(du)
+
+
+def new_vs_returning_from_pairs(du: DataFrame) -> DataFrame:
+    """The acquisition split over distinct (day, user_id) pairs —
+    shared by the batch query and the streaming drain
+    (`stream_new_vs_returning` dedups to the same pairs at ingest)."""
+    # keys rename on the self-lineage join (drained-relation rule)
+    first = du.select(
+        F.col("user_id").alias("uid_f"), F.col("day").alias("day_f")
+    ).groupBy("uid_f").agg(F.min("day_f").alias("first_day"))
     return (
-        du.join(first, "user_id")
+        du.join(first, F.col("user_id") == F.col("uid_f"))
         .groupBy("day")
         .agg(
             F.count(F.lit(1)).cast("long").alias("dau"),
@@ -1399,6 +1427,14 @@ def events_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("hour", F.col("ts")).alias("hour"),
         "event_type",
     ).agg(F.count(F.lit(1)).alias("n"))
+    return profile_from_hourly(hourly)
+
+
+def profile_from_hourly(hourly: DataFrame) -> DataFrame:
+    """The seasonality profile over (hour, event_type, n) cells —
+    shared by the batch query and the streaming drain
+    (`stream_hourly_profile` accumulates the same tumbling state at
+    ingest)."""
     return (
         hourly.groupBy(
             F.hour("hour").cast("long").alias("hour_of_day"),
@@ -1616,10 +1652,20 @@ def events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy(
         F.date_trunc("day", F.col("ts")).alias("day")
     ).agg(F.count(F.lit(1)).cast("long").alias("n"))
-    tot = daily.agg(
-        F.sum("n").alias("total_n"),
+    return changepoint_from_daily(daily)
+
+
+def changepoint_from_daily(daily: DataFrame) -> DataFrame:
+    """The CUSUM-changepoint scan over a (day, n) series — shared by
+    the batch query and the streaming drain (`stream_changepoint`
+    accumulates the same calendar-bounded state at ingest)."""
+    # keys rename on the self-lineage agg (drained-relation rule)
+    tot = daily.select(F.col("n").alias("n_t")).agg(
+        F.sum("n_t").alias("total_n"),
         F.count(F.lit(1)).alias("n_days"),
-        (F.sum("n").cast("double") / F.count(F.lit(1))).alias("mean_d"),
+        (F.sum("n_t").cast("double") / F.count(F.lit(1))).alias(
+            "mean_d"
+        ),
     )
     a = daily.select(F.col("day").alias("d"), F.col("n").alias("na"))
     b = daily.select(F.col("day").alias("db"), F.col("n").alias("nb"))
@@ -1878,6 +1924,13 @@ def events_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = ev.groupBy(
         F.date_trunc("hour", F.col("ts")).alias("hour")
     ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return autocorr_from_hourly(hourly)
+
+
+def autocorr_from_hourly(hourly: DataFrame) -> DataFrame:
+    """The lag-1/lag-24 ACF scan over an (hour, n) series — shared by
+    the batch query and the streaming drain (`stream_autocorr` sums
+    its tumbling per-type state to the same overall series)."""
 
     def corr_at(lag_hours: int, name: str) -> DataFrame:
         lag = hourly.select(
@@ -2089,6 +2142,13 @@ def events_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("v"))
     )
+    return gini_from_user_counts(per)
+
+
+def gini_from_user_counts(per: DataFrame) -> DataFrame:
+    """The exact-Gini scan over (user_id, v) activity counts — shared
+    by the batch query and the streaming drain (`stream_gini`
+    accumulates the same entity-bounded counts at ingest)."""
     hist = per.groupBy("v").agg(F.count(F.lit(1)).alias("m"))
     a = hist.select(F.col("v").alias("va"), F.col("m").alias("ma"))
     b = hist.select(F.col("v").alias("vb"), F.col("m").alias("mb"))

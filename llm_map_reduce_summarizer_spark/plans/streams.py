@@ -999,6 +999,121 @@ def stream_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return coverage_from_hourly(hourly)
 
 
+def stream_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming activity-inequality monitor: per-user event counts
+    accumulate AT INGEST (one counter per active user — the
+    `stream_dau` entity-bounded class, mergeable ⇒ split-invariant)
+    and the exact counts-of-counts Gini evaluates post-drain
+    (`events.gini_from_user_counts`). Drain == batch `events_gini`,
+    whose oracle it shares.
+    """
+    from pyspark.sql import functions as F
+
+    from .events import gini_from_user_counts
+
+    ev = read_events_stream(spark, sf_dir)
+    per = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("v"))
+    snap = run_available_now(per, output_mode="complete")
+    return gini_from_user_counts(snap)
+
+
+def stream_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming acquisition split: activity dedups to (day, user)
+    pair state AT INGEST (the `stream_growth_accounting` state) and
+    the new-vs-returning scan runs post-drain. Drain == batch
+    `events_new_vs_returning`, whose oracle it shares.
+    """
+    from pyspark.sql import functions as F
+
+    from .events import new_vs_returning_from_pairs
+
+    ev = read_events_stream(spark, sf_dir)
+    pairs = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day"), "user_id"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    snap = run_available_now(pairs, output_mode="complete")
+    return new_vs_returning_from_pairs(snap.select("day", "user_id"))
+
+
+def stream_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming hour-of-day seasonality profile: the per-(type,
+    hour) tumbling state accumulates AT INGEST and the 24×types
+    profile collapse runs post-drain. Drain == batch
+    `events_hourly_profile`, whose oracle it shares.
+    """
+    from pyspark.sql import functions as F
+
+    from ..streaming.stream_ops import hourly_counts
+    from .events import profile_from_hourly
+
+    ev = read_events_stream(spark, sf_dir)
+    snap = run_available_now(hourly_counts(ev), output_mode="complete")
+    return profile_from_hourly(
+        snap.select("hour", "event_type", F.col("n_events").alias("n"))
+    )
+
+
+def stream_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming temporal-dependence monitor: the hourly tumbling
+    state accumulates AT INGEST (type cells sum to the overall series
+    post-drain — exact) and the lag-1/lag-24 ACF scan runs on the
+    hours-bounded snapshot. Drain == batch `events_autocorr`, whose
+    oracle it shares.
+    """
+    from pyspark.sql import functions as F
+
+    from ..streaming.stream_ops import hourly_counts
+    from .events import autocorr_from_hourly
+
+    ev = read_events_stream(spark, sf_dir)
+    snap = run_available_now(hourly_counts(ev), output_mode="complete")
+    hourly = snap.groupBy("hour").agg(
+        F.sum("n_events").cast("long").alias("n")
+    )
+    return autocorr_from_hourly(hourly)
+
+
+def stream_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CUSUM changepoint: daily counts accumulate AT INGEST
+    (state = calendar days) and the peak-cumulative-deviation scan
+    runs post-drain on the days-bounded snapshot
+    (`events.changepoint_from_daily`). Drain == batch
+    `events_changepoint`, whose oracle it shares.
+    """
+    from pyspark.sql import functions as F
+
+    from .events import changepoint_from_daily
+
+    ev = read_events_stream(spark, sf_dir)
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    snap = run_available_now(daily, output_mode="complete")
+    return changepoint_from_daily(snap)
+
+
+def stream_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming behavioral entropy rate: transitions emit
+    exactly-once AT INGEST off the 3-scalar per-user state
+    (`stream_ops.user_paths_stream`) and the types²-bounded entropy
+    scan runs post-drain on the counted pair sink. Drain == batch
+    `events_transition_entropy`, whose oracle it shares.
+    """
+    from pyspark.sql import functions as F
+
+    from ..streaming.stream_ops import user_paths_stream
+    from .events import transition_entropy_from_pairs
+
+    ev = read_events_stream(spark, sf_dir)
+    steps = run_available_now(
+        user_paths_stream(ev), output_mode="update"
+    )
+    pairs = steps.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    return transition_entropy_from_pairs(pairs)
+
+
 def stream_concurrency_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming concurrency gauge: sessions form AT INGEST (the
     `stream_sessionize` per-user state) and the interval→hour overlap
@@ -1795,6 +1910,12 @@ QUERIES = {
     "stream_session_stats": stream_session_stats,
     "stream_error_budget": stream_error_budget,
     "stream_ewma_control": stream_ewma_control,
+    "stream_gini": stream_gini,
+    "stream_new_vs_returning": stream_new_vs_returning,
+    "stream_hourly_profile": stream_hourly_profile,
+    "stream_autocorr": stream_autocorr,
+    "stream_changepoint": stream_changepoint,
+    "stream_transition_entropy": stream_transition_entropy,
     "stream_concurrency_curve": stream_concurrency_curve,
     "stream_adoption_curve": stream_adoption_curve,
     "stream_incident_table": stream_incident_table,
@@ -1846,6 +1967,15 @@ QUERIES = {
 
 ORACLE = {
     "stream_ewma_control": _EVENTS_ORACLE["events_ewma_control"],
+    "stream_gini": _EVENTS_ORACLE["events_gini"],
+    "stream_new_vs_returning":
+        _EVENTS_ORACLE["events_new_vs_returning"],
+    "stream_hourly_profile":
+        _EVENTS_ORACLE["events_hourly_profile"],
+    "stream_autocorr": _EVENTS_ORACLE["events_autocorr"],
+    "stream_changepoint": _EVENTS_ORACLE["events_changepoint"],
+    "stream_transition_entropy":
+        _EVENTS_ORACLE["events_transition_entropy"],
     "stream_concurrency_curve":
         _EVENTS_ORACLE["events_concurrency_curve"],
     "stream_adoption_curve":
