@@ -776,13 +776,30 @@ def events_retention_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     hu = ev.select(
         F.date_trunc("hour", F.col("ts")).alias("hour"), "user_id"
     ).distinct()
+    return retention_from_pairs(hu)
+
+
+def retention_from_pairs(hu: DataFrame) -> DataFrame:
+    """The hour-over-hour retention scan over distinct (hour,
+    user_id) pairs — shared by the batch query and the streaming
+    drain (`stream_retention_hourly` dedups to the same pairs at
+    ingest)."""
+    # keys rename on the self-lineage join (drained-relation rule)
     nxt = hu.select(
-        (F.col("hour") - F.expr("INTERVAL 1 HOUR")).alias("hour"),
-        F.col("user_id"),
+        (F.col("hour") - F.expr("INTERVAL 1 HOUR")).alias("hour_n"),
+        F.col("user_id").alias("uid_n"),
     )
-    cohort = hu.groupBy("hour").agg(F.count(F.lit(1)).alias("n_users"))
+    cohort = hu.select(
+        F.col("hour").alias("hour_c"), F.col("user_id").alias("uid_c")
+    ).groupBy(F.col("hour_c").alias("hour")).agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
     retained = (
-        hu.join(nxt, ["hour", "user_id"])
+        hu.join(
+            nxt,
+            (F.col("hour") == F.col("hour_n"))
+            & (F.col("user_id") == F.col("uid_n")),
+        )
         .groupBy("hour")
         .agg(F.count(F.lit(1)).alias("n_retained"))
     )
@@ -990,6 +1007,17 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("src", F.col("event_type").alias("dst"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    return markov_from_pairs(pairs)
+
+
+def markov_from_pairs(pairs: DataFrame) -> DataFrame:
+    """The K²-bounded steady-state computation over (src, dst, n)
+    transition counts — shared by the batch query and the streaming
+    drain (`stream_markov_stationary` counts `user_paths_stream`'s
+    exactly-once emissions)."""
+    import numpy as np
+
+    spark = pairs.sparkSession
     cells = pairs.collect()  # K^2 rows — bounded by type cardinality
     types = sorted({r["src"] for r in cells} | {r["dst"] for r in cells})
     idx = {t: i for i, t in enumerate(types)}
@@ -1403,6 +1431,14 @@ def events_user_activity_quantiles(
     per = ev.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("double").alias("n")
     )
+    return activity_quantiles_from_counts(per)
+
+
+def activity_quantiles_from_counts(per: DataFrame) -> DataFrame:
+    """The entity-quantile scan over (user_id, n) counts — shared by
+    the batch query and the streaming drain
+    (`stream_user_activity_quantiles` accumulates the same
+    entity-bounded counters at ingest)."""
     return per.agg(
         F.round(F.expr("percentile(n, 0.5)"), 4).alias("p5"),
         F.round(F.expr("percentile(n, 0.9)"), 4).alias("p9"),
@@ -3400,13 +3436,27 @@ def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "user_id")
         .distinct()
     )
-    sizes = tu.groupBy("event_type").agg(
+    return audience_overlap_from_pairs(tu)
+
+
+def audience_overlap_from_pairs(tu: DataFrame) -> DataFrame:
+    """The Jaccard-overlap scan over distinct (event_type, user_id)
+    pairs — shared by the batch query and the streaming drain
+    (`stream_audience_overlap` dedups to the same pairs at
+    ingest)."""
+    # keys rename on the self-lineage joins (drained-relation rule)
+    sizes = tu.select(
+        F.col("event_type").alias("et_s"),
+        F.col("user_id").alias("uid_s"),
+    ).groupBy(F.col("et_s").alias("event_type")).agg(
         F.count(F.lit(1)).cast("long").alias("n_users")
     )
     a = tu.select("user_id", F.col("event_type").alias("ta"))
-    b = tu.select("user_id", F.col("event_type").alias("tb"))
+    b = tu.select(
+        F.col("user_id").alias("uid_b"), F.col("event_type").alias("tb")
+    )
     inter = (
-        a.join(b, "user_id")
+        a.join(b, F.col("user_id") == F.col("uid_b"))
         .filter(F.col("ta") < F.col("tb"))
         .groupBy("ta", "tb")
         .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
@@ -3493,11 +3543,22 @@ def events_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = ev.groupBy(
         F.date_trunc("hour", F.col("ts")).alias("hour")
     ).agg(F.count(F.lit(1)).cast("long").alias("n"))
-    mn = hourly.agg(
-        F.min("hour").alias("h0"),
+    return periodogram_from_hourly(hourly)
+
+
+def periodogram_from_hourly(hourly: DataFrame) -> DataFrame:
+    """The spectral scan over an (hour, n) series — shared by the
+    batch query and the streaming drain (`stream_periodogram` sums
+    its tumbling per-type state to the same overall series)."""
+    spark = hourly.sparkSession
+    # keys rename on the self-lineage agg (drained-relation rule)
+    mn = hourly.select(
+        F.col("hour").alias("hour_m"), F.col("n").alias("n_m")
+    ).agg(
+        F.min("hour_m").alias("h0"),
         F.count(F.lit(1)).cast("long").alias("cnt"),
-        F.sum("n").cast("long").alias("sx"),
-        F.sum(F.col("n") * F.col("n")).cast("long").alias("sxx"),
+        F.sum("n_m").cast("long").alias("sx"),
+        F.sum(F.col("n_m") * F.col("n_m")).cast("long").alias("sxx"),
     )
     idx = (
         hourly.crossJoin(F.broadcast(mn))

@@ -999,6 +999,136 @@ def stream_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return coverage_from_hourly(hourly)
 
 
+def stream_retention_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming hour-over-hour retention: activity dedups to (hour,
+    user) pair state AT INGEST (bounded by hourly actives × calendar,
+    mergeable ⇒ split-invariant) and the cohort/next-hour scan runs
+    post-drain. Drain == batch `events_retention_hourly`, whose
+    oracle it shares.
+    """
+    from pyspark.sql import functions as F
+
+    from .events import retention_from_pairs
+
+    ev = read_events_stream(spark, sf_dir)
+    hu = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "user_id"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    snap = run_available_now(hu, output_mode="complete")
+    return retention_from_pairs(snap.select("hour", "user_id"))
+
+
+def stream_user_activity_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming entity-activity quantiles: per-user counters
+    accumulate AT INGEST (the `stream_gini` entity-bounded state) and
+    the exact percentile scan runs post-drain on the users-bounded
+    snapshot. Drain == batch `events_user_activity_quantiles`, whose
+    oracle it shares.
+    """
+    from pyspark.sql import functions as F
+
+    from .events import activity_quantiles_from_counts
+
+    ev = read_events_stream(spark, sf_dir)
+    per = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    snap = run_available_now(per, output_mode="complete")
+    return activity_quantiles_from_counts(snap)
+
+
+def stream_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming audience-overlap monitor: (type, user) pairs dedup
+    AT INGEST (entity×types-bounded mergeable state) and the
+    user-keyed Jaccard scan runs post-drain. Drain == batch
+    `events_audience_overlap`, whose oracle it shares.
+    """
+    from pyspark.sql import functions as F
+
+    from .events import audience_overlap_from_pairs
+
+    ev = read_events_stream(spark, sf_dir)
+    tu = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    snap = run_available_now(tu, output_mode="complete")
+    return audience_overlap_from_pairs(
+        snap.select("event_type", "user_id")
+    )
+
+
+def stream_churn_half_life(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming churn half-life: distilled post-drain from the
+    streaming Kaplan-Meier curve (`stream_survival`'s 2-long
+    first/last state) with the same conditional-min summary. Drain ==
+    batch `events_churn_half_life`, whose oracle it shares.
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions.text import quantize
+
+    sv = stream_survival(spark, sf_dir)
+    agg = sv.agg(
+        F.count(F.lit(1)).cast("long").alias("n_offsets"),
+        F.min(
+            F.when(F.col("survival") <= 0.5, F.col("t"))
+        ).alias("half_life_days"),
+        quantize(F.max_by("survival", "t"), 6).alias(
+            "terminal_survival"
+        ),
+    )
+    return agg.select(
+        "n_offsets",
+        "half_life_days",
+        "terminal_survival",
+        F.col("half_life_days").isNotNull().alias("median_reached"),
+    )
+
+
+def stream_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming behavior-chain steady state: transitions emit
+    exactly-once AT INGEST (`user_paths_stream`'s 3-scalar state) and
+    the K²-bounded damped power iteration runs post-drain
+    (`events.markov_from_pairs`). Drain == batch
+    `events_markov_stationary`, whose oracle it shares.
+    """
+    from pyspark.sql import functions as F
+
+    from ..streaming.stream_ops import user_paths_stream
+    from .events import markov_from_pairs
+
+    ev = read_events_stream(spark, sf_dir)
+    steps = run_available_now(
+        user_paths_stream(ev), output_mode="update"
+    )
+    pairs = steps.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return markov_from_pairs(pairs)
+
+
+def stream_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming spectral seasonality scan: the hourly tumbling state
+    accumulates AT INGEST (type cells sum to the overall series
+    post-drain — exact) and the Fourier sums run on the
+    hours-bounded snapshot (`events.periodogram_from_hourly`).
+    Drain == batch `events_periodogram`, whose oracle it shares.
+    """
+    from pyspark.sql import functions as F
+
+    from ..streaming.stream_ops import hourly_counts
+    from .events import periodogram_from_hourly
+
+    ev = read_events_stream(spark, sf_dir)
+    snap = run_available_now(hourly_counts(ev), output_mode="complete")
+    hourly = snap.groupBy("hour").agg(
+        F.sum("n_events").cast("long").alias("n")
+    )
+    return periodogram_from_hourly(hourly)
+
+
 def stream_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming activity-inequality monitor: per-user event counts
     accumulate AT INGEST (one counter per active user — the
@@ -1910,6 +2040,13 @@ QUERIES = {
     "stream_session_stats": stream_session_stats,
     "stream_error_budget": stream_error_budget,
     "stream_ewma_control": stream_ewma_control,
+    "stream_retention_hourly": stream_retention_hourly,
+    "stream_user_activity_quantiles":
+        stream_user_activity_quantiles,
+    "stream_audience_overlap": stream_audience_overlap,
+    "stream_churn_half_life": stream_churn_half_life,
+    "stream_markov_stationary": stream_markov_stationary,
+    "stream_periodogram": stream_periodogram,
     "stream_gini": stream_gini,
     "stream_new_vs_returning": stream_new_vs_returning,
     "stream_hourly_profile": stream_hourly_profile,
@@ -1967,6 +2104,18 @@ QUERIES = {
 
 ORACLE = {
     "stream_ewma_control": _EVENTS_ORACLE["events_ewma_control"],
+    "stream_retention_hourly":
+        _EVENTS_ORACLE["events_retention_hourly"],
+    "stream_user_activity_quantiles":
+        _EVENTS_ORACLE["events_user_activity_quantiles"],
+    "stream_audience_overlap":
+        _EVENTS_ORACLE["events_audience_overlap"],
+    "stream_churn_half_life":
+        _EVENTS_ORACLE["events_churn_half_life"],
+    "stream_markov_stationary":
+        _EVENTS_ORACLE["events_markov_stationary"],
+    "stream_periodogram":
+        _EVENTS_ORACLE["events_periodogram"],
     "stream_gini": _EVENTS_ORACLE["events_gini"],
     "stream_new_vs_returning":
         _EVENTS_ORACLE["events_new_vs_returning"],
