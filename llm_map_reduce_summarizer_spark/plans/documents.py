@@ -560,20 +560,25 @@ def corpus_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     n = token_count(F.col("text")).cast("long")
     bucket = F.floor(n / F.lit(TOKEN_HIST_WIDTH)).cast("long")
-    return (
-        d.select(
-            bucket.alias("bucket"),
-            n.alias("n_tokens"),
-        )
+    cells = (
+        d.select(bucket.alias("bucket"), n.alias("n_tokens"))
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.min("n_tokens").cast("long").alias("min_tokens"),
             F.max("n_tokens").cast("long").alias("max_tokens"),
         )
-        .withColumn(
-            "lo", (F.col("bucket") * TOKEN_HIST_WIDTH).cast("long")
-        )
+    )
+    return token_hist_report(cells)
+
+
+def token_hist_report(cells: DataFrame) -> DataFrame:
+    """The histogram projection over (bucket, n_docs, min, max)
+    cells — shared by the batch query and the streaming drain
+    (`stream_token_histogram` accumulates the same length-bounded
+    count/min/max cells at ingest — all mergeable)."""
+    return cells.withColumn(
+        "lo", (F.col("bucket") * TOKEN_HIST_WIDTH).cast("long")
     )
 
 
@@ -1458,6 +1463,14 @@ def corpus_ngrams_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     sh = doc_shingles(_docs(spark, sf_dir))
     counts = sh.groupBy("s").agg(F.count(F.lit(1)).alias("doc_freq"))
+    return ngrams_topk_from_counts(counts)
+
+
+def ngrams_topk_from_counts(counts: DataFrame) -> DataFrame:
+    """The top-K rank scan over (s, doc_freq) shingle counts — shared
+    by the batch query and the streaming drain
+    (`stream_ngrams_topk` accumulates the same vocab-bounded counts
+    at ingest)."""
     top = counts.orderBy(F.col("doc_freq").desc(), F.col("s")).limit(NGRAM_K)
     packed = top.agg(
         F.sort_array(
@@ -4021,6 +4034,13 @@ def corpus_yule_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = toks.groupBy("source", "term").agg(
         F.count(F.lit(1)).cast("long").alias("f")
     )
+    return yule_from_vocab(vocab)
+
+
+def yule_from_vocab(vocab: DataFrame) -> DataFrame:
+    """The richness rollup over (source, term, f) counts — shared by
+    the batch query and the streaming drain (`stream_yule_k`
+    accumulates the same vocab-bounded counts at ingest)."""
     per = vocab.groupBy("source").agg(
         F.sum("f").cast("long").alias("n_tokens"),
         F.count(F.lit(1)).cast("long").alias("vocab_size"),
@@ -4236,6 +4256,13 @@ def corpus_hapax(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "term")
         .agg(F.count(F.lit(1)).cast("long").alias("f"))
     )
+    return hapax_from_vocab(lt)
+
+
+def hapax_from_vocab(lt: DataFrame) -> DataFrame:
+    """The hapax rollup over (lang, term, f) counts — shared by the
+    batch query and the streaming drain (`stream_hapax` accumulates
+    the same vocab-bounded counts at ingest)."""
     return lt.groupBy("lang").agg(
         F.count(F.lit(1)).cast("long").alias("vocab_size"),
         F.sum((F.col("f") == 1).cast("int")).cast("long").alias("n_hapax"),

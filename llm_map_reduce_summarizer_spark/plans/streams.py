@@ -2003,6 +2003,96 @@ def stream_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chi2_from_obs(obs)
 
 
+def stream_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming doc-length histogram: per-bucket count/min/max cells
+    accumulate AT INGEST (state bounded by the length range over the
+    bucket width — all three aggregates mergeable ⇒ split-invariant)
+    and the bucket projection runs post-drain. Drain == batch
+    `corpus_token_histogram`, whose oracle it shares.
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions.text import token_count
+    from .documents import TOKEN_HIST_WIDTH, token_hist_report
+
+    docs = read_documents_stream(spark, sf_dir)
+    n = token_count(F.col("text")).cast("long")
+    cells = docs.select(
+        F.floor(n / F.lit(TOKEN_HIST_WIDTH)).cast("long").alias("bucket"),
+        n.alias("n_tokens"),
+    ).groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("n_tokens").cast("long").alias("min_tokens"),
+        F.max("n_tokens").cast("long").alias("max_tokens"),
+    )
+    snap = run_available_now(cells, output_mode="complete")
+    return token_hist_report(snap)
+
+
+def stream_ngrams_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming vocabulary sweep: per-shingle document frequencies
+    accumulate AT INGEST (within-doc dedup is map-side in
+    `doc_shingles`, so the state is the distinct-shingle count table —
+    vocab-bounded, mergeable) and the window-free top-K rank scan
+    runs post-drain. Drain == batch `corpus_ngrams_topk`, whose
+    oracle it shares.
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import doc_shingles
+    from .documents import ngrams_topk_from_counts
+
+    docs = read_documents_stream(spark, sf_dir)
+    counts = doc_shingles(docs).groupBy("s").agg(
+        F.count(F.lit(1)).alias("doc_freq")
+    )
+    snap = run_available_now(counts, output_mode="complete")
+    return ngrams_topk_from_counts(snap)
+
+
+def stream_yule_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming richness monitor: (source, term) frequencies
+    accumulate AT INGEST (vocab×strata-bounded mergeable counts, the
+    `stream_cross_perplexity` state class) and the length-invariant
+    K/D rollup runs post-drain. Drain == batch `corpus_yule_k`,
+    whose oracle it shares.
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions.hashing import words
+    from .documents import yule_from_vocab
+
+    docs = read_documents_stream(spark, sf_dir)
+    vocab = docs.select(
+        "source", F.explode(words(F.col("text"))).alias("term")
+    ).groupBy("source", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("f")
+    )
+    snap = run_available_now(vocab, output_mode="complete")
+    return yule_from_vocab(snap)
+
+
+def stream_hapax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming hapax profile: (lang, term) frequencies accumulate
+    AT INGEST (vocab×langs-bounded mergeable counts) and the hapax
+    rollup runs post-drain. Drain == batch `corpus_hapax`, whose
+    oracle it shares.
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions.hashing import words
+    from .documents import hapax_from_vocab
+
+    docs = read_documents_stream(spark, sf_dir)
+    lt = docs.select(
+        "lang", F.explode(words(F.col("text"))).alias("term")
+    ).groupBy("lang", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("f")
+    )
+    snap = run_available_now(lt, output_mode="complete")
+    return hapax_from_vocab(snap)
+
+
 def stream_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming token-mass Gini: per-doc token counts are a
     stateless map at ingest and collapse into the counts-of-counts
@@ -2027,6 +2117,10 @@ def stream_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "stream_token_histogram": stream_token_histogram,
+    "stream_ngrams_topk": stream_ngrams_topk,
+    "stream_yule_k": stream_yule_k,
+    "stream_hapax": stream_hapax,
     "stream_token_gini": stream_token_gini,
     "stream_chi2_independence": stream_chi2_independence,
     "stream_quality_length_corr": stream_quality_length_corr,
@@ -2164,6 +2258,11 @@ ORACLE = {
     "stream_conversion_ztest": _EVENTS_ORACLE["events_conversion_ztest"],
     "stream_quality_length_corr": _DOCS_ORACLE["corpus_quality_length_corr"],
     "stream_cross_perplexity": _DOCS_ORACLE["corpus_cross_perplexity"],
+    "stream_token_histogram":
+        _DOCS_ORACLE["corpus_token_histogram"],
+    "stream_ngrams_topk": _DOCS_ORACLE["corpus_ngrams_topk"],
+    "stream_yule_k": _DOCS_ORACLE["corpus_yule_k"],
+    "stream_hapax": _DOCS_ORACLE["corpus_hapax"],
     "stream_charclass_mix": _DOCS_ORACLE["doc_charclass_mix"],
     "stream_chi2_independence": _DOCS_ORACLE["corpus_chi2_independence"],
     "stream_token_gini": _DOCS_ORACLE["corpus_token_gini"],
