@@ -743,6 +743,14 @@ def events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "hour")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+    return trailing_anomaly_from_hourly(hourly)
+
+
+def trailing_anomaly_from_hourly(hourly: DataFrame) -> DataFrame:
+    """The trailing-window z-screen over (event_type, hour, n_events)
+    cells — shared by the batch query and the streaming drain
+    (`stream_hourly_anomaly` accumulates the same tumbling state at
+    ingest)."""
     w = (
         Window.partitionBy("event_type")
         .orderBy("hour")
@@ -1631,22 +1639,36 @@ def events_forecast_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     touches <= 24 rows per side. Zero-count hours coalesce to 0 so
     the backtest can't silently skip quiet hours.
     """
-    ev = load_table(spark, sf_dir, "events").select(
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
         F.date_trunc("day", F.col("ts")).alias("day"),
         F.hour("ts").cast("bigint").alias("hour_of_day"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    return forecast_from_cells(cells)
+
+
+def forecast_from_cells(cells: DataFrame) -> DataFrame:
+    """The seasonal-naive backtest over (day, hour_of_day, cnt)
+    cells — shared by the batch query and the streaming drain
+    (`stream_forecast_hourly` accumulates the same calendar-bounded
+    cells at ingest)."""
+    # keys rename on the self-lineage joins (drained-relation rule)
+    mx = cells.select(F.col("day").alias("day_m")).agg(
+        F.max("day_m").alias("maxd")
     )
-    mx = ev.agg(F.max("day").alias("maxd"))
-    evx = ev.crossJoin(F.broadcast(mx))
+    evx = cells.crossJoin(F.broadcast(mx))
     train = evx.filter(F.col("day") < F.col("maxd"))
     test = evx.filter(F.col("day") == F.col("maxd"))
-    nd = train.agg(
-        F.countDistinct("day").cast("long").alias("n_train_days")
+    nd = train.select(F.col("day").alias("day_n")).agg(
+        F.countDistinct("day_n").cast("long").alias("n_train_days")
     )
     t1 = train.groupBy("hour_of_day").agg(
-        F.count(F.lit(1)).cast("long").alias("n_train")
+        F.sum("cnt").cast("long").alias("n_train")
     )
-    a1 = test.groupBy("hour_of_day").agg(
-        F.count(F.lit(1)).cast("long").alias("actual")
+    a1 = test.select(
+        F.col("hour_of_day").alias("hod_a"), F.col("cnt").alias("cnt_a")
+    ).groupBy(F.col("hod_a").alias("hour_of_day")).agg(
+        F.sum("cnt_a").cast("long").alias("actual")
     )
     fc = F.col("n_train").cast("double") / F.col("n_train_days")
     return (
@@ -1912,27 +1934,51 @@ def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = ev.groupBy(
         F.date_trunc("hour", F.col("ts")).alias("hour")
     ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return decompose_from_hourly(hourly)
+
+
+def decompose_from_hourly(hourly: DataFrame) -> DataFrame:
+    """The two-way additive decomposition over an (hour, n) series —
+    shared by the batch query and the streaming drain
+    (`stream_seasonal_decompose` sums its tumbling per-type state to
+    the same overall series)."""
     hourly = hourly.select(
         "hour",
         F.date_trunc("day", F.col("hour")).alias("day"),
         F.hour("hour").cast("bigint").alias("hour_of_day"),
         "n",
     )
-    day_m = hourly.groupBy("day").agg(
-        (F.sum("n").cast("double") / F.count(F.lit(1))).alias("day_mean")
+    # keys rename on the self-lineage joins (drained-relation rule)
+    day_m = hourly.select(
+        F.col("day").alias("day_d"), F.col("n").alias("n_d")
+    ).groupBy("day_d").agg(
+        (F.sum("n_d").cast("double") / F.count(F.lit(1))).alias(
+            "day_mean"
+        )
     )
-    hod_m = hourly.groupBy("hour_of_day").agg(
-        (F.sum("n").cast("double") / F.count(F.lit(1))).alias("hod_mean")
+    hod_m = hourly.select(
+        F.col("hour_of_day").alias("hod_h"), F.col("n").alias("n_h")
+    ).groupBy("hod_h").agg(
+        (F.sum("n_h").cast("double") / F.count(F.lit(1))).alias(
+            "hod_mean"
+        )
     )
-    grand = hourly.agg(
-        (F.sum("n").cast("double") / F.count(F.lit(1))).alias("grand_mean")
+    grand = hourly.select(F.col("n").alias("n_g")).agg(
+        (F.sum("n_g").cast("double") / F.count(F.lit(1))).alias(
+            "grand_mean"
+        )
     )
     fitted = (
         F.col("day_mean") + F.col("hod_mean") - F.col("grand_mean")
     )
     return (
-        hourly.join(F.broadcast(day_m), "day")
-        .join(F.broadcast(hod_m), "hour_of_day")
+        hourly.join(
+            F.broadcast(day_m), F.col("day") == F.col("day_d")
+        )
+        .join(
+            F.broadcast(hod_m),
+            F.col("hour_of_day") == F.col("hod_h"),
+        )
         .crossJoin(F.broadcast(grand))
         .select(
             "hour",
@@ -2015,13 +2061,24 @@ def events_anomaly_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact comparisons on quantized residuals.
     """
     dec = events_seasonal_decompose(spark, sf_dir)
-    stats = dec.agg(
-        F.expr("percentile(residual, 0.5)").alias("med_r")
+    return residual_screen_from_decomposed(dec)
+
+
+def residual_screen_from_decomposed(dec: DataFrame) -> DataFrame:
+    """The median/MAD screen over a decomposed (hour, n, fitted,
+    residual) table — shared by the batch query and the streaming
+    drain (`stream_anomaly_residual` decomposes its drained hourly
+    state with the same shared scan)."""
+    # keys rename on the self-lineage agg (drained-relation rule)
+    stats = dec.select(F.col("residual").alias("r_s")).agg(
+        F.expr("percentile(r_s, 0.5)").alias("med_r")
     )
     dev = dec.crossJoin(F.broadcast(stats)).withColumn(
         "adev", F.abs(F.col("residual") - F.col("med_r"))
     )
-    mad = dev.agg(F.expr("percentile(adev, 0.5)").alias("mad_r"))
+    mad = dev.select(F.col("adev").alias("adev_m")).agg(
+        F.expr("percentile(adev_m, 0.5)").alias("mad_r")
+    )
     return (
         dev.crossJoin(F.broadcast(mad))
         .filter(
@@ -2834,22 +2891,38 @@ def events_hourly_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     and means ride the same (type, hour) partial agg.
     """
     ev = load_table(spark, sf_dir, "events")
-    hourly = ev.groupBy(
+    cells = ev.groupBy(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
     ).agg(
-        F.count(F.lit(1)).cast("long").alias("n_events"),
-        quantize(F.avg("value"), 4).alias("mean_value"),
+        F.count(F.lit(1)).cast("long").alias("n_raw"),
+        F.sum("value").alias("sv"),
     )
-    rng = ev.agg(
-        F.date_trunc("hour", F.min("ts")).alias("lo"),
-        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    return locf_from_cells(cells)
+
+
+def locf_from_cells(cells: DataFrame) -> DataFrame:
+    """The gap-filled LOCF series over (event_type, hour, n_raw, sv)
+    cells — shared by the batch query and the streaming drain
+    (`stream_hourly_locf` accumulates the same mergeable sum/count
+    cells at ingest; mean = sv/n is exactly Spark's avg)."""
+    hourly = cells.select(
+        "event_type",
+        "hour",
+        F.col("n_raw").alias("n_events"),
+        quantize(F.col("sv") / F.col("n_raw"), 4).alias("mean_value"),
+    )
+    # keys rename on the self-lineage aggs (drained-relation rule)
+    rng = cells.select(F.col("hour").alias("hour_r")).agg(
+        F.min("hour_r").alias("lo"), F.max("hour_r").alias("hi")
     )
     spine = rng.select(
         F.explode(
             F.expr("sequence(lo, hi, interval 1 hour)")
         ).alias("hour")
     )
-    types = ev.select("event_type").distinct()
+    types = cells.select(
+        F.col("event_type").alias("et_t")
+    ).distinct().select(F.col("et_t").alias("event_type"))
     grid = types.crossJoin(F.broadcast(spine))
     j = grid.join(hourly, ["event_type", "hour"], "left")
     w = (
@@ -2900,19 +2973,37 @@ def events_hourly_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integer hour arithmetic until the final lerp.
     """
     ev = load_table(spark, sf_dir, "events")
-    hourly = ev.groupBy(
+    cells = ev.groupBy(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
-    ).agg(quantize(F.avg("value"), 4).alias("mean_value"))
-    rng = ev.agg(
-        F.date_trunc("hour", F.min("ts")).alias("lo"),
-        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_raw"),
+        F.sum("value").alias("sv"),
+    )
+    return interp_from_cells(cells)
+
+
+def interp_from_cells(cells: DataFrame) -> DataFrame:
+    """The linear-interpolation series over (event_type, hour, n_raw,
+    sv) cells — shared by the batch query and the streaming drain
+    (`stream_hourly_interp` accumulates the same mergeable sum/count
+    cells at ingest)."""
+    hourly = cells.select(
+        "event_type",
+        "hour",
+        quantize(F.col("sv") / F.col("n_raw"), 4).alias("mean_value"),
+    )
+    # keys rename on the self-lineage aggs (drained-relation rule)
+    rng = cells.select(F.col("hour").alias("hour_r")).agg(
+        F.min("hour_r").alias("lo"), F.max("hour_r").alias("hi")
     )
     spine = rng.select(
         F.explode(
             F.expr("sequence(lo, hi, interval 1 hour)")
         ).alias("hour")
     )
-    types = ev.select("event_type").distinct()
+    types = cells.select(
+        F.col("event_type").alias("et_t")
+    ).distinct().select(F.col("et_t").alias("event_type"))
     grid = types.crossJoin(F.broadcast(spine))
     j = grid.join(hourly, ["event_type", "hour"], "left").withColumn(
         "t", (F.unix_micros("hour") / F.lit(3600000000)).cast("long")

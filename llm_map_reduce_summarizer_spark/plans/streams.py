@@ -999,6 +999,153 @@ def stream_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return coverage_from_hourly(hourly)
 
 
+def stream_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming two-way decomposition: the hourly tumbling state
+    accumulates AT INGEST (type cells sum to the overall series
+    post-drain — exact) and the day/hour-of-day additive fit runs on
+    the hours-bounded snapshot (`events.decompose_from_hourly`).
+    Drain == batch `events_seasonal_decompose`, whose oracle it
+    shares.
+    """
+    from pyspark.sql import functions as F
+
+    from ..streaming.stream_ops import hourly_counts
+    from .events import decompose_from_hourly
+
+    ev = read_events_stream(spark, sf_dir)
+    snap = run_available_now(hourly_counts(ev), output_mode="complete")
+    hourly = snap.groupBy("hour").agg(
+        F.sum("n_events").cast("long").alias("n")
+    )
+    return decompose_from_hourly(hourly)
+
+
+def stream_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming trailing-window anomaly screen: the per-(type, hour)
+    tumbling state accumulates AT INGEST and the 24-hour trailing
+    z-score runs post-drain on the bounded snapshot. Drain == batch
+    `events_hourly_anomaly`, whose oracle it shares.
+    """
+    from pyspark.sql import functions as F
+
+    from ..streaming.stream_ops import hourly_counts
+    from .events import trailing_anomaly_from_hourly
+
+    ev = read_events_stream(spark, sf_dir)
+    snap = run_available_now(hourly_counts(ev), output_mode="complete")
+    return trailing_anomaly_from_hourly(
+        snap.select("event_type", "hour", "n_events")
+    )
+
+
+def stream_anomaly_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deseasonalized anomaly screen: decompose the drained
+    hourly state with the shared two-way fit, then apply the
+    median/MAD residual screen (`events.residual_screen_from_
+    decomposed`). Drain == batch `events_anomaly_residual`, whose
+    oracle it shares.
+    """
+    from pyspark.sql import functions as F
+
+    from ..streaming.stream_ops import hourly_counts
+    from .events import (
+        decompose_from_hourly,
+        residual_screen_from_decomposed,
+    )
+
+    ev = read_events_stream(spark, sf_dir)
+    snap = run_available_now(hourly_counts(ev), output_mode="complete")
+    hourly = snap.groupBy("hour").agg(
+        F.sum("n_events").cast("long").alias("n")
+    )
+    return residual_screen_from_decomposed(
+        decompose_from_hourly(hourly)
+    )
+
+
+def stream_forecast_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming seasonal-naive backtest: (day, hour-of-day) count
+    cells accumulate AT INGEST (calendar-bounded mergeable state) and
+    the train/test split + hod-mean forecast run post-drain
+    (`events.forecast_from_cells`). Drain == batch
+    `events_forecast_hourly`, whose oracle it shares.
+    """
+    from pyspark.sql import functions as F
+
+    from .events import forecast_from_cells
+
+    ev = read_events_stream(spark, sf_dir)
+    cells = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.hour("ts").cast("bigint").alias("hour_of_day"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    snap = run_available_now(cells, output_mode="complete")
+    return forecast_from_cells(snap)
+
+
+def stream_hourly_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming LOCF gap-fill: (type, hour) count+sum cells
+    accumulate AT INGEST (both mergeable ⇒ split-invariant; mean =
+    sv/n is exactly the batch avg) and the spine/carry-forward scan
+    runs post-drain (`events.locf_from_cells`). Drain == batch
+    `events_hourly_locf`, whose oracle it shares.
+    """
+    from pyspark.sql import functions as F
+
+    from .events import locf_from_cells
+
+    ev = read_events_stream(spark, sf_dir)
+    cells = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_raw"),
+        F.sum("value").alias("sv"),
+    )
+    snap = run_available_now(cells, output_mode="complete")
+    return locf_from_cells(snap)
+
+
+def stream_hourly_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming linear-interpolation gap-fill: the same mergeable
+    (type, hour) count+sum state, with the bracketing-window lerp
+    post-drain (`events.interp_from_cells`). Drain == batch
+    `events_hourly_interp`, whose oracle it shares.
+    """
+    from pyspark.sql import functions as F
+
+    from .events import interp_from_cells
+
+    ev = read_events_stream(spark, sf_dir)
+    cells = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_raw"),
+        F.sum("value").alias("sv"),
+    )
+    snap = run_available_now(cells, output_mode="complete")
+    return interp_from_cells(snap)
+
+
+def stream_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming semi-structured rollup: the per-type min/max/avg/
+    count aggregates over the extracted JSON prop accumulate AT
+    INGEST (state = one aggregate row per type — every component
+    mergeable). Drain == batch `events_json_props`, whose oracle it
+    shares.
+    """
+    from pyspark.sql import functions as F
+
+    ev = read_events_stream(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("int")
+    agg = ev.withColumn("k", k).groupBy("event_type").agg(
+        F.round(F.avg("k"), 4).alias("avg_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return run_available_now(agg, output_mode="complete")
+
+
 def stream_retention_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming hour-over-hour retention: activity dedups to (hour,
     user) pair state AT INGEST (bounded by hourly actives × calendar,
@@ -2134,6 +2281,13 @@ QUERIES = {
     "stream_session_stats": stream_session_stats,
     "stream_error_budget": stream_error_budget,
     "stream_ewma_control": stream_ewma_control,
+    "stream_seasonal_decompose": stream_seasonal_decompose,
+    "stream_hourly_anomaly": stream_hourly_anomaly,
+    "stream_anomaly_residual": stream_anomaly_residual,
+    "stream_forecast_hourly": stream_forecast_hourly,
+    "stream_hourly_locf": stream_hourly_locf,
+    "stream_hourly_interp": stream_hourly_interp,
+    "stream_json_props": stream_json_props,
     "stream_retention_hourly": stream_retention_hourly,
     "stream_user_activity_quantiles":
         stream_user_activity_quantiles,
@@ -2198,6 +2352,20 @@ QUERIES = {
 
 ORACLE = {
     "stream_ewma_control": _EVENTS_ORACLE["events_ewma_control"],
+    "stream_seasonal_decompose":
+        _EVENTS_ORACLE["events_seasonal_decompose"],
+    "stream_hourly_anomaly":
+        _EVENTS_ORACLE["events_hourly_anomaly"],
+    "stream_anomaly_residual":
+        _EVENTS_ORACLE["events_anomaly_residual"],
+    "stream_forecast_hourly":
+        _EVENTS_ORACLE["events_forecast_hourly"],
+    "stream_hourly_locf":
+        _EVENTS_ORACLE["events_hourly_locf"],
+    "stream_hourly_interp":
+        _EVENTS_ORACLE["events_hourly_interp"],
+    "stream_json_props":
+        _EVENTS_ORACLE["events_json_props"],
     "stream_retention_hourly":
         _EVENTS_ORACLE["events_retention_hourly"],
     "stream_user_activity_quantiles":
