@@ -540,6 +540,14 @@ def events_funnel_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer counts — written in the same order in both engines.
     """
     base = events_funnel(spark, sf_dir)
+    return funnel_ci_from_counts(base)
+
+
+def funnel_ci_from_counts(base: DataFrame) -> DataFrame:
+    """The Wilson-bound scan over the 1-row funnel count table —
+    shared by the batch query and the streaming drain
+    (`stream_funnel_ci` composes `stream_funnel`'s drained
+    counts)."""
     stages = base.selectExpr(
         "stack(2,"
         " 'view->click', n_view, n_click_after_view,"
@@ -3485,10 +3493,20 @@ def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("ts_us").alias("t_purchase"))
     )
-    vc = c.join(v, "user_id").select(
+    times = v.join(c, "user_id", "left").join(p, "user_id", "left")
+    return funnel_latency_from_times(times)
+
+
+def funnel_latency_from_times(times: DataFrame) -> DataFrame:
+    """The stage-latency scan over per-user (t_view, t_click,
+    t_purchase) progression times — shared by the batch query and
+    the streaming drain (`stream_funnel_latency` reads the SAME
+    min-progression times out of the funnel stage machine's
+    3-scalar state)."""
+    vc = times.filter(F.col("t_click").isNotNull()).select(
         (F.col("t_click") - F.col("t_view")).alias("d_us")
     )
-    cp = p.join(c, "user_id").select(
+    cp = times.filter(F.col("t_purchase").isNotNull()).select(
         (F.col("t_purchase") - F.col("t_click")).alias("d_us")
     )
 
@@ -3503,7 +3521,9 @@ def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias(f"p90_{name}_s"),
         )
 
-    n_view = v.agg(F.count(F.lit(1)).cast("long").alias("n_view_users"))
+    n_view = times.filter(F.col("t_view").isNotNull()).agg(
+        F.count(F.lit(1)).cast("long").alias("n_view_users")
+    )
     return n_view.crossJoin(
         F.broadcast(lat(vc, "view_to_click"))
     ).crossJoin(F.broadcast(lat(cp, "click_to_purchase")))
@@ -4140,6 +4160,13 @@ def events_ab_design(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles after that.
     """
     base = events_conversion_ztest(spark, sf_dir)
+    return ab_design_from_counts(base)
+
+
+def ab_design_from_counts(base: DataFrame) -> DataFrame:
+    """The MDE readout over the z-test's 1-row count table — shared
+    by the batch query and the streaming drain (`stream_ab_design`
+    composes `stream_conversion_ztest`'s drained counts)."""
     pool = (F.col("x_a") + F.col("x_b")).cast("double") / (
         F.col("n_a") + F.col("n_b")
     )
@@ -4172,7 +4199,14 @@ def events_ab_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
     then closed-form doubles from two integers.
     """
     ev = load_table(spark, sf_dir, "events")
-    arms = ev.select("user_id").distinct().agg(
+    return srm_from_users(ev.select("user_id").distinct())
+
+
+def srm_from_users(users: DataFrame) -> DataFrame:
+    """The χ²(1) parity check over distinct users — shared by the
+    batch query and the streaming drain (`stream_ab_srm` dedups to
+    the same user set at ingest)."""
+    arms = users.agg(
         F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0))
         .cast("long")
         .alias("n_a"),

@@ -999,6 +999,70 @@ def stream_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return coverage_from_hourly(hourly)
 
 
+def stream_ab_design(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming experiment-design readout: the MDE scan over
+    `stream_conversion_ztest`'s drained four-integer count table
+    (per-user 2-minima state). Drain == batch `events_ab_design`,
+    whose oracle it shares.
+    """
+    from .events import ab_design_from_counts
+
+    return ab_design_from_counts(stream_conversion_ztest(spark, sf_dir))
+
+
+def stream_ab_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sample-ratio-mismatch gate: users dedup AT INGEST
+    (one counter per user — mergeable) and the χ²(1) parity check
+    runs post-drain. Drain == batch `events_ab_srm`, whose oracle it
+    shares.
+    """
+    from pyspark.sql import functions as F
+
+    from .events import srm_from_users
+
+    ev = read_events_stream(spark, sf_dir)
+    users = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    snap = run_available_now(users, output_mode="complete")
+    return srm_from_users(snap.select("user_id"))
+
+
+def stream_funnel_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming funnel confidence bounds: the Wilson scan over
+    `stream_funnel`'s drained stage counts (per-user 3-scalar stage
+    machine). Drain == batch `events_funnel_ci`, whose oracle it
+    shares.
+    """
+    from .events import funnel_ci_from_counts
+
+    return funnel_ci_from_counts(stream_funnel(spark, sf_dir))
+
+
+def stream_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming stage-latency profile: the funnel stage machine's
+    per-user min-progression times (3 scalars of state) drain to the
+    SAME times table as the batch conditional-min chain, and the
+    shared percentile scan runs post-drain. Drain == batch
+    `events_funnel_latency`, whose oracle it shares.
+    """
+    from pyspark.sql import functions as F
+
+    from ..streaming.stream_ops import funnel_stages_stream
+    from .events import funnel_latency_from_times
+
+    ev = read_events_stream(spark, sf_dir)
+    drained = run_available_now(
+        funnel_stages_stream(ev), output_mode="update"
+    )
+    times = drained.groupBy("user_id").agg(
+        F.max("t_view").alias("t_view"),
+        F.max("t_click").alias("t_click"),
+        F.max("t_purchase").alias("t_purchase"),
+    ).filter(F.col("t_view").isNotNull())
+    return funnel_latency_from_times(times)
+
+
 def stream_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming two-way decomposition: the hourly tumbling state
     accumulates AT INGEST (type cells sum to the overall series
@@ -2281,6 +2345,10 @@ QUERIES = {
     "stream_session_stats": stream_session_stats,
     "stream_error_budget": stream_error_budget,
     "stream_ewma_control": stream_ewma_control,
+    "stream_ab_design": stream_ab_design,
+    "stream_ab_srm": stream_ab_srm,
+    "stream_funnel_ci": stream_funnel_ci,
+    "stream_funnel_latency": stream_funnel_latency,
     "stream_seasonal_decompose": stream_seasonal_decompose,
     "stream_hourly_anomaly": stream_hourly_anomaly,
     "stream_anomaly_residual": stream_anomaly_residual,
@@ -2352,6 +2420,11 @@ QUERIES = {
 
 ORACLE = {
     "stream_ewma_control": _EVENTS_ORACLE["events_ewma_control"],
+    "stream_ab_design": _EVENTS_ORACLE["events_ab_design"],
+    "stream_ab_srm": _EVENTS_ORACLE["events_ab_srm"],
+    "stream_funnel_ci": _EVENTS_ORACLE["events_funnel_ci"],
+    "stream_funnel_latency":
+        _EVENTS_ORACLE["events_funnel_latency"],
     "stream_seasonal_decompose":
         _EVENTS_ORACLE["events_seasonal_decompose"],
     "stream_hourly_anomaly":
