@@ -3369,6 +3369,13 @@ def events_forecast_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     more tiny aggregate — error sums run over grid-quantized values.
     """
     fc = events_forecast_hourly(spark, sf_dir)
+    return scorecard_from_backtest(fc)
+
+
+def scorecard_from_backtest(fc: DataFrame) -> DataFrame:
+    """The one-row scorecard over the ≤24-row backtest table — shared
+    by the batch query and the streaming drain
+    (`stream_forecast_scorecard` composes `stream_forecast_hourly`)."""
     return fc.agg(
         F.count(F.lit(1)).cast("long").alias("n_hours"),
         F.max("n_train_days").alias("n_train_days"),
@@ -3411,10 +3418,21 @@ def events_anomaly_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = ev.groupBy(
         F.date_trunc("hour", F.col("ts")).alias("hour")
     ).agg(F.count(F.lit(1)).cast("long").alias("n"))
-    st = hourly.agg(
+    return ensemble_from_hourly(hourly)
+
+
+def ensemble_from_hourly(hourly: DataFrame) -> DataFrame:
+    """The three-detector consensus over an (hour, n) series — the
+    one-scan composition the batch docstring prescribes for 100 TB,
+    shared by the batch query and the streaming drain
+    (`stream_anomaly_ensemble`): global 3σ band inline, seasonal
+    band via the shared decomposition scan, EWMA via
+    `ewma_from_hourly`."""
+    # keys rename on the self-lineage aggs/joins (drained rule)
+    st = hourly.select(F.col("n").alias("n_s")).agg(
         F.count(F.lit(1)).cast("long").alias("cnt"),
-        F.sum("n").cast("long").alias("sx"),
-        F.sum(F.col("n") * F.col("n")).cast("long").alias("sxx"),
+        F.sum("n_s").cast("long").alias("sx"),
+        F.sum(F.col("n_s") * F.col("n_s")).cast("long").alias("sxx"),
     )
     mean = F.col("sx").cast("double") / F.col("cnt")
     var = (
@@ -3425,11 +3443,11 @@ def events_anomaly_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(F.col("n") - mean) > 3 * F.sqrt(var))
         .select("hour", F.lit("global").alias("method"))
     )
-    r = events_anomaly_residual(spark, sf_dir).select(
-        "hour", F.lit("seasonal").alias("method")
-    )
+    r = residual_screen_from_decomposed(
+        decompose_from_hourly(hourly)
+    ).select("hour", F.lit("seasonal").alias("method"))
     e = (
-        events_ewma_control(spark, sf_dir)
+        ewma_from_hourly(hourly)
         .filter(F.col("breach"))
         .select("hour", F.lit("ewma").alias("method"))
     )
@@ -3447,9 +3465,14 @@ def events_anomaly_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("votes"),
         )
     )
-    return votes.join(hourly, "hour").select(
+    base = hourly.select(
+        F.col("hour").alias("hour_b"), F.col("n").alias("n_b")
+    )
+    return votes.join(
+        base, F.col("hour") == F.col("hour_b")
+    ).select(
         "hour",
-        F.col("n").alias("n_events"),
+        F.col("n_b").alias("n_events"),
         "by_global",
         "by_seasonal",
         "by_ewma",

@@ -999,6 +999,36 @@ def stream_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return coverage_from_hourly(hourly)
 
 
+def stream_anomaly_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming consensus anomaly screen: ONE hourly tumbling state
+    feeds all three detectors post-drain (global 3σ, seasonal
+    median/MAD, EWMA breach — `events.ensemble_from_hourly`, the
+    one-scan composition the batch docstring prescribes for 100 TB).
+    Drain == batch `events_anomaly_ensemble`, whose oracle it shares.
+    """
+    from pyspark.sql import functions as F
+
+    from ..streaming.stream_ops import hourly_counts
+    from .events import ensemble_from_hourly
+
+    ev = read_events_stream(spark, sf_dir)
+    snap = run_available_now(hourly_counts(ev), output_mode="complete")
+    hourly = snap.groupBy("hour").agg(
+        F.sum("n_events").cast("long").alias("n")
+    )
+    return ensemble_from_hourly(hourly)
+
+
+def stream_forecast_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming forecast scorecard: the one-row MAE/MAPE/bias
+    rollup over `stream_forecast_hourly`'s drained backtest. Drain ==
+    batch `events_forecast_scorecard`, whose oracle it shares.
+    """
+    from .events import scorecard_from_backtest
+
+    return scorecard_from_backtest(stream_forecast_hourly(spark, sf_dir))
+
+
 def stream_ab_design(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming experiment-design readout: the MDE scan over
     `stream_conversion_ztest`'s drained four-integer count table
@@ -2345,6 +2375,8 @@ QUERIES = {
     "stream_session_stats": stream_session_stats,
     "stream_error_budget": stream_error_budget,
     "stream_ewma_control": stream_ewma_control,
+    "stream_anomaly_ensemble": stream_anomaly_ensemble,
+    "stream_forecast_scorecard": stream_forecast_scorecard,
     "stream_ab_design": stream_ab_design,
     "stream_ab_srm": stream_ab_srm,
     "stream_funnel_ci": stream_funnel_ci,
@@ -2420,6 +2452,10 @@ QUERIES = {
 
 ORACLE = {
     "stream_ewma_control": _EVENTS_ORACLE["events_ewma_control"],
+    "stream_anomaly_ensemble":
+        _EVENTS_ORACLE["events_anomaly_ensemble"],
+    "stream_forecast_scorecard":
+        _EVENTS_ORACLE["events_forecast_scorecard"],
     "stream_ab_design": _EVENTS_ORACLE["events_ab_design"],
     "stream_ab_srm": _EVENTS_ORACLE["events_ab_srm"],
     "stream_funnel_ci": _EVENTS_ORACLE["events_funnel_ci"],
