@@ -2339,6 +2339,55 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", F.col("bin").cast("long").alias("bin"), "share")
 
 
+MM_PACK_BUDGET_BYTES = 1024
+
+
+def multimodal_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy byte-budget shard packing for binary payloads: within
+    each (fake-)format stream, concatenate payloads (in doc_id order)
+    into shards of at most ``MM_PACK_BUDGET_BYTES``; an oversized blob
+    gets a shard of its own — `corpus_pack`'s recurrence lifted from
+    token space to byte space, the step a multimodal training-data
+    pipeline runs to build fixed-size record files (the binary
+    analogue of sequence packing).
+
+    Scale: sequential only within a format stream (Arrow-batched
+    pandas groups — at 100 TB the stream key widens to format × date
+    buckets, millions of independent groups); byte lengths ride the
+    scan, no pre-shuffle.
+    """
+    import pandas as pd
+
+    d = _docs(spark, sf_dir).withColumn(
+        "payload", F.encode(F.col("text"), "UTF-8")
+    )
+    n_bytes = F.length("payload").cast("long")
+    sized = d.select(
+        "doc_id",
+        n_bytes.alias("n_bytes"),
+        F.when(n_bytes % 3 == 0, "jpeg")
+        .when(n_bytes % 3 == 1, "png")
+        .otherwise("webp")
+        .alias("fmt"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        ids, sid, acc = [], 0, 0
+        for n in pdf["n_bytes"]:
+            if acc > 0 and acc + n > MM_PACK_BUDGET_BYTES:
+                sid += 1
+                acc = 0
+            ids.append(sid)
+            acc += n
+        pdf["shard_id"] = ids
+        return pdf[["doc_id", "fmt", "n_bytes", "shard_id"]]
+
+    return sized.groupBy("fmt").applyInPandas(
+        pack, schema="doc_id long, fmt string, n_bytes long, shard_id long"
+    )
+
+
 # Ensemble quality-gate thresholds (each component's output is already
 # quantized, so threshold comparisons are exact on both engines)
 QE_QUALITY_MIN = 0.6
@@ -2778,6 +2827,80 @@ def search_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "first_hit_rank",
         quantize(F.col("rr_raw"), 6).alias("reciprocal_rank"),
         quantize(F.col("mrr_raw"), 6).alias("mrr"),
+    )
+
+
+RBO_P = 0.9
+RBO_DEPTH = BM25_K
+# integer weight grid (1e-9 units): both engines fold exact BIGINT
+# w·x products and divide once, so RBO is bit-identical cross-engine
+_RBO_SCALE = 1_000_000_000
+_RBO_W = [
+    round((1.0 - RBO_P) * RBO_P ** (d - 1) / d * _RBO_SCALE)
+    for d in range(1, RBO_DEPTH + 1)
+]
+_RBO_EXT_W = round(RBO_P**RBO_DEPTH / RBO_DEPTH * _RBO_SCALE)
+
+
+def search_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (Webber et al.) between the semantic and
+    lexical rankings, per query — the fourth leg of the retrieval-eval
+    suite: NDCG/MRR grade one ranking against a relevance set, RBO
+    grades two RANKINGS against each other (top-weighted, p=0.9), i.e.
+    "how much is the fusion in `search_rrf` actually fusing?". Emits
+    the lower bound (RBO_min over the observed depth) and the
+    extrapolated point estimate.
+
+    Scale: both retrievers produce queries × k rows by construction,
+    so the agreement join, the depth expansion (a ≤k-row broadcast
+    range), and the per-query fold are all broadcast-sized; weights
+    are precomputed integer literals, keeping the fold exact.
+    """
+    from ..operators.similarity import cosine_topk_blocked
+
+    e = _embs(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < N_QUERY_VECS)
+    sem = cosine_topk_blocked(q, e, k=RBO_DEPTH).select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rk").alias("ra"),
+    )
+    lex = _bm25_scored(spark, sf_dir, RBO_DEPTH).select(
+        "query_id", "doc_id", F.col("rk").alias("rb")
+    )
+    # a pair in both top-k lists first counts at depth max(ra, rb)
+    pairs = sem.join(lex, ["query_id", "doc_id"]).select(
+        "query_id", F.greatest("ra", "rb").alias("m")
+    )
+    depths = spark.createDataFrame(
+        [(d + 1, w) for d, w in enumerate(_RBO_W)], "d long, w long"
+    )
+    x = (
+        pairs.join(F.broadcast(depths), F.col("m") <= F.col("d"))
+        .groupBy("query_id", "d", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    per = x.groupBy("query_id").agg(
+        F.sum(F.col("w") * F.col("x")).cast("long").alias("wsum"),
+        # every joint pair has m <= RBO_DEPTH, so the d = DEPTH row
+        # exists whenever any pair does: X_D = |A∩B| at full depth
+        F.max(F.when(F.col("d") == RBO_DEPTH, F.col("x")))
+        .cast("long")
+        .alias("xd"),
+    )
+    anchor = e.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id")
+    )
+    out = anchor.join(F.broadcast(per), "query_id", "left")
+    wsum = F.coalesce(F.col("wsum"), F.lit(0))
+    xd = F.coalesce(F.col("xd"), F.lit(0))
+    return out.select(
+        "query_id",
+        xd.cast("long").alias("overlap_at_k"),
+        quantize(wsum / F.lit(float(_RBO_SCALE)), 6).alias("rbo_min"),
+        quantize(
+            (wsum + F.lit(_RBO_EXT_W) * xd) / F.lit(float(_RBO_SCALE)), 6
+        ).alias("rbo_ext"),
     )
 
 
@@ -6565,6 +6688,7 @@ QUERIES = {
     "doc_char_entropy": doc_char_entropy,
     "multimodal_resize": multimodal_resize,
     "multimodal_features": multimodal_features,
+    "multimodal_pack": multimodal_pack,
     "doc_bigram_surprisal": doc_bigram_surprisal,
     "knn_graph": knn_graph,
     "emb_clusters": emb_clusters,
@@ -6578,6 +6702,7 @@ QUERIES = {
     "dedup_index_export": dedup_index_export,
     "doc_bm25_topk": doc_bm25_topk,
     "search_rrf": search_rrf,
+    "search_rbo": search_rbo,
     "search_ndcg": search_ndcg,
     "search_mrr": search_mrr,
     "corpus_sample_fixed": corpus_sample_fixed,
@@ -10848,4 +10973,87 @@ ORACLE["corpus_pack_efficiency"] = f"""
            CAST(sum(CASE WHEN tokens > {PACK_BUDGET_TOKENS}
              THEN 1 ELSE 0 END) AS BIGINT) AS oversized_packs
     FROM per
+"""
+
+_RBO_DW_VALUES = ", ".join(
+    f"({d + 1}, {w})" for d, w in enumerate(_RBO_W)
+)
+
+ORACLE["search_rbo"] = f"""
+    WITH {sql_unit_cte()},
+    knn AS (
+      SELECT query_id, neighbor_id, rk FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY (floor({sql_dot('q.u', 'c.u')} * 1000000.0 + 0.5)
+                           / 1000000.0) DESC,
+                          c.vec_id
+               ) AS rk
+        FROM unitv q JOIN unitv c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < {N_QUERY_VECS}
+      ) WHERE rk <= {RBO_DEPTH}
+    ),
+    {_bm25_oracle_ctes(RBO_DEPTH)},
+    pr AS (
+      SELECT k.query_id, greatest(k.rk, l.rk) AS m
+      FROM knn k JOIN lex l
+        ON k.query_id = l.query_id AND k.neighbor_id = l.doc_id
+    ),
+    dw(d, w) AS (VALUES {_RBO_DW_VALUES}),
+    x AS (
+      SELECT query_id, d, w, CAST(count(*) AS BIGINT) AS x
+      FROM pr JOIN dw ON pr.m <= dw.d GROUP BY 1, 2, 3
+    ),
+    per AS (
+      SELECT query_id, CAST(sum(w * x) AS BIGINT) AS wsum,
+             CAST(max(CASE WHEN d = {RBO_DEPTH} THEN x END) AS BIGINT)
+               AS xd
+      FROM x GROUP BY 1
+    )
+    SELECT e.vec_id AS query_id,
+           CAST(coalesce(per.xd, 0) AS BIGINT) AS overlap_at_k,
+           {sql_quantize(
+               f'coalesce(per.wsum, 0) / {float(_RBO_SCALE)!r}', 6)}
+             AS rbo_min,
+           {sql_quantize(
+               f'(coalesce(per.wsum, 0)'
+               f' + {_RBO_EXT_W} * coalesce(per.xd, 0))'
+               f' / {float(_RBO_SCALE)!r}', 6)}
+             AS rbo_ext
+    FROM embeddings e LEFT JOIN per ON per.query_id = e.vec_id
+    WHERE e.vec_id < {N_QUERY_VECS}
+"""
+
+ORACLE["multimodal_pack"] = f"""
+    WITH RECURSIVE d AS (
+      SELECT doc_id,
+             CASE WHEN octet_length(encode(text)) % 3 = 0 THEN 'jpeg'
+                  WHEN octet_length(encode(text)) % 3 = 1 THEN 'png'
+                  ELSE 'webp' END AS fmt,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             row_number() OVER (
+               PARTITION BY CASE
+                 WHEN octet_length(encode(text)) % 3 = 0 THEN 'jpeg'
+                 WHEN octet_length(encode(text)) % 3 = 1 THEN 'png'
+                 ELSE 'webp' END
+               ORDER BY doc_id
+             ) AS rn
+      FROM documents
+    ),
+    walk AS (
+      SELECT fmt, rn, doc_id, n_bytes,
+             CAST(0 AS BIGINT) AS shard_id, n_bytes AS acc
+      FROM d WHERE rn = 1
+      UNION ALL
+      SELECT s.fmt, s.rn, s.doc_id, s.n_bytes,
+             CASE WHEN w.acc > 0
+                   AND w.acc + s.n_bytes > {MM_PACK_BUDGET_BYTES}
+                  THEN w.shard_id + 1 ELSE w.shard_id END,
+             CASE WHEN w.acc > 0
+                   AND w.acc + s.n_bytes > {MM_PACK_BUDGET_BYTES}
+                  THEN s.n_bytes ELSE w.acc + s.n_bytes END
+      FROM walk w JOIN d s ON s.fmt = w.fmt AND s.rn = w.rn + 1
+    )
+    SELECT doc_id, fmt, n_bytes, shard_id FROM walk
 """

@@ -4618,7 +4618,205 @@ def hour_concentration_from_hist(hist: DataFrame) -> DataFrame:
     )
 
 
+DP_EPSILON = 1.0
+# inverse-CDF Laplace from a 32-bit md5-derived uniform: |noise| <=
+# (1/eps) * ln(2^32) ~ 22 at eps=1 — the release's worst-case shift
+DP_U_SCALE = 4294967296.0  # 2^32
+
+
+def dp_noise_col(key: Column, eps: float = DP_EPSILON) -> Column:
+    """Deterministic integer Laplace noise from an md5-keyed uniform
+    (inverse CDF, rounded half-up to the integer grid — the classic
+    DP count release emits whole counts). md5 is the one hash both
+    engines evaluate identically (``conv(substr(md5, 1, 8), 16, 10)``
+    == DuckDB ``CAST('0x' || substr(md5, 1, 8) AS BIGINT)``), so the
+    "random" draw is a pure function of the cell key and replays
+    bit-for-bit in the SQL twin. The only cross-engine float risk is
+    one ln() ulp landing exactly on a .5 rounding boundary —
+    measure-zero on the 2^32 grid.
+    """
+    h = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("double")
+    u = (h + F.lit(0.5)) / F.lit(DP_U_SCALE)  # open (0, 1)
+    c = u - F.lit(0.5)
+    lap = (
+        F.lit(-1.0 / eps)
+        * F.signum(c)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(c))
+    )
+    return F.floor(lap + F.lit(0.5)).cast("long")
+
+
+def dp_release_from_cells(cells: DataFrame) -> DataFrame:
+    """The epsilon-DP count release over (hour, event_type, n) cells —
+    shared by the batch query and the streaming drain (the noise is a
+    pure function of the cell key, so it composes with any mergeable
+    count state)."""
+    key = F.concat(
+        F.lit("dp|"),
+        F.unix_micros("hour").cast("string"),
+        F.lit("|"),
+        F.col("event_type"),
+    )
+    dp = F.greatest(F.lit(0), F.col("n") + dp_noise_col(key))
+    return cells.select(
+        "hour",
+        "event_type",
+        dp.cast("long").alias("dp_count"),
+        F.lit(DP_EPSILON).alias("epsilon"),
+    )
+
+
+def events_dp_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private hourly event counts: the Laplace(1/eps)
+    count release over the (hour, event_type) contingency table —
+    closing the privacy tier (`events_k_anonymity` redacts small
+    cells, `events_l_diversity` audits attribute diversity, this one
+    PUBLISHES a table with a formal epsilon guarantee). Noise is a
+    deterministic inverse-CDF draw keyed on the cell (md5-derived
+    uniform), rounded to the integer grid and clamped at zero — so
+    the release is reproducible and fully SQL-oracled.
+
+    Scale: one map-side-combined count per cell, then a narrow
+    per-cell expression — no second shuffle, cells bounded by
+    calendar-hours × types regardless of corpus size.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cells = (
+        ev.withColumn("hour", F.date_trunc("hour", F.col("ts")))
+        .groupBy("hour", "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return dp_release_from_cells(cells)
+
+
+def did_cells(ev: DataFrame) -> DataFrame:
+    """(treat, hour_us) moment cells for the diff-in-diffs estimator —
+    the mergeable state both the batch op and the streaming twin
+    accumulate: exact integer n / Σv / Σv² per cell on the cent grid
+    (decimal(38,0) — no overflow at 100 TB), cells bounded by
+    calendar-hours × 2 arms, never by stream length."""
+    grid = ev.select(
+        (F.col("user_id") % 2 == 0).alias("treat"),
+        F.unix_micros(F.date_trunc("hour", F.col("ts"))).alias("hour_us"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("vq"),
+    )
+    return grid.groupBy("treat", "hour_us").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("vq").cast("decimal(38,0)")).alias("sv"),
+        F.sum((F.col("vq") * F.col("vq")).cast("decimal(38,0)")).alias(
+            "svv"
+        ),
+    )
+
+
+def did_from_cells(cells: DataFrame) -> DataFrame:
+    """The 2×2 difference-in-differences computation over drained
+    (treat, hour_us, n, sv, svv) cells: period split at the midpoint
+    of the observed hour range (a 1-row broadcast, the plan-decision
+    idiom), then one conditional fold into the four-arm moment row,
+    DiD estimate = (post_T - pre_T) - (post_C - pre_C) with the
+    four-variance standard error. Integer micros stay < 2^53 so the
+    midpoint double is exact; everything after is the ab_welch
+    moment algebra."""
+    spark_funcs = F  # alias for clarity in the fold below
+    bounds = cells.agg(
+        (
+            (
+                F.min("hour_us").cast("double")
+                + F.max("hour_us").cast("double")
+            )
+            / 2.0
+        ).alias("mid")
+    )
+    g = (
+        cells.crossJoin(F.broadcast(bounds))
+        .withColumn("post", F.col("hour_us").cast("double") >= F.col("mid"))
+    )
+
+    def arm(t: bool, p: bool, col: str) -> Column:
+        cond = (F.col("treat") == t) & (F.col("post") == p)
+        return spark_funcs.sum(
+            F.when(cond, F.col(col)).otherwise(F.lit(0))
+        )
+
+    row = g.agg(
+        *[
+            arm(t, p, "n").cast("long").alias(f"n_{a}")
+            for t, p, a in _DID_ARMS
+        ],
+        *[
+            arm(t, p, "sv").cast("double").alias(f"sv_{a}")
+            for t, p, a in _DID_ARMS
+        ],
+        *[
+            arm(t, p, "svv").cast("double").alias(f"svv_{a}")
+            for t, p, a in _DID_ARMS
+        ],
+    )
+
+    def mean(a: str) -> Column:
+        return F.col(f"sv_{a}") / F.col(f"n_{a}")
+
+    def var_over_n(a: str) -> Column:
+        v = (
+            F.col(f"svv_{a}")
+            - F.col(f"sv_{a}") * F.col(f"sv_{a}") / F.col(f"n_{a}")
+        ) / (F.col(f"n_{a}") - 1)
+        return v / F.col(f"n_{a}")
+
+    did_cents = (mean("tp") - mean("tc")) - (mean("cp") - mean("cc"))
+    se2 = sum(var_over_n(a) for _, _, a in _DID_ARMS)
+    ok = (
+        (F.col("n_tp") > 1)
+        & (F.col("n_tc") > 1)
+        & (F.col("n_cp") > 1)
+        & (F.col("n_cc") > 1)
+    )
+    t_stat = quantize(did_cents / F.sqrt(se2), 4)
+    return row.select(
+        F.col("n_tc").alias("n_treat_pre"),
+        F.col("n_tp").alias("n_treat_post"),
+        F.col("n_cc").alias("n_ctrl_pre"),
+        F.col("n_cp").alias("n_ctrl_post"),
+        quantize(mean("tc") / 100.0, 4).alias("mean_treat_pre"),
+        quantize(mean("tp") / 100.0, 4).alias("mean_treat_post"),
+        quantize(mean("cc") / 100.0, 4).alias("mean_ctrl_pre"),
+        quantize(mean("cp") / 100.0, 4).alias("mean_ctrl_post"),
+        quantize(did_cents / 100.0, 4).alias("did_estimate"),
+        F.when(ok, t_stat).alias("t_stat"),
+        F.when(ok, F.abs(t_stat) > 1.96).alias("significant_95"),
+    )
+
+
+# (treat, post, arm-suffix): tp = treated-post, tc = treated-pre, ...
+_DID_ARMS = (
+    (True, True, "tp"),
+    (True, False, "tc"),
+    (False, True, "cp"),
+    (False, False, "cc"),
+)
+
+
+def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences causal estimator over event values:
+    treatment arm = even user_id (the experiment convention shared
+    with `events_conversion_ztest`), periods split at the midpoint of
+    the observed hour range — DiD = (post - pre)|treat minus
+    (post - pre)|control, with the four-group Welch-style standard
+    error. Completes the experimentation tier: ab_welch compares
+    means, conversion_ztest compares rates, this one removes the
+    common time trend both of those confound.
+
+    Scale: ONE map-side-combined (treat, hour) moment agg (cells
+    bounded by calendar, exact decimal sums), a 1-row broadcast for
+    the period split, then a conditional fold to a single row.
+    """
+    return did_from_cells(did_cells(load_table(spark, sf_dir, "events")))
+
+
 QUERIES = {
+    "events_dp_hourly": events_dp_hourly,
+    "events_diff_in_diff": events_diff_in_diff,
     "events_peak_hours": events_peak_hours,
     "events_hour_concentration": events_hour_concentration,
     "events_growth_accounting": events_growth_accounting,
@@ -7072,4 +7270,107 @@ ORACLE["events_window_funnel"] = f"""
            {sql_quantize('CAST(n_level3 AS DOUBLE) / n_level1', 6)}
              AS l3_rate
     FROM l1 CROSS JOIN l2 CROSS JOIN l3
+"""
+
+ORACLE["events_dp_hourly"] = f"""
+    WITH cells AS (
+      SELECT date_trunc('hour', ts) AS hour, event_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    keyed AS (
+      SELECT hour, event_type, n,
+             CAST(('0x' || substr(md5(
+               'dp|' || CAST(epoch_us(hour) AS VARCHAR)
+                     || '|' || event_type), 1, 8)) AS BIGINT) AS h
+      FROM cells
+    ),
+    drawn AS (
+      SELECT hour, event_type, n,
+             (CAST(h AS DOUBLE) + 0.5) / {DP_U_SCALE!r} - 0.5 AS c
+      FROM keyed
+    )
+    SELECT hour, event_type,
+           CAST(greatest(0, n + CAST(floor(
+             {-1.0 / DP_EPSILON!r} * sign(c) * ln(1.0 - 2.0 * abs(c))
+             + 0.5) AS BIGINT)) AS BIGINT) AS dp_count,
+           {DP_EPSILON!r} AS epsilon
+    FROM drawn
+"""
+
+ORACLE["events_diff_in_diff"] = f"""
+    WITH grid AS (
+      SELECT (user_id % 2 = 0) AS treat,
+             epoch_us(date_trunc('hour', ts)) AS hour_us,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS vq
+      FROM events
+    ),
+    cells AS (
+      SELECT treat, hour_us, CAST(count(*) AS BIGINT) AS n,
+             sum(vq) AS sv, sum(vq * vq) AS svv
+      FROM grid GROUP BY 1, 2
+    ),
+    b AS (
+      SELECT (CAST(min(hour_us) AS DOUBLE)
+              + CAST(max(hour_us) AS DOUBLE)) / 2.0 AS mid
+      FROM cells
+    ),
+    folded AS (
+      SELECT
+        CAST(sum(CASE WHEN treat AND CAST(hour_us AS DOUBLE) >= mid
+                 THEN n ELSE 0 END) AS BIGINT) AS n_tp,
+        CAST(sum(CASE WHEN treat AND CAST(hour_us AS DOUBLE) < mid
+                 THEN n ELSE 0 END) AS BIGINT) AS n_tc,
+        CAST(sum(CASE WHEN NOT treat AND CAST(hour_us AS DOUBLE) >= mid
+                 THEN n ELSE 0 END) AS BIGINT) AS n_cp,
+        CAST(sum(CASE WHEN NOT treat AND CAST(hour_us AS DOUBLE) < mid
+                 THEN n ELSE 0 END) AS BIGINT) AS n_cc,
+        CAST(sum(CASE WHEN treat AND CAST(hour_us AS DOUBLE) >= mid
+                 THEN sv ELSE 0 END) AS DOUBLE) AS sv_tp,
+        CAST(sum(CASE WHEN treat AND CAST(hour_us AS DOUBLE) < mid
+                 THEN sv ELSE 0 END) AS DOUBLE) AS sv_tc,
+        CAST(sum(CASE WHEN NOT treat AND CAST(hour_us AS DOUBLE) >= mid
+                 THEN sv ELSE 0 END) AS DOUBLE) AS sv_cp,
+        CAST(sum(CASE WHEN NOT treat AND CAST(hour_us AS DOUBLE) < mid
+                 THEN sv ELSE 0 END) AS DOUBLE) AS sv_cc,
+        CAST(sum(CASE WHEN treat AND CAST(hour_us AS DOUBLE) >= mid
+                 THEN svv ELSE 0 END) AS DOUBLE) AS svv_tp,
+        CAST(sum(CASE WHEN treat AND CAST(hour_us AS DOUBLE) < mid
+                 THEN svv ELSE 0 END) AS DOUBLE) AS svv_tc,
+        CAST(sum(CASE WHEN NOT treat AND CAST(hour_us AS DOUBLE) >= mid
+                 THEN svv ELSE 0 END) AS DOUBLE) AS svv_cp,
+        CAST(sum(CASE WHEN NOT treat AND CAST(hour_us AS DOUBLE) < mid
+                 THEN svv ELSE 0 END) AS DOUBLE) AS svv_cc
+      FROM cells CROSS JOIN b
+    ),
+    m AS (
+      SELECT *,
+             sv_tp / n_tp AS m_tp, sv_tc / n_tc AS m_tc,
+             sv_cp / n_cp AS m_cp, sv_cc / n_cc AS m_cc,
+             ((svv_tp - sv_tp * sv_tp / n_tp) / (n_tp - 1)) / n_tp
+               + ((svv_tc - sv_tc * sv_tc / n_tc) / (n_tc - 1)) / n_tc
+               + ((svv_cp - sv_cp * sv_cp / n_cp) / (n_cp - 1)) / n_cp
+               + ((svv_cc - sv_cc * sv_cc / n_cc) / (n_cc - 1)) / n_cc
+               AS se2
+      FROM folded
+    ),
+    d AS (
+      SELECT *, (m_tp - m_tc) - (m_cp - m_cc) AS did_cents,
+             (n_tp > 1 AND n_tc > 1 AND n_cp > 1 AND n_cc > 1) AS ok
+      FROM m
+    )
+    SELECT n_tc AS n_treat_pre, n_tp AS n_treat_post,
+           n_cc AS n_ctrl_pre, n_cp AS n_ctrl_post,
+           {sql_quantize('m_tc / 100.0', 4)} AS mean_treat_pre,
+           {sql_quantize('m_tp / 100.0', 4)} AS mean_treat_post,
+           {sql_quantize('m_cc / 100.0', 4)} AS mean_ctrl_pre,
+           {sql_quantize('m_cp / 100.0', 4)} AS mean_ctrl_post,
+           {sql_quantize('did_cents / 100.0', 4)} AS did_estimate,
+           CASE WHEN ok THEN
+             {sql_quantize('did_cents / sqrt(se2)', 4)}
+           END AS t_stat,
+           CASE WHEN ok THEN
+             abs({sql_quantize('did_cents / sqrt(se2)', 4)}) > 1.96
+           END AS significant_95
+    FROM d
 """

@@ -2073,6 +2073,45 @@ def stream_value_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
     return levene_from_cells(cell)
 
 
+def stream_dp_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming differentially-private hourly release: the count
+    state is the plain (hour, event_type) cell table — bounded by
+    calendar × types, mergeable across micro-batches — and the
+    Laplace noise is a pure function of the cell key, so the release
+    applies post-drain via the exact batch computation
+    (`events.dp_release_from_cells`). Drain == batch
+    `events_dp_hourly`, whose oracle it shares.
+    """
+    from pyspark.sql import functions as F
+
+    from .events import dp_release_from_cells
+
+    ev = read_events_stream(spark, sf_dir)
+    cells = (
+        ev.withColumn("hour", F.date_trunc("hour", F.col("ts")))
+        .groupBy("hour", "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    snap = run_available_now(cells, output_mode="complete")
+    return dp_release_from_cells(snap)
+
+
+def stream_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming diff-in-diffs: the (treat, hour) moment cells
+    (exact decimal n/Σv/Σv² on the cent grid) accumulate AT INGEST —
+    state bounded by calendar-hours × 2 arms — and the 2×2 estimator
+    (period split at the drained hour-range midpoint) evaluates
+    post-drain via the exact batch computation
+    (`events.did_from_cells`). Drain == batch
+    `events_diff_in_diff`, whose oracle it shares.
+    """
+    from .events import did_cells, did_from_cells
+
+    ev = read_events_stream(spark, sf_dir)
+    snap = run_available_now(did_cells(ev), output_mode="complete")
+    return did_from_cells(snap)
+
+
 def stream_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming Welch t-test: the six regression moments (n, Σv,
     Σv² per group) accumulate AT INGEST in ONE global streaming
@@ -2358,6 +2397,8 @@ def stream_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "stream_dp_hourly": stream_dp_hourly,
+    "stream_diff_in_diff": stream_diff_in_diff,
     "stream_token_histogram": stream_token_histogram,
     "stream_ngrams_topk": stream_ngrams_topk,
     "stream_yule_k": stream_yule_k,
@@ -2451,6 +2492,8 @@ QUERIES = {
 }
 
 ORACLE = {
+    "stream_dp_hourly": _EVENTS_ORACLE["events_dp_hourly"],
+    "stream_diff_in_diff": _EVENTS_ORACLE["events_diff_in_diff"],
     "stream_ewma_control": _EVENTS_ORACLE["events_ewma_control"],
     "stream_anomaly_ensemble":
         _EVENTS_ORACLE["events_anomaly_ensemble"],

@@ -589,3 +589,103 @@ def test_waterfill_allocation_invariants(spark):
         assert abs(df["allocation"].sum() - budget) < 1e-2
     else:
         assert df["allocation"].sum() <= budget + 1e-2
+
+
+def test_diff_in_diff_matches_numpy(spark):
+    row = (
+        QUERIES["events_diff_in_diff"](spark, SF_SMOKE).toPandas().iloc[0]
+    )
+    ev = _events()
+    vq = np.floor(ev["value"].to_numpy() * 100 + 0.5)
+    hour = ev["ts"].dt.floor("h").astype("int64") // 1000  # micros
+    mid = (hour.min() + hour.max()) / 2.0
+    treat = (ev["user_id"] % 2 == 0).to_numpy()
+    post = (hour >= mid).to_numpy()
+    arms = {
+        "tp": vq[treat & post],
+        "tc": vq[treat & ~post],
+        "cp": vq[~treat & post],
+        "cc": vq[~treat & ~post],
+    }
+    did = (arms["tp"].mean() - arms["tc"].mean()) - (
+        arms["cp"].mean() - arms["cc"].mean()
+    )
+    se2 = sum(a.var(ddof=1) / len(a) for a in arms.values())
+    assert _close(row["did_estimate"], did / 100.0)
+    assert _close(row["t_stat"], did / math.sqrt(se2))
+    assert row["n_treat_pre"] == len(arms["tc"])
+    assert row["n_ctrl_post"] == len(arms["cp"])
+
+
+def test_dp_hourly_noise_bounded_and_deterministic(spark):
+    from llm_map_reduce_summarizer_spark.plans.events import DP_EPSILON
+
+    rel = (
+        QUERIES["events_dp_hourly"](spark, SF_SMOKE)
+        .toPandas()
+        .sort_values(["hour", "event_type"])
+        .reset_index(drop=True)
+    )
+    ev = _events()
+    true = (
+        ev.assign(hour=ev["ts"].dt.floor("h"))
+        .groupby(["hour", "event_type"])
+        .size()
+        .reset_index(name="n")
+        .sort_values(["hour", "event_type"])
+        .reset_index(drop=True)
+    )
+    assert len(rel) == len(true)
+    assert (rel["dp_count"] >= 0).all()
+    # inverse-CDF Laplace from a 2^32 grid: |noise| <= ln(2^32)/eps + 1
+    bound = math.log(2.0**32) / DP_EPSILON + 1.0
+    raw = rel["dp_count"].to_numpy() - true["n"].to_numpy()
+    # zero-clamping only ever RAISES the released value
+    assert (raw >= -bound).all() and (raw <= bound).all()
+    # keyed noise: a second run replays bit-for-bit
+    again = (
+        QUERIES["events_dp_hourly"](spark, SF_SMOKE)
+        .toPandas()
+        .sort_values(["hour", "event_type"])
+        .reset_index(drop=True)
+    )
+    assert (again["dp_count"].to_numpy() == rel["dp_count"].to_numpy()).all()
+
+
+def test_rbo_weight_grid_sums_to_one():
+    # identity ranking: X_d = d at every depth -> RBO_ext == 1
+    from llm_map_reduce_summarizer_spark.plans.documents import (
+        RBO_DEPTH,
+        _RBO_EXT_W,
+        _RBO_SCALE,
+        _RBO_W,
+    )
+
+    ident = sum(w * (d + 1) for d, w in enumerate(_RBO_W))
+    ident += _RBO_EXT_W * RBO_DEPTH
+    assert abs(ident - _RBO_SCALE) <= RBO_DEPTH  # integer rounding slack
+
+
+def test_rbo_bounds(spark):
+    rel = QUERIES["search_rbo"](spark, SF_SMOKE).toPandas()
+    assert (rel["rbo_min"] >= 0).all()
+    assert (rel["rbo_ext"] >= rel["rbo_min"] - 1e-9).all()
+    assert (rel["rbo_ext"] <= 1.0 + 1e-9).all()
+
+
+def test_multimodal_pack_budget_invariant(spark):
+    from llm_map_reduce_summarizer_spark.plans.documents import (
+        MM_PACK_BUDGET_BYTES,
+    )
+
+    packed = QUERIES["multimodal_pack"](spark, SF_SMOKE).toPandas()
+    per = packed.groupby(["fmt", "shard_id"]).agg(
+        total=("n_bytes", "sum"), n=("doc_id", "count")
+    )
+    # a shard either fits the budget or is a single oversized blob
+    bad = per[(per["total"] > MM_PACK_BUDGET_BYTES) & (per["n"] > 1)]
+    assert bad.empty
+    # shard ids are contiguous from 0 within each format stream
+    for fmt, grp in packed.groupby("fmt"):
+        sids = sorted(grp["shard_id"].unique())
+        assert sids == list(range(len(sids)))
