@@ -2339,6 +2339,53 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", F.col("bin").cast("long").alias("bin"), "share")
 
 
+def multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup census for binary payloads: a 16-bit
+    byte-mix signature per payload (`operators/multimodal.py
+    payload_phash`), then per-doc exact-dup count (same code) and
+    near-dup count (Hamming distance exactly 1) via multi-probe
+    exact-match — the third member of the multimodal dedup family
+    (`multimodal_dedup` = exact digest, `multimodal_neardup` =
+    cosine over byte histograms, this one = constant-size code with
+    an index-friendly candidate join).
+
+    Scale: the code census is one natural-key partial agg; the
+    Hamming-1 probe explodes each doc into 16 neighbor keys and joins
+    the (≤65536-row, broadcastable) census — linear in corpus size,
+    never pairwise.
+    """
+    from ..operators.multimodal import payload_phash
+
+    d = _docs(spark, sf_dir).withColumn(
+        "payload", F.encode(F.col("text"), "UTF-8")
+    )
+    codes = payload_phash(d)
+    census = codes.groupBy("phash").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    masks = spark.createDataFrame(
+        [(1 << b,) for b in range(16)], "mask long"
+    )
+    probes = codes.crossJoin(F.broadcast(masks)).select(
+        "doc_id", F.col("phash").bitwiseXOR(F.col("mask")).alias("nb")
+    )
+    near = probes.join(
+        F.broadcast(census.withColumnRenamed("phash", "nb")), "nb"
+    ).groupBy("doc_id").agg(F.sum("n").cast("long").alias("near_dups"))
+    return (
+        codes.join(F.broadcast(census), "phash")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            "phash",
+            (F.col("n") - 1).cast("long").alias("exact_dups"),
+            F.coalesce(F.col("near_dups"), F.lit(0))
+            .cast("long")
+            .alias("near_dups"),
+        )
+    )
+
+
 MM_PACK_BUDGET_BYTES = 1024
 
 
@@ -6689,6 +6736,7 @@ QUERIES = {
     "multimodal_resize": multimodal_resize,
     "multimodal_features": multimodal_features,
     "multimodal_pack": multimodal_pack,
+    "multimodal_phash": multimodal_phash,
     "doc_bigram_surprisal": doc_bigram_surprisal,
     "knn_graph": knn_graph,
     "emb_clusters": emb_clusters,
@@ -11056,4 +11104,67 @@ ORACLE["multimodal_pack"] = f"""
       FROM walk w JOIN d s ON s.fmt = w.fmt AND s.rn = w.rn + 1
     )
     SELECT doc_id, fmt, n_bytes, shard_id FROM walk
+"""
+
+_PHASH_MASKS = ", ".join(f"({1 << b})" for b in range(16))
+
+ORACLE["multimodal_phash"] = f"""
+    WITH hx AS (
+      SELECT doc_id, lower(to_hex(encode(text))) AS h
+      FROM documents
+    ),
+    nib AS (
+      SELECT doc_id,
+             CAST(strpos('0123456789abcdef', substr(h, CAST(p AS INT), 1))
+                  - 1 AS BIGINT) AS bin
+      FROM (
+        SELECT doc_id, h,
+               unnest(generate_series(2, length(h), 2)) AS p
+        FROM hx
+      )
+    ),
+    bins AS (SELECT unnest(generate_series(0, 15)) AS bin),
+    cnt AS (
+      SELECT hx.doc_id, CAST(b.bin AS BIGINT) AS bin,
+             CAST(coalesce(n.c, 0) AS BIGINT) AS c
+      FROM hx CROSS JOIN bins b
+      LEFT JOIN (
+        SELECT doc_id, bin, count(*) AS c FROM nib GROUP BY 1, 2
+      ) n ON n.doc_id = hx.doc_id AND n.bin = b.bin
+    ),
+    ranked AS (
+      SELECT doc_id, bin, c,
+             row_number() OVER (
+               PARTITION BY doc_id ORDER BY c, bin
+             ) AS rk
+      FROM cnt
+    ),
+    med AS (
+      SELECT doc_id, c AS med FROM ranked WHERE rk = 9
+    ),
+    code AS (
+      SELECT r.doc_id,
+             CAST(coalesce(sum(CASE WHEN r.c > m.med
+               THEN (CAST(1 AS BIGINT) << CAST(r.bin AS INT))
+               ELSE 0 END), 0) AS BIGINT) AS phash
+      FROM ranked r JOIN med m ON m.doc_id = r.doc_id
+      GROUP BY 1
+    ),
+    census AS (
+      SELECT phash, CAST(count(*) AS BIGINT) AS n FROM code GROUP BY 1
+    ),
+    masks(mask) AS (VALUES {_PHASH_MASKS}),
+    near AS (
+      SELECT c.doc_id, CAST(sum(g.n) AS BIGINT) AS near_dups
+      FROM code c
+      CROSS JOIN masks m
+      JOIN census g ON g.phash = xor(c.phash, m.mask)
+      GROUP BY 1
+    )
+    SELECT c.doc_id, c.phash,
+           CAST(g.n - 1 AS BIGINT) AS exact_dups,
+           CAST(coalesce(near.near_dups, 0) AS BIGINT) AS near_dups
+    FROM code c
+    JOIN census g ON g.phash = c.phash
+    LEFT JOIN near ON near.doc_id = c.doc_id
 """

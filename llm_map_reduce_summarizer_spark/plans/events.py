@@ -4618,6 +4618,186 @@ def hour_concentration_from_hist(hist: DataFrame) -> DataFrame:
     )
 
 
+CMH_CHI2_95 = 3.8415  # chi-square 0.95 quantile, 1 dof
+
+
+CMH_CONV_WINDOW_US = 24 * 3600 * 1_000_000  # fast activation, as in
+# events_conversion_ztest: "a purchase within 24 h of the first event"
+
+
+def cmh_users(ev: DataFrame) -> DataFrame:
+    """Per-user experiment facts for the stratified test — the
+    mergeable state the streaming twin accumulates at ingest (two
+    minima per user, the `stream_conversion_ztest` bound): arm =
+    even user_id, conversion = fast activation (earliest purchase
+    within 24 h of the first event), stratum assignment by the
+    FIRST event's six-hour diurnal bin."""
+    return ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("first_purchase"),
+    )
+
+
+def cmh_from_users(users: DataFrame) -> DataFrame:
+    """The Cochran–Mantel–Haenszel fold over per-user facts: one 2×2
+    table (arm × conversion) per diurnal stratum, then the
+    classic Σ(a − E)² / ΣVar statistic and the Mantel–Haenszel
+    common odds ratio — the stratified-experiment primitive that
+    `events_conversion_ztest` (one pooled 2×2) confounds whenever
+    traffic mix shifts across strata (Simpson's paradox guard).
+
+    Scale: a ≤7-row stratum fold off the bounded per-user table;
+    every cell is an exact integer, the statistic is a handful of
+    double divisions over that 7-row table."""
+    conv = (
+        F.col("first_purchase").isNotNull()
+        & (
+            F.unix_micros("first_purchase") - F.unix_micros("first_ts")
+            <= CMH_CONV_WINDOW_US
+        )
+    ).cast("int")
+    strat = (
+        users.select(
+            F.floor(F.hour("first_ts") / 6).cast("long").alias("stratum"),
+            (F.col("user_id") % 2 == 0).alias("treat"),
+            conv.alias("conv"),
+        )
+        .groupBy("stratum")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("t_n"),
+            F.sum(F.when(F.col("treat"), 1).otherwise(0))
+            .cast("long")
+            .alias("n1"),
+            F.sum("conv").cast("long").alias("m1"),
+            F.sum(F.when(F.col("treat"), F.col("conv")).otherwise(0))
+            .cast("long")
+            .alias("a"),
+        )
+        .filter(F.col("t_n") > 1)
+    )
+    t = F.col("t_n").cast("double")
+    a = F.col("a").cast("double")
+    n1 = F.col("n1").cast("double")
+    m1 = F.col("m1").cast("double")
+    n0 = t - n1
+    m0 = t - m1
+    b = n1 - a  # treated, not converted
+    c = m1 - a  # control, converted
+    d = n0 - c  # control, not converted
+    fold = strat.agg(
+        F.count(F.lit(1)).cast("long").alias("n_strata"),
+        F.sum("t_n").cast("long").alias("n_users"),
+        F.sum(a - n1 * m1 / t).alias("dev"),
+        F.sum(n1 * n0 * m1 * m0 / (t * t * (t - 1.0))).alias("var"),
+        F.sum(a * d / t).alias("ad"),
+        F.sum(b * c / t).alias("bc"),
+    )
+    chi2 = quantize(
+        F.col("dev") * F.col("dev") / F.col("var"), 4
+    )
+    ok = F.col("var") > 0
+    return fold.select(
+        "n_strata",
+        "n_users",
+        F.when(ok, chi2).alias("chi2_cmh"),
+        F.when(
+            F.col("bc") > 0, quantize(F.col("ad") / F.col("bc"), 4)
+        ).alias("or_mh"),
+        F.when(ok, chi2 > CMH_CHI2_95).alias("significant_95"),
+    )
+
+
+def events_cmh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran–Mantel–Haenszel stratified conversion test (strata =
+    day-of-week of each user's first event). See `cmh_from_users`."""
+    return cmh_from_users(cmh_users(load_table(spark, sf_dir, "events")))
+
+
+HOLT_ALPHA = 0.5  # exact binary fractions: the recurrence is
+HOLT_BETA = 0.25  # bit-identical across engines, no ulp drift
+
+
+def holt_cells(ev: DataFrame) -> DataFrame:
+    """(event_type, hour_us) count cells — the calendar-bounded
+    mergeable state shared by the batch op and the streaming twin."""
+    return ev.groupBy(
+        "event_type",
+        F.unix_micros(F.date_trunc("hour", F.col("ts"))).alias("hour_us"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+
+
+HOUR_US = 3_600_000_000
+
+
+def holt_from_cells(cells: DataFrame) -> DataFrame:
+    """Holt's linear (double) exponential smoothing per event type
+    over the zero-filled hourly series: level/trend recurrence with
+    α=1/2, β=1/4 (exact binary fractions — every step is IEEE-exact
+    and replays bit-for-bit in the SQL twin's recursive CTE),
+    initialized l₁=y₁, b₁=0. Emits the final state and the one-step
+    forecast — the trend-aware counterpart of the seasonal-naive
+    `events_forecast_hourly` backtest.
+
+    Scale: the recurrence is sequential only WITHIN a type's series
+    (series length = calendar hours, bounded), one Arrow group per
+    type; the zero-fill rides a 1-row global bounds broadcast."""
+    import numpy as np
+    import pandas as pd
+
+    bounds = cells.agg(
+        F.min("hour_us").alias("mn"), F.max("hour_us").alias("mx")
+    )
+    g = cells.crossJoin(F.broadcast(bounds))
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        mn, mx = int(pdf["mn"].iloc[0]), int(pdf["mx"].iloc[0])
+        hours = np.arange(mn, mx + HOUR_US, HOUR_US, dtype=np.int64)
+        y = np.zeros(len(hours), dtype=np.float64)
+        idx = ((pdf["hour_us"].to_numpy() - mn) // HOUR_US).astype(int)
+        y[idx] = pdf["cnt"].to_numpy().astype(np.float64)
+        lev, tr = float(y[0]), 0.0
+        for t in range(1, len(y)):
+            new = HOLT_ALPHA * float(y[t]) + (1.0 - HOLT_ALPHA) * (
+                lev + tr
+            )
+            tr = HOLT_BETA * (new - lev) + (1.0 - HOLT_BETA) * tr
+            lev = new
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n_hours": [len(y)],
+                "level": [lev],
+                "trend": [tr],
+                "forecast_next": [lev + tr],
+            }
+        )
+
+    fitted = g.groupBy("event_type").applyInPandas(
+        fit,
+        schema=(
+            "event_type string, n_hours long, level double,"
+            " trend double, forecast_next double"
+        ),
+    )
+    return fitted.select(
+        "event_type",
+        "n_hours",
+        quantize(F.col("level"), 4).alias("level"),
+        quantize(F.col("trend"), 4).alias("trend"),
+        quantize(F.col("forecast_next"), 4).alias("forecast_next"),
+    )
+
+
+def events_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend smoothing of the hourly count series per
+    event type. See `holt_from_cells`."""
+    return holt_from_cells(
+        holt_cells(load_table(spark, sf_dir, "events"))
+    )
+
+
 DP_EPSILON = 1.0
 # inverse-CDF Laplace from a 32-bit md5-derived uniform: |noise| <=
 # (1/eps) * ln(2^32) ~ 22 at eps=1 — the release's worst-case shift
@@ -4815,6 +4995,8 @@ def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "events_cmh": events_cmh,
+    "events_holt_linear": events_holt_linear,
     "events_dp_hourly": events_dp_hourly,
     "events_diff_in_diff": events_diff_in_diff,
     "events_peak_hours": events_peak_hours,
@@ -7373,4 +7555,107 @@ ORACLE["events_diff_in_diff"] = f"""
              abs({sql_quantize('did_cents / sqrt(se2)', 4)}) > 1.96
            END AS significant_95
     FROM d
+"""
+
+ORACLE["events_cmh"] = f"""
+    WITH users AS (
+      SELECT user_id, min(ts) AS first_ts,
+             min(CASE WHEN event_type = 'purchase' THEN ts END)
+               AS first_purchase
+      FROM events GROUP BY 1
+    ),
+    uconv AS (
+      SELECT user_id, first_ts,
+             CASE WHEN first_purchase IS NOT NULL
+                   AND epoch_us(first_purchase) - epoch_us(first_ts)
+                       <= 86400000000
+                  THEN 1 ELSE 0 END AS conv
+      FROM users
+    ),
+    strat AS (
+      SELECT CAST(floor(hour(first_ts) / 6) AS BIGINT) AS stratum,
+             CAST(count(*) AS BIGINT) AS t_n,
+             CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n1,
+             CAST(sum(conv) AS BIGINT) AS m1,
+             CAST(sum(CASE WHEN user_id % 2 = 0 THEN conv ELSE 0 END)
+                  AS BIGINT) AS a
+      FROM uconv GROUP BY 1 HAVING count(*) > 1
+    ),
+    terms AS (
+      SELECT CAST(t_n AS DOUBLE) AS t, CAST(a AS DOUBLE) AS a,
+             CAST(n1 AS DOUBLE) AS n1, CAST(m1 AS DOUBLE) AS m1,
+             t_n AS t_int
+      FROM strat
+    ),
+    fold AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_strata,
+             CAST(sum(t_int) AS BIGINT) AS n_users,
+             sum(a - n1 * m1 / t) AS dev,
+             sum(n1 * (t - n1) * m1 * (t - m1)
+                 / (t * t * (t - 1.0))) AS var,
+             sum(a * ((t - n1) - (m1 - a)) / t) AS ad,
+             sum((n1 - a) * (m1 - a) / t) AS bc
+      FROM terms
+    )
+    SELECT n_strata, n_users,
+           CASE WHEN var > 0 THEN
+             {sql_quantize('dev * dev / var', 4)}
+           END AS chi2_cmh,
+           CASE WHEN bc > 0 THEN
+             {sql_quantize('ad / bc', 4)}
+           END AS or_mh,
+           CASE WHEN var > 0 THEN
+             {sql_quantize('dev * dev / var', 4)} > {CMH_CHI2_95}
+           END AS significant_95
+    FROM fold
+"""
+
+ORACLE["events_holt_linear"] = f"""
+    WITH RECURSIVE cells AS (
+      SELECT event_type,
+             epoch_us(date_trunc('hour', ts)) AS hour_us,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    b AS (SELECT min(hour_us) AS mn, max(hour_us) AS mx FROM cells),
+    cal AS (
+      SELECT t.event_type,
+             unnest(generate_series(b.mn, b.mx, {HOUR_US})) AS hour_us
+      FROM (SELECT DISTINCT event_type FROM cells) t CROSS JOIN b
+    ),
+    series AS (
+      SELECT cal.event_type, cal.hour_us,
+             CAST(coalesce(c.cnt, 0) AS DOUBLE) AS y,
+             row_number() OVER (
+               PARTITION BY cal.event_type ORDER BY cal.hour_us
+             ) AS rn
+      FROM cal LEFT JOIN cells c
+        ON c.event_type = cal.event_type AND c.hour_us = cal.hour_us
+    ),
+    walk AS (
+      SELECT event_type, rn, y AS lev, CAST(0.0 AS DOUBLE) AS tr
+      FROM series WHERE rn = 1
+      UNION ALL
+      SELECT s.event_type, s.rn,
+             {HOLT_ALPHA!r} * s.y
+               + {1.0 - HOLT_ALPHA!r} * (w.lev + w.tr),
+             {HOLT_BETA!r} * (({HOLT_ALPHA!r} * s.y
+               + {1.0 - HOLT_ALPHA!r} * (w.lev + w.tr)) - w.lev)
+               + {1.0 - HOLT_BETA!r} * w.tr
+      FROM walk w JOIN series s
+        ON s.event_type = w.event_type AND s.rn = w.rn + 1
+    ),
+    last AS (
+      SELECT event_type, rn, lev, tr,
+             row_number() OVER (
+               PARTITION BY event_type ORDER BY rn DESC
+             ) AS rev
+      FROM walk
+    )
+    SELECT event_type, CAST(rn AS BIGINT) AS n_hours,
+           {sql_quantize('lev', 4)} AS level,
+           {sql_quantize('tr', 4)} AS trend,
+           {sql_quantize('lev + tr', 4)} AS forecast_next
+    FROM last WHERE rev = 1
 """

@@ -2073,6 +2073,49 @@ def stream_value_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
     return levene_from_cells(cell)
 
 
+def stream_cmh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Cochran–Mantel–Haenszel: the per-user state is TWO
+    mergeable minima accumulated at ingest — first event ts and first
+    PURCHASE ts (the `stream_conversion_ztest` state, reused verbatim)
+    — and the stratified 2×2 fold evaluates post-drain via the exact
+    batch computation (`events.cmh_from_users`). Drain == batch
+    `events_cmh`, whose oracle it shares.
+    """
+    from pyspark.sql import functions as F
+
+    from .events import cmh_from_users
+
+    ev = read_events_stream(spark, sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("first_purchase"),
+    )
+    snap = run_available_now(per_user, output_mode="complete")
+    return cmh_from_users(snap)
+
+
+def stream_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Holt linear smoothing: the (event_type, hour) count
+    cells accumulate at ingest (calendar-bounded mergeable state) and
+    the level/trend recurrence runs post-drain via the exact batch
+    computation (`events.holt_from_cells`). Drain == batch
+    `events_holt_linear`, whose oracle it shares.
+    """
+    from pyspark.sql import functions as F
+
+    from .events import holt_from_cells
+
+    ev = read_events_stream(spark, sf_dir)
+    cells = ev.groupBy(
+        "event_type",
+        F.unix_micros(F.date_trunc("hour", F.col("ts"))).alias("hour_us"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    snap = run_available_now(cells, output_mode="complete")
+    return holt_from_cells(snap)
+
+
 def stream_dp_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming differentially-private hourly release: the count
     state is the plain (hour, event_type) cell table — bounded by
@@ -2399,6 +2442,8 @@ def stream_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "stream_dp_hourly": stream_dp_hourly,
     "stream_diff_in_diff": stream_diff_in_diff,
+    "stream_cmh": stream_cmh,
+    "stream_holt_linear": stream_holt_linear,
     "stream_token_histogram": stream_token_histogram,
     "stream_ngrams_topk": stream_ngrams_topk,
     "stream_yule_k": stream_yule_k,
@@ -2494,6 +2539,8 @@ QUERIES = {
 ORACLE = {
     "stream_dp_hourly": _EVENTS_ORACLE["events_dp_hourly"],
     "stream_diff_in_diff": _EVENTS_ORACLE["events_diff_in_diff"],
+    "stream_cmh": _EVENTS_ORACLE["events_cmh"],
+    "stream_holt_linear": _EVENTS_ORACLE["events_holt_linear"],
     "stream_ewma_control": _EVENTS_ORACLE["events_ewma_control"],
     "stream_anomaly_ensemble":
         _EVENTS_ORACLE["events_anomaly_ensemble"],

@@ -689,3 +689,75 @@ def test_multimodal_pack_budget_invariant(spark):
     for fmt, grp in packed.groupby("fmt"):
         sids = sorted(grp["shard_id"].unique())
         assert sids == list(range(len(sids)))
+
+
+def test_cmh_matches_numpy(spark):
+    row = QUERIES["events_cmh"](spark, SF_SMOKE).toPandas().iloc[0]
+    ev = _events()
+    first = ev.sort_values("ts").groupby("user_id").first()["ts"]
+    purch = (
+        ev[ev["event_type"] == "purchase"]
+        .groupby("user_id")["ts"]
+        .min()
+    )
+    users = pd.DataFrame({"first_ts": first})
+    users["fp"] = purch
+    conv = (
+        users["fp"].notna()
+        & ((users["fp"] - users["first_ts"]).dt.total_seconds() <= 86400)
+    ).to_numpy()
+    treat = np.asarray(users.index % 2 == 0)
+    stratum = (users["first_ts"].dt.hour // 6).to_numpy()
+    dev = var = ad = bc = 0.0
+    n_strata = 0
+    for s in np.unique(stratum):
+        m = stratum == s
+        t = m.sum()
+        if t < 2:
+            continue
+        n_strata += 1
+        a = (treat[m] & conv[m]).sum()
+        n1 = treat[m].sum()
+        m1 = conv[m].sum()
+        dev += a - n1 * m1 / t
+        var += n1 * (t - n1) * m1 * (t - m1) / (t**2 * (t - 1))
+        ad += a * ((t - n1) - (m1 - a)) / t
+        bc += (n1 - a) * (m1 - a) / t
+    assert row["n_strata"] == n_strata
+    assert _close(row["chi2_cmh"], dev * dev / var)
+    assert _close(row["or_mh"], ad / bc)
+
+
+def test_holt_linear_matches_numpy(spark):
+    rel = (
+        QUERIES["events_holt_linear"](spark, SF_SMOKE)
+        .toPandas()
+        .set_index("event_type")
+    )
+    ev = _events()
+    hours = ev["ts"].dt.floor("h")
+    full = pd.date_range(hours.min(), hours.max(), freq="h")
+    for etype, grp in ev.groupby("event_type"):
+        y = (
+            grp["ts"].dt.floor("h").value_counts().reindex(full, fill_value=0)
+        ).to_numpy(dtype=float)
+        lev, tr = y[0], 0.0
+        for t in range(1, len(y)):
+            new = 0.5 * y[t] + 0.5 * (lev + tr)
+            tr = 0.25 * (new - lev) + 0.75 * tr
+            lev = new
+        assert rel.loc[etype, "n_hours"] == len(y)
+        assert _close(rel.loc[etype, "level"], lev)
+        assert _close(rel.loc[etype, "forecast_next"], lev + tr)
+
+
+def test_phash_hamming_neighbors_consistent(spark):
+    rel = QUERIES["multimodal_phash"](spark, SF_SMOKE).toPandas()
+    # recompute near-dup counts from the code census directly
+    census = rel.groupby("phash").size()
+    for _, r in rel.sample(n=min(25, len(rel)), random_state=7).iterrows():
+        expect = sum(
+            census.get(int(r["phash"]) ^ (1 << b), 0) for b in range(16)
+        )
+        assert r["near_dups"] == expect
+    assert (rel["exact_dups"] >= 0).all()
