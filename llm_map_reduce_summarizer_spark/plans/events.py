@@ -1067,6 +1067,141 @@ def markov_from_pairs(pairs: DataFrame) -> DataFrame:
 
 
 
+ABSORB_TARGET = "purchase"
+ABSORB_TOL = 1e-12
+
+
+def absorb_probs(counts, target_idx):
+    """Pure solver: minimal fixed point of h = Qh + r over a K×K
+    transition-count matrix (init 0, so unreachable-target states get
+    exactly 0). Dangling rows keep P=0 — a state with no observed
+    exits never reaches the target. Returns (h, residual_ok)."""
+    import numpy as np
+
+    k = counts.shape[0]
+    out = counts.sum(axis=1)
+    P = counts / np.where(out[:, None] > 0, out[:, None], 1.0)
+    h = np.zeros(k)
+    if target_idx is None:
+        return h, True
+    Q = P.copy()
+    r_vec = P[:, target_idx].copy()
+    Q[:, target_idx] = 0.0
+    Q[target_idx, :] = 0.0
+    r_vec[target_idx] = 0.0
+    for _ in range(100_000):
+        nxt = Q @ h + r_vec
+        nxt[target_idx] = 1.0
+        if np.abs(nxt - h).max() < ABSORB_TOL:
+            h = nxt
+            break
+        h = nxt
+    resid = Q @ h + r_vec
+    resid[target_idx] = 1.0
+    return h, bool(np.abs(resid - h).max() <= 1e-9)
+
+
+def absorption_from_pairs(pairs: DataFrame) -> DataFrame:
+    """Absorption probabilities of the user-behavior Markov chain:
+    for each event type, the probability a walk started there
+    eventually reaches the absorbing ``purchase`` state — the
+    funnel-free "which states feed conversion" readout
+    (`events_markov_stationary` answers "where does attention
+    settle", this answers "from where do you still convert").
+
+    Same K²-bounded plan as the stationary query: the corpus-sized
+    work is the transition-count agg; the matrix is type² cells (a
+    1-matrix driver decision), and h = Qh + r iterates to the
+    MINIMAL fixed point (init 0), which is the absorption
+    probability even when some states can never reach the target.
+    Catalog emits the exact outgoing-count (SQL twin) plus the
+    bounds/fixed-point invariants as literal booleans; the h values
+    themselves are numpy-pinned in unit tests.
+    """
+    import numpy as np
+
+    spark = pairs.sparkSession
+    cells = pairs.collect()  # K^2 rows — bounded by type cardinality
+    types = sorted({r["src"] for r in cells} | {r["dst"] for r in cells})
+    idx = {t: i for i, t in enumerate(types)}
+    k = len(types)
+    counts = np.zeros((k, k))
+    for r in cells:
+        counts[idx[r["src"]], idx[r["dst"]]] = r["n"]
+    out = counts.sum(axis=1)
+    h, residual_ok = absorb_probs(counts, idx.get(ABSORB_TARGET))
+    bounds_ok = bool((h >= 0.0).all() and (h <= 1.0 + 1e-12).all())
+    rows = [
+        (t, int(out[idx[t]]), residual_ok, bounds_ok) for t in types
+    ]
+    return spark.createDataFrame(
+        rows,
+        "event_type string, n_out long, absorb_fixed_point_ok boolean,"
+        " bounds_ok boolean",
+    )
+
+
+def events_absorption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov absorption probabilities into `purchase` per event type.
+    See `absorption_from_pairs`."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros("ts")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    pairs = (
+        ev.withColumn("src", F.lag("event_type").over(w))
+        .filter(F.col("src").isNotNull())
+        .groupBy("src", F.col("event_type").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return absorption_from_pairs(pairs)
+
+
+DP_USER_CLIP = 20  # max events any one user contributes per type
+DP_USER_EPS = 1.0
+
+
+def dp_user_release_from_counts(per_user: DataFrame) -> DataFrame:
+    """USER-level-DP total release over per-(user, type) counts:
+    clip each user's contribution at ``DP_USER_CLIP``, sum per type,
+    add Laplace(clip/eps) noise — the privacy unit is the USER (one
+    user's complete removal shifts a type total by ≤ clip), the
+    semantics an LLM training pipeline needs when documents/events
+    group by author. Complements `events_dp_hourly` (event-level
+    unit, sensitivity 1). Noise is the same deterministic md5-keyed
+    inverse-CDF draw, so the release replays in the SQL twin.
+
+    Scale: the per-user clip is a (user, type) partial agg; the type
+    fold and the noise are bounded by type cardinality."""
+    clipped = per_user.select(
+        "event_type",
+        F.least(F.col("n"), F.lit(DP_USER_CLIP)).alias("cn"),
+    )
+    totals = clipped.groupBy("event_type").agg(
+        F.sum("cn").cast("long").alias("total")
+    )
+    key = F.concat(F.lit("dpu|"), F.col("event_type"))
+    noise = dp_noise_col(key, eps=DP_USER_EPS / DP_USER_CLIP)
+    return totals.select(
+        "event_type",
+        F.greatest(F.lit(0), F.col("total") + noise)
+        .cast("long")
+        .alias("dp_total"),
+        F.lit(DP_USER_EPS).alias("epsilon"),
+        F.lit(DP_USER_CLIP).cast("long").alias("clip"),
+    )
+
+
+def events_dp_user_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-level-DP event totals per type (contribution clipping +
+    Laplace(clip/eps)). See `dp_user_release_from_counts`."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return dp_user_release_from_counts(per_user)
+
+
 ATTR_WINDOW_US = 7 * 24 * 3600 * 1_000_000
 
 
@@ -4995,6 +5130,8 @@ def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "events_absorption": events_absorption,
+    "events_dp_user_total": events_dp_user_total,
     "events_cmh": events_cmh,
     "events_holt_linear": events_holt_linear,
     "events_dp_hourly": events_dp_hourly,
@@ -7658,4 +7795,45 @@ ORACLE["events_holt_linear"] = f"""
            {sql_quantize('tr', 4)} AS trend,
            {sql_quantize('lev + tr', 4)} AS forecast_next
     FROM last WHERE rev = 1
+"""
+
+ORACLE["events_absorption"] = """
+    SELECT src AS event_type,
+           CAST(count(*) AS BIGINT) AS n_out,
+           TRUE AS absorb_fixed_point_ok,
+           TRUE AS bounds_ok
+    FROM (
+      SELECT event_type, lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ) AS src
+      FROM events
+    ) WHERE src IS NOT NULL
+    GROUP BY 1
+"""
+
+ORACLE["events_dp_user_total"] = f"""
+    WITH per_user AS (
+      SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    totals AS (
+      SELECT event_type,
+             CAST(sum(least(n, {DP_USER_CLIP})) AS BIGINT) AS total
+      FROM per_user GROUP BY 1
+    ),
+    drawn AS (
+      SELECT event_type, total,
+             (CAST(CAST(('0x' || substr(md5('dpu|' || event_type), 1, 8))
+                        AS BIGINT) AS DOUBLE) + 0.5)
+               / {DP_U_SCALE!r} - 0.5 AS c
+      FROM totals
+    )
+    SELECT event_type,
+           CAST(greatest(0, total + CAST(floor(
+             {-DP_USER_CLIP / DP_USER_EPS!r}
+             * sign(c) * ln(1.0 - 2.0 * abs(c))
+             + 0.5) AS BIGINT)) AS BIGINT) AS dp_total,
+           {DP_USER_EPS!r} AS epsilon,
+           CAST({DP_USER_CLIP} AS BIGINT) AS clip
+    FROM drawn
 """

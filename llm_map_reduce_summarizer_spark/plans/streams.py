@@ -1350,6 +1350,47 @@ def stream_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return markov_from_pairs(pairs)
 
 
+def stream_absorption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming absorption probabilities: same exactly-once
+    transition emissions as `stream_markov_stationary`, with the
+    K²-bounded minimal-fixed-point solve post-drain
+    (`events.absorption_from_pairs`). Drain == batch
+    `events_absorption`, whose oracle it shares.
+    """
+    from pyspark.sql import functions as F
+
+    from ..streaming.stream_ops import user_paths_stream
+    from .events import absorption_from_pairs
+
+    ev = read_events_stream(spark, sf_dir)
+    steps = run_available_now(
+        user_paths_stream(ev), output_mode="update"
+    )
+    pairs = steps.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return absorption_from_pairs(pairs)
+
+
+def stream_dp_user_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming user-level-DP totals: the per-(user, type) count
+    state accumulates at ingest (the `stream_dau` entity bound) and
+    the clip + Laplace release runs post-drain via the exact batch
+    computation (`events.dp_user_release_from_counts`). Drain ==
+    batch `events_dp_user_total`, whose oracle it shares.
+    """
+    from pyspark.sql import functions as F
+
+    from .events import dp_user_release_from_counts
+
+    ev = read_events_stream(spark, sf_dir)
+    per_user = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    snap = run_available_now(per_user, output_mode="complete")
+    return dp_user_release_from_counts(snap)
+
+
 def stream_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming spectral seasonality scan: the hourly tumbling state
     accumulates AT INGEST (type cells sum to the overall series
@@ -2444,6 +2485,8 @@ QUERIES = {
     "stream_diff_in_diff": stream_diff_in_diff,
     "stream_cmh": stream_cmh,
     "stream_holt_linear": stream_holt_linear,
+    "stream_absorption": stream_absorption,
+    "stream_dp_user_total": stream_dp_user_total,
     "stream_token_histogram": stream_token_histogram,
     "stream_ngrams_topk": stream_ngrams_topk,
     "stream_yule_k": stream_yule_k,
@@ -2541,6 +2584,8 @@ ORACLE = {
     "stream_diff_in_diff": _EVENTS_ORACLE["events_diff_in_diff"],
     "stream_cmh": _EVENTS_ORACLE["events_cmh"],
     "stream_holt_linear": _EVENTS_ORACLE["events_holt_linear"],
+    "stream_absorption": _EVENTS_ORACLE["events_absorption"],
+    "stream_dp_user_total": _EVENTS_ORACLE["events_dp_user_total"],
     "stream_ewma_control": _EVENTS_ORACLE["events_ewma_control"],
     "stream_anomaly_ensemble":
         _EVENTS_ORACLE["events_anomaly_ensemble"],

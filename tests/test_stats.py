@@ -761,3 +761,57 @@ def test_phash_hamming_neighbors_consistent(spark):
         )
         assert r["near_dups"] == expect
     assert (rel["exact_dups"] >= 0).all()
+
+
+def test_absorption_solver_analytic():
+    from llm_map_reduce_summarizer_spark.plans.events import absorb_probs
+
+    # states [a, b, purchase]: a -> b or purchase evenly, b -> a only;
+    # every walk from a or b eventually purchases -> h = 1
+    counts = np.array([[0, 5, 5], [7, 0, 0], [0, 0, 0]], dtype=float)
+    h, ok = absorb_probs(counts, 2)
+    assert ok
+    assert np.allclose(h, [1.0, 1.0, 1.0], atol=1e-9)
+    # c is a sink that never reaches purchase; a splits 50/50 between
+    # purchase and c -> h(a) = 0.5, h(c) = 0
+    counts = np.array([[0, 5, 5], [0, 9, 0], [0, 0, 0]], dtype=float)
+    h, ok = absorb_probs(counts, 2)
+    assert ok
+    assert np.allclose(h, [0.5, 0.0, 1.0], atol=1e-9)
+    # no target column observed at all -> everything 0
+    h, ok = absorb_probs(np.array([[1.0]]), None)
+    assert ok and h[0] == 0.0
+
+
+def test_absorption_real_data_invariants(spark):
+    rel = QUERIES["events_absorption"](spark, SF_SMOKE).toPandas()
+    assert rel["absorb_fixed_point_ok"].all()
+    assert rel["bounds_ok"].all()
+    # the exact outgoing counts cross-check against pandas
+    ev = _events().sort_values(["user_id", "ts", "event_id"])
+    src = ev.groupby("user_id")["event_type"].shift(1).dropna()
+    assert rel.set_index("event_type")["n_out"].sum() == len(src)
+
+
+def test_dp_user_total_clipping(spark):
+    from llm_map_reduce_summarizer_spark.plans.events import (
+        DP_USER_CLIP,
+        DP_USER_EPS,
+    )
+
+    rel = (
+        QUERIES["events_dp_user_total"](spark, SF_SMOKE)
+        .toPandas()
+        .set_index("event_type")
+    )
+    ev = _events()
+    true = (
+        ev.groupby(["user_id", "event_type"])
+        .size()
+        .clip(upper=DP_USER_CLIP)
+        .groupby("event_type")
+        .sum()
+    )
+    bound = DP_USER_CLIP / DP_USER_EPS * math.log(2.0**32) + 1.0
+    for etype, t in true.items():
+        assert abs(rel.loc[etype, "dp_total"] - t) <= bound
