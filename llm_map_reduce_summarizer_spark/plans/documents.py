@@ -2877,6 +2877,95 @@ def search_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft deduplication: instead of dropping near-duplicates, weight
+    every doc by 1/|its near-dup cluster| so each duplicated content
+    unit contributes one doc's worth of gradient — the
+    train-on-everything-but-downweight policy modern pipelines use
+    when hard dedup is too lossy. Docs outside any cluster keep
+    weight 1.
+
+    Scale: rides `dedup_clusters` (banded LSH + O(diameter)
+    components); the size rollup and the weight join are natural-key
+    shuffles on cluster_id / doc_id.
+    """
+    clusters = dedup_clusters(spark, sf_dir)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    cd = clusters.join(sizes, "cluster_id")
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .join(cd.select("doc_id", "cluster_size"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster_size"), F.lit(1))
+            .cast("long")
+            .alias("cluster_size"),
+            quantize(
+                F.lit(1.0)
+                / F.coalesce(F.col("cluster_size"), F.lit(1)),
+                6,
+            ).alias("weight"),
+        )
+    )
+
+
+DP_VOCAB_CLIP = 10  # each doc votes for at most its top-10 terms
+DP_VOCAB_EPS = 1.0
+DP_VOCAB_THRESHOLD = 25  # publish only terms whose noisy df clears it
+
+
+def corpus_dp_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private vocabulary release (the stability-based
+    histogram): each doc contributes its top-``DP_VOCAB_CLIP`` terms
+    (by tf, ties by term — the L1 clip that makes the DOC the privacy
+    unit), term document-frequencies get Laplace(clip/ε) noise, and
+    only terms whose noisy count clears the threshold are published —
+    the standard mechanism for releasing vocab/n-gram statistics
+    about a private corpus. Noise is the deterministic md5-keyed
+    draw, so the release replays in the SQL twin.
+
+    Scale: a (doc, term) partial agg, a per-doc top-k window on the
+    ≤clip·docs rows, a term-keyed fold, then a narrow noise-and-
+    threshold map — all natural keys, vocabulary-bounded output.
+    """
+    from pyspark.sql.window import Window
+
+    from ..functions.hashing import words as _words
+    from .events import dp_noise_col
+
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(_words(F.col("text"))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("n").desc(), F.col("term")
+    )
+    kept = tf.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= DP_VOCAB_CLIP
+    )
+    dfreq = kept.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    noise = dp_noise_col(
+        F.concat(F.lit("dpv|"), F.col("term")),
+        eps=DP_VOCAB_EPS / DP_VOCAB_CLIP,
+    )
+    return (
+        dfreq.select(
+            "term",
+            F.greatest(F.lit(0), F.col("df") + noise)
+            .cast("long")
+            .alias("dp_df"),
+        )
+        .filter(F.col("dp_df") >= DP_VOCAB_THRESHOLD)
+    )
+
+
 RBO_P = 0.9
 RBO_DEPTH = BM25_K
 # integer weight grid (1e-9 units): both engines fold exact BIGINT
@@ -6719,6 +6808,8 @@ QUERIES = {
     "doc_repetition": doc_repetition,
     "corpus_mix_report": corpus_mix_report,
     "dedup_clusters": dedup_clusters,
+    "corpus_soft_dedup": corpus_soft_dedup,
+    "corpus_dp_vocab": corpus_dp_vocab,
     "corpus_contamination": corpus_contamination,
     "corpus_rebalance": corpus_rebalance,
     "doc_unigram_surprisal": doc_unigram_surprisal,
@@ -11167,4 +11258,72 @@ ORACLE["multimodal_phash"] = f"""
     FROM code c
     JOIN census g ON g.phash = c.phash
     LEFT JOIN near ON near.doc_id = c.doc_id
+"""
+
+ORACLE["corpus_soft_dedup"] = f"""
+    WITH RECURSIVE {_LSH_PAIR_CTES},
+    edges AS (
+      SELECT da, db FROM lsh_pairs
+      UNION
+      SELECT db AS da, da AS db FROM lsh_pairs
+    ),
+    walk(id, r) AS (
+      SELECT da, da FROM edges
+      UNION
+      SELECT w.id, e.db FROM walk w JOIN edges e ON e.da = w.r
+    ),
+    clusters AS (
+      SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+      FROM walk GROUP BY id
+    ),
+    csizes AS (
+      SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+      FROM clusters GROUP BY 1
+    ),
+    cd AS (
+      SELECT c.doc_id, s.cluster_size
+      FROM clusters c JOIN csizes s ON s.cluster_id = c.cluster_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(cd.cluster_size, 1) AS BIGINT) AS cluster_size,
+           {sql_quantize('1.0 / coalesce(cd.cluster_size, 1)', 6)}
+             AS weight
+    FROM documents d LEFT JOIN cd ON cd.doc_id = d.doc_id
+"""
+
+ORACLE["corpus_dp_vocab"] = f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_W}) AS term FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS n FROM toks GROUP BY 1, 2
+    ),
+    kept AS (
+      SELECT doc_id, term FROM (
+        SELECT doc_id, term,
+               row_number() OVER (
+                 PARTITION BY doc_id ORDER BY n DESC, term
+               ) AS rk
+        FROM tf
+      ) WHERE rk <= {DP_VOCAB_CLIP}
+    ),
+    dfreq AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df FROM kept GROUP BY 1
+    ),
+    drawn AS (
+      SELECT term, df,
+             (CAST(CAST(('0x' || substr(md5('dpv|' || term), 1, 8))
+                        AS BIGINT) AS DOUBLE) + 0.5)
+               / 4294967296.0 - 0.5 AS c
+      FROM dfreq
+    ),
+    rel AS (
+      SELECT term,
+             CAST(greatest(0, df + CAST(floor(
+               {-DP_VOCAB_CLIP / DP_VOCAB_EPS!r}
+               * sign(c) * ln(1.0 - 2.0 * abs(c))
+               + 0.5) AS BIGINT)) AS BIGINT) AS dp_df
+      FROM drawn
+    )
+    SELECT term, dp_df FROM rel WHERE dp_df >= {DP_VOCAB_THRESHOLD}
 """

@@ -815,3 +815,48 @@ def test_dp_user_total_clipping(spark):
     bound = DP_USER_CLIP / DP_USER_EPS * math.log(2.0**32) + 1.0
     for etype, t in true.items():
         assert abs(rel.loc[etype, "dp_total"] - t) <= bound
+
+
+def test_soft_dedup_weights_sum_to_one_per_cluster(spark):
+    rel = QUERIES["corpus_soft_dedup"](spark, SF_SMOKE).toPandas()
+    assert (rel["weight"] <= 1.0 + 1e-9).all()
+    assert (rel["weight"] > 0).all()
+    # every clustered doc's weight is exactly 1/cluster_size, so each
+    # cluster contributes ~1.0 total
+    clustered = rel[rel["cluster_size"] > 1]
+    if len(clustered):
+        tot = clustered.groupby("cluster_size")["weight"].sum()
+        for size, s in tot.items():
+            n_clusters = len(clustered[clustered.cluster_size == size]) / size
+            assert abs(s - n_clusters) < 1e-3
+    # singletons keep full weight
+    singles = rel[rel["cluster_size"] == 1]
+    assert (singles["weight"] == 1.0).all()
+    # weights never exceed a hard-dedup corpus: sum(weight) <= n_docs
+    assert rel["weight"].sum() <= len(rel) + 1e-6
+
+
+def test_dp_vocab_release_semantics(spark):
+    from llm_map_reduce_summarizer_spark.plans.documents import (
+        DP_VOCAB_CLIP,
+        DP_VOCAB_EPS,
+        DP_VOCAB_THRESHOLD,
+    )
+
+    rel = QUERIES["corpus_dp_vocab"](spark, SF_SMOKE).toPandas()
+    assert (rel["dp_df"] >= DP_VOCAB_THRESHOLD).all()
+    docs = _documents()
+    # true clipped df: each doc votes for its top-CLIP terms by tf
+    votes: dict[str, int] = {}
+    for t in docs["text"]:
+        toks = pd.Series(t.lower().strip().split())
+        tf = toks.value_counts()
+        top = sorted(
+            tf.index, key=lambda w: (-tf[w], w)
+        )[:DP_VOCAB_CLIP]
+        for w in top:
+            votes[w] = votes.get(w, 0) + 1
+    bound = DP_VOCAB_CLIP / DP_VOCAB_EPS * math.log(2.0**32) + 1.0
+    for _, r in rel.iterrows():
+        true_df = votes.get(r["term"], 0)
+        assert abs(r["dp_df"] - true_df) <= bound
