@@ -2912,6 +2912,36 @@ def corpus_soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup applied to the DOCUMENT corpus: the cosine-threshold
+    near-dup components over the embedding column (the
+    `emb_dedup_apply` machinery, threshold = NEARDUP_COS) decide the
+    drop set, and the anti-join lands on the documents table —
+    catching paraphrases that shared-shingle dedup can't see.
+    Embeddings align with documents on vec_id = doc_id (the
+    `semantic_search` convention).
+
+    Scale: all pairwise work rides the blocked-dgemm pair operator
+    (B·n-row shuffle, never n²); components are pointer-halving over
+    pairs ≪ corpus; docs shuffle only by their key in the anti-join.
+    """
+    from ..operators.dedup import connected_components
+
+    pairs = embedding_neardup_blocked(
+        _embs(spark, sf_dir), threshold=NEARDUP_COS
+    ).select("da", "db")
+    drop = (
+        connected_components(pairs)
+        .filter(F.col("id") != F.col("component"))
+        .select(F.col("id").alias("doc_id"))
+    )
+    return (
+        _docs(spark, sf_dir)
+        .join(drop, "doc_id", "left_anti")
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
 DP_VOCAB_CLIP = 10  # each doc votes for at most its top-10 terms
 DP_VOCAB_EPS = 1.0
 DP_VOCAB_THRESHOLD = 25  # publish only terms whose noisy df clears it
@@ -6810,6 +6840,7 @@ QUERIES = {
     "dedup_clusters": dedup_clusters,
     "corpus_soft_dedup": corpus_soft_dedup,
     "corpus_dp_vocab": corpus_dp_vocab,
+    "corpus_semantic_dedup": corpus_semantic_dedup,
     "corpus_contamination": corpus_contamination,
     "corpus_rebalance": corpus_rebalance,
     "doc_unigram_surprisal": doc_unigram_surprisal,
@@ -11326,4 +11357,28 @@ ORACLE["corpus_dp_vocab"] = f"""
       FROM drawn
     )
     SELECT term, dp_df FROM rel WHERE dp_df >= {DP_VOCAB_THRESHOLD}
+"""
+
+ORACLE["corpus_semantic_dedup"] = f"""
+    WITH RECURSIVE {sql_unit_cte()},
+    nd AS (
+      SELECT a.vec_id AS da, b.vec_id AS db
+      FROM unitv a JOIN unitv b ON a.vec_id < b.vec_id
+      WHERE (floor({sql_dot('a.u', 'b.u')} * 1000000.0 + 0.5) / 1000000.0)
+              >= {NEARDUP_COS}
+    ),
+    edges AS (
+      SELECT da, db FROM nd UNION SELECT db AS da, da AS db FROM nd
+    ),
+    walk(id, r) AS (
+      SELECT da, da FROM edges
+      UNION
+      SELECT w.id, e.db FROM walk w JOIN edges e ON e.da = w.r
+    ),
+    dropset AS (
+      SELECT id FROM walk GROUP BY id HAVING id <> min(r)
+    )
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT id FROM dropset)
 """

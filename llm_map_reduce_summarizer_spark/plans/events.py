@@ -1067,6 +1067,140 @@ def markov_from_pairs(pairs: DataFrame) -> DataFrame:
 
 
 
+def cuped_cells(ev: DataFrame) -> DataFrame:
+    """Per-(user, day) value-sum cells on the cent grid — the
+    mergeable state shared by the batch op and the streaming twin
+    (the `stream_growth_accounting` user-day bound)."""
+    return ev.groupBy(
+        (F.col("user_id") % 2 == 0).alias("treat"),
+        F.col("user_id"),
+        F.unix_micros(F.date_trunc("day", F.col("ts"))).alias("day_us"),
+    ).agg(
+        F.sum(
+            F.floor(F.col("value") * 100 + 0.5).cast("decimal(38,0)")
+        ).alias("sv")
+    )
+
+
+def cuped_from_cells(cells: DataFrame) -> DataFrame:
+    """CUPED variance-reduced experiment readout over (treat, user,
+    day, Σv) cells: covariate x = each user's PRE-period value, metric
+    y = POST-period value (period split at the midpoint of the
+    observed day range, the DiD rule), θ = pooled cov(x,y)/var(x),
+    adjusted metric y′ = y − θ·x — the industry-standard variance
+    reduction that tightens the same comparison `events_ab_welch`
+    makes on the raw metric. Emits θ, raw and adjusted treatment
+    effects, the adjusted t, and the realized variance-reduction
+    ratio.
+
+    Scale: one user-day partial agg (exact decimal cents), a per-user
+    fold into (x, y), then a SIX-MOMENT conditional fold per arm —
+    single row out, the ab_welch algebra throughout."""
+    bounds = cells.agg(
+        (
+            (
+                F.min("day_us").cast("double")
+                + F.max("day_us").cast("double")
+            )
+            / 2.0
+        ).alias("mid")
+    )
+    per_user = (
+        cells.crossJoin(F.broadcast(bounds))
+        .groupBy("treat", "user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("day_us").cast("double") < F.col("mid"),
+                    F.col("sv"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("double")
+            .alias("x"),
+            F.sum(
+                F.when(
+                    F.col("day_us").cast("double") >= F.col("mid"),
+                    F.col("sv"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("double")
+            .alias("y"),
+        )
+    )
+
+    def arm(flag: bool, col: Column) -> Column:
+        return F.sum(F.when(F.col("treat") == flag, col).otherwise(0.0))
+
+    moments = per_user.agg(
+        *[
+            e.alias(f"{n}_{s}")
+            for flag, s in ((True, "t"), (False, "c"))
+            for n, e in (
+                ("n", F.sum(F.when(F.col("treat") == flag, 1).otherwise(0)).cast("double")),
+                ("sx", arm(flag, F.col("x"))),
+                ("sy", arm(flag, F.col("y"))),
+                ("sxx", arm(flag, F.col("x") * F.col("x"))),
+                ("syy", arm(flag, F.col("y") * F.col("y"))),
+                ("sxy", arm(flag, F.col("x") * F.col("y"))),
+            )
+        ]
+    )
+    n = F.col("n_t") + F.col("n_c")
+    sx = F.col("sx_t") + F.col("sx_c")
+    sy = F.col("sy_t") + F.col("sy_c")
+    sxx = F.col("sxx_t") + F.col("sxx_c")
+    sxy = F.col("sxy_t") + F.col("sxy_c")
+    var_x = sxx / n - (sx / n) * (sx / n)
+    cov_xy = sxy / n - (sx / n) * (sy / n)
+    theta = cov_xy / var_x
+
+    def mean(p: str, s: str) -> Column:
+        return F.col(f"{p}_{s}") / F.col(f"n_{s}")
+
+    def var_adj(s: str) -> Column:
+        vy = F.col(f"syy_{s}") / F.col(f"n_{s}") - mean("sy", s) * mean(
+            "sy", s
+        )
+        vx = F.col(f"sxx_{s}") / F.col(f"n_{s}") - mean("sx", s) * mean(
+            "sx", s
+        )
+        cxy = F.col(f"sxy_{s}") / F.col(f"n_{s}") - mean("sx", s) * mean(
+            "sy", s
+        )
+        return vy - 2.0 * theta * cxy + theta * theta * vx
+
+    diff_raw = mean("sy", "t") - mean("sy", "c")
+    diff_adj = (mean("sy", "t") - theta * mean("sx", "t")) - (
+        mean("sy", "c") - theta * mean("sx", "c")
+    )
+    se2 = var_adj("t") / F.col("n_t") + var_adj("c") / F.col("n_c")
+    vy_t = F.col("syy_t") / F.col("n_t") - mean("sy", "t") * mean("sy", "t")
+    vy_c = F.col("syy_c") / F.col("n_c") - mean("sy", "c") * mean("sy", "c")
+    se2_raw = vy_t / F.col("n_t") + vy_c / F.col("n_c")
+    ok = (F.col("n_t") > 1) & (F.col("n_c") > 1) & (var_x > 0)
+    return moments.select(
+        F.col("n_t").cast("long").alias("n_treat"),
+        F.col("n_c").cast("long").alias("n_ctrl"),
+        F.when(ok, quantize(theta, 6)).alias("theta"),
+        quantize(diff_raw / 100.0, 4).alias("diff_raw"),
+        F.when(ok, quantize(diff_adj / 100.0, 4)).alias("diff_adj"),
+        F.when(
+            ok & (se2 > 0), quantize(diff_adj / F.sqrt(se2), 4)
+        ).alias("t_adj"),
+        F.when(
+            ok & (se2_raw > 0), quantize(1.0 - se2 / se2_raw, 6)
+        ).alias("var_reduction"),
+    )
+
+
+def events_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED-adjusted treatment-effect readout (pre-period value as
+    the control covariate). See `cuped_from_cells`."""
+    return cuped_from_cells(
+        cuped_cells(load_table(spark, sf_dir, "events"))
+    )
+
+
 ABSORB_TARGET = "purchase"
 ABSORB_TOL = 1e-12
 
@@ -5130,6 +5264,7 @@ def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "events_cuped": events_cuped,
     "events_absorption": events_absorption,
     "events_dp_user_total": events_dp_user_total,
     "events_cmh": events_cmh,
@@ -7836,4 +7971,88 @@ ORACLE["events_dp_user_total"] = f"""
            {DP_USER_EPS!r} AS epsilon,
            CAST({DP_USER_CLIP} AS BIGINT) AS clip
     FROM drawn
+"""
+
+ORACLE["events_cuped"] = f"""
+    WITH cells AS (
+      SELECT (user_id % 2 = 0) AS treat, user_id,
+             epoch_us(date_trunc('day', ts)) AS day_us,
+             sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sv
+      FROM events GROUP BY 1, 2, 3
+    ),
+    b AS (
+      SELECT (CAST(min(day_us) AS DOUBLE)
+              + CAST(max(day_us) AS DOUBLE)) / 2.0 AS mid
+      FROM cells
+    ),
+    per_user AS (
+      SELECT treat, user_id,
+             CAST(sum(CASE WHEN CAST(day_us AS DOUBLE) < mid
+                      THEN sv ELSE 0 END) AS DOUBLE) AS x,
+             CAST(sum(CASE WHEN CAST(day_us AS DOUBLE) >= mid
+                      THEN sv ELSE 0 END) AS DOUBLE) AS y
+      FROM cells CROSS JOIN b GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT
+        CAST(sum(CASE WHEN treat THEN 1 ELSE 0 END) AS DOUBLE) AS n_t,
+        CAST(sum(CASE WHEN treat THEN 0 ELSE 1 END) AS DOUBLE) AS n_c,
+        sum(CASE WHEN treat THEN x ELSE 0 END) AS sx_t,
+        sum(CASE WHEN treat THEN 0 ELSE x END) AS sx_c,
+        sum(CASE WHEN treat THEN y ELSE 0 END) AS sy_t,
+        sum(CASE WHEN treat THEN 0 ELSE y END) AS sy_c,
+        sum(CASE WHEN treat THEN x * x ELSE 0 END) AS sxx_t,
+        sum(CASE WHEN treat THEN 0 ELSE x * x END) AS sxx_c,
+        sum(CASE WHEN treat THEN y * y ELSE 0 END) AS syy_t,
+        sum(CASE WHEN treat THEN 0 ELSE y * y END) AS syy_c,
+        sum(CASE WHEN treat THEN x * y ELSE 0 END) AS sxy_t,
+        sum(CASE WHEN treat THEN 0 ELSE x * y END) AS sxy_c
+      FROM per_user
+    ),
+    pool AS (
+      SELECT *,
+             (sxx_t + sxx_c) / (n_t + n_c)
+               - ((sx_t + sx_c) / (n_t + n_c))
+               * ((sx_t + sx_c) / (n_t + n_c)) AS var_x,
+             (sxy_t + sxy_c) / (n_t + n_c)
+               - ((sx_t + sx_c) / (n_t + n_c))
+               * ((sy_t + sy_c) / (n_t + n_c)) AS cov_xy
+      FROM m
+    ),
+    th AS (SELECT *, cov_xy / var_x AS theta FROM pool),
+    adj AS (
+      SELECT *,
+             (sy_t / n_t - sy_c / n_c) AS diff_raw,
+             ((sy_t / n_t - theta * (sx_t / n_t))
+              - (sy_c / n_c - theta * (sx_c / n_c))) AS diff_adj,
+             ((syy_t / n_t - (sy_t / n_t) * (sy_t / n_t))
+               - 2.0 * theta * (sxy_t / n_t
+                 - (sx_t / n_t) * (sy_t / n_t))
+               + theta * theta * (sxx_t / n_t
+                 - (sx_t / n_t) * (sx_t / n_t))) / n_t
+             + ((syy_c / n_c - (sy_c / n_c) * (sy_c / n_c))
+               - 2.0 * theta * (sxy_c / n_c
+                 - (sx_c / n_c) * (sy_c / n_c))
+               + theta * theta * (sxx_c / n_c
+                 - (sx_c / n_c) * (sx_c / n_c))) / n_c AS se2,
+             (syy_t / n_t - (sy_t / n_t) * (sy_t / n_t)) / n_t
+             + (syy_c / n_c - (sy_c / n_c) * (sy_c / n_c)) / n_c
+               AS se2_raw,
+             (n_t > 1 AND n_c > 1 AND var_x > 0) AS ok
+      FROM th
+    )
+    SELECT CAST(n_t AS BIGINT) AS n_treat,
+           CAST(n_c AS BIGINT) AS n_ctrl,
+           CASE WHEN ok THEN {sql_quantize('theta', 6)} END AS theta,
+           {sql_quantize('diff_raw / 100.0', 4)} AS diff_raw,
+           CASE WHEN ok THEN
+             {sql_quantize('diff_adj / 100.0', 4)}
+           END AS diff_adj,
+           CASE WHEN ok AND se2 > 0 THEN
+             {sql_quantize('diff_adj / sqrt(se2)', 4)}
+           END AS t_adj,
+           CASE WHEN ok AND se2_raw > 0 THEN
+             {sql_quantize('1.0 - se2 / se2_raw', 6)}
+           END AS var_reduction
+    FROM adj
 """

@@ -2114,6 +2114,92 @@ def stream_value_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
     return levene_from_cells(cell)
 
 
+def stream_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CUPED: the per-(user, day) value cells accumulate at
+    ingest (exact decimal cents — the `stream_growth_accounting`
+    user-day state bound) and the pre/post split + six-moment fold
+    run post-drain via the exact batch computation
+    (`events.cuped_from_cells`). Drain == batch `events_cuped`,
+    whose oracle it shares.
+    """
+    from pyspark.sql import functions as F
+
+    from .events import cuped_from_cells
+
+    ev = read_events_stream(spark, sf_dir)
+    cells = ev.groupBy(
+        (F.col("user_id") % 2 == 0).alias("treat"),
+        F.col("user_id"),
+        F.unix_micros(F.date_trunc("day", F.col("ts"))).alias("day_us"),
+    ).agg(
+        F.sum(
+            F.floor(F.col("value") * 100 + 0.5).cast("decimal(38,0)")
+        ).alias("sv")
+    )
+    snap = run_available_now(cells, output_mode="complete")
+    return cuped_from_cells(snap)
+
+
+def stream_dp_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming DP vocabulary release: each arriving doc's top-k term
+    votes are a STATELESS per-row extraction (docs arrive whole), the
+    per-term vote counts accumulate as vocabulary-bounded mergeable
+    state, and the noise + threshold release runs post-drain with the
+    same deterministic draw. Drain == batch `corpus_dp_vocab`, whose
+    oracle it shares.
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions.hashing import words as _words
+    from .documents import DP_VOCAB_CLIP, DP_VOCAB_EPS, DP_VOCAB_THRESHOLD
+    from .events import dp_noise_col
+
+    docs = read_documents_stream(spark, sf_dir)
+    # per-doc top-k by tf (ties by term): an aggregate over the doc's
+    # own token array — no cross-row state, pure map
+    votes = docs.select(
+        F.explode(
+            F.slice(
+                F.expr(
+                    """
+                    transform(
+                      array_sort(
+                        transform(
+                          array_distinct(split(lower(trim(text)), '\\\\s+')),
+                          t -> struct(
+                            -size(filter(split(lower(trim(text)), '\\\\s+'),
+                                         x -> x = t)) AS neg,
+                            t AS term)
+                        )
+                      ),
+                      s -> s.term
+                    )
+                    """
+                ),
+                1,
+                DP_VOCAB_CLIP,
+            )
+        ).alias("term")
+    )
+    counts = votes.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    snap = run_available_now(counts, output_mode="complete")
+    noise = dp_noise_col(
+        F.concat(F.lit("dpv|"), F.col("term")),
+        eps=DP_VOCAB_EPS / DP_VOCAB_CLIP,
+    )
+    return (
+        snap.select(
+            "term",
+            F.greatest(F.lit(0), F.col("df") + noise)
+            .cast("long")
+            .alias("dp_df"),
+        )
+        .filter(F.col("dp_df") >= DP_VOCAB_THRESHOLD)
+    )
+
+
 def stream_cmh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming Cochran–Mantel–Haenszel: the per-user state is TWO
     mergeable minima accumulated at ingest — first event ts and first
@@ -2487,6 +2573,8 @@ QUERIES = {
     "stream_holt_linear": stream_holt_linear,
     "stream_absorption": stream_absorption,
     "stream_dp_user_total": stream_dp_user_total,
+    "stream_cuped": stream_cuped,
+    "stream_dp_vocab": stream_dp_vocab,
     "stream_token_histogram": stream_token_histogram,
     "stream_ngrams_topk": stream_ngrams_topk,
     "stream_yule_k": stream_yule_k,
@@ -2586,6 +2674,8 @@ ORACLE = {
     "stream_holt_linear": _EVENTS_ORACLE["events_holt_linear"],
     "stream_absorption": _EVENTS_ORACLE["events_absorption"],
     "stream_dp_user_total": _EVENTS_ORACLE["events_dp_user_total"],
+    "stream_cuped": _EVENTS_ORACLE["events_cuped"],
+    "stream_dp_vocab": _DOCS_ORACLE["corpus_dp_vocab"],
     "stream_ewma_control": _EVENTS_ORACLE["events_ewma_control"],
     "stream_anomaly_ensemble":
         _EVENTS_ORACLE["events_anomaly_ensemble"],

@@ -860,3 +860,33 @@ def test_dp_vocab_release_semantics(spark):
     for _, r in rel.iterrows():
         true_df = votes.get(r["term"], 0)
         assert abs(r["dp_df"] - true_df) <= bound
+
+
+def test_cuped_matches_numpy(spark):
+    row = QUERIES["events_cuped"](spark, SF_SMOKE).toPandas().iloc[0]
+    ev = _events()
+    day = ev["ts"].dt.floor("D").astype("int64")
+    mid = (day.min() + day.max()) / 2.0
+    vq = np.floor(ev["value"].to_numpy() * 100 + 0.5)
+    df = pd.DataFrame(
+        {"u": ev["user_id"], "pre": np.where(day < mid, vq, 0.0),
+         "post": np.where(day >= mid, vq, 0.0)}
+    )
+    per = df.groupby("u").sum()
+    x, y = per["pre"].to_numpy(), per["post"].to_numpy()
+    theta = np.cov(x, y, bias=True)[0, 1] / x.var()
+    treat = np.asarray(per.index % 2 == 0)
+    adj = y - theta * x
+    diff_adj = adj[treat].mean() - adj[~treat].mean()
+    assert _close(row["theta"], theta, tol=1e-3)
+    assert _close(row["diff_adj"], diff_adj / 100.0, tol=1e-3)
+    assert row["n_treat"] == int(treat.sum())
+
+
+def test_semantic_dedup_survivors(spark):
+    rel = QUERIES["corpus_semantic_dedup"](spark, SF_SMOKE).toPandas()
+    docs = _documents()
+    assert 0 < len(rel) <= len(docs)
+    # survivors are a subset of the corpus and include at least one
+    # member of every near-dup component (the representative)
+    assert set(rel["doc_id"]).issubset(set(docs["doc_id"]))
