@@ -1067,6 +1067,160 @@ def markov_from_pairs(pairs: DataFrame) -> DataFrame:
 
 
 
+DP_MEDIAN_EPS = 1.0
+
+
+def events_dp_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private median of event value via the
+    EXPONENTIAL MECHANISM over dollar bins: utility of bin b is
+    −|2·rank(b) − n| (how far b sits from the true median), each bin
+    gets a deterministic md5-keyed Gumbel draw, and the release is
+    argmax(ε·u/2 + Gumbel) — the Gumbel-max trick makes the
+    exponential mechanism a one-pass argmax, and the keyed draw makes
+    it replayable in the SQL twin. Third member of the DP suite:
+    Laplace counts (`events_dp_hourly`), clipped sums
+    (`events_dp_user_total`), and now a non-additive statistic.
+
+    Scale: one bin-count partial agg (bins bounded by the value
+    range), a cumulative window over ≤bins rows, one argmax.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    bins = ev.groupBy(
+        F.floor(F.col("value")).cast("long").alias("bin")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_bin"))
+    # cumulative rank via a broadcast theta-join over the BOUNDED bin
+    # table (≤ value-range rows) — no global window, no single-task
+    # sort of anything corpus-sized
+    tot = bins.agg(F.sum("n_bin").cast("long").alias("n"))
+    lower = bins.select(
+        F.col("bin").alias("b2"), F.col("n_bin").alias("nb2")
+    )
+    ranked = (
+        bins.join(F.broadcast(lower), F.col("b2") <= F.col("bin"))
+        .groupBy("bin", "n_bin")
+        .agg(F.sum("nb2").cast("long").alias("cum"))
+        .crossJoin(F.broadcast(tot))
+    )
+    # utility in integer half-units: -|2*cum - n| (exact)
+    util = -F.abs(2 * F.col("cum") - F.col("n"))
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("dpm|"), F.col("bin").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("double")
+    u = (h + F.lit(0.5)) / F.lit(DP_U_SCALE)
+    gumbel = -F.log(-F.log(u))
+    score = F.lit(DP_MEDIAN_EPS / 4.0) * util + gumbel
+    # Gumbel-argmax as ONE aggregate (ties to the smaller bin)
+    return ranked.withColumn("score", score).agg(
+        F.expr("max_by(bin, struct(score, -bin))")
+        .cast("long")
+        .alias("dp_median_bin"),
+        F.lit(DP_MEDIAN_EPS).alias("epsilon"),
+    )
+
+
+BOOT_REPS = 200
+# Poisson(1) inverse-CDF thresholds (cumulative P(X <= k), k = 0..8);
+# a draw u lands on the first k with u < cum[k], else 9 — injected as
+# identical double literals into both engines
+_POISSON_CUM = [
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.999916758850712,
+    0.9999897508033253,
+    0.9999988805827461,
+]
+
+
+def events_bootstrap_diff_ci(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the A/B difference in
+    per-user total value: every user carries an md5-keyed Poisson(1)
+    weight per replicate, each replicate re-estimates the
+    treated-vs-control mean difference, and the 2.5%/97.5% replicate
+    quantiles give the nonparametric CI — the parametric-free
+    companion to `events_ab_welch`, in the one bootstrap formulation
+    that streams (weights are a map-side expression; no resampling
+    shuffle ever materializes).
+
+    Scale: per-user totals are one natural-key agg; the replicate
+    fan-out partial-aggregates to R × 4 cells map-side, so the
+    shuffle is R rows regardless of corpus size; the quantile sort
+    touches R rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("y")
+    )
+    reps = per_user.select(
+        "user_id",
+        (F.col("user_id") % 2 == 0).alias("treat"),
+        "y",
+        F.explode(F.sequence(F.lit(0), F.lit(BOOT_REPS - 1))).alias("r"),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("bs|"),
+                    F.col("user_id").cast("string"),
+                    F.lit("|"),
+                    F.col("r").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("double")
+    u = (h + F.lit(0.5)) / F.lit(DP_U_SCALE)
+    wexpr = F.lit(9)
+    for k in range(len(_POISSON_CUM) - 1, -1, -1):
+        wexpr = F.when(u < F.lit(_POISSON_CUM[k]), F.lit(k)).otherwise(
+            wexpr
+        )
+    weighted = reps.withColumn("w", wexpr.cast("long"))
+    cells = weighted.groupBy("r").agg(
+        F.sum(F.when(F.col("treat"), F.col("w"))).alias("n_t"),
+        F.sum(F.when(F.col("treat"), F.col("w") * F.col("y"))).alias(
+            "sy_t"
+        ),
+        F.sum(F.when(~F.col("treat"), F.col("w"))).alias("n_c"),
+        F.sum(F.when(~F.col("treat"), F.col("w") * F.col("y"))).alias(
+            "sy_c"
+        ),
+    )
+    diff = (
+        (F.col("sy_t") / F.col("n_t") - F.col("sy_c") / F.col("n_c"))
+        / 100.0
+    )
+    diffs = cells.select(quantize(diff, 6).alias("d"))
+    # exact interpolated percentiles over the R-row replicate table —
+    # no global window, identical definition in the DuckDB twin
+    lo = F.expr("percentile(d, 0.025)")
+    hi = F.expr("percentile(d, 0.975)")
+    return diffs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_reps"),
+        quantize(F.avg("d"), 4).alias("diff_mean"),
+        quantize(lo, 4).alias("ci_lo"),
+        quantize(hi, 4).alias("ci_hi"),
+        ((lo <= 0.0) & (hi >= 0.0)).alias("covers_zero"),
+    )
+
+
 def cuped_cells(ev: DataFrame) -> DataFrame:
     """Per-(user, day) value-sum cells on the cent grid — the
     mergeable state shared by the batch op and the streaming twin
@@ -5265,6 +5419,8 @@ def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "events_cuped": events_cuped,
+    "events_dp_median": events_dp_median,
+    "events_bootstrap_diff_ci": events_bootstrap_diff_ci,
     "events_absorption": events_absorption,
     "events_dp_user_total": events_dp_user_total,
     "events_cmh": events_cmh,
@@ -8055,4 +8211,82 @@ ORACLE["events_cuped"] = f"""
              {sql_quantize('1.0 - se2 / se2_raw', 6)}
            END AS var_reduction
     FROM adj
+"""
+
+ORACLE["events_dp_median"] = f"""
+    WITH bins AS (
+      SELECT CAST(floor(value) AS BIGINT) AS bin,
+             CAST(count(*) AS BIGINT) AS n_bin
+      FROM events GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(n_bin) AS BIGINT) AS n FROM bins),
+    ranked AS (
+      SELECT a.bin, CAST(sum(b.n_bin) AS BIGINT) AS cum
+      FROM bins a JOIN bins b ON b.bin <= a.bin
+      GROUP BY 1
+    ),
+    scored AS (
+      SELECT r.bin,
+             {DP_MEDIAN_EPS / 4.0!r} * (-abs(2 * r.cum - t.n))
+             + (-ln(-ln(
+                 (CAST(CAST(('0x' || substr(md5(
+                    'dpm|' || CAST(r.bin AS VARCHAR)), 1, 8))
+                    AS BIGINT) AS DOUBLE) + 0.5) / {DP_U_SCALE!r}
+               ))) AS score
+      FROM ranked r CROSS JOIN tot t
+    )
+    SELECT CAST(bin AS BIGINT) AS dp_median_bin,
+           {DP_MEDIAN_EPS!r} AS epsilon
+    FROM scored ORDER BY score DESC, bin LIMIT 1
+"""
+
+_POISSON_CASE = " ".join(
+    f"WHEN u < {c!r} THEN {k}" for k, c in enumerate(_POISSON_CUM)
+)
+
+ORACLE["events_bootstrap_diff_ci"] = f"""
+    WITH per_user AS (
+      SELECT user_id, (user_id % 2 = 0) AS treat,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                  AS DOUBLE) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    reps AS (
+      SELECT user_id, treat, y,
+             unnest(generate_series(0, {BOOT_REPS - 1})) AS r
+      FROM per_user
+    ),
+    drawn AS (
+      SELECT treat, y, r,
+             (CAST(CAST(('0x' || substr(md5(
+                'bs|' || CAST(user_id AS VARCHAR) || '|'
+                      || CAST(r AS VARCHAR)), 1, 8))
+                AS BIGINT) AS DOUBLE) + 0.5) / {DP_U_SCALE!r} AS u
+      FROM reps
+    ),
+    weighted AS (
+      SELECT treat, y, r,
+             CAST(CASE {_POISSON_CASE} ELSE 9 END AS BIGINT) AS w
+      FROM drawn
+    ),
+    cells AS (
+      SELECT r,
+             sum(CASE WHEN treat THEN w END) AS n_t,
+             sum(CASE WHEN treat THEN w * y END) AS sy_t,
+             sum(CASE WHEN NOT treat THEN w END) AS n_c,
+             sum(CASE WHEN NOT treat THEN w * y END) AS sy_c
+      FROM weighted GROUP BY 1
+    ),
+    diffs AS (
+      SELECT {sql_quantize(
+          '(sy_t / n_t - sy_c / n_c) / 100.0', 6)} AS d
+      FROM cells
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_reps,
+           {sql_quantize('avg(d)', 4)} AS diff_mean,
+           {sql_quantize('quantile_cont(d, 0.025)', 4)} AS ci_lo,
+           {sql_quantize('quantile_cont(d, 0.975)', 4)} AS ci_hi,
+           (quantile_cont(d, 0.025) <= 0.0
+            AND quantile_cont(d, 0.975) >= 0.0) AS covers_zero
+    FROM diffs
 """

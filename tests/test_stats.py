@@ -890,3 +890,34 @@ def test_semantic_dedup_survivors(spark):
     # survivors are a subset of the corpus and include at least one
     # member of every near-dup component (the representative)
     assert set(rel["doc_id"]).issubset(set(docs["doc_id"]))
+
+
+def test_dp_median_near_true_median(spark):
+    row = QUERIES["events_dp_median"](spark, SF_SMOKE).toPandas().iloc[0]
+    ev = _events()
+    true_bin = math.floor(ev["value"].median())
+    # the exponential mechanism concentrates near the true median;
+    # utility drops by >= 2 per bin of displacement so the released
+    # bin lands within a generous deterministic neighborhood
+    assert abs(row["dp_median_bin"] - true_bin) <= 60
+
+
+def test_bootstrap_ci_brackets_point_estimate(spark):
+    from llm_map_reduce_summarizer_spark.plans.events import BOOT_REPS
+
+    row = (
+        QUERIES["events_bootstrap_diff_ci"](spark, SF_SMOKE)
+        .toPandas()
+        .iloc[0]
+    )
+    assert row["n_reps"] == BOOT_REPS
+    assert row["ci_lo"] <= row["ci_hi"]
+    ev = _events()
+    per = ev.groupby("user_id")["value"].sum()
+    treat = np.asarray(per.index % 2 == 0)
+    point = per[treat].mean() - per[~treat].mean()
+    # the replicate mean and the CI should surround the plug-in diff
+    assert row["ci_lo"] - 1.0 <= point <= row["ci_hi"] + 1.0
+    assert abs(row["diff_mean"] - point) <= (
+        row["ci_hi"] - row["ci_lo"]
+    )
