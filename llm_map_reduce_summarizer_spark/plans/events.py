@@ -1067,6 +1067,133 @@ def markov_from_pairs(pairs: DataFrame) -> DataFrame:
 
 
 
+MSPRT_TAU_SQ = 25.0  # mixture variance (dollars^2)
+
+
+def msprt_cells(ev: DataFrame) -> DataFrame:
+    """(treat, day_us) moment cells — the calendar-bounded mergeable
+    state shared by the batch op and the streaming twin."""
+    grid = ev.select(
+        (F.col("user_id") % 2 == 0).alias("treat"),
+        F.unix_micros(F.date_trunc("day", F.col("ts"))).alias("day_us"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("vq"),
+    )
+    return grid.groupBy("treat", "day_us").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("vq").cast("decimal(38,0)")).alias("sv"),
+        F.sum((F.col("vq") * F.col("vq")).cast("decimal(38,0)")).alias(
+            "svv"
+        ),
+    )
+
+
+def msprt_from_cells(cells: DataFrame) -> DataFrame:
+    """Always-valid sequential A/B test (mSPRT with a normal mixture,
+    τ² fixed): for every day, the mixture likelihood ratio Λ over the
+    CUMULATIVE evidence so far and the monotone always-valid p-value
+    p_d = min(1, min_{d'≤d} 1/Λ_{d'}) — the "peek whenever you want"
+    readout fixed-horizon tests (`events_ab_welch`) forbid. Emits the
+    full decision trajectory.
+
+    Scale: day-level moment cells (calendar-bounded), cumulative and
+    running-min folds as broadcast theta-joins over the ≤days table —
+    no global window, nothing corpus-sized past the first agg."""
+    per_day = cells.groupBy("day_us").agg(
+        F.sum(F.when(F.col("treat"), F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("n_t"),
+        F.sum(F.when(~F.col("treat"), F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("n_c"),
+        F.sum(F.when(F.col("treat"), F.col("sv")).otherwise(0))
+        .cast("double")
+        .alias("sv_t"),
+        F.sum(F.when(~F.col("treat"), F.col("sv")).otherwise(0))
+        .cast("double")
+        .alias("sv_c"),
+        F.sum(F.when(F.col("treat"), F.col("svv")).otherwise(0))
+        .cast("double")
+        .alias("svv_t"),
+        F.sum(F.when(~F.col("treat"), F.col("svv")).otherwise(0))
+        .cast("double")
+        .alias("svv_c"),
+    )
+    other = per_day.select(
+        F.col("day_us").alias("d2"),
+        F.col("n_t").alias("n_t2"),
+        F.col("n_c").alias("n_c2"),
+        F.col("sv_t").alias("sv_t2"),
+        F.col("sv_c").alias("sv_c2"),
+        F.col("svv_t").alias("svv_t2"),
+        F.col("svv_c").alias("svv_c2"),
+    )
+    cum = (
+        per_day.select("day_us")
+        .join(F.broadcast(other), F.col("d2") <= F.col("day_us"))
+        .groupBy("day_us")
+        .agg(
+            F.sum("n_t2").cast("long").alias("n_t"),
+            F.sum("n_c2").cast("long").alias("n_c"),
+            F.sum("sv_t2").alias("sv_t"),
+            F.sum("sv_c2").alias("sv_c"),
+            F.sum("svv_t2").alias("svv_t"),
+            F.sum("svv_c2").alias("svv_c"),
+        )
+    )
+    m_t = F.col("sv_t") / F.col("n_t") / 100.0
+    m_c = F.col("sv_c") / F.col("n_c") / 100.0
+    var_t = (
+        (F.col("svv_t") - F.col("sv_t") * F.col("sv_t") / F.col("n_t"))
+        / (F.col("n_t") - 1)
+        / 10000.0
+    )
+    var_c = (
+        (F.col("svv_c") - F.col("sv_c") * F.col("sv_c") / F.col("n_c"))
+        / (F.col("n_c") - 1)
+        / 10000.0
+    )
+    v = var_t / F.col("n_t") + var_c / F.col("n_c")
+    delta = m_t - m_c
+    lam = F.sqrt(v / (v + MSPRT_TAU_SQ)) * F.exp(
+        delta * delta * MSPRT_TAU_SQ / (2.0 * v * (v + MSPRT_TAU_SQ))
+    )
+    ok = (F.col("n_t") > 1) & (F.col("n_c") > 1)
+    scored = cum.select(
+        "day_us",
+        "n_t",
+        "n_c",
+        F.when(ok, quantize(lam, 6)).alias("lambda_mixture"),
+    )
+    o2 = scored.select(
+        F.col("day_us").alias("d2"), F.col("lambda_mixture").alias("l2")
+    )
+    with_p = (
+        scored.join(F.broadcast(o2), F.col("d2") <= F.col("day_us"))
+        .groupBy("day_us", "n_t", "n_c", "lambda_mixture")
+        .agg(F.max("l2").alias("max_lam"))
+    )
+    p = F.least(F.lit(1.0), 1.0 / F.col("max_lam"))
+    return with_p.select(
+        "day_us",
+        "n_t",
+        "n_c",
+        "lambda_mixture",
+        F.when(F.col("max_lam") > 0, quantize(p, 6)).alias(
+            "always_valid_p"
+        ),
+    )
+
+
+def events_sequential_msprt(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Always-valid sequential test trajectory (mSPRT). See
+    `msprt_from_cells`."""
+    return msprt_from_cells(
+        msprt_cells(load_table(spark, sf_dir, "events"))
+    )
+
+
 DP_MEDIAN_EPS = 1.0
 
 
@@ -1164,6 +1291,14 @@ def events_bootstrap_diff_ci(
         .cast("double")
         .alias("y")
     )
+    return bootstrap_ci_from_users(per_user)
+
+
+def bootstrap_ci_from_users(per_user: DataFrame) -> DataFrame:
+    """The replicate fan-out + CI fold over a (user_id, y) table —
+    shared by the batch query and the streaming drain (weights are a
+    pure function of (user, replicate), so the state a stream needs
+    is just the per-user totals)."""
     reps = per_user.select(
         "user_id",
         (F.col("user_id") % 2 == 0).alias("treat"),
@@ -5420,6 +5555,7 @@ def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "events_cuped": events_cuped,
     "events_dp_median": events_dp_median,
+    "events_sequential_msprt": events_sequential_msprt,
     "events_bootstrap_diff_ci": events_bootstrap_diff_ci,
     "events_absorption": events_absorption,
     "events_dp_user_total": events_dp_user_total,
@@ -8289,4 +8425,68 @@ ORACLE["events_bootstrap_diff_ci"] = f"""
            (quantile_cont(d, 0.025) <= 0.0
             AND quantile_cont(d, 0.975) >= 0.0) AS covers_zero
     FROM diffs
+"""
+
+ORACLE["events_sequential_msprt"] = f"""
+    WITH grid AS (
+      SELECT (user_id % 2 = 0) AS treat,
+             epoch_us(date_trunc('day', ts)) AS day_us,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS vq
+      FROM events
+    ),
+    cells AS (
+      SELECT treat, day_us, CAST(count(*) AS BIGINT) AS n,
+             sum(vq) AS sv, sum(vq * vq) AS svv
+      FROM grid GROUP BY 1, 2
+    ),
+    per_day AS (
+      SELECT day_us,
+             CAST(sum(CASE WHEN treat THEN n ELSE 0 END) AS BIGINT)
+               AS n_t,
+             CAST(sum(CASE WHEN NOT treat THEN n ELSE 0 END) AS BIGINT)
+               AS n_c,
+             CAST(sum(CASE WHEN treat THEN sv ELSE 0 END) AS DOUBLE)
+               AS sv_t,
+             CAST(sum(CASE WHEN NOT treat THEN sv ELSE 0 END) AS DOUBLE)
+               AS sv_c,
+             CAST(sum(CASE WHEN treat THEN svv ELSE 0 END) AS DOUBLE)
+               AS svv_t,
+             CAST(sum(CASE WHEN NOT treat THEN svv ELSE 0 END) AS DOUBLE)
+               AS svv_c
+      FROM cells GROUP BY 1
+    ),
+    cum AS (
+      SELECT a.day_us,
+             CAST(sum(b.n_t) AS BIGINT) AS n_t,
+             CAST(sum(b.n_c) AS BIGINT) AS n_c,
+             sum(b.sv_t) AS sv_t, sum(b.sv_c) AS sv_c,
+             sum(b.svv_t) AS svv_t, sum(b.svv_c) AS svv_c
+      FROM per_day a JOIN per_day b ON b.day_us <= a.day_us
+      GROUP BY 1
+    ),
+    s AS (
+      SELECT day_us, n_t, n_c,
+             (sv_t / n_t / 100.0 - sv_c / n_c / 100.0) AS delta,
+             ((svv_t - sv_t * sv_t / n_t) / (n_t - 1) / 10000.0) / n_t
+               + ((svv_c - sv_c * sv_c / n_c) / (n_c - 1) / 10000.0)
+                 / n_c AS v,
+             (n_t > 1 AND n_c > 1) AS ok
+      FROM cum
+    ),
+    scored AS (
+      SELECT day_us, n_t, n_c,
+             CASE WHEN ok THEN {sql_quantize(
+                 f'sqrt(v / (v + {MSPRT_TAU_SQ!r}))'
+                 f' * exp(delta * delta * {MSPRT_TAU_SQ!r}'
+                 f' / (2.0 * v * (v + {MSPRT_TAU_SQ!r})))', 6)}
+             END AS lambda_mixture
+      FROM s
+    )
+    SELECT a.day_us, a.n_t, a.n_c, a.lambda_mixture,
+           CASE WHEN max(b.lambda_mixture) > 0 THEN
+             {sql_quantize(
+                 'least(1.0, 1.0 / max(b.lambda_mixture))', 6)}
+           END AS always_valid_p
+    FROM scored a JOIN scored b ON b.day_us <= a.day_us
+    GROUP BY 1, 2, 3, 4
 """

@@ -2114,6 +2114,111 @@ def stream_value_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
     return levene_from_cells(cell)
 
 
+def stream_sequential_msprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming always-valid sequential test: the (treat, day)
+    moment cells accumulate at ingest (calendar-bounded) and the
+    cumulative mSPRT trajectory evaluates post-drain via the exact
+    batch computation (`events.msprt_from_cells`) — the natural home
+    for an ALWAYS-VALID test is precisely a stream you peek at on
+    every drain. Drain == batch `events_sequential_msprt`, whose
+    oracle it shares.
+    """
+    from pyspark.sql import functions as F
+
+    from .events import msprt_from_cells
+
+    ev = read_events_stream(spark, sf_dir)
+    grid = ev.select(
+        (F.col("user_id") % 2 == 0).alias("treat"),
+        F.unix_micros(F.date_trunc("day", F.col("ts"))).alias("day_us"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("vq"),
+    )
+    cells = grid.groupBy("treat", "day_us").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("vq").cast("decimal(38,0)")).alias("sv"),
+        F.sum((F.col("vq") * F.col("vq")).cast("decimal(38,0)")).alias(
+            "svv"
+        ),
+    )
+    snap = run_available_now(cells, output_mode="complete")
+    return msprt_from_cells(snap)
+
+
+def stream_dp_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming DP median: the dollar-bin count state is bounded by
+    the value range, and the exponential-mechanism release (keyed
+    Gumbel draws over the drained bins) is a pure post-drain
+    computation — rerunning it on every drain costs no extra privacy
+    ONLY because the draw is keyed (a fresh-noise rerun would);
+    the deterministic mechanism is what makes a streaming DP release
+    coherent. Drain == batch `events_dp_median`, whose oracle it
+    shares.
+    """
+    from pyspark.sql import functions as F
+
+    from .events import DP_MEDIAN_EPS, DP_U_SCALE
+
+    ev = read_events_stream(spark, sf_dir)
+    bins = ev.groupBy(
+        F.floor(F.col("value")).cast("long").alias("bin")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_bin"))
+    snap = run_available_now(bins, output_mode="complete")
+    tot = snap.agg(F.sum("n_bin").cast("long").alias("n"))
+    lower = snap.select(
+        F.col("bin").alias("b2"), F.col("n_bin").alias("nb2")
+    )
+    ranked = (
+        snap.join(F.broadcast(lower), F.col("b2") <= F.col("bin"))
+        .groupBy("bin", "n_bin")
+        .agg(F.sum("nb2").cast("long").alias("cum"))
+        .crossJoin(F.broadcast(tot))
+    )
+    util = -F.abs(2 * F.col("cum") - F.col("n"))
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("dpm|"), F.col("bin").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("double")
+    u = (h + F.lit(0.5)) / F.lit(DP_U_SCALE)
+    gumbel = -F.log(-F.log(u))
+    score = F.lit(DP_MEDIAN_EPS / 4.0) * util + gumbel
+    return ranked.withColumn("score", score).agg(
+        F.expr("max_by(bin, struct(score, -bin))")
+        .cast("long")
+        .alias("dp_median_bin"),
+        F.lit(DP_MEDIAN_EPS).alias("epsilon"),
+    )
+
+
+def stream_bootstrap_diff_ci(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming Poisson-bootstrap CI: the per-user value total is the
+    only state (the `stream_dau` entity bound) — replicate weights are
+    a pure function of (user, replicate), so the whole bootstrap
+    evaluates post-drain via the exact batch fan-out
+    (`events.bootstrap_ci_from_users`). Drain == batch
+    `events_bootstrap_diff_ci`, whose oracle it shares.
+    """
+    from pyspark.sql import functions as F
+
+    from .events import bootstrap_ci_from_users
+
+    ev = read_events_stream(spark, sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("decimal(38,0)"))
+        .alias("yd")
+    )
+    snap = run_available_now(per_user, output_mode="complete")
+    return bootstrap_ci_from_users(
+        snap.select("user_id", F.col("yd").cast("double").alias("y"))
+    )
+
+
 def stream_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming CUPED: the per-(user, day) value cells accumulate at
     ingest (exact decimal cents — the `stream_growth_accounting`
@@ -2575,6 +2680,9 @@ QUERIES = {
     "stream_dp_user_total": stream_dp_user_total,
     "stream_cuped": stream_cuped,
     "stream_dp_vocab": stream_dp_vocab,
+    "stream_sequential_msprt": stream_sequential_msprt,
+    "stream_dp_median": stream_dp_median,
+    "stream_bootstrap_diff_ci": stream_bootstrap_diff_ci,
     "stream_token_histogram": stream_token_histogram,
     "stream_ngrams_topk": stream_ngrams_topk,
     "stream_yule_k": stream_yule_k,
@@ -2676,6 +2784,11 @@ ORACLE = {
     "stream_dp_user_total": _EVENTS_ORACLE["events_dp_user_total"],
     "stream_cuped": _EVENTS_ORACLE["events_cuped"],
     "stream_dp_vocab": _DOCS_ORACLE["corpus_dp_vocab"],
+    "stream_sequential_msprt":
+        _EVENTS_ORACLE["events_sequential_msprt"],
+    "stream_dp_median": _EVENTS_ORACLE["events_dp_median"],
+    "stream_bootstrap_diff_ci":
+        _EVENTS_ORACLE["events_bootstrap_diff_ci"],
     "stream_ewma_control": _EVENTS_ORACLE["events_ewma_control"],
     "stream_anomaly_ensemble":
         _EVENTS_ORACLE["events_anomaly_ensemble"],

@@ -921,3 +921,20 @@ def test_bootstrap_ci_brackets_point_estimate(spark):
     assert abs(row["diff_mean"] - point) <= (
         row["ci_hi"] - row["ci_lo"]
     )
+
+
+def test_msprt_trajectory_properties(spark):
+    rel = (
+        QUERIES["events_sequential_msprt"](spark, SF_SMOKE)
+        .toPandas()
+        .sort_values("day_us")
+        .reset_index(drop=True)
+    )
+    # counts are cumulative, the always-valid p is monotone
+    # non-increasing, and both stay in their ranges
+    assert rel["n_t"].is_monotonic_increasing
+    assert rel["n_c"].is_monotonic_increasing
+    p = rel["always_valid_p"].dropna()
+    assert (p.diff().dropna() <= 1e-12).all()
+    assert ((p > 0) & (p <= 1.0)).all()
+    assert (rel["lambda_mixture"].dropna() > 0).all()
