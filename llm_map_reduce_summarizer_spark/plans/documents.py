@@ -2912,6 +2912,106 @@ def corpus_soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SUMMARY_K_SEGMENTS = 2
+SUMMARY_SEG_TOKENS = 8
+
+
+def doc_extractive_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic EXTRACTIVE summarization — the LLM-free analogue
+    of the reference's map-summarize step (reference main.py drives
+    an LLM per chunk; this op is the classic Luhn-family fallback a
+    pipeline runs when no model is available): segment each doc into
+    fixed 8-token windows (the segmentation any summarizer needs for
+    unpunctuated/ASR-style text — this corpus has no sentence
+    punctuation), score every segment by its total corpus-LM
+    surprisal (informative segments carry rare tokens), keep the
+    top-k per doc, and emit them in document order. Per-token
+    surprisal is quantized BEFORE the segment sum (the BM25
+    discipline), so ranking replays exactly in the SQL twin.
+
+    Scale: the corpus LM is the `doc_unigram_surprisal` pair of
+    natural-key aggs; segments/tokens are narrow explodes off the
+    scan; the top-k is a per-doc window — every shuffle keys on
+    doc_id or term, nothing global.
+    """
+    from pyspark.sql.window import Window
+
+    from ..functions.hashing import words as _words
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", _words(F.col("text")).alias("w")
+    )
+    toks = d.select(
+        "doc_id", F.posexplode(F.col("w")).alias("pos", "term")
+    )
+    cf = toks.groupBy("term").agg(F.count(F.lit(1)).alias("ctf"))
+    tot = cf.agg(F.sum("ctf").cast("double").alias("corpus_tokens"))
+    seg_tok = toks.withColumn(
+        "seg", (F.col("pos") / SUMMARY_SEG_TOKENS).cast("long")
+    )
+    w_tok = (
+        seg_tok.join(cf, "term")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "srp",
+            quantize(
+                -F.log(F.col("ctf").cast("double") / F.col("corpus_tokens")),
+                6,
+            ),
+        )
+    )
+    scored = w_tok.groupBy("doc_id", "seg").agg(
+        quantize(F.sum("srp"), 6).alias("score")
+    )
+    rk = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("seg")
+    )
+    top = (
+        scored.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") <= SUMMARY_K_SEGMENTS)
+        .join(d, "doc_id")
+        .select(
+            "doc_id",
+            "seg",
+            F.array_join(
+                F.slice(
+                    F.col("w"),
+                    (F.col("seg") * SUMMARY_SEG_TOKENS + 1).cast("int"),
+                    SUMMARY_SEG_TOKENS,
+                ),
+                " ",
+            ).alias("passage"),
+        )
+    )
+    summarized = top.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg", "passage"))),
+                lambda s: s.passage,
+            ),
+            " ",
+        ).alias("summary"),
+    )
+    n_segs = d.select(
+        "doc_id",
+        F.ceil(F.size("w") / F.lit(SUMMARY_SEG_TOKENS))
+        .cast("long")
+        .alias("n_segments"),
+    )
+    return (
+        n_segs.join(summarized, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_segments",
+            F.coalesce(F.col("n_kept"), F.lit(0))
+            .cast("long")
+            .alias("n_kept"),
+            F.coalesce(F.col("summary"), F.lit("")).alias("summary"),
+        )
+    )
+
+
 def corpus_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup applied to the DOCUMENT corpus: the cosine-threshold
     near-dup components over the embedding column (the
@@ -6841,6 +6941,7 @@ QUERIES = {
     "corpus_soft_dedup": corpus_soft_dedup,
     "corpus_dp_vocab": corpus_dp_vocab,
     "corpus_semantic_dedup": corpus_semantic_dedup,
+    "doc_extractive_summary": doc_extractive_summary,
     "corpus_contamination": corpus_contamination,
     "corpus_rebalance": corpus_rebalance,
     "doc_unigram_surprisal": doc_unigram_surprisal,
@@ -11381,4 +11482,56 @@ ORACLE["corpus_semantic_dedup"] = f"""
     SELECT d.doc_id, d.lang, d.source, d.n_chars
     FROM documents d
     WHERE d.doc_id NOT IN (SELECT id FROM dropset)
+"""
+
+ORACLE["doc_extractive_summary"] = f"""
+    WITH docs_w AS (
+      SELECT doc_id, {_W} AS w FROM documents
+    ),
+    toks AS (
+      SELECT doc_id,
+             generate_subscripts(w, 1) - 1 AS pos,
+             unnest(w) AS term
+      FROM docs_w
+    ),
+    cf AS (SELECT term, count(*) AS ctf FROM toks GROUP BY 1),
+    tot AS (SELECT CAST(sum(ctf) AS DOUBLE) AS corpus_tokens FROM cf),
+    wtok AS (
+      SELECT t.doc_id, CAST(t.pos // {SUMMARY_SEG_TOKENS} AS BIGINT)
+               AS seg,
+             {sql_quantize('-ln(cf.ctf / x.corpus_tokens)', 6)} AS srp
+      FROM toks t JOIN cf ON cf.term = t.term CROSS JOIN tot x
+    ),
+    scored AS (
+      SELECT doc_id, seg, {sql_quantize('sum(srp)', 6)} AS score
+      FROM wtok GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT doc_id, seg FROM (
+        SELECT doc_id, seg,
+               row_number() OVER (
+                 PARTITION BY doc_id ORDER BY score DESC, seg
+               ) AS rk
+        FROM scored
+      ) WHERE rk <= {SUMMARY_K_SEGMENTS}
+    ),
+    passages AS (
+      SELECT t.doc_id, t.seg,
+             array_to_string(list_slice(d.w,
+               CAST(t.seg * {SUMMARY_SEG_TOKENS} + 1 AS INT),
+               CAST(t.seg * {SUMMARY_SEG_TOKENS}
+                    + {SUMMARY_SEG_TOKENS} AS INT)), ' ') AS passage
+      FROM top t JOIN docs_w d ON d.doc_id = t.doc_id
+    ),
+    summarized AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+             string_agg(passage, ' ' ORDER BY seg) AS summary
+      FROM passages GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(ceil(len(d.w) / {SUMMARY_SEG_TOKENS}.0) AS BIGINT)
+             AS n_segments,
+           CAST(coalesce(m.n_kept, 0) AS BIGINT) AS n_kept,
+           coalesce(m.summary, '') AS summary
+    FROM docs_w d LEFT JOIN summarized m ON m.doc_id = d.doc_id
 """

@@ -938,3 +938,23 @@ def test_msprt_trajectory_properties(spark):
     assert (p.diff().dropna() <= 1e-12).all()
     assert ((p > 0) & (p <= 1.0)).all()
     assert (rel["lambda_mixture"].dropna() > 0).all()
+
+
+def test_extractive_summary_properties(spark):
+    from llm_map_reduce_summarizer_spark.plans.documents import (
+        SUMMARY_K_SEGMENTS,
+        SUMMARY_SEG_TOKENS,
+    )
+
+    rel = QUERIES["doc_extractive_summary"](spark, SF_SMOKE).toPandas()
+    docs = _documents().set_index("doc_id")
+    assert len(rel) == len(docs)
+    assert (rel["n_kept"] <= SUMMARY_K_SEGMENTS).all()
+    assert (rel["n_kept"] <= rel["n_segments"]).all()
+    for _, r in rel.sample(n=10, random_state=3).iterrows():
+        toks = docs.loc[r["doc_id"], "text"].lower().strip().split()
+        # the summary is made of tokens from the doc, in order, and is
+        # at most k segments long
+        stoks = r["summary"].split()
+        assert len(stoks) <= SUMMARY_K_SEGMENTS * SUMMARY_SEG_TOKENS
+        assert set(stoks).issubset(set(toks))
