@@ -2912,6 +2912,89 @@ def corpus_soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HRW_SHARDS = 8
+
+
+def _hrw_key(doc: Column, shard: int) -> Column:
+    """Rendezvous weight of (doc, shard): the md5 draw both engines
+    evaluate identically (the dp/sample convention)."""
+    return F.md5(
+        F.concat(
+            F.lit("hrw|"), doc.cast("string"), F.lit("|"), F.lit(str(shard))
+        )
+    )
+
+
+def corpus_shard_rendezvous(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Rendezvous (highest-random-weight) shard assignment: every doc
+    hashes once per shard and lands on the argmax — the assignment
+    scheme whose guarantee is MINIMAL MOVEMENT (adding a shard moves
+    exactly the docs that now win for it, ≈ 1/(S+1) of the corpus),
+    unlike modulo sharding which reshuffles almost everything.
+    Emits the current assignment and whether the doc would move under
+    S+1 — so the rebalance cost of a scale-out is a COLUMN, not a
+    migration surprise.
+
+    Scale: S+1 hash evaluations per row, all map-side; the argmax is
+    a `greatest`-style fold over S literal columns — no shuffle at
+    all past the scan.
+    """
+    d = _docs(spark, sf_dir).select("doc_id")
+    doc = F.col("doc_id")
+    keys = [_hrw_key(doc, s) for s in range(HRW_SHARDS + 1)]
+    # argmax as array_max over (key, shard) structs — one expression,
+    # codegen-friendly (a chained CASE blows the JIT method limit)
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(keys[s].alias("k"), F.lit(s).alias("s"))
+                for s in range(HRW_SHARDS)
+            ]
+        )
+    )
+    moves = keys[HRW_SHARDS] > best["k"]
+    return d.select(
+        "doc_id",
+        best["s"].cast("long").alias("shard"),
+        moves.alias("moves_on_scale_out"),
+    )
+
+
+def corpus_shard_rendezvous_balance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The rendezvous guarantee, measured: per-shard occupancy of the
+    HRW assignment plus the realized scale-out movement fraction —
+    the two numbers that justify HRW over modulo at 100 TB (balance
+    within sampling noise of uniform; movement ≈ 1/(S+1)).
+    """
+    a = corpus_shard_rendezvous(spark, sf_dir)
+    tot = a.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("moves_on_scale_out").cast("long"))
+        .cast("long")
+        .alias("n_move"),
+    )
+    per = a.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "shard",
+            "n",
+            quantize(
+                F.col("n").cast("double") / F.col("n_docs"), 6
+            ).alias("share"),
+            quantize(
+                F.col("n_move").cast("double") / F.col("n_docs"), 6
+            ).alias("move_fraction"),
+        )
+    )
+
+
 SUMMARY_K_SEGMENTS = 2
 SUMMARY_SEG_TOKENS = 8
 
@@ -6942,6 +7025,8 @@ QUERIES = {
     "corpus_dp_vocab": corpus_dp_vocab,
     "corpus_semantic_dedup": corpus_semantic_dedup,
     "doc_extractive_summary": doc_extractive_summary,
+    "corpus_shard_rendezvous": corpus_shard_rendezvous,
+    "corpus_shard_rendezvous_balance": corpus_shard_rendezvous_balance,
     "corpus_contamination": corpus_contamination,
     "corpus_rebalance": corpus_rebalance,
     "doc_unigram_surprisal": doc_unigram_surprisal,
@@ -11534,4 +11619,57 @@ ORACLE["doc_extractive_summary"] = f"""
            CAST(coalesce(m.n_kept, 0) AS BIGINT) AS n_kept,
            coalesce(m.summary, '') AS summary
     FROM docs_w d LEFT JOIN summarized m ON m.doc_id = d.doc_id
+"""
+
+def _hrw_sql_key(shard: int) -> str:
+    return (
+        f"md5('hrw|' || CAST(doc_id AS VARCHAR) || '|' || '{shard}')"
+    )
+
+
+def _hrw_assign_cte() -> str:
+    keys = ", ".join(
+        f"{_hrw_sql_key(s)} AS k{s}" for s in range(HRW_SHARDS + 1)
+    )
+    best = "CASE"
+    for s in range(HRW_SHARDS):
+        others = " AND ".join(
+            f"k{s} > k{o}" for o in range(HRW_SHARDS) if o != s
+        ) or "TRUE"
+        best += f" WHEN {others} THEN {s}"
+    best += " END"
+    greatest_cur = "greatest(" + ", ".join(
+        f"k{s}" for s in range(HRW_SHARDS)
+    ) + ")"
+    return f"""keys AS (
+      SELECT doc_id, {keys} FROM documents
+    ),
+    assign AS (
+      SELECT doc_id,
+             CAST({best} AS BIGINT) AS shard,
+             (k{HRW_SHARDS} > {greatest_cur}) AS moves_on_scale_out
+      FROM keys
+    )"""
+
+
+ORACLE["corpus_shard_rendezvous"] = f"""
+    WITH {_hrw_assign_cte()}
+    SELECT doc_id, shard, moves_on_scale_out FROM assign
+"""
+
+ORACLE["corpus_shard_rendezvous_balance"] = f"""
+    WITH {_hrw_assign_cte()},
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN moves_on_scale_out THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_move
+      FROM assign
+    )
+    SELECT shard, CAST(count(*) AS BIGINT) AS n,
+           {sql_quantize('count(*) / CAST(t.n_docs AS DOUBLE)', 6)}
+             AS share,
+           {sql_quantize('t.n_move / CAST(t.n_docs AS DOUBLE)', 6)}
+             AS move_fraction
+    FROM assign CROSS JOIN tot t
+    GROUP BY shard, t.n_docs, t.n_move
 """

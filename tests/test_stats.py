@@ -958,3 +958,20 @@ def test_extractive_summary_properties(spark):
         stoks = r["summary"].split()
         assert len(stoks) <= SUMMARY_K_SEGMENTS * SUMMARY_SEG_TOKENS
         assert set(stoks).issubset(set(toks))
+
+
+def test_rendezvous_minimal_movement(spark):
+    from llm_map_reduce_summarizer_spark.plans.documents import HRW_SHARDS
+
+    rel = QUERIES["corpus_shard_rendezvous"](spark, SF_SMOKE).toPandas()
+    # balance: every shard within 4x of uniform at this tiny SF
+    occ = rel.groupby("shard").size()
+    assert occ.index.min() >= 0 and occ.index.max() < HRW_SHARDS
+    # minimal movement: the scale-out moves ~1/(S+1) of docs, and the
+    # moved docs are exactly those whose new-shard key wins
+    frac = rel["moves_on_scale_out"].mean()
+    assert 0.0 < frac < 3.0 / (HRW_SHARDS + 1)
+    # determinism: assignment is a pure function of doc_id
+    again = QUERIES["corpus_shard_rendezvous"](spark, SF_SMOKE).toPandas()
+    merged = rel.merge(again, on="doc_id", suffixes=("_a", "_b"))
+    assert (merged["shard_a"] == merged["shard_b"]).all()
