@@ -1067,6 +1067,122 @@ def markov_from_pairs(pairs: DataFrame) -> DataFrame:
 
 
 
+def events_parallel_trends(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Event-study diagnostic for `events_diff_in_diff`: the per-day
+    treated-vs-control mean gap, centered on the pre-period average
+    gap — flat pre-period residuals are the parallel-trends
+    assumption MADE VISIBLE (the standard picture reviewers ask for
+    before trusting any DiD estimate).
+
+    Scale: the same calendar-bounded (treat, day) moment cells as the
+    sequential tier, one 1-row pre-period broadcast, narrow math per
+    day row.
+    """
+    cells = msprt_cells(load_table(spark, sf_dir, "events"))
+    per_day = cells.groupBy("day_us").agg(
+        F.sum(F.when(F.col("treat"), F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("n_t"),
+        F.sum(F.when(~F.col("treat"), F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("n_c"),
+        F.sum(F.when(F.col("treat"), F.col("sv")).otherwise(0))
+        .cast("double")
+        .alias("sv_t"),
+        F.sum(F.when(~F.col("treat"), F.col("sv")).otherwise(0))
+        .cast("double")
+        .alias("sv_c"),
+    )
+    gap = (
+        F.col("sv_t") / F.col("n_t") - F.col("sv_c") / F.col("n_c")
+    ) / 100.0
+    gapped = per_day.withColumn("gap_raw", gap)
+    bounds = gapped.agg(
+        (
+            (
+                F.min("day_us").cast("double")
+                + F.max("day_us").cast("double")
+            )
+            / 2.0
+        ).alias("mid")
+    )
+    g = gapped.crossJoin(F.broadcast(bounds)).withColumn(
+        "is_pre", F.col("day_us").cast("double") < F.col("mid")
+    )
+    pre = g.filter(F.col("is_pre")).agg(
+        F.avg("gap_raw").alias("pre_gap")
+    )
+    day0 = 86_400_000_000
+    return (
+        g.crossJoin(F.broadcast(pre))
+        .select(
+            "day_us",
+            F.floor(
+                (F.col("day_us").cast("double") - F.col("mid")) / day0
+            )
+            .cast("long")
+            .alias("rel_day"),
+            "n_t",
+            "n_c",
+            quantize(F.col("gap_raw"), 4).alias("gap"),
+            quantize(F.col("gap_raw") - F.col("pre_gap"), 4).alias(
+                "gap_vs_pre"
+            ),
+        )
+    )
+
+
+QTE_QS = (0.25, 0.5, 0.75, 0.9)
+
+
+def events_quantile_treatment_effect(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quantile treatment effects: the treated-vs-control difference
+    at several quantiles of the value distribution — where in the
+    distribution the effect lives (a mean shift, a tail effect, or a
+    median move), the distributional readout `events_ab_welch`'s
+    single mean can't give.
+
+    Scale: interpolated percentiles are a fixed-size sketch-style
+    aggregate per arm (one pass, no global sort shipped to one task);
+    output is |Q| rows.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("user_id") % 2 == 0).alias("treat"), F.col("value")
+    )
+    aggs = []
+    for i, q in enumerate(QTE_QS):
+        aggs.append(
+            F.expr(
+                f"percentile(CASE WHEN treat THEN value END, {q!r})"
+            ).alias(f"qt_{i}")
+        )
+        aggs.append(
+            F.expr(
+                f"percentile(CASE WHEN NOT treat THEN value END, {q!r})"
+            ).alias(f"qc_{i}")
+        )
+    row = ev.agg(*aggs)
+    per_q = [
+        row.select(
+            F.lit(q).alias("q"),
+            quantize(F.col(f"qt_{i}"), 4).alias("q_treat"),
+            quantize(F.col(f"qc_{i}"), 4).alias("q_ctrl"),
+            quantize(F.col(f"qt_{i}") - F.col(f"qc_{i}"), 4).alias(
+                "qte"
+            ),
+        )
+        for i, q in enumerate(QTE_QS)
+    ]
+    out = per_q[0]
+    for frame in per_q[1:]:
+        out = out.unionByName(frame)
+    return out
+
+
 MSPRT_TAU_SQ = 25.0  # mixture variance (dollars^2)
 
 
@@ -5556,6 +5672,8 @@ QUERIES = {
     "events_cuped": events_cuped,
     "events_dp_median": events_dp_median,
     "events_sequential_msprt": events_sequential_msprt,
+    "events_parallel_trends": events_parallel_trends,
+    "events_quantile_treatment_effect": events_quantile_treatment_effect,
     "events_bootstrap_diff_ci": events_bootstrap_diff_ci,
     "events_absorption": events_absorption,
     "events_dp_user_total": events_dp_user_total,
@@ -8489,4 +8607,67 @@ ORACLE["events_sequential_msprt"] = f"""
            END AS always_valid_p
     FROM scored a JOIN scored b ON b.day_us <= a.day_us
     GROUP BY 1, 2, 3, 4
+"""
+
+ORACLE["events_parallel_trends"] = f"""
+    WITH grid AS (
+      SELECT (user_id % 2 = 0) AS treat,
+             epoch_us(date_trunc('day', ts)) AS day_us,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS vq
+      FROM events
+    ),
+    per_day AS (
+      SELECT day_us,
+             CAST(sum(CASE WHEN treat THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_t,
+             CAST(sum(CASE WHEN NOT treat THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_c,
+             CAST(sum(CASE WHEN treat THEN vq ELSE 0 END) AS DOUBLE)
+               AS sv_t,
+             CAST(sum(CASE WHEN NOT treat THEN vq ELSE 0 END) AS DOUBLE)
+               AS sv_c
+      FROM grid GROUP BY 1
+    ),
+    gapped AS (
+      SELECT day_us, n_t, n_c,
+             (sv_t / n_t - sv_c / n_c) / 100.0 AS gap_raw
+      FROM per_day
+    ),
+    b AS (
+      SELECT (CAST(min(day_us) AS DOUBLE)
+              + CAST(max(day_us) AS DOUBLE)) / 2.0 AS mid
+      FROM gapped
+    ),
+    pre AS (
+      SELECT avg(gap_raw) AS pre_gap
+      FROM gapped CROSS JOIN b
+      WHERE CAST(day_us AS DOUBLE) < mid
+    )
+    SELECT g.day_us,
+           CAST(floor((CAST(g.day_us AS DOUBLE) - b.mid)
+                / 86400000000.0) AS BIGINT) AS rel_day,
+           g.n_t, g.n_c,
+           {sql_quantize('g.gap_raw', 4)} AS gap,
+           {sql_quantize('g.gap_raw - p.pre_gap', 4)} AS gap_vs_pre
+    FROM gapped g CROSS JOIN b CROSS JOIN pre p
+"""
+
+_QTE_SELECTS = " UNION ALL ".join(
+    f"""SELECT {q!r} AS q,
+        {sql_quantize(f'quantile_cont(value, {q!r})'
+                      ' FILTER (WHERE treat)', 4)} AS q_treat,
+        {sql_quantize(f'quantile_cont(value, {q!r})'
+                      ' FILTER (WHERE NOT treat)', 4)} AS q_ctrl,
+        {sql_quantize(f'quantile_cont(value, {q!r}) FILTER (WHERE treat)'
+                      f' - quantile_cont(value, {q!r})'
+                      ' FILTER (WHERE NOT treat)', 4)} AS qte
+     FROM grid"""
+    for q in QTE_QS
+)
+
+ORACLE["events_quantile_treatment_effect"] = f"""
+    WITH grid AS (
+      SELECT (user_id % 2 = 0) AS treat, value FROM events
+    )
+    {_QTE_SELECTS}
 """

@@ -2114,6 +2114,37 @@ def stream_value_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
     return levene_from_cells(cell)
 
 
+def stream_shard_rendezvous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming HRW shard routing: the assignment is a pure function
+    of doc_id (S+1 md5 draws + one array argmax), so the streaming
+    form is a STATELESS append transform — the `stream_quality_gate`
+    shape, which is exactly why rendezvous routing works at intake
+    time with nothing to checkpoint but offsets. Drain == batch
+    `corpus_shard_rendezvous`, whose oracle it shares.
+    """
+    from pyspark.sql import functions as F
+
+    from .documents import HRW_SHARDS, _hrw_key
+
+    docs = read_documents_stream(spark, sf_dir)
+    doc = F.col("doc_id")
+    keys = [_hrw_key(doc, s) for s in range(HRW_SHARDS + 1)]
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(keys[s].alias("k"), F.lit(s).alias("s"))
+                for s in range(HRW_SHARDS)
+            ]
+        )
+    )
+    routed = docs.select(
+        "doc_id",
+        best["s"].cast("long").alias("shard"),
+        (keys[HRW_SHARDS] > best["k"]).alias("moves_on_scale_out"),
+    )
+    return run_available_now(routed, output_mode="append")
+
+
 def stream_sequential_msprt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming always-valid sequential test: the (treat, day)
     moment cells accumulate at ingest (calendar-bounded) and the
@@ -2681,6 +2712,7 @@ QUERIES = {
     "stream_cuped": stream_cuped,
     "stream_dp_vocab": stream_dp_vocab,
     "stream_sequential_msprt": stream_sequential_msprt,
+    "stream_shard_rendezvous": stream_shard_rendezvous,
     "stream_dp_median": stream_dp_median,
     "stream_bootstrap_diff_ci": stream_bootstrap_diff_ci,
     "stream_token_histogram": stream_token_histogram,
@@ -2786,6 +2818,8 @@ ORACLE = {
     "stream_dp_vocab": _DOCS_ORACLE["corpus_dp_vocab"],
     "stream_sequential_msprt":
         _EVENTS_ORACLE["events_sequential_msprt"],
+    "stream_shard_rendezvous":
+        _DOCS_ORACLE["corpus_shard_rendezvous"],
     "stream_dp_median": _EVENTS_ORACLE["events_dp_median"],
     "stream_bootstrap_diff_ci":
         _EVENTS_ORACLE["events_bootstrap_diff_ci"],

@@ -975,3 +975,25 @@ def test_rendezvous_minimal_movement(spark):
     again = QUERIES["corpus_shard_rendezvous"](spark, SF_SMOKE).toPandas()
     merged = rel.merge(again, on="doc_id", suffixes=("_a", "_b"))
     assert (merged["shard_a"] == merged["shard_b"]).all()
+
+
+def test_qte_matches_numpy(spark):
+    rel = (
+        QUERIES["events_quantile_treatment_effect"](spark, SF_SMOKE)
+        .toPandas()
+        .set_index("q")
+    )
+    ev = _events()
+    treat = ev["user_id"] % 2 == 0
+    for q in rel.index:
+        qt = np.quantile(ev.loc[treat, "value"], q)
+        qc = np.quantile(ev.loc[~treat, "value"], q)
+        assert _close(rel.loc[q, "qte"], qt - qc, tol=1e-3)
+
+
+def test_parallel_trends_pre_mean_zero(spark):
+    rel = QUERIES["events_parallel_trends"](spark, SF_SMOKE).toPandas()
+    pre = rel[rel["rel_day"] < 0]
+    # centered on the pre-period mean: pre residuals average to ~0
+    assert abs(pre["gap_vs_pre"].mean()) < 0.05
+    assert len(rel) == rel["day_us"].nunique()
