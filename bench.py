@@ -104,6 +104,17 @@ def main() -> None:
         "corpus_textrank_terms",
         "multimodal_neardup",
         "emb_matryoshka_eval",
+        # the causal / sequential / privacy tier (fifth session)
+        "events_bootstrap_diff_ci",
+        "events_sequential_msprt",
+        "events_dp_hourly",
+        "events_cuped",
+        # corpus-prep additions
+        "doc_extractive_summary",
+        "corpus_semantic_dedup",
+        "corpus_soft_dedup",
+        "corpus_shard_rendezvous_balance",
+        "multimodal_phash",
     ):
         queries[name](spark, "/root/testdata/sf0.001").write.format(
             "noop"
