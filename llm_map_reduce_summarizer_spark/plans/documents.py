@@ -2724,6 +2724,64 @@ def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bm25_scored(spark, sf_dir, BM25_K)
 
 
+def corpus_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BM25 postings-index BUILD (the artifact, not the query):
+    every (term, doc) posting with its tf and precomputed BM25 weight
+    — what a serving layer loads to answer arbitrary keyword queries
+    without touching the corpus again. Completes the index-artifact
+    family (`dedup_index_export` = MinHash signatures,
+    `emb_ivf_export`/`emb_pq_export` = ANN codebooks, this = the
+    lexical index).
+
+    Scale: one (doc, term) partial agg off the token explode, a
+    term-keyed df agg broadcast back, a 1-row corpus-stats broadcast
+    — postings are emitted partitionable by term (the serving key),
+    output size = Σ distinct terms per doc, linear in corpus tokens.
+    """
+    from ..functions.hashing import words as _words
+
+    d = _docs(spark, sf_dir)
+    base = d.select("doc_id", _words(F.col("text")).alias("w"))
+    toks = base.select(
+        "doc_id",
+        F.size("w").cast("long").alias("len"),
+        F.explode("w").alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("n"), F.max("len").alias("len")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum(F.size("w")).cast("double") / F.count(F.lit(1))).alias(
+            "avgdl"
+        ),
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    weight = (
+        idf
+        * (F.col("n") * (BM25_K1 + 1.0))
+        / (
+            F.col("n")
+            + BM25_K1
+            * (1.0 - BM25_B + BM25_B * F.col("len") / F.col("avgdl"))
+        )
+    )
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "term",
+            "doc_id",
+            F.col("n").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            quantize(weight, 6).alias("bm25_w"),
+        )
+    )
+
+
 def search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval: embedding top-k + BM25 top-k fused by
     reciprocal-rank fusion (rrf = Σ 1/(C + rank), C=60).
@@ -7026,6 +7084,7 @@ QUERIES = {
     "corpus_semantic_dedup": corpus_semantic_dedup,
     "doc_extractive_summary": doc_extractive_summary,
     "corpus_shard_rendezvous": corpus_shard_rendezvous,
+    "corpus_bm25_index": corpus_bm25_index,
     "corpus_shard_rendezvous_balance": corpus_shard_rendezvous_balance,
     "corpus_contamination": corpus_contamination,
     "corpus_rebalance": corpus_rebalance,
@@ -11672,4 +11731,34 @@ ORACLE["corpus_shard_rendezvous_balance"] = f"""
              AS move_fraction
     FROM assign CROSS JOIN tot t
     GROUP BY shard, t.n_docs, t.n_move
+"""
+
+ORACLE["corpus_bm25_index"] = f"""
+    WITH btk AS (
+      SELECT doc_id, len({_W}) AS len, unnest({_W}) AS term
+      FROM documents
+    ),
+    btf AS (
+      SELECT doc_id, term, count(*) AS n, max(len) AS len
+      FROM btk GROUP BY 1, 2
+    ),
+    bdf AS (SELECT term, count(*) AS df FROM btf GROUP BY 1),
+    bstats AS (
+      SELECT count(*) AS n_docs,
+             CAST(sum(len({_W})) AS DOUBLE) / count(*) AS avgdl
+      FROM documents
+    )
+    SELECT btf.term, btf.doc_id,
+           CAST(btf.n AS BIGINT) AS tf,
+           CAST(bdf.df AS BIGINT) AS df,
+           {sql_quantize(
+               f"ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)"
+               f" * (btf.n * {BM25_K1 + 1.0!r})"
+               f" / (btf.n + {BM25_K1!r} * ({1.0 - BM25_B!r}"
+               f" + ({BM25_B!r} * btf.len) / avgdl))",
+               6,
+           )} AS bm25_w
+    FROM btf
+    JOIN bdf ON btf.term = bdf.term
+    CROSS JOIN bstats
 """

@@ -1080,7 +1080,14 @@ def events_parallel_trends(
     sequential tier, one 1-row pre-period broadcast, narrow math per
     day row.
     """
-    cells = msprt_cells(load_table(spark, sf_dir, "events"))
+    return parallel_trends_from_cells(
+        msprt_cells(load_table(spark, sf_dir, "events"))
+    )
+
+
+def parallel_trends_from_cells(cells: DataFrame) -> DataFrame:
+    """The event-study fold over (treat, day_us, n, sv) cells —
+    shared by the batch query and the streaming drain."""
     per_day = cells.groupBy("day_us").agg(
         F.sum(F.when(F.col("treat"), F.col("n")).otherwise(0))
         .cast("long")

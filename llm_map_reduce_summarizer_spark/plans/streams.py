@@ -2114,6 +2114,34 @@ def stream_value_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
     return levene_from_cells(cell)
 
 
+def stream_parallel_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming event-study: the same calendar-bounded (treat, day)
+    moment cells as `stream_sequential_msprt` accumulate at ingest,
+    and the pre-period-centered gap trajectory evaluates post-drain
+    (`events.parallel_trends_from_cells`). Drain == batch
+    `events_parallel_trends`, whose oracle it shares.
+    """
+    from pyspark.sql import functions as F
+
+    from .events import parallel_trends_from_cells
+
+    ev = read_events_stream(spark, sf_dir)
+    grid = ev.select(
+        (F.col("user_id") % 2 == 0).alias("treat"),
+        F.unix_micros(F.date_trunc("day", F.col("ts"))).alias("day_us"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("vq"),
+    )
+    cells = grid.groupBy("treat", "day_us").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("vq").cast("decimal(38,0)")).alias("sv"),
+        F.sum((F.col("vq") * F.col("vq")).cast("decimal(38,0)")).alias(
+            "svv"
+        ),
+    )
+    snap = run_available_now(cells, output_mode="complete")
+    return parallel_trends_from_cells(snap)
+
+
 def stream_shard_rendezvous(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming HRW shard routing: the assignment is a pure function
     of doc_id (S+1 md5 draws + one array argmax), so the streaming
@@ -2713,6 +2741,7 @@ QUERIES = {
     "stream_dp_vocab": stream_dp_vocab,
     "stream_sequential_msprt": stream_sequential_msprt,
     "stream_shard_rendezvous": stream_shard_rendezvous,
+    "stream_parallel_trends": stream_parallel_trends,
     "stream_dp_median": stream_dp_median,
     "stream_bootstrap_diff_ci": stream_bootstrap_diff_ci,
     "stream_token_histogram": stream_token_histogram,
@@ -2820,6 +2849,8 @@ ORACLE = {
         _EVENTS_ORACLE["events_sequential_msprt"],
     "stream_shard_rendezvous":
         _DOCS_ORACLE["corpus_shard_rendezvous"],
+    "stream_parallel_trends":
+        _EVENTS_ORACLE["events_parallel_trends"],
     "stream_dp_median": _EVENTS_ORACLE["events_dp_median"],
     "stream_bootstrap_diff_ci":
         _EVENTS_ORACLE["events_bootstrap_diff_ci"],

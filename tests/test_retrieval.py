@@ -418,3 +418,25 @@ def test_winnowing_guarantee_on_shared_run(spark, tmp_path):
     # density: selected fingerprints ≪ grams (the point of winnowing)
     n_grams_0 = len(docs.loc[0, "text"].split()) - 2
     assert len(a) < n_grams_0
+
+
+def test_bm25_index_consistent_with_query_scorer(spark):
+    """The exported postings must reproduce _bm25_scored's per-doc
+    scores when summed over a query's terms."""
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+    from llm_map_reduce_summarizer_spark.plans.documents import (
+        BM25_QUERIES,
+    )
+    from .conftest import SF_SMOKE
+
+    qs = entrymod.queries()
+    idx = qs["corpus_bm25_index"](spark, SF_SMOKE).toPandas()
+    topk = qs["doc_bm25_topk"](spark, SF_SMOKE).toPandas()
+    for qid, terms in list(BM25_QUERIES.items())[:3]:
+        sub = idx[idx["term"].isin(terms)]
+        scores = sub.groupby("doc_id")["bm25_w"].sum()
+        got = topk[topk["query_id"] == qid]
+        for _, r in got.iterrows():
+            assert abs(scores.get(r["doc_id"], 0.0) - r["score"]) < 1e-4
