@@ -5471,6 +5471,109 @@ def holt_from_cells(cells: DataFrame) -> DataFrame:
     )
 
 
+HW_PERIOD = 24
+HW_GAMMA = 0.25  # seasonal smoothing — binary-exact like alpha/beta
+
+
+def hw_from_cells(cells: DataFrame) -> DataFrame:
+    """Additive Holt–Winters (level + trend + 24-hour seasonality)
+    per event type over the zero-filled hourly series — the top of
+    the forecasting ladder (`events_forecast_hourly` seasonal-naive →
+    `events_holt_linear` trend → this). α=1/2, β=γ=1/4 are exact
+    binary fractions and the level init is an exact-integer sum / 24,
+    so EVERY step is IEEE-exact and the SQL twin's recursive CTE
+    (carrying the 24-slot seasonal vector as list state) replays the
+    fit bit-for-bit. Emits the final seasonal cycle (one row per
+    slot) with the fitted level/trend and one-step forecast.
+
+    Scale: sequential only within a type's calendar-bounded series,
+    one Arrow group per type; the zero-fill rides a 1-row bounds
+    broadcast.
+    """
+    import numpy as np
+    import pandas as pd
+
+    bounds = cells.agg(
+        F.min("hour_us").alias("mn"), F.max("hour_us").alias("mx")
+    )
+    g = cells.crossJoin(F.broadcast(bounds))
+    m = HW_PERIOD
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        mn, mx = int(pdf["mn"].iloc[0]), int(pdf["mx"].iloc[0])
+        hours = np.arange(mn, mx + HOUR_US, HOUR_US, dtype=np.int64)
+        n = len(hours)
+        if n < m + 1:
+            return pd.DataFrame(
+                columns=[
+                    "event_type",
+                    "season_slot",
+                    "seasonal",
+                    "level",
+                    "trend",
+                    "forecast_next",
+                ]
+            )
+        y = np.zeros(n, dtype=np.float64)
+        idx = ((pdf["hour_us"].to_numpy() - mn) // HOUR_US).astype(int)
+        y[idx] = pdf["cnt"].to_numpy().astype(np.float64)
+        tot = 0.0  # integer-valued doubles: exact in any order
+        for v in y[:m]:
+            tot += float(v)
+        lev = tot / float(m)
+        tr = 0.0
+        s = np.zeros(n, dtype=np.float64)
+        for i in range(m):
+            s[i] = float(y[i]) - lev
+        for t in range(m, n):
+            new_l = HOLT_ALPHA * (float(y[t]) - s[t - m]) + (
+                1.0 - HOLT_ALPHA
+            ) * (lev + tr)
+            tr = HOLT_BETA * (new_l - lev) + (1.0 - HOLT_BETA) * tr
+            s[t] = HW_GAMMA * (float(y[t]) - new_l) + (
+                1.0 - HW_GAMMA
+            ) * s[t - m]
+            lev = new_l
+        rows = []
+        etype = pdf["event_type"].iloc[0]
+        fc = lev + tr + s[n - m]
+        for k in range(m):
+            t_k = n - m + k
+            rows.append(
+                {
+                    "event_type": etype,
+                    "season_slot": t_k % m,
+                    "seasonal": s[t_k],
+                    "level": lev,
+                    "trend": tr,
+                    "forecast_next": fc,
+                }
+            )
+        return pd.DataFrame(rows)
+
+    fitted = g.groupBy("event_type").applyInPandas(
+        fit,
+        schema=(
+            "event_type string, season_slot long, seasonal double,"
+            " level double, trend double, forecast_next double"
+        ),
+    )
+    return fitted.select(
+        "event_type",
+        "season_slot",
+        quantize(F.col("seasonal"), 4).alias("seasonal"),
+        quantize(F.col("level"), 4).alias("level"),
+        quantize(F.col("trend"), 4).alias("trend"),
+        quantize(F.col("forecast_next"), 4).alias("forecast_next"),
+    )
+
+
+def events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt–Winters with daily seasonality per event type.
+    See `hw_from_cells`."""
+    return hw_from_cells(holt_cells(load_table(spark, sf_dir, "events")))
+
+
 def events_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Holt linear-trend smoothing of the hourly count series per
     event type. See `holt_from_cells`."""
@@ -5686,6 +5789,7 @@ QUERIES = {
     "events_dp_user_total": events_dp_user_total,
     "events_cmh": events_cmh,
     "events_holt_linear": events_holt_linear,
+    "events_holt_winters": events_holt_winters,
     "events_dp_hourly": events_dp_hourly,
     "events_diff_in_diff": events_diff_in_diff,
     "events_peak_hours": events_peak_hours,
@@ -8677,4 +8781,72 @@ ORACLE["events_quantile_treatment_effect"] = f"""
       SELECT (user_id % 2 = 0) AS treat, value FROM events
     )
     {_QTE_SELECTS}
+"""
+
+ORACLE["events_holt_winters"] = f"""
+    WITH RECURSIVE cells AS (
+      SELECT event_type,
+             epoch_us(date_trunc('hour', ts)) AS hour_us,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    b AS (SELECT min(hour_us) AS mn, max(hour_us) AS mx FROM cells),
+    cal AS (
+      SELECT t.event_type,
+             unnest(generate_series(b.mn, b.mx, {HOUR_US})) AS hour_us
+      FROM (SELECT DISTINCT event_type FROM cells) t CROSS JOIN b
+    ),
+    series AS (
+      SELECT cal.event_type, cal.hour_us,
+             CAST(coalesce(c.cnt, 0) AS DOUBLE) AS y,
+             row_number() OVER (
+               PARTITION BY cal.event_type ORDER BY cal.hour_us
+             ) AS rn
+      FROM cal LEFT JOIN cells c
+        ON c.event_type = cal.event_type AND c.hour_us = cal.hour_us
+    ),
+    nmax AS (
+      SELECT event_type, max(rn) AS n FROM series GROUP BY 1
+    ),
+    init AS (
+      SELECT event_type,
+             sum(CASE WHEN rn <= {HW_PERIOD} THEN y ELSE 0 END)
+               / {float(HW_PERIOD)!r} AS lev0,
+             list(y ORDER BY rn)
+               FILTER (WHERE rn <= {HW_PERIOD}) AS y0
+      FROM series GROUP BY 1
+    ),
+    walk(event_type, rn, lev, tr, s) AS (
+      SELECT event_type, CAST({HW_PERIOD} AS BIGINT), lev0,
+             CAST(0.0 AS DOUBLE),
+             list_transform(y0, v -> v - lev0)
+      FROM init
+      UNION ALL
+      SELECT w.event_type, w.rn + 1,
+             {HOLT_ALPHA!r} * (sr.y - w.s[1])
+               + {1.0 - HOLT_ALPHA!r} * (w.lev + w.tr),
+             {HOLT_BETA!r} * (({HOLT_ALPHA!r} * (sr.y - w.s[1])
+               + {1.0 - HOLT_ALPHA!r} * (w.lev + w.tr)) - w.lev)
+               + {1.0 - HOLT_BETA!r} * w.tr,
+             list_append(w.s[2:{HW_PERIOD}],
+               {HW_GAMMA!r} * (sr.y - ({HOLT_ALPHA!r} * (sr.y - w.s[1])
+                 + {1.0 - HOLT_ALPHA!r} * (w.lev + w.tr)))
+               + {1.0 - HW_GAMMA!r} * w.s[1])
+      FROM walk w JOIN series sr
+        ON sr.event_type = w.event_type AND sr.rn = w.rn + 1
+    ),
+    last AS (
+      SELECT w.event_type, w.rn, w.lev, w.tr, w.s
+      FROM walk w JOIN nmax x
+        ON x.event_type = w.event_type AND w.rn = x.n
+    ),
+    ks AS (SELECT unnest(generate_series(1, {HW_PERIOD})) AS k)
+    SELECT l.event_type,
+           CAST((l.rn - {HW_PERIOD} + ks.k - 1) % {HW_PERIOD}
+                AS BIGINT) AS season_slot,
+           {sql_quantize('l.s[CAST(ks.k AS INT)]', 4)} AS seasonal,
+           {sql_quantize('l.lev', 4)} AS level,
+           {sql_quantize('l.tr', 4)} AS trend,
+           {sql_quantize('l.lev + l.tr + l.s[1]', 4)} AS forecast_next
+    FROM last l CROSS JOIN ks
 """

@@ -2407,6 +2407,25 @@ def stream_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     return holt_from_cells(snap)
 
 
+def stream_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Holt–Winters: the same (event_type, hour) count cells
+    as `stream_holt_linear` accumulate at ingest, with the seasonal
+    fit running post-drain (`events.hw_from_cells`). Drain == batch
+    `events_holt_winters`, whose oracle it shares.
+    """
+    from pyspark.sql import functions as F
+
+    from .events import hw_from_cells
+
+    ev = read_events_stream(spark, sf_dir)
+    cells = ev.groupBy(
+        "event_type",
+        F.unix_micros(F.date_trunc("hour", F.col("ts"))).alias("hour_us"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    snap = run_available_now(cells, output_mode="complete")
+    return hw_from_cells(snap)
+
+
 def stream_dp_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming differentially-private hourly release: the count
     state is the plain (hour, event_type) cell table — bounded by
@@ -2735,6 +2754,7 @@ QUERIES = {
     "stream_diff_in_diff": stream_diff_in_diff,
     "stream_cmh": stream_cmh,
     "stream_holt_linear": stream_holt_linear,
+    "stream_holt_winters": stream_holt_winters,
     "stream_absorption": stream_absorption,
     "stream_dp_user_total": stream_dp_user_total,
     "stream_cuped": stream_cuped,
@@ -2841,6 +2861,7 @@ ORACLE = {
     "stream_diff_in_diff": _EVENTS_ORACLE["events_diff_in_diff"],
     "stream_cmh": _EVENTS_ORACLE["events_cmh"],
     "stream_holt_linear": _EVENTS_ORACLE["events_holt_linear"],
+    "stream_holt_winters": _EVENTS_ORACLE["events_holt_winters"],
     "stream_absorption": _EVENTS_ORACLE["events_absorption"],
     "stream_dp_user_total": _EVENTS_ORACLE["events_dp_user_total"],
     "stream_cuped": _EVENTS_ORACLE["events_cuped"],

@@ -997,3 +997,43 @@ def test_parallel_trends_pre_mean_zero(spark):
     # centered on the pre-period mean: pre residuals average to ~0
     assert abs(pre["gap_vs_pre"].mean()) < 0.05
     assert len(rel) == rel["day_us"].nunique()
+
+
+def test_holt_winters_exact_on_periodic_series(spark):
+    from llm_map_reduce_summarizer_spark.plans.events import (
+        HW_PERIOD,
+        hw_from_cells,
+    )
+
+    # a perfectly periodic series: HW locks on exactly — level stays
+    # at the period mean, trend at 0, and the forecast equals the
+    # true next value
+    pattern = [float(3 + (k * 7) % 11) for k in range(HW_PERIOD)]
+    hour0 = 1_700_000_000_000_000
+    rows = [
+        ("view", hour0 + t * 3_600_000_000, int(pattern[t % HW_PERIOD]))
+        for t in range(HW_PERIOD * 4)
+    ]
+    cells = spark.createDataFrame(
+        rows, "event_type string, hour_us long, cnt long"
+    )
+    rel = hw_from_cells(cells).toPandas().sort_values("season_slot")
+    mean = sum(pattern) / HW_PERIOD
+    assert len(rel) == HW_PERIOD
+    assert (abs(rel["level"] - mean) < 1e-6).all()
+    assert (abs(rel["trend"]) < 1e-6).all()
+    n = HW_PERIOD * 4
+    expected_next = pattern[n % HW_PERIOD]
+    assert abs(rel["forecast_next"].iloc[0] - expected_next) < 1e-6
+    for _, r in rel.iterrows():
+        slot = int(r["season_slot"])
+        assert abs(r["seasonal"] - (pattern[slot] - mean)) < 1e-6
+
+
+def test_holt_winters_real_data_slots(spark):
+    rel = QUERIES["events_holt_winters"](spark, SF_SMOKE).toPandas()
+    from llm_map_reduce_summarizer_spark.plans.events import HW_PERIOD
+
+    for etype, grp in rel.groupby("event_type"):
+        assert sorted(grp["season_slot"]) == list(range(HW_PERIOD))
+        assert grp["level"].nunique() == 1
