@@ -3981,3 +3981,139 @@ ORACLE["supplier_portfolio_overlap"] = f"""
     ORDER BY jaccard DESC, i.sa, i.sb
     LIMIT {OVERLAP_TOPK}
 """
+
+
+def orders_salted_join_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The skew-salted join exercised AND value-verified: join orders
+    to customers through `operators/joins.py salted_join` (big side
+    deterministically salted over 8 sub-keys, small side replicated —
+    the hot-key fan-out a 100 TB skewed join needs when AQE's skew
+    split isn't enough) and roll up revenue per nation. The DuckDB
+    twin is the PLAIN join — identical results is exactly the salted
+    join's contract.
+
+    Scale: the salt spreads any hot customer key over 8 shuffle
+    partitions; the small side replicates 8× inside a broadcast.
+    """
+    from ..operators.joins import salted_join
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    joined = salted_join(
+        o.select(
+            F.col("o_custkey").alias("c_custkey"), F.col("o_totalprice")
+        ),
+        c,
+        on="c_custkey",
+    )
+    return (
+        joined.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+def lineitem_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained monthly price indices over common parts: Laspeyres
+    (base-month basket), Paasche (current basket), and their
+    geometric mean — the Fisher ideal index, index-number theory's
+    answer to "did prices move, or did the mix?" (the inferential
+    companion to `orders_pvm_bridge`'s accounting decomposition).
+    Unit prices are part-month unit values; per-part terms are
+    quantized before the basket sums (the BM25 discipline).
+
+    Scale: one (month, part) partial agg off the scan, a self-join on
+    (part, consecutive months) — natural keys, no windows.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    pm = li.groupBy(
+        (
+            F.year("l_shipdate") * 12 + F.month("l_shipdate") - 1
+        ).alias("mix"),
+        F.col("l_partkey").alias("pk"),
+    ).agg(
+        F.sum("l_quantity").cast("double").alias("q"),
+        F.sum(F.col("l_extendedprice")).cast("double").alias("ext"),
+    )
+    cur = pm.select(
+        "mix",
+        "pk",
+        F.col("q").alias("q1"),
+        (F.col("ext") / F.col("q")).alias("p1"),
+    )
+    prev = pm.select(
+        (F.col("mix") + 1).alias("mix"),
+        "pk",
+        F.col("q").alias("q0"),
+        (F.col("ext") / F.col("q")).alias("p0"),
+    )
+    terms = cur.join(prev, ["mix", "pk"]).select(
+        "mix",
+        quantize(F.col("p1") * F.col("q0"), 4).alias("l_num"),
+        quantize(F.col("p0") * F.col("q0"), 4).alias("l_den"),
+        quantize(F.col("p1") * F.col("q1"), 4).alias("p_num"),
+        quantize(F.col("p0") * F.col("q1"), 4).alias("p_den"),
+    )
+    agg = terms.groupBy("mix").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum("l_num").alias("ln_"),
+        F.sum("l_den").alias("ld_"),
+        F.sum("p_num").alias("pn_"),
+        F.sum("p_den").alias("pd_"),
+    )
+    lasp = F.col("ln_") / F.col("ld_")
+    paas = F.col("pn_") / F.col("pd_")
+    return agg.select(
+        F.col("mix").cast("long").alias("month_index"),
+        "n_parts",
+        quantize(lasp, 6).alias("laspeyres"),
+        quantize(paas, 6).alias("paasche"),
+        quantize(F.sqrt(lasp * paas), 6).alias("fisher"),
+    )
+
+ORACLE["orders_salted_join_check"] = """
+    SELECT c.c_nationkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS revenue
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY 1
+"""
+
+ORACLE["lineitem_price_index"] = f"""
+    WITH pm AS (
+      SELECT (year(l_shipdate) * 12 + month(l_shipdate) - 1) AS mix,
+             l_partkey AS pk,
+             CAST(sum(l_quantity) AS DOUBLE) AS q,
+             CAST(sum(l_extendedprice) AS DOUBLE) AS ext
+      FROM lineitem GROUP BY 1, 2
+    ),
+    terms AS (
+      SELECT c.mix,
+             {sql_quantize('(c.ext / c.q) * p.q', 4)} AS l_num,
+             {sql_quantize('(p.ext / p.q) * p.q', 4)} AS l_den,
+             {sql_quantize('(c.ext / c.q) * c.q', 4)} AS p_num,
+             {sql_quantize('(p.ext / p.q) * c.q', 4)} AS p_den
+      FROM pm c JOIN pm p ON p.pk = c.pk AND p.mix = c.mix - 1
+    ),
+    agg AS (
+      SELECT mix, CAST(count(*) AS BIGINT) AS n_parts,
+             sum(l_num) AS ln_, sum(l_den) AS ld_,
+             sum(p_num) AS pn_, sum(p_den) AS pd_
+      FROM terms GROUP BY 1
+    )
+    SELECT CAST(mix AS BIGINT) AS month_index, n_parts,
+           {sql_quantize('ln_ / ld_', 6)} AS laspeyres,
+           {sql_quantize('pn_ / pd_', 6)} AS paasche,
+           {sql_quantize('sqrt((ln_ / ld_) * (pn_ / pd_))', 6)}
+             AS fisher
+    FROM agg
+"""
+
+QUERIES["orders_salted_join_check"] = orders_salted_join_check
+QUERIES["lineitem_price_index"] = lineitem_price_index

@@ -625,3 +625,39 @@ def test_bootstrap_ci_brackets_mean(spark):
     assert r["ci_hi"] - r["ci_lo"] < 0.2  # sane width, not vacuous
     again = corpus_bootstrap_ci(spark, SF).first()
     assert (r["ci_lo"], r["ci_hi"]) == (again["ci_lo"], again["ci_hi"])
+
+
+def test_salted_join_spreads_keys(spark):
+    """The salted join's plan must join on (key, salt) — the hot-key
+    fan-out — and its output must equal the plain join exactly."""
+    import io
+    import contextlib
+
+    import __spark_entry__ as entrymod
+    from .conftest import SF_SMOKE
+
+    qs = entrymod.queries()
+    df = qs["orders_salted_join_check"](spark, SF_SMOKE)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "_salt" in plan  # the salt key reaches the physical join
+    got = df.toPandas().sort_values("c_nationkey").reset_index(drop=True)
+    from llm_map_reduce_summarizer_spark.sources.tables import load_table
+    import pyspark.sql.functions as F
+
+    o = load_table(spark, SF_SMOKE, "orders")
+    c = load_table(spark, SF_SMOKE, "customer")
+    plain = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .toPandas()
+        .sort_values("c_nationkey")
+        .reset_index(drop=True)
+    )
+    assert got.equals(plain)
