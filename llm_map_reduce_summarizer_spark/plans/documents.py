@@ -2970,6 +2970,48 @@ def corpus_soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_method_agreement(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Meta-evaluation of the dedup families: how much do the
+    SHINGLE near-dup pairs (MinHash-LSH verified) and the SEMANTIC
+    near-dup pairs (embedding cosine ≥ threshold) agree? Disjoint
+    sets mean the two families catch different duplication (exact
+    phrasing vs paraphrase) and a production policy needs both;
+    heavy overlap means one suffices. One row: pair counts,
+    intersection, Jaccard.
+
+    Scale: both pair generators are the existing bucketed/blocked
+    operators (never all-pairs); the agreement join and fold touch
+    only the pair lists.
+    """
+    mh = minhash_lsh_pairs(
+        _docs(spark, sf_dir),
+        threshold=MINHASH_THRESHOLD,
+        df_cap=MINHASH_DF_CAP,
+    ).select("da", "db")
+    emb = embedding_neardup_blocked(
+        _embs(spark, sf_dir), threshold=NEARDUP_COS
+    ).select("da", "db")
+    both = mh.join(emb, ["da", "db"])
+    counts = mh.agg(F.count(F.lit(1)).cast("long").alias("n_minhash"))
+    counts = counts.crossJoin(
+        emb.agg(F.count(F.lit(1)).cast("long").alias("n_cosine"))
+    ).crossJoin(
+        both.agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    union = F.col("n_minhash") + F.col("n_cosine") - F.col("n_both")
+    return counts.select(
+        "n_minhash",
+        "n_cosine",
+        "n_both",
+        F.when(
+            union > 0,
+            quantize(F.col("n_both").cast("double") / union, 6),
+        ).alias("jaccard"),
+    )
+
+
 HRW_SHARDS = 8
 
 
@@ -7085,6 +7127,7 @@ QUERIES = {
     "doc_extractive_summary": doc_extractive_summary,
     "corpus_shard_rendezvous": corpus_shard_rendezvous,
     "corpus_bm25_index": corpus_bm25_index,
+    "dedup_method_agreement": dedup_method_agreement,
     "corpus_shard_rendezvous_balance": corpus_shard_rendezvous_balance,
     "corpus_contamination": corpus_contamination,
     "corpus_rebalance": corpus_rebalance,
@@ -11761,4 +11804,32 @@ ORACLE["corpus_bm25_index"] = f"""
     FROM btf
     JOIN bdf ON btf.term = bdf.term
     CROSS JOIN bstats
+"""
+
+ORACLE["dedup_method_agreement"] = f"""
+    WITH {_LSH_PAIR_CTES},
+    {sql_unit_cte()},
+    nd AS (
+      SELECT a.vec_id AS da, b.vec_id AS db
+      FROM unitv a JOIN unitv b ON a.vec_id < b.vec_id
+      WHERE (floor({sql_dot('a.u', 'b.u')} * 1000000.0 + 0.5) / 1000000.0)
+              >= {NEARDUP_COS}
+    ),
+    mh AS (SELECT da, db FROM lsh_pairs),
+    agree AS (
+      SELECT count(*) AS n_both
+      FROM mh JOIN nd ON nd.da = mh.da AND nd.db = mh.db
+    ),
+    counts AS (
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM mh) AS n_minhash,
+             (SELECT CAST(count(*) AS BIGINT) FROM nd) AS n_cosine,
+             (SELECT CAST(n_both AS BIGINT) FROM agree) AS n_both
+    )
+    SELECT n_minhash, n_cosine, n_both,
+           CASE WHEN n_minhash + n_cosine - n_both > 0 THEN
+             {sql_quantize(
+                 'CAST(n_both AS DOUBLE)'
+                 ' / (n_minhash + n_cosine - n_both)', 6)}
+           END AS jaccard
+    FROM counts
 """

@@ -1141,6 +1141,56 @@ def parallel_trends_from_cells(cells: DataFrame) -> DataFrame:
     )
 
 
+WINSOR_Q = 0.99
+
+
+def events_winsorized_welch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Welch test on the WINSORIZED metric (values capped at the
+    global p99): the standard robust-experimentation guard — a
+    handful of whale users otherwise dominate the variance and drown
+    real effects. Completes the robust tier with
+    `events_quantile_treatment_effect` (where the effect lives) and
+    `events_bootstrap_diff_ci` (no normality assumption).
+
+    Scale: the cap is ONE interpolated percentile (a 1-row
+    broadcast); the capped moments are the same exact cent-grid
+    decimal fold as `events_ab_welch`.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(AB_GROUP_A, AB_GROUP_B)
+    )
+    cap = ev.agg(
+        F.expr(f"percentile(value, {WINSOR_Q!r})").alias("cap")
+    )
+    grid = ev.crossJoin(F.broadcast(cap)).select(
+        (F.col("event_type") == AB_GROUP_A).alias("is_a"),
+        F.floor(F.least(F.col("value"), F.col("cap")) * 100 + 0.5)
+        .cast("long")
+        .alias("vq"),
+    )
+    one_a = F.when(F.col("is_a"), 1).otherwise(0)
+    one_b = F.when(F.col("is_a"), 0).otherwise(1)
+    stats = grid.agg(
+        F.sum(one_a).cast("long").alias("n_a"),
+        F.sum(one_b).cast("long").alias("n_b"),
+        F.sum((one_a * F.col("vq")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("sv_a"),
+        F.sum((one_b * F.col("vq")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("sv_b"),
+        F.sum((one_a * F.col("vq") * F.col("vq")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("svv_a"),
+        F.sum((one_b * F.col("vq") * F.col("vq")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("svv_b"),
+    )
+    return welch_from_stats(stats)
+
+
 QTE_QS = (0.25, 0.5, 0.75, 0.9)
 
 
@@ -5784,6 +5834,7 @@ QUERIES = {
     "events_sequential_msprt": events_sequential_msprt,
     "events_parallel_trends": events_parallel_trends,
     "events_quantile_treatment_effect": events_quantile_treatment_effect,
+    "events_winsorized_welch": events_winsorized_welch,
     "events_bootstrap_diff_ci": events_bootstrap_diff_ci,
     "events_absorption": events_absorption,
     "events_dp_user_total": events_dp_user_total,
@@ -8849,4 +8900,57 @@ ORACLE["events_holt_winters"] = f"""
            {sql_quantize('l.tr', 4)} AS trend,
            {sql_quantize('l.lev + l.tr + l.s[1]', 4)} AS forecast_next
     FROM last l CROSS JOIN ks
+"""
+
+ORACLE["events_winsorized_welch"] = f"""
+    WITH pool AS (
+      SELECT event_type, value FROM events
+      WHERE event_type IN ('purchase', 'click')
+    ),
+    cap AS (SELECT quantile_cont(value, {WINSOR_Q!r}) AS cap FROM pool),
+    grid AS (
+      SELECT (event_type = 'purchase') AS is_a,
+             CAST(floor(least(value, cap) * 100 + 0.5) AS BIGINT) AS vq
+      FROM pool CROSS JOIN cap
+    ),
+    agg AS (
+      SELECT CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
+             CAST(sum(CASE WHEN is_a THEN vq ELSE 0 END) AS DOUBLE) AS sv_a,
+             CAST(sum(CASE WHEN is_a THEN 0 ELSE vq END) AS DOUBLE) AS sv_b,
+             CAST(sum(CASE WHEN is_a THEN vq * vq ELSE 0 END) AS DOUBLE)
+               AS svv_a,
+             CAST(sum(CASE WHEN is_a THEN 0 ELSE vq * vq END) AS DOUBLE)
+               AS svv_b
+      FROM grid
+    ),
+    m AS (
+      SELECT n_a, n_b,
+             sv_a / n_a AS m_a, sv_b / n_b AS m_b,
+             ((svv_a - sv_a * sv_a / n_a) / (n_a - 1)) / n_a AS se2_a,
+             ((svv_b - sv_b * sv_b / n_b) / (n_b - 1)) / n_b AS se2_b
+      FROM agg
+    )
+    SELECT 'purchase' AS group_a,
+           'click' AS group_b,
+           n_a, n_b,
+           CASE WHEN n_a > 0
+                THEN {sql_quantize('m_a / 100.0', 4)} END AS mean_a,
+           CASE WHEN n_b > 0
+                THEN {sql_quantize('m_b / 100.0', 4)} END AS mean_b,
+           CASE WHEN n_a > 1 AND n_b > 1 AND se2_a + se2_b > 0
+                THEN {sql_quantize(
+                    '(m_a - m_b) / sqrt(se2_a + se2_b)', 4)}
+           END AS t_stat,
+           CASE WHEN n_a > 1 AND n_b > 1 AND se2_a + se2_b > 0
+                THEN {sql_quantize(
+                    '((se2_a + se2_b) * (se2_a + se2_b))'
+                    ' / (se2_a * se2_a / (n_a - 1)'
+                    ' + se2_b * se2_b / (n_b - 1))', 2)}
+           END AS df_welch,
+           CASE WHEN n_a > 1 AND n_b > 1 AND se2_a + se2_b > 0
+                THEN (abs({sql_quantize(
+                    '(m_a - m_b) / sqrt(se2_a + se2_b)', 4)}) > 1.96)
+           END AS significant_95
+    FROM m
 """
