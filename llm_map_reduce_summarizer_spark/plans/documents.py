@@ -2970,6 +2970,50 @@ def corpus_soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def knn_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide k-NN-graph recall, hash-verified: the banded-LSH
+    approximate graph (`knn_graph`) scored against the exact top-k
+    edge set — the round-5 scale fix's quality, promoted from a unit
+    test to a driver-checked catalog artifact. One row: exact edges,
+    hits, recall. NOTE the expected magnitude: this corpus's
+    embeddings are isotropic random vectors — sign-LSH's adversarial
+    case (true top-3 cos ≈ 0.4 → per-plane agreement ≈ 0.63 → ≈ 10%
+    for the 4-band union; measured 6.7-7.5% here, floor pinned in
+    tests/test_operators.py). Clustered real embeddings score far
+    higher at the same setting — the entry exists precisely so that
+    number is MEASURED per corpus, not assumed.
+
+    Scale: the EXACT side is the eval-set tool (all-pairs blocked
+    dgemm — at 100 TB this runs on a sampled slice, like every
+    recall audit here); the approximate side and the hit join touch
+    only k·n edge rows.
+    """
+    e = _embs(spark, sf_dir)
+    exact = cosine_topk_blocked(e, e, k=KNN_GRAPH_K).select(
+        F.col("query_id").alias("da"),
+        F.col("neighbor_id").alias("db"),
+    )
+    from ..operators.similarity import cosine_knn_graph
+
+    approx = cosine_knn_graph(e, k=KNN_GRAPH_K).select("da", "db")
+    hits = exact.join(approx, ["da", "db"])
+    n_exact = exact.agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact")
+    )
+    return (
+        n_exact.crossJoin(
+            hits.agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+        )
+        .select(
+            "n_exact",
+            "n_hit",
+            quantize(
+                F.col("n_hit").cast("double") / F.col("n_exact"), 6
+            ).alias("recall"),
+        )
+    )
+
+
 def dedup_method_agreement(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -7128,6 +7172,7 @@ QUERIES = {
     "corpus_shard_rendezvous": corpus_shard_rendezvous,
     "corpus_bm25_index": corpus_bm25_index,
     "dedup_method_agreement": dedup_method_agreement,
+    "knn_graph_recall": knn_graph_recall,
     "corpus_shard_rendezvous_balance": corpus_shard_rendezvous_balance,
     "corpus_contamination": corpus_contamination,
     "corpus_rebalance": corpus_rebalance,
@@ -11831,5 +11876,33 @@ ORACLE["dedup_method_agreement"] = f"""
                  'CAST(n_both AS DOUBLE)'
                  ' / (n_minhash + n_cosine - n_both)', 6)}
            END AS jaccard
+    FROM counts
+"""
+
+ORACLE["knn_graph_recall"] = f"""
+    WITH {_KNN_GRAPH_CTES},
+    exact AS (
+      SELECT da, db FROM (
+        SELECT a.vec_id AS da, b.vec_id AS db,
+               row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY (floor({sql_dot('a.u', 'b.u')} * 1000000.0
+                           + 0.5) / 1000000.0) DESC,
+                          b.vec_id
+               ) AS rk
+        FROM unitv a JOIN unitv b ON a.vec_id <> b.vec_id
+      ) WHERE rk <= {KNN_GRAPH_K}
+    ),
+    hits AS (
+      SELECT count(*) AS n_hit
+      FROM exact e JOIN knng g ON g.da = e.da AND g.db = e.db
+    ),
+    counts AS (
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM exact) AS n_exact,
+             (SELECT CAST(n_hit AS BIGINT) FROM hits) AS n_hit
+    )
+    SELECT n_exact, n_hit,
+           {sql_quantize('CAST(n_hit AS DOUBLE) / n_exact', 6)}
+             AS recall
     FROM counts
 """
