@@ -1141,6 +1141,61 @@ def parallel_trends_from_cells(cells: DataFrame) -> DataFrame:
     )
 
 
+def events_experiment_readout(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """THE experiment dashboard row: every estimator in the tier on
+    one line — raw and winsorized Welch (the purchase-vs-click metric
+    comparison), and for the user-parity experiment the conversion z,
+    DiD, CUPED-adjusted t, and the bootstrap CI — plus a consensus
+    count of how many user-experiment tests reject at 95%. The
+    analyst deliverable the individual entries feed; disagreement
+    between rows IS the signal (e.g. raw-significant but
+    winsorized-not means whales drive it).
+
+    Scale: each component is its own scale-shaped 1-row plan; the
+    readout is five broadcast cross-joins of single rows.
+    """
+    welch = events_ab_welch(spark, sf_dir).select(
+        F.col("mean_a").alias("welch_mean_a"),
+        F.col("mean_b").alias("welch_mean_b"),
+        F.col("t_stat").alias("welch_t"),
+    )
+    wins = events_winsorized_welch(spark, sf_dir).select(
+        F.col("t_stat").alias("winsor_t")
+    )
+    conv = events_conversion_ztest(spark, sf_dir).select(
+        F.col("z_stat").alias("conv_z")
+    )
+    did = events_diff_in_diff(spark, sf_dir).select(
+        F.col("did_estimate"), F.col("t_stat").alias("did_t")
+    )
+    cuped = events_cuped(spark, sf_dir).select(
+        F.col("diff_adj").alias("cuped_diff"),
+        F.col("t_adj").alias("cuped_t"),
+        F.col("var_reduction"),
+    )
+    boot = events_bootstrap_diff_ci(spark, sf_dir).select(
+        "ci_lo", "ci_hi", "covers_zero"
+    )
+    row = (
+        welch.crossJoin(F.broadcast(wins))
+        .crossJoin(F.broadcast(conv))
+        .crossJoin(F.broadcast(did))
+        .crossJoin(F.broadcast(cuped))
+        .crossJoin(F.broadcast(boot))
+    )
+    sig = (
+        F.when(F.abs(F.col("conv_z")) > 1.96, 1).otherwise(0)
+        + F.when(F.abs(F.col("did_t")) > 1.96, 1).otherwise(0)
+        + F.when(F.abs(F.col("cuped_t")) > 1.96, 1).otherwise(0)
+        + F.when(~F.col("covers_zero"), 1).otherwise(0)
+    )
+    return row.withColumn(
+        "n_user_tests_significant", sig.cast("long")
+    )
+
+
 WINSOR_Q = 0.99
 
 
@@ -5835,6 +5890,7 @@ QUERIES = {
     "events_parallel_trends": events_parallel_trends,
     "events_quantile_treatment_effect": events_quantile_treatment_effect,
     "events_winsorized_welch": events_winsorized_welch,
+    "events_experiment_readout": events_experiment_readout,
     "events_bootstrap_diff_ci": events_bootstrap_diff_ci,
     "events_absorption": events_absorption,
     "events_dp_user_total": events_dp_user_total,
@@ -8953,4 +9009,32 @@ ORACLE["events_winsorized_welch"] = f"""
                     '(m_a - m_b) / sqrt(se2_a + se2_b)', 4)}) > 1.96)
            END AS significant_95
     FROM m
+"""
+
+ORACLE["events_experiment_readout"] = f"""
+    SELECT w.welch_mean_a, w.welch_mean_b, w.welch_t,
+           x.winsor_t, c.conv_z,
+           d.did_estimate, d.did_t,
+           u.cuped_diff, u.cuped_t, u.var_reduction,
+           b.ci_lo, b.ci_hi, b.covers_zero,
+           CAST(
+             (CASE WHEN abs(c.conv_z) > 1.96 THEN 1 ELSE 0 END)
+             + (CASE WHEN abs(d.did_t) > 1.96 THEN 1 ELSE 0 END)
+             + (CASE WHEN abs(u.cuped_t) > 1.96 THEN 1 ELSE 0 END)
+             + (CASE WHEN NOT b.covers_zero THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_user_tests_significant
+    FROM (SELECT mean_a AS welch_mean_a, mean_b AS welch_mean_b,
+                 t_stat AS welch_t
+          FROM ({ORACLE['events_ab_welch']})) w
+    CROSS JOIN (SELECT t_stat AS winsor_t
+                FROM ({ORACLE['events_winsorized_welch']})) x
+    CROSS JOIN (SELECT z_stat AS conv_z
+                FROM ({ORACLE['events_conversion_ztest']})) c
+    CROSS JOIN (SELECT did_estimate, t_stat AS did_t
+                FROM ({ORACLE['events_diff_in_diff']})) d
+    CROSS JOIN (SELECT diff_adj AS cuped_diff, t_adj AS cuped_t,
+                       var_reduction
+                FROM ({ORACLE['events_cuped']})) u
+    CROSS JOIN (SELECT ci_lo, ci_hi, covers_zero
+                FROM ({ORACLE['events_bootstrap_diff_ci']})) b
 """
