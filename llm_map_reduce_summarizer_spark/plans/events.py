@@ -1103,7 +1103,8 @@ def parallel_trends_from_cells(cells: DataFrame) -> DataFrame:
         .alias("sv_c"),
     )
     gap = (
-        F.col("sv_t") / F.col("n_t") - F.col("sv_c") / F.col("n_c")
+        F.try_divide(F.col("sv_t"), F.col("n_t"))
+        - F.try_divide(F.col("sv_c"), F.col("n_c"))
     ) / 100.0
     gapped = per_day.withColumn("gap_raw", gap)
     bounds = gapped.agg(
@@ -1368,22 +1369,37 @@ def msprt_from_cells(cells: DataFrame) -> DataFrame:
             F.sum("svv_c2").alias("svv_c"),
         )
     )
-    m_t = F.col("sv_t") / F.col("n_t") / 100.0
-    m_c = F.col("sv_c") / F.col("n_c") / 100.0
+    m_t = F.try_divide(F.col("sv_t"), F.col("n_t")) / 100.0
+    m_c = F.try_divide(F.col("sv_c"), F.col("n_c")) / 100.0
     var_t = (
-        (F.col("svv_t") - F.col("sv_t") * F.col("sv_t") / F.col("n_t"))
-        / (F.col("n_t") - 1)
+        F.try_divide(
+            F.col("svv_t")
+            - F.try_divide(
+                F.col("sv_t") * F.col("sv_t"), F.col("n_t")
+            ),
+            F.col("n_t") - 1,
+        )
         / 10000.0
     )
     var_c = (
-        (F.col("svv_c") - F.col("sv_c") * F.col("sv_c") / F.col("n_c"))
-        / (F.col("n_c") - 1)
+        F.try_divide(
+            F.col("svv_c")
+            - F.try_divide(
+                F.col("sv_c") * F.col("sv_c"), F.col("n_c")
+            ),
+            F.col("n_c") - 1,
+        )
         / 10000.0
     )
-    v = var_t / F.col("n_t") + var_c / F.col("n_c")
+    v = F.try_divide(var_t, F.col("n_t")) + F.try_divide(
+        var_c, F.col("n_c")
+    )
     delta = m_t - m_c
     lam = F.sqrt(v / (v + MSPRT_TAU_SQ)) * F.exp(
-        delta * delta * MSPRT_TAU_SQ / (2.0 * v * (v + MSPRT_TAU_SQ))
+        F.try_divide(
+            delta * delta * MSPRT_TAU_SQ,
+            2.0 * v * (v + MSPRT_TAU_SQ),
+        )
     )
     ok = (F.col("n_t") > 1) & (F.col("n_c") > 1)
     scored = cum.select(
@@ -1667,33 +1683,37 @@ def cuped_from_cells(cells: DataFrame) -> DataFrame:
     sy = F.col("sy_t") + F.col("sy_c")
     sxx = F.col("sxx_t") + F.col("sxx_c")
     sxy = F.col("sxy_t") + F.col("sxy_c")
-    var_x = sxx / n - (sx / n) * (sx / n)
-    cov_xy = sxy / n - (sx / n) * (sy / n)
-    theta = cov_xy / var_x
+    # try_divide: degenerate corpora (one arm, zero covariate
+    # variance) must yield NULLs, not ANSI divide-by-zero
+    var_x = F.try_divide(sxx, n) - F.try_divide(sx, n) * F.try_divide(
+        sx, n
+    )
+    cov_xy = F.try_divide(sxy, n) - F.try_divide(sx, n) * F.try_divide(
+        sy, n
+    )
+    theta = F.try_divide(cov_xy, var_x)
 
     def mean(p: str, s: str) -> Column:
-        return F.col(f"{p}_{s}") / F.col(f"n_{s}")
+        return F.try_divide(F.col(f"{p}_{s}"), F.col(f"n_{s}"))
 
     def var_adj(s: str) -> Column:
-        vy = F.col(f"syy_{s}") / F.col(f"n_{s}") - mean("sy", s) * mean(
-            "sy", s
-        )
-        vx = F.col(f"sxx_{s}") / F.col(f"n_{s}") - mean("sx", s) * mean(
-            "sx", s
-        )
-        cxy = F.col(f"sxy_{s}") / F.col(f"n_{s}") - mean("sx", s) * mean(
-            "sy", s
-        )
+        vy = mean("syy", s) - mean("sy", s) * mean("sy", s)
+        vx = mean("sxx", s) - mean("sx", s) * mean("sx", s)
+        cxy = mean("sxy", s) - mean("sx", s) * mean("sy", s)
         return vy - 2.0 * theta * cxy + theta * theta * vx
 
     diff_raw = mean("sy", "t") - mean("sy", "c")
     diff_adj = (mean("sy", "t") - theta * mean("sx", "t")) - (
         mean("sy", "c") - theta * mean("sx", "c")
     )
-    se2 = var_adj("t") / F.col("n_t") + var_adj("c") / F.col("n_c")
-    vy_t = F.col("syy_t") / F.col("n_t") - mean("sy", "t") * mean("sy", "t")
-    vy_c = F.col("syy_c") / F.col("n_c") - mean("sy", "c") * mean("sy", "c")
-    se2_raw = vy_t / F.col("n_t") + vy_c / F.col("n_c")
+    se2 = F.try_divide(var_adj("t"), F.col("n_t")) + F.try_divide(
+        var_adj("c"), F.col("n_c")
+    )
+    vy_t = mean("syy", "t") - mean("sy", "t") * mean("sy", "t")
+    vy_c = mean("syy", "c") - mean("sy", "c") * mean("sy", "c")
+    se2_raw = F.try_divide(vy_t, F.col("n_t")) + F.try_divide(
+        vy_c, F.col("n_c")
+    )
     ok = (F.col("n_t") > 1) & (F.col("n_c") > 1) & (var_x > 0)
     return moments.select(
         F.col("n_t").cast("long").alias("n_treat"),
@@ -1702,7 +1722,8 @@ def cuped_from_cells(cells: DataFrame) -> DataFrame:
         quantize(diff_raw / 100.0, 4).alias("diff_raw"),
         F.when(ok, quantize(diff_adj / 100.0, 4)).alias("diff_adj"),
         F.when(
-            ok & (se2 > 0), quantize(diff_adj / F.sqrt(se2), 4)
+            ok & (se2 > 0),
+            quantize(F.try_divide(diff_adj, F.sqrt(se2)), 4),
         ).alias("t_adj"),
         F.when(
             ok & (se2_raw > 0), quantize(1.0 - se2 / se2_raw, 6)
@@ -5823,15 +5844,20 @@ def did_from_cells(cells: DataFrame) -> DataFrame:
         ],
     )
 
+    # try_divide: a degenerate period split (an empty arm) must yield
+    # NULL readouts, not an ANSI divide-by-zero crash
     def mean(a: str) -> Column:
-        return F.col(f"sv_{a}") / F.col(f"n_{a}")
+        return F.try_divide(F.col(f"sv_{a}"), F.col(f"n_{a}"))
 
     def var_over_n(a: str) -> Column:
-        v = (
+        v = F.try_divide(
             F.col(f"svv_{a}")
-            - F.col(f"sv_{a}") * F.col(f"sv_{a}") / F.col(f"n_{a}")
-        ) / (F.col(f"n_{a}") - 1)
-        return v / F.col(f"n_{a}")
+            - F.try_divide(
+                F.col(f"sv_{a}") * F.col(f"sv_{a}"), F.col(f"n_{a}")
+            ),
+            F.col(f"n_{a}") - 1,
+        )
+        return F.try_divide(v, F.col(f"n_{a}"))
 
     did_cents = (mean("tp") - mean("tc")) - (mean("cp") - mean("cc"))
     se2 = sum(var_over_n(a) for _, _, a in _DID_ARMS)

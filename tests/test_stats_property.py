@@ -501,3 +501,103 @@ def test_growth_and_funnel_random(spark, tmp_path_factory, seed):
         assert row["n_level3"] == l3
 
     run()
+
+
+@pytest.mark.parametrize("seed", [0])
+def test_causal_tier_random(spark, tmp_path_factory, seed):
+    """Random micro-corpora through the causal/robust tier: DiD and
+    CUPED against independent pandas formulas, QTE against numpy
+    quantiles — degenerate arms and tiny periods included."""
+
+    @settings(**_SETTINGS)
+    @given(data=st.data())
+    def run(data):
+        n = data.draw(st.integers(40, 120))
+        vals = data.draw(
+            st.lists(st.integers(0, 40), min_size=n, max_size=n)
+        )
+        days = data.draw(
+            st.lists(st.integers(0, 5), min_size=n, max_size=n)
+        )
+        users = data.draw(
+            st.lists(st.integers(0, 9), min_size=n, max_size=n)
+        )
+        ev = pd.DataFrame(
+            {
+                "event_id": range(n),
+                "ts": pd.Timestamp("2024-03-01")
+                + pd.to_timedelta(days, unit="D")
+                + pd.to_timedelta(range(n), unit="s"),
+                "user_id": users,
+                "event_type": ["view"] * n,
+                "value": [v / 100.0 * 25 for v in vals],
+                "props": ["{}"] * n,
+            }
+        )
+        tmp = tmp_path_factory.mktemp("evc")
+        sf = _write_events(tmp, ev)
+
+        vq = np.floor(ev["value"].to_numpy() * 100 + 0.5)
+        treat = (ev["user_id"] % 2 == 0).to_numpy()
+
+        # --- DiD ---
+        row = QUERIES["events_diff_in_diff"](spark, sf).toPandas().iloc[0]
+        hour = (
+            ev["ts"].dt.floor("h").astype("int64") // 1000
+        ).to_numpy()
+        mid = (hour.min() + hour.max()) / 2.0
+        post = hour >= mid
+        arms = {
+            "tp": vq[treat & post],
+            "tc": vq[treat & ~post],
+            "cp": vq[~treat & post],
+            "cc": vq[~treat & ~post],
+        }
+        assert row["n_treat_post"] == len(arms["tp"])
+        if all(len(a) > 1 for a in arms.values()):
+            did = (arms["tp"].mean() - arms["tc"].mean()) - (
+                arms["cp"].mean() - arms["cc"].mean()
+            )
+            assert _close(row["did_estimate"], did / 100.0)
+            se2 = sum(a.var(ddof=1) / len(a) for a in arms.values())
+            if se2 > 0:
+                assert _close(row["t_stat"], did / math.sqrt(se2))
+        else:
+            assert pd.isna(row["t_stat"])
+
+        # --- CUPED ---
+        row = QUERIES["events_cuped"](spark, sf).toPandas().iloc[0]
+        day = (ev["ts"].dt.floor("D").astype("int64") // 1000).to_numpy()
+        dmid = (day.min() + day.max()) / 2.0
+        per = pd.DataFrame(
+            {
+                "u": ev["user_id"],
+                "x": np.where(day < dmid, vq, 0.0),
+                "y": np.where(day >= dmid, vq, 0.0),
+            }
+        ).groupby("u").sum()
+        x, y = per["x"].to_numpy(), per["y"].to_numpy()
+        tmask = np.asarray(per.index % 2 == 0)
+        assert row["n_treat"] == int(tmask.sum())
+        if x.var() > 0 and tmask.sum() > 1 and (~tmask).sum() > 1:
+            theta = np.cov(x, y, bias=True)[0, 1] / x.var()
+            adj = y - theta * x
+            diff = adj[tmask].mean() - adj[~tmask].mean()
+            assert _close(row["theta"], theta)
+            assert _close(row["diff_adj"], diff / 100.0)
+        else:
+            assert pd.isna(row["theta"])
+
+        # --- QTE ---
+        rel = (
+            QUERIES["events_quantile_treatment_effect"](spark, sf)
+            .toPandas()
+            .set_index("q")
+        )
+        if treat.sum() > 0 and (~treat).sum() > 0:
+            for q in rel.index:
+                qt = np.quantile(ev.loc[treat, "value"], q)
+                qc = np.quantile(ev.loc[~treat, "value"], q)
+                assert _close(rel.loc[q, "qte"], qt - qc)
+
+    run()
