@@ -601,3 +601,96 @@ def test_causal_tier_random(spark, tmp_path_factory, seed):
                 assert _close(rel.loc[q, "qte"], qt - qc)
 
     run()
+
+
+@pytest.mark.parametrize("seed", [0])
+def test_forecast_and_dp_random(spark, tmp_path_factory, seed):
+    """Random sparse hourly series through Holt-linear (vs an
+    independent recurrence) and the DP hourly release (noise bound +
+    determinism) — gap-heavy calendars the fixed corpus never has."""
+
+    @settings(**_SETTINGS)
+    @given(data=st.data())
+    def run(data):
+        n = data.draw(st.integers(30, 90))
+        hours = data.draw(
+            st.lists(st.integers(0, 47), min_size=n, max_size=n)
+        )
+        types = data.draw(
+            st.lists(
+                st.sampled_from(["view", "click"]),
+                min_size=n,
+                max_size=n,
+            )
+        )
+        ev = pd.DataFrame(
+            {
+                "event_id": range(n),
+                "ts": pd.Timestamp("2024-03-01")
+                + pd.to_timedelta(hours, unit="h"),
+                "user_id": [i % 5 for i in range(n)],
+                "event_type": types,
+                "value": [1.0] * n,
+                "props": ["{}"] * n,
+            }
+        )
+        tmp = tmp_path_factory.mktemp("evf")
+        sf = _write_events(tmp, ev)
+
+        # --- Holt linear vs independent recurrence ---
+        rel = (
+            QUERIES["events_holt_linear"](spark, sf)
+            .toPandas()
+            .set_index("event_type")
+        )
+        lo = ev["ts"].dt.floor("h").min()
+        hi = ev["ts"].dt.floor("h").max()
+        full = pd.date_range(lo, hi, freq="h")
+        for etype in ev["event_type"].unique():
+            y = (
+                ev.loc[ev.event_type == etype, "ts"]
+                .dt.floor("h")
+                .value_counts()
+                .reindex(full, fill_value=0)
+                .to_numpy(dtype=float)
+            )
+            lev, tr = y[0], 0.0
+            for t in range(1, len(y)):
+                new = 0.5 * y[t] + 0.5 * (lev + tr)
+                tr = 0.25 * (new - lev) + 0.75 * tr
+                lev = new
+            assert rel.loc[etype, "n_hours"] == len(y)
+            assert _close(rel.loc[etype, "forecast_next"], lev + tr)
+
+        # --- DP hourly: bounded noise, deterministic replay ---
+        dp = (
+            QUERIES["events_dp_hourly"](spark, sf)
+            .toPandas()
+            .sort_values(["hour", "event_type"])
+            .reset_index(drop=True)
+        )
+        true = (
+            ev.assign(hour=ev["ts"].dt.floor("h"))
+            .groupby(["hour", "event_type"])
+            .size()
+            .reset_index(name="tn")
+            .sort_values(["hour", "event_type"])
+            .reset_index(drop=True)
+        )
+        assert len(dp) == len(true)
+        bound = math.log(2.0**32) + 1.0
+        assert (dp["dp_count"] >= 0).all()
+        assert (
+            (dp["dp_count"] - true["tn"]).abs() <= bound
+        ).all()
+        again = (
+            QUERIES["events_dp_hourly"](spark, sf)
+            .toPandas()
+            .sort_values(["hour", "event_type"])
+            .reset_index(drop=True)
+        )
+        assert (
+            again["dp_count"].to_numpy() == dp["dp_count"].to_numpy()
+        ).all()
+
+    run()
