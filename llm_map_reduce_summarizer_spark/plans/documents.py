@@ -2386,6 +2386,72 @@ def multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+VAD_FRAME_BYTES = 160  # 10 ms at 16 kHz / 8-bit — the classic frame
+
+
+def multimodal_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity-detection PLUMBING over binary payloads: frame
+    the byte stream into 160-byte windows (10 ms at 8-bit/16 kHz),
+    compute per-frame energy (mean squared deviation from the 128
+    midpoint — the real energy feature an audio pipeline computes
+    after decode), and mark frames active when they exceed the
+    payload's own mean energy. Codec-free like the rest of the
+    multimodal family: the framing/energy/thresholding shapes are
+    real and fully SQL-oracled; a codec would only change the byte
+    source.
+
+    Scale: one Arrow-batched scan, frames per payload bounded by
+    payload size, per-doc threshold is a doc-keyed agg — narrow
+    explode, natural-key join, no corpus-wide anything.
+    """
+    import numpy as np
+    import pandas as pd
+
+    d = _docs(spark, sf_dir).withColumn(
+        "payload", F.encode(F.col("text"), "UTF-8")
+    )
+
+    def _frames(batches):
+        for pdf in batches:
+            doc_ids, idxs, energies = [], [], []
+            for i, p in zip(pdf["doc_id"], pdf["payload"]):
+                arr = np.frombuffer(bytes(p), dtype=np.uint8).astype(
+                    np.float64
+                )
+                nf = (len(arr) + VAD_FRAME_BYTES - 1) // VAD_FRAME_BYTES
+                for f in range(nf):
+                    seg = arr[
+                        f * VAD_FRAME_BYTES : (f + 1) * VAD_FRAME_BYTES
+                    ]
+                    dev = seg - 128.0
+                    e = float((dev * dev).sum()) / len(seg)
+                    doc_ids.append(int(i))
+                    idxs.append(f)
+                    energies.append(
+                        float(np.floor(e * 1e6 + 0.5) / 1e6)
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": doc_ids,
+                    "frame_idx": idxs,
+                    "energy": energies,
+                }
+            )
+
+    frames = d.select("doc_id", "payload").mapInPandas(
+        _frames, schema="doc_id long, frame_idx long, energy double"
+    )
+    thr = frames.groupBy("doc_id").agg(
+        F.avg("energy").alias("mean_energy")
+    )
+    return frames.join(thr, "doc_id").select(
+        "doc_id",
+        "frame_idx",
+        "energy",
+        (F.col("energy") > F.col("mean_energy")).alias("active"),
+    )
+
+
 MM_PACK_BUDGET_BYTES = 1024
 
 
@@ -7173,6 +7239,7 @@ QUERIES = {
     "corpus_bm25_index": corpus_bm25_index,
     "dedup_method_agreement": dedup_method_agreement,
     "knn_graph_recall": knn_graph_recall,
+    "multimodal_vad": multimodal_vad,
     "corpus_shard_rendezvous_balance": corpus_shard_rendezvous_balance,
     "corpus_contamination": corpus_contamination,
     "corpus_rebalance": corpus_rebalance,
@@ -11905,4 +11972,38 @@ ORACLE["knn_graph_recall"] = f"""
            {sql_quantize('CAST(n_hit AS DOUBLE) / n_exact', 6)}
              AS recall
     FROM counts
+"""
+
+ORACLE["multimodal_vad"] = f"""
+    WITH hx AS (
+      SELECT doc_id, lower(to_hex(encode(text))) AS h FROM documents
+    ),
+    bytes AS (
+      SELECT doc_id,
+             (p - 1) // 2 AS pos,
+             CAST(16 * (strpos('0123456789abcdef',
+                               substr(h, CAST(p AS INT), 1)) - 1)
+                  + (strpos('0123456789abcdef',
+                            substr(h, CAST(p + 1 AS INT), 1)) - 1)
+                  AS BIGINT) AS b
+      FROM (
+        SELECT doc_id, h,
+               unnest(generate_series(1, length(h), 2)) AS p
+        FROM hx
+      )
+    ),
+    frames AS (
+      SELECT doc_id,
+             CAST(pos // {VAD_FRAME_BYTES} AS BIGINT) AS frame_idx,
+             {sql_quantize(
+                 'CAST(sum((b - 128) * (b - 128)) AS DOUBLE)'
+                 ' / count(*)', 6)} AS energy
+      FROM bytes GROUP BY 1, 2
+    ),
+    thr AS (
+      SELECT doc_id, avg(energy) AS mean_energy FROM frames GROUP BY 1
+    )
+    SELECT f.doc_id, f.frame_idx, f.energy,
+           (f.energy > t.mean_energy) AS active
+    FROM frames f JOIN thr t ON t.doc_id = f.doc_id
 """

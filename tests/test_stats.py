@@ -1037,3 +1037,27 @@ def test_holt_winters_real_data_slots(spark):
     for etype, grp in rel.groupby("event_type"):
         assert sorted(grp["season_slot"]) == list(range(HW_PERIOD))
         assert grp["level"].nunique() == 1
+
+
+def test_vad_energy_matches_numpy(spark):
+    from llm_map_reduce_summarizer_spark.plans.documents import (
+        VAD_FRAME_BYTES,
+    )
+
+    rel = QUERIES["multimodal_vad"](spark, SF_SMOKE).toPandas()
+    docs = _documents().set_index("doc_id")
+    for doc_id, grp in list(rel.groupby("doc_id"))[:10]:
+        arr = np.frombuffer(
+            docs.loc[doc_id, "text"].encode(), dtype=np.uint8
+        ).astype(float)
+        nf = (len(arr) + VAD_FRAME_BYTES - 1) // VAD_FRAME_BYTES
+        assert len(grp) == nf
+        g = grp.set_index("frame_idx")
+        for f in range(nf):
+            seg = arr[f * VAD_FRAME_BYTES : (f + 1) * VAD_FRAME_BYTES]
+            e = ((seg - 128.0) ** 2).sum() / len(seg)
+            assert abs(g.loc[f, "energy"] - e) < 1e-5
+        # active frames exceed the doc's own mean energy
+        assert (
+            (g["energy"] > g["energy"].mean()) == g["active"]
+        ).all()
