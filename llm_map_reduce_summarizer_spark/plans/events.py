@@ -1067,6 +1067,85 @@ def markov_from_pairs(pairs: DataFrame) -> DataFrame:
 
 
 
+WM_ARRIVAL_BATCH = 1000  # event_id is the arrival sequence here
+WM_CANDIDATE_HOURS = (0, 1, 6, 24)
+
+
+def events_watermark_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Watermark DESIGN from data: treat event_id as the arrival
+    sequence (micro-batches of 1000), track the high watermark each
+    batch inherits from all earlier batches, measure every event's
+    lateness against it, and report how many events each candidate
+    watermark delay (0/1/6/24 h) would DROP — the number you need
+    BEFORE setting `withWatermark`, instead of discovering silent
+    drops in production.
+
+    Scale: batch maxima are one partial agg (batches = rows/1000,
+    bounded); the inherited-watermark fold is a broadcast theta-join
+    over that bounded table; per-event lateness is a broadcast join
+    back onto the scan; candidates are 4 literal rows.
+
+    On THIS corpus arrival order equals event time, so the honest
+    report is all-zero drops ("any watermark is safe") — the
+    out-of-order measurement path is pinned by a synthetic shuffled
+    corpus in tests/test_stats.py.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("event_id") / WM_ARRIVAL_BATCH)
+        .cast("long")
+        .alias("ab"),
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    batches = ev.groupBy("ab").agg(
+        F.max("ts_us").alias("mx")
+    )
+    earlier = batches.select(
+        F.col("ab").alias("ab2"), F.col("mx").alias("mx2")
+    )
+    hw = (
+        batches.join(F.broadcast(earlier), F.col("ab2") < F.col("ab"), "left")
+        .groupBy("ab")
+        .agg(F.max("mx2").alias("hw_before"))
+    )
+    late = ev.join(F.broadcast(hw), "ab").select(
+        F.greatest(
+            F.lit(0),
+            F.coalesce(F.col("hw_before") - F.col("ts_us"), F.lit(0)),
+        ).alias("late_us")
+    )
+    tot = late.agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        *[
+            F.sum(
+                F.when(
+                    F.col("late_us") > h * 3_600_000_000, 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias(f"drop_{h}")
+            for h in WM_CANDIDATE_HOURS
+        ],
+    )
+    per = [
+        tot.select(
+            F.lit(h).cast("long").alias("watermark_hours"),
+            "n_events",
+            F.col(f"drop_{h}").alias("n_dropped"),
+            quantize(
+                F.col(f"drop_{h}").cast("double") / F.col("n_events"),
+                6,
+            ).alias("drop_share"),
+        )
+        for h in WM_CANDIDATE_HOURS
+    ]
+    out = per[0]
+    for frame in per[1:]:
+        out = out.unionByName(frame)
+    return out
+
+
 def events_parallel_trends(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -5914,6 +5993,7 @@ QUERIES = {
     "events_dp_median": events_dp_median,
     "events_sequential_msprt": events_sequential_msprt,
     "events_parallel_trends": events_parallel_trends,
+    "events_watermark_audit": events_watermark_audit,
     "events_quantile_treatment_effect": events_quantile_treatment_effect,
     "events_winsorized_welch": events_winsorized_welch,
     "events_experiment_readout": events_experiment_readout,
@@ -9063,4 +9143,42 @@ ORACLE["events_experiment_readout"] = f"""
                 FROM ({ORACLE['events_cuped']})) u
     CROSS JOIN (SELECT ci_lo, ci_hi, covers_zero
                 FROM ({ORACLE['events_bootstrap_diff_ci']})) b
+"""
+
+_WM_SELECTS = " UNION ALL ".join(
+    f"""SELECT CAST({h} AS BIGINT) AS watermark_hours, n_events,
+        drop_{h} AS n_dropped,
+        {sql_quantize(f'CAST(drop_{h} AS DOUBLE) / n_events', 6)}
+          AS drop_share
+     FROM tot"""
+    for h in WM_CANDIDATE_HOURS
+)
+
+_WM_DROPS = ", ".join(
+    f"""CAST(sum(CASE WHEN late_us > {h} * 3600000000
+         THEN 1 ELSE 0 END) AS BIGINT) AS drop_{h}"""
+    for h in WM_CANDIDATE_HOURS
+)
+
+ORACLE["events_watermark_audit"] = f"""
+    WITH ev AS (
+      SELECT CAST(event_id // {WM_ARRIVAL_BATCH} AS BIGINT) AS ab,
+             epoch_us(ts) AS ts_us
+      FROM events
+    ),
+    batches AS (SELECT ab, max(ts_us) AS mx FROM ev GROUP BY 1),
+    hw AS (
+      SELECT a.ab, max(b.mx) AS hw_before
+      FROM batches a LEFT JOIN batches b ON b.ab < a.ab
+      GROUP BY 1
+    ),
+    late AS (
+      SELECT greatest(0, coalesce(h.hw_before - e.ts_us, 0)) AS late_us
+      FROM ev e JOIN hw h ON h.ab = e.ab
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_events, {_WM_DROPS}
+      FROM late
+    )
+    {_WM_SELECTS}
 """

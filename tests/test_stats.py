@@ -1061,3 +1061,47 @@ def test_vad_energy_matches_numpy(spark):
         assert (
             (g["energy"] > g["energy"].mean()) == g["active"]
         ).all()
+
+
+def test_watermark_audit_measures_out_of_order(spark, tmp_path):
+    """On a deliberately shuffled arrival order the audit must count
+    real drops, matching an independent pandas watermark replay."""
+    from llm_map_reduce_summarizer_spark.plans.events import (
+        WM_ARRIVAL_BATCH,
+        WM_CANDIDATE_HOURS,
+    )
+
+    rng = np.random.RandomState(11)
+    n = 4000
+    ts = pd.Timestamp("2024-03-01") + pd.to_timedelta(
+        rng.permutation(n) * 120, unit="s"
+    )  # arrival (row order) is a shuffle of event time
+    ev = pd.DataFrame(
+        {
+            "event_id": range(n),
+            "ts": ts,
+            "user_id": [i % 9 for i in range(n)],
+            "event_type": ["view"] * n,
+            "value": [1.0] * n,
+            "props": ["{}"] * n,
+        }
+    )
+    ev.to_parquet(tmp_path / "events.parquet")
+    rel = (
+        QUERIES["events_watermark_audit"](spark, str(tmp_path))
+        .toPandas()
+        .set_index("watermark_hours")
+    )
+    ab = ev["event_id"] // WM_ARRIVAL_BATCH
+    ts_us = ev["ts"].astype("int64") // 1000
+    mx = ts_us.groupby(ab).max()
+    hw = mx.cummax().shift(1)
+    late = np.maximum(
+        0, ab.map(hw).fillna(ts_us.min()).to_numpy() - ts_us.to_numpy()
+    )
+    # with hw NaN for batch 0 -> lateness 0 (replicate the coalesce)
+    late[ab.to_numpy() == 0] = 0
+    for h in WM_CANDIDATE_HOURS:
+        expect = int((late > h * 3_600_000_000).sum())
+        assert rel.loc[h, "n_dropped"] == expect
+    assert rel.loc[0, "n_dropped"] > 0  # the shuffle creates lateness
