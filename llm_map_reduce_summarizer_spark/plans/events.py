@@ -1067,6 +1067,85 @@ def markov_from_pairs(pairs: DataFrame) -> DataFrame:
 
 
 
+INJECT_EVERY = 12  # spike every 12th hour index (deterministic)
+INJECT_MULT = 4
+INJECT_ADD = 10
+
+
+def events_anomaly_injection_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Ground-truth evaluation of the anomaly ENSEMBLE: inject known
+    spikes into the hourly series (every 12th hour index, ×4 + 10 —
+    deterministic, so both engines plant identical truth), run the
+    exact production detector (`ensemble_from_hourly`), and score
+    precision/recall/F1 at each consensus level (votes ≥ 1/2/3) —
+    the missing piece of the anomaly tier: every detector emitted
+    flags, none had a measured detection quality.
+
+    Scale: the injection is a narrow map on the hours-bounded cell
+    table; the detector is the existing one-scan composition; the
+    scoring join touches only hours.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    hidx = (F.unix_micros("hour") / 3_600_000_000).cast("long")
+    inj = (hidx % INJECT_EVERY) == 0
+    injected = hourly.select(
+        "hour",
+        F.when(inj, F.col("n") * INJECT_MULT + INJECT_ADD)
+        .otherwise(F.col("n"))
+        .cast("long")
+        .alias("n"),
+        inj.alias("inj"),
+    )
+    flags = ensemble_from_hourly(injected.select("hour", "n")).select(
+        "hour", "votes"
+    )
+    m = injected.select("hour", "inj").join(flags, "hour", "left")
+    votes = F.coalesce(F.col("votes"), F.lit(0))
+    per = []
+    for k in (1, 2, 3):
+        det = votes >= k
+        agg = m.agg(
+            F.lit(k).cast("long").alias("min_votes"),
+            F.sum(F.when(F.col("inj"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_injected"),
+            F.sum(F.when(F.col("inj") & det, 1).otherwise(0))
+            .cast("long")
+            .alias("tp"),
+            F.sum(F.when(~F.col("inj") & det, 1).otherwise(0))
+            .cast("long")
+            .alias("fp"),
+        )
+        tp = F.col("tp").cast("double")
+        prec = F.try_divide(tp, F.col("tp") + F.col("fp"))
+        rec = F.try_divide(tp, F.col("n_injected"))
+        per.append(
+            agg.select(
+                "min_votes",
+                "n_injected",
+                "tp",
+                "fp",
+                (F.col("n_injected") - F.col("tp"))
+                .cast("long")
+                .alias("fn"),
+                quantize(prec, 6).alias("precision"),
+                quantize(rec, 6).alias("recall"),
+                quantize(
+                    F.try_divide(2.0 * prec * rec, prec + rec), 6
+                ).alias("f1"),
+            )
+        )
+    out = per[0]
+    for frame in per[1:]:
+        out = out.unionByName(frame)
+    return out
+
+
 WM_ARRIVAL_BATCH = 1000  # event_id is the arrival sequence here
 WM_CANDIDATE_HOURS = (0, 1, 6, 24)
 
@@ -5994,6 +6073,7 @@ QUERIES = {
     "events_sequential_msprt": events_sequential_msprt,
     "events_parallel_trends": events_parallel_trends,
     "events_watermark_audit": events_watermark_audit,
+    "events_anomaly_injection_eval": events_anomaly_injection_eval,
     "events_quantile_treatment_effect": events_quantile_treatment_effect,
     "events_winsorized_welch": events_winsorized_welch,
     "events_experiment_readout": events_experiment_readout,
@@ -9181,4 +9261,76 @@ ORACLE["events_watermark_audit"] = f"""
       FROM late
     )
     {_WM_SELECTS}
+"""
+
+# the injection-eval oracle REUSES the production ensemble oracle,
+# with its (three identical) hourly scans swapped for the injected
+# series — same detector text, planted truth
+_HOURLY_SCAN_SQL = (
+    "SELECT date_trunc('hour', ts) AS hour,\n"
+    "             CAST(count(*) AS BIGINT) AS n\n"
+    "      FROM events GROUP BY 1"
+)
+_INJECTED_SCAN_SQL = f"""SELECT hour,
+             CAST(CASE WHEN (epoch_us(hour) // 3600000000)
+                            % {INJECT_EVERY} = 0
+                  THEN n * {INJECT_MULT} + {INJECT_ADD}
+                  ELSE n END AS BIGINT) AS n
+      FROM ({_HOURLY_SCAN_SQL})"""
+
+assert ORACLE["events_anomaly_ensemble"].count(_HOURLY_SCAN_SQL) == 3
+_INJECTED_ENSEMBLE = ORACLE["events_anomaly_ensemble"].replace(
+    _HOURLY_SCAN_SQL, _INJECTED_SCAN_SQL
+)
+
+_INJ_EVAL_ROWS = " UNION ALL ".join(
+    f"""SELECT CAST({k} AS BIGINT) AS min_votes, n_injected, tp_{k} AS tp,
+        fp_{k} AS fp,
+        CAST(n_injected - tp_{k} AS BIGINT) AS fn,
+        CASE WHEN tp_{k} + fp_{k} > 0 THEN {sql_quantize(
+            f'CAST(tp_{k} AS DOUBLE) / (tp_{k} + fp_{k})', 6)}
+        END AS precision,
+        CASE WHEN n_injected > 0 THEN {sql_quantize(
+            f'CAST(tp_{k} AS DOUBLE) / n_injected', 6)}
+        END AS recall,
+        CASE WHEN tp_{k} + fp_{k} > 0 AND n_injected > 0
+              AND (CAST(tp_{k} AS DOUBLE) / (tp_{k} + fp_{k}))
+                  + (CAST(tp_{k} AS DOUBLE) / n_injected) > 0
+        THEN {sql_quantize(
+            f'2.0 * (CAST(tp_{k} AS DOUBLE) / (tp_{k} + fp_{k}))'
+            f' * (CAST(tp_{k} AS DOUBLE) / n_injected)'
+            f' / ((CAST(tp_{k} AS DOUBLE) / (tp_{k} + fp_{k}))'
+            f' + (CAST(tp_{k} AS DOUBLE) / n_injected))', 6)}
+        END AS f1
+     FROM folded"""
+    for k in (1, 2, 3)
+)
+
+ORACLE["events_anomaly_injection_eval"] = f"""
+    WITH truth AS (
+      SELECT hour,
+             ((epoch_us(hour) // 3600000000) % {INJECT_EVERY} = 0)
+               AS inj
+      FROM ({_HOURLY_SCAN_SQL})
+    ),
+    fl AS (
+      SELECT hour, votes FROM ({_INJECTED_ENSEMBLE})
+    ),
+    m AS (
+      SELECT t.inj, coalesce(fl.votes, 0) AS votes
+      FROM truth t LEFT JOIN fl ON fl.hour = t.hour
+    ),
+    folded AS (
+      SELECT CAST(sum(CASE WHEN inj THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_injected,
+             {", ".join(
+                 f'''CAST(sum(CASE WHEN inj AND votes >= {k}
+                      THEN 1 ELSE 0 END) AS BIGINT) AS tp_{k},
+                 CAST(sum(CASE WHEN NOT inj AND votes >= {k}
+                      THEN 1 ELSE 0 END) AS BIGINT) AS fp_{k}'''
+                 for k in (1, 2, 3)
+             )}
+      FROM m
+    )
+    {_INJ_EVAL_ROWS}
 """

@@ -1105,3 +1105,20 @@ def test_watermark_audit_measures_out_of_order(spark, tmp_path):
         expect = int((late > h * 3_600_000_000).sum())
         assert rel.loc[h, "n_dropped"] == expect
     assert rel.loc[0, "n_dropped"] > 0  # the shuffle creates lateness
+
+
+def test_anomaly_injection_eval_sane(spark):
+    rel = (
+        QUERIES["events_anomaly_injection_eval"](spark, SF_SMOKE)
+        .toPandas()
+        .set_index("min_votes")
+    )
+    # consensus monotonicity: stricter vote thresholds never increase
+    # recall and never decrease precision (fp can only shrink)
+    assert rel.loc[1, "recall"] >= rel.loc[2, "recall"] >= rel.loc[3, "recall"]
+    assert (
+        rel.loc[3, "fp"] <= rel.loc[2, "fp"] <= rel.loc[1, "fp"]
+    )
+    # the 4x+10 spikes are large: at least half get caught at votes>=1
+    assert rel.loc[1, "recall"] >= 0.5
+    assert (rel["tp"] + rel["fn"] == rel["n_injected"]).all()
