@@ -3036,6 +3036,76 @@ def corpus_soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DEDUP_INJECT_EVERY = 25  # plant a near-copy of every 25th doc
+DEDUP_INJECT_DROP = 20  # …dropping every 20th token (J ≈ 0.74)
+DEDUP_INJECT_OFFSET = 100_000
+
+
+def dedup_injection_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ground-truth evaluation of the MinHash-LSH dedup pipeline:
+    plant a deterministic near-copy of every 25th doc (every 20th
+    token dropped → shingle Jaccard ≈ 0.74, safely above the 0.5
+    verify threshold but with real shingle damage), run the exact
+    PRODUCTION pair pipeline on the augmented corpus, and report the
+    planted-pair recall — `dedup_lsh_recall` audits the banding
+    s-curve against exact Jaccard; this one measures end-to-end
+    recall on KNOWN duplicates, the number a dedup SLA quotes.
+
+    Scale: the augmentation is a narrow union (4% extra rows); the
+    pipeline is the production banded-LSH operator unchanged.
+    """
+    d = _docs(spark, sf_dir)
+    keep = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+        lambda t, i: i % DEDUP_INJECT_DROP != 10,
+    )
+    planted = d.filter(
+        F.col("doc_id") % DEDUP_INJECT_EVERY == 0
+    ).select(
+        (F.col("doc_id") + DEDUP_INJECT_OFFSET).alias("doc_id"),
+        F.array_join(keep, " ").alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    aug = d.select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    ).unionByName(planted)
+    pairs = minhash_lsh_pairs(
+        aug, threshold=MINHASH_THRESHOLD, df_cap=MINHASH_DF_CAP
+    ).select("da", "db")
+    truth = d.filter(
+        F.col("doc_id") % DEDUP_INJECT_EVERY == 0
+    ).select(
+        F.col("doc_id").alias("da"),
+        (F.col("doc_id") + DEDUP_INJECT_OFFSET).alias("db"),
+    )
+    hit = truth.join(pairs, ["da", "db"])
+    n_planted = truth.agg(
+        F.count(F.lit(1)).cast("long").alias("n_planted")
+    )
+    n_found = hit.agg(F.count(F.lit(1)).cast("long").alias("n_found"))
+    n_pairs = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs_total")
+    )
+    return (
+        n_planted.crossJoin(F.broadcast(n_found))
+        .crossJoin(F.broadcast(n_pairs))
+        .select(
+            "n_planted",
+            "n_found",
+            "n_pairs_total",
+            quantize(
+                F.try_divide(
+                    F.col("n_found").cast("double"),
+                    F.col("n_planted"),
+                ),
+                6,
+            ).alias("recall"),
+        )
+    )
+
+
 def knn_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide k-NN-graph recall, hash-verified: the banded-LSH
     approximate graph (`knn_graph`) scored against the exact top-k
@@ -7240,6 +7310,7 @@ QUERIES = {
     "dedup_method_agreement": dedup_method_agreement,
     "knn_graph_recall": knn_graph_recall,
     "multimodal_vad": multimodal_vad,
+    "dedup_injection_eval": dedup_injection_eval,
     "corpus_shard_rendezvous_balance": corpus_shard_rendezvous_balance,
     "corpus_contamination": corpus_contamination,
     "corpus_rebalance": corpus_rebalance,
@@ -12006,4 +12077,47 @@ ORACLE["multimodal_vad"] = f"""
     SELECT f.doc_id, f.frame_idx, f.energy,
            (f.energy > t.mean_energy) AS active
     FROM frames f JOIN thr t ON t.doc_id = f.doc_id
+"""
+
+# injection-eval oracle: the PRODUCTION LSH pair CTEs verbatim, with
+# their single corpus scan swapped for the augmented (planted) corpus
+_AUG_DOCS_SQL = f"""(
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {DEDUP_INJECT_OFFSET} AS doc_id,
+         (SELECT string_agg(t, ' ' ORDER BY i)
+          FROM (SELECT unnest(regexp_split_to_array(
+                         lower(trim(d2.text)), '\\s+')) AS t,
+                       generate_subscripts(regexp_split_to_array(
+                         lower(trim(d2.text)), '\\s+'), 1) AS i)
+          WHERE (i - 1) % {DEDUP_INJECT_DROP} <> 10) AS text
+  FROM documents d2 WHERE doc_id % {DEDUP_INJECT_EVERY} = 0
+) documents"""
+
+assert _LSH_PAIR_CTES.count("FROM documents") == 1
+_LSH_AUG_CTES = _LSH_PAIR_CTES.replace(
+    "FROM documents", f"FROM {_AUG_DOCS_SQL}"
+)
+
+ORACLE["dedup_injection_eval"] = f"""
+    WITH {_LSH_AUG_CTES},
+    truth AS (
+      SELECT doc_id AS da, doc_id + {DEDUP_INJECT_OFFSET} AS db
+      FROM documents WHERE doc_id % {DEDUP_INJECT_EVERY} = 0
+    ),
+    hit AS (
+      SELECT count(*) AS n_found
+      FROM truth t JOIN lsh_pairs p ON p.da = t.da AND p.db = t.db
+    ),
+    counts AS (
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_planted,
+             (SELECT CAST(n_found AS BIGINT) FROM hit) AS n_found,
+             (SELECT CAST(count(*) AS BIGINT) FROM lsh_pairs)
+               AS n_pairs_total
+    )
+    SELECT n_planted, n_found, n_pairs_total,
+           CASE WHEN n_planted > 0 THEN {sql_quantize(
+               'CAST(n_found AS DOUBLE) / n_planted', 6)}
+           END AS recall
+    FROM counts
 """

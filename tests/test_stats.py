@@ -1122,3 +1122,17 @@ def test_anomaly_injection_eval_sane(spark):
     # the 4x+10 spikes are large: at least half get caught at votes>=1
     assert rel.loc[1, "recall"] >= 0.5
     assert (rel["tp"] + rel["fn"] == rel["n_injected"]).all()
+
+
+def test_dedup_injection_recall_floor(spark):
+    row = (
+        QUERIES["dedup_injection_eval"](spark, SF_SMOKE)
+        .toPandas()
+        .iloc[0]
+    )
+    # J ~0.74 planted pairs through the production banded pipeline:
+    # the s-curve predicts well over half get caught
+    assert row["n_planted"] > 0
+    assert row["recall"] >= 0.5
+    assert row["n_found"] <= row["n_planted"]
+    assert row["n_pairs_total"] >= row["n_found"]
