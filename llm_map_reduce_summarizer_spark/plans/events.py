@@ -1067,6 +1067,64 @@ def markov_from_pairs(pairs: DataFrame) -> DataFrame:
 
 
 
+PSI_SHIFT_GRID = (0.0, 5.0, 25.0, 100.0)  # planted shifts ($)
+
+
+def events_psi_injection_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Drift-detector RESPONSE CURVE: plant a known mean shift into a
+    copy of the value distribution at several magnitudes and report
+    the PSI the monitor would read for each — turning "PSI > 0.25
+    means shifted" from folklore into a measured sensitivity curve
+    for THIS distribution (shift 0 must read ≈ 0; the curve shows
+    the smallest dollar shift the monitor can see).
+
+    Scale: one bucket-count partial agg per shift over the bounded
+    value grid (shifting by a constant only relabels buckets — the
+    counts fold map-side); everything after is per-bucket doubles.
+    """
+    ev = load_table(spark, sf_dir, "events").select(F.col("value"))
+    base = ev.groupBy(
+        F.floor(F.col("value") / 10.0).cast("long").alias("bucket")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n1"))
+    per = []
+    for shift in PSI_SHIFT_GRID:
+        shifted = ev.groupBy(
+            F.floor((F.col("value") + F.lit(shift)) / 10.0)
+            .cast("long")
+            .alias("bucket")
+        ).agg(F.count(F.lit(1)).cast("long").alias("n2"))
+        cells = base.join(shifted, "bucket", "full_outer").select(
+            "bucket",
+            F.coalesce(F.col("n1"), F.lit(0)).alias("n1"),
+            F.coalesce(F.col("n2"), F.lit(0)).alias("n2"),
+        )
+        tot = cells.agg(
+            F.sum("n1").cast("long").alias("t1"),
+            F.sum("n2").cast("long").alias("t2"),
+            F.count(F.lit(1)).cast("long").alias("b"),
+        )
+        j = cells.crossJoin(F.broadcast(tot))
+        p1 = (F.col("n1") + 1).cast("double") / (
+            F.col("t1") + F.col("b")
+        )
+        p2 = (F.col("n2") + 1).cast("double") / (
+            F.col("t2") + F.col("b")
+        )
+        contrib = (p2 - p1) * F.log(p2 / p1)
+        per.append(
+            j.agg(
+                F.lit(shift).alias("shift_dollars"),
+                quantize(F.sum(contrib), 6).alias("psi"),
+            )
+        )
+    out = per[0]
+    for frame in per[1:]:
+        out = out.unionByName(frame)
+    return out
+
+
 INJECT_EVERY = 12  # spike every 12th hour index (deterministic)
 INJECT_MULT = 4
 INJECT_ADD = 10
@@ -6074,6 +6132,7 @@ QUERIES = {
     "events_parallel_trends": events_parallel_trends,
     "events_watermark_audit": events_watermark_audit,
     "events_anomaly_injection_eval": events_anomaly_injection_eval,
+    "events_psi_injection_eval": events_psi_injection_eval,
     "events_quantile_treatment_effect": events_quantile_treatment_effect,
     "events_winsorized_welch": events_winsorized_welch,
     "events_experiment_readout": events_experiment_readout,
@@ -9333,4 +9392,48 @@ ORACLE["events_anomaly_injection_eval"] = f"""
       FROM m
     )
     {_INJ_EVAL_ROWS}
+"""
+
+_PSI_SHIFT_SELECTS = " UNION ALL ".join(
+    f"""SELECT {shift!r} AS shift_dollars,
+        (SELECT {sql_quantize('sum((p2 - p1) * ln(p2 / p1))', 6)}
+         FROM (
+           SELECT (coalesce(b.n1, 0) + 1)
+                    / CAST((SELECT count(*) FROM events)
+                           + t.b AS DOUBLE) AS p1,
+                  (coalesce(s.n2, 0) + 1)
+                    / CAST((SELECT count(*) FROM events)
+                           + t.b AS DOUBLE) AS p2
+           FROM (
+             SELECT CAST(floor(value / 10.0) AS BIGINT) AS bucket,
+                    CAST(count(*) AS BIGINT) AS n1
+             FROM events GROUP BY 1
+           ) b
+           FULL JOIN (
+             SELECT CAST(floor((value + {shift!r}) / 10.0) AS BIGINT)
+                      AS bucket,
+                    CAST(count(*) AS BIGINT) AS n2
+             FROM events GROUP BY 1
+           ) s ON s.bucket = b.bucket
+           CROSS JOIN (
+             SELECT CAST(count(*) AS BIGINT) AS b FROM (
+               SELECT coalesce(b2.bucket, s2.bucket) AS bucket
+               FROM (
+                 SELECT CAST(floor(value / 10.0) AS BIGINT) AS bucket
+                 FROM events GROUP BY 1
+               ) b2
+               FULL JOIN (
+                 SELECT CAST(floor((value + {shift!r}) / 10.0)
+                             AS BIGINT) AS bucket
+                 FROM events GROUP BY 1
+               ) s2 ON s2.bucket = b2.bucket
+             )
+           ) t
+         )
+        ) AS psi"""
+    for shift in PSI_SHIFT_GRID
+)
+
+ORACLE["events_psi_injection_eval"] = f"""
+    {_PSI_SHIFT_SELECTS}
 """

@@ -1136,3 +1136,19 @@ def test_dedup_injection_recall_floor(spark):
     assert row["recall"] >= 0.5
     assert row["n_found"] <= row["n_planted"]
     assert row["n_pairs_total"] >= row["n_found"]
+
+
+def test_psi_injection_response_curve(spark):
+    rel = (
+        QUERIES["events_psi_injection_eval"](spark, SF_SMOKE)
+        .toPandas()
+        .sort_values("shift_dollars")
+        .reset_index(drop=True)
+    )
+    # zero shift reads exactly zero; response is monotone in shift
+    assert rel.loc[0, "shift_dollars"] == 0.0
+    assert rel.loc[0, "psi"] == 0.0
+    assert rel["psi"].is_monotonic_increasing
+    # a $25 shift on a ~$0-490 value distribution must cross the
+    # industry "shifted" threshold
+    assert rel.set_index("shift_dollars").loc[25.0, "psi"] > 0.25
