@@ -141,7 +141,12 @@ def quality_score_col() -> F.Column:
 
 
 def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
+    return quality_of(_docs(spark, sf_dir))
+
+
+def quality_of(d: DataFrame) -> DataFrame:
+    """Heuristic quality signals over any (doc_id, text) relation —
+    shared by the catalog entry and the injection evaluation."""
     p = _quality_parts()
     return d.select(
         "doc_id",
@@ -1416,9 +1421,12 @@ def doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row broadcast; the final top-k is a window inside each doc
     partition.
     """
+    return unigram_surprisal_of(_docs(spark, sf_dir))
+
+
+def unigram_surprisal_of(d: DataFrame) -> DataFrame:
     from ..functions.hashing import words
 
-    d = _docs(spark, sf_dir)
     toks = d.select("doc_id", F.explode(words(F.col("text"))).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("n"))
     doclen = tf.groupBy("doc_id").agg(F.sum("n").alias("len"))
@@ -1589,9 +1597,12 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one explode + one per-doc two-level aggregation (count +
     distinct-count share the doc_id shuffle); no self-joins.
     """
+    return repetition_of(_docs(spark, sf_dir))
+
+
+def repetition_of(d: DataFrame) -> DataFrame:
     from ..functions.hashing import shingles_3gram, words
 
-    d = _docs(spark, sf_dir)
     tri = (
         d.withColumn("w", words(F.col("text")))
         .filter(F.size("w") >= 3)
@@ -1623,9 +1634,12 @@ def doc_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the score is one more per-doc aggregation — no self-joins, no
     windows.
     """
+    return unigram_surprisal_of(_docs(spark, sf_dir))
+
+
+def unigram_surprisal_of(d: DataFrame) -> DataFrame:
     from ..functions.hashing import words
 
-    d = _docs(spark, sf_dir)
     toks = d.select("doc_id", F.explode(words(F.col("text"))).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("n"))
     cf = tf.groupBy("term").agg(F.sum("n").alias("ctf"))
@@ -1829,7 +1843,10 @@ def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle payload is bounded by alphabet size per doc, not text
     length. Two natural-key aggregations, no joins, no windows.
     """
-    d = _docs(spark, sf_dir)
+    return char_entropy_of(_docs(spark, sf_dir))
+
+
+def char_entropy_of(d: DataFrame) -> DataFrame:
     chars = d.select(
         "doc_id", F.explode(F.split(F.col("text"), "")).alias("ch")
     ).filter(F.col("ch") != "")
@@ -2526,10 +2543,16 @@ def doc_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     once and materialize them — this entry is the join of those
     materialized signal tables.
     """
-    q = doc_quality(spark, sf_dir).select("doc_id", "quality_score")
-    r = doc_repetition(spark, sf_dir).select("doc_id", "dup_ratio")
-    en = doc_char_entropy(spark, sf_dir).select("doc_id", "entropy")
-    su = doc_unigram_surprisal(spark, sf_dir).select(
+    return quality_ensemble_of(_docs(spark, sf_dir))
+
+
+def quality_ensemble_of(d: DataFrame) -> DataFrame:
+    """The four-signal gate over any (doc_id, text) relation —
+    shared by the catalog entry and the injection evaluation."""
+    q = quality_of(d).select("doc_id", "quality_score")
+    r = repetition_of(d).select("doc_id", "dup_ratio")
+    en = char_entropy_of(d).select("doc_id", "entropy")
+    su = unigram_surprisal_of(d).select(
         "doc_id", "mean_surprisal"
     )
     j = q.join(r, "doc_id").join(en, "doc_id").join(su, "doc_id")
@@ -3033,6 +3056,80 @@ def corpus_soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("weight"),
         )
+    )
+
+
+QI_INJECT_EVERY = 25
+QI_INJECT_OFFSET = 200_000
+QI_REPEAT = 60  # junk = the doc's first token repeated 60 times
+
+
+def quality_injection_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Ground-truth evaluation of the quality GATE: plant
+    deterministic junk docs (first token repeated 60× — maximal
+    repetition, minimal entropy/diversity) alongside the real corpus,
+    run the exact production four-signal ensemble, and report the
+    junk catch rate alongside the gate's BASELINE rejection rate on
+    the clean docs — the separation between the two is the gate's
+    discriminative power (catch 1.0 vs baseline ≈ 0.42 here: total
+    junk separation, over a deliberately strict gate).
+
+    Scale: 4% augmentation union, then the production ensemble
+    unchanged (natural-key aggs; the corpus-LM signal sees the
+    polluted corpus, exactly as production would).
+    """
+    d = _docs(spark, sf_dir)
+    first_tok = F.element_at(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), 1
+    )
+    junk_text = F.array_join(
+        F.array_repeat(first_tok, QI_REPEAT), " "
+    )
+    planted = d.filter(F.col("doc_id") % QI_INJECT_EVERY == 0).select(
+        (F.col("doc_id") + QI_INJECT_OFFSET).alias("doc_id"),
+        junk_text.alias("text"),
+        "lang",
+        "source",
+        F.length(junk_text).cast("long").alias("n_chars"),
+    )
+    aug = d.select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    ).unionByName(planted)
+    verdicts = quality_ensemble_of(aug).select("doc_id", "keep")
+    is_junk = F.col("doc_id") >= QI_INJECT_OFFSET
+    return verdicts.agg(
+        F.sum(F.when(is_junk, 1).otherwise(0))
+        .cast("long")
+        .alias("n_junk"),
+        F.sum(F.when(is_junk & ~F.col("keep"), 1).otherwise(0))
+        .cast("long")
+        .alias("junk_caught"),
+        F.sum(F.when(~is_junk, 1).otherwise(0))
+        .cast("long")
+        .alias("n_clean"),
+        F.sum(F.when(~is_junk & ~F.col("keep"), 1).otherwise(0))
+        .cast("long")
+        .alias("clean_rejected"),
+    ).select(
+        "n_junk",
+        "junk_caught",
+        "n_clean",
+        "clean_rejected",
+        quantize(
+            F.try_divide(
+                F.col("junk_caught").cast("double"), F.col("n_junk")
+            ),
+            6,
+        ).alias("catch_rate"),
+        quantize(
+            F.try_divide(
+                F.col("clean_rejected").cast("double"),
+                F.col("n_clean"),
+            ),
+            6,
+        ).alias("clean_reject_rate"),
     )
 
 
@@ -7311,6 +7408,7 @@ QUERIES = {
     "knn_graph_recall": knn_graph_recall,
     "multimodal_vad": multimodal_vad,
     "dedup_injection_eval": dedup_injection_eval,
+    "quality_injection_eval": quality_injection_eval,
     "corpus_shard_rendezvous_balance": corpus_shard_rendezvous_balance,
     "corpus_contamination": corpus_contamination,
     "corpus_rebalance": corpus_rebalance,
@@ -12120,4 +12218,47 @@ ORACLE["dedup_injection_eval"] = f"""
                'CAST(n_found AS DOUBLE) / n_planted', 6)}
            END AS recall
     FROM counts
+"""
+
+# quality injection eval: the production ensemble oracle with all four
+# corpus scans swapped for the augmented (junk-planted) relation
+_QI_AUG_SQL = f"""(
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {QI_INJECT_OFFSET} AS doc_id,
+         rtrim(repeat(
+           (regexp_split_to_array(lower(trim(text)), '\\s+'))[1] || ' ',
+           {QI_REPEAT})) AS text
+  FROM documents WHERE doc_id % {QI_INJECT_EVERY} = 0
+) documents"""
+
+assert ORACLE["doc_quality_ensemble"].count("FROM documents") == 4
+_QI_ENSEMBLE = ORACLE["doc_quality_ensemble"].replace(
+    "FROM documents", f"FROM {_QI_AUG_SQL}"
+)
+
+ORACLE["quality_injection_eval"] = f"""
+    WITH verdicts AS (
+      SELECT doc_id, keep FROM ({_QI_ENSEMBLE})
+    ),
+    folded AS (
+      SELECT
+        CAST(sum(CASE WHEN doc_id >= {QI_INJECT_OFFSET}
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_junk,
+        CAST(sum(CASE WHEN doc_id >= {QI_INJECT_OFFSET} AND NOT keep
+                 THEN 1 ELSE 0 END) AS BIGINT) AS junk_caught,
+        CAST(sum(CASE WHEN doc_id < {QI_INJECT_OFFSET}
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+        CAST(sum(CASE WHEN doc_id < {QI_INJECT_OFFSET} AND NOT keep
+                 THEN 1 ELSE 0 END) AS BIGINT) AS clean_rejected
+      FROM verdicts
+    )
+    SELECT n_junk, junk_caught, n_clean, clean_rejected,
+           CASE WHEN n_junk > 0 THEN {sql_quantize(
+               'CAST(junk_caught AS DOUBLE) / n_junk', 6)}
+           END AS catch_rate,
+           CASE WHEN n_clean > 0 THEN {sql_quantize(
+               'CAST(clean_rejected AS DOUBLE) / n_clean', 6)}
+           END AS clean_reject_rate
+    FROM folded
 """

@@ -1152,3 +1152,16 @@ def test_psi_injection_response_curve(spark):
     # a $25 shift on a ~$0-490 value distribution must cross the
     # industry "shifted" threshold
     assert rel.set_index("shift_dollars").loc[25.0, "psi"] > 0.25
+
+
+def test_quality_injection_separation(spark):
+    row = (
+        QUERIES["quality_injection_eval"](spark, SF_SMOKE)
+        .toPandas()
+        .iloc[0]
+    )
+    # repeated-token junk is the easiest possible target: total catch,
+    # and a clear margin over the gate's baseline strictness
+    assert row["catch_rate"] == 1.0
+    assert row["clean_reject_rate"] < row["catch_rate"]
+    assert row["n_junk"] > 0
