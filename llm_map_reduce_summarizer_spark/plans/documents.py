@@ -1779,7 +1779,12 @@ def corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus partitioning; only docs with nonzero overlap reach the
     per-doc ranking window (partitioned by doc_id, never global).
     """
-    docs = _docs(spark, sf_dir)
+    return contamination_of(_docs(spark, sf_dir))
+
+
+def contamination_of(docs: DataFrame) -> DataFrame:
+    """The screen over any (doc_id, text) relation — shared by the
+    catalog entry and the injection evaluation."""
     sh = doc_shingles(docs)
     bench = sh.filter(F.col("doc_id") % CONTAM_MOD == 0).select(
         F.col("doc_id").alias("bench_id"), "s"
@@ -3056,6 +3061,86 @@ def corpus_soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("weight"),
         )
+    )
+
+
+LEAK_OFFSET = 300_001  # NOT divisible by CONTAM_MOD: leaks land on the corpus side
+LEAK_TAIL_TOKENS = 10
+
+
+def contamination_injection_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Ground-truth evaluation of the DECONTAMINATION screen: plant a
+    near-verbatim leak of every benchmark doc (its full text plus a
+    10-token tail from the neighboring doc — the realistic "eval set
+    pasted into a crawl page" case, overlap ≈ 0.85) and run the exact
+    production screen; report the leak catch rate and the baseline
+    contaminated count among the original corpus. Completes the
+    injection-eval suite (anomaly, dedup, drift, quality, and now
+    leakage).
+
+    Scale: ≤ |benchmark| planted rows; the screen is the production
+    broadcast-guarded overlap join unchanged.
+    """
+    d = _docs(spark, sf_dir)
+    bench = d.filter(F.col("doc_id") % CONTAM_MOD == 0)
+    neigh = d.select(
+        (F.col("doc_id") - 1).alias("bid"),
+        F.slice(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+            1,
+            LEAK_TAIL_TOKENS,
+        ).alias("tail"),
+    )
+    planted = bench.join(
+        neigh, bench["doc_id"] == neigh["bid"]
+    ).select(
+        (F.col("doc_id") + LEAK_OFFSET).alias("doc_id"),
+        F.concat(
+            F.col("text"), F.lit(" "), F.array_join(F.col("tail"), " ")
+        ).alias("text"),
+        "lang",
+        "source",
+        F.length(
+            F.concat(
+                F.col("text"),
+                F.lit(" "),
+                F.array_join(F.col("tail"), " "),
+            )
+        )
+        .cast("long")
+        .alias("n_chars"),
+    )
+    aug = d.select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    ).unionByName(planted)
+    screened = contamination_of(aug).select("doc_id", "contaminated")
+    is_leak = F.col("doc_id") >= LEAK_OFFSET
+    n_planted = planted.agg(
+        F.count(F.lit(1)).cast("long").alias("n_planted")
+    )
+    folded = screened.agg(
+        F.sum(F.when(is_leak & F.col("contaminated"), 1).otherwise(0))
+        .cast("long")
+        .alias("leaks_caught"),
+        F.sum(
+            F.when(~is_leak & F.col("contaminated"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("baseline_contaminated"),
+    )
+    return n_planted.crossJoin(F.broadcast(folded)).select(
+        "n_planted",
+        "leaks_caught",
+        "baseline_contaminated",
+        quantize(
+            F.try_divide(
+                F.col("leaks_caught").cast("double"),
+                F.col("n_planted"),
+            ),
+            6,
+        ).alias("catch_rate"),
     )
 
 
@@ -7409,6 +7494,7 @@ QUERIES = {
     "multimodal_vad": multimodal_vad,
     "dedup_injection_eval": dedup_injection_eval,
     "quality_injection_eval": quality_injection_eval,
+    "contamination_injection_eval": contamination_injection_eval,
     "corpus_shard_rendezvous_balance": corpus_shard_rendezvous_balance,
     "corpus_contamination": corpus_contamination,
     "corpus_rebalance": corpus_rebalance,
@@ -12261,4 +12347,47 @@ ORACLE["quality_injection_eval"] = f"""
                'CAST(clean_rejected AS DOUBLE) / n_clean', 6)}
            END AS clean_reject_rate
     FROM folded
+"""
+
+_LEAK_AUG_SQL = f"""(
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT b.doc_id + {LEAK_OFFSET} AS doc_id,
+         b.text || ' ' || array_to_string(list_slice(
+           regexp_split_to_array(lower(trim(n.text)), '\\s+'),
+           1, {LEAK_TAIL_TOKENS}), ' ') AS text
+  FROM documents b JOIN documents n ON n.doc_id = b.doc_id + 1
+  WHERE b.doc_id % {CONTAM_MOD} = 0
+) documents"""
+
+assert ORACLE["corpus_contamination"].count("FROM documents") == 1
+_LEAK_SCREEN = ORACLE["corpus_contamination"].replace(
+    "FROM documents", f"FROM {_LEAK_AUG_SQL}"
+)
+
+ORACLE["contamination_injection_eval"] = f"""
+    WITH screened AS (
+      SELECT doc_id, contaminated FROM ({_LEAK_SCREEN})
+    ),
+    np AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_planted
+      FROM documents b JOIN documents n ON n.doc_id = b.doc_id + 1
+      WHERE b.doc_id % {CONTAM_MOD} = 0
+    ),
+    folded AS (
+      SELECT CAST(sum(CASE WHEN doc_id >= {LEAK_OFFSET}
+                   AND contaminated THEN 1 ELSE 0 END) AS BIGINT)
+               AS leaks_caught,
+             CAST(sum(CASE WHEN doc_id < {LEAK_OFFSET}
+                   AND contaminated THEN 1 ELSE 0 END) AS BIGINT)
+               AS baseline_contaminated
+      FROM screened
+    )
+    SELECT np.n_planted, folded.leaks_caught,
+           folded.baseline_contaminated,
+           CASE WHEN np.n_planted > 0 THEN {sql_quantize(
+               'CAST(folded.leaks_caught AS DOUBLE) / np.n_planted',
+               6)}
+           END AS catch_rate
+    FROM np CROSS JOIN folded
 """

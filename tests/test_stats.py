@@ -1165,3 +1165,15 @@ def test_quality_injection_separation(spark):
     assert row["catch_rate"] == 1.0
     assert row["clean_reject_rate"] < row["catch_rate"]
     assert row["n_junk"] > 0
+
+
+def test_contamination_injection_catches_leaks(spark):
+    row = (
+        QUERIES["contamination_injection_eval"](spark, SF_SMOKE)
+        .toPandas()
+        .iloc[0]
+    )
+    # near-verbatim benchmark leaks must ALL be flagged
+    assert row["n_planted"] > 0
+    assert row["catch_rate"] == 1.0
+    assert row["leaks_caught"] == row["n_planted"]
