@@ -2173,6 +2173,149 @@ def stream_shard_rendezvous(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(routed, output_mode="append")
 
 
+def stream_anomaly_injection_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming twin of the detector ground-truth eval: the hourly
+    count cells accumulate at ingest (the `stream_hourly` bound) and
+    the deterministic injection + production ensemble + scoring all
+    run post-drain — rerunning the eval on every drain is exactly how
+    a monitoring stack keeps its detector SLA current. Drain == batch
+    `events_anomaly_injection_eval`, whose oracle it shares.
+    """
+    from pyspark.sql import functions as F
+
+    from .events import (
+        INJECT_ADD,
+        INJECT_EVERY,
+        INJECT_MULT,
+        ensemble_from_hourly,
+    )
+    from ..functions.text import quantize
+
+    ev = read_events_stream(spark, sf_dir)
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    snap = run_available_now(hourly, output_mode="complete")
+    hidx = (F.unix_micros("hour") / 3_600_000_000).cast("long")
+    inj = (hidx % INJECT_EVERY) == 0
+    injected = snap.select(
+        "hour",
+        F.when(inj, F.col("n") * INJECT_MULT + INJECT_ADD)
+        .otherwise(F.col("n"))
+        .cast("long")
+        .alias("n"),
+        inj.alias("inj"),
+    )
+    # drained-relation rule: rename the self-lineage join key
+    flags = ensemble_from_hourly(injected.select("hour", "n")).select(
+        F.col("hour").alias("f_hour"), "votes"
+    )
+    m = injected.select("hour", "inj").join(
+        flags, F.col("f_hour") == F.col("hour"), "left"
+    )
+    votes = F.coalesce(F.col("votes"), F.lit(0))
+    per = []
+    for k in (1, 2, 3):
+        det = votes >= k
+        agg = m.agg(
+            F.lit(k).cast("long").alias("min_votes"),
+            F.sum(F.when(F.col("inj"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_injected"),
+            F.sum(F.when(F.col("inj") & det, 1).otherwise(0))
+            .cast("long")
+            .alias("tp"),
+            F.sum(F.when(~F.col("inj") & det, 1).otherwise(0))
+            .cast("long")
+            .alias("fp"),
+        )
+        tp = F.col("tp").cast("double")
+        prec = F.try_divide(tp, F.col("tp") + F.col("fp"))
+        rec = F.try_divide(tp, F.col("n_injected"))
+        per.append(
+            agg.select(
+                "min_votes",
+                "n_injected",
+                "tp",
+                "fp",
+                (F.col("n_injected") - F.col("tp"))
+                .cast("long")
+                .alias("fn"),
+                quantize(prec, 6).alias("precision"),
+                quantize(rec, 6).alias("recall"),
+                quantize(
+                    F.try_divide(2.0 * prec * rec, prec + rec), 6
+                ).alias("f1"),
+            )
+        )
+    out = per[0]
+    for frame in per[1:]:
+        out = out.unionByName(frame)
+    return out
+
+
+def stream_psi_injection_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming drift response curve: state is the per-distinct-value
+    count table (bounded by the cent grid, the `stream_value_histogram`
+    bound), and the planted-shift PSI curve recomputes post-drain from
+    those counts with the IDENTICAL double expressions as batch.
+    Drain == batch `events_psi_injection_eval`, whose oracle it
+    shares.
+    """
+    from pyspark.sql import functions as F
+
+    from .events import PSI_SHIFT_GRID
+    from ..functions.text import quantize
+
+    ev = read_events_stream(spark, sf_dir)
+    vals = ev.groupBy("value").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    snap = run_available_now(vals, output_mode="complete")
+    base = snap.groupBy(
+        F.floor(F.col("value") / 10.0).cast("long").alias("bucket")
+    ).agg(F.sum("cnt").cast("long").alias("n1"))
+    per = []
+    for shift in PSI_SHIFT_GRID:
+        shifted = snap.groupBy(
+            F.floor((F.col("value") + F.lit(shift)) / 10.0)
+            .cast("long")
+            .alias("bucket")
+        ).agg(F.sum("cnt").cast("long").alias("n2"))
+        cells = base.join(shifted, "bucket", "full_outer").select(
+            "bucket",
+            F.coalesce(F.col("n1"), F.lit(0)).alias("n1"),
+            F.coalesce(F.col("n2"), F.lit(0)).alias("n2"),
+        )
+        tot = cells.agg(
+            F.sum("n1").cast("long").alias("t1"),
+            F.sum("n2").cast("long").alias("t2"),
+            F.count(F.lit(1)).cast("long").alias("b"),
+        )
+        j = cells.crossJoin(F.broadcast(tot))
+        p1 = (F.col("n1") + 1).cast("double") / (
+            F.col("t1") + F.col("b")
+        )
+        p2 = (F.col("n2") + 1).cast("double") / (
+            F.col("t2") + F.col("b")
+        )
+        contrib = (p2 - p1) * F.log(p2 / p1)
+        per.append(
+            j.agg(
+                F.lit(shift).alias("shift_dollars"),
+                quantize(F.sum(contrib), 6).alias("psi"),
+            )
+        )
+    out = per[0]
+    for frame in per[1:]:
+        out = out.unionByName(frame)
+    return out
+
+
 def stream_sequential_msprt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming always-valid sequential test: the (treat, day)
     moment cells accumulate at ingest (calendar-bounded) and the
@@ -2760,6 +2903,8 @@ QUERIES = {
     "stream_cuped": stream_cuped,
     "stream_dp_vocab": stream_dp_vocab,
     "stream_sequential_msprt": stream_sequential_msprt,
+    "stream_anomaly_injection_eval": stream_anomaly_injection_eval,
+    "stream_psi_injection_eval": stream_psi_injection_eval,
     "stream_shard_rendezvous": stream_shard_rendezvous,
     "stream_parallel_trends": stream_parallel_trends,
     "stream_dp_median": stream_dp_median,
@@ -2868,6 +3013,10 @@ ORACLE = {
     "stream_dp_vocab": _DOCS_ORACLE["corpus_dp_vocab"],
     "stream_sequential_msprt":
         _EVENTS_ORACLE["events_sequential_msprt"],
+    "stream_anomaly_injection_eval":
+        _EVENTS_ORACLE["events_anomaly_injection_eval"],
+    "stream_psi_injection_eval":
+        _EVENTS_ORACLE["events_psi_injection_eval"],
     "stream_shard_rendezvous":
         _DOCS_ORACLE["corpus_shard_rendezvous"],
     "stream_parallel_trends":
