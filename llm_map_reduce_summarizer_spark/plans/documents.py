@@ -1421,10 +1421,10 @@ def doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row broadcast; the final top-k is a window inside each doc
     partition.
     """
-    return unigram_surprisal_of(_docs(spark, sf_dir))
+    return tfidf_topk_of(_docs(spark, sf_dir))
 
 
-def unigram_surprisal_of(d: DataFrame) -> DataFrame:
+def tfidf_topk_of(d: DataFrame) -> DataFrame:
     from ..functions.hashing import words
 
     toks = d.select("doc_id", F.explode(words(F.col("text"))).alias("term"))
