@@ -5910,6 +5910,136 @@ def hw_from_cells(cells: DataFrame) -> DataFrame:
     )
 
 
+def events_forecast_model_compare(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Forecast MODEL SELECTION by held-out backtest: train
+    seasonal-naive, Holt linear, and additive Holt–Winters on all but
+    the last 24 hours of each type's series, forecast the held-out
+    day, and rank the three models by MAE — the comparison that
+    decides which forecaster the capacity plan actually uses
+    (`events_forecast_scorecard` grades one model; this one picks).
+
+    Scale: per-type fits over calendar-bounded train series (one
+    Arrow group each); the scoring join and the 3-row ranking fold
+    are trivial. Same IEEE-exact recurrences as the individual
+    models, so the SQL twin (recursive CTEs over the train prefix)
+    replays every prediction bit-for-bit.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cells = holt_cells(load_table(spark, sf_dir, "events"))
+    bounds = cells.agg(
+        F.min("hour_us").alias("mn"), F.max("hour_us").alias("mx")
+    )
+    g = cells.crossJoin(F.broadcast(bounds))
+    m = HW_PERIOD
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        mn, mx = int(pdf["mn"].iloc[0]), int(pdf["mx"].iloc[0])
+        hours = np.arange(mn, mx + HOUR_US, HOUR_US, dtype=np.int64)
+        n = len(hours)
+        if n < 2 * m:
+            return pd.DataFrame(
+                columns=["event_type", "model", "h", "pred", "actual"]
+            )
+        y = np.zeros(n, dtype=np.float64)
+        idx = ((pdf["hour_us"].to_numpy() - mn) // HOUR_US).astype(int)
+        y[idx] = pdf["cnt"].to_numpy().astype(np.float64)
+        T = n - m
+        train = y[:T]
+        # seasonal-naive: slot means over the train prefix
+        slot_sum = np.zeros(m)
+        slot_cnt = np.zeros(m)
+        for t in range(T):
+            slot_sum[t % m] += train[t]
+            slot_cnt[t % m] += 1.0
+        # holt linear
+        lev, tr = float(train[0]), 0.0
+        for t in range(1, T):
+            new = HOLT_ALPHA * float(train[t]) + (1.0 - HOLT_ALPHA) * (
+                lev + tr
+            )
+            tr = HOLT_BETA * (new - lev) + (1.0 - HOLT_BETA) * tr
+            lev = new
+        # holt-winters
+        tot = 0.0
+        for v in train[:m]:
+            tot += float(v)
+        wl = tot / float(m)
+        wt = 0.0
+        s = np.zeros(T, dtype=np.float64)
+        for i in range(m):
+            s[i] = float(train[i]) - wl
+        for t in range(m, T):
+            new = HOLT_ALPHA * (float(train[t]) - s[t - m]) + (
+                1.0 - HOLT_ALPHA
+            ) * (wl + wt)
+            wt = HOLT_BETA * (new - wl) + (1.0 - HOLT_BETA) * wt
+            s[t] = HW_GAMMA * (float(train[t]) - new) + (
+                1.0 - HW_GAMMA
+            ) * s[t - m]
+            wl = new
+        rows = []
+        etype = pdf["event_type"].iloc[0]
+        for h in range(m):
+            actual = float(y[T + h])
+            slot = (T + h) % m
+            naive = (
+                slot_sum[slot] / slot_cnt[slot]
+                if slot_cnt[slot] > 0
+                else 0.0
+            )
+            rows.append((etype, "seasonal_naive", h, naive, actual))
+            rows.append(
+                (etype, "holt_linear", h, lev + (h + 1) * tr, actual)
+            )
+            rows.append(
+                (
+                    etype,
+                    "holt_winters",
+                    h,
+                    wl + (h + 1) * wt + s[T - m + h],
+                    actual,
+                )
+            )
+        return pd.DataFrame(
+            rows, columns=["event_type", "model", "h", "pred", "actual"]
+        )
+
+    preds = g.groupBy("event_type").applyInPandas(
+        fit,
+        schema=(
+            "event_type string, model string, h long,"
+            " pred double, actual double"
+        ),
+    )
+    err = preds.select(
+        "model", quantize(F.abs(F.col("pred") - F.col("actual")), 6).alias("e")
+    )
+    mae = err.groupBy("model").agg(
+        F.count(F.lit(1)).cast("long").alias("n_forecasts"),
+        quantize(F.avg("e"), 4).alias("mae"),
+    )
+    other = mae.select(
+        F.col("model").alias("m2"), F.col("mae").alias("mae2")
+    )
+    return (
+        mae.join(
+            F.broadcast(other),
+            (F.col("mae2") < F.col("mae"))
+            | (
+                (F.col("mae2") == F.col("mae"))
+                & (F.col("m2") < F.col("model"))
+            ),
+            "left",
+        )
+        .groupBy("model", "n_forecasts", "mae")
+        .agg((F.count("m2") + 1).cast("long").alias("rank"))
+    )
+
+
 def events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Additive Holt–Winters with daily seasonality per event type.
     See `hw_from_cells`."""
@@ -6142,6 +6272,7 @@ QUERIES = {
     "events_cmh": events_cmh,
     "events_holt_linear": events_holt_linear,
     "events_holt_winters": events_holt_winters,
+    "events_forecast_model_compare": events_forecast_model_compare,
     "events_dp_hourly": events_dp_hourly,
     "events_diff_in_diff": events_diff_in_diff,
     "events_peak_hours": events_peak_hours,
@@ -9436,4 +9567,128 @@ _PSI_SHIFT_SELECTS = " UNION ALL ".join(
 
 ORACLE["events_psi_injection_eval"] = f"""
     {_PSI_SHIFT_SELECTS}
+"""
+
+ORACLE["events_forecast_model_compare"] = f"""
+    WITH RECURSIVE cells AS (
+      SELECT event_type,
+             epoch_us(date_trunc('hour', ts)) AS hour_us,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    b AS (SELECT min(hour_us) AS mn, max(hour_us) AS mx FROM cells),
+    cal AS (
+      SELECT t.event_type,
+             unnest(generate_series(b.mn, b.mx, {HOUR_US})) AS hour_us
+      FROM (SELECT DISTINCT event_type FROM cells) t CROSS JOIN b
+    ),
+    series AS (
+      SELECT cal.event_type, cal.hour_us,
+             CAST(coalesce(c.cnt, 0) AS DOUBLE) AS y,
+             row_number() OVER (
+               PARTITION BY cal.event_type ORDER BY cal.hour_us
+             ) AS rn
+      FROM cal LEFT JOIN cells c
+        ON c.event_type = cal.event_type AND c.hour_us = cal.hour_us
+    ),
+    nmax AS (SELECT event_type, max(rn) AS n FROM series GROUP BY 1),
+    train AS (
+      SELECT s.event_type, s.rn, s.y
+      FROM series s JOIN nmax x ON x.event_type = s.event_type
+      WHERE s.rn <= x.n - {HW_PERIOD}
+    ),
+    tmax AS (SELECT event_type, max(rn) AS t FROM train GROUP BY 1),
+    naive AS (
+      SELECT event_type, (rn - 1) % {HW_PERIOD} AS slot,
+             sum(y) / count(*) AS p
+      FROM train GROUP BY 1, 2
+    ),
+    hwalk(event_type, rn, lev, tr) AS (
+      SELECT event_type, CAST(1 AS BIGINT), y, CAST(0.0 AS DOUBLE)
+      FROM train WHERE rn = 1
+      UNION ALL
+      SELECT w.event_type, w.rn + 1,
+             {HOLT_ALPHA!r} * sr.y
+               + {1.0 - HOLT_ALPHA!r} * (w.lev + w.tr),
+             {HOLT_BETA!r} * (({HOLT_ALPHA!r} * sr.y
+               + {1.0 - HOLT_ALPHA!r} * (w.lev + w.tr)) - w.lev)
+               + {1.0 - HOLT_BETA!r} * w.tr
+      FROM hwalk w JOIN train sr
+        ON sr.event_type = w.event_type AND sr.rn = w.rn + 1
+    ),
+    hlast AS (
+      SELECT w.event_type, w.lev, w.tr
+      FROM hwalk w JOIN tmax x
+        ON x.event_type = w.event_type AND w.rn = x.t
+    ),
+    winit AS (
+      SELECT event_type,
+             sum(CASE WHEN rn <= {HW_PERIOD} THEN y ELSE 0 END)
+               / {float(HW_PERIOD)!r} AS lev0,
+             list(y ORDER BY rn)
+               FILTER (WHERE rn <= {HW_PERIOD}) AS y0
+      FROM train GROUP BY 1
+    ),
+    wwalk(event_type, rn, lev, tr, s) AS (
+      SELECT event_type, CAST({HW_PERIOD} AS BIGINT), lev0,
+             CAST(0.0 AS DOUBLE),
+             list_transform(y0, v -> v - lev0)
+      FROM winit
+      UNION ALL
+      SELECT w.event_type, w.rn + 1,
+             {HOLT_ALPHA!r} * (sr.y - w.s[1])
+               + {1.0 - HOLT_ALPHA!r} * (w.lev + w.tr),
+             {HOLT_BETA!r} * (({HOLT_ALPHA!r} * (sr.y - w.s[1])
+               + {1.0 - HOLT_ALPHA!r} * (w.lev + w.tr)) - w.lev)
+               + {1.0 - HOLT_BETA!r} * w.tr,
+             list_append(w.s[2:{HW_PERIOD}],
+               {HW_GAMMA!r} * (sr.y - ({HOLT_ALPHA!r} * (sr.y - w.s[1])
+                 + {1.0 - HOLT_ALPHA!r} * (w.lev + w.tr)))
+               + {1.0 - HW_GAMMA!r} * w.s[1])
+      FROM wwalk w JOIN train sr
+        ON sr.event_type = w.event_type AND sr.rn = w.rn + 1
+    ),
+    wlast AS (
+      SELECT w.event_type, w.lev, w.tr, w.s
+      FROM wwalk w JOIN tmax x
+        ON x.event_type = w.event_type AND w.rn = x.t
+    ),
+    targets AS (
+      SELECT s.event_type, s.rn - t.t - 1 AS h, s.y AS actual
+      FROM series s JOIN tmax t ON t.event_type = s.event_type
+      WHERE s.rn > t.t
+    ),
+    preds AS (
+      SELECT g.event_type, 'seasonal_naive' AS model, g.h,
+             nv.p AS pred, g.actual
+      FROM targets g
+      JOIN tmax t ON t.event_type = g.event_type
+      JOIN naive nv ON nv.event_type = g.event_type
+                   AND nv.slot = (t.t + g.h) % {HW_PERIOD}
+      UNION ALL
+      SELECT g.event_type, 'holt_linear', g.h,
+             hl.lev + (g.h + 1) * hl.tr, g.actual
+      FROM targets g JOIN hlast hl ON hl.event_type = g.event_type
+      UNION ALL
+      SELECT g.event_type, 'holt_winters', g.h,
+             wl.lev + (g.h + 1) * wl.tr
+               + wl.s[CAST(g.h + 1 AS INT)], g.actual
+      FROM targets g JOIN wlast wl ON wl.event_type = g.event_type
+    ),
+    err AS (
+      SELECT model,
+             {sql_quantize('abs(pred - actual)', 6)} AS e
+      FROM preds
+    ),
+    mae AS (
+      SELECT model, CAST(count(*) AS BIGINT) AS n_forecasts,
+             {sql_quantize('avg(e)', 4)} AS mae
+      FROM err GROUP BY 1
+    )
+    SELECT a.model, a.n_forecasts, a.mae,
+           CAST(1 + sum(CASE WHEN (o.mae < a.mae)
+                 OR (o.mae = a.mae AND o.model < a.model)
+                THEN 1 ELSE 0 END) AS BIGINT) AS rank
+    FROM mae a CROSS JOIN mae o
+    GROUP BY 1, 2, 3
 """

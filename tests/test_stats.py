@@ -1177,3 +1177,20 @@ def test_contamination_injection_catches_leaks(spark):
     assert row["n_planted"] > 0
     assert row["catch_rate"] == 1.0
     assert row["leaks_caught"] == row["n_planted"]
+
+
+def test_forecast_model_compare_sane(spark):
+    rel = (
+        QUERIES["events_forecast_model_compare"](spark, SF_SMOKE)
+        .toPandas()
+        .sort_values("rank")
+        .reset_index(drop=True)
+    )
+    assert sorted(rel["model"]) == [
+        "holt_linear",
+        "holt_winters",
+        "seasonal_naive",
+    ]
+    assert list(rel["rank"]) == [1, 2, 3]
+    assert rel["mae"].is_monotonic_increasing
+    assert (rel["n_forecasts"] > 0).all()
