@@ -5926,10 +5926,17 @@ def events_forecast_model_compare(
     models, so the SQL twin (recursive CTEs over the train prefix)
     replays every prediction bit-for-bit.
     """
+    return model_compare_from_cells(
+        holt_cells(load_table(spark, sf_dir, "events"))
+    )
+
+
+def model_compare_from_cells(cells: DataFrame) -> DataFrame:
+    """The three-model backtest over (event_type, hour_us, cnt)
+    cells — shared by the batch query and the streaming drain."""
     import numpy as np
     import pandas as pd
 
-    cells = holt_cells(load_table(spark, sf_dir, "events"))
     bounds = cells.agg(
         F.min("hour_us").alias("mn"), F.max("hour_us").alias("mx")
     )

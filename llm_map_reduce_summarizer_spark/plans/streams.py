@@ -2569,6 +2569,29 @@ def stream_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hw_from_cells(snap)
 
 
+def stream_forecast_model_compare(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming model selection: the (event_type, hour) count cells
+    accumulate at ingest and the three-model held-out backtest runs
+    post-drain (`events.model_compare_from_cells`) — re-ranking the
+    forecasters on every drain is how a capacity plan keeps its model
+    choice current. Drain == batch `events_forecast_model_compare`,
+    whose oracle it shares.
+    """
+    from pyspark.sql import functions as F
+
+    from .events import model_compare_from_cells
+
+    ev = read_events_stream(spark, sf_dir)
+    cells = ev.groupBy(
+        "event_type",
+        F.unix_micros(F.date_trunc("hour", F.col("ts"))).alias("hour_us"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    snap = run_available_now(cells, output_mode="complete")
+    return model_compare_from_cells(snap)
+
+
 def stream_dp_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming differentially-private hourly release: the count
     state is the plain (hour, event_type) cell table — bounded by
@@ -2898,6 +2921,7 @@ QUERIES = {
     "stream_cmh": stream_cmh,
     "stream_holt_linear": stream_holt_linear,
     "stream_holt_winters": stream_holt_winters,
+    "stream_forecast_model_compare": stream_forecast_model_compare,
     "stream_absorption": stream_absorption,
     "stream_dp_user_total": stream_dp_user_total,
     "stream_cuped": stream_cuped,
@@ -3007,6 +3031,8 @@ ORACLE = {
     "stream_cmh": _EVENTS_ORACLE["events_cmh"],
     "stream_holt_linear": _EVENTS_ORACLE["events_holt_linear"],
     "stream_holt_winters": _EVENTS_ORACLE["events_holt_winters"],
+    "stream_forecast_model_compare":
+        _EVENTS_ORACLE["events_forecast_model_compare"],
     "stream_absorption": _EVENTS_ORACLE["events_absorption"],
     "stream_dp_user_total": _EVENTS_ORACLE["events_dp_user_total"],
     "stream_cuped": _EVENTS_ORACLE["events_cuped"],
