@@ -7442,8 +7442,259 @@ def emb_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- DSIR importance resampling (Xie et al. 2023: hashed n-gram
+# importance weights between a target corpus and the raw pool) -------
+
+DSIR_BUCKETS = 1024  # hashed n-gram feature space (fixed, tiny model)
+DSIR_ALPHA = 1  # add-one smoothing on both distributions
+DSIR_TARGET_SHARE = 4  # target = lexicographic first 1/4 of sources
+
+
+def dsir_featurize(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, bucket) hashed n-gram features: every unigram
+    and bigram folded through the shared md5 ``shingle_key`` into
+    ``DSIR_BUCKETS`` buckets — one narrow map + explode, the same
+    shape (and the same engine-portable hash) as the dedup shingle
+    table. The per-doc feature list never materializes beyond the
+    exploded rows."""
+    w = words(F.col("text"))
+    uni = F.transform(w, lambda t: shingle_key(t) % DSIR_BUCKETS)
+    bi = F.when(
+        F.size(w) > 1,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 1),
+            lambda i: shingle_key(
+                F.concat_ws(
+                    " ", F.element_at(w, i), F.element_at(w, i + 1)
+                )
+            )
+            % DSIR_BUCKETS,
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.concat(uni, bi)).alias("bucket"),
+    )
+
+
+def dsir_is_target(source: F.Column) -> F.Column:
+    """The designated target stratum: a deterministic md5-keyed
+    ~1/``DSIR_TARGET_SHARE`` of the sources (a stand-in for "the
+    curated corpora" — swap in any source list in production). A
+    pure narrow expression: no distinct, no rank, no shuffle, and
+    the same md5 fold on any engine."""
+    return shingle_key(source) % DSIR_TARGET_SHARE == 0
+
+
+def dsir_model_from_cells(cells: DataFrame) -> DataFrame:
+    """The bucket-level importance model over drained (source,
+    bucket, n) count cells: fold sources into target/raw totals per
+    bucket (raw = the WHOLE pool, per DSIR), add-one smooth both
+    distributions over the fixed ``DSIR_BUCKETS`` space, and emit the
+    per-bucket log-likelihood ratio. Output ≤ DSIR_BUCKETS rows —
+    the entire model is broadcast-sized by construction."""
+    flagged = cells.withColumn(
+        "is_target", dsir_is_target(F.col("source"))
+    )
+    per_bucket = flagged.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_target"), F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("n_target"),
+        F.sum("n").cast("long").alias("n_raw"),
+    )
+    tot = per_bucket.agg(
+        F.sum("n_target").cast("long").alias("nt"),
+        F.sum("n_raw").cast("long").alias("nr"),
+    )
+    g = per_bucket.crossJoin(F.broadcast(tot))
+    lr = F.log(
+        (F.col("n_target") + F.lit(DSIR_ALPHA)).cast("double")
+        / (F.col("nt") + F.lit(DSIR_ALPHA * DSIR_BUCKETS)).cast(
+            "double"
+        )
+    ) - F.log(
+        (F.col("n_raw") + F.lit(DSIR_ALPHA)).cast("double")
+        / (F.col("nr") + F.lit(DSIR_ALPHA * DSIR_BUCKETS)).cast(
+            "double"
+        )
+    )
+    return g.select(
+        "bucket",
+        "n_target",
+        "n_raw",
+        quantize(lr, 6).alias("log_ratio"),
+    )
+
+
+def corpus_dsir_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance model (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): hashed unigram+bigram
+    counts under a target stratum vs the raw pool, smoothed into the
+    per-bucket log-likelihood ratio every selection weight is a sum
+    of. The model — ≤ ``DSIR_BUCKETS`` rows — is the exportable
+    artifact a selection job broadcasts.
+
+    Scale: one feature explode (the shingle-table shape), one
+    B-bounded partial agg, a 1-row totals broadcast. Nothing grows
+    with the corpus except the single scan."""
+    feats = dsir_featurize(_docs(spark, sf_dir))
+    cells = feats.groupBy("source", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return dsir_model_from_cells(cells)
+
+
+def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document DSIR importance weights: each doc's hashed
+    n-gram features score against the bucket log-ratio model, and
+    log w(doc) = Σ_features log(p_target/p_raw) — positive means
+    "looks more like the target corpus than the raw pool", the
+    resampling signal DSIR feeds to data selection. ``selected``
+    compares the QUANTIZED weight so both engines decide the same
+    boundary docs.
+
+    Scale: the feature explode scans once; the ≤ DSIR_BUCKETS-row
+    model joins back by broadcast; the per-doc fold is one
+    doc_id-keyed partial agg. The model itself never touches the
+    driver."""
+    docs = _docs(spark, sf_dir)
+    feats = dsir_featurize(docs)
+    cells = feats.groupBy("source", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    # sum the model's (already 1e-6-quantized) ratios as exact integer
+    # micro-units, so the per-doc fold is order-insensitive on any
+    # engine — the boundary docs decide identically everywhere
+    model = dsir_model_from_cells(cells).select(
+        "bucket",
+        F.floor(F.col("log_ratio") * 1e6 + 0.5)
+        .cast("long")
+        .alias("lr_micro"),
+    )
+    scored = feats.join(F.broadcast(model), "bucket")
+    per_doc = scored.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_feats"),
+        F.sum("lr_micro").cast("long").alias("s"),
+    )
+    lw = F.col("s").cast("double") / F.lit(1000000.0)
+    return per_doc.select(
+        "doc_id",
+        "source",
+        "n_feats",
+        quantize(lw, 4).alias("log_weight"),
+        quantize(lw / F.col("n_feats"), 6).alias("avg_log_ratio"),
+        (F.col("s") > 0).alias("selected"),
+    )
+
+
+# --- Interpolated Kneser–Ney bigram LM ------------------------------
+
+KN_DISCOUNT = 0.75  # the canonical absolute discount
+KN_TOP = 100  # exported head of the bigram table
+
+
+def kn_bigram_counts(docs: DataFrame) -> DataFrame:
+    """(w1, w2, c) bigram counts over whitespace tokens — the
+    vocabulary-bounded mergeable state both the batch op and the
+    streaming twin accumulate (the `stream_ngrams_topk` state class).
+    """
+    w = words(F.col("text"))
+    pairs = docs.select(
+        F.explode(
+            F.when(
+                F.size(w) > 1,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(w) - 1),
+                    lambda i: F.struct(
+                        F.element_at(w, i).alias("w1"),
+                        F.element_at(w, i + 1).alias("w2"),
+                    ),
+                ),
+            ).otherwise(
+                F.array().cast("array<struct<w1:string,w2:string>>")
+            )
+        ).alias("p")
+    )
+    return pairs.groupBy(
+        F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+
+
+def kn_from_pair_counts(bg: DataFrame) -> DataFrame:
+    """Interpolated Kneser–Ney smoothing over drained (w1, w2, c)
+    bigram counts: p_KN(w2|w1) = (max(c−D,0) + D·N1+(w1·)·p_cont(w2))
+    / c(w1) with the continuation probability p_cont(w2) =
+    N1+(·w2)/|bigram types| — the discount mass a naive MLE would
+    overfit onto singletons goes to words that COMPLETE many
+    contexts. Exported: the top-``KN_TOP`` bigrams by count
+    (deterministic (c desc, w1, w2) total order as the limit).
+
+    Scale: the context and continuation tables are key-partitioned
+    window sums over the bigram relation itself (vocab-bounded,
+    never corpus-bounded); the single global scalar — the number of
+    bigram types — is a 1-row broadcast; the export is a
+    TakeOrderedAndProject, not a full sort."""
+    from pyspark.sql import Window
+
+    c1 = F.sum("c").over(Window.partitionBy("w1"))
+    n1p_fwd = F.count(F.lit(1)).over(Window.partitionBy("w1"))
+    n1p_bwd = F.count(F.lit(1)).over(Window.partitionBy("w2"))
+    tot = bg.agg(F.count(F.lit(1)).cast("long").alias("n_types"))
+    g = bg.select(
+        "w1",
+        "w2",
+        "c",
+        c1.cast("long").alias("c1"),
+        n1p_fwd.cast("long").alias("n1plus_fwd"),
+        n1p_bwd.cast("long").alias("n1plus_bwd"),
+    ).crossJoin(F.broadcast(tot))
+    p_cont = F.col("n1plus_bwd").cast("double") / F.col("n_types")
+    p_kn = (
+        F.greatest(
+            F.col("c").cast("double") - F.lit(KN_DISCOUNT), F.lit(0.0)
+        )
+        + F.lit(KN_DISCOUNT) * F.col("n1plus_fwd") * p_cont
+    ) / F.col("c1")
+    return (
+        g.select(
+            "w1",
+            "w2",
+            "c",
+            "c1",
+            "n1plus_fwd",
+            "n1plus_bwd",
+            quantize(
+                F.col("c").cast("double") / F.col("c1"), 6
+            ).alias("p_mle"),
+            quantize(p_cont, 6).alias("p_cont"),
+            quantize(p_kn, 6).alias("p_kn"),
+        )
+        .orderBy(F.col("c").desc(), "w1", "w2")
+        .limit(KN_TOP)
+    )
+
+
+def corpus_kn_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser–Ney-smoothed bigram LM export — the smoothing the
+    add-one LMs in this tier (`doc_ngram_lm_export`,
+    `corpus_cross_perplexity`) deliberately avoid: absolute-discount
+    the observed counts and route the freed mass through CONTINUATION
+    counts, the estimator that actually survives at LM scale. The
+    head of the table (with its exact count columns) is the artifact
+    a perplexity-filter job ships.
+
+    Scale: one explode + one vocab-bounded bigram agg; everything
+    downstream is window sums over that relation (see
+    `kn_from_pair_counts`)."""
+    return kn_from_pair_counts(kn_bigram_counts(_docs(spark, sf_dir)))
+
+
 QUERIES = {
     "corpus_keyphrase_rake": corpus_keyphrase_rake,
+    "corpus_dsir_model": corpus_dsir_model,
+    "corpus_dsir_weights": corpus_dsir_weights,
+    "corpus_kn_bigram_lm": corpus_kn_bigram_lm,
     "corpus_textrank_terms": corpus_textrank_terms,
     "corpus_budget_waterfill": corpus_budget_waterfill,
     "multimodal_neardup": multimodal_neardup,
@@ -12390,4 +12641,108 @@ ORACLE["contamination_injection_eval"] = f"""
                6)}
            END AS catch_rate
     FROM np CROSS JOIN folded
+"""
+
+
+_DSIR_TGT = f"({sql_shingle_key('source')} % {DSIR_TARGET_SHARE} = 0)"
+_DSIR_UNI = (
+    f"list_transform({{w}}, t -> {sql_shingle_key('t')}"
+    f" % {DSIR_BUCKETS})"
+)
+_DSIR_BI_KEY = sql_shingle_key("{w}[i] || ' ' || {w}[i+1]")
+_DSIR_BI = (
+    "list_transform(generate_series(1, len({w}) - 1),"
+    " i -> " + _DSIR_BI_KEY + f" % {DSIR_BUCKETS})"
+)
+
+_DSIR_CELLS = f"""
+    w AS (SELECT doc_id, source, {_W} AS w FROM documents),
+    feats AS (
+      SELECT doc_id, source,
+             unnest(list_concat({_DSIR_UNI.format(w='w')},
+                                {_DSIR_BI.format(w='w')})) AS bucket
+      FROM w
+    ),
+    cells AS (
+      SELECT bucket,
+             CAST(count(CASE WHEN {_DSIR_TGT} THEN 1 END) AS BIGINT)
+               AS n_target,
+             CAST(count(*) AS BIGINT) AS n_raw
+      FROM feats GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(n_target) AS BIGINT) AS nt,
+             CAST(sum(n_raw) AS BIGINT) AS nr
+      FROM cells
+    ),
+    model AS (
+      SELECT bucket, n_target, n_raw,
+             {sql_quantize(
+                 f'ln(CAST(n_target + {DSIR_ALPHA} AS DOUBLE)'
+                 f' / CAST(nt + {DSIR_ALPHA * DSIR_BUCKETS}'
+                 ' AS DOUBLE))'
+                 f' - ln(CAST(n_raw + {DSIR_ALPHA} AS DOUBLE)'
+                 f' / CAST(nr + {DSIR_ALPHA * DSIR_BUCKETS}'
+                 ' AS DOUBLE))', 6)} AS log_ratio
+      FROM cells CROSS JOIN tot
+    )
+"""
+
+ORACLE["corpus_dsir_model"] = f"""
+    WITH {_DSIR_CELLS}
+    SELECT bucket, n_target, n_raw, log_ratio FROM model
+"""
+
+ORACLE["corpus_dsir_weights"] = f"""
+    WITH {_DSIR_CELLS},
+    per_doc AS (
+      SELECT f.doc_id, f.source,
+             CAST(count(*) AS BIGINT) AS n_feats,
+             CAST(sum(CAST(floor(m.log_ratio * 1e6 + 0.5) AS BIGINT))
+               AS BIGINT) AS s
+      FROM feats f JOIN model m USING (bucket)
+      GROUP BY 1, 2
+    )
+    SELECT doc_id, source, n_feats,
+           {sql_quantize('CAST(s AS DOUBLE) / 1000000.0', 4)}
+             AS log_weight,
+           {sql_quantize(
+               '(CAST(s AS DOUBLE) / 1000000.0) / n_feats', 6)}
+             AS avg_log_ratio,
+           s > 0 AS selected
+    FROM per_doc
+"""
+
+ORACLE["corpus_kn_bigram_lm"] = f"""
+    WITH w AS (SELECT {_W} AS w FROM documents),
+    idx AS (
+      SELECT w, unnest(generate_series(1, len(w) - 1)) AS i FROM w
+    ),
+    bg AS (
+      SELECT w[i] AS w1, w[i + 1] AS w2,
+             CAST(count(*) AS BIGINT) AS c
+      FROM idx GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT w1, w2, c,
+             CAST(sum(c) OVER (PARTITION BY w1) AS BIGINT) AS c1,
+             CAST(count(*) OVER (PARTITION BY w1) AS BIGINT)
+               AS n1plus_fwd,
+             CAST(count(*) OVER (PARTITION BY w2) AS BIGINT)
+               AS n1plus_bwd
+      FROM bg
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_types FROM bg)
+    SELECT w1, w2, c, c1, n1plus_fwd, n1plus_bwd,
+           {sql_quantize('CAST(c AS DOUBLE) / c1', 6)} AS p_mle,
+           {sql_quantize(
+               'CAST(n1plus_bwd AS DOUBLE) / n_types', 6)} AS p_cont,
+           {sql_quantize(
+               '(greatest(CAST(c AS DOUBLE) - ' + str(KN_DISCOUNT)
+               + ', 0.0) + ' + str(KN_DISCOUNT)
+               + ' * n1plus_fwd'
+               + ' * (CAST(n1plus_bwd AS DOUBLE) / n_types)) / c1',
+               6)} AS p_kn
+    FROM g CROSS JOIN tot
+    ORDER BY c DESC, w1, w2 LIMIT {KN_TOP}
 """

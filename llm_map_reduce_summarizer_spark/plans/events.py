@@ -6262,7 +6262,175 @@ def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return did_from_cells(did_cells(load_table(spark, sf_dir, "events")))
 
 
+CEM_ACT_BIN = 8  # pre-period activity bin width (events per bin)
+CEM_ERR_BIN = 4  # pre-period error-count bin width
+CEM_ACT_CAP = 7  # top bin (open-ended) for both covariates
+CEM_TREAT_MIN = 7  # pre-period signups defining the treated arm
+
+
+def events_cem_att(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coarsened Exact Matching ATT (Iacus–King–Porro): treatment =
+    heavy signup activity in the PRE period (≥ ``CEM_TREAT_MIN``
+    signups — self-selected, so naive comparison confounds with
+    overall activity), outcome = post-period purchase value. Users
+    match on coarsened pre-period covariates — total-activity bin
+    (width ``CEM_ACT_BIN``) × error-count bin (width
+    ``CEM_ERR_BIN``), both capped at ``CEM_ACT_CAP`` — and the ATT
+    reweights matched control strata to the treated strata mix, so
+    the common-support pruning is explicit in the output. Completes
+    the causal tier: DiD removes the time trend, CUPED the variance,
+    this one the selection-on-observables bias.
+
+    Scale: one (user)-keyed partial agg over a single scan (the
+    per-user state class), a ≤ (CAP+1)×|types| strata fold, and two
+    scalar rollups. The midpoint split is the 1-row-broadcast plan
+    decision shared with `events_diff_in_diff`.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    grid = ev.select(
+        "user_id",
+        F.unix_micros(F.date_trunc("hour", F.col("ts"))).alias(
+            "hour_us"
+        ),
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("vq"),
+    )
+    bounds = grid.agg(
+        (
+            (
+                F.min("hour_us").cast("double")
+                + F.max("hour_us").cast("double")
+            )
+            / 2.0
+        ).alias("mid")
+    )
+    g = grid.crossJoin(F.broadcast(bounds))
+    pre = F.col("hour_us").cast("double") < F.col("mid")
+    per_user = (
+        g.groupBy("user_id")
+        .agg(
+            F.sum(F.when(pre, 1).otherwise(0))
+            .cast("long")
+            .alias("n_pre"),
+            F.sum(
+                F.when(
+                    pre & (F.col("event_type") == "error"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("errors_pre"),
+            F.sum(
+                F.when(
+                    pre & (F.col("event_type") == "signup"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("signups_pre"),
+            F.sum(
+                F.when(
+                    (~pre) & (F.col("event_type") == "purchase"),
+                    F.col("vq"),
+                )
+                .otherwise(0)
+                .cast("decimal(38,0)")
+            ).alias("y"),
+        )
+        .filter(F.col("n_pre") > 0)
+    )
+    coarse = per_user.select(
+        (F.col("signups_pre") >= CEM_TREAT_MIN).alias("treat"),
+        F.least(
+            F.floor(F.col("n_pre") / CEM_ACT_BIN), F.lit(CEM_ACT_CAP)
+        )
+        .cast("long")
+        .alias("a_bin"),
+        F.least(
+            F.floor(F.col("errors_pre") / CEM_ERR_BIN),
+            F.lit(CEM_ACT_CAP),
+        )
+        .cast("long")
+        .alias("t_bin"),
+        "y",
+    )
+    strata = coarse.groupBy("a_bin", "t_bin").agg(
+        F.sum(F.when(F.col("treat"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_treat"),
+        F.sum(F.when(~F.col("treat"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_ctrl"),
+        F.sum(
+            F.when(F.col("treat"), F.col("y")).otherwise(
+                F.lit(0).cast("decimal(38,0)")
+            )
+        ).alias("sy_t"),
+        F.sum(
+            F.when(~F.col("treat"), F.col("y")).otherwise(
+                F.lit(0).cast("decimal(38,0)")
+            )
+        ).alias("sy_c"),
+    )
+    matched = strata.filter(
+        (F.col("n_treat") > 0) & (F.col("n_ctrl") > 0)
+    )
+    m_t = (
+        F.col("sy_t").cast("double") / F.col("n_treat") / 100.0
+    )
+    m_c = F.col("sy_c").cast("double") / F.col("n_ctrl") / 100.0
+    stratum_rows = matched.select(
+        F.lit("stratum").alias("scope"),
+        "a_bin",
+        "t_bin",
+        "n_treat",
+        "n_ctrl",
+        quantize(m_t, 4).alias("mean_treat"),
+        quantize(m_c, 4).alias("mean_ctrl"),
+        quantize(m_t - m_c, 4).alias("diff"),
+        F.lit(None).cast("long").alias("n_strata"),
+        F.lit(None).cast("long").alias("pruned_treat"),
+        F.lit(None).cast("long").alias("pruned_ctrl"),
+    )
+    totals = strata.agg(
+        F.sum("n_treat").cast("long").alias("tot_treat"),
+        F.sum("n_ctrl").cast("long").alias("tot_ctrl"),
+    )
+    att = (
+        matched.agg(
+            F.count(F.lit(1)).cast("long").alias("n_strata"),
+            F.sum("n_treat").cast("long").alias("t_m"),
+            F.sum("n_ctrl").cast("long").alias("c_m"),
+            F.sum("sy_t").alias("syt"),
+            F.sum(
+                F.col("n_treat")
+                * (F.col("sy_c").cast("double") / F.col("n_ctrl"))
+            ).alias("cf_num"),
+        )
+        .crossJoin(F.broadcast(totals))
+    )
+    mt_all = F.col("syt").cast("double") / F.col("t_m") / 100.0
+    cf = F.col("cf_num") / F.col("t_m") / 100.0
+    att_row = att.select(
+        F.lit("att").alias("scope"),
+        F.lit(None).cast("long").alias("a_bin"),
+        F.lit(None).cast("long").alias("t_bin"),
+        F.col("t_m").alias("n_treat"),
+        F.col("c_m").alias("n_ctrl"),
+        quantize(mt_all, 4).alias("mean_treat"),
+        quantize(cf, 4).alias("mean_ctrl"),
+        quantize(mt_all - cf, 4).alias("diff"),
+        "n_strata",
+        (F.col("tot_treat") - F.col("t_m"))
+        .cast("long")
+        .alias("pruned_treat"),
+        (F.col("tot_ctrl") - F.col("c_m"))
+        .cast("long")
+        .alias("pruned_ctrl"),
+    )
+    return stratum_rows.unionByName(att_row)
+
+
 QUERIES = {
+    "events_cem_att": events_cem_att,
     "events_cuped": events_cuped,
     "events_dp_median": events_dp_median,
     "events_sequential_msprt": events_sequential_msprt,
@@ -9698,4 +9866,101 @@ ORACLE["events_forecast_model_compare"] = f"""
                 THEN 1 ELSE 0 END) AS BIGINT) AS rank
     FROM mae a CROSS JOIN mae o
     GROUP BY 1, 2, 3
+"""
+
+
+ORACLE["events_cem_att"] = f"""
+    WITH grid AS (
+      SELECT user_id, epoch_us(date_trunc('hour', ts)) AS hour_us,
+             event_type,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS vq
+      FROM events
+    ),
+    b AS (
+      SELECT (CAST(min(hour_us) AS DOUBLE)
+              + CAST(max(hour_us) AS DOUBLE)) / 2.0 AS mid
+      FROM grid
+    ),
+    per_user AS (
+      SELECT user_id,
+             CAST(sum(CASE WHEN CAST(hour_us AS DOUBLE) < mid
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_pre,
+             CAST(sum(CASE WHEN CAST(hour_us AS DOUBLE) < mid
+                  AND event_type = 'error'
+                  THEN 1 ELSE 0 END) AS BIGINT) AS errors_pre,
+             CAST(sum(CASE WHEN CAST(hour_us AS DOUBLE) < mid
+                  AND event_type = 'signup'
+                  THEN 1 ELSE 0 END) AS BIGINT) AS signups_pre,
+             sum(CASE WHEN NOT (CAST(hour_us AS DOUBLE) < mid)
+                 AND event_type = 'purchase'
+                 THEN vq ELSE 0 END) AS y
+      FROM grid CROSS JOIN b
+      GROUP BY 1
+    ),
+    coarse AS (
+      SELECT (signups_pre >= {CEM_TREAT_MIN}) AS treat,
+             CAST(least(floor(n_pre / {float(CEM_ACT_BIN)}),
+                        {CEM_ACT_CAP}) AS BIGINT) AS a_bin,
+             CAST(least(floor(errors_pre / {float(CEM_ERR_BIN)}),
+                        {CEM_ACT_CAP}) AS BIGINT) AS t_bin,
+             y
+      FROM per_user WHERE n_pre > 0
+    ),
+    strata AS (
+      SELECT a_bin, t_bin,
+             CAST(sum(CASE WHEN treat THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_treat,
+             CAST(sum(CASE WHEN NOT treat THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_ctrl,
+             sum(CASE WHEN treat THEN y ELSE 0 END) AS sy_t,
+             sum(CASE WHEN NOT treat THEN y ELSE 0 END) AS sy_c
+      FROM coarse GROUP BY 1, 2
+    ),
+    matched AS (
+      SELECT * FROM strata WHERE n_treat > 0 AND n_ctrl > 0
+    ),
+    totals AS (
+      SELECT CAST(sum(n_treat) AS BIGINT) AS tot_treat,
+             CAST(sum(n_ctrl) AS BIGINT) AS tot_ctrl
+      FROM strata
+    ),
+    att AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_strata,
+             CAST(sum(n_treat) AS BIGINT) AS t_m,
+             CAST(sum(n_ctrl) AS BIGINT) AS c_m,
+             sum(sy_t) AS syt,
+             sum(n_treat * (CAST(sy_c AS DOUBLE) / n_ctrl))
+               AS cf_num
+      FROM matched
+    )
+    SELECT 'stratum' AS scope, a_bin, t_bin, n_treat, n_ctrl,
+           {sql_quantize(
+               'CAST(sy_t AS DOUBLE) / n_treat / 100.0', 4)}
+             AS mean_treat,
+           {sql_quantize(
+               'CAST(sy_c AS DOUBLE) / n_ctrl / 100.0', 4)}
+             AS mean_ctrl,
+           {sql_quantize(
+               'CAST(sy_t AS DOUBLE) / n_treat / 100.0'
+               ' - CAST(sy_c AS DOUBLE) / n_ctrl / 100.0', 4)}
+             AS diff,
+           CAST(NULL AS BIGINT) AS n_strata,
+           CAST(NULL AS BIGINT) AS pruned_treat,
+           CAST(NULL AS BIGINT) AS pruned_ctrl
+    FROM matched
+    UNION ALL
+    SELECT 'att' AS scope,
+           CAST(NULL AS BIGINT) AS a_bin,
+           CAST(NULL AS BIGINT) AS t_bin,
+           t_m AS n_treat, c_m AS n_ctrl,
+           {sql_quantize('CAST(syt AS DOUBLE) / t_m / 100.0', 4)}
+             AS mean_treat,
+           {sql_quantize('cf_num / t_m / 100.0', 4)} AS mean_ctrl,
+           {sql_quantize(
+               'CAST(syt AS DOUBLE) / t_m / 100.0'
+               ' - cf_num / t_m / 100.0', 4)} AS diff,
+           n_strata,
+           tot_treat - t_m AS pruned_treat,
+           tot_ctrl - c_m AS pruned_ctrl
+    FROM att CROSS JOIN totals
 """

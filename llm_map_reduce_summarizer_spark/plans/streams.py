@@ -2738,6 +2738,44 @@ def stream_cross_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cross_perplexity_from_cells(snap)
 
 
+def stream_dsir_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming DSIR importance model: the hashed n-gram feature
+    counts accumulate AT INGEST per (source, bucket) — state bounded
+    by sources × the FIXED ``DSIR_BUCKETS`` feature space, never
+    stream length — and the smoothed log-likelihood-ratio model
+    evaluates post-drain via the exact batch computation
+    (`documents.dsir_model_from_cells`). Drain == batch
+    `corpus_dsir_model`, whose oracle it shares."""
+    from pyspark.sql import functions as F
+
+    from .documents import dsir_featurize, dsir_model_from_cells
+
+    docs = read_documents_stream(spark, sf_dir)
+    cells = (
+        dsir_featurize(docs)
+        .groupBy("source", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    snap = run_available_now(cells, output_mode="complete")
+    return dsir_model_from_cells(snap)
+
+
+def stream_kn_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Kneser–Ney bigram LM: the (w1, w2) pair counts
+    accumulate AT INGEST (the `stream_ngrams_topk` vocabulary-bounded
+    mergeable count-state class) and the discount/continuation
+    smoothing evaluates post-drain via the exact batch computation
+    (`documents.kn_from_pair_counts`). Drain == batch
+    `corpus_kn_bigram_lm`, whose oracle it shares."""
+    from .documents import kn_bigram_counts, kn_from_pair_counts
+
+    docs = read_documents_stream(spark, sf_dir)
+    snap = run_available_now(
+        kn_bigram_counts(docs), output_mode="complete"
+    )
+    return kn_from_pair_counts(snap)
+
+
 def stream_charclass_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming character-class hygiene monitor: the five per-doc
     counter expressions are a stateless ingest map collapsing into a
@@ -2941,6 +2979,8 @@ QUERIES = {
     "stream_chi2_independence": stream_chi2_independence,
     "stream_quality_length_corr": stream_quality_length_corr,
     "stream_cross_perplexity": stream_cross_perplexity,
+    "stream_dsir_model": stream_dsir_model,
+    "stream_kn_bigram_lm": stream_kn_bigram_lm,
     "stream_charclass_mix": stream_charclass_mix,
     "stream_ab_welch": stream_ab_welch,
     "stream_conversion_ztest": stream_conversion_ztest,
@@ -3134,6 +3174,8 @@ ORACLE = {
     "stream_conversion_ztest": _EVENTS_ORACLE["events_conversion_ztest"],
     "stream_quality_length_corr": _DOCS_ORACLE["corpus_quality_length_corr"],
     "stream_cross_perplexity": _DOCS_ORACLE["corpus_cross_perplexity"],
+    "stream_dsir_model": _DOCS_ORACLE["corpus_dsir_model"],
+    "stream_kn_bigram_lm": _DOCS_ORACLE["corpus_kn_bigram_lm"],
     "stream_token_histogram":
         _DOCS_ORACLE["corpus_token_histogram"],
     "stream_ngrams_topk": _DOCS_ORACLE["corpus_ngrams_topk"],

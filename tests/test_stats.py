@@ -1194,3 +1194,110 @@ def test_forecast_model_compare_sane(spark):
     assert list(rel["rank"]) == [1, 2, 3]
     assert rel["mae"].is_monotonic_increasing
     assert (rel["n_forecasts"] > 0).all()
+
+
+def test_kn_bigram_normalization_identity(spark):
+    """Interpolated Kneser–Ney must leave exactly the discount mass
+    D·N1+(w1·)/c(w1), redistributed over UNSEEN continuations, per
+    context: Σ_seen p_KN(·|w1) + backoff·(1 − Σ_seen p_cont) == 1.
+    Recomputed from the exported exact integer columns with numpy —
+    no shared code with either engine's probability expression."""
+    from llm_map_reduce_summarizer_spark.plans.documents import (
+        KN_DISCOUNT,
+        KN_TOP,
+    )
+
+    from llm_map_reduce_summarizer_spark.plans.documents import (
+        kn_bigram_counts,
+        kn_from_pair_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the cat ate the fish"),
+            (3, "a dog sat on a log"),
+            (4, "the dog ate the cat food"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = kn_from_pair_counts(kn_bigram_counts(docs)).toPandas()
+    # the identity needs the FULL bigram table — this corpus fits
+    # well under the export cap by construction
+    assert 0 < len(out) < KN_TOP
+    n_types = len(out)
+    d = KN_DISCOUNT
+    for w1, g in out.groupby("w1"):
+        c1 = int(g["c1"].iloc[0])
+        n1p = int(g["n1plus_fwd"].iloc[0])
+        assert n1p == len(g)
+        assert c1 == int(g["c"].sum())
+        p_cont = g["n1plus_bwd"].to_numpy() / n_types
+        p_kn = (
+            np.maximum(g["c"].to_numpy() - d, 0.0)
+            + d * n1p * p_cont
+        ) / c1
+        assert np.allclose(p_kn, g["p_kn"].to_numpy(), atol=1e-6)
+        backoff = d * n1p / c1
+        total = p_kn.sum() + backoff * (1.0 - p_cont.sum())
+        assert abs(total - 1.0) < 1e-9, (w1, total)
+
+
+def test_dsir_weights_separate_target_sources(spark):
+    """The DSIR estimator's whole point: documents from the target
+    stratum must score higher importance weights than the raw pool
+    (their n-grams inflate p_target), and the per-doc feature count
+    must equal tokens + bigrams exactly."""
+    from pyspark.sql import functions as F
+
+    from llm_map_reduce_summarizer_spark.plans.documents import (
+        DSIR_BUCKETS,
+        dsir_is_target,
+    )
+
+    w = (
+        QUERIES["corpus_dsir_weights"](spark, SF_SMOKE)
+        .withColumn("tgt", dsir_is_target(F.col("source")))
+        .toPandas()
+    )
+    docs = _documents()
+    toks = docs["text"].str.strip().str.lower().str.split(r"\s+")
+    n_feats_expected = toks.map(
+        lambda t: len(t) + max(len(t) - 1, 0)
+    )
+    got = w.set_index("doc_id")["n_feats"]
+    exp = pd.Series(
+        n_feats_expected.values, index=docs["doc_id"].values
+    )
+    assert (got.sort_index() == exp.sort_index()).all()
+    m_t = w.loc[w["tgt"], "log_weight"].mean()
+    m_r = w.loc[~w["tgt"], "log_weight"].mean()
+    assert m_t > m_r
+    model = QUERIES["corpus_dsir_model"](spark, SF_SMOKE).toPandas()
+    assert len(model) <= DSIR_BUCKETS
+    assert int(model["n_raw"].sum()) == int(exp.sum())
+    assert (model["n_raw"] >= model["n_target"]).all()
+
+
+def test_cem_att_internally_consistent(spark):
+    """The ATT row must be the exact fold of its matched strata: the
+    treated counts add up, the counterfactual mean is the
+    treated-share-weighted control mean, and pruning is non-negative
+    and complete."""
+    out = QUERIES["events_cem_att"](spark, SF_SMOKE).toPandas()
+    att = out[out["scope"] == "att"].iloc[0]
+    strata = out[out["scope"] == "stratum"]
+    assert int(att["n_strata"]) == len(strata)
+    assert len(strata) > 0
+    assert int(att["n_treat"]) == int(strata["n_treat"].sum())
+    assert int(att["n_ctrl"]) == int(strata["n_ctrl"].sum())
+    assert att["pruned_treat"] >= 0 and att["pruned_ctrl"] >= 0
+    cf = (
+        strata["n_treat"] * strata["mean_ctrl"]
+    ).sum() / strata["n_treat"].sum()
+    assert _close(float(att["mean_ctrl"]), float(cf), 1e-3)
+    assert _close(
+        float(att["diff"]),
+        float(att["mean_treat"]) - float(att["mean_ctrl"]),
+        1e-3,
+    )
