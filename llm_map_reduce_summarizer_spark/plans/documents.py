@@ -3029,6 +3029,167 @@ def search_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BPE_TOP = 20  # exported head of the pair-merge census
+
+
+def term_counts(docs: DataFrame) -> DataFrame:
+    """(term, tf) occurrence counts over whitespace tokens — the
+    vocabulary-bounded mergeable state the BPE census (and its
+    streaming twin) folds from."""
+    return (
+        docs.select(F.explode(words(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+
+
+def bpe_census_from_term_counts(tf: DataFrame) -> DataFrame:
+    """The BPE first-merge decision table over drained (term, tf)
+    counts: adjacent-character pair frequencies with multiplicity,
+    weighted by term occurrence — exactly the statistic byte-pair
+    encoding maximizes at every merge step — plus each pair's
+    corpus-wide symbol savings if merged. Character splitting
+    advances by code points in both engines (the `doc_char_entropy`
+    contract, fuzz-pinned).
+
+    Scale: the pair explode runs over the VOCABULARY (never the
+    corpus — the corpus-sized explode collapses into the (term, tf)
+    agg first), the pair agg is alphabet²-bounded, the symbol total
+    is a 1-row broadcast, and the export is TakeOrderedAndProject.
+    """
+    cs = tf.select(
+        "tf",
+        F.filter(
+            F.split(F.col("term"), ""), lambda x: x != ""
+        ).alias("c"),
+    )
+    pairs = cs.select(
+        "tf",
+        F.explode(
+            F.when(
+                F.size("c") > 1,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("c") - 1),
+                    lambda i: F.concat(
+                        F.element_at("c", i), F.element_at("c", i + 1)
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pair"),
+    )
+    pc = pairs.groupBy("pair").agg(
+        F.sum("tf").cast("long").alias("n")
+    )
+    tot = cs.agg(
+        F.sum(F.col("tf") * F.size("c"))
+        .cast("long")
+        .alias("total_symbols")
+    )
+    g = pc.crossJoin(F.broadcast(tot))
+    return (
+        g.select(
+            "pair",
+            F.col("n").alias("n_occurrences"),
+            "total_symbols",
+            quantize(
+                F.col("n").cast("double") / F.col("total_symbols"), 6
+            ).alias("share_of_symbols"),
+            (F.col("total_symbols") - F.col("n")).alias(
+                "symbols_after_merge"
+            ),
+        )
+        .orderBy(F.col("n_occurrences").desc(), "pair")
+        .limit(BPE_TOP)
+    )
+
+
+def corpus_bpe_pair_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Byte-pair-encoding merge census: the top adjacent-character
+    pairs a BPE tokenizer trained on this corpus would merge FIRST,
+    with each candidate's exact symbol savings — the
+    tokenizer-training building block that complements
+    `corpus_tokenizer_fertility` (which grades a tokenizer after the
+    fact; this one shows what the corpus itself wants merged)."""
+    return bpe_census_from_term_counts(
+        term_counts(_docs(spark, sf_dir))
+    )
+
+
+# lcm(1..BM25_K): AP's Σ hits(i)/i folds as EXACT integers scaled by
+# this, so per-query AP and the corpus MAP are engine-identical
+# doubles (no float-order flakes in either engine's aggregation)
+_AP_LCM = 2520
+assert all(_AP_LCM % i == 0 for i in range(1, BM25_K + 1))
+
+
+def search_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean average precision of the BM25 ranking against the
+    semantic relevance set — the rank-weighted coverage grade the
+    retrieval triple (NDCG / MRR / recall) lacks: AP@k integrates
+    precision at every hit position, so burying relevant docs at the
+    tail costs exactly what a user scanning top-down loses. AP's
+    harmonic terms fold as exact integers scaled by lcm(1..k), so
+    every reported double is bit-identical across engines.
+
+    Scale: same queries × k shapes as MRR — broadcast relevance
+    join, per-query key-partitioned rank window, 1-row mean
+    broadcast back.
+    """
+    from ..operators.similarity import cosine_topk_blocked
+    from pyspark.sql.window import Window
+
+    e = _embs(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < N_QUERY_VECS)
+    rel = cosine_topk_blocked(q, e, k=BM25_K).select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        F.lit(1).alias("hit"),
+    )
+    lex = _bm25_scored(spark, sf_dir, BM25_K).select(
+        "query_id", "doc_id", "rk"
+    )
+    joined = lex.join(
+        F.broadcast(rel), ["query_id", "doc_id"], "left"
+    )
+    w = Window.partitionBy("query_id").orderBy("rk")
+    is_hit = F.col("hit").isNotNull()
+    g = joined.select(
+        "query_id",
+        "rk",
+        is_hit.alias("is_hit"),
+        F.sum(F.when(is_hit, 1).otherwise(0)).over(w).alias("ch"),
+    )
+    per = g.groupBy("query_id").agg(
+        F.sum(F.when(F.col("is_hit"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_hits"),
+        F.sum(
+            F.when(
+                F.col("is_hit"),
+                F.col("ch") * (F.lit(_AP_LCM) / F.col("rk")).cast("long"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("s"),
+    )
+    ap = F.col("s").cast("double") / F.lit(float(_AP_LCM * BM25_K))
+    mean = per.agg(
+        F.sum("s").cast("long").alias("ssum"),
+        F.count(F.lit(1)).cast("long").alias("nq"),
+    )
+    mp = F.col("ssum").cast("double") / (
+        F.lit(float(_AP_LCM * BM25_K)) * F.col("nq")
+    )
+    return per.crossJoin(F.broadcast(mean)).select(
+        "query_id",
+        "n_hits",
+        quantize(ap, 6).alias("avg_precision"),
+        quantize(mp, 6).alias("mean_avg_precision"),
+    )
+
+
 def corpus_soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Soft deduplication: instead of dropping near-duplicates, weight
     every doc by 1/|its near-dup cluster| so each duplicated content
@@ -7695,6 +7856,8 @@ QUERIES = {
     "corpus_dsir_model": corpus_dsir_model,
     "corpus_dsir_weights": corpus_dsir_weights,
     "corpus_kn_bigram_lm": corpus_kn_bigram_lm,
+    "search_map": search_map,
+    "corpus_bpe_pair_census": corpus_bpe_pair_census,
     "corpus_textrank_terms": corpus_textrank_terms,
     "corpus_budget_waterfill": corpus_budget_waterfill,
     "multimodal_neardup": multimodal_neardup,
@@ -12745,4 +12908,89 @@ ORACLE["corpus_kn_bigram_lm"] = f"""
                6)} AS p_kn
     FROM g CROSS JOIN tot
     ORDER BY c DESC, w1, w2 LIMIT {KN_TOP}
+"""
+
+
+ORACLE["search_map"] = f"""
+    WITH {sql_unit_cte()},
+    rel AS (
+      SELECT query_id, neighbor_id AS doc_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY (floor({sql_dot('q.u', 'c.u')} * 1000000.0 + 0.5)
+                           / 1000000.0) DESC,
+                          c.vec_id
+               ) AS rk
+        FROM unitv q JOIN unitv c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < {N_QUERY_VECS}
+      ) WHERE rk <= {BM25_K}
+    ),
+    {_bm25_oracle_ctes(BM25_K)},
+    j AS (
+      SELECT l.query_id, l.rk, (r.doc_id IS NOT NULL) AS is_hit
+      FROM lex l LEFT JOIN rel r
+        ON l.query_id = r.query_id AND l.doc_id = r.doc_id
+    ),
+    gcum AS (
+      SELECT query_id, rk, is_hit,
+             sum(CASE WHEN is_hit THEN 1 ELSE 0 END) OVER (
+               PARTITION BY query_id ORDER BY rk) AS ch
+      FROM j
+    ),
+    per AS (
+      SELECT query_id,
+             CAST(sum(CASE WHEN is_hit THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hits,
+             CAST(sum(CASE WHEN is_hit
+                  THEN ch * CAST({_AP_LCM} / rk AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS s
+      FROM gcum GROUP BY 1
+    ),
+    m AS (
+      SELECT CAST(sum(s) AS BIGINT) AS ssum,
+             CAST(count(*) AS BIGINT) AS nq
+      FROM per
+    )
+    SELECT query_id, n_hits,
+           {sql_quantize(
+               f'CAST(s AS DOUBLE) / {float(_AP_LCM * BM25_K)}', 6)}
+             AS avg_precision,
+           {sql_quantize(
+               f'CAST(ssum AS DOUBLE)'
+               f' / ({float(_AP_LCM * BM25_K)} * nq)', 6)}
+             AS mean_avg_precision
+    FROM per CROSS JOIN m
+"""
+
+
+ORACLE["corpus_bpe_pair_census"] = f"""
+    WITH t AS (SELECT unnest({_W}) AS term FROM documents),
+    tf AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY 1
+    ),
+    cs AS (
+      SELECT tf,
+             list_filter(string_split(term, ''), x -> x <> '') AS c
+      FROM tf
+    ),
+    pr AS (
+      SELECT tf,
+             unnest(list_transform(generate_series(1, len(c) - 1),
+                                   i -> c[i] || c[i + 1])) AS pair
+      FROM cs
+    ),
+    pc AS (
+      SELECT pair, CAST(sum(tf) AS BIGINT) AS n FROM pr GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(tf * len(c)) AS BIGINT) AS total_symbols
+      FROM cs
+    )
+    SELECT pair, n AS n_occurrences, total_symbols,
+           {sql_quantize('CAST(n AS DOUBLE) / total_symbols', 6)}
+             AS share_of_symbols,
+           total_symbols - n AS symbols_after_merge
+    FROM pc CROSS JOIN tot
+    ORDER BY n_occurrences DESC, pair LIMIT {BPE_TOP}
 """

@@ -2776,6 +2776,22 @@ def stream_kn_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kn_from_pair_counts(snap)
 
 
+def stream_bpe_pair_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming BPE merge census: (term, tf) occurrence counts
+    accumulate AT INGEST (the vocabulary-bounded count-state class)
+    and the pair explode / symbol totals evaluate post-drain via the
+    exact batch computation
+    (`documents.bpe_census_from_term_counts`). Drain == batch
+    `corpus_bpe_pair_census`, whose oracle it shares."""
+    from .documents import bpe_census_from_term_counts, term_counts
+
+    docs = read_documents_stream(spark, sf_dir)
+    snap = run_available_now(
+        term_counts(docs), output_mode="complete"
+    )
+    return bpe_census_from_term_counts(snap)
+
+
 def stream_charclass_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming character-class hygiene monitor: the five per-doc
     counter expressions are a stateless ingest map collapsing into a
@@ -2981,6 +2997,7 @@ QUERIES = {
     "stream_cross_perplexity": stream_cross_perplexity,
     "stream_dsir_model": stream_dsir_model,
     "stream_kn_bigram_lm": stream_kn_bigram_lm,
+    "stream_bpe_pair_census": stream_bpe_pair_census,
     "stream_charclass_mix": stream_charclass_mix,
     "stream_ab_welch": stream_ab_welch,
     "stream_conversion_ztest": stream_conversion_ztest,
@@ -3176,6 +3193,7 @@ ORACLE = {
     "stream_cross_perplexity": _DOCS_ORACLE["corpus_cross_perplexity"],
     "stream_dsir_model": _DOCS_ORACLE["corpus_dsir_model"],
     "stream_kn_bigram_lm": _DOCS_ORACLE["corpus_kn_bigram_lm"],
+    "stream_bpe_pair_census": _DOCS_ORACLE["corpus_bpe_pair_census"],
     "stream_token_histogram":
         _DOCS_ORACLE["corpus_token_histogram"],
     "stream_ngrams_topk": _DOCS_ORACLE["corpus_ngrams_topk"],
