@@ -6262,6 +6262,131 @@ def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return did_from_cells(did_cells(load_table(spark, sf_dir, "events")))
 
 
+T_CLOSENESS = 0.2  # EMD fence for the t-closeness audit
+
+
+def t_closeness_cells(ev: DataFrame) -> DataFrame:
+    """(event_type, hod, vb, n) cells — QI domain × value-bin grid,
+    the bounded mergeable state shared by the batch audit and the
+    streaming twin."""
+    return ev.groupBy(
+        "event_type",
+        F.hour("ts").alias("hod"),
+        F.floor(F.col("value") / 10.0).cast("long").alias("vb"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+
+def t_closeness_from_cells(cells: DataFrame) -> DataFrame:
+    """The t-closeness audit over drained QI × value-bin cells
+    (Li–Li–Venkatasubramanian): per QI group, the ordered-EMD
+    between the group's sensitive-value distribution and the global
+    one, t = Σ_bins |CumP_group − CumP_global| / (B − 1). A group
+    can pass k-anonymity AND l-diversity yet still reveal that e.g.
+    "errors at 3am are always cheap" — this is the gate that
+    catches distribution skew, completing the privacy triple.
+
+    Exactness: the cumulative-share differences fold with the common
+    denominator g·N as |cum_g·N − cum_all·g| in decimal(38,0), so t
+    is one integer→double division per group — engine-identical.
+    Scale: grid = QI groups × global bins (both domain-bounded,
+    broadcast nested-loop), one key-partitioned cumulative window,
+    one group fold. Nothing scales with the event count except the
+    cell agg upstream."""
+    groups = cells.groupBy("event_type", "hod").agg(
+        F.sum("n").cast("long").alias("g")
+    )
+    bins = cells.groupBy("vb").agg(
+        F.sum("n").cast("long").alias("nb")
+    )
+    tot = bins.agg(
+        F.sum("nb").cast("long").alias("n_tot"),
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+    )
+    # global cumulative by broadcast theta-join over the value-
+    # domain-bounded bin table (the `events_dp_median` idiom — no
+    # window, D²-bounded compare volume)
+    a = bins.select(F.col("vb"))
+    b = bins.select(
+        F.col("vb").alias("vb2"), F.col("nb").alias("nb2")
+    )
+    cum_bins = (
+        a.join(F.broadcast(b), F.col("vb2") <= F.col("vb"))
+        .groupBy("vb")
+        .agg(F.sum("nb2").cast("long").alias("cum_all"))
+    )
+    grid = groups.crossJoin(
+        F.broadcast(cum_bins.crossJoin(F.broadcast(tot)))
+    )
+    # keys rename on the self-lineage join (drained-relation rule)
+    cr = cells.select(
+        F.col("event_type").alias("et_c"),
+        F.col("hod").alias("hod_c"),
+        F.col("vb").alias("vb_c"),
+        F.col("n").alias("n_c"),
+    )
+    cellj = grid.join(
+        cr,
+        (F.col("event_type") == F.col("et_c"))
+        & (F.col("hod") == F.col("hod_c"))
+        & (F.col("vb") == F.col("vb_c")),
+        "left",
+    ).select(
+        "event_type",
+        "hod",
+        "g",
+        "vb",
+        "cum_all",
+        "n_tot",
+        "n_bins",
+        F.coalesce(F.col("n_c"), F.lit(0)).cast("long").alias("cn"),
+    )
+    wg = (
+        Window.partitionBy("event_type", "hod")
+        .orderBy("vb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = cellj.select(
+        "event_type",
+        "hod",
+        "g",
+        "cum_all",
+        "n_tot",
+        "n_bins",
+        F.sum("cn").over(wg).cast("long").alias("cum_g"),
+    )
+    term = F.abs(
+        F.col("cum_g").cast("decimal(38,0)") * F.col("n_tot")
+        - F.col("cum_all").cast("decimal(38,0)") * F.col("g")
+    )
+    per = cum.groupBy("event_type", "hod", "g", "n_tot", "n_bins").agg(
+        F.sum(term).alias("s")
+    )
+    t = F.col("s").cast("double") / (
+        F.col("g").cast("double")
+        * F.col("n_tot").cast("double")
+        * (F.col("n_bins") - 1).cast("double")
+    )
+    tq = quantize(t, 6)
+    return per.select(
+        "event_type",
+        "hod",
+        F.col("g").alias("n_rows"),
+        F.col("n_bins").alias("n_bins_global"),
+        tq.alias("t_emd"),
+        (tq > T_CLOSENESS).alias("breach"),
+    )
+
+
+def events_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit per (event_type, hour-of-day) QI group with
+    `value` as the sensitive attribute — see
+    :func:`t_closeness_from_cells` for semantics and the exactness
+    contract."""
+    return t_closeness_from_cells(
+        t_closeness_cells(load_table(spark, sf_dir, "events"))
+    )
+
+
 CEM_ACT_BIN = 8  # pre-period activity bin width (events per bin)
 CEM_ERR_BIN = 4  # pre-period error-count bin width
 CEM_ACT_CAP = 7  # top bin (open-ended) for both covariates
@@ -6431,6 +6556,7 @@ def events_cem_att(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "events_cem_att": events_cem_att,
+    "events_t_closeness": events_t_closeness,
     "events_cuped": events_cuped,
     "events_dp_median": events_dp_median,
     "events_sequential_msprt": events_sequential_msprt,
@@ -9963,4 +10089,63 @@ ORACLE["events_cem_att"] = f"""
            tot_treat - t_m AS pruned_treat,
            tot_ctrl - c_m AS pruned_ctrl
     FROM att CROSS JOIN totals
+"""
+
+
+ORACLE["events_t_closeness"] = f"""
+    WITH cells AS (
+      SELECT event_type, hour(ts) AS hod,
+             CAST(floor(value / 10.0) AS BIGINT) AS vb,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2, 3
+    ),
+    groups AS (
+      SELECT event_type, hod, CAST(sum(n) AS BIGINT) AS g
+      FROM cells GROUP BY 1, 2
+    ),
+    bins AS (
+      SELECT vb, CAST(sum(n) AS BIGINT) AS nb FROM cells GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(nb) AS BIGINT) AS n_tot,
+             CAST(count(*) AS BIGINT) AS n_bins
+      FROM bins
+    ),
+    cum_bins AS (
+      SELECT a.vb, CAST(sum(b.nb) AS BIGINT) AS cum_all
+      FROM bins a JOIN bins b ON b.vb <= a.vb GROUP BY 1
+    ),
+    grid AS (
+      SELECT * FROM groups CROSS JOIN cum_bins CROSS JOIN tot
+    ),
+    cellj AS (
+      SELECT gr.event_type, gr.hod, gr.g, gr.vb, gr.cum_all,
+             gr.n_tot, gr.n_bins,
+             CAST(coalesce(c.n, 0) AS BIGINT) AS cn
+      FROM grid gr LEFT JOIN cells c
+        ON c.event_type = gr.event_type AND c.hod = gr.hod
+       AND c.vb = gr.vb
+    ),
+    cum AS (
+      SELECT event_type, hod, g, cum_all, n_tot, n_bins,
+             CAST(sum(cn) OVER (PARTITION BY event_type, hod
+                                ORDER BY vb) AS BIGINT) AS cum_g
+      FROM cellj
+    ),
+    per AS (
+      SELECT event_type, hod, g, n_tot, n_bins,
+             sum(abs(cum_g * n_tot - cum_all * g)) AS s
+      FROM cum GROUP BY 1, 2, 3, 4, 5
+    )
+    SELECT event_type, hod, g AS n_rows, n_bins AS n_bins_global,
+           {sql_quantize(
+               'CAST(s AS DOUBLE) / (CAST(g AS DOUBLE)'
+               ' * CAST(n_tot AS DOUBLE)'
+               ' * CAST(n_bins - 1 AS DOUBLE))', 6)} AS t_emd,
+           {sql_quantize(
+               'CAST(s AS DOUBLE) / (CAST(g AS DOUBLE)'
+               ' * CAST(n_tot AS DOUBLE)'
+               ' * CAST(n_bins - 1 AS DOUBLE))', 6)} > {T_CLOSENESS}
+             AS breach
+    FROM per
 """

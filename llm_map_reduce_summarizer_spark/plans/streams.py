@@ -1778,6 +1778,27 @@ def stream_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l_diversity_from_cells(cells)
 
 
+def stream_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming t-closeness monitor: the QI × value-bin cells
+    accumulate AT INGEST (state = the QI domain × the value grid —
+    a dimension product, never stream length) and the ordered-EMD
+    audit evaluates post-drain via the exact batch computation
+    (`events.t_closeness_from_cells`). Drain == batch
+    `events_t_closeness`, whose oracle it shares."""
+    from pyspark.sql import functions as F
+
+    from .events import t_closeness_from_cells
+
+    ev = read_events_stream(spark, sf_dir)
+    cells = ev.groupBy(
+        "event_type",
+        F.hour("ts").alias("hod"),
+        F.floor(F.col("value") / 10.0).cast("long").alias("vb"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    snap = run_available_now(cells, output_mode="complete")
+    return t_closeness_from_cells(snap)
+
+
 def stream_value_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming OHLC candles: the per-(type, hour) struct-min/max
     state accumulates AT INGEST (state = calendar-bounded cells of
@@ -3042,6 +3063,7 @@ QUERIES = {
     "stream_user_entropy": stream_user_entropy,
     "stream_dow_hour_heatmap": stream_dow_hour_heatmap,
     "stream_l_diversity": stream_l_diversity,
+    "stream_t_closeness": stream_t_closeness,
     "stream_coverage": stream_coverage,
     "stream_peak_hours": stream_peak_hours,
     "stream_hour_concentration": stream_hour_concentration,
@@ -3167,6 +3189,7 @@ ORACLE = {
     "stream_dow_hour_heatmap":
         _EVENTS_ORACLE["events_dow_hour_heatmap"],
     "stream_l_diversity": _EVENTS_ORACLE["events_l_diversity"],
+    "stream_t_closeness": _EVENTS_ORACLE["events_t_closeness"],
     "stream_coverage": _EVENTS_ORACLE["events_coverage"],
     "stream_peak_hours": _EVENTS_ORACLE["events_peak_hours"],
     "stream_hour_concentration":

@@ -1301,3 +1301,34 @@ def test_cem_att_internally_consistent(spark):
         float(att["mean_treat"]) - float(att["mean_ctrl"]),
         1e-3,
     )
+
+
+def test_t_closeness_matches_numpy(spark):
+    """Ordered-EMD recomputed from raw events for every QI group:
+    t = Σ|CumP_g − CumP_all| / (B−1) over the global bin grid."""
+    out = (
+        QUERIES["events_t_closeness"](spark, SF_SMOKE)
+        .toPandas()
+        .set_index(["event_type", "hod"])
+    )
+    ev = _events()
+    ev = ev.assign(
+        hod=pd.to_datetime(ev["ts"]).dt.hour,
+        vb=np.floor(ev["value"] / 10.0).astype(int),
+    )
+    bins = np.sort(ev["vb"].unique())
+    p_all = (
+        ev["vb"].value_counts().reindex(bins, fill_value=0).to_numpy()
+        / len(ev)
+    )
+    cum_all = np.cumsum(p_all)
+    for (et, hod), g in ev.groupby(["event_type", "hod"]):
+        p_g = (
+            g["vb"].value_counts().reindex(bins, fill_value=0).to_numpy()
+            / len(g)
+        )
+        t = np.abs(np.cumsum(p_g) - cum_all).sum() / (len(bins) - 1)
+        row = out.loc[(et, hod)]
+        assert int(row["n_rows"]) == len(g)
+        assert int(row["n_bins_global"]) == len(bins)
+        assert _close(float(row["t_emd"]), t, 1e-4), (et, hod)
