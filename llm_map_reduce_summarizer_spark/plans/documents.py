@@ -3029,6 +3029,128 @@ def search_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BURROWS_K = 50  # marker-word panel size for the stylometric delta
+
+
+def corpus_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' Delta between sources (the classic stylometric
+    distance): z-score each source's relative frequency of the
+    corpus's top-``BURROWS_K`` marker words across sources, then
+    Delta(a,b) = mean |z_a − z_b| over the panel — near-zero means
+    two "sources" share a register (template farms, mirrored sites),
+    exactly the provenance signal a mix planner wants before trusting
+    source labels.
+
+    Exactness: frequencies scale to integer parts-per-1e9 (an
+    engine-identical double fold), z-scores reduce to
+    (S·f − Σf)/√(S·Σf² − (Σf)²) over those exact integers and
+    quantize to micro-units before the pairwise fold, so every Delta
+    is a ratio of exact integers. Scale: marker panel = top-K
+    TakeOrderedAndProject; grid = sources × K (domain-bounded,
+    broadcast); the pairwise stage is S²·K over the SOURCE domain,
+    never over documents."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "source", F.explode(words(F.col("text"))).alias("term")
+    )
+    st = toks.groupBy("source", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    stot = st.groupBy("source").agg(
+        F.sum("n").cast("long").alias("tot")
+    )
+    topk = (
+        st.groupBy("term")
+        .agg(F.sum("n").cast("long").alias("c"))
+        .orderBy(F.col("c").desc(), "term")
+        .limit(BURROWS_K)
+        .select(F.col("term").alias("term_k"))
+    )
+    # keys rename on the self-lineage joins (drained-relation rule)
+    ck = st.join(
+        F.broadcast(topk), F.col("term") == F.col("term_k")
+    ).select(
+        F.col("source").alias("src_c"),
+        F.col("term").alias("term_c"),
+        F.col("n").alias("n_c"),
+    )
+    grid = stot.crossJoin(F.broadcast(topk))
+    f9 = F.floor(
+        (
+            F.coalesce(F.col("n_c"), F.lit(0)).cast("double")
+            / F.col("tot")
+        )
+        * 1e9
+    ).cast("long")
+    gj = grid.join(
+        ck,
+        (F.col("source") == F.col("src_c"))
+        & (F.col("term_k") == F.col("term_c")),
+        "left",
+    ).select("source", F.col("term_k").alias("term"), f9.alias("f9"))
+    mt = gj.groupBy(F.col("term").alias("term_m")).agg(
+        F.count(F.lit(1)).cast("long").alias("s_n"),
+        F.sum("f9").cast("decimal(38,0)").alias("sf"),
+        F.sum(
+            F.col("f9").cast("decimal(38,0)") * F.col("f9")
+        ).alias("sff"),
+    )
+    zt = gj.join(
+        F.broadcast(mt), F.col("term") == F.col("term_m")
+    ).select(
+        "source",
+        "term",
+        F.when(
+            (
+                F.col("s_n").cast("decimal(38,0)") * F.col("sff")
+                - F.col("sf") * F.col("sf")
+            ).cast("double")
+            > 0,
+            F.floor(
+                (
+                    (
+                        F.col("s_n").cast("decimal(38,0)")
+                        * F.col("f9").cast("decimal(38,0)")
+                        - F.col("sf")
+                    ).cast("double")
+                    / F.sqrt(
+                        (
+                            F.col("s_n").cast("decimal(38,0)")
+                            * F.col("sff")
+                            - F.col("sf") * F.col("sf")
+                        ).cast("double")
+                    )
+                )
+                * 1e6
+                + 0.5
+            ).cast("long"),
+        )
+        .otherwise(0)
+        .alias("zq"),
+    )
+    zb = zt.select(
+        F.col("source").alias("source_b"),
+        F.col("term").alias("term_b"),
+        F.col("zq").alias("zq_b"),
+    )
+    pairs = zt.join(
+        zb,
+        (F.col("term") == F.col("term_b"))
+        & (F.col("source") < F.col("source_b")),
+    )
+    per = pairs.groupBy(
+        F.col("source").alias("source_a"), "source_b"
+    ).agg(F.sum(F.abs(F.col("zq") - F.col("zq_b"))).cast("long").alias("s"))
+    return per.select(
+        "source_a",
+        "source_b",
+        quantize(
+            F.col("s").cast("double") / F.lit(float(BURROWS_K * 1_000_000)),
+            6,
+        ).alias("delta"),
+    )
+
+
 BPE_TOP = 20  # exported head of the pair-merge census
 
 
@@ -7858,6 +7980,7 @@ QUERIES = {
     "corpus_kn_bigram_lm": corpus_kn_bigram_lm,
     "search_map": search_map,
     "corpus_bpe_pair_census": corpus_bpe_pair_census,
+    "corpus_burrows_delta": corpus_burrows_delta,
     "corpus_textrank_terms": corpus_textrank_terms,
     "corpus_budget_waterfill": corpus_budget_waterfill,
     "multimodal_neardup": multimodal_neardup,
@@ -12993,4 +13116,62 @@ ORACLE["corpus_bpe_pair_census"] = f"""
            total_symbols - n AS symbols_after_merge
     FROM pc CROSS JOIN tot
     ORDER BY n_occurrences DESC, pair LIMIT {BPE_TOP}
+"""
+
+
+ORACLE["corpus_burrows_delta"] = f"""
+    WITH toks AS (
+      SELECT source, unnest({_W}) AS term FROM documents
+    ),
+    st AS (
+      SELECT source, term, CAST(count(*) AS BIGINT) AS n
+      FROM toks GROUP BY 1, 2
+    ),
+    stot AS (
+      SELECT source, CAST(sum(n) AS BIGINT) AS tot
+      FROM st GROUP BY 1
+    ),
+    topk AS (
+      SELECT term FROM (
+        SELECT term, CAST(sum(n) AS BIGINT) AS c
+        FROM st GROUP BY 1 ORDER BY c DESC, term
+        LIMIT {BURROWS_K}
+      )
+    ),
+    grid AS (
+      SELECT s.source, s.tot, k.term FROM stot s CROSS JOIN topk k
+    ),
+    gj AS (
+      SELECT g.source, g.term,
+             CAST(floor((CAST(coalesce(c.n, 0) AS DOUBLE) / g.tot)
+               * 1e9) AS BIGINT) AS f9
+      FROM grid g LEFT JOIN st c
+        ON c.source = g.source AND c.term = g.term
+    ),
+    mt AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS s_n,
+             sum(f9) AS sf, sum(f9 * f9) AS sff
+      FROM gj GROUP BY 1
+    ),
+    zt AS (
+      SELECT gj.source, gj.term,
+        CASE WHEN CAST(mt.s_n * mt.sff - mt.sf * mt.sf AS DOUBLE) > 0
+          THEN CAST(floor((CAST(mt.s_n * gj.f9 - mt.sf AS DOUBLE)
+            / sqrt(CAST(mt.s_n * mt.sff - mt.sf * mt.sf
+                        AS DOUBLE))) * 1e6 + 0.5) AS BIGINT)
+          ELSE 0 END AS zq
+      FROM gj JOIN mt USING (term)
+    ),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(sum(abs(a.zq - b.zq)) AS BIGINT) AS s
+      FROM zt a JOIN zt b
+        ON a.term = b.term AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT source_a, source_b,
+           {sql_quantize(
+               'CAST(s AS DOUBLE) / '
+               + str(float(BURROWS_K * 1_000_000)), 6)} AS delta
+    FROM pairs
 """

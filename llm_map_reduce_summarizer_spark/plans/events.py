@@ -6262,6 +6262,217 @@ def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return did_from_cells(did_cells(load_table(spark, sf_dir, "events")))
 
 
+IV_TREAT_MIN = 14  # signups defining the endogenous treatment (median-ish)
+IV_FS_MIN = 0.01  # weak-instrument fence on the first stage
+
+
+def iv_user_cells(ev: DataFrame) -> DataFrame:
+    """(user_id, z, signups, y) per-user fold — the user-bounded
+    mergeable state shared by the batch Wald estimator and its
+    streaming twin (counts and cent-grid sums only)."""
+    return ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == "signup", 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("signups"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.floor(F.col("value") * 100 + 0.5).cast("long"),
+            )
+            .otherwise(0)
+            .cast("decimal(38,0)")
+        ).alias("y"),
+    )
+
+
+def iv_wald_from_users(users: DataFrame) -> DataFrame:
+    """The Wald IV estimator over drained per-user cells: instrument
+    z = even user_id (the experiment convention — an encouragement
+    arm), endogenous treatment d = heavy signup activity
+    (≥ ``IV_TREAT_MIN``), outcome y = purchase value. Wald =
+    ITT / first-stage — the ratio that recovers the treatment effect
+    when d itself is self-selected — published ONLY when the first
+    stage clears the ``IV_FS_MIN`` weak-instrument fence (the honest
+    failure mode of IV, reported as a boolean instead of a wild
+    ratio). The fence compares the QUANTIZED first stage so both
+    engines decide identically.
+
+    Scale: one user-keyed partial agg upstream, then a single
+    conditional fold to one row — exact integers until the final
+    divisions."""
+    g = users.select(
+        (F.col("user_id") % 2 == 0).alias("z"),
+        (F.col("signups") >= IV_TREAT_MIN).alias("d"),
+        "y",
+    )
+    row = g.agg(
+        F.sum(F.when(F.col("z"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_z1"),
+        F.sum(F.when(~F.col("z"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_z0"),
+        F.sum(F.when(F.col("z") & F.col("d"), 1).otherwise(0))
+        .cast("long")
+        .alias("d_z1"),
+        F.sum(F.when((~F.col("z")) & F.col("d"), 1).otherwise(0))
+        .cast("long")
+        .alias("d_z0"),
+        F.sum(
+            F.when(F.col("z"), F.col("y")).otherwise(
+                F.lit(0).cast("decimal(38,0)")
+            )
+        ).alias("sy_z1"),
+        F.sum(
+            F.when(~F.col("z"), F.col("y")).otherwise(
+                F.lit(0).cast("decimal(38,0)")
+            )
+        ).alias("sy_z0"),
+    )
+    itt = (
+        F.col("sy_z1").cast("double") / F.col("n_z1")
+        - F.col("sy_z0").cast("double") / F.col("n_z0")
+    ) / 100.0
+    fs = (
+        F.col("d_z1").cast("double") / F.col("n_z1")
+        - F.col("d_z0").cast("double") / F.col("n_z0")
+    )
+    fsq = quantize(fs, 6)
+    weak = F.abs(fsq) < IV_FS_MIN
+    return row.select(
+        "n_z1",
+        "n_z0",
+        quantize(F.col("d_z1").cast("double") / F.col("n_z1"), 6).alias(
+            "d_rate_z1"
+        ),
+        quantize(F.col("d_z0").cast("double") / F.col("n_z0"), 6).alias(
+            "d_rate_z0"
+        ),
+        quantize(itt, 4).alias("itt"),
+        fsq.alias("first_stage"),
+        weak.alias("weak_instrument"),
+        F.when(~weak, quantize(itt / fs, 4)).alias("wald_late"),
+    )
+
+
+def events_iv_wald(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instrumental-variable (Wald) estimator — see
+    :func:`iv_wald_from_users` for semantics, exactness, and the
+    weak-instrument guard."""
+    return iv_wald_from_users(
+        iv_user_cells(load_table(spark, sf_dir, "events"))
+    )
+
+
+def its_cells(ev: DataFrame) -> DataFrame:
+    """(hour_us, y) hourly event counts — the calendar-bounded state
+    the segmented regression reads (shared with a streaming drain)."""
+    return ev.groupBy(
+        F.unix_micros(F.date_trunc("hour", F.col("ts"))).alias(
+            "hour_us"
+        )
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+
+
+def its_from_cells(cells: DataFrame) -> DataFrame:
+    """Interrupted-time-series (segmented regression) over drained
+    hourly counts: the observed hour range splits at its midpoint
+    index, a separate OLS line fits each side in closed form from
+    exact integer moment sums (x = hours since the cut), and the
+    report is the level jump and slope change AT the cut — the
+    regression-discontinuity-in-time complement to DiD (which needs
+    a control arm; this needs only the series).
+
+    Exactness: x and y are exact integers (hour index, counts);
+    every OLS term is a rational of exact decimal(38,0) sums, so
+    both engines derive identical doubles. Scale: cells are
+    calendar-bounded; the fold is one conditional agg + a 1-row
+    broadcast for the cut."""
+    bounds = cells.agg(
+        F.min("hour_us").alias("mn"), F.max("hour_us").alias("mx")
+    )
+    g = cells.crossJoin(F.broadcast(bounds)).select(
+        "y",
+        (
+            (F.col("hour_us") - F.col("mn")) / F.lit(3600000000)
+        )
+        .cast("long")
+        .alias("k"),
+        (
+            F.floor(
+                ((F.col("mx") - F.col("mn")) / F.lit(3600000000))
+                .cast("long")
+                / 2
+            )
+        )
+        .cast("long")
+        .alias("kc"),
+    )
+    x = (F.col("k") - F.col("kc")).cast("long")
+    post = F.col("k") >= F.col("kc")
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+
+    def side(p, expr, name):
+        cond = F.col("post") if p else ~F.col("post")
+        return F.sum(
+            F.when(cond, d(expr)).otherwise(F.lit(0).cast("decimal(38,0)"))
+        ).alias(name)
+
+    row = g.select(
+        x.alias("x"), "y", post.alias("post")
+    ).agg(
+        *[
+            side(p, e, f"{n}_{s}")
+            for p, s in ((False, "pre"), (True, "post"))
+            for n, e in (
+                ("n", F.lit(1)),
+                ("sx", F.col("x")),
+                ("sy", F.col("y")),
+                ("sxx", F.col("x") * F.col("x")),
+                ("sxy", F.col("x") * F.col("y")),
+            )
+        ]
+    )
+
+    def fit(s):
+        n = F.col(f"n_{s}").cast("double")
+        sx = F.col(f"sx_{s}").cast("double")
+        sy = F.col(f"sy_{s}").cast("double")
+        sxx = F.col(f"sxx_{s}").cast("double")
+        sxy = F.col(f"sxy_{s}").cast("double")
+        den = n * sxx - sx * sx
+        slope = F.when(den > 0, (n * sxy - sx * sy) / den)
+        level = F.when(
+            den > 0, (sy - ((n * sxy - sx * sy) / den) * sx) / n
+        )
+        return slope, level
+
+    slope_pre, level_pre = fit("pre")
+    slope_post, level_post = fit("post")
+    return row.select(
+        F.col("n_pre").cast("long").alias("n_pre_hours"),
+        F.col("n_post").cast("long").alias("n_post_hours"),
+        quantize(slope_pre, 4).alias("slope_pre"),
+        quantize(slope_post, 4).alias("slope_post"),
+        quantize(slope_post - slope_pre, 4).alias("slope_change"),
+        quantize(level_pre, 4).alias("level_pre_at_cut"),
+        quantize(level_post, 4).alias("level_post_at_cut"),
+        quantize(level_post - level_pre, 4).alias("level_jump"),
+    )
+
+
+def events_interrupted_ts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Interrupted-time-series segmented regression — see
+    :func:`its_from_cells`."""
+    return its_from_cells(
+        its_cells(load_table(spark, sf_dir, "events"))
+    )
+
+
 T_CLOSENESS = 0.2  # EMD fence for the t-closeness audit
 
 
@@ -6557,6 +6768,8 @@ def events_cem_att(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "events_cem_att": events_cem_att,
     "events_t_closeness": events_t_closeness,
+    "events_iv_wald": events_iv_wald,
+    "events_interrupted_ts": events_interrupted_ts,
     "events_cuped": events_cuped,
     "events_dp_median": events_dp_median,
     "events_sequential_msprt": events_sequential_msprt,
@@ -10148,4 +10361,125 @@ ORACLE["events_t_closeness"] = f"""
                ' * CAST(n_bins - 1 AS DOUBLE))', 6)} > {T_CLOSENESS}
              AS breach
     FROM per
+"""
+
+
+ORACLE["events_iv_wald"] = f"""
+    WITH u AS (
+      SELECT user_id,
+             CAST(sum(CASE WHEN event_type = 'signup'
+                  THEN 1 ELSE 0 END) AS BIGINT) AS signups,
+             sum(CASE WHEN event_type = 'purchase'
+                 THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                 ELSE 0 END) AS y
+      FROM events GROUP BY 1
+    ),
+    g AS (
+      SELECT (user_id % 2 = 0) AS z,
+             (signups >= {IV_TREAT_MIN}) AS d, y
+      FROM u
+    ),
+    r AS (
+      SELECT
+        CAST(sum(CASE WHEN z THEN 1 ELSE 0 END) AS BIGINT) AS n_z1,
+        CAST(sum(CASE WHEN NOT z THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_z0,
+        CAST(sum(CASE WHEN z AND d THEN 1 ELSE 0 END) AS BIGINT)
+          AS d_z1,
+        CAST(sum(CASE WHEN NOT z AND d THEN 1 ELSE 0 END) AS BIGINT)
+          AS d_z0,
+        sum(CASE WHEN z THEN y ELSE 0 END) AS sy_z1,
+        sum(CASE WHEN NOT z THEN y ELSE 0 END) AS sy_z0
+      FROM g
+    ),
+    e AS (
+      SELECT *,
+             (CAST(sy_z1 AS DOUBLE) / n_z1
+              - CAST(sy_z0 AS DOUBLE) / n_z0) / 100.0 AS itt,
+             CAST(d_z1 AS DOUBLE) / n_z1
+              - CAST(d_z0 AS DOUBLE) / n_z0 AS fs
+      FROM r
+    ),
+    q AS (
+      SELECT *, {sql_quantize('fs', 6)} AS fsq FROM e
+    )
+    SELECT n_z1, n_z0,
+           {sql_quantize('CAST(d_z1 AS DOUBLE) / n_z1', 6)}
+             AS d_rate_z1,
+           {sql_quantize('CAST(d_z0 AS DOUBLE) / n_z0', 6)}
+             AS d_rate_z0,
+           {sql_quantize('itt', 4)} AS itt,
+           fsq AS first_stage,
+           abs(fsq) < {IV_FS_MIN} AS weak_instrument,
+           CASE WHEN NOT (abs(fsq) < {IV_FS_MIN})
+             THEN {sql_quantize('itt / fs', 4)} END AS wald_late
+    FROM q
+"""
+
+_ITS_SIDE = """
+        CAST(sum(CASE WHEN {c} THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_{s},
+        sum(CASE WHEN {c} THEN x ELSE 0 END) AS sx_{s},
+        sum(CASE WHEN {c} THEN y ELSE 0 END) AS sy_{s},
+        sum(CASE WHEN {c} THEN x * x ELSE 0 END) AS sxx_{s},
+        sum(CASE WHEN {c} THEN x * y ELSE 0 END) AS sxy_{s}"""
+
+_ITS_FIT = (
+    "(CAST(n_{s} AS DOUBLE) * CAST(sxy_{s} AS DOUBLE)"
+    " - CAST(sx_{s} AS DOUBLE) * CAST(sy_{s} AS DOUBLE))"
+    " / (CAST(n_{s} AS DOUBLE) * CAST(sxx_{s} AS DOUBLE)"
+    " - CAST(sx_{s} AS DOUBLE) * CAST(sx_{s} AS DOUBLE))"
+)
+_ITS_DEN = (
+    "(CAST(n_{s} AS DOUBLE) * CAST(sxx_{s} AS DOUBLE)"
+    " - CAST(sx_{s} AS DOUBLE) * CAST(sx_{s} AS DOUBLE))"
+)
+_ITS_LVL = (
+    "(CAST(sy_{s} AS DOUBLE) - (" + _ITS_FIT + ")"
+    " * CAST(sx_{s} AS DOUBLE)) / CAST(n_{s} AS DOUBLE)"
+)
+
+ORACLE["events_interrupted_ts"] = f"""
+    WITH cells AS (
+      SELECT epoch_us(date_trunc('hour', ts)) AS hour_us,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ),
+    b AS (SELECT min(hour_us) AS mn, max(hour_us) AS mx FROM cells),
+    g AS (
+      SELECT y,
+             CAST((hour_us - mn) / 3600000000 AS BIGINT) AS k,
+             CAST(floor(CAST((mx - mn) / 3600000000 AS BIGINT)
+               / 2.0) AS BIGINT) AS kc
+      FROM cells CROSS JOIN b
+    ),
+    gx AS (
+      SELECT y, (k - kc) AS x, (k >= kc) AS post FROM g
+    ),
+    m AS (
+      SELECT{_ITS_SIDE.format(c='NOT post', s='pre')},
+      {_ITS_SIDE.format(c='post', s='post')}
+      FROM gx
+    ),
+    f AS (
+      SELECT n_pre, n_post,
+        CASE WHEN {_ITS_DEN.format(s='pre')} > 0
+          THEN {_ITS_FIT.format(s='pre')} END AS slope_pre,
+        CASE WHEN {_ITS_DEN.format(s='post')} > 0
+          THEN {_ITS_FIT.format(s='post')} END AS slope_post,
+        CASE WHEN {_ITS_DEN.format(s='pre')} > 0
+          THEN {_ITS_LVL.format(s='pre')} END AS level_pre,
+        CASE WHEN {_ITS_DEN.format(s='post')} > 0
+          THEN {_ITS_LVL.format(s='post')} END AS level_post
+      FROM m
+    )
+    SELECT n_pre AS n_pre_hours, n_post AS n_post_hours,
+           {sql_quantize('slope_pre', 4)} AS slope_pre,
+           {sql_quantize('slope_post', 4)} AS slope_post,
+           {sql_quantize('slope_post - slope_pre', 4)}
+             AS slope_change,
+           {sql_quantize('level_pre', 4)} AS level_pre_at_cut,
+           {sql_quantize('level_post', 4)} AS level_post_at_cut,
+           {sql_quantize('level_post - level_pre', 4)} AS level_jump
+    FROM f
 """

@@ -1778,6 +1778,34 @@ def stream_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l_diversity_from_cells(cells)
 
 
+def stream_iv_wald(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Wald IV estimator: per-user (signups, purchase
+    cents) fold AT INGEST (the user-bounded mergeable state class)
+    and the two-arm ratio evaluates post-drain via the exact batch
+    computation (`events.iv_wald_from_users`). Drain == batch
+    `events_iv_wald`, whose oracle it shares."""
+    from .events import iv_user_cells, iv_wald_from_users
+
+    ev = read_events_stream(spark, sf_dir)
+    snap = run_available_now(
+        iv_user_cells(ev), output_mode="complete"
+    )
+    return iv_wald_from_users(snap)
+
+
+def stream_interrupted_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming interrupted-time-series: hourly counts accumulate
+    AT INGEST (the calendar-bounded `stream_hourly` state class) and
+    the segmented regression evaluates post-drain via the exact
+    batch computation (`events.its_from_cells`). Drain == batch
+    `events_interrupted_ts`, whose oracle it shares."""
+    from .events import its_cells, its_from_cells
+
+    ev = read_events_stream(spark, sf_dir)
+    snap = run_available_now(its_cells(ev), output_mode="complete")
+    return its_from_cells(snap)
+
+
 def stream_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming t-closeness monitor: the QI × value-bin cells
     accumulate AT INGEST (state = the QI domain × the value grid —
@@ -3064,6 +3092,8 @@ QUERIES = {
     "stream_dow_hour_heatmap": stream_dow_hour_heatmap,
     "stream_l_diversity": stream_l_diversity,
     "stream_t_closeness": stream_t_closeness,
+    "stream_iv_wald": stream_iv_wald,
+    "stream_interrupted_ts": stream_interrupted_ts,
     "stream_coverage": stream_coverage,
     "stream_peak_hours": stream_peak_hours,
     "stream_hour_concentration": stream_hour_concentration,
@@ -3190,6 +3220,8 @@ ORACLE = {
         _EVENTS_ORACLE["events_dow_hour_heatmap"],
     "stream_l_diversity": _EVENTS_ORACLE["events_l_diversity"],
     "stream_t_closeness": _EVENTS_ORACLE["events_t_closeness"],
+    "stream_iv_wald": _EVENTS_ORACLE["events_iv_wald"],
+    "stream_interrupted_ts": _EVENTS_ORACLE["events_interrupted_ts"],
     "stream_coverage": _EVENTS_ORACLE["events_coverage"],
     "stream_peak_hours": _EVENTS_ORACLE["events_peak_hours"],
     "stream_hour_concentration":

@@ -1332,3 +1332,95 @@ def test_t_closeness_matches_numpy(spark):
         assert int(row["n_rows"]) == len(g)
         assert int(row["n_bins_global"]) == len(bins)
         assert _close(float(row["t_emd"]), t, 1e-4), (et, hod)
+
+
+def test_interrupted_ts_matches_numpy(spark):
+    """Segmented regression recomputed with np.polyfit per side."""
+    row = (
+        QUERIES["events_interrupted_ts"](spark, SF_SMOKE)
+        .toPandas()
+        .iloc[0]
+    )
+    ev = _events()
+    hourly = ev.set_index("ts").resample("1h")["event_id"].count()
+    hourly = hourly[hourly > 0]
+    k = (
+        (hourly.index - hourly.index.min())
+        / pd.Timedelta(hours=1)
+    ).astype(int)
+    kc = int(k.max() // 2)
+    x = (k - kc).to_numpy(float)
+    y = hourly.to_numpy(float)
+    pre, post = x < 0, x >= 0
+    sp, lp = np.polyfit(x[pre], y[pre], 1)
+    ss, ls = np.polyfit(x[post], y[post], 1)
+    assert int(row["n_pre_hours"]) == int(pre.sum())
+    assert int(row["n_post_hours"]) == int(post.sum())
+    assert _close(float(row["slope_pre"]), sp, 1e-3)
+    assert _close(float(row["slope_post"]), ss, 1e-3)
+    assert _close(float(row["level_pre_at_cut"]), lp, 1e-3)
+    assert _close(float(row["level_post_at_cut"]), ls, 1e-3)
+    assert _close(
+        float(row["level_jump"]), ls - lp, 1e-3
+    )
+
+
+def test_iv_wald_identity(spark):
+    """Wald = ITT / first-stage exactly when the instrument clears
+    the weak fence; the arms partition the user population."""
+    row = QUERIES["events_iv_wald"](spark, SF_SMOKE).toPandas().iloc[0]
+    ev = _events()
+    assert int(row["n_z1"]) + int(row["n_z0"]) == ev["user_id"].nunique()
+    if not row["weak_instrument"]:
+        assert _close(
+            float(row["wald_late"]),
+            float(row["itt"]) / float(row["first_stage"]),
+            2e-3,
+        )
+
+
+def test_burrows_delta_invariants(spark):
+    """Delta over every unordered source pair: non-negative, one row
+    per pair, and recomputed in numpy from raw tokens."""
+    out = QUERIES["corpus_burrows_delta"](spark, SF_SMOKE).toPandas()
+    d = _documents()
+    toks = (
+        d.assign(term=d["text"].str.strip().str.lower().str.split(r"\s+"))
+        .explode("term")
+    )
+    st = toks.groupby(["source", "term"]).size().rename("n").reset_index()
+    srcs = sorted(st["source"].unique())
+    S = len(srcs)
+    assert len(out) == S * (S - 1) // 2
+    assert (out["delta"] >= 0).all()
+    top = (
+        st.groupby("term")["n"]
+        .sum()
+        .reset_index()
+        .sort_values(["n", "term"], ascending=[False, True])
+        .head(50)["term"]
+        .tolist()
+    )
+    tot = st.groupby("source")["n"].sum()
+    # K=50 columns even when the vocabulary is smaller: the op's
+    # Delta normalizes by the PANEL size, and absent panel slots are
+    # all-zero columns (sd=0 → z=0) in both formulations
+    f = np.zeros((S, 50))
+    idx = {s: i for i, s in enumerate(srcs)}
+    sub = st[st["term"].isin(top)]
+    tpos = {t: j for j, t in enumerate(top)}
+    for _, r in sub.iterrows():
+        f[idx[r["source"]], tpos[r["term"]]] = np.floor(
+            r["n"] / tot[r["source"]] * 1e9
+        )
+    mu = f.mean(0)
+    sd = f.std(0)
+    z = np.where(sd > 0, (f - mu) / np.where(sd > 0, sd, 1.0), 0.0)
+    for _, r in out.iterrows():
+        expect = np.abs(
+            z[idx[r["source_a"]]] - z[idx[r["source_b"]]]
+        ).mean()
+        assert _close(float(r["delta"]), expect, 1e-3), (
+            r["source_a"],
+            r["source_b"],
+        )
