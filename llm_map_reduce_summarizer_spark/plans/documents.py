@@ -3029,6 +3029,84 @@ def search_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LI_EVERY = 25  # plant one doc per language per 25th real doc
+LI_REPEAT = 5  # stopword-list repetitions per planted doc
+# planted texts derive from the SAME stopword constants the
+# production heuristic uses — including the fr/es shared-stopword
+# overlap, so the eval exercises the decision rule's tiebreaks, not
+# a toy separation. The zh probe sits squarely in the CJK block.
+LI_PLANTS = {
+    "de": " ".join(STOPWORDS["de"] * LI_REPEAT),
+    "es": " ".join(STOPWORDS["es"] * LI_REPEAT),
+    "fr": " ".join(STOPWORDS["fr"] * LI_REPEAT),
+    "zh": "你好 世界 测试 数据",
+}
+
+
+def langid_injection_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Ground-truth evaluation of the language-ID heuristic: plant
+    deterministic foreign-language probe docs (pure stopword text per
+    language — including the French/Spanish shared-stopword overlap
+    that stresses the tiebreak order, and a CJK probe) alongside the
+    corpus, run the exact production scorer, and report the per-
+    language catch rate next to the clean-corpus 'en' baseline. The
+    injection-eval discipline (`quality_injection_eval` & co.)
+    extended to the langid gate.
+
+    Scale: planted rows = corpus/25 × 4 languages (a narrow map +
+    explode over a 4-element literal array); the scorer is the
+    production narrow expression; one 5-row strata fold.
+    """
+    d = _docs(spark, sf_dir)
+    probes = F.array(
+        *[
+            F.struct(
+                F.lit(lang).alias("elang"), F.lit(txt).alias("ptext")
+            )
+            for lang, txt in sorted(LI_PLANTS.items())
+        ]
+    )
+    planted = (
+        d.filter(F.col("doc_id") % LI_EVERY == 0)
+        .select(F.explode(probes).alias("p"))
+        .select(
+            F.col("p.elang").alias("expected"),
+            F.col("p.ptext").alias("text"),
+        )
+    )
+    clean = d.select(F.lit("clean_en").alias("expected"), "text")
+    aug = clean.unionByName(planted)
+    scores = lang_score_cols()
+    scored = aug.select(
+        "expected",
+        *[
+            scores[k].alias(k)
+            for k in ["s_en", "s_de", "s_es", "s_fr", "s_zh"]
+        ],
+    ).withColumn("pred_lang", pred_lang_col())
+    hit = F.when(
+        F.col("expected") == "clean_en", F.col("pred_lang") == "en"
+    ).otherwise(F.col("pred_lang") == F.col("expected"))
+    return (
+        scored.groupBy("expected")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(hit.cast("int")).cast("long").alias("n_pred_match"),
+        )
+        .select(
+            "expected",
+            "n_docs",
+            "n_pred_match",
+            quantize(
+                F.col("n_pred_match").cast("double") / F.col("n_docs"),
+                6,
+            ).alias("match_rate"),
+        )
+    )
+
+
 BURROWS_K = 50  # marker-word panel size for the stylometric delta
 
 
@@ -7000,20 +7078,44 @@ def emb_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combined aggregate — no shuffle beyond the 1-row
     rollup. Norms quantize 1e-6 before the distribution stats.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    return emb_norm_audit_from_cells(
+        emb_norm_cells(load_table(spark, sf_dir, "embeddings"))
+    )
+
+
+def emb_norm_cells(emb: DataFrame) -> DataFrame:
+    """(dim, nrm, n) cells over the quantized-norm grid — the
+    value-grid-class mergeable state shared by the batch audit and
+    the streaming twin (counts are exact integers, so any
+    micro-batch split drains identically)."""
     n = emb.select(
         F.size("embedding").cast("long").alias("dim"),
         quantize(
             F.sqrt(dot(F.col("embedding"), F.col("embedding"))), 6
         ).alias("nrm"),
     )
-    return n.agg(
-        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+    return n.groupBy("dim", "nrm").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+def emb_norm_audit_from_cells(cells: DataFrame) -> DataFrame:
+    """The one-row health rollup over drained (dim, nrm, n) cells;
+    the weighted exact percentile equals the row-level one because
+    the cells are exact value counts."""
+    return cells.agg(
+        F.sum("n").cast("long").alias("n_vecs"),
         F.min("dim").alias("dim_min"),
         F.max("dim").alias("dim_max"),
-        F.sum((F.col("nrm") == 0).cast("int")).cast("long").alias("n_zero"),
-        quantize(F.avg("nrm"), 4).alias("mean_norm"),
-        F.round(F.expr("percentile(nrm, 0.5)"), 4).alias("p50_norm"),
+        F.sum(F.when(F.col("nrm") == 0, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("n_zero"),
+        quantize(
+            F.sum(F.col("nrm") * F.col("n")) / F.sum("n"), 4
+        ).alias("mean_norm"),
+        F.round(F.expr("percentile(nrm, 0.5, n)"), 4).alias(
+            "p50_norm"
+        ),
         quantize(F.min("nrm"), 4).alias("min_norm"),
         quantize(F.max("nrm"), 4).alias("max_norm"),
     )
@@ -7981,6 +8083,7 @@ QUERIES = {
     "search_map": search_map,
     "corpus_bpe_pair_census": corpus_bpe_pair_census,
     "corpus_burrows_delta": corpus_burrows_delta,
+    "langid_injection_eval": langid_injection_eval,
     "corpus_textrank_terms": corpus_textrank_terms,
     "corpus_budget_waterfill": corpus_budget_waterfill,
     "multimodal_neardup": multimodal_neardup,
@@ -13174,4 +13277,65 @@ ORACLE["corpus_burrows_delta"] = f"""
                'CAST(s AS DOUBLE) / '
                + str(float(BURROWS_K * 1_000_000)), 6)} AS delta
     FROM pairs
+"""
+
+
+_LI_VALUES = ", ".join(
+    f"('{lang}', '{txt}')" for lang, txt in sorted(LI_PLANTS.items())
+)
+
+ORACLE["langid_injection_eval"] = f"""
+    WITH pl AS (
+      SELECT * FROM (VALUES {_LI_VALUES}) AS t(elang, ptext)
+    ),
+    anchors AS (
+      SELECT doc_id FROM documents WHERE doc_id % {LI_EVERY} = 0
+    ),
+    aug AS (
+      SELECT 'clean_en' AS expected, text FROM documents
+      UNION ALL
+      SELECT p.elang AS expected, p.ptext AS text
+      FROM anchors a CROSS JOIN pl p
+    ),
+    scored AS (
+      SELECT expected,
+             CAST(len(list_filter({_W},
+               t -> list_contains({_STOP_SQL['en']}, t))) AS BIGINT)
+               AS s_en,
+             CAST(len(list_filter({_W},
+               t -> list_contains({_STOP_SQL['de']}, t))) AS BIGINT)
+               AS s_de,
+             CAST(len(list_filter({_W},
+               t -> list_contains({_STOP_SQL['es']}, t))) AS BIGINT)
+               AS s_es,
+             CAST(len(list_filter({_W},
+               t -> list_contains({_STOP_SQL['fr']}, t))) AS BIGINT)
+               AS s_fr,
+             CAST(len(regexp_extract_all(text, '{CJK_PATTERN}'))
+               AS BIGINT) AS s_zh
+      FROM aug
+    ),
+    pred AS (
+      SELECT expected, CASE
+               WHEN s_zh > 0 THEN 'zh'
+               WHEN s_en >= greatest(s_de, s_es, s_fr) THEN 'en'
+               WHEN s_de >= greatest(s_es, s_fr) THEN 'de'
+               WHEN s_es >= s_fr THEN 'es'
+               ELSE 'fr' END AS pred_lang
+      FROM scored
+    ),
+    folded AS (
+      SELECT expected,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN (CASE WHEN expected = 'clean_en'
+                  THEN pred_lang = 'en'
+                  ELSE pred_lang = expected END)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_match
+      FROM pred GROUP BY 1
+    )
+    SELECT expected, n_docs, n_pred_match,
+           {sql_quantize(
+               'CAST(n_pred_match AS DOUBLE) / n_docs', 6)}
+             AS match_rate
+    FROM folded
 """

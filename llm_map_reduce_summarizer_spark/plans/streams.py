@@ -1778,6 +1778,24 @@ def stream_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l_diversity_from_cells(cells)
 
 
+def stream_emb_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming embedding-health monitor — the streaming tier's
+    first VECTOR-table op: (dim, quantized-norm) cell counts
+    accumulate AT INGEST (the value-grid state class, exact
+    integers ⇒ split-invariant) and the one-row audit (incl. the
+    exact weighted median) evaluates post-drain via the batch fold
+    (`documents.emb_norm_audit_from_cells`). Drain == batch
+    `emb_norm_audit`, whose oracle it shares."""
+    from ..streaming.stream_ops import read_embeddings_stream
+    from .documents import emb_norm_audit_from_cells, emb_norm_cells
+
+    emb = read_embeddings_stream(spark, sf_dir)
+    snap = run_available_now(
+        emb_norm_cells(emb), output_mode="complete"
+    )
+    return emb_norm_audit_from_cells(snap)
+
+
 def stream_iv_wald(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming Wald IV estimator: per-user (signups, purchase
     cents) fold AT INGEST (the user-bounded mergeable state class)
@@ -3093,6 +3111,7 @@ QUERIES = {
     "stream_l_diversity": stream_l_diversity,
     "stream_t_closeness": stream_t_closeness,
     "stream_iv_wald": stream_iv_wald,
+    "stream_emb_norm_audit": stream_emb_norm_audit,
     "stream_interrupted_ts": stream_interrupted_ts,
     "stream_coverage": stream_coverage,
     "stream_peak_hours": stream_peak_hours,
@@ -3221,6 +3240,7 @@ ORACLE = {
     "stream_l_diversity": _EVENTS_ORACLE["events_l_diversity"],
     "stream_t_closeness": _EVENTS_ORACLE["events_t_closeness"],
     "stream_iv_wald": _EVENTS_ORACLE["events_iv_wald"],
+    "stream_emb_norm_audit": _DOCS_ORACLE["emb_norm_audit"],
     "stream_interrupted_ts": _EVENTS_ORACLE["events_interrupted_ts"],
     "stream_coverage": _EVENTS_ORACLE["events_coverage"],
     "stream_peak_hours": _EVENTS_ORACLE["events_peak_hours"],

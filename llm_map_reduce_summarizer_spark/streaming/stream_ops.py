@@ -36,6 +36,8 @@ from pyspark.sql.types import (
     ArrayType,
     BooleanType,
     DoubleType,
+    FloatType,
+    IntegerType,
     LongType,
     StringType,
     StructField,
@@ -412,6 +414,26 @@ def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema(DOCS_SCHEMA)
         .option("maxFilesPerTrigger", "1")
         .parquet(os.path.join(sf_dir, "documents.parquet*"))
+    )
+
+
+EMB_SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+        StructField("label", IntegerType()),
+    ]
+)
+
+
+def read_embeddings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-based streaming source over the embeddings parquet —
+    extends the streaming tier to the vector table (norm/health
+    monitors at ingest)."""
+    return (
+        spark.readStream.schema(EMB_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(sf_dir, "embeddings.parquet*"))
     )
 
 
