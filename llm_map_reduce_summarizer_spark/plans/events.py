@@ -6061,6 +6061,166 @@ def events_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_mttr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MTTR / MTBF reliability rollup per event type over the
+    incident table: mean incident duration (time-to-recover), mean
+    hours between incident starts (time-between-failures, via the
+    exact telescoping identity (last−first)/(k−1) — no window
+    needed), and availability = 1 − incident-hours/span-hours. The
+    SRE one-pager `events_incident_table` (when) and
+    `events_error_budget` (how much is left) bracket; this is the
+    trend input to both.
+
+    Scale: rides the incident scan (calendar-bounded), then one
+    types-bounded fold + a types-keyed join against the span table.
+    Exact integers until three divisions."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.withColumn("hour", F.date_trunc("hour", F.col("ts")))
+        .groupBy("event_type", "hour")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return mttr_from_hourly(hourly)
+
+
+def mttr_from_hourly(hourly: DataFrame) -> DataFrame:
+    """The reliability fold over a (event_type, hour, n) series —
+    shared by the batch query and the streaming drain (`stream_mttr`
+    accumulates the same tumbling hourly state at ingest)."""
+    inc = incidents_from_hourly(hourly)
+    per = inc.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_incidents"),
+        F.sum("n_hours").cast("long").alias("incident_hours"),
+        F.min(F.unix_micros("start_hour")).alias("s0"),
+        F.max(F.unix_micros("start_hour")).alias("s1"),
+    )
+    span = hourly.groupBy(
+        F.col("event_type").alias("et_sp")
+    ).agg(
+        (
+            (
+                F.max(F.unix_micros("hour"))
+                - F.min(F.unix_micros("hour"))
+            )
+            / F.lit(3600000000)
+            + 1
+        )
+        .cast("long")
+        .alias("span_hours")
+    )
+    j = per.join(
+        F.broadcast(span), F.col("event_type") == F.col("et_sp")
+    )
+    k = F.col("n_incidents")
+    mtbf = F.when(
+        k > 1,
+        ((F.col("s1") - F.col("s0")) / F.lit(3600000000.0))
+        / (k - 1),
+    )
+    return j.select(
+        "event_type",
+        "n_incidents",
+        "incident_hours",
+        "span_hours",
+        quantize(
+            F.col("incident_hours").cast("double") / k, 4
+        ).alias("mttr_hours"),
+        quantize(mtbf, 4).alias("mtbf_hours"),
+        quantize(
+            1.0
+            - F.col("incident_hours").cast("double")
+            / F.col("span_hours"),
+            6,
+        ).alias("availability"),
+    )
+
+
+THETA_ALPHA = 0.5  # SES smoothing on the theta=2 line (binary-exact)
+
+
+def theta_from_cells(cells: DataFrame) -> DataFrame:
+    """Theta-method forecast (Assimakopoulos & Nikolopoulos — the
+    M3-competition winner) per event type over the zero-filled
+    hourly series: decompose into the theta=0 line (the OLS linear
+    trend) and the theta=2 line (2y − trend, double local
+    curvature), SES the theta=2 line with α=1/2, and forecast the
+    mean of the SES level and the trend extrapolation. Slots
+    between seasonal-naive / Holt / Holt–Winters in the forecasting
+    ladder — the damped-trend-like estimator that wins when the
+    trend is real but unreliable.
+
+    Exactness: the OLS a, b come from exact integer moment sums via
+    one double division each; α=1/2 makes every SES step IEEE-exact;
+    the SQL twin replays the identical recurrence in a recursive CTE
+    bit-for-bit. Scale: sequential only within a type's
+    calendar-bounded series, one Arrow group per type."""
+    import numpy as np
+    import pandas as pd
+
+    bounds = cells.agg(
+        F.min("hour_us").alias("mn"), F.max("hour_us").alias("mx")
+    )
+    g = cells.crossJoin(F.broadcast(bounds))
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        mn, mx = int(pdf["mn"].iloc[0]), int(pdf["mx"].iloc[0])
+        hours = np.arange(mn, mx + HOUR_US, HOUR_US, dtype=np.int64)
+        y = np.zeros(len(hours), dtype=np.int64)
+        idx = ((pdf["hour_us"].to_numpy() - mn) // HOUR_US).astype(int)
+        y[idx] = pdf["cnt"].to_numpy().astype(np.int64)
+        n = len(y)
+        # exact integer moment sums (python ints — no overflow), one
+        # double division each: bit-identical to the SQL twin
+        sx = n * (n + 1) // 2
+        sxx = n * (n + 1) * (2 * n + 1) // 6
+        sy = int(y.sum())
+        sxy = int((np.arange(1, n + 1, dtype=np.int64) * y).sum())
+        den = n * sxx - sx * sx
+        b = float(n * sxy - sx * sy) / float(den) if den else 0.0
+        a = (float(sy) - b * float(sx)) / float(n)
+        s = 2.0 * float(y[0]) - (a + b * 1.0)
+        for t in range(2, n + 1):
+            x = 2.0 * float(y[t - 1]) - (a + b * float(t))
+            s = THETA_ALPHA * x + (1.0 - THETA_ALPHA) * s
+        fc = 0.5 * s + 0.5 * (a + b * float(n + 1))
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n_hours": [n],
+                "intercept": [a],
+                "slope": [b],
+                "ses_theta2": [s],
+                "forecast_next": [fc],
+            }
+        )
+
+    fitted = g.groupBy("event_type").applyInPandas(
+        fit,
+        schema=(
+            "event_type string, n_hours long, intercept double,"
+            " slope double, ses_theta2 double, forecast_next double"
+        ),
+    )
+    return fitted.select(
+        "event_type",
+        "n_hours",
+        quantize(F.col("intercept"), 4).alias("intercept"),
+        quantize(F.col("slope"), 6).alias("slope"),
+        quantize(F.col("ses_theta2"), 4).alias("ses_theta2"),
+        quantize(F.col("forecast_next"), 4).alias("forecast_next"),
+    )
+
+
+def events_theta_forecast(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Theta-method hourly forecast per event type — see
+    :func:`theta_from_cells`."""
+    return theta_from_cells(
+        holt_cells(load_table(spark, sf_dir, "events"))
+    )
+
+
 DP_EPSILON = 1.0
 # inverse-CDF Laplace from a 32-bit md5-derived uniform: |noise| <=
 # (1/eps) * ln(2^32) ~ 22 at eps=1 — the release's worst-case shift
@@ -6770,6 +6930,8 @@ QUERIES = {
     "events_t_closeness": events_t_closeness,
     "events_iv_wald": events_iv_wald,
     "events_interrupted_ts": events_interrupted_ts,
+    "events_theta_forecast": events_theta_forecast,
+    "events_mttr": events_mttr,
     "events_cuped": events_cuped,
     "events_dp_median": events_dp_median,
     "events_sequential_msprt": events_sequential_msprt,
@@ -10482,4 +10644,119 @@ ORACLE["events_interrupted_ts"] = f"""
            {sql_quantize('level_post', 4)} AS level_post_at_cut,
            {sql_quantize('level_post - level_pre', 4)} AS level_jump
     FROM f
+"""
+
+
+ORACLE["events_theta_forecast"] = f"""
+    WITH RECURSIVE cells AS (
+      SELECT event_type,
+             epoch_us(date_trunc('hour', ts)) AS hour_us,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    b AS (SELECT min(hour_us) AS mn, max(hour_us) AS mx FROM cells),
+    cal AS (
+      SELECT t.event_type,
+             unnest(generate_series(b.mn, b.mx, {HOUR_US})) AS hour_us
+      FROM (SELECT DISTINCT event_type FROM cells) t CROSS JOIN b
+    ),
+    series AS (
+      SELECT cal.event_type, cal.hour_us,
+             CAST(coalesce(c.cnt, 0) AS BIGINT) AS yi,
+             row_number() OVER (
+               PARTITION BY cal.event_type ORDER BY cal.hour_us
+             ) AS rn
+      FROM cal LEFT JOIN cells c
+        ON c.event_type = cal.event_type AND c.hour_us = cal.hour_us
+    ),
+    mom AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(rn) AS BIGINT) AS sx,
+             CAST(sum(rn * rn) AS BIGINT) AS sxx,
+             CAST(sum(yi) AS BIGINT) AS sy,
+             CAST(sum(rn * yi) AS BIGINT) AS sxy
+      FROM series GROUP BY 1
+    ),
+    slope AS (
+      SELECT event_type, n, sx, sy,
+             CASE WHEN n * sxx - sx * sx <> 0
+               THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                    / CAST(n * sxx - sx * sx AS DOUBLE)
+               ELSE 0.0 END AS bb
+      FROM mom
+    ),
+    ab AS (
+      SELECT event_type, n, bb,
+             (CAST(sy AS DOUBLE) - bb * CAST(sx AS DOUBLE))
+               / CAST(n AS DOUBLE) AS aa
+      FROM slope
+    ),
+    s2 AS (
+      SELECT s.event_type, s.rn, s.yi, ab.aa, ab.bb, ab.n
+      FROM series s JOIN ab USING (event_type)
+    ),
+    walk AS (
+      SELECT event_type, rn,
+             2.0 * CAST(yi AS DOUBLE) - (aa + bb * rn) AS s
+      FROM s2 WHERE rn = 1
+      UNION ALL
+      SELECT s.event_type, s.rn,
+             {THETA_ALPHA!r} * (2.0 * CAST(s.yi AS DOUBLE)
+               - (s.aa + s.bb * s.rn))
+               + {1.0 - THETA_ALPHA!r} * w.s
+      FROM walk w JOIN s2 s
+        ON s.event_type = w.event_type AND s.rn = w.rn + 1
+    ),
+    last AS (
+      SELECT event_type, rn, s,
+             row_number() OVER (
+               PARTITION BY event_type ORDER BY rn DESC
+             ) AS rev
+      FROM walk
+    )
+    SELECT l.event_type, ab.n AS n_hours,
+           {sql_quantize('ab.aa', 4)} AS intercept,
+           {sql_quantize('ab.bb', 6)} AS slope,
+           {sql_quantize('l.s', 4)} AS ses_theta2,
+           {sql_quantize(
+               '0.5 * l.s + 0.5 * (ab.aa + ab.bb * (ab.n + 1))', 4)}
+             AS forecast_next
+    FROM last l JOIN ab USING (event_type) WHERE l.rev = 1
+"""
+
+
+ORACLE["events_mttr"] = f"""
+    WITH inc AS ({ORACLE['events_incident_table']}),
+    hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (
+      SELECT event_type,
+             CAST((epoch_us(max(hour)) - epoch_us(min(hour)))
+               / 3600000000 + 1 AS BIGINT) AS span_hours
+      FROM hourly GROUP BY 1
+    ),
+    per AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_incidents,
+             CAST(sum(n_hours) AS BIGINT) AS incident_hours,
+             min(epoch_us(start_hour)) AS s0,
+             max(epoch_us(start_hour)) AS s1
+      FROM inc GROUP BY 1
+    )
+    SELECT p.event_type, p.n_incidents, p.incident_hours,
+           s.span_hours,
+           {sql_quantize(
+               'CAST(p.incident_hours AS DOUBLE) / p.n_incidents',
+               4)} AS mttr_hours,
+           CASE WHEN p.n_incidents > 1 THEN {sql_quantize(
+               '((p.s1 - p.s0) / 3600000000.0)'
+               ' / (p.n_incidents - 1)', 4)} END AS mtbf_hours,
+           {sql_quantize(
+               '1.0 - CAST(p.incident_hours AS DOUBLE)'
+               ' / s.span_hours', 6)} AS availability
+    FROM per p JOIN span s USING (event_type)
 """

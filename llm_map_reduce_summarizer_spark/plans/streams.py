@@ -2617,6 +2617,46 @@ def stream_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     return holt_from_cells(snap)
 
 
+def stream_theta_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Theta-method forecast: the (event_type, hour) count
+    cells accumulate at ingest (calendar-bounded mergeable state) and
+    the trend-decompose + SES recurrence runs post-drain via the
+    exact batch computation (`events.theta_from_cells`). Drain ==
+    batch `events_theta_forecast`, whose oracle it shares."""
+    from pyspark.sql import functions as F
+
+    from .events import theta_from_cells
+
+    ev = read_events_stream(spark, sf_dir)
+    cells = ev.groupBy(
+        "event_type",
+        F.unix_micros(F.date_trunc("hour", F.col("ts"))).alias(
+            "hour_us"
+        ),
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    snap = run_available_now(cells, output_mode="complete")
+    return theta_from_cells(snap)
+
+
+def stream_mttr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MTTR/MTBF rollup: tumbling hourly cells accumulate
+    at ingest (the `stream_incident_table` state) and the incident
+    scan + reliability fold run post-drain via the exact batch
+    computations. Drain == batch `events_mttr`, whose oracle it
+    shares."""
+    from pyspark.sql import functions as F
+
+    from .events import mttr_from_hourly
+
+    ev = read_events_stream(spark, sf_dir)
+    hourly = ev.groupBy(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    snap = run_available_now(hourly, output_mode="complete")
+    return mttr_from_hourly(snap)
+
+
 def stream_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming Holt–Winters: the same (event_type, hour) count cells
     as `stream_holt_linear` accumulate at ingest, with the seasonal
@@ -3041,6 +3081,8 @@ QUERIES = {
     "stream_diff_in_diff": stream_diff_in_diff,
     "stream_cmh": stream_cmh,
     "stream_holt_linear": stream_holt_linear,
+    "stream_theta_forecast": stream_theta_forecast,
+    "stream_mttr": stream_mttr,
     "stream_holt_winters": stream_holt_winters,
     "stream_forecast_model_compare": stream_forecast_model_compare,
     "stream_absorption": stream_absorption,
@@ -3158,6 +3200,8 @@ ORACLE = {
     "stream_diff_in_diff": _EVENTS_ORACLE["events_diff_in_diff"],
     "stream_cmh": _EVENTS_ORACLE["events_cmh"],
     "stream_holt_linear": _EVENTS_ORACLE["events_holt_linear"],
+    "stream_theta_forecast": _EVENTS_ORACLE["events_theta_forecast"],
+    "stream_mttr": _EVENTS_ORACLE["events_mttr"],
     "stream_holt_winters": _EVENTS_ORACLE["events_holt_winters"],
     "stream_forecast_model_compare":
         _EVENTS_ORACLE["events_forecast_model_compare"],
