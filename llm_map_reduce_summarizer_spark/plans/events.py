@@ -5914,14 +5914,15 @@ def events_forecast_model_compare(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """Forecast MODEL SELECTION by held-out backtest: train
-    seasonal-naive, Holt linear, and additive Holt–Winters on all but
-    the last 24 hours of each type's series, forecast the held-out
-    day, and rank the three models by MAE — the comparison that
-    decides which forecaster the capacity plan actually uses
-    (`events_forecast_scorecard` grades one model; this one picks).
+    seasonal-naive, Holt linear, additive Holt–Winters, and the
+    Theta method on all but the last 24 hours of each type's series,
+    forecast the held-out day, and rank the four models by MAE —
+    the comparison that decides which forecaster the capacity plan
+    actually uses (`events_forecast_scorecard` grades one model;
+    this one picks).
 
     Scale: per-type fits over calendar-bounded train series (one
-    Arrow group each); the scoring join and the 3-row ranking fold
+    Arrow group each); the scoring join and the 4-row ranking fold
     are trivial. Same IEEE-exact recurrences as the individual
     models, so the SQL twin (recursive CTEs over the train prefix)
     replays every prediction bit-for-bit.
@@ -5932,7 +5933,7 @@ def events_forecast_model_compare(
 
 
 def model_compare_from_cells(cells: DataFrame) -> DataFrame:
-    """The three-model backtest over (event_type, hour_us, cnt)
+    """The four-model backtest over (event_type, hour_us, cnt)
     cells — shared by the batch query and the streaming drain."""
     import numpy as np
     import pandas as pd
@@ -5988,6 +5989,23 @@ def model_compare_from_cells(cells: DataFrame) -> DataFrame:
                 1.0 - HW_GAMMA
             ) * s[t - m]
             wl = new
+        # theta: OLS decompose on exact integer moments + SES(1/2)
+        # on the theta=2 line (the standalone `theta_from_cells`
+        # recurrence, restricted to the train prefix)
+        ti = train.astype(np.int64)
+        sx = T * (T + 1) // 2
+        sxx = T * (T + 1) * (2 * T + 1) // 6
+        syv = int(ti.sum())
+        sxy = int(
+            (np.arange(1, T + 1, dtype=np.int64) * ti).sum()
+        )
+        den = T * sxx - sx * sx
+        tb = float(T * sxy - sx * syv) / float(den) if den else 0.0
+        ta = (float(syv) - tb * float(sx)) / float(T)
+        sth = 2.0 * float(ti[0]) - (ta + tb * 1.0)
+        for t in range(2, T + 1):
+            x = 2.0 * float(ti[t - 1]) - (ta + tb * float(t))
+            sth = THETA_ALPHA * x + (1.0 - THETA_ALPHA) * sth
         rows = []
         etype = pdf["event_type"].iloc[0]
         for h in range(m):
@@ -6008,6 +6026,15 @@ def model_compare_from_cells(cells: DataFrame) -> DataFrame:
                     "holt_winters",
                     h,
                     wl + (h + 1) * wt + s[T - m + h],
+                    actual,
+                )
+            )
+            rows.append(
+                (
+                    etype,
+                    "theta",
+                    h,
+                    0.5 * sth + 0.5 * (ta + tb * float(T + h + 1)),
                     actual,
                 )
             )
@@ -10329,6 +10356,49 @@ ORACLE["events_forecast_model_compare"] = f"""
       FROM wwalk w JOIN tmax x
         ON x.event_type = w.event_type AND w.rn = x.t
     ),
+    tmom AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS tn,
+             CAST(sum(rn) AS BIGINT) AS tsx,
+             CAST(sum(rn * rn) AS BIGINT) AS tsxx,
+             CAST(sum(y) AS BIGINT) AS tsy,
+             CAST(sum(rn * y) AS BIGINT) AS tsxy
+      FROM train GROUP BY 1
+    ),
+    tslope AS (
+      SELECT event_type, tn, tsx, tsy,
+             CASE WHEN tn * tsxx - tsx * tsx <> 0
+               THEN CAST(tn * tsxy - tsx * tsy AS DOUBLE)
+                    / CAST(tn * tsxx - tsx * tsx AS DOUBLE)
+               ELSE 0.0 END AS bb
+      FROM tmom
+    ),
+    tab AS (
+      SELECT event_type, tn, bb,
+             (CAST(tsy AS DOUBLE) - bb * CAST(tsx AS DOUBLE))
+               / CAST(tn AS DOUBLE) AS aa
+      FROM tslope
+    ),
+    t2 AS (
+      SELECT tr.event_type, tr.rn, tr.y, tab.aa, tab.bb
+      FROM train tr JOIN tab USING (event_type)
+    ),
+    twalk(event_type, rn, s) AS (
+      SELECT event_type, CAST(1 AS BIGINT),
+             2.0 * y - (aa + bb * rn)
+      FROM t2 WHERE rn = 1
+      UNION ALL
+      SELECT w.event_type, w.rn + 1,
+             {THETA_ALPHA!r} * (2.0 * s2.y - (s2.aa + s2.bb * s2.rn))
+               + {1.0 - THETA_ALPHA!r} * w.s
+      FROM twalk w JOIN t2 s2
+        ON s2.event_type = w.event_type AND s2.rn = w.rn + 1
+    ),
+    tlast AS (
+      SELECT w.event_type, w.s
+      FROM twalk w JOIN tmax x
+        ON x.event_type = w.event_type AND w.rn = x.t
+    ),
     targets AS (
       SELECT s.event_type, s.rn - t.t - 1 AS h, s.y AS actual
       FROM series s JOIN tmax t ON t.event_type = s.event_type
@@ -10350,6 +10420,15 @@ ORACLE["events_forecast_model_compare"] = f"""
              wl.lev + (g.h + 1) * wl.tr
                + wl.s[CAST(g.h + 1 AS INT)], g.actual
       FROM targets g JOIN wlast wl ON wl.event_type = g.event_type
+      UNION ALL
+      SELECT g.event_type, 'theta', g.h,
+             0.5 * tl.s
+               + 0.5 * (tab.aa + tab.bb * (t.t + g.h + 1)),
+             g.actual
+      FROM targets g
+      JOIN tlast tl ON tl.event_type = g.event_type
+      JOIN tab ON tab.event_type = g.event_type
+      JOIN tmax t ON t.event_type = g.event_type
     ),
     err AS (
       SELECT model,

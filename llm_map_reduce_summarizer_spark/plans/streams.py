@@ -2680,7 +2680,7 @@ def stream_forecast_model_compare(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """Streaming model selection: the (event_type, hour) count cells
-    accumulate at ingest and the three-model held-out backtest runs
+    accumulate at ingest and the four-model held-out backtest runs
     post-drain (`events.model_compare_from_cells`) — re-ranking the
     forecasters on every drain is how a capacity plan keeps its model
     choice current. Drain == batch `events_forecast_model_compare`,

@@ -1190,8 +1190,9 @@ def test_forecast_model_compare_sane(spark):
         "holt_linear",
         "holt_winters",
         "seasonal_naive",
+        "theta",
     ]
-    assert list(rel["rank"]) == [1, 2, 3]
+    assert list(rel["rank"]) == [1, 2, 3, 4]
     assert rel["mae"].is_monotonic_increasing
     assert (rel["n_forecasts"] > 0).all()
 
