@@ -1532,7 +1532,14 @@ def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole-stage codegen, no shuffle at all; at 100 TB this runs at
     scan speed and partitions independently.
     """
-    d = _docs(spark, sf_dir).withColumn("txt", _pii_injected())
+    return pii_scrub_of(_docs(spark, sf_dir))
+
+
+def pii_scrub_of(docs: DataFrame) -> DataFrame:
+    """The scrub projection over any documents relation — shared by
+    the batch query and the streaming twin (`stream_pii_scrub`
+    applies it per micro-batch with append semantics)."""
+    d = docs.withColumn("txt", _pii_injected())
     scrubbed = F.regexp_replace(
         F.regexp_replace(
             F.regexp_replace("txt", PII_EMAIL, "<EMAIL>"),
@@ -7943,25 +7950,7 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     model joins back by broadcast; the per-doc fold is one
     doc_id-keyed partial agg. The model itself never touches the
     driver."""
-    docs = _docs(spark, sf_dir)
-    feats = dsir_featurize(docs)
-    cells = feats.groupBy("source", "bucket").agg(
-        F.count(F.lit(1)).cast("long").alias("n")
-    )
-    # sum the model's (already 1e-6-quantized) ratios as exact integer
-    # micro-units, so the per-doc fold is order-insensitive on any
-    # engine — the boundary docs decide identically everywhere
-    model = dsir_model_from_cells(cells).select(
-        "bucket",
-        F.floor(F.col("log_ratio") * 1e6 + 0.5)
-        .cast("long")
-        .alias("lr_micro"),
-    )
-    scored = feats.join(F.broadcast(model), "bucket")
-    per_doc = scored.groupBy("doc_id", "source").agg(
-        F.count(F.lit(1)).cast("long").alias("n_feats"),
-        F.sum("lr_micro").cast("long").alias("s"),
-    )
+    per_doc = dsir_doc_scores(_docs(spark, sf_dir))
     lw = F.col("s").cast("double") / F.lit(1000000.0)
     return per_doc.select(
         "doc_id",
@@ -7971,6 +7960,72 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         quantize(lw / F.col("n_feats"), 6).alias("avg_log_ratio"),
         (F.col("s") > 0).alias("selected"),
     )
+
+
+def dsir_doc_scores(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, n_feats, s) per-doc DSIR fold, with s the
+    exact integer micro-unit sum of the model's (1e-6-quantized)
+    log ratios — order-insensitive on any engine, so the boundary
+    docs decide identically everywhere. Shared by the weight report
+    and the resampling step."""
+    feats = dsir_featurize(docs)
+    cells = feats.groupBy("source", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    model = dsir_model_from_cells(cells).select(
+        "bucket",
+        F.floor(F.col("log_ratio") * 1e6 + 0.5)
+        .cast("long")
+        .alias("lr_micro"),
+    )
+    scored = feats.join(F.broadcast(model), "bucket")
+    return scored.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_feats"),
+        F.sum("lr_micro").cast("long").alias("s"),
+    )
+
+
+DSIR_SAMPLE_K = 100
+DSIR_SAMPLE_SEED = "dsir"
+
+
+def corpus_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DSIR RESAMPLING step itself (the paper's Gumbel-top-k):
+    score = log w(doc) + Gumbel(u) with a deterministic md5-keyed
+    uniform, take the top-``DSIR_SAMPLE_K`` — a without-replacement
+    sample whose selection probability is proportional to the
+    importance weight, numerically sane on log weights (no exp
+    overflow). Completes the DSIR triple: model → weights → the
+    selected training subset.
+
+    Scale: the weight fold is `dsir_doc_scores` (one doc-keyed
+    partial agg + broadcast model); the draw is a map-side hash; the
+    selection is `orderBy().limit(K)` = TakeOrderedAndProject. The
+    ordering key is the QUANTIZED score, so both engines cut the
+    same boundary docs."""
+    per_doc = dsir_doc_scores(_docs(spark, sf_dir))
+    u = (
+        shingle_key(
+            F.concat(
+                F.lit(DSIR_SAMPLE_SEED + "|"),
+                F.col("doc_id").cast("string"),
+            )
+        ).cast("double")
+        / F.lit(float(2**60))
+    )
+    gumbel = -F.log(-F.log(u))
+    score = F.col("s").cast("double") / F.lit(1000000.0) + gumbel
+    g = per_doc.select(
+        "doc_id",
+        "source",
+        quantize(
+            F.col("s").cast("double") / F.lit(1000000.0), 4
+        ).alias("log_weight"),
+        quantize(score, 6).alias("gumbel_score"),
+    )
+    return g.orderBy(
+        F.col("gumbel_score").desc(), "doc_id"
+    ).limit(DSIR_SAMPLE_K)
 
 
 # --- Interpolated Kneser–Ney bigram LM ------------------------------
@@ -8084,6 +8139,7 @@ QUERIES = {
     "corpus_bpe_pair_census": corpus_bpe_pair_census,
     "corpus_burrows_delta": corpus_burrows_delta,
     "langid_injection_eval": langid_injection_eval,
+    "corpus_dsir_sample": corpus_dsir_sample,
     "corpus_textrank_terms": corpus_textrank_terms,
     "corpus_budget_waterfill": corpus_budget_waterfill,
     "multimodal_neardup": multimodal_neardup,
@@ -13338,4 +13394,36 @@ ORACLE["langid_injection_eval"] = f"""
                'CAST(n_pred_match AS DOUBLE) / n_docs', 6)}
              AS match_rate
     FROM folded
+"""
+
+
+_DSIR_U_FOLD = sql_shingle_key(
+    f"concat('{DSIR_SAMPLE_SEED}|', CAST(doc_id AS VARCHAR))"
+)
+
+ORACLE["corpus_dsir_sample"] = f"""
+    SELECT doc_id, source, log_weight, gumbel_score FROM (
+      WITH {_DSIR_CELLS},
+      per_doc AS (
+        SELECT f.doc_id, f.source,
+               CAST(sum(CAST(floor(m.log_ratio * 1e6 + 0.5)
+                 AS BIGINT)) AS BIGINT) AS s
+        FROM feats f JOIN model m USING (bucket)
+        GROUP BY 1, 2
+      ),
+      base AS (
+        SELECT doc_id, source, s,
+               CAST({_DSIR_U_FOLD} AS DOUBLE)
+                 / 1152921504606846976.0 AS u
+        FROM per_doc
+      )
+      SELECT doc_id, source,
+             {sql_quantize('CAST(s AS DOUBLE) / 1000000.0', 4)}
+               AS log_weight,
+             {sql_quantize(
+                 'CAST(s AS DOUBLE) / 1000000.0'
+                 ' + (-ln(-ln(u)))', 6)} AS gumbel_score
+      FROM base
+    )
+    ORDER BY gumbel_score DESC, doc_id LIMIT {DSIR_SAMPLE_K}
 """

@@ -90,6 +90,42 @@ def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(gated, output_mode="append")
 
 
+def stream_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-time PII redaction: the stateless streaming
+    transform case — three JVM regex passes per arriving doc with
+    append semantics, no state at all. Scrubbing AT ingest (before
+    anything lands) is the shape privacy reviews actually require
+    of a corpus intake; the drained static input equals the batch
+    `doc_pii_scrub`, whose oracle it shares."""
+    from .documents import pii_scrub_of
+
+    docs = read_documents_stream(spark, sf_dir)
+    return run_available_now(
+        pii_scrub_of(docs), output_mode="append"
+    )
+
+
+def stream_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-time token accounting: stateless per-doc token /
+    word / char counters with append semantics (the billing and
+    budget meters a streaming intake stamps on every doc before
+    packing). Drain == batch `doc_tokens`, whose oracle it shares."""
+    from pyspark.sql import functions as F
+
+    from ..functions.text import token_count
+
+    docs = read_documents_stream(spark, sf_dir)
+    out = docs.select(
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        .cast("long")
+        .alias("n_words"),
+        F.length("text").cast("long").alias("n_chars_c"),
+    )
+    return run_available_now(out, output_mode="append")
+
+
 def stream_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming fixed-width value histogram per event type — the
     bounded-state monitoring agg: state is (type, bucket) cells, sized
@@ -3175,6 +3211,8 @@ QUERIES = {
     "stream_asof_view": stream_asof_view,
     "stream_dedup": stream_dedup,
     "stream_quality_gate": stream_quality_gate,
+    "stream_pii_scrub": stream_pii_scrub,
+    "stream_doc_tokens": stream_doc_tokens,
     "stream_value_histogram": stream_value_histogram,
     "stream_topk_users": stream_topk_users,
     "stream_mix_report": stream_mix_report,
@@ -3326,6 +3364,8 @@ ORACLE = {
     "stream_asof_view": _EVENTS_ORACLE["events_asof_view"],
     "stream_dedup": _DOCS_ORACLE["dedup_apply"],
     "stream_quality_gate": quality_gate_sql(PREP_QUALITY_MIN),
+    "stream_pii_scrub": _DOCS_ORACLE["doc_pii_scrub"],
+    "stream_doc_tokens": _DOCS_ORACLE["doc_tokens"],
     "stream_value_histogram": _EVENTS_ORACLE["events_value_histogram"],
     "stream_topk_users": _EVENTS_ORACLE["events_topk_users"],
     "stream_mix_report": _DOCS_ORACLE["corpus_mix_report"],
