@@ -3036,6 +3036,51 @@ def search_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_contrastive_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Contrastive training-pair export: (anchor, positive, negative)
+    triplets for embedder training — positives are the MinHash-LSH
+    verified near-dup pairs (lexically confirmable paraphrase-ish
+    pairs, the standard weak supervision), negatives a deterministic
+    Knuth-draw doc distinct from both (the in-batch-random negative
+    of InfoNCE; a hard-negative variant would draw from same-band
+    non-duplicates). The artifact an embedding fine-tune job reads
+    straight off the dedup pipeline it already runs.
+
+    Assumes the dense consecutive doc_id space the generator
+    guarantees (the `corpus_contamination` convention). Scale: rides
+    the banded-LSH pair pipeline; the negative draw is a pure
+    map-side expression against a 1-row count broadcast."""
+    d = _docs(spark, sf_dir)
+    pairs = minhash_lsh_pairs(
+        d, threshold=MINHASH_THRESHOLD, df_cap=MINHASH_DF_CAP
+    )
+    tot = d.agg(F.count(F.lit(1)).cast("long").alias("n_tot"))
+    g = pairs.crossJoin(F.broadcast(tot))
+    cand = (
+        (
+            (F.col("da") % DRAW_MOD) * KNUTH
+            + F.col("db") % DRAW_MOD
+        )
+        % DRAW_MOD
+        % F.col("n_tot")
+    )
+    c2 = (cand + 7) % F.col("n_tot")
+    c3 = (cand + 13) % F.col("n_tot")
+    neg = (
+        F.when((cand != F.col("da")) & (cand != F.col("db")), cand)
+        .when((c2 != F.col("da")) & (c2 != F.col("db")), c2)
+        .otherwise(c3)
+    )
+    return g.select(
+        F.col("da").alias("anchor_id"),
+        F.col("db").alias("positive_id"),
+        neg.cast("long").alias("negative_id"),
+        F.col("jaccard").alias("pos_jaccard"),
+    )
+
+
 LI_EVERY = 25  # plant one doc per language per 25th real doc
 LI_REPEAT = 5  # stopword-list repetitions per planted doc
 # planted texts derive from the SAME stopword constants the
@@ -8140,6 +8185,7 @@ QUERIES = {
     "corpus_burrows_delta": corpus_burrows_delta,
     "langid_injection_eval": langid_injection_eval,
     "corpus_dsir_sample": corpus_dsir_sample,
+    "corpus_contrastive_pairs": corpus_contrastive_pairs,
     "corpus_textrank_terms": corpus_textrank_terms,
     "corpus_budget_waterfill": corpus_budget_waterfill,
     "multimodal_neardup": multimodal_neardup,
@@ -13426,4 +13472,27 @@ ORACLE["corpus_dsir_sample"] = f"""
       FROM base
     )
     ORDER BY gumbel_score DESC, doc_id LIMIT {DSIR_SAMPLE_K}
+"""
+
+
+ORACLE["corpus_contrastive_pairs"] = f"""
+    WITH {_LSH_PAIR_CTES},
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_tot FROM documents
+    ),
+    base AS (
+      SELECT da, db, jaccard, n_tot,
+             ((da % {DRAW_MOD}) * {KNUTH} + db % {DRAW_MOD})
+               % {DRAW_MOD} % n_tot AS cand
+      FROM lsh_pairs CROSS JOIN tot
+    )
+    SELECT da AS anchor_id, db AS positive_id,
+           CAST(CASE
+             WHEN cand <> da AND cand <> db THEN cand
+             WHEN (cand + 7) % n_tot <> da
+              AND (cand + 7) % n_tot <> db THEN (cand + 7) % n_tot
+             ELSE (cand + 13) % n_tot
+           END AS BIGINT) AS negative_id,
+           jaccard AS pos_jaccard
+    FROM base
 """

@@ -1425,3 +1425,16 @@ def test_burrows_delta_invariants(spark):
             r["source_a"],
             r["source_b"],
         )
+
+
+def test_contrastive_pairs_invariants(spark):
+    """Triplet sanity: negatives are always distinct from both
+    anchor and positive, in-range, and positives carry the LSH
+    verification score."""
+    out = QUERIES["corpus_contrastive_pairs"](spark, SF_SMOKE).toPandas()
+    assert len(out) > 0
+    assert (out["negative_id"] != out["anchor_id"]).all()
+    assert (out["negative_id"] != out["positive_id"]).all()
+    n = len(_documents())
+    assert out["negative_id"].between(0, n - 1).all()
+    assert (out["pos_jaccard"] > 0).all()
