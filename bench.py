@@ -115,6 +115,18 @@ def main() -> None:
         "corpus_soft_dedup",
         "corpus_shard_rendezvous_balance",
         "multimodal_phash",
+        # sixth-session families: DSIR selection, KN LM, stylometry,
+        # the causal closers, and the BPE census
+        "corpus_dsir_weights",
+        "corpus_dsir_sample",
+        "corpus_kn_bigram_lm",
+        "corpus_burrows_delta",
+        "corpus_bpe_pair_census",
+        "corpus_contrastive_pairs",
+        "events_cem_att",
+        "events_theta_forecast",
+        "events_t_closeness",
+        "search_map",
     ):
         queries[name](spark, "/root/testdata/sf0.001").write.format(
             "noop"

@@ -3036,6 +3036,57 @@ def search_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_select_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end DATA-SELECTION pipeline (the DSIR-era counterpart
+    of `corpus_prep_e2e`'s quality-gate recipe): keep docs the DSIR
+    importance model scores target-like (integer micro-sum s > 0, the
+    engine-identical boundary), exact-dedup the survivors (min-id per
+    normalized-content fingerprint), assign the deterministic
+    train/val/test split, and report per (split, source) doc and
+    token counts with split shares — the one-table answer to "what
+    would we actually train on?".
+
+    Scale: DSIR fold (doc-keyed agg + broadcast model) → fingerprint
+    semi-join dedup (digests shuffle, text does not re-shuffle) →
+    narrow split draw → a (3 × sources)-bounded rollup."""
+    d = _docs(spark, sf_dir)
+    selected = dsir_doc_scores(d).filter(F.col("s") > 0).select(
+        "doc_id"
+    )
+    kept = d.join(selected, "doc_id")
+    keep_ids = (
+        fingerprint(kept)
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    surv = kept.join(keep_ids, "doc_id")
+    draw = ((F.col("doc_id") * KNUTH) % DRAW_MOD) / float(DRAW_MOD)
+    split = (
+        F.when(draw < SPLIT_TRAIN, "train")
+        .when(draw < SPLIT_VAL, "val")
+        .otherwise("test")
+    )
+    per = surv.select(
+        split.alias("split"),
+        "source",
+        token_count(F.col("text")).cast("long").alias("n_tok"),
+    ).groupBy("split", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+    )
+    tot = per.agg(F.sum("n_docs").cast("long").alias("n_all"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "split",
+        "source",
+        "n_docs",
+        "n_tokens",
+        quantize(
+            F.col("n_docs").cast("double") / F.col("n_all"), 6
+        ).alias("share_of_selected"),
+    )
+
+
 def corpus_contrastive_pairs(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -8186,6 +8237,7 @@ QUERIES = {
     "langid_injection_eval": langid_injection_eval,
     "corpus_dsir_sample": corpus_dsir_sample,
     "corpus_contrastive_pairs": corpus_contrastive_pairs,
+    "corpus_select_e2e": corpus_select_e2e,
     "corpus_textrank_terms": corpus_textrank_terms,
     "corpus_budget_waterfill": corpus_budget_waterfill,
     "multimodal_neardup": multimodal_neardup,
@@ -13495,4 +13547,50 @@ ORACLE["corpus_contrastive_pairs"] = f"""
            END AS BIGINT) AS negative_id,
            jaccard AS pos_jaccard
     FROM base
+"""
+
+
+ORACLE["corpus_select_e2e"] = f"""
+    WITH {_DSIR_CELLS},
+    per_doc AS (
+      SELECT f.doc_id,
+             CAST(sum(CAST(floor(m.log_ratio * 1e6 + 0.5)
+               AS BIGINT)) AS BIGINT) AS s
+      FROM feats f JOIN model m USING (bucket)
+      GROUP BY 1
+    ),
+    kept AS (
+      SELECT d.doc_id, d.text, d.source FROM documents d
+      JOIN per_doc p ON p.doc_id = d.doc_id AND p.s > 0
+    ),
+    fps AS (
+      SELECT doc_id,
+             md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp
+      FROM kept
+    ),
+    keep_ids AS (
+      SELECT min(doc_id) AS doc_id FROM fps GROUP BY fp
+    ),
+    surv AS (
+      SELECT k.doc_id, k.text, k.source
+      FROM kept k JOIN keep_ids USING (doc_id)
+    ),
+    per AS (
+      SELECT CASE
+               WHEN (CAST(doc_id * {KNUTH} AS BIGINT) % {DRAW_MOD})
+                    / {float(DRAW_MOD)} < {SPLIT_TRAIN} THEN 'train'
+               WHEN (CAST(doc_id * {KNUTH} AS BIGINT) % {DRAW_MOD})
+                    / {float(DRAW_MOD)} < {SPLIT_VAL} THEN 'val'
+               ELSE 'test' END AS split,
+             source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum({SQL_TOKEN_COUNT.format(c='text')}) AS BIGINT)
+               AS n_tokens
+      FROM surv GROUP BY 1, 2
+    ),
+    grand AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_all FROM per)
+    SELECT split, source, n_docs, n_tokens,
+           {sql_quantize('CAST(n_docs AS DOUBLE) / n_all', 6)}
+             AS share_of_selected
+    FROM per CROSS JOIN grand
 """
