@@ -99,8 +99,14 @@ def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
-    return d.select(
+    return doc_tokens_of(_docs(spark, sf_dir))
+
+
+def doc_tokens_of(docs: DataFrame) -> DataFrame:
+    """The token/word/char accounting projection over any documents
+    relation — shared by the batch query and the streaming twin
+    (`stream_doc_tokens` applies it per micro-batch)."""
+    return docs.select(
         "doc_id",
         token_count(F.col("text")).cast("long").alias("n_tokens"),
         F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_words"),
@@ -3109,12 +3115,15 @@ def corpus_contrastive_pairs(
     )
     tot = d.agg(F.count(F.lit(1)).cast("long").alias("n_tot"))
     g = pairs.crossJoin(F.broadcast(tot))
+    # the %DRAW_MOD on the inputs bounds the product under 2^63; the
+    # final reduction is by n_tot DIRECTLY (not DRAW_MOD first) so
+    # negatives cover the WHOLE id space even when the corpus exceeds
+    # a million docs
     cand = (
         (
             (F.col("da") % DRAW_MOD) * KNUTH
             + F.col("db") % DRAW_MOD
         )
-        % DRAW_MOD
         % F.col("n_tot")
     )
     c2 = (cand + 7) % F.col("n_tot")
@@ -3348,39 +3357,80 @@ def term_counts(docs: DataFrame) -> DataFrame:
 
 def bpe_census_from_term_counts(tf: DataFrame) -> DataFrame:
     """The BPE first-merge decision table over drained (term, tf)
-    counts: adjacent-character pair frequencies with multiplicity,
-    weighted by term occurrence — exactly the statistic byte-pair
-    encoding maximizes at every merge step — plus each pair's
-    corpus-wide symbol savings if merged. Character splitting
-    advances by code points in both engines (the `doc_char_entropy`
-    contract, fuzz-pinned).
+    counts: adjacent-character pair frequencies counted GREEDY
+    LEFT-TO-RIGHT NON-OVERLAPPING (within a same-char run of length
+    R a merge realizes ⌊R/2⌋ occurrences, not R−1 — the count a real
+    BPE merge step banks), weighted by term occurrence, plus each
+    pair's exact corpus-wide symbol savings if merged. Character
+    splitting advances by code points in both engines (the
+    `doc_char_entropy` contract, fuzz-pinned).
 
     Scale: the pair explode runs over the VOCABULARY (never the
     corpus — the corpus-sized explode collapses into the (term, tf)
-    agg first), the pair agg is alphabet²-bounded, the symbol total
-    is a 1-row broadcast, and the export is TakeOrderedAndProject.
+    agg first); the run-parity dedup is two term-partitioned windows
+    over that vocabulary table; the pair agg is alphabet²-bounded;
+    the symbol total is a 1-row broadcast; the export is
+    TakeOrderedAndProject.
     """
+    from pyspark.sql.window import Window
+
     cs = tf.select(
+        "term",
         "tf",
         F.filter(
             F.split(F.col("term"), ""), lambda x: x != ""
         ).alias("c"),
     )
-    pairs = cs.select(
+    pr = cs.select(
+        "term",
         "tf",
         F.explode(
             F.when(
                 F.size("c") > 1,
                 F.transform(
                     F.sequence(F.lit(1), F.size("c") - 1),
-                    lambda i: F.concat(
-                        F.element_at("c", i), F.element_at("c", i + 1)
+                    lambda i: F.struct(
+                        i.cast("bigint").alias("i"),
+                        F.concat(
+                            F.element_at("c", i),
+                            F.element_at("c", i + 1),
+                        ).alias("pair"),
+                        (
+                            F.element_at("c", i)
+                            == F.element_at("c", i + 1)
+                        ).alias("selfp"),
                     ),
                 ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("pair"),
+            ).otherwise(
+                F.array().cast(
+                    "array<struct<i:bigint,pair:string,selfp:boolean>>"
+                )
+            )
+        ).alias("p"),
+    ).select(
+        "term",
+        "tf",
+        F.col("p.i").alias("i"),
+        F.col("p.pair").alias("pair"),
+        F.col("p.selfp").alias("selfp"),
     )
-    pc = pairs.groupBy("pair").agg(
+    non_self = pr.filter(~F.col("selfp")).select("tf", "pair")
+    # same-char runs: consecutive self positions form one island
+    # (adjacent self pairs share the char), keep the odd offsets —
+    # the greedy left-to-right non-overlap rule
+    w1 = Window.partitionBy("term").orderBy("i")
+    isl = pr.filter(F.col("selfp")).select(
+        "term",
+        "tf",
+        "i",
+        "pair",
+        (F.col("i") - F.row_number().over(w1)).alias("island"),
+    )
+    w2 = Window.partitionBy("term", "island").orderBy("i")
+    kept_self = isl.select(
+        "tf", "pair", F.row_number().over(w2).alias("rn2")
+    ).filter(F.col("rn2") % 2 == 1).select("tf", "pair")
+    pc = non_self.unionByName(kept_self).groupBy("pair").agg(
         F.sum("tf").cast("long").alias("n")
     )
     tot = cs.agg(
@@ -13350,18 +13400,41 @@ ORACLE["corpus_bpe_pair_census"] = f"""
       SELECT term, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY 1
     ),
     cs AS (
-      SELECT tf,
+      SELECT term, tf,
              list_filter(string_split(term, ''), x -> x <> '') AS c
       FROM tf
     ),
-    pr AS (
-      SELECT tf,
-             unnest(list_transform(generate_series(1, len(c) - 1),
-                                   i -> c[i] || c[i + 1])) AS pair
+    pos AS (
+      SELECT term, tf, c,
+             unnest(generate_series(1, len(c) - 1)) AS i
       FROM cs
     ),
+    pr AS (
+      SELECT term, tf, i, c[i] || c[i + 1] AS pair,
+             (c[i] = c[i + 1]) AS selfp
+      FROM pos
+    ),
+    isl AS (
+      SELECT term, tf, i, pair,
+             i - row_number() OVER (
+               PARTITION BY term ORDER BY i) AS island
+      FROM pr WHERE selfp
+    ),
+    kept_self AS (
+      SELECT tf, pair FROM (
+        SELECT tf, pair,
+               row_number() OVER (
+                 PARTITION BY term, island ORDER BY i) AS rn2
+        FROM isl
+      ) WHERE rn2 % 2 = 1
+    ),
+    keep AS (
+      SELECT tf, pair FROM pr WHERE NOT selfp
+      UNION ALL
+      SELECT tf, pair FROM kept_self
+    ),
     pc AS (
-      SELECT pair, CAST(sum(tf) AS BIGINT) AS n FROM pr GROUP BY 1
+      SELECT pair, CAST(sum(tf) AS BIGINT) AS n FROM keep GROUP BY 1
     ),
     tot AS (
       SELECT CAST(sum(tf * len(c)) AS BIGINT) AS total_symbols
@@ -13535,7 +13608,7 @@ ORACLE["corpus_contrastive_pairs"] = f"""
     base AS (
       SELECT da, db, jaccard, n_tot,
              ((da % {DRAW_MOD}) * {KNUTH} + db % {DRAW_MOD})
-               % {DRAW_MOD} % n_tot AS cand
+               % n_tot AS cand
       FROM lsh_pairs CROSS JOIN tot
     )
     SELECT da AS anchor_id, db AS positive_id,

@@ -6101,13 +6101,20 @@ def events_mttr(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: rides the incident scan (calendar-bounded), then one
     types-bounded fold + a types-keyed join against the span table.
     Exact integers until three divisions."""
-    ev = load_table(spark, sf_dir, "events")
-    hourly = (
+    return mttr_from_hourly(
+        hourly_type_counts(load_table(spark, sf_dir, "events"))
+    )
+
+
+def hourly_type_counts(ev: DataFrame) -> DataFrame:
+    """(event_type, hour, n) tumbling counts — the calendar-bounded
+    mergeable state shared by the reliability ops and their
+    streaming twins."""
+    return (
         ev.withColumn("hour", F.date_trunc("hour", F.col("ts")))
         .groupBy("event_type", "hour")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
-    return mttr_from_hourly(hourly)
 
 
 def mttr_from_hourly(hourly: DataFrame) -> DataFrame:
@@ -6917,6 +6924,13 @@ def events_cem_att(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_treat").cast("long").alias("tot_treat"),
         F.sum("n_ctrl").cast("long").alias("tot_ctrl"),
     )
+    # each stratum's control mean quantizes to exact integer
+    # micro-cents BEFORE the fold, so the counterfactual sum is
+    # order-insensitive on any engine (the exact-integer-fold
+    # discipline of the sibling estimators)
+    mc_micro = F.floor(
+        (F.col("sy_c").cast("double") / F.col("n_ctrl")) * 1e6 + 0.5
+    ).cast("long")
     att = (
         matched.agg(
             F.count(F.lit(1)).cast("long").alias("n_strata"),
@@ -6924,14 +6938,16 @@ def events_cem_att(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_ctrl").cast("long").alias("c_m"),
             F.sum("sy_t").alias("syt"),
             F.sum(
-                F.col("n_treat")
-                * (F.col("sy_c").cast("double") / F.col("n_ctrl"))
-            ).alias("cf_num"),
+                F.col("n_treat").cast("decimal(38,0)")
+                * mc_micro.cast("decimal(38,0)")
+            ).alias("cf_micro"),
         )
         .crossJoin(F.broadcast(totals))
     )
     mt_all = F.col("syt").cast("double") / F.col("t_m") / 100.0
-    cf = F.col("cf_num") / F.col("t_m") / 100.0
+    cf = (
+        F.col("cf_micro").cast("double") / 1e6
+    ) / F.col("t_m") / 100.0
     att_row = att.select(
         F.lit("att").alias("scope"),
         F.lit(None).cast("long").alias("a_bin"),
@@ -10509,8 +10525,9 @@ ORACLE["events_cem_att"] = f"""
              CAST(sum(n_treat) AS BIGINT) AS t_m,
              CAST(sum(n_ctrl) AS BIGINT) AS c_m,
              sum(sy_t) AS syt,
-             sum(n_treat * (CAST(sy_c AS DOUBLE) / n_ctrl))
-               AS cf_num
+             sum(n_treat * CAST(floor(
+               (CAST(sy_c AS DOUBLE) / n_ctrl) * 1e6 + 0.5)
+               AS BIGINT)) AS cf_micro
       FROM matched
     )
     SELECT 'stratum' AS scope, a_bin, t_bin, n_treat, n_ctrl,
@@ -10535,10 +10552,13 @@ ORACLE["events_cem_att"] = f"""
            t_m AS n_treat, c_m AS n_ctrl,
            {sql_quantize('CAST(syt AS DOUBLE) / t_m / 100.0', 4)}
              AS mean_treat,
-           {sql_quantize('cf_num / t_m / 100.0', 4)} AS mean_ctrl,
+           {sql_quantize(
+               '(CAST(cf_micro AS DOUBLE) / 1e6) / t_m / 100.0',
+               4)} AS mean_ctrl,
            {sql_quantize(
                'CAST(syt AS DOUBLE) / t_m / 100.0'
-               ' - cf_num / t_m / 100.0', 4)} AS diff,
+               ' - (CAST(cf_micro AS DOUBLE) / 1e6) / t_m / 100.0',
+               4)} AS diff,
            n_strata,
            tot_treat - t_m AS pruned_treat,
            tot_ctrl - c_m AS pruned_ctrl

@@ -110,20 +110,12 @@ def stream_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     word / char counters with append semantics (the billing and
     budget meters a streaming intake stamps on every doc before
     packing). Drain == batch `doc_tokens`, whose oracle it shares."""
-    from pyspark.sql import functions as F
-
-    from ..functions.text import token_count
+    from .documents import doc_tokens_of
 
     docs = read_documents_stream(spark, sf_dir)
-    out = docs.select(
-        "doc_id",
-        token_count(F.col("text")).cast("long").alias("n_tokens"),
-        F.size(F.split(F.trim(F.col("text")), r"\s+"))
-        .cast("long")
-        .alias("n_words"),
-        F.length("text").cast("long").alias("n_chars_c"),
+    return run_available_now(
+        doc_tokens_of(docs), output_mode="append"
     )
-    return run_available_now(out, output_mode="append")
 
 
 def stream_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1867,17 +1859,12 @@ def stream_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     audit evaluates post-drain via the exact batch computation
     (`events.t_closeness_from_cells`). Drain == batch
     `events_t_closeness`, whose oracle it shares."""
-    from pyspark.sql import functions as F
-
-    from .events import t_closeness_from_cells
+    from .events import t_closeness_cells, t_closeness_from_cells
 
     ev = read_events_stream(spark, sf_dir)
-    cells = ev.groupBy(
-        "event_type",
-        F.hour("ts").alias("hod"),
-        F.floor(F.col("value") / 10.0).cast("long").alias("vb"),
-    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
-    snap = run_available_now(cells, output_mode="complete")
+    snap = run_available_now(
+        t_closeness_cells(ev), output_mode="complete"
+    )
     return t_closeness_from_cells(snap)
 
 
@@ -2659,18 +2646,10 @@ def stream_theta_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     the trend-decompose + SES recurrence runs post-drain via the
     exact batch computation (`events.theta_from_cells`). Drain ==
     batch `events_theta_forecast`, whose oracle it shares."""
-    from pyspark.sql import functions as F
-
-    from .events import theta_from_cells
+    from .events import holt_cells, theta_from_cells
 
     ev = read_events_stream(spark, sf_dir)
-    cells = ev.groupBy(
-        "event_type",
-        F.unix_micros(F.date_trunc("hour", F.col("ts"))).alias(
-            "hour_us"
-        ),
-    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    snap = run_available_now(cells, output_mode="complete")
+    snap = run_available_now(holt_cells(ev), output_mode="complete")
     return theta_from_cells(snap)
 
 
@@ -2680,16 +2659,12 @@ def stream_mttr(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan + reliability fold run post-drain via the exact batch
     computations. Drain == batch `events_mttr`, whose oracle it
     shares."""
-    from pyspark.sql import functions as F
-
-    from .events import mttr_from_hourly
+    from .events import hourly_type_counts, mttr_from_hourly
 
     ev = read_events_stream(spark, sf_dir)
-    hourly = ev.groupBy(
-        "event_type",
-        F.date_trunc("hour", F.col("ts")).alias("hour"),
-    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
-    snap = run_available_now(hourly, output_mode="complete")
+    snap = run_available_now(
+        hourly_type_counts(ev), output_mode="complete"
+    )
     return mttr_from_hourly(snap)
 
 

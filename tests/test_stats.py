@@ -1438,3 +1438,23 @@ def test_contrastive_pairs_invariants(spark):
     n = len(_documents())
     assert out["negative_id"].between(0, n - 1).all()
     assert (out["pos_jaccard"] > 0).all()
+
+
+def test_bpe_census_nonoverlap_runs(spark):
+    """The greedy non-overlap rule: a same-char run of length R
+    yields floor(R/2) merge occurrences (not R−1); non-self pairs
+    count every position."""
+    from llm_map_reduce_summarizer_spark.plans.documents import (
+        bpe_census_from_term_counts,
+    )
+
+    tfdf = spark.createDataFrame(
+        [("aaaa", 1), ("abab", 2), ("aaabbb", 1)], ["term", "tf"]
+    )
+    out = (
+        bpe_census_from_term_counts(tfdf)
+        .toPandas()
+        .set_index("pair")["n_occurrences"]
+        .to_dict()
+    )
+    assert out == {"aa": 3, "ab": 5, "ba": 2, "bb": 1}
