@@ -3381,36 +3381,25 @@ def bpe_census_from_term_counts(tf: DataFrame) -> DataFrame:
             F.split(F.col("term"), ""), lambda x: x != ""
         ).alias("c"),
     )
+    zipped = F.when(
+        F.size("c") > 1,
+        F.zip_with(
+            F.slice("c", 1, F.size("c") - 1),
+            F.slice("c", 2, F.size("c") - 1),
+            lambda a, b: F.struct(
+                F.concat(a, b).alias("pair"),
+                (a == b).alias("selfp"),
+            ),
+        ),
+    ).otherwise(
+        F.array().cast("array<struct<pair:string,selfp:boolean>>")
+    )
     pr = cs.select(
-        "term",
-        "tf",
-        F.explode(
-            F.when(
-                F.size("c") > 1,
-                F.transform(
-                    F.sequence(F.lit(1), F.size("c") - 1),
-                    lambda i: F.struct(
-                        i.cast("bigint").alias("i"),
-                        F.concat(
-                            F.element_at("c", i),
-                            F.element_at("c", i + 1),
-                        ).alias("pair"),
-                        (
-                            F.element_at("c", i)
-                            == F.element_at("c", i + 1)
-                        ).alias("selfp"),
-                    ),
-                ),
-            ).otherwise(
-                F.array().cast(
-                    "array<struct<i:bigint,pair:string,selfp:boolean>>"
-                )
-            )
-        ).alias("p"),
+        "term", "tf", F.posexplode(zipped).alias("pos", "p")
     ).select(
         "term",
         "tf",
-        F.col("p.i").alias("i"),
+        (F.col("pos") + 1).cast("bigint").alias("i"),
         F.col("p.pair").alias("pair"),
         F.col("p.selfp").alias("selfp"),
     )
@@ -7991,28 +7980,30 @@ DSIR_TARGET_SHARE = 4  # target = lexicographic first 1/4 of sources
 def dsir_featurize(docs: DataFrame) -> DataFrame:
     """(doc_id, source, bucket) hashed n-gram features: every unigram
     and bigram folded through the shared md5 ``shingle_key`` into
-    ``DSIR_BUCKETS`` buckets — one narrow map + explode, the same
-    shape (and the same engine-portable hash) as the dedup shingle
-    table. The per-doc feature list never materializes beyond the
-    exploded rows."""
+    ``DSIR_BUCKETS`` buckets — the dedup-shingle discipline: explode
+    FIRST, hash the exploded string column inside whole-stage
+    codegen (hashing inside a higher-order lambda runs interpreted
+    per element and measured ~2× slower end-to-end). The per-doc
+    feature list never materializes beyond the exploded rows."""
     w = words(F.col("text"))
-    uni = F.transform(w, lambda t: shingle_key(t) % DSIR_BUCKETS)
-    bi = F.when(
+    uni = docs.select(
+        "doc_id", "source", F.explode(w).alias("f")
+    )
+    bi_arr = F.when(
         F.size(w) > 1,
-        F.transform(
-            F.sequence(F.lit(1), F.size(w) - 1),
-            lambda i: shingle_key(
-                F.concat_ws(
-                    " ", F.element_at(w, i), F.element_at(w, i + 1)
-                )
-            )
-            % DSIR_BUCKETS,
+        F.zip_with(
+            F.slice(w, 1, F.size(w) - 1),
+            F.slice(w, 2, F.size(w) - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
         ),
-    ).otherwise(F.array().cast("array<bigint>"))
-    return docs.select(
+    ).otherwise(F.array().cast("array<string>"))
+    bi = docs.select(
+        "doc_id", "source", F.explode(bi_arr).alias("f")
+    )
+    return uni.unionByName(bi).select(
         "doc_id",
         "source",
-        F.explode(F.concat(uni, bi)).alias("bucket"),
+        (shingle_key(F.col("f")) % DSIR_BUCKETS).alias("bucket"),
     )
 
 
@@ -8112,11 +8103,18 @@ def dsir_doc_scores(docs: DataFrame) -> DataFrame:
     """(doc_id, source, n_feats, s) per-doc DSIR fold, with s the
     exact integer micro-unit sum of the model's (1e-6-quantized)
     log ratios — order-insensitive on any engine, so the boundary
-    docs decide identically everywhere. Shared by the weight report
-    and the resampling step."""
-    feats = dsir_featurize(docs)
-    cells = feats.groupBy("source", "bucket").agg(
-        F.count(F.lit(1)).cast("long").alias("n")
+    docs decide identically everywhere. Shared by the weight report,
+    the resampling step, and the selection flagship.
+
+    The feature table folds ONCE into per-(doc, bucket) counts; both
+    the model branch and the scoring branch read that same
+    aggregation, so the md5 feature scan (the dominant cost) runs a
+    single time per query instead of twice (exchange reuse)."""
+    db = dsir_featurize(docs).groupBy(
+        "doc_id", "source", "bucket"
+    ).agg(F.count(F.lit(1)).cast("long").alias("nf"))
+    cells = db.groupBy("source", "bucket").agg(
+        F.sum("nf").cast("long").alias("n")
     )
     model = dsir_model_from_cells(cells).select(
         "bucket",
@@ -8124,10 +8122,12 @@ def dsir_doc_scores(docs: DataFrame) -> DataFrame:
         .cast("long")
         .alias("lr_micro"),
     )
-    scored = feats.join(F.broadcast(model), "bucket")
+    scored = db.join(F.broadcast(model), "bucket")
     return scored.groupBy("doc_id", "source").agg(
-        F.count(F.lit(1)).cast("long").alias("n_feats"),
-        F.sum("lr_micro").cast("long").alias("s"),
+        F.sum("nf").cast("long").alias("n_feats"),
+        F.sum(F.col("nf") * F.col("lr_micro"))
+        .cast("long")
+        .alias("s"),
     )
 
 
@@ -8190,11 +8190,11 @@ def kn_bigram_counts(docs: DataFrame) -> DataFrame:
         F.explode(
             F.when(
                 F.size(w) > 1,
-                F.transform(
-                    F.sequence(F.lit(1), F.size(w) - 1),
-                    lambda i: F.struct(
-                        F.element_at(w, i).alias("w1"),
-                        F.element_at(w, i + 1).alias("w2"),
+                F.zip_with(
+                    F.slice(w, 1, F.size(w) - 1),
+                    F.slice(w, 2, F.size(w) - 1),
+                    lambda a, b: F.struct(
+                        a.alias("w1"), b.alias("w2")
                     ),
                 ),
             ).otherwise(
