@@ -1889,6 +1889,23 @@ SPLIT_TRAIN = 0.90
 SPLIT_VAL = 0.95  # train < 0.90 <= val < 0.95 <= test
 
 
+def split_draw() -> F.Column:
+    """The deterministic Knuth split uniform over ``doc_id`` — THE
+    one draw every split-consuming query shares (a second copy that
+    drifts would silently desynchronize the holdout)."""
+    return ((F.col("doc_id") * KNUTH) % DRAW_MOD) / float(DRAW_MOD)
+
+
+def split_col() -> F.Column:
+    """The shared train/val/test assignment over :func:`split_draw`."""
+    draw = split_draw()
+    return (
+        F.when(draw < SPLIT_TRAIN, "train")
+        .when(draw < SPLIT_VAL, "val")
+        .otherwise("test")
+    )
+
+
 def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split assignment — the
     reproducible holdout step of a training-data pipeline: every engine
@@ -1901,13 +1918,9 @@ def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition key for a split-partitioned sink.
     """
     d = _docs(spark, sf_dir)
-    draw = ((F.col("doc_id") * KNUTH) % DRAW_MOD) / float(DRAW_MOD)
-    split = (
-        F.when(draw < SPLIT_TRAIN, "train")
-        .when(draw < SPLIT_VAL, "val")
-        .otherwise("test")
+    return d.select(
+        "doc_id", "lang", "source", split_col().alias("split")
     )
-    return d.select("doc_id", "lang", "source", split.alias("split"))
 
 
 def corpus_split_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1924,13 +1937,7 @@ def corpus_split_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     `corpus_chi2_independence` shape on the split axis.
     """
     d = _docs(spark, sf_dir)
-    draw = ((F.col("doc_id") * KNUTH) % DRAW_MOD) / float(DRAW_MOD)
-    split = (
-        F.when(draw < SPLIT_TRAIN, "train")
-        .when(draw < SPLIT_VAL, "val")
-        .otherwise("test")
-    )
-    cells = d.select(split.alias("split"), "lang").groupBy(
+    cells = d.select(split_col().alias("split"), "lang").groupBy(
         "split", "lang"
     ).agg(F.count(F.lit(1)).cast("long").alias("n"))
     rm = cells.groupBy(F.col("split").alias("s_m")).agg(
@@ -3067,14 +3074,8 @@ def corpus_select_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     surv = kept.join(keep_ids, "doc_id")
-    draw = ((F.col("doc_id") * KNUTH) % DRAW_MOD) / float(DRAW_MOD)
-    split = (
-        F.when(draw < SPLIT_TRAIN, "train")
-        .when(draw < SPLIT_VAL, "val")
-        .otherwise("test")
-    )
     per = surv.select(
-        split.alias("split"),
+        split_col().alias("split"),
         "source",
         token_count(F.col("text")).cast("long").alias("n_tok"),
     ).groupBy("split", "source").agg(
@@ -3126,8 +3127,12 @@ def corpus_contrastive_pairs(
         )
         % F.col("n_tot")
     )
-    c2 = (cand + 7) % F.col("n_tot")
-    c3 = (cand + 13) % F.col("n_tot")
+    # +1/+2 probes: the three candidates are pairwise distinct for
+    # any corpus of ≥3 docs, and only two values are forbidden, so
+    # one candidate ALWAYS clears both — the triplet invariant holds
+    # unconditionally (an LSH pair already implies ≥2 docs)
+    c2 = (cand + 1) % F.col("n_tot")
+    c3 = (cand + 2) % F.col("n_tot")
     neg = (
         F.when((cand != F.col("da")) & (cand != F.col("db")), cand)
         .when((c2 != F.col("da")) & (c2 != F.col("db")), c2)
@@ -13614,9 +13619,9 @@ ORACLE["corpus_contrastive_pairs"] = f"""
     SELECT da AS anchor_id, db AS positive_id,
            CAST(CASE
              WHEN cand <> da AND cand <> db THEN cand
-             WHEN (cand + 7) % n_tot <> da
-              AND (cand + 7) % n_tot <> db THEN (cand + 7) % n_tot
-             ELSE (cand + 13) % n_tot
+             WHEN (cand + 1) % n_tot <> da
+              AND (cand + 1) % n_tot <> db THEN (cand + 1) % n_tot
+             ELSE (cand + 2) % n_tot
            END AS BIGINT) AS negative_id,
            jaccard AS pos_jaccard
     FROM base
