@@ -2045,6 +2045,171 @@ def events_absorption(spark: SparkSession, sf_dir: str) -> DataFrame:
     return absorption_from_pairs(pairs)
 
 
+MK_START, MK_END = "START", "END"
+
+
+def attribution_journey_pairs(ev: DataFrame) -> DataFrame:
+    """(src, dst, n) transition counts over per-user journeys
+    truncated at the FIRST purchase — START fronts every journey,
+    non-converting journeys close with END — the mergeable
+    (types+2)²-bounded state the Markov attribution solver reads
+    (shared with its streaming twin)."""
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    wa = Window.partitionBy("user_id")
+    s = ev.select("user_id", "event_id", "ts_us", "event_type")
+    s = s.withColumn(
+        "buy_key",
+        F.min(
+            F.when(
+                F.col("event_type") == ABSORB_TARGET,
+                F.struct("ts_us", "event_id"),
+            )
+        ).over(wa),
+    )
+    kept = s.filter(
+        F.col("buy_key").isNull()
+        | (F.struct("ts_us", "event_id") <= F.col("buy_key"))
+    )
+    trans = kept.withColumn(
+        "src", F.lag("event_type").over(w)
+    ).select(
+        F.coalesce("src", F.lit(MK_START)).alias("src"),
+        F.col("event_type").alias("dst"),
+    )
+    last_nc = (
+        kept.filter(F.col("buy_key").isNull())
+        .groupBy("user_id")
+        .agg(
+            F.max(F.struct("ts_us", "event_id", "event_type")).alias(
+                "m"
+            )
+        )
+        .select(
+            F.col("m.event_type").alias("src"),
+            F.lit(MK_END).alias("dst"),
+        )
+    )
+    return trans.unionByName(last_nc).groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+def markov_removal_effects(cells):
+    """Pure solver over (src, dst, n) transition triples: base
+    conversion probability from START, per-channel removal effects
+    (walks entering the channel lost to END — redirected, NOT
+    renormalized), and the normalized attribution shares. Returns
+    (channels, base, effects, shares, n_in, n_out, converged) —
+    numpy-pinned against analytic chains in unit tests."""
+    import numpy as np
+
+    # END is ALWAYS part of the state space: without it, removing a
+    # channel would renormalize the remaining transitions instead of
+    # losing the redirected walks (silently zeroing every removal
+    # effect on fully-converting chains)
+    types = sorted(
+        {s for s, _, _ in cells}
+        | {d for _, d, _ in cells}
+        | {MK_END}
+    )
+    idx = {t: i for i, t in enumerate(types)}
+    k = len(types)
+    counts = np.zeros((k, k))
+    for s, d, n in cells:
+        counts[idx[s], idx[d]] = n
+    tgt = idx.get(ABSORB_TARGET)
+    start = idx.get(MK_START)
+    base_h, ok_all = absorb_probs(counts, tgt)
+    base = float(base_h[start]) if start is not None else 0.0
+    channels = [
+        t for t in types if t not in (MK_START, MK_END, ABSORB_TARGET)
+    ]
+    res = {}
+    for c in channels:
+        ci = idx[c]
+        mod = counts.copy()
+        mod[:, idx[MK_END]] += mod[:, ci]
+        mod[:, ci] = 0.0
+        mod[ci, :] = 0.0
+        h, ok = absorb_probs(mod, tgt)
+        ok_all = ok_all and ok
+        conv = float(h[start]) if start is not None else 0.0
+        res[c] = max(0.0, 1.0 - (conv / base)) if base > 0 else 0.0
+    tot_re = sum(res.values())
+    shares = {
+        c: (res[c] / tot_re if tot_re > 0 else 0.0) for c in channels
+    }
+    n_in = {c: int(counts[:, idx[c]].sum()) for c in channels}
+    n_out = {c: int(counts[idx[c], :].sum()) for c in channels}
+    return channels, base, res, shares, n_in, n_out, ok_all
+
+
+def attribution_markov_from_pairs(pairs: DataFrame) -> DataFrame:
+    """Markov REMOVAL-EFFECT attribution (Anderl et al.) over drained
+    journey transition counts: base conversion probability =
+    absorption from START into purchase; each channel's removal
+    effect = how much of that probability dies when walks entering
+    the channel are lost to END instead (transitions redirected, NOT
+    renormalized — the standard node-removal semantics); attribution
+    share = normalized removal effects. The principled multi-touch
+    answer `events_attribution`'s first/last-touch table cannot give.
+
+    Same discipline as `events_absorption`: the corpus-sized work is
+    the transition agg; the matrix is (types+2)² cells (a 1-matrix
+    driver decision); the catalog emits the exact transition counts
+    (SQL-twinned) plus the solver's invariants as literal booleans —
+    the shares themselves are numpy-pinned in unit tests."""
+    spark = pairs.sparkSession
+    cells = [
+        (r["src"], r["dst"], r["n"]) for r in pairs.collect()
+    ]  # (K+2)^2 rows — bounded by types
+    (
+        channels,
+        base,
+        res,
+        shares,
+        n_in_d,
+        n_out_d,
+        ok_all,
+    ) = markov_removal_effects(cells)
+    shares_ok = (
+        abs(sum(shares.values()) - 1.0) < 1e-9
+        if sum(res.values()) > 0
+        else True
+    )
+    in_unit = all(0.0 <= v <= 1.0 + 1e-12 for v in res.values())
+    rows = [
+        (
+            c,
+            int(n_in_d[c]),
+            int(n_out_d[c]),
+            bool(ok_all),
+            bool(in_unit),
+            bool(shares_ok),
+        )
+        for c in channels
+    ]
+    return spark.createDataFrame(
+        rows,
+        "event_type string, n_in long, n_out long,"
+        " solver_converged boolean, removal_effect_in_unit boolean,"
+        " shares_sum_to_one boolean",
+    )
+
+
+def events_attribution_markov(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Markov removal-effect attribution over first-purchase-truncated
+    user journeys — see :func:`attribution_markov_from_pairs`."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros("ts")
+    )
+    return attribution_markov_from_pairs(
+        attribution_journey_pairs(ev)
+    )
+
+
 DP_USER_CLIP = 20  # max events any one user contributes per type
 DP_USER_EPS = 1.0
 
@@ -6975,6 +7140,7 @@ QUERIES = {
     "events_interrupted_ts": events_interrupted_ts,
     "events_theta_forecast": events_theta_forecast,
     "events_mttr": events_mttr,
+    "events_attribution_markov": events_attribution_markov,
     "events_cuped": events_cuped,
     "events_dp_median": events_dp_median,
     "events_sequential_msprt": events_sequential_msprt,
@@ -10858,4 +11024,70 @@ ORACLE["events_mttr"] = f"""
                '1.0 - CAST(p.incident_hours AS DOUBLE)'
                ' / s.span_hours', 6)} AS availability
     FROM per p JOIN span s USING (event_type)
+"""
+
+
+ORACLE["events_attribution_markov"] = f"""
+    WITH s AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+      FROM events
+    ),
+    fb AS (
+      SELECT user_id, ts_us, event_id FROM s
+      WHERE event_type = '{ABSORB_TARGET}'
+      QUALIFY row_number() OVER (
+        PARTITION BY user_id ORDER BY ts_us, event_id) = 1
+    ),
+    kept AS (
+      SELECT s.* FROM s LEFT JOIN fb ON s.user_id = fb.user_id
+      WHERE fb.user_id IS NULL
+         OR (s.ts_us, s.event_id) <= (fb.ts_us, fb.event_id)
+    ),
+    trans AS (
+      SELECT coalesce(lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts_us, event_id),
+             '{MK_START}') AS src,
+             event_type AS dst
+      FROM kept
+    ),
+    last_nc AS (
+      SELECT k.event_type AS src, '{MK_END}' AS dst
+      FROM kept k LEFT JOIN fb ON k.user_id = fb.user_id
+      WHERE fb.user_id IS NULL
+      QUALIFY row_number() OVER (
+        PARTITION BY k.user_id
+        ORDER BY k.ts_us DESC, k.event_id DESC) = 1
+    ),
+    pairs AS (
+      SELECT src, dst, CAST(count(*) AS BIGINT) AS n FROM (
+        SELECT src, dst FROM trans
+        UNION ALL SELECT src, dst FROM last_nc
+      ) GROUP BY 1, 2
+    ),
+    tlist AS (
+      SELECT DISTINCT t FROM (
+        SELECT src AS t FROM pairs UNION SELECT dst FROM pairs
+      )
+    ),
+    chan AS (
+      SELECT t FROM tlist
+      WHERE t NOT IN ('{MK_START}', '{MK_END}', '{ABSORB_TARGET}')
+    ),
+    agg_in AS (
+      SELECT dst AS t, CAST(sum(n) AS BIGINT) AS n_in
+      FROM pairs GROUP BY 1
+    ),
+    agg_out AS (
+      SELECT src AS t, CAST(sum(n) AS BIGINT) AS n_out
+      FROM pairs GROUP BY 1
+    )
+    SELECT c.t AS event_type,
+           CAST(coalesce(i.n_in, 0) AS BIGINT) AS n_in,
+           CAST(coalesce(o.n_out, 0) AS BIGINT) AS n_out,
+           TRUE AS solver_converged,
+           TRUE AS removal_effect_in_unit,
+           TRUE AS shares_sum_to_one
+    FROM chan c
+    LEFT JOIN agg_in i ON i.t = c.t
+    LEFT JOIN agg_out o ON o.t = c.t
 """

@@ -1458,3 +1458,41 @@ def test_bpe_census_nonoverlap_runs(spark):
         .to_dict()
     )
     assert out == {"aa": 3, "ab": 5, "ba": 2, "bb": 1}
+
+
+def test_markov_removal_effects_analytic():
+    """Analytic chains pin the removal-effect solver: a channel on
+    the only converting path owns ALL the credit; a channel that
+    never reaches conversion gets none; a 50/50 split shares it."""
+    from llm_map_reduce_summarizer_spark.plans.events import (
+        markov_removal_effects,
+    )
+
+    # START -> A -> purchase (1 user); START -> B -> END (1 user)
+    cells = [
+        ("START", "A", 1),
+        ("A", "purchase", 1),
+        ("START", "B", 1),
+        ("B", "END", 1),
+    ]
+    ch, base, res, shares, n_in, n_out, ok = markov_removal_effects(
+        cells
+    )
+    assert ok and sorted(ch) == ["A", "B"]
+    assert abs(base - 0.5) < 1e-9
+    assert abs(res["A"] - 1.0) < 1e-9 and abs(res["B"]) < 1e-9
+    assert abs(shares["A"] - 1.0) < 1e-9
+    assert n_in == {"A": 1, "B": 1} and n_out == {"A": 1, "B": 1}
+
+    # two symmetric converting channels split the credit evenly
+    cells = [
+        ("START", "A", 1),
+        ("A", "purchase", 1),
+        ("START", "B", 1),
+        ("B", "purchase", 1),
+    ]
+    _, base, res, shares, _, _, ok = markov_removal_effects(cells)
+    assert ok and abs(base - 1.0) < 1e-9
+    assert abs(shares["A"] - 0.5) < 1e-9
+    assert abs(shares["B"] - 0.5) < 1e-9
+    assert abs(res["A"] - 0.5) < 1e-9
