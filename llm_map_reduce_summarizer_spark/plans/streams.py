@@ -1554,6 +1554,46 @@ def stream_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transition_entropy_from_pairs(pairs)
 
 
+def stream_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Markov removal-effect attribution: journey
+    transitions emit exactly-once AT INGEST off a 4-scalar per-user
+    state (`stream_ops.journey_pairs_stream` — last pre-conversion
+    event + converted flag; post-purchase events are skipped), and
+    the drain closes NON-converting journeys with END from each
+    user's latest 'last' row (the one fact only stream end decides)
+    before the (types+2)²-bounded solver runs. Drain == batch
+    `events_attribution_markov`, whose oracle it shares."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from ..streaming.stream_ops import journey_pairs_stream
+    from .events import MK_END, attribution_markov_from_pairs
+
+    ev = read_events_stream(spark, sf_dir)
+    drained = run_available_now(
+        journey_pairs_stream(ev), output_mode="update"
+    )
+    pairs_part = drained.filter(F.col("kind") == "pair").select(
+        "src", "dst"
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts_us").desc(), F.col("event_id").desc()
+    )
+    lasts = (
+        drained.filter(F.col("kind") == "last")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .filter(F.col("dst") == "N")
+        .select("src", F.lit(MK_END).alias("dst"))
+    )
+    pairs = (
+        pairs_part.unionByName(lasts)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return attribution_markov_from_pairs(pairs)
+
+
 def stream_concurrency_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming concurrency gauge: sessions form AT INGEST (the
     `stream_sessionize` per-user state) and the interval→hour overlap
@@ -3153,6 +3193,7 @@ QUERIES = {
     "stream_autocorr": stream_autocorr,
     "stream_changepoint": stream_changepoint,
     "stream_transition_entropy": stream_transition_entropy,
+    "stream_attribution_markov": stream_attribution_markov,
     "stream_concurrency_curve": stream_concurrency_curve,
     "stream_adoption_curve": stream_adoption_curve,
     "stream_incident_table": stream_incident_table,
@@ -3280,6 +3321,8 @@ ORACLE = {
     "stream_changepoint": _EVENTS_ORACLE["events_changepoint"],
     "stream_transition_entropy":
         _EVENTS_ORACLE["events_transition_entropy"],
+    "stream_attribution_markov":
+        _EVENTS_ORACLE["events_attribution_markov"],
     "stream_concurrency_curve":
         _EVENTS_ORACLE["events_concurrency_curve"],
     "stream_adoption_curve":

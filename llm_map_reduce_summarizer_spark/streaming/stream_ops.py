@@ -1331,3 +1331,81 @@ def user_paths_stream(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+JOURNEY_STATE_SCHEMA = StructType(
+    [
+        StructField("last_ts_us", LongType()),
+        StructField("last_event_id", LongType()),
+        StructField("last_type", StringType()),
+        StructField("converted", BooleanType()),
+    ]
+)
+
+JOURNEY_OUT_SCHEMA = StructType(
+    [
+        StructField("kind", StringType()),
+        StructField("src", StringType()),
+        StructField("dst", StringType()),
+        StructField("user_id", LongType()),
+        StructField("ts_us", LongType()),
+        StructField("event_id", LongType()),
+    ]
+)
+
+
+def journey_pairs_stream(events: DataFrame) -> DataFrame:
+    """Incremental attribution-journey transitions keyed by user:
+    state = the user's last pre-conversion event + a converted flag
+    (4 scalars — never the history). 'pair' rows emit each journey
+    transition exactly once (START fronts the first event; events
+    after the first purchase are skipped — the journey is over);
+    one 'last' row per user per batch carries the latest journey
+    tail, so the drain can close NON-converting journeys with END
+    (the one fact only the end of the stream can decide). Same
+    per-user event-time-order contract as ``sessionize_stream``."""
+
+    def _fn(key, pdfs, state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            ts, eid, last, conv = state.get
+        else:
+            ts, eid, last, conv = None, None, None, False
+        uid = int(key[0])
+        rows: list = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts_us", "event_id"])
+            for t, e, et in zip(
+                pdf["ts_us"], pdf["event_id"], pdf["event_type"]
+            ):
+                if conv:
+                    continue
+                src = last if last is not None else "START"
+                rows.append(
+                    ("pair", src, et, uid, int(t), int(e))
+                )
+                ts, eid, last = int(t), int(e), et
+                if et == "purchase":
+                    conv = True
+        state.update((ts, eid, last, bool(conv)))
+        if last is not None:
+            rows.append(
+                ("last", last, "C" if conv else "N", uid, ts, eid)
+            )
+        if rows:
+            yield pd.DataFrame(
+                rows, columns=list(JOURNEY_OUT_SCHEMA.names)
+            )
+
+    with_us = events.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    return with_us.groupBy("user_id").applyInPandasWithState(
+        _fn,
+        outputStructType=JOURNEY_OUT_SCHEMA,
+        stateStructType=JOURNEY_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1230,3 +1230,112 @@ def test_stream_user_paths_parity_on_randomized_splits(spark, tmp_path_factory):
         assert got == expect
 
     run()
+
+
+def test_journey_pairs_split_invariant(spark, tmp_path_factory):
+    """Property test: for ANY time-contiguous micro-batch split of an
+    event log, the drained journey transitions (pairs + the END
+    closure of non-converting users) equal a pure-python reference of
+    the batch journey semantics — first-purchase truncation included."""
+    from collections import Counter
+
+    import pandas as pd
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from llm_map_reduce_summarizer_spark.streaming.stream_ops import (
+        EVENTS_SCHEMA,
+        journey_pairs_stream,
+        run_available_now,
+    )
+    from pyspark.sql import functions as F
+
+    raw_events = st.lists(
+        st.tuples(
+            st.integers(1, 3),                    # user_id
+            st.integers(0, 3600),                 # ts seconds
+            st.sampled_from(["view", "click", "purchase"]),
+        ),
+        min_size=3,
+        max_size=24,
+    )
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=list(HealthCheck),
+    )
+    @given(data=st.data())
+    def run(data):
+        tuples = data.draw(raw_events)
+        rows = [
+            dict(event_id=i, ts_us=t * 1_000_000, user_id=u,
+                 event_type=e, value=0.0)
+            for i, (u, t, e) in enumerate(tuples)
+        ]
+        ordered = sorted(rows, key=lambda r: (r["ts_us"], r["event_id"]))
+        # pure-python reference of the batch journey semantics
+        expect: Counter = Counter()
+        by_user: dict = {}
+        for r in ordered:
+            by_user.setdefault(r["user_id"], []).append(r)
+        for evs in by_user.values():
+            last, conv = None, False
+            for r in evs:
+                if conv:
+                    break
+                src = last if last is not None else "START"
+                expect[(src, r["event_type"])] += 1
+                last = r["event_type"]
+                conv = r["event_type"] == "purchase"
+            if last is not None and not conv:
+                expect[(last, "END")] += 1
+
+        n_files = data.draw(st.integers(1, 3))
+        cuts = sorted(
+            set(
+                data.draw(
+                    st.lists(
+                        st.integers(1, max(1, len(ordered) - 1)),
+                        min_size=n_files - 1,
+                        max_size=n_files - 1,
+                    )
+                )
+            )
+        )
+        chunks, prev = [], 0
+        for c in cuts + [len(ordered)]:
+            if ordered[prev:c]:
+                chunks.append(ordered[prev:c])
+            prev = c
+
+        src = tmp_path_factory.mktemp("journey_split")
+        for i, chunk in enumerate(chunks):
+            pdf = pd.DataFrame(chunk)
+            pdf["ts"] = pdf["ts_us"] * 1000  # long nanos file
+            pdf["props"] = "{}"
+            pdf[["event_id", "ts", "user_id", "event_type", "value",
+                 "props"]].to_parquet(src / f"part-{i:03d}.parquet")
+
+        stream = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .option("latestFirst", "false")
+            .parquet(str(src))
+            .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        )
+        drained = run_available_now(
+            journey_pairs_stream(stream), output_mode="update"
+        ).toPandas()
+        got: Counter = Counter()
+        for _, r in drained[drained["kind"] == "pair"].iterrows():
+            got[(r["src"], r["dst"])] += 1
+        lasts = drained[drained["kind"] == "last"].sort_values(
+            ["user_id", "ts_us", "event_id"]
+        ).groupby("user_id").tail(1)
+        for _, r in lasts.iterrows():
+            if r["dst"] == "N":
+                got[(r["src"], "END")] += 1
+        assert got == expect
+
+    run()
