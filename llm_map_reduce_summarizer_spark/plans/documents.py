@@ -3176,7 +3176,16 @@ def langid_injection_eval(
     explode over a 4-element literal array); the scorer is the
     production narrow expression; one 5-row strata fold.
     """
-    d = _docs(spark, sf_dir)
+    return langid_eval_from_cells(
+        langid_eval_cells(_docs(spark, sf_dir))
+    )
+
+
+def langid_eval_cells(docs: DataFrame) -> DataFrame:
+    """(expected, hit, n) verdict cells over the planted+clean
+    augmentation — the 5-strata × 2 bounded mergeable state shared
+    by the batch eval and its streaming twin (the plant and the
+    production scorer are both stateless narrow maps)."""
     probes = F.array(
         *[
             F.struct(
@@ -3186,14 +3195,14 @@ def langid_injection_eval(
         ]
     )
     planted = (
-        d.filter(F.col("doc_id") % LI_EVERY == 0)
+        docs.filter(F.col("doc_id") % LI_EVERY == 0)
         .select(F.explode(probes).alias("p"))
         .select(
             F.col("p.elang").alias("expected"),
             F.col("p.ptext").alias("text"),
         )
     )
-    clean = d.select(F.lit("clean_en").alias("expected"), "text")
+    clean = docs.select(F.lit("clean_en").alias("expected"), "text")
     aug = clean.unionByName(planted)
     scores = lang_score_cols()
     scored = aug.select(
@@ -3206,11 +3215,20 @@ def langid_injection_eval(
     hit = F.when(
         F.col("expected") == "clean_en", F.col("pred_lang") == "en"
     ).otherwise(F.col("pred_lang") == F.col("expected"))
+    return scored.groupBy("expected", hit.alias("hit")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+def langid_eval_from_cells(cells: DataFrame) -> DataFrame:
+    """The per-stratum catch-rate report over drained verdict cells."""
     return (
-        scored.groupBy("expected")
+        cells.groupBy("expected")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum(hit.cast("int")).cast("long").alias("n_pred_match"),
+            F.sum("n").cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("hit"), F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("n_pred_match"),
         )
         .select(
             "expected",

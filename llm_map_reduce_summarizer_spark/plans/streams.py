@@ -90,6 +90,24 @@ def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(gated, output_mode="append")
 
 
+def stream_langid_injection_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming langid ground-truth monitor: the foreign-language
+    probes plant and score AT INGEST (both stateless narrow maps),
+    the verdicts accumulating into 5-strata × 2 cells — detection
+    quality is continuously measured on the live intake, not just in
+    offline evals. Drain == batch `langid_injection_eval`, whose
+    oracle it shares."""
+    from .documents import langid_eval_cells, langid_eval_from_cells
+
+    docs = read_documents_stream(spark, sf_dir)
+    snap = run_available_now(
+        langid_eval_cells(docs), output_mode="complete"
+    )
+    return langid_eval_from_cells(snap)
+
+
 def stream_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingestion-time PII redaction: the stateless streaming
     transform case — three JVM regex passes per arriving doc with
@@ -3229,6 +3247,7 @@ QUERIES = {
     "stream_quality_gate": stream_quality_gate,
     "stream_pii_scrub": stream_pii_scrub,
     "stream_doc_tokens": stream_doc_tokens,
+    "stream_langid_injection_eval": stream_langid_injection_eval,
     "stream_value_histogram": stream_value_histogram,
     "stream_topk_users": stream_topk_users,
     "stream_mix_report": stream_mix_report,
@@ -3384,6 +3403,8 @@ ORACLE = {
     "stream_quality_gate": quality_gate_sql(PREP_QUALITY_MIN),
     "stream_pii_scrub": _DOCS_ORACLE["doc_pii_scrub"],
     "stream_doc_tokens": _DOCS_ORACLE["doc_tokens"],
+    "stream_langid_injection_eval":
+        _DOCS_ORACLE["langid_injection_eval"],
     "stream_value_histogram": _EVENTS_ORACLE["events_value_histogram"],
     "stream_topk_users": _EVENTS_ORACLE["events_topk_users"],
     "stream_mix_report": _DOCS_ORACLE["corpus_mix_report"],
