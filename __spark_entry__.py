@@ -77,6 +77,12 @@ _SEMANTICS_CHANGED: dict[str, int] = {
     "dedup_clusters": 6,
     "dedup_keep_best": 6,
     "corpus_prep_e2e": 6,
+    # r7: the last three rows-only entries converted to invariant
+    # oracles (certificate outputs) — prior rows-only records verified
+    # a different definition
+    "emb_pca_project": 7,
+    "knn_ivf_trained": 7,
+    "multimodal_decode": 7,
 }
 
 

@@ -769,6 +769,7 @@ def pca_projection_matrix(
     corpus: DataFrame,
     n_components: int = 8,
     vec_col: str = "embedding",
+    with_trace: bool = False,
 ):
     """Top-k eigenvectors of the covariance matrix, sign-fixed.
 
@@ -779,7 +780,10 @@ def pca_projection_matrix(
     matrix is O(d^3) driver work. Sign fixed per component (largest-
     magnitude coordinate positive) so runs are reproducible.
 
-    Returns (components: (k, d) np.ndarray, explained: (k,) shares).
+    Returns (components: (k, d) np.ndarray, explained: (k,) shares),
+    plus the covariance trace (total variance, a float) when
+    ``with_trace`` — callers certifying Parseval bounds need it and
+    recomputing it would cost another corpus scan.
     """
     import numpy as np
     from pyspark.sql.types import ArrayType
@@ -810,6 +814,8 @@ def pca_projection_matrix(
             c *= -1.0
     total = float(vals.sum())
     explained = vals[order] / total if total > 0 else vals[order] * 0.0
+    if with_trace:
+        return comps, explained, total
     return comps, explained
 
 
@@ -819,17 +825,23 @@ def pca_project(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     decimals: int = 6,
+    components=None,
 ) -> DataFrame:
     """Project embeddings onto the corpus's top-k principal components.
 
     Two corpus scans total (one for the covariance, one to project);
     the (k, d) projection matrix broadcasts. Mean-centered before
-    projection, quantized for reproducibility.
+    projection, quantized for reproducibility. Pass a precomputed
+    ``components`` matrix (from ``pca_projection_matrix``) to skip the
+    covariance scan — certification callers already hold one.
     """
     import numpy as np
     import pandas as pd
 
-    comps, _ = pca_projection_matrix(corpus, n_components, vec_col)
+    if components is None:
+        comps, _ = pca_projection_matrix(corpus, n_components, vec_col)
+    else:
+        comps = components
     mean_cells = (
         corpus.select(F.posexplode(vec_col).alias("dim", "val"))
         .groupBy("dim")

@@ -478,10 +478,24 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-flat ANN with MLlib spherical k-means centroids (seeded).
-    Same probe plan as ``knn_ivf``; rows-only check — the training
-    loop is not SQL-expressible. Recall vs brute force asserted in
-    unit tests.
+    """IVF-flat ANN with MLlib spherical k-means centroids (seeded),
+    emitted as a per-hit certificate — r7 conversion of the last
+    rows-only ANN entry to a full hash oracle (the k-means training
+    loop has no SQL twin, so the certificate pins the structure and
+    bounds the values, the ``sketch_within_3rsd`` pattern):
+
+    * row structure — exactly ``KNN_K`` ranked hits per query (the
+      oracle cross-joins queries x ranks, so a short or duplicated
+      hit list hash-mismatches),
+    * ``cos_le_exact`` — the trained probe's rank-r cosine never
+      exceeds the exact scan's rank-r cosine (candidate subsets
+      cannot beat the full scan at any rank; both sides quantize the
+      same pair to the same 6-decimal value, so the bound is exact),
+    * ``recall_ok`` — corpus recall@k vs ``knn_bruteforce`` clears
+      ``IVF_TRAINED_RECALL_FLOOR``.
+
+    ``operators.similarity.cosine_topk_ivf_trained`` keeps the real
+    hit lists for composition; this entry certifies that pass.
 
     nprobe=4 (vs 2 for the untrained variant): the synthetic
     embeddings are isotropic random — the adversarial case for IVF —
@@ -490,8 +504,36 @@ def knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = _embs(spark, sf_dir)
     q = e.filter(F.col("vec_id") < N_QUERY_VECS)
-    return cosine_topk_ivf_trained(
+    trained = cosine_topk_ivf_trained(
         q, e, k=KNN_K, n_centroids=IVF_CENTROIDS, nprobe=4
+    )
+    exact = cosine_topk_blocked(q, e, k=KNN_K)
+    recall = trained.join(
+        exact.select("query_id", "neighbor_id"),
+        ["query_id", "neighbor_id"],
+        "left_semi",
+    ).agg(
+        (
+            F.count(F.lit(1)).cast("double")
+            / F.lit(float(N_QUERY_VECS * KNN_K))
+        ).alias("recall")
+    )
+    return (
+        trained.join(
+            exact.select(
+                "query_id", "rk", F.col("cos").alias("cos_exact")
+            ),
+            ["query_id", "rk"],
+        )
+        .crossJoin(F.broadcast(recall))
+        .select(
+            "query_id",
+            "rk",
+            (F.col("cos") <= F.col("cos_exact")).alias("cos_le_exact"),
+            (F.col("recall") >= IVF_TRAINED_RECALL_FLOOR).alias(
+                "recall_ok"
+            ),
+        )
     )
 
 
@@ -1308,31 +1350,96 @@ def emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embeddings projected onto the corpus's top-k principal
-    components (mean-centered, sign-fixed eigenvectors of the
-    hash-checked ``emb_covariance`` matrix).
+    """The PCA projection pass with a per-vector value-bearing
+    certificate — r7 conversion of the catalog's last rows-only
+    embedding entry to a full hash oracle (the eigensolve itself has
+    no SQL twin, so the certificate pins what IS exactly checkable
+    and bounds the rest, the ``sketch_within_3rsd`` pattern):
 
-    Rows-only check by design: eigen-decomposition is an iterative
-    numeric algorithm with no SQL twin — but its INPUT (the covariance
-    matrix) is value-checked against DuckDB, and the projection
-    algebra is unit-pinned against numpy in tests.
+    * ``centered_sq_q`` — the per-vector centered squared norm as an
+      EXACT integer (embeddings quantized to 1e-6 micro-units, terms
+      ``(x_q*n - S_dim)^2`` summed as decimal(38,0); order-free
+      integer arithmetic, so DuckDB reproduces it bit-for-bit),
+    * ``contraction_ok`` — |proj|^2 <= |x - mean|^2 + slack per vector
+      (orthonormal projections contract norms; slack absorbs the 1e-6
+      projection quantization and the micro-unit mean),
+    * ``parseval_ok`` — corpus-level: sum |proj|^2 = n * sum(lambda_k)
+      within ``PCA_VAR_RTOL`` (ties the broadcast eigenvectors to the
+      distributed projection pass),
+    * ``orthonormal_ok`` — |C*C^T - I|max <= 1e-9 (driver numpy,
+      d-bounded).
 
-    The catalog projection posexplodes the component vector to scalar
-    (vec_id, dim, value) rows — driver-canonicalizable (list cells
-    are not) — while ``operators.similarity.pca_project`` keeps the
-    array shape for composition.
+    ``operators.similarity.pca_project`` keeps the real projected
+    vectors for composition; this entry certifies that pass.
 
     Scale: the d x d eigenproblem is driver-side O(d^3) — bounded by
-    the embedding dimension, never the corpus; the (k, d) projection
-    matrix broadcasts onto a single corpus scan; the explode is a
-    narrow map (k rows per vector, no shuffle).
+    the embedding dimension, never the corpus. One covariance scan
+    (shared with the eigensolve via ``with_trace``), one posexplode
+    scan for the exact norms (d-row partial aggs, no wide shuffle),
+    one projection scan against the broadcast (k, d) matrix.
     """
-    from ..operators.similarity import pca_project
+    import numpy as np
 
-    proj = pca_project(_embs(spark, sf_dir), n_components=PCA_COMPONENTS)
-    return proj.select(
-        "vec_id", F.posexplode("components").alias("dim", "value")
-    ).select("vec_id", F.col("dim").cast("long").alias("dim"), "value")
+    from ..operators.similarity import pca_project, pca_projection_matrix
+
+    e = _embs(spark, sf_dir)
+    n = e.count()
+    comps, shares, trace = pca_projection_matrix(
+        e, PCA_COMPONENTS, with_trace=True
+    )
+    ortho_ok = bool(
+        np.abs(comps @ comps.T - np.eye(len(comps))).max() <= 1e-9
+    )
+    lam_sum = float(trace * shares.sum())
+
+    # exact centered squared norm: quantize x to micro-units, fold
+    # (x_q*n - S_dim)^2 as integers — no float sum order anywhere
+    dimq = e.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "val")
+    ).select(
+        "vec_id",
+        "dim",
+        F.floor(F.col("val").cast("double") * F.lit(1e6) + F.lit(0.5))
+        .cast("long")
+        .alias("xq"),
+    )
+    sums = dimq.groupBy("dim").agg(F.sum("xq").alias("s"))
+    t = (F.col("xq") * F.lit(n) - F.col("s")).cast("decimal(38,0)")
+    centered = (
+        dimq.join(F.broadcast(sums), "dim")
+        .select("vec_id", (t * t).alias("t2"))
+        .groupBy("vec_id")
+        .agg(F.sum("t2").alias("c2"))
+    )
+
+    proj = pca_project(e, n_components=PCA_COMPONENTS, components=comps)
+    psq = proj.select(
+        "vec_id",
+        F.aggregate(
+            "components", F.lit(0.0), lambda a, x: a + x * x
+        ).alias("proj_sq"),
+    )
+    tot = psq.agg(F.sum("proj_sq").alias("proj_sq_total"))
+    parseval = (
+        F.abs(F.col("proj_sq_total") - F.lit(float(n) * lam_sum))
+        <= F.lit(PCA_VAR_RTOL * float(n) * lam_sum + 1e-9)
+    )
+    # c2 is in micro^2 * n^2 units; slack absorbs quantizer drift
+    c2_real = F.col("c2").cast("double") / F.lit(float(n) * float(n) * 1e12)
+    return (
+        centered.join(psq, "vec_id")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "vec_id",
+            F.col("c2").cast("string").alias("centered_sq_q"),
+            F.lit(PCA_COMPONENTS).cast("long").alias("n_components"),
+            (F.col("proj_sq") <= c2_real + F.lit(1e-4)).alias(
+                "contraction_ok"
+            ),
+            parseval.alias("parseval_ok"),
+            F.lit(ortho_ok).alias("orthonormal_ok"),
+        )
+    )
 
 
 def semantic_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2293,15 +2400,36 @@ def corpus_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched decode over binary payloads (rows-only check:
-    byte-level stats aren't ANSI-SQL-expressible). Real codecs are
-    stubbed — see operators/multimodal.py."""
+    """Arrow-batched decode over binary payloads, emitted as a
+    decode-dims digest — r7 conversion of the last rows-only
+    multimodal entry to a full hash oracle: every deterministic
+    dimension of the fake-decode (n_bytes, format, width, height,
+    n_frames — pure byte-length arithmetic the oracle reproduces from
+    ``octet_length(encode(text))``) is value-checked, and the one
+    codec-dependent statistic (``mean_byte``, not ANSI-SQL-expressible
+    byte-level math) is bounded by a ``mean_in_range`` invariant the
+    oracle asserts as literal TRUE (0 < mean <= 255 for non-empty
+    payloads, exactly 0 for empty). Real codecs are stubbed — see
+    operators/multimodal.py; the Arrow batch path the dims ride
+    through is the real one."""
     from ..operators.multimodal import decode_batch
 
     d = _docs(spark, sf_dir).withColumn(
         "payload", F.encode(F.col("text"), "UTF-8")
     )
-    return decode_batch(d)
+    dec = decode_batch(d)
+    return dec.select(
+        "doc_id",
+        "n_bytes",
+        "format",
+        "width",
+        "height",
+        "n_frames",
+        (
+            ((F.col("n_bytes") == 0) & (F.col("mean_byte") == 0.0))
+            | ((F.col("mean_byte") > 0.0) & (F.col("mean_byte") <= 255.0))
+        ).alias("mean_in_range"),
+    )
 
 
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -10311,6 +10439,57 @@ ORACLE["emb_pca_check"] = f"""
 ORACLE["knn_ivf_trained_check"] = f"""
     SELECT vec_id AS query_id, TRUE AS recall_ok
     FROM embeddings WHERE vec_id < {N_QUERY_VECS}
+"""
+
+# r7 conversions of the last three rows-only entries to full hash
+# oracles (VERDICT r6 item 2). emb_pca_project: centered_sq_q is EXACT
+# integer arithmetic (micro-unit quantized embeddings, (xq*n - S)^2
+# folded as 128-bit integers — order-free, so DuckDB's HUGEINT matches
+# Spark's decimal(38,0) digit-for-digit as strings); the eigensolve-
+# dependent columns are bound invariants asserted as literal TRUE.
+ORACLE["emb_pca_project"] = f"""
+    WITH nn AS (SELECT count(*) AS n FROM embeddings),
+    dimq AS (
+      SELECT vec_id, t.i AS i,
+             CAST(floor(CAST(embedding[t.i] AS DOUBLE) * 1000000 + 0.5)
+                  AS BIGINT) AS xq
+      FROM embeddings CROSS JOIN generate_series(1, {DIM}) t(i)
+    ),
+    s AS (SELECT i, sum(xq) AS s FROM dimq GROUP BY 1)
+    SELECT d.vec_id,
+           CAST(sum(CAST(d.xq * nn.n - s.s AS HUGEINT)
+                    * CAST(d.xq * nn.n - s.s AS HUGEINT)) AS VARCHAR)
+             AS centered_sq_q,
+           CAST({PCA_COMPONENTS} AS BIGINT) AS n_components,
+           TRUE AS contraction_ok,
+           TRUE AS parseval_ok,
+           TRUE AS orthonormal_ok
+    FROM dimq d JOIN s USING (i) CROSS JOIN nn
+    GROUP BY 1
+"""
+# knn_ivf_trained: exactly KNN_K ranked hits per query (structure),
+# per-rank optimality bound + corpus recall floor as literal TRUE.
+ORACLE["knn_ivf_trained"] = f"""
+    SELECT e.vec_id AS query_id, CAST(t.rk AS BIGINT) AS rk,
+           TRUE AS cos_le_exact, TRUE AS recall_ok
+    FROM embeddings e CROSS JOIN generate_series(1, {KNN_K}) t(rk)
+    WHERE e.vec_id < {N_QUERY_VECS}
+"""
+# multimodal_decode: every deterministic fake-decode dim reproduced
+# from octet_length(encode(text)); the codec statistic is bounded.
+ORACLE["multimodal_decode"] = """
+    WITH b AS (
+      SELECT doc_id, octet_length(encode(text)) AS nb FROM documents
+    )
+    SELECT doc_id,
+           CAST(nb AS BIGINT) AS n_bytes,
+           CASE nb % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
+                ELSE 'webp' END AS format,
+           CAST(64 + nb % 997 AS BIGINT) AS width,
+           CAST(64 + (nb * 31) % 991 AS BIGINT) AS height,
+           CAST(1 + nb % 7 AS BIGINT) AS n_frames,
+           TRUE AS mean_in_range
+    FROM b
 """
 
 ORACLE["doc_ngram_lm_export"] = f"""

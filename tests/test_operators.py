@@ -725,19 +725,37 @@ def test_simhash_max_hamming_guard(spark):
 
 
 def test_catalog_ivf_trained_recall_pinned(spark):
-    """Catalog-level guard: knn_ivf_trained must keep recall@5 >= 0.5
-    vs knn_bruteforce on the seeded corpus, so a quantizer regression
-    cannot pass the driver's rows-only check silently."""
+    """Operator + catalog guard for the trained-IVF tier: the raw
+    operator must keep recall@5 >= 0.5 vs the exact scan on the seeded
+    corpus, and the r7 certificate entry (knn_ivf_trained now emits
+    per-rank optimality + recall-floor booleans with a full hash
+    oracle) must report every invariant TRUE."""
+    from llm_map_reduce_summarizer_spark.operators.similarity import (
+        cosine_topk_blocked,
+        cosine_topk_ivf_trained,
+    )
     from llm_map_reduce_summarizer_spark.plans.documents import (
-        knn_bruteforce,
+        IVF_CENTROIDS,
+        KNN_K,
+        N_QUERY_VECS,
+        _embs,
         knn_ivf_trained,
     )
 
-    exact = knn_bruteforce(spark, SF).toPandas()
-    trained = knn_ivf_trained(spark, SF).toPandas()
+    e = _embs(spark, SF)
+    q = e.filter(F.col("vec_id") < N_QUERY_VECS)
+    exact = cosine_topk_blocked(q, e, k=KNN_K).toPandas()
+    trained = cosine_topk_ivf_trained(
+        q, e, k=KNN_K, n_centroids=IVF_CENTROIDS, nprobe=4
+    ).toPandas()
     exact_pairs = set(zip(exact["query_id"], exact["neighbor_id"]))
     trained_pairs = set(zip(trained["query_id"], trained["neighbor_id"]))
     assert len(trained_pairs & exact_pairs) / len(exact_pairs) >= 0.5
+
+    cert = knn_ivf_trained(spark, SF).toPandas()
+    assert len(cert) == N_QUERY_VECS * KNN_K
+    assert cert["cos_le_exact"].all()
+    assert cert["recall_ok"].all()
 
 
 def test_connected_components_semantics(spark):

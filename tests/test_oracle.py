@@ -24,10 +24,11 @@ def test_oracle_match_sf001(spark, key):
     assert not problems, f"{key}: " + "; ".join(problems)
 
 
-@pytest.mark.parametrize("key", KEYS_ROWS_ONLY)
-def test_rows_only_nonempty(spark, key):
-    n = QUERIES[key](spark, SF_CORRECT).count()
-    assert n >= 0
+def test_every_entry_has_an_oracle():
+    """r7: the last three rows-only entries (emb_pca_project,
+    knn_ivf_trained, multimodal_decode) were converted to invariant
+    oracles — no catalog entry may regress to rows-only."""
+    assert KEYS_ROWS_ONLY == []
 
 
 def test_entry_smoke(spark):
