@@ -151,7 +151,12 @@ def main() -> None:
         queries[name](spark, sf_dir).write.format("noop").mode(
             "overwrite"
         ).save()
-        steady += time.perf_counter() - t0
+        dt = time.perf_counter() - t0
+        steady += dt
+        # per-query steady numbers pin first-run-vs-compiled deltas so
+        # a cold-pass swing (r6's pipeline_e2e +32% on unchanged code)
+        # is attributable from the artifact alone
+        extras[f"steady_{name}"] = round(dt, 3)
     extras["headline_total_steady"] = round(steady, 3)
 
     total = round(sum(timings.values()), 3)
