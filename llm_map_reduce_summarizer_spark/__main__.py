@@ -73,6 +73,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-tokens-per-chunk", type=int, default=4000)
     p.add_argument("--max-concurrent-requests", type=int, default=5,
                    help="Per-partition request batch size")
+    p.add_argument("--max-requests-per-sec", type=float, default=None,
+                   help="Cluster-wide live-API request ceiling (the "
+                        "reference's max_concurrent_requests semaphore "
+                        "as a rate; default unlimited, mock unaffected)")
     p.add_argument("--max-segment-duration", type=int, default=120)
     p.add_argument("--no-merge", action="store_true",
                    help="Disable same-speaker segment merging")
@@ -142,7 +146,11 @@ def run(spark: SparkSession, args: argparse.Namespace) -> dict:
     )
     chunks = _chunk_texts(chunked)
 
-    provider, model, is_mock = get_provider(args.provider, args.model)
+    provider, model, is_mock = get_provider(
+        args.provider,
+        args.model,
+        max_requests_per_sec=args.max_requests_per_sec,
+    )
     template = resolve_prompt(prompt_file=args.prompt_file)
     system = _read_prompt_file(args.system_prompt_file, "system prompt")
     aggregator_template = _read_prompt_file(

@@ -2518,7 +2518,11 @@ def adoption_from_first_seen(first: DataFrame) -> DataFrame:
         F.col("n_first_seen").alias("n_b"),
     )
     cum = (
-        daily.join(b, F.col("day_b") <= F.col("day"))
+        # explicit broadcast: the theta join is days-bounded, but
+        # without the hint its plan DEPENDS on source size stats — a
+        # stats-less input (drained sink, RDD-backed relation) would
+        # degrade to CartesianProduct (caught by the r7 stream audit)
+        daily.join(F.broadcast(b), F.col("day_b") <= F.col("day"))
         .groupBy("day", "n_first_seen")
         .agg(F.sum("n_b").cast("long").alias("cum_users"))
     )
@@ -2924,7 +2928,9 @@ def changepoint_from_daily(daily: DataFrame) -> DataFrame:
     a = daily.select(F.col("day").alias("d"), F.col("n").alias("na"))
     b = daily.select(F.col("day").alias("db"), F.col("n").alias("nb"))
     cus = (
-        a.join(b, F.col("db") <= F.col("d"))
+        # explicit broadcast: days-bounded theta join — see
+        # adoption_from_first_seen's note on stats-less inputs
+        a.join(F.broadcast(b), F.col("db") <= F.col("d"))
         .groupBy("d")
         .agg(
             F.sum("nb").alias("cum_n"),
