@@ -35,6 +35,7 @@ from .operators.aggregator import (
 )
 from .operators.chunker import assign_chunks_greedy
 from .operators.executor import SparkLLMExecutor, resolve_prompt
+from .operators.persist import materialize
 from .operators.preprocess import merge_same_speaker, preprocess_segments
 from .operators.providers import get_provider, token_rates
 from .sources.transcript import read_transcript
@@ -168,7 +169,7 @@ def run(spark: SparkSession, args: argparse.Namespace) -> dict:
     )
     # one materialization feeds save-chunks, the token/cost report and
     # the reduce (hierarchical_reduce localCheckpoints internally too)
-    summaries = summaries.localCheckpoint(eager=True)
+    summaries = summaries.transform(materialize)
 
     if args.save_chunks:
         summaries.write.mode("overwrite").parquet(args.save_chunks)

@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .persist import materialize
+
 
 def _ordered_join(ord_col: str, text_col: str, sep: str):
     pairs = F.collect_list(
@@ -83,7 +85,7 @@ def hierarchical_reduce(
     checkpointed sets shrink by batch_size per level, so executor
     storage cost is a geometric series bounded by ~2x level 1.
     """
-    out = df.localCheckpoint(eager=True)
+    out = df.transform(materialize)
     level = 0
     n = out.count()
     while n > 1:
@@ -95,7 +97,7 @@ def hierarchical_reduce(
             out, ord_col, text_col, batch_size, header,
             template=template if is_final else None,
         )
-        out = out.localCheckpoint(eager=True)
+        out = out.transform(materialize)
         level += 1
         n = out.count()
     if level == 0 and template is not None:

@@ -30,6 +30,7 @@ from ..functions.hashing import (
     words,
 )
 from ..functions.text import quantize
+from .persist import materialize
 
 NORMALIZE = lambda c: F.regexp_replace(F.lower(c), r"\s+", " ")  # noqa: E731
 
@@ -114,7 +115,7 @@ def stop_shingle_set(shingles: DataFrame, df_cap: int) -> DataFrame:
         # times downstream (signature pass + verify pass sides), and
         # without this each consumer would recompute the full
         # shingle-df aggregation just to rebuild this tiny list
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
 
 
@@ -129,7 +130,7 @@ def jaccard_pairs(
     consumer (the map-side-distinct shingle build has no exchange of
     its own for Spark to reuse).
     """
-    shingles = shingles.localCheckpoint(eager=True)
+    shingles = shingles.transform(materialize)
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     a = shingles.select(F.col(id_col).alias("da"), "s")
     b = shingles.select(F.col(id_col).alias("db"), "s")
@@ -229,9 +230,9 @@ def minhash_lsh_pairs(
         # anti-join); the map-side-distinct build has no exchange of
         # its own for Spark to reuse, so materialize it once too
         sh = drop_stop_shingles(
-            sh.localCheckpoint(eager=True), df_cap, id_col
+            sh.transform(materialize), df_cap, id_col
         )
-    sh = sh.localCheckpoint(eager=True)
+    sh = sh.transform(materialize)
     bands = band_bucket_rows(sh, id_col)
     a = bands.select(F.col(id_col).alias("da"), "bk", "bv")
     b = bands.select(F.col(id_col).alias("db"), "bk", "bv")
@@ -280,9 +281,9 @@ def incremental_dedup_verdicts(
         # anti-join); the map-side-distinct build has no exchange of
         # its own for Spark to reuse, so materialize it once too
         sh = drop_stop_shingles(
-            sh.localCheckpoint(eager=True), df_cap, id_col
+            sh.transform(materialize), df_cap, id_col
         )
-    sh = sh.localCheckpoint(eager=True)
+    sh = sh.transform(materialize)
     bands = band_bucket_rows(sh, id_col)
     bb = bands.join(batch.select(id_col), id_col, "left_semi")
     be = bands.join(existing.select(id_col), id_col, "left_semi")
@@ -333,24 +334,22 @@ def dedup_reference_index(
     All four are materialized once (localCheckpoint) and reused across
     every screened batch/micro-batch.
     """
-    sh_raw = doc_shingles(existing, id_col, keyed=True).localCheckpoint(
-        eager=True
-    )
+    sh_raw = doc_shingles(existing, id_col, keyed=True).transform(materialize)
     if df_cap is not None:
         stop = stop_shingle_set(sh_raw, df_cap)
         sh = sh_raw.join(F.broadcast(stop), "s", "left_anti")
     else:
         stop = sh_raw.select("s").filter(F.lit(False))
         sh = sh_raw
-    sh = sh.localCheckpoint(eager=True)
+    sh = sh.transform(materialize)
     return {
         "stop": stop,
         "sh": sh,
-        "bands": band_bucket_rows(sh, id_col).localCheckpoint(eager=True),
+        "bands": band_bucket_rows(sh, id_col).transform(materialize),
         "fps": fingerprint(existing)
         .select("fp")
         .distinct()
-        .localCheckpoint(eager=True),
+        .transform(materialize),
     }
 
 
@@ -456,20 +455,20 @@ def connected_components(
     # union below reads it twice, and the upstream is often the
     # EXPENSIVE part (a kNN-graph or dgemm near-dup pair scan) with no
     # exchange of its own for Spark to reuse
-    edges = edges.select(src, dst).localCheckpoint(eager=True)
+    edges = edges.select(src, dst).transform(materialize)
     # ONE bidirectional edge list (u, v): each undirected edge twice.
     # Halves the per-round join count vs separate fwd/bwd passes.
     half = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     e2 = (
         half.union(half.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     # init = min(id, min neighbor): the first propagation round folded
     # into the label construction (every node appears as u in e2).
     labels = (
         e2.groupBy(F.col("u").alias("id"))
         .agg(F.least(F.min("v"), F.first("u")).alias("lbl"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     n_nodes = labels.count()  # 1-scalar plan decision (already materialized)
     n_parts = max(1, min(
@@ -500,7 +499,7 @@ def connected_components(
             merged.groupBy("id")
             .agg(F.min("lbl").alias("lbl"))
             .coalesce(n_parts)
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
         cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]
         if cur_sum == prev_sum:  # labels only ever decrease

@@ -47,6 +47,7 @@ from ..functions.vectors import (
     sql_sign_bucket_dynamic,
     sql_unit_cte,
 )
+from ..operators.persist import materialize
 from ..operators.profile import profile_oracle_sql
 from ..operators.dedup import (
     connected_components,
@@ -450,7 +451,7 @@ def emb_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         cosine_knn_graph(_embs(spark, sf_dir), k=KNN_GRAPH_K)
         .select("da", "db")
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     mutual = pairs.join(
         pairs.select(F.col("db").alias("da"), F.col("da").alias("db")),
@@ -652,9 +653,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators.dedup import doc_shingles
 
-    sh = doc_shingles(_docs(spark, sf_dir), keyed=True).localCheckpoint(
-        eager=True
-    )
+    sh = doc_shingles(_docs(spark, sf_dir), keyed=True).transform(materialize)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("da"), "s")
     b = sh.select(F.col("doc_id").alias("db"), "s")
@@ -1262,7 +1261,7 @@ def dedup_index_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     # two passes consume the raw table (df agg + anti-join) before the
     # signature agg; materialize the keyed explode once
     sh = drop_stop_shingles(
-        sh.localCheckpoint(eager=True), MINHASH_DF_CAP
+        sh.transform(materialize), MINHASH_DF_CAP
     )
     return minhash_signatures(sh).select("doc_id", *band_hashes())
 
@@ -2846,9 +2845,7 @@ def corpus_prep_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     # it repeatedly (shingle explode for signatures, verify sides,
     # sizes), and each consumption would otherwise recompute the regex
     # quality/langid gate expressions over the full text column
-    corpus = gated.join(keep, "doc_id", "left_semi").localCheckpoint(
-        eager=True
-    )
+    corpus = gated.join(keep, "doc_id", "left_semi").transform(materialize)
     drops = (
         minhash_lsh_pairs(
             corpus, threshold=MINHASH_THRESHOLD, df_cap=MINHASH_DF_CAP
@@ -4463,7 +4460,7 @@ def dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     # four consumers read the keyed shingle table (set bits, probe,
     # audit join, flag scan); materialize the explode+key scan once
-    sh = doc_shingles(d, keyed=True).localCheckpoint(eager=True)
+    sh = doc_shingles(d, keyed=True).transform(materialize)
     ex = sh.filter(F.col("doc_id") % 2 == 0).select("s").distinct()
     bt = sh.filter(F.col("doc_id") % 2 == 1)
     setbits = ex.select(
@@ -4627,7 +4624,7 @@ def _kmeans_final(spark: SparkSession, sf_dir: str):
     u = e.select("vec_id", unit_norm(F.col("embedding")).alias("u"))
     ex = u.select(
         "vec_id", F.posexplode("u").alias("dim", "val")
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     assign = e.select(
         "vec_id", (F.col("vec_id") % KMEANS_K).cast("long").alias("c")
     )
@@ -5028,10 +5025,10 @@ def dedup_minhash_est_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sh = doc_shingles(_docs(spark, sf_dir), keyed=True)
     sh = drop_stop_shingles(
-        sh.localCheckpoint(eager=True), MINHASH_DF_CAP
+        sh.transform(materialize), MINHASH_DF_CAP
     )
-    sh = sh.localCheckpoint(eager=True)
-    sigs = minhash_signatures(sh).localCheckpoint(eager=True)
+    sh = sh.transform(materialize)
+    sigs = minhash_signatures(sh).transform(materialize)
     bands = sigs.select("doc_id", *band_hashes()).selectExpr(
         "doc_id",
         "stack(4, 0, band0, 1, band1, 2, band2, 3, band3) AS (bk, bv)",
@@ -5930,7 +5927,7 @@ def corpus_lang_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("lang", F.explode(words(F.col("text"))).alias("term"))
         .groupBy("lang", "term")
         .agg(F.count(F.lit(1)).alias("f"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     tot = lt.groupBy("lang").agg(F.sum("f").alias("n"))
     a = lt.join(tot, "lang").select(
@@ -7015,7 +7012,7 @@ def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source", F.explode(words(F.col("text"))).alias("term")
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     sizes = st.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_terms")
@@ -7124,7 +7121,7 @@ def corpus_boilerplate_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     # two consumers (df table + the join-back side) — one eager
     # localCheckpoint materializes the explode+key scan once
-    sh = doc_shingles(d, keyed=True).localCheckpoint(eager=True)
+    sh = doc_shingles(d, keyed=True).transform(materialize)
     df_tab = sh.groupBy("s").agg(
         F.count(F.lit(1)).cast("long").alias("df")
     )
@@ -7831,7 +7828,7 @@ def corpus_textrank_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
         .select(F.col("w1").alias("src"), F.col("w2").alias("dst"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     nodes = deg.select(F.col("src").alias("term"), "deg")
@@ -7897,7 +7894,7 @@ def emb_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = (
         cosine_topk_blocked(q, e, k=KNN_K)
         .select("query_id", "neighbor_id")
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     n_truth = truth.agg(
         F.count(F.lit(1)).cast("long").alias("n_truth")
@@ -7950,7 +7947,7 @@ def emb_binary_hash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = (
         cosine_topk_blocked(q, e, k=KNN_K)
         .select("query_id", "neighbor_id")
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     qb = F.broadcast(
         q.select(

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.text import quantize, sql_quantize
+from ..operators.persist import materialize
 from ..sources.tables import load_table
 
 
@@ -1508,7 +1509,7 @@ def parts_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("src") != F.col("dst"))
         .select("src", "dst")
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     nodes = deg.select(F.col("src").alias("part"), "deg")
@@ -1573,7 +1574,7 @@ def parts_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("pa") < F.col("pb"))
         .select(F.col("pa").alias("u"), F.col("pb").alias("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     both = edges.select("u", "v").union(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
@@ -1731,7 +1732,7 @@ def parts_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("u") != F.col("v"))
         .select("u", "v")
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
     pairs = (

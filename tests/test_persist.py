@@ -1,0 +1,70 @@
+"""materialize(): the lineage-cut knob (local vs reliable checkpoint).
+
+Order matters within this file: the no-directory error case must run
+BEFORE the reliable-mode case, because setCheckpointDir is sticky on
+the shared session's SparkContext.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from llm_map_reduce_summarizer_spark.operators.persist import (
+    CHECKPOINT_DIR_CONF,
+    RELIABLE_CONF,
+    materialize,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _edges(spark):
+    return spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "da long, db long"
+    )
+
+
+def test_default_mode_is_local_checkpoint(spark):
+    df = materialize(_edges(spark))
+    # localCheckpoint rewrites the plan to an RDD scan and cuts lineage
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "LogicalRDD" in plan, plan
+    assert df.count() == 3
+
+
+def test_reliable_mode_without_dir_raises(spark):
+    assert spark.sparkContext.getCheckpointDir() is None, (
+        "test-order contract broken: checkpoint dir already set"
+    )
+    spark.conf.set(RELIABLE_CONF, "true")
+    try:
+        with pytest.raises(ValueError, match=CHECKPOINT_DIR_CONF.split(".")[-1]):
+            materialize(_edges(spark))
+    finally:
+        spark.conf.unset(RELIABLE_CONF)
+
+
+def test_reliable_mode_checkpoints_and_queries_agree(spark, tmp_path):
+    """The knob must not change results: a graph query that
+    materializes per round returns identical rows both ways."""
+    from llm_map_reduce_summarizer_spark.operators.dedup import (
+        connected_components,
+    )
+
+    base = {
+        r["id"]: r["component"]
+        for r in connected_components(_edges(spark)).collect()
+    }
+    spark.conf.set(RELIABLE_CONF, "true")
+    spark.conf.set(CHECKPOINT_DIR_CONF, str(tmp_path / "ckpt"))
+    try:
+        rel = {
+            r["id"]: r["component"]
+            for r in connected_components(_edges(spark)).collect()
+        }
+    finally:
+        spark.conf.unset(RELIABLE_CONF)
+        spark.conf.unset(CHECKPOINT_DIR_CONF)
+    assert rel == base == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    # the reliable path really landed on disk
+    assert spark.sparkContext.getCheckpointDir() is not None
