@@ -211,7 +211,10 @@ def embedding_neardup_blocked(
         (F.col("blk") == F.col("pa")) | (F.col("blk") == F.col("pb")),
     )
 
-    def _block_pairs(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+    # deliberately UNannotated: partial/string hints make PySpark's
+    # grouped-map eval-type inference warn on every run; with no hints
+    # it falls back to the schema argument silently
+    def _block_pairs(key, pdf):
         import numpy as np
 
         pa, pb = key

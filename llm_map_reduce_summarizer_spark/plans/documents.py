@@ -3258,10 +3258,14 @@ def corpus_contrastive_pairs(
     # unconditionally (an LSH pair already implies ≥2 docs)
     c2 = (cand + 1) % F.col("n_tot")
     c3 = (cand + 2) % F.col("n_tot")
-    neg = (
+    # the three probes are pairwise distinct only for n_tot >= 3; a
+    # 2-doc corpus has NO valid negative (both ids are the pair), so
+    # emit NULL there instead of a degenerate triplet (advisor r6)
+    neg = F.when(
+        F.col("n_tot") >= 3,
         F.when((cand != F.col("da")) & (cand != F.col("db")), cand)
         .when((c2 != F.col("da")) & (c2 != F.col("db")), c2)
-        .otherwise(c3)
+        .otherwise(c3),
     )
     return g.select(
         F.col("da").alias("anchor_id"),
@@ -13811,12 +13815,12 @@ ORACLE["corpus_contrastive_pairs"] = f"""
       FROM lsh_pairs CROSS JOIN tot
     )
     SELECT da AS anchor_id, db AS positive_id,
-           CAST(CASE
+           CAST(CASE WHEN n_tot >= 3 THEN CASE
              WHEN cand <> da AND cand <> db THEN cand
              WHEN (cand + 1) % n_tot <> da
               AND (cand + 1) % n_tot <> db THEN (cand + 1) % n_tot
              ELSE (cand + 2) % n_tot
-           END AS BIGINT) AS negative_id,
+           END END AS BIGINT) AS negative_id,
            jaccard AS pos_jaccard
     FROM base
 """

@@ -2178,6 +2178,17 @@ def attribution_markov_from_pairs(pairs: DataFrame) -> DataFrame:
         else True
     )
     in_unit = all(0.0 <= v <= 1.0 + 1e-12 for v in res.values())
+    # the oracle pins these booleans as literal TRUE, so a solver
+    # failure on future data would otherwise surface as an opaque
+    # hash mismatch — raise with the diagnosis instead (advisor r6)
+    if not (ok_all and in_unit and shares_ok):
+        raise ValueError(
+            "markov removal-effect solver invariants violated: "
+            f"converged={ok_all} removal_effect_in_unit={in_unit} "
+            f"shares_sum_to_one={shares_ok} (base={base!r}); the "
+            "transition counts are inconsistent with an absorbing "
+            "chain — inspect the journey pair extraction"
+        )
     rows = [
         (
             c,
@@ -6937,11 +6948,19 @@ def t_closeness_from_cells(cells: DataFrame) -> DataFrame:
     per = cum.groupBy("event_type", "hod", "g", "n_tot", "n_bins").agg(
         F.sum(term).alias("s")
     )
-    t = F.col("s").cast("double") / (
-        F.col("g").cast("double")
-        * F.col("n_tot").cast("double")
-        * (F.col("n_bins") - 1).cast("double")
-    )
+    # n_bins == 1: the whole value grid is one bin, every group's
+    # distribution trivially equals the global one — t is 0 by
+    # definition, not NULL (the raw formula divides by n_bins - 1;
+    # advisor r6 flagged the silent null verdict on degenerate input)
+    t = F.when(
+        F.col("n_bins") > 1,
+        F.col("s").cast("double")
+        / (
+            F.col("g").cast("double")
+            * F.col("n_tot").cast("double")
+            * (F.col("n_bins") - 1).cast("double")
+        ),
+    ).otherwise(F.lit(0.0))
     tq = quantize(t, 6)
     return per.select(
         "event_type",
@@ -10785,14 +10804,17 @@ ORACLE["events_t_closeness"] = f"""
     )
     SELECT event_type, hod, g AS n_rows, n_bins AS n_bins_global,
            {sql_quantize(
-               'CAST(s AS DOUBLE) / (CAST(g AS DOUBLE)'
+               'CASE WHEN n_bins > 1 THEN'
+               ' CAST(s AS DOUBLE) / (CAST(g AS DOUBLE)'
                ' * CAST(n_tot AS DOUBLE)'
-               ' * CAST(n_bins - 1 AS DOUBLE))', 6)} AS t_emd,
+               ' * CAST(n_bins - 1 AS DOUBLE)) ELSE 0.0 END', 6)}
+             AS t_emd,
            {sql_quantize(
-               'CAST(s AS DOUBLE) / (CAST(g AS DOUBLE)'
+               'CASE WHEN n_bins > 1 THEN'
+               ' CAST(s AS DOUBLE) / (CAST(g AS DOUBLE)'
                ' * CAST(n_tot AS DOUBLE)'
-               ' * CAST(n_bins - 1 AS DOUBLE))', 6)} > {T_CLOSENESS}
-             AS breach
+               ' * CAST(n_bins - 1 AS DOUBLE)) ELSE 0.0 END', 6)}
+             > {T_CLOSENESS} AS breach
     FROM per
 """
 

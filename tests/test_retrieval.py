@@ -386,6 +386,7 @@ def test_lm_export_consistent_with_surprisal_scorer(spark):
         want = sum(surps) / len(surps)
         got = float(
             scored.loc[scored["doc_id"] == r["doc_id"], "mean_surprisal"]
+            .iloc[0]
         )
         assert math.isclose(got, want, abs_tol=2e-5)
 

@@ -1440,6 +1440,31 @@ def test_contrastive_pairs_invariants(spark):
     assert (out["pos_jaccard"] > 0).all()
 
 
+def test_t_closeness_single_bin_grid_reports_zero(spark):
+    """Advisor r6: a value grid that collapses to ONE global bin must
+    report t = 0 / no breach (every group's distribution trivially
+    equals the global one), not a silent NULL verdict."""
+    from pyspark.sql import functions as F
+
+    from llm_map_reduce_summarizer_spark.plans.events import (
+        t_closeness_cells,
+        t_closeness_from_cells,
+    )
+
+    ev = spark.createDataFrame(
+        [
+            ("click", "2024-01-01 03:00:00", 5.0),
+            ("click", "2024-01-01 03:30:00", 7.0),
+            ("view", "2024-01-01 04:00:00", 3.0),
+        ],
+        "event_type string, ts_s string, value double",
+    ).select("event_type", F.col("ts_s").cast("timestamp").alias("ts"), "value")
+    out = t_closeness_from_cells(t_closeness_cells(ev)).toPandas()
+    assert (out["n_bins_global"] == 1).all()
+    assert (out["t_emd"] == 0.0).all()
+    assert (~out["breach"]).all()
+
+
 def test_bpe_census_nonoverlap_runs(spark):
     """The greedy non-overlap rule: a same-char run of length R
     yields floor(R/2) merge occurrences (not R−1); non-self pairs
