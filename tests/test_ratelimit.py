@@ -184,6 +184,62 @@ def test_get_provider_unlimited_without_env(monkeypatch):
     assert not call.__qualname__.startswith("throttled.")
 
 
+def test_bucket_rate_never_exceeded_property():
+    """Hypothesis: for ANY pattern of idle gaps between acquires, the
+    grant log never shows more than rate+burst grants inside any
+    1-second fake-time window."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        gaps=st.lists(
+            st.floats(0.0, 2.0, allow_nan=False), min_size=5, max_size=40
+        ),
+        rate=st.floats(0.5, 20.0),
+        burst=st.floats(1.0, 5.0),
+    )
+    def check(gaps, rate, burst):
+        clk = FakeClock()
+        b = TokenBucket(rate, burst, clock=clk.time, sleep=clk.sleep)
+        grants = []
+        for gap in gaps:
+            clk.sleep(gap)  # idle time between requests
+            b.acquire()
+            grants.append(clk.time())
+        cap = rate + burst + 1e-6
+        for i, t0 in enumerate(grants):
+            in_window = sum(1 for t in grants[i:] if t < t0 + 1.0)
+            assert in_window <= cap, (rate, burst, t0, in_window)
+
+    check()
+
+
+def test_executor_integration_with_throttled_mock(spark):
+    """End-to-end through the real Arrow-batch executor: a throttled
+    mock provider inside SparkLLMExecutor.process_chunks summarizes
+    every chunk (the wrapper survives the closure ship + per-batch
+    retry loop). Rate is set high so the test measures integration,
+    not sleeping."""
+    from llm_map_reduce_summarizer_spark.operators.executor import (
+        SparkLLMExecutor,
+        mock_provider,
+    )
+
+    provider = cluster_rate_limited(mock_provider, 10_000.0, 4)
+    chunks = spark.createDataFrame(
+        [(i, f"chunk text {i}") for i in range(20)],
+        "chunk_id long, text string",
+    )
+    out = (
+        SparkLLMExecutor(provider=provider, batch_size=4)
+        .process_chunks(chunks)
+        .toPandas()
+    )
+    assert len(out) == 20
+    assert out["summary"].str.contains("Simulated summary").all()
+
+
 def test_throttled_closure_is_picklable():
     """The wrapper ships to executors inside the mapInPandas closure —
     it must survive Spark's closure serializer (cloudpickle) with the
