@@ -1392,23 +1392,53 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     lam_sum = float(trace * shares.sum())
 
     # exact centered squared norm: quantize x to micro-units, fold
-    # (x_q*n - S_dim)^2 as integers — no float sum order anywhere
-    dimq = e.select(
-        "vec_id", F.posexplode("embedding").alias("dim", "val")
-    ).select(
-        "vec_id",
-        "dim",
-        F.floor(F.col("val").cast("double") * F.lit(1e6) + F.lit(0.5))
-        .cast("long")
-        .alias("xq"),
+    # (x_q*n - S_dim)^2 as integers — no float sum order anywhere.
+    # The d per-dimension micro-sums are ONE d-row agg collected and
+    # re-broadcast as an array literal, so the per-vector fold is a
+    # zero-shuffle narrow map (the r7 first cut exploded xd and
+    # shuffled n combined rows — at 10^9 vectors that shuffle is pure
+    # waste when the d-bounded sums fit in a literal)
+    xq = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * F.lit(1e6) + F.lit(0.5)).cast(
+            "long"
+        ),
     )
-    sums = dimq.groupBy("dim").agg(F.sum("xq").alias("s"))
-    t = (F.col("xq") * F.lit(n) - F.col("s")).cast("decimal(38,0)")
-    centered = (
-        dimq.join(F.broadcast(sums), "dim")
-        .select("vec_id", (t * t).alias("t2"))
-        .groupBy("vec_id")
-        .agg(F.sum("t2").alias("c2"))
+    sums_row = (
+        e.select(
+            F.posexplode("embedding").alias("dim", "val")
+        )
+        .select(
+            "dim",
+            F.floor(
+                F.col("val").cast("double") * F.lit(1e6) + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("xq"),
+        )
+        .groupBy("dim")
+        .agg(F.sum("xq").alias("s"))
+        .collect()
+    )
+    s_by_dim = {int(r["dim"]): int(r["s"]) for r in sums_row}
+    s_arr = F.array(
+        *[F.lit(s_by_dim.get(i, 0)).cast("long") for i in range(DIM)]
+    )
+    terms = F.zip_with(
+        xq,
+        s_arr,
+        lambda x, s: (
+            (x * F.lit(n) - s).cast("decimal(38,0)")
+            * (x * F.lit(n) - s).cast("decimal(38,0)")
+        ),
+    )
+    centered = e.select(
+        "vec_id",
+        F.aggregate(
+            terms,
+            F.lit(0).cast("decimal(38,0)"),
+            lambda a, x: a + x,
+        ).alias("c2"),
     )
 
     proj = pca_project(e, n_components=PCA_COMPONENTS, components=comps)
