@@ -803,6 +803,85 @@ def test_covariance_cells_match_numpy(spark):
         assert r["cov"] == expect[r["i"], r["j"]], (r["i"], r["j"])
 
 
+def _write_emb_corpus(tmp_path, mat):
+    """Write a synthetic embeddings.parquet (float32, the testdata
+    schema) and return the dir usable as sf_dir."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    mat = np.asarray(mat, dtype="float32")
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(len(mat)), type=pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, r)) for r in mat],
+                type=pa.list_(pa.float32()),
+            ),
+            "label": pa.array([0] * len(mat), type=pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    return str(tmp_path)
+
+
+def _pca_cert_numpy_twin(mat):
+    """Exact-integer numpy twin of emb_pca_project's centered_sq_q."""
+    import numpy as np
+
+    x = np.asarray(mat, dtype="float32").astype("float64")
+    # int64 first (micro-units fit easily), THEN object so the
+    # squaring runs on python ints — float64 objects would round
+    xq = np.floor(x * 1e6 + 0.5).astype("int64").astype(object)
+    n = len(x)
+    s = xq.sum(axis=0)
+    return [int(((row * n - s) ** 2).sum()) for row in xq]
+
+
+@pytest.mark.parametrize(
+    "case",
+    ["single", "identical", "random", "axis_aligned"],
+)
+def test_emb_pca_project_certificate_on_degenerate_corpora(
+    spark, tmp_path, case
+):
+    """The r7 PCA certificate must hold beyond the driver testdata:
+    centered_sq_q equals the exact-integer numpy twin digit for digit
+    and every bound invariant is TRUE — including the degenerate
+    corpora (one vector; all-identical vectors -> zero covariance;
+    variance concentrated on one axis)."""
+    import numpy as np
+
+    from llm_map_reduce_summarizer_spark.plans.documents import (
+        DIM,
+        emb_pca_project,
+    )
+
+    rng = np.random.default_rng(7)
+    if case == "single":
+        mat = rng.normal(0, 0.3, (1, DIM))
+    elif case == "identical":
+        mat = np.tile(rng.normal(0, 0.3, (1, DIM)), (6, 1))
+    elif case == "random":
+        mat = rng.normal(0, 0.3, (40, DIM))
+    else:  # axis_aligned: all variance on coordinate 0
+        mat = np.zeros((12, DIM))
+        mat[:, 0] = np.linspace(-0.5, 0.5, 12)
+    sf_dir = _write_emb_corpus(tmp_path, mat)
+    out = (
+        emb_pca_project(spark, sf_dir)
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert len(out) == len(mat)
+    assert out["contraction_ok"].all(), case
+    assert out["parseval_ok"].all(), case
+    assert out["orthonormal_ok"].all(), case
+    want = _pca_cert_numpy_twin(np.asarray(mat, dtype="float32"))
+    assert list(out["centered_sq_q"]) == [str(w) for w in want], case
+
+
 def test_pca_project_matches_numpy_and_decorrelates(spark):
     """The distributed projection must equal the driver-side numpy
     projection exactly, explained-variance shares must be descending,
