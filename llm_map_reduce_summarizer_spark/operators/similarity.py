@@ -458,9 +458,18 @@ def kmeans_centroid_matrix(
     train = Normalizer(inputCol="raw", outputCol="features", p=2.0).transform(
         raw
     )
-    model = KMeans(
-        k=n_centroids, seed=seed, maxIter=max_iter, featuresCol="features"
-    ).fit(train)
+    try:
+        model = KMeans(
+            k=n_centroids, seed=seed, maxIter=max_iter,
+            featuresCol="features",
+        ).fit(train)
+    except Exception:
+        # MLlib's kmeans|| init throws (ArrayIndexOutOfBounds) when the
+        # corpus has fewer DISTINCT points than k — a fully collapsed /
+        # tiny corpus. Degrade to the deterministic first-K quantizer
+        # (same (ids, unit_matrix) contract, same probe plan) instead
+        # of failing the whole index build.
+        return centroid_matrix(corpus, n_centroids, id_col, vec_col)
     centers = np.vstack(model.clusterCenters())
     norms = np.linalg.norm(centers, axis=1, keepdims=True)
     norms[norms == 0.0] = 1.0

@@ -547,6 +547,51 @@ def test_decode_batch_and_frame_sample(spark):
     assert list(frames[frames["doc_id"] == 1]["frame_idx"]) == [0, 2]
 
 
+def test_decode_batch_empty_and_multibyte_payloads(spark):
+    """r7 certificate edges: an EMPTY payload must decode to n=0 /
+    mean 0 (the mean_in_range invariant's zero branch), and a
+    multibyte UTF-8 payload must count BYTES, not characters (the
+    oracle reproduces dims from octet_length)."""
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                "payload": [b"", "héllo".encode("utf-8")],
+            }
+        )
+    )
+    out = decode_batch(docs).orderBy("doc_id").toPandas()
+    assert list(out["n_bytes"]) == [0, 6]  # é is 2 bytes
+    assert out.loc[0, "mean_byte"] == 0.0
+    assert 0.0 < out.loc[1, "mean_byte"] <= 255.0
+    assert list(out["width"]) == [64, 64 + 6]
+    assert list(out["n_frames"]) == [1, 7]
+
+
+def test_ivf_trained_certificate_on_tied_corpus(spark, tmp_path):
+    """r7 certificate edge: an all-identical-vector corpus ties every
+    cosine at 1.0 — the trained probe must still emit exactly K ranked
+    hits per query with both invariants TRUE (id tie-break keeps the
+    structure deterministic; equal scores satisfy the per-rank
+    bound)."""
+    import numpy as np
+
+    from llm_map_reduce_summarizer_spark.plans.documents import (
+        DIM,
+        KNN_K,
+        N_QUERY_VECS,
+        knn_ivf_trained,
+    )
+
+    vec = np.full((40, DIM), 0.1)
+    sf_dir = _write_emb_corpus(tmp_path, vec)
+    out = knn_ivf_trained(spark, sf_dir).toPandas()
+    assert len(out) == N_QUERY_VECS * KNN_K
+    assert sorted(out["rk"].unique()) == list(range(1, KNN_K + 1))
+    assert out["cos_le_exact"].all()
+    assert out["recall_ok"].all()
+
+
 def test_stop_shingle_df_cap_kills_boilerplate_explosion(spark):
     from llm_map_reduce_summarizer_spark.operators.dedup import (
         doc_shingles,
