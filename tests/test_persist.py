@@ -68,3 +68,32 @@ def test_reliable_mode_checkpoints_and_queries_agree(spark, tmp_path):
     assert rel == base == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
     # the reliable path really landed on disk
     assert spark.sparkContext.getCheckpointDir() is not None
+
+
+def test_reliable_mode_plans_stay_scale_clean(spark, tmp_path):
+    """The knob must not regress the plan-audit bans: two
+    materialize-heavy catalog entries built in RELIABLE mode still
+    show no cartesian product, no row-at-a-time Python UDF, and no
+    un-partitioned ranking window."""
+    import contextlib
+    import io
+
+    import __spark_entry__ as entrymod
+    from tests.test_plan_audit import _global_window_blocks
+
+    qs = entrymod.queries()
+    spark.conf.set(RELIABLE_CONF, "true")
+    spark.conf.set(CHECKPOINT_DIR_CONF, str(tmp_path / "ckpt"))
+    try:
+        for key in ("dedup_clusters", "emb_clusters"):
+            df = qs[key](spark, "/root/testdata/sf0.001")
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain(mode="formatted")
+            plan = buf.getvalue()
+            assert "CartesianProduct" not in plan, key
+            assert "BatchEvalPython" not in plan, key
+            assert not _global_window_blocks(plan), key
+    finally:
+        spark.conf.unset(RELIABLE_CONF)
+        spark.conf.unset(CHECKPOINT_DIR_CONF)
