@@ -256,6 +256,12 @@ def cosine_topk_blocked(
     import pandas as pd
 
     qpdf = queries.select(id_col, vec_col).toPandas()
+    if len(qpdf) == 0:
+        # no queries -> no hits (an empty/filtered query set must not
+        # crash the job; empty-source audit r7)
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cos double, rk long"
+        )
     qu = _unit_rows(qpdf[vec_col])
     qids = qpdf[id_col].to_numpy()
     bc = corpus.sparkSession.sparkContext.broadcast((qids, qu))
@@ -374,6 +380,11 @@ def centroid_matrix(
         .orderBy(id_col)
         .toPandas()
     )
+    if len(pdf) == 0:
+        raise ValueError(
+            "IVF coarse quantizer undefined: corpus has no vectors "
+            f"with {id_col} < {n_centroids} (empty or re-keyed corpus)"
+        )
     return pdf[id_col].to_numpy(), _unit_rows(pdf[vec_col])
 
 
@@ -531,6 +542,11 @@ def pq_codebook(
         .toPandas()
         .sort_values(id_col)
     )
+    if len(pdf) == 0:
+        raise ValueError(
+            "PQ codebook undefined: corpus has no vectors with "
+            f"{id_col} < {n_codes} (empty or re-keyed corpus)"
+        )
     return pdf[id_col].to_numpy(), _unit_rows(pdf[vec_col])
 
 
@@ -563,6 +579,10 @@ def cosine_topk_pq(
     cm = cmat.reshape(n_codes, m_sub, sub)
 
     qpdf = queries.select(id_col, vec_col).toPandas()
+    if len(qpdf) == 0:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, adc double, rk long"
+        )
     qu = _unit_rows(qpdf[vec_col])
     qids = qpdf[id_col].to_numpy()
     qm = qu.reshape(len(qids), m_sub, sub)
@@ -999,6 +1019,11 @@ def cosine_screen_broadcast(
     import pandas as pd
 
     qpdf = batch.select(id_col, vec_col).toPandas()
+    if len(qpdf) == 0:
+        # empty ingest delta -> no matches (must not crash the screen)
+        return corpus.sparkSession.createDataFrame(
+            [], "bid long, match_id long, cos double"
+        )
     qu = _unit_rows(qpdf[vec_col])
     qids = qpdf[id_col].to_numpy()
     bc = corpus.sparkSession.sparkContext.broadcast((qids, qu))
@@ -1061,6 +1086,10 @@ def cosine_topk_ivfpq(
     ivf_ids, ivf_mat = centroid_matrix(corpus, n_centroids, id_col, vec_col)
 
     qpdf = queries.select(id_col, vec_col).toPandas()
+    if len(qpdf) == 0:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, adc double, rk long"
+        )
     qu = _unit_rows(qpdf[vec_col])
     qids = qpdf[id_col].to_numpy()
     qm = qu.reshape(len(qids), m_sub, sub)

@@ -1038,6 +1038,14 @@ def markov_from_pairs(pairs: DataFrame) -> DataFrame:
     types = sorted({r["src"] for r in cells} | {r["dst"] for r in cells})
     idx = {t: i for i, t in enumerate(types)}
     k = len(types)
+    if k == 0:
+        # no transitions at all (empty source) -> empty result, not a
+        # 1/k division crash (empty-source audit r7)
+        return spark.createDataFrame(
+            [],
+            "event_type string, n_out long, stationary_ok boolean,"
+            " sum_ok boolean",
+        )
     counts = np.zeros((k, k))
     for r in cells:
         counts[idx[r["src"]], idx[r["dst"]]] = r["n"]
