@@ -24,35 +24,30 @@ import __spark_entry__ as entrymod
 
 QUERIES = entrymod.queries()
 
-# representative graceful set: one per family (relational, events,
-# pipeline, text, dedup, similarity search path, multimodal, eval)
-GRACEFUL = [
-    "q1_pricing_summary",
-    "events_hourly",
-    "events_sessionize",
-    "events_markov_stationary",  # guarded driver fold (was 1/k crash)
-    "pipeline_e2e",
-    "doc_quality",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "knn_bruteforce",  # guarded query collect (was vstack crash)
-    "semantic_search",
-    "emb_dedup_incremental",  # guarded batch collect
-    "search_rrf",
-    "multimodal_decode",
-    "corpus_select_e2e",
-]
-
-# documented index-undefined raises: builder -> message fragment
+# documented index-undefined raises: builder -> message fragment.
+# EXACTLY these twelve may raise; every other batch entry must return
+# a defined result on 0-row sources.
 RAISERS = {
     "knn_pq": "PQ codebook undefined",
+    "knn_pq_rerank": "PQ codebook undefined",
+    "knn_ivfpq": "PQ codebook undefined",
     "emb_pq_export": "PQ codebook undefined",
     "knn_ivf": "IVF coarse quantizer undefined",
+    "knn_ivf_nprobe_curve": "IVF coarse quantizer undefined",
+    "knn_recall_report": "IVF coarse quantizer undefined",
     "emb_ivf_export": "IVF coarse quantizer undefined",
     "knn_ivf_trained": "IVF coarse quantizer undefined",
+    "knn_ivf_trained_check": "IVF coarse quantizer undefined",
     "emb_pca_project": "undefined on an empty input",
     "emb_pca_check": "undefined on an empty input",
 }
+
+# the graceful contract covers the ENTIRE batch half of the catalog
+GRACEFUL = sorted(
+    k
+    for k in QUERIES
+    if not k.startswith("stream_") and k not in RAISERS
+)
 
 
 @pytest.fixture(scope="module")

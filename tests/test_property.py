@@ -76,6 +76,58 @@ def test_prefix_sum_chunker_invariants(spark, words_per_seg):
     assert list(out["chunk_id"]) == list(cum_before // BUDGET)
 
 
+def test_connected_components_matches_union_find_property(spark):
+    """Random graphs vs a pure-python union-find: the min-label
+    propagation must produce exactly the min-id-per-component
+    labelling on any topology (chains, stars, cliques, singleton-free
+    edge lists) — the whole dedup/cluster tier composes on this."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from llm_map_reduce_summarizer_spark.operators.dedup import (
+        connected_components,
+    )
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        edges=st.lists(
+            st.tuples(
+                st.integers(0, 25), st.integers(0, 25)
+            ).filter(lambda p: p[0] != p[1]),
+            min_size=1,
+            max_size=40,
+        )
+    )
+    def check(edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {x: find(x) for x in parent}
+
+        df = spark.createDataFrame(edges, "da long, db long")
+        got = {
+            r["id"]: r["component"]
+            for r in connected_components(df).collect()
+        }
+        assert got == want, (edges, got, want)
+
+    check()
+
+
 def test_emb_kmeans_matches_numpy_reference(spark, tmp_path_factory):
     """Third-implementation check for the iterative tier: the Spark
     emb_kmeans assignment must equal an independent pure-numpy Lloyd
