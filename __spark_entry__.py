@@ -7,14 +7,20 @@ DuckDB-ANSI twin for each key (omitted only for genuinely
 non-SQL-expressible ops, which the driver checks rows-only).
 
 Catalog order follows one mechanical, round-independent rule:
-**least-recently-verified first** — keys sort by the last round in
-which the committed ``CORRECTNESS_r*.json`` artifacts record a passing
-driver check for them (never-checked keys first, ties broken by the
-alphabetical-module definition order). Nothing is hand-curated: the
-ordering is a pure function of the committed artifacts, so every entry
-periodically rotates through a bounded verification window and a brand
-new entry is always checked in the round it ships. ``oracle_sql()``
-mirrors ``queries()``'s key order.
+**two-pool least-recently-verified interleave** — keys sort by the
+last round in which the committed ``CORRECTNESS_r*.json`` artifacts
+record a passing driver check for them (ties broken by the
+alphabetical-module definition order), then the head of the order is
+built as ``never-checked[:40] + stalest-verified[:10]`` so the
+driver's 50-key window both drains the never-checked backlog AND
+re-verifies the ~10 keys whose last passing record is oldest (keys
+verified in early rounds would otherwise stay stale behind the queue
+for many rounds). The remainder is the two pools' tails in LRV order.
+Nothing is hand-curated: the ordering is a pure function of the
+committed artifacts, so every entry periodically rotates through a
+bounded verification window and a brand new entry is always checked in
+the round it ships. ``oracle_sql()`` mirrors ``queries()``'s key
+order.
 """
 
 from __future__ import annotations
@@ -136,8 +142,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         merged.update(mod.QUERIES)
         oracle_keys.update(mod.ORACLE)
     last = _last_verified(oracle_keys)
-    order = sorted(merged, key=lambda k: last.get(k, 0))  # stable sort
+    order = _window_order(list(merged), last)
     return {k: merged[k] for k in order}
+
+
+# Driver window composition: of the driver's 50-key check window, this
+# many slots go to never-checked keys; the rest re-verify the stalest
+# previously-verified keys so early-round records don't go stale
+# indefinitely behind the never-checked queue.
+_NEVER_SLOTS = 40
+_STALE_SLOTS = 10
+
+
+def _window_order(keys: list[str], last: dict[str, int]) -> list[str]:
+    """Two-pool LRV interleave (see module docstring). Pure function of
+    (definition order, committed CORRECTNESS artifacts)."""
+    lrv = sorted(keys, key=lambda k: last.get(k, 0))  # stable sort
+    never = [k for k in lrv if last.get(k, 0) == 0]
+    checked = [k for k in lrv if last.get(k, 0) > 0]
+    return (
+        never[:_NEVER_SLOTS]
+        + checked[:_STALE_SLOTS]
+        + never[_NEVER_SLOTS:]
+        + checked[_STALE_SLOTS:]
+    )
 
 
 def oracle_sql() -> dict[str, str]:
