@@ -5,8 +5,9 @@ Scale design (100 TB):
 * exact: one hash-groupBy on a digest — the digest is computed map-side
   so the shuffle carries 32-byte keys, not documents.
 * n-gram Jaccard: exact pairwise semantics via shingle self-join; the
-  join key is the shingle, so cost is sum over shingles of df² — use it
-  for verification sets, not the full corpus.
+  join key is the shingle, so cost is sum over shingles of df² — a
+  verification-set tool, and ENFORCED as one: `jaccard_pairs` raises
+  above `EXACT_JACCARD_MAX_DOCS` distinct docs (conf-overridable).
 * MinHash+LSH: the corpus-scale path — candidates come only from band
   buckets (sig agreement on any band), then true Jaccard verifies just
   those pairs. Shuffles: one explode+agg for signatures, one bucket
@@ -119,6 +120,17 @@ def stop_shingle_set(shingles: DataFrame, df_cap: int) -> DataFrame:
     )
 
 
+# Exact all-pairs Jaccard is quadratic in the hottest shingle's
+# document frequency (compare volume = Σ_s df(s)²): it is the
+# VERIFICATION-SET tool; the corpus path is `minhash_lsh_pairs`. The
+# contract is enforced, not just documented — above this many distinct
+# documents `jaccard_pairs` raises (same broadcastable-input discipline
+# as the contamination benchmark's CONTAM_BENCH_MAX_DOCS in
+# plans/streams.py). Override per session via the conf; 0 disables.
+EXACT_JACCARD_MAX_DOCS = 100_000
+EXACT_JACCARD_CONF = "spark.llm_map_reduce_summarizer.exactJaccardMaxDocs"
+
+
 def jaccard_pairs(
     shingles: DataFrame, id_col: str = "doc_id", threshold: float = 0.6
 ) -> DataFrame:
@@ -129,9 +141,31 @@ def jaccard_pairs(
     scan once instead of recomputing the per-shingle md5 fold per
     consumer (the map-side-distinct shingle build has no exchange of
     its own for Spark to reuse).
+
+    Scale contract (ENFORCED): raises ``ValueError`` when the input
+    holds more than ``EXACT_JACCARD_CONF`` distinct documents (default
+    ``EXACT_JACCARD_MAX_DOCS``) — pointing the caller at the
+    MinHash-LSH corpus path instead of letting a verification tool
+    run an O(Σ df²) self-join over a full corpus. The pre-flight count
+    is one agg over the already-materialized shingle table, trivial
+    next to the join it prevents.
     """
     shingles = shingles.transform(materialize)
+    spark = shingles.sparkSession
+    cap = int(spark.conf.get(EXACT_JACCARD_CONF, str(EXACT_JACCARD_MAX_DOCS)))
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    if cap > 0:
+        n_docs = sizes.count()
+        if n_docs > cap:
+            raise ValueError(
+                f"jaccard_pairs got {n_docs} distinct documents > "
+                f"{cap} ({EXACT_JACCARD_CONF}): exact all-pairs Jaccard "
+                "is a verification-set tool (compare volume is "
+                "quadratic in shingle document frequency). Use the "
+                "MinHash-LSH corpus path (operators.dedup."
+                "minhash_lsh_pairs / the dedup_minhash_lsh query) or "
+                f"raise the cap explicitly via {EXACT_JACCARD_CONF}"
+            )
     a = shingles.select(F.col(id_col).alias("da"), "s")
     b = shingles.select(F.col(id_col).alias("db"), "s")
     common = (

@@ -220,7 +220,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact pairwise 3-gram Jaccard (the verification-set tool; the
     corpus path is MinHash-LSH). Shingles join by their 60-bit key —
-    8-byte shuffles instead of n-gram strings."""
+    8-byte shuffles instead of n-gram strings. The verification-set
+    contract is ENFORCED: `jaccard_pairs` raises above
+    `EXACT_JACCARD_MAX_DOCS` distinct docs (conf-overridable), so this
+    cannot be pointed at a full corpus by accident."""
     sh = doc_shingles(_docs(spark, sf_dir), keyed=True)
     return jaccard_pairs(sh, threshold=JACCARD_THRESHOLD)
 
