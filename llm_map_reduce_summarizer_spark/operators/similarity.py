@@ -474,12 +474,27 @@ def kmeans_centroid_matrix(
             k=n_centroids, seed=seed, maxIter=max_iter,
             featuresCol="features",
         ).fit(train)
-    except Exception:
+    except Exception as exc:
         # MLlib's kmeans|| init throws (ArrayIndexOutOfBounds) when the
         # corpus has fewer DISTINCT points than k — a fully collapsed /
-        # tiny corpus. Degrade to the deterministic first-K quantizer
-        # (same (ids, unit_matrix) contract, same probe plan) instead
-        # of failing the whole index build.
+        # tiny corpus. ONLY that signature degrades to the
+        # deterministic first-K quantizer (same (ids, unit_matrix)
+        # contract, same probe plan); any other failure (Py4J
+        # connection loss, executor OOM, task cancellation,
+        # misconfiguration) re-raises — silently swapping in a
+        # lower-quality quantizer would hide a real regression behind
+        # a still-passing bound certificate.
+        if "IndexOutOfBounds" not in str(exc):
+            raise
+        import warnings
+
+        warnings.warn(
+            "kmeans_centroid_matrix: MLlib kmeans|| init failed on a "
+            f"collapsed corpus (fewer distinct points than k={n_centroids}); "
+            "degrading to the deterministic first-K quantizer",
+            RuntimeWarning,
+            stacklevel=2,
+        )
         return centroid_matrix(corpus, n_centroids, id_col, vec_col)
     centers = np.vstack(model.clusterCenters())
     norms = np.linalg.norm(centers, axis=1, keepdims=True)

@@ -494,7 +494,9 @@ def knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     * ``cos_le_exact`` — the trained probe's rank-r cosine never
       exceeds the exact scan's rank-r cosine (candidate subsets
       cannot beat the full scan at any rank; both sides quantize the
-      same pair to the same 6-decimal value, so the bound is exact),
+      same pair to the same 6-decimal value up to one grid quantum —
+      the Spark-SQL and numpy-BLAS float paths can differ by an ulp
+      at a .5 rounding boundary, so the check carries 1e-6 slack),
     * ``recall_ok`` — corpus recall@k vs ``knn_bruteforce`` clears
       ``IVF_TRAINED_RECALL_FLOOR``.
 
@@ -533,7 +535,18 @@ def knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "rk",
-            (F.col("cos") <= F.col("cos_exact")).alias("cos_le_exact"),
+            # one-quantum slack: the probe's cosine comes from a
+            # Spark-SQL dot + quantize, the exact scan's from numpy
+            # BLAS matmul + _quantize_np — the two float paths can
+            # differ by an ulp, and when x*1e6 sits on a .5 rounding
+            # boundary the same pair can quantize to values 1e-6
+            # apart. A strict <= would flip on that edge on new
+            # data/platforms; the certificate's claim (candidates
+            # cannot beat the full scan) is unchanged at grid
+            # resolution.
+            (F.col("cos") <= F.col("cos_exact") + F.lit(1e-6)).alias(
+                "cos_le_exact"
+            ),
             (F.col("recall") >= IVF_TRAINED_RECALL_FLOOR).alias(
                 "recall_ok"
             ),
