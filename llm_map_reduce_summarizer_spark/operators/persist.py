@@ -23,6 +23,16 @@ RELIABLE path:
   message (silently falling back to executor-local blocks would
   defeat the knob's purpose).
 
+Checkpoint-file lifecycle: Spark NEVER deletes reliable checkpoint
+files unless ``spark.cleaner.referenceTracking.cleanCheckpoints=true``
+is set at SparkContext CREATION time (it is a static conf read by the
+ContextCleaner; setting it later is a no-op). Iterative callers —
+connected-components rounds, hierarchical-reduce levels, MinHash
+tables — checkpoint once per round, so a long job without the cleaner
+conf accumulates unbounded checkpoint-dir storage. Set the conf in the
+session builder when enabling reliable mode; ``materialize`` warns
+once per session if reliable mode is active without it.
+
 Call sites keep their fluent shape: ``df.transform(materialize)``.
 """
 
@@ -32,6 +42,31 @@ from pyspark.sql import DataFrame
 
 RELIABLE_CONF = "spark.llm_map_reduce_summarizer.reliableCheckpoint"
 CHECKPOINT_DIR_CONF = "spark.llm_map_reduce_summarizer.checkpointDir"
+CLEANER_CONF = "spark.cleaner.referenceTracking.cleanCheckpoints"
+
+_CLEANER_WARNED: set[str] = set()
+
+
+def _warn_if_cleaner_disabled(spark) -> None:
+    """One warning per session when reliable mode runs without the
+    checkpoint cleaner (see module docstring: files otherwise
+    accumulate forever under iterative callers)."""
+    app_id = spark.sparkContext.applicationId
+    if app_id in _CLEANER_WARNED:
+        return
+    if str(spark.conf.get(CLEANER_CONF, "false")).lower() != "true":
+        import warnings
+
+        warnings.warn(
+            f"{RELIABLE_CONF}=true but {CLEANER_CONF} is not enabled: "
+            "Spark will never delete checkpoint files, so iterative "
+            "operators accumulate unbounded checkpoint-dir storage. "
+            f"Set {CLEANER_CONF}=true in the session builder (it is "
+            "static — it must be set at SparkContext creation).",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+    _CLEANER_WARNED.add(app_id)
 
 
 def materialize(df: DataFrame) -> DataFrame:
@@ -55,4 +90,5 @@ def materialize(df: DataFrame) -> DataFrame:
                 "(HDFS/S3)"
             )
         sc.setCheckpointDir(ckpt_dir)
+    _warn_if_cleaner_disabled(spark)
     return df.checkpoint(eager=True)

@@ -139,7 +139,17 @@ _BUCKETS_LOCK = threading.Lock()
 def _process_bucket(rate: float, burst: float) -> TokenBucket:
     """One bucket per (rate, burst) per Python worker process — shared
     across every task the process runs, so retried/successive tasks
-    draw from the same budget instead of resetting it."""
+    draw from the same budget instead of resetting it.
+
+    Worker-reuse assumption: the global ceiling holds because Spark
+    reuses Python workers (``spark.python.worker.reuse``, default
+    true), so a worker's bucket persists across tasks. With reuse
+    disabled — or under heavy worker churn (crashes, dynamic
+    deallocation) — every fresh process starts with a full ``burst``
+    of tokens, so the aggregate rate can exceed the ceiling in
+    proportion to the spawn rate. Keep reuse on for live providers,
+    or set ``burst`` small (the default 1.0 bounds the per-spawn
+    overage to one request)."""
     key = (float(rate), float(burst))
     with _BUCKETS_LOCK:
         b = _BUCKETS.get(key)
@@ -157,13 +167,22 @@ def throttled(
     """Wrap a provider so each prompt's request first takes a token
     from the process bucket. The closure carries only floats (the
     bucket materializes lazily inside the worker), so it ships through
-    pickle like any other provider callable."""
+    pickle like any other provider callable.
+
+    Pacing interleaves with issuance: each prompt acquires its token
+    immediately before ITS request goes out, so requests are spaced at
+    the bucket rate. (Acquiring all N tokens up front and then calling
+    ``call(prompts)`` would fire an N-request burst at the API right
+    after the paced wait — the wait would bound average rate but not
+    the instantaneous burst.)"""
 
     def wrapped(prompts: list[str]) -> list[str]:
         bucket = bucket_factory(requests_per_sec, burst)
-        for _ in prompts:
+        out: list[str] = []
+        for p in prompts:
             bucket.acquire()
-        return call(prompts)
+            out.extend(call([p]))
+        return out
 
     return wrapped
 
@@ -294,11 +313,27 @@ def get_provider(
             from pyspark.sql import SparkSession
 
             active = SparkSession.getActiveSession()
-            par = (
-                active.sparkContext.defaultParallelism
-                if active is not None
-                else 1
-            )
+            if active is not None:
+                par = active.sparkContext.defaultParallelism
+            else:
+                # No session to size the per-worker slice: parallelism 1
+                # hands EVERY worker the full ceiling, so the aggregate
+                # rate is ceiling * workers. Loud warning rather than a
+                # raise — a single-process caller (CLI, tests) is still
+                # correct — but cluster callers must pass
+                # cluster_parallelism explicitly.
+                import warnings
+
+                warnings.warn(
+                    "get_provider: no active SparkSession to derive "
+                    "cluster_parallelism; assuming 1. If this provider "
+                    "runs on multiple workers the global "
+                    "max_requests_per_sec ceiling WILL be exceeded — "
+                    "pass cluster_parallelism explicitly.",
+                    RuntimeWarning,
+                    stacklevel=3,
+                )
+                par = 1
         return cluster_rate_limited(call, max_requests_per_sec, par)
 
     if name == "openai":

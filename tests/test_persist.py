@@ -70,6 +70,32 @@ def test_reliable_mode_checkpoints_and_queries_agree(spark, tmp_path):
     assert spark.sparkContext.getCheckpointDir() is not None
 
 
+def test_reliable_mode_warns_once_when_cleaner_disabled(spark, tmp_path):
+    """Reliable mode without spark.cleaner.referenceTracking.
+    cleanCheckpoints leaks checkpoint files forever under iterative
+    callers — materialize must warn (once per session) so the leak is
+    visible. The cleaner conf is static, so the fix is a builder-time
+    conf, not a runtime set."""
+    import warnings as _warnings
+
+    from llm_map_reduce_summarizer_spark.operators import persist
+
+    df = spark.range(4)
+    spark.conf.set(RELIABLE_CONF, "true")
+    spark.conf.set(CHECKPOINT_DIR_CONF, str(tmp_path / "ckpt_warn"))
+    persist._CLEANER_WARNED.clear()
+    try:
+        with pytest.warns(RuntimeWarning, match="cleanCheckpoints"):
+            materialize(df).collect()
+        # second site in the same session: no repeat warning
+        with _warnings.catch_warnings():
+            _warnings.simplefilter("error", RuntimeWarning)
+            materialize(df).collect()
+    finally:
+        spark.conf.unset(RELIABLE_CONF)
+        spark.conf.unset(CHECKPOINT_DIR_CONF)
+
+
 def test_reliable_mode_plans_stay_scale_clean(spark, tmp_path):
     """The knob must not regress the plan-audit bans: two
     materialize-heavy catalog entries built in RELIABLE mode still

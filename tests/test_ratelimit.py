@@ -78,19 +78,24 @@ def test_token_bucket_rejects_nonpositive_rate():
 
 
 def test_throttled_provider_outputs_and_draw_count():
-    """The wrapper is transparent (same outputs, same order) and draws
-    exactly one token per prompt."""
+    """The wrapper is transparent (same outputs, same order), draws
+    exactly one token per prompt, and interleaves pacing with
+    issuance: each prompt goes out as its OWN call right after its
+    token grant, so requests are spaced at the bucket rate instead of
+    bursting N-at-once after a paced wait."""
     b, clk = _bucket(4.0, burst=1.0)
     calls = []
 
     def provider(prompts):
-        calls.append(list(prompts))
+        calls.append((clk.time(), list(prompts)))
         return [p.upper() for p in prompts]
 
     wrapped = throttled(provider, 4.0, bucket_factory=lambda r, bu: b)
     out = wrapped(["a", "b", "c"])
     assert out == ["A", "B", "C"]
-    assert calls == [["a", "b", "c"]]
+    # one single-prompt call per token grant, spaced 0.25s apart
+    assert [ps for _, ps in calls] == [["a"], ["b"], ["c"]]
+    assert [t for t, _ in calls] == pytest.approx([0.0, 0.25, 0.5])
     # 3 prompts at 4/s with burst 1 -> 2 paced waits of 0.25s
     assert clk.time() == pytest.approx(0.5)
 
@@ -174,6 +179,23 @@ def test_get_provider_wraps_live_provider_with_env_ceiling(monkeypatch):
     mock_call, _, is_mock = get_provider("openai", cluster_parallelism=4)
     assert is_mock
     assert not mock_call.__qualname__.startswith("throttled.")
+
+
+def test_get_provider_warns_without_session_parallelism(monkeypatch):
+    """With a ceiling configured but no cluster_parallelism and no
+    active SparkSession, get_provider must warn loudly (parallelism 1
+    hands every worker the full ceiling) rather than silently degrade."""
+    from pyspark.sql import SparkSession
+
+    monkeypatch.setenv("OPENAI_API_KEY", "test-key")
+    monkeypatch.setenv("LLM_MAX_REQUESTS_PER_SEC", "8")
+    monkeypatch.setattr(
+        SparkSession, "getActiveSession", staticmethod(lambda: None)
+    )
+    with pytest.warns(RuntimeWarning, match="cluster_parallelism"):
+        call, _, is_mock = get_provider("openai")
+    assert not is_mock
+    assert call.__qualname__.startswith("throttled.")
 
 
 def test_get_provider_unlimited_without_env(monkeypatch):
