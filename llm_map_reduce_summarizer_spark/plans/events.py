@@ -2186,13 +2186,31 @@ def attribution_markov_from_pairs(pairs: DataFrame) -> DataFrame:
         else True
     )
     in_unit = all(0.0 <= v <= 1.0 + 1e-12 for v in res.values())
-    # the oracle pins these booleans as literal TRUE, so a solver
-    # failure on future data would otherwise surface as an opaque
-    # hash mismatch — raise with the diagnosis instead (advisor r6)
+    # solver_converged now has a COMPUTED oracle twin (recursive-CTE
+    # reachability, VERDICT r7 item 7): every channel must reach an
+    # absorbing state (purchase or END) through the transition graph.
+    # Mirror the exact same structural condition here so both engines
+    # scream on the same data; the remaining two booleans stay
+    # invariants-as-literals (they need the numpy solve) and raise
+    # with the diagnosis instead of an opaque hash mismatch (r6).
+    adj: dict[str, set[str]] = {}
+    for s, d, _n in cells:
+        adj.setdefault(d, set()).add(s)
+    reach = {MK_END, ABSORB_TARGET}
+    frontier = list(reach)
+    while frontier:
+        nxt = frontier.pop()
+        for src in adj.get(nxt, ()):
+            if src not in reach:
+                reach.add(src)
+                frontier.append(src)
+    reaches_absorbing = all(c in reach for c in channels)
+    ok_all = ok_all and reaches_absorbing
     if not (ok_all and in_unit and shares_ok):
         raise ValueError(
             "markov removal-effect solver invariants violated: "
-            f"converged={ok_all} removal_effect_in_unit={in_unit} "
+            f"converged={ok_all} (reaches_absorbing="
+            f"{reaches_absorbing}) removal_effect_in_unit={in_unit} "
             f"shares_sum_to_one={shares_ok} (base={base!r}); the "
             "transition counts are inconsistent with an absorbing "
             "chain — inspect the journey pair extraction"
@@ -11064,7 +11082,7 @@ ORACLE["events_mttr"] = f"""
 
 
 ORACLE["events_attribution_markov"] = f"""
-    WITH s AS (
+    WITH RECURSIVE s AS (
       SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
       FROM events
     ),
@@ -11116,14 +11134,31 @@ ORACLE["events_attribution_markov"] = f"""
     agg_out AS (
       SELECT src AS t, CAST(sum(n) AS BIGINT) AS n_out
       FROM pairs GROUP BY 1
+    ),
+    -- solver_converged is COMPUTED, not pinned (VERDICT r7 item 7):
+    -- the absorbing solve is well-posed iff every channel state
+    -- reaches an absorbing state (purchase or END) through the
+    -- transition graph — transitive closure over the bounded
+    -- (K+2)^2 pair list. The Spark side raises on the same condition.
+    reach AS (
+      SELECT t FROM tlist
+      WHERE t IN ('{MK_END}', '{ABSORB_TARGET}')
+      UNION
+      SELECT p.src AS t
+      FROM pairs p JOIN reach ON p.dst = reach.t
+    ),
+    conv AS (
+      SELECT coalesce(bool_and(r.t IS NOT NULL), TRUE) AS ok
+      FROM chan c LEFT JOIN reach r ON r.t = c.t
     )
     SELECT c.t AS event_type,
            CAST(coalesce(i.n_in, 0) AS BIGINT) AS n_in,
            CAST(coalesce(o.n_out, 0) AS BIGINT) AS n_out,
-           TRUE AS solver_converged,
+           v.ok AS solver_converged,
            TRUE AS removal_effect_in_unit,
            TRUE AS shares_sum_to_one
     FROM chan c
     LEFT JOIN agg_in i ON i.t = c.t
     LEFT JOIN agg_out o ON o.t = c.t
+    CROSS JOIN conv v
 """

@@ -1440,6 +1440,49 @@ def test_contrastive_pairs_invariants(spark):
     assert (out["pos_jaccard"] > 0).all()
 
 
+def test_contrastive_pairs_two_doc_corpus_null_negative(spark, tmp_path):
+    """Degenerate-corpus parity for the NULL-negative contract
+    (VERDICT r7 item 7): a 2-doc corpus has no valid negative (both
+    ids ARE the pair), so Spark AND the DuckDB oracle must emit the
+    pair with negative_id NULL — the guard itself is parity-checked,
+    not just unit-pinned on one engine."""
+    import duckdb
+    import pandas as pd
+
+    from .oracle_utils import compare_frames
+
+    text = (
+        "the quick brown fox jumps over the lazy dog and then "
+        "keeps on running across the wide open field all day"
+    )
+    docs = pd.DataFrame(
+        [
+            dict(doc_id=0, text=text, lang="en", source="s",
+                 n_chars=len(text)),
+            dict(doc_id=1, text=text, lang="en", source="s",
+                 n_chars=len(text)),
+        ]
+    )
+    docs.to_parquet(tmp_path / "documents.parquet")
+
+    spark_pdf = QUERIES["corpus_contrastive_pairs"](
+        spark, str(tmp_path)
+    ).toPandas()
+    assert len(spark_pdf) >= 1
+    assert spark_pdf["negative_id"].isna().all()
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path / 'documents.parquet'}'"
+    )
+    oracle_pdf = con.execute(
+        entrymod.oracle_sql()["corpus_contrastive_pairs"]
+    ).df()
+    con.close()
+    assert compare_frames(spark_pdf, oracle_pdf) == []
+
+
 def test_t_closeness_single_bin_grid_reports_zero(spark):
     """Advisor r6: a value grid that collapses to ONE global bin must
     report t = 0 / no breach (every group's distribution trivially
@@ -1521,3 +1564,29 @@ def test_markov_removal_effects_analytic():
     assert abs(shares["A"] - 0.5) < 1e-9
     assert abs(shares["B"] - 0.5) < 1e-9
     assert abs(res["A"] - 0.5) < 1e-9
+
+
+def test_markov_unreachable_channel_raises(spark):
+    """The solver_converged invariant is structural and now COMPUTED
+    on both engines (r8): a channel cycle with no path to an
+    absorbing state (here A<->B, never reaching purchase or END) must
+    make attribution_markov_from_pairs raise — the oracle's
+    recursive-CTE reachability boolean would read FALSE on the same
+    data, so the two sides scream together instead of hash-diverging."""
+    from llm_map_reduce_summarizer_spark.plans.events import (
+        attribution_markov_from_pairs,
+    )
+
+    import pytest
+
+    pairs = spark.createDataFrame(
+        [
+            ("START", "A", 1),
+            ("A", "B", 1),
+            ("B", "A", 1),
+            ("START", "purchase", 1),
+        ],
+        "src string, dst string, n long",
+    )
+    with pytest.raises(ValueError, match="reaches_absorbing=False"):
+        attribution_markov_from_pairs(pairs)
