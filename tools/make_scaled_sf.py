@@ -1,0 +1,120 @@
+#!/usr/bin/env python
+"""Scale a driver testdata dir K× with referential integrity intact.
+
+VERDICT r7 item 4: the bench needs a measured scaling exponent, not
+an eyeballed "the plans look linear". This replicates a source SF dir
+(default sf0.1) K times (default 10 → "sf1") with every key column
+offset per replica so joins keep their per-key cardinalities and
+selectivities:
+
+* dense 0-based TPC-H keys offset by their table's row count
+  (c_custkey, o_orderkey/o_custkey, l_orderkey/l_partkey/l_suppkey,
+  p_partkey, s_suppkey),
+* nation/region copied once (fixed-size dims, as in TPC-H itself),
+* events offset on event_id (by count) and user_id (by max+1) so the
+  user population grows with the data (sessionization keys scale),
+* documents offset on doc_id by the doc count (the dense consecutive
+  doc_id space convention survives: 10 dense shards = one dense
+  space),
+* embeddings offset on vec_id by the DOC count, because embeddings
+  align with documents on vec_id = doc_id — the alignment invariant
+  must survive scaling. The fixed ``vec_id < N_QUERY_VECS`` query set
+  then stays constant while the corpus grows, which is exactly the
+  scaling shape an ANN benchmark wants.
+
+Values (prices, dates, text, vectors) are untouched — only keys move —
+so per-row compute is identical and timing ratios measure the ENGINE's
+scaling, not data drift.
+
+Usage: python tools/make_scaled_sf.py [--src DIR] [--dst DIR] [--k K]
+Deterministic; safe to re-run (overwrites the target files).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import duckdb
+
+# (table, [(key_col, offset_expr_base)]) — offset base "count:<t>"
+# uses table t's row count, "maxp1:<t>.<c>" uses max(c)+1 of table t
+KEYED = {
+    "customer": [("c_custkey", "count:customer")],
+    "orders": [
+        ("o_orderkey", "count:orders"),
+        ("o_custkey", "count:customer"),
+    ],
+    "lineitem": [
+        ("l_orderkey", "count:orders"),
+        ("l_partkey", "count:part"),
+        ("l_suppkey", "count:supplier"),
+    ],
+    "part": [("p_partkey", "count:part")],
+    "supplier": [("s_suppkey", "count:supplier")],
+    "events": [
+        ("event_id", "count:events"),
+        ("user_id", "maxp1:events.user_id"),
+    ],
+    "documents": [("doc_id", "count:documents")],
+    # vec_id = doc_id alignment: offset by the DOCUMENT count
+    "embeddings": [("vec_id", "count:documents")],
+}
+COPY_ONCE = ["nation", "region"]
+
+
+def scale_dir(src: str, dst: str, k: int) -> None:
+    os.makedirs(dst, exist_ok=True)
+    con = duckdb.connect()
+    units: dict[str, int] = {}
+    for t in KEYED:
+        units[f"count:{t}"] = con.execute(
+            f"SELECT count(*) FROM '{src}/{t}.parquet'"
+        ).fetchone()[0]
+    units["maxp1:events.user_id"] = (
+        con.execute(
+            f"SELECT max(user_id) + 1 FROM '{src}/events.parquet'"
+        ).fetchone()[0]
+    )
+
+    for t in COPY_ONCE:
+        con.execute(
+            f"COPY (SELECT * FROM '{src}/{t}.parquet') TO "
+            f"'{dst}/{t}.parquet' (FORMAT PARQUET)"
+        )
+
+    for t, keys in KEYED.items():
+        cols = [
+            r[0]
+            for r in con.execute(
+                f"DESCRIBE SELECT * FROM '{src}/{t}.parquet'"
+            ).fetchall()
+        ]
+        offs = {c: units[u] for c, u in keys}
+        proj = ", ".join(
+            f"{c} + r.i * {offs[c]} AS {c}" if c in offs else c
+            for c in cols
+        )
+        con.execute(
+            f"COPY (SELECT {proj} FROM '{src}/{t}.parquet' "
+            f"CROSS JOIN (SELECT unnest(range({k})) AS i) r) "
+            f"TO '{dst}/{t}.parquet' (FORMAT PARQUET)"
+        )
+        n0, n1 = units[f"count:{t}"], con.execute(
+            f"SELECT count(*) FROM '{dst}/{t}.parquet'"
+        ).fetchone()[0]
+        assert n1 == k * n0, (t, n0, n1)
+        print(f"{t}: {n0} -> {n1}")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument("--dst", default="/root/repo/.benchdata/sf1")
+    ap.add_argument("--k", type=int, default=10)
+    args = ap.parse_args()
+    scale_dir(args.src, args.dst, args.k)
+
+
+if __name__ == "__main__":
+    main()
