@@ -475,16 +475,23 @@ def kmeans_centroid_matrix(
             featuresCol="features",
         ).fit(train)
     except Exception as exc:
-        # MLlib's kmeans|| init throws (ArrayIndexOutOfBounds) when the
-        # corpus has fewer DISTINCT points than k — a fully collapsed /
-        # tiny corpus. ONLY that signature degrades to the
-        # deterministic first-K quantizer (same (ids, unit_matrix)
-        # contract, same probe plan); any other failure (Py4J
+        # MLlib throws two known DEGENERATE-CORPUS signatures: the
+        # kmeans|| init's ArrayIndexOutOfBounds when the corpus has
+        # fewer DISTINCT points than k (fully collapsed corpus), and
+        # the summarizer's "Nothing has been added" on a 0-row corpus.
+        # ONLY those degrade to the deterministic first-K quantizer
+        # (same (ids, unit_matrix) contract, same probe plan — and on
+        # the 0-row case centroid_matrix raises the documented
+        # index-undefined ValueError); any other failure (Py4J
         # connection loss, executor OOM, task cancellation,
         # misconfiguration) re-raises — silently swapping in a
         # lower-quality quantizer would hide a real regression behind
         # a still-passing bound certificate.
-        if "IndexOutOfBounds" not in str(exc):
+        msg = str(exc)
+        if (
+            "IndexOutOfBounds" not in msg
+            and "Nothing has been added" not in msg
+        ):
             raise
         import warnings
 

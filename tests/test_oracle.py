@@ -2,9 +2,22 @@
 
 Mirrors the driver's CORRECTNESS check (sf0.01, column-sorted,
 order-insensitive value compare) so mismatches are caught locally.
+
+r8: the gate runs CONCURRENTLY (VERDICT r7 item 6 — the 34-minute
+suite had stopped being run casually). A session-scoped thread pool
+submits one run_compare per SELECTED key — Spark schedules concurrent
+jobs from threads natively, run_compare opens a DuckDB connection per
+call, the catalog registers no fixed-name temp views, and streaming
+twins drain into uuid-named memory sinks, so keys are independent.
+Each parametrized test just awaits ITS future: same 480 tests, same
+per-key failure reporting, ~1/6 the wall time. Targeted `-k key` runs
+submit only the selected keys, so the dev loop is unchanged.
 """
 
 from __future__ import annotations
+
+import traceback
+from concurrent.futures import ThreadPoolExecutor
 
 import pytest
 
@@ -17,10 +30,37 @@ ORACLE = entrymod.oracle_sql()
 KEYS_WITH_ORACLE = sorted(k for k in QUERIES if k in ORACLE)
 KEYS_ROWS_ONLY = sorted(k for k in QUERIES if k not in ORACLE)
 
+GATE_POOL_WORKERS = 8
+
+
+def _compare_one(spark, key: str) -> list[str]:
+    try:
+        return run_compare(spark, SF_CORRECT, QUERIES[key], ORACLE[key])
+    except Exception:
+        return [f"exception:\n{traceback.format_exc()}"]
+
+
+@pytest.fixture(scope="session")
+def oracle_futures(request, spark):
+    keys = sorted(
+        {
+            item.callspec.params["key"]
+            for item in request.session.items
+            if getattr(item, "originalname", None)
+            == "test_oracle_match_sf001"
+        }
+    )
+    pool = ThreadPoolExecutor(
+        max_workers=min(GATE_POOL_WORKERS, max(1, len(keys)))
+    )
+    futures = {k: pool.submit(_compare_one, spark, k) for k in keys}
+    yield futures
+    pool.shutdown(wait=False, cancel_futures=True)
+
 
 @pytest.mark.parametrize("key", KEYS_WITH_ORACLE)
-def test_oracle_match_sf001(spark, key):
-    problems = run_compare(spark, SF_CORRECT, QUERIES[key], ORACLE[key])
+def test_oracle_match_sf001(oracle_futures, key):
+    problems = oracle_futures[key].result()
     assert not problems, f"{key}: " + "; ".join(problems)
 
 
@@ -40,15 +80,35 @@ def test_entry_smoke(spark):
 def test_all_queries_run_smoke(spark):
     from pyspark.sql.types import ArrayType, MapType, StructType
 
-    for key, fn in QUERIES.items():
-        df = fn(spark, SF_SMOKE)
-        assert df.columns, key
-        # the driver's canonicalizer sorts rows via pandas, which
-        # cannot factorize nested cells — an array/map/struct output
-        # column crashes even the rows-only check (the r5 regression
-        # class: emb_pca_project/multimodal_features shipped red).
-        # Catalog entries must posexplode/digest nested shapes.
-        for f in df.schema.fields:
-            assert not isinstance(
-                f.dataType, (ArrayType, MapType, StructType)
-            ), f"{key}.{f.name} is {f.dataType.simpleString()}"
+    def smoke_one(item) -> list[str]:
+        key, fn = item
+        problems: list[str] = []
+        try:
+            df = fn(spark, SF_SMOKE)
+            if not df.columns:
+                problems.append(f"{key}: no columns")
+            # the driver's canonicalizer sorts rows via pandas, which
+            # cannot factorize nested cells — an array/map/struct
+            # output column crashes even the rows-only check (the r5
+            # regression class: emb_pca_project/multimodal_features
+            # shipped red). Catalog entries must posexplode/digest
+            # nested shapes.
+            for f in df.schema.fields:
+                if isinstance(
+                    f.dataType, (ArrayType, MapType, StructType)
+                ):
+                    problems.append(
+                        f"{key}.{f.name} is "
+                        f"{f.dataType.simpleString()}"
+                    )
+        except Exception:
+            problems.append(f"{key}:\n{traceback.format_exc()}")
+        return problems
+
+    with ThreadPoolExecutor(max_workers=GATE_POOL_WORKERS) as pool:
+        failures = [
+            p
+            for probs in pool.map(smoke_one, QUERIES.items())
+            for p in probs
+        ]
+    assert not failures, "\n".join(failures)
