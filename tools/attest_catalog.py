@@ -1,0 +1,136 @@
+#!/usr/bin/env python
+"""Whole-catalog local attestation: VERIFY_LOCAL_r{N}.json.
+
+Runs the driver's exact Spark-vs-DuckDB compare
+(tests/oracle_utils.run_compare) over EVERY catalog key at sf0.01,
+plus a headline/heavy spot-check at sf0.1, and writes the round's
+VERIFY_LOCAL artifact. This is the standing r7+ convention (the
+driver's own window covers only 50 keys/round; this attests the
+backlog at HEAD every round) — previously a /tmp script, now
+committed.
+
+Keys run through a thread pool (same safety argument as
+tests/test_oracle.py: independent keys, uuid-named stream sinks,
+per-call DuckDB connections).
+
+Usage: python tools/attest_catalog.py --round 8 [--workers 8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+import traceback
+from concurrent.futures import ThreadPoolExecutor
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+SF001 = "/root/testdata/sf0.01"
+SF01 = "/root/testdata/sf0.1"
+
+# headline + heaviest keys re-checked at 10x the gate's scale
+SPOTCHECK_SF01 = [
+    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
+    "q6_revenue_forecast", "q18_large_orders", "topk_per_group",
+    "events_sessionize", "events_hourly", "pipeline_e2e",
+    "reduce_hierarchical", "doc_quality", "dedup_minhash_lsh",
+    "dedup_ngram_jaccard", "knn_bruteforce", "emb_neardup",
+    "emb_clusters", "emb_dedup_apply", "emb_kmeans",
+    "corpus_semantic_dedup", "corpus_dsir_weights", "knn_ivfpq",
+    "corpus_dedup_incremental", "knn_graph", "corpus_kn_bigram_lm",
+    "events_attribution_markov",
+]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--round", type=int, required=True)
+    ap.add_argument("--workers", type=int, default=8)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    from llm_map_reduce_summarizer_spark.session import get_spark
+
+    import __spark_entry__ as entrymod
+    from oracle_utils import run_compare
+
+    spark = get_spark("attest")
+    qs, osql = entrymod.queries(), entrymod.oracle_sql()
+    keys = sorted(k for k in qs if k in osql)
+
+    def one(key: str, sf: str):
+        t0 = time.perf_counter()
+        try:
+            problems = run_compare(spark, sf, qs[key], osql[key])
+        except Exception:
+            problems = [f"exception:\n{traceback.format_exc()}"]
+        return key, problems, round(time.perf_counter() - t0, 1)
+
+    t_start = time.perf_counter()
+    results: dict[str, dict] = {}
+    failures: dict[str, list[str]] = {}
+    with ThreadPoolExecutor(max_workers=args.workers) as pool:
+        for key, problems, sec in pool.map(
+            lambda k: one(k, SF001), keys
+        ):
+            results[key] = {
+                "status": "ok" if not problems else "fail",
+                "sec": sec,
+            }
+            if problems:
+                failures[key] = problems
+                print(f"FAIL {key}: {problems}", flush=True)
+    total = round(time.perf_counter() - t_start, 1)
+
+    spot: dict[str, dict] = {}
+    spot_ok = 0
+    with ThreadPoolExecutor(max_workers=args.workers) as pool:
+        for key, problems, sec in pool.map(
+            lambda k: one(k, SF01), SPOTCHECK_SF01
+        ):
+            spot[key] = {
+                "status": "ok" if not problems else "fail",
+                "sec": sec,
+            }
+            spot_ok += not problems
+            if problems:
+                print(f"FAIL@sf0.1 {key}: {problems}", flush=True)
+
+    out = {
+        "round": args.round,
+        "sf": 0.01,
+        "keys": len(keys),
+        "ok": len(keys) - len(failures),
+        "failures": failures,
+        "total_sec": total,
+        "note": (
+            "local run of the driver's exact Spark-vs-DuckDB compare "
+            "(tests/oracle_utils.run_compare) over EVERY catalog key "
+            "at sf0.01 — attests the never-driver-sampled backlog "
+            "ahead of the 50-key/round rotation"
+        ),
+        "results": results,
+        "sf0_1_spotcheck": {
+            "keys": len(SPOTCHECK_SF01),
+            "ok": spot_ok,
+            "results": spot,
+        },
+    }
+    path = args.out or os.path.join(
+        REPO, f"VERIFY_LOCAL_r{args.round:02d}.json"
+    )
+    with open(path, "w", encoding="utf-8") as fh:
+        json.dump(out, fh, indent=1)
+    print(
+        f"{path}: {out['ok']}/{out['keys']} at sf0.01, "
+        f"{spot_ok}/{len(SPOTCHECK_SF01)} at sf0.1, {total}s"
+    )
+
+
+if __name__ == "__main__":
+    main()
