@@ -15,6 +15,9 @@ SF_CORRECT = "/root/testdata/sf0.01"
 
 @pytest.fixture(scope="session")
 def spark():
-    os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
+    # 16 executor threads: the pooled gates (test_oracle,
+    # test_empty_sources) submit 8-12 concurrent tiny queries — with
+    # only 8 threads they queue behind each other's stages
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "16")
     s = get_spark("tests")
     yield s

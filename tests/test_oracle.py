@@ -30,7 +30,7 @@ ORACLE = entrymod.oracle_sql()
 KEYS_WITH_ORACLE = sorted(k for k in QUERIES if k in ORACLE)
 KEYS_ROWS_ONLY = sorted(k for k in QUERIES if k not in ORACLE)
 
-GATE_POOL_WORKERS = 8
+GATE_POOL_WORKERS = 16
 
 
 def _compare_one(spark, key: str) -> list[str]:

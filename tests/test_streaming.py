@@ -592,9 +592,26 @@ def test_stream_parity_on_randomized_micro_batch_splits(spark, tmp_path_factory)
                 .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
             )
 
-        sess = latest_sessions(
-            run_available_now(sessionize_stream(read()), output_mode="update")
-        ).toPandas()
+        # the two drains are independent (uuid-named sinks, separate
+        # checkpoints) — overlap them so each example pays one stream
+        # latency, not two (suite wall-time, VERDICT r7 item 6)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as drain_pool:
+            f_sess = drain_pool.submit(
+                lambda: latest_sessions(
+                    run_available_now(
+                        sessionize_stream(read()), output_mode="update"
+                    )
+                ).toPandas()
+            )
+            f_asof = drain_pool.submit(
+                lambda: run_available_now(
+                    asof_enrich_stream(read()), output_mode="update"
+                ).toPandas()
+            )
+            sess = f_sess.result()
+            asof = f_asof.result()
         got_sessions = {
             tuple(r)
             for r in sess[
@@ -604,9 +621,6 @@ def test_stream_parity_on_randomized_micro_batch_splits(spark, tmp_path_factory)
         }
         assert got_sessions == _sessionize_oracle(rows)
 
-        asof = run_available_now(
-            asof_enrich_stream(read()), output_mode="update"
-        ).toPandas()
         got_asof = {
             (int(r.event_id), int(r.user_id), int(r.ts_us),
              r.click_value,
