@@ -15,7 +15,14 @@ selectivities:
   user population grows with the data (sessionization keys scale),
 * documents offset on doc_id by the doc count (the dense consecutive
   doc_id space convention survives: 10 dense shards = one dense
-  space),
+  space). Document TEXT gets a deterministic per-word replica suffix
+  in replicas 1..K-1 (replica 0 verbatim): identical text across
+  replicas would make EVERY doc a K-way duplicate, and dedup queries
+  would then pay a genuinely quadratic OUTPUT blowup (K(K-1)/2 pairs
+  per doc) that measures the replica construction, not the engine.
+  With the suffix, cross-replica shingle Jaccard is ~0 while each
+  replica keeps the generator's own duplicate structure, so dedup
+  output grows linearly like a real corpus. n_chars is recomputed,
 * embeddings offset on vec_id by the DOC count, because embeddings
   align with documents on vec_id = doc_id — the alignment invariant
   must survive scaling. The fixed ``vec_id < N_QUERY_VECS`` query set
@@ -91,10 +98,28 @@ def scale_dir(src: str, dst: str, k: int) -> None:
             ).fetchall()
         ]
         offs = {c: units[u] for c, u in keys}
-        proj = ", ".join(
-            f"{c} + r.i * {offs[c]} AS {c}" if c in offs else c
-            for c in cols
-        )
+
+        def col_expr(c: str, t: str = t, offs: dict = offs) -> str:
+            if c in offs:
+                return f"{c} + r.i * {offs[c]} AS {c}"
+            if t == "documents" and c == "text":
+                # de-duplicate text across replicas (see module
+                # docstring): suffix every word with the replica id
+                return (
+                    "CASE WHEN r.i = 0 THEN text ELSE "
+                    "regexp_replace(text, '(\\S+)', "
+                    "'\\1' || CAST(r.i AS VARCHAR), 'g') END AS text"
+                )
+            if t == "documents" and c == "n_chars":
+                return (
+                    "length(CASE WHEN r.i = 0 THEN text ELSE "
+                    "regexp_replace(text, '(\\S+)', "
+                    "'\\1' || CAST(r.i AS VARCHAR), 'g') END) "
+                    "AS n_chars"
+                )
+            return c
+
+        proj = ", ".join(col_expr(c) for c in cols)
         con.execute(
             f"COPY (SELECT {proj} FROM '{src}/{t}.parquet' "
             f"CROSS JOIN (SELECT unnest(range({k})) AS i) r) "
