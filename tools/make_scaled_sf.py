@@ -27,7 +27,13 @@ selectivities:
   align with documents on vec_id = doc_id — the alignment invariant
   must survive scaling. The fixed ``vec_id < N_QUERY_VECS`` query set
   then stays constant while the corpus grows, which is exactly the
-  scaling shape an ANN benchmark wants.
+  scaling shape an ANN benchmark wants. Vectors in replicas 1..K-1
+  are coordinate-ROTATED by the replica id: a coordinate permutation
+  is orthogonal, so within-replica pairwise geometry (dots, norms,
+  clusters) is preserved EXACTLY while cross-replica cosine drops to
+  ~0 — without this, every vector has K-1 identical twins and the
+  embedding-dedup ops pay the same K²-duplicate output blowup as
+  un-suffixed text.
 
 Values (prices, dates, text, vectors) are untouched — only keys move —
 so per-row compute is identical and timing ratios measure the ENGINE's
@@ -116,6 +122,15 @@ def scale_dir(src: str, dst: str, k: int) -> None:
                     "regexp_replace(text, '(\\S+)', "
                     "'\\1' || CAST(r.i AS VARCHAR), 'g') END) "
                     "AS n_chars"
+                )
+            if t == "embeddings" and c == "embedding":
+                # per-replica coordinate rotation (orthogonal — see
+                # module docstring); 1-based inclusive list slices
+                return (
+                    "CASE WHEN r.i = 0 THEN embedding ELSE "
+                    "embedding[(r.i % len(embedding)) + 1:] || "
+                    "embedding[1:(r.i % len(embedding))] END "
+                    "AS embedding"
                 )
             return c
 
