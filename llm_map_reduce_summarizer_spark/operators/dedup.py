@@ -146,16 +146,18 @@ def jaccard_pairs(
     holds more than ``EXACT_JACCARD_CONF`` distinct documents (default
     ``EXACT_JACCARD_MAX_DOCS``) — pointing the caller at the
     MinHash-LSH corpus path instead of letting a verification tool
-    run an O(Σ df²) self-join over a full corpus. The pre-flight count
-    is one agg over the already-materialized shingle table, trivial
-    next to the join it prevents.
+    run an O(Σ df²) self-join over a full corpus. The pre-flight
+    count runs on the UN-materialized input (a countDistinct agg, no
+    caching) so corpus-scale misuse raises before anything
+    corpus-sized is computed or pinned into executor storage — only a
+    passing input is materialized for its three downstream consumers.
     """
-    shingles = shingles.transform(materialize)
     spark = shingles.sparkSession
     cap = int(spark.conf.get(EXACT_JACCARD_CONF, str(EXACT_JACCARD_MAX_DOCS)))
-    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     if cap > 0:
-        n_docs = sizes.count()
+        n_docs = shingles.agg(
+            F.countDistinct(id_col).alias("n")
+        ).collect()[0]["n"]
         if n_docs > cap:
             raise ValueError(
                 f"jaccard_pairs got {n_docs} distinct documents > "
@@ -166,6 +168,8 @@ def jaccard_pairs(
                 "minhash_lsh_pairs / the dedup_minhash_lsh query) or "
                 f"raise the cap explicitly via {EXACT_JACCARD_CONF}"
             )
+    shingles = shingles.transform(materialize)
+    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     a = shingles.select(F.col(id_col).alias("da"), "s")
     b = shingles.select(F.col(id_col).alias("db"), "s")
     common = (

@@ -38,6 +38,8 @@ Call sites keep their fluent shape: ``df.transform(materialize)``.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 
 RELIABLE_CONF = "spark.llm_map_reduce_summarizer.reliableCheckpoint"
@@ -45,15 +47,21 @@ CHECKPOINT_DIR_CONF = "spark.llm_map_reduce_summarizer.checkpointDir"
 CLEANER_CONF = "spark.cleaner.referenceTracking.cleanCheckpoints"
 
 _CLEANER_WARNED: set[str] = set()
+_CLEANER_LOCK = threading.Lock()
 
 
 def _warn_if_cleaner_disabled(spark) -> None:
     """One warning per session when reliable mode runs without the
     checkpoint cleaner (see module docstring: files otherwise
-    accumulate forever under iterative callers)."""
+    accumulate forever under iterative callers). Locked check-and-add:
+    materialize is deliberately called from thread pools (the pooled
+    test gates, attest_catalog), so an unsynchronized membership test
+    could warn twice."""
     app_id = spark.sparkContext.applicationId
-    if app_id in _CLEANER_WARNED:
-        return
+    with _CLEANER_LOCK:
+        if app_id in _CLEANER_WARNED:
+            return
+        _CLEANER_WARNED.add(app_id)
     if str(spark.conf.get(CLEANER_CONF, "false")).lower() != "true":
         import warnings
 
@@ -66,7 +74,6 @@ def _warn_if_cleaner_disabled(spark) -> None:
             RuntimeWarning,
             stacklevel=3,
         )
-    _CLEANER_WARNED.add(app_id)
 
 
 def materialize(df: DataFrame) -> DataFrame:

@@ -438,6 +438,43 @@ def cosine_topk_ivf(
     return _ivf_probe_topk(queries, corpus, cents, k, nprobe, id_col, vec_col)
 
 
+def _mllib_degenerate_signature(exc: Exception) -> bool:
+    """True iff ``exc`` is one of the two known degenerate-corpus
+    MLlib failures (see the caller's comment) — NOT a bare substring
+    scan over the whole Py4J string (which would also match a genuine
+    upstream AIOOBE whose trace merely appears somewhere in the cause
+    chain).
+
+    * Collapsed corpus (fewer distinct points than k): an
+      ArrayIndexOutOfBoundsException raised INSIDE MLlib's clustering
+      code (empirically ``KMeansAggregator.euclideanUpdateInPlace``,
+      surfacing as a stage failure). The stage-failure message embeds
+      the root cause's own trace, so we require a
+      ``spark.ml[lib].clustering`` frame within the lines directly
+      after the AIOOBE line — an AIOOBE thrown by an upstream
+      transform shows the upstream frames there instead.
+    * 0-row corpus: the summarizer's specific requirement message,
+      which no unrelated failure carries.
+    """
+    jexc = getattr(exc, "java_exception", None)
+    if jexc is None:
+        return False
+    try:
+        msg = str(jexc.getMessage())
+    except Exception:
+        return False
+    if "Nothing has been added to this summarizer" in msg:
+        return True
+    i = msg.find("java.lang.ArrayIndexOutOfBoundsException")
+    if i < 0:
+        return False
+    root_trace_head = msg[i : i + 800]
+    return (
+        ".ml.clustering." in root_trace_head
+        or ".mllib.clustering." in root_trace_head
+    )
+
+
 def kmeans_centroid_matrix(
     corpus: DataFrame,
     n_centroids: int = 16,
@@ -475,30 +512,31 @@ def kmeans_centroid_matrix(
             featuresCol="features",
         ).fit(train)
     except Exception as exc:
-        # MLlib throws two known DEGENERATE-CORPUS signatures: the
-        # kmeans|| init's ArrayIndexOutOfBounds when the corpus has
-        # fewer DISTINCT points than k (fully collapsed corpus), and
-        # the summarizer's "Nothing has been added" on a 0-row corpus.
-        # ONLY those degrade to the deterministic first-K quantizer
-        # (same (ids, unit_matrix) contract, same probe plan — and on
-        # the 0-row case centroid_matrix raises the documented
-        # index-undefined ValueError); any other failure (Py4J
-        # connection loss, executor OOM, task cancellation,
-        # misconfiguration) re-raises — silently swapping in a
-        # lower-quality quantizer would hide a real regression behind
-        # a still-passing bound certificate.
-        msg = str(exc)
-        if (
-            "IndexOutOfBounds" not in msg
-            and "Nothing has been added" not in msg
-        ):
+        # MLlib throws two known DEGENERATE-CORPUS signatures: an
+        # ArrayIndexOutOfBounds inside MLlib's own clustering code
+        # when the corpus has fewer DISTINCT points than k (fully
+        # collapsed corpus), and the summarizer's "Nothing has been
+        # added" on a 0-row corpus. ONLY those degrade to the
+        # deterministic first-K quantizer (same (ids, unit_matrix)
+        # contract, same probe plan — and on the 0-row case
+        # centroid_matrix raises the documented index-undefined
+        # ValueError); any other failure (Py4J connection loss,
+        # executor OOM, task cancellation, an AIOOBE from an upstream
+        # transform that first executes inside the fit's scan)
+        # re-raises — silently swapping in a lower-quality quantizer
+        # would hide a real regression behind a still-passing bound
+        # certificate. See _mllib_degenerate_signature for why the
+        # match is frame-anchored rather than a substring scan of the
+        # full Py4J stack-trace string.
+        if not _mllib_degenerate_signature(exc):
             raise
         import warnings
 
         warnings.warn(
-            "kmeans_centroid_matrix: MLlib kmeans|| init failed on a "
-            f"collapsed corpus (fewer distinct points than k={n_centroids}); "
-            "degrading to the deterministic first-K quantizer",
+            "kmeans_centroid_matrix: MLlib k-means failed on a "
+            f"degenerate corpus (empty, or fewer distinct points than "
+            f"k={n_centroids}); degrading to the deterministic "
+            "first-K quantizer",
             RuntimeWarning,
             stacklevel=2,
         )

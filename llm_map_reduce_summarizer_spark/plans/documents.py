@@ -496,7 +496,9 @@ def knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
       cannot beat the full scan at any rank; both sides quantize the
       same pair to the same 6-decimal value up to one grid quantum —
       the Spark-SQL and numpy-BLAS float paths can differ by an ulp
-      at a .5 rounding boundary, so the check carries 1e-6 slack),
+      at a .5 rounding boundary, so the check carries 1.5e-6 slack:
+      enough for any one-quantum gap in IEEE doubles, below every
+      two-quantum gap),
     * ``recall_ok`` — corpus recall@k vs ``knn_bruteforce`` clears
       ``IVF_TRAINED_RECALL_FLOOR``.
 
@@ -539,14 +541,17 @@ def knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
             # Spark-SQL dot + quantize, the exact scan's from numpy
             # BLAS matmul + _quantize_np — the two float paths can
             # differ by an ulp, and when x*1e6 sits on a .5 rounding
-            # boundary the same pair can quantize to values 1e-6
-            # apart. A strict <= would flip on that edge on new
-            # data/platforms; the certificate's claim (candidates
-            # cannot beat the full scan) is unchanged at grid
-            # resolution.
-            (F.col("cos") <= F.col("cos_exact") + F.lit(1e-6)).alias(
-                "cos_le_exact"
-            ),
+            # boundary the same pair can quantize to values one grid
+            # step (1e-6) apart. The slack is 1.5e-6, NOT 1e-6: in
+            # IEEE doubles `(m+1)/1e6 <= m/1e6 + 1e-6` is FALSE for
+            # ~25% of grid points m (verified by exhaustive scan over
+            # m in [0, 2e6]), while 1.5e-6 admits every one-quantum
+            # gap and no two-quantum gap (2e-6 > 1.5e-6). The
+            # certificate's claim (candidates cannot beat the full
+            # scan) is unchanged at grid resolution.
+            (
+                F.col("cos") <= F.col("cos_exact") + F.lit(1.5e-6)
+            ).alias("cos_le_exact"),
             (F.col("recall") >= IVF_TRAINED_RECALL_FLOOR).alias(
                 "recall_ok"
             ),

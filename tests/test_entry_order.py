@@ -66,9 +66,18 @@ def test_live_window_composition(entry_mod):
     stale = [k for k in window if last.get(k, 0) > 0]
     n_never_total = sum(1 for k in merged if last.get(k, 0) == 0)
     assert len(never) == min(entry_mod._NEVER_SLOTS, n_never_total)
-    if stale:
-        stalest_round = min(last[k] for k in merged if last.get(k, 0) > 0)
-        assert all(last[k] == stalest_round for k in stale)
+    # the stale slots must hold exactly the |stale| LRV-stalest
+    # checked keys — compare against the stable-sorted pool, NOT a
+    # single-round membership test: the stalest round's pool will
+    # drop below 10 keys as the rotation drains it (at HEAD round 3
+    # holds exactly 12), after which a correct window legitimately
+    # mixes rounds
+    checked_lrv = [
+        k
+        for k in sorted(merged, key=lambda k: last.get(k, 0))
+        if last.get(k, 0) > 0
+    ]
+    assert stale == checked_lrv[: len(stale)]
     oracles = list(entry_mod.oracle_sql())
     in_both = [k for k in entry_mod.queries() if k in set(oracles)]
     assert oracles == in_both

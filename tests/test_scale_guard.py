@@ -69,13 +69,19 @@ def test_guard_disabled_by_zero(spark, tiny_shingles):
 
 
 def test_guarded_plan_entries_run_at_test_scale(spark):
-    """The three exact-Jaccard catalog entries stay under the default
-    cap on the gate data (the guard must never fire on driver runs)."""
+    """ALL THREE exact-Jaccard catalog entries stay under the default
+    cap on the gate data (the guard must never fire on driver runs) —
+    a cap/conf change that trips any of them at gate scale fails
+    here, not in the driver."""
     from llm_map_reduce_summarizer_spark.plans.documents import (
+        dedup_lsh_recall,
         dedup_ngram_jaccard,
+        dedup_threshold_sweep,
     )
 
     assert dedup_ngram_jaccard(spark, SF_SMOKE).count() >= 0
+    assert dedup_threshold_sweep(spark, SF_SMOKE).count() >= 0
+    assert dedup_lsh_recall(spark, SF_SMOKE).count() >= 0
 
 
 def test_guard_message_names_cap_and_conf(spark, tiny_shingles):

@@ -125,11 +125,17 @@ def scale_dir(src: str, dst: str, k: int) -> None:
                 )
             if t == "embeddings" and c == "embedding":
                 # per-replica coordinate rotation (orthogonal — see
-                # module docstring); 1-based inclusive list slices
+                # module docstring); 1-based inclusive list slices.
+                # Rotation amount is 1 + (i-1) % (dim-1), never 0:
+                # a plain i % dim would be the IDENTITY whenever
+                # i is a multiple of dim (e.g. --k > 64 on dim-64
+                # vectors), silently reintroducing the exact-twin
+                # blowup the rotation exists to prevent.
+                rot = "(1 + (r.i - 1) % (len(embedding) - 1))"
                 return (
                     "CASE WHEN r.i = 0 THEN embedding ELSE "
-                    "embedding[(r.i % len(embedding)) + 1:] || "
-                    "embedding[1:(r.i % len(embedding))] END "
+                    f"embedding[{rot} + 1:] || "
+                    f"embedding[1:{rot}] END "
                     "AS embedding"
                 )
             return c
