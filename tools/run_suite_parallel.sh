@@ -16,9 +16,9 @@ cd "$(dirname "$0")/.."
 mkdir -p /tmp/suite_par
 declare -A TEST_GROUPS=(
   [g1]="tests/test_oracle.py"
-  [g2]="tests/test_streaming.py tests/test_plan_audit.py"
+  [g2]="tests/test_streaming.py"
   [g3]="tests/test_stats.py tests/test_operators.py tests/test_plans.py tests/test_stats_property.py"
-  [g4]="tests/test_empty_sources.py tests/test_fuzz_parity.py tests/test_property.py tests/test_robustness.py tests/test_scale_guard.py tests/test_retrieval.py tests/test_sources.py tests/test_pipeline.py tests/test_cli.py tests/test_entry_order.py tests/test_scale_utils.py tests/test_persist.py tests/test_ratelimit.py tests/test_skew.py"
+  [g4]="tests/test_plan_audit.py tests/test_empty_sources.py tests/test_fuzz_parity.py tests/test_property.py tests/test_robustness.py tests/test_scale_guard.py tests/test_retrieval.py tests/test_sources.py tests/test_pipeline.py tests/test_cli.py tests/test_entry_order.py tests/test_scale_utils.py tests/test_persist.py tests/test_ratelimit.py tests/test_skew.py"
 )
 pids=()
 names=()
