@@ -64,6 +64,29 @@ def test_oracle_match_sf001(oracle_futures, key):
     assert not problems, f"{key}: " + "; ".join(problems)
 
 
+def test_gate_pool_reports_failures_not_swallows(spark, monkeypatch):
+    """Meta-guard on the pooled gate itself: a crashing query and a
+    mismatching oracle must surface as per-key problem lists (the
+    future machinery must never turn a failure into a silent pass)."""
+    monkeypatch.setitem(
+        QUERIES, "__boom__", lambda s, sf: (_ for _ in ()).throw(
+            RuntimeError("kaboom")
+        )
+    )
+    monkeypatch.setitem(ORACLE, "__boom__", "SELECT 1 AS x")
+    out = _compare_one(spark, "__boom__")
+    assert out and "exception" in out[0] and "kaboom" in out[0]
+
+    monkeypatch.setitem(
+        QUERIES,
+        "__mismatch__",
+        lambda s, sf: s.range(1).selectExpr("CAST(2 AS BIGINT) AS x"),
+    )
+    monkeypatch.setitem(ORACLE, "__mismatch__", "SELECT CAST(1 AS BIGINT) AS x")
+    out = _compare_one(spark, "__mismatch__")
+    assert out, "value mismatch must produce problems"
+
+
 def test_every_entry_has_an_oracle():
     """r7: the last three rows-only entries (emb_pca_project,
     knn_ivf_trained, multimodal_decode) were converted to invariant
