@@ -76,6 +76,53 @@ def skew_dir(tmp_path_factory):
     return str(dst)
 
 
+@pytest.fixture(scope="module")
+def user_skew_dir(tmp_path_factory):
+    """sf0.001 with ~30% of events reassigned to ONE user — the
+    stateful-op analog of the hot-customer ledger: sessionization,
+    user paths, and journey attribution all key their shuffles and
+    window/state folds on user_id, so one whale user is the partition
+    that AQE cannot split (state for a key lives on one task). The
+    engine must stay CORRECT; these ops' per-user state is bounded by
+    design (session windows close, journeys truncate at purchase)."""
+    src = SF_SMOKE
+    dst = tmp_path_factory.mktemp("userskew")
+    for t in [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]:
+        shutil.copy(f"{src}/{t}.parquet", dst / f"{t}.parquet")
+    ev = pd.read_parquet(dst / "events.parquet")
+    hot = int(ev["user_id"].iloc[0])
+    n = len(ev)
+    take = int(n * HOT_SHARE)
+    stride = max(1, n // take)
+    idx = ev.index[::stride][:take]
+    ev.loc[idx, "user_id"] = hot
+    ev.to_parquet(dst / "events.parquet", index=False)
+    assert (ev["user_id"] == hot).mean() >= 0.25
+    return str(dst)
+
+
+def test_stateful_event_ops_hash_match_under_user_skew(
+    spark, user_skew_dir
+):
+    """A whale user owning ~30% of the event log must not change
+    correctness of the user-keyed stateful ops — sessionize (event-
+    time windows per user), session stats, user paths, and the
+    journey-based Markov attribution all still match their oracles
+    exactly on the skewed log."""
+    qs, osql = entrymod.queries(), entrymod.oracle_sql()
+    for key in [
+        "events_sessionize",
+        "events_session_stats",
+        "events_user_paths",
+        "events_attribution_markov",
+    ]:
+        issues = run_compare(spark, user_skew_dir, qs[key], osql[key])
+        assert not issues, f"{key} under user skew: {issues}"
+
+
 def test_headline_joins_hash_match_under_zipf_skew(spark, skew_dir):
     """Correctness is distribution-free: the same oracle SQL over the
     skewed parquet must still match every headline join query
