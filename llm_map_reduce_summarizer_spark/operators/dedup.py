@@ -132,7 +132,10 @@ EXACT_JACCARD_CONF = "spark.llm_map_reduce_summarizer.exactJaccardMaxDocs"
 
 
 def jaccard_pairs(
-    shingles: DataFrame, id_col: str = "doc_id", threshold: float = 0.6
+    shingles: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.6,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Exact pairwise Jaccard over shingle sets (self-join on shingle).
 
@@ -147,17 +150,29 @@ def jaccard_pairs(
     ``EXACT_JACCARD_MAX_DOCS``) — pointing the caller at the
     MinHash-LSH corpus path instead of letting a verification tool
     run an O(Σ df²) self-join over a full corpus. The pre-flight
-    count runs on the UN-materialized input (a countDistinct agg, no
-    caching) so corpus-scale misuse raises before anything
-    corpus-sized is computed or pinned into executor storage — only a
-    passing input is materialized for its three downstream consumers.
+    runs BEFORE the materialize so corpus-scale misuse raises before
+    anything corpus-sized is computed or pinned into executor
+    storage — only a passing input is materialized for its three
+    downstream consumers.
+
+    ``n_docs``: caller-supplied UPPER BOUND on the distinct-document
+    count (e.g. ``count(*)`` of the source table the shingles were
+    exploded from — a parquet footer-metadata count, no shingle
+    build). When given, the guard compares it instead of running the
+    ``countDistinct`` pre-flight, so a passing call executes the
+    explode+hash shingle plan ONCE (inside the materialize) rather
+    than twice. Docs with zero shingles only make the bound
+    conservative (bound >= actual), so the contract's raise direction
+    is preserved; the enforced cap is only as good as the bound the
+    caller passes.
     """
     spark = shingles.sparkSession
     cap = int(spark.conf.get(EXACT_JACCARD_CONF, str(EXACT_JACCARD_MAX_DOCS)))
     if cap > 0:
-        n_docs = shingles.agg(
-            F.countDistinct(id_col).alias("n")
-        ).collect()[0]["n"]
+        if n_docs is None:
+            n_docs = shingles.agg(
+                F.countDistinct(id_col).alias("n")
+            ).collect()[0]["n"]
         if n_docs > cap:
             raise ValueError(
                 f"jaccard_pairs got {n_docs} distinct documents > "

@@ -217,15 +217,33 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(_docs(spark, sf_dir))
 
 
+def _doc_count_bound(spark: SparkSession, sf_dir: str) -> int:
+    """Distinct-doc upper bound for `jaccard_pairs`'s enforced scale
+    guard: count(*) of the documents table — a parquet footer-
+    metadata count (no shingle build), >= the shingle table's
+    distinct-doc count by construction (docs with zero shingles drop
+    out of the explode). Passing it lets a PASSING call run the
+    explode+hash shingle plan once (in the materialize) instead of
+    twice (ADVICE r8: the countDistinct pre-flight re-ran the whole
+    upstream shingle plan)."""
+    return _docs(spark, sf_dir).count()
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact pairwise 3-gram Jaccard (the verification-set tool; the
     corpus path is MinHash-LSH). Shingles join by their 60-bit key —
     8-byte shuffles instead of n-gram strings. The verification-set
     contract is ENFORCED: `jaccard_pairs` raises above
     `EXACT_JACCARD_MAX_DOCS` distinct docs (conf-overridable), so this
-    cannot be pointed at a full corpus by accident."""
+    cannot be pointed at a full corpus by accident; the bound is the
+    source table's metadata count (`_doc_count_bound`), so the guard
+    costs no extra shingle scan."""
     sh = doc_shingles(_docs(spark, sf_dir), keyed=True)
-    return jaccard_pairs(sh, threshold=JACCARD_THRESHOLD)
+    return jaccard_pairs(
+        sh,
+        threshold=JACCARD_THRESHOLD,
+        n_docs=_doc_count_bound(spark, sf_dir),
+    )
 
 
 DEDUP_SWEEP_GRID = (0.5, 0.6, 0.7, 0.8, 0.9)
@@ -248,9 +266,11 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     not corpus) and two tiny rollups.
     """
     sh = doc_shingles(_docs(spark, sf_dir), keyed=True)
-    pairs = jaccard_pairs(sh, threshold=DEDUP_SWEEP_GRID[0]).select(
-        "da", "db", "jaccard"
-    )
+    pairs = jaccard_pairs(
+        sh,
+        threshold=DEDUP_SWEEP_GRID[0],
+        n_docs=_doc_count_bound(spark, sf_dir),
+    ).select("da", "db", "jaccard")
     grid = F.array(*[F.lit(t) for t in DEDUP_SWEEP_GRID])
     pe = pairs.select(
         F.explode(grid).alias("threshold"), "da", "db", "jaccard"
@@ -293,9 +313,11 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = _docs(spark, sf_dir)
     sh = doc_shingles(docs, keyed=True)
-    exact = jaccard_pairs(sh, threshold=MINHASH_THRESHOLD).select(
-        "da", "db"
-    )
+    exact = jaccard_pairs(
+        sh,
+        threshold=MINHASH_THRESHOLD,
+        n_docs=_doc_count_bound(spark, sf_dir),
+    ).select("da", "db")
     lsh = minhash_lsh_pairs(
         docs, threshold=MINHASH_THRESHOLD, df_cap=MINHASH_DF_CAP
     ).select("da", "db")

@@ -198,6 +198,86 @@ def test_get_provider_warns_without_session_parallelism(monkeypatch):
     assert call.__qualname__.startswith("throttled.")
 
 
+def test_throttled_raises_on_misaligned_provider_output():
+    """A provider returning 0 or 2 outputs for a single-prompt call
+    would silently shift every subsequent prompt→output pairing in the
+    batch; the wrapper must fail loudly at the offending call
+    (ADVICE r8)."""
+    wrapped = throttled(
+        lambda ps: [], 100.0, bucket_factory=lambda r, bu: _bucket(100.0)[0]
+    )
+    with pytest.raises(ValueError, match="0 outputs for 1 prompt"):
+        wrapped(["a"])
+
+    wrapped2 = throttled(
+        lambda ps: ps * 2,
+        100.0,
+        bucket_factory=lambda r, bu: _bucket(100.0)[0],
+    )
+    with pytest.raises(ValueError, match="2 outputs for 1 prompt"):
+        wrapped2(["a"])
+
+
+def test_get_provider_refuses_live_cap_without_worker_reuse(monkeypatch):
+    """VERDICT r8 item 6: per-process token buckets reset with every
+    spawned worker, so a LIVE rate-capped provider under
+    spark.python.worker.reuse=false cannot hold its global ceiling —
+    get_provider must refuse, not document. Worker reuse is a STATIC
+    core conf (runtime spark.conf cannot touch it, and a real context
+    with it off cannot coexist with the shared test JVM), so the
+    active session is stubbed at the exact surface get_provider reads:
+    sparkContext.getConf()."""
+    from pyspark.sql import SparkSession
+
+    from llm_map_reduce_summarizer_spark.operators.providers import (
+        WORKER_REUSE_CONF,
+    )
+
+    class _FakeSession:
+        def __init__(self, reuse: str):
+            conf_val = reuse
+
+            class _Conf:
+                @staticmethod
+                def get(key, default=None):
+                    return conf_val if key == WORKER_REUSE_CONF else default
+
+            class _SC:
+                defaultParallelism = 4
+
+                @staticmethod
+                def getConf():
+                    return _Conf()
+
+            self.sparkContext = _SC()
+
+    monkeypatch.setattr(
+        SparkSession,
+        "getActiveSession",
+        staticmethod(lambda: _FakeSession("false")),
+    )
+    monkeypatch.setenv("OPENAI_API_KEY", "test-key")
+    monkeypatch.setenv("LLM_MAX_REQUESTS_PER_SEC", "8")
+    with pytest.raises(RuntimeError, match="worker"):
+        get_provider("openai", cluster_parallelism=4)
+
+    # the keyless mock is never refused (it is never throttled at all)
+    monkeypatch.delenv("OPENAI_API_KEY")
+    _, _, is_mock = get_provider("openai", cluster_parallelism=4)
+    assert is_mock
+
+    # reuse on (the Spark default): the live capped provider builds
+    monkeypatch.setenv("OPENAI_API_KEY", "test-key")
+    monkeypatch.setattr(
+        SparkSession,
+        "getActiveSession",
+        staticmethod(lambda: _FakeSession("true")),
+    )
+    call, _, is_mock = get_provider("openai", cluster_parallelism=4)
+    assert not is_mock
+    assert call.__qualname__.startswith("throttled.")
+
+
 def test_get_provider_unlimited_without_env(monkeypatch):
     monkeypatch.setenv("OPENAI_API_KEY", "test-key")
     monkeypatch.delenv("LLM_MAX_REQUESTS_PER_SEC", raising=False)

@@ -84,6 +84,23 @@ def test_guarded_plan_entries_run_at_test_scale(spark):
     assert dedup_lsh_recall(spark, SF_SMOKE).count() >= 0
 
 
+def test_guard_honors_caller_bound(spark, tiny_shingles):
+    """`n_docs` (the caller's metadata-count upper bound, ADVICE r8)
+    replaces the countDistinct pre-flight: the guard raises/passes on
+    the BOUND, not the shingle table's actual distinct count — that is
+    what makes a passing call a single shingle scan."""
+    old = _with_conf(spark, "100")
+    try:
+        # actual distinct docs = 8, well under the cap — but the
+        # caller's bound is over it, so the guard must raise
+        with pytest.raises(ValueError, match="minhash_lsh_pairs"):
+            jaccard_pairs(tiny_shingles, threshold=0.5, n_docs=101)
+        df = jaccard_pairs(tiny_shingles, threshold=0.5, n_docs=100)
+        assert df.count() >= 0
+    finally:
+        _restore_conf(spark, old)
+
+
 def test_guard_message_names_cap_and_conf(spark, tiny_shingles):
     old = _with_conf(spark, "3")
     try:
