@@ -4664,6 +4664,19 @@ HEAPS_POINTS = 16
 MIX_ALPHA = 0.5
 KMEANS_K = 8
 KMEANS_ITERS = 3
+# Lloyd TRAINING-sample cap (VERDICT r8 item 2 / the one measured
+# super-linear bench query): centroid-update rounds run on a
+# deterministic cross-engine md5-hash sample of at most ~this many
+# vectors (512 per centroid, the faiss training band), then ONE full
+# pass assigns every vector to the trained centroids. Corpora at or
+# under the cap keep = DENOM and the sample filter passes every row,
+# so results are bit-identical to full-corpus Lloyd at every driver
+# gate scale (<= 2000 vectors); above it, training cost is
+# corpus-size-independent while the output stays a full assignment.
+# A module constant, NOT a conf: the oracle SQL twin embeds the same
+# arithmetic and must stay pinned to the plan.
+KMEANS_TRAIN_CAP = 512 * KMEANS_K
+KMEANS_SAMPLE_DENOM = 1 << 20
 
 
 def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4680,11 +4693,16 @@ def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment flips; argmax ties break to the lowest cluster id in
     both engines.
 
-    Scale: per round = one vec_id co-partitioned join (cells x
-    assignment), a (K x dim)-bounded partial agg, a K·dim-row
-    broadcast, and a (vec_id, c) partial agg — exactly the
-    distributed Lloyd iteration; nothing materializes beyond n x dim
-    cells (checkpointed once for the 2·ITERS consumers).
+    Scale: training rounds are SAMPLE-BOUNDED (md5-hash sample capped
+    at ``KMEANS_TRAIN_CAP``, identical in both engines; at or under
+    the cap the filter passes every row, so gate-scale results are
+    bit-identical to full-corpus Lloyd) — per round = one vec_id
+    co-partitioned join (sample cells x assignment), a (K x dim)-
+    bounded partial agg, a K·dim-row broadcast, and a (vec_id, c)
+    partial agg over the sample; then ONE corpus-sized pass assigns
+    every vector to the trained centroids. Nothing materializes
+    beyond n x dim cells (checkpointed once) plus the bounded
+    training sample.
     """
     assign, _sims = _kmeans_final(spark, sf_dir)
     return assign.select(
@@ -4692,46 +4710,79 @@ def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmeans_sims(ex: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, c, sim) for every (vector in ``ex``) × centroid —
+    dim-join + partial sum, quantized per round (see emb_kmeans)."""
+    return (
+        ex.join(F.broadcast(cents), "dim")
+        .withColumn("p", F.col("val") * F.col("cv"))
+        .groupBy("vec_id", "c")
+        .agg(quantize(F.sum("p"), 9).alias("sim"))
+    )
+
+
+def _kmeans_argmax(sims: DataFrame) -> DataFrame:
+    """Winning (vec_id, c, sim): max sim, ties to the LOWEST cluster
+    id (both engines break ties identically via the -c struct max)."""
+    return (
+        sims.groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(F.col("sim"), (-F.col("c")).alias("neg"))
+            ).alias("m")
+        )
+        .select(
+            "vec_id",
+            (-F.col("m.neg")).cast("long").alias("c"),
+            F.col("m.sim").alias("sim"),
+        )
+    )
+
+
 def _kmeans_final(spark: SparkSession, sf_dir: str):
     """The shared Lloyd iteration: returns (final assignment with its
     winning sim, the final round's full (vec_id, c, sim) table) —
     consumed by ``emb_kmeans`` (assignment) and
-    ``emb_cluster_quality`` (needs the runner-up sims too)."""
+    ``emb_cluster_quality`` (needs the runner-up sims too).
+
+    Training is SAMPLE-BOUNDED (VERDICT r8): the centroid-update
+    rounds join only the ``ext`` sample — vectors whose md5-fold key
+    (``shingle_key``, bit-identical in both engines) lands under
+    ``keep = DENOM * KMEANS_TRAIN_CAP // n`` — then the trained
+    round-N centroids score EVERY vector in one final pass. At or
+    under the cap ``keep >= DENOM`` so the filter passes all rows and
+    the result is bit-identical to full-corpus Lloyd; above it, the
+    ``KMEANS_ITERS`` iterations cost O(sample), not O(corpus), and
+    only the single assignment pass is corpus-sized."""
     e = _embs(spark, sf_dir)
     u = e.select("vec_id", unit_norm(F.col("embedding")).alias("u"))
     ex = u.select(
         "vec_id", F.posexplode("u").alias("dim", "val")
     ).transform(materialize)
+    n_vecs = e.count()
+    keep = (KMEANS_SAMPLE_DENOM * KMEANS_TRAIN_CAP) // max(n_vecs, 1)
+    if keep < KMEANS_SAMPLE_DENOM:
+        ex_train = ex.filter(
+            shingle_key(F.col("vec_id").cast("string"))
+            % KMEANS_SAMPLE_DENOM
+            < keep
+        ).transform(materialize)
+    else:
+        ex_train = ex
     assign = e.select(
         "vec_id", (F.col("vec_id") % KMEANS_K).cast("long").alias("c")
     )
-    sims = None
-    for _ in range(KMEANS_ITERS):
+    cents = None
+    for i in range(KMEANS_ITERS):
         cents = (
-            ex.join(assign.select("vec_id", "c"), "vec_id")
+            ex_train.join(assign.select("vec_id", "c"), "vec_id")
             .groupBy("c", "dim")
             .agg(quantize(F.avg("val"), 9).alias("cv"))
         )
-        sims = (
-            ex.join(F.broadcast(cents), "dim")
-            .withColumn("p", F.col("val") * F.col("cv"))
-            .groupBy("vec_id", "c")
-            .agg(quantize(F.sum("p"), 9).alias("sim"))
-        )
-        assign = (
-            sims.groupBy("vec_id")
-            .agg(
-                F.max(
-                    F.struct(F.col("sim"), (-F.col("c")).alias("neg"))
-                ).alias("m")
-            )
-            .select(
-                "vec_id",
-                (-F.col("m.neg")).cast("long").alias("c"),
-                F.col("m.sim").alias("sim"),
-            )
-        )
-    return assign, sims
+        if i < KMEANS_ITERS - 1:
+            assign = _kmeans_argmax(_kmeans_sims(ex_train, cents))
+    sims = _kmeans_sims(ex, cents)
+    return _kmeans_argmax(sims), sims
 
 
 IVF_LLOYD_NPROBE = 4
@@ -10854,26 +10905,47 @@ def _kmeans_ctes():
     centroid CTE (quantized cell means), a similarity CTE (quantized
     dot of unit-vector cells with centroid cells), and an argmax CTE
     (max sim per vec, ties to the lowest cluster id via min(c) among
-    the max-sim rows)."""
+    the max-sim rows).
+
+    Mirrors `_kmeans_final`'s sample-bounded training exactly:
+    centroid/update rounds read the ``ext`` md5-hash sample
+    (``keep = DENOM * CAP // count(*)`` — the same integer arithmetic
+    the Spark side computes in Python, and ``keep >= DENOM`` passes
+    every row at gate scales), while the FINAL round's s{n}/a{n} score
+    ALL vectors against the trained centroids — so the three consumers
+    (emb_kmeans, emb_cluster_quality, knn_ivf_lloyd) keep reading
+    s{n}/a{n} unchanged."""
     q9 = lambda expr: sql_quantize(expr, 9)  # noqa: E731
+    # CAST: DuckDB types bare literals INT32 and errors on overflow
+    # (2^20 * 4096 = 2^32); the product must be BIGINT like Spark's
+    keep = (
+        f"((CAST({KMEANS_SAMPLE_DENOM} AS BIGINT) * {KMEANS_TRAIN_CAP})"
+        " // (SELECT count(*) FROM embeddings))"
+    )
     parts = [
         sql_unit_cte(),
         "ex AS (SELECT vec_id,"
         " unnest(generate_series(0, len(u) - 1)) AS dim,"
         " CAST(unnest(u) AS DOUBLE) AS val FROM unitv)",
+        "ext AS (SELECT * FROM ex WHERE"
+        f" ({sql_shingle_key('CAST(vec_id AS VARCHAR)')}"
+        f" % {KMEANS_SAMPLE_DENOM}) < {keep})",
         f"a0 AS (SELECT vec_id, CAST(vec_id % {KMEANS_K} AS BIGINT) AS c"
         " FROM embeddings)",
     ]
     prev = "a0"
     for i in range(1, KMEANS_ITERS + 1):
         parts.append(
-            f"c{i} AS (SELECT {prev}.c, ex.dim, {q9('avg(ex.val)')} AS cv"
-            f" FROM ex JOIN {prev} USING (vec_id) GROUP BY 1, 2)"
+            f"c{i} AS (SELECT {prev}.c, ext.dim, {q9('avg(ext.val)')} AS cv"
+            f" FROM ext JOIN {prev} USING (vec_id) GROUP BY 1, 2)"
         )
+        # intermediate rounds update assignments on the SAMPLE only;
+        # the final round scores the full corpus (one linear pass)
+        src = "ext" if i < KMEANS_ITERS else "ex"
         parts.append(
-            f"s{i} AS (SELECT ex.vec_id, c{i}.c,"
-            f" {q9(f'sum(ex.val * c{i}.cv)')} AS sim"
-            f" FROM ex JOIN c{i} USING (dim) GROUP BY 1, 2)"
+            f"s{i} AS (SELECT {src}.vec_id, c{i}.c,"
+            f" {q9(f'sum({src}.val * c{i}.cv)')} AS sim"
+            f" FROM {src} JOIN c{i} USING (dim) GROUP BY 1, 2)"
         )
         parts.append(
             f"m{i} AS (SELECT vec_id, max(sim) AS ms FROM s{i} GROUP BY 1)"
