@@ -96,6 +96,87 @@ def test_reliable_mode_warns_once_when_cleaner_disabled(spark, tmp_path):
         spark.conf.unset(CHECKPOINT_DIR_CONF)
 
 
+def test_reliable_checkpoint_files_reclaimed_with_cleaner(tmp_path):
+    """End-to-end lifecycle (VERDICT r8 item 7): with the cleaner conf
+    set at CONTEXT CREATION (it is static — the warning in materialize
+    exists precisely because a runtime set is a no-op), an iterative
+    operator's reliable checkpoints must be DELETED once the frames
+    are unreferenced — the claim the once-per-session warning rests
+    on. Runs in a subprocess: the shared test JVM cannot take a
+    different static conf."""
+    import subprocess
+    import sys
+    import textwrap
+
+    script = textwrap.dedent(
+        """
+        import gc, glob, os, sys, time
+        sys.path.insert(0, "/root/repo")
+        from pyspark.sql import SparkSession
+        ckpt = sys.argv[1]
+        spark = (
+            SparkSession.builder.master("local[2]")
+            .appName("ckpt-cleaner-e2e")
+            .config("spark.cleaner.referenceTracking.cleanCheckpoints",
+                    "true")
+            .config("spark.llm_map_reduce_summarizer.reliableCheckpoint",
+                    "true")
+            .config("spark.llm_map_reduce_summarizer.checkpointDir", ckpt)
+            .config("spark.sql.shuffle.partitions", "4")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+        from llm_map_reduce_summarizer_spark.operators.dedup import (
+            connected_components,
+        )
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(0, 40, 2)] + [(1, 2), (3, 4)],
+            "da long, db long",
+        )
+        out = connected_components(edges)
+        assert out.count() == 40
+
+        def ckpt_files():
+            return [
+                f
+                for f in glob.glob(
+                    os.path.join(ckpt, "**", "*"), recursive=True
+                )
+                if os.path.isfile(f)
+            ]
+
+        assert ckpt_files(), "no reliable checkpoint files were written"
+        # drop every reference, then poke GC on both sides: the
+        # ContextCleaner deletes checkpoint dirs via driver weak refs
+        del out, edges
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            if not ckpt_files():
+                print("RECLAIMED")
+                break
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
+            time.sleep(2)
+        else:
+            print("NOT_RECLAIMED", len(ckpt_files()))
+        spark.stop()
+        """
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", script, str(tmp_path / "ckpt_e2e")],
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "RECLAIMED" in proc.stdout, (
+        proc.stdout[-500:],
+        proc.stderr[-1000:],
+    )
+
+
 def test_reliable_mode_plans_stay_scale_clean(spark, tmp_path):
     """The knob must not regress the plan-audit bans: two
     materialize-heavy catalog entries built in RELIABLE mode still

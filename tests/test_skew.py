@@ -138,7 +138,14 @@ def test_aqe_splits_skewed_sortmerge_join(spark):
     skew thresholds lowered to toy scale, a fact table whose hot key
     owns ~50% of rows must come back from AQE with the sort-merge
     join marked ``skew=true`` — the split that keeps one straggler
-    partition from serializing a 1000-executor stage."""
+    partition from serializing a 1000-executor stage.
+
+    Conf isolation (ADVICE r8): the broadcast/skew-threshold mutations
+    run on a ``newSession()`` — its OWN runtime SQL conf over the
+    shared context — so no ordering of pooled futures, test
+    reshuffling, or xdist split can leak these thresholds into a
+    concurrently running catalog query."""
+    spark = spark.newSession()
     confs = {
         "spark.sql.autoBroadcastJoinThreshold": "-1",
         "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
@@ -148,7 +155,6 @@ def test_aqe_splits_skewed_sortmerge_join(spark):
         "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
         "spark.sql.adaptive.coalescePartitions.minPartitionSize": "4KB",
     }
-    saved = {k: spark.conf.get(k, None) for k in confs}
     for k, v in confs.items():
         spark.conf.set(k, v)
     try:
@@ -174,11 +180,11 @@ def test_aqe_splits_skewed_sortmerge_join(spark):
         assert "isFinalPlan=true" in plan, plan[:500]
         assert "skew=true" in plan, plan[:2000]
     finally:
-        for k, v in saved.items():
-            if v is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, v)
+        # the conf overlay dies with the throwaway session; unset
+        # anyway so a session-caching future refactor can't resurrect
+        # the toy thresholds
+        for k in confs:
+            spark.conf.unset(k)
 
 
 def test_salted_join_matches_plain_join_on_skew(spark, skew_dir):
