@@ -46,6 +46,29 @@ SPOTCHECK_SF01 = [
     "events_attribution_markov",
 ]
 
+# VERDICT r8 item 5: the statistics-heavy keys (quantiles, sketches,
+# CIs, tests, entropy/divergence, forecasts, DP/anonymity) are the
+# ones whose value bugs only surface at larger group cardinalities
+# (interpolation branches, sketch bounds), so they join the sf0.1
+# pass. Selected by NAME PATTERN against the live catalog, not a
+# hand-list — a new stat key is attested at sf0.1 the round it ships.
+import re  # noqa: E402
+
+STATS_PATTERN = re.compile(
+    r"quantile|sketch|_ci\b|_ci_|ci$|ks_|chi2|anova|bootstrap|entropy"
+    r"|perplex|diverg|drift|corr|median|hist|gini|zipf|heaps|lognormal"
+    r"|burstiness|tdigest|percentile|stddev|variance|mannwhitney"
+    r"|regression|theta|forecast|msprt|cuped|dp_|t_closeness|anonym"
+    r"|yule|delta|outlier|anomal|winsor|mad|benford|autocorr|season"
+    r"|ewma|holt|changepoint|cusum"
+)
+
+
+def sf01_keys(all_keys: list[str]) -> list[str]:
+    sel = set(SPOTCHECK_SF01)
+    sel.update(k for k in all_keys if STATS_PATTERN.search(k))
+    return sorted(sel)
+
 
 def main() -> None:
     ap = argparse.ArgumentParser()
@@ -87,11 +110,12 @@ def main() -> None:
                 print(f"FAIL {key}: {problems}", flush=True)
     total = round(time.perf_counter() - t_start, 1)
 
+    spot_keys = sf01_keys(keys)
     spot: dict[str, dict] = {}
     spot_ok = 0
     with ThreadPoolExecutor(max_workers=args.workers) as pool:
         for key, problems, sec in pool.map(
-            lambda k: one(k, SF01), SPOTCHECK_SF01
+            lambda k: one(k, SF01), spot_keys
         ):
             spot[key] = {
                 "status": "ok" if not problems else "fail",
@@ -116,7 +140,13 @@ def main() -> None:
         ),
         "results": results,
         "sf0_1_spotcheck": {
-            "keys": len(SPOTCHECK_SF01),
+            "note": (
+                "headline/heavy hand-list + every statistics-heavy "
+                "key (STATS_PATTERN name match) at sf0.1 — the scale "
+                "where quantile-interpolation / sketch-bound value "
+                "bugs actually surface"
+            ),
+            "keys": len(spot_keys),
             "ok": spot_ok,
             "results": spot,
         },
@@ -128,7 +158,7 @@ def main() -> None:
         json.dump(out, fh, indent=1)
     print(
         f"{path}: {out['ok']}/{out['keys']} at sf0.01, "
-        f"{spot_ok}/{len(SPOTCHECK_SF01)} at sf0.1, {total}s"
+        f"{spot_ok}/{len(spot_keys)} at sf0.1, {total}s"
     )
 
 

@@ -76,7 +76,14 @@ KEYED = {
 COPY_ONCE = ["nation", "region"]
 
 
-def scale_dir(src: str, dst: str, k: int) -> None:
+def scale_dir(
+    src: str, dst: str, k: int, tables: list[str] | None = None
+) -> None:
+    """``tables`` restricts which KEYED tables are replicated (the
+    deep 100x dedup/ANN ladder only needs documents+embeddings —
+    replicating lineitem 100x would cost ~1 GB for queries that never
+    read it). Offsets always come from the SOURCE counts, so a subset
+    build is bit-identical to the same tables in a full build."""
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
     units: dict[str, int] = {}
@@ -96,7 +103,12 @@ def scale_dir(src: str, dst: str, k: int) -> None:
             f"'{dst}/{t}.parquet' (FORMAT PARQUET)"
         )
 
-    for t, keys in KEYED.items():
+    keyed = (
+        KEYED
+        if tables is None
+        else {t: KEYED[t] for t in tables if t in KEYED}
+    )
+    for t, keys in keyed.items():
         cols = [
             r[0]
             for r in con.execute(
@@ -158,8 +170,18 @@ def main() -> None:
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--dst", default="/root/repo/.benchdata/sf1")
     ap.add_argument("--k", type=int, default=10)
+    ap.add_argument(
+        "--tables",
+        default=None,
+        help="comma-separated subset of keyed tables to replicate",
+    )
     args = ap.parse_args()
-    scale_dir(args.src, args.dst, args.k)
+    scale_dir(
+        args.src,
+        args.dst,
+        args.k,
+        args.tables.split(",") if args.tables else None,
+    )
 
 
 if __name__ == "__main__":

@@ -1,0 +1,140 @@
+#!/usr/bin/env python
+"""Two-decade scaling ladder for the dedup/ANN family (VERDICT r8
+item 4): the operators whose 100 TB story rests on bucket-bounded
+candidate generation get a MEASURED 100x point, not just the 10x one.
+
+Runs the family keys at sf0.1, 10x (.benchdata/sf1) and 100x
+(.benchdata/sf10 — documents+embeddings replicas via
+``make_scaled_sf.py --k 100 --tables documents,embeddings``; the other
+tables are not read by these keys). One fresh interpreter per scale so
+JVM/codegen state cannot leak between runs; each key self-warms at
+sf0.001 first. Ratios land in BENCH_LOCAL_r{N}.json under
+``dedup_ann_ladder`` (the file run_scaling_bench.py wrote).
+
+``dedup_ngram_jaccard`` is deliberately ABSENT: its enforced
+verification-set guard raises at 500k docs — at corpus scale the
+family's path IS ``dedup_minhash_lsh``, which is measured here.
+
+Usage: python tools/run_dedup_ann_ladder.py --round 9 [--cpus 32]
+       (internal) --run-one DIR --cpus N
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+LADDER_KEYS = [
+    "dedup_minhash_lsh",
+    "emb_neardup",
+    "knn_graph",
+    "emb_dedup_apply",
+    "corpus_semantic_dedup",
+    # the r9 sample-bounded Lloyd: training is corpus-size-independent
+    # now; the measured point proves it
+    "emb_kmeans",
+]
+
+SCALES = [
+    ("1x", "/root/testdata/sf0.1"),
+    ("10x", os.path.join(REPO, ".benchdata", "sf1")),
+    ("100x", os.path.join(REPO, ".benchdata", "sf10")),
+]
+
+
+def run_one(sf_dir: str) -> None:
+    sys.path.insert(0, REPO)
+    from llm_map_reduce_summarizer_spark.session import get_spark
+
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("ladder")
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    for key in LADDER_KEYS:
+        qs[key](spark, "/root/testdata/sf0.001").write.format("noop").mode(
+            "overwrite"
+        ).save()
+        t0 = time.perf_counter()
+        qs[key](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        timings[key] = round(time.perf_counter() - t0, 3)
+    print("LADDER_JSON " + json.dumps(timings))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--round", type=int)
+    ap.add_argument("--cpus", type=int, default=32)
+    ap.add_argument("--run-one", default=None)
+    args = ap.parse_args()
+
+    if args.run_one:
+        os.environ.setdefault("SPARK_GRAFT_CPUS", str(args.cpus))
+        run_one(args.run_one)
+        return
+    if args.round is None:
+        sys.exit("--round is required")
+
+    results: dict[str, dict[str, float]] = {}
+    for label, sf_dir in SCALES:
+        if not os.path.isdir(sf_dir):
+            sys.exit(f"{sf_dir} missing — run tools/make_scaled_sf.py")
+        out = subprocess.run(
+            [
+                sys.executable,
+                os.path.abspath(__file__),
+                "--run-one",
+                sf_dir,
+                "--cpus",
+                str(args.cpus),
+            ],
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        line = [
+            ln for ln in out.splitlines() if ln.startswith("LADDER_JSON ")
+        ][-1]
+        results[label] = json.loads(line[len("LADDER_JSON "):])
+        print(label, json.dumps(results[label]), flush=True)
+
+    section = {
+        "note": (
+            "dedup/ANN family at 1x/10x/100x of sf0.1 "
+            "(documents+embeddings key-offset de-duplicated replicas); "
+            "ratio_100x ~<= 100 is linear-or-better. "
+            "dedup_ngram_jaccard is absent by design: its enforced "
+            "verification-set guard raises at 500k docs."
+        ),
+        "sec": results,
+        "ratio_10x": {
+            k: round(results["10x"][k] / max(results["1x"][k], 1e-9), 2)
+            for k in LADDER_KEYS
+        },
+        "ratio_100x": {
+            k: round(results["100x"][k] / max(results["1x"][k], 1e-9), 2)
+            for k in LADDER_KEYS
+        },
+    }
+    path = os.path.join(REPO, f"BENCH_LOCAL_r{args.round:02d}.json")
+    data = {}
+    if os.path.exists(path):
+        with open(path, encoding="utf-8") as fh:
+            data = json.load(fh)
+    data["dedup_ann_ladder"] = section
+    with open(path, "w", encoding="utf-8") as fh:
+        json.dump(data, fh, indent=1)
+    print(f"wrote {path} dedup_ann_ladder; ratio_100x="
+          f"{section['ratio_100x']}")
+
+
+if __name__ == "__main__":
+    main()
