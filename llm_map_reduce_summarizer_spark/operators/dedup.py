@@ -476,11 +476,14 @@ def connected_components(
 
     Min-label propagation WITH pointer halving: each round every node
     takes the min label among itself, its GRAPH_HOPS-step neighborhood
-    (chained joins on a pre-materialized bidirectional edge list —
-    every intermediate label still belongs to the component, so
-    multi-hop is as safe as single-hop and moves the frontier
-    GRAPH_HOPS edges per round), and — the halving step — its label's
-    label's label (`lbl^(2^HALVE_STEPS)(v)`; a node's label is always
+    (chained joins on a pre-materialized bidirectional edge list,
+    AGGREGATED to min-label-per-node between hops so a hop's output is
+    |edges| rows on any graph — dense graphs would otherwise blow the
+    chained per-edge label rows up as Σ deg^k; every intermediate
+    label still belongs to the component, so multi-hop is as safe as
+    single-hop and moves the frontier GRAPH_HOPS edges per round), and
+    — the halving step — its label's label's label
+    (`lbl^(2^HALVE_STEPS)(v)`; a node's label is always
     in its component, so this is safe and compresses label chains
     geometrically). Plain 1-hop propagation alone needs O(diameter)
     rounds, which silently truncates on long-chain graphs (a
@@ -493,8 +496,13 @@ def connected_components(
     folded into the init aggregation. Convergence is detected by the
     label-sum fixpoint (labels only ever decrease); exhausting the cap
     raises rather than returning a silently-wrong clustering. Each
-    round localCheckpoints so round k never replays rounds 1..k-1,
-    coalesced to a partition count sized from the node count (a
+    hop and each round localCheckpoints (node-sized tables) so round k
+    never replays rounds 1..k-1 and the twice-consumed hop tables
+    (broadcast arm + union arm) compute once; label tables ride the
+    hop joins as broadcast sides below BROADCAST_MAX_NODES (a
+    checkpointed table loses its size stats, so Spark would otherwise
+    sort-merge the edge list against a few-MB label table every hop).
+    Rounds are coalesced to a partition count sized from the node count (a
     1-scalar plan decision — per-round task overhead would otherwise
     dwarf the tiny label tables of near-dup graphs; at 100 TB the same
     formula keeps partitions ∝ nodes). The per-round 1-scalar
@@ -504,6 +512,13 @@ def connected_components(
     GRAPH_HOPS = 3
     HALVE_STEPS = 2
     ROWS_PER_PARTITION = 500_000
+    # Below this node count the per-round label tables ride the hop
+    # joins as BROADCAST sides (a localCheckpointed table loses its
+    # size stats, so Spark would otherwise sort-merge the edge list
+    # against a few-MB label table every hop). 2M ids+labels is
+    # ~60 MB serialized — routine dim-table territory; above it the
+    # joins fall back to shuffle exactly as before.
+    BROADCAST_MAX_NODES = 2_000_000
     # materialize the caller's edge list first: the bidirectional
     # union below reads it twice, and the upstream is often the
     # EXPENSIVE part (a kNN-graph or dgemm near-dup pair scan) with no
@@ -527,29 +542,48 @@ def connected_components(
     n_parts = max(1, min(
         labels.rdd.getNumPartitions(), -(-n_nodes // ROWS_PER_PARTITION)
     ))
+    # Hop results are aggregated to min-label-PER-NODE between hops
+    # (identical fixpoint — min propagation is monotone and the ≤k-hop
+    # minimum is carried forward through the union): chaining the raw
+    # per-EDGE label rows instead makes hop k's join output Σ deg^k —
+    # measured at the r9 100× ladder rung, a degree-~100 near-dup
+    # graph turned hop 2 into ~2e9 rows and hop 3 into ~2e11. With the
+    # per-hop agg every hop is one |edges|-row join + one node-sized
+    # agg, dense or sparse. Each hop materializes because its table is
+    # consumed twice (broadcast side of the next hop + its own union
+    # arm) — node-sized checkpoints, not edge-sized.
+    bcast = (
+        (lambda df: F.broadcast(df))
+        if n_nodes <= BROADCAST_MAX_NODES
+        else (lambda df: df)
+    )
     prev_sum = None
     for _ in range(max_iter):
-        parts = [labels.select("id", "lbl")]
-        cur = labels.select(F.col("id").alias("u"), "lbl")
+        cur = labels
         for _h in range(GRAPH_HOPS):
-            nbr = e2.join(cur, "u").select(F.col("v").alias("id"), "lbl")
-            parts.append(nbr)
-            cur = nbr.select(F.col("id").alias("u"), "lbl")
+            cur = (
+                e2.join(
+                    bcast(cur.select(F.col("id").alias("u"), "lbl")), "u"
+                )
+                .select(F.col("v").alias("id"), "lbl")
+                .unionByName(cur)
+                .groupBy("id")
+                .agg(F.min("lbl").alias("lbl"))
+                .coalesce(n_parts)
+                .transform(materialize)
+            )
         # pointer halving: v -> lbl^(2^HALVE_STEPS)(v)
         lmap = labels.select(
             F.col("id").alias("lbl"), F.col("lbl").alias("lbl2")
         )
         hop = labels.select("id", "lbl")
         for _h in range(HALVE_STEPS):
-            hop = hop.join(lmap, "lbl").select(
+            hop = hop.join(bcast(lmap), "lbl").select(
                 "id", F.col("lbl2").alias("lbl")
             )
-        parts.append(hop)
-        merged = parts[0]
-        for p in parts[1:]:
-            merged = merged.union(p)
         labels = (
-            merged.groupBy("id")
+            cur.unionByName(hop)
+            .groupBy("id")
             .agg(F.min("lbl").alias("lbl"))
             .coalesce(n_parts)
             .transform(materialize)

@@ -162,7 +162,15 @@ def embedding_neardup(
 # * ``embedding_neardup_blocked`` — partition the corpus into B hash
 #   blocks, replicate each vector to its B block-pairs, one dgemm per
 #   block-pair task. Shuffle volume is B*n rows (vs n^2 for a naive
-#   cross join); B tunes task memory ((n/B)^2 doubles per task).
+#   cross join); B ADAPTS to the corpus size so block height stays at
+#   ``NEARDUP_BLOCK_ROWS`` and per-task memory is a CONSTANT
+#   ~block_rows^2 doubles no matter how large the corpus grows (a
+#   fixed B would grow task matrices as (n/B)^2 — measured OOM at
+#   100x in the r9 scaling ladder). Compare volume is still the
+#   exact-semantics n^2/2: like ``jaccard_pairs`` this is the
+#   VERIFICATION tier, enforced by ``EXACT_COSINE_CONF``; the corpus
+#   path at billions of vectors is the banded-LSH candidate pipeline
+#   (``cosine_knn_graph``) feeding the same components/threshold ops.
 # * ``cosine_topk_blocked`` — queries stay a driver-side numpy matrix
 #   (they are the broadcast-small side by construction); the corpus
 #   streams through mapInPandas once, each batch emits only its local
@@ -170,11 +178,26 @@ def embedding_neardup(
 #   the tiny candidate set exactly.
 
 
-def _quantize_np(x, decimals: int = 6):
+def _quantize_np(x, decimals: int = 6, inplace: bool = False):
+    """floor(x*scale + 0.5)/scale in float64 — the cross-engine
+    quantize contract (functions/text.quantize twin).
+
+    ``inplace=True`` chains the same four ops through ``out=x`` so an
+    n_block² sims matrix is quantized without allocating 2-3 temps of
+    its own size (identical float64 arithmetic, element-independent —
+    only the allocation strategy changes). Callers pass it for the
+    block/bucket dgemm outputs, where the temps were the largest
+    allocation after the matrix itself."""
     import numpy as np
 
     scale = 10.0**decimals
-    return np.floor(x * scale + 0.5) / scale
+    if not inplace:
+        return np.floor(x * scale + 0.5) / scale
+    np.multiply(x, scale, out=x)
+    np.add(x, 0.5, out=x)
+    np.floor(x, out=x)
+    np.divide(x, scale, out=x)
+    return x
 
 
 def _unit_rows(pdf_col) -> "object":
@@ -185,16 +208,71 @@ def _unit_rows(pdf_col) -> "object":
     return m / norms[:, None]
 
 
+# Exact all-pairs cosine is quadratic in the corpus no matter how the
+# dgemm is blocked — it is the embedding family's VERIFICATION tier
+# (same enforced discipline as operators/dedup.EXACT_JACCARD_CONF on
+# the shingle side); the corpus path is banded-LSH candidate
+# generation (cosine_knn_graph). Above this many vectors the operator
+# raises. Override per session via the conf; 0 disables.
+EXACT_COSINE_MAX_VECS = 1_000_000
+EXACT_COSINE_CONF = "spark.llm_map_reduce_summarizer.exactCosineMaxVecs"
+
+# Target block height: per-task memory is ~block_rows² doubles for the
+# sims matrix (134 MB at 4096), and per-task compute is one
+# block_rows²·dim dgemm — big enough to amortize Arrow/group overhead,
+# small enough that a 32-thread executor holds all concurrent sims
+# matrices in a few GB.
+NEARDUP_BLOCK_ROWS = 4096
+NEARDUP_MIN_BLOCKS = 16
+
+
+def _neardup_n_blocks(n_vecs: int) -> int:
+    """ceil(n/NEARDUP_BLOCK_ROWS), floored at NEARDUP_MIN_BLOCKS so
+    small corpora keep today's 136-task parallelism."""
+    return max(NEARDUP_MIN_BLOCKS, -(-n_vecs // NEARDUP_BLOCK_ROWS))
+
+
 def embedding_neardup_blocked(
     corpus: DataFrame,
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_blocks: int = 16,
+    n_blocks: int | None = None,
+    n_vecs: int | None = None,
 ) -> DataFrame:
+    """All (da < db, cos) pairs with cosine >= threshold — EXACT, so
+    the emitted set is independent of the blocking; B only shapes the
+    physical plan.
+
+    ``n_vecs``: caller-supplied row-count upper bound (a parquet
+    footer-metadata count of the source table) used for the enforced
+    scale guard AND the adaptive block count; when absent the operator
+    runs one ``count()`` of the corpus (cheap on a columnar source,
+    pass the bound when the corpus frame embeds UDF work). A
+    conservative bound only raises B — never changes the result.
+
+    Scale contract (ENFORCED): raises above ``EXACT_COSINE_CONF``
+    vectors (default ``EXACT_COSINE_MAX_VECS``) — exact all-pairs is
+    the verification tier; at corpus scale use the banded-LSH pipeline
+    (``cosine_knn_graph``) whose compare volume is n·occupancy·bands.
+    """
     import pandas as pd
 
     spark = corpus.sparkSession
+    if n_vecs is None:
+        n_vecs = corpus.count()
+    cap = int(spark.conf.get(EXACT_COSINE_CONF, str(EXACT_COSINE_MAX_VECS)))
+    if 0 < cap < n_vecs:
+        raise ValueError(
+            f"embedding_neardup_blocked got {n_vecs} vectors > {cap} "
+            f"({EXACT_COSINE_CONF}): exact all-pairs cosine is a "
+            "verification-set tool (compare volume is n²/2). Use the "
+            "banded-LSH corpus path (operators.similarity."
+            "cosine_knn_graph / the knn_graph query) or raise the cap "
+            f"explicitly via {EXACT_COSINE_CONF}"
+        )
+    if n_blocks is None:
+        n_blocks = _neardup_n_blocks(n_vecs)
     pairs = spark.createDataFrame(
         [(a, b) for a in range(n_blocks) for b in range(a, n_blocks)],
         "pa int, pb int",
@@ -223,7 +301,9 @@ def embedding_neardup_blocked(
         if len(left) == 0 or len(right) == 0:
             return pd.DataFrame({"da": [], "db": [], "cos": []})
         lu, ru = _unit_rows(left["v"]), _unit_rows(right["v"])
-        sims = _quantize_np(lu @ ru.T)
+        # fresh dgemm output -> in-place quantize holds ONE
+        # block_rows² matrix per task, not 3-4 temps of that size
+        sims = _quantize_np(lu @ ru.T, inplace=True)
         lid = left["vid"].to_numpy()
         rid = right["vid"].to_numpy()
         if pa == pb:
@@ -1082,7 +1162,7 @@ def cosine_knn_graph(
             return empty
         u = _unit_rows(pdf["v"])
         ids = pdf["vid"].to_numpy()
-        sims = _quantize_np(u @ u.T)
+        sims = _quantize_np(u @ u.T, inplace=True)
         np.fill_diagonal(sims, -np.inf)  # ids are unique -> self mask
         kk = min(k, m - 1)
         da, db, cos = [], [], []

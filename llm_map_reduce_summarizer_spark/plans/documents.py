@@ -7806,6 +7806,10 @@ def multimodal_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=MM_NEARDUP_COS,
         id_col="doc_id",
         vec_col="features",
+        # feats is 1:1 per doc but embeds the Arrow histogram UDF —
+        # the guard/blocking bound must come from the source table's
+        # footer-metadata count, not a count() over the UDF scan
+        n_vecs=_doc_count_bound(spark, sf_dir),
     ).select(
         F.col("da").cast("long").alias("da"),
         F.col("db").cast("long").alias("db"),

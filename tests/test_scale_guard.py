@@ -110,3 +110,112 @@ def test_guard_message_names_cap_and_conf(spark, tiny_shingles):
         assert EXACT_JACCARD_CONF in msg and "8 distinct documents > 3" in msg
     finally:
         _restore_conf(spark, old)
+
+
+# ----------------------------------------------------- embedding family
+#
+# The r9 scaling ladder measured the fixed-16-block exact-cosine
+# operator OOMing the box at 100x (each applyInPandas group held an
+# (n/16)^2-double sims matrix). The fix has two enforced halves:
+# adaptive block count (constant per-task memory) and the same
+# verification-set cap contract as jaccard_pairs.
+
+from llm_map_reduce_summarizer_spark.operators.similarity import (  # noqa: E402
+    EXACT_COSINE_CONF,
+    NEARDUP_BLOCK_ROWS,
+    NEARDUP_MIN_BLOCKS,
+    _neardup_n_blocks,
+    _quantize_np,
+    embedding_neardup_blocked,
+)
+
+
+@pytest.fixture
+def tiny_vecs(spark):
+    return spark.createDataFrame(
+        [(i, [float(i % 3), 1.0, float(i % 2)]) for i in range(12)],
+        "vec_id long, embedding array<double>",
+    )
+
+
+def _with_cos_conf(spark, value):
+    old = spark.conf.get(EXACT_COSINE_CONF, None)
+    spark.conf.set(EXACT_COSINE_CONF, value)
+    return old
+
+
+def _restore_cos_conf(spark, old):
+    if old is None:
+        spark.conf.unset(EXACT_COSINE_CONF)
+    else:
+        spark.conf.set(EXACT_COSINE_CONF, old)
+
+
+def test_cosine_guard_raises_above_cap(spark, tiny_vecs):
+    old = _with_cos_conf(spark, "5")
+    try:
+        with pytest.raises(ValueError, match="cosine_knn_graph"):
+            embedding_neardup_blocked(tiny_vecs, threshold=0.5)
+    finally:
+        _restore_cos_conf(spark, old)
+
+
+def test_cosine_guard_allows_at_cap_and_zero_disables(spark, tiny_vecs):
+    for conf in ("12", "0"):
+        old = _with_cos_conf(spark, conf)
+        try:
+            df = embedding_neardup_blocked(tiny_vecs, threshold=0.5)
+            assert df.count() >= 0
+        finally:
+            _restore_cos_conf(spark, old)
+
+
+def test_cosine_guard_honors_caller_bound(spark, tiny_vecs):
+    """`n_vecs` (the caller's footer-metadata bound) replaces the
+    internal count(): the guard fires on the BOUND — that is what lets
+    a UDF-bearing corpus frame (multimodal_neardup's features) guard
+    without executing its UDF scan twice."""
+    old = _with_cos_conf(spark, "100")
+    try:
+        with pytest.raises(ValueError, match="101 vectors > 100"):
+            embedding_neardup_blocked(tiny_vecs, n_vecs=101)
+        assert embedding_neardup_blocked(tiny_vecs, n_vecs=100).count() >= 0
+    finally:
+        _restore_cos_conf(spark, old)
+
+
+def test_adaptive_blocks_bound_task_memory():
+    """Block height never exceeds NEARDUP_BLOCK_ROWS above the floor —
+    the invariant that makes per-task sims matrices a constant
+    ~block_rows^2 doubles at ANY corpus size."""
+    assert _neardup_n_blocks(0) == NEARDUP_MIN_BLOCKS
+    assert _neardup_n_blocks(2_000) == NEARDUP_MIN_BLOCKS
+    for n in (200_000, 1_000_000, 7_777_777):
+        b = _neardup_n_blocks(n)
+        assert -(-n // b) <= NEARDUP_BLOCK_ROWS  # ceil(n/b) rows/block
+    # 100x-ladder shape: 200k vectors -> 49 blocks of <=4096 rows
+    assert _neardup_n_blocks(200_000) == 49
+
+
+def test_blocking_is_result_invariant(spark, tiny_vecs):
+    """The emitted pair set is EXACT all-pairs — independent of B.
+    (The adaptive count only reshapes the physical plan; any drift
+    here would break the frozen DuckDB oracles.)"""
+    rows = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    a = rows(embedding_neardup_blocked(tiny_vecs, threshold=0.3, n_blocks=1))
+    b = rows(embedding_neardup_blocked(tiny_vecs, threshold=0.3, n_blocks=5))
+    c = rows(embedding_neardup_blocked(tiny_vecs, threshold=0.3))
+    assert a == b == c and len(a) > 0
+
+
+def test_inplace_quantize_matches_allocating_path():
+    """In-place quantize is the identical float64 arithmetic — only
+    the allocation strategy differs (it exists so a block's sims
+    matrix is the task's ONLY matrix-sized allocation)."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    x = rng.uniform(-1.0, 1.0, size=(257, 263))
+    expected = _quantize_np(x.copy())
+    got = _quantize_np(x.copy(), inplace=True)
+    assert np.array_equal(expected, got)
