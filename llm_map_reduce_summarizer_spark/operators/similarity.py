@@ -172,10 +172,11 @@ def embedding_neardup(
 #   path at billions of vectors is the banded-LSH candidate pipeline
 #   (``cosine_knn_graph``) feeding the same components/threshold ops.
 # * ``cosine_topk_blocked`` — queries stay a driver-side numpy matrix
-#   (they are the broadcast-small side by construction); the corpus
-#   streams through mapInPandas once, each batch emits only its local
-#   top-k (with boundary ties) per query, and a final window reduces
-#   the tiny candidate set exactly.
+#   (the broadcast-small side, ENFORCED by ``BROADCAST_SIDE_CONF`` and
+#   dgemm'd in bounded column chunks); the corpus streams through
+#   mapInPandas once, each batch emits only its local top-k (with
+#   boundary ties) per query, and a final window reduces the tiny
+#   candidate set exactly.
 
 
 def _quantize_np(x, decimals: int = 6, inplace: bool = False):
@@ -325,6 +326,50 @@ def embedding_neardup_blocked(
     )
 
 
+# The broadcast-closure operators (cosine_topk_blocked /
+# cosine_screen_broadcast) hold their query/delta side as a
+# driver-side numpy matrix and score one (arrow_batch x side) dgemm
+# per corpus batch. Their contract is "the closure side is
+# broadcast-SMALL"; above this many rows they RAISE (same enforced
+# discipline as EXACT_COSINE_CONF — the r9 100x sweep caught
+# knn_graph_recall passing the whole corpus as the query set and
+# emb_dedup_incremental screening a half-corpus delta). Fetched via
+# limit(cap+1), so an oversized side is detected WITHOUT collecting
+# it. Override per session via the conf; 0 disables.
+BROADCAST_SIDE_MAX_ROWS = 65_536
+BROADCAST_SIDE_CONF = (
+    "spark.llm_map_reduce_summarizer.broadcastSideMaxRows"
+)
+# Column-chunk width for the closure-side dgemms: per-task sims
+# memory is arrow_rows x chunk doubles (~330 MB at 10k x 4096)
+# regardless of how many rows the closure side holds.
+_DGEMM_COL_CHUNK = 4096
+
+
+def _broadcast_side_pdf(df: DataFrame, cols, what: str, fallback: str):
+    """toPandas bounded by the enforced broadcast-side cap: fetches at
+    most cap+1 rows (so an oversized side never lands on the driver)
+    and raises with the operator's scale-path pointer when the cap+1th
+    row exists."""
+    spark = df.sparkSession
+    cap = int(
+        spark.conf.get(BROADCAST_SIDE_CONF, str(BROADCAST_SIDE_MAX_ROWS))
+    )
+    if cap <= 0:
+        return df.select(*cols).toPandas()
+    pdf = df.select(*cols).limit(cap + 1).toPandas()
+    if len(pdf) > cap:
+        raise ValueError(
+            f"{what} holds more than {cap} rows "
+            f"({BROADCAST_SIDE_CONF}): the broadcast-closure operators "
+            "score a (batch x side) dgemm per corpus batch, so the "
+            "closure side must be broadcast-small. Use the "
+            f"{fallback} instead, or raise the cap explicitly via "
+            f"{BROADCAST_SIDE_CONF}"
+        )
+    return pdf
+
+
 def cosine_topk_blocked(
     queries: DataFrame,
     corpus: DataFrame,
@@ -335,7 +380,13 @@ def cosine_topk_blocked(
     import numpy as np
     import pandas as pd
 
-    qpdf = queries.select(id_col, vec_col).toPandas()
+    qpdf = _broadcast_side_pdf(
+        queries,
+        [id_col, vec_col],
+        "cosine_topk_blocked's query set",
+        "bucketed paths (cosine_topk_lsh / the IVF family), or sample "
+        "the query slice as a recall audit would at corpus scale",
+    )
     if len(qpdf) == 0:
         # no queries -> no hits (an empty/filtered query set must not
         # crash the job; empty-source audit r7)
@@ -351,21 +402,26 @@ def cosine_topk_blocked(
         for pdf in batches:
             cu = _unit_rows(pdf[vec_col])
             cids = pdf[id_col].to_numpy()
-            sims = _quantize_np(cu @ q_mat.T)  # (n_batch, n_queries)
-            sims[cids[:, None] == q_ids[None, :]] = -np.inf  # self-match
             out_q, out_n, out_c = [], [], []
-            for j in range(len(q_ids)):
-                col = sims[:, j]
-                if len(col) > k:
-                    # keep everything tied with the k-th best so the
-                    # global reduce can break ties exactly (by id)
-                    kth = np.partition(col, -k)[-k]
-                    keep = np.nonzero(col >= kth)[0]
-                else:
-                    keep = np.nonzero(col > -np.inf)[0]
-                out_q.extend([q_ids[j]] * len(keep))
-                out_n.extend(cids[keep])
-                out_c.extend(col[keep])
+            # query-column chunks: each query's top-k is independent,
+            # so chunking only bounds the sims allocation
+            for j0 in range(0, len(q_ids), _DGEMM_COL_CHUNK):
+                q_chunk = q_mat[j0 : j0 + _DGEMM_COL_CHUNK]
+                qid_chunk = q_ids[j0 : j0 + _DGEMM_COL_CHUNK]
+                sims = _quantize_np(cu @ q_chunk.T, inplace=True)
+                sims[cids[:, None] == qid_chunk[None, :]] = -np.inf
+                for j in range(len(qid_chunk)):
+                    col = sims[:, j]
+                    if len(col) > k:
+                        # keep everything tied with the k-th best so
+                        # the global reduce can break ties exactly
+                        kth = np.partition(col, -k)[-k]
+                        keep = np.nonzero(col >= kth)[0]
+                    else:
+                        keep = np.nonzero(col > -np.inf)[0]
+                    out_q.extend([qid_chunk[j]] * len(keep))
+                    out_n.extend(cids[keep])
+                    out_c.extend(col[keep])
             yield pd.DataFrame(
                 {"query_id": out_q, "neighbor_id": out_n, "cos": out_c}
             )
@@ -1203,13 +1259,20 @@ def cosine_screen_broadcast(
     the corpus, so it rides the closure like ``cosine_topk_blocked``'s
     query matrix — one dgemm per Arrow batch of the corpus scan, zero
     corpus shuffle, output bounded by the number of above-threshold
-    pairs. For deltas too big to broadcast, the banded-LSH self-join
-    (``cosine_knn_graph``) is the fallback shape.
+    pairs. The broadcast-small contract is ENFORCED
+    (``BROADCAST_SIDE_CONF``): a delta too big to broadcast raises and
+    points at the banded-LSH self-join (``cosine_knn_graph``), the
+    fallback shape.
     """
     import numpy as np
     import pandas as pd
 
-    qpdf = batch.select(id_col, vec_col).toPandas()
+    qpdf = _broadcast_side_pdf(
+        batch,
+        [id_col, vec_col],
+        "cosine_screen_broadcast's ingest delta",
+        "banded-LSH self-join (cosine_knn_graph) over delta+corpus",
+    )
     if len(qpdf) == 0:
         # empty ingest delta -> no matches (must not crash the screen)
         return corpus.sparkSession.createDataFrame(
@@ -1226,15 +1289,20 @@ def cosine_screen_broadcast(
                 continue
             cu = _unit_rows(pdf[vec_col])
             cids = pdf[id_col].to_numpy()
-            sims = _quantize_np(cu @ q_mat.T)  # (n_corpus_chunk, n_batch)
-            ii, jj = np.nonzero(sims >= threshold)
-            yield pd.DataFrame(
-                {
-                    "bid": q_ids[jj],
-                    "match_id": cids[ii],
-                    "cos": sims[ii, jj],
-                }
-            )
+            for j0 in range(0, len(q_ids), _DGEMM_COL_CHUNK):
+                # delta-column chunks bound the sims allocation at
+                # arrow_rows x chunk doubles
+                sims = _quantize_np(
+                    cu @ q_mat[j0 : j0 + _DGEMM_COL_CHUNK].T, inplace=True
+                )
+                ii, jj = np.nonzero(sims >= threshold)
+                yield pd.DataFrame(
+                    {
+                        "bid": q_ids[j0 + jj],
+                        "match_id": cids[ii],
+                        "cos": sims[ii, jj],
+                    }
+                )
 
     return corpus.select(id_col, vec_col).mapInPandas(
         _score, schema="bid long, match_id long, cos double"

@@ -219,3 +219,107 @@ def test_inplace_quantize_matches_allocating_path():
     expected = _quantize_np(x.copy())
     got = _quantize_np(x.copy(), inplace=True)
     assert np.array_equal(expected, got)
+
+
+# ------------------------------------------- broadcast-closure operators
+#
+# The r9 100x scale sweep (tools/run_scale_sweep.py) caught two keys
+# violating the broadcast-closure operators' documented-but-unenforced
+# "closure side is broadcast-small" contract: knn_graph_recall passed
+# the whole corpus as cosine_topk_blocked's query matrix and
+# emb_dedup_incremental screened a half-corpus delta. The contract is
+# now enforced via a limit(cap+1) fetch — an oversized side raises
+# BEFORE it lands on the driver — and the closure-side dgemms run in
+# bounded column chunks.
+
+from llm_map_reduce_summarizer_spark.operators.similarity import (  # noqa: E402
+    BROADCAST_SIDE_CONF,
+    cosine_screen_broadcast,
+    cosine_topk_blocked,
+)
+
+
+def _with_side_conf(spark, value):
+    old = spark.conf.get(BROADCAST_SIDE_CONF, None)
+    spark.conf.set(BROADCAST_SIDE_CONF, value)
+    return old
+
+
+def _restore_side_conf(spark, old):
+    if old is None:
+        spark.conf.unset(BROADCAST_SIDE_CONF)
+    else:
+        spark.conf.set(BROADCAST_SIDE_CONF, old)
+
+
+def test_topk_query_side_guard(spark, tiny_vecs):
+    old = _with_side_conf(spark, "5")
+    try:
+        with pytest.raises(ValueError, match="cosine_topk_lsh"):
+            cosine_topk_blocked(tiny_vecs, tiny_vecs, k=2)
+        # at/under the cap and 0-disabled both run
+        for conf in ("12", "0"):
+            _with_side_conf(spark, conf)
+            assert cosine_topk_blocked(tiny_vecs, tiny_vecs, k=2).count() > 0
+    finally:
+        _restore_side_conf(spark, old)
+
+
+def test_screen_delta_side_guard(spark, tiny_vecs):
+    old = _with_side_conf(spark, "5")
+    try:
+        with pytest.raises(ValueError, match="cosine_knn_graph"):
+            cosine_screen_broadcast(tiny_vecs, tiny_vecs, 0.5)
+        for conf in ("12", "0"):
+            _with_side_conf(spark, conf)
+            assert (
+                cosine_screen_broadcast(tiny_vecs, tiny_vecs, 0.5).count()
+                >= 0
+            )
+    finally:
+        _restore_side_conf(spark, old)
+
+
+def test_column_chunking_is_result_invariant(spark):
+    """Chunked closure-side dgemms emit exactly what one big dgemm
+    did. The chunk constant is patched down to 3 so a 7-query set
+    spans multiple chunks, then top-k parity is checked against the
+    expression-tree exact operator and screen parity against a
+    single-matrix numpy reference."""
+    import numpy as np
+
+    from llm_map_reduce_summarizer_spark.operators import similarity as S
+
+    rng = np.random.default_rng(3)
+    rows = [
+        (i, [float(x) for x in rng.normal(size=6)]) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") < 7)
+    want = sorted(
+        map(tuple, S.cosine_topk(q, df, k=3).collect())
+    )
+    # force multi-chunk execution: patch the module constant down
+    orig = S._DGEMM_COL_CHUNK
+    S._DGEMM_COL_CHUNK = 3
+    try:
+        got_topk = sorted(
+            map(tuple, cosine_topk_blocked(q, df, k=3).collect())
+        )
+        got_screen = cosine_screen_broadcast(q, df, 0.2).collect()
+    finally:
+        S._DGEMM_COL_CHUNK = orig
+    assert got_topk == want
+    # screen parity: every (bid, match_id) pair above threshold from a
+    # single-matrix reference computed in numpy
+    m = np.stack([r[1] for r in rows])
+    u = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = np.floor(u[:7] @ u.T * 1e6 + 0.5) / 1e6
+    want_pairs = {
+        (q_i, c_i)
+        for q_i in range(7)
+        for c_i in range(40)
+        if sims[q_i, c_i] >= 0.2
+    }
+    got_pairs = {(r["bid"], r["match_id"]) for r in got_screen}
+    assert got_pairs == want_pairs
