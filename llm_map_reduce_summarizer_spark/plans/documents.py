@@ -4016,6 +4016,10 @@ def dedup_injection_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RECALL_AUDIT_CAP = 16_384
+RECALL_SAMPLE_DENOM = 1 << 20
+
+
 def knn_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide k-NN-graph recall, hash-verified: the banded-LSH
     approximate graph (`knn_graph`) scored against the exact top-k
@@ -4029,13 +4033,29 @@ def knn_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     higher at the same setting — the entry exists precisely so that
     number is MEASURED per corpus, not assumed.
 
-    Scale: the EXACT side is the eval-set tool (all-pairs blocked
-    dgemm — at 100 TB this runs on a sampled slice, like every
-    recall audit here); the approximate side and the hit join touch
-    only k·n edge rows.
+    Scale: the exact side audits a SAMPLED query slice above
+    ``RECALL_AUDIT_CAP`` vectors — the same md5-hash keep set the
+    kmeans trainer uses (``keep = DENOM * CAP // n``, identical
+    integer arithmetic in the SQL twin; at or under the cap the
+    filter passes every row, so gate-scale results are bit-identical
+    to the full audit). That keeps the blocked-dgemm query closure
+    under the enforced ``BROADCAST_SIDE_CONF`` at ANY corpus size —
+    the r9 100x sweep caught the old path passing the whole corpus as
+    the query set. Recall over a 16k-query hash sample estimates
+    corpus recall to ±1% — the audit's purpose — while the
+    approximate side and the hit join still touch only k·n edge rows.
     """
     e = _embs(spark, sf_dir)
-    exact = cosine_topk_blocked(e, e, k=KNN_GRAPH_K).select(
+    n_vecs = e.count()
+    keep = (RECALL_SAMPLE_DENOM * RECALL_AUDIT_CAP) // max(n_vecs, 1)
+    q = e
+    if keep < RECALL_SAMPLE_DENOM:
+        q = e.filter(
+            shingle_key(F.col("vec_id").cast("string"))
+            % RECALL_SAMPLE_DENOM
+            < keep
+        )
+    exact = cosine_topk_blocked(q, e, k=KNN_GRAPH_K).select(
         F.col("query_id").alias("da"),
         F.col("neighbor_id").alias("db"),
     )
@@ -4628,18 +4648,24 @@ def emb_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``corpus_dedup_incremental``, and the daily shape at 100 TB:
     compare the delta against the corpus, never re-pair the corpus.
 
-    Scale: the delta broadcasts (it is small by definition); the
-    existing corpus is scanned ONCE with a dgemm per Arrow batch and
-    never shuffles; the only exchange is the above-threshold hit list
-    (bounded by near-dup density). Deltas too big to broadcast fall
-    back to the banded-LSH join (`knn_graph`'s shape).
+    Scale: a delta within the enforced broadcast cap
+    (``BROADCAST_SIDE_CONF``) rides the closure — the existing corpus
+    is scanned ONCE with a dgemm per Arrow batch and never shuffles;
+    the only exchange is the above-threshold hit list (bounded by
+    near-dup density). A delta ABOVE the cap is screened in crc32-
+    keyed chunks of at most half the cap (``cosine_screen_chunked``),
+    one corpus scan per chunk — result-invariant, so this entry keeps
+    its frozen oracle at every scale instead of contract-raising (the
+    r9 100x sweep caught the old single-closure path raising on a
+    half-corpus delta). Deltas MANY multiples of the cap should use
+    the banded-LSH self-join (`knn_graph`'s shape).
     """
-    from ..operators.similarity import cosine_screen_broadcast
+    from ..operators.similarity import cosine_screen_chunked
 
     e = _embs(spark, sf_dir)
     ex = e.filter(F.col("vec_id") % 2 == 0)
     bt = e.filter(F.col("vec_id") % 2 == 1)
-    hits = cosine_screen_broadcast(bt, ex, NEARDUP_COS)
+    hits = cosine_screen_chunked(bt, ex, NEARDUP_COS)
     best = hits.groupBy(F.col("bid").alias("vec_id")).agg(
         F.max(
             F.struct(F.col("cos"), (-F.col("match_id")).alias("neg"))
@@ -13409,6 +13435,11 @@ ORACLE["knn_graph_recall"] = f"""
                           b.vec_id
                ) AS rk
         FROM unitv a JOIN unitv b ON a.vec_id <> b.vec_id
+        WHERE ({sql_shingle_key('CAST(a.vec_id AS VARCHAR)')}
+               % {RECALL_SAMPLE_DENOM})
+              < ((CAST({RECALL_SAMPLE_DENOM} AS BIGINT)
+                  * {RECALL_AUDIT_CAP})
+                 // (SELECT count(*) FROM embeddings))
       ) WHERE rk <= {KNN_GRAPH_K}
     ),
     hits AS (

@@ -31,6 +31,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import re
 import sys
 import threading
 import time
@@ -103,9 +104,25 @@ def run_rung(rung: str, sf_dir: str, timeout: float,
         th.join(timeout)
         sec = round(time.perf_counter() - t0, 2)
         if th.is_alive():
+            # watchdog fired: cancel and then DRAIN — a runaway task
+            # outliving a 30s grace keeps executing on the shared
+            # session and contaminates the next key's wall-clock
+            # (ADVICE r9), so wait until the worker thread actually
+            # exits (bounded at 300s) and flag the row if it never does
             sc.cancelJobGroup(group)
-            th.join(30)
-            out[key] = {"status": "timeout", "budget_sec": timeout}
+            drain0 = time.perf_counter()
+            while th.is_alive() and time.perf_counter() - drain0 < 300:
+                th.join(5)
+            row = {"status": "timeout", "budget_sec": timeout}
+            if th.is_alive():
+                row["undrained"] = True
+                print(
+                    f"WARN {key}: cancelled tasks not drained after "
+                    "300s — subsequent timings on this rung may be "
+                    "contaminated",
+                    flush=True,
+                )
+            out[key] = row
             n_to += 1
             print(f"TIMEOUT {key} after {timeout}s", flush=True)
         elif err:
@@ -113,9 +130,6 @@ def run_rung(rung: str, sf_dir: str, timeout: float,
             if "no such file" in low or "path does not exist" in low:
                 out[key] = {"status": "skip", "missing": ["<runtime>"]}
                 n_skip += 1
-            elif "cancelled" in low or "interrupted" in low:
-                out[key] = {"status": "timeout", "budget_sec": timeout}
-                n_to += 1
             elif (
                 "spark.llm_map_reduce_summarizer." in err[0]
                 and "ValueError" in err[0]
@@ -126,9 +140,17 @@ def run_rung(rung: str, sf_dir: str, timeout: float,
                 out[key] = {"status": "contract_raise", "err": err[0][-300:]}
                 n_skip += 1
             else:
-                out[key] = {"status": "error", "err": err[0][:300]}
+                # NOTE tail capture ([-300:]): the END of a traceback
+                # carries the exception line — the r9 artifact stored
+                # the head and physically could not show what failed.
+                # "cancelled"/"interrupted" text lands here too: the
+                # watchdog branch above owns every real timeout (this
+                # branch only runs when the first join returned), so a
+                # cancellation-looking error with no live watchdog is
+                # an ERROR, not a timeout (ADVICE r9).
+                out[key] = {"status": "error", "err": err[0][-300:]}
                 n_err += 1
-                print(f"ERROR {key}: {err[0][:160]}", flush=True)
+                print(f"ERROR {key}: {err[0][-160:]}", flush=True)
         else:
             out[key] = {"status": "ok", "sec": sec}
             n_run += 1
@@ -155,18 +177,15 @@ def _missing_tables(q, spark, sf_dir: str, present: set[str]) -> set[str]:
     Resolved by building the UNEXECUTED plan against sf0.001 and
     scraping its parquet scan paths — the catalog convention loads via
     sources.tables.load_table(sf_dir, name), so the table set of a
-    plan is sf-independent."""
+    plan is sf-independent. The needed set is parsed from the plan's
+    actual ``<name>.parquet`` relation paths (path-component anchored),
+    not a hand-maintained whitelist — a key reading a new table can't
+    slip past the static screen (ADVICE r9)."""
     try:
         plan = q(spark, SF_WARM)._jdf.queryExecution().analyzed().toString()
     except Exception:
         return set()
-    needed = set()
-    for t in (
-        "region nation customer supplier part orders lineitem events "
-        "documents embeddings".split()
-    ):
-        if f"/{t}.parquet" in plan:
-            needed.add(t)
+    needed = set(re.findall(r"/([A-Za-z0-9_]+)\.parquet", plan))
     return needed - present
 
 
