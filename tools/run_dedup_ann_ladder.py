@@ -39,6 +39,11 @@ LADDER_KEYS = [
     # the r9 sample-bounded Lloyd: training is corpus-size-independent
     # now; the measured point proves it
     "emb_kmeans",
+    # VERDICT r9 item 4: the one key with no measured 100x point (it
+    # timed out at the sweep's 150s budget; its sibling emb_kmeans
+    # finished at 113s). The ladder has no per-key watchdog, so this
+    # records the true decade cost.
+    "knn_ivf_lloyd",
 ]
 
 SCALES = [
