@@ -7057,12 +7057,18 @@ def corpus_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     sc = doc_unigram_surprisal(spark, sf_dir).join(
         d.select("doc_id", "lang"), "doc_id"
     )
+    # tercile thresholds quantized at 1e-9 (r10): the interpolated
+    # percentile can land ON the 1e-6 mean_surprisal grid (engines
+    # differ by 1 ulp in interpolation order — the sf0.1 rotation
+    # caught 2 docs flipping buckets on lang=es), and a threshold
+    # used in a COMPARISON must sit on the shared grid, exactly like
+    # the kmeans per-round centroid quantize
     th = sc.groupBy("lang").agg(
-        F.expr(
-            "percentile(mean_surprisal, 0.3333333333333333)"
+        quantize(
+            F.expr("percentile(mean_surprisal, 0.3333333333333333)"), 9
         ).alias("t1"),
-        F.expr(
-            "percentile(mean_surprisal, 0.6666666666666666)"
+        quantize(
+            F.expr("percentile(mean_surprisal, 0.6666666666666666)"), 9
         ).alias("t2"),
     )
     b = sc.join(F.broadcast(th), "lang").select(
@@ -7701,10 +7707,14 @@ def corpus_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = _docs(spark, sf_dir)
     q = d.select("doc_id", quality_score_col().alias("quality_score"))
+    # quartile cutoffs quantized at 1e-9 (r10): same comparison-
+    # threshold discipline as corpus_ppl_buckets — an interpolated
+    # cutoff landing on the quality_score grid must not flip a doc's
+    # phase on a 1-ulp engine difference
     cuts = q.agg(
-        F.expr("percentile(quality_score, 0.25)").alias("c1"),
-        F.expr("percentile(quality_score, 0.5)").alias("c2"),
-        F.expr("percentile(quality_score, 0.75)").alias("c3"),
+        quantize(F.expr("percentile(quality_score, 0.25)"), 9).alias("c1"),
+        quantize(F.expr("percentile(quality_score, 0.5)"), 9).alias("c2"),
+        quantize(F.expr("percentile(quality_score, 0.75)"), 9).alias("c3"),
     )
     return q.crossJoin(F.broadcast(cuts)).select(
         "doc_id",
@@ -11074,9 +11084,12 @@ ORACLE["knn_ivf_lloyd"] = _ivf_lloyd_oracle()
 ORACLE["corpus_curriculum"] = f"""
     WITH {_quality_docs_cte()},
     cuts AS (
-      SELECT quantile_cont(quality_score, 0.25) AS c1,
-             quantile_cont(quality_score, 0.5) AS c2,
-             quantile_cont(quality_score, 0.75) AS c3
+      SELECT {sql_quantize('quantile_cont(quality_score, 0.25)', 9)}
+               AS c1,
+             {sql_quantize('quantile_cont(quality_score, 0.5)', 9)}
+               AS c2,
+             {sql_quantize('quantile_cont(quality_score, 0.75)', 9)}
+               AS c3
       FROM qdocs
     )
     SELECT doc_id, quality_score,
@@ -12049,8 +12062,12 @@ ORACLE["corpus_ppl_buckets"] = f"""
     ),
     th AS (
       SELECT lang,
-             quantile_cont(mean_surprisal, 0.3333333333333333) AS t1,
-             quantile_cont(mean_surprisal, 0.6666666666666666) AS t2
+             {sql_quantize(
+                 'quantile_cont(mean_surprisal, 0.3333333333333333)', 9
+             )} AS t1,
+             {sql_quantize(
+                 'quantile_cont(mean_surprisal, 0.6666666666666666)', 9
+             )} AS t2
       FROM sc GROUP BY 1
     ),
     b AS (
