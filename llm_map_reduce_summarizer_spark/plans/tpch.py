@@ -1743,19 +1743,26 @@ def parts_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("du", "dv")
     )
+    # the OUTER products run in double (r10): count * sum(du*dv) in
+    # exact longs overflows int64 at the 10x rung (the sweep's ANSI
+    # ETIC_OVERFLOW catch) — the inner sums stay exact longs, each is
+    # cast to double BEFORE the product, and the SQL twin mirrors the
+    # same cast points so both engines round identically (output is
+    # quantized at 1e-4 regardless)
+    cnt = F.count(F.lit(1)).cast("double")
     num = (
-        F.count(F.lit(1)) * F.sum(F.col("du") * F.col("dv"))
-        - F.sum("du") * F.sum("dv")
-    ).cast("double")
+        cnt * F.sum(F.col("du") * F.col("dv")).cast("double")
+        - F.sum("du").cast("double") * F.sum("dv").cast("double")
+    )
     den = F.sqrt(
         (
-            F.count(F.lit(1)) * F.sum(F.col("du") * F.col("du"))
-            - F.sum("du") * F.sum("du")
-        ).cast("double")
+            cnt * F.sum(F.col("du") * F.col("du")).cast("double")
+            - F.sum("du").cast("double") * F.sum("du").cast("double")
+        )
         * (
-            F.count(F.lit(1)) * F.sum(F.col("dv") * F.col("dv"))
-            - F.sum("dv") * F.sum("dv")
-        ).cast("double")
+            cnt * F.sum(F.col("dv") * F.col("dv")).cast("double")
+            - F.sum("dv").cast("double") * F.sum("dv").cast("double")
+        )
     )
     return pairs.agg(
         F.count(F.lit(1)).cast("long").alias("n_directed_edges"),
@@ -3333,12 +3340,16 @@ ORACLE["parts_assortativity"] = f"""
     )
     SELECT CAST(count(*) AS BIGINT) AS n_directed_edges,
            {sql_quantize(
-               'CAST(count(*) * sum(du * dv)'
-               ' - sum(du) * sum(dv) AS DOUBLE)'
-               ' / sqrt(CAST(count(*) * sum(du * du)'
-               ' - sum(du) * sum(du) AS DOUBLE)'
-               ' * CAST(count(*) * sum(dv * dv)'
-               ' - sum(dv) * sum(dv) AS DOUBLE))', 4)}
+               '(CAST(count(*) AS DOUBLE)'
+               ' * CAST(sum(du * dv) AS DOUBLE)'
+               ' - CAST(sum(du) AS DOUBLE) * CAST(sum(dv) AS DOUBLE))'
+               ' / sqrt((CAST(count(*) AS DOUBLE)'
+               ' * CAST(sum(du * du) AS DOUBLE)'
+               ' - CAST(sum(du) AS DOUBLE) * CAST(sum(du) AS DOUBLE))'
+               ' * (CAST(count(*) AS DOUBLE)'
+               ' * CAST(sum(dv * dv) AS DOUBLE)'
+               ' - CAST(sum(dv) AS DOUBLE)'
+               ' * CAST(sum(dv) AS DOUBLE)))', 4)}
              AS assortativity
     FROM pairs
 """
