@@ -218,7 +218,14 @@ def main() -> None:
         sf_dir = RUNGS[rung]
         if not os.path.isdir(sf_dir):
             sys.exit(f"{sf_dir} missing — run tools/make_scaled_sf.py")
-        data[rung] = run_rung(rung, sf_dir, args.timeout, only)
+        out = run_rung(rung, sf_dir, args.timeout, only)
+        # a --keys re-run refreshes just those rows; a full run
+        # replaces the rung (prevents a single-key fixup from
+        # clobbering 479 sibling measurements)
+        if only and isinstance(data.get(rung), dict):
+            data[rung] = {**data[rung], **out}
+        else:
+            data[rung] = out
         with open(path, "w", encoding="utf-8") as fh:
             json.dump(data, fh, indent=1)
         print(f"wrote {path} [{rung}]", flush=True)
