@@ -89,11 +89,11 @@ def _sf01_covered() -> set[str]:
     return covered
 
 
-def sf01_keys(all_keys: list[str]) -> list[str]:
+def sf01_keys(all_keys: list[str], rotation: int = SF01_ROTATION) -> list[str]:
     sel = set(SPOTCHECK_SF01)
     sel.update(k for k in all_keys if STATS_PATTERN.search(k))
     done = _sf01_covered() | sel
-    sel.update([k for k in sorted(all_keys) if k not in done][:SF01_ROTATION])
+    sel.update([k for k in sorted(all_keys) if k not in done][:rotation])
     return sorted(sel)
 
 
@@ -102,6 +102,13 @@ def main() -> None:
     ap.add_argument("--round", type=int, required=True)
     ap.add_argument("--workers", type=int, default=8)
     ap.add_argument("--out", default=None)
+    ap.add_argument(
+        "--rotation",
+        type=int,
+        default=SF01_ROTATION,
+        help="uncovered keys to add to the sf0.1 pass (45/round "
+        "default; pass a large value to drain coverage in one run)",
+    )
     args = ap.parse_args()
 
     from llm_map_reduce_summarizer_spark.session import get_spark
@@ -137,7 +144,7 @@ def main() -> None:
                 print(f"FAIL {key}: {problems}", flush=True)
     total = round(time.perf_counter() - t_start, 1)
 
-    spot_keys = sf01_keys(keys)
+    spot_keys = sf01_keys(keys, args.rotation)
     spot: dict[str, dict] = {}
     spot_ok = 0
     with ThreadPoolExecutor(max_workers=args.workers) as pool:
