@@ -262,7 +262,10 @@ def _block_pair_table(spark, n_blocks: int) -> DataFrame:
     is built distributed from two ``spark.range`` sides so the driver
     never materializes the O(B²) list — the escape hatch for a
     raised/disabled ``EXACT_COSINE_CONF`` degrades gracefully instead
-    of trading the executor OOM for a driver one."""
+    of trading the executor OOM for a driver one. Callers must NOT
+    re-broadcast a distributed grid (that would collect the O(B²)
+    table right back onto the driver — ADVICE r10); the consumer below
+    joins it with plain equi-joins that shuffle on the block key."""
     n_tuples = n_blocks * (n_blocks + 1) // 2
     if n_tuples <= _PAIR_LIST_MAX_TUPLES:
         return spark.createDataFrame(
@@ -299,6 +302,16 @@ def _neardup_pair_volume_guard(
     cap = int(spark.conf.get(NEARDUP_PAIRS_CONF, str(NEARDUP_MAX_PAIRS)))
     total_pairs = n_vecs * (n_vecs - 1) // 2
     if cap <= 0 or total_pairs <= cap:
+        return
+    # the caller's n_vecs is only an UPPER BOUND, and the estimate
+    # below scales with n_vecs² — an inflated bound could trip a
+    # spurious raise. This path is rare (reached only when the bound
+    # alone clears the cap), so pay one exact count() here to keep the
+    # operator's "a conservative bound never changes the result"
+    # invariant true (ADVICE r10).
+    n_vecs = corpus.count()
+    total_pairs = n_vecs * (n_vecs - 1) // 2
+    if total_pairs <= cap:
         return
     keep = (
         _NEARDUP_PREFLIGHT_DENOM * _NEARDUP_PREFLIGHT_ROWS
@@ -382,16 +395,31 @@ def embedding_neardup_blocked(
     if n_blocks is None:
         n_blocks = _neardup_n_blocks(n_vecs)
     pairs = _block_pair_table(spark, n_blocks)
+    # broadcast only the literal-list grid; a distributed O(B²) grid
+    # must stay distributed (broadcasting it would collect the whole
+    # pair table onto the driver — ADVICE r10)
+    small_grid = n_blocks * (n_blocks + 1) // 2 <= _PAIR_LIST_MAX_TUPLES
     blocked = corpus.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("v"),
         (F.col(id_col) % n_blocks).cast("int").alias("blk"),
     )
-    # non-equi join against the tiny block-pair list replicates each
-    # vector to every pair its block participates in (B rows per vector)
+    # replicate each vector to every pair its block participates in
+    # (B rows per vector): the blk==pa OR blk==pb membership is
+    # expressed as a UNION of two EQUI-joins (the second leg excludes
+    # the diagonal so pa==pb pairs aren't matched twice) — each leg is
+    # hash-joinable, so the over-cap grid shuffles on the block key
+    # instead of degrading to a nested-loop product
     replicated = blocked.join(
-        F.broadcast(pairs),
-        (F.col("blk") == F.col("pa")) | (F.col("blk") == F.col("pb")),
+        F.broadcast(pairs) if small_grid else pairs,
+        F.col("blk") == F.col("pa"),
+    ).unionByName(
+        blocked.join(
+            F.broadcast(pairs.filter(F.col("pa") != F.col("pb")))
+            if small_grid
+            else pairs.filter(F.col("pa") != F.col("pb")),
+            F.col("blk") == F.col("pb"),
+        )
     )
 
     # deliberately UNannotated: partial/string hints make PySpark's
@@ -1443,6 +1471,17 @@ def cosine_screen_chunked(
     footer metadata); a conservative bound only raises the chunk
     count — never the result. When absent the operator runs one
     ``count()`` of the delta.
+
+    Skew handling: the chunk target is cap/2, so crc32 spread keeps
+    chunks comfortably under the cap in the common case — but hash
+    skew (or a delta with few distinct ids) CAN overfill a chunk. A
+    chunk that trips the broadcast cap is re-split in two with a
+    salted key and retried recursively (ADVICE r10), so the function
+    never raises for splittable skew. The one residual raise: a chunk
+    whose rows share so few distinct ids that no key split can get it
+    under the cap (recursion depth-bounded at ``_RESPLIT_MAX_DEPTH``)
+    — then the original cap error propagates with a note, because no
+    id-keyed chunking can screen that delta.
     """
     spark = batch.sparkSession
     cap = int(
@@ -1456,18 +1495,64 @@ def cosine_screen_chunked(
         )
     # chunk target = cap/2: crc32 spread over thousands of rows keeps
     # every chunk comfortably under the cap, so the per-chunk
-    # _broadcast_side_pdf fetch never trips its own guard
+    # _broadcast_side_pdf fetch rarely trips its own guard (and a
+    # skew-overfilled chunk re-splits, see docstring)
     n_chunks = -(-n_batch // max(cap // 2, 1))
     out = None
     for i in range(n_chunks):
         part = batch.filter(
             F.crc32(F.col(id_col).cast("string")) % n_chunks == i
         )
-        hits = cosine_screen_broadcast(
-            part, corpus, threshold, id_col, vec_col
+        hits = _screen_chunk_resplit(
+            part, corpus, threshold, id_col, vec_col, depth=0
         )
         out = hits if out is None else out.unionByName(hits)
     return out
+
+
+_RESPLIT_MAX_DEPTH = 20
+
+
+def _screen_chunk_resplit(
+    part: DataFrame,
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+    depth: int,
+) -> DataFrame:
+    """One chunk of the chunked screen, with skew recovery: if the
+    broadcast-side cap fires (crc32 skew overfilled this chunk —
+    ``cosine_screen_broadcast`` raises EAGERLY, its delta fetch is a
+    driver-side toPandas), split the chunk in two on a depth-salted
+    key and recurse. Depth-bounded: past ``_RESPLIT_MAX_DEPTH`` the
+    rows evidently share too few distinct ids for any key split to
+    separate them, and the cap error propagates annotated."""
+    try:
+        return cosine_screen_broadcast(
+            part, corpus, threshold, id_col, vec_col
+        )
+    except ValueError as exc:
+        if BROADCAST_SIDE_CONF not in str(exc):
+            raise
+        if depth >= _RESPLIT_MAX_DEPTH:
+            raise ValueError(
+                f"{exc} [cosine_screen_chunked: a chunk stayed above "
+                f"the cap after {depth} salted re-splits — the delta "
+                "has too few distinct ids to chunk by key]"
+            ) from exc
+        salted = F.crc32(
+            F.concat(F.col(id_col).cast("string"), F.lit(f"#{depth}"))
+        )
+        return _screen_chunk_resplit(
+            part.filter(salted % 2 == 0),
+            corpus, threshold, id_col, vec_col, depth + 1,
+        ).unionByName(
+            _screen_chunk_resplit(
+                part.filter(salted % 2 == 1),
+                corpus, threshold, id_col, vec_col, depth + 1,
+            )
+        )
 
 
 def cosine_topk_ivfpq(

@@ -13456,7 +13456,9 @@ ORACLE["knn_graph_recall"] = f"""
                % {RECALL_SAMPLE_DENOM})
               < ((CAST({RECALL_SAMPLE_DENOM} AS BIGINT)
                   * {RECALL_AUDIT_CAP})
-                 // (SELECT count(*) FROM embeddings))
+                 -- greatest(..., 1) mirrors the Spark twin's
+                 -- max(n_vecs, 1) empty-source guard (ADVICE r10)
+                 // greatest((SELECT count(*) FROM embeddings), 1))
       ) WHERE rk <= {KNN_GRAPH_K}
     ),
     hits AS (

@@ -1556,11 +1556,18 @@ def parts_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     summary ("how clique-ish are baskets") next to the centrality
     tier (``parts_pagerank``).
 
-    Scale: edges are canonical (a < b) so each triangle is
-    enumerated exactly once via the a<b<c wedge join + closing-edge
-    semi-join; compare volume is Σ deg² (wedges), bounded by basket
-    overlap, never |parts|³. Every statistic is an exact integer —
-    zero float-parity surface.
+    Scale: triangle enumeration uses the DEGREE-ORDERED "forward"
+    algorithm (VERDICT r10 item 4): each undirected edge is oriented
+    from its lower-(degree, key) endpoint to its higher one, wedges
+    form at the SOURCE, and each triangle x≺y≺z is enumerated exactly
+    once as the wedge (x→y, x→z) with y≺z closed by the directed edge
+    y→z. Per-node wedge volume is out-degree² where out-degree under
+    the degree order is bounded by graph arboricity (≈√m) — on a
+    skewed 100 TB basket graph hubs sit on the DESTINATION side, so
+    hub deg² never materializes (plain key orientation pays Σ deg_key²
+    which a hub dominates). The count is orientation-invariant, so
+    the oracle and output are unchanged. Every statistic is an exact
+    integer — zero float-parity surface.
     """
     li = (
         load_table(spark, sf_dir, "lineitem")
@@ -1587,14 +1594,56 @@ def parts_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_wedges"),
     )
     ne = edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
-    # a<b<c wedge (a-b, b-c) closed by the a-c edge
-    ab = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
-    bc = edges.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    # degree-ordered orientation: src = the (deg, key)-smaller
+    # endpoint (edges are already u < v canonical, so a degree tie
+    # keeps u as source). dst carries its degree so the wedge filter
+    # below can compare the ≺ order without another join.
+    e2 = edges.join(
+        deg.select(F.col("u"), F.col("deg").alias("deg_u")), "u"
+    ).join(
+        deg.select(F.col("u").alias("v"), F.col("deg").alias("deg_v")),
+        "v",
+    )
+    u_first = (F.col("deg_u") < F.col("deg_v")) | (
+        (F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))
+    )
+    dedges = (
+        e2.select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+            F.when(u_first, F.col("deg_v"))
+            .otherwise(F.col("deg_u"))
+            .alias("dst_deg"),
+        )
+        # consumed three times (two wedge sides + closing semi-join):
+        # materialize so the lineitem scan + orientation runs once
+        .transform(materialize)
+    )
+    # wedge (x→y, x→z) at the shared SOURCE with y ≺ z, closed by y→z
+    w1 = dedges.select(
+        F.col("src").alias("x"),
+        F.col("dst").alias("y"),
+        F.col("dst_deg").alias("deg_y"),
+    )
+    w2 = dedges.select(
+        F.col("src").alias("x"),
+        F.col("dst").alias("z"),
+        F.col("dst_deg").alias("deg_z"),
+    )
     tri = (
-        ab.join(bc, "b")
+        w1.join(w2, "x")
+        .filter(
+            (F.col("deg_y") < F.col("deg_z"))
+            | (
+                (F.col("deg_y") == F.col("deg_z"))
+                & (F.col("y") < F.col("z"))
+            )
+        )
         .join(
-            edges.select(F.col("u").alias("a"), F.col("v").alias("c")),
-            ["a", "c"],
+            dedges.select(
+                F.col("src").alias("y"), F.col("dst").alias("z")
+            ),
+            ["y", "z"],
             "left_semi",
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
