@@ -9,12 +9,21 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is executed to completion with a noop write (full plan runs,
 nothing collected to the driver — count() would let Spark prune the
 compute).
+
+``--ab <git-ref>`` (VERDICT r10 item 8): after the HEAD bench, check
+the ref out into a throwaway worktree and run ITS bench.py on the same
+box back-to-back — the same-day A/B discipline that closed the r9
+"drift" question (box state, not code). The printed JSON keeps the
+HEAD result at top level (driver-compatible) and adds an ``ab``
+section with the ref's parsed result, so any round-over-round claim
+ships with its paired control in one artifact.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -47,7 +56,7 @@ HEADLINE = [
 ]
 
 
-def main() -> None:
+def run_bench() -> dict:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("bench")
     queries = entrymod.queries()
@@ -161,18 +170,76 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "extras": extras,
-                "sf": float(sf) if sf else None,
-            }
+    return {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "extras": extras,
+        "sf": float(sf) if sf else None,
+    }
+
+
+def run_ab(ref: str) -> dict:
+    """Same-day paired control: check ``ref`` out into a throwaway
+    worktree and run ITS bench.py as a subprocess (fresh JVM — ours is
+    stopped first so the box runs one executor set at a time). Returns
+    the parsed JSON line. The worktree is removed afterwards; a dirty
+    removal never blocks the HEAD result (errors are reported in-band
+    in the ``ab`` section instead of failing the bench)."""
+    repo = os.path.dirname(os.path.abspath(__file__))
+    wt = f"/tmp/spark-graft-ab-{ref.replace('/', '_')}"
+    try:
+        subprocess.run(
+            ["git", "worktree", "add", "--force", "--detach", wt, ref],
+            cwd=repo, check=True, capture_output=True, text=True,
         )
+        out = subprocess.run(
+            [sys.executable, os.path.join(wt, "bench.py")],
+            cwd=wt, check=True, capture_output=True, text=True,
+            env=os.environ.copy(),
+        ).stdout
+        # the bench contract is ONE JSON line; take the last line that
+        # parses, so stray logging above it can't break the A/B
+        parsed = None
+        for line in reversed(out.strip().splitlines()):
+            try:
+                parsed = json.loads(line)
+                break
+            except ValueError:
+                continue
+        return parsed if parsed is not None else {
+            "error": "no JSON line in ref bench output"
+        }
+    except subprocess.CalledProcessError as exc:
+        return {"error": (exc.stderr or str(exc))[-500:]}
+    finally:
+        subprocess.run(
+            ["git", "worktree", "remove", "--force", wt],
+            cwd=repo, capture_output=True,
+        )
+
+
+def main() -> None:
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--ab",
+        default=None,
+        metavar="GIT_REF",
+        help="after the HEAD bench, run the same bench from this git "
+        "ref in a throwaway worktree (same box, back-to-back) and "
+        "attach its result — the paired-control discipline for any "
+        "round-over-round perf claim",
     )
+    args = ap.parse_args()
+
+    result = run_bench()
+    if args.ab:
+        get_spark("bench").stop()  # one JVM at a time on the box
+        result["ab"] = {"ref": args.ab, "result": run_ab(args.ab)}
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -1883,17 +1883,30 @@ def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("monetary"),
         )
     )
+    # cut quantization (r11 float-boundary audit): recency/frequency
+    # cuts are dyadic-exact (integer inputs, quarter fractions), but
+    # the monetary cuts interpolate FLOAT sums and can land exactly on
+    # the cent grid the monetary values live on — the
+    # corpus_ppl_buckets 1-ulp bucket-flip class. Every cut used in a
+    # comparison is quantized at 1e-9 in both engines (a no-op for the
+    # already-exact integer cuts).
     cuts = per.agg(
         *[
-            F.expr(f"percentile(recency_days, {q})").alias(f"r{i}")
+            quantize(F.expr(f"percentile(recency_days, {q})"), 9).alias(
+                f"r{i}"
+            )
             for i, q in ((1, 0.25), (2, 0.5), (3, 0.75))
         ],
         *[
-            F.expr(f"percentile(frequency, {q})").alias(f"f{i}")
+            quantize(F.expr(f"percentile(frequency, {q})"), 9).alias(
+                f"f{i}"
+            )
             for i, q in ((1, 0.25), (2, 0.5), (3, 0.75))
         ],
         *[
-            F.expr(f"percentile(monetary, {q})").alias(f"m{i}")
+            quantize(F.expr(f"percentile(monetary, {q})"), 9).alias(
+                f"m{i}"
+            )
             for i, q in ((1, 0.25), (2, 0.5), (3, 0.75))
         ],
     )
@@ -2227,12 +2240,22 @@ def orders_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     decile key. Total revenue is a second 1-row broadcast.
     """
     o = load_table(spark, sf_dir, "orders")
+    # spend quantized to the cent grid (r11 float-boundary audit): a
+    # raw double sum is ADD-ORDER dependent, so the two engines (and
+    # two partitionings) can disagree by an ulp on the very values the
+    # decile comparison cuts — the true sum lives on the cent grid and
+    # the accumulated error is far below half a cent, so the quantize
+    # restores engine-identical values
     per = o.groupBy("o_custkey").agg(
-        F.sum("o_totalprice").alias("spend")
+        quantize(F.sum("o_totalprice"), 2).alias("spend")
     )
+    # and the interpolated cuts get the 1e-9 comparison-threshold
+    # quantize (corpus_ppl_buckets discipline)
     cuts = per.agg(
         *[
-            F.expr(f"percentile(spend, {i / 10.0})").alias(f"c{i}")
+            quantize(F.expr(f"percentile(spend, {i / 10.0})"), 9).alias(
+                f"c{i}"
+            )
             for i in range(1, 10)
         ]
     )
@@ -3080,15 +3103,27 @@ ORACLE["customer_rfm"] = """
       GROUP BY 1
     ),
     cuts AS (
-      SELECT quantile_cont(recency_days, 0.25) AS r1,
-             quantile_cont(recency_days, 0.5) AS r2,
-             quantile_cont(recency_days, 0.75) AS r3,
-             quantile_cont(frequency, 0.25) AS f1,
-             quantile_cont(frequency, 0.5) AS f2,
-             quantile_cont(frequency, 0.75) AS f3,
-             quantile_cont(monetary, 0.25) AS m1,
-             quantile_cont(monetary, 0.5) AS m2,
-             quantile_cont(monetary, 0.75) AS m3
+      -- 1e-9-quantized comparison cuts: mirrors the Spark side's r11
+      -- float-boundary fix (the monetary cuts interpolate float sums
+      -- that live on the cent grid — the ppl-buckets flip class)
+      SELECT (floor(quantile_cont(recency_days, 0.25)
+                * 1000000000.0 + 0.5) / 1000000000.0) AS r1,
+             (floor(quantile_cont(recency_days, 0.5)
+                * 1000000000.0 + 0.5) / 1000000000.0) AS r2,
+             (floor(quantile_cont(recency_days, 0.75)
+                * 1000000000.0 + 0.5) / 1000000000.0) AS r3,
+             (floor(quantile_cont(frequency, 0.25)
+                * 1000000000.0 + 0.5) / 1000000000.0) AS f1,
+             (floor(quantile_cont(frequency, 0.5)
+                * 1000000000.0 + 0.5) / 1000000000.0) AS f2,
+             (floor(quantile_cont(frequency, 0.75)
+                * 1000000000.0 + 0.5) / 1000000000.0) AS f3,
+             (floor(quantile_cont(monetary, 0.25)
+                * 1000000000.0 + 0.5) / 1000000000.0) AS m1,
+             (floor(quantile_cont(monetary, 0.5)
+                * 1000000000.0 + 0.5) / 1000000000.0) AS m2,
+             (floor(quantile_cont(monetary, 0.75)
+                * 1000000000.0 + 0.5) / 1000000000.0) AS m3
       FROM per
     )
     SELECT o_custkey, recency_days, frequency, monetary,
@@ -3130,19 +3165,31 @@ ORACLE["supplier_scorecard"] = """
 
 ORACLE["orders_pareto"] = """
     WITH per AS (
-      SELECT o_custkey, sum(o_totalprice) AS spend
+      -- spend on the cent grid + 1e-9-quantized cuts: mirrors the
+      -- Spark side's r11 float-boundary fix
+      SELECT o_custkey,
+             (floor(sum(o_totalprice) * 100.0 + 0.5) / 100.0) AS spend
       FROM orders GROUP BY 1
     ),
     cuts AS (
-      SELECT quantile_cont(spend, 0.1) AS c1,
-             quantile_cont(spend, 0.2) AS c2,
-             quantile_cont(spend, 0.3) AS c3,
-             quantile_cont(spend, 0.4) AS c4,
-             quantile_cont(spend, 0.5) AS c5,
-             quantile_cont(spend, 0.6) AS c6,
-             quantile_cont(spend, 0.7) AS c7,
-             quantile_cont(spend, 0.8) AS c8,
-             quantile_cont(spend, 0.9) AS c9
+      SELECT (floor(quantile_cont(spend, 0.1) * 1000000000.0 + 0.5)
+                / 1000000000.0) AS c1,
+             (floor(quantile_cont(spend, 0.2) * 1000000000.0 + 0.5)
+                / 1000000000.0) AS c2,
+             (floor(quantile_cont(spend, 0.3) * 1000000000.0 + 0.5)
+                / 1000000000.0) AS c3,
+             (floor(quantile_cont(spend, 0.4) * 1000000000.0 + 0.5)
+                / 1000000000.0) AS c4,
+             (floor(quantile_cont(spend, 0.5) * 1000000000.0 + 0.5)
+                / 1000000000.0) AS c5,
+             (floor(quantile_cont(spend, 0.6) * 1000000000.0 + 0.5)
+                / 1000000000.0) AS c6,
+             (floor(quantile_cont(spend, 0.7) * 1000000000.0 + 0.5)
+                / 1000000000.0) AS c7,
+             (floor(quantile_cont(spend, 0.8) * 1000000000.0 + 0.5)
+                / 1000000000.0) AS c8,
+             (floor(quantile_cont(spend, 0.9) * 1000000000.0 + 0.5)
+                / 1000000000.0) AS c9
       FROM per
     ),
     binned AS (
