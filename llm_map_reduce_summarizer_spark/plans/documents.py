@@ -7853,6 +7853,224 @@ def multimodal_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Banded tier of the byte-histogram near-dup screen (VERDICT r10
+# item 5): tercile cuts per INFORMATIVE histogram dim give
+# DATA-DEPENDENT banding (corpus-independent sign bits are useless
+# here — same-modality byte distributions all share one shape, so
+# every fixed projection collapses to one bucket; and for ASCII text
+# the high-nibble bins 8-15 are identically zero, so a band built on
+# them degenerates to ONE bucket = all-pairs), and per-doc top-k
+# bounds the OUTPUT, which is what actually goes quadratic on a
+# duplicate-heavy corpus at the exact tier's 0.99999 threshold.
+MM_BANDED_BAND_DIMS = 6  # informative dims per band (stride-2 wrap)
+MM_BANDED_BANDS = 4
+MM_BANDED_TOPK = 5
+
+
+def multimodal_neardup_banded(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Scale-safe tier of ``multimodal_neardup``: per-doc top-k
+    near-identical byte-distribution partners (cosine ≥ 0.99999 on the
+    16-bin high-nibble histogram), candidates restricted to banded
+    tercile-signature buckets — the bounded path the exact all-pairs
+    tier contract-raises toward at corpus scale.
+
+    Banding: each unit-histogram dim is cut at its CORPUS terciles
+    (exact percentiles, 1e-9-quantized before comparison — the
+    ``corpus_ppl_buckets`` float-boundary discipline). Only
+    INFORMATIVE dims (c1 < c2) band: ASCII text zeroes bins 8-15, and
+    a band of constant dims is one bucket holding the whole corpus.
+    The (≤8) informative dims spread over 4 bands of 6 at stride-2
+    wrap, so each dim is absent from exactly one band: a pair whose
+    byte distributions straddle a cut in ONE dim is still caught by
+    the band that skips that dim — misses need straddles covering
+    all four bands. Buckets per band: 3^6 = 729, marginally balanced
+    by the tercile construction.
+
+    Scale: per-band compare volume is Σ n_b² (~n²/729 at balance;
+    scored as ONE numpy dgemm per bucket via ``applyInPandas``, the
+    ``embedding_neardup_blocked`` shape — never per-pair expression
+    dots); at true corpus scale widen the histogram to 256 bins for
+    hundreds of tercile digits of banding depth. OUTPUT is bounded at
+    n·k rows by the per-doc top-k, which is what the exact tier
+    cannot bound (its true pair set is quadratic on a duplicate-heavy
+    corpus — the 416M-pair 100× rung finding). Approximate by design;
+    the exact tier remains the verification tool.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.window import Window
+
+    from ..operators.multimodal import payload_byte_features
+
+    d = _docs(spark, sf_dir).withColumn(
+        "payload", F.encode(F.col("text"), "UTF-8")
+    )
+    feats = payload_byte_features(d)
+    fu = (
+        feats.withColumn(
+            "nrm",
+            F.sqrt(
+                F.aggregate(
+                    "features", F.lit(0.0), lambda a, x: a + x * x
+                )
+            ),
+        )
+        .select(
+            "doc_id",
+            F.transform("features", lambda x: x / F.col("nrm")).alias(
+                "u"
+            ),
+        )
+        # the cuts agg AND the bucketed build both read fu:
+        # materialize so the Arrow byte-histogram UDF (the dominant
+        # 100x-rung cost — it rescans every payload) runs ONCE
+        .transform(materialize)
+    )
+    # per-dim tercile cuts: ONE dims-bounded exact-percentile agg over
+    # the exploded (dim, value) pairs, packed with the informative-dim
+    # id list into one broadcastable row (scalar-broadcast idiom)
+    cuts = (
+        fu.select(F.posexplode("u").alias("i", "val"))
+        .groupBy("i")
+        .agg(
+            quantize(
+                F.expr("percentile(val, 0.3333333333333333)"), 9
+            ).alias("c1"),
+            quantize(
+                F.expr("percentile(val, 0.6666666666666666)"), 9
+            ).alias("c2"),
+        )
+    )
+    cut_arrays = cuts.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "c1"))),
+            lambda s: s["c1"],
+        ).alias("c1s"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "c2"))),
+            lambda s: s["c2"],
+        ).alias("c2s"),
+        F.array_sort(
+            F.collect_list(F.when(F.col("c1") < F.col("c2"), F.col("i")))
+        ).alias("inf"),
+    )
+
+    def band_bucket(band: int):
+        """Base-3 pack of the band's 6 informative-dim tercile digits.
+        Dim ids index into ``inf`` with stride-2 wrap; an empty
+        ``inf`` (fully constant corpus) makes every element_at NULL →
+        every digit takes the ELSE branch → one shared bucket, the
+        correct degenerate behavior (no crash, exact within-bucket
+        scoring)."""
+        out = F.lit(0)
+        n_inf = F.greatest(F.size("inf"), F.lit(1))
+        for p in range(MM_BANDED_BAND_DIMS):
+            # inf holds 0-based dim ids; +1 for 1-based element_at
+            dim = (
+                F.element_at(
+                    F.col("inf"),
+                    ((F.lit(2 * band + p) % n_inf) + 1).cast("int"),
+                )
+                + 1
+            ).cast("int")
+            uj = F.element_at(F.col("u"), dim)
+            digit = (
+                F.when(uj <= F.element_at(F.col("c1s"), dim), F.lit(0))
+                .when(uj <= F.element_at(F.col("c2s"), dim), F.lit(1))
+                .otherwise(F.lit(2))
+            )
+            out = out + digit * F.lit(3**p)
+        return out.cast("long")
+
+    bucketed = (
+        fu.crossJoin(F.broadcast(cut_arrays))
+        .select(
+            "doc_id",
+            "u",
+            F.posexplode(
+                F.array(*[band_bucket(b) for b in range(MM_BANDED_BANDS)])
+            ).alias("band", "bucket"),
+        )
+        # consumed by every band group of the grouped-map scorer:
+        # materialize so the banding projection runs once
+        .transform(materialize)
+    )
+
+    # deliberately UNannotated (grouped-map eval-type inference warns
+    # on partial hints); schema comes from the applyInPandas argument
+    def _bucket_hits(key, pdf):
+        """Per-row TOP-K above-threshold partners within the bucket —
+        LOSSLESS for the global per-doc top-k (every bucket candidate
+        is a global candidate, so a global-top-k partner beats < k
+        candidates in any shared bucket too), and it bounds the
+        emitted volume at n_b·k rows per bucket: a duplicate-heavy
+        corpus has a QUADRATIC above-threshold pair set (the 416M-pair
+        100× finding), and emitting it all just to window it away
+        re-creates the output blowup this tier exists to avoid. The
+        dgemm runs in row chunks so peak memory is chunk × n_b, not
+        n_b², regardless of bucket skew."""
+        n_b = len(pdf)
+        if n_b < 2:
+            return pd.DataFrame({"da": [], "db": [], "cos": []})
+        # u is already unit-normalized ONCE upstream (exactly like the
+        # oracle's unitf CTE): dot it raw — re-normalizing here would
+        # move values a ulp off the SQL twin's
+        uu = np.stack(pdf["u"].to_list()).astype(np.float64)
+        ids = pdf["doc_id"].to_numpy()
+        chunk = max(16, 30_000_000 // n_b)  # ≤ ~240 MB of sims
+        # integer threshold of the quantize grid: floor(y) >= n is
+        # EXACTLY y >= n for integer n, so masking the RAW dgemm with
+        # y = sims*1e6 + 0.5 selects precisely the pairs whose
+        # 1e-6-QUANTIZED cosine clears the SQL twin's threshold —
+        # without paying the floor+divide over the whole matrix
+        # (quantization then touches only the few selected values)
+        thr_i = round(MM_NEARDUP_COS * 1e6)
+        out_a, out_b, out_c = [], [], []
+        for i0 in range(0, n_b, chunk):
+            sims = uu[i0 : i0 + chunk] @ uu.T
+            m = sims.shape[0]
+            rr = np.arange(m)
+            sims[rr, i0 + rr] = -np.inf  # self (ids unique per bucket)
+            # transform IN PLACE to y = sims*1e6 + 0.5 (one fresh
+            # dgemm output is the only full-size allocation per chunk
+            # — an expression temp here would double the memory
+            # traffic of the whole operator)
+            np.multiply(sims, 1e6, out=sims)
+            np.add(sims, 0.5, out=sims)
+            mask = sims >= thr_i
+            for r in np.nonzero(mask.any(axis=1))[0]:
+                cand = np.nonzero(mask[r])[0]
+                c_q = np.floor(sims[r, cand]) / 1e6
+                if len(cand) > MM_BANDED_TOPK:
+                    # (cos desc, db asc) on the QUANTIZED values (the
+                    # SQL twin's rank key); lexsort keys minor-to-major
+                    order = np.lexsort((ids[cand], -c_q))
+                    sel = order[: MM_BANDED_TOPK]
+                    cand, c_q = cand[sel], c_q[sel]
+                out_a.extend([ids[i0 + r]] * len(cand))
+                out_b.extend(ids[cand])
+                out_c.extend(c_q)
+        return pd.DataFrame({"da": out_a, "db": out_b, "cos": out_c})
+
+    hits = (
+        bucketed.groupBy("band", "bucket")
+        .applyInPandas(_bucket_hits, schema="da long, db long, cos double")
+        # the same pair can collide in up to all four bands
+        .distinct()
+    )
+    w = Window.partitionBy("da").orderBy(
+        F.col("cos").desc(), F.col("db").asc()
+    )
+    return hits.select(
+        "da",
+        "db",
+        "cos",
+        F.row_number().over(w).cast("long").alias("rk"),
+    ).filter(F.col("rk") <= MM_BANDED_TOPK)
+
+
 WATERFILL_BUDGET_SHARE = 0.5  # token budget = this share of the corpus
 
 
@@ -8607,6 +8825,7 @@ QUERIES = {
     "corpus_textrank_terms": corpus_textrank_terms,
     "corpus_budget_waterfill": corpus_budget_waterfill,
     "multimodal_neardup": multimodal_neardup,
+    "multimodal_neardup_banded": multimodal_neardup_banded,
     "corpus_pack_efficiency": corpus_pack_efficiency,
     "emb_matryoshka_eval": emb_matryoshka_eval,
     "emb_binary_hash_eval": emb_binary_hash_eval,
@@ -12948,6 +13167,89 @@ ORACLE["multimodal_neardup"] = f"""
     FROM unitf a JOIN unitf b ON a.doc_id < b.doc_id
     WHERE (floor({sql_dot('a.u', 'b.u', 16)} * 1000000.0 + 0.5)
              / 1000000.0) >= {MM_NEARDUP_COS}
+"""
+
+
+def _mm_banded_bucket_sql(band: int) -> str:
+    """Base-3 tercile-signature bucket of one 6-informative-dim band
+    (stride-2 wrap over the ``inf`` id list) — twin of
+    ``multimodal_neardup_banded``'s ``band_bucket`` Column. ``inf``
+    holds 0-based dim ids; DuckDB lists are 1-indexed, hence the two
+    ``+ 1`` adjustments (list position, then dim id -> u index)."""
+    terms = []
+    for p in range(MM_BANDED_BAND_DIMS):
+        dim = (
+            f"CAST(c.inf[(({2 * band + p}) % "
+            f"greatest(len(c.inf), 1)) + 1] + 1 AS INT)"
+        )
+        terms.append(
+            f"(CASE WHEN u[{dim}] <= c.c1s[{dim}] THEN 0 "
+            f"WHEN u[{dim}] <= c.c2s[{dim}] THEN 1 ELSE 2 END) "
+            f"* {3 ** p}"
+        )
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def _mm_banded_bucketed_sql() -> str:
+    legs = [
+        f"SELECT doc_id, u, {b} AS band,\n"
+        f"             {_mm_banded_bucket_sql(b)} AS bucket\n"
+        f"      FROM unitf, cutarr c"
+        for b in range(MM_BANDED_BANDS)
+    ]
+    return "\n      UNION ALL\n      ".join(legs)
+
+
+ORACLE["multimodal_neardup_banded"] = f"""
+    WITH feats AS ({ORACLE['multimodal_features']}),
+    flist AS (
+      SELECT doc_id, list(share ORDER BY bin) AS f
+      FROM feats GROUP BY 1
+    ),
+    unitf AS (
+      SELECT doc_id,
+             list_transform(f, x -> CAST(x AS DOUBLE) /
+               sqrt({sql_dot('f', 'f', 16)})) AS u
+      FROM flist
+    ),
+    cuts AS (
+      SELECT i,
+             {sql_quantize('quantile_cont(val, 0.3333333333333333)', 9)}
+               AS c1,
+             {sql_quantize('quantile_cont(val, 0.6666666666666666)', 9)}
+               AS c2
+      FROM (
+        SELECT u[CAST(d.i AS INT)] AS val, d.i AS i
+        FROM unitf, (SELECT unnest(range(1, 17)) AS i) d
+      ) GROUP BY 1
+    ),
+    cutarr AS (
+      -- inf = 0-based ids of the informative dims (c1 < c2), the
+      -- twin of the Spark side's filtered collect_list
+      SELECT list(c1 ORDER BY i) AS c1s, list(c2 ORDER BY i) AS c2s,
+             list(i - 1 ORDER BY i) FILTER (WHERE c1 < c2) AS inf
+      FROM cuts
+    ),
+    bucketed AS (
+      {_mm_banded_bucketed_sql()}
+    ),
+    hits AS (
+      SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+             (floor({sql_dot('a.u', 'b.u', 16)} * 1000000.0 + 0.5)
+               / 1000000.0) AS cos
+      FROM bucketed a JOIN bucketed b
+        ON a.band = b.band AND a.bucket = b.bucket
+        AND a.doc_id <> b.doc_id
+      WHERE (floor({sql_dot('a.u', 'b.u', 16)} * 1000000.0 + 0.5)
+               / 1000000.0) >= {MM_NEARDUP_COS}
+    )
+    SELECT da, db, cos, rk FROM (
+      SELECT da, db, cos,
+             CAST(row_number() OVER (
+               PARTITION BY da ORDER BY cos DESC, db
+             ) AS BIGINT) AS rk
+      FROM hits
+    ) WHERE rk <= {MM_BANDED_TOPK}
 """
 
 def _binary_hash_oracle() -> str:

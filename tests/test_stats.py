@@ -1590,3 +1590,36 @@ def test_markov_unreachable_channel_raises(spark):
     )
     with pytest.raises(ValueError, match="reaches_absorbing=False"):
         attribution_markov_from_pairs(pairs)
+
+
+def test_multimodal_neardup_banded_subset_and_topk(spark):
+    """The banded tier's contract vs the exact tier: every emitted
+    pair is a TRUE exact-tier pair with the identical quantized
+    cosine (banding only restricts candidates — it must never invent
+    a hit or move a score), and the per-doc top-k output bound holds
+    with rk dense from 1 in (cos desc, db asc) order."""
+    from llm_map_reduce_summarizer_spark.plans.documents import (
+        MM_BANDED_TOPK,
+    )
+
+    exact = QUERIES["multimodal_neardup"](spark, SF_SMOKE).toPandas()
+    truth = {}
+    for r in exact.itertuples():
+        truth[(r.da, r.db)] = r.cos
+        truth[(r.db, r.da)] = r.cos
+    banded = QUERIES["multimodal_neardup_banded"](
+        spark, SF_SMOKE
+    ).toPandas()
+    assert len(banded) > 0  # the smoke corpus has near-dup structure
+    for r in banded.itertuples():
+        assert (r.da, r.db) in truth
+        assert abs(truth[(r.da, r.db)] - r.cos) < 1e-12
+    per = banded.groupby("da")
+    assert int(per.size().max()) <= MM_BANDED_TOPK
+    for _, grp in per:
+        g = grp.sort_values("rk")
+        assert list(g["rk"]) == list(range(1, len(g) + 1))
+        ranked = g.sort_values(
+            ["cos", "db"], ascending=[False, True]
+        )
+        assert list(ranked["rk"]) == list(g["rk"])
