@@ -89,7 +89,17 @@ def _sf01_covered() -> set[str]:
     return covered
 
 
-def sf01_keys(all_keys: list[str], rotation: int = SF01_ROTATION) -> list[str]:
+def sf01_keys(
+    all_keys: list[str],
+    rotation: int = SF01_ROTATION,
+    full: bool = False,
+) -> list[str]:
+    # --full-sf01 (VERDICT r10 item 6): the whole catalog at sf0.1 in
+    # ONE run at this HEAD — the standing per-round gate (the rotation
+    # union proved itself by catching corpus_ppl_buckets, but a
+    # union's members were attested at different HEADs)
+    if full:
+        return sorted(all_keys)
     sel = set(SPOTCHECK_SF01)
     sel.update(k for k in all_keys if STATS_PATTERN.search(k))
     done = _sf01_covered() | sel
@@ -102,6 +112,12 @@ def main() -> None:
     ap.add_argument("--round", type=int, required=True)
     ap.add_argument("--workers", type=int, default=8)
     ap.add_argument("--out", default=None)
+    ap.add_argument(
+        "--full-sf01",
+        action="store_true",
+        help="run EVERY catalog key at sf0.1 (the r11+ standing "
+        "per-round gate), ignoring the rotation",
+    )
     ap.add_argument(
         "--rotation",
         type=int,
@@ -144,7 +160,7 @@ def main() -> None:
                 print(f"FAIL {key}: {problems}", flush=True)
     total = round(time.perf_counter() - t_start, 1)
 
-    spot_keys = sf01_keys(keys, args.rotation)
+    spot_keys = sf01_keys(keys, args.rotation, args.full_sf01)
     spot: dict[str, dict] = {}
     spot_ok = 0
     with ThreadPoolExecutor(max_workers=args.workers) as pool:

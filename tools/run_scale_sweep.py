@@ -55,6 +55,17 @@ def run_rung(rung: str, sf_dir: str, timeout: float,
 
     spark = get_spark(f"scale-sweep-{rung}")
     sc = spark.sparkContext
+    if rung == "100x":
+        # scale-aware shuffle sizing (r11): the session default pins
+        # shuffle.partitions = cpus (right for the sf0.1 gate), but at
+        # the 100x rung the TPC-H fact shuffles put multi-GB in each
+        # of 32 partitions and the hash maps thrash/OOM. 256 keeps
+        # per-task state at gate-rung size — exactly the
+        # partitions ∝ data sizing a real cluster uses. Runtime conf,
+        # AQE still coalesces small stages. Pair with
+        # SPARK_GRAFT_DRIVER_MEM=64g (the 16g default was sized for
+        # the documents-only 100x replica).
+        spark.conf.set("spark.sql.shuffle.partitions", "256")
     tables = {
         f[: -len(".parquet")]
         for f in os.listdir(sf_dir)
