@@ -395,9 +395,6 @@ def embedding_neardup_blocked(
     if n_blocks is None:
         n_blocks = _neardup_n_blocks(n_vecs)
     pairs = _block_pair_table(spark, n_blocks)
-    # broadcast only the literal-list grid; a distributed O(B²) grid
-    # must stay distributed (broadcasting it would collect the whole
-    # pair table onto the driver — ADVICE r10)
     small_grid = n_blocks * (n_blocks + 1) // 2 <= _PAIR_LIST_MAX_TUPLES
     blocked = corpus.select(
         F.col(id_col).alias("vid"),
@@ -405,22 +402,32 @@ def embedding_neardup_blocked(
         (F.col(id_col) % n_blocks).cast("int").alias("blk"),
     )
     # replicate each vector to every pair its block participates in
-    # (B rows per vector): the blk==pa OR blk==pb membership is
-    # expressed as a UNION of two EQUI-joins (the second leg excludes
-    # the diagonal so pa==pb pairs aren't matched twice) — each leg is
-    # hash-joinable, so the over-cap grid shuffles on the block key
-    # instead of degrading to a nested-loop product
-    replicated = blocked.join(
-        F.broadcast(pairs) if small_grid else pairs,
-        F.col("blk") == F.col("pa"),
-    ).unionByName(
-        blocked.join(
-            F.broadcast(pairs.filter(F.col("pa") != F.col("pb")))
-            if small_grid
-            else pairs.filter(F.col("pa") != F.col("pb")),
-            F.col("blk") == F.col("pb"),
+    # (B rows per vector)
+    if small_grid:
+        # literal-list grid: ONE corpus pass through a broadcast
+        # nested-loop OR-join — the common path (measured: the
+        # two-leg union below rescans the corpus twice, +42% steady
+        # on emb_neardup at the gate SF)
+        replicated = blocked.join(
+            F.broadcast(pairs),
+            (F.col("blk") == F.col("pa")) | (F.col("blk") == F.col("pb")),
         )
-    )
+    else:
+        # over-cap grid (ADVICE r10): a distributed O(B²) grid must
+        # stay distributed — broadcasting it would collect the whole
+        # pair table onto the driver. The OR-membership is expressed
+        # as a UNION of two EQUI-joins (the second leg excludes the
+        # diagonal so pa==pb pairs aren't matched twice): each leg
+        # hash-joins on the block key instead of degrading to a
+        # nested-loop product
+        replicated = blocked.join(
+            pairs, F.col("blk") == F.col("pa")
+        ).unionByName(
+            blocked.join(
+                pairs.filter(F.col("pa") != F.col("pb")),
+                F.col("blk") == F.col("pb"),
+            )
+        )
 
     # deliberately UNannotated: partial/string hints make PySpark's
     # grouped-map eval-type inference warn on every run; with no hints
