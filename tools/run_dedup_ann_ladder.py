@@ -1,5 +1,6 @@
 #!/usr/bin/env python
-"""Two-decade scaling ladder for the dedup/ANN family (VERDICT r8
+"""Scaling ladder (two decades, three with --deep) for the dedup/ANN
+family (VERDICT r8
 item 4): the operators whose 100 TB story rests on bucket-bounded
 candidate generation get a MEASURED 100x point, not just the 10x one.
 
@@ -52,24 +53,53 @@ SCALES = [
     ("100x", os.path.join(REPO, ".benchdata", "sf10")),
 ]
 
+# --deep adds a THIRD measured decade (5M docs / 2M vecs via
+# ``make_scaled_sf.py --k 1000 --tables documents,embeddings``). Keys
+# whose enforced verification-tier caps fire at this volume (the raise
+# names its spark.llm_map_reduce_summarizer.* conf) are recorded as
+# "contract_raise" rows rather than aborting the rung — at three
+# decades the contracts SHOULD start firing; that is the measurement.
+DEEP_SCALE = ("1000x", os.path.join(REPO, ".benchdata", "sf100"))
 
-def run_one(sf_dir: str) -> None:
+# partitions ∝ data at the scaled rungs (mirrors run_scale_sweep.py's
+# r11 sizing note); paired with SPARK_GRAFT_DRIVER_MEM=64g set by the
+# parent for these rungs.
+SCALED_SHUFFLE_PARTITIONS = {"100x": 256, "1000x": 512}
+
+_CONTRACT_MARK = "spark.llm_map_reduce_summarizer."
+
+
+def run_one(sf_dir: str, label: str = "") -> None:
     sys.path.insert(0, REPO)
     from llm_map_reduce_summarizer_spark.session import get_spark
 
     import __spark_entry__ as entrymod
 
     spark = get_spark("ladder")
+    parts = SCALED_SHUFFLE_PARTITIONS.get(label)
+    if parts:
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
     qs = entrymod.queries()
-    timings: dict[str, float] = {}
+    timings: dict[str, float | str] = {}
     for key in LADDER_KEYS:
         qs[key](spark, "/root/testdata/sf0.001").write.format("noop").mode(
             "overwrite"
         ).save()
         t0 = time.perf_counter()
-        qs[key](spark, sf_dir).write.format("noop").mode(
-            "overwrite"
-        ).save()
+        try:
+            # plan construction inside the try: several caps (e.g.
+            # emb_neardup's n² pre-flight) fire eagerly at build time
+            qs[key](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception as exc:  # pragma: no cover - scale specific
+            msg = repr(exc)
+            if _CONTRACT_MARK in msg and "ValueError" in msg:
+                timings[key] = "contract_raise"
+            else:
+                timings[key] = "error:" + msg[-200:]
+            print(f"RAISE {key}: {msg[-160:]}", file=sys.stderr, flush=True)
+            continue
         timings[key] = round(time.perf_counter() - t0, 3)
     print("LADDER_JSON " + json.dumps(timings))
 
@@ -79,37 +109,60 @@ def main() -> None:
     ap.add_argument("--round", type=int)
     ap.add_argument("--cpus", type=int, default=32)
     ap.add_argument("--run-one", default=None)
+    ap.add_argument("--label", default="")
+    ap.add_argument(
+        "--deep",
+        action="store_true",
+        help="add the 1000x rung (.benchdata/sf100) as a third decade",
+    )
     args = ap.parse_args()
 
     if args.run_one:
         os.environ.setdefault("SPARK_GRAFT_CPUS", str(args.cpus))
-        run_one(args.run_one)
+        run_one(args.run_one, args.label)
         return
     if args.round is None:
         sys.exit("--round is required")
 
-    results: dict[str, dict[str, float]] = {}
-    for label, sf_dir in SCALES:
+    scales = SCALES + ([DEEP_SCALE] if args.deep else [])
+    results: dict[str, dict[str, float | str]] = {}
+    for label, sf_dir in scales:
         if not os.path.isdir(sf_dir):
             sys.exit(f"{sf_dir} missing — run tools/make_scaled_sf.py")
+        env = dict(os.environ)
+        if label in SCALED_SHUFFLE_PARTITIONS:
+            env.setdefault("SPARK_GRAFT_DRIVER_MEM", "64g")
         out = subprocess.run(
             [
                 sys.executable,
                 os.path.abspath(__file__),
                 "--run-one",
                 sf_dir,
+                "--label",
+                label,
                 "--cpus",
                 str(args.cpus),
             ],
             capture_output=True,
             text=True,
             check=True,
+            env=env,
         ).stdout
         line = [
             ln for ln in out.splitlines() if ln.startswith("LADDER_JSON ")
         ][-1]
         results[label] = json.loads(line[len("LADDER_JSON "):])
         print(label, json.dumps(results[label]), flush=True)
+
+    def ratio(hi: str) -> dict[str, float | str]:
+        r: dict[str, float | str] = {}
+        for k in LADDER_KEYS:
+            top, base = results[hi][k], results["1x"][k]
+            if isinstance(top, str) or isinstance(base, str):
+                r[k] = top if isinstance(top, str) else "base_raised"
+            else:
+                r[k] = round(top / max(base, 1e-9), 2)
+        return r
 
     section = {
         "note": (
@@ -118,17 +171,20 @@ def main() -> None:
             "ratio_100x ~<= 100 is linear-or-better. "
             "dedup_ngram_jaccard is absent by design: its enforced "
             "verification-set guard raises at 500k docs."
+            + (
+                " --deep adds a 1000x third decade (5M docs / 2M "
+                "vecs); contract_raise rows are enforced "
+                "verification-tier caps firing as documented."
+                if args.deep
+                else ""
+            )
         ),
         "sec": results,
-        "ratio_10x": {
-            k: round(results["10x"][k] / max(results["1x"][k], 1e-9), 2)
-            for k in LADDER_KEYS
-        },
-        "ratio_100x": {
-            k: round(results["100x"][k] / max(results["1x"][k], 1e-9), 2)
-            for k in LADDER_KEYS
-        },
+        "ratio_10x": ratio("10x"),
+        "ratio_100x": ratio("100x"),
     }
+    if args.deep:
+        section["ratio_1000x"] = ratio("1000x")
     path = os.path.join(REPO, f"BENCH_LOCAL_r{args.round:02d}.json")
     data = {}
     if os.path.exists(path):
