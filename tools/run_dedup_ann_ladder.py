@@ -69,7 +69,7 @@ SCALED_SHUFFLE_PARTITIONS = {"100x": 256, "1000x": 512}
 _CONTRACT_MARK = "spark.llm_map_reduce_summarizer."
 
 
-def run_one(sf_dir: str, label: str = "") -> None:
+def run_one(sf_dir: str, label: str = "", keys: list[str] | None = None) -> None:
     sys.path.insert(0, REPO)
     from llm_map_reduce_summarizer_spark.session import get_spark
 
@@ -81,7 +81,7 @@ def run_one(sf_dir: str, label: str = "") -> None:
         spark.conf.set("spark.sql.shuffle.partitions", str(parts))
     qs = entrymod.queries()
     timings: dict[str, float | str] = {}
-    for key in LADDER_KEYS:
+    for key in keys or LADDER_KEYS:
         qs[key](spark, "/root/testdata/sf0.001").write.format("noop").mode(
             "overwrite"
         ).save()
@@ -115,11 +115,24 @@ def main() -> None:
         action="store_true",
         help="add the 1000x rung (.benchdata/sf100) as a third decade",
     )
+    ap.add_argument(
+        "--keys",
+        default=None,
+        help="comma-separated catalog keys overriding the default "
+        "dedup/ANN family (e.g. a text-tier rung over the same "
+        "documents replicas)",
+    )
+    ap.add_argument(
+        "--section",
+        default="dedup_ann_ladder",
+        help="BENCH_LOCAL_r{N}.json section name for the results",
+    )
     args = ap.parse_args()
+    keys = args.keys.split(",") if args.keys else None
 
     if args.run_one:
         os.environ.setdefault("SPARK_GRAFT_CPUS", str(args.cpus))
-        run_one(args.run_one, args.label)
+        run_one(args.run_one, args.label, keys)
         return
     if args.round is None:
         sys.exit("--round is required")
@@ -142,7 +155,8 @@ def main() -> None:
                 label,
                 "--cpus",
                 str(args.cpus),
-            ],
+            ]
+            + (["--keys", args.keys] if args.keys else []),
             capture_output=True,
             text=True,
             check=True,
@@ -156,7 +170,7 @@ def main() -> None:
 
     def ratio(hi: str) -> dict[str, float | str]:
         r: dict[str, float | str] = {}
-        for k in LADDER_KEYS:
+        for k in keys or LADDER_KEYS:
             top, base = results[hi][k], results["1x"][k]
             if isinstance(top, str) or isinstance(base, str):
                 r[k] = top if isinstance(top, str) else "base_raised"
@@ -166,11 +180,21 @@ def main() -> None:
 
     section = {
         "note": (
-            "dedup/ANN family at 1x/10x/100x of sf0.1 "
-            "(documents+embeddings key-offset de-duplicated replicas); "
-            "ratio_100x ~<= 100 is linear-or-better. "
-            "dedup_ngram_jaccard is absent by design: its enforced "
-            "verification-set guard raises at 500k docs."
+            (
+                "catalog keys at the sf0.1 scaling rungs "
+                "(key-offset de-duplicated replicas); "
+                if args.keys
+                else "dedup/ANN family at 1x/10x/100x of sf0.1 "
+                "(documents+embeddings key-offset de-duplicated "
+                "replicas); "
+            )
+            + "ratio_100x ~<= 100 is linear-or-better."
+            + (
+                ""
+                if args.keys
+                else " dedup_ngram_jaccard is absent by design: its "
+                "enforced verification-set guard raises at 500k docs."
+            )
             + (
                 " --deep adds a 1000x third decade (5M docs / 2M "
                 "vecs); contract_raise rows are enforced "
@@ -190,10 +214,10 @@ def main() -> None:
     if os.path.exists(path):
         with open(path, encoding="utf-8") as fh:
             data = json.load(fh)
-    data["dedup_ann_ladder"] = section
+    data[args.section] = section
     with open(path, "w", encoding="utf-8") as fh:
         json.dump(data, fh, indent=1)
-    print(f"wrote {path} dedup_ann_ladder; ratio_100x="
+    print(f"wrote {path} {args.section}; ratio_100x="
           f"{section['ratio_100x']}")
 
 
