@@ -89,11 +89,16 @@ CJK_PATTERN = "[一-鿿]"
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "documents")
+    # spread: every consumer runs regex/shingle/md5-heavy narrow work
+    # right above this scan; on a coarse decode layout (one row group)
+    # that work would otherwise run on one core (sources.tables)
+    return load_table(spark, sf_dir, "documents", spread=True)
 
 
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "embeddings")
+    # spread: consumers feed Arrow-batched dgemm scorers straight off
+    # the scan; same coarse-layout serialization risk as _docs
+    return load_table(spark, sf_dir, "embeddings", spread=True)
 
 
 # ----------------------------------------------------------- text analysis

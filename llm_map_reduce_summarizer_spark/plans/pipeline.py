@@ -56,7 +56,9 @@ BATCH_SIZE = 10
 
 
 def derive_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # spread: the cleaning regexes + token counts above this scan are
+    # the pipeline's per-row compute; see sources.tables.spread_narrow_scan
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     return docs.filter(F.col("text").rlike(r"\S")).select(
         F.col("doc_id").alias("seg_id"),
         (F.col("doc_id") * 30.0).alias("start"),

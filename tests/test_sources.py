@@ -261,3 +261,56 @@ def test_stream_shard_intake_retry_is_exactly_once(spark, tmp_path):
     # a DIFFERENT batch accumulates alongside, untouched by the retry
     write_shard_batch(docs.limit(80).subtract(docs.limit(50)), 1, out, 4)
     assert spark.read.parquet(out).count() == 80
+
+
+def test_spread_narrow_scan_adapts_to_decode_units(spark, tmp_path):
+    """spread_narrow_scan repartitions ONLY when the parquet layout has
+    fewer row groups than the session parallelism (the local testdata
+    shape: one file, one row group -> serial decode AND serial narrow
+    compute above the scan), never changes results, and stays a no-op
+    when the layout already parallelizes or the conf disables it."""
+    from llm_map_reduce_summarizer_spark.sources.tables import (
+        SPREAD_CONF,
+        _decode_units,
+        spread_narrow_scan,
+    )
+
+    par = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, SF, "documents")
+    path = os.path.join(SF, "documents.parquet")
+
+    # the local testdata layout is one row group per table
+    assert _decode_units(path) < par
+
+    spread = spread_narrow_scan(docs, path)
+    assert spread.rdd.getNumPartitions() == par
+    # results identical (round-robin repartition is semantics-free)
+    assert sorted(r["doc_id"] for r in spread.collect()) == sorted(
+        r["doc_id"] for r in docs.collect()
+    )
+
+    # a layout with >= par row groups must NOT pay the extra exchange
+    out = os.path.join(str(tmp_path), "docs_many_rowgroups")
+    docs.repartition(par).write.mode("overwrite").parquet(out)
+    many = spark.read.parquet(out)
+    assert _decode_units(out) >= par
+    assert spread_narrow_scan(many, out) is many
+
+    # conf off -> no-op regardless of layout
+    spark.conf.set(SPREAD_CONF, "false")
+    try:
+        assert spread_narrow_scan(docs, path) is docs
+    finally:
+        spark.conf.set(SPREAD_CONF, "true")
+
+
+def test_load_table_spread_opt_in(spark):
+    """load_table(spread=True) restores post-scan parallelism on the
+    coarse local layout; default load stays untouched (no surprise
+    exchange for metadata-count callers)."""
+    par = spark.sparkContext.defaultParallelism
+    plain = load_table(spark, SF, "documents")
+    spread = load_table(spark, SF, "documents", spread=True)
+    assert plain.rdd.getNumPartitions() < par
+    assert spread.rdd.getNumPartitions() == par
+    assert spread.count() == plain.count()
