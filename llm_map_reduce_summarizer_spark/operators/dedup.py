@@ -31,7 +31,7 @@ from ..functions.hashing import (
     words,
 )
 from ..functions.text import quantize
-from .persist import materialize
+from .persist import materialize, materialize_lazy
 
 NORMALIZE = lambda c: F.regexp_replace(F.lower(c), r"\s+", " ")  # noqa: E731
 
@@ -86,7 +86,7 @@ def doc_shingles(
 
 
 def drop_stop_shingles(
-    shingles: DataFrame, df_cap: int, id_col: str = "doc_id"
+    shingles: DataFrame, df_cap: int, id_col: str = "doc_id", lazy: bool = False
 ) -> DataFrame:
     """Drop shingles whose document frequency exceeds ``df_cap``.
 
@@ -97,13 +97,22 @@ def drop_stop_shingles(
     shingles with df > cap — is tiny by construction (bounded by
     corpus_shingles / cap), so it broadcasts; the corpus-side anti-join
     is map-side with no shuffle of the shingle table.
+
+    ``lazy``: defer the stop-set checkpoint to the caller's next action
+    (use when the capped output is materialized right away anyway —
+    the broadcast build then computes the stop set inside that one
+    action instead of as its own serialized job).
     """
     return shingles.join(
-        F.broadcast(stop_shingle_set(shingles, df_cap)), "s", "left_anti"
+        F.broadcast(stop_shingle_set(shingles, df_cap, lazy=lazy)),
+        "s",
+        "left_anti",
     )
 
 
-def stop_shingle_set(shingles: DataFrame, df_cap: int) -> DataFrame:
+def stop_shingle_set(
+    shingles: DataFrame, df_cap: int, lazy: bool = False
+) -> DataFrame:
     """The stop list itself — shingles with df > cap — as a reusable,
     materialized single-column frame (tiny by construction: bounded by
     corpus_shingles / cap, so it broadcasts)."""
@@ -116,7 +125,7 @@ def stop_shingle_set(shingles: DataFrame, df_cap: int) -> DataFrame:
         # times downstream (signature pass + verify pass sides), and
         # without this each consumer would recompute the full
         # shingle-df aggregation just to rebuild this tiny list
-        .transform(materialize)
+        .transform(materialize_lazy if lazy else materialize)
     )
 
 
@@ -496,12 +505,18 @@ def connected_components(
     folded into the init aggregation. Convergence is detected by the
     label-sum fixpoint (labels only ever decrease); exhausting the cap
     raises rather than returning a silently-wrong clustering. Each
-    hop and each round localCheckpoints (node-sized tables) so round k
-    never replays rounds 1..k-1 and the twice-consumed hop tables
-    (broadcast arm + union arm) compute once; label tables ride the
-    hop joins as broadcast sides below BROADCAST_MAX_NODES (a
-    checkpointed table loses its size stats, so Spark would otherwise
-    sort-merge the edge list against a few-MB label table every hop).
+    round localCheckpoints (node-sized tables) so round k never
+    replays rounds 1..k-1 — lazily, fused with the convergence
+    aggregate so the round runs as one job; on graphs ABOVE
+    BROADCAST_MAX_NODES each hop additionally checkpoints so the
+    twice-consumed hop tables (broadcast arm + union arm) compute
+    once, while small graphs skip the per-hop barrier and let the
+    duplicated hop subtrees resolve to ReusedExchange reads of the
+    hop's own groupBy shuffle (3 fewer serialized jobs per round).
+    Label tables ride the hop joins as broadcast sides below
+    BROADCAST_MAX_NODES (a checkpointed table loses its size stats, so
+    Spark would otherwise sort-merge the edge list against a few-MB
+    label table every hop).
     Rounds are coalesced to a partition count sized from the node count (a
     1-scalar plan decision — per-round task overhead would otherwise
     dwarf the tiny label tables of near-dup graphs; at 100 TB the same
@@ -526,19 +541,22 @@ def connected_components(
     edges = edges.select(src, dst).transform(materialize)
     # ONE bidirectional edge list (u, v): each undirected edge twice.
     # Halves the per-round join count vs separate fwd/bwd passes.
+    # Lazy checkpoints: the n_nodes count below materializes e2 AND the
+    # init labels in ONE job (edges is already checkpointed, so the
+    # union arms read its blocks, not the expensive upstream).
     half = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     e2 = (
         half.union(half.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .transform(materialize)
+        .transform(materialize_lazy)
     )
     # init = min(id, min neighbor): the first propagation round folded
     # into the label construction (every node appears as u in e2).
     labels = (
         e2.groupBy(F.col("u").alias("id"))
         .agg(F.least(F.min("v"), F.first("u")).alias("lbl"))
-        .transform(materialize)
+        .transform(materialize_lazy)
     )
-    n_nodes = labels.count()  # 1-scalar plan decision (already materialized)
+    n_nodes = labels.count()  # 1-scalar plan decision; materializes both
     n_parts = max(1, min(
         labels.rdd.getNumPartitions(), -(-n_nodes // ROWS_PER_PARTITION)
     ))
@@ -552,11 +570,19 @@ def connected_components(
     # agg, dense or sparse. Each hop materializes because its table is
     # consumed twice (broadcast side of the next hop + its own union
     # arm) — node-sized checkpoints, not edge-sized.
-    bcast = (
-        (lambda df: F.broadcast(df))
-        if n_nodes <= BROADCAST_MAX_NODES
-        else (lambda df: df)
-    )
+    small = n_nodes <= BROADCAST_MAX_NODES
+    bcast = (lambda df: F.broadcast(df)) if small else (lambda df: df)
+    # Per-HOP materialization is a scale tool: on a big graph it keeps
+    # the twice-consumed hop table (broadcast arm + union arm) from
+    # recomputing an edge-sized join. On a broadcast-SMALL graph the
+    # same barrier is pure overhead — each eager checkpoint is a
+    # serialized job over a node-sized table, and the round loop runs
+    # 3 of them per round; skipping them lets the round execute as ONE
+    # job in which every duplicated hop subtree resolves to a
+    # ReusedExchange of the hop's own groupBy shuffle (measured at
+    # sf0.1 near-dup graphs: ~5 jobs/round -> 1, ~2x end-to-end on the
+    # components-dominated queries). Same fixpoint either way.
+    hop_step = materialize if not small else (lambda df: df)
     prev_sum = None
     for _ in range(max_iter):
         cur = labels
@@ -570,7 +596,7 @@ def connected_components(
                 .groupBy("id")
                 .agg(F.min("lbl").alias("lbl"))
                 .coalesce(n_parts)
-                .transform(materialize)
+                .transform(hop_step)
             )
         # pointer halving: v -> lbl^(2^HALVE_STEPS)(v)
         lmap = labels.select(
@@ -581,12 +607,15 @@ def connected_components(
             hop = hop.join(bcast(lmap), "lbl").select(
                 "id", F.col("lbl2").alias("lbl")
             )
+        # lazy checkpoint + the convergence aggregate: the sum action
+        # materializes the round's labels and reads the 1-row scalar in
+        # the SAME job (one pass over the label table instead of two)
         labels = (
             cur.unionByName(hop)
             .groupBy("id")
             .agg(F.min("lbl").alias("lbl"))
             .coalesce(n_parts)
-            .transform(materialize)
+            .transform(materialize_lazy)
         )
         cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]
         if cur_sum == prev_sum:  # labels only ever decrease

@@ -76,16 +76,22 @@ def _warn_if_cleaner_disabled(spark) -> None:
         )
 
 
-def materialize(df: DataFrame) -> DataFrame:
-    """Eagerly materialize ``df`` and cut its lineage.
+def materialize(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Materialize ``df`` and cut its lineage.
 
     Default: ``localCheckpoint`` (executor-local, zero I/O). With
     ``RELIABLE_CONF=true``: fault-tolerant ``checkpoint`` into the
     configured directory.
+
+    ``eager=False`` marks the checkpoint but defers the work to the
+    caller's NEXT action — the iterative operators use it to fuse the
+    checkpoint job with the action they were about to run anyway (e.g.
+    a convergence aggregate), one pass over the table instead of two.
+    The lineage cut happens at that first action either way.
     """
     spark = df.sparkSession
     if str(spark.conf.get(RELIABLE_CONF, "false")).lower() != "true":
-        return df.localCheckpoint(eager=True)
+        return df.localCheckpoint(eager=eager)
     sc = spark.sparkContext
     if sc.getCheckpointDir() is None:
         ckpt_dir = spark.conf.get(CHECKPOINT_DIR_CONF, None)
@@ -98,4 +104,10 @@ def materialize(df: DataFrame) -> DataFrame:
             )
         sc.setCheckpointDir(ckpt_dir)
     _warn_if_cleaner_disabled(spark)
-    return df.checkpoint(eager=True)
+    return df.checkpoint(eager=eager)
+
+
+def materialize_lazy(df: DataFrame) -> DataFrame:
+    """``materialize`` with the work deferred to the caller's next
+    action (fluent ``df.transform(materialize_lazy)`` shape)."""
+    return materialize(df, eager=False)
