@@ -289,10 +289,14 @@ def minhash_lsh_pairs(
     sh = doc_shingles(docs, id_col, keyed=True)
     if df_cap is not None:
         # the RAW table is read twice before the cap (df agg +
-        # anti-join); the map-side-distinct build has no exchange of
-        # its own for Spark to reuse, so materialize it once too
+        # anti-join), so checkpoint it — but LAZILY, like the stop
+        # set: the eager capped-table materialize below then computes
+        # raw shingles + stop set + anti-join in ONE action instead
+        # of three serialized jobs (the raw blocks persist when the
+        # stop-set broadcast build first computes them; the anti-join
+        # side reads those cached blocks)
         sh = drop_stop_shingles(
-            sh.transform(materialize), df_cap, id_col
+            sh.transform(materialize_lazy), df_cap, id_col, lazy=True
         )
     sh = sh.transform(materialize)
     bands = band_bucket_rows(sh, id_col)
@@ -339,11 +343,11 @@ def incremental_dedup_verdicts(
     )
     sh = doc_shingles(docs, id_col, keyed=True)
     if df_cap is not None:
-        # the RAW table is read twice before the cap (df agg +
-        # anti-join); the map-side-distinct build has no exchange of
-        # its own for Spark to reuse, so materialize it once too
+        # raw table read twice before the cap (df agg + anti-join):
+        # lazy checkpoint, fused into the eager capped-table
+        # materialize below (see minhash_lsh_pairs)
         sh = drop_stop_shingles(
-            sh.transform(materialize), df_cap, id_col
+            sh.transform(materialize_lazy), df_cap, id_col, lazy=True
         )
     sh = sh.transform(materialize)
     bands = band_bucket_rows(sh, id_col)

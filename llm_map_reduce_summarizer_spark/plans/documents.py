@@ -88,17 +88,28 @@ STOPWORDS = {
 CJK_PATTERN = "[一-鿿]"
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # spread: every consumer runs regex/shingle/md5-heavy narrow work
-    # right above this scan; on a coarse decode layout (one row group)
-    # that work would otherwise run on one core (sources.tables)
-    return load_table(spark, sf_dir, "documents", spread=True)
+def _docs(
+    spark: SparkSession, sf_dir: str, spread: bool = False
+) -> DataFrame:
+    # spread is per-CALLER, by measurement: queries whose serial
+    # narrow compute above the scan dominates (shingle explode + md5,
+    # regex scoring) pass spread=True and win 20-35% on a coarse
+    # one-row-group layout; queries dominated by many small downstream
+    # stages LOSE from 32 near-empty partitions propagating through
+    # every stage (per-task fixed costs exceed the per-partition
+    # work — the stage-level profile showed total executor time
+    # inflating ~20x on dedup_minhash_lsh at sf0.1). On an at-scale
+    # layout (row groups >= cores) the helper is a no-op either way.
+    return load_table(spark, sf_dir, "documents", spread=spread)
 
 
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # spread: consumers feed Arrow-batched dgemm scorers straight off
-    # the scan; same coarse-layout serialization risk as _docs
-    return load_table(spark, sf_dir, "embeddings", spread=True)
+    # never spread: embedding consumers either shuffle immediately
+    # (groupBy applyInPandas blocks) or broadcast/collect a side —
+    # the narrow work above the scan is projection-thin, so the extra
+    # exchange only costs (measured: knn_bruteforce +60%,
+    # emb_neardup +21% with spread at sf0.1)
+    return load_table(spark, sf_dir, "embeddings")
 
 
 # ----------------------------------------------------------- text analysis
@@ -153,7 +164,9 @@ def quality_score_col() -> F.Column:
 
 
 def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return quality_of(_docs(spark, sf_dir))
+    # spread=True: pure narrow regex/word scoring above the scan, one
+    # small agg-free projection out — measured −24% at sf0.1
+    return quality_of(_docs(spark, sf_dir, spread=True))
 
 
 def quality_of(d: DataFrame) -> DataFrame:
@@ -243,7 +256,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     cannot be pointed at a full corpus by accident; the bound is the
     source table's metadata count (`_doc_count_bound`), so the guard
     costs no extra shingle scan."""
-    sh = doc_shingles(_docs(spark, sf_dir), keyed=True)
+    # spread=True: the shingle explode + md5 keying above the scan is
+    # this query's dominant cost and the downstream is broadcast-only
+    # (one eager materialize, then broadcast joins) — measured −31%
+    # at sf0.1; a multi-row-group layout makes it a no-op
+    sh = doc_shingles(_docs(spark, sf_dir, spread=True), keyed=True)
     return jaccard_pairs(
         sh,
         threshold=JACCARD_THRESHOLD,

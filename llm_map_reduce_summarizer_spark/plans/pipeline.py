@@ -42,6 +42,7 @@ from ..operators.providers import (
     BASE_PROMPT_RATE,
     token_rates,
 )
+from ..operators.persist import materialize
 from ..operators.preprocess import (
     aggregate_by_interval,
     merge_same_speaker,
@@ -56,9 +57,11 @@ BATCH_SIZE = 10
 
 
 def derive_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # spread: the cleaning regexes + token counts above this scan are
-    # the pipeline's per-row compute; see sources.tables.spread_narrow_scan
-    docs = load_table(spark, sf_dir, "documents", spread=True)
+    # NOT spread: the pipeline funnels into global-order single-
+    # partition windows right after cleaning, and the many small
+    # stages lose more to 32-way per-task overhead than the parallel
+    # regex pass saves (measured +0.52 s on pipeline_e2e at sf0.1)
+    docs = load_table(spark, sf_dir, "documents")
     return docs.filter(F.col("text").rlike(r"\S")).select(
         F.col("doc_id").alias("seg_id"),
         (F.col("doc_id") * 30.0).alias("start"),
@@ -252,14 +255,21 @@ def pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Stats and ordered chunk text come out of ONE groupBy(chunk_id) —
     a single shuffle instead of two parallel aggs + a join; the global
-    t0 is a 1-row broadcast.
+    t0 is a 1-row broadcast. The chunked table is materialized once:
+    t0 and the main aggregation both consume it, and without the
+    checkpoint each side replays the whole clean→merge→chunk window
+    chain (only the bottom exchange is runtime-reused; the serial
+    global-order sorts above it ran TWICE — the formatted plan showed
+    the full subtree duplicated under the t0 BroadcastExchange).
     """
     merged = merge_same_speaker(
         _segments_clean(spark, sf_dir), MAX_SEGMENT_DURATION
     ).select(
         F.col("group_id").alias("seg_id"), "start", "end", "speaker", "text"
     )
-    chunked = assign_chunks(merged, MAX_TOKENS_PER_CHUNK)
+    chunked = assign_chunks(merged, MAX_TOKENS_PER_CHUNK).transform(
+        materialize
+    )
     t0 = chunked.agg(F.min("start").alias("t0"))
     pairs = F.collect_list(
         F.struct(F.col("seg_id").alias("o"), F.col("seg_text").alias("t"))
