@@ -478,6 +478,63 @@ def incremental_verdicts_against_index(
     )
 
 
+# Edge-count bound for the driver-side union-find fast path in
+# `connected_components`. 1M (src, dst) longs is ~16 MB on the driver
+# and a few hundred ms of union-find — far below the broadcast-side
+# budget the closure operators already spend; a 100 TB near-dup graph
+# whose pair list exceeds it takes the distributed loop unchanged.
+LOCAL_COMPONENTS_MAX_EDGES = 1_000_000
+LOCAL_COMPONENTS_CONF = (
+    "spark.llm_map_reduce_summarizer.localComponentsMaxEdges"
+)
+
+
+def _components_local(pdf) -> "object":
+    """Driver-side union-find over a collected (src, dst) edge frame:
+    (id, component=min id reachable) for every node that appears in an
+    edge — the same fixpoint the distributed loop converges to.
+    Returns None when the ids are not integral (caller falls back to
+    the distributed path, which is type-agnostic).
+
+    Roots are kept at the smallest node INDEX of their set (ids are
+    sorted unique, so smallest index == smallest id): each union hangs
+    the larger root under the smaller, which makes the final root's id
+    the component minimum with no second pass.
+    """
+    import numpy as np
+    import pandas as pd
+
+    su, sv = pdf.iloc[:, 0], pdf.iloc[:, 1]
+    if not (
+        pd.api.types.is_integer_dtype(su) and pd.api.types.is_integer_dtype(sv)
+    ):
+        return None
+    u = su.to_numpy(dtype=np.int64, copy=False)
+    v = sv.to_numpy(dtype=np.int64, copy=False)
+    ids = np.unique(np.concatenate((u, v)))
+    parent = np.arange(ids.size, dtype=np.int64)
+
+    def find(x: int) -> int:
+        # iterative path-halving
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(
+        np.searchsorted(ids, u).tolist(), np.searchsorted(ids, v).tolist()
+    ):
+        ra, rb = find(a), find(b)
+        if ra == rb:
+            continue
+        if ra < rb:
+            parent[rb] = ra
+        else:
+            parent[ra] = rb
+    comp = np.array([find(i) for i in range(ids.size)], dtype=np.int64)
+    return pd.DataFrame({"id": ids, "component": ids[comp]})
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "da",
@@ -527,6 +584,22 @@ def connected_components(
     formula keeps partitions ∝ nodes). The per-round 1-scalar
     convergence read is a driver-side plan decision, not a data
     collect.
+
+    Small-graph fast path: a near-dup/mutual-kNN pair graph is pairs ≪
+    corpus by construction, and at every driver-gate scale it is a few
+    thousand edges — for which the iterative loop above is pure
+    fixed-cost (each of its O(log diameter) rounds is a full
+    multi-stage Spark job over a KB-sized label table). When the
+    MATERIALIZED edge list holds at most ``LOCAL_COMPONENTS_CONF``
+    rows (checked with limit(cap+1), so an oversized list never lands
+    on the driver — the `_broadcast_side_pdf` discipline) and both id
+    columns are integral, components run as one driver-side union-find
+    over the collected pairs: identical fixpoint (the set partition is
+    edge-order independent and the label is the set minimum either
+    way), zero iterative jobs. Above the cap — the 100 TB regime —
+    the distributed loop runs exactly as before; the probe cost there
+    is one bounded cap+1-row fetch off the already-checkpointed edge
+    blocks. Override per session via the conf; 0 disables.
     """
     GRAPH_HOPS = 3
     HALVE_STEPS = 2
@@ -543,6 +616,18 @@ def connected_components(
     # EXPENSIVE part (a kNN-graph or dgemm near-dup pair scan) with no
     # exchange of its own for Spark to reuse
     edges = edges.select(src, dst).transform(materialize)
+    spark = edges.sparkSession
+    cap = int(
+        spark.conf.get(LOCAL_COMPONENTS_CONF, str(LOCAL_COMPONENTS_MAX_EDGES))
+    )
+    if cap > 0:
+        pdf = edges.limit(cap + 1).toPandas()
+        if len(pdf) <= cap:
+            local = _components_local(pdf)
+            if local is not None:
+                return spark.createDataFrame(
+                    local, schema="id long, component long"
+                )
     # ONE bidirectional edge list (u, v): each undirected edge twice.
     # Halves the per-round join count vs separate fwd/bwd passes.
     # Lazy checkpoints: the n_nodes count below materializes e2 AND the

@@ -824,6 +824,33 @@ def test_connected_components_semantics(spark):
                    20: 20, 21: 20, 22: 20}
 
 
+def test_connected_components_local_matches_distributed(spark):
+    """The driver union-find fast path (edge list under
+    LOCAL_COMPONENTS_CONF) must compute the identical labeling the
+    distributed loop does — same fixpoint, different executor."""
+    import random
+
+    from llm_map_reduce_summarizer_spark.operators.dedup import (
+        LOCAL_COMPONENTS_CONF,
+        connected_components,
+    )
+
+    rng = random.Random(7)
+    edges = spark.createDataFrame(
+        [(rng.randrange(300), rng.randrange(300)) for _ in range(500)]
+        + [(i, i + 1) for i in range(1000, 1050)],  # a chain, forcing depth
+        "da long, db long",
+    )
+    try:
+        spark.conf.set(LOCAL_COMPONENTS_CONF, "0")  # force distributed
+        dist = sorted(map(tuple, connected_components(edges).collect()))
+        spark.conf.set(LOCAL_COMPONENTS_CONF, "1000000")  # force local
+        loc = sorted(map(tuple, connected_components(edges).collect()))
+    finally:
+        spark.conf.unset(LOCAL_COMPONENTS_CONF)
+    assert dist == loc and len(loc) > 0
+
+
 def test_covariance_cells_match_numpy(spark):
     """covariance_cells must equal numpy's population covariance of the
     collected embedding matrix (same quantization applied)."""
