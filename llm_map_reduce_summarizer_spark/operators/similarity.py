@@ -460,8 +460,16 @@ def embedding_neardup_blocked(
             db = np.maximum(lid[ii], rid[jj])
         return pd.DataFrame({"da": da, "db": db, "cos": sims[ii, jj]})
 
-    return replicated.groupBy("pa", "pb").applyInPandas(
-        _block_pairs, schema="da long, db long, cos double"
+    # B(B+1)/2 block pairs, most far smaller than a full block at gate
+    # scales: batch-dispatched grouped map (operators/grouped.py)
+    from .grouped import grouped_map_batched
+
+    return grouped_map_batched(
+        replicated,
+        ["pa", "pb"],
+        _block_pairs,
+        schema="da long, db long, cos double",
+        with_key=True,
     )
 
 
@@ -1370,8 +1378,17 @@ def cosine_knn_graph(
             cos.extend(sims[i][order])
         return pd.DataFrame({"da": da, "db": db, "cos": cos})
 
-    local = bucketed.groupBy("band", "bucket").applyInPandas(
-        _bucket_topk, schema="da long, db long, cos double"
+    # adaptive banding means THOUSANDS of near-empty buckets by design
+    # (constant target occupancy) — dispatch per Arrow batch, not per
+    # group (operators/grouped.py; measured 2.3 s -> ~0.3 s on the
+    # sf0.1 graph stage)
+    from .grouped import grouped_map_batched
+
+    local = grouped_map_batched(
+        bucketed,
+        ["band", "bucket"],
+        _bucket_topk,
+        schema="da long, db long, cos double",
     )
     # same pair proposed by several bands -> one candidate (cos is a
     # pure function of the pair, max() is just the dedup idiom)

@@ -47,6 +47,7 @@ from ..functions.vectors import (
     sql_sign_bucket_dynamic,
     sql_unit_cte,
 )
+from ..operators.grouped import grouped_map_batched
 from ..operators.persist import materialize
 from ..operators.profile import profile_oracle_sql
 from ..operators.dedup import (
@@ -8076,12 +8077,16 @@ def multimodal_neardup_banded(
                 out_c.extend(c_q)
         return pd.DataFrame({"da": out_a, "db": out_b, "cos": out_c})
 
-    hits = (
-        bucketed.groupBy("band", "bucket")
-        .applyInPandas(_bucket_hits, schema="da long, db long, cos double")
+    # 4 x 729 mostly-tiny band buckets: batch-dispatched grouped map
+    # (operators/grouped.py), same per-group dgemm
+    hits = grouped_map_batched(
+        bucketed,
+        ["band", "bucket"],
+        _bucket_hits,
+        schema="da long, db long, cos double",
+        with_key=True,
         # the same pair can collide in up to all four bands
-        .distinct()
-    )
+    ).distinct()
     w = Window.partitionBy("da").orderBy(
         F.col("cos").desc(), F.col("db").asc()
     )

@@ -1131,3 +1131,54 @@ def test_knn_graph_invariant_to_input_partitioning(spark):
         .reset_index(drop=True)
     )
     assert base.equals(shuffled)
+
+
+def test_grouped_map_batched_matches_apply_in_pandas(spark):
+    """The batch-dispatched grouped map must produce exactly the rows
+    groupBy().applyInPandas() produces — including groups that straddle
+    Arrow batch boundaries (forced tiny maxRecordsPerBatch)."""
+    import pandas as pd
+
+    from llm_map_reduce_summarizer_spark.operators.grouped import (
+        grouped_map_batched,
+    )
+
+    df = spark.range(0, 997).selectExpr(
+        "id", "id % 37 AS g", "id % 5 AS h", "cast(id AS double) * 1.5 AS x"
+    )
+
+    def summarize(key, pdf):
+        g, h = key
+        return pd.DataFrame(
+            {
+                "g": [g],
+                "h": [h],
+                "n": [len(pdf)],
+                "sx": [float(pdf["x"].sum())],
+            }
+        )
+
+    schema = "g long, h long, n long, sx double"
+    expect = (
+        df.groupBy("g", "h")
+        .applyInPandas(summarize, schema=schema)
+        .toPandas()
+        .sort_values(["g", "h"])
+        .reset_index(drop=True)
+    )
+    old_batch = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+        got = (
+            grouped_map_batched(
+                df, ["g", "h"], summarize, schema, with_key=True
+            )
+            .toPandas()
+            .sort_values(["g", "h"])
+            .reset_index(drop=True)
+        )
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", old_batch
+        )
+    pd.testing.assert_frame_equal(got, expect)
