@@ -229,6 +229,56 @@ def band_bucket_rows(shingles: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def band_bucket_rows_sets(sets: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, bk, bv) band-bucket rows derived NARROWLY from a set-table
+    row that already carries the ``minhash_aggs`` signature columns
+    ``h0..h15`` (computed in the same groupBy as the shingle array —
+    one exchange for signatures, sizes, and verify sets)."""
+    return sets.select(id_col, *band_hashes()).selectExpr(
+        id_col,
+        "stack(4, 0, band0, 1, band1, 2, band2, 3, band3) AS (bk, bv)",
+    )
+
+
+def jaccard_verify_sets(
+    sets: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard on candidate pairs via per-doc shingle-set ARRAYS:
+    two doc-keyed joins attach each side's array, ``array_intersect``
+    (exact — the arrays are distinct 60-bit keys) gives |A ∩ B|, sizes
+    come free from the arrays. Same integers, same quantize as
+    :func:`jaccard_verify`; the exploded (id, s)-keyed verify join —
+    Σ|candidate doc| shuffle rows — is replaced by |candidates| +
+    2·|docs| array rows. Requires ``threshold > 0`` (a no-overlap pair
+    never appears in the exploded formulation; here it would surface
+    with jaccard 0, so the filter must drop it)."""
+    if threshold <= 0:
+        raise ValueError(
+            "jaccard_verify_sets requires threshold > 0 (c=0 pairs are "
+            "not emitted by the exploded formulation it mirrors)"
+        )
+    a = sets.select(F.col(id_col).alias("da"), F.col("ss").alias("sa"))
+    b = sets.select(F.col(id_col).alias("db"), F.col("ss").alias("sb"))
+    return (
+        candidates.join(a, "da")
+        .join(b, "db")
+        .withColumn("c", F.size(F.array_intersect("sa", "sb")))
+        .withColumn(
+            "jaccard",
+            quantize(
+                F.col("c")
+                / (F.size("sa") + F.size("sb") - F.col("c")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("da", "db", "jaccard")
+    )
+
+
 def jaccard_verify(
     shingles: DataFrame,
     candidates: DataFrame,
@@ -278,28 +328,33 @@ def minhash_lsh_pairs(
     (see :func:`drop_stop_shingles`). Jaccard is then over the capped
     shingle sets, the standard near-dup-pipeline semantics.
     """
-    # the (capped) shingle table feeds four consumers — signatures,
-    # both verify sides, and the per-doc sizes. One eager
-    # localCheckpoint materializes it once instead of re-running the
-    # explode+distinct (+ df-agg anti-join) per consumer: measured
-    # ~25% faster end-to-end at sf0.1, and AQE still picks join
-    # strategies from the materialized partition sizes. At cluster
-    # scale this is the standard persist-the-shingle-table trade:
-    # storage is MEMORY_AND_DISK and is freed when the job ends.
+    # ONE doc-keyed agg — the per-doc shingle-SET array — replaces the
+    # exploded shingle table as the materialized hub: signatures
+    # (array_min over the same affine map), band keys, and per-doc
+    # sizes all derive NARROWLY from it, and the verify step
+    # intersects the two candidate arrays directly (array_intersect on
+    # 60-bit keys — exact, JVM-side) instead of re-joining candidates
+    # against exploded (id, s) rows. Vs the exploded hub: the
+    # signature groupBy and the sizes groupBy disappear (both read the
+    # set table's rows), the verify shuffle carries |candidates| +
+    # 2·|docs| array rows instead of Σ|candidate doc| exploded rows,
+    # and the (db, s)-keyed join — the widest exchange in the old plan
+    # — is gone. Same Jaccard integers, same quantize, same output.
     sh = doc_shingles(docs, id_col, keyed=True)
     if df_cap is not None:
         # the RAW table is read twice before the cap (df agg +
         # anti-join), so checkpoint it — but LAZILY, like the stop
-        # set: the eager capped-table materialize below then computes
-        # raw shingles + stop set + anti-join in ONE action instead
-        # of three serialized jobs (the raw blocks persist when the
-        # stop-set broadcast build first computes them; the anti-join
-        # side reads those cached blocks)
+        # set: the eager set-table materialize below then computes
+        # raw shingles + stop set + anti-join + set agg in ONE action
         sh = drop_stop_shingles(
             sh.transform(materialize_lazy), df_cap, id_col, lazy=True
         )
-    sh = sh.transform(materialize)
-    bands = band_bucket_rows(sh, id_col)
+    sets = (
+        sh.groupBy(id_col)
+        .agg(F.collect_list("s").alias("ss"), *minhash_aggs("s"))
+        .transform(materialize)
+    )
+    bands = band_bucket_rows_sets(sets, id_col)
     a = bands.select(F.col(id_col).alias("da"), "bk", "bv")
     b = bands.select(F.col(id_col).alias("db"), "bk", "bv")
     candidates = (
@@ -307,7 +362,7 @@ def minhash_lsh_pairs(
         .select("da", "db")
         .distinct()
     )
-    return jaccard_verify(sh, candidates, id_col, threshold)
+    return jaccard_verify_sets(sets, candidates, id_col, threshold)
 
 
 def incremental_dedup_verdicts(
