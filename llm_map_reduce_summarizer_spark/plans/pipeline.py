@@ -42,7 +42,6 @@ from ..operators.providers import (
     BASE_PROMPT_RATE,
     token_rates,
 )
-from ..operators.persist import materialize
 from ..operators.preprocess import (
     aggregate_by_interval,
     merge_same_speaker,
@@ -255,22 +254,19 @@ def pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Stats and ordered chunk text come out of ONE groupBy(chunk_id) —
     a single shuffle instead of two parallel aggs + a join; the global
-    t0 is a 1-row broadcast. The chunked table is materialized once:
-    t0 and the main aggregation both consume it, and without the
-    checkpoint each side replays the whole clean→merge→chunk window
-    chain (only the bottom exchange is runtime-reused; the serial
-    global-order sorts above it ran TWICE — the formatted plan showed
-    the full subtree duplicated under the t0 BroadcastExchange).
+    t0 is a 1-row broadcast computed from the CLEANED-SEGMENTS subtree,
+    not from the chunked table: merging preserves every segment's start
+    and chunking drops no rows, so min(start) is identical — and the
+    t0 arm then costs one narrow scan instead of replaying (or
+    checkpointing) the whole clean→merge→chunk window chain.
     """
     merged = merge_same_speaker(
         _segments_clean(spark, sf_dir), MAX_SEGMENT_DURATION
     ).select(
         F.col("group_id").alias("seg_id"), "start", "end", "speaker", "text"
     )
-    chunked = assign_chunks(merged, MAX_TOKENS_PER_CHUNK).transform(
-        materialize
-    )
-    t0 = chunked.agg(F.min("start").alias("t0"))
+    chunked = assign_chunks(merged, MAX_TOKENS_PER_CHUNK)
+    t0 = _segments_clean(spark, sf_dir).agg(F.min("start").alias("t0"))
     pairs = F.collect_list(
         F.struct(F.col("seg_id").alias("o"), F.col("seg_text").alias("t"))
     )
