@@ -3180,11 +3180,14 @@ def search_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _embs(spark, sf_dir)
     q = e.filter(F.col("vec_id") < N_QUERY_VECS)
+    # queries x k rows, materialized once: both the relevance join and
+    # the per-query n_rel rollup read it — without the cut the
+    # blocked-dgemm semantic retriever ran twice
     rel = cosine_topk_blocked(q, e, k=BM25_K).select(
         "query_id",
         F.col("neighbor_id").alias("doc_id"),
         F.lit(1).alias("hit"),
-    )
+    ).transform(materialize)
     lex = _bm25_scored(spark, sf_dir, BM25_K).select(
         "query_id", "doc_id", "rk"
     )
@@ -3258,9 +3261,11 @@ def search_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("first_hit_rank").isNotNull(),
         1.0 / F.col("first_hit_rank"),
     ).otherwise(0.0)
+    # queries-sized, materialized once: the mean branch re-reads this
+    # table — without the cut the crossJoin re-ran both retrievers
     scored = per.select(
         "query_id", "first_hit_rank", rr.alias("rr_raw")
-    )
+    ).transform(materialize)
     mean = scored.agg(F.avg("rr_raw").alias("mrr_raw"))
     return scored.crossJoin(F.broadcast(mean)).select(
         "query_id",
@@ -3751,6 +3756,9 @@ def search_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         is_hit.alias("is_hit"),
         F.sum(F.when(is_hit, 1).otherwise(0)).over(w).alias("ch"),
     )
+    # queries-sized, materialized once: the mean branch below re-reads
+    # this table, and without the cut it re-ran BOTH retrievers (the
+    # blocked-dgemm Python stages included) a second time
     per = g.groupBy("query_id").agg(
         F.sum(F.when(F.col("is_hit"), 1).otherwise(0))
         .cast("long")
@@ -3763,7 +3771,7 @@ def search_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("s"),
-    )
+    ).transform(materialize)
     ap = F.col("s").cast("double") / F.lit(float(_AP_LCM * BM25_K))
     mean = per.agg(
         F.sum("s").cast("long").alias("ssum"),
@@ -7792,8 +7800,19 @@ def corpus_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
         "phrase_id",
         F.sum(F.col("is_stop").cast("long")).over(wo),
     )
-    members = seg.filter(~F.col("is_stop"))
-    phrases = members.groupBy("doc_id", "phrase_id").agg(
+    # phrase length rides a second window over the SAME exploded
+    # token pass instead of a members-x-phrases self-join, and the
+    # resulting occurrence table is materialized once: phrases,
+    # word stats, and token scoring all fold this hub (the un-hubbed
+    # plan re-ran the posexplode + window 5x — 10 corpus scans)
+    wp = Window.partitionBy("doc_id", "phrase_id")
+    occ = (
+        seg.filter(~F.col("is_stop"))
+        .withColumn("plen", F.count(F.lit(1)).over(wp))
+        .select("doc_id", "phrase_id", "i", "w", "plen")
+        .transform(materialize)
+    )
+    phrases = occ.groupBy("doc_id", "phrase_id").agg(
         F.array_join(
             F.transform(
                 F.array_sort(
@@ -7804,10 +7823,6 @@ def corpus_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("phrase"),
         F.count(F.lit(1)).cast("long").alias("plen"),
-    )
-    occ = members.join(
-        phrases.select("doc_id", "phrase_id", "plen"),
-        ["doc_id", "phrase_id"],
     )
     wstats = occ.groupBy("w").agg(
         F.count(F.lit(1)).cast("long").alias("freq"),
@@ -8243,8 +8258,19 @@ def corpus_textrank_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w1").alias("src"), F.col("w2").alias("dst"))
         .transform(materialize)
     )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    nodes = deg.select(F.col("src").alias("term"), "deg")
+    # static node/degree table, materialized once: each unrolled round
+    # references the PREVIOUS ranks exactly once (inside contrib) and
+    # rebinds deg from this table — the same CTE chain the oracle uses
+    # (deg d JOIN c{i}); binding deg through the evolving ranks frame
+    # instead made every round's plan embed the prior round TWICE,
+    # i.e. a 2^ITERS-subtree physical plan (measured: 252 nodes, ~50
+    # runtime exchanges for 3 rounds)
+    nodes = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .select(F.col("src").alias("term"), "deg")
+        .transform(materialize)
+    )
     n_tot = nodes.agg(F.count(F.lit(1)).alias("n"))
     ranks = nodes.crossJoin(F.broadcast(n_tot)).select(
         "term", "deg", quantize(F.lit(1.0) / F.col("n"), 9).alias("r")
@@ -8262,8 +8288,7 @@ def corpus_textrank_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("wgt").alias("c"))
         )
         ranks = (
-            ranks.select("term", "deg")
-            .join(contrib, "term")
+            nodes.join(contrib, "term")
             .crossJoin(F.broadcast(n_tot))
             .select(
                 "term",
@@ -8587,12 +8612,16 @@ def dsir_model_from_cells(cells: DataFrame) -> DataFrame:
     flagged = cells.withColumn(
         "is_target", dsir_is_target(F.col("source"))
     )
+    # <= DSIR_BUCKETS rows, materialized once: `tot` below re-reads
+    # this table, and without the cut the totals branch re-runs the
+    # ENTIRE upstream feature explode a second time (measured: the
+    # dsir plans scanned the corpus 3x)
     per_bucket = flagged.groupBy("bucket").agg(
         F.sum(F.when(F.col("is_target"), F.col("n")).otherwise(0))
         .cast("long")
         .alias("n_target"),
         F.sum("n").cast("long").alias("n_raw"),
-    )
+    ).transform(materialize)
     tot = per_bucket.agg(
         F.sum("n_target").cast("long").alias("nt"),
         F.sum("n_raw").cast("long").alias("nr"),
@@ -8671,9 +8700,14 @@ def dsir_doc_scores(docs: DataFrame) -> DataFrame:
     the model branch and the scoring branch read that same
     aggregation, so the md5 feature scan (the dominant cost) runs a
     single time per query instead of twice (exchange reuse)."""
+    # materialized: the model branch (via `cells`) and the scoring
+    # branch both fold this table, and exchange reuse is not
+    # guaranteed to dedupe them (the captured plan ran the md5
+    # feature explode once per branch); the checkpoint bounds the
+    # corpus-sized scan to exactly one pass
     db = dsir_featurize(docs).groupBy(
         "doc_id", "source", "bucket"
-    ).agg(F.count(F.lit(1)).cast("long").alias("nf"))
+    ).agg(F.count(F.lit(1)).cast("long").alias("nf")).transform(materialize)
     cells = db.groupBy("source", "bucket").agg(
         F.sum("nf").cast("long").alias("n")
     )

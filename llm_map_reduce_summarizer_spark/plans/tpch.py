@@ -1511,8 +1511,17 @@ def parts_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .transform(materialize)
     )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    nodes = deg.select(F.col("src").alias("part"), "deg")
+    # static node/degree table, materialized once: each round references
+    # the PREVIOUS ranks exactly once and rebinds deg from this table —
+    # the oracle's own CTE shape (deg d JOIN c{i}). Binding deg through
+    # the evolving ranks frame embedded the prior round's subtree TWICE
+    # per iteration (2^ITERS plan growth; see corpus_textrank_terms).
+    nodes = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .select(F.col("src").alias("part"), "deg")
+        .transform(materialize)
+    )
     n_tot = nodes.agg(F.count(F.lit(1)).alias("n"))
     ranks = nodes.crossJoin(F.broadcast(n_tot)).select(
         "part", "deg", quantize(F.lit(1.0) / F.col("n"), 9).alias("r")
@@ -1530,8 +1539,7 @@ def parts_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("w").alias("c"))
         )
         ranks = (
-            ranks.select("part", "deg")
-            .join(contrib, "part")
+            nodes.join(contrib, "part")
             .crossJoin(F.broadcast(n_tot))
             .select(
                 "part",
