@@ -3496,9 +3496,13 @@ def corpus_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         "source", F.explode(words(F.col("text"))).alias("term")
     )
+    # sources x vocab bounded, materialized once: source totals, the
+    # marker-panel top-K, and the panel join all read this table, and
+    # composed as plans each re-ran the corpus token explode
+    # (census: 16 parquet scans for this query)
     st = toks.groupBy("source", "term").agg(
         F.count(F.lit(1)).cast("long").alias("n")
-    )
+    ).transform(materialize)
     stot = st.groupBy("source").agg(
         F.sum("n").cast("long").alias("tot")
     )
@@ -3852,6 +3856,9 @@ def contamination_injection_eval(
             LEAK_TAIL_TOKENS,
         ).alias("tail"),
     )
+    # <= |benchmark| rows, materialized once: the augmentation union
+    # and the n_planted count both read it, and composed as plans each
+    # re-ran the bench x neighbor-tail join over two corpus scans
     planted = bench.join(
         neigh, bench["doc_id"] == neigh["bid"]
     ).select(
@@ -3870,7 +3877,7 @@ def contamination_injection_eval(
         )
         .cast("long")
         .alias("n_chars"),
-    )
+    ).transform(materialize)
     aug = d.select(
         "doc_id", "text", "lang", "source", "n_chars"
     ).unionByName(planted)
@@ -4126,14 +4133,17 @@ def dedup_method_agreement(
     operators (never all-pairs); the agreement join and fold touch
     only the pair lists.
     """
+    # pair lists, materialized once: each feeds both the agreement
+    # join and its own count, and composed as plans each reference
+    # re-ran the full LSH / blocked-dgemm pipeline
     mh = minhash_lsh_pairs(
         _docs(spark, sf_dir),
         threshold=MINHASH_THRESHOLD,
         df_cap=MINHASH_DF_CAP,
-    ).select("da", "db")
+    ).select("da", "db").transform(materialize)
     emb = embedding_neardup_blocked(
         _embs(spark, sf_dir), threshold=NEARDUP_COS
-    ).select("da", "db")
+    ).select("da", "db").transform(materialize)
     both = mh.join(emb, ["da", "db"])
     counts = mh.agg(F.count(F.lit(1)).cast("long").alias("n_minhash"))
     counts = counts.crossJoin(
@@ -4838,7 +4848,12 @@ def _kmeans_final(spark: SparkSession, sf_dir: str):
         )
         if i < KMEANS_ITERS - 1:
             assign = _kmeans_argmax(_kmeans_sims(ex_train, cents))
-    sims = _kmeans_sims(ex, cents)
+    # n_vecs x K rows, materialized once: both returned frames hang
+    # off this table, and two-frame consumers (emb_cluster_quality,
+    # knn_ivf_lloyd) otherwise embed the whole unrolled Lloyd chain
+    # twice in their plans (census: 18-21 RDD scans); the assignment-
+    # only consumer pays no extra work — argmax needs sims anyway
+    sims = _kmeans_sims(ex, cents).transform(materialize)
     return _kmeans_argmax(sims), sims
 
 
@@ -6369,14 +6384,18 @@ def knn_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = _embs(spark, sf_dir)
     q = e.filter(F.col("vec_id") < N_QUERY_VECS)
+    # queries x k rows each, materialized once: the truth table feeds
+    # all three arms and each arm's result feeds both its hit join and
+    # its count agg — composed as plans the query ran 15 Python
+    # retrieval stages (census) for the 4 searches it actually needs
     bf = knn_bruteforce(spark, sf_dir).select(
         "query_id", "neighbor_id"
-    )
+    ).transform(materialize)
     out = None
     for np_ in IVF_CURVE_NPROBES:
         ap = cosine_topk_ivf(
             q, e, k=KNN_K, n_centroids=IVF_CENTROIDS, nprobe=np_
-        ).select("query_id", "neighbor_id")
+        ).select("query_id", "neighbor_id").transform(materialize)
         hits = ap.join(bf, ["query_id", "neighbor_id"], "left_semi")
         arm = (
             ap.agg(
@@ -6463,12 +6482,16 @@ def knn_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     left-semi on (query, neighbor) — result tables are queries×k
     rows, so every stage after the ANN searches is tiny.
     """
+    # queries x k rows each, materialized once: truth feeds both
+    # method arms and each arm's result feeds its hit join AND its
+    # count agg — composed as plans the report ran 6 Python retrieval
+    # stages (census) for the 3 searches it needs
     bf = knn_bruteforce(spark, sf_dir).select(
         "query_id", "neighbor_id"
-    )
+    ).transform(materialize)
 
     def score(name: str, ap: DataFrame) -> DataFrame:
-        sel = ap.select("query_id", "neighbor_id")
+        sel = ap.select("query_id", "neighbor_id").transform(materialize)
         hits = sel.join(bf, ["query_id", "neighbor_id"], "left_semi")
         return (
             sel.agg(
@@ -7085,9 +7108,13 @@ def corpus_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     langs × 3 buckets.
     """
     d = _docs(spark, sf_dir)
+    # per-doc narrow (doc_id, lang, mean_surprisal), materialized
+    # once: the tercile agg and the bucket assignment both read it,
+    # and composed as plans each re-ran the whole unigram-surprisal
+    # pipeline (census: 16 parquet scans for this query)
     sc = doc_unigram_surprisal(spark, sf_dir).join(
         d.select("doc_id", "lang"), "doc_id"
-    )
+    ).transform(materialize)
     # tercile thresholds quantized at 1e-9 (r10): the interpolated
     # percentile can land ON the 1e-6 mean_surprisal grid (engines
     # differ by 1 ulp in interpolation order — the sf0.1 rotation

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.text import quantize, sql_quantize
+from ..operators.persist import materialize
 from ..operators.profile import profile_oracle_sql
 from ..sources.tables import load_table
 
@@ -1093,16 +1094,33 @@ def events_psi_injection_eval(
     counts fold map-side); everything after is per-bucket doubles.
     """
     ev = load_table(spark, sf_dir, "events").select(F.col("value"))
-    base = ev.groupBy(
-        F.floor(F.col("value") / 10.0).cast("long").alias("bucket")
-    ).agg(F.count(F.lit(1)).cast("long").alias("n1"))
+    # ONE scan for every shift: explode the (tiny, literal) shift grid
+    # against the value column and fold all shifted histograms in a
+    # single map-side partial agg, materialized (shifts x buckets
+    # rows). Composed per shift the query re-scanned events 16x
+    # (base + shifted per grid point, each referenced twice); bucket
+    # arithmetic is unchanged (value + 0.0 is bit-identical to value,
+    # the grid holds doubles as before).
+    grid = F.array(*[F.lit(s) for s in PSI_SHIFT_GRID])
+    allc = (
+        ev.select(F.explode(grid).alias("shift"), "value")
+        .groupBy(
+            "shift",
+            F.floor((F.col("value") + F.col("shift")) / 10.0)
+            .cast("long")
+            .alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .transform(materialize)
+    )
+    base = allc.filter(F.col("shift") == 0.0).select(
+        "bucket", F.col("n").alias("n1")
+    )
     per = []
     for shift in PSI_SHIFT_GRID:
-        shifted = ev.groupBy(
-            F.floor((F.col("value") + F.lit(shift)) / 10.0)
-            .cast("long")
-            .alias("bucket")
-        ).agg(F.count(F.lit(1)).cast("long").alias("n2"))
+        shifted = allc.filter(F.col("shift") == F.lit(shift)).select(
+            "bucket", F.col("n").alias("n2")
+        )
         cells = base.join(shifted, "bucket", "full_outer").select(
             "bucket",
             F.coalesce(F.col("n1"), F.lit(0)).alias("n1"),
@@ -1154,9 +1172,10 @@ def events_anomaly_injection_eval(
     scoring join touches only hours.
     """
     ev = load_table(spark, sf_dir, "events")
+    # hours-bounded hub, materialized once (see events_anomaly_ensemble)
     hourly = ev.groupBy(
         F.date_trunc("hour", F.col("ts")).alias("hour")
-    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ).agg(F.count(F.lit(1)).cast("long").alias("n")).transform(materialize)
     hidx = (F.unix_micros("hour") / 3_600_000_000).cast("long")
     inj = (hidx % INJECT_EVERY) == 0
     injected = hourly.select(
@@ -1170,7 +1189,13 @@ def events_anomaly_injection_eval(
     flags = ensemble_from_hourly(injected.select("hour", "n")).select(
         "hour", "votes"
     )
-    m = injected.select("hour", "inj").join(flags, "hour", "left")
+    # hours-bounded, materialized once: the three consensus-level
+    # aggregates below each re-ran the ENTIRE injected ensemble
+    # without the cut (census: 72 parquet scans / 866 plan nodes;
+    # after: the detector runs once)
+    m = injected.select("hour", "inj").join(
+        flags, "hour", "left"
+    ).transform(materialize)
     votes = F.coalesce(F.col("votes"), F.lit(0))
     per = []
     for k in (1, 2, 3):
@@ -1260,6 +1285,9 @@ def events_watermark_audit(
             F.coalesce(F.col("hw_before") - F.col("ts_us"), F.lit(0)),
         ).alias("late_us")
     )
+    # ONE row, materialized: each of the 4 candidate-watermark output
+    # rows selects from this aggregate, and composed as plans each
+    # selection re-ran both events scans (census: 12 parquet scans)
     tot = late.agg(
         F.count(F.lit(1)).cast("long").alias("n_events"),
         *[
@@ -1272,7 +1300,7 @@ def events_watermark_audit(
             .alias(f"drop_{h}")
             for h in WM_CANDIDATE_HOURS
         ],
-    )
+    ).transform(materialize)
     per = [
         tot.select(
             F.lit(h).cast("long").alias("watermark_hours"),
@@ -3299,7 +3327,11 @@ def events_anomaly_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     median/MAD is ONE more tiny agg broadcast back. Flag logic is
     exact comparisons on quantized residuals.
     """
-    dec = events_seasonal_decompose(spark, sf_dir)
+    # hours-bounded, materialized once: the screen reads the
+    # decomposition three ways (median stats, MAD stats, the flag
+    # filter) and composed as plans each way re-ran the decompose's
+    # events scans (census: 16 parquet scans for this query)
+    dec = events_seasonal_decompose(spark, sf_dir).transform(materialize)
     return residual_screen_from_decomposed(dec)
 
 
@@ -3406,11 +3438,15 @@ def events_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("ld") == F.col("maxd")).cast("long").alias("cens"),
         )
     )
+    # day-offsets-bounded, materialized once: at-risk, base, and the
+    # prefix-product branches all re-join this table, and composed as
+    # plans each branch re-ran the user-keyed lifetime agg over the
+    # events scan (census: 18 parquet scans for this query)
     offs = per.groupBy("t").agg(
         F.count(F.lit(1)).alias("n_ending"),
         F.sum("cens").alias("n_censored"),
         (F.count(F.lit(1)) - F.sum("cens")).alias("n_churned"),
-    )
+    ).transform(materialize)
     a = offs.select(F.col("t").alias("tt"))
     # at-risk at t = users whose lifetime >= t (calendar-bounded join)
     risk = (
@@ -4646,9 +4682,14 @@ def events_anomaly_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan, same outputs.
     """
     ev = load_table(spark, sf_dir, "events")
+    # hours-bounded, materialized once: the ensemble references this
+    # series 5+ ways (global stats, seasonal decompose, EWMA, base
+    # join) and composed-as-plans each way re-scanned events (the
+    # census counted 23 parquet scans); this is the docstring's own
+    # "materialize the hourly series once" prescription, applied
     hourly = ev.groupBy(
         F.date_trunc("hour", F.col("ts")).alias("hour")
-    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ).agg(F.count(F.lit(1)).cast("long").alias("n")).transform(materialize)
     return ensemble_from_hourly(hourly)
 
 
@@ -4728,10 +4769,15 @@ def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").withColumn(
         "ts_us", F.unix_micros("ts")
     )
+    # v and c are users-bounded and each read twice (the next funnel
+    # stage AND the final times join); materialized once so the
+    # sequential-stage chain doesn't re-run the upstream events scans
+    # per reference (census: 10 parquet scans for this query)
     v = (
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts_us").alias("t_view"))
+        .transform(materialize)
     )
     c = (
         ev.filter(F.col("event_type") == "click")
@@ -4739,6 +4785,7 @@ def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ts_us") > F.col("t_view"))
         .groupBy("user_id")
         .agg(F.min("ts_us").alias("t_click"))
+        .transform(materialize)
     )
     p = (
         ev.filter(F.col("event_type") == "purchase")
