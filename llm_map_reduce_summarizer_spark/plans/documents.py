@@ -6760,10 +6760,16 @@ def corpus_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (quantized 1e-6).
     """
     d = _docs(spark, sf_dir)
+    # the exploded token table feeds the unigram agg plus BOTH sides
+    # of the bigram self-join, and the vocab-bounded count tables are
+    # each read 2-3 ways downstream; materialize all three hubs so the
+    # corpus explode runs exactly once (census: 8 parquet scans)
     toks = d.select(
         "lang", "doc_id", F.posexplode(words(F.col("text"))).alias("i", "w")
-    )
-    uni = toks.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("f1"))
+    ).transform(materialize)
+    uni = toks.groupBy("lang", "w").agg(
+        F.count(F.lit(1)).alias("f1")
+    ).transform(materialize)
     n1 = uni.groupBy("lang").agg(F.sum("f1").alias("n_tokens"))
     nxt = toks.select(
         "lang", "doc_id", (F.col("i") - 1).alias("i"), F.col("w").alias("w2")
@@ -6772,6 +6778,7 @@ def corpus_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.join(nxt, ["lang", "doc_id", "i"])
         .groupBy("lang", "w", "w2")
         .agg(F.count(F.lit(1)).alias("f12"))
+        .transform(materialize)
     )
     w1m = bi.groupBy("lang", "w").agg(F.sum("f12").alias("fw1"))
     nb = bi.groupBy("lang").agg(F.sum("f12").alias("n_bigrams"))

@@ -2972,9 +2972,13 @@ def events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     no float-summation-order drift to quantize away.
     """
     ev = load_table(spark, sf_dir, "events")
+    # days-bounded, materialized once: the CUSUM fold references this
+    # series 5 ways and composed as plans each re-scanned events
+    # (census: 8 parquet scans; the streaming drain passes an
+    # already-bounded state table, so the shared helper is unchanged)
     daily = ev.groupBy(
         F.date_trunc("day", F.col("ts")).alias("day")
-    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ).agg(F.count(F.lit(1)).cast("long").alias("n")).transform(materialize)
     return changepoint_from_daily(daily)
 
 

@@ -991,15 +991,23 @@ def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
     )
-    exp = flows.groupBy(F.col("supp_nation").alias("nation")).agg(
-        F.sum(F.col("rev_c").cast("decimal(38,0)"))
-        .cast("double")
-        .alias("exp_c")
+    # ONE pass over the fact join: fold to nations^2-bounded exact
+    # decimal cells first (materialized), then both direction rollups
+    # regroup those cells — the exp/imp pair otherwise re-ran the
+    # lineitem x orders join twice (census: 12 parquet scans; decimal
+    # partial sums regroup exactly, so the totals are bit-identical)
+    cells = (
+        flows.groupBy("supp_nation", "cust_nation")
+        .agg(
+            F.sum(F.col("rev_c").cast("decimal(38,0)")).alias("rc")
+        )
+        .transform(materialize)
     )
-    imp = flows.groupBy(F.col("cust_nation").alias("nation")).agg(
-        F.sum(F.col("rev_c").cast("decimal(38,0)"))
-        .cast("double")
-        .alias("imp_c")
+    exp = cells.groupBy(F.col("supp_nation").alias("nation")).agg(
+        F.sum("rc").cast("double").alias("exp_c")
+    )
+    imp = cells.groupBy(F.col("cust_nation").alias("nation")).agg(
+        F.sum("rc").cast("double").alias("imp_c")
     )
     return (
         exp.join(imp, "nation", "full_outer")
@@ -1267,8 +1275,12 @@ def customer_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("spend_c").cast("long").alias(name))
         )
 
-    h1 = half_spend(F.col("yr") < SEG_SPLIT_YEAR, "s1")
-    h2 = half_spend(F.col("yr") >= SEG_SPLIT_YEAR, "s2")
+    # customer-bounded per-half spend, materialized once each: seg()
+    # reads its input twice (quartile cuts + the segment assignment),
+    # so composed as plans each half re-scanned orders (census: 8
+    # parquet scans)
+    h1 = half_spend(F.col("yr") < SEG_SPLIT_YEAR, "s1").transform(materialize)
+    h2 = half_spend(F.col("yr") >= SEG_SPLIT_YEAR, "s2").transform(materialize)
 
     def seg(df, col, prefix):
         cuts = df.agg(
@@ -2325,9 +2337,13 @@ def orders_backlog_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey")
         .agg(F.max("l_shipdate").alias("end_date"))
     )
+    # orders-sized narrow (key, start, end) intervals, materialized
+    # once: the month axis, the open-snapshot join, and the placed/
+    # completed rollups all read it — composed as plans each re-ran
+    # the orders x lineitem-max join (census: 10 parquet scans)
     iv = o.join(li, o.o_orderkey == li.l_orderkey).select(
         "o_orderkey", "start_date", "end_date"
-    )
+    ).transform(materialize)
     rng = iv.agg(
         F.min("start_date").alias("lo"), F.max("end_date").alias("hi")
     )
