@@ -5963,16 +5963,21 @@ def corpus_quality_length_spearman(
     midrank pairs — all moments in decimal(38,0), one final double.
     """
     d = _docs(spark, sf_dir)
+    # per-doc (x, y) grid values, materialized once: both midrank
+    # histograms and the ranked join read this table, and composed as
+    # plans each reference re-ran the text-scoring scan (census: 7
+    # parquet scans); the value-bounded histograms materialize too
+    # (each feeds both self-join sides and the rank join)
     base = d.select(
         "doc_id",
         F.col("n_chars").cast("long").alias("x"),
         F.round(quality_score_col() * 10000).cast("long").alias("y"),
-    )
+    ).transform(materialize)
 
     def midranks(col: str) -> DataFrame:
         hist = base.groupBy(col).agg(
             F.count(F.lit(1)).cast("long").alias("m")
-        )
+        ).transform(materialize)
         a = hist.select(
             F.col(col).alias("v"), F.col("m").alias("mv")
         )
@@ -6841,23 +6846,28 @@ def corpus_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic (pmi, w1, w2) total order.
     """
     d = _docs(spark, sf_dir)
+    # one explode pass: the token table feeds the unigram agg plus
+    # both bigram self-join sides, and the bigram join itself ran
+    # TWICE (pair counts + the total); materialize the token table and
+    # the unfiltered pair table, and fold the total as sum(f12) over
+    # the latter — the same integer (census: 7 parquet scans before)
     toks = d.select(
         "doc_id", F.posexplode(words(F.col("text"))).alias("i", "w")
-    )
+    ).transform(materialize)
     uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("f1"))
     n1 = uni.agg(F.sum("f1").alias("n_tokens"))
     nxt = toks.select(
         "doc_id", (F.col("i") - 1).alias("i"), F.col("w").alias("w2")
     )
-    bi = (
+    pairs_all = (
         toks.join(nxt, ["doc_id", "i"])
         .groupBy("w", "w2")
         .agg(F.count(F.lit(1)).alias("f12"))
-        .filter(F.col("f12") >= COLLOC_MIN_COUNT)
+        .transform(materialize)
     )
-    nb = (
-        toks.join(nxt, ["doc_id", "i"])
-        .agg(F.count(F.lit(1)).alias("n_bigrams"))
+    bi = pairs_all.filter(F.col("f12") >= COLLOC_MIN_COUNT)
+    nb = pairs_all.agg(
+        F.sum("f12").cast("long").alias("n_bigrams")
     )
     j = (
         bi.join(uni.select(F.col("w"), F.col("f1").alias("fa")), "w")
