@@ -4448,6 +4448,9 @@ def events_value_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     halves = ev.crossJoin(F.broadcast(med)).select(
         "bucket", (F.col("ts_us") <= F.col("med_us")).alias("first_half")
     )
+    # buckets-bounded, materialized once: totals, the smoothed fold,
+    # and the PSI-sum branch each re-read this table, and composed as
+    # plans the 2x2x2 reference chain re-scanned events 8 times
     cells = halves.groupBy("bucket").agg(
         F.sum(F.when(F.col("first_half"), 1).otherwise(0))
         .cast("long")
@@ -4455,7 +4458,7 @@ def events_value_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("first_half"), 0).otherwise(1))
         .cast("long")
         .alias("n2"),
-    )
+    ).transform(materialize)
     tot = cells.agg(
         F.sum("n1").cast("long").alias("t1"),
         F.sum("n2").cast("long").alias("t2"),
