@@ -4806,7 +4806,7 @@ def _kmeans_argmax(sims: DataFrame) -> DataFrame:
     )
 
 
-def _kmeans_final(spark: SparkSession, sf_dir: str):
+def _kmeans_final(spark: SparkSession, sf_dir: str, two_frame: bool = False):
     """The shared Lloyd iteration: returns (final assignment with its
     winning sim, the final round's full (vec_id, c, sim) table) —
     consumed by ``emb_kmeans`` (assignment) and
@@ -4848,12 +4848,17 @@ def _kmeans_final(spark: SparkSession, sf_dir: str):
         )
         if i < KMEANS_ITERS - 1:
             assign = _kmeans_argmax(_kmeans_sims(ex_train, cents))
-    # n_vecs x K rows, materialized once: both returned frames hang
-    # off this table, and two-frame consumers (emb_cluster_quality,
-    # knn_ivf_lloyd) otherwise embed the whole unrolled Lloyd chain
-    # twice in their plans (census: 18-21 RDD scans); the assignment-
-    # only consumer pays no extra work — argmax needs sims anyway
-    sims = _kmeans_sims(ex, cents).transform(materialize)
+    sims = _kmeans_sims(ex, cents)
+    if two_frame:
+        # n_vecs x K rows, materialized once: consumers that read BOTH
+        # returned frames (emb_cluster_quality, knn_ivf_lloyd) would
+        # otherwise embed the whole unrolled Lloyd chain twice in
+        # their plans (census: 18-21 RDD scans). Assignment-only
+        # consumers must NOT pay this: forcing the full sims table
+        # breaks the sims->argmax agg pipelining and costs a
+        # checkpoint of the largest intermediate for nothing
+        # (paired 10x A/B: emb_kmeans +15-20%).
+        sims = sims.transform(materialize)
     return _kmeans_argmax(sims), sims
 
 
@@ -4878,7 +4883,7 @@ def knn_ivf_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..functions.vectors import dot as _dot
 
-    assign, sims = _kmeans_final(spark, sf_dir)
+    assign, sims = _kmeans_final(spark, sf_dir, two_frame=True)
     e = _embs(spark, sf_dir)
     u = e.select("vec_id", unit_norm(F.col("embedding")).alias("u"))
     lists = assign.select(
@@ -4935,7 +4940,7 @@ def emb_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     table (K rows per vector); the runner-up is a vec_id-keyed max
     over the K-1 non-assigned rows and the rollup is K-bounded.
     """
-    assign, sims = _kmeans_final(spark, sf_dir)
+    assign, sims = _kmeans_final(spark, sf_dir, two_frame=True)
     a = assign.select("vec_id", F.col("c").alias("ac"), "sim")
     second = (
         sims.join(a.select("vec_id", "ac"), "vec_id")
