@@ -4135,15 +4135,20 @@ def dedup_method_agreement(
     """
     # pair lists, materialized once: each feeds both the agreement
     # join and its own count, and composed as plans each reference
-    # re-ran the full LSH / blocked-dgemm pipeline
-    mh = minhash_lsh_pairs(
-        _docs(spark, sf_dir),
-        threshold=MINHASH_THRESHOLD,
-        df_cap=MINHASH_DF_CAP,
-    ).select("da", "db").transform(materialize)
-    emb = embedding_neardup_blocked(
-        _embs(spark, sf_dir), threshold=NEARDUP_COS
-    ).select("da", "db").transform(materialize)
+    # re-ran the full LSH / blocked-dgemm pipeline; the two
+    # independent pipelines checkpoint as concurrent jobs
+    from ..operators.persist import materialize_all
+
+    mh, emb = materialize_all([
+        minhash_lsh_pairs(
+            _docs(spark, sf_dir),
+            threshold=MINHASH_THRESHOLD,
+            df_cap=MINHASH_DF_CAP,
+        ).select("da", "db"),
+        embedding_neardup_blocked(
+            _embs(spark, sf_dir), threshold=NEARDUP_COS
+        ).select("da", "db"),
+    ])
     both = mh.join(emb, ["da", "db"])
     counts = mh.agg(F.count(F.lit(1)).cast("long").alias("n_minhash"))
     counts = counts.crossJoin(
@@ -6397,15 +6402,22 @@ def knn_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # queries x k rows each, materialized once: the truth table feeds
     # all three arms and each arm's result feeds both its hit join and
     # its count agg — composed as plans the query ran 15 Python
-    # retrieval stages (census) for the 4 searches it actually needs
-    bf = knn_bruteforce(spark, sf_dir).select(
-        "query_id", "neighbor_id"
-    ).transform(materialize)
+    # retrieval stages (census) for the 4 searches it actually needs.
+    # The 4 independent searches checkpoint as CONCURRENT jobs so the
+    # dedup does not serialize work the lazy plan ran in parallel.
+    from ..operators.persist import materialize_all
+
+    bf, *aps = materialize_all(
+        [knn_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")]
+        + [
+            cosine_topk_ivf(
+                q, e, k=KNN_K, n_centroids=IVF_CENTROIDS, nprobe=np_
+            ).select("query_id", "neighbor_id")
+            for np_ in IVF_CURVE_NPROBES
+        ]
+    )
     out = None
-    for np_ in IVF_CURVE_NPROBES:
-        ap = cosine_topk_ivf(
-            q, e, k=KNN_K, n_centroids=IVF_CENTROIDS, nprobe=np_
-        ).select("query_id", "neighbor_id").transform(materialize)
+    for np_, ap in zip(IVF_CURVE_NPROBES, aps):
         hits = ap.join(bf, ["query_id", "neighbor_id"], "left_semi")
         arm = (
             ap.agg(
@@ -6495,13 +6507,17 @@ def knn_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # queries x k rows each, materialized once: truth feeds both
     # method arms and each arm's result feeds its hit join AND its
     # count agg — composed as plans the report ran 6 Python retrieval
-    # stages (census) for the 3 searches it needs
-    bf = knn_bruteforce(spark, sf_dir).select(
-        "query_id", "neighbor_id"
-    ).transform(materialize)
+    # stages (census) for the 3 searches it needs; the 3 independent
+    # searches checkpoint as concurrent jobs (see materialize_all)
+    from ..operators.persist import materialize_all
 
-    def score(name: str, ap: DataFrame) -> DataFrame:
-        sel = ap.select("query_id", "neighbor_id").transform(materialize)
+    bf, sel_lsh, sel_ivf = materialize_all([
+        knn_bruteforce(spark, sf_dir).select("query_id", "neighbor_id"),
+        knn_lsh(spark, sf_dir).select("query_id", "neighbor_id"),
+        knn_ivf(spark, sf_dir).select("query_id", "neighbor_id"),
+    ])
+
+    def score(name: str, sel: DataFrame) -> DataFrame:
         hits = sel.join(bf, ["query_id", "neighbor_id"], "left_semi")
         return (
             sel.agg(
@@ -6530,9 +6546,7 @@ def knn_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    return score("lsh", knn_lsh(spark, sf_dir)).unionByName(
-        score("ivf", knn_ivf(spark, sf_dir))
-    )
+    return score("lsh", sel_lsh).unionByName(score("ivf", sel_ivf))
 
 
 MM_ENTROPY_MIN = 1.0  # bits; below ⇒ near-constant bytes (padding/truncation)
