@@ -204,3 +204,24 @@ def test_reliable_mode_plans_stay_scale_clean(spark, tmp_path):
     finally:
         spark.conf.unset(RELIABLE_CONF)
         spark.conf.unset(CHECKPOINT_DIR_CONF)
+
+
+def test_materialize_all_concurrent_checkpoints(spark):
+    """materialize_all returns checkpointed frames, in order, with
+    contents identical to their inputs — including the single-frame
+    and empty-list degenerate paths (no thread pool spun up there)."""
+    from llm_map_reduce_summarizer_spark.operators.persist import (
+        materialize_all,
+    )
+
+    a = spark.range(10).withColumnRenamed("id", "a")
+    b = spark.range(5).withColumnRenamed("id", "b")
+    c = spark.range(3).withColumnRenamed("id", "c")
+    out = materialize_all([a, b, c])
+    assert [df.columns[0] for df in out] == ["a", "b", "c"]
+    assert [df.count() for df in out] == [10, 5, 3]
+    # lineage is cut: the checkpointed plan scans an RDD, not range
+    assert "ExistingRDD" in out[0]._jdf.queryExecution().toString()
+    only = materialize_all([a])
+    assert only[0].count() == 10
+    assert materialize_all([]) == []
