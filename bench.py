@@ -239,6 +239,18 @@ def main() -> None:
     if args.ab:
         get_spark("bench").stop()  # one JVM at a time on the box
         result["ab"] = {"ref": args.ab, "result": run_ab(args.ab)}
+    # VERDICT r11 item 6: the driver's stored record of the printed
+    # line has twice been truncated by its own artifact limits (~2.5
+    # KB with 50+ extras), breaking next round's round-over-round
+    # parse. Print the full extras on their OWN line first, and keep
+    # THE contract line (metric/value/unit/queries/sf — the last JSON
+    # line, < 1 KB) compact. The timed methodology is unchanged; the
+    # full extras still ship in the committed BENCH_LOCAL artifacts.
+    extras = result.pop("extras", {})
+    result["extras"] = {
+        "headline_total_steady": extras.get("headline_total_steady")
+    }
+    print(json.dumps({"bench_extras": extras}))
     print(json.dumps(result))
 
 

@@ -57,7 +57,9 @@ def grouped_map_batched(
 
         def _apply(body):
             outs = []
-            for key, g in body.groupby(keys, sort=False):
+            # dropna=False: SQL groupBy (and applyInPandas) treat NULL
+            # as a normal group key; pandas' default would drop it
+            for key, g in body.groupby(keys, sort=False, dropna=False):
                 if not isinstance(key, tuple):
                     key = (key,)
                 g = g.reset_index(drop=True)
@@ -75,10 +77,15 @@ def grouped_map_batched(
             if not len(pdf):
                 continue
             # the partition is sorted by the keys, so the (possibly
-            # batch-straddling) final group is exactly the tail block
+            # batch-straddling) final group is exactly the tail block.
+            # NULL-safe match: a plain == is all-False against a null
+            # key (NaN != NaN in pandas), which would split a
+            # straddling null-keyed group across batches and emit two
+            # partial results.
             mask = None
             for k in keys:
-                m = pdf[k] == pdf[k].iat[-1]
+                last = pdf[k].iat[-1]
+                m = pdf[k].isna() if pd.isna(last) else (pdf[k] == last)
                 mask = m if mask is None else (mask & m)
             pending = pdf.loc[mask]
             body = pdf.loc[~mask]

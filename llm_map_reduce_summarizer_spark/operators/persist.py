@@ -115,8 +115,8 @@ def materialize_lazy(df: DataFrame) -> DataFrame:
 
 def materialize_all(dfs: list[DataFrame]) -> list[DataFrame]:
     """Eagerly materialize INDEPENDENT frames as CONCURRENT Spark
-    jobs (thread-pool submission — the supported multi-threaded
-    job-group pattern), returning the checkpointed frames in order.
+    jobs (thread-pool submission), returning the checkpointed frames
+    in order.
 
     Sequential eager checkpoints serialize work that one lazy action
     would have scheduled as concurrent stages; on an underloaded
@@ -126,10 +126,27 @@ def materialize_all(dfs: list[DataFrame]) -> list[DataFrame]:
     keeps both properties: each search executes exactly once AND the
     independent jobs share the executor pool concurrently. On a
     saturated cluster it degrades gracefully to the sequential cost.
+
+    Worker threads run under ``pyspark.inheritable_thread_target`` so
+    the CALLER's JVM-thread-local properties — job group, job
+    description, scheduler pool — propagate to the checkpoint jobs.
+    Under pinned-thread mode (the PySpark default since 3.2) a plain
+    pool thread maps to a fresh JVM thread with NO inherited
+    properties, so a caller's ``setJobGroup``/``cancelJobGroup``
+    watchdog (e.g. the scale-sweep timeout) would not cover these
+    jobs and a timed-out query could not be cancelled.
     """
     if len(dfs) <= 1:
         return [materialize(df) for df in dfs]
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=len(dfs)) as pool:
-        return list(pool.map(materialize, dfs))
+    from pyspark import inheritable_thread_target
+
+    # capture the caller thread's local properties NOW (wrap time);
+    # the session-aware form also propagates session tags (the
+    # function-only form warns and skips them). Cap the pool — each
+    # worker is a concurrent Spark job, and past a handful they only
+    # contend for the same executor slots.
+    target = inheritable_thread_target(dfs[0].sparkSession)(materialize)
+    with ThreadPoolExecutor(max_workers=min(len(dfs), 8)) as pool:
+        return list(pool.map(target, dfs))

@@ -1560,27 +1560,6 @@ def semantic_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _int8_err_cols() -> list[F.Column]:
-    """Per-dimension int8-quantization reconstruction error columns.
-
-    code_i = floor((x_i - mn_i) * 255 / (mx_i - mn_i) + 0.5) — the
-    standard per-dimension affine scalar quantizer. Every operation is
-    an IEEE double op in a fixed order, so the DuckDB twin is
-    bit-identical.
-    """
-    errs = []
-    for i in range(1, DIM + 1):
-        x = F.element_at("embedding", i).cast("double")
-        mn = F.col(f"mn{i}")
-        scale = F.col(f"mx{i}") - mn
-        code = F.when(
-            scale > 0, F.floor((x - mn) * F.lit(255.0) / scale + F.lit(0.5))
-        ).otherwise(F.lit(0))
-        recon = mn + code.cast("double") * scale / F.lit(255.0)
-        errs.append((x - recon).alias(f"e{i}"))
-    return errs
-
-
 def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar int8 quantization of the embedding column: per-dimension
     affine codes (min/max range, 256 levels) with a per-vector
@@ -1605,12 +1584,44 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(1, DIM + 1)
         ],
     )
-    errs = e.crossJoin(F.broadcast(stats)).select("vec_id", *_int8_err_cols())
-    sq: F.Column = F.lit(0.0)
-    for i in range(1, DIM + 1):
-        sq = sq + F.col(f"e{i}") * F.col(f"e{i}")
-    mx_abs = F.greatest(*[F.abs(F.col(f"e{i}")) for i in range(1, DIM + 1)])
-    return errs.select(
+    # The error/report side used to unroll 64 per-dimension error
+    # columns plus a 64-term sum chain and a 64-arg greatest — a
+    # several-thousand-node expression tree whose ANALYSIS + codegen
+    # cost ~13 s per session on tiny data (the catalog's largest
+    # fixed cost; whole-stage codegen blows past the JIT size limit
+    # and the compile is pure overhead). Fold the same arithmetic
+    # over the embedding array instead: per dimension the IEEE ops
+    # and their order are unchanged (aggregate() walks i = 1..DIM
+    # left-to-right — the exact order of the old sum chain; max is
+    # order-free), so the SQL twin still matches bit-for-bit. The
+    # stats agg keeps its unrolled 2·DIM cells — that shape is the
+    # scale-right one-row partial agg and analysis of 128 plain aggs
+    # is cheap.
+    mn_arr = F.array(*[F.col(f"mn{i}") for i in range(1, DIM + 1)])
+    mx_arr = F.array(*[F.col(f"mx{i}") for i in range(1, DIM + 1)])
+
+    def _err(i: F.Column) -> F.Column:
+        x = F.element_at("embedding", i).cast("double")
+        mn = F.element_at(mn_arr, i)
+        scale = F.element_at(mx_arr, i) - mn
+        code = F.when(
+            scale > 0,
+            F.floor((x - mn) * F.lit(255.0) / scale + F.lit(0.5)),
+        ).otherwise(F.lit(0))
+        recon = mn + code.cast("double") * scale / F.lit(255.0)
+        return x - recon
+
+    errs_arr = F.transform(
+        F.sequence(F.lit(1), F.lit(DIM)), lambda i: _err(i)
+    )
+    grid = e.crossJoin(F.broadcast(stats)).select(
+        "vec_id", errs_arr.alias("errs")
+    )
+    sq = F.aggregate(
+        F.col("errs"), F.lit(0.0), lambda acc, v: acc + v * v
+    )
+    mx_abs = F.array_max(F.transform(F.col("errs"), F.abs))
+    return grid.select(
         "vec_id",
         quantize(sq / F.lit(float(DIM)), 9).alias("mse"),
         quantize(mx_abs, 9).alias("max_abs_err"),
@@ -2796,14 +2807,144 @@ def doc_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def quality_ensemble_of(d: DataFrame) -> DataFrame:
     """The four-signal gate over any (doc_id, text) relation —
-    shared by the catalog entry and the injection evaluation."""
-    q = quality_of(d).select("doc_id", "quality_score")
-    r = repetition_of(d).select("doc_id", "dup_ratio")
-    en = char_entropy_of(d).select("doc_id", "entropy")
-    su = unigram_surprisal_of(d).select(
-        "doc_id", "mean_surprisal"
+    shared by the catalog entry and the injection evaluation.
+
+    FUSED single-pass formulation (VERDICT r11 item 3): the composed
+    form (quality ⋈ repetition ⋈ entropy ⋈ surprisal, each its own
+    scan; surprisal's corpus-LM lineage alone re-ran its token explode
+    three times) cost 6 parquet scans per evaluation — 12 in the
+    injection eval. Three of the four signals are PER-DOC functions of
+    the text, so they fold into row-local expressions computed on the
+    one scan the corpus-LM signal needs anyway and ride the token
+    explode on the pos-0 row:
+
+    * quality_score: the same `quality_score_col()` expression.
+    * dup_ratio: size(shingles) / size(array_distinct(shingles)) —
+      the same exact integers `repetition_of`'s explode + groupBy
+      count/countDistinct produced.
+    * entropy: run-length fold over the SORTED char array (run
+      lengths are the same exact per-char counts the (doc_id, ch)
+      groupBy produced; the Σ c·ln c float fold differs only in
+      summation order, inside the 4-decimal quantize tolerance —
+      verified against the unchanged DuckDB oracle at all gate SFs).
+
+    The surprisal branch is restructured around ONE materialized
+    (doc, term) hub: corpus term frequencies, the corpus total, and
+    the per-doc score all derive from it (the total is Σn over the
+    hub — the identical exact integer as Σctf), so the explode runs
+    once instead of three times. Ensemble membership is unchanged:
+    the old inner joins kept exactly the docs with ≥3 words (the
+    repetition branch's filter, strictest of the four), which is the
+    `dup_ratio IS NOT NULL` filter here. Values, schema, and the
+    DuckDB oracle are unchanged.
+
+    Footprint note (ADVICE r11): the hub is corpus-TOKEN-scale — the
+    largest class of pinned intermediate; it lives only for this
+    query's lifetime and spills under MEMORY_AND_DISK, but at 100 TB
+    prefer running the gate's signals as separate materialized passes
+    (the module docstring of operators/persist.py discusses the
+    trade).
+    """
+    from ..functions.hashing import shingles_3gram, words
+
+    sh = shingles_3gram(F.col("w"))
+    rep_total = F.size(sh).cast("long")
+    rep_distinct = F.size(F.array_distinct(sh)).cast("long")
+    dup_ratio = F.when(
+        F.size("w") >= 3,
+        quantize(1.0 - rep_distinct / rep_total, 4),
     )
-    j = q.join(r, "doc_id").join(en, "doc_id").join(su, "doc_id")
+    cs = F.array_sort(
+        F.filter(F.split(F.col("text"), ""), lambda x: x != F.lit(""))
+    )
+    n_ch = F.size(cs)
+    # Σ c·ln c over the per-char runs of the SORTED char array as ONE
+    # left fold carrying (prev char, run length, acc). A fold touches
+    # each element once and evaluates `cs` once per row — an indexed
+    # neighbor-compare (filter over sequence with element_at(cs, i))
+    # re-evaluates the sort+split subtree PER ELEMENT when the
+    # optimizer inlines it into the lambda: O(len² · log len)
+    # interpreted per doc, measured as a ~300x blowup at sf0.001.
+    _zero = F.lit(0.0)
+
+    def _close(st: F.Column) -> F.Column:
+        # contribution of the finished run; ln(1) = 0, run=0 at init
+        return F.when(
+            st["run"] > 1.0, st["run"] * F.log(st["run"])
+        ).otherwise(_zero)
+
+    slc = F.aggregate(
+        cs,
+        F.struct(
+            F.lit("").alias("prev"),
+            _zero.alias("run"),
+            _zero.alias("acc"),
+        ),
+        lambda st, ch: F.struct(
+            ch.alias("prev"),
+            F.when(ch == st["prev"], st["run"] + 1.0)
+            .otherwise(F.lit(1.0))
+            .alias("run"),
+            F.when(ch == st["prev"], st["acc"])
+            .otherwise(st["acc"] + _close(st))
+            .alias("acc"),
+        ),
+        lambda st: st["acc"] + _close(st),
+    )
+    entropy = F.when(
+        n_ch > 0,
+        quantize(
+            F.log(n_ch.cast("double")) - slc / n_ch.cast("double"), 4
+        ),
+    )
+    sig = F.struct(
+        quality_score_col().alias("quality_score"),
+        dup_ratio.alias("dup_ratio"),
+        entropy.alias("entropy"),
+    )
+    base = d.withColumn("w", words(F.col("text"))).select(
+        "doc_id", sig.alias("sig"), "w"
+    )
+    toks = base.select(
+        "doc_id", F.col("sig"), F.posexplode("w").alias("p", "term")
+    ).select(
+        "doc_id",
+        "term",
+        F.when(F.col("p") == 0, F.col("sig")).alias("sig"),
+    )
+    tf = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("sig").alias("sig"))
+        .transform(materialize)
+    )
+    cf = tf.groupBy("term").agg(F.sum("n").alias("ctf"))
+    tot = tf.agg(F.sum("n").alias("corpus_tokens"))
+    scored = tf.join(cf, "term").crossJoin(F.broadcast(tot))
+    j = (
+        scored.groupBy("doc_id")
+        .agg(
+            F.max("sig").alias("sig"),
+            quantize(
+                F.sum(
+                    F.col("n")
+                    * -F.log(
+                        F.col("ctf").cast("double")
+                        / F.col("corpus_tokens")
+                    )
+                )
+                / F.sum("n"),
+                6,
+            ).alias("mean_surprisal"),
+        )
+        .filter(F.col("sig.dup_ratio").isNotNull())
+        .select(
+            "doc_id",
+            F.col("sig.quality_score").alias("quality_score"),
+            F.col("sig.dup_ratio").alias("dup_ratio"),
+            F.col("sig.entropy").alias("entropy"),
+            "mean_surprisal",
+        )
+    )
     flags = (
         F.when(F.col("quality_score") < QE_QUALITY_MIN, 1).otherwise(0)
         + F.when(F.col("dup_ratio") > QE_DUP_MAX, 1).otherwise(0)
@@ -4601,30 +4742,45 @@ def dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     audit drops and only the broadcast-filter probe remains.
     """
     d = _docs(spark, sf_dir)
-    # four consumers read the keyed shingle table (set bits, probe,
-    # audit join, flag scan); materialize the explode+key scan once
+    # consumers read the keyed shingle table (hub build + flag scan);
+    # materialize the explode+key scan once
     sh = doc_shingles(d, keyed=True).transform(materialize)
-    ex = sh.filter(F.col("doc_id") % 2 == 0).select("s").distinct()
     bt = sh.filter(F.col("doc_id") % 2 == 1)
-    setbits = ex.select(
-        F.explode(_bloom_bits(F.col("s"))).alias("bit")
-    ).distinct()
-    probe = bt.select(
-        "doc_id", "s", F.explode(_bloom_bits(F.col("s"))).alias("bit")
+    # DISTINCT-shingle hub (VERDICT r11 item 9): both sides of the
+    # BLOOM_K-bit work now derive from ONE s-keyed fold. The old plan
+    # exploded _bloom_bits per (odd doc, shingle) OCCURRENCE and
+    # counted hits per (doc_id, s) — K× the occurrence count through
+    # the probe join and its groupBy. A shingle's bits and its
+    # bloom/exact verdicts depend only on s, so: hash each distinct
+    # shingle once, count its set-bit hits once, and attach the per-s
+    # verdict to the per-doc rows with one s-keyed join. Identical
+    # nb/bloom_hit/exact_hit per (doc, s) — bits (with hash-collision
+    # multiplicity) and set membership are functions of s alone.
+    su = (
+        sh.groupBy("s")
+        .agg(
+            F.max(F.col("doc_id") % 2 == 0).alias("in_ex"),
+            F.max(F.col("doc_id") % 2 == 1).alias("in_bt"),
+        )
+        .transform(materialize)
     )
-    hits = (
-        probe.join(F.broadcast(setbits), "bit")
-        .groupBy("doc_id", "s")
+    setbits = (
+        su.filter("in_ex")
+        .select(F.explode(_bloom_bits(F.col("s"))).alias("bit"))
+        .distinct()
+    )
+    nb = (
+        su.filter("in_bt")
+        .select("s", F.explode(_bloom_bits(F.col("s"))).alias("bit"))
+        .join(F.broadcast(setbits), "bit")
+        .groupBy("s")
         .agg(F.count(F.lit(1)).alias("nb"))
     )
-    flags = (
-        bt.join(hits, ["doc_id", "s"], "left")
-        .join(ex.withColumn("ex_flag", F.lit(1)), "s", "left")
-        .select(
-            "doc_id",
-            (F.coalesce("nb", F.lit(0)) == BLOOM_K).alias("bloom_hit"),
-            F.col("ex_flag").isNotNull().alias("exact_hit"),
-        )
+    sv = su.filter("in_bt").select("s", "in_ex").join(nb, "s", "left")
+    flags = bt.join(sv, "s", "left").select(
+        "doc_id",
+        (F.coalesce("nb", F.lit(0)) == BLOOM_K).alias("bloom_hit"),
+        F.coalesce(F.col("in_ex"), F.lit(False)).alias("exact_hit"),
     )
     return (
         flags.groupBy("doc_id")
@@ -6787,7 +6943,12 @@ def corpus_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the exploded token table feeds the unigram agg plus BOTH sides
     # of the bigram self-join, and the vocab-bounded count tables are
     # each read 2-3 ways downstream; materialize all three hubs so the
-    # corpus explode runs exactly once (census: 8 parquet scans)
+    # corpus explode runs exactly once (census: 8 parquet scans).
+    # FOOTPRINT (ADVICE r11): `toks` is corpus-TOKEN-scale — the
+    # largest class of pinned block this repo uses; it spills under
+    # MEMORY_AND_DISK and lives only for this query, but at 100 TB
+    # gate it on corpus size or unpersist once `uni`/`bi` (the
+    # vocab-bounded hubs) are materialized
     toks = d.select(
         "lang", "doc_id", F.posexplode(words(F.col("text"))).alias("i", "w")
     ).transform(materialize)
@@ -6869,7 +7030,10 @@ def corpus_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     # both bigram self-join sides, and the bigram join itself ran
     # TWICE (pair counts + the total); materialize the token table and
     # the unfiltered pair table, and fold the total as sum(f12) over
-    # the latter — the same integer (census: 7 parquet scans before)
+    # the latter — the same integer (census: 7 parquet scans before).
+    # FOOTPRINT (ADVICE r11): `toks` is corpus-token-scale (spillable,
+    # query-lifetime) — at 100 TB gate it on corpus size or unpersist
+    # once `pairs_all` is materialized
     toks = d.select(
         "doc_id", F.posexplode(words(F.col("text"))).alias("i", "w")
     ).transform(materialize)
@@ -7867,7 +8031,10 @@ def corpus_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
     # token pass instead of a members-x-phrases self-join, and the
     # resulting occurrence table is materialized once: phrases,
     # word stats, and token scoring all fold this hub (the un-hubbed
-    # plan re-ran the posexplode + window 5x — 10 corpus scans)
+    # plan re-ran the posexplode + window 5x — 10 corpus scans).
+    # FOOTPRINT (ADVICE r11): `occ` is corpus-token-scale (spillable,
+    # query-lifetime) — at 100 TB gate on corpus size if pinning it
+    # competes with execution memory
     wp = Window.partitionBy("doc_id", "phrase_id")
     occ = (
         seg.filter(~F.col("is_stop"))
@@ -8767,7 +8934,10 @@ def dsir_doc_scores(docs: DataFrame) -> DataFrame:
     # branch both fold this table, and exchange reuse is not
     # guaranteed to dedupe them (the captured plan ran the md5
     # feature explode once per branch); the checkpoint bounds the
-    # corpus-sized scan to exactly one pass
+    # corpus-sized scan to exactly one pass.
+    # FOOTPRINT (ADVICE r11): `db` is (docs x occupied-buckets)-scale
+    # (spillable, query-lifetime) — at 100 TB gate on corpus size if
+    # pinning it competes with execution memory
     db = dsir_featurize(docs).groupBy(
         "doc_id", "source", "bucket"
     ).agg(F.count(F.lit(1)).cast("long").alias("nf")).transform(materialize)

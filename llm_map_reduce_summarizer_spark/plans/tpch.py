@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.text import quantize, sql_quantize
-from ..operators.persist import materialize
+from ..operators.persist import materialize, materialize_all
 from ..sources.tables import load_table
 
 
@@ -1278,9 +1278,14 @@ def customer_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     # customer-bounded per-half spend, materialized once each: seg()
     # reads its input twice (quartile cuts + the segment assignment),
     # so composed as plans each half re-scanned orders (census: 8
-    # parquet scans)
-    h1 = half_spend(F.col("yr") < SEG_SPLIT_YEAR, "s1").transform(materialize)
-    h2 = half_spend(F.col("yr") >= SEG_SPLIT_YEAR, "s2").transform(materialize)
+    # parquet scans). The two halves are independent orders scans —
+    # checkpoint them as concurrent jobs, not two serialized ones
+    h1, h2 = materialize_all(
+        [
+            half_spend(F.col("yr") < SEG_SPLIT_YEAR, "s1"),
+            half_spend(F.col("yr") >= SEG_SPLIT_YEAR, "s2"),
+        ]
+    )
 
     def seg(df, col, prefix):
         cuts = df.agg(
@@ -1627,46 +1632,71 @@ def parts_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     u_first = (F.col("deg_u") < F.col("deg_v")) | (
         (F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))
     )
-    dedges = (
-        e2.select(
-            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
-            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
-            F.when(u_first, F.col("deg_v"))
-            .otherwise(F.col("deg_u"))
-            .alias("dst_deg"),
+    dedges = e2.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(u_first, F.col("deg_v"))
+        .otherwise(F.col("deg_u"))
+        .alias("dst_deg"),
+    )
+    # dedges has exactly ONE consumer now (the adjacency groupBy), so
+    # the orientation folds into that shuffle's map side — no
+    # checkpoint needed (edges itself stays materialized above for
+    # the deg/wedge/edge-count branches)
+    # Adjacency-array "forward" counting (VERDICT r11 item 2): the
+    # former w1⋈w2 wedge self-join shuffled dedges TWICE by src and
+    # then shuffled + SORTED the Σ out-deg² wedge table a third time
+    # for the closing semi-join — at the 100x rung that wedge sort was
+    # the catalog's single most expensive stage. Instead, group the
+    # directed edges ONCE into per-source out-neighbor arrays sorted
+    # by the ≺ order (arrays are arboricity-bounded, ≈√m elements).
+    # A triangle x≺y≺z is counted exactly once at its edge (x, y) as
+    # |{z ∈ out(x): y ≺ z} ∩ out(y)|: the wedge pairs never
+    # materialize as rows — the ≺-tail of out(x) rides the one
+    # remaining exchange as a packed array (half the wedge volume,
+    # since each wedge ships only on its y-side slice), and the
+    # closing check is a per-row array_intersect instead of a W-row
+    # shuffle + sort-merge join.
+    adj = (
+        dedges.groupBy("src")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("dst_deg", "dst"))
+            ).alias("ns")
         )
-        # consumed three times (two wedge sides + closing semi-join):
-        # materialize so the lineitem scan + orientation runs once
+        .select(
+            "src",
+            F.transform(F.col("ns"), lambda s: s["dst"]).alias("nbrs"),
+        )
+        # two consumers (wedge-tail explode + the out(y) probe side):
+        # materialize so the groupBy shuffle runs once
         .transform(materialize)
     )
-    # wedge (x→y, x→z) at the shared SOURCE with y ≺ z, closed by y→z
-    w1 = dedges.select(
-        F.col("src").alias("x"),
-        F.col("dst").alias("y"),
-        F.col("dst_deg").alias("deg_y"),
-    )
-    w2 = dedges.select(
-        F.col("src").alias("x"),
-        F.col("dst").alias("z"),
-        F.col("dst_deg").alias("deg_z"),
+    tails = (
+        adj.select(
+            F.col("nbrs"), F.posexplode("nbrs").alias("i", "y")
+        )
+        .filter(F.col("i") < F.size("nbrs") - 1)
+        .select(
+            "y",
+            F.slice(
+                F.col("nbrs"), F.col("i") + 2, F.size("nbrs")
+            ).alias("zs"),
+        )
     )
     tri = (
-        w1.join(w2, "x")
-        .filter(
-            (F.col("deg_y") < F.col("deg_z"))
-            | (
-                (F.col("deg_y") == F.col("deg_z"))
-                & (F.col("y") < F.col("z"))
-            )
-        )
-        .join(
-            dedges.select(
-                F.col("src").alias("y"), F.col("dst").alias("z")
+        tails.join(
+            adj.select(
+                F.col("src").alias("y"), F.col("nbrs").alias("oy")
             ),
-            ["y", "z"],
-            "left_semi",
+            "y",
         )
-        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+        .select(F.size(F.array_intersect("zs", "oy")).alias("c"))
+        .agg(
+            F.coalesce(F.sum("c"), F.lit(0))
+            .cast("long")
+            .alias("n_triangles")
+        )
     )
     return (
         wedges.crossJoin(F.broadcast(ne))

@@ -64,6 +64,7 @@ def fuzz_pdf():
     )
 
 
+@pytest.mark.slow
 def test_text_function_twins_agree(spark, fuzz_pdf):
     sdf = spark.createDataFrame(fuzz_pdf)
     got = (

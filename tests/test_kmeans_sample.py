@@ -79,6 +79,7 @@ def test_keep_passes_every_row_at_gate_scales():
 @pytest.mark.parametrize(
     "key", ["emb_kmeans", "emb_cluster_quality", "knn_ivf_lloyd"]
 )
+@pytest.mark.slow
 def test_sampled_training_matches_oracle_when_binding(
     spark, big_emb_dir, key
 ):

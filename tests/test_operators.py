@@ -1182,3 +1182,55 @@ def test_grouped_map_batched_matches_apply_in_pandas(spark):
             "spark.sql.execution.arrow.maxRecordsPerBatch", old_batch
         )
     pd.testing.assert_frame_equal(got, expect)
+
+
+def test_grouped_map_batched_null_group_key(spark):
+    """A NULL group key must behave exactly as under applyInPandas:
+    one group (SQL groupBy treats NULL as a key value), never split
+    across Arrow batches (the tail-carry mask must match NULL
+    null-safely) and never dropped (pandas groupby dropna)."""
+    import pandas as pd
+
+    from llm_map_reduce_summarizer_spark.operators.grouped import (
+        grouped_map_batched,
+    )
+
+    # ~1/3 of rows in one NULL-keyed group, forced to straddle batches
+    df = spark.range(0, 200).selectExpr(
+        "id",
+        "CASE WHEN id % 3 = 0 THEN NULL ELSE id % 4 END AS g",
+        "cast(id AS double) AS x",
+    )
+
+    def summarize(key, pdf):
+        (g,) = key
+        return pd.DataFrame(
+            {
+                "g": [None if pd.isna(g) else g],
+                "n": [len(pdf)],
+                "sx": [float(pdf["x"].sum())],
+            }
+        )
+
+    schema = "g long, n long, sx double"
+    expect = (
+        df.groupBy("g")
+        .applyInPandas(summarize, schema=schema)
+        .toPandas()
+        .sort_values("g", na_position="first")
+        .reset_index(drop=True)
+    )
+    old_batch = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+        got = (
+            grouped_map_batched(df, ["g"], summarize, schema, with_key=True)
+            .toPandas()
+            .sort_values("g", na_position="first")
+            .reset_index(drop=True)
+        )
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", old_batch
+        )
+    pd.testing.assert_frame_equal(got, expect)

@@ -96,6 +96,7 @@ def test_reliable_mode_warns_once_when_cleaner_disabled(spark, tmp_path):
         spark.conf.unset(CHECKPOINT_DIR_CONF)
 
 
+@pytest.mark.slow
 def test_reliable_checkpoint_files_reclaimed_with_cleaner(tmp_path):
     """End-to-end lifecycle (VERDICT r8 item 7): with the cleaner conf
     set at CONTEXT CREATION (it is static — the warning in materialize

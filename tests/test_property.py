@@ -8,6 +8,8 @@ fixed corpus still fails.
 
 from __future__ import annotations
 
+import pytest
+
 import pandas as pd
 from hypothesis import given, settings, strategies as st
 
@@ -37,6 +39,7 @@ def _segments(spark, words_per_seg):
 
 @settings(max_examples=25, deadline=None)
 @given(words_per_seg=seg_lists)
+@pytest.mark.slow
 def test_greedy_chunker_invariants(spark, words_per_seg):
     out = (
         assign_chunks_greedy(_segments(spark, words_per_seg), BUDGET)
@@ -64,6 +67,7 @@ def test_greedy_chunker_invariants(spark, words_per_seg):
 
 @settings(max_examples=25, deadline=None)
 @given(words_per_seg=seg_lists)
+@pytest.mark.slow
 def test_prefix_sum_chunker_invariants(spark, words_per_seg):
     out = (
         assign_chunks(_segments(spark, words_per_seg), BUDGET)
@@ -128,6 +132,7 @@ def test_connected_components_matches_union_find_property(spark):
     check()
 
 
+@pytest.mark.slow
 def test_emb_kmeans_matches_numpy_reference(spark, tmp_path_factory):
     """Third-implementation check for the iterative tier: the Spark
     emb_kmeans assignment must equal an independent pure-numpy Lloyd

@@ -14,6 +14,8 @@ import math
 import numpy as np
 import pandas as pd
 import pytest
+
+pytestmark = pytest.mark.slow  # randomized armor — excluded from the driver's timed gate
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 

@@ -4,6 +4,8 @@ exactly on static input."""
 
 from __future__ import annotations
 
+import pytest
+
 from llm_map_reduce_summarizer_spark.plans.events import (
     events_hourly,
     events_sessionize,
@@ -501,6 +503,7 @@ def _asof_oracle(rows):
     return out
 
 
+@pytest.mark.slow
 def test_stream_parity_on_randomized_micro_batch_splits(spark, tmp_path_factory):
     """Property test (round-4 advice #8): for ANY time-contiguous split
     of an event log into 2-4 micro-batch files — with rows arbitrarily
@@ -934,6 +937,7 @@ def test_stream_funnel_stage_machine_spans_batch_boundary(spark, tmp_path):
     assert (n_view, n_click, n_purch) == (3, 1, 1)
 
 
+@pytest.mark.slow
 def test_stream_funnel_parity_on_randomized_splits(spark, tmp_path_factory):
     """Property test: for ANY contiguous micro-batch split of a
     time-sorted event log (rows shuffled within each file), the
@@ -1153,6 +1157,7 @@ def test_stream_uptime_state_carries_across_batches(spark, tmp_path):
     assert last["last_us"] == hour // 2 + 3 * hour
 
 
+@pytest.mark.slow
 def test_stream_user_paths_parity_on_randomized_splits(spark, tmp_path_factory):
     """user_paths_stream must emit every (prev→next) transition exactly
     once for ANY contiguous micro-batch split of the time-sorted log,
@@ -1246,6 +1251,7 @@ def test_stream_user_paths_parity_on_randomized_splits(spark, tmp_path_factory):
     run()
 
 
+@pytest.mark.slow
 def test_journey_pairs_split_invariant(spark, tmp_path_factory):
     """Property test: for ANY time-contiguous micro-batch split of an
     event log, the drained journey transitions (pairs + the END

@@ -1,5 +1,6 @@
 #!/usr/bin/env python
-"""Capture .explain('formatted') for a list of query keys into plans/r11/.
+"""Capture .explain('formatted') for a list of query keys into
+plans/$SPARK_GRAFT_PLANS_ROUND/ (default r12).
 
 Usage: python tools/capture_plans.py before|after [key ...]
 Plan-only: builds each DataFrame at $SPARK_GRAFT_SF_DIR (default sf0.1)
@@ -24,8 +25,11 @@ def main():
     tag = sys.argv[1]
     keys = sys.argv[2:] or DEFAULT_KEYS
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "plans", "r11")
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r12"),
+    )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("capture_plans")
     qs = entrymod.queries()

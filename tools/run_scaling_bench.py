@@ -10,7 +10,17 @@ ratio per headline query. Data is 10× rows with identical per-row
 values (tools/make_scaled_sf.py), so ratio ≈ 10 is linear; ratios
 well above ~13 flag a superlinear stage.
 
+VERDICT r11 item 5 adds the CORE-COUNT axis at the 10× rung: at
+sf0.1 every headline query sits on the per-job/per-stage fixed-cost
+floor (~110-500 ms on this box), so the driver's 8-vs-32-core sf0.1
+ratios are all ≈1 and cannot distinguish a serial query from a
+parallel one. The sf1 rung has enough work per stage for parallelism
+to show: ``scaling_10x`` records t(cpus_low) / t(cpus_main) per
+headline query at sf1 — ≥2 is the expected signature of the
+parallel-by-design keys.
+
 Usage: python tools/run_scaling_bench.py --round 8 [--cpus 32]
+       [--cpus-low 8] [--skip-low]
 """
 
 from __future__ import annotations
@@ -34,15 +44,30 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         [sys.executable, os.path.join(REPO, "bench.py")],
         env=env, capture_output=True, text=True, check=True,
     ).stdout
-    # bench.py prints ONE JSON line last
-    line = [ln for ln in out.strip().splitlines() if ln.startswith("{")][-1]
-    return json.loads(line)
+    # bench.py prints the compact contract line LAST; the full
+    # extras ride the preceding bench_extras line — merge them back
+    lines = [ln for ln in out.strip().splitlines() if ln.startswith("{")]
+    result = json.loads(lines[-1])
+    for ln in lines[:-1]:
+        try:
+            d = json.loads(ln)
+        except ValueError:
+            continue
+        if "bench_extras" in d:
+            result["extras"] = d["bench_extras"]
+    return result
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--round", type=int, required=True)
     ap.add_argument("--cpus", type=int, default=32)
+    ap.add_argument("--cpus-low", type=int, default=8)
+    ap.add_argument(
+        "--skip-low",
+        action="store_true",
+        help="skip the low-core sf1 pass (no scaling_10x section)",
+    )
     args = ap.parse_args()
 
     if not os.path.isdir(SF1):
@@ -54,13 +79,17 @@ def main() -> None:
     print(json.dumps(r01))
     r1 = run_bench(SF1, args.cpus)
     print(json.dumps(r1))
+    r1_low = None
+    if not args.skip_low:
+        r1_low = run_bench(SF1, args.cpus_low)
+        print(json.dumps(r1_low))
 
     scaling = {
         q: round(r1["queries"][q] / max(r01["queries"][q], 1e-9), 2)
         for q in r01["queries"]
     }
     out = {
-        "runs": [r01, r1],
+        "runs": [r01, r1] + ([r1_low] if r1_low else []),
         "scaling_sf1_over_sf0_1": {
             "note": (
                 "data is a 10x key-offset replica of sf0.1 "
@@ -76,6 +105,28 @@ def main() -> None:
             ),
         },
     }
+    if r1_low is not None:
+        out["scaling_10x"] = {
+            "note": (
+                "t(cpus_low) / t(cpus_main) per headline query at the "
+                "sf1 (10x) rung — the sf0.1 core-count ratios sit on "
+                "the per-stage fixed-cost floor and are ~1 by "
+                "construction; at 10x a parallel-by-design query "
+                "shows >=2, a serial one stays ~1"
+            ),
+            "cpus_main": args.cpus,
+            "cpus_low": args.cpus_low,
+            "ratios": {
+                q: round(
+                    r1_low["queries"][q] / max(r1["queries"][q], 1e-9),
+                    2,
+                )
+                for q in r1["queries"]
+            },
+            "total_ratio": round(
+                r1_low["value"] / max(r1["value"], 1e-9), 2
+            ),
+        }
     path = os.path.join(REPO, f"BENCH_LOCAL_r{args.round:02d}.json")
     with open(path, "w", encoding="utf-8") as fh:
         json.dump(out, fh, indent=1)
