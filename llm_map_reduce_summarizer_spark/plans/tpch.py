@@ -1594,24 +1594,45 @@ def parts_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle and output are unchanged. Every statistic is an exact
     integer — zero float-parity surface.
     """
-    li = (
+    # Per-order co-purchase pairs WITHOUT the orderkey self-join: one
+    # groupBy folds each order's distinct parts into a sorted array
+    # (basket size is bounded — TPC-H orders hold ≤7 lineitems), and
+    # the u<v pairs explode MAP-SIDE from the array, leaving the
+    # global pair-distinct as the only other exchange. The former
+    # shape (distinct → self-join → distinct) shuffled the lineitem
+    # projection twice more and sort-merged it against itself — at
+    # the 100x rung the edge build alone was 255 s, the query's
+    # single largest phase. Same edge set: within-order i<j pairs of
+    # the sorted distinct parts ARE the pa<pb pairs of the join.
+    po = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
     )
-    a = li.select("l_orderkey", F.col("l_partkey").alias("pa"))
-    b = li.select("l_orderkey", F.col("l_partkey").alias("pb"))
     edges = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("pa") < F.col("pb"))
-        .select(F.col("pa").alias("u"), F.col("pb").alias("v"))
+        po.select(F.col("ps"), F.posexplode("ps").alias("i", "u"))
+        .filter(F.col("i") < F.size("ps") - 1)
+        .select(
+            "u",
+            F.explode(
+                F.slice(F.col("ps"), F.col("i") + 2, F.size("ps"))
+            ).alias("v"),
+        )
         .distinct()
         .transform(materialize)
     )
     both = edges.select("u", "v").union(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
-    deg = both.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    # nodes-sized (one row per part), consumed three ways (two
+    # orientation joins + the wedge stats) — checkpoint so the 2m-row
+    # degree fold runs once
+    deg = (
+        both.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .transform(materialize)
+    )
     wedges = deg.agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes"),
         F.sum(F.col("deg") * (F.col("deg") - 1) / 2)
@@ -1657,8 +1678,25 @@ def parts_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # since each wedge ships only on its y-side slice), and the
     # closing check is a per-row array_intersect instead of a W-row
     # shuffle + sort-merge join.
+    # Scale-adaptive shuffle width (guide §2.5): the adjacency
+    # collect_list concentrates per-source array state in the agg
+    # buffers and the closing join sorts array payloads — at the
+    # default cpu-count partitioning a 100x rung packs >3M array
+    # elements of execution-memory state per task and dies with
+    # UNABLE_TO_ACQUIRE_MEMORY (measured). Derive the width from the
+    # MEASURED edge count (edges is already materialized, so the
+    # count is one cheap pass over cached blocks): ~1.5M directed
+    # edges per task keeps per-task state tens of MB; at gate SFs the
+    # max() leaves the default width untouched.
+    import math
+
+    n_part = max(
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+        math.ceil(edges.count() / 1_500_000),
+    )
     adj = (
-        dedges.groupBy("src")
+        dedges.repartition(n_part, "src")
+        .groupBy("src")
         .agg(
             F.array_sort(
                 F.collect_list(F.struct("dst_deg", "dst"))
@@ -1668,9 +1706,12 @@ def parts_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "src",
             F.transform(F.col("ns"), lambda s: s["dst"]).alias("nbrs"),
         )
-        # two consumers (wedge-tail explode + the out(y) probe side):
-        # materialize so the groupBy shuffle runs once
-        .transform(materialize)
+        # two consumers (wedge-tail explode + the out(y) probe side)
+        # share the one groupBy exchange via runtime exchange reuse —
+        # both subtrees are identical, and skipping the eager
+        # checkpoint avoids writing the full adjacency (m elements)
+        # to block storage a second time (measured at the 100x rung:
+        # the adj checkpoint was 207 s of the 554 s total)
     )
     tails = (
         adj.select(
@@ -1683,6 +1724,7 @@ def parts_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("nbrs"), F.col("i") + 2, F.size("nbrs")
             ).alias("zs"),
         )
+        .repartition(n_part, "y")
     )
     tri = (
         tails.join(
